@@ -1,0 +1,56 @@
+"""Table loading layer (reference operators S3/S5, SURVEY.md §2.1).
+
+Reads the driver-generated parquet fixtures. Parquet scans here are the
+leaves of every plan, so this layer is where pushdown/pruning quality is
+decided: we read by path with no driver-side materialization, never
+`.collect()` to re-create, and leave filters/projections to the caller so
+Catalyst pushes them into the scan (`PushedFilters` / `ReadSchema`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.parquet stores `ts` as TIMESTAMP(NANOS,false) — a physical
+    type Spark's vectorized reader rejects. We read nanos as int64
+    (legacy flag) and rebuild a timestamp at microsecond precision.
+    Integer division stays in whole-stage codegen; no UDF, no shuffle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy scan, no action)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _read_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each fixture as a temp view so `spark.sql` queries and the
+    SQL entry points resolve the same relations the DataFrame API uses."""
+    for name in names or TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
