@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
     dashboard,
+    events,
+    relational,
 )
 
 
@@ -30,10 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(dashboard.QUERIES)
+    out.update(relational.QUERIES)
+    out.update(events.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(dashboard.ORACLES)
+    out.update(relational.ORACLES)
+    out.update(events.ORACLES)
     return out

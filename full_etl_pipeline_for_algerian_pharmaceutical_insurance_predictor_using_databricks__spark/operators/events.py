@@ -1,0 +1,251 @@
+"""Event-stream analytics over the `events` table — batch semantics.
+
+The same logical transformations run under Structured Streaming in
+`streaming/jobs.py` (readStream + watermark); batch/stream parity is
+asserted in tests via Trigger.AvailableNow. Here they're batch
+DataFrames so the correctness harness can oracle-check them.
+
+Timestamps are surfaced as epoch *seconds* (BIGINT) in every output:
+the fixture stores TIMESTAMP(NANOS), Spark reads µs, DuckDB ns —
+epoch-second arithmetic is the precision-proof common ground.
+
+Scale notes: tumbling windows and per-user sessionization both hash
+partition on a key (window start / user_id) — no global ordering
+anywhere. Sessionization uses a partitioned window (lag → gap flag →
+running count), the standard distributed sessionizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources import load_table
+
+SESSION_GAP_SEC = 30 * 60
+
+
+def _dsum(c, scale: int = 2):
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def per_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.countDistinct("user_id").alias("users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            (_dsum(F.col("value")) / F.count("*")).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PER_TYPE_SQL = """
+SELECT
+    event_type,
+    COUNT(*) AS events,
+    COUNT(DISTINCT user_id) AS users,
+    MIN(value) AS min_value,
+    MAX(value) AS max_value,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window counts per event type. Built with
+    F.window (the same expression Structured Streaming uses), surfaced
+    as epoch seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("events"), _dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+
+
+_TUMBLING_SQL = """
+SELECT
+    CAST(FLOOR(EXTRACT(epoch FROM ts) / 300) * 300 AS BIGINT) AS window_start,
+    event_type,
+    COUNT(*) AS events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sliding_10min_every_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in 2 windows.
+    Oracle reproduces via a 2-offset generate/unnest."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "events",
+        )
+    )
+
+
+_SLIDING_SQL = """
+SELECT
+    CAST(FLOOR(EXTRACT(epoch FROM ts) / 300) * 300 - offs AS BIGINT) AS window_start,
+    COUNT(*) AS events
+FROM events
+CROSS JOIN (SELECT UNNEST([0, 300]) AS offs)
+GROUP BY 1
+"""
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (30-min inactivity): lag → new-session
+    flag → running sum = session id, then per-session aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    with_flag = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (epoch - F.lag(epoch).over(w)) > SESSION_GAP_SEC, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    with_sid = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("events"),
+            F.min(F.unix_timestamp("ts")).alias("session_start"),
+            F.max(F.unix_timestamp("ts")).alias("session_end"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "events",
+            "session_start",
+            "session_end",
+            (F.col("session_end") - F.col("session_start")).alias("duration_sec"),
+        )
+    )
+
+
+_SESSION_SQL = f"""
+SELECT
+    user_id,
+    session_seq,
+    COUNT(*) AS events,
+    MIN(epoch_s) AS session_start,
+    MAX(epoch_s) AS session_end,
+    MAX(epoch_s) - MIN(epoch_s) AS duration_sec
+FROM (
+    SELECT
+        user_id, epoch_s,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_seq
+    FROM (
+        SELECT
+            user_id, ts, event_id,
+            CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) AS epoch_s,
+            CASE WHEN CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)
+                      - LAG(CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                        ) > {SESSION_GAP_SEC}
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+)
+GROUP BY user_id, session_seq
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (`props` is a JSON string column):
+    get_json_object stays JVM-side — no Python in the hot path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod10"))
+        .agg(F.count("*").alias("events"))
+    )
+
+
+_JSON_SQL = """
+SELECT
+    event_type,
+    CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod10,
+    COUNT(*) AS events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def hourly_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour distinct users + events — the hypertable-rollup shape."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    return (
+        ev.groupBy(hour.alias("hour_start"))
+        .agg(
+            F.count("*").alias("events"),
+            F.countDistinct("user_id").alias("active_users"),
+            F.countDistinct("event_type").alias("distinct_types"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+_HOURLY_SQL = """
+SELECT
+    CAST(FLOOR(EXTRACT(epoch FROM ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+    COUNT(*) AS events,
+    COUNT(DISTINCT user_id) AS active_users,
+    COUNT(DISTINCT event_type) AS distinct_types
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES = {
+    "events_per_type_stats": per_type_stats,
+    "events_tumbling_5min": tumbling_5min,
+    "events_sliding_10min": sliding_10min_every_5,
+    "events_sessionization": sessionization,
+    "events_json_props": json_props_extract,
+    "events_hourly_activity": hourly_user_activity,
+}
+
+ORACLES = {
+    "events_per_type_stats": _PER_TYPE_SQL,
+    "events_tumbling_5min": _TUMBLING_SQL,
+    "events_sliding_10min": _SLIDING_SQL,
+    "events_sessionization": _SESSION_SQL,
+    "events_json_props": _JSON_SQL,
+    "events_hourly_activity": _HOURLY_SQL,
+}

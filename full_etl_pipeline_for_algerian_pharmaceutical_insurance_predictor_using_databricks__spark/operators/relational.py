@@ -1,0 +1,452 @@
+"""Join / set-operation / window-function pack over the TPC-H-ish
+fixtures (SURVEY.md §2.4-2.6 + build-plan stage 5).
+
+The reference never joins two tables; these operators complete the
+engine surface with the shapes any real deployment of it needs, built
+entirely from Catalyst primitives.
+
+Determinism contract with the DuckDB oracles:
+- Floating SUM/AVG accumulate in DECIMAL (exact), cast to DOUBLE at the
+  end; division happens once, double/int — bit-identical across engines
+  regardless of aggregation order. Spark's partial/final aggregation
+  order is nondeterministic, so summing raw doubles would drift.
+- Every LIMIT carries a total-order tiebreaker.
+
+Scale notes:
+- `nation`/`region` (25/5 rows) are broadcast explicitly: the join is
+  map-side at any fact-table size.
+- customer⋈orders⋈lineitem all shuffle on their join keys; AQE handles
+  skew splitting. At 100 TB you'd bucket customer/orders on custkey —
+  the declared plan is unchanged.
+- Window functions partition by a key (custkey/user) — never the
+  unpartitioned-window trap the reference's encoder fell into
+  (ML notebook:101-114, see SURVEY §4.3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..sources import load_table
+
+
+def _dsum(c: Column, scale: int = 2) -> Column:
+    """Exact-decimal sum of a double column, surfaced as double."""
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _davg(c: Column, scale: int = 2) -> Column:
+    """Order-independent average: exact decimal sum, one double division."""
+    return _dsum(c, scale) / F.count("*")
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1 shape — pricing summary (scan → filter → hash agg)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price, 4).alias("sum_disc_price"),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_extendedprice")).alias("avg_price"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        AS sum_disc_price,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape — shipping priority (3-way join → agg → top-k)
+# --------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT
+    l_orderkey,
+    o_orderdate,
+    o_orderpriority,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape — revenue by nation within a region (broadcast dims)
+# --------------------------------------------------------------------------
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        # TPC-H Q5's "local supplier" condition: supplier and customer
+        # share a nation — an extra equi-predicate, not a new join.
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(revenue, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_Q5_SQL = """
+SELECT
+    n_name,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+# --------------------------------------------------------------------------
+# Semi / anti joins
+# --------------------------------------------------------------------------
+
+
+def semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one URGENT order — left-semi join (one
+    probe, no duplication, no post-join dedup)."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def anti_no_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order — left-anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def left_join_order_linecounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders LEFT JOIN lineitem — preserved rows get zero counts.
+    Aggregate lineitem BEFORE the join: shrinks the shuffled build side
+    from |lineitem| to |orders| (partial aggregation pushed below the
+    join — the optimizer won't do this rewrite for you)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li_agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("_n"), _dsum(F.col("l_quantity")).alias("_q"))
+    )
+    return orders.join(
+        li_agg, orders.o_orderkey == li_agg.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("line_count"),
+        F.coalesce(F.col("_q"), F.lit(0.0)).alias("total_qty"),
+    )
+
+
+_LEFT_SQL = """
+SELECT
+    o_orderkey,
+    o_orderstatus,
+    COALESCE(ln.n, 0) AS line_count,
+    COALESCE(ln.q, 0.0) AS total_qty
+FROM orders
+LEFT JOIN (
+    SELECT l_orderkey, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+    FROM lineitem GROUP BY l_orderkey
+) ln ON o_orderkey = ln.l_orderkey
+"""
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+def union_order_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged UNION ALL of two disjoint slices (SURVEY §2.4 gap-fill)."""
+    orders = load_table(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_totalprice") >= 300000).select(
+        "o_orderkey", F.lit("high").alias("tier"), "o_totalprice"
+    )
+    low = orders.filter(F.col("o_totalprice") < 50000).select(
+        "o_orderkey", F.lit("low").alias("tier"), "o_totalprice"
+    )
+    return high.unionAll(low)
+
+
+_UNION_SQL = """
+SELECT o_orderkey, 'high' AS tier, o_totalprice FROM orders WHERE o_totalprice >= 300000
+UNION ALL
+SELECT o_orderkey, 'low' AS tier, o_totalprice FROM orders WHERE o_totalprice < 50000
+"""
+
+
+def intersect_building_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: BUILDING-segment customers ∩ customers with URGENT
+    orders (distinct semantics)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(urgent)
+
+
+_INTERSECT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def except_customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): all customers minus those with an open ('O')
+    order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    all_c = cust.select(F.col("c_custkey").alias("custkey"))
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_c.subtract(open_c)
+
+
+_EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number over (PARTITION BY custkey ORDER BY totalprice DESC) —
+    partitioned window, scales by hash-distributing customers."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_TOP3_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + lag within each customer's order history.
+    Frame order is total (orderdate, orderkey) so the running decimal
+    sum is deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_revenue"),
+        F.lag("o_totalprice").over(w).alias("prev_totalprice"),
+    )
+
+
+_RUNNING_SQL = """
+SELECT
+    o_custkey,
+    o_orderkey,
+    o_orderdate,
+    o_totalprice,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS DOUBLE) AS running_revenue,
+    LAG(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ) AS prev_totalprice
+FROM orders
+"""
+
+# --------------------------------------------------------------------------
+# ROLLUP (multi-level aggregation in one pass)
+# --------------------------------------------------------------------------
+
+
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("orders"),
+            _dsum(F.col("o_totalprice")).alias("total_revenue"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    COUNT(*) AS orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+QUERIES = {
+    "tpch_q1_pricing_summary": q1_pricing_summary,
+    "tpch_q3_shipping_priority": q3_shipping_priority,
+    "tpch_q5_region_revenue": q5_region_revenue,
+    "join_semi_urgent_customers": semi_urgent_customers,
+    "join_anti_no_urgent_customers": anti_no_urgent_customers,
+    "join_left_order_linecounts": left_join_order_linecounts,
+    "setop_union_order_tiers": union_order_tiers,
+    "setop_intersect_building_urgent": intersect_building_urgent,
+    "setop_except_customers_without_open_orders": except_customers_without_open_orders,
+    "window_top3_orders_per_customer": top3_orders_per_customer,
+    "window_running_customer_revenue": running_customer_revenue,
+    "agg_rollup_status_priority": rollup_status_priority,
+}
+
+ORACLES = {
+    "tpch_q1_pricing_summary": _Q1_SQL,
+    "tpch_q3_shipping_priority": _Q3_SQL,
+    "tpch_q5_region_revenue": _Q5_SQL,
+    "join_semi_urgent_customers": _SEMI_SQL,
+    "join_anti_no_urgent_customers": _ANTI_SQL,
+    "join_left_order_linecounts": _LEFT_SQL,
+    "setop_union_order_tiers": _UNION_SQL,
+    "setop_intersect_building_urgent": _INTERSECT_SQL,
+    "setop_except_customers_without_open_orders": _EXCEPT_SQL,
+    "window_top3_orders_per_customer": _TOP3_SQL,
+    "window_running_customer_revenue": _RUNNING_SQL,
+    "agg_rollup_status_priority": _ROLLUP_SQL,
+}

@@ -1,0 +1,76 @@
+"""Join/set-op/window pack invariants at correctness scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+    events,
+    relational,
+)
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+    load_table,
+)
+
+
+def test_all_queries_have_oracles():
+    assert set(relational.ORACLES) == set(relational.QUERIES)
+    assert set(events.ORACLES) == set(events.QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(relational.QUERIES))
+def test_relational_runs_nonempty(spark, sf_correct, name):
+    assert relational.QUERIES[name](spark, sf_correct).count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(events.QUERIES))
+def test_events_runs_nonempty(spark, sf_correct, name):
+    assert events.QUERIES[name](spark, sf_correct).count() > 0
+
+
+def test_semi_anti_partition_customers(spark, sf_correct):
+    """semi ∪ anti = all customers, disjoint."""
+    total = load_table(spark, sf_correct, "customer").count()
+    semi = relational.semi_urgent_customers(spark, sf_correct).count()
+    anti = relational.anti_no_urgent_customers(spark, sf_correct).count()
+    assert semi + anti == total
+
+
+def test_left_join_preserves_all_orders(spark, sf_correct):
+    orders = load_table(spark, sf_correct, "orders").count()
+    assert relational.left_join_order_linecounts(spark, sf_correct).count() == orders
+
+
+def test_top3_at_most_three_per_customer(spark, sf_correct):
+    df = relational.top3_orders_per_customer(spark, sf_correct)
+    over = df.groupBy("o_custkey").count().filter(F.col("count") > 3).count()
+    assert over == 0
+
+
+def test_rollup_grand_total(spark, sf_correct):
+    rows = relational.rollup_status_priority(spark, sf_correct).collect()
+    grand = [r for r in rows if r.o_orderstatus is None and r.o_orderpriority is None]
+    assert len(grand) == 1
+    assert grand[0].orders == load_table(spark, sf_correct, "orders").count()
+
+
+def test_sliding_window_double_counts(spark, sf_correct):
+    """Each event lands in exactly 2 windows of the 10min/5min slide."""
+    ev_total = load_table(spark, sf_correct, "events").count()
+    slid = events.sliding_10min_every_5(spark, sf_correct)
+    assert slid.agg(F.sum("events")).collect()[0][0] == 2 * ev_total
+
+
+def test_sessionization_gap_invariant(spark, sf_correct):
+    """No session spans a gap: every session's span ≤ events*gap."""
+    df = events.sessionization(spark, sf_correct)
+    bad = df.filter(
+        F.col("duration_sec") > (F.col("events") - 1) * events.SESSION_GAP_SEC
+    ).count()
+    assert bad == 0
+
+
+def test_q5_broadcasts_dims(spark, sf_correct):
+    plan = relational.q5_region_revenue(spark, sf_correct)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
