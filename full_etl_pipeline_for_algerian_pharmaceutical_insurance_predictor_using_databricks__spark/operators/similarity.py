@@ -1,0 +1,219 @@
+"""Similarity search over the `embeddings` table (north-star extension):
+brute-force cosine top-k as the exactness baseline, random-hyperplane
+LSH bucketing as the scale path, per-label centroids.
+
+Scale design: brute force is O(n·m) pairs — correct but quadratic; it
+exists as the oracle-checked baseline. The LSH path hashes each vector
+to a signature bucket; candidate generation is a hash join on bucket
+(multiprobe: original + 1-bit-flipped probes), then exact re-ranking of
+the small candidate set. At 1000 executors both paths are shuffle-lean:
+broadcast of hyperplanes, hash join on bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..sources import load_table
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Sequential-fold double cosine (bit-compatible with DuckDB's
+    list_cosine_similarity over DOUBLE[])."""
+    va = F.transform(a, lambda x: x.cast("double"))
+    vb = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+TOP_K = 5
+N_QUERY_VECS = 20  # first N vec_ids act as the query set
+
+
+def knn_bruteforce(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERY_VECS
+) -> DataFrame:
+    """Exact cosine top-k for the query subset against the full corpus.
+    row_number over (query, cosine DESC) — partitioned window, scales
+    with the query count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < n_queries).alias("q")
+    c = emb.alias("c")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        q.crossJoin(c)
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cosine_col(F.col("q.embedding"), F.col("c.embedding")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+_KNN_SQL = f"""
+SELECT query_id, neighbor_id, cosine, rank
+FROM (
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+            AS cosine,
+        ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])) DESC,
+                     c.vec_id ASC
+        ) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id != c.vec_id
+)
+WHERE rank <= {TOP_K}
+"""
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (rows-only; recall asserted in tests vs brute force)
+# --------------------------------------------------------------------------
+
+# 6 planes / 2-bit multiprobe: for weakly-similar corpora (true-NN
+# cosine ≈ 0.5 ⇒ per-plane agreement ≈ 0.67) expected top-1 recall is
+# P[Binom(6,.33) ≤ 2] ≈ 0.68 while probing 22 of 64 buckets. More
+# planes = exponentially worse recall on this similarity profile.
+N_PLANES = 6
+MULTIPROBE_BITS = 2
+DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from a splitmix64
+    sequence — reproducible across sessions with no RNG state."""
+    planes = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(N_PLANES):
+        row = []
+        for _ in range(DIM):
+            state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = state
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z = z ^ (z >> 31)
+            row.append((z % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_of(vec: Column) -> Column:
+    """Sign-pattern bucket id of a vector against the fixed hyperplanes."""
+    planes = _hyperplanes()
+    v = F.transform(vec, lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for j, row in enumerate(planes):
+        h = F.array(*[F.lit(x) for x in row])
+        dot = F.aggregate(
+            F.zip_with(v, h, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bucket = bucket + F.shiftleft(F.when(dot > 0, 1).otherwise(0).cast("long"), j)
+    return bucket
+
+
+def ann_lsh(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERY_VECS
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query
+    (multiprobe: all buckets within MULTIPROBE_BITS sign flips),
+    re-ranked by exact cosine.
+
+    Candidate generation is a hash join on bucket id — no quadratic
+    pair blowup; probe count is C(planes,0..bits), independent of n."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", _bucket_of(F.col("embedding")))
+    flips = [0] + [1 << j for j in range(N_PLANES)]
+    if MULTIPROBE_BITS >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(N_PLANES)
+            for j in range(i + 1, N_PLANES)
+        ]
+    probes = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips])
+        ).alias("probe_bucket"),
+    )
+    cand = (
+        probes.join(
+            bucketed.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("bucket").alias("probe_bucket"),
+            ),
+            "probe_bucket",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids (posexplode → decimal-exact per-dim averages)
+# --------------------------------------------------------------------------
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) mean — the classic vector rollup. Exact
+    decimal sums so engine aggregation order is irrelevant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "v")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("centroid"),
+            F.count("*").alias("vectors"),
+        )
+    )
+
+
+_CENTROIDS_SQL = """
+SELECT
+    label,
+    dim,
+    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS centroid,
+    COUNT(*) AS vectors
+FROM (
+    SELECT
+        label,
+        generate_subscripts(embedding, 1) - 1 AS dim,
+        unnest(embedding) AS v
+    FROM embeddings
+)
+GROUP BY label, dim
+"""
+
+
+QUERIES = {
+    "sim_knn_bruteforce": knn_bruteforce,
+    "sim_ann_lsh": ann_lsh,
+    "sim_label_centroids": label_centroids,
+}
+
+ORACLES = {
+    "sim_knn_bruteforce": _KNN_SQL,
+    "sim_label_centroids": _CENTROIDS_SQL,
+}

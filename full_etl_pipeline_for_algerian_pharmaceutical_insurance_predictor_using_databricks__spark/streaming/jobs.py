@@ -1,0 +1,91 @@
+"""Structured Streaming jobs over the `events` table (SURVEY.md §7a).
+
+The batch twins of these transformations live in `operators/events.py`
+and are oracle-checked; here the SAME logical plans run as streams:
+`readStream` → event-time windows + watermark → sink. Tests assert
+batch/stream parity by draining the stream with Trigger.AvailableNow
+into a memory sink and comparing against the batch result.
+
+Watermarking: `withWatermark("ts", ...)` bounds state for late data —
+aggregation state for windows older than (max event time - delay) is
+evicted; later-than-watermark events are dropped. This is what makes
+the tumbling aggregation runnable forever at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import EVENTS
+from ..sources import load_table
+
+WATERMARK_DELAY = "10 minutes"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the events fixture.
+
+    The fixture's TIMESTAMP(NANOS) column needs the same nanos
+    handling as the batch reader, so we stream with an int64 ts and
+    rebuild the timestamp — identical post-load logical schema.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", os.path.join(sf_dir))
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def tumbling_counts_stream(stream: DataFrame) -> DataFrame:
+    """Watermarked 5-minute tumbling counts — the streaming twin of
+    operators.events.tumbling_5min."""
+    return (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "events",
+        )
+    )
+
+
+def dedup_within_watermark_stream(stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    dropDuplicatesWithinWatermark keeps ids only while they can still
+    collide under the watermark."""
+    return stream.withWatermark("ts", WATERMARK_DELAY).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(result: DataFrame, name: str) -> DataFrame:
+    """Drain a streaming DataFrame to a memory sink with
+    Trigger.AvailableNow (process-everything-then-stop) and return the
+    materialized table."""
+    spark = result.sparkSession
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append" if "window_start" not in result.columns else "complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name)

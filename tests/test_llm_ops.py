@@ -1,0 +1,106 @@
+"""Dedup / similarity / text / multimodal operator invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+    load_table,
+)
+
+
+def test_exact_dedup_covers_all_docs(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents").count()
+    out = dedup.exact_dedup(spark, sf_correct)
+    assert out.agg(F.sum("copies")).collect()[0][0] == docs
+
+
+def test_jaccard_pairs_bounds(spark, sf_correct):
+    out = dedup.ngram_jaccard_pairs(spark, sf_correct, threshold=0.95)
+    bad = out.filter((F.col("jaccard") < 0.95) | (F.col("jaccard") > 1.0)).count()
+    assert bad == 0
+    ordered_bad = out.filter(F.col("doc_a") >= F.col("doc_b")).count()
+    assert ordered_bad == 0
+
+
+def test_minhash_finds_high_jaccard_pairs(spark, sf_correct):
+    """LSH banding must recall (nearly) all very-high-sim pairs; with
+    16 hashes / 4 bands, P(miss | j=0.9) ≈ (1-0.9^4)^4 ≈ 1.3%.
+    Assert ≥90% recall of exact pairs at j ≥ 0.9."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_correct, threshold=0.9).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(spark, sf_correct, threshold=0.9).collect()
+    }
+    assert got <= exact  # verification step guarantees no false positives
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_simhash_deterministic_and_near_pairs_symmetric(spark, sf_correct):
+    a = {r.doc_id: r.simhash for r in dedup.simhash_signatures(spark, sf_correct).collect()}
+    b = {r.doc_id: r.simhash for r in dedup.simhash_signatures(spark, sf_correct).collect()}
+    assert a == b
+    pairs = dedup.simhash_near_pairs(spark, sf_correct, max_hamming=3)
+    assert pairs.filter(F.col("hamming") > 3).count() == 0
+
+
+def test_knn_k_per_query(spark, sf_correct):
+    out = similarity.knn_bruteforce(spark, sf_correct)
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == similarity.TOP_K for r in counts)
+    assert len(counts) == similarity.N_QUERY_VECS
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_correct):
+    """ANN top-1 should usually be the true top-1 (loose bound: ≥40%
+    of queries returning any result — it's approximate by design)."""
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in similarity.knn_bruteforce(spark, sf_correct).filter(F.col("rank") == 1).collect()
+    }
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in similarity.ann_lsh(spark, sf_correct).filter(F.col("rank") == 1).collect()
+    }
+    assert approx, "LSH returned nothing"
+    hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
+    assert hits / len(approx) >= 0.4
+
+
+def test_label_centroids_shape(spark, sf_correct):
+    out = similarity.label_centroids(spark, sf_correct)
+    assert out.count() == 10 * 64  # 10 labels × 64 dims
+    assert out.filter(F.abs(F.col("centroid")) > 1.0).count() == 0
+
+
+def test_text_quality_verdicts_partition(spark, sf_correct):
+    out = text.quality_score(spark, sf_correct)
+    total = out.count()
+    by = out.groupBy("verdict").count().collect()
+    assert sum(r["count"] for r in by) == total
+
+
+def test_multimodal_metadata_schema_and_determinism(spark, sf_correct):
+    out = multimodal.image_metadata(spark, sf_correct)
+    assert out.schema == multimodal.IMAGE_META_SCHEMA
+    rows = {r.doc_id: (r.width, r.height, r.format) for r in out.collect()}
+    rows2 = {r.doc_id: (r.width, r.height, r.format) for r in multimodal.image_metadata(spark, sf_correct).collect()}
+    assert rows == rows2
+    assert all(1 <= w <= 64 and 1 <= h <= 64 for w, h, _ in rows.values())
+
+
+def test_frame_sample_keeps_every_nth(spark, sf_correct):
+    out = multimodal.frame_sample(spark, sf_correct, every_n=4)
+    assert out.filter(F.col("frame_idx") % 4 != 0).count() == 0
+    assert out.count() > 0

@@ -1,0 +1,49 @@
+"""Spark-native ML pipeline parity checks (reference ML notebook).
+
+The reference's quality bar: 85-90% accuracy on its real data. Our
+fixture labels are arithmetic-derived, so we assert mechanism, not
+metric parity: pipeline trains, evaluates, persists, and round-trips.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.ml import (
+    pipeline as mlp,
+)
+
+
+def test_train_eval_persist_roundtrip(spark, sf_correct):
+    res = mlp.train(spark, sf_correct)
+    assert 0.0 <= res.accuracy <= 1.0
+    assert 0.0 <= res.auc <= 1.0
+    assert res.train_rows + res.test_rows > 0
+    # 5 features, importances sum to ~1
+    assert set(res.feature_importances) == {"price", *mlp.CATEGORICALS}
+    assert abs(sum(res.feature_importances.values()) - 1.0) < 1e-6
+
+    preds = res.predictions
+    assert preds.filter(~F.col("prediction").isin(0.0, 1.0)).count() == 0
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/model"
+        mlp.save_model(res, path)
+        loaded = mlp.load_model(spark, path)
+        again = loaded.transform(mlp.prepare(spark, sf_correct)).select("prediction")
+        assert again.count() > 0
+
+
+def test_split_is_seeded_and_stable(spark, sf_correct):
+    data = mlp.prepare(spark, sf_correct)
+    a1, b1 = data.randomSplit([0.8, 0.2], seed=mlp.SEED)
+    a2, b2 = data.randomSplit([0.8, 0.2], seed=mlp.SEED)
+    assert a1.count() == a2.count() and b1.count() == b2.count()
+
+
+def test_class_weights_follow_reference(spark, sf_correct):
+    data = mlp.prepare(spark, sf_correct)
+    w = {r.label: r.w for r in data.groupBy("label").agg(F.max("weight").alias("w")).collect()}
+    assert w[0.0] == 1.0 and w[1.0] == 6.1
