@@ -1,0 +1,83 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect, no result materialization skew). The headline set spans
+every subsystem: dashboard aggs, TPC-H joins, windows, event analytics,
+text ops, dedup, similarity search.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "med_q01_overview",
+    "med_q02_price_by_disease_area",
+    "med_q06_most_expensive",
+    "med_q09_manufacturer_size",
+    "med_q12_coverage_status",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_revenue",
+    "join_left_order_linecounts",
+    "window_top3_orders_per_customer",
+    "window_running_customer_revenue",
+    "events_tumbling_5min",
+    "events_sessionization",
+    "events_hourly_activity",
+    "text_token_stats",
+    "text_quality_score",
+    "dedup_exact",
+    "sim_knn_bruteforce",
+    "sim_label_centroids",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark import (
+        get_spark,
+    )
+
+    spark = get_spark("bench")
+    queries = entry.queries()
+
+    # warm the JVM/codegen path once (tiny query, not timed)
+    queries["med_q01_overview"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

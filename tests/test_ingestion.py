@@ -1,0 +1,88 @@
+"""End-to-end ingestion pipeline test: letter-keyed JSON fixture →
+distributed flatten → clean → catalog sink → round-trip (reference
+Pharma_Ingestion_Cleaning.py flow)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.pipeline import (
+    clean,
+    flatten_and_extract,
+    price_stats,
+    run_ingestion,
+)
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources.json_ingest import (
+    read_letter_keyed_json,
+)
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources.rest import (
+    land_dict,
+)
+
+
+def _med(name, lab, therapeutic, rate, refundable, form="tablet", generic="x"):
+    return {
+        "name": name,
+        "lab": {"name": lab, "address": None, "tel": None, "web": None},
+        "class": {"therapeutic": therapeutic, "pharmacological": f"{therapeutic}-ph"},
+        "form": form,
+        "generic": generic,
+        "reference_rate": rate,
+        "refundable": refundable,
+    }
+
+
+@pytest.fixture(scope="module")
+def landing(tmp_path_factory):
+    doc = {
+        "A": [
+            _med("ASPIRINE", "LabA", "analgesic", "120 DA", True),
+            _med("AMOXIL", "LabA", "antibiotic", "450 DA", None),
+        ],
+        "B": [
+            _med("BRUFEN", "LabB", "analgesic", "85 DA", False),
+            _med("BADPRICE", "LabB", "antibiotic", "N/A", True),
+            _med("BZERO", "LabB", "antibiotic", "0 DA", True),
+        ],
+        "C": [
+            _med("CLAMOXYL", "LabC", "antibiotic", "620 DA", True),
+        ],
+    }
+    path = str(tmp_path_factory.mktemp("landing") / "meds.json")
+    return land_dict(doc, path)
+
+
+def test_flatten_injects_first_letter(spark, landing):
+    raw = read_letter_keyed_json(spark, landing)
+    got = {(r["name"], r["first_letter"]) for r in raw.select("name", "first_letter").collect()}
+    assert ("ASPIRINE", "A") in got and ("CLAMOXYL", "C") in got
+    assert raw.count() == 6
+
+
+def test_price_extraction_and_stats(spark, landing):
+    extracted = flatten_and_extract(read_letter_keyed_json(spark, landing))
+    stats = price_stats(extracted)
+    assert stats.total == 6
+    assert stats.null_price == 1  # 'N/A'
+    assert stats.zero_price == 1  # '0 DA'
+    assert stats.valid_price == 4
+
+
+def test_clean_drops_invalid_and_buckets(spark, landing):
+    cleaned = clean(flatten_and_extract(read_letter_keyed_json(spark, landing)))
+    rows = {r["name"]: r for r in cleaned.collect()}
+    assert set(rows) == {"ASPIRINE", "AMOXIL", "BRUFEN", "CLAMOXYL"}
+    assert rows["BRUFEN"]["price_category"] == "Low"       # 85
+    assert rows["AMOXIL"]["price_category"] == "Medium"    # 450
+    assert rows["CLAMOXYL"]["price_category"] == "High"    # 620
+    # tri-state preserved through the pipeline (imputation is downstream)
+    assert rows["AMOXIL"]["refundable"] is None
+
+
+def test_full_pipeline_roundtrip(spark, landing):
+    saved, stats = run_ingestion(spark, landing, table_name="medications_test")
+    assert saved.count() == stats.valid_price == 4
+    assert "price_category" in saved.columns
+    assert saved.filter(F.col("price") <= 0).count() == 0
+    spark.sql("DROP TABLE IF EXISTS medications_test")

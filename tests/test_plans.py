@@ -1,0 +1,79 @@
+"""Plan-quality pins: pushdown, pruning, broadcast, codegen, and the
+absence of Python row-UDFs in hot paths. These are the 100-TB
+guarantees — a regression here is a performance bug even if results
+stay correct."""
+
+from __future__ import annotations
+
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+    dashboard,
+    relational,
+    similarity,
+    text,
+)
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.plans import (
+    executed_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    whole_stage_codegen_spans,
+)
+
+
+def test_q3_filters_pushed_to_scan(spark, sf_correct):
+    """Raw-column predicates (segment, dates) must reach the parquet
+    readers. (Derived-column filters, e.g. the medications price
+    filter, correctly can't push below the derivation.)"""
+    df = relational.q3_shipping_priority(spark, sf_correct)
+    pushed = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pushed and "l_shipdate" in pushed
+
+
+def test_q13_medications_scan_prunes_to_derivation_inputs(spark, sf_correct):
+    """The whole medications derivation must collapse into one
+    scan+filter+project over only the part columns it needs."""
+    df = dashboard.q13_ml_dataset(spark, sf_correct)
+    schemas = read_schema_columns(df)
+    assert len(schemas) == 1
+    assert schemas[0] == {"p_partkey", "p_brand", "p_type", "p_size"}
+
+
+def test_q6_prunes_columns(spark, sf_correct):
+    """Q6 projects 5 columns; the part scan must not read all of part."""
+    df = dashboard.q06_most_expensive(spark, sf_correct)
+    schemas = read_schema_columns(df)
+    assert schemas, "no parquet scan found"
+    # medications derives from 5 part columns + retailprice never needed
+    assert all("p_retailprice" not in s for s in schemas)
+
+
+def test_tpch_q5_broadcasts_dimensions(spark, sf_correct):
+    assert has_broadcast_join(relational.q5_region_revenue(spark, sf_correct))
+
+
+def test_q1_single_shuffle(spark, sf_correct):
+    """Q1 is scan→partial agg→exchange→final agg: exactly one shuffle."""
+    plan = executed_plan(relational.q1_pricing_summary(spark, sf_correct))
+    # one exchange for the groupBy; the orderBy on 6 rows may add one
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_text_ops_are_codegen(spark, sf_correct):
+    """Text pipeline must stay in whole-stage codegen (no Python UDFs)."""
+    df = text.quality_score(spark, sf_correct)
+    plan = executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert whole_stage_codegen_spans(df) >= 1
+
+
+def test_knn_no_python_udf(spark, sf_correct):
+    """Cosine fold is expression-level, not a UDF."""
+    plan = executed_plan(similarity.knn_bruteforce(spark, sf_correct))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_correct):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject, not a global
+    sort."""
+    plan = executed_plan(dashboard.q06_most_expensive(spark, sf_correct))
+    assert "TakeOrderedAndProject" in plan
