@@ -16,11 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
     dashboard,
     dedup,
+    encoding,
     events,
     multimodal,
     relational,
     similarity,
     text,
+)
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.medications import (
+    MEDICATIONS_CTE,
 )
 
 
@@ -42,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
+    out["ml_feature_encoding"] = encoding.ml_feature_encoding
     return out
 
 
@@ -54,4 +59,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(multimodal.ORACLES)
+    out["ml_feature_encoding"] = MEDICATIONS_CTE + encoding.ML_FEATURE_ENCODING_SQL
     return out

@@ -20,7 +20,7 @@ Scale notes (100 TB thinking):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import (
     coverage_status,
@@ -29,17 +29,26 @@ from ..functions import (
     price_category,
     refundable_label,
 )
-from .medications import MEDICATIONS_CTE, medications
+from .medications import (
+    MEDICATIONS_CTE,
+    MEDICATIONS_RAW_CTE,
+    medications,
+    medications_raw,
+)
 
 # --------------------------------------------------------------------------
 # helpers
 # --------------------------------------------------------------------------
 
 
-def _with_total(agg_df: DataFrame, total_df: DataFrame) -> DataFrame:
-    """Attach a 1-row total via cross join (broadcast — the build side is
-    a single aggregated row, so this is a map-side operation)."""
-    return agg_df.crossJoin(F.broadcast(total_df))
+def _grand_total(count_col: str) -> F.Column:
+    """Denominator for pct-of-total, computed as a window sum over the
+    ALREADY-AGGREGATED relation. The reference's scalar subquery
+    (SQL:54 etc.) re-scans the table; since every one of these
+    denominators equals the sum of its own group counts, the window
+    form needs ONE scan and the window runs over a handful of grouped
+    rows — trivially single-partition-safe at any input scale."""
+    return F.sum(count_col).over(Window.partitionBy())
 
 
 # --------------------------------------------------------------------------
@@ -152,7 +161,6 @@ LIMIT 10
 
 def q04_price_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = medications(spark, sf_dir)
-    total = med.agg(F.count("*").alias("_total"))
     seg = med.groupBy("price_category").agg(
         F.count("*").alias("medications_count"),
         F.round(F.avg("price"), 0).cast("double").alias("avg_price_DA"),
@@ -162,16 +170,14 @@ def q04_price_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("price_category") == "Medium", 2)
         .when(F.col("price_category") == "High", 3)
     )
-    return (
-        _with_total(seg, total)
-        .select(
-            "price_category",
-            "medications_count",
-            "avg_price_DA",
-            pct_of_total(F.col("medications_count"), F.col("_total")).alias("market_pct"),
-        )
-        .orderBy(order_rank)
-    )
+    return seg.select(
+        "price_category",
+        "medications_count",
+        "avg_price_DA",
+        pct_of_total(
+            F.col("medications_count"), _grand_total("medications_count")
+        ).alias("market_pct"),
+    ).orderBy(order_rank)
 
 
 _Q04_SQL = """
@@ -192,18 +198,16 @@ ORDER BY CASE price_category WHEN 'Low' THEN 1 WHEN 'Medium' THEN 2 WHEN 'High' 
 
 def q05_form_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = medications(spark, sf_dir).filter(F.col("form").isNotNull())
-    total = med.agg(F.count("*").alias("_total"))
     agg = med.groupBy("form").agg(
         F.count("*").alias("count"),
         F.round(F.avg("price"), 0).cast("double").alias("avg_price_DA"),
     )
     return (
-        _with_total(agg, total)
-        .select(
+        agg.select(
             "form",
             "count",
             "avg_price_DA",
-            pct_of_total(F.col("count"), F.col("_total")).alias("market_pct"),
+            pct_of_total(F.col("count"), _grand_total("count")).alias("market_pct"),
         )
         .orderBy(F.desc("count"), F.asc("form"))
         .limit(8)
@@ -446,21 +450,18 @@ ORDER BY MIN(price)
 
 def q12_coverage_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = medications(spark, sf_dir)
-    total = med.agg(F.count("*").alias("_total"))
     agg = med.groupBy(coverage_status("refundable").alias("coverage_status")).agg(
         F.count("*").alias("medications_count"),
         F.round(F.avg("price"), 0).cast("double").alias("avg_price_DA"),
     )
-    return (
-        _with_total(agg, total)
-        .select(
-            "coverage_status",
-            "medications_count",
-            "avg_price_DA",
-            pct_of_total(F.col("medications_count"), F.col("_total")).alias("percentage"),
-        )
-        .orderBy(F.desc("medications_count"))
-    )
+    return agg.select(
+        "coverage_status",
+        "medications_count",
+        "avg_price_DA",
+        pct_of_total(
+            F.col("medications_count"), _grand_total("medications_count")
+        ).alias("percentage"),
+    ).orderBy(F.desc("medications_count"))
 
 
 _Q12_SQL = """
@@ -524,13 +525,12 @@ WHERE price IS NOT NULL
 
 def q14_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = medications(spark, sf_dir)
-    total = med.agg(F.count("*").alias("_total"))
     label = F.when(F.col("refundable") == True, "Covered").otherwise("Not Covered")  # noqa: E712
     agg = med.groupBy(label.alias("label")).agg(F.count("*").alias("count"))
-    return _with_total(agg, total).select(
+    return agg.select(
         "label",
         "count",
-        pct_of_total(F.col("count"), F.col("_total")).alias("percentage"),
+        pct_of_total(F.col("count"), _grand_total("count")).alias("percentage"),
     )
 
 
@@ -562,6 +562,30 @@ GROUP BY therapeutic_class, refundable
 """
 
 
+def raw_price_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ING:95 — pre-clean price inspection ordered with
+    `desc_nulls_last` (operator O1): NULL-price rows sink to the end
+    regardless of sort direction."""
+    med = medications_raw(spark, sf_dir)
+    return (
+        med.select("name", "reference_rate", "price")
+        .orderBy(
+            F.col("price").desc_nulls_last(),
+            F.asc("name"),
+            F.asc("reference_rate"),
+        )
+        .limit(10)
+    )
+
+
+_RAW_PRICE_ORDER_SQL = """
+SELECT name, reference_rate, price
+FROM medications_raw
+ORDER BY price DESC NULLS LAST, name ASC, reference_rate ASC
+LIMIT 10
+"""
+
+
 def medications_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cleaned medications relation itself — end-to-end check of the
     ingestion derivation (regex price extraction, try_cast, null/zero
@@ -589,6 +613,7 @@ QUERIES = {
     "med_q14_class_balance": q14_class_balance,
     "med_ingest_clean": medications_table,
     "med_refundable_by_class": refundable_by_class,
+    "med_raw_price_order": raw_price_order,
 }
 
 ORACLES = {
@@ -608,4 +633,5 @@ ORACLES = {
     "med_q14_class_balance": MEDICATIONS_CTE + _Q14_SQL,
     "med_ingest_clean": MEDICATIONS_CTE + _MEDICATIONS_SQL,
     "med_refundable_by_class": MEDICATIONS_CTE + _REFUNDABLE_BY_CLASS_SQL,
+    "med_raw_price_order": MEDICATIONS_RAW_CTE + _RAW_PRICE_ORDER_SQL,
 }

@@ -232,8 +232,89 @@ ORDER BY 1
 """
 
 
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase attributed to the user's most recent
+    strictly-earlier click.
+
+    Spark has no asof-join operator; the scalable formulation is a
+    single partitioned window over the union of both event kinds —
+    last(click_ts) over (user, rows unbounded-preceding .. -1) — one
+    shuffle on user_id, no range-join blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    relevant = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        "ts",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("epoch_s")), ignorenulls=True
+    ).over(w)
+    return (
+        relevant.withColumn("last_click_s", click_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("epoch_s").alias("purchase_s"),
+            "last_click_s",
+            (F.col("epoch_s") - F.col("last_click_s")).alias("gap_sec"),
+        )
+    )
+
+
+_ASOF_SQL = """
+SELECT
+    user_id,
+    event_id AS purchase_id,
+    epoch_s AS purchase_s,
+    last_click_s,
+    epoch_s - last_click_s AS gap_sec
+FROM (
+    SELECT
+        user_id, event_id, event_type, ts, epoch_s,
+        LAST_VALUE(CASE WHEN event_type = 'click' THEN epoch_s END IGNORE NULLS)
+            OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ) AS last_click_s
+    FROM (
+        SELECT user_id, event_id, event_type, ts,
+               CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) AS epoch_s
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    )
+)
+WHERE event_type = 'purchase'
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per type — the 100-TB tier of
+    A2 (exact countDistinct shuffles every value; approx carries a
+    constant-size sketch). No oracle: approximate by design; the error
+    bound vs exact is asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count("*").alias("events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "events_per_type_stats": per_type_stats,
+    "events_purchase_attribution": purchase_attribution,
+    "events_approx_distinct_users": approx_distinct_users,
     "events_tumbling_5min": tumbling_5min,
     "events_sliding_10min": sliding_10min_every_5,
     "events_sessionization": sessionization,
@@ -243,6 +324,7 @@ QUERIES = {
 
 ORACLES = {
     "events_per_type_stats": _PER_TYPE_SQL,
+    "events_purchase_attribution": _ASOF_SQL,
     "events_tumbling_5min": _TUMBLING_SQL,
     "events_sliding_10min": _SLIDING_SQL,
     "events_sessionization": _SESSION_SQL,

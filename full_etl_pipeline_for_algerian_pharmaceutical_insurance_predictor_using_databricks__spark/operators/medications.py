@@ -27,10 +27,11 @@ from ..sources import load_table
 _FORMS = ["tablet", "capsule", "syrup", "injection", "cream", "drops", "powder", "spray"]
 
 
-def medications(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cleaned medications table (the reference's post-ingestion state).
+def medications_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-clean medications (prices still NULL/0 — the state the
+    reference inspects at ING:94-112 before dropping invalid rows).
 
-    Mirrors `MEDICATIONS_CTE` exactly — keep the two in sync.
+    Mirrors `MEDICATIONS_RAW_CTE` exactly — keep the two in sync.
     """
     part = load_table(spark, sf_dir, "part")
     pk = F.col("p_partkey")
@@ -51,8 +52,6 @@ def medications(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.withColumn("reference_rate", reference_rate)
         # operator P3/P4: regex price extraction with safe cast
         .withColumn("price", extract_price(F.col("reference_rate")))
-        # operator P9/P10: drop NULL/zero prices (ING:100-123)
-        .filter(F.col("price").isNotNull() & (F.col("price") > 0))
         .select(
             F.col("p_name").alias("name"),
             F.upper(F.substring("p_name", 1, 1)).alias("first_letter"),
@@ -87,10 +86,17 @@ def medications(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-#: DuckDB-dialect CTE producing the identical medications relation.
-#: Prepended to every dashboard oracle as `WITH medications AS (...)`.
-MEDICATIONS_CTE = """
-WITH medications AS (
+def medications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned medications table (post NULL/zero-price drop, ING:123 —
+    the state the Delta sink freezes and every dashboard query reads)."""
+    return medications_raw(spark, sf_dir).filter(
+        F.col("price").isNotNull() & (F.col("price") > 0)
+    )
+
+
+#: Shared derivation body (DuckDB dialect) — identical rows to
+#: `medications_raw`.
+_RAW_BODY = """
     SELECT
         p_name AS name,
         upper(substr(p_name, 1, 1)) AS first_letter,
@@ -133,6 +139,20 @@ WITH medications AS (
             FROM part
         )
     )
+"""
+
+#: Pre-clean relation (parity with `medications_raw`).
+MEDICATIONS_RAW_CTE = f"""
+WITH medications_raw AS (
+{_RAW_BODY}
+)
+"""
+
+#: Cleaned relation — prepended to every dashboard oracle as
+#: `WITH medications AS (...)`.
+MEDICATIONS_CTE = f"""
+WITH medications AS (
+{_RAW_BODY}
     WHERE price IS NOT NULL AND price > 0
 )
 """

@@ -421,8 +421,58 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+PRICE_TIERS = [
+    ("budget", 0.0, 100_000.0),
+    ("standard", 100_000.0, 250_000.0),
+    ("premium", 250_000.0, 400_000.0),
+    ("luxury", 400_000.0, 1e12),
+]
+
+
+def range_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join: orders banded into tier intervals via
+    lo <= price < hi against a broadcast tier dimension. With the dim
+    broadcast, the inequality join is a map-side nested-loop over 4
+    rows — no shuffle, no quadratic blowup, any fact-table scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    tiers = F.broadcast(
+        spark.createDataFrame(PRICE_TIERS, "tier string, lo double, hi double")
+    )
+    joined = orders.join(
+        tiers,
+        (orders.o_totalprice >= tiers.lo) & (orders.o_totalprice < tiers.hi),
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count("*").alias("orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("tier")
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT
+    tier,
+    COUNT(*) AS orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN (
+    VALUES ('budget', 0.0, 100000.0),
+           ('standard', 100000.0, 250000.0),
+           ('premium', 250000.0, 400000.0),
+           ('luxury', 400000.0, 1e12)
+) AS tiers(tier, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier
+ORDER BY tier
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
+    "join_range_price_tiers": range_join_price_tiers,
     "tpch_q3_shipping_priority": q3_shipping_priority,
     "tpch_q5_region_revenue": q5_region_revenue,
     "join_semi_urgent_customers": semi_urgent_customers,
@@ -438,6 +488,7 @@ QUERIES = {
 
 ORACLES = {
     "tpch_q1_pricing_summary": _Q1_SQL,
+    "join_range_price_tiers": _RANGE_JOIN_SQL,
     "tpch_q3_shipping_priority": _Q3_SQL,
     "tpch_q5_region_revenue": _Q5_SQL,
     "join_semi_urgent_customers": _SEMI_SQL,
