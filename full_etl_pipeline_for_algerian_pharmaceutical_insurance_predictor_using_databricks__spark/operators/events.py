@@ -232,6 +232,58 @@ ORDER BY 1
 """
 
 
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-min gap) per user —
+    the built-in operator equivalent of `sessionization` (same session
+    boundaries: a gap of exactly the timeout starts a new session).
+    Streaming twin in streaming/jobs.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SEC} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("events"), _dsum(F.col("value")).alias("total_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "events",
+            "total_value",
+        )
+    )
+
+
+# Session-window oracle: gap-based grouping where diff >= gap opens a
+# new session (session_window's interval is [start, start+gap)).
+_SESSION_WINDOW_SQL = f"""
+SELECT
+    user_id,
+    MIN(epoch_s) AS session_start,
+    COUNT(*) AS events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM (
+    SELECT
+        user_id, value, epoch_s,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_seq
+    FROM (
+        SELECT
+            user_id, value, ts, event_id,
+            CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) AS epoch_s,
+            CASE WHEN EXTRACT(epoch FROM ts)
+                      - LAG(EXTRACT(epoch FROM ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                        ) >= {SESSION_GAP_SEC}
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+)
+GROUP BY user_id, session_seq
+"""
+
+
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join: each purchase attributed to the user's most recent
     strictly-earlier click.
@@ -313,6 +365,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_per_type_stats": per_type_stats,
+    "events_session_window": session_window_agg,
     "events_purchase_attribution": purchase_attribution,
     "events_approx_distinct_users": approx_distinct_users,
     "events_tumbling_5min": tumbling_5min,
@@ -324,6 +377,7 @@ QUERIES = {
 
 ORACLES = {
     "events_per_type_stats": _PER_TYPE_SQL,
+    "events_session_window": _SESSION_WINDOW_SQL,
     "events_purchase_attribution": _ASOF_SQL,
     "events_tumbling_5min": _TUMBLING_SQL,
     "events_sliding_10min": _SLIDING_SQL,

@@ -19,6 +19,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.events import SESSION_GAP_SEC
 from ..schemas import EVENTS
 from ..sources import load_table
 
@@ -64,6 +65,42 @@ def tumbling_counts_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def session_window_stream(stream: DataFrame) -> DataFrame:
+    """Watermarked per-user session windows (30-min gap) — the
+    streaming twin of operators.events.session_window_agg. Session
+    state is merged incrementally and evicted once the watermark passes
+    a session's close."""
+    return (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_SEC} seconds").alias("w"), "user_id")
+        .agg(F.count("*").alias("events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "events",
+        )
+    )
+
+
+def foreach_batch_to_parquet(result: DataFrame, out_dir: str) -> None:
+    """foreachBatch sink: each micro-batch lands as parquet with its
+    batch id — the pattern for idempotent writes to non-streaming
+    sinks (JDBC, Delta MERGE, etc.)."""
+    import tempfile
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{out_dir}/batch={batch_id}")
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            result.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+
 def dedup_within_watermark_stream(stream: DataFrame) -> DataFrame:
     """Streaming exact dedup on event_id with bounded state:
     dropDuplicatesWithinWatermark keeps ids only while they can still
@@ -73,16 +110,23 @@ def dedup_within_watermark_stream(stream: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(result: DataFrame, name: str) -> DataFrame:
+def run_available_now(
+    result: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
     """Drain a streaming DataFrame to a memory sink with
     Trigger.AvailableNow (process-everything-then-stop) and return the
-    materialized table."""
+    materialized table.
+
+    output_mode: "append" emits only rows finalized by the watermark —
+    windows/sessions still open when the source drains stay in state
+    and are NOT emitted (correct streaming semantics, but a parity
+    test against batch must use "complete" to see them)."""
     spark = result.sparkSession
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             result.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append" if "window_start" not in result.columns else "complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

@@ -17,7 +17,7 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     stream = jobs.events_stream(spark, sf_dir)
     assert stream.isStreaming
     result = jobs.run_available_now(
-        jobs.tumbling_counts_stream(stream), "t_tumbling"
+        jobs.tumbling_counts_stream(stream), "t_tumbling", output_mode="complete"
     )
     got = {
         (r.window_start, r.event_type): r.events for r in result.collect()
@@ -29,6 +29,27 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_session_window_matches_batch(spark, sf_dir):
+    stream = jobs.events_stream(spark, sf_dir)
+    result = jobs.run_available_now(
+        jobs.session_window_stream(stream), "t_sessions", output_mode="complete"
+    )
+    got = {(r.user_id, r.session_start): r.events for r in result.collect()}
+    expected = {
+        (r.user_id, r.session_start): r.events
+        for r in batch_events.session_window_agg(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_foreach_batch_sink_writes_all_rows(spark, sf_dir, tmp_path):
+    stream = jobs.events_stream(spark, sf_dir)
+    out = str(tmp_path / "sink")
+    jobs.foreach_batch_to_parquet(stream, out)
+    written = spark.read.parquet(out)
+    assert written.count() == load_table(spark, sf_dir, "events").count()
 
 
 def test_stream_dedup_within_watermark(spark, sf_dir):
