@@ -17,15 +17,28 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from ..sources import load_table
 
 
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product (bit-compatible with DuckDB's
+    left-to-right list fold)."""
+    va = F.transform(a, lambda x: x.cast("double"))
+    vb = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_col(a: Column) -> Column:
+    """Euclidean norm via the same sequential fold."""
+    va = F.transform(a, lambda x: x.cast("double"))
+    return F.sqrt(
+        F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     """Sequential-fold double cosine (bit-compatible with DuckDB's
     list_cosine_similarity over DOUBLE[])."""
-    va = F.transform(a, lambda x: x.cast("double"))
-    vb = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
 TOP_K = 5
@@ -37,18 +50,36 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k for the query subset against the full corpus.
     row_number over (query, cosine DESC) — partitioned window, scales
-    with the query count."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < n_queries).alias("q")
-    c = emb.alias("c")
+    with the query count.
+
+    Norms are precomputed per row BEFORE the pair join (n + q norm
+    folds instead of 2·n·q), and the tiny query side is broadcast so
+    the corpus never shuffles. cosine = dot/(norm_q·norm_c) evaluates
+    the identical fold expressions, so values stay bit-compatible with
+    the naive form and the DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm", norm_col(F.col("embedding"))
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         q.crossJoin(c)
-        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            cosine_col(F.col("q.embedding"), F.col("c.embedding")).alias("cosine"),
+            "query_id",
+            "neighbor_id",
+            (dot_col(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -130,7 +161,9 @@ def ann_lsh(
     Candidate generation is a hash join on bucket id — no quadratic
     pair blowup; probe count is C(planes,0..bits), independent of n."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn("bucket", _bucket_of(F.col("embedding")))
+    bucketed = emb.withColumn("bucket", _bucket_of(F.col("embedding"))).withColumn(
+        "norm", norm_col(F.col("embedding"))
+    )
     flips = [0] + [1 << j for j in range(N_PLANES)]
     if MULTIPROBE_BITS >= 2:
         flips += [
@@ -138,18 +171,22 @@ def ann_lsh(
             for i in range(N_PLANES)
             for j in range(i + 1, N_PLANES)
         ]
-    probes = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode(
-            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips])
-        ).alias("probe_bucket"),
+    probes = F.broadcast(
+        bucketed.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips])
+            ).alias("probe_bucket"),
+        )
     )
     cand = (
         probes.join(
             bucketed.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("c_emb"),
+                F.col("norm").alias("c_norm"),
                 F.col("bucket").alias("probe_bucket"),
             ),
             "probe_bucket",
@@ -158,7 +195,7 @@ def ann_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_col(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+            (dot_col(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
         )
         .distinct()
     )

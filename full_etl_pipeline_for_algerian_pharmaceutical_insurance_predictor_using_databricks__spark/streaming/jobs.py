@@ -82,6 +82,54 @@ def session_window_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def sliding_counts_stream(stream: DataFrame) -> DataFrame:
+    """Watermarked 10-min/5-min sliding counts — streaming twin of
+    operators.events.sliding_10min_every_5 (each event contributes to
+    two overlapping windows; state holds both until watermark close)."""
+    return (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "events",
+        )
+    )
+
+
+def stateful_user_totals_stream(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    lifetime event count + value total, state carried across
+    micro-batches (Arrow-batched pandas, not row-at-a-time).
+
+    This is the escape hatch for operators Spark's built-in windows
+    can't express (per-key custom accumulators / decaying counters /
+    CEP-ish logic). Each update emits the user's new running totals
+    (output mode `update`); state is one small tuple per user, so at
+    100 TB state size is O(distinct users), not O(events)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, events long, total_value double"
+    state_schema = "events long, total_value double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        events, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            events += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((events, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "events": [events], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def foreach_batch_to_parquet(result: DataFrame, out_dir: str) -> None:
     """foreachBatch sink: each micro-batch lands as parquet with its
     batch id — the pattern for idempotent writes to non-streaming

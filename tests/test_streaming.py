@@ -44,6 +44,42 @@ def test_stream_session_window_matches_batch(spark, sf_dir):
     assert got == expected
 
 
+def test_stream_sliding_matches_batch(spark, sf_dir):
+    stream = jobs.events_stream(spark, sf_dir)
+    result = jobs.run_available_now(
+        jobs.sliding_counts_stream(stream), "t_sliding", output_mode="complete"
+    )
+    got = {r.window_start: r.events for r in result.collect()}
+    expected = {
+        r.window_start: r.events
+        for r in batch_events.sliding_10min_every_5(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    stream = jobs.events_stream(spark, sf_dir)
+    result = jobs.run_available_now(
+        jobs.stateful_user_totals_stream(stream), "t_state", output_mode="update"
+    )
+    # update mode emits one row per (user, micro-batch); the final row
+    # per user (max events) is the lifetime total
+    final = (
+        result.groupBy("user_id").agg(F.max("events").alias("events")).collect()
+    )
+    got = {r.user_id: r.events for r in final}
+    expected = {
+        r.user_id: r.cnt
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_foreach_batch_sink_writes_all_rows(spark, sf_dir, tmp_path):
     stream = jobs.events_stream(spark, sf_dir)
     out = str(tmp_path / "sink")
