@@ -90,13 +90,107 @@ def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 4) -> DataFram
             F.split(F.base64(F.col("image_bytes")), "(?!^)")
         ).alias("frame_idx", "frame_token"),
     )
-    return frames.filter(F.col("frame_idx") % every_n == 0)
+    # Spark's split() keeps one trailing empty token — not a frame
+    return frames.filter(
+        (F.col("frame_idx") % every_n == 0) & (F.col("frame_token") != "")
+    )
+
+
+#: Output contract of the audio feature extractor.
+AUDIO_RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("n_samples", T.IntegerType()),
+    ]
+)
+
+AUDIO_WINDOW = 4  # samples per analysis window (16 synthetic samples → 4 windows)
+
+
+def audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Audio' feature extraction shape: opaque PCM binary → per-window
+    RMS energy via a numpy kernel in mapInPandas. The synthetic payload
+    treats each md5 byte as an unsigned 8-bit sample; a real pipeline
+    swaps the frombuffer line for soundfile/librosa decode and keeps
+    the same batch plumbing. Integer sample sums are exact in double,
+    so the kernel is bit-comparable to the SQL oracle."""
+    media = synthetic_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            samples = np.stack(
+                [np.frombuffer(b, dtype=np.uint8).astype(np.int64) for b in batch["image_bytes"]]
+            )  # (rows, 16)
+            n_win = samples.shape[1] // AUDIO_WINDOW
+            windows = samples[:, : n_win * AUDIO_WINDOW].reshape(
+                len(batch), n_win, AUDIO_WINDOW
+            )
+            sq_sum = (windows * windows).sum(axis=2)  # exact int sums
+            rms = np.sqrt(sq_sum.astype(np.float64) / float(AUDIO_WINDOW))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(batch["doc_id"].to_numpy(), n_win),
+                    "window_idx": np.tile(np.arange(n_win, dtype=np.int32), len(batch)),
+                    "rms": rms.ravel(),
+                    "n_samples": np.int32(AUDIO_WINDOW),
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_RMS_SCHEMA)
 
 
 QUERIES = {
     "mm_image_metadata": image_metadata,
     "mm_frame_sample": frame_sample,
+    "mm_audio_rms": audio_rms_windows,
 }
 
-#: Binary payloads + pandas kernels aren't SQL-expressible → rows-only.
-ORACLES: dict[str, str] = {}
+# The decode kernel is a deterministic md5-derived fake, so (unlike a
+# real codec) it IS SQL-expressible — the oracle replays the byte math
+# in DuckDB, value-checking the whole mapInPandas round trip (binary
+# column → Arrow batch → pandas kernel → typed rows).
+_IMAGE_META_SQL = """
+SELECT
+    doc_id,
+    octet_length(unhex(md5(text))) AS n_bytes,
+    (('0x' || substr(md5(text), 1, 2))::INT % 64) + 1 AS width,
+    (('0x' || substr(md5(text), 3, 2))::INT % 64) + 1 AS height,
+    ['png', 'jpeg', 'webp'][(('0x' || substr(md5(text), 5, 2))::INT % 3) + 1] AS format
+FROM documents
+"""
+
+_FRAME_SAMPLE_SQL = """
+SELECT doc_id, frame_idx, substr(b64, frame_idx + 1, 1) AS frame_token
+FROM (
+    SELECT doc_id, b64, unnest(range(0, length(b64))) AS frame_idx
+    FROM (SELECT doc_id, to_base64(unhex(md5(text))) AS b64 FROM documents)
+)
+WHERE frame_idx % 4 = 0
+"""
+
+_AUDIO_RMS_SQL = f"""
+SELECT
+    doc_id,
+    (i // {AUDIO_WINDOW}) AS window_idx,
+    sqrt(SUM(s * s) / {AUDIO_WINDOW}.0) AS rms,
+    {AUDIO_WINDOW} AS n_samples
+FROM (
+    SELECT doc_id, t.i AS i,
+           ('0x' || substr(h, 2 * t.i + 1, 2))::INT AS s
+    FROM (SELECT doc_id, md5(text) AS h FROM documents)
+    CROSS JOIN range(16) AS t(i)
+)
+GROUP BY doc_id, i // {AUDIO_WINDOW}
+"""
+
+ORACLES: dict[str, str] = {
+    "mm_image_metadata": _IMAGE_META_SQL,
+    "mm_frame_sample": _FRAME_SAMPLE_SQL,
+    "mm_audio_rms": _AUDIO_RMS_SQL,
+}

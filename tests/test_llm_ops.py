@@ -103,4 +103,16 @@ def test_multimodal_metadata_schema_and_determinism(spark, sf_correct):
 def test_frame_sample_keeps_every_nth(spark, sf_correct):
     out = multimodal.frame_sample(spark, sf_correct, every_n=4)
     assert out.filter(F.col("frame_idx") % 4 != 0).count() == 0
+    assert out.filter(F.col("frame_token") == "").count() == 0
     assert out.count() > 0
+
+
+def test_audio_rms_windows(spark, sf_correct):
+    out = multimodal.audio_rms_windows(spark, sf_correct)
+    assert out.schema == multimodal.AUDIO_RMS_SCHEMA
+    n_docs = out.select("doc_id").distinct().count()
+    # 16 synthetic samples / window of 4 → exactly 4 windows per doc
+    assert out.count() == n_docs * 4
+    # uint8 samples → RMS bounded by [0, 255]
+    bounds = out.agg(F.min("rms"), F.max("rms")).collect()[0]
+    assert 0.0 <= bounds[0] and bounds[1] <= 255.0
