@@ -204,6 +204,102 @@ def ann_lsh(
 
 
 # --------------------------------------------------------------------------
+# IVF ANN (coarse k-means quantizer → inverted lists → probe + re-rank)
+# --------------------------------------------------------------------------
+
+IVF_NLIST = 16  # coarse centroids (≈ sqrt(n) at test scale; tune per corpus)
+IVF_NPROBE = 4  # inverted lists scanned per query
+
+
+def ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERY_VECS,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style ANN: a seeded Spark ML KMeans coarse quantizer
+    partitions the corpus into `nlist` inverted lists; each query scans
+    only its `nprobe` nearest lists, re-ranking candidates by exact
+    cosine.
+
+    Scale path: the quantizer fits on a sample (KMeans is itself
+    distributed), assignment is one model.transform pass, and candidate
+    generation is a hash join on centroid id — per-query work is
+    O(n·nprobe/nlist) instead of O(n). The centroid table is tiny and
+    broadcast everywhere it appears."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("norm", norm_col(F.col("embedding")))
+        .withColumn("vec", array_to_vector(F.col("embedding").cast("array<double>")))
+    )
+    # few iterations: a coarse quantizer only needs rough Voronoi cells;
+    # recall comes from nprobe, not centroid convergence
+    km = KMeans(k=nlist, seed=7, maxIter=5, featuresCol="vec", predictionCol="list_id")
+    model = km.fit(emb.select("vec"))
+    assigned = model.transform(emb).select(
+        "vec_id", "embedding", "norm", "list_id"
+    )
+
+    # centroid table: tiny (nlist × dim) — literal-free, built once
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, centroid array<double>",
+    )
+    queries_df = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    # pick each query's nprobe nearest centroids (query side is tiny)
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
+    probes = F.broadcast(
+        queries_df.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            "centroid_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_emb").cast("array<double>"),
+                    F.col("centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", F.col("centroid_id").alias("list_id"))
+    )
+    cand = (
+        probes.join(
+            assigned.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("norm").alias("c_norm"),
+                "list_id",
+            ),
+            "list_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_col(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------------
 # Per-label centroids (posexplode → decimal-exact per-dim averages)
 # --------------------------------------------------------------------------
 
@@ -247,6 +343,7 @@ GROUP BY label, dim
 QUERIES = {
     "sim_knn_bruteforce": knn_bruteforce,
     "sim_ann_lsh": ann_lsh,
+    "sim_ann_ivf": ann_ivf,
     "sim_label_centroids": label_centroids,
 }
 

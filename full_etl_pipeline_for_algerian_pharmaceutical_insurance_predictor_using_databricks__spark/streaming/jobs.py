@@ -130,6 +130,67 @@ def stateful_user_totals_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_interval_join_stream(stream: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding 30 minutes. Both sides carry
+    watermarks and the join condition bounds both event times, so click
+    state older than (watermark - 30 min) is evicted — the state stays
+    finite no matter how long the streams run."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "click_ts >= purchase_ts - INTERVAL 30 MINUTES AND "
+            "click_ts < purchase_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
+
+
+def click_purchase_interval_join_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of the stream-stream interval join (parity check)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "click_ts >= purchase_ts - INTERVAL 30 MINUTES AND "
+            "click_ts < purchase_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
+
+
 def foreach_batch_to_parquet(result: DataFrame, out_dir: str) -> None:
     """foreachBatch sink: each micro-batch lands as parquet with its
     batch id — the pattern for idempotent writes to non-streaming

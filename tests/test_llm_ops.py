@@ -78,6 +78,21 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_correct):
     assert hits / len(approx) >= 0.4
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_correct):
+    """IVF probes nprobe/nlist of the corpus; with weakly-clustered
+    synthetic vectors the true NN's list is probed often enough for a
+    loose ≥40% top-1 recall bound, and every query must return rows."""
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in similarity.knn_bruteforce(spark, sf_correct).filter(F.col("rank") == 1).collect()
+    }
+    approx_rows = similarity.ann_ivf(spark, sf_correct).collect()
+    approx = {r.query_id: r.neighbor_id for r in approx_rows if r.rank == 1}
+    assert len(approx) == similarity.N_QUERY_VECS, "IVF must answer every query"
+    hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
+    assert hits / len(approx) >= 0.4
+
+
 def test_label_centroids_shape(spark, sf_correct):
     out = similarity.label_centroids(spark, sf_correct)
     assert out.count() == 10 * 64  # 10 labels × 64 dims

@@ -80,6 +80,20 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
     assert got == expected
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    stream = jobs.events_stream(spark, sf_dir)
+    result = jobs.run_available_now(
+        jobs.click_purchase_interval_join_stream(stream), "t_ssjoin"
+    )
+    got = {(r.purchase_id, r.click_id) for r in result.collect()}
+    expected = {
+        (r.purchase_id, r.click_id)
+        for r in jobs.click_purchase_interval_join_batch(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got, "join produced no pairs"
+
+
 def test_foreach_batch_sink_writes_all_rows(spark, sf_dir, tmp_path):
     stream = jobs.events_stream(spark, sf_dir)
     out = str(tmp_path / "sink")
