@@ -284,6 +284,38 @@ GROUP BY user_id, session_seq
 """
 
 
+def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals via the two-phase salted aggregate
+    (functions.scale.salted_agg) — identical answer to a direct
+    groupBy, but a pathologically hot user_id splits across 16 reducers
+    in phase 1. Oracle-checked against the plain GROUP BY."""
+    from ..functions.scale import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "events": (F.count("*"), F.sum("events")),
+            "total_value": (
+                F.sum(F.col("value").cast("decimal(18,2)")),
+                F.sum("total_value"),
+            ),
+        },
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+_SALTED_TOTALS_SQL = """
+SELECT
+    user_id,
+    COUNT(*) AS events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join: each purchase attributed to the user's most recent
     strictly-earlier click.
@@ -365,6 +397,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_per_type_stats": per_type_stats,
+    "events_salted_user_totals": salted_user_totals,
     "events_session_window": session_window_agg,
     "events_purchase_attribution": purchase_attribution,
     "events_approx_distinct_users": approx_distinct_users,
@@ -377,6 +410,7 @@ QUERIES = {
 
 ORACLES = {
     "events_per_type_stats": _PER_TYPE_SQL,
+    "events_salted_user_totals": _SALTED_TOTALS_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,
     "events_purchase_attribution": _ASOF_SQL,
     "events_tumbling_5min": _TUMBLING_SQL,

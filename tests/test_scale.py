@@ -1,0 +1,91 @@
+"""Skew-salting and bucketed co-located join properties (scale path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.functions import (
+    scale,
+)
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.plans.audit import (
+    executed_plan,
+)
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+    load_table,
+)
+
+
+def test_salted_agg_matches_direct_groupby(spark, sf_correct):
+    ev = load_table(spark, sf_correct, "events")
+    direct = {
+        (r.user_id): (r.events, r.total)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.user_id): (r.events, r.total)
+        for r in scale.salted_agg(
+            ev.select("user_id", "value"),
+            ["user_id"],
+            {
+                "events": (F.count("*"), F.sum("events")),
+                "total": (
+                    F.sum(F.col("value").cast("decimal(18,2)")),
+                    F.sum("total"),
+                ),
+            },
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salt_is_deterministic_and_bounded(spark, sf_correct):
+    ev = load_table(spark, sf_correct, "events").select("event_id", "user_id")
+    a = scale.with_salt(ev, 16)
+    bounds = a.agg(F.min("_salt"), F.max("_salt")).collect()[0]
+    assert 0 <= bounds[0] and bounds[1] <= 15
+    b = {r.event_id: r._salt for r in scale.with_salt(ev, 16).collect()}
+    assert {r.event_id: r._salt for r in a.collect()} == b
+
+
+def _drop_table_and_files(spark, name):
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    for t in ("b_orders", "b_lineitem"):
+        _drop_table_and_files(spark, t)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    scale.write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4)
+    scale.write_bucketed(lineitem, "b_lineitem", "o_orderkey", n_buckets=4)
+
+    # at test SF the sides fit a broadcast, which bypasses bucketing —
+    # force the sort-merge path the planner would pick for fact⋈fact
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = scale.bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = executed_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, (
+            f"bucketed join still shuffles:\n{plan}"
+        )
+        assert "Bucketed: true" in plan
+        # same answer as the plain (shuffling) join
+        expected = orders.join(lineitem, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for t in ("b_orders", "b_lineitem"):
+        _drop_table_and_files(spark, t)
