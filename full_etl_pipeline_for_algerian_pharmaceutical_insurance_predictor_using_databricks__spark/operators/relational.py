@@ -421,6 +421,63 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping-set combinations in one pass (partial
+    aggregation per grouping set, single shuffle) — the
+    grouping-sets companion to the ROLLUP above."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("orders"),
+            _dsum(F.col("o_totalprice")).alias("total_revenue"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    COUNT(*) AS orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per order status.
+    Explicit pivot values keep the plan single-pass (no extra distinct
+    job to discover columns) — the form that scales."""
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [s for s in statuses])
+        .withColumnsRenamed({s: f"status_{s}" for s in statuses})
+        .orderBy("o_orderpriority")
+    )
+
+
+_PIVOT_SQL = """
+SELECT
+    o_orderpriority,
+    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+    COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+    COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 PRICE_TIERS = [
     ("budget", 0.0, 100_000.0),
     ("standard", 100_000.0, 250_000.0),
@@ -484,6 +541,8 @@ QUERIES = {
     "window_top3_orders_per_customer": top3_orders_per_customer,
     "window_running_customer_revenue": running_customer_revenue,
     "agg_rollup_status_priority": rollup_status_priority,
+    "agg_cube_status_priority": cube_status_priority,
+    "agg_pivot_priority_by_status": pivot_priority_by_status,
 }
 
 ORACLES = {
@@ -500,4 +559,6 @@ ORACLES = {
     "window_top3_orders_per_customer": _TOP3_SQL,
     "window_running_customer_revenue": _RUNNING_SQL,
     "agg_rollup_status_priority": _ROLLUP_SQL,
+    "agg_cube_status_priority": _CUBE_SQL,
+    "agg_pivot_priority_by_status": _PIVOT_SQL,
 }
