@@ -27,6 +27,19 @@ def save_as_table(df: DataFrame, name: str, mode: str = "overwrite") -> str:
     return fmt
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str, mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout (`col=value/` dirs).
+
+    At 100 TB this is the first line of defense: a filter on the
+    partition column prunes whole directories at planning time
+    (PartitionFilters in the scan, zero bytes read for pruned values) —
+    asserted in tests/test_ingestion.py. Natural partition columns here:
+    `first_letter` for medications, date for events."""
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
 def read_back_verified(spark: SparkSession, name: str, expected_rows: int) -> DataFrame:
     """Catalog round-trip check (parity with ING:217-224): read the
     table back and assert the row count survived the write."""

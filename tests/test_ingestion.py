@@ -86,3 +86,26 @@ def test_full_pipeline_roundtrip(spark, landing):
     assert "price_category" in saved.columns
     assert saved.filter(F.col("price") <= 0).count() == 0
     spark.sql("DROP TABLE IF EXISTS medications_test")
+
+
+def test_partitioned_write_prunes_at_scan(spark, landing, tmp_path):
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.plans.audit import (
+        formatted_plan,
+    )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources.sinks import (
+        write_partitioned,
+    )
+
+    cleaned = clean(flatten_and_extract(read_letter_keyed_json(spark, landing)))
+    out = str(tmp_path / "meds_by_letter")
+    write_partitioned(cleaned, out, "first_letter")
+
+    back = spark.read.parquet(out)
+    assert back.count() == cleaned.count()
+    one_letter = back.filter(F.col("first_letter") == "A")
+    plan = formatted_plan(one_letter)
+    # the partition predicate must prune directories, not filter rows
+    assert "PartitionFilters" in plan and "first_letter" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert one_letter.count() == 2  # ASPIRINE + AMOXIL

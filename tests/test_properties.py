@@ -1,0 +1,99 @@
+"""Property-based invariants (hypothesis) for the shared expression
+idioms and the salted aggregation — randomized inputs, exact laws.
+Spark actions are expensive per example, so examples are capped low and
+each property batches all examples into ONE DataFrame where possible.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.functions.exprs import (
+    extract_price,
+    price_category,
+)
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.functions.scale import (
+    salted_agg,
+)
+
+_SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _ref_price(s: str | None) -> int | None:
+    """Reference semantics of extract_price: first digit run, else NULL
+    (regexp_extract '' on no match → try_cast NULL)."""
+    import re
+
+    if s is None:
+        return None
+    m = re.search(r"(\d+)", s)
+    if not m:
+        return None
+    try:
+        v = int(m.group(1))
+    except ValueError:  # pragma: no cover
+        return None
+    return v if -2147483648 <= v <= 2147483647 else None
+
+
+@_SLOW
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=30)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_extract_price_matches_reference_semantics(spark, rates):
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rates)], "id int, reference_rate string"
+    )
+    got = {
+        r.id: r.price
+        for r in df.select("id", extract_price("reference_rate").alias("price")).collect()
+    }
+    assert got == {i: _ref_price(r) for i, r in enumerate(rates)}
+
+
+@_SLOW
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=50))
+def test_price_category_partitions_domain(spark, prices):
+    df = spark.createDataFrame([(p,) for p in prices], "price int")
+    rows = df.select("price", price_category("price").alias("cat")).collect()
+    for r in rows:
+        expected = "Low" if r.price <= 100 else ("Medium" if r.price <= 500 else "High")
+        assert r.cat == expected
+
+
+@_SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key (few → collisions)
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_salted_agg_equals_direct_groupby(spark, pairs):
+    df = spark.createDataFrame(pairs, "k int, v int")
+    direct = {
+        (r.k): (r.n, r.s)
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        (r.k): (r.n, r.s)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": (F.count("*"), F.sum("n")), "s": (F.sum("v"), F.sum("s"))},
+            n_buckets=4,
+        ).collect()
+    }
+    assert salted == direct
