@@ -130,6 +130,86 @@ def stateful_user_totals_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_sessionizer_stream(stream: DataFrame) -> DataFrame:
+    """Custom gap-based sessionizer via applyInPandasWithState with an
+    EVENT-TIME timeout: per-user state accumulates events; when the
+    watermark passes (last event + gap) the state times out and the
+    CLOSED session is emitted. This is the general pattern for
+    operators `session_window` can't express (e.g. sessions that also
+    close on a 'logout' event, decaying counters, CEP steps).
+
+    Emits only timed-out (closed) sessions; sessions still open when
+    the stream drains stay in state — correct unbounded-stream
+    semantics (batch twin: operators.events.sessionization restricted
+    to watermark-closed sessions)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start long, session_end long, events long"
+    )
+    state_schema = "start long, last long, events long"
+    gap_ms = SESSION_GAP_SEC * 1000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, events = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [start // 1000],
+                    "session_end": [last // 1000],
+                    "events": [events],
+                }
+            )
+            return
+        start, last, events = state.get if state.exists else (None, None, 0)
+        closed = []
+        rows = []
+        for pdf in pdfs:
+            rows.append(pdf[["ts"]])
+        # normalize to ns regardless of the Arrow batch's datetime unit
+        ts_ms = (
+            pd.concat(rows)["ts"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000
+        ).sort_values()  # event-time order within the batch
+        for t in ts_ms:
+            t = int(t)
+            if start is None:
+                start, last, events = t, t, 1
+            elif t - last > gap_ms:
+                closed.append((start, last, events))
+                start, last, events = t, t, 1
+            else:
+                last, events = t, events + 1
+        state.update((start, last, events))
+        state.setTimeoutTimestamp(last + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [c[0] // 1000 for c in closed],
+                    "session_end": [c[1] // 1000 for c in closed],
+                    "events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def click_purchase_interval_join_stream(stream: DataFrame) -> DataFrame:
     """Stream-stream inner join: each purchase matched to the same
     user's clicks in the preceding 30 minutes. Both sides carry

@@ -80,6 +80,39 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
     assert got == expected
 
 
+def test_stateful_sessionizer_emits_closed_sessions(spark, sf_dir):
+    stream = jobs.events_stream(spark, sf_dir)
+    result = jobs.run_available_now(
+        jobs.stateful_sessionizer_stream(stream), "t_sessionizer"
+    )
+    emitted = {
+        (r.user_id, r.session_start, r.session_end, r.events)
+        for r in result.collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.events)
+        for r in batch_events.sessionization(spark, sf_dir)
+        .select("user_id", "session_start", "session_end", "events")
+        .collect()
+    }
+    # every emitted (closed) session must be exactly a batch session
+    assert emitted <= batch, f"bogus sessions: {sorted(emitted - batch)[:3]}"
+    # every session closed by a later event (non-final per user) must emit
+    import collections
+
+    finals = {}
+    for u, s, e, n in batch:
+        if u not in finals or s > finals[u][0]:
+            finals[u] = (s, e, n)
+    non_final = {
+        (u, s, e, n) for (u, s, e, n) in batch if (s, e, n) != finals[u]
+    }
+    assert non_final <= emitted, (
+        f"missing closed sessions: {sorted(non_final - emitted)[:3]}"
+    )
+    assert emitted, "no sessions emitted"
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     stream = jobs.events_stream(spark, sf_dir)
     result = jobs.run_available_now(
