@@ -6,10 +6,11 @@ engine surface with the shapes any real deployment of it needs, built
 entirely from Catalyst primitives.
 
 Determinism contract with the DuckDB oracles:
-- Floating SUM/AVG accumulate in DECIMAL (exact), cast to DOUBLE at the
-  end; division happens once, double/int — bit-identical across engines
-  regardless of aggregation order. Spark's partial/final aggregation
-  order is nondeterministic, so summing raw doubles would drift.
+- Floating SUM/AVG accumulate exactly (scaled-BIGINT integer sums, see
+  `_dsum`), surfaced as DOUBLE with a single correctly-rounded
+  division — bit-identical across engines regardless of aggregation
+  order. Spark's partial/final aggregation order is nondeterministic,
+  so summing raw doubles would drift.
 - Every LIMIT carries a total-order tiebreaker.
 
 Scale notes:
@@ -487,6 +488,52 @@ ORDER BY o_orderpriority
 """
 
 
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: orders priced above their own
+    customer's average. Expressed decorrelated — one window pass
+    computing the per-customer average, then a filter — which is the
+    plan Catalyst's subquery decorrelation would target anyway: a
+    single shuffle on o_custkey, no per-row subquery execution. Oracle
+    states it as the correlated subquery to prove semantic equivalence."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(w)
+        / F.lit(100.0)
+    ) / F.count("*").over(w)
+    return (
+        orders.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("cust_avg").alias("customer_avg_price"),
+        )
+    )
+
+
+_ABOVE_AVG_SQL = """
+SELECT
+    o_orderkey,
+    o_custkey,
+    o_totalprice,
+    (
+        SELECT CAST(SUM(CAST(ROUND(i.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               / COUNT(*)
+        FROM orders i
+        WHERE i.o_custkey = o.o_custkey
+    ) AS customer_avg_price
+FROM orders o
+WHERE o.o_totalprice > (
+    SELECT CAST(SUM(CAST(ROUND(i.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           / COUNT(*)
+    FROM orders i
+    WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
 PRICE_TIERS = [
     ("budget", 0.0, 100_000.0),
     ("standard", 100_000.0, 250_000.0),
@@ -552,6 +599,7 @@ QUERIES = {
     "agg_rollup_status_priority": rollup_status_priority,
     "agg_cube_status_priority": cube_status_priority,
     "agg_pivot_priority_by_status": pivot_priority_by_status,
+    "subq_orders_above_customer_avg": orders_above_customer_avg,
 }
 
 ORACLES = {
@@ -570,4 +618,5 @@ ORACLES = {
     "agg_rollup_status_priority": _ROLLUP_SQL,
     "agg_cube_status_priority": _CUBE_SQL,
     "agg_pivot_priority_by_status": _PIVOT_SQL,
+    "subq_orders_above_customer_avg": _ABOVE_AVG_SQL,
 }
