@@ -337,8 +337,91 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# 6. Duplicate clustering — connected components over near-dup pairs
+# --------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iter: int = 20
+) -> DataFrame:
+    """Group near-duplicates into clusters: connected components over
+    the Jaccard-pair graph via iterative min-label propagation
+    (each vertex repeatedly adopts the smallest label among itself and
+    its neighbors until fixpoint). cluster_id = min doc_id in the
+    component; singletons cluster with themselves.
+
+    The iterative pattern done Spark-right: every iteration is one
+    shuffle join + aggregate, `localCheckpoint()` truncates the lineage
+    so plans don't grow exponentially, and convergence is detected with
+    a cheap count. Iterations = graph diameter (near-dup components
+    are tiny, so 2–3 in practice; `max_iter` bounds adversarial
+    chains). The same loop at 100 TB is the standard large-graph CC
+    (GraphX/GraphFrames use exactly this)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .localCheckpoint()  # pairs' 4-join lineage replays every iteration otherwise
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neighbor_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("neighbor_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# Oracle: transitive closure by recursive CTE (fine at test scale;
+# the Spark side is the one built for big graphs).
+_CLUSTERS_SQL = rf"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({_JACCARD_SQL})
+),
+edges AS (
+    SELECT doc_a, doc_b FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(src, node) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.node = e.doc_a
+)
+SELECT src AS doc_id, MIN(node) AS cluster_id
+FROM reach
+GROUP BY src
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
+    "dedup_clusters": dedup_clusters,
     "dedup_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_simhash_pairs": simhash_near_pairs,
@@ -349,6 +432,7 @@ QUERIES = {
 #: equivalent) — rows-only checks; invariants covered in tests/test_dedup.py.
 ORACLES = {
     "dedup_exact": _EXACT_SQL,
+    "dedup_clusters": _CLUSTERS_SQL,
     "dedup_jaccard_pairs": _JACCARD_SQL,
     "dedup_embedding_cosine": _EMB_NEAR_DUP_SQL,
 }

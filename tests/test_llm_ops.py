@@ -106,6 +106,18 @@ def test_text_quality_verdicts_partition(spark, sf_correct):
     assert sum(r["count"] for r in by) == total
 
 
+def test_dedup_clusters_are_consistent_with_pairs(spark, sf_correct):
+    """Every near-dup pair must land in one cluster; cluster_id is the
+    min member; labels cover every doc exactly once."""
+    labels = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(spark, sf_correct).collect()}
+    docs = dedup.load_table(spark, sf_correct, "documents").count()
+    assert len(labels) == docs
+    for doc, cid in labels.items():
+        assert cid <= doc  # min-label invariant
+    for r in dedup.ngram_jaccard_pairs(spark, sf_correct).collect():
+        assert labels[r.doc_a] == labels[r.doc_b]
+
+
 def test_multimodal_metadata_schema_and_determinism(spark, sf_correct):
     out = multimodal.image_metadata(spark, sf_correct)
     assert out.schema == multimodal.IMAGE_META_SCHEMA
