@@ -145,10 +145,49 @@ def audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(run, AUDIO_RMS_SCHEMA)
 
 
+#: Output contract of the resize kernel.
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized_bytes", T.BinaryType()),
+        T.StructField("n_bytes_out", T.IntegerType()),
+    ]
+)
+
+RESIZE_KEEP_BYTES = 8  # fake 2:1 downsample of the 16-byte payload
+
+
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' shape: binary → smaller binary via a pandas kernel
+    (real pipeline: PIL thumbnail / ffmpeg scale). The fake kernel
+    keeps the payload's byte prefix, so the binary→binary round trip
+    through Arrow is still value-checked end-to-end by the SQL oracle
+    (DuckDB replays the prefix via the md5 hex string)."""
+    media = synthetic_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            resized = batch["image_bytes"].str[:RESIZE_KEEP_BYTES]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "resized_bytes": resized,
+                    "n_bytes_out": resized.str.len().astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA).select(
+        "doc_id",
+        F.hex(F.col("resized_bytes")).alias("resized_hex"),
+        "n_bytes_out",
+    )
+
+
 QUERIES = {
     "mm_image_metadata": image_metadata,
     "mm_frame_sample": frame_sample,
     "mm_audio_rms": audio_rms_windows,
+    "mm_image_resize": image_resize,
 }
 
 # The decode kernel is a deterministic md5-derived fake, so (unlike a
@@ -189,8 +228,17 @@ FROM (
 GROUP BY doc_id, i // {AUDIO_WINDOW}
 """
 
+_RESIZE_SQL = f"""
+SELECT
+    doc_id,
+    upper(substr(md5(text), 1, {2 * RESIZE_KEEP_BYTES})) AS resized_hex,
+    {RESIZE_KEEP_BYTES} AS n_bytes_out
+FROM documents
+"""
+
 ORACLES: dict[str, str] = {
     "mm_image_metadata": _IMAGE_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
     "mm_audio_rms": _AUDIO_RMS_SQL,
+    "mm_image_resize": _RESIZE_SQL,
 }
