@@ -300,6 +300,54 @@ def ann_ivf(
 
 
 # --------------------------------------------------------------------------
+# Stock Spark ML path: BucketedRandomProjectionLSH approx join
+# --------------------------------------------------------------------------
+
+
+def ann_brp_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERY_VECS,
+    euclidean_radius: float = 8.0,
+) -> DataFrame:
+    """The built-in alternative to the custom LSH/IVF paths:
+    `BucketedRandomProjectionLSH.approxSimilarityJoin` (euclidean
+    buckets) generates candidates, then exact cosine re-ranks — the
+    zero-custom-code baseline an operator of this engine would reach
+    for first. Seeded, so results are reproducible."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("norm", norm_col(F.col("embedding")))
+        .withColumn("vec", array_to_vector(F.col("embedding").cast("array<double>")))
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=7
+    )
+    model = brp.fit(emb)
+    queries_df = emb.filter(F.col("vec_id") < n_queries)
+    joined = model.approxSimilarityJoin(
+        queries_df, emb, euclidean_radius, distCol="euclid"
+    )
+    cand = (
+        joined.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            (
+                dot_col(F.col("datasetA.embedding"), F.col("datasetB.embedding"))
+                / (F.col("datasetA.norm") * F.col("datasetB.norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------------
 # Per-label centroids (posexplode → decimal-exact per-dim averages)
 # --------------------------------------------------------------------------
 
@@ -344,6 +392,7 @@ QUERIES = {
     "sim_knn_bruteforce": knn_bruteforce,
     "sim_ann_lsh": ann_lsh,
     "sim_ann_ivf": ann_ivf,
+    "sim_ann_brp_lsh": ann_brp_lsh,
     "sim_label_centroids": label_centroids,
 }
 

@@ -78,6 +78,15 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_correct):
     assert hits / len(approx) >= 0.4
 
 
+def test_ann_brp_lsh_answers_all_queries(spark, sf_correct):
+    out = similarity.ann_brp_lsh(spark, sf_correct).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert len(by_query) == similarity.N_QUERY_VECS
+    assert all(len(v) == similarity.TOP_K for v in by_query.values())
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark, sf_correct):
     """IVF probes nprobe/nlist of the corpus; with weakly-clustered
     synthetic vectors the true NN's list is probed often enough for a
