@@ -52,6 +52,38 @@ def test_salt_is_deterministic_and_bounded(spark, sf_correct):
     assert {r.event_id: r._salt for r in a.collect()} == b
 
 
+def test_aqe_splits_skewed_join(spark):
+    """Prove the engine's AQE config handles read-side skew: a join
+    where one key owns ~90% of rows must get skew-split at runtime
+    (thresholds lowered so the effect triggers at test scale)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        skewed = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.concat(F.lit("dim-"), F.col("id").cast("string")).alias("d")
+        )
+        joined = skewed.join(dim, "k")
+        # collect() drives THIS DataFrame's QueryExecution, so the
+        # adaptive plan below is the one that actually ran
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the skewed side:\n{plan[:2000]}"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def _drop_table_and_files(spark, name):
     import shutil
 
