@@ -52,6 +52,23 @@ def test_salt_is_deterministic_and_bounded(spark, sf_correct):
     assert {r.event_id: r._salt for r in a.collect()} == b
 
 
+def test_table_buffer_pool_persists_once(spark, sf_dir, monkeypatch):
+    import full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources.catalog as cat
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE", "1")
+    cat._TABLE_CACHE.clear()
+    a = cat.load_table(spark, sf_dir, "nation")
+    b = cat.load_table(spark, sf_dir, "nation")
+    assert a is b  # same persisted DF, not a second scan
+    assert a.storageLevel.useMemory
+    assert a.count() == 25
+    a.unpersist()
+    cat._TABLE_CACHE.clear()
+    monkeypatch.delenv("SPARK_GRAFT_CACHE")
+    c = cat.load_table(spark, sf_dir, "nation")
+    assert not c.storageLevel.useMemory  # default path: plain scan
+
+
 def test_aqe_splits_skewed_join(spark):
     """Prove the engine's AQE config handles read-side skew: a join
     where one key owns ~90% of rows must get skew-split at runtime
