@@ -67,7 +67,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_CACHE") == "1":
         key = (spark.sparkContext.applicationId, sf_dir, name)
         if key not in _TABLE_CACHE:
-            _TABLE_CACHE[key] = _base_load(spark, sf_dir, name).persist()
+            df = _base_load(spark, sf_dir, name)
+            # single-row-group files scan serially AND stay serial once
+            # cached (cache keeps scan partitioning) — spread big
+            # tables across the cluster before the one-time persist
+            try:
+                n_bytes = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+            except OSError:
+                n_bytes = 0
+            if n_bytes > 4 << 20:
+                df = df.repartition(spark.sparkContext.defaultParallelism)
+            _TABLE_CACHE[key] = df.persist()
         return _TABLE_CACHE[key]
     return _base_load(spark, sf_dir, name)
 
