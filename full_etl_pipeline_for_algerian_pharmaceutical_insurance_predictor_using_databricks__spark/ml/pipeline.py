@@ -114,9 +114,38 @@ def train(spark: SparkSession, sf_dir: str) -> TrainResult:
 
 def save_model(result: TrainResult, path: str) -> None:
     """Persist with the Spark ML writer (the scalable analogue of the
-    reference's pickle dump, ML:274-282)."""
+    reference's pickle dump, ML:274-282) plus a metadata sidecar
+    mirroring the reference's metadata dict (ML:283-297: feature names,
+    metrics, class weights, hyperparameters)."""
+    import json
+    import os
+
     result.model.write().overwrite().save(path)
+    meta = {
+        "features": ["price"] + CATEGORICALS,
+        "accuracy": result.accuracy,
+        "auc": result.auc,
+        "feature_importances": result.feature_importances,
+        "class_weights": {str(k): v for k, v in CLASS_WEIGHTS.items()},
+        "num_trees": 100,
+        "max_depth": 10,
+        "seed": SEED,
+        "train_rows": result.train_rows,
+        "test_rows": result.test_rows,
+    }
+    with open(os.path.join(path, "training_metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
 
 
 def load_model(spark: SparkSession, path: str) -> PipelineModel:
     return PipelineModel.load(path)
+
+
+def load_metadata(path: str) -> dict:
+    """Read back the training metadata sidecar (parity with the
+    reference's metadata pickle round-trip, ML:293-297)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "training_metadata.json")) as f:
+        return json.load(f)

@@ -34,6 +34,10 @@ def test_train_eval_persist_roundtrip(spark, sf_correct):
         loaded = mlp.load_model(spark, path)
         again = loaded.transform(mlp.prepare(spark, sf_correct)).select("prediction")
         assert again.count() > 0
+        meta = mlp.load_metadata(path)
+        assert meta["accuracy"] == res.accuracy
+        assert meta["features"] == ["price", *mlp.CATEGORICALS]
+        assert meta["class_weights"] == {"0.0": 1.0, "1.0": 6.1}
 
 
 def test_split_is_seeded_and_stable(spark, sf_correct):
