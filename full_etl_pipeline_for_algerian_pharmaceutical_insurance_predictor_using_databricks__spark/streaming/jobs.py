@@ -271,6 +271,67 @@ def click_purchase_interval_join_batch(
     ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
 
 
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas depends on protobuf for its
+    driver<->worker state protocol; absent in minimal environments."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_max_transform_with_state(stream: DataFrame) -> DataFrame:
+    """Spark 4's transformWithStateInPandas (the successor to
+    applyInPandasWithState): a StatefulProcessor with typed ValueState
+    tracking the running per-event-type max value. Requires the RocksDB
+    state-store provider — set on the session by the caller/test:
+
+        spark.sql.streaming.stateStore.providerClass =
+            org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+
+    Also requires `google.protobuf` (the state-server wire protocol);
+    environments without it should use the applyInPandasWithState ops
+    above, which cover the same semantics on the stable API. Gate with
+    `transform_with_state_available()`."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._mx = handle.getValueState("mx", "mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = self._mx.get()[0] if self._mx.exists() else None
+            seen = 0
+            for pdf in rows:
+                seen += len(pdf)
+                m = float(pdf["value"].max())
+                if mx is None or m > mx:
+                    mx = m
+            self._mx.update((mx,))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "max_value": [mx], "batch_events": [seen]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.groupBy("event_type")
+        .transformWithStateInPandas(
+            RunningMax(),
+            outputStructType="event_type string, max_value double, batch_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def foreach_batch_to_parquet(result: DataFrame, out_dir: str) -> None:
     """foreachBatch sink: each micro-batch lands as parquet with its
     batch id — the pattern for idempotent writes to non-streaming

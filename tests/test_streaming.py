@@ -113,6 +113,47 @@ def test_stateful_sessionizer_emits_closed_sessions(spark, sf_dir):
     assert emitted, "no sessions emitted"
 
 
+def test_transform_with_state_running_max(spark, sf_dir):
+    import pytest
+    import pyspark.sql.functions as F
+
+    if not jobs.transform_with_state_available():
+        pytest.skip("transformWithStateInPandas needs google.protobuf")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.events_stream(spark, sf_dir)
+        result = jobs.run_available_now(
+            jobs.running_max_transform_with_state(stream),
+            "t_twsip",
+            output_mode="update",
+        )
+        # last update per type = lifetime max
+        got = {
+            r.event_type: r.max_value
+            for r in result.groupBy("event_type")
+            .agg(F.max("max_value").alias("max_value"))
+            .collect()
+        }
+        expected = {
+            r.event_type: r.mx
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.max("value").alias("mx"))
+            .collect()
+        }
+        assert got == expected
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     stream = jobs.events_stream(spark, sf_dir)
     result = jobs.run_available_now(
