@@ -20,6 +20,7 @@ from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_dat
     events,
     multimodal,
     relational,
+    sampling,
     similarity,
     text,
 )
@@ -46,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(sampling.QUERIES)
     out["ml_feature_encoding"] = encoding.ml_feature_encoding
     return out
 
@@ -59,5 +61,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(multimodal.ORACLES)
+    out.update(sampling.ORACLES)
     out["ml_feature_encoding"] = MEDICATIONS_CTE + encoding.ML_FEATURE_ENCODING_SQL
     return out

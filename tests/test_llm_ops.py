@@ -127,6 +127,29 @@ def test_dedup_clusters_are_consistent_with_pairs(spark, sf_correct):
         assert labels[r.doc_a] == labels[r.doc_b]
 
 
+def test_sampling_determinism_and_tolerance(spark, sf_correct):
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        sampling,
+    )
+
+    total = dedup.load_table(spark, sf_correct, "documents").count()
+    # hash sample: exactly reproducible and ~pct% of corpus
+    a = {r.doc_id for r in sampling.sample_hash_mod(spark, sf_correct).collect()}
+    b = {r.doc_id for r in sampling.sample_hash_mod(spark, sf_correct).collect()}
+    assert a == b
+    assert 0.04 * total <= len(a) <= 0.2 * total
+    # bernoulli: seeded determinism
+    c = {r.doc_id for r in sampling.sample_bernoulli(spark, sf_correct).collect()}
+    d = {r.doc_id for r in sampling.sample_bernoulli(spark, sf_correct).collect()}
+    assert c == d
+    # stratified: only listed strata survive
+    langs = {
+        r.lang
+        for r in sampling.sample_stratified_by_lang(spark, sf_correct).collect()
+    }
+    assert langs <= set(sampling.STRATA_FRACTIONS)
+
+
 def test_multimodal_metadata_schema_and_determinism(spark, sf_correct):
     out = multimodal.image_metadata(spark, sf_correct)
     assert out.schema == multimodal.IMAGE_META_SCHEMA
