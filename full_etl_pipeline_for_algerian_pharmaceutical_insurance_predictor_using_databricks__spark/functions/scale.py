@@ -26,11 +26,19 @@ DEFAULT_SALT_BUCKETS = 16
 
 
 def with_salt(df: DataFrame, n_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
-    """Add a deterministic `_salt` column in [0, n_buckets) — derived
-    from a stable hash of the whole row's partition offset is NOT
-    reproducible, so we hash the row's own columns (cheap, JVM-side)."""
+    """Add a `_salt` column in [0, n_buckets), hashing the row's
+    columns TOGETHER WITH a per-row monotonic id: identical rows of a
+    hot key must land in different buckets (hashing values alone would
+    funnel a million copies of one row into one reducer — the exact
+    skew this exists to break). The id is stable for a fixed input
+    partitioning; salt placement does not affect any aggregate result,
+    only load balance."""
     return df.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_buckets))
+        "_salt",
+        F.pmod(
+            F.hash(F.monotonically_increasing_id(), *[F.col(c) for c in df.columns]),
+            F.lit(n_buckets),
+        ),
     )
 
 

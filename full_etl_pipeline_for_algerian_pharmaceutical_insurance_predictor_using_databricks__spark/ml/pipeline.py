@@ -121,6 +121,10 @@ def save_model(result: TrainResult, path: str) -> None:
     import os
 
     result.model.write().overwrite().save(path)
+    if "://" in path:
+        # model went through the Hadoop writer; the JSON sidecar below
+        # uses local IO — skip it for remote URIs rather than fail
+        return
     meta = {
         "features": ["price"] + CATEGORICALS,
         "accuracy": result.accuracy,

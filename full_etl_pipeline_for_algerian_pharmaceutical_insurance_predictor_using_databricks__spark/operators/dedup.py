@@ -391,6 +391,9 @@ def dedup_clusters(
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        # drop the superseded checkpoint's cached blocks — only the
+        # newest labels table should stay pinned
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

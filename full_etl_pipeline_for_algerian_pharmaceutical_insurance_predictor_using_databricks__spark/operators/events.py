@@ -25,8 +25,11 @@ SESSION_GAP_SEC = 30 * 60
 
 
 def _dsum(c, scale: int = 2):
-    """Exact order-independent sum (see relational._dsum): scaled-BIGINT
-    accumulation, ~3× faster than decimal, bit-identical result."""
+    """Exact order-independent sum (see relational._dsum for the full
+    contract): scaled-BIGINT accumulation, ~3× faster than decimal.
+    Requires inputs with at most `scale` decimal places (true of the
+    events `value` column), under which it is bit-identical to the
+    decimal path."""
     factor = 10 ** scale
     return F.sum(F.round(c * factor).cast("bigint")) / F.lit(float(factor))
 
@@ -237,8 +240,11 @@ ORDER BY 1
 
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (F.session_window, 30-min gap) per user —
-    the built-in operator equivalent of `sessionization` (same session
-    boundaries: a gap of exactly the timeout starts a new session).
+    the built-in counterpart of `sessionization`. Boundary semantics
+    differ at EXACTLY the gap: session_window's half-open interval
+    [start, last+gap) splits a pair of events exactly gap apart, while
+    `sessionization`'s `diff > gap` keeps them together — swap the two
+    operators only if that edge doesn't matter for your data.
     Streaming twin in streaming/jobs.py."""
     ev = load_table(spark, sf_dir, "events")
     return (

@@ -36,11 +36,15 @@ def _dsum(c: Column, scale: int = 2) -> Column:
     surfaced as double.
 
     Implemented as a scaled-BIGINT sum — `sum(round(x·10^s))/10^s` —
-    which benches ~3× faster than decimal aggregation while remaining
-    bit-identical to it: the integer sum is exact, and one double
-    division by 10^s is correctly rounded, the same value a
-    DECIMAL→DOUBLE cast produces. Rounding-mode ties are impossible
-    (no binary double equals an odd multiple of 10^-(s+1))."""
+    which benches ~3× faster than decimal aggregation. PRECONDITION:
+    inputs must be IEEE doubles representing values with at most
+    `scale` decimal places (true of every fixture money/quantity
+    column). Then x·10^s rounds to the exact scaled integer, the sum
+    is exact, and the single division is correctly rounded — equal to
+    the DECIMAL-accumulate-then-cast path bit for bit. For arbitrary
+    doubles (e.g. a true 3-decimal value with scale=2) the two paths
+    can differ by 1 ulp of the last kept digit (double-rounding);
+    use the decimal form for such data."""
     factor = 10 ** scale
     return F.sum(F.round(c * factor).cast("bigint")) / F.lit(float(factor))
 

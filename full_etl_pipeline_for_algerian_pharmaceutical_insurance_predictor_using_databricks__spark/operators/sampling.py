@@ -75,9 +75,9 @@ def sample_stratified_by_lang(
     Unlisted strata default to 0 (dropped) — the corpus-rebalancing
     shape: keep 5% of the dominant language, 20% of the rest."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.sampleBy(
-        "lang", fractions or STRATA_FRACTIONS, seed=seed
-    ).select("doc_id", "lang")
+    if fractions is None:
+        fractions = STRATA_FRACTIONS
+    return docs.sampleBy("lang", fractions, seed=seed).select("doc_id", "lang")
 
 
 QUERIES = {

@@ -184,7 +184,14 @@ def stateful_sessionizer_stream(stream: DataFrame) -> DataFrame:
                 closed.append((start, last, events))
                 start, last, events = t, t, 1
             else:
-                last, events = t, events + 1
+                # cross-batch late event (above watermark): it can land
+                # before the session's current bounds — extend, never
+                # rewind. (A late event that would MERGE two already-
+                # split sessions is beyond bounded-state streaming
+                # sessionizers; the watermark bounds that error.)
+                start = min(start, t)
+                last = max(last, t)
+                events += 1
         state.update((start, last, events))
         state.setTimeoutTimestamp(last + gap_ms)
         if closed:
@@ -333,13 +340,15 @@ def running_max_transform_with_state(stream: DataFrame) -> DataFrame:
 
 
 def foreach_batch_to_parquet(result: DataFrame, out_dir: str) -> None:
-    """foreachBatch sink: each micro-batch lands as parquet with its
-    batch id — the pattern for idempotent writes to non-streaming
-    sinks (JDBC, Delta MERGE, etc.)."""
+    """foreachBatch sink: each micro-batch lands as parquet keyed by
+    its batch id, written with overwrite so a micro-batch RETRY
+    replaces (not duplicates) its directory — that batch-id keyed
+    overwrite is what makes the sink idempotent; the same pattern
+    drives JDBC upserts / Delta MERGE."""
     import tempfile
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(f"{out_dir}/batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -348,7 +357,9 @@ def foreach_batch_to_parquet(result: DataFrame, out_dir: str) -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("foreachBatch drain exceeded 300s")
 
 
 def dedup_within_watermark_stream(stream: DataFrame) -> DataFrame:
@@ -381,5 +392,7 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(f"stream {name} did not drain within 300s")
     return spark.table(name)
