@@ -238,6 +238,43 @@ ORDER BY 1
 """
 
 
+def daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier continuous-aggregate shape: the DAILY rollup is computed
+    from the HOURLY pre-aggregate, not from raw events — at 100 TB the
+    raw table is touched once per hour and every coarser granularity
+    composes from ~24× fewer rows. Only decomposable aggregates
+    (count/sum/min/max) compose this way; the oracle computes the same
+    daily numbers from raw, proving the two-tier path is lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    hourly = ev.groupBy(hour.alias("hour_start")).agg(
+        F.count("*").alias("events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+    day = (F.floor(F.col("hour_start") / 86400) * 86400).cast("long")
+    return (
+        hourly.groupBy(day.alias("day_start"))
+        .agg(
+            F.sum("events").alias("events"),
+            (F.sum("value_cents") / F.lit(100.0)).alias("total_value"),
+            F.count("*").alias("hours_active"),
+        )
+        .orderBy("day_start")
+    )
+
+
+_DAILY_ROLLUP_SQL = """
+SELECT
+    CAST(FLOOR(EXTRACT(epoch FROM ts) / 86400) * 86400 AS BIGINT) AS day_start,
+    COUNT(*) AS events,
+    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+    COUNT(DISTINCT CAST(FLOOR(EXTRACT(epoch FROM ts) / 3600) AS BIGINT)) AS hours_active
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (F.session_window, 30-min gap) per user —
     the built-in counterpart of `sessionization`. Boundary semantics
@@ -415,6 +452,7 @@ QUERIES = {
     "events_sessionization": sessionization,
     "events_json_props": json_props_extract,
     "events_hourly_activity": hourly_user_activity,
+    "events_daily_rollup_from_hourly": daily_rollup_from_hourly,
 }
 
 ORACLES = {
@@ -427,4 +465,5 @@ ORACLES = {
     "events_sessionization": _SESSION_SQL,
     "events_json_props": _JSON_SQL,
     "events_hourly_activity": _HOURLY_SQL,
+    "events_daily_rollup_from_hourly": _DAILY_ROLLUP_SQL,
 }
