@@ -1,0 +1,246 @@
+"""Composite driver entries: tag-unions / per-doc joins of sibling
+operators so every oracle-bearing operator fits the driver's 50-entry
+correctness window.
+
+The driver's gate (CORRECTNESS_r{N}.json) checks only the first 50
+``queries()`` entries; round 1 had 60 oracle-bearing entries, leaving
+similarity/multimodal/sampling/encoding unproven.  Each composite here
+UNION ALLs (or joins, for per-doc metrics) the outputs of TWO OR THREE
+existing operators with a discriminator column, so one driver row
+value-checks both underlying plans.  The underlying single-operator
+builders stay exported from their home modules and keep their own
+pytest coverage and PLANS.md entries — composites add no new operator
+logic, only packaging.
+
+Plan-shape preservation: a union of two queries keeps both physical
+subtrees side by side (e.g. ``join_semi_anti_urgent`` contains one
+LeftSemi and one LeftAnti BroadcastHashJoin), so `.explain` evidence
+for each operator is still inspectable through the composite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import events, multimodal, relational, text
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _tag(df: DataFrame, name: str, value: str) -> DataFrame:
+    return df.withColumn(name, F.lit(value))
+
+
+# --- relational -------------------------------------------------------------
+
+def join_semi_anti_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti join in one entry (identical schemas; the
+    two partitions of customers by "has a 1-URGENT order")."""
+    semi = _tag(relational.semi_urgent_customers(spark, sf_dir), "op", "semi")
+    anti = _tag(relational.anti_no_urgent_customers(spark, sf_dir), "op", "anti")
+    return semi.unionByName(anti)
+
+
+_SEMI_ANTI_SQL = f"""
+SELECT 'semi' AS op, * FROM ({relational.ORACLES["join_semi_urgent_customers"]})
+UNION ALL
+SELECT 'anti' AS op, * FROM ({relational.ORACLES["join_anti_no_urgent_customers"]})
+"""
+
+
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT in one entry (both emit a custkey set)."""
+    inter = _tag(relational.intersect_building_urgent(spark, sf_dir), "op", "intersect")
+    exc = _tag(
+        relational.except_customers_without_open_orders(spark, sf_dir), "op", "except"
+    )
+    return inter.unionByName(exc)
+
+
+_INTERSECT_EXCEPT_SQL = f"""
+SELECT 'intersect' AS op, * FROM ({relational.ORACLES["setop_intersect_building_urgent"]})
+UNION ALL
+SELECT 'except' AS op, * FROM ({relational.ORACLES["setop_except_customers_without_open_orders"]})
+"""
+
+
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE grouping sets in one entry (identical schemas)."""
+    ru = _tag(relational.rollup_status_priority(spark, sf_dir), "op", "rollup")
+    cu = _tag(relational.cube_status_priority(spark, sf_dir), "op", "cube")
+    return ru.unionByName(cu)
+
+
+_ROLLUP_CUBE_SQL = f"""
+SELECT 'rollup' AS op, * FROM ({relational.ORACLES["agg_rollup_status_priority"]})
+UNION ALL
+SELECT 'cube' AS op, * FROM ({relational.ORACLES["agg_cube_status_priority"]})
+"""
+
+
+def window_top3_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked top-k window + running-sum/lag window in one entry;
+    columns unique to one side are null on the other."""
+    top3 = _tag(relational.top3_orders_per_customer(spark, sf_dir), "op", "top3")
+    run = _tag(relational.running_customer_revenue(spark, sf_dir), "op", "running")
+    return top3.unionByName(run, allowMissingColumns=True)
+
+
+_TOP3_RUNNING_SQL = f"""
+SELECT 'top3' AS op, o_custkey, o_orderkey, o_totalprice, rn,
+       CAST(NULL AS TIMESTAMP) AS o_orderdate,
+       CAST(NULL AS DOUBLE) AS running_revenue,
+       CAST(NULL AS DOUBLE) AS prev_totalprice
+FROM ({relational.ORACLES["window_top3_orders_per_customer"]})
+UNION ALL
+SELECT 'running' AS op, o_custkey, o_orderkey, o_totalprice,
+       CAST(NULL AS INTEGER) AS rn,
+       o_orderdate, running_revenue, prev_totalprice
+FROM ({relational.ORACLES["window_running_customer_revenue"]})
+"""
+
+
+# --- events -----------------------------------------------------------------
+
+def events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (5-min, per event_type, with value sums) + sliding
+    (10-min every 5) window aggregates in one entry."""
+    tm = _tag(events.tumbling_5min(spark, sf_dir), "kind", "tumbling")
+    sl = _tag(events.sliding_10min_every_5(spark, sf_dir), "kind", "sliding")
+    return tm.unionByName(sl, allowMissingColumns=True)
+
+
+_WINDOWED_COUNTS_SQL = f"""
+SELECT 'tumbling' AS kind, window_start, event_type, events, total_value
+FROM ({events.ORACLES["events_tumbling_5min"]})
+UNION ALL
+SELECT 'sliding' AS kind, window_start,
+       CAST(NULL AS VARCHAR) AS event_type, events,
+       CAST(NULL AS DOUBLE) AS total_value
+FROM ({events.ORACLES["events_sliding_10min"]})
+"""
+
+
+def events_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly activity + the daily rollup COMPOSED FROM the hourly tier
+    (pre-aggregate composition proof) in one entry."""
+    hr = (
+        events.hourly_user_activity(spark, sf_dir)
+        .withColumnRenamed("hour_start", "bucket_start")
+    )
+    dy = (
+        events.daily_rollup_from_hourly(spark, sf_dir)
+        .withColumnRenamed("day_start", "bucket_start")
+    )
+    return _tag(hr, "grain", "hourly").unionByName(
+        _tag(dy, "grain", "daily"), allowMissingColumns=True
+    )
+
+
+_HOURLY_DAILY_SQL = f"""
+SELECT 'hourly' AS grain, hour_start AS bucket_start, events,
+       active_users, distinct_types,
+       CAST(NULL AS DOUBLE) AS total_value,
+       CAST(NULL AS BIGINT) AS hours_active
+FROM ({events.ORACLES["events_hourly_activity"]})
+UNION ALL
+SELECT 'daily' AS grain, day_start AS bucket_start, events,
+       CAST(NULL AS BIGINT) AS active_users,
+       CAST(NULL AS BIGINT) AS distinct_types,
+       total_value, hours_active
+FROM ({events.ORACLES["events_daily_rollup_from_hourly"]})
+"""
+
+
+# --- text -------------------------------------------------------------------
+
+def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document profile: token stats ⋈ quality score ⋈ fingerprint
+    on doc_id — three narrow scans joined 1:1 (each side is one row per
+    doc, so the join is key-unique and AQE-broadcastable at test SF;
+    at scale all three derive from the same scan and co-partition)."""
+    tok = text.token_stats(spark, sf_dir)
+    qual = text.quality_score(spark, sf_dir).withColumnRenamed("tokens", "q_tokens")
+    fp = text.fingerprint(spark, sf_dir)
+    return tok.join(qual, "doc_id").join(fp, "doc_id")
+
+
+_DOC_PROFILE_SQL = f"""
+SELECT t.*,
+       q.tokens AS q_tokens, q.mean_token_len, q.stopword_hits,
+       q.stopword_ratio, q.verdict,
+       f.fingerprint, f.canon_len
+FROM ({text.ORACLES["text_token_stats"]}) t
+JOIN ({text.ORACLES["text_quality_score"]}) q USING (doc_id)
+JOIN ({text.ORACLES["text_fingerprint"]}) f USING (doc_id)
+"""
+
+
+# --- multimodal -------------------------------------------------------------
+
+def mm_image_meta_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata decode + resize in one entry (1:1 join on doc_id;
+    both are mapInPandas kernels over the same synthetic binary col)."""
+    meta = multimodal.image_metadata(spark, sf_dir)
+    rz = multimodal.image_resize(spark, sf_dir)
+    return meta.join(rz, "doc_id")
+
+
+_IMAGE_META_RESIZE_SQL = f"""
+SELECT m.*, r.resized_hex, r.n_bytes_out
+FROM ({multimodal.ORACLES["mm_image_metadata"]}) m
+JOIN ({multimodal.ORACLES["mm_image_resize"]}) r USING (doc_id)
+"""
+
+
+def mm_frame_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling + audio RMS windows in one entry (both are
+    1:N mapInPandas expansions; idx = frame_idx / window_idx)."""
+    fr = (
+        multimodal.frame_sample(spark, sf_dir)
+        .withColumnRenamed("frame_idx", "idx")
+    )
+    au = (
+        multimodal.audio_rms_windows(spark, sf_dir)
+        .withColumnRenamed("window_idx", "idx")
+    )
+    return _tag(fr, "modality", "video").unionByName(
+        _tag(au, "modality", "audio"), allowMissingColumns=True
+    )
+
+
+_FRAME_AUDIO_SQL = f"""
+SELECT 'video' AS modality, doc_id, frame_idx AS idx, frame_token,
+       CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS INTEGER) AS n_samples
+FROM ({multimodal.ORACLES["mm_frame_sample"]})
+UNION ALL
+SELECT 'audio' AS modality, doc_id, window_idx AS idx,
+       CAST(NULL AS VARCHAR) AS frame_token, rms, n_samples
+FROM ({multimodal.ORACLES["mm_audio_rms"]})
+"""
+
+
+QUERIES = {
+    "join_semi_anti_urgent": join_semi_anti_urgent,
+    "setop_intersect_except": setop_intersect_except,
+    "agg_rollup_cube": agg_rollup_cube,
+    "window_top3_running": window_top3_running,
+    "events_windowed_counts": events_windowed_counts,
+    "events_hourly_daily": events_hourly_daily,
+    "text_doc_profile": text_doc_profile,
+    "mm_image_meta_resize": mm_image_meta_resize,
+    "mm_frame_audio": mm_frame_audio,
+}
+
+ORACLES = {
+    "join_semi_anti_urgent": _SEMI_ANTI_SQL,
+    "setop_intersect_except": _INTERSECT_EXCEPT_SQL,
+    "agg_rollup_cube": _ROLLUP_CUBE_SQL,
+    "window_top3_running": _TOP3_RUNNING_SQL,
+    "events_windowed_counts": _WINDOWED_COUNTS_SQL,
+    "events_hourly_daily": _HOURLY_DAILY_SQL,
+    "text_doc_profile": _DOC_PROFILE_SQL,
+    "mm_image_meta_resize": _IMAGE_META_RESIZE_SQL,
+    "mm_frame_audio": _FRAME_AUDIO_SQL,
+}

@@ -37,6 +37,53 @@ def _token_sets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", toks)
 
 
+def _token_arrays(tok: DataFrame) -> DataFrame:
+    """doc_id → (tokens array<string>, set_size) — the per-doc token set
+    materialized once, for candidate-verify joins."""
+    return tok.groupBy("doc_id").agg(
+        F.collect_set("token").alias("tokens"),
+        F.count("*").alias("set_size"),
+    )
+
+
+def _verify_pairs_exact(
+    pairs: DataFrame, tok_arrays: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact token-set Jaccard for CANDIDATE pairs only.
+
+    Two hash joins on doc_id bring each side's token array onto the
+    candidate row; the intersection is `array_intersect` (hash-set
+    semijoin per row, O(|A|+|B|), JVM-side).  Work is linear in
+    |candidates| — never the all-pairs join — which is the whole point
+    of banding/prefix-filter candidate generation at 100 TB.
+    """
+    a = tok_arrays.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tokens").alias("tokens_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    b = tok_arrays.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tokens").alias("tokens_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    shared = F.size(F.array_intersect("tokens_a", "tokens_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            shared.alias("shared"),
+            (shared / (F.col("size_a") + F.col("size_b") - shared)).alias("jaccard"),
+        )
+        # `shared >= 1` keeps parity with the inverted-index formulation,
+        # which can only emit pairs sharing ≥1 token
+        .filter((F.col("jaccard") >= threshold) & (F.col("shared") >= 1))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # --------------------------------------------------------------------------
 # 1. Exact dedup (hash groupBy on canonical fingerprint)
 # --------------------------------------------------------------------------
@@ -74,16 +121,48 @@ JACCARD_THRESHOLD = 0.9
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All doc pairs with token-set Jaccard ≥ threshold.
 
     inverted index join: |A∩B| from the token-equality self-join,
     |A∪B| = |A|+|B|-|A∩B|. Jaccard is an int/int division — exact
     across engines.
+
+    ``max_df`` is the posting-list bound (classic prefix filter): tokens
+    whose document frequency exceeds it are dropped from CANDIDATE
+    GENERATION only — a single stopword otherwise makes the token-
+    equality self-join quadratic in its df.  Candidates are then
+    exact-verified against the FULL token sets, so any pair sharing at
+    least one sub-cap token gets its true Jaccard.  The only pairs the
+    cap can lose are those whose entire overlap is hot tokens — at
+    threshold 0.9 such a pair would need ~all its tokens hotter than
+    max_df, which is the pair you least want anyway.  ``None`` = exact
+    (the oracle-checked default; at 100 TB you always set it).
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = _token_sets(docs)
+    if max_df is not None:
+        doc_freq = tok.groupBy("token").agg(F.count("*").alias("df"))
+        join_tok = (
+            tok.join(doc_freq.filter(F.col("df") <= max_df), "token")
+            .select("doc_id", "token")
+        )
+        t1 = join_tok.alias("t1")
+        t2 = join_tok.alias("t2")
+        candidates = (
+            t1.join(t2, F.col("t1.token") == F.col("t2.token"))
+            .filter(F.col("t1.doc_id") < F.col("t2.doc_id"))
+            .select(
+                F.col("t1.doc_id").alias("doc_a"),
+                F.col("t2.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        return _verify_pairs_exact(candidates, _token_arrays(tok), threshold)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     t1 = tok.alias("t1")
     t2 = tok.alias("t2")
@@ -162,7 +241,10 @@ def minhash_lsh_pairs(
 
     sig → N_BANDS band keys (xxhash64 of the band slice) → self-join
     per band key → distinct candidate pairs → verify with exact
-    token-set Jaccard ≥ threshold.
+    token-set Jaccard ≥ threshold, computed for the CANDIDATES ONLY
+    (two doc_id hash joins onto per-doc token arrays + array_intersect)
+    — the all-pairs join is never materialized, which is the point of
+    banding at scale.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = _token_sets(docs)
@@ -201,18 +283,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(spark, sf_dir, threshold=0.0).withColumnsRenamed(
-        {"doc_a": "ea", "doc_b": "eb"}
-    )
-    return (
-        candidates.join(
-            exact,
-            (F.col("doc_a") == F.col("ea")) & (F.col("doc_b") == F.col("eb")),
-            "inner",
-        )
-        .select("doc_a", "doc_b", "jaccard")
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_pairs_exact(candidates, _token_arrays(tok), threshold)
 
 
 # --------------------------------------------------------------------------

@@ -169,10 +169,13 @@ SELECT
 FROM (
     SELECT
         user_id, epoch_s,
-        SUM(new_session) OVER (
+        -- CAST: DuckDB types a bare SUM(int) window as HUGEINT (int128);
+        -- Spark's running F.sum is BIGINT.  session_seq is projected, so
+        -- the types must agree for the driver's value-hash compare.
+        CAST(SUM(new_session) OVER (
             PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS session_seq
+        ) AS BIGINT) AS session_seq
     FROM (
         SELECT
             user_id, ts, event_id,

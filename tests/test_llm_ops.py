@@ -47,6 +47,50 @@ def test_minhash_finds_high_jaccard_pairs(spark, sf_correct):
         assert len(got & exact) / len(exact) >= 0.9
 
 
+def test_minhash_verify_is_candidate_only_and_value_exact(spark, sf_correct):
+    """The verify stage must (a) never emit a pair the exact all-pairs
+    Jaccard wouldn't, (b) agree with it bit-for-bit on the value, and
+    (c) do it WITHOUT the all-pairs token self-join — the plan verifies
+    candidates via array_intersect on per-doc token arrays."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, sf_correct, threshold=0.9).collect()
+    }
+    mh_df = dedup.minhash_lsh_pairs(spark, sf_correct, threshold=0.9)
+    mh = {(r.doc_a, r.doc_b): r.jaccard for r in mh_df.collect()}
+    assert set(mh) <= set(exact)
+    assert all(mh[k] == exact[k] for k in mh)
+    plan = mh_df._jdf.queryExecution().simpleString()
+    assert "array_intersect" in plan
+
+
+def test_jaccard_max_df_parity_and_plan(spark, sf_correct):
+    """Non-binding posting-list cap is exact parity with the uncapped
+    inverted-index path; the df prefix-filter must appear in the plan."""
+    import re
+
+    base = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, sf_correct, threshold=0.9).collect()
+    }
+    capped_df = dedup.ngram_jaccard_pairs(
+        spark, sf_correct, threshold=0.9, max_df=10**9
+    )
+    capped = {(r.doc_a, r.doc_b): r.jaccard for r in capped_df.collect()}
+    assert capped == base
+    plan = capped_df._jdf.queryExecution().simpleString()
+    assert re.search(r"df#\d+L? <= 1000000000", plan)
+    # a binding cap may only lose pairs, never invent or distort them
+    binding = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            spark, sf_correct, threshold=0.9, max_df=100
+        ).collect()
+    }
+    assert set(binding) <= set(base)
+    assert all(binding[k] == base[k] for k in binding)
+
+
 def test_simhash_deterministic_and_near_pairs_symmetric(spark, sf_correct):
     a = {r.doc_id: r.simhash for r in dedup.simhash_signatures(spark, sf_correct).collect()}
     b = {r.doc_id: r.simhash for r in dedup.simhash_signatures(spark, sf_correct).collect()}
