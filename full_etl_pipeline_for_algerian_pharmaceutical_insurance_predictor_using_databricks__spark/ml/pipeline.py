@@ -46,6 +46,11 @@ class TrainResult:
     feature_importances: dict[str, float]
     train_rows: int
     test_rows: int
+    #: per-class precision/recall/f1/support keyed by label (parity with
+    #: the reference's sklearn classification_report, ML:217-221)
+    per_class: dict[float, dict[str, float]]
+    #: (label, prediction, n) counts — the distributed confusion matrix
+    confusion: DataFrame = field(repr=False)
     predictions: DataFrame = field(repr=False)
 
 
@@ -101,6 +106,26 @@ def train(spark: SparkSession, sf_dir: str) -> TrainResult:
     importances = {
         names[i]: float(rf_model.featureImportances[i]) for i in range(len(names))
     }
+    # Confusion matrix as one distributed groupBy (2×2 result); the
+    # per-class report (reference classification_report, ML:217-221) is
+    # derived from those four counts — no extra passes over preds.
+    confusion = preds.groupBy("label", "prediction").agg(F.count("*").alias("n"))
+    cm = {(r.label, r.prediction): r.n for r in confusion.collect()}
+    labels = sorted({k[0] for k in cm})
+    per_class: dict[float, dict[str, float]] = {}
+    for lbl in labels:
+        tp = cm.get((lbl, lbl), 0)
+        fp = sum(n for (t, p), n in cm.items() if p == lbl and t != lbl)
+        fn = sum(n for (t, p), n in cm.items() if t == lbl and p != lbl)
+        precision = tp / (tp + fp) if tp + fp else 0.0
+        recall = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+        per_class[lbl] = {
+            "precision": precision,
+            "recall": recall,
+            "f1": f1,
+            "support": float(tp + fn),
+        }
     return TrainResult(
         model=model,
         accuracy=accuracy,
@@ -108,6 +133,8 @@ def train(spark: SparkSession, sf_dir: str) -> TrainResult:
         feature_importances=importances,
         train_rows=train_df.count(),
         test_rows=test_df.count(),
+        per_class=per_class,
+        confusion=confusion,
         predictions=preds,
     )
 
@@ -136,6 +163,7 @@ def save_model(result: TrainResult, path: str) -> None:
         "seed": SEED,
         "train_rows": result.train_rows,
         "test_rows": result.test_rows,
+        "per_class": {str(k): v for k, v in result.per_class.items()},
     }
     with open(os.path.join(path, "training_metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)

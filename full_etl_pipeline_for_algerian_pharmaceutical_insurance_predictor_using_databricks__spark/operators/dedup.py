@@ -30,7 +30,18 @@ from ..sources import load_table
 
 
 def _token_sets(docs: DataFrame) -> DataFrame:
-    """doc_id → exploded distinct tokens (normalized)."""
+    """doc_id → exploded distinct tokens (normalized).
+
+    The fixture parquet is a single row group, so without help every
+    operator downstream of the scan (tokenize, hash, even the probe
+    side of a broadcast self-join) runs in ONE task.  If the input has
+    fewer partitions than the cluster has slots, spread the *document*
+    rows (cheap — pre-explode) first; on a real multi-file 100 TB input
+    partitions >> slots and this is a no-op, costing nothing.
+    """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
     toks = F.explode(
         F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
     ).alias("token")
@@ -38,10 +49,13 @@ def _token_sets(docs: DataFrame) -> DataFrame:
 
 
 def _token_arrays(tok: DataFrame) -> DataFrame:
-    """doc_id → (tokens array<string>, set_size) — the per-doc token set
-    materialized once, for candidate-verify joins."""
+    """doc_id → (token-hash array<long>, set_size) for candidate-verify
+    joins.  Tokens are interned to xxhash64 longs: `array_intersect`
+    over fixed-width longs is several× cheaper than over strings, and
+    |hashed set| = |token set| barring a 2⁻⁶⁴-scale in-document
+    collision, so the Jaccard values are unchanged."""
     return tok.groupBy("doc_id").agg(
-        F.collect_set("token").alias("tokens"),
+        F.collect_set(F.xxhash64("token")).alias("tokens"),
         F.count("*").alias("set_size"),
     )
 

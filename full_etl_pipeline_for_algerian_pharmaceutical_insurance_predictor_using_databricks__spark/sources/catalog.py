@@ -37,7 +37,9 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # integer div, not `/`: epoch-nanos (~1.7e18) exceed double's
+        # 2^53 exact range, so float division can truncate off-by-1µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

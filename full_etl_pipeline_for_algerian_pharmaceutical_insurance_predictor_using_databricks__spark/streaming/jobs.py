@@ -45,9 +45,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load()
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer div matches sources.catalog._read_events — float division
+    # loses 1µs precision past double's 2^53 exact-integer range
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts_stream(stream: DataFrame) -> DataFrame:

@@ -28,6 +28,20 @@ def test_train_eval_persist_roundtrip(spark, sf_correct):
     preds = res.predictions
     assert preds.filter(~F.col("prediction").isin(0.0, 1.0)).count() == 0
 
+    # per-class report (reference classification_report parity): both
+    # classes present with sane metric ranges, and the 6.1-weighted
+    # minority class must not collapse to zero recall
+    assert set(res.per_class) == {0.0, 1.0}
+    for metrics in res.per_class.values():
+        assert set(metrics) == {"precision", "recall", "f1", "support"}
+        assert all(0.0 <= metrics[m] <= 1.0 for m in ("precision", "recall", "f1"))
+    assert res.per_class[1.0]["recall"] >= 0.5
+    # confusion matrix counts reconcile with the test split and accuracy
+    cm = {(r.label, r.prediction): r.n for r in res.confusion.collect()}
+    assert sum(cm.values()) == res.test_rows
+    correct = sum(n for (t, p), n in cm.items() if t == p)
+    assert abs(correct / res.test_rows - res.accuracy) < 1e-9
+
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/model"
         mlp.save_model(res, path)
@@ -38,6 +52,7 @@ def test_train_eval_persist_roundtrip(spark, sf_correct):
         assert meta["accuracy"] == res.accuracy
         assert meta["features"] == ["price", *mlp.CATEGORICALS]
         assert meta["class_weights"] == {"0.0": 1.0, "1.0": 6.1}
+        assert meta["per_class"]["1.0"]["recall"] == res.per_class[1.0]["recall"]
 
 
 def test_split_is_seeded_and_stable(spark, sf_correct):

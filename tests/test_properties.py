@@ -97,3 +97,59 @@ def test_salted_agg_equals_direct_groupby(spark, pairs):
         ).collect()
     }
     assert salted == direct
+
+
+@_SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user (few → long chains)
+            st.sampled_from([0, 1, 1799, 1800, 1801, 7200]),  # gap to prev event
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sessionization_boundary_parity_with_oracle(spark, steps):
+    """Events clustered at EXACTLY the 30-min gap (1799/1800/1801 s
+    deltas, plus ties at 0) must sessionize identically in the Spark
+    operator and its DuckDB oracle — guards the >gap boundary, the
+    BIGINT session_seq cast, and event_id tie-breaking."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        events as ev_ops,
+    )
+
+    base = 1_700_000_000
+    clocks: dict[int, int] = {}
+    rows = []
+    for event_id, (user, delta) in enumerate(steps):
+        clocks[user] = clocks.get(user, base) + delta
+        rows.append((event_id, f"u{user}", clocks[user]))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "events.parquet")
+        (
+            spark.createDataFrame(rows, "event_id long, user_id string, epoch long")
+            .select("event_id", "user_id", F.timestamp_seconds("epoch").alias("ts"))
+            .write.parquet(path)
+        )
+        got = {
+            (r.user_id, r.session_seq): (r.events, r.session_start, r.session_end)
+            for r in ev_ops.sessionization(spark, d).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')"
+        )
+        want = {
+            (u, seq): (n, s, e)
+            for u, seq, n, s, e, _ in con.execute(
+                ev_ops.ORACLES["events_sessionization"]
+            ).fetchall()
+        }
+        con.close()
+    assert got == want
