@@ -451,14 +451,19 @@ def dedup_clusters(
     chains). The same loop at 100 TB is the standard large-graph CC
     (GraphX/GraphFrames use exactly this)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the pair list BEFORE mirroring: the two union branches
+    # are separate subtrees to Spark (no cross-branch CSE), so an
+    # un-checkpointed union would run the whole near-dup join twice
+    pairs = (
+        ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
     edges = (
         pairs.union(
             pairs.select(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
         )
-        .localCheckpoint()  # pairs' 4-join lineage replays every iteration otherwise
+        .localCheckpoint()  # pairs' lineage replays every iteration otherwise
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
     for _ in range(max_iter):
