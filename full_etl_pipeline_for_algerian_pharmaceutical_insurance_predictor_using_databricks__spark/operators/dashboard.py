@@ -56,14 +56,26 @@ def _grand_total(count_col: str) -> F.Column:
 # --------------------------------------------------------------------------
 
 
-def q01_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q01_overview(
+    spark: SparkSession, sf_dir: str, approx_median: bool = False
+) -> DataFrame:
+    """``approx_median`` is the 100-TB knob (SURVEY §7 "what's hard" v):
+    exact `percentile` buffers every value per group, while
+    `percentile_approx` aggregates a fixed-size sketch (KLL-style,
+    accuracy 1/10000 here) with map-side partials — constant memory at
+    any scale. The oracle-checked tier stays exact."""
     med = medications(spark, sf_dir)
+    median = (
+        F.percentile_approx("price", 0.5, 10000)
+        if approx_median
+        else F.percentile("price", 0.5)
+    )
     return med.agg(
         F.count("*").alias("total_medications"),
         F.countDistinct("lab_name").alias("manufacturers"),
         F.countDistinct("therapeutic_class").alias("disease_categories"),
         F.round(F.avg("price"), 0).cast("double").alias("avg_price_DA"),
-        F.round(F.percentile("price", 0.5), 0).cast("double").alias("median_price_DA"),
+        F.round(median, 0).cast("double").alias("median_price_DA"),
         F.max("price").alias("most_expensive_DA"),
     )
 
