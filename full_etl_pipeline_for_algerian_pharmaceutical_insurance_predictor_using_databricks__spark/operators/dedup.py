@@ -29,8 +29,14 @@ from ..sources import load_table
 # --------------------------------------------------------------------------
 
 
-def _token_sets(docs: DataFrame) -> DataFrame:
+def _token_sets(docs: DataFrame, shingle_n: int | None = None) -> DataFrame:
     """doc_id → exploded distinct tokens (normalized).
+
+    ``shingle_n=None`` tokenizes on whitespace (word sets); an integer
+    emits character n-gram shingles of that width instead — the classic
+    near-dup unit (robust to word-boundary edits), built with
+    sequence+transform+substring so the whole expansion stays in
+    expression codegen.
 
     The fixture parquet is a single row group, so without help every
     operator downstream of the scan (tokenize, hash, even the probe
@@ -42,10 +48,16 @@ def _token_sets(docs: DataFrame) -> DataFrame:
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism)
-    toks = F.explode(
-        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
-    ).alias("token")
-    return docs.select("doc_id", toks)
+    if shingle_n is None:
+        tokens = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    else:
+        # greatest(..., 1): sequence(1, 0) would run DESCENDING ([1, 0]);
+        # docs shorter than n emit their whole text as the one shingle
+        tokens = F.expr(
+            f"transform(sequence(1, greatest(length(trim(lower(text))) - {shingle_n} + 1, 1)),"
+            f" i -> substring(trim(lower(text)), i, {shingle_n}))"
+        )
+    return docs.select("doc_id", F.explode(F.array_distinct(tokens)).alias("token"))
 
 
 def _token_arrays(tok: DataFrame) -> DataFrame:
@@ -139,6 +151,7 @@ def ngram_jaccard_pairs(
     sf_dir: str,
     threshold: float = JACCARD_THRESHOLD,
     max_df: int | None = None,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """All doc pairs with token-set Jaccard ≥ threshold.
 
@@ -158,7 +171,7 @@ def ngram_jaccard_pairs(
     (the oracle-checked default; at 100 TB you always set it).
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = _token_sets(docs)
+    tok = _token_sets(docs, shingle_n=shingle_n)
     if max_df is not None:
         doc_freq = tok.groupBy("token").agg(F.count("*").alias("df"))
         join_tok = (
@@ -250,6 +263,7 @@ def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = CANDIDATE_VERIFY_THRESHOLD,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, exact-verified.
 
@@ -261,7 +275,7 @@ def minhash_lsh_pairs(
     banding at scale.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = _token_sets(docs)
+    tok = _token_sets(docs, shingle_n=shingle_n)
     sig = _minhash_signature(tok)
     rows_per_band = N_HASHES // N_BANDS
     bands = sig.select(

@@ -219,3 +219,25 @@ def test_audio_rms_windows(spark, sf_correct):
     # uint8 samples → RMS bounded by [0, 255]
     bounds = out.agg(F.min("rms"), F.max("rms")).collect()[0]
     assert 0.0 <= bounds[0] and bounds[1] <= 255.0
+
+
+def test_shingle_tokenization_paths_agree(spark, sf_correct):
+    """Character-5-gram shingles: exact inverted-index and MinHash-LSH
+    must agree pair-for-pair and value-for-value (the corpus's tiny word
+    vocabulary makes shingles far more discriminative, so this exercises
+    a sparser similarity structure than the word-token default)."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            spark, sf_correct, threshold=0.9, shingle_n=5
+        ).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(
+            spark, sf_correct, threshold=0.9, shingle_n=5
+        ).collect()
+    }
+    assert set(mh) <= set(exact)
+    assert all(mh[k] == exact[k] for k in mh)
+    assert all(0.9 <= v <= 1.0 for v in exact.values())
