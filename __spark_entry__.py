@@ -104,6 +104,8 @@ _ORACLE_ORDER = [
 
 _ROWS_ONLY_ORDER = [
     "events_approx_distinct_users",
+    # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest
+    "text_winnowed_fingerprints",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "sim_ann_lsh",

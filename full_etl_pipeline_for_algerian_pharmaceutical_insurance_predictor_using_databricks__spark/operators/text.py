@@ -189,6 +189,41 @@ FROM documents
 """
 
 
+def winnowed_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-char shingle (rolling-hash family —
+    xxhash64 over each substring window), then keep the MINIMUM hash of
+    every w-length window of consecutive shingle hashes.  Guarantees:
+    any shared substring of length ≥ w+k-1 between two documents yields
+    at least one shared fingerprint, while storing only ~2/(w+1) of the
+    shingle hashes.
+
+    Shape: two narrow selects — shingle-hash array built ONCE per doc
+    (O(L)), windows then `slice` into it (no rehashing) — explode to
+    (doc_id, fingerprint) rows. Pure expression codegen, no shuffle; at
+    100 TB this is a map-only pass feeding the same inverted-index /
+    banding joins as the token paths (a fingerprint IS a selected
+    shingle hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = "trim(lower(text))"
+    hashes = F.expr(
+        f"transform(sequence(1, greatest(length({norm}) - {k} + 1, 1)),"
+        f" i -> xxhash64(substring({norm}, i, {k})))"
+    )
+    with_hashes = docs.select("doc_id", hashes.alias("h"))
+    winnowed = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(h) - {w} + 1, 1)),"
+            f" p -> array_min(slice(h, p, {w})))"
+        )
+    )
+    return with_hashes.select(
+        "doc_id", F.explode(winnowed).alias("fingerprint")
+    )
+
+
 def source_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition: docs/chars per (source, lang) with per-source
     share — the mixture report a data pipeline publishes per snapshot."""
@@ -226,6 +261,7 @@ GROUP BY source, lang
 
 
 QUERIES = {
+    "text_winnowed_fingerprints": winnowed_fingerprints,
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
     "text_lang_id_confusion": lang_id_confusion,

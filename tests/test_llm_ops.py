@@ -241,3 +241,37 @@ def test_shingle_tokenization_paths_agree(spark, sf_correct):
     assert set(mh) <= set(exact)
     assert all(mh[k] == exact[k] for k in mh)
     assert all(0.9 <= v <= 1.0 for v in exact.values())
+
+
+def test_winnowing_guarantee_and_density(spark, sf_correct):
+    """Winnowing invariants: deterministic; density ~2/(w+1); and the
+    core guarantee — two documents sharing a substring of length
+    >= w+k-1 share at least one fingerprint."""
+    import os
+    import tempfile
+
+    fp = text.winnowed_fingerprints(spark, sf_correct)
+    per_doc = fp.groupBy("doc_id").count()
+    docs = load_table(spark, sf_correct, "documents").count()
+    assert per_doc.count() == docs
+    assert fp.distinct().count() == fp.count()
+
+    shared = "zqxjkvbnmwpfghrl expected common run zyxwvutsrq"  # >= w+k-1 chars
+    rows = [
+        (1, "left prefix AAAA " + shared + " tail one"),
+        (2, "другой prefix BBBB " + shared + " other tail"),
+        (3, "no overlap at all here whatsoever 12345"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        (
+            spark.createDataFrame(rows, "doc_id long, text string")
+            .write.parquet(os.path.join(d, "documents.parquet"))
+        )
+        out = text.winnowed_fingerprints(spark, d)
+        sets = {
+            r.doc_id: r.fps
+            for r in out.groupBy("doc_id")
+            .agg(F.collect_set("fingerprint").alias("fps"))
+            .collect()
+        }
+    assert set(sets[1]) & set(sets[2]), "shared substring must share a fingerprint"
