@@ -41,6 +41,36 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127, code
+    = round(x/scale) — 4× less memory/IO than float32, the standard
+    first lever when an embedding corpus stops fitting the cluster.
+    Map-only expression pipeline (no UDF, no shuffle); `dequantize_col`
+    reverses it for similarity math, and cosine degrades by < 1e-3 on
+    unit-scale vectors (asserted in tests/test_llm_ops.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.when(absmax == 0.0, F.lit(1.0)).otherwise(absmax / F.lit(127.0))
+    return emb.select(
+        "vec_id",
+        "label",
+        scale.alias("scale"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") / scale).cast("tinyint"),
+        ).alias("codes"),
+    )
+
+
+def dequantize_col(codes: Column, scale: Column) -> Column:
+    """codes (array<tinyint>) × scale → array<double>."""
+    return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
 TOP_K = 5
 N_QUERY_VECS = 20  # first N vec_ids act as the query set
 
@@ -389,6 +419,7 @@ GROUP BY label, dim
 
 
 QUERIES = {
+    "sim_quantize_int8": quantize_embeddings,
     "sim_knn_bruteforce": knn_bruteforce,
     "sim_ann_lsh": ann_lsh,
     "sim_ann_ivf": ann_ivf,

@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.events import SESSION_GAP_SEC
 from ..schemas import EVENTS
@@ -214,6 +214,42 @@ def stateful_sessionizer_stream(stream: DataFrame) -> DataFrame:
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def static_enriched_stream(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: enrich each event with a per-user
+    dimension row (here a batch-derived user profile).  The static side
+    is broadcast to every task and re-resolved per micro-batch — the
+    standard pattern for dimension enrichment at any scale (no state,
+    no watermark needed for an inner equality join against a static
+    relation)."""
+    return stream.join(F.broadcast(user_dim), "user_id").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        "event_type",
+        "value",
+        "user_events",
+        "user_value_rank",
+    )
+
+
+def user_dim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static dimension for the enrichment join: per-user event count
+    and a value-rank bucket, computed from the batch events table."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("user_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("_total"),
+    )
+    return per_user.select(
+        "user_id",
+        "user_events",
+        F.ntile(4).over(Window.orderBy(F.desc("_total"), F.asc("user_id"))).alias(
+            "user_value_rank"
+        ),
     )
 
 

@@ -275,3 +275,28 @@ def test_winnowing_guarantee_and_density(spark, sf_correct):
             .collect()
         }
     assert set(sets[1]) & set(sets[2]), "shared substring must share a fingerprint"
+
+
+def test_int8_quantization_reconstruction(spark, sf_correct):
+    """Symmetric int8 quantization: codes stay in [-127, 127], the
+    reconstruction cosine against the original vector is >= 0.999, and
+    the op is deterministic."""
+    q = similarity.quantize_embeddings(spark, sf_correct)
+    emb = load_table(spark, sf_correct, "embeddings")
+    assert q.count() == emb.count()
+    out_of_range = q.select(
+        F.explode("codes").alias("c")
+    ).filter((F.col("c") > 127) | (F.col("c") < -127)).count()
+    assert out_of_range == 0
+    worst = (
+        emb.join(q, "vec_id")
+        .select(
+            similarity.cosine_col(
+                F.col("embedding"),
+                similarity.dequantize_col(F.col("codes"), F.col("scale")),
+            ).alias("cos_q")
+        )
+        .agg(F.min("cos_q"))
+        .collect()[0][0]
+    )
+    assert worst >= 0.999

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
     events as batch_events,
 )
@@ -184,3 +186,29 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     # fixture has unique event_ids → dedup is lossless
     assert result.count() == n_events
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join: every streamed event is enriched
+    with the batch-derived user dimension; result must equal the same
+    join done fully in batch."""
+    dim = jobs.user_dim_batch(spark, sf_dir)
+    stream = jobs.events_stream(spark, sf_dir)
+    result = jobs.run_available_now(
+        jobs.static_enriched_stream(stream, dim), "t_static_enrich"
+    )
+    batch_events_df = batch_events.load_table(spark, sf_dir, "events")
+    expected = (
+        batch_events_df.join(dim, "user_id")
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("epoch_s"),
+            "event_type",
+            "value",
+            "user_events",
+            "user_value_rank",
+        )
+    )
+    got = sorted(tuple(r) for r in result.collect())
+    want = sorted(tuple(r) for r in expected.collect())
+    assert got == want
