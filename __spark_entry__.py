@@ -117,6 +117,34 @@ _ROWS_ONLY_ORDER = [
 ]
 
 
+#: Builders whose output is value-checked THROUGH a composite entry
+#: (operators/composites.py) instead of their own driver row.  Any
+#: module-registered builder must be in the order lists or named here —
+#: a new operator that is in neither fails fast instead of silently
+#: vanishing from the driver gate.
+_PACKAGED_IN_COMPOSITES = {
+    "join_semi_urgent_customers",
+    "join_anti_no_urgent_customers",
+    "setop_intersect_building_urgent",
+    "setop_except_customers_without_open_orders",
+    "agg_rollup_status_priority",
+    "agg_cube_status_priority",
+    "window_top3_orders_per_customer",
+    "window_running_customer_revenue",
+    "events_tumbling_5min",
+    "events_sliding_10min",
+    "events_hourly_activity",
+    "events_daily_rollup_from_hourly",
+    "text_token_stats",
+    "text_quality_score",
+    "text_fingerprint",
+    "mm_image_metadata",
+    "mm_image_resize",
+    "mm_frame_sample",
+    "mm_audio_rms",
+}
+
+
 def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (
@@ -132,6 +160,10 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ):
         pool.update(mod.QUERIES)
     pool["ml_feature_encoding"] = encoding.ml_feature_encoding
+    unrouted = (
+        set(pool) - set(_ORACLE_ORDER) - set(_ROWS_ONLY_ORDER) - _PACKAGED_IN_COMPOSITES
+    )
+    assert not unrouted, f"builders missing from the driver entry lists: {sorted(unrouted)}"
     return pool
 
 

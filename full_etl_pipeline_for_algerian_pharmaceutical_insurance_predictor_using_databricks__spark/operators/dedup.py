@@ -50,14 +50,22 @@ def _token_sets(docs: DataFrame, shingle_n: int | None = None) -> DataFrame:
         docs = docs.repartition(parallelism)
     if shingle_n is None:
         tokens = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    else:
-        # greatest(..., 1): sequence(1, 0) would run DESCENDING ([1, 0]);
-        # docs shorter than n emit their whole text as the one shingle
-        tokens = F.expr(
-            f"transform(sequence(1, greatest(length(trim(lower(text))) - {shingle_n} + 1, 1)),"
-            f" i -> substring(trim(lower(text)), i, {shingle_n}))"
+        return docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens)).alias("token")
         )
-    return docs.select("doc_id", F.explode(F.array_distinct(tokens)).alias("token"))
+    # normalize ONCE per doc in its own projection: referencing
+    # trim(lower(text)) inside the transform lambda would re-run the
+    # O(L) rewrite at every shingle position (O(L²) per doc).
+    # greatest(..., 1): sequence(1, 0) would run DESCENDING ([1, 0]);
+    # docs shorter than n emit their whole text as the one shingle
+    normed = docs.select(
+        "doc_id", F.trim(F.lower(F.col("text"))).alias("t")
+    )
+    tokens = F.expr(
+        f"transform(sequence(1, greatest(length(t) - {shingle_n} + 1, 1)),"
+        f" i -> substring(t, i, {shingle_n}))"
+    )
+    return normed.select("doc_id", F.explode(F.array_distinct(tokens)).alias("token"))
 
 
 def _token_arrays(tok: DataFrame) -> DataFrame:
@@ -83,16 +91,22 @@ def _verify_pairs_exact(
     |candidates| — never the all-pairs join — which is the whole point
     of banding/prefix-filter candidate generation at 100 TB.
     """
+    # shuffle_hash: the candidate side has no useful stats (it arrives
+    # from a checkpoint), so the planner would default to sort-merge —
+    # two O(|candidates| log) sorts for nothing.  A shuffled hash join
+    # builds per-partition hash maps over the doc side (O(docs/parts)
+    # rows each) and streams candidates through: the right plan at any
+    # scale, and 4-5× faster here (35.7s → 7.7s at sf0.1).
     a = tok_arrays.select(
         F.col("doc_id").alias("doc_a"),
         F.col("tokens").alias("tokens_a"),
         F.col("set_size").alias("size_a"),
-    )
+    ).hint("shuffle_hash")
     b = tok_arrays.select(
         F.col("doc_id").alias("doc_b"),
         F.col("tokens").alias("tokens_b"),
         F.col("set_size").alias("size_b"),
-    )
+    ).hint("shuffle_hash")
     shared = F.size(F.array_intersect("tokens_a", "tokens_b"))
     return (
         pairs.join(a, "doc_a")
@@ -310,13 +324,17 @@ def minhash_lsh_pairs(
             F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b")
         )
         .distinct()
-        # pin the deduped candidate set: it is the narrow waist of the
-        # pipeline (pairs, two longs each), and pinning it keeps the
-        # band-join/distinct subtree from ever re-executing under the
-        # verify joins (measured 54s → 14s at sf0.1).  MEMORY_AND_DISK
-        # by default, LRU-evicted — at cluster scale this is the same
-        # "materialize the candidate list" step every LSH pipeline has.
-        .persist()
+        # materialize the deduped candidate set: it is the narrow waist
+        # of the pipeline (pairs, two longs each), and without this the
+        # band-join/distinct subtree re-executes under the verify joins
+        # (measured 54s → 14s at sf0.1).  localCheckpoint, not persist:
+        # a persist() entry is plan-matched by the CacheManager across
+        # CALLS (a later identical invocation silently reads the old
+        # cache — poison for benchmarks) and is never unpersisted;
+        # checkpoint blocks are reclaimed when the DataFrame is GC'd.
+        # At cluster scale this is the same "materialize the candidate
+        # list" step every LSH pipeline has.
+        .localCheckpoint()
     )
     return _verify_pairs_exact(candidates, _token_arrays(tok), threshold)
 

@@ -54,14 +54,24 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )
-    scale = F.when(absmax == 0.0, F.lit(1.0)).otherwise(absmax / F.lit(127.0))
-    return emb.select(
+    # scale is computed in its OWN projection: referencing the O(d)
+    # absmax fold inside the codes lambda would re-run it per element
+    # (O(d²) per vector)
+    scaled = emb.select(
         "vec_id",
         "label",
-        scale.alias("scale"),
+        "embedding",
+        F.when(absmax == 0.0, F.lit(1.0))
+        .otherwise(absmax / F.lit(127.0))
+        .alias("scale"),
+    )
+    return scaled.select(
+        "vec_id",
+        "label",
+        "scale",
         F.transform(
             "embedding",
-            lambda x: F.round(x.cast("double") / scale).cast("tinyint"),
+            lambda x: F.round(x.cast("double") / F.col("scale")).cast("tinyint"),
         ).alias("codes"),
     )
 

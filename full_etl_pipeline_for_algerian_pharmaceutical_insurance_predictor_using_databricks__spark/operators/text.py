@@ -207,12 +207,14 @@ def winnowed_fingerprints(
     banding joins as the token paths (a fingerprint IS a selected
     shingle hash)."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = "trim(lower(text))"
+    # normalize ONCE per doc in its own projection — inside the
+    # transform lambda the O(L) rewrite would re-run per position
+    normed = docs.select("doc_id", F.expr("trim(lower(text))").alias("t"))
     hashes = F.expr(
-        f"transform(sequence(1, greatest(length({norm}) - {k} + 1, 1)),"
-        f" i -> xxhash64(substring({norm}, i, {k})))"
+        f"transform(sequence(1, greatest(length(t) - {k} + 1, 1)),"
+        f" i -> xxhash64(substring(t, i, {k})))"
     )
-    with_hashes = docs.select("doc_id", hashes.alias("h"))
+    with_hashes = normed.select("doc_id", hashes.alias("h"))
     winnowed = F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(size(h) - {w} + 1, 1)),"

@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.events import SESSION_GAP_SEC
 from ..schemas import EVENTS
@@ -236,20 +236,29 @@ def static_enriched_stream(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
 
 def user_dim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static dimension for the enrichment join: per-user event count
-    and a value-rank bucket, computed from the batch events table."""
+    and a value-quartile bucket, computed from the batch events table.
+
+    The quartile comes from `approxQuantile` cut points applied as a
+    CASE chain — NOT a global `ntile` window, which would move every
+    user row to a single task (the unpartitioned-window trap,
+    SURVEY §4.3.1); this form stays a map-side expression after the one
+    per-user aggregation and scales to any number of users."""
     from ..sources import load_table
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count("*").alias("user_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("_total"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("_total"),
+    )
+    q1, q2, q3 = per_user.approxQuantile("_total", [0.25, 0.5, 0.75], 0.001)
+    rank = (
+        F.when(F.col("_total") <= q1, 4)
+        .when(F.col("_total") <= q2, 3)
+        .when(F.col("_total") <= q3, 2)
+        .otherwise(1)
     )
     return per_user.select(
-        "user_id",
-        "user_events",
-        F.ntile(4).over(Window.orderBy(F.desc("_total"), F.asc("user_id"))).alias(
-            "user_value_rank"
-        ),
+        "user_id", "user_events", rank.alias("user_value_rank")
     )
 
 

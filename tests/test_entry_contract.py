@@ -18,7 +18,8 @@ def test_every_oracle_entry_is_inside_the_driver_window():
 
 def test_queries_and_oracles_are_callable_and_nonempty():
     q = entry.queries()
-    assert len(q) == len(set(q)) and len(q) >= 58
+    assert len(q) == len(entry._ORACLE_ORDER) + len(entry._ROWS_ONLY_ORDER)
+    assert len(entry._ORACLE_ORDER) == 50
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(sql, str) and "SELECT" in sql.upper()
                for sql in entry.oracle_sql().values())
