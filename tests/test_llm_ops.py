@@ -62,6 +62,9 @@ def test_minhash_verify_is_candidate_only_and_value_exact(spark, sf_correct):
     assert all(mh[k] == exact[k] for k in mh)
     plan = mh_df._jdf.queryExecution().simpleString()
     assert "array_intersect" in plan
+    # the verify joins must be shuffled-hash (checkpointed candidates
+    # have no stats; default sort-merge costs 4-5× — see dedup.py)
+    assert "ShuffledHashJoin" in plan
 
 
 def test_jaccard_max_df_parity_and_plan(spark, sf_correct):
