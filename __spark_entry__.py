@@ -163,7 +163,12 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unrouted = (
         set(pool) - set(_ORACLE_ORDER) - set(_ROWS_ONLY_ORDER) - _PACKAGED_IN_COMPOSITES
     )
-    assert not unrouted, f"builders missing from the driver entry lists: {sorted(unrouted)}"
+    # RuntimeError, not assert: this guard defines the driver correctness
+    # window and must fire even under `python -O`.
+    if unrouted:
+        raise RuntimeError(
+            f"builders missing from the driver entry lists: {sorted(unrouted)}"
+        )
     return pool
 
 
@@ -198,5 +203,6 @@ def oracle_sql() -> dict[str, str]:
     pool["ml_feature_encoding"] = MEDICATIONS_CTE + encoding.ML_FEATURE_ENCODING_SQL
     out = {name: pool[name] for name in _ORACLE_ORDER if name in pool}
     missing = [name for name in _ORACLE_ORDER if name not in pool]
-    assert not missing, f"oracle-window entries without oracle SQL: {missing}"
+    if missing:
+        raise RuntimeError(f"oracle-window entries without oracle SQL: {missing}")
     return out

@@ -187,6 +187,12 @@ def ngram_jaccard_pairs(
     docs = load_table(spark, sf_dir, "documents")
     tok = _token_sets(docs, shingle_n=shingle_n)
     if max_df is not None:
+        # Materialize the tokenize waist: this subtree (scan → repartition
+        # → tokenize/shingle) otherwise re-executes in four branches —
+        # doc_freq, both self-join sides, and the verify token arrays.
+        # localCheckpoint (not persist) for the CacheManager reasons
+        # documented on the minhash candidate list below.
+        tok = tok.localCheckpoint()
         doc_freq = tok.groupBy("token").agg(F.count("*").alias("df"))
         join_tok = (
             tok.join(doc_freq.filter(F.col("df") <= max_df), "token")
