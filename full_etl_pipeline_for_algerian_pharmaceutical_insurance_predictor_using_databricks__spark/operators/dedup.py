@@ -5,6 +5,16 @@ token-set Jaccard, MinHash-LSH, SimHash, embedding-cosine near-dup
 Scale design:
 - Exact dedup is a hash-groupBy on a fingerprint — one shuffle on the
   hash, arbitrary scale.
+- EVERY quadratic stage runs on CONTRACTED documents: docs with
+  identical token sets collapse to one representative first
+  (`_contract`), the pair stage runs rep-level, and member pairs are
+  expanded afterwards (`_expand_rep_pairs`).  Web corpora carry heavy
+  exact-duplicate mass, and a duplicate group of m docs costs C(m,2)
+  pairs in every downstream join — contraction removes that factor from
+  the O(n²) stage and reintroduces it only in the output-sized
+  expansion.  On the near-clique fixture this halves the LSH candidate
+  volume and cuts rep-level jaccard output 33× (29k rep pairs → 965k
+  doc pairs).
 - Jaccard near-dup uses the inverted-index self-join formulation
   (token → posting list → pair counts). At 100 TB you bound posting
   lists by dropping ultra-high-df tokens (`max_df`) — the classic
@@ -68,16 +78,108 @@ def _token_sets(docs: DataFrame, shingle_n: int | None = None) -> DataFrame:
     return normed.select("doc_id", F.explode(F.array_distinct(tokens)).alias("token"))
 
 
-def _token_arrays(tok: DataFrame) -> DataFrame:
-    """doc_id → (token-hash array<long>, set_size) for candidate-verify
-    joins.  Tokens are interned to xxhash64 longs: `array_intersect`
-    over fixed-width longs is several× cheaper than over strings, and
-    |hashed set| = |token set| barring a 2⁻⁶⁴-scale in-document
-    collision, so the Jaccard values are unchanged."""
-    return tok.groupBy("doc_id").agg(
-        F.collect_set(F.xxhash64("token")).alias("tokens"),
+def _contract(tok: DataFrame) -> DataFrame:
+    """Collapse docs with IDENTICAL token sets into one representative.
+
+    Returns a materialized groups table:
+        rep        — smallest doc_id of the group (its representative)
+        tokens     — sorted token-hash array<long> of the shared set
+        set_size   — |token set|
+        members    — sorted array of all doc_ids sharing the set
+        n_members  — group size
+
+    Tokens are interned to xxhash64 longs: grouping and
+    `array_intersect` over fixed-width longs are several× cheaper than
+    over strings, and |hashed set| = |token set| barring a 2⁻⁶⁴-scale
+    collision, so Jaccard values are unchanged.
+
+    localCheckpoint (not persist — CacheManager plan-matching, see
+    minhash below) because every caller fans out into several branches
+    (pair stage, verify arrays, expansion) that would each re-run the
+    tokenize+double-groupBy otherwise.  The checkpoint freezes whatever
+    partitioning AQE chose for the tiny groups shuffle (often ONE
+    partition at fixture scale), so the rep-level frame is re-spread to
+    the cluster's parallelism before the quadratic stage.
+    """
+    sets_ = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set(F.xxhash64("token"))).alias("tokens"),
         F.count("*").alias("set_size"),
     )
+    groups = (
+        sets_.groupBy("tokens", "set_size")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .select(
+            F.element_at("members", 1).alias("rep"),
+            "tokens",
+            "set_size",
+            "members",
+            F.size("members").alias("n_members"),
+        )
+        .localCheckpoint()
+    )
+    parallelism = tok.sparkSession.sparkContext.defaultParallelism
+    if groups.rdd.getNumPartitions() < parallelism:
+        groups = groups.repartition(parallelism)
+    return groups
+
+
+def _rep_tokens(groups: DataFrame) -> DataFrame:
+    """rep-level exploded token list (doc_id = rep, token = hash<long>)
+    — the input to every rep-level pair stage."""
+    return groups.select(
+        F.col("rep").alias("doc_id"), F.explode("tokens").alias("token")
+    )
+
+
+def _rep_arrays(groups: DataFrame) -> DataFrame:
+    """rep-level (doc_id, tokens, set_size) for `_verify_pairs_exact`."""
+    return groups.select(F.col("rep").alias("doc_id"), "tokens", "set_size")
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, groups: DataFrame, threshold: float
+) -> DataFrame:
+    """Expand rep-level qualifying pairs back to member doc pairs.
+
+    Cross-group: every (a ∈ G1, b ∈ G2) inherits the rep pair's jaccard
+    (identical sets ⇒ identical overlap arithmetic).  Intra-group:
+    members share the exact set, jaccard = 1.0; pairs are generated
+    narrow (per-row combination expression over the sorted members
+    array — no shuffle, no join) and only when 1.0 passes the
+    threshold.  Output keeps the doc_a < doc_b convention via
+    least/greatest (groups are disjoint, so cross pairs never tie).
+    """
+    ma = groups.select(F.col("rep").alias("rep_a"), F.explode("members").alias("da"))
+    mb = groups.select(F.col("rep").alias("rep_b"), F.explode("members").alias("db"))
+    cross = (
+        rep_pairs.select(
+            F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"), "jaccard"
+        )
+        .join(ma.hint("shuffle_hash"), "rep_a")
+        .join(mb.hint("shuffle_hash"), "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    # members is sorted, so slicing past each index yields doc_a < doc_b
+    # by construction
+    intra_pairs = F.flatten(
+        F.expr(
+            "transform(members, (x, i) ->"
+            " transform(slice(members, i + 2, size(members)),"
+            " y -> struct(x AS doc_a, y AS doc_b)))"
+        )
+    )
+    intra = (
+        groups.filter(F.col("n_members") > 1)
+        .select(F.explode(intra_pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(intra)
 
 
 def _verify_pairs_exact(
@@ -181,23 +283,46 @@ def ngram_jaccard_pairs(
     least one sub-cap token gets its true Jaccard.  The only pairs the
     cap can lose are those whose entire overlap is hot tokens — at
     threshold 0.9 such a pair would need ~all its tokens hotter than
-    max_df, which is the pair you least want anyway.  ``None`` = exact
-    (the oracle-checked default; at 100 TB you always set it).
+    max_df, which is the pair you least want anyway.  (Identical-set
+    pairs are immune: contraction finds them without candidate
+    generation.)  ``None`` = exact (the oracle-checked default; at
+    100 TB you always set it).
+
+    Both paths run rep-level (see `_contract`): the self-join and the
+    verify touch one row per distinct token set, and duplicate groups
+    re-enter only in the output-sized expansion.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = _token_sets(docs, shingle_n=shingle_n)
+    groups = _contract(_token_sets(docs, shingle_n=shingle_n))
+    rep_pairs = _rep_jaccard_pairs(groups, threshold, max_df)
+    return _expand_rep_pairs(rep_pairs, groups, threshold)
+
+
+def _rep_jaccard_pairs(
+    groups: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
+    """Rep-level Jaccard pairs (doc_a, doc_b, jaccard) with
+    doc_a < doc_b, both representatives.
+
+    The `shuffle_hash` hints matter: every input derives from the
+    checkpointed groups table, which has no stats, so the planner would
+    fall back to sort-merge for the size joins (two pointless
+    O(pairs·log) sorts — see `_verify_pairs_exact`)."""
+    rep_tok = _rep_tokens(groups)
     if max_df is not None:
-        # Materialize the tokenize waist: this subtree (scan → repartition
-        # → tokenize/shingle) otherwise re-executes in four branches —
-        # doc_freq, both self-join sides, and the verify token arrays.
-        # localCheckpoint (not persist) for the CacheManager reasons
-        # documented on the minhash candidate list below.
-        tok = tok.localCheckpoint()
-        doc_freq = tok.groupBy("token").agg(F.count("*").alias("df"))
-        join_tok = (
-            tok.join(doc_freq.filter(F.col("df") <= max_df), "token")
-            .select("doc_id", "token")
+        # document frequency counts DOCUMENTS, not distinct sets — a
+        # token appearing in one 10k-duplicate group is as hot as one in
+        # 10k singletons — so weight each rep by its group size.
+        rep_w = groups.select(F.col("rep").alias("doc_id"), "n_members")
+        doc_freq = (
+            _rep_tokens(groups)
+            .join(rep_w.hint("shuffle_hash"), "doc_id")
+            .groupBy("token")
+            .agg(F.sum("n_members").alias("df"))
         )
+        join_tok = rep_tok.join(
+            doc_freq.filter(F.col("df") <= max_df), "token"
+        ).select("doc_id", "token")
         t1 = join_tok.alias("t1")
         t2 = join_tok.alias("t2")
         candidates = (
@@ -209,10 +334,10 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
-        return _verify_pairs_exact(candidates, _token_arrays(tok), threshold)
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    t1 = tok.alias("t1")
-    t2 = tok.alias("t2")
+        return _verify_pairs_exact(candidates, _rep_arrays(groups), threshold)
+    sizes = groups.select(F.col("rep").alias("doc_id"), "set_size")
+    t1 = rep_tok.alias("t1")
+    t2 = rep_tok.alias("t2")
     shared = (
         t1.join(t2, F.col("t1.token") == F.col("t2.token"))
         .filter(F.col("t1.doc_id") < F.col("t2.doc_id"))
@@ -221,8 +346,8 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("shared"))
     )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
+    s1 = sizes.alias("s1").hint("shuffle_hash")
+    s2 = sizes.alias("s2").hint("shuffle_hash")
     jac = F.col("shared") / (
         F.col("s1.set_size") + F.col("s2.set_size") - F.col("shared")
     )
@@ -268,9 +393,13 @@ CANDIDATE_VERIFY_THRESHOLD = 0.5
 
 def _minhash_signature(tok: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """doc_id → array<long> MinHash signature. Hash family: xxhash64 of
-    the token salted per hash index — all JVM-side."""
+    the token salted per hash index — all JVM-side.  Works over raw
+    string tokens or interned token hashes (the signature only needs a
+    consistent random family over token identity)."""
     hashes = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("token")))).alias(f"h{i}")
+        F.min(
+            F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("token").cast("string")))
+        ).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     sig = tok.groupBy("doc_id").agg(*hashes)
@@ -293,10 +422,16 @@ def minhash_lsh_pairs(
     (two doc_id hash joins onto per-doc token arrays + array_intersect)
     — the all-pairs join is never materialized, which is the point of
     banding at scale.
+
+    Runs rep-level end-to-end (`_contract`): identical token sets have
+    identical signatures, hence identical band keys, so banding on
+    representatives + member expansion emits exactly the pairs banding
+    on raw docs would — while a duplicate group of m docs stops costing
+    C(m,2) rows in the band join, the distinct, and the verify.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = _token_sets(docs, shingle_n=shingle_n)
-    sig = _minhash_signature(tok)
+    groups = _contract(_token_sets(docs, shingle_n=shingle_n))
+    sig = _minhash_signature(_rep_tokens(groups))
     rows_per_band = N_HASHES // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -342,7 +477,8 @@ def minhash_lsh_pairs(
         # list" step every LSH pipeline has.
         .localCheckpoint()
     )
-    return _verify_pairs_exact(candidates, _token_arrays(tok), threshold)
+    verified = _verify_pairs_exact(candidates, _rep_arrays(groups), threshold)
+    return _expand_rep_pairs(verified, groups, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -489,13 +625,23 @@ def dedup_clusters(
     exponentially. With doubling, iterations = O(log diameter) instead
     of O(diameter) (measured: a diameter-8 pair graph converges in 4
     rounds, not 8); `max_iter` bounds adversarial chains. The same loop
-    at 100 TB is the standard large-graph CC."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    at 100 TB is the standard large-graph CC.
+
+    The whole CC runs on the CONTRACTED graph (`_contract`): vertices
+    are distinct-token-set representatives, edges are rep-level jaccard
+    pairs (33× fewer than doc pairs on the fixture — duplicate groups
+    are cliques, pure edge waste to a min-label loop), and members
+    inherit their rep's component label in one final join.  min-rep per
+    component = min doc_id per component, so the output is unchanged."""
+    groups = _contract(_token_sets(load_table(spark, sf_dir, "documents")))
+    docs = groups.select(F.col("rep").alias("doc_id"))
     # materialize the pair list BEFORE mirroring: the two union branches
     # are separate subtrees to Spark (no cross-branch CSE), so an
     # un-checkpointed union would run the whole near-dup join twice
     pairs = (
-        ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+        _rep_jaccard_pairs(groups, JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     edges = (
         pairs.union(
@@ -505,6 +651,36 @@ def dedup_clusters(
         )
         .localCheckpoint()  # pairs' lineage replays every iteration otherwise
     )
+    # Size the loop's shuffle parallelism to the graph.  Each iteration
+    # is a short standalone query over checkpointed (stats-less) inputs,
+    # so AQE can coalesce tasks but every exchange still plans at the
+    # session's shuffle-partition count — on a small rep graph that is
+    # pure scheduling overhead, ~2× the loop's wall time (measured
+    # 4.6s → 2.1s at sf0.1).  ~2M edge-rows per partition, capped at
+    # defaultParallelism, so a 100-TB rep graph still uses the full
+    # cluster.  The conf is restored after the loop.
+    sc = spark.sparkContext
+    n_edges = edges.count()
+    loop_parts = max(1, min(sc.defaultParallelism, n_edges // 2_000_000 + 1))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = _cc_min_label_loop(docs, edges, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    members = groups.select(
+        F.col("rep").alias("rep_id"), F.explode("members").alias("doc_id")
+    )
+    rep_labels = labels.select(
+        F.col("doc_id").alias("rep_id"), "cluster_id"
+    ).hint("shuffle_hash")
+    return members.join(rep_labels, "rep_id").select("doc_id", "cluster_id")
+
+
+def _cc_min_label_loop(
+    docs: DataFrame, edges: DataFrame, max_iter: int
+) -> DataFrame:
+    """Min-label propagation with pointer doubling (see dedup_clusters)."""
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
     for _ in range(max_iter):
         neighbor_min = (
