@@ -42,29 +42,30 @@ from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_dat
 # determinism) — see tests/test_dedup.py, test_similarity.py,
 # test_sampling.py.
 _ORACLE_ORDER = [
-    # dashboard (reference SQL queries 1-14 + ingestion analytics) — 17
-    "med_q01_overview",
+    # dashboard (reference SQL queries 1-14 + ingestion analytics) — 15
+    # (q01+q07 and q04+q12 are value-checked through tag/cross-join
+    # composites to free window slots for the r3 training-prep ops)
+    "med_q01_q07_overview",
     "med_q02_price_by_disease_area",
     "med_q03_top_manufacturers",
-    "med_q04_price_segmentation",
+    "med_q04_q12_breakdowns",
     "med_q05_form_distribution",
     "med_q06_most_expensive",
-    "med_q07_affordability",
     "med_q08_disease_coverage",
     "med_q09_manufacturer_size",
     "med_q10_top_generics",
     "med_q11_price_histogram",
-    "med_q12_coverage_status",
     "med_q13_ml_dataset",
     "med_q14_class_balance",
     "med_ingest_clean",
     "med_refundable_by_class",
     "med_raw_price_order",
-    # relational engine surface — 12
+    # relational engine surface — 13
     "tpch_q1_pricing_summary",
     "join_range_price_tiers",
     "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue",
+    "join_asof_latest_event",
     "join_semi_anti_urgent",
     "join_left_order_linecounts",
     "setop_union_order_tiers",
@@ -82,8 +83,9 @@ _ORACLE_ORDER = [
     "events_sessionization",
     "events_json_props",
     "events_hourly_daily",
-    # text analysis — 3
+    # text analysis + training-data prep — 4
     "text_doc_profile",
+    "text_train_prep",
     "text_lang_id_confusion",
     "text_source_lang_rollup",
     # dedup (oracle-expressible tier) — 4
@@ -123,6 +125,13 @@ _ROWS_ONLY_ORDER = [
 #: a new operator that is in neither fails fast instead of silently
 #: vanishing from the driver gate.
 _PACKAGED_IN_COMPOSITES = {
+    "med_q01_overview",
+    "med_q07_affordability",
+    "med_q04_price_segmentation",
+    "med_q12_coverage_status",
+    "text_pack_sequences",
+    "text_repetition_metrics",
+    "text_contamination",
     "join_semi_urgent_customers",
     "join_anti_no_urgent_customers",
     "setop_intersect_building_urgent",

@@ -19,14 +19,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    "med_q01_overview",
+    # med_q01_q07_overview / med_q04_q12_breakdowns are the r3 composite
+    # entries covering the former med_q01_overview + med_q07 and
+    # med_q04 + med_q12_coverage_status rows — each times BOTH plans
+    "med_q01_q07_overview",
     "med_q02_price_by_disease_area",
     "med_q06_most_expensive",
     "med_q09_manufacturer_size",
-    "med_q12_coverage_status",
+    "med_q04_q12_breakdowns",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue",
+    "join_asof_latest_event",
     "join_left_order_linecounts",
     # window_top3_running / events_windowed_counts / events_hourly_daily /
     # text_doc_profile are the r2 composite entries covering the former
@@ -39,6 +43,7 @@ HEADLINE = [
     "events_sessionization",
     "events_hourly_daily",
     "text_doc_profile",
+    "text_train_prep",
     "dedup_exact",
     # heavy LLM-data ops so round-over-round regressions are visible
     "dedup_jaccard_pairs",

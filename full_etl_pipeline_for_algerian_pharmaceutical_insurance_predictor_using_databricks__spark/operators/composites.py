@@ -23,13 +23,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import events, multimodal, relational, text
+from . import dashboard, events, multimodal, relational, text
 
 __all__ = ["QUERIES", "ORACLES"]
 
 
 def _tag(df: DataFrame, name: str, value: str) -> DataFrame:
     return df.withColumn(name, F.lit(value))
+
+
+# --- dashboard --------------------------------------------------------------
+
+def med_q01_q07_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Query 1 (global overview stats) × Query 7
+    (affordability pcts) — both single-row global aggregates, composed
+    by 1×1 cross join (Spark broadcasts the single row)."""
+    q01 = dashboard.q01_overview(spark, sf_dir)
+    q07 = dashboard.q07_affordability(spark, sf_dir)
+    return q01.crossJoin(q07)
+
+
+_Q01_Q07_SQL = f"""
+SELECT * FROM ({dashboard.ORACLES["med_q01_overview"]}) a
+CROSS JOIN ({dashboard.ORACLES["med_q07_affordability"]}) b
+"""
+
+
+def med_q04_q12_breakdowns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Query 4 (price-segment breakdown) + Query 12 (coverage
+    breakdown) in one entry: both are CASE-bucket → count/avg/pct-of-
+    total shapes, tag-unioned on a common (bucket, count, avg, pct)
+    schema."""
+    q04 = dashboard.q04_price_segmentation(spark, sf_dir).select(
+        F.col("price_category").alias("bucket"),
+        "medications_count",
+        "avg_price_DA",
+        F.col("market_pct").alias("pct"),
+    )
+    q12 = dashboard.q12_coverage_status(spark, sf_dir).select(
+        F.col("coverage_status").alias("bucket"),
+        "medications_count",
+        "avg_price_DA",
+        F.col("percentage").alias("pct"),
+    )
+    return _tag(q04, "op", "q04_segmentation").unionByName(
+        _tag(q12, "op", "q12_coverage")
+    )
+
+
+_Q04_Q12_SQL = f"""
+SELECT 'q04_segmentation' AS op, price_category AS bucket,
+       medications_count, avg_price_DA, market_pct AS pct
+FROM ({dashboard.ORACLES["med_q04_price_segmentation"]})
+UNION ALL
+SELECT 'q12_coverage' AS op, coverage_status AS bucket,
+       medications_count, avg_price_DA, percentage AS pct
+FROM ({dashboard.ORACLES["med_q12_coverage_status"]})
+"""
 
 
 # --- relational -------------------------------------------------------------
@@ -155,6 +205,30 @@ FROM ({events.ORACLES["events_daily_rollup_from_hourly"]})
 
 # --- text -------------------------------------------------------------------
 
+def text_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data prep profile: sequence-packing layout ⋈ repetition
+    metrics ⋈ benchmark-contamination screen, 1:1 on doc_id (left join
+    for contamination — eval docs and sub-n-gram docs have no screen
+    row).  `n_tokens` (packing) and `total_tokens` (repetition) count
+    the same tokenization from two independent plans — a built-in
+    cross-check the oracle hashes both of."""
+    pack = text.pack_sequences(spark, sf_dir)
+    rep = text.repetition_metrics(spark, sf_dir)
+    cont = text.contamination_overlap(spark, sf_dir)
+    return pack.join(rep, "doc_id").join(cont, "doc_id", "left")
+
+
+_TRAIN_PREP_SQL = f"""
+SELECT p.*,
+       r.total_tokens, r.distinct_tokens, r.distinct_ratio,
+       r.top_token_frac, r.top2_token_frac,
+       c.n_shingles, c.eval_overlap, c.overlap_frac, c.contaminated
+FROM ({text.ORACLES["text_pack_sequences"]}) p
+JOIN ({text.ORACLES["text_repetition_metrics"]}) r USING (doc_id)
+LEFT JOIN ({text.ORACLES["text_contamination"]}) c USING (doc_id)
+"""
+
+
 def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document profile: token stats ⋈ quality score ⋈ fingerprint
     on doc_id — three narrow scans joined 1:1 (each side is one row per
@@ -222,6 +296,9 @@ FROM ({multimodal.ORACLES["mm_audio_rms"]})
 
 
 QUERIES = {
+    "med_q01_q07_overview": med_q01_q07_overview,
+    "med_q04_q12_breakdowns": med_q04_q12_breakdowns,
+    "text_train_prep": text_train_prep,
     "join_semi_anti_urgent": join_semi_anti_urgent,
     "setop_intersect_except": setop_intersect_except,
     "agg_rollup_cube": agg_rollup_cube,
@@ -234,6 +311,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "med_q01_q07_overview": _Q01_Q07_SQL,
+    "med_q04_q12_breakdowns": _Q04_Q12_SQL,
+    "text_train_prep": _TRAIN_PREP_SQL,
     "join_semi_anti_urgent": _SEMI_ANTI_SQL,
     "setop_intersect_except": _INTERSECT_EXCEPT_SQL,
     "agg_rollup_cube": _ROLLUP_CUBE_SQL,

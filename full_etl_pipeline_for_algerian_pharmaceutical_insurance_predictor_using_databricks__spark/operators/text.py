@@ -11,7 +11,7 @@ except the final small aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..sources import load_table
 
@@ -262,8 +262,240 @@ GROUP BY source, lang
 """
 
 
+# --------------------------------------------------------------------------
+# Training-data preparation: packing, repetition filters, contamination
+# --------------------------------------------------------------------------
+
+#: fixed token budget of one packed training sequence
+SEQ_BUDGET = 2048
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, budget: int = SEQ_BUDGET
+) -> DataFrame:
+    """Assign every document its byte range in the packed token stream:
+    docs are laid out in a deterministic hash-shuffled order (md5 of
+    doc_id — reproducible, engine- and partitioning-independent), all
+    tokens concatenated, and sequences cut every `budget` tokens
+    (GPT-style pretraining packing; docs may span a cut).
+
+    The global running offset is computed SCALE-SAFE as a two-level
+    cumsum: the canonical order is (shard, h, doc_id) where shard is
+    the first hex char of the hash, so the intra-shard prefix sum is a
+    window partitioned 16 ways, and the shard base offsets come from a
+    16-row aggregate joined back broadcast.  No unpartitioned window
+    ever sees the full table (the trap SURVEY §4.3.1 flags), yet the
+    result equals the single global cumsum the oracle runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        _n_tokens(F.col("text")).cast("long").alias("n_tokens"),
+    ).withColumn("shard", F.substring("h", 1, 1))
+    w_intra = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # 16-row shard totals; the prefix window over them is effectively
+    # free at any corpus size
+    w_shard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    shard_offsets = (
+        base.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .select(
+            "shard", F.coalesce(F.sum("_tot").over(w_shard), F.lit(0)).alias("_base")
+        )
+    )
+    first_seq = F.floor(F.col("start_offset") / budget)
+    last_seq = F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / budget)
+    return (
+        base.withColumn(
+            "_intra", F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0))
+        )
+        .join(F.broadcast(shard_offsets), "shard")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_base") + F.col("_intra")).alias("start_offset"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            first_seq.alias("first_seq"),
+            last_seq.alias("last_seq"),
+            (last_seq - first_seq + 1).alias("n_seqs"),
+        )
+    )
+
+
+_PACK_SQL = rf"""
+WITH t AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS h,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+o AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY substr(h, 1, 1), h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+    FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / {SEQ_BUDGET}) AS BIGINT) AS first_seq,
+       CAST(FLOOR((start_offset + n_tokens - 1) / {SEQ_BUDGET}) AS BIGINT) AS last_seq,
+       CAST(FLOOR((start_offset + n_tokens - 1) / {SEQ_BUDGET})
+            - FLOOR(start_offset / {SEQ_BUDGET}) + 1 AS BIGINT) AS n_seqs
+FROM o
+"""
+
+
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document: distinct-
+    token ratio and the mass fraction of the most frequent one and two
+    tokens.  Token counts aggregate per (doc, token) first (map-side
+    partials), then a window partitioned by doc ranks them — never an
+    unpartitioned window, never a per-doc collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    counts = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), "token")
+    ranked = counts.select("doc_id", "cnt", F.row_number().over(w).alias("rn"))
+    return ranked.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count("*").alias("distinct_tokens"),
+        (F.count("*") / F.sum("cnt")).alias("distinct_ratio"),
+        (F.max("cnt") / F.sum("cnt")).alias("top_token_frac"),
+        (
+            F.sum(F.when(F.col("rn") <= 2, F.col("cnt")).otherwise(0)) / F.sum("cnt")
+        ).alias("top2_token_frac"),
+    )
+
+
+_REPETITION_SQL = r"""
+WITH c AS (
+    SELECT doc_id, token, COUNT(*) AS cnt
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    )
+    GROUP BY doc_id, token
+),
+r AS (
+    SELECT doc_id, cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rn
+    FROM c
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       COUNT(*) AS distinct_tokens,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS distinct_ratio,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_token_frac,
+       CAST(SUM(CASE WHEN rn <= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(cnt) AS DOUBLE) AS top2_token_frac
+FROM r
+GROUP BY doc_id
+"""
+
+#: docs below this id form the held-out "benchmark" set the corpus is
+#: screened against (stand-in for a real eval suite)
+EVAL_SET_MAX_ID = 20
+CONTAMINATION_NGRAM = 3
+
+
+def contamination_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_max_id: int = EVAL_SET_MAX_ID,
+    n: int = CONTAMINATION_NGRAM,
+) -> DataFrame:
+    """Benchmark-contamination screen: for every corpus document, how
+    many of its distinct word n-grams also appear in the (tiny) eval
+    set.  The eval shingle set is deduplicated and BROADCAST — the
+    corpus side never shuffles, which is the only sane plan when the
+    corpus is 100 TB and the benchmark is kilobytes.  `contaminated`
+    uses integer arithmetic (2·overlap ≥ n_shingles) so the flag is
+    bit-exact across engines.  Docs shorter than n tokens have no
+    n-grams and are absent, mirroring the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("a")
+    )
+    shingle_arr = F.when(
+        F.size("a") >= n,
+        F.expr(
+            f"transform(sequence(1, size(a) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(a, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingles = arr.select(
+        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle")
+    )
+    eval_sh = (
+        shingles.filter(F.col("doc_id") < eval_max_id).select("shingle").distinct()
+    )
+    corpus = shingles.filter(F.col("doc_id") >= eval_max_id)
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    overlap = (
+        corpus.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("eval_overlap"))
+    )
+    ov = F.coalesce("eval_overlap", F.lit(0))
+    return totals.join(overlap, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        ov.alias("eval_overlap"),
+        (ov / F.col("n_shingles")).alias("overlap_frac"),
+        (ov * 2 >= F.col("n_shingles")).alias("contaminated"),
+    )
+
+
+_CONTAMINATION_SQL = rf"""
+WITH arrs AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, a, unnest(generate_series(1, len(a) - 2)) AS i FROM arrs
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS shingle
+    FROM idx
+),
+eval_sh AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id < {EVAL_SET_MAX_ID}
+),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= {EVAL_SET_MAX_ID}),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+ov AS (
+    SELECT c.doc_id, COUNT(*) AS eval_overlap
+    FROM corpus c JOIN eval_sh e USING (shingle)
+    GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       t.n_shingles,
+       CAST(COALESCE(o.eval_overlap, 0) AS BIGINT) AS eval_overlap,
+       CAST(COALESCE(o.eval_overlap, 0) AS DOUBLE) / t.n_shingles AS overlap_frac,
+       COALESCE(o.eval_overlap, 0) * 2 >= t.n_shingles AS contaminated
+FROM tot t LEFT JOIN ov o USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_winnowed_fingerprints": winnowed_fingerprints,
+    "text_pack_sequences": pack_sequences,
+    "text_repetition_metrics": repetition_metrics,
+    "text_contamination": contamination_overlap,
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
     "text_lang_id_confusion": lang_id_confusion,
@@ -272,6 +504,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_pack_sequences": _PACK_SQL,
+    "text_repetition_metrics": _REPETITION_SQL,
+    "text_contamination": _CONTAMINATION_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality_score": _QUALITY_SQL,
     "text_lang_id_confusion": _LANG_ID_SQL,
