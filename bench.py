@@ -75,7 +75,7 @@ def main() -> None:
 
     # warm the JVM/codegen path once (tiny query, not timed) and
     # populate the buffer pool for every table the headline set touches
-    queries["med_q01_overview"](spark, sf_dir).write.format("noop").mode(
+    queries["med_q02_price_by_disease_area"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     if os.environ.get("SPARK_GRAFT_CACHE") == "1":
