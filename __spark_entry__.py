@@ -65,7 +65,7 @@ _ORACLE_ORDER = [
     "join_range_price_tiers",
     "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue",
-    "join_asof_latest_event",
+    "join_asof_latest_order",
     "join_semi_anti_urgent",
     "join_left_order_linecounts",
     "setop_union_order_tiers",

@@ -592,70 +592,74 @@ ORDER BY tier
 # --------------------------------------------------------------------------
 
 
-def asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT AS-OF JOIN: for every order, the customer's most recent
-    event at-or-before the order date (ties on timestamp broken by
-    largest event_id; orders without a prior event keep NULLs).
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT AS-OF JOIN across tables: for every event, the user's most
+    recent order at-or-before the event time (ties on order date —
+    common, dates are day-granular — broken by largest o_orderkey;
+    events whose user has no prior order keep NULLs).
 
     Spark has no native as-of join, and the naive formulation — an
     inequality join followed by a per-key argmax — explodes into
-    O(orders × events-per-user) intermediate rows before the argmax
+    O(events × orders-per-user) intermediate rows before the argmax
     prunes them.  This is the scalable UNION-MERGE formulation instead:
     tag both inputs, union them, and run one window pass partitioned by
-    the key, ordered by (time, side, event_id), carrying the last
-    non-null event attributes forward.  ONE shuffle on the key, zero
+    the key, ordered by (time, side, o_orderkey), carrying the last
+    non-null order attributes forward.  ONE shuffle on the key, zero
     join blowup, O(rows) work — the same merge-scan as-of every
     time-series engine implements natively.  Per-user history skew is
-    bounded by events-per-user, not by the cross product.
+    bounded by history length, not by the cross product.
+    (`events.purchase_attribution` is the single-table sibling with
+    interleaved sides; here the probe and reference are different
+    tables with different schemas.)
 
     Times compare at epoch-second granularity (the module's
     precision-proof common ground with the nanosecond event fixture).
     """
     orders = load_table(spark, sf_dir, "orders")
     events = load_table(spark, sf_dir, "events")
-    ev = events.select(
-        F.col("user_id").alias("k"),
-        F.unix_timestamp("ts").alias("t_s"),
-        F.lit(0).alias("is_order"),
-        "event_id",
-        "event_type",
-        F.lit(None).cast("long").alias("o_orderkey"),
-    )
     od = orders.select(
         F.col("o_custkey").alias("k"),
         F.unix_timestamp("o_orderdate").alias("t_s"),
-        F.lit(1).alias("is_order"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("string").alias("event_type"),
+        F.lit(0).alias("is_probe"),
         "o_orderkey",
+        "o_totalprice",
+        F.lit(None).cast("long").alias("event_id"),
     )
-    # order rows sort AFTER events at the same second (is_order=1), so
-    # "at-or-before" is inclusive; equal-time events resolve to the
-    # largest event_id — the deterministic tiebreak the oracle mirrors
+    ev = events.select(
+        F.col("user_id").alias("k"),
+        F.unix_timestamp("ts").alias("t_s"),
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        "event_id",
+    )
+    # event rows sort AFTER orders at the same second (is_probe=1), so
+    # "at-or-before" is inclusive; equal-date orders resolve to the
+    # largest o_orderkey — the deterministic tiebreak the oracle mirrors
     w = (
         Window.partitionBy("k")
-        .orderBy("t_s", "is_order", F.coalesce("event_id", F.lit(-1)))
+        .orderBy("t_s", "is_probe", F.coalesce("o_orderkey", F.lit(-1)))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = ev.unionByName(od).select(
+    merged = od.unionByName(ev).select(
         "k",
         "t_s",
-        "is_order",
-        "o_orderkey",
-        F.last("event_id", ignorenulls=True).over(w).alias("last_event_id"),
-        F.last("event_type", ignorenulls=True).over(w).alias("last_event_type"),
+        "is_probe",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_order_key"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("last_order_price"),
         F.last(
-            F.when(F.col("is_order") == 0, F.col("t_s")), ignorenulls=True
-        ).over(w).alias("last_event_ts_s"),
+            F.when(F.col("is_probe") == 0, F.col("t_s")), ignorenulls=True
+        ).over(w).alias("last_order_date_s"),
     )
-    return merged.filter(F.col("is_order") == 1).select(
-        "o_orderkey",
-        F.col("k").alias("o_custkey"),
-        F.col("t_s").alias("o_orderdate_s"),
-        "last_event_id",
-        "last_event_type",
-        "last_event_ts_s",
-        (F.col("t_s") - F.col("last_event_ts_s")).alias("seconds_since_event"),
+    return merged.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t_s").alias("event_ts_s"),
+        "last_order_key",
+        "last_order_price",
+        "last_order_date_s",
+        (F.col("t_s") - F.col("last_order_date_s")).alias("seconds_since_order"),
     )
 
 
@@ -663,30 +667,30 @@ def asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LIMIT 1) rather than a window restatement of the Spark plan.
 _ASOF_SQL = """
 SELECT
-    o.o_orderkey,
-    o.o_custkey,
-    CAST(FLOOR(EXTRACT(epoch FROM o.o_orderdate)) AS BIGINT) AS o_orderdate_s,
-    e.event_id AS last_event_id,
-    e.event_type AS last_event_type,
-    e.ts_s AS last_event_ts_s,
-    CAST(FLOOR(EXTRACT(epoch FROM o.o_orderdate)) AS BIGINT) - e.ts_s
-        AS seconds_since_event
-FROM orders o
+    e.event_id,
+    e.user_id,
+    CAST(FLOOR(EXTRACT(epoch FROM e.ts)) AS BIGINT) AS event_ts_s,
+    o.o_orderkey AS last_order_key,
+    o.o_totalprice AS last_order_price,
+    o.od_s AS last_order_date_s,
+    CAST(FLOOR(EXTRACT(epoch FROM e.ts)) AS BIGINT) - o.od_s
+        AS seconds_since_order
+FROM events e
 LEFT JOIN LATERAL (
-    SELECT event_id, event_type,
-           CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) AS ts_s
-    FROM events
-    WHERE user_id = o.o_custkey
-      AND CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)
-          <= CAST(FLOOR(EXTRACT(epoch FROM o.o_orderdate)) AS BIGINT)
-    ORDER BY ts_s DESC, event_id DESC
+    SELECT o_orderkey, o_totalprice,
+           CAST(FLOOR(EXTRACT(epoch FROM o_orderdate)) AS BIGINT) AS od_s
+    FROM orders
+    WHERE o_custkey = e.user_id
+      AND CAST(FLOOR(EXTRACT(epoch FROM o_orderdate)) AS BIGINT)
+          <= CAST(FLOOR(EXTRACT(epoch FROM e.ts)) AS BIGINT)
+    ORDER BY od_s DESC, o_orderkey DESC
     LIMIT 1
-) e ON TRUE
+) o ON TRUE
 """
 
 
 QUERIES = {
-    "join_asof_latest_event": asof_latest_event,
+    "join_asof_latest_order": asof_latest_order,
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "join_range_price_tiers": range_join_price_tiers,
     "tpch_q3_shipping_priority": q3_shipping_priority,
@@ -706,7 +710,7 @@ QUERIES = {
 }
 
 ORACLES = {
-    "join_asof_latest_event": _ASOF_SQL,
+    "join_asof_latest_order": _ASOF_SQL,
     "tpch_q1_pricing_summary": _Q1_SQL,
     "join_range_price_tiers": _RANGE_JOIN_SQL,
     "tpch_q3_shipping_priority": _Q3_SQL,

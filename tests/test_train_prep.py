@@ -21,52 +21,61 @@ from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_dat
 
 def test_asof_matches_bruteforce_argmax(spark, sf_correct):
     """The union-merge formulation must equal the naive inequality-join
-    argmax (max_by over (ts, event_id)) row for row."""
+    argmax (max_by over (o_orderdate, o_orderkey)) row for row — and
+    the matches must be non-degenerate (orders genuinely precede
+    events in this fixture)."""
     out = {
-        r.o_orderkey: (r.last_event_id, r.last_event_ts_s)
-        for r in relational.asof_latest_event(spark, sf_correct).collect()
+        r.event_id: (r.last_order_key, r.last_order_date_s)
+        for r in relational.asof_latest_order(spark, sf_correct).collect()
     }
+    events = load_table(spark, sf_correct, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
     orders = load_table(spark, sf_correct, "orders").select(
         "o_orderkey", "o_custkey", F.unix_timestamp("o_orderdate").alias("od_s")
     )
-    events = load_table(spark, sf_correct, "events").select(
-        "user_id", F.unix_timestamp("ts").alias("ts_s"), "event_id"
-    )
     brute = (
-        orders.join(
-            events,
-            (F.col("user_id") == F.col("o_custkey"))
-            & (F.col("ts_s") <= F.col("od_s")),
+        events.join(
+            orders,
+            (F.col("o_custkey") == F.col("user_id"))
+            & (F.col("od_s") <= F.col("ts_s")),
             "left",
         )
-        .groupBy("o_orderkey")
+        .groupBy("event_id")
         .agg(
-            F.max_by("event_id", F.struct("ts_s", "event_id")).alias("ev"),
-            F.max("ts_s").alias("ev_ts"),
+            F.max_by("o_orderkey", F.struct("od_s", "o_orderkey")).alias("ok"),
+            F.max("od_s").alias("od"),
         )
     )
-    expected = {r.o_orderkey: (r.ev, r.ev_ts) for r in brute.collect()}
+    expected = {r.event_id: (r.ok, r.od) for r in brute.collect()}
     assert out == expected
+    assert sum(1 for v in out.values() if v[0] is not None) > 0.9 * len(out)
 
 
-def test_asof_null_for_userless_customers(spark, sf_correct):
-    """custkeys above the event user range must keep NULL event columns
-    (left as-of semantics)."""
-    max_user = (
-        load_table(spark, sf_correct, "events").agg(F.max("user_id")).collect()[0][0]
+def test_asof_tiebreak_is_max_orderkey(spark, sf_correct):
+    """Day-granular order dates tie often; the matched order must be
+    the max o_orderkey among the user's orders on the matched date."""
+    out = relational.asof_latest_order(spark, sf_correct).filter(
+        F.col("last_order_key").isNotNull()
     )
-    out = relational.asof_latest_event(spark, sf_correct).filter(
-        F.col("o_custkey") > max_user
+    orders = load_table(spark, sf_correct, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_timestamp("o_orderdate").alias("last_order_date_s"),
+        F.col("o_orderkey").alias("tie_key"),
     )
-    assert out.count() > 0
-    assert out.filter(F.col("last_event_id").isNotNull()).count() == 0
+    violations = (
+        out.join(orders, ["user_id", "last_order_date_s"])
+        .filter(F.col("tie_key") > F.col("last_order_key"))
+        .count()
+    )
+    assert violations == 0
 
 
 def test_asof_single_shuffle_no_join(spark, sf_correct):
     """The plan is the merge-scan: no join operator at all, one window
     over the unioned inputs."""
     plan = (
-        relational.asof_latest_event(spark, sf_correct)
+        relational.asof_latest_order(spark, sf_correct)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
