@@ -271,7 +271,10 @@ SEQ_BUDGET = 2048
 
 
 def pack_sequences(
-    spark: SparkSession, sf_dir: str, budget: int = SEQ_BUDGET
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = SEQ_BUDGET,
+    shard_chars: int = 2,
 ) -> DataFrame:
     """Assign every document its byte range in the packed token stream:
     docs are laid out in a deterministic hash-shuffled order (md5 of
@@ -280,25 +283,30 @@ def pack_sequences(
     (GPT-style pretraining packing; docs may span a cut).
 
     The global running offset is computed SCALE-SAFE as a two-level
-    cumsum: the canonical order is (shard, h, doc_id) where shard is
-    the first hex char of the hash, so the intra-shard prefix sum is a
-    window partitioned 16 ways, and the shard base offsets come from a
-    16-row aggregate joined back broadcast.  No unpartitioned window
-    ever sees the full table (the trap SURVEY §4.3.1 flags), yet the
-    result equals the single global cumsum the oracle runs."""
+    cumsum: the canonical order is (h, doc_id), the shard is the first
+    `shard_chars` hex chars of h — a PREFIX of the order key, so
+    sharding never changes the global order, only the parallelism —
+    the intra-shard prefix sum is a window partitioned 16^shard_chars
+    ways, and the shard base offsets come from a 16^shard_chars-row
+    aggregate joined back broadcast.  No unpartitioned window ever
+    sees the full table (the trap SURVEY §4.3.1 flags), yet the result
+    equals the single global cumsum the oracle runs.  Default 256
+    shards; at 100 TB raise `shard_chars` so each shard's sequential
+    window scan stays executor-sized (4 hex chars = 65k shards — the
+    offset aggregate is still broadcast-trivial)."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
         _n_tokens(F.col("text")).cast("long").alias("n_tokens"),
-    ).withColumn("shard", F.substring("h", 1, 1))
+    ).withColumn("shard", F.substring("h", 1, shard_chars))
     w_intra = (
         Window.partitionBy("shard")
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # 16-row shard totals; the prefix window over them is effectively
-    # free at any corpus size
+    # shard totals (16^shard_chars rows); the prefix window over them
+    # is effectively free at any corpus size
     w_shard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
     shard_offsets = (
         base.groupBy("shard")
@@ -338,9 +346,11 @@ WITH t AS (
     FROM documents
 ),
 o AS (
+    -- the shard prefix adds nothing to (h, doc_id) order, so the
+    -- oracle runs the plain global cumsum
     SELECT doc_id, n_tokens,
            CAST(COALESCE(SUM(n_tokens) OVER (
-               ORDER BY substr(h, 1, 1), h, doc_id
+               ORDER BY h, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                AS start_offset
     FROM t
