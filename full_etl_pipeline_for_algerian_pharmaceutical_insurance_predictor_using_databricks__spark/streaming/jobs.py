@@ -407,6 +407,69 @@ def foreach_batch_to_parquet(result: DataFrame, out_dir: str) -> None:
             raise TimeoutError("foreachBatch drain exceeded 300s")
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the documents fixture — the
+    continuously-ingested-corpus shape of an LLM data pipeline."""
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", os.path.join(sf_dir))
+        .option("pathGlobFilter", "documents.parquet")
+        .load()
+    )
+
+
+def corpus_registry_ingest(stream: DataFrame, registry_dir: str) -> None:
+    """Incremental exact-dedup REGISTRY: the streaming counterpart of
+    `operators.dedup.exact_dedup` for a corpus that arrives batch by
+    batch forever.
+
+    Each micro-batch: canonical fingerprint (same normalization as the
+    batch operator) → keep min doc_id per fingerprint WITHIN the batch
+    → left-anti join against every prior batch's registry partition →
+    land only never-seen-before fingerprints under `batch=<id>`,
+    written with overwrite so a micro-batch RETRY replaces its own
+    partition instead of duplicating it (the current batch's partition
+    is excluded from the anti-join source for the same reason).
+
+    At 100 TB the registry is a Delta/Iceberg table and the anti-join
+    is `MERGE ... WHEN NOT MATCHED INSERT`; the parquet
+    partition-per-batch layout here is the identical contract without
+    the table-format dependency — the per-batch cost is one shuffle of
+    the BATCH (not the registry: the anti-join build side streams from
+    disk and the probe side is batch-sized)."""
+    import glob
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        normalized = F.trim(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+        )
+        fps = (
+            batch_df.select("doc_id", F.md5(normalized).alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("keeper_doc_id"))
+        )
+        own = f"{registry_dir}/batch={batch_id}"
+        prior = [p for p in glob.glob(f"{registry_dir}/batch=*") if p != own]
+        if prior:
+            seen = spark.read.parquet(*prior).select("fingerprint")
+            fps = fps.join(seen, "fingerprint", "left_anti")
+        fps.write.mode("overwrite").parquet(own)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("registry ingest drain exceeded 300s")
+
+
 def dedup_within_watermark_stream(stream: DataFrame) -> DataFrame:
     """Streaming exact dedup on event_id with bounded state:
     dropDuplicatesWithinWatermark keeps ids only while they can still

@@ -212,3 +212,28 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     got = sorted(tuple(r) for r in result.collect())
     want = sorted(tuple(r) for r in expected.collect())
     assert got == want
+
+
+def test_corpus_registry_incremental_dedup(spark, sf_dir, tmp_path):
+    """First drain builds the registry = batch exact_dedup keeper set;
+    re-ingesting the SAME corpus (fresh checkpoint → new batch ids)
+    adds ZERO fingerprints — the incremental anti-join path."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        dedup,
+    )
+
+    reg = str(tmp_path / "registry")
+    jobs.corpus_registry_ingest(jobs.documents_stream(spark, sf_dir), reg)
+    first = spark.read.parquet(reg + "/batch=*")
+    batch = dedup.exact_dedup(spark, sf_dir)
+    expected = {
+        (r.fingerprint, r.keeper_doc_id) for r in batch.collect()
+    }
+    assert {
+        (r.fingerprint, r.keeper_doc_id) for r in first.collect()
+    } == expected
+
+    # second pass over the same file: every fingerprint already seen
+    jobs.corpus_registry_ingest(jobs.documents_stream(spark, sf_dir), reg)
+    second = spark.read.parquet(reg + "/batch=*")
+    assert second.count() == len(expected)
