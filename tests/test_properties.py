@@ -153,3 +153,46 @@ def test_sessionization_boundary_parity_with_oracle(spark, steps):
         }
         con.close()
     assert got == want
+
+
+@_SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcde")), min_size=1, max_size=4),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([0.0, 0.34, 0.5, 0.9, 1.0]),
+)
+def test_contracted_jaccard_equals_bruteforce(spark, token_lists, threshold):
+    """The r3 contraction pipeline (collapse identical token sets →
+    rep-level inverted-index jaccard → member expansion) must equal the
+    brute-force all-pairs jaccard on arbitrary inputs — duplicate sets,
+    subset chains, and thresholds 0/1 included. Values compare EXACTLY
+    (same int/int → double division on both sides)."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        dedup,
+    )
+
+    sets_ = [frozenset(toks) for toks in token_lists]
+    tok_df = spark.createDataFrame(
+        [(i, t) for i, s in enumerate(sets_) for t in sorted(s)],
+        "doc_id long, token string",
+    )
+    groups = dedup._contract(tok_df)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup._expand_rep_pairs(
+            dedup._rep_jaccard_pairs(groups, threshold), groups, threshold
+        ).collect()
+    }
+    want = {}
+    for a in range(len(sets_)):
+        for b in range(a + 1, len(sets_)):
+            inter = len(sets_[a] & sets_[b])
+            if inter == 0:
+                continue  # inverted index can only see overlapping pairs
+            j = inter / len(sets_[a] | sets_[b])
+            if j >= threshold:
+                want[(a, b)] = j
+    assert got == want
