@@ -407,17 +407,27 @@ def foreach_batch_to_parquet(result: DataFrame, out_dir: str) -> None:
             raise TimeoutError("foreachBatch drain exceeded 300s")
 
 
-def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-based streaming source over the documents fixture — the
-    continuously-ingested-corpus shape of an LLM data pipeline."""
+    continuously-ingested-corpus shape of an LLM data pipeline.
+    `max_files_per_trigger=1` turns a multi-file directory into one
+    micro-batch per file (how the incremental-registry tests replay an
+    arrival sequence)."""
     schema = "doc_id long, text string, lang string, source string, n_chars long"
-    return (
+    reader = (
         spark.readStream.schema(schema)
         .format("parquet")
         .option("path", os.path.join(sf_dir))
-        .option("pathGlobFilter", "documents.parquet")
-        .load()
+        .option("pathGlobFilter", glob)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load()
 
 
 def corpus_registry_ingest(stream: DataFrame, registry_dir: str) -> None:
@@ -468,6 +478,137 @@ def corpus_registry_ingest(stream: DataFrame, registry_dir: str) -> None:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("registry ingest drain exceeded 300s")
+
+
+def near_dup_registry_ingest(
+    stream: DataFrame, registry_dir: str, threshold: float = 0.5
+) -> None:
+    """Incremental MinHash-LSH NEAR-dup detection for a continuously
+    ingested corpus — the streaming counterpart of
+    `operators.dedup.minhash_lsh_pairs`.
+
+    The registry keeps, per ingested doc, its LSH band keys
+    (`bands/batch=<id>`) and its token-hash array (`arrays/batch=<id>`).
+    Each micro-batch:
+      1. tokenize + signature + band keys for the batch docs (the same
+         deterministic xxhash64 family as the batch operator, so band
+         collisions are identical);
+      2. candidates = batch bands ⋈ prior-registry bands PLUS the
+         batch-internal band self-join — new docs are compared against
+         everything ever seen, but never registry-vs-registry (those
+         pairs were emitted when the later doc arrived);
+      3. exact-verify candidates via `array_intersect` on token arrays
+         from either side; emit pairs ≥ threshold under
+         `pairs/batch=<id>`;
+      4. append the batch's bands/arrays partitions.
+    All three writes are batch-id-keyed overwrites → micro-batch retry
+    replaces, never duplicates. Per-batch cost is candidate-bound (band
+    hash joins), never |registry|² — the LSH invariant, maintained
+    incrementally."""
+    import glob
+
+    from ..operators import dedup
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # intern tokens to xxhash64 longs BEFORE the signature so the
+        # hash family ("mh<i>:" + interned token) is identical to the
+        # batch operator's rep-level family — band collisions must match
+        # bit for bit or single-drain parity breaks
+        tok = dedup._token_sets(batch_df).select(
+            "doc_id", F.xxhash64("token").alias("token")
+        )
+        arrays = tok.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("token")).alias("tokens"),
+            F.count("*").alias("set_size"),
+        )
+        sig = dedup._minhash_signature(tok)
+        rows_per_band = dedup.N_HASHES // dedup.N_BANDS
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[i].cast("string")
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
+                            )
+                        )
+                        for b in range(dedup.N_BANDS)
+                    ]
+                )
+            ).alias("band", "band_key"),
+        ).localCheckpoint()
+        arrays = arrays.localCheckpoint()
+
+        def prior(kind: str):
+            own = f"{registry_dir}/{kind}/batch={batch_id}"
+            parts = [p for p in glob.glob(f"{registry_dir}/{kind}/batch=*") if p != own]
+            return spark.read.parquet(*parts) if parts else None
+
+        b_new = bands.select(
+            F.col("doc_id").alias("doc_new"), "band", "band_key"
+        )
+        internal = (
+            b_new.alias("x")
+            .join(
+                bands.select(
+                    F.col("doc_id").alias("doc_old"), "band", "band_key"
+                ).alias("y"),
+                ["band", "band_key"],
+            )
+            .filter(F.col("doc_old") < F.col("doc_new"))
+        )
+        candidates = internal.select("doc_new", "doc_old")
+        reg_bands = prior("bands")
+        if reg_bands is not None:
+            vs_registry = b_new.join(
+                reg_bands.select(
+                    F.col("doc_id").alias("doc_old"), "band", "band_key"
+                ),
+                ["band", "band_key"],
+            ).filter(F.col("doc_old") != F.col("doc_new"))
+            candidates = candidates.unionByName(
+                vs_registry.select("doc_new", "doc_old")
+            )
+        candidates = candidates.distinct().localCheckpoint()
+
+        reg_arrays = prior("arrays")
+        all_arrays = (
+            arrays if reg_arrays is None else arrays.unionByName(reg_arrays).distinct()
+        )
+        pairs = dedup._verify_pairs_exact(
+            candidates.select(
+                F.least("doc_new", "doc_old").alias("doc_a"),
+                F.greatest("doc_new", "doc_old").alias("doc_b"),
+            ).distinct(),
+            all_arrays,
+            threshold,
+        )
+        pairs.write.mode("overwrite").parquet(f"{registry_dir}/pairs/batch={batch_id}")
+        bands.select("doc_id", "band", "band_key").write.mode("overwrite").parquet(
+            f"{registry_dir}/bands/batch={batch_id}"
+        )
+        arrays.write.mode("overwrite").parquet(
+            f"{registry_dir}/arrays/batch={batch_id}"
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("near-dup registry drain exceeded 300s")
 
 
 def dedup_within_watermark_stream(stream: DataFrame) -> DataFrame:

@@ -237,3 +237,67 @@ def test_corpus_registry_incremental_dedup(spark, sf_dir, tmp_path):
     jobs.corpus_registry_ingest(jobs.documents_stream(spark, sf_dir), reg)
     second = spark.read.parquet(reg + "/batch=*")
     assert second.count() == len(expected)
+
+
+def test_near_dup_registry_single_drain_matches_batch(spark, sf_dir, tmp_path):
+    """One AvailableNow drain (the whole fixture arrives as one batch)
+    must emit exactly the batch minhash_lsh_pairs output — same pairs,
+    bit-equal jaccard values (identical hash family and exact verify)."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        dedup,
+    )
+
+    reg = str(tmp_path / "neardup")
+    jobs.near_dup_registry_ingest(jobs.documents_stream(spark, sf_dir), reg)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in spark.read.parquet(reg + "/pairs/batch=*").collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_near_dup_registry_incremental_two_batches(spark, sf_dir, tmp_path):
+    """The corpus split across two arrival batches must yield, across
+    all pairs/batch=* partitions, exactly the batch operator's output
+    on the full corpus: batch-1 covers A×A, batch-2 covers B×B plus
+    B×registry(A)."""
+    import glob as g
+    import shutil
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, half in [
+        ("a", docs.filter(F.col("doc_id") <= median)),
+        ("b", docs.filter(F.col("doc_id") > median)),
+    ]:
+        d = tmp_path / f"_{name}"
+        half.coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet")
+
+    reg = str(tmp_path / "neardup2")
+    stream = jobs.documents_stream(
+        spark, str(src), glob="*.parquet", max_files_per_trigger=1
+    )
+    jobs.near_dup_registry_ingest(stream, reg)
+    batch_dirs = g.glob(reg + "/pairs/batch=*")
+    assert len(batch_dirs) == 2
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in spark.read.parquet(reg + "/pairs/batch=*").collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
