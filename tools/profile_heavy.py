@@ -1,7 +1,8 @@
-"""One-off stage-level profiler for the heavy bench entries (sf0.1).
+"""Stage-level profiler for the heavy dedup bench entries (sf0.1).
 
-Times each internal stage of dedup_minhash_lsh / dedup_clusters /
-dedup_jaccard_pairs so optimization targets the real bottleneck.
+Times each internal stage of the CONTRACTED near-dup pipeline
+(r3 architecture: identical token sets collapse to reps before every
+quadratic stage) so optimization targets the real bottleneck.
 Not part of the driver contract; run manually:
     python tools/profile_heavy.py
 """
@@ -34,8 +35,7 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def t(label, fn):
     t0 = time.perf_counter()
     out = fn()
-    dt = time.perf_counter() - t0
-    print(f"{label:45s} {dt:7.2f}s  {out}")
+    print(f"{label:45s} {time.perf_counter() - t0:7.2f}s  {out}")
     return out
 
 
@@ -44,12 +44,14 @@ def main():
     docs = load_table(spark, SF, "documents")
     docs.count()  # buffer pool warm
 
-    # --- minhash stages -----------------------------------------------
-    tok = dedup._token_sets(docs)
-    t("tokenize count", lambda: tok.count())
-    sig = dedup._minhash_signature(tok)
-    t("signatures count", lambda: sig.count())
+    groups = t(
+        "contract (tokenize + 2 groupBys + ckpt)",
+        lambda: dedup._contract(dedup._token_sets(docs)),
+    )
+    t("  distinct token sets", lambda: groups.count())
 
+    # --- minhash stages ----------------------------------------------
+    sig = dedup._minhash_signature(dedup._rep_tokens(groups))
     rows_per_band = dedup.N_HASHES // dedup.N_BANDS
     bands = sig.select(
         "doc_id",
@@ -84,48 +86,22 @@ def main():
         .select(F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
         .distinct()
     )
-    t("band join + distinct count", lambda: cand.count())
-    cand_ck = t("candidates localCheckpoint", lambda: cand.localCheckpoint())
-    arrays = dedup._token_arrays(tok)
-    t("token arrays count", lambda: arrays.count())
-    ver = dedup._verify_pairs_exact(cand_ck, arrays, 0.5)
+    cand_ck = t("band join + distinct + checkpoint", lambda: cand.localCheckpoint())
+    t("  rep candidates", lambda: cand_ck.count())
+    ver = dedup._verify_pairs_exact(cand_ck, dedup._rep_arrays(groups), 0.5)
     t("verify (count)", lambda: ver.count())
     t(
-        "FULL minhash_lsh_pairs (noop sink)",
-        lambda: dedup.minhash_lsh_pairs(spark, SF)
+        "expand verified pairs (noop sink)",
+        lambda: dedup._expand_rep_pairs(ver.localCheckpoint(), groups, 0.5)
         .write.format("noop")
         .mode("overwrite")
         .save(),
     )
 
-    # --- jaccard ------------------------------------------------------
-    t(
-        "FULL ngram_jaccard_pairs (noop sink)",
-        lambda: dedup.ngram_jaccard_pairs(spark, SF)
-        .write.format("noop")
-        .mode("overwrite")
-        .save(),
-    )
-
-    # --- clusters -----------------------------------------------------
-    t0 = time.perf_counter()
-    pairs = (
-        dedup.ngram_jaccard_pairs(spark, SF).select("doc_a", "doc_b").localCheckpoint()
-    )
-    print(f"{'clusters: pairs checkpoint':45s} {time.perf_counter()-t0:7.2f}s")
-    t(
-        "clusters: edges checkpoint",
-        lambda: pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        ).localCheckpoint(),
-    )
-    t(
-        "FULL dedup_clusters (noop sink)",
-        lambda: dedup.dedup_clusters(spark, SF)
-        .write.format("noop")
-        .mode("overwrite")
-        .save(),
-    )
+    noop = lambda df: df.write.format("noop").mode("overwrite").save()
+    t("FULL minhash_lsh_pairs", lambda: noop(dedup.minhash_lsh_pairs(spark, SF)))
+    t("FULL ngram_jaccard_pairs", lambda: noop(dedup.ngram_jaccard_pairs(spark, SF)))
+    t("FULL dedup_clusters", lambda: noop(dedup.dedup_clusters(spark, SF)))
     spark.stop()
 
 
