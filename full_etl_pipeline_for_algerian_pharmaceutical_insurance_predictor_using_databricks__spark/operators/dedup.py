@@ -137,34 +137,46 @@ def _rep_arrays(groups: DataFrame) -> DataFrame:
 
 
 def _expand_rep_pairs(
-    rep_pairs: DataFrame, groups: DataFrame, threshold: float
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    threshold: float,
+    value_col: str = "jaccard",
+    intra_value: Column | None = None,
+    include_intra: bool | None = None,
 ) -> DataFrame:
     """Expand rep-level qualifying pairs back to member doc pairs.
 
-    Cross-group: every (a ∈ G1, b ∈ G2) inherits the rep pair's jaccard
+    Cross-group: every (a ∈ G1, b ∈ G2) inherits the rep pair's value
     (identical sets ⇒ identical overlap arithmetic).  Intra-group:
-    members share the exact set, jaccard = 1.0; pairs are generated
-    narrow (per-row combination expression over the sorted members
-    array — no shuffle, no join) and only when 1.0 passes the
-    threshold.  Output keeps the doc_a < doc_b convention via
-    least/greatest (groups are disjoint, so cross pairs never tie).
+    members share the exact set, so the value is the identical-set
+    constant (`intra_value` — jaccard 1.0 / hamming 0); pairs are
+    generated narrow (per-row combination expression over the sorted
+    members array — no shuffle, no join) and only when the constant
+    passes the caller's threshold (`include_intra`, defaulting to the
+    jaccard rule 1.0 ≥ threshold).  Output keeps the doc_a < doc_b
+    convention via least/greatest (groups are disjoint, so cross pairs
+    never tie).
     """
     ma = groups.select(F.col("rep").alias("rep_a"), F.explode("members").alias("da"))
     mb = groups.select(F.col("rep").alias("rep_b"), F.explode("members").alias("db"))
     cross = (
         rep_pairs.select(
-            F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"), "jaccard"
+            F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"), value_col
         )
         .join(ma.hint("shuffle_hash"), "rep_a")
         .join(mb.hint("shuffle_hash"), "rep_b")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
-            "jaccard",
+            value_col,
         )
     )
-    if threshold > 1.0:
+    if include_intra is None:
+        include_intra = threshold <= 1.0
+    if not include_intra:
         return cross
+    if intra_value is None:
+        intra_value = F.lit(1.0)
     # members is sorted, so slicing past each index yields doc_a < doc_b
     # by construction
     intra_pairs = F.flatten(
@@ -177,7 +189,7 @@ def _expand_rep_pairs(
     intra = (
         groups.filter(F.col("n_members") > 1)
         .select(F.explode(intra_pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
+        .select("p.doc_a", "p.doc_b", intra_value.alias(value_col))
     )
     return cross.unionByName(intra)
 
@@ -486,12 +498,12 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: per-bit majority vote over token
-    hashes, assembled with shifts — pure expression algebra (the
-    per-doc bit loop is an unrolled sum, not a UDF)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = _token_sets(docs).withColumn("h", F.xxhash64("token"))
+def _rep_simhash(rep_tok: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc_id of the given token stream: per-bit
+    majority vote over token hashes, assembled with shifts — pure
+    expression algebra (the per-doc bit loop is an unrolled sum, not a
+    UDF)."""
+    tok = rep_tok.withColumn("h", F.xxhash64("token"))
     bit_votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -509,14 +521,36 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash.  The vote aggregation runs once per
+    DISTINCT token set (`_contract`); members inherit their rep's
+    signature through the membership join — identical sets vote
+    identically, so the values are unchanged."""
+    groups = _contract(_token_sets(load_table(spark, sf_dir, "documents")))
+    rep_sig = _rep_simhash(_rep_tokens(groups)).select(
+        F.col("doc_id").alias("rep_id"), "simhash"
+    )
+    members = groups.select(
+        F.col("rep").alias("rep_id"), F.explode("members").alias("doc_id")
+    )
+    return members.join(rep_sig.hint("shuffle_hash"), "rep_id").select(
+        "doc_id", "simhash"
+    )
+
+
 def simhash_near_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3
 ) -> DataFrame:
     """Pairs with Hamming distance ≤ k via quarter-banding: any pair
     within k ≤ 3 bit flips agrees exactly on ≥1 of the 4 16-bit
     quarters (pigeonhole), so candidates come from 4 hash joins, not
-    an all-pairs scan."""
-    sig = simhash_signatures(spark, sf_dir)
+    an all-pairs scan.  Rep-level like the rest of the module:
+    identical token sets have identical signatures (all 4 quarters
+    agree), so quarter-banding representatives + member expansion
+    (intra-group hamming = 0) emits exactly the doc-level pairs while
+    duplicate groups stop multiplying the quarter-join buckets."""
+    groups = _contract(_token_sets(load_table(spark, sf_dir, "documents")))
+    sig = _rep_simhash(_rep_tokens(groups))
     quarters = sig.select(
         "doc_id",
         "simhash",
@@ -536,7 +570,7 @@ def simhash_near_pairs(
     popcount = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.q") == F.col("b.q")) & (F.col("a.qval") == F.col("b.qval")),
@@ -549,6 +583,14 @@ def simhash_near_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+    return _expand_rep_pairs(
+        rep_pairs,
+        groups,
+        max_hamming,
+        value_col="hamming",
+        intra_value=F.lit(0).cast("integer"),
+        include_intra=max_hamming >= 0,
     )
 
 

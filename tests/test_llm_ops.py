@@ -311,3 +311,25 @@ def test_int8_quantization_reconstruction(spark, sf_correct):
         .collect()[0][0]
     )
     assert worst >= 0.999
+
+
+def test_simhash_near_pairs_equal_bruteforce_hamming(spark, sf_correct):
+    """k=3 ≤ quarters-1, so pigeonhole makes quarter-banding LOSSLESS:
+    the contracted operator must emit EXACTLY the all-pairs hamming≤3
+    set with exact distances (intra-group pairs at distance 0)."""
+    sigs = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_signatures(spark, sf_correct).collect()
+    }
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_pairs(spark, sf_correct, max_hamming=3).collect()
+    }
+    assert got == want
