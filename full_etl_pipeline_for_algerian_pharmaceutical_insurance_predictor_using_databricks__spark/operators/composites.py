@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import dashboard, events, multimodal, relational, text
+from . import curation, dashboard, events, multimodal, relational, text
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -207,47 +207,99 @@ FROM ({events.ORACLES["events_daily_rollup_from_hourly"]})
 
 def text_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data prep profile: sequence-packing layout ⋈ repetition
-    metrics ⋈ benchmark-contamination screen, 1:1 on doc_id (left join
-    for contamination — eval docs and sub-n-gram docs have no screen
-    row).  `n_tokens` (packing) and `total_tokens` (repetition) count
-    the same tokenization from two independent plans — a built-in
-    cross-check the oracle hashes both of."""
+    metrics ⋈ benchmark-contamination screen ⋈ context-window chunking
+    (per-doc aggregate), 1:1 on doc_id (left join for contamination —
+    eval docs and sub-n-gram docs have no screen row).  `n_tokens`
+    (packing) and `total_tokens` (repetition) count the same
+    tokenization from two independent plans — a built-in cross-check
+    the oracle hashes both of; the chunk aggregate value-checks the
+    chunking plan's layout arithmetic through the driver row (the
+    per-chunk text rows are oracle-checked by `text_chunk_windows`)."""
     pack = text.pack_sequences(spark, sf_dir)
     rep = text.repetition_metrics(spark, sf_dir)
     cont = text.contamination_overlap(spark, sf_dir)
-    return pack.join(rep, "doc_id").join(cont, "doc_id", "left")
+    chunks = (
+        curation.chunk_windows(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_tokens").alias("chunk_token_sum"),
+        )
+    )
+    return (
+        pack.join(rep, "doc_id")
+        .join(cont, "doc_id", "left")
+        .join(chunks, "doc_id")
+    )
 
 
 _TRAIN_PREP_SQL = f"""
 SELECT p.*,
        r.total_tokens, r.distinct_tokens, r.distinct_ratio,
        r.top_token_frac, r.top2_token_frac,
-       c.n_shingles, c.eval_overlap, c.overlap_frac, c.contaminated
+       c.n_shingles, c.eval_overlap, c.overlap_frac, c.contaminated,
+       ch.n_chunks, ch.chunk_token_sum
 FROM ({text.ORACLES["text_pack_sequences"]}) p
 JOIN ({text.ORACLES["text_repetition_metrics"]}) r USING (doc_id)
 LEFT JOIN ({text.ORACLES["text_contamination"]}) c USING (doc_id)
+JOIN (
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS chunk_token_sum
+    FROM ({curation.ORACLES["text_chunk_windows"]})
+    GROUP BY doc_id
+) ch USING (doc_id)
 """
 
 
 def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document profile: token stats ⋈ quality score ⋈ fingerprint
-    on doc_id — three narrow scans joined 1:1 (each side is one row per
-    doc, so the join is key-unique and AQE-broadcastable at test SF;
-    at scale all three derive from the same scan and co-partition)."""
+    ⋈ PII-redaction counts ⋈ dataset-split assignment on doc_id — five
+    narrow scans joined 1:1 (each side is one row per doc, so the join
+    is key-unique and AQE-broadcastable at test SF; at scale all five
+    derive from the same scan and co-partition)."""
     tok = text.token_stats(spark, sf_dir)
     qual = text.quality_score(spark, sf_dir).withColumnRenamed("tokens", "q_tokens")
     fp = text.fingerprint(spark, sf_dir)
-    return tok.join(qual, "doc_id").join(fp, "doc_id")
+    pii = curation.pii_redaction(spark, sf_dir)
+    split = curation.train_split(spark, sf_dir).select("doc_id", "bucket", "split")
+    return (
+        tok.join(qual, "doc_id")
+        .join(fp, "doc_id")
+        .join(pii, "doc_id")
+        .join(split, "doc_id")
+    )
 
 
 _DOC_PROFILE_SQL = f"""
 SELECT t.*,
        q.tokens AS q_tokens, q.mean_token_len, q.stopword_hits,
        q.stopword_ratio, q.verdict,
-       f.fingerprint, f.canon_len
+       f.fingerprint, f.canon_len,
+       p.n_email, p.n_ip, p.n_phone, p.n_term, p.n_redactions, p.clean_text,
+       s.bucket, s.split
 FROM ({text.ORACLES["text_token_stats"]}) t
 JOIN ({text.ORACLES["text_quality_score"]}) q USING (doc_id)
 JOIN ({text.ORACLES["text_fingerprint"]}) f USING (doc_id)
+JOIN ({curation.ORACLES["text_pii_redaction"]}) p USING (doc_id)
+JOIN ({curation.ORACLES["sample_train_split"]}) s USING (doc_id)
+"""
+
+
+def text_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup ⋈ temperature mixture weights, 1:1 on
+    (source, lang) — the per-stratum report plus the α-weighted
+    sampling plan in one driver row."""
+    roll = text.source_lang_rollup(spark, sf_dir)
+    mix = curation.mixture_weights(spark, sf_dir).select(
+        "source", "lang", "mix_weight", "epochs"
+    )
+    return roll.join(mix, ["source", "lang"])
+
+
+_SOURCE_MIXTURE_SQL = f"""
+SELECT r.*, m.mix_weight, m.epochs
+FROM ({text.ORACLES["text_source_lang_rollup"]}) r
+JOIN ({curation.ORACLES["sample_mixture_weights"]}) m USING (source, lang)
 """
 
 
@@ -306,6 +358,7 @@ QUERIES = {
     "events_windowed_counts": events_windowed_counts,
     "events_hourly_daily": events_hourly_daily,
     "text_doc_profile": text_doc_profile,
+    "text_source_mixture": text_source_mixture,
     "mm_image_meta_resize": mm_image_meta_resize,
     "mm_frame_audio": mm_frame_audio,
 }
@@ -321,6 +374,7 @@ ORACLES = {
     "events_windowed_counts": _WINDOWED_COUNTS_SQL,
     "events_hourly_daily": _HOURLY_DAILY_SQL,
     "text_doc_profile": _DOC_PROFILE_SQL,
+    "text_source_mixture": _SOURCE_MIXTURE_SQL,
     "mm_image_meta_resize": _IMAGE_META_RESIZE_SQL,
     "mm_frame_audio": _FRAME_AUDIO_SQL,
 }

@@ -1,0 +1,417 @@
+"""Corpus-curation operators — the data-engineering surface around a
+training corpus that SURVEY.md §2's reference queries don't cover but a
+100-TB pipeline needs: pattern scrubbing (PII redaction), context-window
+chunking, deterministic dataset splits, temperature-scaled mixture
+weights, key-skew diagnostics, and equi-depth histograms.
+
+Everything is built-in `pyspark.sql.functions` — JVM-side regex/array
+expressions and small aggregates; no Python in any hot path.  Scale
+notes per operator:
+
+- Redaction and chunking are embarrassingly parallel narrow maps.
+- The split is decided by a salted key hash (like sampling.py's tier-1
+  sampler): membership is engine-, partitioning- and corpus-growth-
+  independent, so the same doc never migrates between train and test
+  across snapshots — the property that matters for honest evals.
+- Mixture weights aggregate to one row per (source, lang) stratum
+  (tiny), so the normalizing total is a broadcast 1-row cross join.
+- Heavy hitters aggregate per key first (map-side partials take the
+  skew), then rank the small aggregated frame; the ordered window runs
+  over per-key ROWS (≤ distinct keys), never the raw table.
+- The equi-depth histogram derives its bucket edges from ONE exact
+  `percentile` aggregate (single pass, mergeable sketch-free exact
+  percentile), broadcasts the k-row edge list, and buckets with a
+  range condition — no global sort, no unpartitioned `ntile` (the
+  SURVEY §4.3.1 trap an ntile-based equi-depth would hit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..sources import load_table
+
+# --------------------------------------------------------------------------
+# 1. PII / pattern redaction
+# --------------------------------------------------------------------------
+
+#: (name, pattern, replacement) — applied in order.  The regex subset
+#: used (classes, \b, {m,n}) behaves identically in Java regex (Spark)
+#: and RE2 (DuckDB).  EMAIL/IP/PHONE are the standard scrub set; TERM
+#: is a configurable denylist (here the fixture-visible word "key") —
+#: the same mechanism scrubs credentials, usernames, or blocked terms.
+REDACTION_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9().-]{6,}[0-9]", "<PHONE>"),
+    ("term", r"\b(key|secret|token)\b", "<TERM>"),
+]
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub every rule's matches from `text`; report per-rule hit
+    counts (counted on the ORIGINAL text, so counts are independent of
+    rule order) and the scrubbed text.  One narrow projection — a
+    map-only pass at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean: Column = F.col("text")
+    counts: list[Column] = []
+    total: Column | None = None
+    for name, pattern, repl in REDACTION_RULES:
+        c = F.regexp_count(F.col("text"), F.lit(pattern))
+        counts.append(c.alias(f"n_{name}"))
+        total = c if total is None else total + c
+        clean = F.regexp_replace(clean, pattern, repl)
+    return docs.select(
+        "doc_id",
+        *counts,
+        total.alias("n_redactions"),
+        clean.alias("clean_text"),
+    )
+
+
+def _pii_sql() -> str:
+    count_cols = ",\n    ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{n}"
+        for n, p, _ in REDACTION_RULES
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for n, p, _ in REDACTION_RULES
+    )
+    clean = "text"
+    for _, p, r in REDACTION_RULES:
+        clean = f"regexp_replace({clean}, '{p}', '{r}', 'g')"
+    return f"""
+SELECT
+    doc_id,
+    {count_cols},
+    {total} AS n_redactions,
+    {clean} AS clean_text
+FROM documents
+"""
+
+
+_PII_SQL = _pii_sql()
+
+# --------------------------------------------------------------------------
+# 2. Context-window chunking with overlap
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def chunk_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document into overlapping token windows (the
+    context-window prep step before tokenization/packing): chunk i
+    covers tokens [i·stride + 1, i·stride + window]; the last chunk may
+    be short; docs with ≤ `window` tokens yield one chunk.  Built as
+    split → sequence → transform → posexplode: pure expression codegen,
+    no shuffle, chunk text re-assembled with `slice` + `concat_ws`
+    (never re-tokenized per chunk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("a")
+    ).withColumn("n_tok", F.size("a"))
+    n_chunks = F.when(
+        F.col("n_tok") <= window, F.lit(1)
+    ).otherwise(
+        F.floor((F.col("n_tok") - window + stride - 1) / stride).cast("int") + 1
+    )
+    chunk = F.expr(
+        f"transform(sequence(0, n_chunks - 1), i -> struct("
+        f" i AS chunk_idx,"
+        f" i * {stride} + 1 AS start_tok,"
+        f" least({window}, n_tok - i * {stride}) AS chunk_tokens,"
+        f" concat_ws(' ', slice(a, i * {stride} + 1, {window})) AS chunk_text))"
+    )
+    return (
+        arr.withColumn("n_chunks", n_chunks)
+        .select("doc_id", "n_tok", F.explode(chunk).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.start_tok").cast("long").alias("start_tok"),
+            F.col("c.chunk_tokens").cast("long").alias("chunk_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+_CHUNK_SQL = rf"""
+WITH arrs AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS a,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+    FROM documents
+),
+n AS (
+    SELECT doc_id, a, n_tok,
+           CASE WHEN n_tok <= {CHUNK_TOKENS} THEN 1
+                ELSE CAST(FLOOR((n_tok - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                                / {CHUNK_STRIDE}) AS INT) + 1
+           END AS n_chunks
+    FROM arrs
+),
+idx AS (
+    SELECT doc_id, a, n_tok, unnest(generate_series(0, n_chunks - 1)) AS i
+    FROM n
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+       CAST(LEAST({CHUNK_TOKENS}, n_tok - i * {CHUNK_STRIDE}) AS BIGINT)
+           AS chunk_tokens,
+       array_to_string(
+           a[(i * {CHUNK_STRIDE} + 1):(i * {CHUNK_STRIDE} + {CHUNK_TOKENS})],
+           ' ') AS chunk_text
+FROM idx
+"""
+
+# --------------------------------------------------------------------------
+# 3. Deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+SPLIT_SALT = "split:"
+TRAIN_PCT, VAL_PCT = 96, 2  # test gets the remaining 2%
+
+
+def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way dataset split by salted key hash: bucket =
+    int(md5('split:' || doc_id)[:8]) % 100 → train < 96 ≤ val < 98 ≤
+    test.  Same guarantees as sampling.sample_hash_mod (reproducible on
+    any engine/partitioning; membership stable under corpus growth);
+    the salt decorrelates the split from any other hash-derived slice
+    of the same key space."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 8)
+    bucket = F.conv(h, 16, 10).cast("bigint") % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return docs.select(
+        "doc_id", "lang", bucket.alias("bucket"), split.alias("split")
+    )
+
+
+_SPLIT_SQL = f"""
+SELECT doc_id,
+       lang,
+       ('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 100 AS bucket,
+       CASE WHEN ('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 < {TRAIN_PCT} THEN 'train'
+            WHEN ('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test'
+       END AS split
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# 4. Temperature-scaled mixture weights
+# --------------------------------------------------------------------------
+
+MIXTURE_ALPHA = 0.7
+TOKEN_BUDGET = 10_000_000  # tokens drawn per training epoch of the mixture
+
+
+def mixture_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = MIXTURE_ALPHA,
+    budget: int = TOKEN_BUDGET,
+) -> DataFrame:
+    """Sampling weights per (source, lang) stratum with temperature
+    `alpha` (the multilingual-pretraining rule: weight ∝ size^α, α < 1
+    upweights small strata): w = chars^α / Σ chars^α, plus the epochs
+    each stratum is traversed when `budget` chars are drawn per epoch
+    of the mixture (epochs > 1 ⇒ that stratum repeats).  One small
+    aggregate; the normalizer is a broadcast 1-row cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    raw = F.pow(F.col("chars").cast("double"), F.lit(alpha))
+    w = per.withColumn("_raw", raw)
+    total = w.agg(F.sum("_raw").alias("_tot"))
+    weight = F.col("_raw") / F.col("_tot")
+    return (
+        w.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "docs",
+            "chars",
+            weight.alias("mix_weight"),
+            (weight * budget / F.col("chars")).alias("epochs"),
+        )
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH per AS (
+    SELECT source, lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY source, lang
+),
+t AS (SELECT SUM(POWER(CAST(chars AS DOUBLE), {MIXTURE_ALPHA})) AS _tot FROM per)
+SELECT source,
+       lang,
+       docs,
+       chars,
+       POWER(CAST(chars AS DOUBLE), {MIXTURE_ALPHA}) / _tot AS mix_weight,
+       POWER(CAST(chars AS DOUBLE), {MIXTURE_ALPHA}) / _tot * {TOKEN_BUDGET} / chars
+           AS epochs
+FROM per CROSS JOIN t
+"""
+
+# --------------------------------------------------------------------------
+# 5. Heavy-hitter / key-skew profile
+# --------------------------------------------------------------------------
+
+HH_TOP_K = 15
+
+
+def heavy_hitters(
+    spark: SparkSession, sf_dir: str, k: int = HH_TOP_K
+) -> DataFrame:
+    """Key-distribution diagnostic over `events.user_id` — the skew
+    report that decides salting / AQE skew-join knobs before a big run:
+    top-k keys by row count with per-key share and cumulative share.
+    Aggregates per key FIRST (map-side partials absorb the skew), then
+    ranks the ≤|keys| aggregated rows; the ordered window never sees
+    the raw table."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.groupBy().agg(F.count("*").alias("_tot"))
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("events"))
+    w = Window.orderBy(F.desc("events"), "user_id")
+    ranked = (
+        per_key.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_events",
+            F.sum("events").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "user_id",
+        "events",
+        (F.col("events") / F.col("_tot")).alias("share"),
+        (F.col("cum_events") / F.col("_tot")).alias("cum_share"),
+    )
+
+
+_HH_SQL = f"""
+WITH per_key AS (
+    SELECT user_id, COUNT(*) AS events FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT user_id, events,
+           ROW_NUMBER() OVER (ORDER BY events DESC, user_id) AS rank,
+           SUM(events) OVER (ORDER BY events DESC, user_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_events
+    FROM per_key
+),
+t AS (SELECT COUNT(*) AS _tot FROM events)
+SELECT rank, user_id, events,
+       CAST(events AS DOUBLE) / _tot AS share,
+       CAST(cum_events AS DOUBLE) / _tot AS cum_share
+FROM ranked CROSS JOIN t
+WHERE rank <= {HH_TOP_K}
+"""
+
+# --------------------------------------------------------------------------
+# 6. Equi-depth histogram (exact percentile edges, no global sort)
+# --------------------------------------------------------------------------
+
+EQUIDEPTH_BUCKETS = 8
+
+
+def equidepth_histogram(
+    spark: SparkSession, sf_dir: str, k: int = EQUIDEPTH_BUCKETS
+) -> DataFrame:
+    """Equi-depth histogram of `orders.o_totalprice`: bucket edges are
+    the exact i/k percentiles (ONE `percentile` aggregate — single
+    pass), each row lands in the first bucket whose upper edge covers
+    it (value ≤ edge_i; the top edge is the max so every row lands),
+    then per-bucket count/min/max/avg.  No global sort and no
+    unpartitioned `ntile` — the scale-safe formulation of equi-depth
+    (edges broadcast from a 1-row aggregate; ties share a bucket, so
+    counts are only approximately n/k under heavy ties, as in every
+    edge-based equi-depth)."""
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.agg(
+        F.percentile(
+            F.col("o_totalprice"), F.array(*[F.lit(i / k) for i in range(1, k + 1)])
+        ).alias("edges")
+    )
+    with_edges = orders.crossJoin(F.broadcast(edges))
+    bucket = None
+    for i in range(k - 1, 0, -1):
+        cond = F.col("o_totalprice") <= F.col("edges")[i - 1]
+        bucket = F.when(cond, i) if bucket is None else F.when(cond, i).otherwise(bucket)
+    # rows above edge k-1 (the (k-1)/k percentile) fall in bucket k
+    bucket = F.coalesce(bucket, F.lit(k)) if bucket is not None else F.lit(1)
+    return (
+        with_edges.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+def _equidepth_sql() -> str:
+    k = EQUIDEPTH_BUCKETS
+    edges = ", ".join(
+        f"quantile_cont(o_totalprice, {i}.0/{k}) AS e{i}" for i in range(1, k)
+    )
+    cases = " ".join(
+        f"WHEN o_totalprice <= e{i} THEN {i}" for i in range(1, k)
+    )
+    return f"""
+WITH e AS (SELECT {edges} FROM orders)
+SELECT CASE {cases} ELSE {k} END AS bucket,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM orders CROSS JOIN e
+GROUP BY 1
+"""
+
+
+_EQUIDEPTH_SQL = _equidepth_sql()
+
+
+QUERIES = {
+    "text_pii_redaction": pii_redaction,
+    "text_chunk_windows": chunk_windows,
+    "sample_train_split": train_split,
+    "sample_mixture_weights": mixture_weights,
+    "agg_heavy_hitters": heavy_hitters,
+    "agg_equidepth_histogram": equidepth_histogram,
+}
+
+ORACLES = {
+    "text_pii_redaction": _PII_SQL,
+    "text_chunk_windows": _CHUNK_SQL,
+    "sample_train_split": _SPLIT_SQL,
+    "sample_mixture_weights": _MIXTURE_SQL,
+    "agg_heavy_hitters": _HH_SQL,
+    "agg_equidepth_histogram": _EQUIDEPTH_SQL,
+}

@@ -1,0 +1,256 @@
+"""Invariant tests for the corpus-curation and retrieval operators
+(operators/curation.py, operators/retrieval.py).  Value-parity against
+DuckDB is covered by tools/check_oracle.py / the driver gate; these
+tests pin the semantic guarantees the SQL comparison can't express
+(determinism, partition laws, ranking laws, scrub idempotence).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+    curation,
+    retrieval,
+)
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+    load_table,
+)
+
+
+# --------------------------------------------------------------------------
+# PII / pattern redaction
+# --------------------------------------------------------------------------
+
+
+def test_pii_counts_consistent_and_scrub_complete(spark, sf_dir):
+    out = curation.pii_redaction(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs  # 1:1, no doc dropped
+    # total = sum of per-rule counts
+    parts = sum(F.col(f"n_{name}") for name, _, _ in curation.REDACTION_RULES)
+    assert out.filter(parts != F.col("n_redactions")).count() == 0
+    # the scrub removed every match: re-scanning clean_text finds none
+    for name, pattern, _ in curation.REDACTION_RULES:
+        remaining = out.filter(
+            F.regexp_count(F.col("clean_text"), F.lit(pattern)) > 0
+        ).count()
+        assert remaining == 0, f"rule {name} left matches in clean_text"
+
+
+def test_pii_redaction_hits_fixture_terms(spark, sf_dir):
+    """The denylist rule must actually fire on the fixture (guards
+    against a silently dead regex)."""
+    out = curation.pii_redaction(spark, sf_dir)
+    assert out.agg(F.sum("n_term")).first()[0] > 0
+    assert (
+        out.filter(F.col("clean_text").contains("<TERM>")).count()
+        == out.filter(F.col("n_term") > 0).count()
+    )
+
+
+def test_pii_redaction_idempotent(spark, sf_dir):
+    """Scrubbing already-scrubbed text changes nothing (replacement
+    tokens match no rule)."""
+    out = curation.pii_redaction(spark, sf_dir).select("doc_id", "clean_text")
+    twice = out.select("doc_id", F.col("clean_text").alias("t"))
+    for _, pattern, repl in curation.REDACTION_RULES:
+        twice = twice.withColumn("t", F.regexp_replace("t", pattern, repl))
+    joined = out.join(twice, "doc_id")
+    assert joined.filter(F.col("clean_text") != F.col("t")).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking
+# --------------------------------------------------------------------------
+
+
+def test_chunk_layout_laws(spark, sf_dir):
+    W, S = curation.CHUNK_TOKENS, curation.CHUNK_STRIDE
+    chunks = curation.chunk_windows(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.min("start_tok").alias("first_start"),
+        F.max(F.col("start_tok") + F.col("chunk_tokens") - 1).alias("last_covered"),
+        F.max("chunk_tokens").alias("max_len"),
+    )
+    j = per_doc.join(docs, "doc_id")
+    assert j.count() == docs.count()  # every doc chunked
+    assert j.filter(F.col("first_start") != 1).count() == 0
+    assert j.filter(F.col("last_covered") != F.col("n_tok")).count() == 0  # full coverage
+    assert j.filter(F.col("max_len") > W).count() == 0
+    # consecutive chunks advance by exactly the stride
+    strides = (
+        chunks.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("chunk_idx", "start_tok")).alias("cs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(transform(array_sort(cs), (c, i) -> c.start_tok - i * "
+                    f"{S}), x -> x != 1)"
+                )
+            )
+        )
+    )
+    assert strides.count() == 0
+    # chunk_text token count equals chunk_tokens
+    bad_text = chunks.filter(
+        F.size(F.split(F.col("chunk_text"), r"\s+")) != F.col("chunk_tokens")
+    )
+    assert bad_text.count() == 0
+
+
+def test_chunk_single_chunk_short_docs(spark, sf_dir):
+    W = curation.CHUNK_TOKENS
+    chunks = curation.chunk_windows(spark, sf_dir)
+    short = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"))
+        .filter(F.col("n") <= W)
+    )
+    per = chunks.groupBy("doc_id").count().join(short, "doc_id")
+    assert per.filter(F.col("count") != 1).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Dataset split
+# --------------------------------------------------------------------------
+
+
+def test_split_total_disjoint_deterministic(spark, sf_correct):
+    out = curation.train_split(spark, sf_correct)
+    n_docs = load_table(spark, sf_correct, "documents").count()
+    assert out.count() == n_docs
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # hash split tracks the 96/2/2 target within fixture-size noise
+    assert counts["train"] / n_docs == pytest.approx(0.96, abs=0.04)
+    # deterministic: a second build is identical
+    again = curation.train_split(spark, sf_correct)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_split_stable_under_corpus_growth(spark):
+    """A doc's split never changes when the corpus grows: sf0.001 docs
+    are a subset of sf0.01 docs and must get identical assignments."""
+    small = curation.train_split(spark, "/root/testdata/sf0.001").select(
+        "doc_id", F.col("split").alias("s_small")
+    )
+    big = curation.train_split(spark, "/root/testdata/sf0.01").select(
+        "doc_id", F.col("split").alias("s_big")
+    )
+    j = small.join(big, "doc_id")
+    assert j.count() == small.count()
+    assert j.filter(F.col("s_small") != F.col("s_big")).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Mixture weights
+# --------------------------------------------------------------------------
+
+
+def test_mixture_weights_normalized_and_tempered(spark, sf_correct):
+    out = curation.mixture_weights(spark, sf_correct).collect()
+    total_w = sum(r["mix_weight"] for r in out)
+    assert total_w == pytest.approx(1.0, abs=1e-9)
+    # α < 1 compresses the range: the weight ratio between the largest
+    # and smallest stratum is strictly smaller than their char ratio
+    big = max(out, key=lambda r: r["chars"])
+    small = min(out, key=lambda r: r["chars"])
+    assert big["chars"] > small["chars"]
+    assert (big["mix_weight"] / small["mix_weight"]) < (big["chars"] / small["chars"])
+    # epochs ∝ weight/chars: small strata repeat more per unit size
+    for r in out:
+        assert r["epochs"] == pytest.approx(
+            r["mix_weight"] * curation.TOKEN_BUDGET / r["chars"], rel=1e-12
+        )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters
+# --------------------------------------------------------------------------
+
+
+def test_heavy_hitters_ranking_laws(spark, sf_correct):
+    out = curation.heavy_hitters(spark, sf_correct).orderBy("rank").collect()
+    assert len(out) == curation.HH_TOP_K
+    assert [r["rank"] for r in out] == list(range(1, curation.HH_TOP_K + 1))
+    events_desc = [r["events"] for r in out]
+    assert events_desc == sorted(events_desc, reverse=True)
+    cum = 0.0
+    for r in out:
+        assert r["share"] > 0
+        cum += r["share"]
+        assert r["cum_share"] == pytest.approx(cum, abs=1e-9)
+    assert out[-1]["cum_share"] <= 1.0 + 1e-9
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram
+# --------------------------------------------------------------------------
+
+
+def test_equidepth_buckets_partition_and_balance(spark, sf_correct):
+    k = curation.EQUIDEPTH_BUCKETS
+    out = curation.equidepth_histogram(spark, sf_correct).orderBy("bucket").collect()
+    orders = load_table(spark, sf_correct, "orders")
+    n = orders.count()
+    assert [r["bucket"] for r in out] == list(range(1, k + 1))
+    assert sum(r["n_orders"] for r in out) == n  # partition: every row in exactly one bucket
+    # buckets are ordered, non-overlapping ranges
+    for a, b in zip(out, out[1:]):
+        assert a["max_price"] <= b["min_price"]
+    # equi-depth: each bucket within 25% of n/k (continuous values ⇒ few ties)
+    for r in out:
+        assert r["n_orders"] == pytest.approx(n / k, rel=0.25)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF / BM25
+# --------------------------------------------------------------------------
+
+
+def test_tfidf_rank_laws_and_rare_term_wins(spark, sf_correct):
+    out = retrieval.tfidf_top_terms(spark, sf_correct)
+    assert out.filter(F.col("term_rank") > retrieval.TFIDF_TOP_TERMS).count() == 0
+    # within a doc: rank 1 has the max tfidf
+    per = out.groupBy("doc_id").agg(
+        F.max("tfidf").alias("mx"),
+        F.max(F.when(F.col("term_rank") == 1, F.col("tfidf"))).alias("r1"),
+    )
+    assert per.filter(F.col("mx") != F.col("r1")).count() == 0
+    # the rare fixture term ('dup', df≈5%) must be the top term of every
+    # doc containing it — idf dwarfs the common-term scores
+    docs_with_dup = (
+        load_table(spark, sf_correct, "documents")
+        .filter(F.col("text").rlike(r"\bdup\b"))
+        .count()
+    )
+    assert docs_with_dup > 0
+    top_dup = out.filter((F.col("term") == "dup") & (F.col("term_rank") == 1)).count()
+    assert top_dup == docs_with_dup
+
+
+def test_bm25_ranking_laws(spark, sf_correct):
+    out = retrieval.bm25_search(spark, sf_correct).orderBy("rank").collect()
+    assert len(out) == retrieval.BM25_TOP_K
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["score"] > 0 for r in out)
+    # every top hit contains ≥1 query term; docs with the rare term
+    # dominate the head of the ranking
+    docs = load_table(spark, sf_correct, "documents")
+    dup_ids = {r["doc_id"] for r in docs.filter(F.col("text").rlike(r"\bdup\b")).collect()}
+    head = [r["doc_id"] for r in out[:5]]
+    assert all(d in dup_ids for d in head)
+
+
+def test_bm25_custom_query_and_empty_result(spark, sf_dir):
+    none = retrieval.bm25_search(spark, sf_dir, query=["zzzznotaterm"])
+    assert none.count() == 0
+    some = retrieval.bm25_search(spark, sf_dir, query=["spark"], top=5)
+    assert some.count() == 5

@@ -1,25 +1,49 @@
 """Driver-contract invariants for __spark_entry__ — the correctness gate
-only checks the FIRST 50 queries() entries, so the ordering is load-bearing."""
+only checks the FIRST 50 queries() entries, so the ordering is load-bearing.
+Tail entries past the window may still carry oracles (r3+): the driver
+ignores them, but tools/check_oracle.py and the judge's local re-run
+value-check them like any window entry."""
 
 from __future__ import annotations
 
 import __spark_entry__ as entry
 
 
-def test_every_oracle_entry_is_inside_the_driver_window():
+def test_driver_window_is_fully_oracle_bearing():
     q = list(entry.queries())
     oracles = entry.oracle_sql()
-    assert len(oracles) == 50
-    window = set(q[:50])
-    assert set(oracles) == window, "oracle-bearing entries must be the first 50"
-    # rows-only tail is pytest-covered, never oracle-bearing
-    assert all(name not in oracles for name in q[50:])
+    window = q[:50]
+    # every one of the 50 driver-checked entries has an oracle
+    assert all(name in oracles for name in window)
+    assert len(entry._ORACLE_ORDER) == 50
+
+
+def test_tail_oracles_are_declared_in_order_list():
+    """A tail entry either has an oracle (listed before the rows-only
+    block) or is rows-only; the oracle dict must never contain a name
+    that queries() doesn't expose."""
+    q = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(q)
+    # rows-only entries (no SQL twin by design) stay oracle-free
+    for name in (
+        "events_approx_distinct_users",
+        "text_winnowed_fingerprints",
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "sim_ann_lsh",
+        "sim_ann_ivf",
+        "sim_ann_brp_lsh",
+        "sim_quantize_int8",
+        "sample_bernoulli",
+        "sample_stratified_by_lang",
+    ):
+        assert name in q and name not in oracles
 
 
 def test_queries_and_oracles_are_callable_and_nonempty():
     q = entry.queries()
-    assert len(q) == len(entry._ORACLE_ORDER) + len(entry._ROWS_ONLY_ORDER)
-    assert len(entry._ORACLE_ORDER) == 50
+    assert len(q) == len(entry._ORACLE_ORDER) + len(entry._TAIL_ORDER)
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(sql, str) and "SELECT" in sql.upper()
                for sql in entry.oracle_sql().values())
