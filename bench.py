@@ -44,6 +44,10 @@ HEADLINE = [
     "events_hourly_daily",
     "text_doc_profile",
     "text_train_prep",
+    # r3 curation/retrieval surface
+    "text_pii_redaction",
+    "text_chunk_windows",
+    "text_bm25_search",
     "dedup_exact",
     # heavy LLM-data ops so round-over-round regressions are visible
     "dedup_jaccard_pairs",
@@ -53,6 +57,19 @@ HEADLINE = [
     "sim_knn_bruteforce",
     "sim_label_centroids",
 ]
+
+#: Entries whose plans span dozens of codegen stages (banding joins,
+#: iterative CC, IVF probe): ONE warm pass leaves the JVM mid-tier —
+#: measured on minhash at sf0.1, successive identical runs go
+#: 24s → 14s → 13.5s → ~9.5s steady state, and single-warm timings
+#: bounce ±40% between processes.  These get extra warm passes so the
+#: timed run measures steady-state throughput, not C2 compilation.
+HEAVY_WARMUPS = {
+    "dedup_jaccard_pairs": 2,
+    "dedup_clusters": 2,
+    "dedup_minhash_lsh": 2,
+    "sim_ann_ivf": 2,
+}
 
 
 def main() -> None:
@@ -87,10 +104,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # warm run amortizes whole-stage-codegen JIT for this plan;
+        # warm run(s) amortize whole-stage-codegen JIT for this plan;
         # the timed run rebuilds the DataFrame (fresh lineage, so no
         # shuffle-stage reuse — full recomputation, warm JVM)
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        for _ in range(HEAVY_WARMUPS.get(name, 1)):
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         # construction is inside the timed region: iterative operators
         # (dedup_clusters' CC loop) do their work eagerly while building
         t0 = time.perf_counter()

@@ -19,10 +19,12 @@ def main() -> None:
     )
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
         composites,
+        curation,
         dashboard,
         dedup,
         events,
         relational,
+        retrieval,
         similarity,
     )
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.plans.audit import (
@@ -75,6 +77,35 @@ def main() -> None:
          "side under one union — each keeps its own Expand + hash-aggregate "
          "pipeline, so the driver's single correctness row value-checks both "
          "grouping-set plans."),
+        ("text_pii_redaction", curation.pii_redaction,
+         "Pattern scrub is a single map-only projection over the scan — zero "
+         "exchanges; every regex count and the chained replace run in one "
+         "codegen stage. At 100 TB this is pure scale-out."),
+        ("text_chunk_windows", curation.chunk_windows,
+         "Overlapping context windows as split → sequence/transform → "
+         "posexplode: narrow end-to-end (Generate over an in-row array), no "
+         "shuffle; chunk text is sliced from the token array, never "
+         "re-tokenized."),
+        ("agg_equidepth_histogram", curation.equidepth_histogram,
+         "Equi-depth WITHOUT a global sort or unpartitioned ntile: the k bucket "
+         "edges come from one exact-percentile aggregate, broadcast back "
+         "(BroadcastNestedLoopJoin over a 1-row side), bucketing + count/min/"
+         "max/avg is a plain hash aggregate."),
+        ("agg_heavy_hitters", curation.heavy_hitters,
+         "Skew diagnostic: per-key hash aggregate FIRST (map-side partials "
+         "absorb the hot keys), the ordered window + limit then runs over "
+         "≤|distinct keys| aggregated rows — the raw table is never globally "
+         "sorted."),
+        ("text_bm25_search", retrieval.bm25_search,
+         "BM25: the query-term filter lands inside the tokenize stage (only "
+         "matching terms survive the first aggregate), df table and (N, avgdl) "
+         "scalars broadcast, global top-k is TakeOrderedAndProject — the "
+         "corpus-sized side is shuffled once, on (doc_id, term)."),
+        ("text_tfidf_top_terms", retrieval.tfidf_top_terms,
+         "Per-doc top-terms: vocabulary-sized df table broadcast; the per-doc "
+         "ranking window is partitioned by doc_id and planned as "
+         "WindowGroupLimit (partial top-k BEFORE the exchange, Spark 3.5+), so "
+         "no partition ever holds more than k rows per doc post-shuffle."),
     ]
 
     out = [
