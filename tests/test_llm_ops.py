@@ -62,16 +62,23 @@ def test_minhash_verify_is_candidate_only_and_value_exact(spark, sf_correct):
     assert all(mh[k] == exact[k] for k in mh)
     # Plan-shape check, kept intentionally loose (node names vary across
     # Spark versions): the verify stage must NOT contain a token-equality
-    # self-join — that is the all-pairs inverted index LSH exists to
-    # avoid.  Candidate verification joins on doc ids only, so no join
-    # condition may reference a `token` attribute.
+    # SELF-join — that is the all-pairs inverted index LSH exists to
+    # avoid.  The only token-keyed join the plan may carry is the
+    # BROADCAST dictionary lookup of the adaptive bitmask verify (≤64-row
+    # vocab-id side); a shuffled/sort-merge token join means the
+    # corpus-sized all-pairs join came back.
     import re
 
     plan = mh_df._jdf.queryExecution().simpleString()
     join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
     assert join_lines, "expected join operators in the minhash plan"
-    assert not any(re.search(r"token#\d+", ln) for ln in join_lines), (
-        "verify stage reintroduced the all-pairs token self-join"
+    bad = [
+        ln
+        for ln in join_lines
+        if re.search(r"token#\d+", ln) and "Broadcast" not in ln
+    ]
+    assert not bad, (
+        f"verify stage reintroduced a non-broadcast token join: {bad}"
     )
 
 
@@ -333,3 +340,41 @@ def test_simhash_near_pairs_equal_bruteforce_hamming(spark, sf_correct):
         for r in dedup.simhash_near_pairs(spark, sf_correct, max_hamming=3).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Adaptive dictionary-bitmask pair strategy (r3)
+# --------------------------------------------------------------------------
+
+
+def test_bitmask_pair_strategy_bit_identical_to_inverted_index(spark, sf_correct):
+    """When the rep vocabulary fits 64 distinct tokens, the bitmask pair
+    join must be BIT-identical (pairs and jaccard doubles) to the
+    inverted-index self-join it replaces — same guarantee for the
+    mask-based candidate verify vs the array_intersect verify."""
+    groups = dedup._contract(
+        dedup._token_sets(load_table(spark, sf_correct, "documents"))
+    )
+    bm = dedup._rep_jaccard_pairs_bitmask(groups, 0.9)
+    inv = dedup._rep_jaccard_pairs_inverted(groups, 0.9)
+    assert bm.exceptAll(inv).count() == 0
+    assert inv.exceptAll(bm).count() == 0
+    cand = bm.select("doc_a", "doc_b").localCheckpoint()
+    vm = dedup._verify_pairs_masks(cand, dedup._rep_masks(groups), 0.9)
+    ve = dedup._verify_pairs_exact(cand, dedup._rep_arrays(groups), 0.9)
+    assert vm.exceptAll(ve).count() == 0
+    assert ve.exceptAll(vm).count() == 0
+
+
+def test_bitmask_vocab_probe_dispatches_correctly(spark, sf_correct):
+    """The fixture's word vocabulary fits the 64-token dictionary bound;
+    character-5-gram shingling does not — the probe must send the first
+    to the bitmask path and the second to the general inverted index."""
+    docs = load_table(spark, sf_correct, "documents")
+    word_groups = dedup._contract(dedup._token_sets(docs))
+    assert dedup._rep_vocab_size(word_groups, dedup._BITMASK_VOCAB_MAX) is not None
+    shingle_groups = dedup._contract(dedup._token_sets(docs, shingle_n=5))
+    assert dedup._rep_vocab_size(shingle_groups, dedup._BITMASK_VOCAB_MAX) is None
+    # and the big-vocab operator output is unaffected by the probe
+    out = dedup.ngram_jaccard_pairs(spark, sf_correct, threshold=0.9, shingle_n=5)
+    assert out.filter(F.col("jaccard") < 0.9).count() == 0
