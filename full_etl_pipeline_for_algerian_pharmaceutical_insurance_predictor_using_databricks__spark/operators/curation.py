@@ -48,25 +48,34 @@ REDACTION_RULES: list[tuple[str, str, str]] = [
 ]
 
 
-def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scrub every rule's matches from `text`; report per-rule hit
-    counts (counted on the ORIGINAL text, so counts are independent of
-    rule order) and the scrubbed text.  One narrow projection — a
-    map-only pass at any scale."""
-    docs = load_table(spark, sf_dir, "documents")
+def with_redaction(docs: DataFrame) -> DataFrame:
+    """Append per-rule hit counts (counted on the ORIGINAL text, so
+    counts are independent of rule order), the total, and the scrubbed
+    text to any documents-shaped frame (batch OR streaming —
+    stateless expressions only)."""
     clean: Column = F.col("text")
-    counts: list[Column] = []
+    cols: dict[str, Column] = {}
     total: Column | None = None
     for name, pattern, repl in REDACTION_RULES:
         c = F.regexp_count(F.col("text"), F.lit(pattern))
-        counts.append(c.alias(f"n_{name}"))
+        cols[f"n_{name}"] = c
         total = c if total is None else total + c
         clean = F.regexp_replace(clean, pattern, repl)
-    return docs.select(
+    cols["n_redactions"] = total
+    cols["clean_text"] = clean
+    return docs.withColumns(cols)
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub every rule's matches from `text`; report per-rule hit
+    counts and the scrubbed text.  One narrow projection — a map-only
+    pass at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_redaction(docs).select(
         "doc_id",
-        *counts,
-        total.alias("n_redactions"),
-        clean.alias("clean_text"),
+        *[f"n_{name}" for name, _, _ in REDACTION_RULES],
+        "n_redactions",
+        "clean_text",
     )
 
 
@@ -181,6 +190,19 @@ SPLIT_SALT = "split:"
 TRAIN_PCT, VAL_PCT = 96, 2  # test gets the remaining 2%
 
 
+def with_split(docs: DataFrame) -> DataFrame:
+    """Append the salted-hash bucket and split assignment to any
+    documents-shaped frame (batch OR streaming)."""
+    h = F.substring(F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 8)
+    bucket = F.conv(h, 16, 10).cast("bigint") % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return docs.withColumns({"bucket": bucket, "split": split})
+
+
 def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-way dataset split by salted key hash: bucket =
     int(md5('split:' || doc_id)[:8]) % 100 → train < 96 ≤ val < 98 ≤
@@ -189,16 +211,7 @@ def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the salt decorrelates the split from any other hash-derived slice
     of the same key space."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.substring(F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 8)
-    bucket = F.conv(h, 16, 10).cast("bigint") % 100
-    split = (
-        F.when(bucket < TRAIN_PCT, "train")
-        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
-        .otherwise("test")
-    )
-    return docs.select(
-        "doc_id", "lang", bucket.alias("bucket"), split.alias("split")
-    )
+    return with_split(docs).select("doc_id", "lang", "bucket", "split")
 
 
 _SPLIT_SQL = f"""

@@ -64,10 +64,10 @@ FROM documents
 """
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality signals (Gopher/C4-style rules): length bounds,
-    mean token length, stopword density — bucketed into a verdict."""
-    docs = load_table(spark, sf_dir, "documents")
+def with_quality(docs: DataFrame) -> DataFrame:
+    """Append the quality-signal columns to any documents-shaped frame
+    (batch OR streaming — stateless expressions only, so the same
+    helper feeds the streaming ingestion gate)."""
     text = F.col("text")
     n_tok = _n_tokens(text)
     compact_len = F.length(F.regexp_replace(text, r"\s+", ""))
@@ -79,13 +79,28 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((n_tok >= 10) & (sw_ratio >= 0.01), "review")
         .otherwise("drop")
     )
-    return docs.select(
+    return docs.withColumns(
+        {
+            "tokens": n_tok,
+            "mean_token_len": mean_tok,
+            "stopword_hits": sw,
+            "stopword_ratio": sw_ratio,
+            "verdict": verdict,
+        }
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals (Gopher/C4-style rules): length bounds,
+    mean token length, stopword density — bucketed into a verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality(docs).select(
         "doc_id",
-        n_tok.alias("tokens"),
-        mean_tok.alias("mean_token_len"),
-        sw.alias("stopword_hits"),
-        sw_ratio.alias("stopword_ratio"),
-        verdict.alias("verdict"),
+        "tokens",
+        "mean_token_len",
+        "stopword_hits",
+        "stopword_ratio",
+        "verdict",
     )
 
 

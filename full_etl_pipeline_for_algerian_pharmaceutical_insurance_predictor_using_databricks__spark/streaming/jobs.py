@@ -611,6 +611,54 @@ def near_dup_registry_ingest(
             raise TimeoutError("near-dup registry drain exceeded 300s")
 
 
+def corpus_curation_gate_stream(stream: DataFrame) -> DataFrame:
+    """Stateless ingestion gate for a continuously-arriving corpus: per
+    incoming document, quality verdict (Gopher/C4 rules), PII scrub +
+    redaction counts, and the salted-hash dataset-split assignment —
+    the filter-at-the-door stage every streaming corpus pipeline runs
+    before anything lands.
+
+    Map-only (no state, no watermark, no shuffle): the streaming plan
+    is literally the batch expressions applied per micro-batch, so
+    batch/stream parity is exact by construction and the job scales
+    with source parallelism alone.  Reuses the SAME expression helpers
+    as the batch operators (`text.with_quality`,
+    `curation.with_redaction`, `curation.with_split`)."""
+    from ..operators.curation import with_redaction, with_split
+    from ..operators.text import with_quality
+
+    gated = with_split(with_redaction(with_quality(stream)))
+    return gated.select(
+        "doc_id",
+        "lang",
+        "source",
+        "verdict",
+        "n_redactions",
+        "clean_text",
+        "split",
+    )
+
+
+def corpus_curation_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of `corpus_curation_gate_stream` over the same
+    documents table (parity oracle for the streaming test)."""
+    from ..operators.curation import with_redaction, with_split
+    from ..operators.text import with_quality
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = with_split(with_redaction(with_quality(docs)))
+    return gated.select(
+        "doc_id",
+        "lang",
+        "source",
+        "verdict",
+        "n_redactions",
+        "clean_text",
+        "split",
+    )
+
+
 def dedup_within_watermark_stream(stream: DataFrame) -> DataFrame:
     """Streaming exact dedup on event_id with bounded state:
     dropDuplicatesWithinWatermark keeps ids only while they can still

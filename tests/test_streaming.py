@@ -301,3 +301,19 @@ def test_near_dup_registry_incremental_two_batches(spark, sf_dir, tmp_path):
         for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_corpus_curation_gate_stream_matches_batch(spark, sf_dir):
+    """The stateless ingestion gate (quality verdict + PII scrub +
+    split assignment) must emit exactly the batch twin's rows when the
+    corpus is drained through the streaming source."""
+    got = jobs.run_available_now(
+        jobs.corpus_curation_gate_stream(jobs.documents_stream(spark, sf_dir)),
+        "curation_gate",
+    )
+    want = jobs.corpus_curation_gate_batch(spark, sf_dir)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the gate actually gates: at least two verdict classes appear
+    assert got.select("verdict").distinct().count() >= 2
