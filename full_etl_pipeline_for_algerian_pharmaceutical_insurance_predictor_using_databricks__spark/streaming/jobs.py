@@ -659,6 +659,75 @@ def corpus_curation_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_rollup_registry_ingest(stream: DataFrame, registry_dir: str) -> None:
+    """Continuous-aggregate REGISTRY (the hypertable-rollup pattern,
+    done append-only): each micro-batch lands its PARTIAL hourly
+    aggregates — count and value sum per (hour, event_type), both
+    mergeable — under `batch=<id>`, overwrite-per-partition so a
+    micro-batch retry replaces its own contribution instead of double
+    counting.  No state store, no watermark: late data simply lands as
+    another partial for the same hour and merges on read.
+
+    At 100 TB/day this is how long-retention rollups actually run —
+    the state-store windowed aggregate (tumbling_counts_stream) holds
+    only the watermark-recent hours, while this registry accumulates
+    partials forever at one batch-sized shuffle per trigger, and the
+    read-side merge (`hourly_rollup_read`) touches |hours × types|
+    rows, not events."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("events"),
+                F.sum("value").alias("value_sum"),
+            )
+        )
+        partial.write.mode("overwrite").parquet(f"{registry_dir}/batch={batch_id}")
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("hourly rollup registry drain exceeded 300s")
+
+
+def hourly_rollup_read(spark: SparkSession, registry_dir: str) -> DataFrame:
+    """Merge-on-read over the partial-aggregate registry: final hourly
+    rollup = re-aggregate the partials (sums of sums — exact because
+    both metrics are mergeable)."""
+    return (
+        spark.read.parquet(f"{registry_dir}")
+        .groupBy("hour_start", "event_type")
+        .agg(
+            F.sum("events").alias("events"),
+            F.sum("value_sum").alias("value_sum"),
+        )
+    )
+
+
+def hourly_rollup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the registry rollup over the full events table."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("events"),
+            F.sum("value").alias("value_sum"),
+        )
+    )
+
+
 def dedup_within_watermark_stream(stream: DataFrame) -> DataFrame:
     """Streaming exact dedup on event_id with bounded state:
     dropDuplicatesWithinWatermark keeps ids only while they can still

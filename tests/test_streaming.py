@@ -317,3 +317,68 @@ def test_corpus_curation_gate_stream_matches_batch(spark, sf_dir):
     assert want.exceptAll(got).count() == 0
     # the gate actually gates: at least two verdict classes appear
     assert got.select("verdict").distinct().count() >= 2
+
+
+def test_hourly_rollup_registry_matches_batch(spark, sf_dir, tmp_path):
+    """Single-drain: the partial-aggregate registry merged on read must
+    equal the batch rollup over the full events table (mergeable
+    metrics, sums of sums exact)."""
+    reg = str(tmp_path / "rollup")
+    jobs.hourly_rollup_registry_ingest(jobs.events_stream(spark, sf_dir), reg)
+    got = jobs.hourly_rollup_read(spark, reg)
+    want = jobs.hourly_rollup_batch(spark, sf_dir)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_hourly_rollup_registry_two_batches_and_retry(spark, sf_dir, tmp_path):
+    """Events split across two arrival batches: partials from both
+    batches merge to the full-table rollup; re-writing one batch's
+    partition (the retry path) must not change the merged result."""
+    import glob as g
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    median = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, half in [
+        ("a", ev.filter(F.col("event_id") <= median)),
+        ("b", ev.filter(F.col("event_id") > median)),
+    ]:
+        d = tmp_path / f"_{name}"
+        half.withColumn(
+            "ts", F.expr("unix_micros(ts) * CAST(1000 AS BIGINT)")
+        ).coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", str(src))
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    reg = str(tmp_path / "rollup2")
+    jobs.hourly_rollup_registry_ingest(stream, reg)
+    assert len(g.glob(reg + "/batch=*")) == 2
+    got = jobs.hourly_rollup_read(spark, reg)
+    want = jobs.hourly_rollup_batch(spark, sf_dir)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # retry path: re-ingesting the same source (fresh checkpoint →
+    # batch ids replay 0/1) overwrites the same partitions; the merged
+    # rollup must be unchanged, not doubled
+    jobs.hourly_rollup_registry_ingest(stream, reg)
+    assert len(g.glob(reg + "/batch=*")) == 2
+    again = jobs.hourly_rollup_read(spark, reg)
+    assert again.exceptAll(want).count() == 0
+    assert want.exceptAll(again).count() == 0
