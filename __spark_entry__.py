@@ -123,6 +123,7 @@ _TAIL_ORDER = [
     "sample_mixture_weights",
     "agg_heavy_hitters",
     "agg_equidepth_histogram",
+    "sample_cap_per_source",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest

@@ -411,6 +411,57 @@ GROUP BY 1
 _EQUIDEPTH_SQL = _equidepth_sql()
 
 
+# --------------------------------------------------------------------------
+# 7. Per-source document cap (domain rebalancing)
+# --------------------------------------------------------------------------
+
+CAP_PER_SOURCE = 15
+CAP_SALT = "cap:"
+
+
+def cap_per_source(
+    spark: SparkSession, sf_dir: str, k: int = CAP_PER_SOURCE
+) -> DataFrame:
+    """Cap every source (domain) at k documents — the standard guard
+    against one crawled domain dominating the mixture.  Which k survive
+    is decided by a salted doc_id hash, NOT an RNG: the pick is
+    engine-, partitioning- and re-run-independent, and adding new
+    sources never changes another source's survivors.
+
+    Scale: `row_number <= k` over `partitionBy(source)` compiles to
+    WindowGroupLimit — each task keeps a k-row heap per source and
+    discards the rest BEFORE the exchange, so a billion-doc domain
+    ships ~k rows per input partition, never a full per-source sort
+    (plan asserted in tests/test_curation.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rank_key = F.conv(
+        F.substring(F.md5(F.concat(F.lit(CAP_SALT), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy(rank_key, "doc_id")
+    return (
+        docs.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= k)
+        .select("source", "cap_rank", "doc_id", "lang", "n_chars")
+    )
+
+
+_CAP_SQL = f"""
+WITH ranked AS (
+    SELECT source, doc_id, lang, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('{CAP_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                        doc_id
+           ) AS cap_rank
+    FROM documents
+)
+SELECT source, cap_rank, doc_id, lang, n_chars
+FROM ranked WHERE cap_rank <= {CAP_PER_SOURCE}
+"""
+
+
 QUERIES = {
     "text_pii_redaction": pii_redaction,
     "text_chunk_windows": chunk_windows,
@@ -418,6 +469,7 @@ QUERIES = {
     "sample_mixture_weights": mixture_weights,
     "agg_heavy_hitters": heavy_hitters,
     "agg_equidepth_histogram": equidepth_histogram,
+    "sample_cap_per_source": cap_per_source,
 }
 
 ORACLES = {
@@ -427,4 +479,5 @@ ORACLES = {
     "sample_mixture_weights": _MIXTURE_SQL,
     "agg_heavy_hitters": _HH_SQL,
     "agg_equidepth_histogram": _EQUIDEPTH_SQL,
+    "sample_cap_per_source": _CAP_SQL,
 }
