@@ -689,6 +689,75 @@ LEFT JOIN LATERAL (
 """
 
 
+# --------------------------------------------------------------------------
+# SCD Type-2 history build (CDC / dimension maintenance)
+# --------------------------------------------------------------------------
+
+
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse a change log into a slowly-changing-dimension (type 2)
+    history: each customer's order-status timeline becomes effective-
+    dated periods (valid_from / valid_to, versioned, is_current on the
+    open row) — the dimension-maintenance half of every warehouse CDC
+    pipeline, here derived from the orders log.
+
+    Change detection is a `lag` per customer; period close is a `lead`
+    over the surviving change rows.  Both windows partition by custkey
+    with identical ordering, so Catalyst reuses ONE exchange + sort for
+    the whole build (no unpartitioned window anywhere); per-customer
+    history length bounds the state, never the table size.  Same-day
+    status flips order deterministically by o_orderkey.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        orders.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        .withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+    )
+    return (
+        chg.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+    SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+           LAG(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev_status
+    FROM orders
+),
+chg AS (
+    SELECT * FROM ordered
+    WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+)
+SELECT o_custkey AS custkey,
+       o_orderstatus AS status,
+       o_orderdate AS valid_from,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS BIGINT) AS version,
+       LEAD(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS valid_to,
+       LEAD(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) IS NULL AS is_current
+FROM chg
+"""
+
+
 QUERIES = {
     "join_asof_latest_order": asof_latest_order,
     "tpch_q1_pricing_summary": q1_pricing_summary,
@@ -707,6 +776,7 @@ QUERIES = {
     "agg_cube_status_priority": cube_status_priority,
     "agg_pivot_priority_by_status": pivot_priority_by_status,
     "subq_orders_above_customer_avg": orders_above_customer_avg,
+    "scd2_order_status_history": scd2_status_history,
 }
 
 ORACLES = {
@@ -727,4 +797,5 @@ ORACLES = {
     "agg_cube_status_priority": _CUBE_SQL,
     "agg_pivot_priority_by_status": _PIVOT_SQL,
     "subq_orders_above_customer_avg": _ABOVE_AVG_SQL,
+    "scd2_order_status_history": _SCD2_SQL,
 }

@@ -77,3 +77,48 @@ def test_sessionization_gap_invariant(spark, sf_correct):
 def test_q5_broadcasts_dims(spark, sf_correct):
     plan = relational.q5_region_revenue(spark, sf_correct)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_periods_tile_and_single_current(spark, sf_correct):
+    """SCD2 laws: per customer the periods tile (valid_to of version n
+    equals valid_from of version n+1), versions are dense from 1,
+    exactly one open row per customer, and no two consecutive periods
+    carry the same status (else they'd be one period)."""
+    hist = relational.scd2_status_history(spark, sf_correct).cache()
+    per = hist.groupBy("custkey").agg(
+        F.count("*").alias("n"),
+        F.min("version").alias("vmin"),
+        F.max("version").alias("vmax"),
+        F.sum(F.col("is_current").cast("int")).alias("open_rows"),
+    )
+    bad = per.filter(
+        (F.col("vmin") != 1)
+        | (F.col("vmax") != F.col("n"))
+        | (F.col("open_rows") != 1)
+    ).count()
+    assert bad == 0
+    # pair version n with version n+1: row v re-keys as v-1
+    nxt = hist.select(
+        "custkey",
+        (F.col("version") - 1).alias("version"),
+        F.col("valid_from").alias("next_from"),
+        F.col("status").alias("next_status"),
+    )
+    j = hist.join(nxt, ["custkey", "version"])
+    assert j.filter(F.col("valid_to") != F.col("next_from")).count() == 0
+    assert j.filter(F.col("status") == F.col("next_status")).count() == 0
+    hist.unpersist()
+
+
+def test_scd2_single_exchange(spark, sf_correct):
+    """Both window passes share the custkey partitioning: the whole
+    history build must plan exactly one shuffle."""
+    plan = (
+        relational.scd2_status_history(spark, sf_correct)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
