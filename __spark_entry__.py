@@ -125,6 +125,7 @@ _TAIL_ORDER = [
     "agg_equidepth_histogram",
     "sample_cap_per_source",
     "scd2_order_status_history",
+    "agg_column_profile",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest

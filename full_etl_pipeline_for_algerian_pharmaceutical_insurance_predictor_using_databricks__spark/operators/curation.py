@@ -462,6 +462,100 @@ FROM ranked WHERE cap_rank <= {CAP_PER_SOURCE}
 """
 
 
+# --------------------------------------------------------------------------
+# 8. One-pass column profiler (data-quality diagnostics)
+# --------------------------------------------------------------------------
+
+#: (column, kind) — kind decides which min/max slot the column fills:
+#: numerics and timestamps profile numerically (timestamps as epoch
+#: seconds), strings lexically.
+PROFILE_COLS: list[tuple[str, str]] = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+]
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the orders table — row count,
+    null count, exact distinct count, numeric min/max (timestamps as
+    epoch seconds), lexical min/max — the scan you run before trusting
+    a new 100-TB drop.
+
+    ONE aggregation computes every stat (map-side partials absorb the
+    whole table; the multi-DISTINCT expands to Catalyst's Expand, never
+    a per-column rescan), yielding a single row that `stack` unpivots
+    into one output row per column — the shuffle carries partial-agg
+    rows only, never a row-multiplied explode of the input."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, kind in PROFILE_COLS:
+        c = F.col(name)
+        num = (
+            F.unix_timestamp(c).cast("double")
+            if kind == "date"
+            else c.cast("double") if kind == "num" else F.lit(None).cast("double")
+        )
+        s = c.cast("string") if kind == "str" else F.lit(None).cast("string")
+        aggs += [
+            F.count(c).alias(f"{name}__nn"),
+            F.count_distinct(c).alias(f"{name}__nd"),
+            F.min(num).alias(f"{name}__mnn"),
+            F.max(num).alias(f"{name}__mxn"),
+            F.min(s).alias(f"{name}__mns"),
+            F.max(s).alias(f"{name}__mxs"),
+        ]
+    one = orders.agg(F.count("*").alias("__rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__nn, {name}__nd, {name}__mnn, {name}__mxn, "
+        f"{name}__mns, {name}__mxs"
+        for name, _ in PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_non_null, n_distinct, min_num, max_num, min_str, max_str)",
+        "__rows AS n_rows",
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_nulls"),
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
+
+
+def _profile_sql() -> str:
+    parts = []
+    for name, kind in PROFILE_COLS:
+        if kind == "date":
+            mn = f"CAST(FLOOR(EXTRACT(epoch FROM MIN({name}))) AS DOUBLE)"
+            mx = f"CAST(FLOOR(EXTRACT(epoch FROM MAX({name}))) AS DOUBLE)"
+            mns = mxs = "CAST(NULL AS VARCHAR)"
+        elif kind == "num":
+            mn, mx = f"CAST(MIN({name}) AS DOUBLE)", f"CAST(MAX({name}) AS DOUBLE)"
+            mns = mxs = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"MIN({name})", f"MAX({name})"
+        parts.append(
+            f"SELECT '{name}' AS col_name, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({name}) AS n_nulls, "
+            f"COUNT(DISTINCT {name}) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{mns} AS min_str, {mxs} AS max_str FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_PROFILE_SQL = _profile_sql()
+
+
 QUERIES = {
     "text_pii_redaction": pii_redaction,
     "text_chunk_windows": chunk_windows,
@@ -470,6 +564,7 @@ QUERIES = {
     "agg_heavy_hitters": heavy_hitters,
     "agg_equidepth_histogram": equidepth_histogram,
     "sample_cap_per_source": cap_per_source,
+    "agg_column_profile": column_profile,
 }
 
 ORACLES = {
@@ -480,4 +575,5 @@ ORACLES = {
     "agg_heavy_hitters": _HH_SQL,
     "agg_equidepth_histogram": _EQUIDEPTH_SQL,
     "sample_cap_per_source": _CAP_SQL,
+    "agg_column_profile": _PROFILE_SQL,
 }

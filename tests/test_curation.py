@@ -326,3 +326,31 @@ def test_cap_plan_pushes_group_limit_before_exchange(spark, sf_correct):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+# --------------------------------------------------------------------------
+# One-pass column profiler
+# --------------------------------------------------------------------------
+
+
+def test_column_profile_laws_and_single_scan(spark, sf_correct):
+    out = curation.column_profile(spark, sf_correct)
+    rows = {r["col_name"]: r for r in out.collect()}
+    assert set(rows) == {n for n, _ in curation.PROFILE_COLS}
+    n = load_table(spark, sf_correct, "orders").count()
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_nulls"] <= n
+        assert 1 <= r["n_distinct"] <= n - r["n_nulls"]
+    # kind routing: numeric slots filled for num/date, string slots for str
+    kinds = dict(curation.PROFILE_COLS)
+    for name, r in rows.items():
+        if kinds[name] == "str":
+            assert r["min_num"] is None and r["min_str"] <= r["max_str"]
+        else:
+            assert r["min_str"] is None and r["min_num"] <= r["max_num"]
+    # the profile is ONE aggregation over ONE scan — never per-column rescans
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE prints final + initial plans; count scans in the final one only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
