@@ -126,6 +126,7 @@ _TAIL_ORDER = [
     "sample_cap_per_source",
     "scd2_order_status_history",
     "agg_column_profile",
+    "text_unigram_logprob",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest

@@ -516,6 +516,87 @@ FROM tot t LEFT JOIN ov o USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus-unigram-LM surprisal score (the CCNet-style LM filter signal)
+# --------------------------------------------------------------------------
+
+#: Surprisal quantum: per-token -ln p(token) is rounded to integer
+#: MILLI-NATS before the per-doc sum.  The sum is then exact BIGINT
+#: arithmetic — order-independent across partial aggregations (floating
+#: sums of logs would drift with Spark's nondeterministic combine
+#: order) and ulp-robust against libm-vs-StrictMath ln differences
+#: (a flip needs ln to land within ~1e-13 of a rounding boundary).
+LM_SURPRISAL_QUANT = 1000
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by its average token surprisal under the
+    corpus's own unigram LM — the classic LM-based quality filter:
+    boilerplate/templated docs score low (frequent tokens), gibberish
+    scores high, and both tails get cut by the curation policy.
+
+    Shape: per-(doc, token) counts first (map-side partials; also
+    shrinks the LM join's left side to distinct tokens per doc), corpus
+    frequencies from a second token-keyed agg, the 1-row corpus total
+    broadcast, and the LM joined back on token — vocabulary is Zipf-
+    bounded (≪ corpus), so AQE broadcasts it at small scale and the
+    join stays a well-partitioned hash join at any scale.  No Python,
+    no window, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    doc_tok = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    lm = doc_tok.groupBy("token").agg(F.sum("tf").alias("cf"))
+    total = lm.agg(F.sum("cf").alias("corpus_tokens"))
+    lm_scored = lm.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(
+            -F.log(F.col("cf") / F.col("corpus_tokens")) * LM_SURPRISAL_QUANT
+        )
+        .cast("bigint")
+        .alias("mnats"),
+    )
+    return (
+        doc_tok.join(lm_scored, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("mnats")).alias("sum_mnats"),
+            (
+                F.sum(F.col("tf") * F.col("mnats"))
+                / (F.sum("tf") * LM_SURPRISAL_QUANT)
+            ).alias("avg_surprisal_nats"),
+        )
+    )
+
+
+_UNIGRAM_LM_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+),
+dt AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+lm AS (SELECT token, SUM(tf) AS cf FROM dt GROUP BY 1),
+t AS (SELECT SUM(cf) AS corpus_tokens FROM lm),
+s AS (
+    SELECT token,
+           CAST(ROUND(-LN(CAST(cf AS DOUBLE) / corpus_tokens)
+                      * {LM_SURPRISAL_QUANT}) AS BIGINT) AS mnats
+    FROM lm CROSS JOIN t
+)
+SELECT dt.doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf * mnats) AS BIGINT) AS sum_mnats,
+       CAST(SUM(tf * mnats) AS DOUBLE)
+           / (SUM(tf) * {LM_SURPRISAL_QUANT}) AS avg_surprisal_nats
+FROM dt JOIN s USING (token)
+GROUP BY dt.doc_id
+"""
+
+
 QUERIES = {
     "text_winnowed_fingerprints": winnowed_fingerprints,
     "text_pack_sequences": pack_sequences,
@@ -526,6 +607,7 @@ QUERIES = {
     "text_lang_id_confusion": lang_id_confusion,
     "text_fingerprint": fingerprint,
     "text_source_lang_rollup": source_lang_rollup,
+    "text_unigram_logprob": unigram_logprob,
 }
 
 ORACLES = {
@@ -537,4 +619,5 @@ ORACLES = {
     "text_lang_id_confusion": _LANG_ID_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_source_lang_rollup": _SOURCE_LANG_SQL,
+    "text_unigram_logprob": _UNIGRAM_LM_SQL,
 }

@@ -378,3 +378,45 @@ def test_bitmask_vocab_probe_dispatches_correctly(spark, sf_correct):
     # and the big-vocab operator output is unaffected by the probe
     out = dedup.ngram_jaccard_pairs(spark, sf_correct, threshold=0.9, shingle_n=5)
     assert out.filter(F.col("jaccard") < 0.9).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Corpus-unigram-LM surprisal
+# --------------------------------------------------------------------------
+
+
+def test_unigram_logprob_identity_and_quant_bound(spark, sf_correct):
+    """avg_surprisal must equal the unquantized float computation to
+    within the milli-nat quantization bound (0.5 mnats), cover every
+    doc, and stay internally consistent (avg == sum/(n·quant))."""
+    out = text.unigram_logprob(spark, sf_correct).cache()
+    docs = load_table(spark, sf_correct, "documents")
+    assert out.count() == docs.count()
+    inconsistent = out.filter(
+        F.abs(
+            F.col("avg_surprisal_nats")
+            - F.col("sum_mnats")
+            / (F.col("n_tokens") * text.LM_SURPRISAL_QUANT)
+        )
+        > 1e-12
+    ).count()
+    assert inconsistent == 0
+    # unquantized reference: mean per-token -ln(cf/total) over the doc
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    lm = tok.groupBy("token").agg(F.count("*").alias("cf"))
+    total = lm.agg(F.sum("cf").alias("tot"))
+    ref = (
+        tok.join(lm, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.avg(-F.log(F.col("cf") / F.col("tot"))).alias("ref_nats"))
+    )
+    j = out.join(ref, "doc_id")
+    worst = j.agg(
+        F.max(F.abs(F.col("avg_surprisal_nats") - F.col("ref_nats")))
+    ).collect()[0][0]
+    assert worst <= 0.5 / text.LM_SURPRISAL_QUANT + 1e-9
+    out.unpersist()
