@@ -97,3 +97,84 @@ def bucketed_join(
     counts the physical plan has NO ShuffleExchange on either side
     (SortMergeJoin directly over the bucketed scans)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+# --------------------------------------------------------------------------
+# Runtime Bloom-filter join pruning (semi-join reduction for fact⋈fact)
+# --------------------------------------------------------------------------
+
+#: Conf set that makes Catalyst inject a Bloom filter built from the
+#: SELECTIVE side of a shuffle join into the scan pipeline of the big
+#: side (`bloom_filter_agg` → `might_contain` in the plan): rows whose
+#: key cannot match are dropped AT THE SCAN, before the shuffle — the
+#: semi-join reduction every distributed engine applies to selective
+#: fact⋈fact joins.  Spark ships it ON but gated by size thresholds
+#: tuned for clusters (application side must scan ≥10GB); these
+#: arguments surface the gates so a deployment can size them to its
+#: tables.  Test-scale demos set application_side_min="0".
+_BLOOM_CONF_KEYS = (
+    "spark.sql.optimizer.runtime.bloomFilter.enabled",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+    "spark.sql.autoBroadcastJoinThreshold",
+)
+
+
+def set_runtime_bloom(
+    spark: SparkSession,
+    application_side_min: str = "10GB",
+    creation_side_max: str = "100MB",
+    disable_broadcast: bool = False,
+) -> dict[str, str | None]:
+    """Enable runtime Bloom-filter injection with explicit size gates;
+    returns the prior conf values for `restore_confs`.  Broadcast
+    disabling exists only so small-scale tests exercise the shuffle-
+    join path the filter targets (at real scale the big side never
+    broadcasts anyway)."""
+    old: dict[str, str | None] = {}
+    for k in _BLOOM_CONF_KEYS:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_min,
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_max,
+    )
+    if disable_broadcast:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return old
+
+
+def restore_confs(spark: SparkSession, old: dict[str, str | None]) -> None:
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demo shape for the runtime filter: a selective order slice
+    (1-URGENT, ~20% of orders) joined to the full lineitem fact.  With
+    the Bloom gates open, lineitem rows whose l_orderkey can't match
+    any urgent order die at the scan; only survivors shuffle."""
+    from ..sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+    )

@@ -138,3 +138,23 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     for t in ("b_orders", "b_lineitem"):
         _drop_table_and_files(spark, t)
+
+
+def test_runtime_bloom_filter_prunes_at_scan(spark, sf_correct):
+    """With the size gates opened, Catalyst must inject a Bloom filter
+    built from the selective order slice into the lineitem scan
+    pipeline (bloom_filter_agg on the build, might_contain on the
+    probe), and the filtered join must return exactly the unfiltered
+    result."""
+    baseline = scale.bloom_pruned_revenue(spark, sf_correct).collect()
+    old = scale.set_runtime_bloom(
+        spark, application_side_min="0", disable_broadcast=True
+    )
+    try:
+        df = scale.bloom_pruned_revenue(spark, sf_correct)
+        rows = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        scale.restore_confs(spark, old)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, baseline))

@@ -27,6 +27,9 @@ def main() -> None:
         retrieval,
         similarity,
     )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.functions import (
+        scale,
+    )
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.plans.audit import (
         formatted_plan,
     )
@@ -116,6 +119,19 @@ def main() -> None:
          "ranking window is partitioned by doc_id and planned as "
          "WindowGroupLimit (partial top-k BEFORE the exchange, Spark 3.5+), so "
          "no partition ever holds more than k rows per doc post-shuffle."),
+        ("scale.bloom_pruned_revenue (runtime Bloom-filter pruning)",
+         lambda s, d: (
+             scale.set_runtime_bloom(s, application_side_min="0", disable_broadcast=True),
+             scale.bloom_pruned_revenue(s, d),
+         )[1],
+         "Selective fact⋈fact join with the runtime Bloom gates opened "
+         "(demo thresholds; at cluster scale the defaults fire once the "
+         "application side scans ≥10GB): Catalyst builds a Bloom filter "
+         "from the urgent-order keys (bloom_filter_agg) and evaluates "
+         "might_contain INSIDE the lineitem scan stage — non-matching "
+         "lines die before the shuffle, the semi-join reduction. This "
+         "section intentionally runs LAST: the conf change stays local "
+         "to it."),
     ]
 
     out = [
@@ -130,7 +146,9 @@ def main() -> None:
         head = plan.split("\n\n")[0]
         scans = "\n".join(
             l for l in plan.splitlines()
-            if re.search(r"PushedFilters|ReadSchema|Location", l)
+            if re.search(
+                r"PushedFilters|ReadSchema|Location|bloom_filter_agg|might_contain", l
+            )
         )
         out.append(f"## {name}\n")
         out.append(commentary + "\n")
