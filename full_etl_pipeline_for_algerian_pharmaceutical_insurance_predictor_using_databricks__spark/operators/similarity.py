@@ -428,12 +428,153 @@ GROUP BY label, dim
 """
 
 
+# --------------------------------------------------------------------------
+# Product quantization + ADC scan (the FAISS-PQ shape in DataFrames)
+# --------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (64-dim → 4 × 16-dim subvectors)
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_RERANK = 8  # exact re-rank pool = PQ_RERANK × k candidates per query
+
+
+def ann_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERY_VECS,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scan:
+    each subspace gets a seeded KMeans codebook, every vector encodes
+    to `m` 4-bit codes (16 bytes → 2 bytes here — the memory plan that
+    makes billion-vector search fit RAM), and each query scores the
+    corpus by summing per-(subspace, code) partial distances from a
+    broadcast lookup table instead of touching raw floats.  The top
+    `PQ_RERANK·k` ADC candidates per query re-rank by exact cosine.
+
+    Scale shape: codebook fits are on 16-dim slices (distributed
+    KMeans); encoding is m model.transform passes (one scan); the ADC
+    join is codes ⋈ broadcast LUT (Q·m·K rows ≈ KB) followed by a
+    (query, vec) partial-distance sum — linear in corpus size with
+    4-bit-per-subspace operands, and the exact re-rank touches only
+    O(Q·PQ_RERANK·k) full vectors.  At real scale ADC runs inside IVF
+    lists (IVF-PQ) so the linear term shrinks by nprobe/nlist — the
+    composition is the `ann_ivf` candidate join with `codes` in place
+    of raw embeddings."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("norm", norm_col(F.col("embedding")))
+        .cache()
+    )
+    dim = len(emb.select("embedding").first()[0])
+    sub_d = dim // m
+    # encode: one KMeans codebook per subspace; codes collected as cols
+    coded = emb
+    luts = []
+    for mi in range(m):
+        sub = F.slice(F.col("embedding").cast("array<double>"), mi * sub_d + 1, sub_d)
+        coded = coded.withColumn(f"_sub{mi}", array_to_vector(sub))
+        km = KMeans(
+            k=n_codes,
+            seed=7 + mi,
+            maxIter=5,
+            featuresCol=f"_sub{mi}",
+            predictionCol=f"code_{mi}",
+        )
+        model = km.fit(coded.select(f"_sub{mi}"))
+        coded = model.transform(coded).drop(f"_sub{mi}")
+        luts.append(
+            [(mi, ci, [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())]
+        )
+    codebook = spark.createDataFrame(
+        [r for lut in luts for r in lut],
+        "m int, code int, centroid array<double>",
+    )
+    codes = coded.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"code_{mi}") for mi in range(m)])).alias(
+            "m", "code"
+        ),
+    )
+    queries_df = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    # LUT: per (query, subspace, code) squared L2 partial — Q·m·K rows
+    lut = F.broadcast(
+        queries_df.crossJoin(F.broadcast(codebook)).select(
+            "query_id",
+            "m",
+            "code",
+            F.aggregate(
+                F.zip_with(
+                    F.slice(
+                        F.col("q_emb").cast("array<double>"),
+                        F.col("m") * sub_d + 1,
+                        sub_d,
+                    ),
+                    F.col("centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("pdist"),
+        )
+    )
+    adc = (
+        codes.join(lut, ["m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdist").alias("adc_l2sq"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adc_l2sq"), F.asc("vec_id"))
+    pool = adc.withColumn("adc_rank", F.row_number().over(wa)).filter(
+        F.col("adc_rank") <= PQ_RERANK * k
+    )
+    # exact cosine re-rank on the small candidate pool
+    cand = (
+        pool.join(
+            emb.select(
+                F.col("vec_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("norm").alias("c_norm"),
+            ),
+            "vec_id",
+        )
+        .join(
+            F.broadcast(
+                emb.filter(F.col("vec_id") < n_queries).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb"),
+                    F.col("norm").alias("q_norm"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot_col(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 QUERIES = {
     "sim_quantize_int8": quantize_embeddings,
     "sim_knn_bruteforce": knn_bruteforce,
     "sim_ann_lsh": ann_lsh,
     "sim_ann_ivf": ann_ivf,
     "sim_ann_brp_lsh": ann_brp_lsh,
+    "sim_ann_pq": ann_pq,
     "sim_label_centroids": label_centroids,
 }
 

@@ -420,3 +420,24 @@ def test_unigram_logprob_identity_and_quant_bound(spark, sf_correct):
     ).collect()[0][0]
     assert worst <= 0.5 / text.LM_SURPRISAL_QUANT + 1e-9
     out.unpersist()
+
+
+def test_ann_pq_recall_and_coverage(spark, sf_correct):
+    """PQ-ADC with exact re-rank: every query answered with exactly k
+    neighbors, and top-1 recall vs brute force above the loose ANN
+    floor (measured ~0.7 with the 8k re-rank pool)."""
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in similarity.knn_bruteforce(spark, sf_correct)
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    rows = similarity.ann_pq(spark, sf_correct).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert len(by_query) == similarity.N_QUERY_VECS
+    assert all(len(v) == similarity.TOP_K for v in by_query.values())
+    approx = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
+    assert hits / len(approx) >= 0.4
