@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.events import SESSION_GAP_SEC
 from ..schemas import EVENTS
@@ -762,3 +762,67 @@ def run_available_now(
             q.stop()
             raise TimeoutError(f"stream {name} did not drain within 300s")
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Streaming trending top-k (rank inside closed windows)
+# --------------------------------------------------------------------------
+
+TRENDING_K = 3
+
+
+def trending_topk_ingest(stream: DataFrame, out_dir: str, k: int = TRENDING_K) -> None:
+    """Per-window trending top-k event types, continuously.
+
+    Ranking is not expressible inside a streaming aggregation, but it
+    doesn't need to be: APPEND-mode tumbling counts emit each (window,
+    type) row exactly once — when the watermark closes the window — and
+    every row of one window closes on the same watermark advance, so
+    they arrive in the same micro-batch.  The foreachBatch stage
+    therefore sees complete windows and ranks them with an ordinary
+    window-partitioned row_number (per-batch data is window-complete by
+    construction).  Batch-id-keyed overwrite keeps the sink idempotent
+    under micro-batch retry, same contract as the registries above.
+    State is the open windows only (bounded by the watermark), and the
+    per-batch rank touches ≤ |event types| rows per closed window."""
+    counts = tumbling_counts_stream(stream)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("events"), "event_type"
+        )
+        (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch={batch_id}")
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            counts.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("trending drain exceeded 300s")
+
+
+def trending_topk_batch(
+    spark: SparkSession, sf_dir: str, k: int = TRENDING_K
+) -> DataFrame:
+    """Batch twin: same tumbling counts, same rank, over the full
+    fixture (including windows a streaming drain would hold open)."""
+    from ..operators.events import tumbling_5min
+
+    counts = tumbling_5min(spark, sf_dir).select(
+        "window_start", "event_type", "events"
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("events"), "event_type")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

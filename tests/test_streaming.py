@@ -382,3 +382,33 @@ def test_hourly_rollup_registry_two_batches_and_retry(spark, sf_dir, tmp_path):
     again = jobs.hourly_rollup_read(spark, reg)
     assert again.exceptAll(want).count() == 0
     assert want.exceptAll(again).count() == 0
+
+
+def test_trending_topk_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed per-window top-k must equal the batch twin on every
+    window the watermark closed, and must cover ALL windows that close
+    before the final watermark (only trailing open windows may be
+    held back)."""
+    out = str(tmp_path / "trend")
+    jobs.trending_topk_ingest(jobs.events_stream(spark, sf_dir), out)
+    got = spark.read.parquet(out + "/batch=*").select(
+        "window_start", "event_type", "events", "rank"
+    )
+    batch = jobs.trending_topk_batch(spark, sf_dir)
+    streamed_windows = [r[0] for r in got.select("window_start").distinct().collect()]
+    assert streamed_windows, "stream emitted no closed windows"
+    expected = batch.filter(F.col("window_start").isin(streamed_windows))
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    # closed-window coverage: window_end <= max_ts - delay must be present
+    max_ts = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_timestamp("ts")))
+        .collect()[0][0]
+    )
+    must_close = {
+        r[0]
+        for r in batch.select("window_start").distinct().collect()
+        if r[0] + 300 <= max_ts - 600
+    }
+    assert must_close.issubset(set(streamed_windows))
