@@ -315,28 +315,35 @@ def ngram_jaccard_pairs(
 _BITMASK_VOCAB_MAX = 64
 
 
-def _rep_masks(groups: DataFrame) -> DataFrame:
-    """(doc_id=rep, mask, sz): each rep's token set as ONE 64-bit word —
-    dense token ids come from a window over the ≤64-row distinct-token
-    frame, the mask is `bit_or(1 << tid)`.  Only valid when the caller
-    has proven vocab ≤ 64 via `_rep_vocab_size`."""
-    vocab_w = Window.orderBy("token")
-    vocab_ids = (
-        _rep_tokens(groups)
-        .select("token")
-        .distinct()
-        .select("token", (F.row_number().over(vocab_w) - 1).alias("tid"))
+def _rep_masks(groups: DataFrame, vocab: list[int] | None = None) -> DataFrame:
+    """(doc_id=rep, mask, sz): each rep's token set as ONE 64-bit word.
+
+    The ≤64-token vocabulary is already in hand (the caller proved the
+    bound via `_rep_vocab`, a driver-side collect of at most 65 longs),
+    so the mask is a PER-ROW fold over the materialized `tokens` array
+    against a literal token→bit map — no distinct job, no broadcast
+    join, no explode/groupBy shuffle.  `vocab=None` re-probes (only the
+    parity test uses that form)."""
+    if vocab is None:
+        vocab = _rep_vocab(groups, _BITMASK_VOCAB_MAX)
+        if vocab is None:
+            raise ValueError("rep vocabulary exceeds the bitmask bound")
+    entries: list[Column] = []
+    for i, t in enumerate(sorted(vocab)):
+        bit = 1 << i
+        if bit >= 1 << 63:  # keep the top bit representable as signed long
+            bit -= 1 << 64
+        entries += [F.lit(t).cast("long"), F.lit(bit).cast("long")]
+    bitmap = F.create_map(*entries)
+    mask = F.aggregate(
+        F.col("tokens"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc.bitwiseOR(F.element_at(bitmap, t)),
     )
-    return (
-        _rep_tokens(groups)
-        .join(F.broadcast(vocab_ids), "token")
-        .groupBy("doc_id")
-        .agg(
-            # shiftleft with a COLUMN shift count is SQL-only (the
-            # Python wrapper insists on a literal)
-            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), tid)")).alias("mask"),
-            F.count("*").alias("sz"),
-        )
+    return groups.select(
+        F.col("rep").alias("doc_id"),
+        mask.alias("mask"),
+        F.col("set_size").alias("sz"),
     )
 
 
@@ -369,7 +376,9 @@ def _verify_pairs_masks(
     )
 
 
-def _rep_jaccard_pairs_bitmask(groups: DataFrame, threshold: float) -> DataFrame:
+def _rep_jaccard_pairs_bitmask(
+    groups: DataFrame, threshold: float, vocab: list[int] | None = None
+) -> DataFrame:
     """Dictionary-domain pair strategy for TINY vocabularies: when every
     distinct token fits a dense id < 64, a token set is one 64-bit word
     (`bit_or(1 << tid)`), |A∩B| is `bit_count(mask_a & mask_b)`, and the
@@ -380,7 +389,7 @@ def _rep_jaccard_pairs_bitmask(groups: DataFrame, threshold: float) -> DataFrame
     vocabulary).  Exact same jaccard arithmetic (int bit_count / int
     union), so output is bit-identical to the inverted-index path; the
     caller verifies the vocabulary bound before dispatching here."""
-    masks = _rep_masks(groups)
+    masks = _rep_masks(groups, vocab)
     a = masks.select(
         F.col("doc_id").alias("doc_a"), F.col("mask").alias("ma"), F.col("sz").alias("sa")
     )
