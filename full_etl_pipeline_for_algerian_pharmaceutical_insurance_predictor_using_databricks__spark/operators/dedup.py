@@ -315,6 +315,18 @@ def ngram_jaccard_pairs(
 _BITMASK_VOCAB_MAX = 64
 
 
+def _rep_vocab(groups: DataFrame, bound: int) -> list[int] | None:
+    """The rep-level token vocabulary if it has ≤ `bound` distinct
+    tokens, else None.  Cost: one early-terminating distinct — the
+    `limit(bound + 1)` stops the scan once the bound is disproved, so
+    on a real large-vocabulary corpus this planning probe collects at
+    most `bound + 1` longs to the driver, never the full vocabulary."""
+    rows = (
+        _rep_tokens(groups).select("token").distinct().limit(bound + 1).collect()
+    )
+    return [r.token for r in rows] if len(rows) <= bound else None
+
+
 def _rep_masks(groups: DataFrame, vocab: list[int] | None = None) -> DataFrame:
     """(doc_id=rep, mask, sz): each rep's token set as ONE 64-bit word.
 
@@ -322,8 +334,9 @@ def _rep_masks(groups: DataFrame, vocab: list[int] | None = None) -> DataFrame:
     bound via `_rep_vocab`, a driver-side collect of at most 65 longs),
     so the mask is a PER-ROW fold over the materialized `tokens` array
     against a literal token→bit map — no distinct job, no broadcast
-    join, no explode/groupBy shuffle.  `vocab=None` re-probes (only the
-    parity test uses that form)."""
+    join, no explode/groupBy shuffle.  `vocab=None` re-probes (one
+    extra distinct job; production dispatch sites always pass the
+    vocabulary they already collected)."""
     if vocab is None:
         vocab = _rep_vocab(groups, _BITMASK_VOCAB_MAX)
         if vocab is None:
@@ -335,10 +348,22 @@ def _rep_masks(groups: DataFrame, vocab: list[int] | None = None) -> DataFrame:
             bit -= 1 << 64
         entries += [F.lit(t).cast("long"), F.lit(bit).cast("long")]
     bitmap = F.create_map(*entries)
+    # a token absent from the vocab means the caller handed a stale or
+    # partial vocabulary — fail loudly instead of letting the NULL mask
+    # silently drop the row downstream
     mask = F.aggregate(
         F.col("tokens"),
         F.lit(0).cast("long"),
-        lambda acc, t: acc.bitwiseOR(F.element_at(bitmap, t)),
+        lambda acc, t: acc.bitwiseOR(
+            F.coalesce(
+                F.element_at(bitmap, t),
+                F.raise_error(
+                    F.concat(
+                        F.lit("_rep_masks: token not in vocab: "), t.cast("string")
+                    )
+                ).cast("long"),
+            )
+        ),
     )
     return groups.select(
         F.col("rep").alias("doc_id"),
@@ -414,8 +439,8 @@ def _rep_vocab_size(groups: DataFrame, bound: int) -> int | None:
     scan stops once `bound + 1` distinct tokens surface, so on a real
     large-vocabulary corpus this planning probe is bounded, not a full
     vocabulary count."""
-    n = len(_rep_tokens(groups).select("token").distinct().limit(bound + 1).collect())
-    return n if n <= bound else None
+    vocab = _rep_vocab(groups, bound)
+    return len(vocab) if vocab is not None else None
 
 
 def _rep_jaccard_pairs(
@@ -435,8 +460,10 @@ def _rep_jaccard_pairs(
     checkpointed groups table, which has no stats, so the planner would
     fall back to sort-merge for the size joins (two pointless
     O(pairs·log) sorts — see `_verify_pairs_exact`)."""
-    if max_df is None and _rep_vocab_size(groups, _BITMASK_VOCAB_MAX) is not None:
-        return _rep_jaccard_pairs_bitmask(groups, threshold)
+    if max_df is None:
+        vocab = _rep_vocab(groups, _BITMASK_VOCAB_MAX)
+        if vocab is not None:
+            return _rep_jaccard_pairs_bitmask(groups, threshold, vocab)
     return _rep_jaccard_pairs_inverted(groups, threshold, max_df)
 
 
@@ -546,6 +573,33 @@ def _minhash_signature(tok: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     )
 
 
+def _rep_minhash_signature(
+    groups: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """`_minhash_signature` for the contracted rep frame, as a PER-ROW
+    fold: each signature slot is `array_min(transform(tokens, ...))`
+    over the already-materialized `tokens` array — no explode, no
+    groupBy shuffle.  Same hash family (xxhash64 of the per-slot-salted
+    token string), so output is bit-identical to the exploded
+    formulation; the explode+agg form stays for incremental callers
+    that only hold a token stream (streaming registry)."""
+
+    def slot(i: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("tokens"),
+                lambda t: F.xxhash64(
+                    F.concat(F.lit(f"mh{i}:"), t.cast("string"))
+                ),
+            )
+        )
+
+    return groups.select(
+        F.col("rep").alias("doc_id"),
+        F.array(*[slot(i) for i in range(n_hashes)]).alias("signature"),
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -569,7 +623,7 @@ def minhash_lsh_pairs(
     """
     docs = load_table(spark, sf_dir, "documents")
     groups = _contract(_token_sets(docs, shingle_n=shingle_n))
-    sig = _minhash_signature(_rep_tokens(groups))
+    sig = _rep_minhash_signature(groups)
     rows_per_band = N_HASHES // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -618,8 +672,11 @@ def minhash_lsh_pairs(
     # adaptive verify: same dictionary-bitmask strategy as
     # _rep_jaccard_pairs — exact bit_count intersection when the rep
     # vocabulary fits one word, array_intersect otherwise
-    if shingle_n is None and _rep_vocab_size(groups, _BITMASK_VOCAB_MAX) is not None:
-        verified = _verify_pairs_masks(candidates, _rep_masks(groups), threshold)
+    vocab = (
+        _rep_vocab(groups, _BITMASK_VOCAB_MAX) if shingle_n is None else None
+    )
+    if vocab is not None:
+        verified = _verify_pairs_masks(candidates, _rep_masks(groups, vocab), threshold)
     else:
         verified = _verify_pairs_exact(candidates, _rep_arrays(groups), threshold)
     return _expand_rep_pairs(verified, groups, threshold)

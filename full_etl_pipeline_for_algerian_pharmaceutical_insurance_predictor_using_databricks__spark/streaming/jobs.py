@@ -29,13 +29,22 @@ WATERMARK_DELAY = "10 minutes"
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events fixture.
 
-    The fixture's TIMESTAMP(NANOS) column needs the same nanos
-    handling as the batch reader, so we stream with an int64 ts and
-    rebuild the timestamp — identical post-load logical schema.
+    The fixture's physical `ts` type varies (TIMESTAMP(MICROS) vs
+    TIMESTAMP(NANOS)); mirror the batch reader's adaptive probe
+    (sources.catalog._read_events) so batch/stream parity holds for
+    either file: a batch footer read decides the stream schema.  A
+    NANOS column is streamed as int64 (legacy flag) and rebuilt at
+    microsecond precision; a MICROS column streams as native timestamp
+    with no arithmetic.
     """
+    # the legacy flag only changes how TIMESTAMP(NANOS) surfaces
+    # (int64 instead of a read error); MICROS files are unaffected
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_is_nanos = dict(probe.dtypes).get("ts") == "bigint"
+    ts_decl = "ts long" if ts_is_nanos else "ts timestamp"
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
+        f"event_id long, {ts_decl}, user_id long, event_type string, "
         "value double, props string"
     )
     raw = (
@@ -45,9 +54,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load()
     )
-    # integer div matches sources.catalog._read_events — float division
-    # loses 1µs precision past double's 2^53 exact-integer range
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        # integer div matches sources.catalog._read_events — float
+        # division loses 1µs precision past double's 2^53 exact range
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts_stream(stream: DataFrame) -> DataFrame:

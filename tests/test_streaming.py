@@ -349,7 +349,9 @@ def test_hourly_rollup_registry_two_batches_and_retry(spark, sf_dir, tmp_path):
     ]:
         d = tmp_path / f"_{name}"
         half.withColumn(
-            "ts", F.expr("unix_micros(ts) * CAST(1000 AS BIGINT)")
+            # cast-first: load_table may surface ts as TIMESTAMP_NTZ
+            # (µs fixtures); session tz is UTC so the cast is lossless
+            "ts", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)")
         ).coalesce(1).write.parquet(str(d))
         shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet")
 
