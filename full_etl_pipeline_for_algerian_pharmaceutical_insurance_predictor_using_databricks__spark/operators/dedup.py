@@ -801,11 +801,27 @@ def _cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+_EXACT_CAP_SENTINEL = object()
+
+
 def embedding_near_dup(
-    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    max_pairs: int | None | object = _EXACT_CAP_SENTINEL,
 ) -> DataFrame:
     """All vector pairs with cosine ≥ threshold (brute force — the
-    LSH-bucketed scale path lives in operators.similarity)."""
+    LSH-bucketed scale path lives in operators.similarity).
+
+    `max_pairs` guards the n² pair volume (default: the shared
+    exact-tier cap, `similarity.EXACT_PAIR_CAP`); pass None to override
+    deliberately."""
+    from .similarity import EXACT_PAIR_CAP, guard_cartesian
+
+    if max_pairs is _EXACT_CAP_SENTINEL:
+        max_pairs = EXACT_PAIR_CAP
+    n = load_table(spark, sf_dir, "embeddings").count()
+    guard_cartesian(n * (n - 1) // 2, "embedding_near_dup", max_pairs)
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.alias("a")
     b = emb.alias("b")

@@ -85,8 +85,32 @@ TOP_K = 5
 N_QUERY_VECS = 20  # first N vec_ids act as the query set
 
 
+#: Ceiling on materialized candidate pairs for the EXACT (cartesian)
+#: tier.  These operators are oracle anchors, not the scale path — the
+#: guard makes pointing them at a big corpus an explicit error instead
+#: of a cluster-melting job.  Override with `max_pairs=` (None = off).
+EXACT_PAIR_CAP = 200_000_000
+
+
+def guard_cartesian(n_pairs: int, op: str, cap: int | None) -> None:
+    """Raise if an exact all-pairs operator would materialize more than
+    `cap` candidate pairs.  The count arrives from a metadata-cheap
+    `count()` on the source table, so the guard costs no real scan."""
+    if cap is not None and n_pairs > cap:
+        raise ValueError(
+            f"{op}: {n_pairs:,} candidate pairs exceeds the exact-tier cap "
+            f"({cap:,}). This operator is the brute-force oracle anchor — "
+            f"use the ANN/LSH scale path for large corpora, or pass "
+            f"max_pairs=None to override deliberately."
+        )
+
+
 def knn_bruteforce(
-    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERY_VECS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERY_VECS,
+    max_pairs: int | None = EXACT_PAIR_CAP,
 ) -> DataFrame:
     """Exact cosine top-k for the query subset against the full corpus.
     row_number over (query, cosine DESC) — partitioned window, scales
@@ -97,6 +121,11 @@ def knn_bruteforce(
     the corpus never shuffles. cosine = dot/(norm_q·norm_c) evaluates
     the identical fold expressions, so values stay bit-compatible with
     the naive form and the DuckDB oracle."""
+    guard_cartesian(
+        load_table(spark, sf_dir, "embeddings").count() * n_queries,
+        "knn_bruteforce",
+        max_pairs,
+    )
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "norm", norm_col(F.col("embedding"))
     )
@@ -465,12 +494,17 @@ def ann_pq(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # localCheckpoint, not persist: a persist() entry is plan-matched by
+    # the CacheManager across calls and is never unpersisted here (the
+    # returned DataFrame still needs it at execution time); checkpoint
+    # blocks are reclaimed when the DataFrame is GC'd, and the dim probe
+    # below reads one materialized block instead of re-scanning parquet
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .withColumn("norm", norm_col(F.col("embedding")))
-        .cache()
+        .localCheckpoint()
     )
-    dim = len(emb.select("embedding").first()[0])
+    dim = emb.select(F.size("embedding")).first()[0]
     sub_d = dim // m
     # encode: one KMeans codebook per subspace; codes collected as cols
     coded = emb
@@ -568,6 +602,174 @@ def ann_pq(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ann_ivf_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERY_VECS,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """IVF-PQ: the deployable billion-vector ANN — `ann_ivf`'s
+    inverted-list pruning composed with `ann_pq`'s compressed ADC scan.
+
+    A coarse KMeans quantizer routes every vector to one of `nlist`
+    inverted lists; per-subspace PQ codebooks compress each vector to
+    `m` 4-bit codes.  A query touches only its `nprobe` nearest lists,
+    and inside those lists the scan reads CODES, not raw floats: the
+    candidate join carries (vec_id, list_id, subspace, code) and scores
+    via a broadcast per-query lookup table of partial distances, so
+    per-query work is O(n·m·nprobe/nlist) on 4-bit operands.  Only the
+    top `PQ_RERANK·k` ADC candidates per query ever touch a full
+    vector, in the exact-cosine re-rank.
+
+    Scale shape at 100 TB: both quantizers fit distributed (KMeans),
+    encoding is one scan, the probe table and the ADC LUT are
+    driver-tiny broadcasts (Q·nprobe and Q·m·K rows), and the heavy
+    join — codes ⋈ probes on list_id — is hash-partitioned on a
+    low-cardinality key whose fan-out AQE splits.  Raw embeddings are
+    read exactly twice: codebook fit/encode, and the O(Q·k) re-rank."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("norm", norm_col(F.col("embedding")))
+        .withColumn("vec", array_to_vector(F.col("embedding").cast("array<double>")))
+        .localCheckpoint()
+    )
+    dim = emb.select(F.size("embedding")).first()[0]
+    sub_d = dim // m
+
+    # --- coarse quantizer: vector → inverted list -----------------------
+    coarse = KMeans(
+        k=nlist, seed=7, maxIter=5, featuresCol="vec", predictionCol="list_id"
+    ).fit(emb.select("vec"))
+    assigned = coarse.transform(emb)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())],
+        "centroid_id int, centroid array<double>",
+    )
+
+    # --- PQ codebooks: vector → m 4-bit codes ---------------------------
+    coded = assigned
+    luts = []
+    for mi in range(m):
+        sub = F.slice(F.col("embedding").cast("array<double>"), mi * sub_d + 1, sub_d)
+        coded = coded.withColumn(f"_sub{mi}", array_to_vector(sub))
+        model = KMeans(
+            k=n_codes,
+            seed=7 + mi,
+            maxIter=5,
+            featuresCol=f"_sub{mi}",
+            predictionCol=f"code_{mi}",
+        ).fit(coded.select(f"_sub{mi}"))
+        coded = model.transform(coded).drop(f"_sub{mi}")
+        luts.append(
+            [
+                (mi, ci, [float(x) for x in c])
+                for ci, c in enumerate(model.clusterCenters())
+            ]
+        )
+    codebook = spark.createDataFrame(
+        [r for lut in luts for r in lut],
+        "m int, code int, centroid array<double>",
+    )
+    # the compressed index: this — not the raw embeddings — is what the
+    # candidate join scans
+    codes = coded.select(
+        "vec_id",
+        "list_id",
+        F.posexplode(F.array(*[F.col(f"code_{mi}") for mi in range(m)])).alias(
+            "m", "code"
+        ),
+    )
+
+    queries_df = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    # --- probe selection: each query's nprobe nearest lists -------------
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
+    probes = F.broadcast(
+        queries_df.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "centroid_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_emb").cast("array<double>"),
+                    F.col("centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("list_id"))
+    )
+    # --- ADC LUT: per (query, subspace, code) squared-L2 partial --------
+    lut = F.broadcast(
+        queries_df.crossJoin(F.broadcast(codebook)).select(
+            "query_id",
+            "m",
+            "code",
+            F.aggregate(
+                F.zip_with(
+                    F.slice(
+                        F.col("q_emb").cast("array<double>"),
+                        F.col("m") * sub_d + 1,
+                        sub_d,
+                    ),
+                    F.col("centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("pdist"),
+        )
+    )
+    # --- compressed scan of the probed lists only -----------------------
+    adc = (
+        codes.join(probes, "list_id")
+        .join(lut, ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdist").alias("adc_l2sq"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adc_l2sq"), F.asc("vec_id"))
+    pool = adc.withColumn("adc_rank", F.row_number().over(wa)).filter(
+        F.col("adc_rank") <= PQ_RERANK * k
+    )
+    # --- exact cosine re-rank on the tiny pool --------------------------
+    cand = (
+        pool.join(
+            emb.select(
+                "vec_id",
+                F.col("embedding").alias("c_emb"),
+                F.col("norm").alias("c_norm"),
+            ),
+            "vec_id",
+        )
+        .join(F.broadcast(queries_df), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot_col(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 QUERIES = {
     "sim_quantize_int8": quantize_embeddings,
     "sim_knn_bruteforce": knn_bruteforce,
@@ -575,6 +777,7 @@ QUERIES = {
     "sim_ann_ivf": ann_ivf,
     "sim_ann_brp_lsh": ann_brp_lsh,
     "sim_ann_pq": ann_pq,
+    "sim_ann_ivf_pq": ann_ivf_pq,
     "sim_label_centroids": label_centroids,
 }
 

@@ -441,3 +441,37 @@ def test_ann_pq_recall_and_coverage(spark, sf_correct):
     approx = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
     hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
     assert hits / len(approx) >= 0.4
+
+
+def test_cartesian_guard_blocks_large_corpora(spark, sf_correct):
+    """The exact-tier oracle anchors must refuse to build an all-pairs
+    plan past the cap; max_pairs=None deliberately overrides."""
+    with pytest.raises(ValueError, match="exact-tier cap"):
+        similarity.knn_bruteforce(spark, sf_correct, max_pairs=10)
+    with pytest.raises(ValueError, match="exact-tier cap"):
+        dedup.embedding_near_dup(spark, sf_correct, max_pairs=10)
+    # None disables the guard; default cap admits the fixture
+    assert similarity.knn_bruteforce(spark, sf_correct, max_pairs=None) is not None
+    assert dedup.embedding_near_dup(spark, sf_correct) is not None
+
+
+def test_ann_ivf_pq_recall_and_coverage(spark, sf_correct):
+    """IVF-PQ composition: every query answered with exactly k
+    neighbors, top-1 recall vs brute force above the loose ANN floor
+    (the IVF probe is the recall limiter; the ADC pool inside probed
+    lists is large enough that PQ adds almost no extra loss)."""
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in similarity.knn_bruteforce(spark, sf_correct)
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    rows = similarity.ann_ivf_pq(spark, sf_correct).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert len(by_query) == similarity.N_QUERY_VECS
+    assert all(len(v) == similarity.TOP_K for v in by_query.values())
+    approx = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
+    assert hits / len(approx) >= 0.4
