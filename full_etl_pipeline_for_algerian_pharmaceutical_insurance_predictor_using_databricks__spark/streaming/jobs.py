@@ -711,6 +711,92 @@ def hourly_rollup_registry_ingest(stream: DataFrame, registry_dir: str) -> None:
             raise TimeoutError("hourly rollup registry drain exceeded 300s")
 
 
+def compact_registry(
+    spark: SparkSession,
+    registry_dir: str,
+    group_size: int = 8,
+    merge=None,
+) -> int:
+    """Offline small-files compaction for the batch-partitioned
+    registries: rewrite every `group_size` `batch=*` dirs as ONE
+    `batch=<lo>-<hi>` dir (the name still matches the ingest functions'
+    `batch=*` glob, so anti-joins and merge-on-read are unchanged).
+
+    At real cadence (a micro-batch every few seconds, forever) the
+    one-dir-per-batch layout is the classic small-files death — every
+    read lists and opens thousands of footers.  This pass restores
+    O(K/group_size) dirs with one data file each; run it periodically
+    (or cascade it: compacted dirs re-compact).  `merge` optionally
+    re-aggregates the merged rows — partial-aggregate registries
+    (hourly rollup) shrink row counts too, set-like registries
+    (fingerprints, bands, arrays) pass None and just concatenate.
+
+    Not concurrency-safe vs a live ingest into the same dir: the rename
+    publishes the merged dir before the sources are removed, so a
+    concurrent reader may transiently double-count — schedule it
+    between drains (at 100 TB this is a Delta/Iceberg OPTIMIZE, which
+    owns that atomicity).  Returns the number of merged dirs written.
+
+    At fixture scale one output file per merged dir is right; a
+    size-targeted `repartition` would replace the `coalesce(1)` on a
+    real corpus."""
+    import glob as g
+    import re
+    import shutil
+
+    def lo_hi(path: str) -> tuple[int, int]:
+        ids = [int(x) for x in re.findall(r"\d+", path.rsplit("batch=", 1)[1])]
+        return min(ids), max(ids)
+
+    parts = sorted(g.glob(f"{registry_dir}/batch=*"), key=lo_hi)
+    written = 0
+    for i in range(0, len(parts), group_size):
+        chunk = parts[i : i + group_size]
+        if len(chunk) < 2:
+            continue
+        lo = min(lo_hi(p)[0] for p in chunk)
+        hi = max(lo_hi(p)[1] for p in chunk)
+        df = spark.read.parquet(*chunk)
+        if merge is not None:
+            df = merge(df)
+        tmp = f"{registry_dir}/_compact_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # publish-then-delete: rename is atomic per dir; the transient
+        # overlap double-counts rather than losing rows on a crash
+        os.rename(tmp, f"{registry_dir}/batch={lo}-{hi}")
+        for p in chunk:
+            shutil.rmtree(p)
+        written += 1
+    return written
+
+
+def compact_near_dup_registry(
+    spark: SparkSession, registry_dir: str, group_size: int = 8
+) -> int:
+    """`compact_registry` over the near-dup registry's three
+    batch-partitioned sub-stores (pairs / bands / arrays)."""
+    return sum(
+        compact_registry(spark, f"{registry_dir}/{kind}", group_size)
+        for kind in ("pairs", "bands", "arrays")
+    )
+
+
+def compact_hourly_rollup_registry(
+    spark: SparkSession, registry_dir: str, group_size: int = 8
+) -> int:
+    """`compact_registry` for the partial-aggregate rollup registry:
+    merged partials RE-AGGREGATE (sums of sums — both metrics are
+    mergeable), so compaction also shrinks rows, not just files."""
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("hour_start", "event_type").agg(
+            F.sum("events").alias("events"),
+            F.sum("value_sum").alias("value_sum"),
+        )
+
+    return compact_registry(spark, registry_dir, group_size, merge=merge)
+
+
 def hourly_rollup_read(spark: SparkSession, registry_dir: str) -> DataFrame:
     """Merge-on-read over the partial-aggregate registry: final hourly
     rollup = re-aggregate the partials (sums of sums — exact because

@@ -414,3 +414,100 @@ def test_trending_topk_stream_matches_batch(spark, sf_dir, tmp_path):
         if r[0] + 300 <= max_ts - 600
     }
     assert must_close.issubset(set(streamed_windows))
+
+
+def test_registry_compaction_preserves_contents(spark, sf_dir, tmp_path):
+    """K ingest batches compact to ceil(K/N) batch dirs of one data
+    file each; the registry's merged contents are unchanged, and a
+    post-compaction ingest still anti-joins against the compacted
+    store (no resurrection of seen fingerprints)."""
+    import glob as g
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        d = tmp_path / f"_d{i}"
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{i}.parquet")
+
+    reg = str(tmp_path / "reg")
+    stream = jobs.documents_stream(
+        spark, str(src), glob="*.parquet", max_files_per_trigger=1
+    )
+    jobs.corpus_registry_ingest(stream, reg)
+    assert len(g.glob(reg + "/batch=*")) == 4
+    before = sorted(
+        r.fingerprint
+        for r in spark.read.parquet(reg + "/batch=*").select("fingerprint").collect()
+    )
+
+    merged = jobs.compact_registry(spark, reg, group_size=2)
+    assert merged == 2
+    dirs = g.glob(reg + "/batch=*")
+    assert len(dirs) == 2  # ceil(4/2)
+    for d in dirs:
+        assert len(g.glob(d + "/part-*.parquet")) == 1
+    after = sorted(
+        r.fingerprint
+        for r in spark.read.parquet(reg + "/batch=*").select("fingerprint").collect()
+    )
+    assert after == before
+
+    # re-ingest the full corpus post-compaction: every fingerprint is
+    # already registered, so the replayed batches land empty
+    jobs.corpus_registry_ingest(
+        jobs.documents_stream(spark, str(src), glob="*.parquet", max_files_per_trigger=1),
+        reg,
+    )
+    total = sorted(
+        r.fingerprint
+        for r in spark.read.parquet(reg + "/batch=*").select("fingerprint").collect()
+    )
+    assert total == before
+
+
+def test_hourly_rollup_compaction_matches_batch(spark, sf_dir, tmp_path):
+    """Compacted rollup partials re-aggregate (sums of sums) and the
+    merged read still equals the batch twin."""
+    import glob as g
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    median = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, half in [
+        ("a", ev.filter(F.col("event_id") <= median)),
+        ("b", ev.filter(F.col("event_id") > median)),
+    ]:
+        d = tmp_path / f"_{name}"
+        half.withColumn(
+            "ts", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)")
+        ).coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", str(src))
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    reg = str(tmp_path / "rollup")
+    jobs.hourly_rollup_registry_ingest(stream, reg)
+    assert len(g.glob(reg + "/batch=*")) == 2
+    assert jobs.compact_hourly_rollup_registry(spark, reg, group_size=2) == 1
+    assert len(g.glob(reg + "/batch=*")) == 1
+    got = jobs.hourly_rollup_read(spark, reg)
+    want = jobs.hourly_rollup_batch(spark, sf_dir)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
