@@ -133,6 +133,7 @@ _TAIL_ORDER = [
     "text_winnowed_fingerprints",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "dedup_embedding_clustered",
     "sim_ann_lsh",
     "sim_ann_ivf",
     "sim_ann_brp_lsh",

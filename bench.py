@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_minhash_lsh",
     "sim_ann_ivf",
+    "sim_ann_ivf_pq",
     "sim_knn_bruteforce",
     "sim_label_centroids",
 ]
@@ -69,6 +70,7 @@ HEAVY_WARMUPS = {
     "dedup_clusters": 2,
     "dedup_minhash_lsh": 2,
     "sim_ann_ivf": 2,
+    "sim_ann_ivf_pq": 2,
 }
 
 

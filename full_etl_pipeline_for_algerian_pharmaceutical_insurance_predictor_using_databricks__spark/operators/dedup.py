@@ -837,6 +837,88 @@ def embedding_near_dup(
     )
 
 
+def embedding_near_dup_clustered(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    n_clusters: int = 16,
+    n_assign: int = 2,
+) -> DataFrame:
+    """Embedding near-dup at scale (the SemDeDup shape): a coarse
+    KMeans partitions the corpus into `n_clusters` cells; candidate
+    pairs are generated ONLY within a cell, so the pair volume drops
+    from n² to ~n²·n_assign²/k — the published trade (Abbas et al.,
+    SemDeDup 2023): near-identical vectors land in the same Voronoi
+    cell with overwhelming probability.  `n_assign` registers each
+    vector in its `n_assign` nearest cells (overlapping clusters), the
+    standard fix for the pairs a hard partition loses at cell
+    boundaries — on a weakly-clustered corpus it is the recall knob.
+
+    Spark shape: one KMeans fit (distributed), one scan computing each
+    vector's nearest cells against the broadcast centroid table, and a
+    self-join on cell — a hash-partitioned equi-join whose per-cell
+    fan-out AQE splits, never a cartesian; multi-assigned duplicates
+    collapse with one pair-key distinct BEFORE the cosine is computed.
+    Same cosine expression as the exact tier, so emitted pairs are
+    bit-identical to `embedding_near_dup`'s (the recall test exploits
+    this: clustered output ⊆ exact output)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("vec", array_to_vector(F.col("embedding").cast("array<double>")))
+        .localCheckpoint()
+    )
+    km = KMeans(
+        k=n_clusters, seed=7, maxIter=5, featuresCol="vec", predictionCol="cell0"
+    )
+    model = km.fit(emb.select("vec"))
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "cell",
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+        .withColumn("nearness", F.row_number().over(wv))
+        .filter(F.col("nearness") <= n_assign)
+        .select("vec_id", "cell")
+    )
+    pairs = (
+        assigned.select(F.col("vec_id").alias("vec_a"), "cell")
+        .join(assigned.select(F.col("vec_id").alias("vec_b"), "cell"), "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        pairs.join(ea.hint("shuffle_hash"), "vec_a")
+        .join(eb.hint("shuffle_hash"), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            _cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 _EMB_NEAR_DUP_SQL = f"""
 SELECT
     a.vec_id AS vec_a,
@@ -1010,6 +1092,7 @@ QUERIES = {
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_simhash_pairs": simhash_near_pairs,
     "dedup_embedding_cosine": embedding_near_dup,
+    "dedup_embedding_clustered": embedding_near_dup_clustered,
 }
 
 #: dedup_minhash_lsh / dedup_simhash_pairs depend on xxhash64 (no DuckDB

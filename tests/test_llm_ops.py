@@ -443,6 +443,26 @@ def test_ann_pq_recall_and_coverage(spark, sf_correct):
     assert hits / len(approx) >= 0.4
 
 
+def test_embedding_clustered_near_dup_subset_and_recall(spark, sf_correct):
+    """SemDeDup-style within-cell pairs must be a SUBSET of the exact
+    all-pairs output (same cosine expression, just pruned candidates)
+    and recall most of it — near-identical vectors share a Voronoi
+    cell with overwhelming probability."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dup(spark, sf_correct).collect()
+    }
+    clustered = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dup_clustered(spark, sf_correct).collect()
+    }
+    assert set(clustered) <= set(exact)
+    for pair, cos in clustered.items():
+        assert abs(cos - exact[pair]) < 1e-12
+    assert exact, "fixture has no near-dup pairs at the threshold"
+    assert len(clustered) / len(exact) >= 0.7
+
+
 def test_cartesian_guard_blocks_large_corpora(spark, sf_correct):
     """The exact-tier oracle anchors must refuse to build an all-pairs
     plan past the cap; max_pairs=None deliberately overrides."""

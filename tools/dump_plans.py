@@ -85,6 +85,16 @@ def main() -> None:
          "self-join (the df <= 1000 filter below is the posting-list bound), then "
          "candidates are exact-verified against FULL token sets. Without the cap, "
          "one stopword with df=k contributes k² join rows."),
+        ("sim_ann_ivf_pq", similarity.ann_ivf_pq,
+         "IVF-PQ composition: the candidate join scans CODES, not raw "
+         "embeddings — the probed-lists join (codes ⋈ broadcast probes on "
+         "list_id) carries (vec_id, list_id, m, code) int rows, scored via a "
+         "second broadcast join onto the per-query ADC lookup table and one "
+         "(query, vec) hash aggregate. Raw embedding arrays appear only in "
+         "the codebook fit upstream and the final O(Q·k·RERANK) exact "
+         "re-rank joins; the corpus-sized middle of the plan is 4-bit "
+         "arithmetic. At 100 TB the codes table is ~64× smaller than the "
+         "embeddings it indexes."),
         ("agg_rollup_cube (composite)", composites.agg_rollup_cube,
          "Composite driver entry: the ROLLUP and CUBE subtrees survive side by "
          "side under one union — each keeps its own Expand + hash-aggregate "
