@@ -127,6 +127,7 @@ _TAIL_ORDER = [
     "scd2_order_status_history",
     "agg_column_profile",
     "text_unigram_logprob",
+    "text_ngram_topk",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest
@@ -134,6 +135,7 @@ _TAIL_ORDER = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_embedding_clustered",
+    "dedup_embedding_keepers",
     "sim_ann_lsh",
     "sim_ann_ivf",
     "sim_ann_brp_lsh",

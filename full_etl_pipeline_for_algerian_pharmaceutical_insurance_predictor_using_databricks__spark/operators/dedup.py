@@ -919,6 +919,44 @@ def embedding_near_dup_clustered(
     )
 
 
+def embedding_dedup_keepers(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    n_clusters: int = 16,
+    n_assign: int = 2,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup end-to-end: semantic-duplicate GROUPS with one keeper
+    each.  Pairs from the clustered near-dup miner
+    (`embedding_near_dup_clustered`) feed the same pointer-doubled
+    min-label CC loop the token tier uses (`_cc_min_label_loop`);
+    keeper = min vec_id per component (singletons keep themselves).
+    Output: (vec_id, keeper_id, is_keeper) — filter `is_keeper` for the
+    deduplicated corpus, join back for the drop list.
+
+    Scale: pair volume is the clustered miner's ~n²·n_assign²/k, the CC
+    loop is O(log diameter) shuffle rounds on the (tiny) duplicate
+    subgraph plus singleton vertices, exactly the token-tier physics."""
+    emb_ids = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    pairs = (
+        embedding_near_dup_clustered(spark, sf_dir, threshold, n_clusters, n_assign)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = _cc_min_label_loop(emb_ids, edges, max_iter)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("keeper_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 _EMB_NEAR_DUP_SQL = f"""
 SELECT
     a.vec_id AS vec_a,
@@ -1093,6 +1131,7 @@ QUERIES = {
     "dedup_simhash_pairs": simhash_near_pairs,
     "dedup_embedding_cosine": embedding_near_dup,
     "dedup_embedding_clustered": embedding_near_dup_clustered,
+    "dedup_embedding_keepers": embedding_dedup_keepers,
 }
 
 #: dedup_minhash_lsh / dedup_simhash_pairs depend on xxhash64 (no DuckDB

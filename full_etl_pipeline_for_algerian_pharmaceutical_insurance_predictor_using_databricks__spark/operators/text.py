@@ -597,8 +597,68 @@ GROUP BY dt.doc_id
 """
 
 
+NGRAM_TOPK_N = 2
+NGRAM_TOPK_K = 50
+
+
+def ngram_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = NGRAM_TOPK_N,
+    k: int = NGRAM_TOPK_K,
+) -> DataFrame:
+    """Corpus-level top-k word n-grams with counts — the basic corpus
+    statistic behind stopword lists, boilerplate detection, and n-gram
+    LM vocabularies.
+
+    Plan shape: n-grams are built IN-ROW (transform over the token
+    array — no join, no per-token explode-then-self-join), the count is
+    one hash aggregate with map-side partials, and the top-k is
+    `TakeOrderedAndProject` (per-partition k-row heaps, never a global
+    sort) — at 100 TB the only full-width exchange is the n-gram
+    aggregate itself.  Ties break on the n-gram string so the top-k SET
+    is deterministic across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("a"))
+    grams = F.when(
+        F.size("a") >= n,
+        F.expr(
+            f"transform(sequence(1, size(a) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(a, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        arr.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+_NGRAM_TOPK_SQL = rf"""
+WITH arrs AS (
+    SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS a FROM documents
+),
+idx AS (
+    SELECT a, unnest(generate_series(1, len(a) - {NGRAM_TOPK_N - 1})) AS i
+    FROM arrs
+),
+g AS (
+    SELECT concat_ws(' ', {", ".join(f"a[i + {j}]" for j in range(NGRAM_TOPK_N))}) AS ngram
+    FROM idx
+)
+SELECT ngram, COUNT(*) AS occurrences
+FROM g
+GROUP BY ngram
+ORDER BY occurrences DESC, ngram ASC
+LIMIT {NGRAM_TOPK_K}
+"""
+
+
 QUERIES = {
     "text_winnowed_fingerprints": winnowed_fingerprints,
+    "text_ngram_topk": ngram_topk,
     "text_pack_sequences": pack_sequences,
     "text_repetition_metrics": repetition_metrics,
     "text_contamination": contamination_overlap,
@@ -611,6 +671,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_ngram_topk": _NGRAM_TOPK_SQL,
     "text_pack_sequences": _PACK_SQL,
     "text_repetition_metrics": _REPETITION_SQL,
     "text_contamination": _CONTAMINATION_SQL,

@@ -463,6 +463,23 @@ def test_embedding_clustered_near_dup_subset_and_recall(spark, sf_correct):
     assert len(clustered) / len(exact) >= 0.7
 
 
+def test_embedding_dedup_keepers_invariants(spark, sf_correct):
+    """Keeper assignment must cover every vector, be idempotent
+    (keepers keep themselves), and put both ends of every mined
+    near-dup pair under the same keeper."""
+    keepers = {
+        r.vec_id: (r.keeper_id, r.is_keeper)
+        for r in dedup.embedding_dedup_keepers(spark, sf_correct).collect()
+    }
+    n = load_table(spark, sf_correct, "embeddings").count()
+    assert len(keepers) == n
+    for v, (kid, isk) in keepers.items():
+        assert isk == (v == kid)
+        assert keepers[kid][0] == kid, "keeper must be its own keeper"
+    for r in dedup.embedding_near_dup_clustered(spark, sf_correct).collect():
+        assert keepers[r.vec_a][0] == keepers[r.vec_b][0]
+
+
 def test_cartesian_guard_blocks_large_corpora(spark, sf_correct):
     """The exact-tier oracle anchors must refuse to build an all-pairs
     plan past the cap; max_pairs=None deliberately overrides."""

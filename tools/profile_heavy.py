@@ -51,7 +51,7 @@ def main():
     t("  distinct token sets", lambda: groups.count())
 
     # --- minhash stages ----------------------------------------------
-    sig = dedup._minhash_signature(dedup._rep_tokens(groups))
+    sig = dedup._rep_minhash_signature(groups)
     rows_per_band = dedup.N_HASHES // dedup.N_BANDS
     bands = sig.select(
         "doc_id",
