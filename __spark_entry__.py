@@ -128,6 +128,7 @@ _TAIL_ORDER = [
     "agg_column_profile",
     "text_unigram_logprob",
     "text_ngram_topk",
+    "events_funnel",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest

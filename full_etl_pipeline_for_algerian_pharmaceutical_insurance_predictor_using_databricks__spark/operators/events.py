@@ -444,7 +444,72 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per user,
+    a stage counts only if it happens strictly AFTER the user's
+    earliest entry into the previous stage; output is users-per-stage.
+
+    Spark shape: one filtered min-aggregate per stage, each joined to
+    the previous stage's per-user frontier — every shuffle is on
+    user_id, so the exchanges line up (AQE reuses the partitioning) and
+    nothing is ever globally sorted.  No sequence UDF, no per-user
+    collect_list: the frontier join IS the order predicate.  At 100 TB
+    each stage's input is pre-filtered to one event type before the
+    shuffle, so stage cost tracks that type's volume, not the table's.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    frontier = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_prev"))
+    )
+    stages = [frontier]
+    for stage in FUNNEL_STAGES[1:]:
+        frontier = (
+            ev.filter(F.col("event_type") == stage)
+            .join(frontier, "user_id")
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_prev"))
+        )
+        stages.append(frontier)
+    out = None
+    for i, (name, df) in enumerate(zip(FUNNEL_STAGES, stages), start=1):
+        row = df.agg(F.count("*").alias("users")).select(
+            F.lit(i).alias("stage_ord"), F.lit(name).alias("stage"), "users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t_prev FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t_prev
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_prev
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_prev
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_prev
+    GROUP BY e.user_id
+)
+SELECT 1 AS stage_ord, 'view' AS stage, COUNT(*) AS users FROM v
+UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+"""
+
+
 QUERIES = {
+    "events_funnel": funnel,
     "events_per_type_stats": per_type_stats,
     "events_salted_user_totals": salted_user_totals,
     "events_session_window": session_window_agg,
@@ -459,6 +524,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel": _FUNNEL_SQL,
     "events_per_type_stats": _PER_TYPE_SQL,
     "events_salted_user_totals": _SALTED_TOTALS_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,

@@ -89,3 +89,16 @@ def test_encoding_no_unpartitioned_window_on_fact(spark, sf_correct):
     df = encoding.ml_feature_encoding(spark, sf_correct)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_events_funnel_monotone(spark, sf_correct):
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        events as ev_ops,
+    )
+
+    rows = {r.stage: r.users for r in ev_ops.funnel(spark, sf_correct).collect()}
+    assert set(rows) == set(ev_ops.FUNNEL_STAGES)
+    # ordered funnel is monotone non-increasing, and the fixture has
+    # activity at every stage
+    assert rows["view"] >= rows["click"] >= rows["purchase"]
+    assert rows["purchase"] > 0
