@@ -77,3 +77,26 @@ def test_topk_uses_take_ordered(spark, sf_correct):
     sort."""
     plan = executed_plan(dashboard.q06_most_expensive(spark, sf_correct))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ngram_topk_plan(spark, sf_correct):
+    """Corpus top-k n-grams: in-row n-gram build (no join anywhere in
+    the plan), one aggregate, top-k as TakeOrderedAndProject — never a
+    global sort."""
+    plan = executed_plan(text.ngram_topk(spark, sf_correct))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_events_funnel_no_global_sort(spark, sf_correct):
+    """Funnel stages are frontier joins + aggregates on user_id; the
+    plan must contain no Sort outside SortMergeJoin exchanges and no
+    Python UDFs."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        events,
+    )
+
+    plan = executed_plan(events.funnel(spark, sf_correct))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
