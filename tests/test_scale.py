@@ -158,3 +158,62 @@ def test_runtime_bloom_filter_prunes_at_scan(spark, sf_correct):
     finally:
         scale.restore_confs(spark, old)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, baseline))
+
+
+def test_zorder_key_bit_interleave(spark):
+    """The Morton key on exact cell corners must equal the hand-computed
+    interleave (x odd bits, y even bits)."""
+    rows = [(0.0, 0.0), (255.0, 0.0), (0.0, 255.0), (255.0, 255.0), (3.0, 5.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    z = scale.zorder_key_2d(F.col("x"), F.col("y"), 0.0, 256.0, 0.0, 256.0)
+    got = [r[0] for r in df.select(z).collect()]
+
+    def morton(xi, yi):
+        out = 0
+        for i in range(8):
+            out |= ((xi >> i) & 1) << (2 * i + 1)
+            out |= ((yi >> i) & 1) << (2 * i)
+        return out
+
+    want = [morton(int(x), int(y)) for x, y in rows]
+    assert got == want
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_correct, tmp_path):
+    """Z-ordered files must have tight bounding boxes in BOTH columns:
+    for a 2-D box predicate, fewer files intersect than under an
+    unsorted (round-robin) layout of the same file count."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    ev = load_table(spark, sf_correct, "events").select("user_id", "value")
+    zdir, rdir = str(tmp_path / "zorder"), str(tmp_path / "plain")
+    scale.write_zordered(ev, zdir, "user_id", "value", n_files=16)
+    ev.repartition(16).write.parquet(rdir)
+
+    stats = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    u_lo = stats[0] + (stats[1] - stats[0]) * 0.4
+    u_hi = stats[0] + (stats[1] - stats[0]) * 0.6
+    v_lo = stats[2] + (stats[3] - stats[2]) * 0.4
+    v_hi = stats[2] + (stats[3] - stats[2]) * 0.6
+
+    def candidates(d):
+        hits = 0
+        for f in g.glob(d + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fu_lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+            fu_hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+            fv_lo = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+            fv_hi = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+            if fu_lo <= u_hi and fu_hi >= u_lo and fv_lo <= v_hi and fv_hi >= v_lo:
+                hits += 1
+        return hits
+
+    n_z, n_plain = candidates(zdir), candidates(rdir)
+    # round-robin layout: every file spans ~the full range of both
+    # columns, so essentially all 16 intersect; z-order must beat it
+    assert n_z < n_plain
+    # and the data must round-trip intact
+    assert spark.read.parquet(zdir).count() == ev.count()
