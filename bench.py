@@ -48,11 +48,14 @@ HEADLINE = [
     "text_pii_redaction",
     "text_chunk_windows",
     "text_bm25_search",
+    "text_ngram_topk",
+    "events_funnel",
     "dedup_exact",
     # heavy LLM-data ops so round-over-round regressions are visible
     "dedup_jaccard_pairs",
     "dedup_clusters",
     "dedup_minhash_lsh",
+    "dedup_embedding_clustered",
     "sim_ann_ivf",
     "sim_ann_ivf_pq",
     "sim_knn_bruteforce",
@@ -71,6 +74,7 @@ HEAVY_WARMUPS = {
     "dedup_minhash_lsh": 2,
     "sim_ann_ivf": 2,
     "sim_ann_ivf_pq": 2,
+    "dedup_embedding_clustered": 2,
 }
 
 
