@@ -228,6 +228,63 @@ def stateful_sessionizer_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def funnel_stage_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of `operators.events.funnel`: per-user ordered
+    funnel progress (view → click → purchase, each stage strictly
+    after the previous stage's frontier) maintained incrementally via
+    applyInPandasWithState.
+
+    Out-of-order arrival ACROSS micro-batches is the hard part: a late
+    'view' can LOWER the stage-1 frontier and retroactively validate an
+    earlier 'click', so a frontier-only state would under-count.  State
+    therefore keeps the user's funnel-relevant (ts, stage) events and
+    re-folds the sorted sequence per batch — reach is exact after every
+    batch and monotone non-decreasing, so `update` output mode's last
+    row per user is the answer.  State is bounded by the user's
+    funnel-event count (production prunes below the watermark and
+    drops stage-s events once the s-frontier can no longer move); the
+    heavy lifting — routing each user's events to one task — is the
+    same single user_id shuffle as the batch twin."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.events import FUNNEL_STAGES
+
+    out_schema = "user_id long, stage_reached integer"
+    state_schema = "ts array<long>, stage array<integer>"
+    stage_of = {name: i for i, name in enumerate(FUNNEL_STAGES)}
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        ts_list, st_list = (
+            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        )
+        for pdf in pdfs:
+            sub = pdf[pdf["event_type"].isin(stage_of)]
+            if len(sub) == 0:
+                continue
+            # normalize to ms regardless of the Arrow batch's unit
+            ts_ms = (
+                sub["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+            )
+            ts_list += [int(t) for t in ts_ms]
+            st_list += [stage_of[t] for t in sub["event_type"]]
+        state.update((ts_list, st_list))
+        reach, frontier = 0, None
+        for t, s in sorted(zip(ts_list, st_list)):
+            if s == reach and (frontier is None or t > frontier):
+                frontier = t
+                reach += 1
+                if reach == len(FUNNEL_STAGES):
+                    break
+        yield pd.DataFrame({"user_id": [user_id], "stage_reached": [reach]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def static_enriched_stream(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
     """Stream-static broadcast join: enrich each event with a per-user
     dimension row (here a batch-derived user profile).  The static side

@@ -511,3 +511,60 @@ def test_hourly_rollup_compaction_matches_batch(spark, sf_dir, tmp_path):
     want = jobs.hourly_rollup_batch(spark, sf_dir)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_funnel_stream_matches_batch_two_batches(spark, sf_dir, tmp_path):
+    """Per-user funnel reach maintained across two arrival batches must
+    reproduce the batch funnel's users-per-stage exactly — including
+    the cross-batch case where a later-arriving earlier event moves a
+    frontier."""
+    import glob as g
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    median = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    # split by event_id (uncorrelated with time) so each user's events
+    # straddle both batches in arbitrary event-time order
+    for name, half in [
+        ("a", ev.filter(F.col("event_id") <= median)),
+        ("b", ev.filter(F.col("event_id") > median)),
+    ]:
+        d = tmp_path / f"_{name}"
+        half.withColumn(
+            "ts", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)")
+        ).coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", str(src))
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    result = jobs.run_available_now(
+        jobs.funnel_stage_stream(stream), "t_funnel", output_mode="update"
+    )
+    # reach is monotone per user; the max update per user is final
+    final = result.groupBy("user_id").agg(
+        F.max("stage_reached").alias("reach")
+    )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        events as ev_ops,
+    )
+
+    want = {
+        r.stage_ord: r.users for r in ev_ops.funnel(spark, sf_dir).collect()
+    }
+    for stage_ord in want:
+        got = final.filter(F.col("reach") >= stage_ord).count()
+        assert got == want[stage_ord], f"stage {stage_ord}: {got} != {want[stage_ord]}"
