@@ -679,6 +679,174 @@ def near_dup_registry_ingest(
             raise TimeoutError("near-dup registry drain exceeded 300s")
 
 
+def embeddings_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "embeddings.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source over the embeddings fixture — the
+    continuously-embedded-corpus shape (documents embed as they land)."""
+    schema = "vec_id long, embedding array<float>, label int"
+    reader = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", os.path.join(sf_dir))
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load()
+
+
+def ann_registry_ingest(
+    stream: DataFrame, registry_dir: str, nlist: int = 16
+) -> None:
+    """Incremental IVF index REGISTRY: the streaming counterpart of
+    `operators.similarity.ann_ivf`'s index build for vectors that
+    arrive batch by batch forever.
+
+    The FIRST micro-batch fits the coarse KMeans quantizer and freezes
+    the centroid table under `centroids/` — an IVF codebook must stay
+    fixed once vectors are assigned against it (re-fitting would
+    orphan every prior assignment; production re-trains offline and
+    rebuilds, exactly like FAISS).  Every batch then assigns its
+    vectors to their nearest frozen centroid via a broadcast
+    centroid join (pure fold arithmetic, no UDF) and lands
+    (vec_id, embedding, norm, list_id) under `lists/batch=<id>` —
+    batch-keyed overwrite, so a micro-batch retry replaces rather than
+    duplicates.  `compact_registry` applies to `lists/` unchanged.
+
+    Query-time: `ann_registry_query` probes the registry like
+    `ann_ivf` probes its inverted lists — the registry IS the index."""
+    import glob as g
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        from ..operators.similarity import norm_col
+
+        spark = batch_df.sparkSession
+        cdir = f"{registry_dir}/centroids"
+        emb = batch_df.withColumn("norm", norm_col(F.col("embedding")))
+        if not g.glob(cdir + "/part-*.parquet"):
+            km = KMeans(k=nlist, seed=7, maxIter=5, featuresCol="vec",
+                        predictionCol="list_id")
+            model = km.fit(
+                emb.withColumn(
+                    "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+                ).select("vec")
+            )
+            spark.createDataFrame(
+                [
+                    (i, [float(x) for x in c])
+                    for i, c in enumerate(model.clusterCenters())
+                ],
+                "list_id int, centroid array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(cdir)
+        centroids = spark.read.parquet(cdir)
+        wv = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("list_id"))
+        assigned = (
+            emb.crossJoin(F.broadcast(centroids))
+            .select(
+                "vec_id",
+                "embedding",
+                "norm",
+                "list_id",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        F.col("centroid"),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+            )
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "norm", "list_id")
+        )
+        assigned.write.mode("overwrite").parquet(
+            f"{registry_dir}/lists/batch={batch_id}"
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("ANN registry ingest drain exceeded 300s")
+
+
+def ann_registry_query(
+    spark: SparkSession,
+    registry_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k cosine search against the incrementally-built IVF registry:
+    each query row (query_id, q_emb, q_norm) probes its `nprobe`
+    nearest frozen centroids, scans only those lists' registry
+    partitions via a hash join on list_id, and re-ranks candidates by
+    exact cosine — identical physics to `ann_ivf`, with the registry
+    parquet standing in for the in-session assignment table."""
+    from ..operators.similarity import dot_col
+
+    centroids = spark.read.parquet(f"{registry_dir}/centroids")
+    lists = spark.read.parquet(f"{registry_dir}/lists/batch=*")
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("list_id"))
+    probes = F.broadcast(
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            "list_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_emb").cast("array<double>"),
+                    F.col("centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "list_id")
+    )
+    cand = (
+        probes.join(
+            lists.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("norm").alias("c_norm"),
+                "list_id",
+            ),
+            "list_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_col(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def corpus_curation_gate_stream(stream: DataFrame) -> DataFrame:
     """Stateless ingestion gate for a continuously-arriving corpus: per
     incoming document, quality verdict (Gopher/C4 rules), PII scrub +

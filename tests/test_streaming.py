@@ -568,3 +568,72 @@ def test_funnel_stream_matches_batch_two_batches(spark, sf_dir, tmp_path):
     for stage_ord in want:
         got = final.filter(F.col("reach") >= stage_ord).count()
         assert got == want[stage_ord], f"stage {stage_ord}: {got} != {want[stage_ord]}"
+
+
+def test_ann_registry_incremental_build_and_query(spark, sf_correct, tmp_path):
+    """IVF registry built across two arrival batches against a frozen
+    first-batch codebook: every vector assigned exactly once, retry
+    replaces rather than duplicates, and querying the registry reaches
+    the standard ANN recall floor vs brute force."""
+    import glob as g
+    import shutil
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        similarity,
+    )
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    n_total = emb.count()
+    median = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, half in [
+        ("a", emb.filter(F.col("vec_id") <= median)),
+        ("b", emb.filter(F.col("vec_id") > median)),
+    ]:
+        d = tmp_path / f"_{name}"
+        half.coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet")
+
+    reg = str(tmp_path / "annreg")
+    stream = jobs.embeddings_stream(
+        spark, str(src), glob="*.parquet", max_files_per_trigger=1
+    )
+    jobs.ann_registry_ingest(stream, reg)
+    assert len(g.glob(reg + "/lists/batch=*")) == 2
+    lists = spark.read.parquet(reg + "/lists/batch=*")
+    assert lists.count() == n_total
+    assert lists.select("vec_id").distinct().count() == n_total
+
+    # retry: fresh checkpoint replays batch ids 0/1 → same registry
+    jobs.ann_registry_ingest(
+        jobs.embeddings_stream(spark, str(src), glob="*.parquet", max_files_per_trigger=1),
+        reg,
+    )
+    assert spark.read.parquet(reg + "/lists/batch=*").count() == n_total
+
+    queries = (
+        emb.filter(F.col("vec_id") < similarity.N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            similarity.norm_col(F.col("embedding")).alias("q_norm"),
+        )
+    )
+    got = jobs.ann_registry_query(
+        spark, reg, queries, k=similarity.TOP_K
+    ).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert len(by_query) == similarity.N_QUERY_VECS
+    assert all(len(v) == similarity.TOP_K for v in by_query.values())
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in similarity.knn_bruteforce(spark, sf_correct)
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    approx = {r.query_id: r.neighbor_id for r in got if r.rank == 1}
+    hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
+    assert hits / len(approx) >= 0.4
