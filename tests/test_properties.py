@@ -196,3 +196,37 @@ def test_contracted_jaccard_equals_bruteforce(spark, token_lists, threshold):
             if j >= threshold:
                 want[(a, b)] = j
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=255.999),
+            st.floats(min_value=0.0, max_value=255.999),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@_SLOW
+def test_zorder_key_matches_reference_morton(spark, pts):
+    """zorder_key_2d over [0,256) with 8 bits must equal the reference
+    Morton interleave of the floored cell indices, for ANY input batch
+    (one DataFrame per example)."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.functions.scale import (
+        zorder_key_2d,
+    )
+
+    df = spark.createDataFrame(pts, "x double, y double")
+    z = zorder_key_2d(F.col("x"), F.col("y"), 0.0, 256.0, 0.0, 256.0)
+    got = [r[0] for r in df.select(z).collect()]
+
+    def morton(xi: int, yi: int) -> int:
+        out = 0
+        for i in range(8):
+            out |= ((xi >> i) & 1) << (2 * i + 1)
+            out |= ((yi >> i) & 1) << (2 * i)
+        return out
+
+    want = [morton(int(x), int(y)) for x, y in pts]
+    assert got == want
