@@ -30,6 +30,7 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue",
+    "tpch_q10_returned_items",
     "join_asof_latest_order",
     "join_left_order_linecounts",
     # window_top3_running / events_windowed_counts / events_hourly_daily /

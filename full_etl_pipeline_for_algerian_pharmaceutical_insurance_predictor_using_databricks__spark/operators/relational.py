@@ -192,6 +192,59 @@ ORDER BY revenue DESC, n_name ASC
 """
 
 # --------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item revenue per customer, top-k
+# --------------------------------------------------------------------------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which customers returned the most revenue in a quarter: the
+    classic fact⋈fact⋈dim join with a wide GROUP BY and a small top-k.
+
+    Scale shape: both selective filters (date window, returnflag 'R')
+    push to their parquet scans BEFORE the joins; nation broadcasts;
+    the only full-width exchange is the customer-grain aggregate; the
+    top-20 is TakeOrderedAndProject.  `_dsum` keeps the revenue sum
+    exact and order-independent for oracle parity."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(revenue, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT
+    c_custkey,
+    c_name,
+    c_acctbal,
+    n_name,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+# --------------------------------------------------------------------------
 # Semi / anti joins
 # --------------------------------------------------------------------------
 
@@ -764,6 +817,7 @@ QUERIES = {
     "join_range_price_tiers": range_join_price_tiers,
     "tpch_q3_shipping_priority": q3_shipping_priority,
     "tpch_q5_region_revenue": q5_region_revenue,
+    "tpch_q10_returned_items": q10_returned_items,
     "join_semi_urgent_customers": semi_urgent_customers,
     "join_anti_no_urgent_customers": anti_no_urgent_customers,
     "join_left_order_linecounts": left_join_order_linecounts,
@@ -785,6 +839,7 @@ ORACLES = {
     "join_range_price_tiers": _RANGE_JOIN_SQL,
     "tpch_q3_shipping_priority": _Q3_SQL,
     "tpch_q5_region_revenue": _Q5_SQL,
+    "tpch_q10_returned_items": _Q10_SQL,
     "join_semi_urgent_customers": _SEMI_SQL,
     "join_anti_no_urgent_customers": _ANTI_SQL,
     "join_left_order_linecounts": _LEFT_SQL,

@@ -100,3 +100,13 @@ def test_events_funnel_no_global_sort(spark, sf_correct):
     plan = executed_plan(events.funnel(spark, sf_correct))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q10_pushdown_broadcast_topk(spark, sf_correct):
+    """Q10: date and returnflag filters reach the scans, nation
+    broadcasts, and the top-20 is TakeOrderedAndProject."""
+    df = relational.q10_returned_items(spark, sf_correct)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_returnflag" in pushed
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in executed_plan(df)
