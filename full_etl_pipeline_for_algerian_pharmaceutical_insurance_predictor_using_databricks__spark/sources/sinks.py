@@ -50,3 +50,58 @@ def read_back_verified(spark: SparkSession, name: str, expected_rows: int) -> Da
             f"catalog round-trip lost rows: wrote {expected_rows}, read {got}"
         )
     return saved
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> None:
+    """Delta `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT`
+    semantics on a plain parquet directory — the CDC-apply core without
+    the table-format dependency.
+
+    Rows kept = (target ANTI-JOIN updates on keys) ∪ updates: matched
+    target rows are replaced wholesale by their update row, unmatched
+    updates insert, untouched target rows carry over.  Mirrors Delta's
+    duplicate-match rule: an updates frame with two rows for one key is
+    rejected up front (which row wins would be nondeterministic).
+
+    The rewrite lands in a `_merge_tmp` sibling first and swaps in via
+    rename, so a crash mid-write leaves the old target intact (readers
+    ignore `_`-prefixed dirs).  At 100 TB the anti-join is one shuffle
+    on the key — or zero with co-bucketed layouts (functions/scale.py)
+    — and a real deployment partitions the target so only touched
+    partitions rewrite; at Delta/Iceberg tier the swap becomes a
+    transaction-log commit.  Idempotent: re-applying the same updates
+    reproduces the same target."""
+    import glob as g
+    import os
+    import shutil
+
+    dup = (
+        updates.groupBy(*keys).count().filter("count > 1").limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_upsert: updates contain multiple rows for key "
+            f"{tuple(dup[0][k] for k in keys)} — resolve to one row per key "
+            f"before merging (Delta MERGE rejects this for the same reason)."
+        )
+    if g.glob(os.path.join(target_dir, "part-*.parquet")) or g.glob(
+        os.path.join(target_dir, "*.parquet")
+    ):
+        target = spark.read.parquet(target_dir)
+        merged = target.join(updates, keys, "left_anti").unionByName(updates)
+    else:
+        merged = updates
+    parent = os.path.dirname(target_dir.rstrip("/"))
+    tmp = os.path.join(parent or ".", "_merge_tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    old = os.path.join(parent or ".", "_merge_old")
+    if os.path.exists(target_dir):
+        os.rename(target_dir, old)
+    os.rename(tmp, target_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)

@@ -109,3 +109,40 @@ def test_partitioned_write_prunes_at_scan(spark, landing, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0]
     assert one_letter.count() == 2  # ASPIRINE + AMOXIL
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """MERGE on a parquet dir: matched rows replaced, unmatched
+    inserted, untouched carried over; duplicate-key updates rejected;
+    re-applying the same updates is a no-op."""
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources.sinks import (
+        merge_upsert,
+    )
+
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+    merge_upsert(spark, tgt, base, ["id"])
+    assert spark.read.parquet(tgt).count() == 3
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    merge_upsert(spark, tgt, updates, ["id"])
+    rows = {r.id: (r.name, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    # idempotent re-apply
+    merge_upsert(spark, tgt, updates, ["id"])
+    rows2 = {r.id: (r.name, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert rows2 == rows
+
+    dup = spark.createDataFrame(
+        [(5, "x", 1.0), (5, "y", 2.0)], "id long, name string, v double"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_upsert(spark, tgt, dup, ["id"])
+    assert {r.id for r in spark.read.parquet(tgt).collect()} == {1, 2, 3, 4}
