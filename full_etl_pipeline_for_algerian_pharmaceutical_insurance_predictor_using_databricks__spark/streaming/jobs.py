@@ -847,6 +847,42 @@ def ann_registry_query(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cdc_latest_value_ingest(
+    stream: DataFrame, target_dir: str, keys: list[str] | None = None
+) -> None:
+    """Streaming CDC apply: maintain a parquet table holding each key's
+    LATEST row as changes flow in — `foreachBatch` + the batch
+    `merge_upsert` sink, the standard "MERGE per micro-batch" pattern
+    (Delta calls it exactly this; here the target is plain parquet).
+
+    The merge runs with `order_col="ts"` — the
+    `WHEN MATCHED AND s.ts > t.ts` rule — so a late-arriving OLDER
+    change can never clobber newer state even when micro-batches are
+    not in commit order, several updates to one key may share a batch,
+    and a replayed batch re-merges the same rows to the same result —
+    idempotent, the exactly-once contract every foreachBatch sink here
+    follows."""
+    from ..sources.sinks import merge_upsert
+
+    keys = keys or ["user_id"]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(
+            batch_df.sparkSession, target_dir, batch_df, keys, order_col="ts"
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("CDC upsert drain exceeded 300s")
+
+
 def corpus_curation_gate_stream(stream: DataFrame) -> DataFrame:
     """Stateless ingestion gate for a continuously-arriving corpus: per
     incoming document, quality verdict (Gopher/C4 rules), PII scrub +

@@ -637,3 +637,61 @@ def test_ann_registry_incremental_build_and_query(spark, sf_correct, tmp_path):
     approx = {r.query_id: r.neighbor_id for r in got if r.rank == 1}
     hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
     assert hits / len(approx) >= 0.4
+
+
+def test_cdc_latest_value_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming CDC apply across two out-of-commit-order arrival
+    batches must converge to each user's latest-event row, exactly as
+    the batch latest-per-key computation over the full table."""
+    import glob as g
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    median = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    # split by event_id so each user's changes scatter across batches
+    # out of event-time order — the hard CDC case
+    for name, half in [
+        ("a", ev.filter(F.col("event_id") <= median)),
+        ("b", ev.filter(F.col("event_id") > median)),
+    ]:
+        d = tmp_path / f"_{name}"
+        half.withColumn(
+            "ts", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)")
+        ).coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", str(src))
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    tgt = str(tmp_path / "latest")
+    jobs.cdc_latest_value_ingest(stream, tgt, keys=["user_id"])
+
+    got = {
+        r.user_id: (r.ts, r.event_id)
+        for r in spark.read.parquet(tgt).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), *[F.desc(c) for c in ev.columns if c not in ("user_id", "ts")]
+    )
+    want = {
+        r.user_id: (r.ts, r.event_id)
+        for r in ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    assert got == want
