@@ -130,6 +130,7 @@ _TAIL_ORDER = [
     "text_ngram_topk",
     "events_funnel",
     "tpch_q10_returned_items",
+    "text_bpe_token_count",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest

@@ -597,6 +597,45 @@ GROUP BY dt.doc_id
 """
 
 
+#: GPT-2-style pretokenizer split, minus the `\s+(?!\S)` lookahead term
+#: (RE2 — the DuckDB oracle engine — has no lookahead; dropping it only
+#: merges trailing-space runs, and BOTH engines run this same pattern).
+BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE-ish token count: the GPT-2 pretokenizer regex
+    (contraction suffixes / letter runs / digit runs / punctuation
+    runs, each with its optional leading space) counted per doc — the
+    budget-accurate token estimate an LLM-data pipeline sizes corpora
+    with, vs the whitespace count (`token_stats.tokens`) it filters
+    with.  One `regexp_count` projection over the scan: map-only, no
+    shuffle, pure codegen; verified bit-identical between Spark (Java
+    regex) and DuckDB (RE2) on the shared pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count(F.col("text"), F.lit(BPE_SPLIT_RE))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_bpe.alias("bpe_tokens"),
+        _n_tokens(F.col("text")).alias("ws_tokens"),
+        (n_bpe / _n_tokens(F.col("text"))).alias("bpe_per_word"),
+    )
+
+
+_BPE_COUNT_SQL = rf"""
+SELECT
+    doc_id,
+    lang,
+    len(regexp_extract_all(text, '{BPE_SPLIT_RE.replace("'", "''")}'))
+        AS bpe_tokens,
+    len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+    len(regexp_extract_all(text, '{BPE_SPLIT_RE.replace("'", "''")}'))
+        / len(regexp_split_to_array(trim(text), '\s+')) AS bpe_per_word
+FROM documents
+"""
+
+
 NGRAM_TOPK_N = 2
 NGRAM_TOPK_K = 50
 
@@ -659,6 +698,7 @@ LIMIT {NGRAM_TOPK_K}
 QUERIES = {
     "text_winnowed_fingerprints": winnowed_fingerprints,
     "text_ngram_topk": ngram_topk,
+    "text_bpe_token_count": bpe_token_count,
     "text_pack_sequences": pack_sequences,
     "text_repetition_metrics": repetition_metrics,
     "text_contamination": contamination_overlap,
@@ -672,6 +712,7 @@ QUERIES = {
 
 ORACLES = {
     "text_ngram_topk": _NGRAM_TOPK_SQL,
+    "text_bpe_token_count": _BPE_COUNT_SQL,
     "text_pack_sequences": _PACK_SQL,
     "text_repetition_metrics": _REPETITION_SQL,
     "text_contamination": _CONTAMINATION_SQL,
