@@ -85,6 +85,21 @@ def main() -> None:
          "self-join (the df <= 1000 filter below is the posting-list bound), then "
          "candidates are exact-verified against FULL token sets. Without the cap, "
          "one stopword with df=k contributes k² join rows."),
+        ("tpch_q10_returned_items", relational.q10_returned_items,
+         "Q10 shape: the quarter date window and returnflag filter both "
+         "push into their parquet scans (PushedFilters) before any join, "
+         "nation broadcasts, the customer-grain aggregate is the only "
+         "full-width exchange, and the top-20 is TakeOrderedAndProject — "
+         "no global sort of the joined fact."),
+        ("text_ngram_topk", lambda s, d: __import__(
+            "full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.text",
+            fromlist=["text"]).ngram_topk(s, d),
+         "Corpus top-k n-grams with NO join anywhere: n-grams built "
+         "in-row (transform over the token array, Generate), one hash "
+         "aggregate with map-side partials, TakeOrderedAndProject top-k. "
+         "The only exchange is the n-gram aggregate — at 100 TB the "
+         "reduce side sees one row per distinct n-gram, not per "
+         "occurrence."),
         ("sim_ann_ivf_pq", similarity.ann_ivf_pq,
          "IVF-PQ composition: the candidate join scans CODES, not raw "
          "embeddings — the probed-lists join (codes ⋈ broadcast probes on "
