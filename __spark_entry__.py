@@ -133,6 +133,7 @@ _TAIL_ORDER = [
     "text_bpe_token_count",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
+    "events_hll_daily_users",
     # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest
     "text_winnowed_fingerprints",
     "dedup_minhash_lsh",

@@ -444,6 +444,27 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per (day, event_type) via DataSketches HLL
+    (`hll_sketch_agg` → `hll_sketch_estimate`) — the mergeable-sketch
+    form of COUNT(DISTINCT) that makes distinct-count rollups
+    pre-aggregable at 100 TB: partials union losslessly (union of
+    sub-sketches ≡ sketch of the union), so day partials roll to
+    months without ever re-touching raw events.  Rows-only entry; the
+    invariant test bounds the estimate against the exact count and the
+    streaming registry asserts partial-merge ≡ whole-corpus sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users")
+        )
+    )
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -510,6 +531,7 @@ UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
 
 QUERIES = {
     "events_funnel": funnel,
+    "events_hll_daily_users": hll_daily_users,
     "events_per_type_stats": per_type_stats,
     "events_salted_user_totals": salted_user_totals,
     "events_session_window": session_window_agg,

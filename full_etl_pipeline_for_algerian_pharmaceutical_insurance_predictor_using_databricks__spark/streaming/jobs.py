@@ -1058,6 +1058,63 @@ def compact_hourly_rollup_registry(
     return compact_registry(spark, registry_dir, group_size, merge=merge)
 
 
+def hll_rollup_registry_ingest(stream: DataFrame, registry_dir: str) -> None:
+    """Distinct-count continuous aggregate via MERGEABLE SKETCHES: each
+    micro-batch lands its (day, event_type) → DataSketches-HLL partial
+    (a binary column) under `batch=<id>`; the read side unions partials
+    (`hll_union_agg`) and estimates.  Union of sub-sketches is
+    EXACTLY the sketch of the union, so the merged registry answers
+    with the same estimate a whole-corpus sketch would — the property
+    that makes distinct-count rollups pre-aggregable at 100 TB/day,
+    where exact per-day distinct sets are unstorable.  Batch-keyed
+    overwrite = retry-idempotent, like every registry here."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_start"),
+            "event_type",
+        ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        partial.write.mode("overwrite").parquet(f"{registry_dir}/batch={batch_id}")
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("HLL rollup registry drain exceeded 300s")
+
+
+def hll_rollup_read(spark: SparkSession, registry_dir: str) -> DataFrame:
+    """Merge-on-read over the HLL partial registry: union the sketches
+    per key, then estimate."""
+    return (
+        spark.read.parquet(registry_dir)
+        .groupBy("day_start", "event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users")
+        )
+    )
+
+
+def compact_hll_rollup_registry(
+    spark: SparkSession, registry_dir: str, group_size: int = 8
+) -> int:
+    """`compact_registry` for the sketch registry: merged partials
+    RE-UNION (`hll_union_agg`) — lossless by the sketch-union law, so
+    compaction shrinks rows and files without moving any estimate."""
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("day_start", "event_type").agg(
+            F.hll_union_agg("sketch").alias("sketch")
+        )
+
+    return compact_registry(spark, registry_dir, group_size, merge=merge)
+
+
 def hourly_rollup_read(spark: SparkSession, registry_dir: str) -> DataFrame:
     """Merge-on-read over the partial-aggregate registry: final hourly
     rollup = re-aggregate the partials (sums of sums — exact because

@@ -695,3 +695,78 @@ def test_cdc_latest_value_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_hll_rollup_registry_merge_law(spark, sf_dir, tmp_path):
+    """Sketch partials from two arrival batches must union to EXACTLY
+    the whole-corpus sketch estimate (union law), survive compaction
+    unchanged, and land within 5% of the exact distinct count."""
+    import glob as g
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    median = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, half in [
+        ("a", ev.filter(F.col("event_id") <= median)),
+        ("b", ev.filter(F.col("event_id") > median)),
+    ]:
+        d = tmp_path / f"_{name}"
+        half.withColumn(
+            "ts", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)")
+        ).coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", str(src))
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    reg = str(tmp_path / "hll")
+    jobs.hll_rollup_registry_ingest(stream, reg)
+    assert len(g.glob(reg + "/batch=*")) == 2
+
+    got = {
+        (r.day_start, r.event_type): r.approx_users
+        for r in jobs.hll_rollup_read(spark, reg).collect()
+    }
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        events as ev_ops,
+    )
+
+    want = {
+        (r.day_start, r.event_type): r.approx_users
+        for r in ev_ops.hll_daily_users(spark, sf_dir).collect()
+    }
+    assert got == want  # union of partials == sketch of the whole
+
+    exact = {
+        (r.day_start, r.event_type): r.n
+        for r in ev.groupBy(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_start"),
+            "event_type",
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05
+
+    assert jobs.compact_hll_rollup_registry(spark, reg, group_size=2) == 1
+    assert len(g.glob(reg + "/batch=*")) == 1
+    again = {
+        (r.day_start, r.event_type): r.approx_users
+        for r in jobs.hll_rollup_read(spark, reg).collect()
+    }
+    assert again == want
