@@ -16,9 +16,10 @@ from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_dat
 
 def test_all_queries_have_oracles():
     assert set(relational.ORACLES) == set(relational.QUERIES)
-    # approx sketch is rows-only by design; everything else oracle-checked
+    # approx sketches are rows-only by design; everything else oracle-checked
     assert set(events.QUERIES) - set(events.ORACLES) == {
-        "events_approx_distinct_users"
+        "events_approx_distinct_users",
+        "events_hll_daily_users",
     }
 
 
