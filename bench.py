@@ -43,6 +43,7 @@ HEADLINE = [
     "events_windowed_counts",
     "events_sessionization",
     "events_hourly_daily",
+    "events_hll_daily_users",
     "text_doc_profile",
     "text_train_prep",
     # r3 curation/retrieval surface
