@@ -820,9 +820,12 @@ def embedding_near_dup(
 
     if max_pairs is _EXACT_CAP_SENTINEL:
         max_pairs = EXACT_PAIR_CAP
-    n = load_table(spark, sf_dir, "embeddings").count()
-    guard_cartesian(n * (n - 1) // 2, "embedding_near_dup", max_pairs)
     emb = load_table(spark, sf_dir, "embeddings")
+    if max_pairs is not None:
+        # count() reuses the one loaded DataFrame and is skipped when
+        # the guard is disabled — no second table scan per call
+        n = emb.count()
+        guard_cartesian(n * (n - 1) // 2, "embedding_near_dup", max_pairs)
     a = emb.alias("a")
     b = emb.alias("b")
     return (

@@ -121,14 +121,14 @@ def knn_bruteforce(
     the corpus never shuffles. cosine = dot/(norm_q·norm_c) evaluates
     the identical fold expressions, so values stay bit-compatible with
     the naive form and the DuckDB oracle."""
-    guard_cartesian(
-        load_table(spark, sf_dir, "embeddings").count() * n_queries,
-        "knn_bruteforce",
-        max_pairs,
-    )
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "norm", norm_col(F.col("embedding"))
-    )
+    corpus = load_table(spark, sf_dir, "embeddings")
+    if max_pairs is not None:
+        # one scan total: the guard count() runs on the same DataFrame
+        # the plan below reuses (and is skipped entirely when the
+        # caller disabled the guard), so no extra full-scan job lands
+        # inside benched wall time
+        guard_cartesian(corpus.count() * n_queries, "knn_bruteforce", max_pairs)
+    emb = corpus.withColumn("norm", norm_col(F.col("embedding")))
     q = F.broadcast(
         emb.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"),

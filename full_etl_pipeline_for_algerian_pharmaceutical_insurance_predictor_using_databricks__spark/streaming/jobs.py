@@ -264,11 +264,13 @@ def funnel_stage_stream(stream: DataFrame) -> DataFrame:
             sub = pdf[pdf["event_type"].isin(stage_of)]
             if len(sub) == 0:
                 continue
-            # normalize to ms regardless of the Arrow batch's unit
-            ts_ms = (
-                sub["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
-            )
-            ts_list += [int(t) for t in ts_ms]
+            # normalize to µs regardless of the Arrow batch's unit —
+            # the batch funnel compares microsecond timestamps with a
+            # strict '>', so truncating to ms here would merge two
+            # same-millisecond stage events the batch twin keeps
+            # distinct and break exact parity
+            ts_us = sub["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+            ts_list += [int(t) for t in ts_us]
             st_list += [stage_of[t] for t in sub["event_type"]]
         state.update((ts_list, st_list))
         reach, frontier = 0, None
@@ -731,7 +733,23 @@ def ann_registry_ingest(
         cdir = f"{registry_dir}/centroids"
         emb = batch_df.withColumn("norm", norm_col(F.col("embedding")))
         if not g.glob(cdir + "/part-*.parquet"):
-            km = KMeans(k=nlist, seed=7, maxIter=5, featuresCol="vec",
+            # The codebook is only as representative as the first batch:
+            # clamp k so KMeans cannot fail on a small first batch, and
+            # refuse an absurdly thin one outright — a 10-vector
+            # codebook would silently cap recall for the registry's
+            # whole lifetime (re-train offline + rebuild to fix, as
+            # with FAISS).
+            first_n = emb.count()
+            if first_n < 2:
+                raise ValueError(
+                    "ann_registry_ingest: first micro-batch has "
+                    f"{first_n} vector(s); the frozen IVF codebook "
+                    "needs a representative first batch (>= 2 vectors, "
+                    "ideally >> nlist). Buffer more input before the "
+                    "first trigger or lower nlist."
+                )
+            k_eff = min(nlist, first_n)
+            km = KMeans(k=k_eff, seed=7, maxIter=5, featuresCol="vec",
                         predictionCol="list_id")
             model = km.fit(
                 emb.withColumn(
@@ -1009,6 +1027,26 @@ def compact_registry(
         ids = [int(x) for x in re.findall(r"\d+", path.rsplit("batch=", 1)[1])]
         return min(ids), max(ids)
 
+    # Crash recovery BEFORE compacting, so a rerun after a mid-compact
+    # crash is idempotent instead of (a) permanently double-counting
+    # rows whose merged dir was published but whose sources were never
+    # removed, or (b) dying on os.rename onto the leftover merged dir:
+    #   - a stale _compact_tmp is an unpublished partial write → drop it
+    #   - any batch dir whose id range is strictly contained in another
+    #     batch dir's range is a source the crashed run already merged
+    #     (normal operation never leaves both) → drop the source
+    tmp = f"{registry_dir}/_compact_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    dirs = g.glob(f"{registry_dir}/batch=*")
+    spans = {p: lo_hi(p) for p in dirs}
+    for p, (slo, shi) in spans.items():
+        for q, (qlo, qhi) in spans.items():
+            if p != q and qlo <= slo and shi <= qhi and (qlo, qhi) != (slo, shi):
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                break
+
     parts = sorted(g.glob(f"{registry_dir}/batch=*"), key=lo_hi)
     written = 0
     for i in range(0, len(parts), group_size):
@@ -1020,11 +1058,14 @@ def compact_registry(
         df = spark.read.parquet(*chunk)
         if merge is not None:
             df = merge(df)
-        tmp = f"{registry_dir}/_compact_tmp"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         # publish-then-delete: rename is atomic per dir; the transient
-        # overlap double-counts rather than losing rows on a crash
-        os.rename(tmp, f"{registry_dir}/batch={lo}-{hi}")
+        # overlap double-counts rather than losing rows on a crash (a
+        # rerun repairs it via the containment sweep above)
+        dest = f"{registry_dir}/batch={lo}-{hi}"
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        os.rename(tmp, dest)
         for p in chunk:
             shutil.rmtree(p)
         written += 1
