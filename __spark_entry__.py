@@ -130,6 +130,8 @@ _TAIL_ORDER = [
     "text_ngram_topk",
     "events_funnel",
     "tpch_q10_returned_items",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
     "text_bpe_token_count",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",

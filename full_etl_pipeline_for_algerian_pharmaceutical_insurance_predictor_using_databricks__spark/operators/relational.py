@@ -245,6 +245,148 @@ LIMIT 20
 """
 
 # --------------------------------------------------------------------------
+# TPC-H Q17 shape — small-quantity-order revenue (correlated scalar
+# subquery, decorrelated to a single-shuffle window)
+# --------------------------------------------------------------------------
+
+
+def q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#13"
+) -> DataFrame:
+    """Revenue lost to small orders: lineitems of one brand's parts
+    whose quantity is below 20% of that part's average quantity
+    (`l_quantity < 0.2 * (SELECT AVG(l_quantity) ... WHERE l_partkey =
+    p_partkey)` — TPC-H Q17 adapted to the fixture's part columns,
+    which carry p_brand but no p_container).
+
+    The correlated scalar subquery decorrelates to a WINDOW over
+    l_partkey instead of a self-join: the brand filter broadcasts into
+    the lineitem scan first (so the window's input is the brand's
+    lineitems only — partkey determines part, so the per-part average
+    is unchanged), then ONE shuffle on l_partkey computes both the
+    per-part sum and count, and the threshold test runs map-side.  The
+    naive form scans lineitem twice and shuffles twice.
+
+    Determinism: l_quantity is integral, so `0.2·avg` is tested as the
+    exact integer predicate `5·qty·cnt < sum` — no floating division
+    on the comparison path, bit-identical across engines; the revenue
+    sum is `_dsum`-exact with one final double division by 7."""
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == brand)
+        .select("p_partkey")
+    )
+    li_brand = li.join(
+        F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li_brand.withColumn(
+            "qsum", F.sum(F.col("l_quantity").cast("bigint")).over(w)
+        )
+        .withColumn("qcnt", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("qcnt")
+            < F.col("qsum")
+        )
+        .agg((_dsum(F.col("l_extendedprice"), 2) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+_Q17_SQL = """
+WITH brand_li AS (
+    SELECT l.*
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+),
+pa AS (
+    SELECT l_partkey,
+           SUM(CAST(l_quantity AS BIGINT)) AS qsum,
+           COUNT(*) AS qcnt
+    FROM brand_li
+    GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM brand_li l
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * pa.qcnt < pa.qsum
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume customers (HAVING set feeding a
+# semi-join back into the big table)
+# --------------------------------------------------------------------------
+
+
+def q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str, min_quantity: int = 300
+) -> DataFrame:
+    """Customers whose single orders total more than `min_quantity`
+    units (TPC-H Q18): the groupBy-HAVING on lineitem produces a tiny
+    qualifying-order set that must then filter lineitem AGAIN for the
+    detail rows.
+
+    Scale shape: the HAVING set (≈1 in 400 orders) is broadcast as a
+    left-semi filter into orders, the surviving orders join customer
+    broadcast-side (the enriched set stays tiny), and that result
+    broadcasts into the second lineitem pass — so the big table is
+    scanned twice (inherent to Q18) but NEVER shuffled; the only
+    exchange is the first pass's l_orderkey aggregation.  The final
+    per-order aggregate re-sums quantity from the broadcast-joined
+    detail rows; top-100 is TakeOrderedAndProject with a full
+    tie-break (o_totalprice DESC, o_orderdate, o_orderkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qsum"))
+        .filter(F.col("qsum") > min_quantity)
+        .select("l_orderkey")
+    )
+    sel_orders = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    enriched = cust.join(
+        F.broadcast(sel_orders), cust.c_custkey == sel_orders.o_custkey
+    ).select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    return (
+        li.join(F.broadcast(enriched), li.l_orderkey == enriched.o_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
 # Semi / anti joins
 # --------------------------------------------------------------------------
 
@@ -818,6 +960,8 @@ QUERIES = {
     "tpch_q3_shipping_priority": q3_shipping_priority,
     "tpch_q5_region_revenue": q5_region_revenue,
     "tpch_q10_returned_items": q10_returned_items,
+    "tpch_q17_small_qty_revenue": q17_small_quantity_revenue,
+    "tpch_q18_large_volume_customers": q18_large_volume_customers,
     "join_semi_urgent_customers": semi_urgent_customers,
     "join_anti_no_urgent_customers": anti_no_urgent_customers,
     "join_left_order_linecounts": left_join_order_linecounts,
@@ -840,6 +984,8 @@ ORACLES = {
     "tpch_q3_shipping_priority": _Q3_SQL,
     "tpch_q5_region_revenue": _Q5_SQL,
     "tpch_q10_returned_items": _Q10_SQL,
+    "tpch_q17_small_qty_revenue": _Q17_SQL,
+    "tpch_q18_large_volume_customers": _Q18_SQL,
     "join_semi_urgent_customers": _SEMI_SQL,
     "join_anti_no_urgent_customers": _ANTI_SQL,
     "join_left_order_linecounts": _LEFT_SQL,

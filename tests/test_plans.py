@@ -110,3 +110,27 @@ def test_q10_pushdown_broadcast_topk(spark, sf_correct):
     assert "o_orderdate" in pushed and "l_returnflag" in pushed
     assert has_broadcast_join(df)
     assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_q17_single_shuffle_window(spark, sf_correct):
+    """Q17: the correlated scalar subquery decorrelates to ONE
+    l_partkey exchange (the window), the brand filter broadcasts, and
+    no second lineitem scan exists."""
+    df = relational.q17_small_quantity_revenue(spark, sf_correct)
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    # exactly one hash-partitioned exchange: the window's l_partkey
+    # shuffle (the final single-row agg is a SinglePartition exchange)
+    assert plan.count("hashpartitioning(l_partkey") == 1
+    assert plan.count("Scan parquet") <= 2  # lineitem once + part once
+
+
+def test_q18_semi_join_broadcast_no_fact_shuffle(spark, sf_correct):
+    """Q18: the HAVING set semi-joins into orders via broadcast and the
+    detail pass joins lineitem against a broadcast side — the fact
+    table never shuffles on a join key."""
+    df = relational.q18_large_volume_customers(spark, sf_correct)
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan

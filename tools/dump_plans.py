@@ -91,6 +91,21 @@ def main() -> None:
          "nation broadcasts, the customer-grain aggregate is the only "
          "full-width exchange, and the top-20 is TakeOrderedAndProject — "
          "no global sort of the joined fact."),
+        ("tpch_q17_small_qty_revenue", relational.q17_small_quantity_revenue,
+         "Q17's correlated scalar subquery decorrelated to a WINDOW over "
+         "l_partkey: the brand filter broadcasts into the lineitem scan, "
+         "then exactly ONE hash exchange computes the per-part sum+count "
+         "and the 5·qty·cnt < sum predicate runs map-side — one lineitem "
+         "scan, one shuffle, vs two of each for the naive self-join "
+         "decorrelation."),
+        ("tpch_q18_large_volume_customers", relational.q18_large_volume_customers,
+         "Q18: the groupBy-HAVING qualifying set (~1 in 400 orders) "
+         "broadcasts as a left-semi filter into orders, the surviving "
+         "orders broadcast-join customer, and the enriched set broadcasts "
+         "into the second lineitem pass — lineitem is scanned twice "
+         "(inherent to Q18) but never shuffled on a join key; the only "
+         "exchange is the first pass's l_orderkey aggregate; top-100 is "
+         "TakeOrderedAndProject."),
         ("text_ngram_topk", lambda s, d: __import__(
             "full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.text",
             fromlist=["text"]).ngram_topk(s, d),
