@@ -314,7 +314,7 @@ def mm_image_meta_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IMAGE_META_RESIZE_SQL = f"""
-SELECT m.*, r.resized_hex, r.n_bytes_out
+SELECT m.*, r.out_width, r.out_height, r.n_bytes_out, r.pixel_sum
 FROM ({multimodal.ORACLES["mm_image_metadata"]}) m
 JOIN ({multimodal.ORACLES["mm_image_resize"]}) r USING (doc_id)
 """

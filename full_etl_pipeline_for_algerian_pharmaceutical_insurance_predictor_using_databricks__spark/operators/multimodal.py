@@ -2,26 +2,134 @@
 as opaque `binary` columns + typed metadata, processed by Arrow-batched
 pandas functions via `mapInPandas`.
 
-The container has no image/audio codecs, so the decode kernel is a
-deterministic fake (clearly marked; same signature as a real one — swap
-`_decode_image_batch`'s body for PIL/libvips and everything else
-stands). What IS real and tested: the binary column handling, the
-mapInPandas batch shape (iterator of pandas DataFrames), the output
-schema contract, and partition-parallel execution.
+The image and audio paths carry REAL codecs with no third-party
+dependency: the fixtures are genuine uncompressed 24-bit BMP files and
+PCM-WAV (RIFF) files built deterministically from each document's md5
+digest, and the decode kernels parse the actual byte format — BMP
+header fields, bottom-up padded pixel rows, RIFF chunk walk, 16-bit
+little-endian samples — with pure numpy.  Feed them a BMP/WAV from any
+other tool and they decode it the same way (asserted against
+hand-built files in tests).  Compressed formats (JPEG/PNG/FLAC) would
+swap the parse body for PIL/soundfile and keep every other line; only
+the "video" frame-sampling entry still uses an opaque synthetic
+payload, since no video container fits in a pure-numpy parser.
+
+Because the fixture bytes are digest-derived, every decoded feature is
+ALSO SQL-expressible, so the DuckDB oracles value-check the full real
+path: generate bytes → parse header → un-reverse rows / strip padding
+→ resize / window → checksum.  A decode bug (wrong offset, padding,
+row order, sign handling) breaks the oracle match.
 
 Scale notes: mapInPandas streams Arrow batches — memory is bounded by
 `spark.sql.execution.arrow.maxRecordsPerBatch`, not partition size.
 Binary payloads stay off the driver; decode runs where the bytes live.
+Per-row numpy parsing inside the Arrow batch is the intended model for
+binary media (the bytes are opaque to Catalyst); the per-row cost is
+header-bounded, not payload-bounded.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..sources import load_table
+
+BMP_HEADER_BYTES = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+WAV_HEADER_BYTES = 44  # canonical RIFF/fmt/data layout
+WAV_SAMPLE_RATE = 8000
+WAV_N_SAMPLES = 8  # 16 digest bytes → 8 little-endian int16 samples
+AUDIO_WINDOW = 4  # samples per analysis window → 2 windows per doc
+
+
+def _digest_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, digest) — 16 raw md5 bytes per document, the seed every
+    deterministic media fixture derives from (md5 matches DuckDB's)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.to_binary(F.md5(F.col("text")), F.lit("hex")).alias("digest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BMP: encode (fixture generator) and decode (the real codec)
+# --------------------------------------------------------------------------
+
+
+def _bmp_row_size(width: int) -> int:
+    """Bytes per stored pixel row: 3 bytes/px padded to 4-byte multiple."""
+    return (3 * width + 3) // 4 * 4
+
+
+def _encode_bmp(img) -> bytes:
+    """numpy (h, w, 3) uint8 image → real uncompressed 24-bit BMP bytes
+    (bottom-up rows, 4-byte row padding — the standard layout)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    row_size = _bmp_row_size(w)
+    data_size = h * row_size
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", BMP_HEADER_BYTES + data_size, 0, 0, BMP_HEADER_BYTES,
+        40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0,
+    )
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : 3 * w] = img[::-1].reshape(h, 3 * w)  # bottom row first
+    return header + rows.tobytes()
+
+
+def _decode_bmp(b: bytes):
+    """Real BMP parse: validate magic/compression, read geometry from
+    the header, strip row padding, un-reverse the bottom-up rows.
+    Returns (h, w, 3) uint8 in top-down image order."""
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP: missing 'BM' magic")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0 or planes != 1:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} comp={compression}")
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    row_size = _bmp_row_size(w)
+    px = np.frombuffer(b, dtype=np.uint8, count=h * row_size, offset=offset)
+    img = px.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    return img[::-1] if flip else img
+
+
+def synthetic_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a REAL deterministic BMP to each document: dimensions
+    (2..9 square-ish) and pixel bytes derive from the md5 digest —
+    image pixel (r, c, ch) = digest[(r·w·3 + c·3 + ch) mod 16] — so
+    the decoded features are SQL-replayable."""
+    media = _digest_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            out = []
+            for b in batch["digest"]:
+                d = np.frombuffer(b, dtype=np.uint8)
+                w, h = 2 + int(d[0]) % 8, 2 + int(d[1]) % 8
+                img = np.resize(d, h * w * 3).reshape(h, w, 3)
+                out.append(_encode_bmp(img))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "image_bytes": out}
+            )
+
+    return media.mapInPandas(
+        run, "doc_id long, image_bytes binary"
+    )
+
 
 #: Output contract of the image-metadata extractor.
 IMAGE_META_SCHEMA = T.StructType(
@@ -34,43 +142,30 @@ IMAGE_META_SCHEMA = T.StructType(
     ]
 )
 
-REAL_CODECS_AVAILABLE = False  # no PIL/ffmpeg in this environment
-
-
-def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Attach a deterministic binary 'image' payload to each document
-    (md5-derived bytes) — stands in for a real `binary` media column
-    read from parquet/lakehouse."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.to_binary(F.md5(F.col("text")), F.lit("hex")).alias("image_bytes"),
-    )
-
 
 def _decode_image_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """FAKE decode kernel (deterministic). A real implementation would be
-
-        from PIL import Image; img = Image.open(io.BytesIO(b))
-
-    and is intentionally not emulated further."""
-    if REAL_CODECS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("plug a real codec here")
-    b = batch["image_bytes"]
+    """REAL decode kernel: sniff the magic, parse the BMP header fields.
+    Geometry comes from the bytes themselves, not from any sidecar."""
+    metas = []
+    for b in batch["image_bytes"]:
+        img = _decode_bmp(bytes(b))
+        h, w = img.shape[:2]
+        metas.append((len(b), w, h, "bmp"))
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
-            "n_bytes": b.str.len().astype("int32"),
-            "width": (b.str[0].astype("int32") % 64) + 1,
-            "height": (b.str[1].astype("int32") % 64) + 1,
-            "format": b.str[2].astype("int32").map(lambda x: ["png", "jpeg", "webp"][x % 3]),
+            "n_bytes": pd.Series([m[0] for m in metas], dtype="int32"),
+            "width": pd.Series([m[1] for m in metas], dtype="int32"),
+            "height": pd.Series([m[2] for m in metas], dtype="int32"),
+            "format": [m[3] for m in metas],
         }
     )
 
 
 def image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """binary column → typed metadata via mapInPandas (Arrow batches)."""
-    media = synthetic_media(spark, sf_dir)
+    """binary column → typed metadata via mapInPandas (Arrow batches),
+    decoding genuine BMP bytes."""
+    media = synthetic_bmp_media(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -79,21 +174,112 @@ def image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(run, IMAGE_META_SCHEMA)
 
 
-def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 4) -> DataFrame:
-    """'Video' frame sampling shape: explode byte payload into frames,
-    keep every n-th — demonstrates the explode+filter pattern used for
-    frame extraction (the decode itself being the fake above)."""
-    media = synthetic_media(spark, sf_dir)
-    frames = media.select(
-        "doc_id",
-        F.posexplode(
-            F.split(F.base64(F.col("image_bytes")), "(?!^)")
-        ).alias("frame_idx", "frame_token"),
+#: Output contract of the resize kernel.
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("n_bytes_out", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode → 2:1 nearest-neighbor downsample → real re-encode.
+    The output reports the re-encoded BMP's true size plus a pixel
+    checksum of the resized image; the DuckDB oracle recomputes both
+    from the digest math, so a botched decode (padding, row order)
+    or resize indexing fails the value check."""
+    media = synthetic_bmp_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for b in batch["image_bytes"]:
+                img = _decode_bmp(bytes(b))
+                small = img[::2, ::2, :]
+                out = _encode_bmp(small)
+                rows.append(
+                    (small.shape[1], small.shape[0], len(out), int(small.sum()))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "out_width": pd.Series([r[0] for r in rows], dtype="int32"),
+                    "out_height": pd.Series([r[1] for r in rows], dtype="int32"),
+                    "n_bytes_out": pd.Series([r[2] for r in rows], dtype="int32"),
+                    "pixel_sum": pd.Series([r[3] for r in rows], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# WAV: encode (fixture generator) and decode (the real codec)
+# --------------------------------------------------------------------------
+
+
+def _encode_wav(samples, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """numpy int16 array → real PCM-WAV bytes (canonical 44-byte
+    RIFF/fmt/data layout, mono 16-bit little-endian)."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE",
+            b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+            b"data", len(data),
+        )
+        + data
     )
-    # Spark's split() keeps one trailing empty token — not a frame
-    return frames.filter(
-        (F.col("frame_idx") % every_n == 0) & (F.col("frame_token") != "")
-    )
+
+
+def _decode_wav(b: bytes):
+    """Real RIFF parse: validate magic, WALK the chunk list (not a
+    fixed offset — files with LIST/fact chunks parse too), read the
+    fmt fields, return (samples int16 array, sample_rate)."""
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV: missing RIFF/WAVE magic")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, pos)
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16 or channels != 1:
+        raise ValueError(
+            f"unsupported WAV variant: fmt={audio_format} bits={bits} ch={channels}"
+        )
+    return np.frombuffer(data, dtype="<i2"), sample_rate
+
+
+def synthetic_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a REAL deterministic PCM-WAV to each document: 8 signed
+    16-bit samples, sample i = int16(digest[2i] | digest[2i+1] << 8)."""
+    media = _digest_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            out = [
+                _encode_wav(np.frombuffer(b, dtype="<i2"))
+                for b in batch["digest"]
+            ]
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "audio_bytes": out})
+
+    return media.mapInPandas(run, "doc_id long, audio_bytes binary")
 
 
 #: Output contract of the audio feature extractor.
@@ -106,17 +292,13 @@ AUDIO_RMS_SCHEMA = T.StructType(
     ]
 )
 
-AUDIO_WINDOW = 4  # samples per analysis window (16 synthetic samples → 4 windows)
-
 
 def audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Audio' feature extraction shape: opaque PCM binary → per-window
-    RMS energy via a numpy kernel in mapInPandas. The synthetic payload
-    treats each md5 byte as an unsigned 8-bit sample; a real pipeline
-    swaps the frombuffer line for soundfile/librosa decode and keeps
-    the same batch plumbing. Integer sample sums are exact in double,
-    so the kernel is bit-comparable to the SQL oracle."""
-    media = synthetic_media(spark, sf_dir)
+    """Opaque PCM-WAV binary → per-window RMS energy via a numpy kernel
+    in mapInPandas, decoding genuine RIFF bytes (chunk walk + int16
+    samples).  Integer square sums are exact in int64 → double, so the
+    kernel is bit-comparable to the SQL oracle."""
+    media = synthetic_wav_media(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -124,9 +306,8 @@ def audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             if len(batch) == 0:
                 continue
-            samples = np.stack(
-                [np.frombuffer(b, dtype=np.uint8).astype(np.int64) for b in batch["image_bytes"]]
-            )  # (rows, 16)
+            decoded = [_decode_wav(bytes(b))[0] for b in batch["audio_bytes"]]
+            samples = np.stack(decoded).astype(np.int64)
             n_win = samples.shape[1] // AUDIO_WINDOW
             windows = samples[:, : n_win * AUDIO_WINDOW].reshape(
                 len(batch), n_win, AUDIO_WINDOW
@@ -145,41 +326,36 @@ def audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(run, AUDIO_RMS_SCHEMA)
 
 
-#: Output contract of the resize kernel.
-RESIZE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("resized_bytes", T.BinaryType()),
-        T.StructField("n_bytes_out", T.IntegerType()),
-    ]
-)
-
-RESIZE_KEEP_BYTES = 8  # fake 2:1 downsample of the 16-byte payload
+# --------------------------------------------------------------------------
+# "Video" frame sampling — still an opaque synthetic payload (no video
+# container parses in pure numpy); the explode+filter plumbing is real.
+# --------------------------------------------------------------------------
 
 
-def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Resize' shape: binary → smaller binary via a pandas kernel
-    (real pipeline: PIL thumbnail / ffmpeg scale). The fake kernel
-    keeps the payload's byte prefix, so the binary→binary round trip
-    through Arrow is still value-checked end-to-end by the SQL oracle
-    (DuckDB replays the prefix via the md5 hex string)."""
-    media = synthetic_media(spark, sf_dir)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            resized = batch["image_bytes"].str[:RESIZE_KEEP_BYTES]
-            yield pd.DataFrame(
-                {
-                    "doc_id": batch["doc_id"],
-                    "resized_bytes": resized,
-                    "n_bytes_out": resized.str.len().astype("int32"),
-                }
-            )
-
-    return media.mapInPandas(run, RESIZE_SCHEMA).select(
+def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque 16-byte payload for the video-shape entry (md5-derived) —
+    stands in for a real container the environment cannot decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
         "doc_id",
-        F.hex(F.col("resized_bytes")).alias("resized_hex"),
-        "n_bytes_out",
+        F.to_binary(F.md5(F.col("text")), F.lit("hex")).alias("image_bytes"),
+    )
+
+
+def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 4) -> DataFrame:
+    """'Video' frame sampling shape: explode byte payload into frames,
+    keep every n-th — demonstrates the explode+filter pattern used for
+    frame extraction (the container decode stays synthetic)."""
+    media = synthetic_media(spark, sf_dir)
+    frames = media.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.base64(F.col("image_bytes")), "(?!^)")
+        ).alias("frame_idx", "frame_token"),
+    )
+    # Spark's split() keeps one trailing empty token — not a frame
+    return frames.filter(
+        (F.col("frame_idx") % every_n == 0) & (F.col("frame_token") != "")
     )
 
 
@@ -190,18 +366,49 @@ QUERIES = {
     "mm_image_resize": image_resize,
 }
 
-# The decode kernel is a deterministic md5-derived fake, so (unlike a
-# real codec) it IS SQL-expressible — the oracle replays the byte math
-# in DuckDB, value-checking the whole mapInPandas round trip (binary
-# column → Arrow batch → pandas kernel → typed rows).
-_IMAGE_META_SQL = """
-SELECT
-    doc_id,
-    octet_length(unhex(md5(text))) AS n_bytes,
-    (('0x' || substr(md5(text), 1, 2))::INT % 64) + 1 AS width,
-    (('0x' || substr(md5(text), 3, 2))::INT % 64) + 1 AS height,
-    ['png', 'jpeg', 'webp'][(('0x' || substr(md5(text), 5, 2))::INT % 3) + 1] AS format
+# The fixture bytes are digest-derived, so the REAL decoded features
+# are SQL-expressible: each oracle recomputes header geometry, padded
+# size, resize indexing, and signed-sample math from md5(text) —
+# value-checking the whole generate → parse → feature path in DuckDB.
+_BMP_DIMS = """
+SELECT doc_id, md5(text) AS hx,
+       2 + (('0x' || substr(md5(text), 1, 2))::INT % 8) AS w,
+       2 + (('0x' || substr(md5(text), 3, 2))::INT % 8) AS h
 FROM documents
+"""
+
+_IMAGE_META_SQL = f"""
+SELECT doc_id,
+       CAST(54 + h * ((3 * w + 3) // 4 * 4) AS INT) AS n_bytes,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       'bmp' AS format
+FROM ({_BMP_DIMS})
+"""
+
+_RESIZE_SQL = f"""
+WITH dims AS (
+    SELECT *, (w + 1) // 2 AS out_w, (h + 1) // 2 AS out_h
+    FROM ({_BMP_DIMS})
+),
+px AS (
+    SELECT doc_id, out_w, out_h,
+           ('0x' || substr(hx,
+               2 * (((2 * r.x) * w * 3 + (2 * c.x) * 3 + ch.x) % 16) + 1,
+               2))::BIGINT AS v
+    FROM dims
+    CROSS JOIN range(8) r(x)
+    CROSS JOIN range(8) c(x)
+    CROSS JOIN range(3) ch(x)
+    WHERE r.x < out_h AND c.x < out_w
+)
+SELECT doc_id,
+       CAST(out_w AS INT) AS out_width,
+       CAST(out_h AS INT) AS out_height,
+       CAST(54 + out_h * ((3 * out_w + 3) // 4 * 4) AS INT) AS n_bytes_out,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum
+FROM px
+GROUP BY doc_id, out_w, out_h
 """
 
 _FRAME_SAMPLE_SQL = """
@@ -214,26 +421,22 @@ WHERE frame_idx % 4 = 0
 """
 
 _AUDIO_RMS_SQL = f"""
-SELECT
-    doc_id,
-    (i // {AUDIO_WINDOW}) AS window_idx,
-    sqrt(SUM(s * s) / {AUDIO_WINDOW}.0) AS rms,
-    {AUDIO_WINDOW} AS n_samples
+SELECT doc_id,
+       CAST(i // {AUDIO_WINDOW} AS INT) AS window_idx,
+       sqrt(SUM(s * s) / {AUDIO_WINDOW}.0) AS rms,
+       {AUDIO_WINDOW} AS n_samples
 FROM (
-    SELECT doc_id, t.i AS i,
-           ('0x' || substr(h, 2 * t.i + 1, 2))::INT AS s
-    FROM (SELECT doc_id, md5(text) AS h FROM documents)
-    CROSS JOIN range(16) AS t(i)
+    SELECT doc_id, i,
+           CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+    FROM (
+        SELECT doc_id, t.i AS i,
+               ('0x' || substr(h, 4 * t.i + 1, 2))::BIGINT
+               + 256 * ('0x' || substr(h, 4 * t.i + 3, 2))::BIGINT AS u
+        FROM (SELECT doc_id, md5(text) AS h FROM documents)
+        CROSS JOIN range({WAV_N_SAMPLES}) AS t(i)
+    )
 )
 GROUP BY doc_id, i // {AUDIO_WINDOW}
-"""
-
-_RESIZE_SQL = f"""
-SELECT
-    doc_id,
-    upper(substr(md5(text), 1, {2 * RESIZE_KEEP_BYTES})) AS resized_hex,
-    {RESIZE_KEEP_BYTES} AS n_bytes_out
-FROM documents
 """
 
 ORACLES: dict[str, str] = {

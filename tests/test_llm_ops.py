@@ -232,11 +232,74 @@ def test_audio_rms_windows(spark, sf_correct):
     out = multimodal.audio_rms_windows(spark, sf_correct)
     assert out.schema == multimodal.AUDIO_RMS_SCHEMA
     n_docs = out.select("doc_id").distinct().count()
-    # 16 synthetic samples / window of 4 → exactly 4 windows per doc
-    assert out.count() == n_docs * 4
-    # uint8 samples → RMS bounded by [0, 255]
+    # 8 WAV samples / window of 4 → exactly 2 windows per doc
+    assert out.count() == n_docs * 2
+    # int16 samples → RMS bounded by [0, 32768]
     bounds = out.agg(F.min("rms"), F.max("rms")).collect()[0]
-    assert 0.0 <= bounds[0] and bounds[1] <= 255.0
+    assert 0.0 <= bounds[0] and bounds[1] <= 32768.0
+
+
+def test_bmp_codec_roundtrip_and_foreign_bytes():
+    """The BMP kernel is a real codec: it decodes files we did not
+    encode (hand-built top-down negative-height variant included) and
+    the encode→decode round trip is exact, padding and row order
+    included."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for w, h in [(2, 2), (5, 3), (7, 9), (1, 4)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (multimodal._decode_bmp(multimodal._encode_bmp(img)) == img).all()
+
+    # hand-built TOP-DOWN bmp (negative height) — not our encoder's layout
+    w, h = 3, 2
+    img = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    row_size = (3 * w + 3) // 4 * 4
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + h * row_size, 0, 0, 54,
+        40, w, -h, 1, 24, 0, h * row_size, 0, 0, 0, 0,
+    )
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : 3 * w] = img.reshape(h, 3 * w)  # top-down: no reversal
+    assert (multimodal._decode_bmp(header + rows.tobytes()) == img).all()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="magic"):
+        multimodal._decode_bmp(b"PNG not really")
+
+
+def test_wav_codec_chunk_walk_and_roundtrip():
+    """The WAV kernel walks RIFF chunks (LIST before data parses), the
+    round trip is sample-exact, and the header sample rate is read from
+    the bytes, not assumed."""
+    import struct
+
+    import numpy as np
+
+    s = np.array([0, 1, -1, 32767, -32768, 123, -456, 7], dtype=np.int16)
+    out, rate = multimodal._decode_wav(multimodal._encode_wav(s, sample_rate=44100))
+    assert (out == s).all() and rate == 44100
+
+    # foreign layout: LIST chunk between fmt and data
+    data = s.astype("<i2").tobytes()
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 24 + 12 + 8 + len(data), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        + struct.pack("<4sI4s", b"LIST", 4, b"INFO")
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+    out2, rate2 = multimodal._decode_wav(wav)
+    assert (out2 == s).all() and rate2 == 8000
+
+    import pytest
+
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal._decode_wav(b"OggS nope")
 
 
 def test_shingle_tokenization_paths_agree(spark, sf_correct):
