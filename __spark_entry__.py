@@ -147,6 +147,7 @@ _TAIL_ORDER = [
     "sim_ann_brp_lsh",
     "sim_ann_pq",
     "sim_ann_ivf_pq",
+    "sim_ann_ivf_pq_serving",
     "sim_quantize_int8",
     "sample_bernoulli",
     "sample_stratified_by_lang",

@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_embedding_clustered",
     "sim_ann_ivf",
     "sim_ann_ivf_pq",
+    "sim_ann_ivf_pq_serving",
     "sim_knn_bruteforce",
     "sim_label_centroids",
 ]
@@ -76,6 +77,9 @@ HEAVY_WARMUPS = {
     "dedup_minhash_lsh": 2,
     "sim_ann_ivf": 2,
     "sim_ann_ivf_pq": 2,
+    # serving entry: the first warm pass also builds the on-disk index,
+    # so the timed pass measures the frozen-index query path only
+    "sim_ann_ivf_pq_serving": 2,
     "dedup_embedding_clustered": 2,
 }
 

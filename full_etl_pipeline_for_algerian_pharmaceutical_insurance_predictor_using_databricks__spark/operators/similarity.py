@@ -12,6 +12,8 @@ broadcast of hyperplanes, hash join on bucket id.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..sources import load_table
@@ -602,46 +604,15 @@ def ann_pq(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ann_ivf_pq(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = TOP_K,
-    n_queries: int = N_QUERY_VECS,
-    nlist: int = IVF_NLIST,
-    nprobe: int = IVF_NPROBE,
-    m: int = PQ_M,
-    n_codes: int = PQ_K,
-) -> DataFrame:
-    """IVF-PQ: the deployable billion-vector ANN — `ann_ivf`'s
-    inverted-list pruning composed with `ann_pq`'s compressed ADC scan.
-
-    A coarse KMeans quantizer routes every vector to one of `nlist`
-    inverted lists; per-subspace PQ codebooks compress each vector to
-    `m` 4-bit codes.  A query touches only its `nprobe` nearest lists,
-    and inside those lists the scan reads CODES, not raw floats: the
-    candidate join carries (vec_id, list_id, subspace, code) and scores
-    via a broadcast per-query lookup table of partial distances, so
-    per-query work is O(n·m·nprobe/nlist) on 4-bit operands.  Only the
-    top `PQ_RERANK·k` ADC candidates per query ever touch a full
-    vector, in the exact-cosine re-rank.
-
-    Scale shape at 100 TB: both quantizers fit distributed (KMeans),
-    encoding is one scan, the probe table and the ADC LUT are
-    driver-tiny broadcasts (Q·nprobe and Q·m·K rows), and the heavy
-    join — codes ⋈ probes on list_id — is hash-partitioned on a
-    low-cardinality key whose fan-out AQE splits.  Raw embeddings are
-    read exactly twice: codebook fit/encode, and the O(Q·k) re-rank."""
+def _ivf_pq_fit(spark, emb, nlist: int, m: int, n_codes: int, sub_d: int):
+    """Index BUILD: fit the coarse quantizer and the per-subspace PQ
+    codebooks, encode every vector.  Returns (centroids, codebook,
+    codes) — the three relations that ARE the index; everything here is
+    one-time cost a deployment amortizes across queries (FAISS's
+    train/add phase).  `emb` must carry `vec` (ml vector) and
+    `embedding` columns."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .withColumn("norm", norm_col(F.col("embedding")))
-        .withColumn("vec", array_to_vector(F.col("embedding").cast("array<double>")))
-        .localCheckpoint()
-    )
-    dim = emb.select(F.size("embedding")).first()[0]
-    sub_d = dim // m
 
     # --- coarse quantizer: vector → inverted list -----------------------
     coarse = KMeans(
@@ -686,12 +657,24 @@ def ann_ivf_pq(
             "m", "code"
         ),
     )
+    return centroids, codebook, codes
 
-    queries_df = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
+
+def _ivf_pq_query(
+    emb: DataFrame,
+    queries_df: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    k: int,
+    nprobe: int,
+    sub_d: int,
+) -> DataFrame:
+    """Serving path: probe selection → ADC scan of the probed lists →
+    exact re-rank.  NO KMeans anywhere — the quantizers arrive as data,
+    so this plan is pure joins/aggregates and its cost is the true
+    per-query serving cost.  `emb` is used only for the O(Q·k) exact
+    re-rank (vec_id → embedding, norm)."""
     # --- probe selection: each query's nprobe nearest lists -------------
     wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
     probes = F.broadcast(
@@ -770,6 +753,150 @@ def ann_ivf_pq(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ann_ivf_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERY_VECS,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """IVF-PQ: the deployable billion-vector ANN — `ann_ivf`'s
+    inverted-list pruning composed with `ann_pq`'s compressed ADC scan.
+    This entry runs BUILD + QUERY in one plan (self-contained, fresh
+    index every call); `ann_ivf_pq_serving` is the amortized split that
+    freezes the index on disk and pays only the query half.
+
+    A coarse KMeans quantizer routes every vector to one of `nlist`
+    inverted lists; per-subspace PQ codebooks compress each vector to
+    `m` 4-bit codes.  A query touches only its `nprobe` nearest lists,
+    and inside those lists the scan reads CODES, not raw floats: the
+    candidate join carries (vec_id, list_id, subspace, code) and scores
+    via a broadcast per-query lookup table of partial distances, so
+    per-query work is O(n·m·nprobe/nlist) on 4-bit operands.  Only the
+    top `PQ_RERANK·k` ADC candidates per query ever touch a full
+    vector, in the exact-cosine re-rank.
+
+    Scale shape at 100 TB: both quantizers fit distributed (KMeans),
+    encoding is one scan, the probe table and the ADC LUT are
+    driver-tiny broadcasts (Q·nprobe and Q·m·K rows), and the heavy
+    join — codes ⋈ probes on list_id — is hash-partitioned on a
+    low-cardinality key whose fan-out AQE splits.  Raw embeddings are
+    read exactly twice: codebook fit/encode, and the O(Q·k) re-rank."""
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("norm", norm_col(F.col("embedding")))
+        .withColumn("vec", array_to_vector(F.col("embedding").cast("array<double>")))
+        .localCheckpoint()
+    )
+    dim = emb.select(F.size("embedding")).first()[0]
+    sub_d = dim // m
+    centroids, codebook, codes = _ivf_pq_fit(spark, emb, nlist, m, n_codes, sub_d)
+    queries_df = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    return _ivf_pq_query(
+        emb, queries_df, centroids, codebook, codes, k, nprobe, sub_d
+    )
+
+
+#: Bump when the on-disk index layout or fit parameters change shape —
+#: stale indexes under an old version dir are simply never read.
+IVF_PQ_INDEX_VERSION = 1
+
+
+def _default_index_dir(sf_dir: str) -> str:
+    # anchored at the repo root (not the process cwd) so callers from
+    # any working directory share one index per (version, sf) pair
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(
+        repo_root, "spark-warehouse", f"ivfpq_index_v{IVF_PQ_INDEX_VERSION}_{tag}"
+    )
+
+
+def ivf_pq_build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    nlist: int = IVF_NLIST,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> str:
+    """One-time IVF-PQ index build: fit the quantizers, encode the
+    corpus, and persist centroids / codebook / codes (+ a meta row with
+    the subspace geometry) as parquet under `index_dir`.  The serving
+    path never re-fits — the FAISS train/add vs search split.  At scale
+    the codes table is the only corpus-sized relation (~64× smaller
+    than the embeddings it indexes) and is written partitioned by
+    list_id so a probe's scan prunes to its lists' files."""
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("norm", norm_col(F.col("embedding")))
+        .withColumn("vec", array_to_vector(F.col("embedding").cast("array<double>")))
+        .localCheckpoint()
+    )
+    dim = emb.select(F.size("embedding")).first()[0]
+    sub_d = dim // m
+    centroids, codebook, codes = _ivf_pq_fit(spark, emb, nlist, m, n_codes, sub_d)
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    codebook.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(f"{index_dir}/codes")
+    spark.createDataFrame(
+        [(dim, sub_d, m, n_codes, nlist)],
+        "dim int, sub_d int, m int, n_codes int, nlist int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    return index_dir
+
+
+def ann_ivf_pq_serving(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    k: int = TOP_K,
+    n_queries: int = N_QUERY_VECS,
+    nprobe: int = IVF_NPROBE,
+    nlist: int = IVF_NLIST,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """Query-only IVF-PQ against a FROZEN on-disk index (built once by
+    `ivf_pq_build_index` if absent): the amortized serving cost the
+    bench reports, vs `ann_ivf_pq` which re-fits per call.  The plan is
+    parquet scans + joins + windows — no KMeans stage anywhere
+    (asserted in tests/test_plans.py); identical ranking math to
+    `ann_ivf_pq`, so the recall floor carries over."""
+    if index_dir is None:
+        index_dir = _default_index_dir(sf_dir)
+    if not os.path.isdir(os.path.join(index_dir, "codes")):
+        ivf_pq_build_index(spark, sf_dir, index_dir, nlist, m, n_codes)
+    sub_d = spark.read.parquet(f"{index_dir}/meta").first()["sub_d"]
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    codebook = spark.read.parquet(f"{index_dir}/codebook")
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm", norm_col(F.col("embedding"))
+    )
+    queries_df = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    return _ivf_pq_query(
+        emb, queries_df, centroids, codebook, codes, k, nprobe, sub_d
+    )
+
+
 QUERIES = {
     "sim_quantize_int8": quantize_embeddings,
     "sim_knn_bruteforce": knn_bruteforce,
@@ -778,6 +905,7 @@ QUERIES = {
     "sim_ann_brp_lsh": ann_brp_lsh,
     "sim_ann_pq": ann_pq,
     "sim_ann_ivf_pq": ann_ivf_pq,
+    "sim_ann_ivf_pq_serving": ann_ivf_pq_serving,
     "sim_label_centroids": label_centroids,
 }
 

@@ -575,3 +575,28 @@ def test_ann_ivf_pq_recall_and_coverage(spark, sf_correct):
     approx = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
     hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
     assert hits / len(approx) >= 0.4
+
+
+def test_ann_ivf_pq_serving_matches_build_included(spark, sf_correct, tmp_path):
+    """The frozen-index serving path returns the IDENTICAL ranking to
+    the self-contained build+query entry (same seeds → same quantizers),
+    so its recall floor carries over; a second call reuses the on-disk
+    index without re-fitting."""
+    idx = str(tmp_path / "ivfpq")
+    served = similarity.ann_ivf_pq_serving(spark, sf_correct, index_dir=idx)
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in served.collect()}
+    b = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ann_ivf_pq(spark, sf_correct).collect()
+    }
+    assert a == b and len(a) == similarity.N_QUERY_VECS * similarity.TOP_K
+
+    import os
+
+    built = os.path.getmtime(os.path.join(idx, "meta"))
+    again = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ann_ivf_pq_serving(spark, sf_correct, index_dir=idx).collect()
+    }
+    assert again == a
+    assert os.path.getmtime(os.path.join(idx, "meta")) == built  # not re-fit

@@ -134,3 +134,14 @@ def test_q18_semi_join_broadcast_no_fact_shuffle(spark, sf_correct):
     assert "LeftSemi" in plan
     assert has_broadcast_join(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_pq_serving_plan_has_no_fit(spark, sf_correct, tmp_path):
+    """The serving path is pure joins/windows over the frozen parquet
+    index — no KMeans/ML stage, no embedding-wide scan besides the
+    re-rank and query projections."""
+    idx = str(tmp_path / "ivfpq_plan")
+    df = similarity.ann_ivf_pq_serving(spark, sf_correct, index_dir=idx)
+    plan = executed_plan(df)
+    assert "KMeans" not in plan and "TreeAggregate" not in plan
+    assert has_broadcast_join(df)

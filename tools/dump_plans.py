@@ -125,6 +125,15 @@ def main() -> None:
          "re-rank joins; the corpus-sized middle of the plan is 4-bit "
          "arithmetic. At 100 TB the codes table is ~64× smaller than the "
          "embeddings it indexes."),
+        ("sim_ann_ivf_pq_serving", similarity.ann_ivf_pq_serving,
+         "The amortized IVF-PQ serving path: the quantizers arrive as "
+         "FROZEN parquet (centroids/codebook/codes built once by "
+         "ivf_pq_build_index) — no KMeans stage anywhere in this plan; "
+         "what remains is the true per-query cost: two broadcast LUT "
+         "builds, the codes ⋈ probes ⋈ LUT compressed scan, one "
+         "(query, vec) aggregate, and the O(Q·k) exact re-rank. The "
+         "codes table is partitioned by list_id on disk, so a probe's "
+         "scan prunes to its lists' files."),
         ("agg_rollup_cube (composite)", composites.agg_rollup_cube,
          "Composite driver entry: the ROLLUP and CUBE subtrees survive side by "
          "side under one union — each keeps its own Expand + hash-aggregate "
