@@ -132,6 +132,7 @@ _TAIL_ORDER = [
     "tpch_q10_returned_items",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume_customers",
+    "join_skewed_hot_user",
     "text_bpe_token_count",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",

@@ -365,6 +365,80 @@ GROUP BY user_id
 """
 
 
+def skewed_hot_user_join(
+    spark: SparkSession, sf_dir: str, hot_mod: int = 3
+) -> DataFrame:
+    """Skewed fact ⋈ dim under AQE skew-split: the join twin of
+    `salted_user_totals` (which covers skewed AGGREGATION).  Every
+    event with event_id ≡ 0 (mod `hot_mod`) is re-keyed to user 1, so
+    one join key holds ~1/3 of the fact table — the planted hot key —
+    and the fact joins the customer dimension on it.
+
+    The dim side carries a MERGE hint to force the sort-merge join a
+    real 100-TB fact⋈fact edge gets (a broadcast would hide the skew
+    entirely — and IS the first-line fix when the dim fits).  With a
+    key-partitioned exchange the hot key's reducer runs ~50× longer
+    than the median; AQE's skew-join optimization instead splits that
+    partition into advisory-sized sub-reads, each joined against the
+    replicated dim rows (`SortMergeJoin(skew=true)` + `AQEShuffleRead
+    skewed` — asserted in tests/test_plans.py with the skew thresholds
+    lowered to fixture scale, shown in PLANS.md).  The salted
+    two-phase aggregate (functions/scale.py) remains the manual
+    fallback when AQE is off.
+
+    Two preconditions this demo makes explicit, both no-ops at real
+    scale: (1) AQE splits a skewed reduce partition at MAP-OUTPUT
+    granularity, so the single-file fixture must fan out to several
+    map tasks first (the repartition below; a 100-TB fact has
+    thousands of map outputs); (2) the skew rule only matches a join
+    whose shuffle sits DIRECTLY under the sort — a dim built by
+    aggregating on the join key reuses its aggregation exchange and is
+    skipped, which is why the dim here is a plain table.
+
+    The deterministic re-key keeps the demo SQL-expressible: the
+    oracle value-checks that the skew-split plan's answer equals the
+    plain join's."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .repartition(16)
+    )
+    skewed = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % hot_mod == 0, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        skewed.join(dim.hint("merge"), skewed.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+_SKEW_JOIN_SQL = """
+WITH skewed AS (
+    SELECT CASE WHEN event_id % 3 = 0 THEN 1 ELSE user_id END AS user_id,
+           value
+    FROM events
+)
+SELECT c_mktsegment,
+       COUNT(*) AS events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM skewed
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join: each purchase attributed to the user's most recent
     strictly-earlier click.
@@ -534,6 +608,7 @@ QUERIES = {
     "events_hll_daily_users": hll_daily_users,
     "events_per_type_stats": per_type_stats,
     "events_salted_user_totals": salted_user_totals,
+    "join_skewed_hot_user": skewed_hot_user_join,
     "events_session_window": session_window_agg,
     "events_purchase_attribution": purchase_attribution,
     "events_approx_distinct_users": approx_distinct_users,
@@ -549,6 +624,7 @@ ORACLES = {
     "events_funnel": _FUNNEL_SQL,
     "events_per_type_stats": _PER_TYPE_SQL,
     "events_salted_user_totals": _SALTED_TOTALS_SQL,
+    "join_skewed_hot_user": _SKEW_JOIN_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,
     "events_purchase_attribution": _ASOF_SQL,
     "events_tumbling_5min": _TUMBLING_SQL,

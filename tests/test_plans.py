@@ -145,3 +145,32 @@ def test_ivf_pq_serving_plan_has_no_fit(spark, sf_correct, tmp_path):
     plan = executed_plan(df)
     assert "KMeans" not in plan and "TreeAggregate" not in plan
     assert has_broadcast_join(df)
+
+
+def test_skew_join_splits_hot_partition(spark, sf_correct):
+    """With skew thresholds lowered to fixture scale, AQE must split
+    the planted hot key's partition: SortMergeJoin(skew=true) +
+    AQEShuffleRead skewed in the FINAL adaptive plan.  (Correctness of
+    the same entry is oracle-checked; this pins the plan.)"""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        events,
+    )
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2048",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2048",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = events.skewed_hot_user_join(spark, sf_correct)
+        df.collect()  # finalize the adaptive plan
+        plan = executed_plan(df)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # the AQEShuffleRead marker
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
