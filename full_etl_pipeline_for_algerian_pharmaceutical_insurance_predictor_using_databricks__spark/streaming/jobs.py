@@ -1156,6 +1156,143 @@ def compact_hll_rollup_registry(
     return compact_registry(spark, registry_dir, group_size, merge=merge)
 
 
+QSKETCH_BINS = 512
+
+
+def quantile_sketch_registry_ingest(
+    stream: DataFrame, registry_dir: str, bins: int = QSKETCH_BINS
+) -> None:
+    """Quantile continuous aggregate via MERGEABLE HISTOGRAM PARTIALS —
+    the percentile counterpart of the HLL registry above (HLL covers
+    distinct counts; this covers the one aggregate family that had no
+    mergeable streaming path).
+
+    Each micro-batch lands (event_type, bin, cnt) rows under
+    `bins/batch=<id>`: a fixed equi-width histogram over a value range
+    FROZEN from the first batch (`range/`, like the ANN registry's
+    codebook), with bins 0 and bins+1 as underflow/overflow so later
+    out-of-range values are counted, never dropped.  Histogram partials
+    are the deterministic end of the quantile-sketch spectrum: the
+    merge is plain count addition, so merged partials are EXACTLY the
+    histogram of the union (a stronger union law than KLL/t-digest,
+    whose randomized compaction merges only rank-error-bounded), and
+    the hit bin provably CONTAINS the rank-⌈q·n⌉ order statistic, so
+    any in-range quantile estimate is within one bin width —
+    (hi-lo)/512 — of it (the interpolating `percentile()` can differ
+    more in sparse tails, where adjacent order stats gap wider than a
+    bin).  The trade is a fixed range:
+    a drifting value distribution piles into the overflow bins, where
+    KLL adapts; production re-freezes the range offline and rebuilds,
+    exactly like the IVF codebook.  Batch-keyed overwrite =
+    retry-idempotent; `compact_registry` re-aggregates by bin."""
+    import glob as g
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rdir = f"{registry_dir}/range"
+        if not g.glob(rdir + "/part-*.parquet"):
+            r = batch_df.agg(F.min("value"), F.max("value")).first()
+            lo, hi = float(r[0]), float(r[1])
+            if hi <= lo:
+                hi = lo + 1.0
+            spark.createDataFrame(
+                [(lo, hi, bins)], "lo double, hi double, bins int"
+            ).coalesce(1).write.mode("overwrite").parquet(rdir)
+        rng = spark.read.parquet(rdir).first()
+        lo, hi, nb = rng["lo"], rng["hi"], rng["bins"]
+        width = (hi - lo) / nb
+        bin_col = (
+            F.when(F.col("value") < lo, 0)
+            .when(F.col("value") >= hi, nb + 1)
+            .otherwise((F.floor((F.col("value") - lo) / width) + 1).cast("int"))
+        )
+        partial = (
+            batch_df.select("event_type", bin_col.alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("cnt"))
+        )
+        partial.write.mode("overwrite").parquet(
+            f"{registry_dir}/bins/batch={batch_id}"
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("quantile sketch registry drain exceeded 300s")
+
+
+def quantile_sketch_read(
+    spark: SparkSession,
+    registry_dir: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Merge-on-read quantile estimates: sum the histogram partials per
+    (event_type, bin) — the exact union — then invert the CDF with
+    linear interpolation inside the hit bin.  All per-key windows, no
+    global sort; the merged histogram is ≤ bins+2 rows per key no
+    matter how many batches landed."""
+    rng = spark.read.parquet(f"{registry_dir}/range").first()
+    lo, hi, nb = rng["lo"], rng["hi"], rng["bins"]
+    width = (hi - lo) / nb
+    merged = (
+        spark.read.parquet(f"{registry_dir}/bins")
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cdf = merged.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "total", F.sum("cnt").over(wtot)
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    )
+    whit = Window.partitionBy("event_type", "q").orderBy("bin")
+    hits = (
+        cdf.crossJoin(qdf)
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .withColumn("rn", F.row_number().over(whit))
+        .filter(F.col("rn") == 1)
+    )
+    # interpolated value inside the hit bin; under/overflow bins clamp
+    # to the frozen range edges (their width is unknown by design)
+    target = F.col("q") * F.col("total")
+    frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    est = (
+        F.when(F.col("bin") <= 0, F.lit(lo))
+        .when(F.col("bin") >= nb + 1, F.lit(hi))
+        .otherwise(F.lit(lo) + (F.col("bin") - 1 + frac) * F.lit(width))
+    )
+    return hits.select(
+        "event_type", "q", est.alias("approx_value"), "total"
+    )
+
+
+def compact_quantile_sketch_registry(
+    spark: SparkSession, registry_dir: str, group_size: int = 8
+) -> int:
+    """`compact_registry` for the histogram-partial registry: merged
+    partials RE-SUM by (event_type, bin) — the exact union law, so
+    compaction moves no estimate while shrinking rows and files."""
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "bin").agg(F.sum("cnt").alias("cnt"))
+
+    return compact_registry(
+        spark, f"{registry_dir}/bins", group_size, merge=merge
+    )
+
+
 def hourly_rollup_read(spark: SparkSession, registry_dir: str) -> DataFrame:
     """Merge-on-read over the partial-aggregate registry: final hourly
     rollup = re-aggregate the partials (sums of sums — exact because
