@@ -130,8 +130,11 @@ _TAIL_ORDER = [
     "text_ngram_topk",
     "events_funnel",
     "tpch_q10_returned_items",
+    "tpch_q4_order_priority_check",
+    "tpch_q14_promo_revenue",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume_customers",
+    "tpch_q22_idle_customers",
     "join_skewed_hot_user",
     "text_bpe_token_count",
     # rows-only: recall/error-bound/determinism-tested in pytest

@@ -245,6 +245,165 @@ LIMIT 20
 """
 
 # --------------------------------------------------------------------------
+# TPC-H Q4 shape — order priority check (EXISTS decorrelated to a
+# residual-condition semi-join)
+# --------------------------------------------------------------------------
+
+
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders per priority had at least one late-shipping line
+    (TPC-H Q4's EXISTS shape; the fixture has no commit/receipt dates,
+    so "late" = shipped more than 60 days after the order date).
+
+    The correlated EXISTS becomes a LEFT-SEMI join with an equi-key
+    (orderkey) plus a residual non-equi condition evaluated inside the
+    join — one shuffle each side, no duplication, no post-join dedup;
+    the quarter filter pushes into the orders scan before the join."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape — promotion revenue share (conditional aggregate over
+# a fact⋈dim join)
+# --------------------------------------------------------------------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue from promo-type parts (TPC-H Q14):
+    `100 · Σ[p_type=PROMO] rev / Σ rev` — the conditional-aggregate-
+    over-join shape.
+
+    The month filter pushes into the lineitem scan; part joins
+    broadcast; BOTH sums run in the same hash aggregate (one pass, one
+    exchange).  `_dsum` keeps each sum exact and order-independent so
+    the final ratio is bit-stable across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    agg = li.join(part, li.l_partkey == part.p_partkey).agg(
+        _dsum(promo_rev, 4).alias("promo_revenue"),
+        _dsum(rev, 4).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+_Q14_SQL = """
+WITH agg AS (
+    SELECT
+        CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+             AS DOUBLE) AS total_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+)
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_pct
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape — idle high-balance customers (scalar subquery +
+# anti-join + aggregate)
+# --------------------------------------------------------------------------
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment, the customers whose balance beats the
+    positive-balance average but who never placed an URGENT order
+    (TPC-H Q22's shape with the fixture's columns: mktsegment stands in
+    for the phone country code, the urgent anti-join for the no-orders
+    one, which is empty on this fixture).
+
+    The scalar average broadcasts as a 1-row nested-loop side (the
+    standard decorrelation), the anti-join runs on custkey, and the
+    final aggregate is one exchange on mktsegment.  `_dsum` keeps the
+    balance sum exact for oracle parity."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        _davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q22_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0.0
+)
+AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
 # TPC-H Q17 shape — small-quantity-order revenue (correlated scalar
 # subquery, decorrelated to a single-shuffle window)
 # --------------------------------------------------------------------------
@@ -960,8 +1119,11 @@ QUERIES = {
     "tpch_q3_shipping_priority": q3_shipping_priority,
     "tpch_q5_region_revenue": q5_region_revenue,
     "tpch_q10_returned_items": q10_returned_items,
+    "tpch_q4_order_priority_check": q4_order_priority_check,
+    "tpch_q14_promo_revenue": q14_promo_revenue,
     "tpch_q17_small_qty_revenue": q17_small_quantity_revenue,
     "tpch_q18_large_volume_customers": q18_large_volume_customers,
+    "tpch_q22_idle_customers": q22_idle_customers,
     "join_semi_urgent_customers": semi_urgent_customers,
     "join_anti_no_urgent_customers": anti_no_urgent_customers,
     "join_left_order_linecounts": left_join_order_linecounts,
@@ -984,8 +1146,11 @@ ORACLES = {
     "tpch_q3_shipping_priority": _Q3_SQL,
     "tpch_q5_region_revenue": _Q5_SQL,
     "tpch_q10_returned_items": _Q10_SQL,
+    "tpch_q4_order_priority_check": _Q4_SQL,
+    "tpch_q14_promo_revenue": _Q14_SQL,
     "tpch_q17_small_qty_revenue": _Q17_SQL,
     "tpch_q18_large_volume_customers": _Q18_SQL,
+    "tpch_q22_idle_customers": _Q22_SQL,
     "join_semi_urgent_customers": _SEMI_SQL,
     "join_anti_no_urgent_customers": _ANTI_SQL,
     "join_left_order_linecounts": _LEFT_SQL,
