@@ -31,7 +31,10 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue",
     "tpch_q10_returned_items",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
     "join_asof_latest_order",
+    "join_skewed_hot_user",
     "join_left_order_linecounts",
     # window_top3_running / events_windowed_counts / events_hourly_daily /
     # text_doc_profile are the r2 composite entries covering the former

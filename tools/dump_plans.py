@@ -280,6 +280,31 @@ def main() -> None:
         "larger intermediate join parallelizes across all cores. On a real\n"
         "large-vocabulary corpus the same plans are posting-list-bounded\n"
         "(max_df) or banding-pruned, and candidates ≪ n².\n"
+        "\n## Scale-stability sweep — sf0.1 replicated ×4 / ×10, disjoint namespaces (32 cores)\n\n"
+        "`tools/scale_stability.py` (SPARK_DRIVER_MEM=48g at ×10): the sf0.1\n"
+        "fixtures replicated with per-replica token suffixes and offset\n"
+        "user/vector ids, so replicas share NO tokens/keys and the join/pair\n"
+        "structure grows linearly with input — the curve isolates engine\n"
+        "scaling from output growth. One warm pass, one timed pass per cell,\n"
+        "one process, plans identical to the pinned sections above:\n\n"
+        "| op | ×1 (sf0.1) | ×4 | ×10 | wall growth at 10× input |\n"
+        "|---|---|---|---|---|\n"
+        "| dedup_minhash_lsh | 6.0 s / 6.3 M pairs | 19.9 s / 25.0 M | 19.4 s / 61.6 M | 3.2× for 10× rows AND 10× pairs |\n"
+        "| dedup_clusters (CC) | 3.9 s | 11.4 s | 25.0 s | 6.4× (pointer-doubled loop, same diameter per replica) |\n"
+        "| sim_ann_ivf_pq (build+query) | 6.5 s | 6.8 s | 7.5 s | 1.2× — KMeans fit is the fixed cost |\n"
+        "| sim_ann_ivf_pq_serving (frozen index) | 1.3 s | 1.6 s | 1.5 s | ~flat: probes scan nprobe/nlist of the codes |\n"
+        "| events_funnel | 1.3 s | 1.2 s | 1.3 s | flat — per-stage filtered aggs, 1 M rows is still overhead-dominated on 32 cores |\n"
+        "| events_hll_daily_users | 0.43 s | 0.44 s | 0.39 s | flat — sketch agg is map-side partials + tiny exchange |\n\n"
+        "Every family is at-or-below linear in input rows; minhash is the\n"
+        "one whose OUTPUT also grew 10× (61.6 M verified pairs — the\n"
+        "adversarial fixture makes each replica internally near-duplicate),\n"
+        "and its wall still grew only 3.2×. The ×10 minhash run needs a\n"
+        "driver heap above the 8 GB default ONLY because local[32] holds the\n"
+        "61.6 M-pair localCheckpoint in one process; on a cluster those\n"
+        "blocks spread across executors. Nothing crosses replica boundaries:\n"
+        "candidate counts, CC edges, and per-list ANN scans all scale with\n"
+        "their replica, which is exactly the 100-TB contract (work per\n"
+        "partition bounded, no cross-input quadratic term).\n"
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
