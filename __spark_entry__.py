@@ -131,6 +131,8 @@ _TAIL_ORDER = [
     "events_funnel",
     "tpch_q10_returned_items",
     "tpch_q4_order_priority_check",
+    "tpch_q6_forecast_revenue",
+    "tpch_q15_top_supplier",
     "tpch_q14_promo_revenue",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume_customers",

@@ -293,6 +293,103 @@ ORDER BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q6 shape — forecast revenue change (pure scan → filter → agg)
+# --------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue that would vanish if small discounts were dropped
+    (TPC-H Q6): the purest pushdown benchmark — three range predicates
+    and one global sum, no join, no group.
+
+    Every predicate (date window, discount band, quantity cap) reaches
+    the parquet scan as a PushedFilter; the plan is scan → single
+    partial/final agg pair — at 100 TB this is bounded by scan
+    bandwidth alone, the floor any engine should hit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape — top supplier (derived revenue view + scalar MAX)
+# --------------------------------------------------------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarter's highest-revenue supplier(s) (TPC-H Q15): a derived
+    per-supplier revenue relation consumed twice — once for the scalar
+    MAX, once for the equality filter — the view-reuse shape.
+
+    The revenue aggregate shuffles once on l_suppkey; its global MAX is
+    a 1-row broadcast (nested-loop scalar join, the q22 decorrelation);
+    the supplier dim broadcasts into the surviving ≤|ties| rows.
+    `_dsum` makes the revenue — and therefore the MAX equality — exact
+    and order-independent, so ties resolve identically across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
 # TPC-H Q14 shape — promotion revenue share (conditional aggregate over
 # a fact⋈dim join)
 # --------------------------------------------------------------------------
@@ -1120,6 +1217,8 @@ QUERIES = {
     "tpch_q5_region_revenue": q5_region_revenue,
     "tpch_q10_returned_items": q10_returned_items,
     "tpch_q4_order_priority_check": q4_order_priority_check,
+    "tpch_q6_forecast_revenue": q6_forecast_revenue,
+    "tpch_q15_top_supplier": q15_top_supplier,
     "tpch_q14_promo_revenue": q14_promo_revenue,
     "tpch_q17_small_qty_revenue": q17_small_quantity_revenue,
     "tpch_q18_large_volume_customers": q18_large_volume_customers,
@@ -1147,6 +1246,8 @@ ORACLES = {
     "tpch_q5_region_revenue": _Q5_SQL,
     "tpch_q10_returned_items": _Q10_SQL,
     "tpch_q4_order_priority_check": _Q4_SQL,
+    "tpch_q6_forecast_revenue": _Q6_SQL,
+    "tpch_q15_top_supplier": _Q15_SQL,
     "tpch_q14_promo_revenue": _Q14_SQL,
     "tpch_q17_small_qty_revenue": _Q17_SQL,
     "tpch_q18_large_volume_customers": _Q18_SQL,
