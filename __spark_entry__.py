@@ -138,6 +138,7 @@ _TAIL_ORDER = [
     "tpch_q18_large_volume_customers",
     "tpch_q22_idle_customers",
     "join_skewed_hot_user",
+    "agg_value_percentiles",
     "text_bpe_token_count",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",

@@ -365,6 +365,41 @@ GROUP BY user_id
 """
 
 
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value percentiles (p50/p90/p99) — the BATCH twin
+    of the streaming quantile-sketch registry
+    (`streaming.jobs.quantile_sketch_registry_ingest`): this is the
+    answer the mergeable histogram partials approximate, computed here
+    with Spark's exact interpolating `percentile` (one shuffle on
+    event_type, per-group sort inside the aggregate).  At 100 TB the
+    exact form needs every group's values on one reducer — that is
+    precisely why the registry keeps pre-aggregable partials instead;
+    the two entries bound each other."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+            F.count("*").alias("events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       COUNT(*) AS events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def skewed_hot_user_join(
     spark: SparkSession, sf_dir: str, hot_mod: int = 3
 ) -> DataFrame:
@@ -609,6 +644,7 @@ QUERIES = {
     "events_per_type_stats": per_type_stats,
     "events_salted_user_totals": salted_user_totals,
     "join_skewed_hot_user": skewed_hot_user_join,
+    "agg_value_percentiles": value_percentiles,
     "events_session_window": session_window_agg,
     "events_purchase_attribution": purchase_attribution,
     "events_approx_distinct_users": approx_distinct_users,
@@ -625,6 +661,7 @@ ORACLES = {
     "events_per_type_stats": _PER_TYPE_SQL,
     "events_salted_user_totals": _SALTED_TOTALS_SQL,
     "join_skewed_hot_user": _SKEW_JOIN_SQL,
+    "agg_value_percentiles": _VALUE_PERCENTILES_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,
     "events_purchase_attribution": _ASOF_SQL,
     "events_tumbling_5min": _TUMBLING_SQL,
