@@ -139,6 +139,7 @@ _TAIL_ORDER = [
     "tpch_q22_idle_customers",
     "join_skewed_hot_user",
     "agg_value_percentiles",
+    "events_gapfill_locf",
     "text_bpe_token_count",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",

@@ -365,6 +365,106 @@ GROUP BY user_id
 """
 
 
+def hourly_gapfill_locf(
+    spark: SparkSession, sf_dir: str, min_value: float = 38.0
+) -> DataFrame:
+    """Time-series gap filling + last-observation-carried-forward (the
+    hypertable `time_bucket_gapfill` / `locf` shape): hourly high-value
+    activity per event type on a DENSE hour grid — empty hours appear
+    with events=0, a NULL raw sum, and the previous non-empty hour's
+    sum carried forward.
+
+    Spark shape: the dense grid is generated IN-ROW (`sequence` over
+    the global hour bounds + explode crossed with the distinct types) —
+    no shuffle to build it; the filtered hourly aggregate is one
+    exchange; grid ⋈ hourly is a hash join on (type, hour); LOCF is
+    `last(value, ignorenulls=True)` over a per-type ordered window.
+    The window's partition is the GRID (bounded by time-range/bucket,
+    not by event volume), so a hot type costs |hours| rows, not its
+    event count; at multi-year × minute granularity you'd shard the
+    range and seed each shard's first LOCF value from the previous
+    shard's last — same plan, windowed per shard."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("value") > min_value)
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+        )
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )
+    bounds = ev.agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    ).select(
+        F.date_trunc("hour", F.col("t0")).alias("h0"),
+        F.date_trunc("hour", F.col("t1")).alias("h1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour_start"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            "hour_start",
+            F.coalesce("events", F.lit(0)).alias("events"),
+            "value_sum",
+            F.last("value_sum", ignorenulls=True).over(w).alias("value_sum_locf"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
+
+
+_GAPFILL_SQL = """
+WITH bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+    FROM events
+),
+grid AS (
+    SELECT t.event_type, g.h AS hour_start
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+    ) g
+),
+hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour_start,
+           COUNT(*) AS events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    WHERE value > 38.0
+    GROUP BY 1, 2
+)
+SELECT g.event_type, g.hour_start,
+       COALESCE(h.events, 0) AS events,
+       h.value_sum,
+       last_value(h.value_sum IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.hour_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_sum_locf
+FROM grid g
+LEFT JOIN hourly h USING (event_type, hour_start)
+ORDER BY event_type, hour_start
+"""
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-type value percentiles (p50/p90/p99) — the BATCH twin
     of the streaming quantile-sketch registry
@@ -645,6 +745,7 @@ QUERIES = {
     "events_salted_user_totals": salted_user_totals,
     "join_skewed_hot_user": skewed_hot_user_join,
     "agg_value_percentiles": value_percentiles,
+    "events_gapfill_locf": hourly_gapfill_locf,
     "events_session_window": session_window_agg,
     "events_purchase_attribution": purchase_attribution,
     "events_approx_distinct_users": approx_distinct_users,
@@ -662,6 +763,7 @@ ORACLES = {
     "events_salted_user_totals": _SALTED_TOTALS_SQL,
     "join_skewed_hot_user": _SKEW_JOIN_SQL,
     "agg_value_percentiles": _VALUE_PERCENTILES_SQL,
+    "events_gapfill_locf": _GAPFILL_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,
     "events_purchase_attribution": _ASOF_SQL,
     "events_tumbling_5min": _TUMBLING_SQL,
