@@ -140,6 +140,7 @@ _TAIL_ORDER = [
     "join_skewed_hot_user",
     "agg_value_percentiles",
     "events_gapfill_locf",
+    "window_analytics_pack",
     "text_bpe_token_count",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",

@@ -793,6 +793,53 @@ SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
 # --------------------------------------------------------------------------
 
 
+def window_analytics_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window function surface in one relation: per
+    priority class, each order's neighbors (lag/lead), its rank
+    position as a fraction (percent_rank / cume_dist), and its price
+    quartile (ntile) — the functions a dashboard or feature pipeline
+    leans on beyond plain row_number.
+
+    Every window partitions by o_orderpriority and orders by
+    (o_totalprice DESC, o_orderkey) — a total order, so ntile bucket
+    boundaries and lag/lead neighbors are deterministic and
+    engine-independent.  One shuffle on the partition key serves all
+    five functions (Spark evaluates them in a single Window node)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_orderpriority", F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+_WINDOW_PACK_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_orderpriority
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+)
+ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+"""
+
+
 def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number over (PARTITION BY custkey ORDER BY totalprice DESC) —
     partitioned window, scales by hash-distributing customers."""
@@ -1231,6 +1278,7 @@ QUERIES = {
     "setop_except_customers_without_open_orders": except_customers_without_open_orders,
     "window_top3_orders_per_customer": top3_orders_per_customer,
     "window_running_customer_revenue": running_customer_revenue,
+    "window_analytics_pack": window_analytics_pack,
     "agg_rollup_status_priority": rollup_status_priority,
     "agg_cube_status_priority": cube_status_priority,
     "agg_pivot_priority_by_status": pivot_priority_by_status,
@@ -1260,6 +1308,7 @@ ORACLES = {
     "setop_except_customers_without_open_orders": _EXCEPT_SQL,
     "window_top3_orders_per_customer": _TOP3_SQL,
     "window_running_customer_revenue": _RUNNING_SQL,
+    "window_analytics_pack": _WINDOW_PACK_SQL,
     "agg_rollup_status_priority": _ROLLUP_SQL,
     "agg_cube_status_priority": _CUBE_SQL,
     "agg_pivot_priority_by_status": _PIVOT_SQL,
