@@ -141,6 +141,7 @@ _TAIL_ORDER = [
     "agg_value_percentiles",
     "events_gapfill_locf",
     "window_analytics_pack",
+    "agg_grouping_sets",
     "text_bpe_token_count",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",

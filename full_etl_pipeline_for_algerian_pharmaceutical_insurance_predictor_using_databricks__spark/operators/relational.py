@@ -788,6 +788,44 @@ EXCEPT
 SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
 """
 
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar
+    for: per-status totals, per-priority totals, and the grand total in
+    ONE pass, WITHOUT the cross-combinations CUBE would add.  The
+    grouping_id column disambiguates a real NULL key from a
+    set-collapsed one (the standard contract).
+
+    Spark plans this as a single Expand + hash aggregate — each input
+    row fans out once per grouping set, partial aggregation still
+    applies, one exchange total; at 100 TB this beats three separate
+    scans+aggregations unioned."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # Window functions
 # --------------------------------------------------------------------------
@@ -1279,6 +1317,7 @@ QUERIES = {
     "window_top3_orders_per_customer": top3_orders_per_customer,
     "window_running_customer_revenue": running_customer_revenue,
     "window_analytics_pack": window_analytics_pack,
+    "agg_grouping_sets": grouping_sets_status_priority,
     "agg_rollup_status_priority": rollup_status_priority,
     "agg_cube_status_priority": cube_status_priority,
     "agg_pivot_priority_by_status": pivot_priority_by_status,
@@ -1309,6 +1348,7 @@ ORACLES = {
     "window_top3_orders_per_customer": _TOP3_SQL,
     "window_running_customer_revenue": _RUNNING_SQL,
     "window_analytics_pack": _WINDOW_PACK_SQL,
+    "agg_grouping_sets": _GROUPING_SETS_SQL,
     "agg_rollup_status_priority": _ROLLUP_SQL,
     "agg_cube_status_priority": _CUBE_SQL,
     "agg_pivot_priority_by_status": _PIVOT_SQL,
