@@ -142,6 +142,7 @@ _TAIL_ORDER = [
     "events_gapfill_locf",
     "window_analytics_pack",
     "agg_grouping_sets",
+    "agg_unpivot_status_metrics",
     "text_bpe_token_count",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",

@@ -788,6 +788,53 @@ EXCEPT
 SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
 """
 
+def unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of the PIVOT entry: a wide
+    per-status metrics row (count / exact total / exact avg) melted to
+    tidy (status, metric, value) triples, the shape feature stores and
+    plotting layers want.
+
+    Spark's `unpivot` plans as a single Expand over the aggregated
+    rows — no shuffle beyond the one aggregation exchange; the
+    metric-name column is a literal, so downstream filters on it
+    constant-fold."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+        _davg(F.col("o_totalprice")).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "total_price", "avg_price"],
+        "metric",
+        "value",
+    ).orderBy("o_orderstatus", "metric")
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS DOUBLE) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, value
+FROM (
+    SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'total_price', total_price FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+)
+ORDER BY o_orderstatus, metric
+"""
+
+
 def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar
     for: per-status totals, per-priority totals, and the grand total in
@@ -1318,6 +1365,7 @@ QUERIES = {
     "window_running_customer_revenue": running_customer_revenue,
     "window_analytics_pack": window_analytics_pack,
     "agg_grouping_sets": grouping_sets_status_priority,
+    "agg_unpivot_status_metrics": unpivot_status_metrics,
     "agg_rollup_status_priority": rollup_status_priority,
     "agg_cube_status_priority": cube_status_priority,
     "agg_pivot_priority_by_status": pivot_priority_by_status,
@@ -1349,6 +1397,7 @@ ORACLES = {
     "window_running_customer_revenue": _RUNNING_SQL,
     "window_analytics_pack": _WINDOW_PACK_SQL,
     "agg_grouping_sets": _GROUPING_SETS_SQL,
+    "agg_unpivot_status_metrics": _UNPIVOT_SQL,
     "agg_rollup_status_priority": _ROLLUP_SQL,
     "agg_cube_status_priority": _CUBE_SQL,
     "agg_pivot_priority_by_status": _PIVOT_SQL,
