@@ -174,3 +174,17 @@ def test_skew_join_splits_hot_partition(spark, sf_correct):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_grouping_sets_and_unpivot_single_expand_pass(spark, sf_correct):
+    """GROUPING SETS and UNPIVOT must plan as ONE Expand each (single
+    pass over the input), not unioned rescans."""
+    gs = relational.grouping_sets_status_priority(spark, sf_correct)
+    plan = executed_plan(gs)
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1  # one orders scan, not three
+
+    up = relational.unpivot_status_metrics(spark, sf_correct)
+    plan2 = executed_plan(up)
+    assert "Expand" in plan2
+    assert plan2.count("Scan parquet") == 1
