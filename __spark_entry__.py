@@ -143,6 +143,7 @@ _TAIL_ORDER = [
     "window_analytics_pack",
     "agg_grouping_sets",
     "agg_unpivot_status_metrics",
+    "events_retention_cohorts",
     "text_bpe_token_count",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",

@@ -365,6 +365,53 @@ GROUP BY user_id
 """
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the classic product-analytics shape:
+    users grouped by first-seen day (the cohort), counted on each
+    subsequent day they return (`age` = days since cohort entry).
+
+    Spark shape: one distinct over (user, day) — the activity set —
+    one per-user MIN for the cohort day, a user_id equi-join (both
+    sides already partitioned on user_id, so AQE reuses the exchange),
+    and a final (cohort, age) aggregate.  Nothing is ever globally
+    sorted; the matrix is |days|² / 2 rows regardless of event volume,
+    so the output — and the last exchange — stays tiny at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    user_day = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    first = user_day.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_day.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("age_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "age_days")
+    )
+
+
+_RETENTION_SQL = """
+WITH user_day AS (
+    -- CAST: DuckDB's date_trunc('day') yields DATE; Spark yields
+    -- TIMESTAMP — normalize so the value comparison sees one type
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events
+),
+first_seen AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM user_day GROUP BY user_id
+)
+SELECT f.cohort_day,
+       date_diff('day', f.cohort_day, u.day) AS age_days,
+       COUNT(DISTINCT u.user_id) AS active_users
+FROM user_day u
+JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_day, age_days
+"""
+
+
 def hourly_gapfill_locf(
     spark: SparkSession, sf_dir: str, min_value: float = 38.0
 ) -> DataFrame:
@@ -746,6 +793,7 @@ QUERIES = {
     "join_skewed_hot_user": skewed_hot_user_join,
     "agg_value_percentiles": value_percentiles,
     "events_gapfill_locf": hourly_gapfill_locf,
+    "events_retention_cohorts": retention_cohorts,
     "events_session_window": session_window_agg,
     "events_purchase_attribution": purchase_attribution,
     "events_approx_distinct_users": approx_distinct_users,
@@ -764,6 +812,7 @@ ORACLES = {
     "join_skewed_hot_user": _SKEW_JOIN_SQL,
     "agg_value_percentiles": _VALUE_PERCENTILES_SQL,
     "events_gapfill_locf": _GAPFILL_SQL,
+    "events_retention_cohorts": _RETENTION_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,
     "events_purchase_attribution": _ASOF_SQL,
     "events_tumbling_5min": _TUMBLING_SQL,
