@@ -365,6 +365,94 @@ GROUP BY user_id
 """
 
 
+def hourly_anomalies(
+    spark: SparkSession, sf_dir: str, window_hours: int = 24, z_thresh: float = 2.5
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection: each (type, hour)'s
+    event count scored against the mean/stddev of the PRECEDING
+    `window_hours` hours (the frame excludes the current row, so a
+    spike cannot mask itself), flagged when |z| > `z_thresh`.
+
+    Determinism across engines: mean and variance are derived from the
+    window's integer count/sum/sum-of-squares — exact in int64 — with
+    one double expression at the end, so both engines evaluate the
+    identical arithmetic on identical integers (no stddev_samp
+    accumulation-order drift).  Hours with an incomplete trailing
+    window are dropped rather than scored against thin statistics.
+
+    Spark shape: one hourly aggregate (map-side partials), then a
+    per-type ordered window — partition size = |hours|, independent of
+    event volume, the same bounded-grid property as the gapfill op."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count("*").alias("events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-window_hours, -1)
+    )
+    n = F.count("events").over(w)
+    s = F.sum("events").over(w)
+    sq = F.sum(F.col("events") * F.col("events")).over(w)
+    # ANSI guards: incomplete and zero-variance windows are excluded
+    # from scoring (a constant history gives no scale for a z-score),
+    # and the when() wrappers keep ANSI division from firing on rows
+    # the filters below discard — expressions evaluate before filters
+    full = n == window_hours
+    mean = F.when(full, s / n)
+    var = F.when(full, (sq - s * s / n) / (n - 1))
+    z = F.when(var > 0, (F.col("events") - mean) / F.sqrt(var))
+    return (
+        hourly.withColumn("n_window", n)
+        .withColumn("trailing_mean", mean)
+        .withColumn("t_var", var)
+        .withColumn("z_score", z)
+        .filter((F.col("n_window") == window_hours) & (F.col("t_var") > 0))
+        .select(
+            "event_type",
+            "hour_start",
+            "events",
+            "trailing_mean",
+            "z_score",
+            (F.abs(F.col("z_score")) > z_thresh).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
+
+
+_ANOMALY_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour_start,
+           COUNT(*) AS events
+    FROM events
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT event_type, hour_start, events,
+           COUNT(events) OVER w AS n_window,
+           SUM(events) OVER w AS s,
+           SUM(events * events) OVER w AS sq
+    FROM hourly
+    WINDOW w AS (
+        PARTITION BY event_type ORDER BY hour_start
+        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+    )
+)
+SELECT event_type, hour_start, events,
+       s / n_window AS trailing_mean,
+       (events - s / n_window)
+           / sqrt((sq - s * s / n_window) / (n_window - 1)) AS z_score,
+       abs((events - s / n_window)
+           / sqrt((sq - s * s / n_window) / (n_window - 1))) > 2.5
+           AS is_anomaly
+FROM scored
+WHERE n_window = 24
+  AND (sq - s * s / n_window) / (n_window - 1) > 0
+ORDER BY event_type, hour_start
+"""
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix — the classic product-analytics shape:
     users grouped by first-seen day (the cohort), counted on each
@@ -794,6 +882,7 @@ QUERIES = {
     "agg_value_percentiles": value_percentiles,
     "events_gapfill_locf": hourly_gapfill_locf,
     "events_retention_cohorts": retention_cohorts,
+    "events_hourly_anomalies": hourly_anomalies,
     "events_session_window": session_window_agg,
     "events_purchase_attribution": purchase_attribution,
     "events_approx_distinct_users": approx_distinct_users,
@@ -813,6 +902,7 @@ ORACLES = {
     "agg_value_percentiles": _VALUE_PERCENTILES_SQL,
     "events_gapfill_locf": _GAPFILL_SQL,
     "events_retention_cohorts": _RETENTION_SQL,
+    "events_hourly_anomalies": _ANOMALY_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,
     "events_purchase_attribution": _ASOF_SQL,
     "events_tumbling_5min": _TUMBLING_SQL,
