@@ -387,6 +387,16 @@ def hourly_anomalies(
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
     ).agg(F.count("*").alias("events"))
+    return score_hourly_counts(hourly, window_hours, z_thresh)
+
+
+def score_hourly_counts(
+    hourly: DataFrame, window_hours: int = 24, z_thresh: float = 2.5
+) -> DataFrame:
+    """The z-score scoring stage of `hourly_anomalies`, factored out so
+    the streaming continuous-aggregate registry can score ON READ over
+    its merged partials (`streaming.jobs.hourly_rollup_anomaly_read`)
+    with the exact same plan.  Input: (event_type, hour_start, events)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_start")

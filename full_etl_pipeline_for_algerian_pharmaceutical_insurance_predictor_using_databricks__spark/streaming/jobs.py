@@ -1307,6 +1307,32 @@ def hourly_rollup_read(spark: SparkSession, registry_dir: str) -> DataFrame:
     )
 
 
+def hourly_rollup_anomaly_read(
+    spark: SparkSession,
+    registry_dir: str,
+    window_hours: int = 24,
+    z_thresh: float = 2.5,
+) -> DataFrame:
+    """Anomaly detection ON READ over the continuous-aggregate
+    registry: merge the count partials (lossless — sums of sums), then
+    run the IDENTICAL trailing z-score window as the batch operator
+    (`operators.events.score_hourly_counts` — literally the same
+    code).  Because count partials merge exactly, the registry's
+    answer equals the batch answer over the same events, whatever
+    batch boundaries the stream arrived in — parity-tested in
+    tests/test_streaming.py.  Scoring cost is |hours × types| rows,
+    independent of event volume, which is what makes a
+    monitor-every-trigger loop affordable at 100 TB/day."""
+    from ..operators.events import score_hourly_counts
+
+    merged = (
+        spark.read.parquet(registry_dir)
+        .groupBy("hour_start", "event_type")
+        .agg(F.sum("events").alias("events"))
+    )
+    return score_hourly_counts(merged, window_hours, z_thresh)
+
+
 def hourly_rollup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the registry rollup over the full events table."""
     ev = load_table(spark, sf_dir, "events")

@@ -865,3 +865,24 @@ def test_quantile_sketch_registry_union_law_and_error_bound(spark, sf_dir, tmp_p
         for r in jobs.quantile_sketch_read(spark, reg2, QS).collect()
     }
     assert got_compact == got2
+
+
+def test_hourly_rollup_anomaly_read_matches_batch(spark, sf_dir, tmp_path):
+    """Anomaly scoring on read over the continuous-aggregate registry
+    must equal the batch z-score operator exactly: count partials
+    merge losslessly, and both paths run the same scoring stage."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        events as ev_ops,
+    )
+
+    reg = str(tmp_path / "rollup_anom")
+    jobs.hourly_rollup_registry_ingest(jobs.events_stream(spark, sf_dir), reg)
+    got = {
+        (r.event_type, r.hour_start): (r.events, r.z_score, r.is_anomaly)
+        for r in jobs.hourly_rollup_anomaly_read(spark, reg).collect()
+    }
+    want = {
+        (r.event_type, r.hour_start): (r.events, r.z_score, r.is_anomaly)
+        for r in ev_ops.hourly_anomalies(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
