@@ -28,6 +28,7 @@ from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_dat
     dedup,
     encoding,
     events,
+    graph,
     multimodal,
     relational,
     retrieval,
@@ -162,6 +163,7 @@ _TAIL_ORDER = [
     "sim_ann_ivf_pq",
     "sim_ann_ivf_pq_serving",
     "sim_quantize_int8",
+    "graph_doc_pagerank",
     "sample_bernoulli",
     "sample_stratified_by_lang",
 ]
@@ -217,6 +219,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         curation,
         retrieval,
         composites,
+        graph,
     ):
         pool.update(mod.QUERIES)
     pool["ml_feature_encoding"] = encoding.ml_feature_encoding
@@ -260,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         curation,
         retrieval,
         composites,
+        graph,
     ):
         pool.update(mod.ORACLES)
     pool["ml_feature_encoding"] = MEDICATIONS_CTE + encoding.ML_FEATURE_ENCODING_SQL
