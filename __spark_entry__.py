@@ -146,6 +146,7 @@ _TAIL_ORDER = [
     "agg_unpivot_status_metrics",
     "events_retention_cohorts",
     "events_hourly_anomalies",
+    "join_fuzzy_part_names",
     "text_bpe_token_count",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",

@@ -788,6 +788,62 @@ EXCEPT
 SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
 """
 
+def fuzzy_name_join(
+    spark: SparkSession, sf_dir: str, n_probes: int = 20, max_distance: int = 2
+) -> DataFrame:
+    """Approximate string join (entity resolution): deterministic typo
+    probes (each of the first `n_probes` part names with its third
+    character dropped) matched back to the catalog by edit distance —
+    the fuzzy-key lookup every dedup/linkage pipeline needs, with
+    edit-distance semantics complementing the token-set (Jaccard/
+    MinHash) family.
+
+    Scale shape: BLOCKING does the work — candidates must share the
+    first character (the equi-key, so this is a broadcast HASH join,
+    not a nested loop) and differ in length by ≤ 1 (residual band),
+    and only candidates pay the O(len²) levenshtein, JVM-side.  At
+    100 TB the same plan uses q-gram prefix blocking (multiple equi
+    keys per string) — more keys, same join geometry.  Deletion typos
+    move edit distance by exactly 1, so blocking on (first char,
+    ±1 length) provably loses no true match for this probe family."""
+    part = load_table(spark, sf_dir, "part")
+    probes = F.broadcast(
+        part.filter(F.col("p_partkey") < n_probes).select(
+            F.col("p_partkey").alias("probe_id"),
+            F.concat(
+                F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
+            ).alias("typo"),
+        ).withColumn("blk", F.substring("typo", 1, 1))
+    )
+    cands = part.withColumn("blk", F.substring("p_name", 1, 1)).join(
+        probes, "blk"
+    ).filter(F.abs(F.length("typo") - F.length("p_name")) <= 1)
+    return (
+        cands.withColumn("distance", F.levenshtein("typo", "p_name"))
+        .filter(F.col("distance") <= max_distance)
+        .select("probe_id", "typo", "p_partkey", "p_name", "distance")
+        .orderBy("probe_id", "p_partkey")
+    )
+
+
+_FUZZY_JOIN_SQL = """
+WITH probes AS (
+    SELECT p_partkey AS probe_id,
+           substr(p_name, 1, 2) || substr(p_name, 4) AS typo
+    FROM part
+    WHERE p_partkey < 20
+)
+SELECT pr.probe_id, pr.typo, pt.p_partkey, pt.p_name,
+       CAST(levenshtein(pr.typo, pt.p_name) AS INT) AS distance
+FROM probes pr
+JOIN part pt
+  ON substr(pr.typo, 1, 1) = substr(pt.p_name, 1, 1)
+ AND abs(length(pr.typo) - length(pt.p_name)) <= 1
+WHERE levenshtein(pr.typo, pt.p_name) <= 2
+ORDER BY probe_id, p_partkey
+"""
+
+
 def unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt) — the inverse of the PIVOT entry: a wide
     per-status metrics row (count / exact total / exact avg) melted to
@@ -1366,6 +1422,7 @@ QUERIES = {
     "window_analytics_pack": window_analytics_pack,
     "agg_grouping_sets": grouping_sets_status_priority,
     "agg_unpivot_status_metrics": unpivot_status_metrics,
+    "join_fuzzy_part_names": fuzzy_name_join,
     "agg_rollup_status_priority": rollup_status_priority,
     "agg_cube_status_priority": cube_status_priority,
     "agg_pivot_priority_by_status": pivot_priority_by_status,
@@ -1398,6 +1455,7 @@ ORACLES = {
     "window_analytics_pack": _WINDOW_PACK_SQL,
     "agg_grouping_sets": _GROUPING_SETS_SQL,
     "agg_unpivot_status_metrics": _UNPIVOT_SQL,
+    "join_fuzzy_part_names": _FUZZY_JOIN_SQL,
     "agg_rollup_status_priority": _ROLLUP_SQL,
     "agg_cube_status_priority": _CUBE_SQL,
     "agg_pivot_priority_by_status": _PIVOT_SQL,
