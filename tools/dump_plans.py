@@ -134,6 +134,25 @@ def main() -> None:
          "(query, vec) aggregate, and the O(Q·k) exact re-rank. The "
          "codes table is partitioned by list_id on disk, so a probe's "
          "scan prunes to its lists' files."),
+        ("events_gapfill_locf", events.hourly_gapfill_locf,
+         "Gap filling without a calendar table: the dense hour grid is "
+         "generated IN-ROW (sequence + explode over the broadcast global "
+         "bounds) — no shuffle to build it; grid ⋈ hourly aggregate is one "
+         "hash join; LOCF is an ignore-nulls last() over a per-type window "
+         "whose partition size is the hour count, independent of event "
+         "volume."),
+        ("events_retention_cohorts", events.retention_cohorts,
+         "Cohort retention: the (user, day) distinct and the per-user MIN "
+         "shuffle on the same key (AQE reuses the exchange), the cohort "
+         "join is co-partitioned, and the final (cohort, age) aggregate "
+         "is day-range-bounded — output and last exchange stay tiny at "
+         "any event volume."),
+        ("join_fuzzy_part_names", relational.fuzzy_name_join,
+         "Blocked edit-distance join: the first-character block key makes "
+         "this a broadcast HASH join (no nested loop in the plan), the "
+         "length band is a residual filter, and levenshtein runs only on "
+         "blocked candidates. At 100 TB the block key becomes q-gram "
+         "prefixes — more keys, same geometry."),
         ("agg_rollup_cube (composite)", composites.agg_rollup_cube,
          "Composite driver entry: the ROLLUP and CUBE subtrees survive side by "
          "side under one union — each keeps its own Expand + hash-aggregate "
