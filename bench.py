@@ -47,6 +47,10 @@ HEADLINE = [
     "events_sessionization",
     "events_hourly_daily",
     "events_hll_daily_users",
+    "events_gapfill_locf",
+    "events_retention_cohorts",
+    "events_hourly_anomalies",
+    "window_analytics_pack",
     "text_doc_profile",
     "text_train_prep",
     # r3 curation/retrieval surface
