@@ -463,6 +463,47 @@ ORDER BY event_type, hour_start
 """
 
 
+def gapfill_locf_counts(hourly: DataFrame) -> DataFrame:
+    """Generic gap-fill + LOCF stage over an hourly rollup relation
+    (`event_type, hour_start, events, value_sum`): dense grid from the
+    relation's own hour bounds × its types, zero-filled counts, NULL
+    raw sums, LOCF'd value_sum — factored out so the streaming
+    continuous-aggregate registry can gap-fill ON READ
+    (`streaming.jobs.hourly_rollup_gapfill_read`) with the identical
+    plan as a batch rollup.  Same bounded-grid scaling story as
+    `hourly_gapfill_locf`."""
+    bounds = hourly.agg(
+        F.min("hour_start").alias("h0"), F.max("hour_start").alias("h1")
+    )
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour_start"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            "hour_start",
+            F.coalesce("events", F.lit(0)).alias("events"),
+            "value_sum",
+            F.last("value_sum", ignorenulls=True).over(w).alias("value_sum_locf"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix — the classic product-analytics shape:
     users grouped by first-seen day (the cohort), counted on each

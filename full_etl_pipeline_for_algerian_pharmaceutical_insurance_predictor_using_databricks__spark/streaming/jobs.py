@@ -1333,6 +1333,29 @@ def hourly_rollup_anomaly_read(
     return score_hourly_counts(merged, window_hours, z_thresh)
 
 
+def hourly_rollup_gapfill_read(
+    spark: SparkSession, registry_dir: str
+) -> DataFrame:
+    """Gap-filled continuous aggregate ON READ: merge the registry's
+    count/sum partials (lossless), then the generic dense-grid + LOCF
+    stage (`operators.events.gapfill_locf_counts` — the same code a
+    batch rollup would use), so silent hours surface as zeros with the
+    last active hour's sum carried forward.  Registry and batch
+    answers are exactly equal over the same events, whatever batch
+    boundaries the stream arrived in — parity-tested."""
+    from ..operators.events import gapfill_locf_counts
+
+    merged = (
+        spark.read.parquet(registry_dir)
+        .groupBy("hour_start", "event_type")
+        .agg(
+            F.sum("events").alias("events"),
+            F.sum("value_sum").alias("value_sum"),
+        )
+    )
+    return gapfill_locf_counts(merged)
+
+
 def hourly_rollup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the registry rollup over the full events table."""
     ev = load_table(spark, sf_dir, "events")

