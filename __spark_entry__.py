@@ -138,6 +138,13 @@ _TAIL_ORDER = [
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume_customers",
     "tpch_q22_idle_customers",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q12_late_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q19_banded_revenue",
+    "tpch_q21_waiting_suppliers",
     "join_skewed_hot_user",
     "agg_value_percentiles",
     "events_gapfill_locf",

@@ -1397,6 +1397,542 @@ FROM chg
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape — volume shipping between two nations (double-dim
+# join with a symmetric nation-pair predicate)
+# --------------------------------------------------------------------------
+
+
+def q7_volume_shipping(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = "NATION_19",
+    nation_b: str = "NATION_20",
+) -> DataFrame:
+    """Bilateral trade volume: revenue shipped from suppliers of one
+    nation to customers of the other, both directions, per year
+    (TPC-H Q7 on the fixture's columns).
+
+    The symmetric OR predicate `(n1=a AND n2=b) OR (n1=b AND n2=a)` is
+    pre-split: each nation dim is filtered to the 2-row {a,b} subset
+    BEFORE its broadcast join (so supplier and customer shrink to the
+    two nations' rows at the scan), and the residual after the join is
+    just `supp_nation != cust_nation` — equivalent for a 2-name set,
+    and the selectivity lands in the joins instead of a post-join
+    filter.  lineitem is filtered to the 2-year window first; the only
+    exchanges are the orders/customer fact joins."""
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(nation_a, nation_b)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dsum(volume, 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           YEAR(l_shipdate) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_20')
+        OR (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_19'))
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape — national market share (two independent nation
+# lookups + ratio of conditional to total aggregate)
+# --------------------------------------------------------------------------
+
+
+def q8_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    target_nation: str = "NATION_5",
+    region: str = "ASIA",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """The target nation's share of PROMO-part revenue sold into one
+    region, per order year (TPC-H Q8; p_type stands in for the
+    three-word type).
+
+    Every dimension prunes before the fact joins: part filters to one
+    type and broadcasts into lineitem, customer pre-joins its
+    region-filtered nation subset, and the supplier nation name rides
+    a broadcast so the numerator CASE is map-side.  The share is a
+    ratio of two exact scaled sums computed in ONE aggregate pass
+    (conditional numerator via CASE, like the reference's q07
+    affordability split), so numerator and denominator never scan
+    twice.  One double division at the end keeps oracle parity."""
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    nat = load_table(spark, sf_dir, "nation")
+    cust_nat = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == part_type)
+        .select("p_partkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target_vol = F.when(F.col("supp_nation") == target_nation, volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _dsum(target_vol, 4).alias("target_volume"),
+            _dsum(volume, 4).alias("total_volume"),
+        )
+        .withColumn(
+            "mkt_share", F.col("target_volume") / F.col("total_volume")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+WITH all_nations AS (
+    SELECT YEAR(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS supp_nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                          ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+           AS target_volume,
+       CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS total_volume,
+       CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                          ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+         / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+FROM all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 shape — product-line profit by nation and year (multi-way
+# join + arithmetic over two tables' measures)
+# --------------------------------------------------------------------------
+
+
+def q9_product_profit(
+    spark: SparkSession, sf_dir: str, name_token: str = "gear"
+) -> DataFrame:
+    """Profit on one product line per supplier nation and order year
+    (TPC-H Q9 adapted: the fixture has no partsupp, so unit cost is
+    the part's `p_retailprice` instead of `ps_supplycost` — the join
+    graph and the two-table profit expression are unchanged).
+
+    part filters on the name token and broadcasts WITH its retailprice
+    so the profit expression `ext·(1-disc) − retail·qty` evaluates
+    map-side in the lineitem scan; nation rides the supplier broadcast.
+    The only exchanges are the orders join (for the year) and the
+    final 2-key aggregate.  Profit is a 4-decimal-exact `_dsum`
+    (retailprice has 2 decimals × integral qty ⊂ 4-decimal grid)."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(name_token))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_dsum(profit, 4).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+_Q9_SQL = """
+SELECT nation, o_year,
+       CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM (
+    SELECT n_name AS nation,
+           YEAR(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity
+               AS amount
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape — late-shipment priority counts (join + dual
+# conditional aggregate)
+# --------------------------------------------------------------------------
+
+
+def q12_late_shipment_priority(
+    spark: SparkSession, sf_dir: str, grace_days: int = 90
+) -> DataFrame:
+    """Per line status, how many late-shipped lineitems (shipped more
+    than `grace_days` after the order date) belonged to critical- vs
+    normal-priority orders (TPC-H Q12 adapted: the fixture has no
+    l_shipmode/commitdate/receiptdate, so l_linestatus buckets the
+    rows and order-date-to-ship-date latency defines 'late').
+
+    The latency predicate is a pure column comparison — it evaluates
+    inside the join's whole-stage-codegen span, no UDF.  Both priority
+    counters come from ONE aggregate pass with CASE (the Q12 signature
+    shape); the join shuffles on orderkey only after lineitem is
+    pre-filtered to the date window."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {grace_days} DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape — customer order-count distribution (outer join with
+# a join-condition filter + two stacked aggregations)
+# --------------------------------------------------------------------------
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by how many non-urgent orders they
+    placed, zero-order customers included (TPC-H Q13; the priority
+    exclusion stands in for the comment-pattern exclusion the fixture
+    lacks).
+
+    The exclusion lives in the JOIN CONDITION, not a WHERE — that is
+    the Q13 trap: filtering after a left join would drop the zero-order
+    customers that the distribution's biggest bucket counts.  Counting
+    `o_orderkey` (not `*`) makes the preserved null rows count 0.
+    Two stacked aggregates: the first shuffles on custkey, the second
+    on the (tiny) count domain."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+                    AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape — disjunctive multi-band predicate join (OR-of-ANDs
+# pushdown)
+# --------------------------------------------------------------------------
+
+
+def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three disjoint (brand, size-band, quantity-band)
+    channels in one pass (TPC-H Q19 on the fixture's part columns —
+    p_size/l_quantity bands replace the container/shipmode lists).
+
+    The three conjunctive bands are OR-ed into a single residual on
+    the part⋈lineitem join.  What matters at scale: the disjunction's
+    COMMON factors (`p_size >= 1`, the brand IN-set, `l_quantity <=
+    30`) are derivable by Catalyst and push into both parquet scans as
+    `PushedFilters`, so the join sees only plausible rows; the full
+    OR evaluates codegen-side.  Part is broadcast; lineitem never
+    shuffles.  One-row exact-sum output."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(_dsum(revenue, 4).alias("revenue"))
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape — suppliers who kept orders waiting (semi + anti
+# self-correlation, rewritten as one aggregation)
+# --------------------------------------------------------------------------
+
+
+def q21_waiting_suppliers(
+    spark: SparkSession, sf_dir: str, grace_days: int = 60, top_n: int = 20
+) -> DataFrame:
+    """Suppliers who were the SOLE late shipper on multi-supplier
+    finalized orders (TPC-H Q21 adapted: 'late' is ship-date more than
+    `grace_days` past the order date, standing in for the fixture-less
+    receipt/commit pair; the EXISTS/NOT-EXISTS self-correlation is
+    intact).
+
+    Scale rewrite: the classic plan self-joins lineitem twice (semi
+    for 'another supplier exists', anti for 'no other late supplier').
+    Both correlations only need per-order supplier counts, so ONE
+    groupBy(orderkey) computes `n_supp = countDistinct(suppkey)` and
+    `n_late = countDistinct(late suppkey)`, and the qualifying rule
+    becomes `late(s) AND n_supp > 1 AND n_late = 1` — three scans and
+    two shuffle-joins collapse into one aggregate plus one broadcast-
+    back join (the qualifying-order set is tiny).  The DuckDB oracle
+    keeps the EXISTS form; values match because the rewrite is exact,
+    not approximate."""
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = (
+        li.join(
+            orders_f.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {grace_days} DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+    )
+    qualifying = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    ).select(F.col("l_orderkey").alias("q_orderkey"))
+    waiting = (
+        lo.filter(F.col("late"))
+        .join(
+            F.broadcast(qualifying),
+            F.col("l_orderkey") == F.col("q_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(top_n)
+    )
+
+
+_Q21_SQL = """
+WITH lo AS (
+    SELECT l_orderkey, l_suppkey,
+           l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM (
+    SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+    FROM lo l1
+    WHERE l1.late
+      AND EXISTS (
+          SELECT 1 FROM lo l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lo l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.late
+      )
+) w
+JOIN supplier ON s_suppkey = w.l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "join_asof_latest_order": asof_latest_order,
     "tpch_q1_pricing_summary": q1_pricing_summary,
@@ -1411,6 +1947,13 @@ QUERIES = {
     "tpch_q17_small_qty_revenue": q17_small_quantity_revenue,
     "tpch_q18_large_volume_customers": q18_large_volume_customers,
     "tpch_q22_idle_customers": q22_idle_customers,
+    "tpch_q7_volume_shipping": q7_volume_shipping,
+    "tpch_q8_market_share": q8_market_share,
+    "tpch_q9_product_profit": q9_product_profit,
+    "tpch_q12_late_priority": q12_late_shipment_priority,
+    "tpch_q13_customer_distribution": q13_customer_distribution,
+    "tpch_q19_banded_revenue": q19_banded_revenue,
+    "tpch_q21_waiting_suppliers": q21_waiting_suppliers,
     "join_semi_urgent_customers": semi_urgent_customers,
     "join_anti_no_urgent_customers": anti_no_urgent_customers,
     "join_left_order_linecounts": left_join_order_linecounts,
@@ -1444,6 +1987,13 @@ ORACLES = {
     "tpch_q17_small_qty_revenue": _Q17_SQL,
     "tpch_q18_large_volume_customers": _Q18_SQL,
     "tpch_q22_idle_customers": _Q22_SQL,
+    "tpch_q7_volume_shipping": _Q7_SQL,
+    "tpch_q8_market_share": _Q8_SQL,
+    "tpch_q9_product_profit": _Q9_SQL,
+    "tpch_q12_late_priority": _Q12_SQL,
+    "tpch_q13_customer_distribution": _Q13_SQL,
+    "tpch_q19_banded_revenue": _Q19_SQL,
+    "tpch_q21_waiting_suppliers": _Q21_SQL,
     "join_semi_urgent_customers": _SEMI_SQL,
     "join_anti_no_urgent_customers": _ANTI_SQL,
     "join_left_order_linecounts": _LEFT_SQL,
