@@ -145,6 +145,10 @@ _TAIL_ORDER = [
     "tpch_q13_customer_distribution",
     "tpch_q19_banded_revenue",
     "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_surplus_suppliers",
     "join_skewed_hot_user",
     "agg_value_percentiles",
     "events_gapfill_locf",

@@ -1933,6 +1933,368 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Derived partsupp — the fixture ships no partsupp table, so the four
+# partsupp-dependent TPC-H shapes (Q2/Q11/Q16/Q20) run over the
+# supplier-part relationships OBSERVED in lineitem: one row per
+# distinct (partkey, suppkey) pair, availqty = total shipped quantity,
+# supplycost = cheapest observed line price (2-decimal exact, so every
+# downstream sum stays order-independent for the DuckDB oracles).
+# --------------------------------------------------------------------------
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One groupBy over lineitem; every Q2/Q11/Q16/Q20 plan reuses this
+    single-exchange relation. At 100 TB you'd materialize it bucketed
+    by ps_partkey — the consumers join on that key."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("ps_availqty"),
+            F.min("l_extendedprice").alias("ps_supplycost"),
+        )
+    )
+
+
+_PARTSUPP_CTE = """
+WITH partsupp AS (
+    SELECT l_partkey AS ps_partkey,
+           l_suppkey AS ps_suppkey,
+           SUM(CAST(l_quantity AS BIGINT)) AS ps_availqty,
+           MIN(l_extendedprice) AS ps_supplycost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 shape — minimum-cost supplier (correlated MIN subquery
+# decorrelated to a window)
+# --------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(
+    spark: SparkSession,
+    sf_dir: str,
+    region: str = "ASIA",
+    size_min: int = 40,
+    top_n: int = 100,
+) -> DataFrame:
+    """For each large part, the region's cheapest supplier(s) — ties
+    kept, exactly as TPC-H Q2's correlated `ps_supplycost = (SELECT
+    MIN ...)` demands (p_size ≥ threshold stands in for the type/size
+    predicate pair; partsupp is the derived relation above).
+
+    The correlated MIN decorrelates to a window over ps_partkey
+    computed AFTER the region restriction (the subquery is
+    region-correlated too — computing the min before the supplier join
+    would be wrong, not just slow).  Suppliers+nations of the region
+    broadcast into the derived partsupp, one window pass marks the
+    per-part min, and the part dim joins broadcast-side last since
+    only min-cost rows survive."""
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    nat = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= size_min)
+        .select("p_partkey", "p_name", "p_brand")
+    )
+    ps = _derived_partsupp(spark, sf_dir)
+    w = Window.partitionBy("ps_partkey")
+    return (
+        ps.join(
+            F.broadcast(
+                supp.select("s_suppkey", "s_name", "s_acctbal", "n_name")
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            "ps_supplycost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(top_n)
+    )
+
+
+_Q2_SQL = _PARTSUPP_CTE + """
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name, ps_supplycost
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size >= 40
+  AND r_name = 'ASIA'
+  AND ps_supplycost = (
+      SELECT MIN(ps2.ps_supplycost)
+      FROM partsupp ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+      JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+      WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA'
+  )
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 shape — important stock (HAVING against a scalar-subquery
+# fraction of the global total)
+# --------------------------------------------------------------------------
+
+
+def q11_important_stock(
+    spark: SparkSession,
+    sf_dir: str,
+    nation: str = "NATION_19",
+    mean_multiple: float = 2.0,
+) -> DataFrame:
+    """Parts whose inventory value at one nation's suppliers exceeds
+    `mean_multiple`x the nation's MEAN per-part inventory value
+    (TPC-H Q11 over the derived partsupp; the spec's fixed fraction of
+    the total is 0.0001/SF -- tied to the scale factor -- so the
+    scale-free equivalent 'k x mean part value' keeps the shape
+    meaningful at every SF instead of emptying out as the part count
+    grows).
+
+    Both the per-part values and the global total come from the SAME
+    single-exchange aggregate: the per-part sums are computed once and
+    the threshold is their re-aggregation broadcast back as a 1-row
+    cross join — the nation-filtered partsupp is never scanned twice.
+    value = supplycost·availqty is 2-decimal × integer, so `_dsum`
+    keeps both sums exact and the HAVING compare engine-stable."""
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    ps = _derived_partsupp(spark, sf_dir).join(
+        F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    value = F.col("ps_supplycost") * F.col("ps_availqty")
+    per_part = ps.groupBy("ps_partkey").agg(_dsum(value, 2).alias("part_value"))
+    total = per_part.agg(
+        (
+            _dsum(F.col("part_value"), 2)
+            * F.lit(mean_multiple)
+            / F.count("*")
+        ).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("ps_partkey"))
+    )
+
+
+_Q11_SQL = _PARTSUPP_CTE + """
+, scoped AS (
+    SELECT ps_partkey,
+           CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,2)))
+                AS DOUBLE) AS part_value
+    FROM partsupp
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_19'
+    GROUP BY ps_partkey
+)
+SELECT ps_partkey, part_value
+FROM scoped
+WHERE part_value > (
+    SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE) * 2.0
+           / COUNT(*)
+    FROM scoped
+)
+ORDER BY part_value DESC, ps_partkey ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape — supplier count per part descriptor (anti-subquery
+# exclusion + count-distinct rollup)
+# --------------------------------------------------------------------------
+
+
+def q16_supplier_part_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    excluded_brand: str = "Brand#1",
+    excluded_type: str = "PROMO",
+    top_n: int = 40,
+) -> DataFrame:
+    """How many distinct suppliers can deliver each (brand, type, size)
+    part descriptor, excluding one brand, one type, and blacklisted
+    suppliers (TPC-H Q16; negative account balance stands in for the
+    complaints comment-scan, via an anti-join exactly like the
+    NOT IN subquery).
+
+    The part dim carries the two inequality filters down its scan,
+    broadcasts into the derived partsupp, and the blacklist anti-join
+    is a broadcast too (tiny).  One exchange total: the final
+    countDistinct over the 3-key descriptor."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != excluded_brand)
+            & (F.col("p_type") != excluded_type)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    blacklist = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    ps = _derived_partsupp(spark, sf_dir)
+    return (
+        ps.join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(blacklist),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+        .limit(top_n)
+    )
+
+
+_Q16_SQL = _PARTSUPP_CTE + """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 40
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape — surplus-stock suppliers (nested IN subqueries →
+# stacked semi-joins)
+# --------------------------------------------------------------------------
+
+
+def q20_surplus_suppliers(
+    spark: SparkSession,
+    sf_dir: str,
+    name_token: str = "widget",
+    nation: str = "NATION_19",
+) -> DataFrame:
+    """Suppliers in one nation holding surplus stock of a product line:
+    their availqty for some matching part exceeds half of what they
+    themselves shipped of it in 1996 (TPC-H Q20 over the derived
+    partsupp; `2·availqty > shipped` keeps the half-threshold compare
+    in exact integers).
+
+    The nested `IN (parts) ... qty > 0.5·(correlated lineitem sum)`
+    chain becomes: token-filtered part broadcast into partsupp, a
+    per-(part,supplier) 1996 shipment aggregate joined on the SAME
+    two keys, then one left-semi into supplier — each IN level is a
+    semi-join, never a duplicate-producing inner join."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(name_token))
+        .select("p_partkey")
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("shipped_qty"))
+    )
+    surplus = (
+        _derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("shipped_qty"))
+        .select("ps_suppkey")
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            surplus, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = _PARTSUPP_CTE + """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_19'
+  AND s_suppkey IN (
+      SELECT ps_suppkey
+      FROM partsupp
+      WHERE ps_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+      )
+      AND 2 * ps_availqty > (
+          SELECT SUM(CAST(l_quantity AS BIGINT))
+          FROM lineitem
+          WHERE l_partkey = ps_partkey
+            AND l_suppkey = ps_suppkey
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+      )
+  )
+ORDER BY s_name
+"""
+
+
 QUERIES = {
     "join_asof_latest_order": asof_latest_order,
     "tpch_q1_pricing_summary": q1_pricing_summary,
@@ -1954,6 +2316,10 @@ QUERIES = {
     "tpch_q13_customer_distribution": q13_customer_distribution,
     "tpch_q19_banded_revenue": q19_banded_revenue,
     "tpch_q21_waiting_suppliers": q21_waiting_suppliers,
+    "tpch_q2_min_cost_supplier": q2_min_cost_supplier,
+    "tpch_q11_important_stock": q11_important_stock,
+    "tpch_q16_supplier_part_counts": q16_supplier_part_counts,
+    "tpch_q20_surplus_suppliers": q20_surplus_suppliers,
     "join_semi_urgent_customers": semi_urgent_customers,
     "join_anti_no_urgent_customers": anti_no_urgent_customers,
     "join_left_order_linecounts": left_join_order_linecounts,
@@ -1994,6 +2360,10 @@ ORACLES = {
     "tpch_q13_customer_distribution": _Q13_SQL,
     "tpch_q19_banded_revenue": _Q19_SQL,
     "tpch_q21_waiting_suppliers": _Q21_SQL,
+    "tpch_q2_min_cost_supplier": _Q2_SQL,
+    "tpch_q11_important_stock": _Q11_SQL,
+    "tpch_q16_supplier_part_counts": _Q16_SQL,
+    "tpch_q20_surplus_suppliers": _Q20_SQL,
     "join_semi_urgent_customers": _SEMI_SQL,
     "join_anti_no_urgent_customers": _ANTI_SQL,
     "join_left_order_linecounts": _LEFT_SQL,
