@@ -188,3 +188,69 @@ def test_grouping_sets_and_unpivot_single_expand_pass(spark, sf_correct):
     plan2 = executed_plan(up)
     assert "Expand" in plan2
     assert plan2.count("Scan parquet") == 1
+
+
+def test_q19_disjunction_pushed_no_shuffle(spark, sf_correct):
+    """Q19's OR-of-band predicate must push into BOTH parquet scans
+    (quantity bands into lineitem, brand/size bands into part) and the
+    whole plan must run shuffle-free: broadcast join + single-partition
+    aggregate."""
+    df = relational.q19_banded_revenue(spark, sf_correct)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed and "p_brand" in pushed
+    assert "Or(" in pushed  # the disjunction itself reached the scans
+    assert has_broadcast_join(df)
+    assert "Exchange hashpartitioning" not in executed_plan(df)
+
+
+def test_q7_nation_pair_pushed_to_dims(spark, sf_correct):
+    """Q7's symmetric nation-pair predicate is pre-split into IN
+    filters on each nation dim scan, and the 2-year window reaches the
+    lineitem scan."""
+    df = relational.q7_volume_shipping(spark, sf_correct)
+    pushed = " ".join(pushed_filters(df))
+    assert pushed.count("In(n_name") >= 2
+    assert "l_shipdate" in pushed
+    assert has_broadcast_join(df)
+
+
+def test_q2_window_decorrelation_two_exchanges(spark, sf_correct):
+    """Q2's correlated MIN subquery decorrelates to a window over the
+    derived partsupp: the partsupp groupBy plus the window repartition
+    are the ONLY hash exchanges — no second partsupp derivation, no
+    join back for the min."""
+    df = relational.q2_min_cost_supplier(spark, sf_correct)
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    # one lineitem scan: the min-cost filter must not rescan partsupp
+    assert plan.count("Scan parquet") <= 5
+
+
+def test_q21_aggregate_rewrite_no_self_join(spark, sf_correct):
+    """Q21's EXISTS/NOT-EXISTS self-correlation must plan as the
+    per-order aggregate rewrite: no sort-merge self-join of lineitem
+    on (orderkey, suppkey), qualifying orders broadcast back."""
+    df = relational.q21_waiting_suppliers(spark, sf_correct)
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    # lineitem appears in the lo build twice (per-order agg + late
+    # rows) but never more — the classic plan needs three passes
+    assert plan.count("Scan parquet") <= 5
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q16_blacklist_is_anti_join(spark, sf_correct):
+    """Q16's NOT IN blacklist must plan as a broadcast anti-join, not
+    a nested-loop or in-subquery rescan."""
+    plan = executed_plan(
+        relational.q16_supplier_part_counts(spark, sf_correct)
+    )
+    assert "LeftAnti" in plan
+
+
+def test_q20_nested_in_is_semi_join(spark, sf_correct):
+    """Q20's nested IN chain must surface as a left-semi join into
+    supplier (each IN level joins without row duplication)."""
+    plan = executed_plan(relational.q20_surplus_suppliers(spark, sf_correct))
+    assert "LeftSemi" in plan
