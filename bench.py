@@ -33,6 +33,12 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume_customers",
+    # r6 full-TPC-H additions: the widest join graph (q8), the
+    # decorrelated-window min (q2), and the aggregate-rewritten
+    # double-correlation (q21)
+    "tpch_q8_market_share",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q21_waiting_suppliers",
     "join_asof_latest_order",
     "join_skewed_hot_user",
     "join_left_order_linecounts",

@@ -106,6 +106,35 @@ def main() -> None:
          "(inherent to Q18) but never shuffled on a join key; the only "
          "exchange is the first pass's l_orderkey aggregate; top-100 is "
          "TakeOrderedAndProject."),
+        ("tpch_q19_banded_revenue", relational.q19_banded_revenue,
+         "Q19's OR-of-ANDs predicate pushes WHOLESALE into both parquet "
+         "scans (the quantity-band disjunction into lineitem, the "
+         "brand+size disjunction into part) — visible as Or(...) inside "
+         "PushedFilters on each scan. Part broadcasts, the residual OR "
+         "evaluates in codegen, and the single-row aggregate makes the "
+         "whole plan exchange-free: zero shuffles at any SF."),
+        ("tpch_q21_waiting_suppliers", relational.q21_waiting_suppliers,
+         "Q21's EXISTS + NOT-EXISTS self-correlation rewritten as ONE "
+         "per-order aggregate (countDistinct suppliers / late suppliers) "
+         "plus a broadcast-back of the tiny qualifying-order set — the "
+         "classic plan's two lineitem self-joins (semi + anti) never "
+         "materialize; lineitem is read twice but only shuffles on "
+         "l_orderkey for the aggregate."),
+        ("tpch_q2_min_cost_supplier", relational.q2_min_cost_supplier,
+         "Q2's region-correlated MIN subquery decorrelated to a window "
+         "over the derived partsupp AFTER the region restriction: one "
+         "exchange for the partsupp pair-aggregate, one for the "
+         "ps_partkey window, every dimension broadcast. The naive plan "
+         "derives partsupp twice and joins the min back; this one never "
+         "rescans."),
+        ("tpch_q8_market_share", relational.q8_market_share,
+         "Q8, the widest join graph in the pack (8 relations): every "
+         "dimension prunes then broadcasts (type-filtered part, "
+         "region-restricted customer nations, name-carrying supplier "
+         "side), so lineitem flows through three BroadcastHashJoins "
+         "before its only shuffle — the orders equi-join — and the "
+         "numerator/denominator pair computes in ONE aggregate pass via "
+         "CASE, not two scans."),
         ("text_ngram_topk", lambda s, d: __import__(
             "full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.text",
             fromlist=["text"]).ngram_topk(s, d),
