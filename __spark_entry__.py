@@ -159,6 +159,7 @@ _TAIL_ORDER = [
     "events_hourly_anomalies",
     "join_fuzzy_part_names",
     "text_bpe_token_count",
+    "dedup_containment_pairs",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",

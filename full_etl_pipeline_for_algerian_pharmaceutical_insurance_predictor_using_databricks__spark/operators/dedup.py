@@ -548,6 +548,193 @@ WHERE shared / (s1.set_size + s2.set_size - shared) >= {JACCARD_THRESHOLD}
 """
 
 # --------------------------------------------------------------------------
+# 2b. Directed containment pairs — |A∩B| / |A|
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_df: int | None = None,
+) -> DataFrame:
+    """DIRECTED near-dup pairs by token-set containment:
+    (doc_a, doc_b) with |A∩B| / |A| ≥ threshold — "doc_a is mostly
+    inside doc_b".  The asymmetric complement of `ngram_jaccard_pairs`:
+    a 50-word quote fully embedded in a 5 000-word article has Jaccard
+    ≈ 0.01 (invisible to symmetric dedup) but containment 1.0 — the
+    boilerplate / quotation / wrapper-page case every corpus-curation
+    pipeline needs (same trade Broder's resemblance-vs-containment
+    split draws).
+
+    Same scale architecture as the Jaccard path: the contracted rep
+    frame (one row per distinct token set), the token-equality
+    inverted-index self-join for shared counts (undirected, a < b —
+    HALF the candidate volume; both directions derive from one count),
+    the `max_df` posting-list bound for candidate generation with
+    exact array re-verification, and group expansion at the end.
+    containment = int shared / int size — exact across engines, so the
+    DuckDB oracle value-matches bit for bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    groups = _contract(_token_sets(docs))
+    rep_pairs = _rep_containment_pairs(groups, threshold, max_df)
+    return _expand_rep_pairs_directed(rep_pairs, groups, threshold)
+
+
+def _rep_containment_pairs(
+    groups: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
+    """Rep-level directed containment pairs (doc_a, doc_b, containment).
+
+    Candidates are generated UNDIRECTED (t1.doc < t2.doc); each
+    surviving candidate emits up to two directed rows via one inline
+    explode — shared counts and sizes are direction-independent, so
+    doubling the self-join instead would be pure waste."""
+    rep_tok = _rep_tokens(groups)
+    if max_df is not None:
+        # df counts DOCUMENTS (weight reps by group size) — see
+        # `_rep_jaccard_pairs_inverted`; dropped-token candidates are
+        # re-verified against the FULL arrays below, so the bound only
+        # prunes generation, never corrupts a surviving pair's value
+        rep_w = groups.select(F.col("rep").alias("doc_id"), "n_members")
+        doc_freq = (
+            rep_tok.join(rep_w.hint("shuffle_hash"), "doc_id")
+            .groupBy("token")
+            .agg(F.sum("n_members").alias("df"))
+        )
+        join_tok = rep_tok.join(
+            doc_freq.filter(F.col("df") <= max_df), "token"
+        ).select("doc_id", "token")
+    else:
+        join_tok = rep_tok
+    t1 = join_tok.alias("t1")
+    t2 = join_tok.alias("t2")
+    candidates = (
+        t1.join(t2, F.col("t1.token") == F.col("t2.token"))
+        .filter(F.col("t1.doc_id") < F.col("t2.doc_id"))
+        .groupBy(
+            F.col("t1.doc_id").alias("doc_a"), F.col("t2.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_cand"))
+    )
+    # exact intersection from the full token arrays (required under
+    # max_df, where shared_cand undercounts; with max_df=None it equals
+    # shared_cand and the optimizer-friendly single formulation keeps
+    # both modes on one verified code path)
+    arrays = _rep_arrays(groups)
+    a = arrays.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tokens").alias("tokens_a"),
+        F.col("set_size").alias("size_a"),
+    ).hint("shuffle_hash")
+    b = arrays.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tokens").alias("tokens_b"),
+        F.col("set_size").alias("size_b"),
+    ).hint("shuffle_hash")
+    inter = F.size(F.array_intersect("tokens_a", "tokens_b"))
+    both = F.array(
+        F.struct(
+            F.col("doc_a").alias("da"),
+            F.col("doc_b").alias("db"),
+            (F.col("inter") / F.col("size_a")).alias("containment"),
+        ),
+        F.struct(
+            F.col("doc_b").alias("da"),
+            F.col("doc_a").alias("db"),
+            (F.col("inter") / F.col("size_b")).alias("containment"),
+        ),
+    )
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", inter)
+        .filter(F.col("inter") >= 1)
+        .select(F.explode(both).alias("p"))
+        .select(
+            F.col("p.da").alias("doc_a"),
+            F.col("p.db").alias("doc_b"),
+            F.col("p.containment").alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def _expand_rep_pairs_directed(
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    threshold: float,
+    value_col: str = "containment",
+) -> DataFrame:
+    """`_expand_rep_pairs` for DIRECTED values: cross-group expansion
+    preserves orientation (no least/greatest canonicalization), and
+    intra-group members — identical sets, containment exactly 1.0 —
+    emit BOTH ordered directions of each member pair."""
+    ma = groups.select(F.col("rep").alias("rep_a"), F.explode("members").alias("da"))
+    mb = groups.select(F.col("rep").alias("rep_b"), F.explode("members").alias("db"))
+    cross = (
+        rep_pairs.select(
+            F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"), value_col
+        )
+        .join(ma.hint("shuffle_hash"), "rep_a")
+        .join(mb.hint("shuffle_hash"), "rep_b")
+        .select(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), value_col
+        )
+    )
+    if 1.0 < threshold:
+        return cross
+    ordered = F.flatten(
+        F.expr(
+            "transform(members, (x, i) ->"
+            " transform(slice(members, i + 2, size(members)),"
+            " y -> struct(x AS doc_a, y AS doc_b)))"
+        )
+    )
+    intra_half = (
+        groups.filter(F.col("n_members") > 1)
+        .select(F.explode(ordered).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias(value_col))
+    )
+    intra = intra_half.unionByName(
+        intra_half.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            value_col,
+        )
+    )
+    return cross.unionByName(intra)
+
+
+_CONTAINMENT_SQL = rf"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id
+),
+shared AS (
+    SELECT t1.doc_id AS doc_a, t2.doc_id AS doc_b, COUNT(*) AS shared
+    FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+    GROUP BY 1, 2
+),
+directed AS (
+    SELECT doc_a, doc_b, shared / s1.set_size AS containment
+    FROM shared JOIN sizes s1 ON doc_a = s1.doc_id
+    UNION ALL
+    SELECT doc_b AS doc_a, doc_a AS doc_b, shared / s2.set_size AS containment
+    FROM shared JOIN sizes s2 ON doc_b = s2.doc_id
+)
+SELECT doc_a, doc_b, containment
+FROM directed
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+
+# --------------------------------------------------------------------------
 # 3. MinHash + LSH banding (no SQL oracle — verified by invariant tests)
 # --------------------------------------------------------------------------
 
@@ -1130,6 +1317,7 @@ QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_clusters": dedup_clusters,
     "dedup_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_containment_pairs": containment_pairs,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_simhash_pairs": simhash_near_pairs,
     "dedup_embedding_cosine": embedding_near_dup,
@@ -1143,5 +1331,6 @@ ORACLES = {
     "dedup_exact": _EXACT_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     "dedup_jaccard_pairs": _JACCARD_SQL,
+    "dedup_containment_pairs": _CONTAINMENT_SQL,
     "dedup_embedding_cosine": _EMB_NEAR_DUP_SQL,
 }

@@ -600,3 +600,46 @@ def test_ann_ivf_pq_serving_matches_build_included(spark, sf_correct, tmp_path):
     }
     assert again == a
     assert os.path.getmtime(os.path.join(idx, "meta")) == built  # not re-fit
+
+
+def test_containment_superset_of_jaccard(spark, sf_correct):
+    """Containment is always ≥ Jaccard for the same pair (the union is
+    at least as large as either set), so at the same threshold every
+    symmetric Jaccard pair must reappear in the directed result (in at
+    least one direction, value ≥ the pair's jaccard)."""
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(
+            spark, sf_correct, threshold=0.9
+        ).collect()
+    }
+    cont = dedup.containment_pairs(spark, sf_correct, threshold=0.9).collect()
+    directed = {(r.doc_a, r.doc_b) for r in cont}
+    missing = [p for p in jac if p not in directed and p[::-1] not in directed]
+    assert missing == []
+    # directed values are valid ratios and both orientations of an
+    # identical-set pair carry exactly 1.0
+    assert all(0.0 < r.containment <= 1.0 for r in cont)
+
+
+def test_containment_finds_asymmetric_embedding(spark, sf_correct, tmp_path):
+    """A small doc fully embedded in a much larger one: Jaccard is far
+    below threshold but containment(small→large) is exactly 1.0 — the
+    case the directed operator exists for."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    small = "alpha bravo charlie delta"
+    big = small + " " + " ".join(f"filler{i}" for i in range(96))
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, small, "en", "t"), (2, big, "en", "t")],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(d + "/documents.parquet")
+    out = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.containment_pairs(spark, d, threshold=0.9).collect()
+    }
+    assert out.get((1, 2)) == 1.0  # small fully inside big
+    assert (2, 1) not in out       # big is NOT inside small
+    jac = dedup.ngram_jaccard_pairs(spark, d, threshold=0.9).count()
+    assert jac == 0                # symmetric dedup is blind to it
