@@ -165,6 +165,7 @@ _TAIL_ORDER = [
     "events_hll_daily_users",
     # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest
     "text_winnowed_fingerprints",
+    "text_topic_clusters",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_embedding_clustered",

@@ -695,8 +695,86 @@ LIMIT {NGRAM_TOPK_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Topic clustering — hashed TF-IDF → seeded KMeans → labeled profile
+# --------------------------------------------------------------------------
+
+
+def topic_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    n_features: int = 1024,
+    top_terms: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Corpus topic map: cluster documents on hashed TF-IDF vectors
+    (seeded Spark ML KMeans) and label each cluster with its most
+    frequent terms — the standard first look at an unlabeled corpus
+    before mixture design (rows-only entry; cluster geometry has no
+    SQL twin, so invariants — full coverage, ≤k clusters, label shape,
+    in-session determinism — are pinned in tests/test_llm_ops.py).
+
+    Scale shape: HashingTF keeps the feature space fixed-width (no
+    vocabulary broadcast — the hashing trick), IDF is one distributed
+    fit, KMeans is the same seeded quantizer the IVF family uses.
+    Labels do NOT come from inverting the hashed centroids (hashing is
+    lossy); cluster membership joins back to the exploded tokens and
+    one count + WindowGroupLimit picks each cluster's `top_terms` most
+    document-frequent terms — exact and readable at any corpus size.
+    The only non-agg shuffles are the KMeans fit's own and the
+    token-count exchange."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import IDF, HashingTF
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
+    )
+    tf = HashingTF(
+        inputCol="toks", outputCol="tf", numFeatures=n_features
+    ).transform(docs)
+    vecs = (
+        IDF(inputCol="tf", outputCol="tfidf")
+        .fit(tf)
+        .transform(tf)
+        .select("doc_id", "toks", "tfidf")
+    )
+    km = KMeans(k=k, seed=seed, maxIter=10, featuresCol="tfidf",
+                predictionCol="cluster_id")
+    assigned = km.fit(vecs).transform(vecs).select("doc_id", "toks", "cluster_id")
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+    term_counts = (
+        assigned.select(
+            "cluster_id", F.explode(F.array_distinct("toks")).alias("term")
+        )
+        .groupBy("cluster_id", "term")
+        .agg(F.count("*").alias("df"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("df"), F.asc("term"))
+    labels = (
+        term_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_terms)
+        .groupBy("cluster_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rank", "term"))
+            ).alias("ranked")
+        )
+        .select(
+            "cluster_id",
+            F.transform(F.col("ranked"), lambda s: s["term"]).alias("top_terms"),
+        )
+    )
+    return (
+        sizes.join(labels, "cluster_id")
+        .select("cluster_id", "n_docs", "top_terms")
+        .orderBy(F.desc("n_docs"), F.asc("cluster_id"))
+    )
+
+
 QUERIES = {
     "text_winnowed_fingerprints": winnowed_fingerprints,
+    "text_topic_clusters": topic_clusters,
     "text_ngram_topk": ngram_topk,
     "text_bpe_token_count": bpe_token_count,
     "text_pack_sequences": pack_sequences,

@@ -643,3 +643,26 @@ def test_containment_finds_asymmetric_embedding(spark, sf_correct, tmp_path):
     assert (2, 1) not in out       # big is NOT inside small
     jac = dedup.ngram_jaccard_pairs(spark, d, threshold=0.9).count()
     assert jac == 0                # symmetric dedup is blind to it
+
+
+def test_topic_clusters_invariants(spark, sf_correct):
+    """Coverage (every doc in exactly one cluster), ≤k clusters,
+    well-formed labels, and in-session determinism of the seeded fit."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        text as text_ops,
+    )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        load_table,
+    )
+
+    out = text_ops.topic_clusters(spark, sf_correct, k=6, top_terms=4)
+    rows = out.collect()
+    n_docs_total = load_table(spark, sf_correct, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    assert 1 <= len(rows) <= 6
+    assert len({r.cluster_id for r in rows}) == len(rows)
+    for r in rows:
+        assert 1 <= len(r.top_terms) <= 4
+        assert all(isinstance(t, str) and t for t in r.top_terms)
+    again = text_ops.topic_clusters(spark, sf_correct, k=6, top_terms=4).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
