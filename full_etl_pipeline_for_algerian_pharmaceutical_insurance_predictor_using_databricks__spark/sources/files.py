@@ -1,0 +1,129 @@
+"""File-format landing readers with corrupt-record quarantine
+(SURVEY.md §2.1 breadth beyond the reference's JSON feed).
+
+Design: read the file as TEXT lines (splittable at any size — 1000
+executors each parse their own byte ranges) and parse each line with
+the `from_csv` / `from_json` EXPRESSIONS instead of the format
+readers.  Three things fall out of that choice:
+
+- One scan produces both the parsed rows and the quarantine: a parse
+  failure lands the raw line in the corrupt column, so `good`/`bad`
+  are two filters over the same frame — no badRecordsPath (vendor
+  extension) and no second pass.
+- The corrupt-column-only query restriction of the native CSV/JSON
+  readers (Spark refuses plans whose referenced columns are just the
+  internal corrupt column, forcing a cache) does not apply — the
+  parse is an ordinary projection over `value`.
+- Parsing stays in whole-stage codegen; schema is ALWAYS explicit
+  (never inferred — inference is a full extra scan and a drifting
+  contract at 100 TB).
+
+The quarantine contract mirrors Delta's badRecords flow on plain
+open-source Spark: every input line is either in `good` (typed) or in
+`bad` (raw line + file) — counts reconcile exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+#: Name of the quarantine column carried by the parsed frame.
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    """The parse-target struct: the caller's fields + the corrupt-line
+    capture field (must be part of the struct for PERMISSIVE capture)."""
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+
+
+def _parsed_lines(
+    raw: DataFrame, parse_expr, schema: T.StructType
+) -> DataFrame:
+    """(file, value, parsed-struct fields...) — one projection, no
+    second scan; `parse_expr` is the from_csv/from_json column."""
+    out = raw.select(
+        F.input_file_name().alias("_file"),
+        F.col("value"),
+        parse_expr.alias("_r"),
+    )
+    cols = [F.col(f"_r.{f.name}").alias(f.name) for f in schema.fields]
+    # a line whose EVERY declared field parsed to null is corrupt even
+    # if from_csv salvaged nothing into the capture field; normalize so
+    # the quarantine filter is one predicate
+    corrupt = F.coalesce(
+        F.col(f"_r.{CORRUPT_COL}"),
+        F.when(
+            ~F.greatest(
+                *[F.col(f"_r.{f.name}").isNotNull() for f in schema.fields]
+            ),
+            F.col("value"),
+        ),
+    )
+    return out.select("_file", "value", *cols, corrupt.alias(CORRUPT_COL))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sep: str = ",",
+    header: bool = False,
+) -> DataFrame:
+    """Headerless-splittable CSV landing read with quarantine column.
+
+    `header=True` drops lines that are exactly the schema's header row
+    (a distributed filter — works on multi-file inputs where every
+    file repeats the header, which per-partition skipping would miss).
+    """
+    target = _with_corrupt(schema)
+    raw = spark.read.text(path)
+    if header:
+        header_line = sep.join(f.name for f in schema.fields)
+        raw = raw.filter(F.col("value") != header_line)
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in target.fields)
+    parse = F.from_csv(
+        F.col("value"),
+        ddl,
+        {
+            "sep": sep,
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": CORRUPT_COL,
+        },
+    )
+    return _parsed_lines(raw, parse, schema)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSONL landing read with quarantine column (the scale-path twin
+    of `json_ingest.read_jsonl`, which trusts its input)."""
+    target = _with_corrupt(schema)
+    raw = spark.read.text(path).filter(F.trim("value") != "")
+    parse = F.from_json(
+        F.col("value"),
+        target,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+    )
+    return _parsed_lines(raw, parse, schema)
+
+
+def quarantine_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, bad): good = typed rows without the bookkeeping columns;
+    bad = (file, raw line) for the quarantine sink.  Both are filters
+    over the same lineage — Spark runs the scan once per action, and a
+    single-pass dual write is `good.write` + `bad.write` off one
+    persisted frame when the input is remote."""
+    good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(
+        CORRUPT_COL, "_file", "value"
+    )
+    bad = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col("_file").alias("file"), F.col("value").alias("raw")
+    )
+    return good, bad

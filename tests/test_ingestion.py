@@ -247,3 +247,66 @@ def test_merge_upsert_crash_recovery(spark, tmp_path):
     merge_upsert(spark, ptgt, pupd, ["id"], partition_col="part")
     rows = {r.id: (r.part, r.v) for r in spark.read.parquet(ptgt).collect()}
     assert rows == {1: ("a", 5.0), 2: ("b", 2.0)}
+
+
+def test_csv_quarantine_split(spark, tmp_path):
+    """Every input line lands in exactly one of good/bad; good rows are
+    typed per the explicit schema; bad keeps the raw line."""
+    from pyspark.sql import types as T
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        files,
+    )
+
+    p = tmp_path / "landing.csv"
+    p.write_text(
+        "id,name,price\n"          # header
+        "1,amoxi,12.5\n"
+        "2,parac,3.25\n"
+        "not,a,number,extra,cols\n"  # malformed: arity + type
+        "3,ibup,oops\n"              # malformed: price not a double
+        "4,aspir,9.0\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    parsed = files.read_csv(spark, str(p), schema, header=True)
+    good, bad = files.quarantine_split(parsed)
+    g = {r.id: (r.name, r.price) for r in good.collect()}
+    b = sorted(r.raw for r in bad.collect())
+    assert g == {1: ("amoxi", 12.5), 2: ("parac", 3.25), 4: ("aspir", 9.0)}
+    assert b == ["3,ibup,oops", "not,a,number,extra,cols"]
+    assert good.count() + bad.count() == 5  # all non-header lines routed
+    assert [f.dataType.simpleString() for f in good.schema.fields] == [
+        "int", "string", "double",
+    ]
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        files,
+    )
+
+    p = tmp_path / "landing.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "amoxi"}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "parac"}\n'
+        '{"id": "NaN-ish", "name": 7}\n'
+        "\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    good, bad = files.quarantine_split(files.read_jsonl(spark, str(p), schema))
+    assert {r.id for r in good.collect()} == {1, 2}
+    assert bad.count() == 2  # broken line + type-mismatched record
