@@ -990,6 +990,73 @@ def hourly_rollup_registry_ingest(stream: DataFrame, registry_dir: str) -> None:
             raise TimeoutError("hourly rollup registry drain exceeded 300s")
 
 
+def _batch_span(path: str) -> tuple[int, int]:
+    """(lo, hi) batch-id span of a `batch=<id>` or `batch=<lo>-<hi>`
+    registry dir — the one layout fact every registry reader shares."""
+    import re
+
+    ids = [int(x) for x in re.findall(r"\d+", path.rsplit("batch=", 1)[1])]
+    return min(ids), max(ids)
+
+
+def read_registry_asof(
+    spark: SparkSession, registry_dir: str, as_of_batch: int | None = None
+) -> DataFrame:
+    """Snapshot read of a batch-keyed registry AS OF a batch id: only
+    `batch=*` dirs whose whole span is ≤ `as_of_batch` participate —
+    the registry exactly as it stood after that micro-batch drained
+    (None = current state, all batches).
+
+    This is parquet-layout time travel: the batch id doubles as the
+    commit version, idempotent per-batch dirs are the immutable
+    snapshots.  The granularity caveat is the same one Delta's VACUUM
+    has — compaction REWRITES history: a merged `batch=<lo>-<hi>` dir
+    can only be read whole, so a snapshot strictly inside a merged
+    span no longer exists and raises (callers schedule compaction
+    behind their retention horizon, exactly like VACUUM).
+    """
+    import glob as g
+
+    spans = sorted(
+        ((p, *_batch_span(p)) for p in g.glob(f"{registry_dir}/batch=*")),
+        key=lambda t: (t[1], t[2]),
+    )
+    if not spans:
+        raise ValueError(f"read_registry_asof: no batch dirs in {registry_dir}")
+    if as_of_batch is None:
+        return spark.read.parquet(*[p for p, _, _ in spans])
+    inside = [(p, lo, hi) for p, lo, hi in spans if lo <= as_of_batch < hi]
+    if inside:
+        p, lo, hi = inside[0]
+        raise ValueError(
+            f"read_registry_asof: snapshot at batch {as_of_batch} was "
+            f"compacted away (merged span batch={lo}-{hi}); nearest "
+            f"available snapshots are batch {lo - 1} and batch {hi}"
+        )
+    keep = [p for p, lo, hi in spans if hi <= as_of_batch]
+    if not keep:
+        raise ValueError(
+            f"read_registry_asof: no batches at or before {as_of_batch}"
+        )
+    return spark.read.parquet(*keep)
+
+
+def hourly_rollup_read_asof(
+    spark: SparkSession, registry_dir: str, as_of_batch: int | None = None
+) -> DataFrame:
+    """`hourly_rollup_read` against an as-of snapshot: merge-on-read
+    over only the partials that existed at `as_of_batch` — what the
+    dashboard showed then, reproducible now."""
+    return (
+        read_registry_asof(spark, registry_dir, as_of_batch)
+        .groupBy("hour_start", "event_type")
+        .agg(
+            F.sum("events").alias("events"),
+            F.sum("value_sum").alias("value_sum"),
+        )
+    )
+
+
 def compact_registry(
     spark: SparkSession,
     registry_dir: str,

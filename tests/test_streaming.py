@@ -909,3 +909,32 @@ def test_hourly_rollup_gapfill_read_matches_batch(spark, sf_dir, tmp_path):
     assert any(ev == 0 for ev, _s, _l in g.values()) or len(g) == sum(
         1 for v in g.values() if v[0] > 0
     )
+
+
+def test_registry_asof_snapshot_and_compaction_horizon(spark, tmp_path):
+    """As-of reads reproduce the registry exactly as it stood after a
+    given batch; compaction coarsens history and mid-span snapshots
+    raise with the nearest available alternatives."""
+    import pytest as _pytest
+
+    reg = str(tmp_path / "rollup_reg")
+    for b in range(6):
+        spark.createDataFrame(
+            [(f"2026-01-01 0{b}:00:00", "click", 10 + b, float(b))],
+            "hour_start string, event_type string, events long, value_sum double",
+        ).write.parquet(f"{reg}/batch={b}")
+
+    asof3 = jobs.read_registry_asof(spark, reg, 3)
+    assert asof3.count() == 4  # batches 0..3 only
+    full = jobs.read_registry_asof(spark, reg)
+    assert full.count() == 6
+    roll = jobs.hourly_rollup_read_asof(spark, reg, 3)
+    assert roll.agg({"events": "sum"}).collect()[0][0] == 10 + 11 + 12 + 13
+
+    jobs.compact_registry(spark, reg, group_size=3)  # -> 0-2, 3-5
+    assert jobs.read_registry_asof(spark, reg, 2).count() == 3
+    assert jobs.read_registry_asof(spark, reg, 5).count() == 6
+    with _pytest.raises(ValueError, match="nearest available"):
+        jobs.read_registry_asof(spark, reg, 4)
+    with _pytest.raises(ValueError, match="no batches at or before"):
+        jobs.read_registry_asof(spark, reg, -1)
