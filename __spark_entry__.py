@@ -166,6 +166,7 @@ _TAIL_ORDER = [
     # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest
     "text_winnowed_fingerprints",
     "text_topic_clusters",
+    "corpus_curation_ledger",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_embedding_clustered",

@@ -556,6 +556,115 @@ def _profile_sql() -> str:
 _PROFILE_SQL = _profile_sql()
 
 
+# --------------------------------------------------------------------------
+# 8. End-to-end curation ledger
+# --------------------------------------------------------------------------
+
+CAP_SALT_LEDGER = "cap:"  # same salt family as cap_per_source
+
+
+def curate_corpus(
+    spark: SparkSession, sf_dir: str, cap_k: int = CAP_PER_SOURCE
+) -> DataFrame:
+    """The whole curation pipeline as ONE auditable ledger: every input
+    document lands in exactly one row with its final status and, if
+    dropped, the FIRST stage that dropped it — the provenance artifact
+    a 100-TB corpus build ships next to the training set, because
+    "how many docs did near-dup remove after quality filtering"
+    is unanswerable from the kept set alone.
+
+    Stage order (each applies to the previous stages' survivors):
+      1. quality     — Gopher/C4-style verdict 'drop'
+      2. exact_duplicate — non-min doc_id within a fingerprint group
+      3. near_duplicate  — non-min SURVIVOR within a Jaccard CC cluster
+      4. source_cap  — salted-hash rank > cap_k within a source
+
+    Spark shape: the stage predicates are CONDITIONAL WINDOW MINIMA on
+    one wide frame (`min(when(survivor, doc_id)) over (partition by
+    group)`), so sequential semantics cost no sequential passes — one
+    fingerprint window, one cluster join + window, one capped-rank
+    join.  The near-dup clusters come from the pointer-doubled CC
+    (`dedup.dedup_clusters`); keeper choice among survivors (not among
+    all members) is what makes stage order observable: a cluster whose
+    min doc_id was quality-dropped elects its next-smallest SURVIVOR.
+    A keeper elected at stage 2/3 can still fall to the source cap —
+    the ledger records that honestly (`keeper_doc_id` points at it
+    either way; duplicates are not resurrected).
+
+    Rows-only entry: the CC stage has no SQL twin; the partition /
+    precedence / per-group-uniqueness invariants are pinned in
+    tests/test_curation.py."""
+    from .dedup import dedup_clusters
+    from .text import with_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+    )
+    base = with_quality(docs).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(normalized).alias("fingerprint"),
+        (F.col("verdict") != "drop").alias("q_ok"),
+    )
+    w_fp = Window.partitionBy("fingerprint")
+    base = base.withColumn(
+        "fp_keeper", F.min(F.when(F.col("q_ok"), F.col("doc_id"))).over(w_fp)
+    ).withColumn("s2", F.col("q_ok") & (F.col("doc_id") == F.col("fp_keeper")))
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    w_cl = Window.partitionBy("cluster_id")
+    base = (
+        base.join(clusters, "doc_id")
+        .withColumn(
+            "cl_keeper", F.min(F.when(F.col("s2"), F.col("doc_id"))).over(w_cl)
+        )
+        .withColumn("s3", F.col("s2") & (F.col("doc_id") == F.col("cl_keeper")))
+    )
+    rank_key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(CAP_SALT_LEDGER), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w_cap = Window.partitionBy("source").orderBy(rank_key, "doc_id")
+    capped = (
+        base.filter(F.col("s3"))
+        .withColumn("cap_rank", F.row_number().over(w_cap))
+        .select("doc_id", "cap_rank")
+    )
+    ledger = base.join(capped, "doc_id", "left").withColumn(
+        "reason",
+        F.when(~F.col("q_ok"), "quality")
+        .when(~F.col("s2"), "exact_duplicate")
+        .when(~F.col("s3"), "near_duplicate")
+        .when(F.col("cap_rank") > cap_k, "source_cap"),
+    )
+    kept_split = with_split(ledger.filter(F.col("reason").isNull())).select(
+        "doc_id", "split"
+    )
+    return (
+        ledger.join(kept_split, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.when(F.col("reason").isNull(), "kept")
+            .otherwise("dropped")
+            .alias("status"),
+            "reason",
+            F.when(F.col("reason") == "exact_duplicate", F.col("fp_keeper"))
+            .when(F.col("reason") == "near_duplicate", F.col("cl_keeper"))
+            .alias("keeper_doc_id"),
+            "split",
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_pii_redaction": pii_redaction,
     "text_chunk_windows": chunk_windows,
@@ -565,6 +674,7 @@ QUERIES = {
     "agg_equidepth_histogram": equidepth_histogram,
     "sample_cap_per_source": cap_per_source,
     "agg_column_profile": column_profile,
+    "corpus_curation_ledger": curate_corpus,
 }
 
 ORACLES = {

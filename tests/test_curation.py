@@ -354,3 +354,47 @@ def test_column_profile_laws_and_single_scan(spark, sf_correct):
     # AQE prints final + initial plans; count scans in the final one only
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1
+
+
+def test_curation_ledger_partition_and_precedence(spark, sf_correct):
+    """Every doc exactly once; reasons from the fixed stage set; kept
+    set has ≤1 doc per fingerprint and per near-dup cluster and ≤cap_k
+    per source; duplicate keepers were never quality-dropped; split
+    only on kept rows."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        curation as cur,
+        dedup,
+    )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        load_table,
+    )
+
+    ledger = cur.curate_corpus(spark, sf_correct, cap_k=10).collect()
+    total = load_table(spark, sf_correct, "documents").count()
+    assert len(ledger) == total
+    assert len({r.doc_id for r in ledger}) == total
+
+    by_id = {r.doc_id: r for r in ledger}
+    valid = {"quality", "exact_duplicate", "near_duplicate", "source_cap"}
+    for r in ledger:
+        if r.status == "kept":
+            assert r.reason is None and r.split in {"train", "val", "test"}
+        else:
+            assert r.reason in valid and r.split is None
+        if r.reason in {"exact_duplicate", "near_duplicate"}:
+            keeper = by_id[r.keeper_doc_id]
+            assert keeper.reason != "quality"  # keepers survived stage 1
+
+    kept = [r for r in ledger if r.status == "kept"]
+    # ≤ cap_k per source
+    from collections import Counter
+
+    per_source = Counter(r.source for r in kept)
+    assert max(per_source.values()) <= 10
+    # ≤1 kept member per near-dup cluster
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(spark, sf_correct).collect()
+    }
+    kept_clusters = Counter(clusters[r.doc_id] for r in kept)
+    assert max(kept_clusters.values()) == 1
