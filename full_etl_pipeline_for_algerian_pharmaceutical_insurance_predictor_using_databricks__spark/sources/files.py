@@ -114,6 +114,37 @@ def read_jsonl(
     return _parsed_lines(raw, parse, schema)
 
 
+def observed_read(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "csv",
+    **reader_kwargs,
+):
+    """Landing read with INGESTION METRICS riding the scan itself:
+    returns (good, bad, observation) where `observation.get` yields
+    {'lines', 'quarantined'} after the first action on either split.
+
+    Uses Spark's Observation API (an accumulator-backed `observe`
+    node): the counters are collected DURING whatever action the
+    caller already runs — never a second scan, which at 100 TB is the
+    difference between free telemetry and doubling the ingest bill.
+    This is the engine-native version of a landing-zone health check
+    (row volume + quarantine rate per load)."""
+    from pyspark.sql import Observation
+
+    reader = read_csv if fmt == "csv" else read_jsonl
+    parsed = reader(spark, path, schema, **reader_kwargs)
+    obs = Observation("landing")
+    parsed = parsed.observe(
+        obs,
+        F.count(F.lit(1)).alias("lines"),
+        F.count(F.col(CORRUPT_COL)).alias("quarantined"),
+    )
+    good, bad = quarantine_split(parsed)
+    return good, bad, obs
+
+
 def quarantine_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, bad): good = typed rows without the bookkeeping columns;
     bad = (file, raw line) for the quarantine sink.  Both are filters

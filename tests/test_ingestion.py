@@ -310,3 +310,28 @@ def test_jsonl_quarantine_split(spark, tmp_path):
     good, bad = files.quarantine_split(files.read_jsonl(spark, str(p), schema))
     assert {r.id for r in good.collect()} == {1, 2}
     assert bad.count() == 2  # broken line + type-mismatched record
+
+
+def test_observed_read_metrics_ride_the_scan(spark, tmp_path):
+    """Observation metrics must equal the actual routed counts and be
+    available after ONE action — telemetry without a second scan."""
+    from pyspark.sql import types as T
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        files,
+    )
+
+    p = tmp_path / "obs.csv"
+    p.write_text("1,a,1.0\n2,b,2.0\nbroken,row\n3,c,3.0\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    good, bad, obs = files.observed_read(spark, str(p), schema)
+    assert good.count() == 3  # the one action that also fills the metrics
+    m = obs.get
+    assert m["lines"] == 4 and m["quarantined"] == 1
+    assert bad.count() == 1
