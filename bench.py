@@ -64,10 +64,12 @@ HEADLINE = [
     "text_chunk_windows",
     "text_bm25_search",
     "text_ngram_topk",
+    "text_topic_clusters",
     "events_funnel",
     "dedup_exact",
     # heavy LLM-data ops so round-over-round regressions are visible
     "dedup_jaccard_pairs",
+    "dedup_containment_pairs",
     "dedup_clusters",
     "dedup_minhash_lsh",
     "dedup_embedding_clustered",
@@ -93,6 +95,8 @@ HEAVY_WARMUPS = {
     # serving entry: the first warm pass also builds the on-disk index,
     # so the timed pass measures the frozen-index query path only
     "sim_ann_ivf_pq_serving": 2,
+    "dedup_containment_pairs": 2,
+    "text_topic_clusters": 2,
     "dedup_embedding_clustered": 2,
 }
 

@@ -584,15 +584,80 @@ def containment_pairs(
     return _expand_rep_pairs_directed(rep_pairs, groups, threshold)
 
 
+def _both_directions(
+    pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """(doc_a, doc_b, inter, size_a, size_b) → directed containment
+    rows: each undirected candidate emits up to two oriented rows via
+    one inline explode — shared counts and sizes are direction-
+    independent, so doubling the candidate join instead would be pure
+    waste."""
+    both = F.array(
+        F.struct(
+            F.col("doc_a").alias("da"),
+            F.col("doc_b").alias("db"),
+            (F.col("inter") / F.col("size_a")).alias("containment"),
+        ),
+        F.struct(
+            F.col("doc_b").alias("da"),
+            F.col("doc_a").alias("db"),
+            (F.col("inter") / F.col("size_b")).alias("containment"),
+        ),
+    )
+    return (
+        pairs.filter(F.col("inter") >= 1)
+        .select(F.explode(both).alias("p"))
+        .select(
+            F.col("p.da").alias("doc_a"),
+            F.col("p.db").alias("doc_b"),
+            F.col("p.containment").alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def _rep_containment_pairs_bitmask(
+    groups: DataFrame, threshold: float, vocab: list[int]
+) -> DataFrame:
+    """Dictionary-bitmask strategy for ≤64-token vocabularies — the
+    containment twin of `_rep_jaccard_pairs_bitmask`.  On a tiny-vocab
+    corpus the inverted index degenerates (every token's posting list
+    is ~the whole corpus, Σ df² candidate rows); one 64-bit mask per
+    rep and a broadcast self-join with `bit_count(a & b)` replaces all
+    of it.  Same int/int arithmetic → bit-identical to the
+    inverted-index path (parity-tested)."""
+    masks = _rep_masks(groups, vocab)
+    a = masks.select(
+        F.col("doc_id").alias("doc_a"), F.col("mask").alias("ma"),
+        F.col("sz").alias("size_a"),
+    )
+    b = masks.select(
+        F.col("doc_id").alias("doc_b"), F.col("mask").alias("mb"),
+        F.col("sz").alias("size_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))).alias("inter"),
+        "size_a",
+        "size_b",
+    )
+    return _both_directions(pairs, threshold)
+
+
 def _rep_containment_pairs(
     groups: DataFrame, threshold: float, max_df: int | None = None
 ) -> DataFrame:
     """Rep-level directed containment pairs (doc_a, doc_b, containment).
 
-    Candidates are generated UNDIRECTED (t1.doc < t2.doc); each
-    surviving candidate emits up to two directed rows via one inline
-    explode — shared counts and sizes are direction-independent, so
-    doubling the self-join instead would be pure waste."""
+    Strategy dispatch mirrors `_rep_jaccard_pairs`: a ≤64-token
+    vocabulary takes the bitmask broadcast self-join; otherwise the
+    undirected (t1.doc < t2.doc) inverted-index candidates below, with
+    `max_df` as the 100-TB posting bound."""
+    if max_df is None:
+        vocab = _rep_vocab(groups, _BITMASK_VOCAB_MAX)
+        if vocab is not None:
+            return _rep_containment_pairs_bitmask(groups, threshold, vocab)
     rep_tok = _rep_tokens(groups)
     if max_df is not None:
         # df counts DOCUMENTS (weight reps by group size) — see
@@ -636,31 +701,12 @@ def _rep_containment_pairs(
         F.col("set_size").alias("size_b"),
     ).hint("shuffle_hash")
     inter = F.size(F.array_intersect("tokens_a", "tokens_b"))
-    both = F.array(
-        F.struct(
-            F.col("doc_a").alias("da"),
-            F.col("doc_b").alias("db"),
-            (F.col("inter") / F.col("size_a")).alias("containment"),
-        ),
-        F.struct(
-            F.col("doc_b").alias("da"),
-            F.col("doc_a").alias("db"),
-            (F.col("inter") / F.col("size_b")).alias("containment"),
-        ),
-    )
-    return (
+    pairs = (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn("inter", inter)
-        .filter(F.col("inter") >= 1)
-        .select(F.explode(both).alias("p"))
-        .select(
-            F.col("p.da").alias("doc_a"),
-            F.col("p.db").alias("doc_b"),
-            F.col("p.containment").alias("containment"),
-        )
-        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", inter.alias("inter"), "size_a", "size_b")
     )
+    return _both_directions(pairs, threshold)
 
 
 def _expand_rep_pairs_directed(

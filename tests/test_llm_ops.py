@@ -666,3 +666,32 @@ def test_topic_clusters_invariants(spark, sf_correct):
         assert all(isinstance(t, str) and t for t in r.top_terms)
     again = text_ops.topic_clusters(spark, sf_correct, k=6, top_terms=4).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_containment_bitmask_matches_inverted_index(spark, sf_correct):
+    """The bitmask dispatch (tiny vocab) and the general inverted-index
+    path must emit bit-identical directed pairs."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.dedup import (
+        _contract,
+        _rep_containment_pairs,
+        _rep_containment_pairs_bitmask,
+        _rep_vocab,
+        _token_sets,
+        _BITMASK_VOCAB_MAX,
+    )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        load_table,
+    )
+
+    groups = _contract(_token_sets(load_table(spark, sf_correct, "documents")))
+    vocab = _rep_vocab(groups, _BITMASK_VOCAB_MAX)
+    assert vocab is not None, "fixture vocab should dispatch to bitmask"
+    fast = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in _rep_containment_pairs_bitmask(groups, 0.9, vocab).collect()
+    }
+    slow = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in _rep_containment_pairs(groups, 0.9, max_df=10**9).collect()
+    }
+    assert fast == slow
