@@ -161,6 +161,17 @@ def main() -> None:
             timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        finally:
+            # drop the dead DataFrame/RDD references NOW: the heavy
+            # dedup entries localCheckpoint multi-million-row frames,
+            # and with CPython's lazy collection the JVM ContextCleaner
+            # never hears about them — storage blocks pile up across
+            # the 40+ entry session and later heavy entries slow 2-3×
+            # under eviction pressure (measured: session totals bounce
+            # 50s → 87s without this).  Outside the timed region.
+            import gc
+
+            gc.collect()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
