@@ -135,6 +135,25 @@ def main() -> None:
          "before its only shuffle — the orders equi-join — and the "
          "numerator/denominator pair computes in ONE aggregate pass via "
          "CASE, not two scans."),
+        ("dedup_containment_pairs", dedup.containment_pairs,
+         "Directed containment (|A∩B|/|A|) over the contracted rep "
+         "frame.  On the tiny-vocab fixture the adaptive dispatch picks "
+         "the 64-bit-mask broadcast self-join (bit_count(a & b) per "
+         "pair — the inverted index would generate Σ df² ≈ 775 M "
+         "candidate rows here); both directions of each undirected "
+         "candidate come from ONE inline explode, then the direction-"
+         "preserving group expansion.  On a real vocabulary the plan "
+         "switches to the max_df-bounded inverted index with exact "
+         "array re-verify, same output."),
+        ("text_topic_clusters", lambda s, d: __import__(
+            "full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.text",
+            fromlist=["text"]).topic_clusters(s, d),
+         "Hashed TF-IDF (fixed-width feature space, no vocabulary "
+         "broadcast) into a seeded KMeans fit, then cluster labels from "
+         "exact per-cluster document frequencies: one count aggregate "
+         "plus a rank-≤-n window (WindowGroupLimit) — the lossy hashed "
+         "centroids are never inverted.  The ML fit is the only "
+         "iterative stage; labeling is two exchanges."),
         ("text_ngram_topk", lambda s, d: __import__(
             "full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.text",
             fromlist=["text"]).ngram_topk(s, d),
