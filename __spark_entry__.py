@@ -160,6 +160,7 @@ _TAIL_ORDER = [
     "join_fuzzy_part_names",
     "text_bpe_token_count",
     "dedup_containment_pairs",
+    "events_trailing_hour",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",

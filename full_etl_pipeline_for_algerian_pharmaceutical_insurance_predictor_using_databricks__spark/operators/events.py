@@ -924,8 +924,60 @@ UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
 """
 
 
+# --------------------------------------------------------------------------
+# Event-time RANGE frame — trailing-interval window stats
+# --------------------------------------------------------------------------
+
+
+def trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how many events (and how much exact value) the same
+    user produced in the trailing hour INCLUDING this one — the
+    event-time RANGE frame (`RANGE BETWEEN INTERVAL PRECEDING`), the
+    one window-frame kind the rest of the pack doesn't exercise (ROWS
+    frames ≠ RANGE frames: a burst of same-timestamp events is one
+    peer group here, k separate rows there).
+
+    Cross-engine exactness: the order key is INTEGER epoch seconds —
+    the module's established common ground (`unix_timestamp` truncates,
+    DuckDB gets the identical integer via FLOOR(EXTRACT(epoch)), so
+    sub-second events form the same peer groups in both engines and
+    RANGE peers are frame-identical).  The windowed sum is the scaled-
+    BIGINT `_dsum` form, so frame-internal accumulation order can't
+    produce float drift.  One exchange: the user_id window partition."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    secs = F.unix_timestamp(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(secs).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("trailing_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w)
+            / F.lit(100.0)
+        ).alias("trailing_value"),
+    )
+
+
+_TRAILING_SQL = """
+SELECT event_id,
+       user_id,
+       COUNT(*) OVER w AS trailing_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+           AS trailing_value
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id
+    ORDER BY CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 QUERIES = {
     "events_funnel": funnel,
+    "events_trailing_hour": trailing_hour_stats,
     "events_hll_daily_users": hll_daily_users,
     "events_per_type_stats": per_type_stats,
     "events_salted_user_totals": salted_user_totals,
@@ -947,6 +999,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": _FUNNEL_SQL,
+    "events_trailing_hour": _TRAILING_SQL,
     "events_per_type_stats": _PER_TYPE_SQL,
     "events_salted_user_totals": _SALTED_TOTALS_SQL,
     "join_skewed_hot_user": _SKEW_JOIN_SQL,
