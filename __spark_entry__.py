@@ -168,6 +168,7 @@ _TAIL_ORDER = [
     "text_winnowed_fingerprints",
     "text_topic_clusters",
     "corpus_curation_ledger",
+    "mm_image_ahash_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_embedding_clustered",

@@ -359,8 +359,97 @@ def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 4) -> DataFram
     )
 
 
+# --------------------------------------------------------------------------
+# Perceptual image dedup — average-hash + banded Hamming join
+# --------------------------------------------------------------------------
+
+
+def image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit average hash per image: real BMP decode → grayscale →
+    8×8 nearest-neighbor downsample → bit i = pixel_i > mean.  The
+    standard perceptual fingerprint: byte-level re-encodes keep the
+    hash, small pixel edits flip few bits.  Decode+hash runs in the
+    Arrow batch where the bytes live; only (doc_id, int64) leaves."""
+    media = synthetic_bmp_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        out_ids, out_hashes = [], []
+        for batch in batches:
+            for doc_id, b in zip(batch["doc_id"], batch["image_bytes"]):
+                img = _decode_bmp(bytes(b))
+                gray = img.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                rows = (np.arange(8) * h) // 8
+                cols = (np.arange(8) * w) // 8
+                g8 = gray[np.ix_(rows, cols)]
+                bits = (g8 > g8.mean()).flatten()
+                val = np.uint64(0)
+                for i, bit in enumerate(bits):
+                    if bit:
+                        val |= np.uint64(1) << np.uint64(i)
+                out_ids.append(doc_id)
+                out_hashes.append(np.int64(val))  # wrap bit 63 to signed
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "ahash": pd.Series(out_hashes, dtype="int64"),
+                }
+            )
+            out_ids, out_hashes = [], []
+
+    return media.mapInPandas(run, "doc_id long, ahash long")
+
+
+def image_ahash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual hash, found distributed:
+    quarter-banding on the 64-bit aHash (identical to the SimHash text
+    path — any pair within ≤3 bit flips agrees exactly on ≥1 of the 4
+    16-bit quarters, pigeonhole), then exact `bit_count(xor)` verify.
+    The multimodal twin of `dedup.simhash_near_pairs`: candidates come
+    from 4 hash joins over 16-bit band buckets, never an all-pairs
+    image comparison — at 100 TB of images the pair stage only ever
+    touches 8-byte signatures."""
+    sig = image_ahash(spark, sf_dir)
+    quarters = sig.select(
+        "doc_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("ahash"), 16 * q)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias(f"q{q}")
+                    for q in range(4)
+                ]
+            )
+        ).alias("q", "qval"),
+    )
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    hamming = F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q")) & (F.col("a.qval") == F.col("b.qval")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 QUERIES = {
     "mm_image_metadata": image_metadata,
+    "mm_image_ahash_pairs": image_ahash_pairs,
     "mm_frame_sample": frame_sample,
     "mm_audio_rms": audio_rms_windows,
     "mm_image_resize": image_resize,

@@ -695,3 +695,58 @@ def test_containment_bitmask_matches_inverted_index(spark, sf_correct):
         for r in _rep_containment_pairs(groups, 0.9, max_df=10**9).collect()
     }
     assert fast == slow
+
+
+def test_image_ahash_perceptual_properties(spark, sf_correct):
+    """aHash must be identical for identical images (exact-dup docs →
+    hamming-0 pairs present), flip few bits for a small pixel edit,
+    and the banded pair join must find every ≤3-bit pair it claims."""
+    import numpy as np
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        multimodal as mm,
+    )
+
+    pairs = mm.image_ahash_pairs(spark, sf_correct).collect()
+    assert all(0 <= r.hamming <= 3 and r.doc_a < r.doc_b for r in pairs)
+    # exact-duplicate documents produce identical BMPs → hamming 0
+    sig = {r.doc_id: r.ahash for r in mm.image_ahash(spark, sf_correct).collect()}
+    dup_pairs = {(r.doc_a, r.doc_b) for r in pairs if r.hamming == 0}
+    same_hash_pairs = 0
+    by_hash: dict[int, list[int]] = {}
+    for d, h in sig.items():
+        by_hash.setdefault(h, []).append(d)
+    for ids in by_hash.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                same_hash_pairs += 1
+                assert (ids[i], ids[j]) in dup_pairs  # banding recall = 100%
+    assert same_hash_pairs > 0, "fixture should contain identical images"
+
+    # kernel-level perceptual property: one dark pixel on a light image
+    # flips few bits; inverting the image flips many
+    # gradient: sampled 8×8 grid straddles the mean, hash is balanced
+    base = np.repeat(
+        np.arange(256, dtype=np.uint8).reshape(16, 16)[:, :, None], 3, axis=2
+    )
+    edit = base.copy()
+    edit[1, 1, :] = 0
+    inverted = (255 - base).astype(np.uint8)
+
+    def ahash_of(img):
+        gray = img.astype(np.float64).mean(axis=2)
+        h, w = gray.shape
+        rows = (np.arange(8) * h) // 8
+        cols = (np.arange(8) * w) // 8
+        g8 = gray[np.ix_(rows, cols)]
+        bits = (g8 > g8.mean()).flatten()
+        v = np.uint64(0)
+        for i, bit in enumerate(bits):
+            if bit:
+                v |= np.uint64(1) << np.uint64(i)
+        return v
+
+    h_base, h_edit, h_inv = ahash_of(base), ahash_of(edit), ahash_of(inverted)
+    assert bin(int(h_base ^ h_edit)).count("1") <= 3
+    assert bin(int(h_base ^ h_inv)).count("1") >= 32
