@@ -161,6 +161,7 @@ _TAIL_ORDER = [
     "text_bpe_token_count",
     "dedup_containment_pairs",
     "events_trailing_hour",
+    "mm_audio_segments",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",

@@ -34,7 +34,7 @@ import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from ..sources import load_table
 
@@ -326,6 +326,110 @@ def audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(run, AUDIO_RMS_SCHEMA)
 
 
+def audio_low_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous low-energy runs per audio track — the
+    silence-detection / segmentation shape: decode → per-window energy
+    → below-average flag → gap-and-island grouping.
+
+    Exactness across engines: the flag compares INTEGER window
+    square-sums against the track total (`sq_sum · n_windows <
+    total_sq_sum` — the rational form of "below the track's mean
+    energy"), so no float accumulation can flip a boundary window;
+    int16² sums fit int64 with 2³¹ headroom.  The kernel ships only
+    (doc_id, window_idx, sq_sum) out of the Arrow batch; islands are
+    the classic `idx − row_number` constant-group trick — one window
+    pass per doc, no joins, no iteration."""
+    media = synthetic_wav_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            decoded = [_decode_wav(bytes(b))[0] for b in batch["audio_bytes"]]
+            samples = np.stack(decoded).astype(np.int64)
+            n_win = samples.shape[1] // AUDIO_WINDOW
+            windows = samples[:, : n_win * AUDIO_WINDOW].reshape(
+                len(batch), n_win, AUDIO_WINDOW
+            )
+            sq_sum = (windows * windows).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(batch["doc_id"].to_numpy(), n_win),
+                    "window_idx": np.tile(
+                        np.arange(n_win, dtype=np.int32), len(batch)
+                    ),
+                    "sq_sum": sq_sum.ravel(),
+                }
+            )
+
+    energy = media.mapInPandas(run, "doc_id long, window_idx int, sq_sum long")
+    w_doc = Window.partitionBy("doc_id")
+    low = (
+        energy.withColumn("total", F.sum("sq_sum").over(w_doc))
+        .withColumn("n_win", F.count("*").over(w_doc))
+        .filter(F.col("sq_sum") * F.col("n_win") < F.col("total"))
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("window_idx")
+    return (
+        low.withColumn(
+            "grp", F.col("window_idx") - F.row_number().over(w_ord)
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("window_idx").alias("start_window"),
+            F.max("window_idx").alias("end_window"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "start_window", "end_window", "n_windows")
+    )
+
+
+_AUDIO_SEGMENTS_SQL = f"""
+WITH energy AS (
+    SELECT doc_id,
+           CAST(i // {AUDIO_WINDOW} AS INT) AS window_idx,
+           SUM(s * s) AS sq_sum
+    FROM (
+        SELECT doc_id, i,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        FROM (
+            SELECT doc_id, t.i AS i,
+                   ('0x' || substr(h, 4 * t.i + 1, 2))::BIGINT
+                   + 256 * ('0x' || substr(h, 4 * t.i + 3, 2))::BIGINT AS u
+            FROM (SELECT doc_id, md5(text) AS h FROM documents)
+            CROSS JOIN range({WAV_N_SAMPLES}) AS t(i)
+        )
+    )
+    GROUP BY doc_id, i // {AUDIO_WINDOW}
+),
+low AS (
+    SELECT doc_id, window_idx
+    FROM (
+        SELECT doc_id, window_idx, sq_sum,
+               SUM(sq_sum) OVER (PARTITION BY doc_id) AS total,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_win
+        FROM energy
+    )
+    WHERE sq_sum * n_win < total
+),
+isl AS (
+    SELECT doc_id, window_idx,
+           window_idx - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY window_idx
+           ) AS grp
+    FROM low
+)
+SELECT doc_id,
+       MIN(window_idx) AS start_window,
+       MAX(window_idx) AS end_window,
+       COUNT(*) AS n_windows
+FROM isl
+GROUP BY doc_id, grp
+"""
+
+
 # --------------------------------------------------------------------------
 # "Video" frame sampling — still an opaque synthetic payload (no video
 # container parses in pure numpy); the explode+filter plumbing is real.
@@ -452,6 +556,7 @@ QUERIES = {
     "mm_image_ahash_pairs": image_ahash_pairs,
     "mm_frame_sample": frame_sample,
     "mm_audio_rms": audio_rms_windows,
+    "mm_audio_segments": audio_low_energy_segments,
     "mm_image_resize": image_resize,
 }
 
@@ -532,5 +637,6 @@ ORACLES: dict[str, str] = {
     "mm_image_metadata": _IMAGE_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
     "mm_audio_rms": _AUDIO_RMS_SQL,
+    "mm_audio_segments": _AUDIO_SEGMENTS_SQL,
     "mm_image_resize": _RESIZE_SQL,
 }
