@@ -162,6 +162,7 @@ _TAIL_ORDER = [
     "dedup_containment_pairs",
     "events_trailing_hour",
     "mm_audio_segments",
+    "text_hash_embedding",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",

@@ -772,9 +772,80 @@ def topic_clusters(
     )
 
 
+# --------------------------------------------------------------------------
+# Feature-hashed document vectors — signed hashing trick, SQL-checkable
+# --------------------------------------------------------------------------
+
+HASH_EMBED_DIM = 64
+
+
+def hash_embedding(
+    spark: SparkSession, sf_dir: str, dim: int = HASH_EMBED_DIM
+) -> DataFrame:
+    """L2-normalized feature-hashed document vectors (Weinberger's
+    signed hashing trick): every token lands in bucket
+    `md5(token) mod dim` with sign from the next hex digit's parity,
+    so collisions cancel in expectation — the classic model-free
+    vectorizer for similarity / clustering when no trained embedding
+    exists.  Surfaced SPARSE as (doc_id, dim, weight) rows: that is
+    both the scalable layout (a 1 M-dim space stores only nonzeros)
+    and what lets DuckDB replay the exact md5 bucket math — unlike
+    the (JVM-hash) HashingTF vectors, every value here is
+    engine-portable.
+
+    Exactness: bucket counts are integers, the L2 norm is one
+    sqrt(sum of int squares) per doc (window, exact), and the single
+    division per row is correctly rounded — bit-identical cross-engine.
+    One explode + one (doc, bucket) aggregate; the norm window reuses
+    the aggregate's partitioning.  md5-mod keeps signs/buckets stable
+    across engines, partitionings, and corpus growth."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"),
+    )
+    bucket = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint") % dim
+    sign = F.when(
+        F.conv(F.substring(F.md5("t"), 9, 1), 16, 10).cast("int") % 2 == 0, 1
+    ).otherwise(-1)
+    per_bucket = (
+        tok.select("doc_id", bucket.alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+    w = Window.partitionBy("doc_id")
+    norm = F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("double"))
+    return per_bucket.select(
+        "doc_id", "dim", (F.col("cnt") / norm).alias("weight")
+    )
+
+
+_HASH_EMBED_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+    FROM documents
+),
+per_bucket AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(t), 1, 8))::BIGINT % {HASH_EMBED_DIM} AS dim,
+           SUM(CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END) AS cnt
+    FROM tok
+    GROUP BY doc_id, dim
+)
+SELECT doc_id, dim,
+       cnt / sqrt(SUM(cnt * cnt) OVER (PARTITION BY doc_id)) AS weight
+FROM per_bucket
+WHERE cnt <> 0
+"""
+
+
 QUERIES = {
     "text_winnowed_fingerprints": winnowed_fingerprints,
     "text_topic_clusters": topic_clusters,
+    "text_hash_embedding": hash_embedding,
     "text_ngram_topk": ngram_topk,
     "text_bpe_token_count": bpe_token_count,
     "text_pack_sequences": pack_sequences,
@@ -790,6 +861,7 @@ QUERIES = {
 
 ORACLES = {
     "text_ngram_topk": _NGRAM_TOPK_SQL,
+    "text_hash_embedding": _HASH_EMBED_SQL,
     "text_bpe_token_count": _BPE_COUNT_SQL,
     "text_pack_sequences": _PACK_SQL,
     "text_repetition_metrics": _REPETITION_SQL,
