@@ -228,6 +228,87 @@ def stateful_sessionizer_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def trailing_hour_stream(stream: DataFrame) -> DataFrame:
+    """Streaming per-event trailing-hour stats — the stateful twin of
+    the batch RANGE frame (`operators.events.trailing_hour_stats`),
+    which built-in streaming windows cannot express (they aggregate
+    per window, not per EVENT).
+
+    State per user: the event (epoch-second, value-cents) pairs inside
+    the trailing hour of the newest processed event — O(events/hour)
+    per key, evicted as the frontier advances, never the full history.
+    Each arriving event emits its own `(count, exact value sum)` over
+    the buffer.
+
+    Ordering contract (the deterministic-parity variant of the batch
+    frame): events are processed in (epoch, event_id) order — the
+    operator sorts WITHIN each micro-batch, and cross-batch parity
+    holds when batches arrive time-ordered (the tested harness; an
+    out-of-order split changes which peers an event sees, exactly as
+    it would for any as-of-arrival metric).  The batch twin for this
+    contract is `RANGE 3600 PRECEDING` split at the current row:
+    full-seconds strictly before, plus same-second events up to and
+    including this event_id — asserted equal in tests.  Value sums
+    accumulate in INTEGER cents, so batch/stream float order can't
+    drift."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_id long, user_id long, trailing_events long, "
+        "trailing_value double"
+    )
+    state_schema = "ts array<long>, cents array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        buf_ts, buf_cents = ([], [])
+        if state.exists:
+            st = state.get
+            buf_ts, buf_cents = list(st[0]), list(st[1])
+        frames = [
+            pdf[["event_id", "ts", "value"]] for pdf in pdfs if len(pdf)
+        ]
+        if not frames:
+            state.update((buf_ts, buf_cents))
+            return
+        batch = pd.concat(frames)
+        secs = (
+            batch["ts"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        )
+        batch = pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype("int64"),
+                "t": secs,
+                "cents": (batch["value"] * 100).round().astype("int64"),
+            }
+        ).sort_values(["t", "event_id"])
+        out = []
+        for eid, t, cents in batch.itertuples(index=False):
+            t = int(t)
+            while buf_ts and buf_ts[0] < t - 3600:
+                buf_ts.pop(0)
+                buf_cents.pop(0)
+            buf_ts.append(t)
+            buf_cents.append(int(cents))
+            out.append((int(eid), len(buf_ts), sum(buf_cents)))
+        state.update((buf_ts, buf_cents))
+        yield pd.DataFrame(
+            {
+                "event_id": [o[0] for o in out],
+                "user_id": [user_id] * len(out),
+                "trailing_events": [o[1] for o in out],
+                "trailing_value": [o[2] / 100.0 for o in out],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def funnel_stage_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of `operators.events.funnel`: per-user ordered
     funnel progress (view → click → purchase, each stage strictly

@@ -938,3 +938,84 @@ def test_registry_asof_snapshot_and_compaction_horizon(spark, tmp_path):
         jobs.read_registry_asof(spark, reg, 4)
     with _pytest.raises(ValueError, match="no batches at or before"):
         jobs.read_registry_asof(spark, reg, -1)
+
+
+def test_trailing_hour_stream_matches_batch_split_semantics(
+    spark, sf_dir, tmp_path
+):
+    """Per-event trailing-hour stats maintained across two time-ordered
+    arrival batches must equal the batch RANGE-frame split at the
+    current row (full seconds strictly before + same-second peers up to
+    this event_id).  The split boundary is second-aligned so no peer
+    group straddles batches — the operator's documented ordering
+    contract."""
+    import glob as g
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    median_sec = ev.select(secs.alias("s")).approxQuantile("s", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, half in [
+        ("a", ev.filter(secs <= median_sec)),
+        ("b", ev.filter(secs > median_sec)),
+    ]:
+        d = tmp_path / f"_{name}"
+        half.withColumn(
+            "ts", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)")
+        ).coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", str(src))
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    result = jobs.run_available_now(
+        jobs.trailing_hour_stream(stream), "t_trailing", output_mode="update"
+    )
+    streamed = {
+        r.event_id: (r.trailing_events, round(r.trailing_value, 2))
+        for r in result.collect()
+    }
+
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w_prior = (
+        Window.partitionBy("user_id").orderBy(secs).rangeBetween(-3600, -1)
+    )
+    w_peer = (
+        Window.partitionBy("user_id", secs.alias("s"))
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = ev.select(
+        "event_id",
+        (
+            F.coalesce(F.count("*").over(w_prior), F.lit(0))
+            + F.count("*").over(w_peer)
+        ).alias("trailing_events"),
+        (
+            (
+                F.coalesce(F.sum(cents).over(w_prior), F.lit(0))
+                + F.sum(cents).over(w_peer)
+            )
+            / 100.0
+        ).alias("trailing_value"),
+    )
+    expected = {
+        r.event_id: (r.trailing_events, round(r.trailing_value, 2))
+        for r in batch.collect()
+    }
+    assert streamed == expected
