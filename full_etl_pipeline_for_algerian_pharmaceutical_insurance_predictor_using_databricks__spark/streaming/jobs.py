@@ -1138,6 +1138,68 @@ def hourly_rollup_read_asof(
     )
 
 
+def scrub_registry(
+    spark: SparkSession, registry_dir: str, column: str, values
+) -> int:
+    """Right-to-be-forgotten hard delete across a batch-keyed registry:
+    rewrite every `batch=*` dir that contains a row whose `column` is
+    in `values`, dropping those rows.  Returns the number of dirs
+    rewritten.
+
+    Deletion REWRITES history on purpose: after a scrub, as-of
+    snapshot reads (`read_registry_asof`) no longer surface the
+    forgotten rows either — the GDPR contract that time travel must
+    not resurrect deleted subjects (Delta's DELETE + VACUUM pairing).
+    Untouched batch dirs keep their files byte-identical, so the
+    rewrite cost is proportional to where the subject actually
+    appears, not registry size.
+
+    Crash safety mirrors `merge_upsert`'s swap: per dir, write to a
+    tmp, rename the original OUT of the `batch=*` namespace (so a
+    half-finished scrub never double-feeds the readers' glob), rename
+    tmp in, then drop the old copy; an entry-time sweep restores or
+    discards leftovers from a crashed run, making reruns idempotent.
+
+    `values` is a driver-side list — forget requests are small by
+    nature; a massive purge would use an anti-join against a forget
+    table instead (same rewrite loop, different predicate)."""
+    import glob as g
+    import shutil
+
+    # recover from a crashed scrub: a parked original whose batch dir
+    # is missing went down between the two renames — restore it;
+    # leftovers whose batch dir exists are already-published rewrites.
+    for old in g.glob(f"{registry_dir}/_scrub_old__*"):
+        orig = os.path.join(
+            registry_dir, os.path.basename(old)[len("_scrub_old__"):]
+        )
+        if os.path.isdir(orig):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, orig)
+    tmp = f"{registry_dir}/_scrub_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+
+    vals = list(values)
+    rewritten = 0
+    for p in sorted(g.glob(f"{registry_dir}/batch=*")):
+        df = spark.read.parquet(p)
+        if df.filter(F.col(column).isin(vals)).limit(1).count() == 0:
+            continue
+        df.filter(~F.col(column).isin(vals)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        parked = os.path.join(
+            registry_dir, "_scrub_old__" + os.path.basename(p)
+        )
+        os.rename(p, parked)
+        os.rename(tmp, p)
+        shutil.rmtree(parked)
+        rewritten += 1
+    return rewritten
+
+
 def compact_registry(
     spark: SparkSession,
     registry_dir: str,

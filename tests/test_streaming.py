@@ -1019,3 +1019,47 @@ def test_trailing_hour_stream_matches_batch_split_semantics(
         for r in batch.collect()
     }
     assert streamed == expected
+
+
+def test_scrub_registry_forgets_everywhere_including_snapshots(
+    spark, tmp_path
+):
+    """Scrubbed subjects vanish from current AND as-of reads (deletion
+    rewrites history); untouched batch dirs keep their files; reruns
+    are idempotent; a crash between the two renames recovers."""
+    import os
+    import shutil
+
+    reg = str(tmp_path / "reg")
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10 + i, f"u{b * 10 + i}") for i in range(3)],
+            "doc_id long, payload string",
+        ).write.parquet(f"{reg}/batch={b}")
+    files_before = {
+        b: sorted(os.listdir(f"{reg}/batch={b}")) for b in range(4)
+    }
+
+    n = jobs.scrub_registry(spark, reg, "doc_id", [11, 30])
+    assert n == 2  # only batches 1 and 3 contained the subjects
+    current = {r.doc_id for r in spark.read.parquet(f"{reg}/batch=*").collect()}
+    assert current == {0, 1, 2, 10, 12, 20, 21, 22, 31, 32}
+    # as-of snapshot no longer resurrects the forgotten row
+    asof1 = {
+        r.doc_id for r in jobs.read_registry_asof(spark, reg, 1).collect()
+    }
+    assert 11 not in asof1 and asof1 == {0, 1, 2, 10, 12}
+    # untouched dirs byte-identical (same files), rerun is a no-op
+    assert sorted(os.listdir(f"{reg}/batch=0")) == files_before[0]
+    assert sorted(os.listdir(f"{reg}/batch=2")) == files_before[2]
+    assert jobs.scrub_registry(spark, reg, "doc_id", [11, 30]) == 0
+
+    # crash simulation: original parked, new dir never published
+    parked = f"{reg}/_scrub_old__batch=2"
+    os.rename(f"{reg}/batch=2", parked)
+    assert not os.path.isdir(f"{reg}/batch=2")
+    jobs.scrub_registry(spark, reg, "doc_id", [999])  # entry sweep recovers
+    assert os.path.isdir(f"{reg}/batch=2") and not os.path.isdir(parked)
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{reg}/batch=2").collect()
+    } == {20, 21, 22}
