@@ -56,14 +56,15 @@ def _parsed_lines(
     # a line whose EVERY declared field parsed to null is corrupt even
     # if from_csv salvaged nothing into the capture field; normalize so
     # the quarantine filter is one predicate
+    from functools import reduce
+
+    any_field = reduce(
+        lambda a, b: a | b,
+        [F.col(f"_r.{f.name}").isNotNull() for f in schema.fields],
+    )
     corrupt = F.coalesce(
         F.col(f"_r.{CORRUPT_COL}"),
-        F.when(
-            ~F.greatest(
-                *[F.col(f"_r.{f.name}").isNotNull() for f in schema.fields]
-            ),
-            F.col("value"),
-        ),
+        F.when(~any_field, F.col("value")),
     )
     return out.select("_file", "value", *cols, corrupt.alias(CORRUPT_COL))
 
