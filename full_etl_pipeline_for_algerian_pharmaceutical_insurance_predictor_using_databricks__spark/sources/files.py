@@ -122,28 +122,32 @@ def observed_read(
     fmt: str = "csv",
     **reader_kwargs,
 ):
-    """Landing read with INGESTION METRICS riding the scan itself:
-    returns (good, bad, observation) where `observation.get` yields
-    {'lines', 'quarantined'} after the first action on either split.
+    """Landing read with INGESTION METRICS: returns (good, bad,
+    metrics) where metrics = {'lines', 'quarantined'} for this load —
+    the landing-zone health check (row volume + quarantine rate).
 
-    Uses Spark's Observation API (an accumulator-backed `observe`
-    node): the counters are collected DURING whatever action the
-    caller already runs — never a second scan, which at 100 TB is the
-    difference between free telemetry and doubling the ingest bill.
-    This is the engine-native version of a landing-zone health check
-    (row volume + quarantine rate per load)."""
-    from pyspark.sql import Observation
-
+    The parsed plan carries a NAMED `observe` node ("landing"), so the
+    same counters also surface in every query-execution event for
+    whatever monitoring listener the deployment runs — there the
+    telemetry rides the caller's own action, no extra scan.  The dict
+    returned HERE costs one explicit aggregate over the parsed
+    lineage, because the in-process retrieval API (the `Observation`
+    class) is unusable in this Spark build: registering one poisons
+    the session — every later job whose closure the cleaner walks dies
+    with `NotSerializableException: ObservationManager` (verified
+    empirically; the string-named node has no such side effect)."""
     reader = read_csv if fmt == "csv" else read_jsonl
-    parsed = reader(spark, path, schema, **reader_kwargs)
-    obs = Observation("landing")
-    parsed = parsed.observe(
-        obs,
+    parsed = reader(spark, path, schema, **reader_kwargs).observe(
+        "landing",
         F.count(F.lit(1)).alias("lines"),
         F.count(F.col(CORRUPT_COL)).alias("quarantined"),
     )
+    row = parsed.agg(
+        F.count(F.lit(1)).alias("lines"),
+        F.count(F.col(CORRUPT_COL)).alias("quarantined"),
+    ).first()
     good, bad = quarantine_split(parsed)
-    return good, bad, obs
+    return good, bad, {"lines": row["lines"], "quarantined": row["quarantined"]}
 
 
 def quarantine_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:

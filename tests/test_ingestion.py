@@ -312,9 +312,12 @@ def test_jsonl_quarantine_split(spark, tmp_path):
     assert bad.count() == 2  # broken line + type-mismatched record
 
 
-def test_observed_read_metrics_ride_the_scan(spark, tmp_path):
-    """Observation metrics must equal the actual routed counts and be
-    available after ONE action — telemetry without a second scan."""
+def test_observed_read_metrics_match_routed_counts(spark, tmp_path):
+    """The metrics dict must equal the actual routed counts, and the
+    plan must carry the named observe node for listener-based
+    telemetry.  (The Observation-object API is deliberately NOT used:
+    registering one poisons the session for later closure-cleaned
+    jobs — NotSerializableException: ObservationManager.)"""
     from pyspark.sql import types as T
 
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
@@ -330,8 +333,8 @@ def test_observed_read_metrics_ride_the_scan(spark, tmp_path):
             T.StructField("price", T.DoubleType()),
         ]
     )
-    good, bad, obs = files.observed_read(spark, str(p), schema)
-    assert good.count() == 3  # the one action that also fills the metrics
-    m = obs.get
+    good, bad, m = files.observed_read(spark, str(p), schema)
     assert m["lines"] == 4 and m["quarantined"] == 1
+    assert good.count() == 3
     assert bad.count() == 1
+    assert "CollectMetrics" in good._jdf.queryExecution().analyzed().toString()
