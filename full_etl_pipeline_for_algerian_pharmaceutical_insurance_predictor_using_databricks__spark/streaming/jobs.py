@@ -1163,10 +1163,39 @@ def scrub_registry(
     `values` is a driver-side list — forget requests are small by
     nature; a massive purge would use an anti-join against a forget
     table instead (same rewrite loop, different predicate)."""
+    return _rewrite_registry(
+        spark, registry_dir, F.col(column).isin(list(values))
+    )
+
+
+def expire_registry(
+    spark: SparkSession, registry_dir: str, column: str, before
+) -> int:
+    """Retention policy for batch-keyed registries: hard-delete all
+    rows whose `column` (an event-time attribute, e.g. the rollup's
+    `hour_start`) is strictly below `before` — the time-based twin of
+    `scrub_registry`, completing the registry lifecycle (ingest →
+    compact → snapshot → scrub → expire).
+
+    Unlike compaction (which preserves content) this REWRITES history:
+    as-of snapshots stop surfacing expired rows, which is the
+    retention contract (expired data must be gone, not reachable via
+    time travel).  Only batch dirs actually containing out-of-horizon
+    rows are rewritten — for an append-mostly time-ordered registry
+    that is the oldest few dirs, so steady-state expiry cost is
+    bounded by the expiry step, not registry size."""
+    return _rewrite_registry(spark, registry_dir, F.col(column) < F.lit(before))
+
+
+def _rewrite_registry(spark: SparkSession, registry_dir: str, drop) -> int:
+    """Shared crash-safe rewrite loop: drop rows matching the `drop`
+    Column predicate from every `batch=*` dir that has any, using the
+    parked-rename swap + entry-time recovery described in
+    `scrub_registry`."""
     import glob as g
     import shutil
 
-    # recover from a crashed scrub: a parked original whose batch dir
+    # recover from a crashed rewrite: a parked original whose batch dir
     # is missing went down between the two renames — restore it;
     # leftovers whose batch dir exists are already-published rewrites.
     for old in g.glob(f"{registry_dir}/_scrub_old__*"):
@@ -1181,15 +1210,12 @@ def scrub_registry(
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
 
-    vals = list(values)
     rewritten = 0
     for p in sorted(g.glob(f"{registry_dir}/batch=*")):
         df = spark.read.parquet(p)
-        if df.filter(F.col(column).isin(vals)).limit(1).count() == 0:
+        if df.filter(drop).limit(1).count() == 0:
             continue
-        df.filter(~F.col(column).isin(vals)).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        df.filter(~drop).coalesce(1).write.mode("overwrite").parquet(tmp)
         parked = os.path.join(
             registry_dir, "_scrub_old__" + os.path.basename(p)
         )

@@ -1063,3 +1063,28 @@ def test_scrub_registry_forgets_everywhere_including_snapshots(
     assert {
         r.doc_id for r in spark.read.parquet(f"{reg}/batch=2").collect()
     } == {20, 21, 22}
+
+
+def test_expire_registry_retention_horizon(spark, tmp_path):
+    """Rows below the retention horizon vanish from current and as-of
+    reads; within-horizon dirs keep their files; scrub still works
+    after the shared-loop refactor."""
+    import os
+
+    reg = str(tmp_path / "ttl_reg")
+    for b in range(3):
+        spark.createDataFrame(
+            [(f"2026-01-0{b + 1} 00:00:00", "click", 5 + b)],
+            "hour_start string, event_type string, events long",
+        ).write.parquet(f"{reg}/batch={b}")
+    files_b2 = sorted(os.listdir(f"{reg}/batch=2"))
+
+    n = jobs.expire_registry(spark, reg, "hour_start", "2026-01-03 00:00:00")
+    assert n == 2  # batches 0 and 1 held expired rows; batch 2 untouched
+    left = {r.hour_start for r in spark.read.parquet(f"{reg}/batch=*").collect()}
+    assert left == {"2026-01-03 00:00:00"}
+    assert sorted(os.listdir(f"{reg}/batch=2")) == files_b2
+    # as-of cannot resurrect expired data
+    assert jobs.read_registry_asof(spark, reg, 1).count() == 0
+    # idempotent
+    assert jobs.expire_registry(spark, reg, "hour_start", "2026-01-03 00:00:00") == 0
