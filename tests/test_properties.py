@@ -230,3 +230,51 @@ def test_zorder_key_matches_reference_morton(spark, pts):
 
     want = [morton(int(x), int(y)) for x, y in pts]
     assert got == want
+
+
+@_SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcde")), min_size=1, max_size=4),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([0.0, 0.34, 0.5, 0.9, 1.0]),
+)
+def test_contracted_containment_equals_bruteforce(spark, token_lists, threshold):
+    """The directed containment pipeline (contract → rep-level
+    candidates → both-direction emit → directed expansion) must equal
+    brute-force |A∩B|/|A| over all ordered pairs — duplicate sets,
+    subset chains (the containment-specific case), and edge thresholds
+    included.  Values compare EXACTLY (int/int division both sides).
+    Dispatch note: tiny alphabets exercise the bitmask strategy;
+    the max_df=None inverted path is pitted against it in
+    tests/test_llm_ops.py."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        dedup,
+    )
+
+    sets_ = [frozenset(toks) for toks in token_lists]
+    tok_df = spark.createDataFrame(
+        [(i, t) for i, s in enumerate(sets_) for t in sorted(s)],
+        "doc_id long, token string",
+    )
+    groups = dedup._contract(tok_df)
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup._expand_rep_pairs_directed(
+            dedup._rep_containment_pairs(groups, threshold), groups, threshold
+        ).collect()
+    }
+    want = {}
+    for a in range(len(sets_)):
+        for b in range(len(sets_)):
+            if a == b:
+                continue
+            inter = len(sets_[a] & sets_[b])
+            if inter == 0:
+                continue  # candidates require a shared token
+            c = inter / len(sets_[a])
+            if c >= threshold:
+                want[(a, b)] = c
+    assert got == want
