@@ -448,6 +448,46 @@ def click_purchase_interval_join_stream(stream: DataFrame) -> DataFrame:
     ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
 
 
+def click_purchase_left_outer_stream(stream: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits —
+    matched against the user's preceding-30-minute clicks when any
+    exist, with NULL click columns otherwise.  The outer side is the
+    semantically hard part of streaming joins: an unmatched purchase
+    can only be declared unmatched once the WATERMARK passes its join
+    window (no future click can still arrive), so null rows surface
+    with watermark latency while matches emit immediately — state
+    eviction and outer-row emission share the same clock.  Both-side
+    watermarks + both-side time bounds keep state finite forever, same
+    as the inner twin above."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "click_ts >= purchase_ts - INTERVAL 30 MINUTES AND "
+            "click_ts < purchase_ts"
+        ),
+        "left_outer",
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
+
+
 def click_purchase_interval_join_batch(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

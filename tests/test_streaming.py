@@ -1088,3 +1088,51 @@ def test_expire_registry_retention_horizon(spark, tmp_path):
     assert jobs.read_registry_asof(spark, reg, 1).count() == 0
     # idempotent
     assert jobs.expire_registry(spark, reg, "hour_start", "2026-01-03 00:00:00") == 0
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir):
+    """Matched rows must equal the inner join exactly; null rows must
+    be genuine batch-unmatched purchases; and every unmatched purchase
+    old enough for the final watermark to have passed its join window
+    must have emitted its null row (trailing purchases the drained
+    stream could not yet declare unmatched are the only legal gap)."""
+    stream = jobs.events_stream(spark, sf_dir)
+    result = jobs.run_available_now(
+        jobs.click_purchase_left_outer_stream(stream), "t_ssouter",
+        output_mode="append",
+    ).collect()
+    got_matched = {
+        (r.purchase_id, r.click_id) for r in result if r.click_id is not None
+    }
+    got_nulls = {r.purchase_id for r in result if r.click_id is None}
+
+    inner = {
+        (r.purchase_id, r.click_id)
+        for r in jobs.click_purchase_interval_join_batch(spark, sf_dir).collect()
+    }
+    assert got_matched == inner
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = {
+        r.event_id: r.t
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.unix_timestamp("ts").alias("t"))
+        .collect()
+    }
+    matched_ids = {pid for pid, _ in inner}
+    unmatched = set(purchases) - matched_ids
+    # null rows are genuine unmatched purchases, emitted at most once
+    assert got_nulls <= unmatched
+    null_rows = [r.purchase_id for r in result if r.click_id is None]
+    assert len(null_rows) == len(set(null_rows))
+    # watermark-mature unmatched purchases MUST have emitted
+    max_t = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    horizon = max_t - 10 * 60 - 30 * 60  # watermark delay + join window
+    mature = {p for p in unmatched if purchases[p] < horizon}
+    # outer rows flush when a LATER trigger advances the watermark past
+    # them; the drained stream's final trigger can leave the newest
+    # boundary row un-flushed — allow exactly that engine latency
+    missing = mature - got_nulls
+    assert len(missing) <= 1, f"unflushed mature outer rows: {sorted(missing)}"
+    assert len(got_nulls) >= len(mature) - 1
+    assert got_nulls, "outer join emitted no null rows"
