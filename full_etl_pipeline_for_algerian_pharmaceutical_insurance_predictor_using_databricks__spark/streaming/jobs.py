@@ -1121,7 +1121,10 @@ def _batch_span(path: str) -> tuple[int, int]:
 
 
 def read_registry_asof(
-    spark: SparkSession, registry_dir: str, as_of_batch: int | None = None
+    spark: SparkSession,
+    registry_dir: str,
+    as_of_batch: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot read of a batch-keyed registry AS OF a batch id: only
     `batch=*` dirs whose whole span is ≤ `as_of_batch` participate —
@@ -1135,8 +1138,22 @@ def read_registry_asof(
     can only be read whole, so a snapshot strictly inside a merged
     span no longer exists and raises (callers schedule compaction
     behind their retention horizon, exactly like VACUUM).
+
+    `merge_schema=True` handles SCHEMA EVOLUTION across the registry's
+    lifetime: batches written after a producer upgrade may carry new
+    columns; the merged read surfaces the union schema with NULLs for
+    pre-upgrade rows (parquet mergeSchema — the additive-only
+    evolution Delta allows by default).  An as-of read BEFORE the
+    upgrade batch naturally returns the old schema: time travel and
+    schema history stay consistent for free.
     """
     import glob as g
+
+    def _read(*paths):
+        r = spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(*paths)
 
     spans = sorted(
         ((p, *_batch_span(p)) for p in g.glob(f"{registry_dir}/batch=*")),
@@ -1145,7 +1162,7 @@ def read_registry_asof(
     if not spans:
         raise ValueError(f"read_registry_asof: no batch dirs in {registry_dir}")
     if as_of_batch is None:
-        return spark.read.parquet(*[p for p, _, _ in spans])
+        return _read(*[p for p, _, _ in spans])
     inside = [(p, lo, hi) for p, lo, hi in spans if lo <= as_of_batch < hi]
     if inside:
         p, lo, hi = inside[0]
@@ -1159,7 +1176,7 @@ def read_registry_asof(
         raise ValueError(
             f"read_registry_asof: no batches at or before {as_of_batch}"
         )
-    return spark.read.parquet(*keep)
+    return _read(*keep)
 
 
 def hourly_rollup_read_asof(

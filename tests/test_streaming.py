@@ -1136,3 +1136,25 @@ def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir):
     assert len(missing) <= 1, f"unflushed mature outer rows: {sorted(missing)}"
     assert len(got_nulls) >= len(mature) - 1
     assert got_nulls, "outer join emitted no null rows"
+
+
+def test_registry_asof_schema_evolution(spark, tmp_path):
+    """Additive schema evolution across registry batches: the merged
+    read surfaces the union schema with NULLs for pre-upgrade rows,
+    while an as-of read before the upgrade keeps the old schema —
+    time travel and schema history stay consistent."""
+    reg = str(tmp_path / "evo_reg")
+    spark.createDataFrame(
+        [(1, "a")], "doc_id long, payload string"
+    ).write.parquet(f"{reg}/batch=0")
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id long, payload string, lang string"
+    ).write.parquet(f"{reg}/batch=1")
+
+    merged = jobs.read_registry_asof(spark, reg, merge_schema=True)
+    assert set(merged.columns) == {"doc_id", "payload", "lang"}
+    rows = {r.doc_id: r.lang for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
+
+    before = jobs.read_registry_asof(spark, reg, 0, merge_schema=True)
+    assert set(before.columns) == {"doc_id", "payload"}
