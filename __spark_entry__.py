@@ -163,6 +163,7 @@ _TAIL_ORDER = [
     "events_trailing_hour",
     "mm_audio_segments",
     "text_hash_embedding",
+    "events_value_time_stats",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",

@@ -975,9 +975,122 @@ WINDOW w AS (
 """
 
 
+# --------------------------------------------------------------------------
+# Statistical aggregates — exact-integer variance / correlation
+# --------------------------------------------------------------------------
+
+#: Fixed epoch offset subtracted from ts seconds before squaring so
+#: Σy² stays far inside BIGINT; a constant shift changes neither
+#: variance nor correlation.
+_TS_OFFSET = 1_700_000_000
+
+
+def value_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: value variance/stddev and the value↔time
+    Pearson correlation — the statistical-aggregate family
+    (VAR_POP/STDDEV/CORR), computed from EXACT integer moment sums.
+
+    Spark's `var_pop`/`corr` accumulate floating partials whose
+    merge order is nondeterministic, and DuckDB uses a different
+    update algorithm — the two engines drift in the last ulps, so the
+    built-ins can't be value-hashed cross-engine.  The moment-sum
+    forms are exact instead: value → cents (2-decimal grid), time →
+    offset epoch seconds (the constant shift leaves var/corr
+    untouched but keeps Σy² ≪ 2⁶³), then
+
+        var_pop = (n·Σx² − (Σx)²) / n²
+        corr    = (n·Σxy − ΣxΣy) / sqrt((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²))
+
+    over BIGINT sums — every division/sqrt happens ONCE on exact
+    integers, bit-identical in both engines.  One aggregation pass,
+    map-side partials, same plan shape as any multi-agg groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("bigint")  # cents
+    y = F.unix_timestamp("ts") - F.lit(_TS_OFFSET)
+    # second moments ACCUMULATE in decimal(38,0): Σy² alone reaches
+    # ~4e18 at sf0.1 and would overflow the BIGINT sum ~10× later —
+    # the per-row squares stay BIGINT (cheap), only the sum widens
+    # (DuckDB does the same implicitly by promoting SUM(BIGINT) to
+    # HUGEINT, which is why the oracle never overflows).
+    wide = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
+    agg = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("sx"),
+            wide(x * x).alias("sxx"),
+            F.sum(y).alias("sy"),
+            wide(y * y).alias("syy"),
+            wide(x * y).alias("sxy"),
+        )
+    )
+    # moment combination in 128-bit decimals: n·Σyy overflows BIGINT at
+    # sf0.01 (Σy² ≈ 4e18 alone) but is exact in decimal(38,0) — the
+    # Spark analogue of DuckDB's automatic HUGEINT promotion for
+    # integer sums.  The EXACT integers then round to double once,
+    # identically in both engines (IEEE nearest of the same value).
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    n = d(F.col("n"))
+    var_cents = (n * d(F.col("sxx")) - d(F.col("sx")) * d(F.col("sx"))).cast(
+        "double"
+    )
+    var_y = (n * d(F.col("syy")) - d(F.col("sy")) * d(F.col("sy"))).cast(
+        "double"
+    )
+    cov = (n * d(F.col("sxy")) - d(F.col("sx")) * d(F.col("sy"))).cast(
+        "double"
+    )
+    nn = (n * n).cast("double")
+    var_value = var_cents / nn / F.lit(10_000.0)
+    return agg.select(
+        "event_type",
+        "n",
+        (F.col("sx").cast("double") / F.col("n") / F.lit(100.0)).alias(
+            "mean_value"
+        ),
+        var_value.alias("var_value"),
+        F.sqrt(var_value).alias("std_value"),
+        (cov / F.sqrt(var_cents * var_y)).alias("corr_value_time"),
+    ).orderBy("event_type")
+
+
+_VALUE_TIME_STATS_SQL = f"""
+WITH m AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(x) AS sx, SUM(x * x) AS sxx,
+           SUM(y) AS sy, SUM(y * y) AS syy,
+           SUM(x * y) AS sxy
+    FROM (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)
+                   - {_TS_OFFSET} AS y
+        FROM events
+    )
+    GROUP BY event_type
+)
+SELECT event_type,
+       n,
+       CAST(sx AS DOUBLE) / n / 100.0 AS mean_value,
+       CAST(n * sxx - sx * sx AS DOUBLE)
+           / CAST(n * n AS DOUBLE) / 10000.0 AS var_value,
+       sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+            / CAST(n * n AS DOUBLE) / 10000.0) AS std_value,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_value_time
+FROM m
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_funnel": funnel,
     "events_trailing_hour": trailing_hour_stats,
+    "events_value_time_stats": value_time_stats,
     "events_hll_daily_users": hll_daily_users,
     "events_per_type_stats": per_type_stats,
     "events_salted_user_totals": salted_user_totals,
@@ -1000,6 +1113,7 @@ QUERIES = {
 ORACLES = {
     "events_funnel": _FUNNEL_SQL,
     "events_trailing_hour": _TRAILING_SQL,
+    "events_value_time_stats": _VALUE_TIME_STATS_SQL,
     "events_per_type_stats": _PER_TYPE_SQL,
     "events_salted_user_totals": _SALTED_TOTALS_SQL,
     "join_skewed_hot_user": _SKEW_JOIN_SQL,
