@@ -56,6 +56,8 @@ HEADLINE = [
     "events_gapfill_locf",
     "events_retention_cohorts",
     "events_hourly_anomalies",
+    "events_trailing_hour",
+    "events_value_time_stats",
     "window_analytics_pack",
     "text_doc_profile",
     "text_train_prep",
