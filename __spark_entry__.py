@@ -164,6 +164,8 @@ _TAIL_ORDER = [
     "mm_audio_segments",
     "text_hash_embedding",
     "events_value_time_stats",
+    "text_boilerplate_scrub",
+    "sample_split_leakproof",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",

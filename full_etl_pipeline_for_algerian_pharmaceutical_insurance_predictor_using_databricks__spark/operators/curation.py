@@ -665,6 +665,193 @@ def curate_corpus(
     )
 
 
+# --------------------------------------------------------------------------
+# 9. Boilerplate-segment scrubbing (CCNet-style sub-document dedup)
+# --------------------------------------------------------------------------
+
+SEG_TOKENS = 2  # segment = non-overlapping token window (corpus has no \n)
+BOILER_TOP_K = 64  # heavy-hitter segments scrubbed corpus-wide
+
+
+def boilerplate_scrub(
+    spark: SparkSession,
+    sf_dir: str,
+    seg_tokens: int = SEG_TOKENS,
+    top_k: int = BOILER_TOP_K,
+) -> DataFrame:
+    """Sub-document boilerplate removal, the CCNet/RefinedWeb curation
+    step the whole-doc dedup family can't express: segment every
+    document (fixed token windows standing in for lines — the fixture
+    corpus has no newlines), rank segments by corpus-wide document
+    frequency, and scrub the top-k heavy hitters from every document,
+    reassembling the surviving text in original order.  A rank
+    threshold (not a df fraction) keeps the operator non-degenerate at
+    any corpus size: "the 64 most widespread segments" is meaningful
+    at sf0.001 and at 100 TB alike.
+
+    Spark shape: segmenting is the chunk_windows narrow map (sequence →
+    transform → posexplode, no shuffle); the df ranking aggregates to
+    ≤|vocab|^seg_tokens rows and top-k is a TakeOrderedAndProject with
+    a (df DESC, seg_text) total order, so the boilerplate set is
+    deterministic under ties and TINY — the scrub itself is a
+    broadcast LEFT ANTI join (no shuffle of the corpus), and the
+    reassembly is the single groupBy(doc_id) shuffle.  Docs whose
+    every segment is boilerplate survive as empty rows via the
+    left join back to the per-doc base (they must stay in the ledger,
+    not vanish)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("a")
+    ).withColumn("n_segs", F.ceil(F.size("a") / F.lit(seg_tokens)).cast("int"))
+    seg = F.expr(
+        f"transform(sequence(0, n_segs - 1), i -> struct("
+        f" i AS seg_idx,"
+        f" concat_ws(' ', slice(a, i * {seg_tokens} + 1, {seg_tokens})) AS seg_text))"
+    )
+    segs = (
+        arr.select("doc_id", F.explode(seg).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.seg_idx").cast("int").alias("seg_idx"),
+            F.col("s.seg_text").alias("seg_text"),
+        )
+    )
+    boiler = (
+        segs.groupBy("seg_text")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), "seg_text")
+        .limit(top_k)
+        .select("seg_text")
+    )
+    kept = segs.join(F.broadcast(boiler), "seg_text", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("segs_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                lambda s: s["seg_text"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        arr.select("doc_id", F.col("n_segs").alias("segs_total"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "segs_total",
+            F.coalesce(F.col("segs_kept"), F.lit(0).cast("bigint")).alias(
+                "segs_kept"
+            ),
+            (
+                F.col("segs_total").cast("bigint")
+                - F.coalesce(F.col("segs_kept"), F.lit(0).cast("bigint"))
+            ).alias("segs_dropped"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+_BOILER_SQL = rf"""
+WITH arrs AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS a,
+           CAST(CEIL(len(regexp_split_to_array(trim(text), '\s+'))
+                     / {SEG_TOKENS}.0) AS INT) AS n_segs
+    FROM documents
+),
+segs AS (
+    SELECT doc_id,
+           CAST(i AS INT) AS seg_idx,
+           array_to_string(
+               a[(i * {SEG_TOKENS} + 1):(i * {SEG_TOKENS} + {SEG_TOKENS})],
+               ' ') AS seg_text
+    FROM arrs, unnest(generate_series(0, n_segs - 1)) AS t(i)
+),
+boiler AS (
+    SELECT seg_text
+    FROM (SELECT seg_text, count(DISTINCT doc_id) AS df
+          FROM segs GROUP BY seg_text)
+    ORDER BY df DESC, seg_text
+    LIMIT {BOILER_TOP_K}
+),
+kept AS (
+    SELECT s.* FROM segs s
+    WHERE s.seg_text NOT IN (SELECT seg_text FROM boiler)
+),
+agg AS (
+    SELECT doc_id,
+           count(*) AS segs_kept,
+           string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n_segs AS segs_total,
+       COALESCE(a.segs_kept, 0) AS segs_kept,
+       CAST(b.n_segs AS BIGINT) - COALESCE(a.segs_kept, 0) AS segs_dropped,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM arrs b LEFT JOIN agg a USING (doc_id)
+"""
+
+# --------------------------------------------------------------------------
+# 10. Leakage-proof (group-aware) dataset split
+# --------------------------------------------------------------------------
+
+GSPLIT_SALT = "gsplit:"
+
+
+def split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split decided by the hash of the document's
+    CONTENT fingerprint, not its id: every exact near-duplicate group
+    (same canonical-form md5, the dedup.exact_dedup key) lands in the
+    same split by construction, so a test document can never have a
+    training-set twin — the eval-contamination failure mode the plain
+    id-hash split (`train_split`) cannot rule out.  Same engine/
+    partitioning/corpus-growth independence as the id split; the salt
+    decorrelates the assignment from the fingerprint's other uses.
+    At 100 TB this is a narrow map — no join against a group table,
+    because the group KEY is itself derivable per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "))
+    )
+    h = F.substring(F.md5(F.concat(F.lit(GSPLIT_SALT), fp)), 1, 8)
+    bucket = F.conv(h, 16, 10).cast("bigint") % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        bucket.alias("bucket"),
+        split.alias("split"),
+    )
+
+
+_GSPLIT_SQL = f"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fingerprint
+    FROM documents
+),
+b AS (
+    SELECT doc_id, fingerprint,
+           ('0x' || substr(md5('{GSPLIT_SALT}' || fingerprint), 1, 8))::BIGINT
+               % 100 AS bucket
+    FROM fp
+)
+SELECT doc_id, fingerprint, bucket,
+       CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+            WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test'
+       END AS split
+FROM b
+"""
+
+
 QUERIES = {
     "text_pii_redaction": pii_redaction,
     "text_chunk_windows": chunk_windows,
@@ -675,6 +862,8 @@ QUERIES = {
     "sample_cap_per_source": cap_per_source,
     "agg_column_profile": column_profile,
     "corpus_curation_ledger": curate_corpus,
+    "text_boilerplate_scrub": boilerplate_scrub,
+    "sample_split_leakproof": split_leakproof,
 }
 
 ORACLES = {
@@ -686,4 +875,6 @@ ORACLES = {
     "agg_equidepth_histogram": _EQUIDEPTH_SQL,
     "sample_cap_per_source": _CAP_SQL,
     "agg_column_profile": _PROFILE_SQL,
+    "text_boilerplate_scrub": _BOILER_SQL,
+    "sample_split_leakproof": _GSPLIT_SQL,
 }

@@ -398,3 +398,110 @@ def test_curation_ledger_partition_and_precedence(spark, sf_correct):
     }
     kept_clusters = Counter(clusters[r.doc_id] for r in kept)
     assert max(kept_clusters.values()) == 1
+
+
+# --------------------------------------------------------------------------
+# Boilerplate-segment scrubbing
+# --------------------------------------------------------------------------
+
+
+def test_boilerplate_scrub_partition_and_reassembly(spark, sf_correct):
+    out = curation.boilerplate_scrub(spark, sf_correct)
+    docs = load_table(spark, sf_correct, "documents")
+    rows = out.collect()
+    assert len(rows) == docs.count()  # 1:1 ledger, full scrubs included
+    for r in rows:
+        # partition law: every segment is either kept or dropped
+        assert r.segs_kept + r.segs_dropped == r.segs_total
+        # reassembled text token count == kept segments' token footprint
+        n_clean = len(r.clean_text.split()) if r.clean_text else 0
+        assert n_clean <= r.segs_kept * curation.SEG_TOKENS
+        assert n_clean >= r.segs_kept  # every kept segment has ≥1 token
+    # non-degenerate on the fixture: the heavy-hitter set scrubs something
+    assert sum(r.segs_dropped for r in rows) > 0
+    # ...but never everything
+    assert sum(r.segs_kept for r in rows) > 0
+
+
+def test_boilerplate_set_is_rank_deterministic(spark, sf_correct):
+    """Two independent runs elect the identical boilerplate set and
+    produce byte-identical clean text (total-order tie-break)."""
+    a = {r.doc_id: r.clean_text for r in curation.boilerplate_scrub(spark, sf_correct).collect()}
+    b = {r.doc_id: r.clean_text for r in curation.boilerplate_scrub(spark, sf_correct).collect()}
+    assert a == b
+
+
+def test_boilerplate_scrubbed_segments_absent(spark, sf_correct):
+    """No kept document retains any boilerplate segment at an aligned
+    position: re-segmenting each doc and anti-joining against the
+    recomputed heavy-hitter set finds zero surviving occurrences."""
+    docs = load_table(spark, sf_correct, "documents")
+    seg_tokens = curation.SEG_TOKENS
+    arr = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("a")
+    ).withColumn("n_segs", F.ceil(F.size("a") / F.lit(seg_tokens)).cast("int"))
+    segs = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, n_segs - 1),"
+                f" i -> concat_ws(' ', slice(a, i * {seg_tokens} + 1, {seg_tokens})))"
+            )
+        ).alias("seg_text"),
+    )
+    boiler = {
+        r.seg_text
+        for r in segs.groupBy("seg_text")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), "seg_text")
+        .limit(curation.BOILER_TOP_K)
+        .collect()
+    }
+    # direct check: per doc, the number of original segments hitting the
+    # recomputed heavy-hitter set equals the operator's segs_dropped
+    kept_pairs = segs.join(
+        spark.createDataFrame([(s,) for s in sorted(boiler)], "seg_text string"),
+        "seg_text",
+        "left_semi",
+    )
+    scrub_counts = {
+        r.doc_id: r.segs_dropped
+        for r in curation.boilerplate_scrub(spark, sf_correct).collect()
+    }
+    hit_counts = {
+        r.doc_id: r.n
+        for r in kept_pairs.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    for doc_id, dropped in scrub_counts.items():
+        assert hit_counts.get(doc_id, 0) == dropped
+
+
+# --------------------------------------------------------------------------
+# Leakage-proof split
+# --------------------------------------------------------------------------
+
+
+def test_leakproof_split_groups_never_straddle(spark):
+    # sf0.1 is the one fixture scale with multi-doc fingerprint groups
+    # (sf0.001/sf0.01 are all-singleton, which would make this vacuous);
+    # the operator is a narrow map, so the bigger input stays cheap.
+    out = curation.split_leakproof(spark, "/root/testdata/sf0.1")
+    # every fingerprint group maps to exactly one split
+    per_group = out.groupBy("fingerprint").agg(
+        F.countDistinct("split").alias("n_splits"), F.count("*").alias("n_docs")
+    )
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
+    # non-vacuous: this corpus HAS multi-doc fingerprint groups
+    assert per_group.filter(F.col("n_docs") > 1).count() > 0
+
+
+def test_leakproof_split_covers_and_balances(spark, sf_correct):
+    rows = curation.split_leakproof(spark, sf_correct).collect()
+    n = len(rows)
+    assert n == load_table(spark, sf_correct, "documents").count()
+    from collections import Counter
+
+    c = Counter(r.split for r in rows)
+    assert set(c) <= {"train", "val", "test"}
+    # hash split targets 96/2/2 over GROUPS; allow generous slack at sf0.01
+    assert c["train"] / n > 0.85
