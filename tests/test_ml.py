@@ -89,3 +89,71 @@ def test_cv_tuning_reproducible_and_sane(spark, sf_correct):
     assert max(report["avg_metrics"]) > 0.5
     preds = model.transform(mlp.prepare(spark, sf_correct))
     assert preds.select("prediction").distinct().count() >= 1
+
+
+# --------------------------------------------------------------------------
+# Distilled document-quality classifier (ml/quality.py)
+# --------------------------------------------------------------------------
+
+
+def test_quality_classifier_learns_weak_labels(spark, sf_correct):
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.ml import (
+        quality,
+    )
+
+    r = quality.train_quality(spark, sf_correct)
+    assert r.train_rows + r.test_rows == 500
+    assert r.test_rows > 50  # the 80/20 hash split is roughly honored
+    # bag-of-words must recover the heuristic signal well past chance
+    assert r.auc >= 0.85
+    assert r.accuracy >= 0.75
+    # predictions are hard 0/1 over the holdout only
+    rows = r.predictions.collect()
+    assert len(rows) == r.test_rows
+    assert {row.prediction for row in rows} <= {0.0, 1.0}
+
+
+def test_quality_score_batch_stream_parity(spark, sf_correct, tmp_path):
+    """model.transform is stateless, so scoring a streamed corpus must
+    equal scoring it as a batch — the property that lets one trained
+    filter serve both the backfill and the live ingest path."""
+    import glob as g
+    import shutil
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.ml import (
+        quality,
+    )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        load_table,
+    )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.streaming import (
+        jobs,
+    )
+
+    r = quality.train_quality(spark, sf_correct)
+    docs = load_table(spark, sf_correct, "documents")
+    batch_scores = {
+        row.doc_id: (row.quality_prob, row.keep)
+        for row in quality.score(r.model, docs).collect()
+    }
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        d = tmp_path / f"_d{i}"
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{i}.parquet")
+    stream = jobs.documents_stream(
+        spark, str(src), glob="*.parquet", max_files_per_trigger=1
+    )
+    out = str(tmp_path / "scored")
+    jobs.foreach_batch_to_parquet(quality.score(r.model, stream), out)
+    stream_scores = {
+        row.doc_id: (row.quality_prob, row.keep)
+        for row in spark.read.parquet(out + "/batch=*").collect()
+    }
+    assert set(stream_scores) == set(batch_scores)
+    for doc_id, (p, k) in batch_scores.items():
+        sp, sk = stream_scores[doc_id]
+        assert sk == k
+        assert abs(sp - p) < 1e-12
