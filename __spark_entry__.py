@@ -171,6 +171,7 @@ _TAIL_ORDER = [
     "events_hll_daily_users",
     # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest
     "text_winnowed_fingerprints",
+    "text_bpe_merges",
     "text_topic_clusters",
     "corpus_curation_ledger",
     "mm_image_ahash_pairs",

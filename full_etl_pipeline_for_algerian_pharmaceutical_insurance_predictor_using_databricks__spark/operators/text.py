@@ -842,7 +842,112 @@ WHERE cnt <> 0
 """
 
 
+# --------------------------------------------------------------------------
+# Distributed BPE vocabulary learning (Sennrich-style merges)
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 20
+EOW = "</w>"  # end-of-word marker, per the original BPE formulation
+
+
+def bpe_learn(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus — the tokenizer-
+    induction step (Sennrich et al. 2016) that precedes every
+    `text_bpe_token_count`-style tokenization, distributed the way a
+    100-TB corpus requires.
+
+    The algorithm splits into a parallel part and an inherently
+    sequential part, and the implementation keeps them on the right
+    side of the driver boundary:
+
+    - PARALLEL (the 100-TB scan): corpus → word-frequency table via
+      one hash aggregation.  Everything after operates on the word
+      TABLE (|distinct words| rows — millions at web scale, never the
+      corpus), which stays a distributed DataFrame throughout.
+    - SEQUENTIAL (the algorithm itself): each merge step explodes
+      adjacent symbol pairs weighted by word count, aggregates, and
+      takes the arg-max pair with a (count DESC, left, right) total
+      order (deterministic under ties — same corpus ⇒ same merge table
+      on any engine/partitioning).  Only that single winning ROW is
+      collected per step; the merge is applied table-side as a
+      left-to-right greedy fold (`aggregate`) over each word's symbol
+      array.  `localCheckpoint` truncates the per-iteration lineage so
+      step N doesn't replay steps 1..N-1 (same loop discipline as the
+      pointer-doubled connected components).
+
+    Returns the merge table: (step, left, right, merged, pair_count).
+    Rows-only entry: the merge loop is not SQL-expressible; parity is
+    pinned against a pure-Python reference BPE in tests/test_llm_ops.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "s",
+            F.concat(
+                F.split(F.col("w"), ""),  # single-char symbols
+                F.array(F.lit(EOW)),
+            ),
+        )
+        .localCheckpoint()
+    )
+
+    def esc(t: str) -> str:
+        return t.replace("\\", "\\\\").replace("'", "\\'")
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            # fully-merged words (single symbol) have no pairs left;
+            # without the filter sequence(1, 0) DESCENDS and element_at
+            # goes out of bounds
+            words.filter(F.size("s") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " j -> struct(element_at(s, j) AS left,"
+                        "             element_at(s, j + 1) AS right))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("n").alias("pair_count"))
+        )
+        top = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("left"), F.col("right")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0].left, top[0].right, top[0].pair_count
+        merges.append((step, a, b, a + b, cnt))
+        merged = F.expr(
+            f"aggregate(s, cast(array() as array<string>), (acc, x) -> "
+            f"if(size(acc) > 0 AND element_at(acc, -1) = '{esc(a)}' "
+            f"AND x = '{esc(b)}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{esc(a + b)}')), "
+            f"concat(acc, array(x))))"
+        )
+        words = words.withColumn("s", merged).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def bpe_merges_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_learn(spark, sf_dir)
+
+
 QUERIES = {
+    "text_bpe_merges": bpe_merges_entry,
     "text_winnowed_fingerprints": winnowed_fingerprints,
     "text_topic_clusters": topic_clusters,
     "text_hash_embedding": hash_embedding,

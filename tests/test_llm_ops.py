@@ -750,3 +750,70 @@ def test_image_ahash_perceptual_properties(spark, sf_correct):
     h_base, h_edit, h_inv = ahash_of(base), ahash_of(edit), ahash_of(inverted)
     assert bin(int(h_base ^ h_edit)).count("1") <= 3
     assert bin(int(h_base ^ h_inv)).count("1") >= 32
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE vocabulary learning
+# --------------------------------------------------------------------------
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """Pure-Python Sennrich BPE on a word-frequency dict: the serial
+    specification the distributed loop must reproduce exactly."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.text import (
+        EOW,
+    )
+
+    vocab = {tuple(list(w) + [EOW]): n for w, n in word_counts.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for j in range(len(syms) - 1):
+                counts[(syms[j], syms[j + 1])] = counts.get((syms[j], syms[j + 1]), 0) + n
+        if not counts:
+            break
+        # (count DESC, left, right) total order — the operator's tie-break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, a, b, a + b, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_serial_reference(spark, sf_correct):
+    """The distributed merge loop reproduces classic serial BPE merge
+    for merge, including tie-breaks — same corpus, same merge table."""
+    docs = load_table(spark, sf_correct, "documents")
+    wc = {
+        r.w: r.n
+        for r in docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_merges = 12
+    expected = _reference_bpe(wc, n_merges)
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in text.bpe_learn(spark, sf_correct, n_merges=n_merges)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == expected
+    # merge table is usable: merged symbol really is left+right
+    for _, left, right, merged, _ in got:
+        assert merged == left + right
