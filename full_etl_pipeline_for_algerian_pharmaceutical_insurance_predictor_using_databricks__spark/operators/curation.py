@@ -673,6 +673,25 @@ SEG_TOKENS = 2  # segment = non-overlapping token window (corpus has no \n)
 BOILER_TOP_K = 64  # heavy-hitter segments scrubbed corpus-wide
 
 
+def with_segments(docs: DataFrame, seg_tokens: int = SEG_TOKENS) -> DataFrame:
+    """(doc_id, seg_idx, seg_text) segmentation of any documents-shaped
+    frame — batch OR streaming (narrow map, no state): fixed
+    non-overlapping token windows, last segment may be short."""
+    arr = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("a")
+    ).withColumn("n_segs", F.ceil(F.size("a") / F.lit(seg_tokens)).cast("int"))
+    seg = F.expr(
+        f"transform(sequence(0, n_segs - 1), i -> struct("
+        f" i AS seg_idx,"
+        f" concat_ws(' ', slice(a, i * {seg_tokens} + 1, {seg_tokens})) AS seg_text))"
+    )
+    return arr.select("doc_id", F.explode(seg).alias("s")).select(
+        "doc_id",
+        F.col("s.seg_idx").cast("int").alias("seg_idx"),
+        F.col("s.seg_text").alias("seg_text"),
+    )
+
+
 def boilerplate_scrub(
     spark: SparkSession,
     sf_dir: str,
@@ -703,19 +722,7 @@ def boilerplate_scrub(
     arr = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("a")
     ).withColumn("n_segs", F.ceil(F.size("a") / F.lit(seg_tokens)).cast("int"))
-    seg = F.expr(
-        f"transform(sequence(0, n_segs - 1), i -> struct("
-        f" i AS seg_idx,"
-        f" concat_ws(' ', slice(a, i * {seg_tokens} + 1, {seg_tokens})) AS seg_text))"
-    )
-    segs = (
-        arr.select("doc_id", F.explode(seg).alias("s"))
-        .select(
-            "doc_id",
-            F.col("s.seg_idx").cast("int").alias("seg_idx"),
-            F.col("s.seg_text").alias("seg_text"),
-        )
-    )
+    segs = with_segments(docs, seg_tokens)
     boiler = (
         segs.groupBy("seg_text")
         .agg(F.countDistinct("doc_id").alias("df"))

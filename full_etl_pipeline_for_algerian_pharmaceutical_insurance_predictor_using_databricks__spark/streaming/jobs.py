@@ -1761,3 +1761,63 @@ def trending_topk_batch(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental boilerplate-segment registry (mergeable df partials)
+# --------------------------------------------------------------------------
+
+
+def boilerplate_registry_ingest(stream: DataFrame, registry_dir: str) -> None:
+    """Streaming twin of `curation.boilerplate_scrub`'s heavy-hitter
+    mining for a corpus that arrives batch by batch forever: each
+    micro-batch segments its documents and lands PARTIAL per-segment
+    document frequencies (distinct docs within the batch) under
+    `batch=<id>`, overwrite-per-partition so a retry replaces its own
+    contribution.
+
+    The partials merge by SUM because each document arrives in exactly
+    one micro-batch (the file-stream contract; re-delivery overwrites
+    its own partition rather than double counting) — the same union
+    law as the hourly-rollup and HLL registries.  Per-trigger cost is
+    one batch-sized segment aggregation; the corpus-wide boilerplate
+    set is only ever materialized on READ (`boilerplate_topk_read`),
+    touching |distinct segments| rows, never the corpus."""
+    from ..operators.curation import with_segments
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            with_segments(batch_df)
+            .groupBy("seg_text")
+            .agg(F.countDistinct("doc_id").alias("df"))
+        )
+        partial.write.mode("overwrite").parquet(f"{registry_dir}/batch={batch_id}")
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("boilerplate registry drain exceeded 300s")
+
+
+def boilerplate_topk_read(
+    spark: SparkSession, registry_dir: str, top_k: int | None = None
+) -> DataFrame:
+    """Merge the registry's df partials and elect the corpus-wide
+    boilerplate set: sum per segment, (df DESC, seg_text) total order,
+    top-k — exactly the batch miner's election, so a registry built
+    from N arrivals equals one batch pass over their union."""
+    from ..operators.curation import BOILER_TOP_K
+
+    k = BOILER_TOP_K if top_k is None else top_k
+    merged = (
+        spark.read.parquet(registry_dir + "/batch=*")
+        .groupBy("seg_text")
+        .agg(F.sum("df").alias("df"))
+    )
+    return merged.orderBy(F.col("df").desc(), "seg_text").limit(k)

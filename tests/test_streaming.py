@@ -1158,3 +1158,84 @@ def test_registry_asof_schema_evolution(spark, tmp_path):
 
     before = jobs.read_registry_asof(spark, reg, 0, merge_schema=True)
     assert set(before.columns) == {"doc_id", "payload"}
+
+
+# --------------------------------------------------------------------------
+# Incremental boilerplate-segment registry
+# --------------------------------------------------------------------------
+
+
+def test_boilerplate_registry_matches_batch_union_law(spark, sf_dir, tmp_path):
+    """df partials summed across arrivals == one batch pass over the
+    union (doc-disjoint micro-batches), and the elected top-k set is
+    identical to the batch miner's."""
+    import glob as g
+    import shutil
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.curation import (
+        BOILER_TOP_K,
+        with_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        d = tmp_path / f"_d{i}"
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{i}.parquet")
+
+    reg = str(tmp_path / "reg")
+    jobs.boilerplate_registry_ingest(
+        jobs.documents_stream(spark, str(src), glob="*.parquet", max_files_per_trigger=1),
+        reg,
+    )
+    assert len(g.glob(reg + "/batch=*")) == 3
+
+    # union law: merged dfs equal the batch-computed dfs exactly
+    merged = {
+        (r.seg_text, r.df)
+        for r in spark.read.parquet(reg + "/batch=*")
+        .groupBy("seg_text")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    }
+    batch = {
+        (r.seg_text, r.df)
+        for r in with_segments(docs)
+        .groupBy("seg_text")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    assert merged == batch
+
+    # elected boilerplate set == batch election (same total order)
+    streamed_topk = [
+        (r.seg_text, r.df)
+        for r in jobs.boilerplate_topk_read(spark, reg).collect()
+    ]
+    batch_topk = [
+        (r.seg_text, r.df)
+        for r in with_segments(docs)
+        .groupBy("seg_text")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), "seg_text")
+        .limit(BOILER_TOP_K)
+        .collect()
+    ]
+    assert streamed_topk == batch_topk
+
+    # idempotence: re-ingesting the same arrivals overwrites, never
+    # double counts
+    jobs.boilerplate_registry_ingest(
+        jobs.documents_stream(spark, str(src), glob="*.parquet", max_files_per_trigger=1),
+        reg,
+    )
+    again = {
+        (r.seg_text, r.df)
+        for r in spark.read.parquet(reg + "/batch=*")
+        .groupBy("seg_text")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    }
+    assert again == batch
