@@ -68,6 +68,9 @@ HEADLINE = [
     "text_ngram_topk",
     "text_topic_clusters",
     "events_funnel",
+    # r6 seventh batch: corpus-wide heavy-hitter mining + broadcast
+    # anti-join scrub
+    "text_boilerplate_scrub",
     "dedup_exact",
     # heavy LLM-data ops so round-over-round regressions are visible
     "dedup_jaccard_pairs",

@@ -32,7 +32,6 @@ def read_letter_keyed_json(spark: SparkSession, path: str) -> DataFrame:
     scale path."""
     import pyspark.sql.types as T
 
-    record = T.StructType(_RECORD_FIELDS)
     doc = spark.read.option("multiLine", "true").json(path)
     letters = sorted(doc.columns)
     # stack('A', A, 'B', B, ...) → (first_letter, meds); explode arrays.
@@ -43,17 +42,38 @@ def read_letter_keyed_json(spark: SparkSession, path: str) -> DataFrame:
     exploded = stacked.select(
         "first_letter", F.explode("meds").alias("med")
     )
-    cols = [F.col(f"med.{f.name}").alias(f.name) for f in _RECORD_FIELDS]
-    flat = exploded.select(*cols, "first_letter")
-    # align to the declared record schema (json inference may reorder /
-    # widen; casting pins the contract)
-    aligned = flat.select(
-        *[
-            F.col(f.name).cast(record[f.name].dataType if f.name != "first_letter" else "string")
-            for f in RAW_MEDICATION.fields
-        ]
-    )
-    return aligned
+    # align to the declared record schema BY NAME, field by field —
+    # never by a positional struct cast: json inference sorts nested
+    # fields alphabetically, and casting the whole struct re-labels
+    # them positionally (lab.name would silently receive the address,
+    # therapeutic↔pharmacological would swap).  Inference also DROPS
+    # all-null nested fields, so each subfield is looked up defensively
+    # and NULLed when absent.
+    inferred = {f.name: f.dataType for f in exploded.schema["med"].dataType.fields}
+
+    def subfield(parent: str, name: str, dtype) -> F.Column:
+        parent_type = inferred.get(parent)
+        present = parent_type is not None and name in parent_type.fieldNames()
+        col = F.col(f"med.{parent}.{name}") if present else F.lit(None)
+        return col.cast(dtype).alias(name)
+
+    cols: list[F.Column] = []
+    for f in _RECORD_FIELDS:
+        if isinstance(f.dataType, T.StructType):
+            cols.append(
+                F.struct(
+                    *[
+                        subfield(f.name, sf.name, sf.dataType)
+                        for sf in f.dataType.fields
+                    ]
+                ).alias(f.name)
+            )
+        else:
+            present = f.name in inferred
+            col = F.col(f"med.{f.name}") if present else F.lit(None)
+            cols.append(col.cast(f.dataType).alias(f.name))
+    flat = exploded.select(*cols, F.col("first_letter").cast("string"))
+    return flat.select(*[F.col(f.name) for f in RAW_MEDICATION.fields])
 
 
 def read_jsonl(spark: SparkSession, path: str) -> DataFrame:

@@ -1,0 +1,163 @@
+"""Custom Python DataSource for the letter-keyed medication feed —
+operator S1/S2 re-expressed on Spark 4's DataSource API
+(`pyspark.sql.datasource`), the modern extension point for formats
+Spark doesn't ship.
+
+Where `json_ingest.read_letter_keyed_json` flattens the landed document
+with a logical-plan transform (stack→explode), this source moves the
+parse itself off the driver and into partitioned tasks:
+
+- **Batch** (`format("letterjson").load(path)`): a landing DIRECTORY
+  maps one file → one `InputPartition` (the true scale path — the
+  upstream publishes per-letter documents, and 26 tasks parse 26 files
+  independently); a single landed FILE maps one letter key → one
+  partition (each task parses only its letter's array).  Partition
+  listing reads ONLY the JSON's top-level keys / the directory listing
+  — never the record payload — so the driver stays O(#partitions).
+- **Streaming** (`readStream.format("letterjson")`): a
+  `SimpleDataSourceStreamReader` replays the landing directory in
+  filename order with a monotone `{"count": n}` offset — new files
+  become the next micro-batch, `readBetweenOffsets` makes recovery
+  replay exact, and `commit` is a no-op (the landing zone is the
+  write-ahead log).  This is the continuous-ingest shape of ING:15-27
+  with exactly-once offsets instead of a driver loop.
+
+The emitted rows follow `schemas.RAW_MEDICATION` exactly, so everything
+downstream (clean → dashboard → ML) is source-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+from ..schemas import RAW_MEDICATION
+
+FORMAT_NAME = "letterjson"
+
+
+def _record_tuple(letter: str, med: dict) -> tuple:
+    """One RAW_MEDICATION-shaped tuple from a raw feed dict (missing
+    keys → NULL, matching spark.read.json's permissive behavior)."""
+    lab = med.get("lab") or {}
+    cls = med.get("class") or {}
+    return (
+        med.get("name"),
+        (lab.get("name"), lab.get("address"), lab.get("tel"), lab.get("web")),
+        (cls.get("therapeutic"), cls.get("pharmacological")),
+        med.get("form"),
+        med.get("generic"),
+        med.get("reference_rate"),
+        med.get("refundable"),
+        letter,
+    )
+
+
+def _read_landed_file(path: str, letters: list[str] | None = None) -> Iterator[tuple]:
+    with open(path, encoding="utf-8") as f:
+        doc = json.load(f)
+    for letter in sorted(doc) if letters is None else letters:
+        for med in doc.get(letter, []):
+            yield _record_tuple(letter, med)
+
+
+class _LetterPartition(InputPartition):
+    def __init__(self, path: str, letter: str | None):
+        self.path = path
+        self.letter = letter
+
+
+class LetterJsonReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("letterjson requires a path")
+        self.path = path
+
+    def partitions(self) -> list[_LetterPartition]:
+        if os.path.isdir(self.path):
+            # directory landing: one file per partition (per-letter
+            # documents at the real feed; any file count works)
+            return [
+                _LetterPartition(os.path.join(self.path, f), None)
+                for f in sorted(os.listdir(self.path))
+                if f.endswith(".json")
+            ]
+        # single document: one top-level letter key per partition —
+        # json.load here is the partition LISTING (top-level keys), and
+        # runs once on the driver; the per-letter payload parse happens
+        # in the tasks
+        with open(self.path, encoding="utf-8") as f:
+            letters = sorted(json.load(f))
+        return [_LetterPartition(self.path, letter) for letter in letters]
+
+    def read(self, partition: _LetterPartition) -> Iterator[tuple]:
+        letters = None if partition.letter is None else [partition.letter]
+        yield from _read_landed_file(partition.path, letters)
+
+
+class LetterJsonStreamReader(SimpleDataSourceStreamReader):
+    """Landing-directory replay: offset = how many (sorted) files have
+    been consumed.  Filename order is the arrival contract (the landing
+    writer names files monotonically), so offsets are stable across
+    restarts and `readBetweenOffsets` replays are byte-identical."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("letterjson requires a path")
+        self.path = path
+
+    def _files(self) -> list[str]:
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".json")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"count": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        files = self._files()
+        new = files[start["count"]:]
+        # materialized list, not a generator: the engine's prefetch
+        # cache copies the returned iterator for replay, and a
+        # generator is neither copyable nor picklable
+        rows = [r for path in new for r in _read_landed_file(path)]
+        return iter(rows), {"count": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        files = self._files()[start["count"]:end["count"]]
+        return iter([r for path in files for r in _read_landed_file(path)])
+
+
+class LetterJsonDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return RAW_MEDICATION
+
+    def reader(self, schema: StructType) -> LetterJsonReader:
+        return LetterJsonReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> LetterJsonStreamReader:
+        return LetterJsonStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent format registration: after this,
+    `spark.read.format("letterjson")` / `readStream.format(...)` work
+    session-wide."""
+    spark.dataSource.register(LetterJsonDataSource)

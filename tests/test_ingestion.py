@@ -338,3 +338,93 @@ def test_observed_read_metrics_match_routed_counts(spark, tmp_path):
     assert good.count() == 3
     assert bad.count() == 1
     assert "CollectMetrics" in good._jdf.queryExecution().analyzed().toString()
+
+
+# --------------------------------------------------------------------------
+# Nested-field alignment regression (positional-cast swap)
+# --------------------------------------------------------------------------
+
+
+def test_nested_fields_align_by_name_not_position(spark, landing):
+    """JSON inference sorts nested fields alphabetically and drops
+    all-null ones; alignment must be BY NAME — a positional struct cast
+    hands lab.name the address value and swaps
+    therapeutic↔pharmacological (regression: the original reader did)."""
+    raw = read_letter_keyed_json(spark, landing)
+    r = {row["name"]: row for row in raw.collect()}["ASPIRINE"]
+    assert r.lab.name == "LabA"
+    assert r.lab.address is None  # all-null in fixture, dropped by inference
+    assert r["class"].therapeutic == "analgesic"
+    assert r["class"].pharmacological == "analgesic-ph"
+
+
+# --------------------------------------------------------------------------
+# Spark 4 Python DataSource (sources/pydatasource.py)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        pydatasource,
+    )
+
+    pydatasource.register(spark)
+    return pydatasource
+
+
+def test_datasource_single_file_parity(spark, landing, registered):
+    """format('letterjson') on a landed document == the stack/explode
+    reader, row for row (the DataSource moves the parse into per-letter
+    tasks without changing semantics)."""
+    ds = spark.read.format("letterjson").load(landing)
+    ref = read_letter_keyed_json(spark, landing)
+    # same names/types (nullable flags differ: the DataSource declares
+    # the contract schema, inference marks everything nullable)
+    assert ds.schema.simpleString() == ref.schema.simpleString()
+    assert sorted(map(tuple, ds.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_datasource_directory_is_file_partitioned(spark, landing, registered, tmp_path):
+    """Directory landing: one file → one input partition; union of the
+    per-letter documents equals the single-document read."""
+    import json
+
+    with open(landing, encoding="utf-8") as f:
+        doc = json.load(f)
+    d = tmp_path / "byletter"
+    d.mkdir()
+    for letter, meds in doc.items():
+        with open(d / f"{letter}.json", "w", encoding="utf-8") as f:
+            json.dump({letter: meds}, f)
+    ds = spark.read.format("letterjson").load(str(d))
+    assert ds.rdd.getNumPartitions() == len(doc)
+    single = spark.read.format("letterjson").load(landing)
+    assert sorted(map(tuple, ds.collect())) == sorted(map(tuple, single.collect()))
+
+
+def test_datasource_stream_replays_landing_dir(spark, landing, registered, tmp_path):
+    """Streaming side: files become micro-batches in filename order;
+    an availableNow drain lands every record exactly once."""
+    import glob as g
+    import json
+    import tempfile
+
+    with open(landing, encoding="utf-8") as f:
+        doc = json.load(f)
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    for i, (letter, meds) in enumerate(sorted(doc.items())):
+        with open(src / f"{i:04d}.json", "w", encoding="utf-8") as f:
+            json.dump({letter: meds}, f)
+
+    out = str(tmp_path / "landed")
+    stream = spark.readStream.format("letterjson").load(str(src))
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.streaming import (
+        jobs,
+    )
+
+    jobs.foreach_batch_to_parquet(stream, out)
+    got = spark.read.parquet(out + "/batch=*")
+    ref = spark.read.format("letterjson").load(landing)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))

@@ -235,6 +235,14 @@ def main() -> None:
          "ranking window is partitioned by doc_id and planned as "
          "WindowGroupLimit (partial top-k BEFORE the exchange, Spark 3.5+), so "
          "no partition ever holds more than k rows per doc post-shuffle."),
+        ("text_boilerplate_scrub", curation.boilerplate_scrub,
+         "CCNet-style sub-document dedup: segmenting is a narrow "
+         "generate (no shuffle); the df ranking aggregates to the "
+         "distinct-segment table and top-64 is TakeOrderedAndProject; "
+         "the scrub itself is a BroadcastHashJoin LeftAnti — the corpus "
+         "never shuffles for the filter, only the per-doc reassembly "
+         "groupBy. At 100 TB the boilerplate set stays top-k-bounded, "
+         "so the broadcast side is constant-size by construction."),
         ("scale.bloom_pruned_revenue (runtime Bloom-filter pruning)",
          lambda s, d: (
              scale.set_runtime_bloom(s, application_side_min="0", disable_broadcast=True),
