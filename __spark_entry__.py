@@ -164,6 +164,7 @@ _TAIL_ORDER = [
     "mm_audio_segments",
     "text_hash_embedding",
     "events_value_time_stats",
+    "events_props_variant",
     "text_boilerplate_scrub",
     "sample_split_leakproof",
     # rows-only: recall/error-bound/determinism-tested in pytest

@@ -214,6 +214,48 @@ GROUP BY 1, 2
 """
 
 
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics on Spark 4's VARIANT type:
+    `parse_json` decodes each props string ONCE into the binary
+    variant encoding, and every `variant_get` path reads that binary —
+    vs `get_json_object`, which re-parses the string per extracted
+    path.  At 100 TB with many paths per payload that parse-once
+    economics is the reason the open table formats added variant
+    shredding; with one path the plans converge, so this entry is the
+    API-surface twin of `events_json_props` with a richer aggregate
+    (count/sum/distinct/min/max per type) to make the typed access
+    visible."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.countDistinct("k").alias("k_distinct"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+_VARIANT_SQL = """
+SELECT
+    event_type,
+    COUNT(*) AS events,
+    CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+        AS k_sum,
+    COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER))
+        AS k_distinct,
+    MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+    MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+FROM events
+GROUP BY 1
+"""
+
+
 def hourly_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-hour distinct users + events — the hypertable-rollup shape."""
     ev = load_table(spark, sf_dir, "events")
@@ -1106,6 +1148,7 @@ QUERIES = {
     "events_sliding_10min": sliding_10min_every_5,
     "events_sessionization": sessionization,
     "events_json_props": json_props_extract,
+    "events_props_variant": props_variant_stats,
     "events_hourly_activity": hourly_user_activity,
     "events_daily_rollup_from_hourly": daily_rollup_from_hourly,
 }
@@ -1127,6 +1170,7 @@ ORACLES = {
     "events_sliding_10min": _SLIDING_SQL,
     "events_sessionization": _SESSION_SQL,
     "events_json_props": _JSON_SQL,
+    "events_props_variant": _VARIANT_SQL,
     "events_hourly_activity": _HOURLY_SQL,
     "events_daily_rollup_from_hourly": _DAILY_ROLLUP_SQL,
 }
