@@ -125,6 +125,7 @@ def main() -> None:
         get_spark,
     )
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        curation,
         dedup,
         events,
         similarity,
@@ -142,6 +143,7 @@ def main() -> None:
         ),
         "events_funnel": events.funnel,
         "events_hll_daily_users": events.hll_daily_users,
+        "text_boilerplate_scrub": curation.boilerplate_scrub,
     }
 
     dirs = {f: replicate(spark, f) for f in factors}
