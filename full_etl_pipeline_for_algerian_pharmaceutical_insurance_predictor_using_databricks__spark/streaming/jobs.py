@@ -575,18 +575,26 @@ def running_max_transform_with_state(stream: DataFrame) -> DataFrame:
     )
 
 
-def foreach_batch_to_parquet(result: DataFrame, out_dir: str) -> None:
+def foreach_batch_to_parquet(
+    result: DataFrame, out_dir: str, checkpoint_dir: str | None = None
+) -> None:
     """foreachBatch sink: each micro-batch lands as parquet keyed by
     its batch id, written with overwrite so a micro-batch RETRY
     replaces (not duplicates) its directory — that batch-id keyed
     overwrite is what makes the sink idempotent; the same pattern
-    drives JDBC upserts / Delta MERGE."""
+    drives JDBC upserts / Delta MERGE.
+
+    `checkpoint_dir=None` (the default) uses a throwaway checkpoint —
+    a one-shot drain.  Pass a persistent directory to get RESTART
+    CONTINUATION: a later call with the same checkpoint resumes from
+    the committed offsets and processes only data that arrived since
+    (exactly-once across restarts — the production contract)."""
     import tempfile
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    def drain(ckpt: str) -> None:
         q = (
             result.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", ckpt)
@@ -596,6 +604,12 @@ def foreach_batch_to_parquet(result: DataFrame, out_dir: str) -> None:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("foreachBatch drain exceeded 300s")
+
+    if checkpoint_dir is not None:
+        drain(checkpoint_dir)
+    else:
+        with tempfile.TemporaryDirectory() as ckpt:
+            drain(ckpt)
 
 
 def documents_stream(

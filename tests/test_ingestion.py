@@ -428,3 +428,43 @@ def test_datasource_stream_replays_landing_dir(spark, landing, registered, tmp_p
     got = spark.read.parquet(out + "/batch=*")
     ref = spark.read.format("letterjson").load(landing)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_datasource_stream_checkpoint_restart_continuation(
+    spark, landing, registered, tmp_path
+):
+    """Exactly-once across restarts: a second drain with the SAME
+    checkpoint resumes from committed offsets and lands only files
+    that arrived after the first drain — the custom source's offset
+    store round-trips through a real checkpoint."""
+    import json
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.streaming import (
+        jobs,
+    )
+
+    with open(landing, encoding="utf-8") as f:
+        doc = json.load(f)
+    letters = sorted(doc)
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    for i, letter in enumerate(letters[:2]):
+        with open(src / f"{i:04d}.json", "w", encoding="utf-8") as f:
+            json.dump({letter: doc[letter]}, f)
+
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.format("letterjson").load(str(src))
+    jobs.foreach_batch_to_parquet(stream, out, checkpoint_dir=ckpt)
+    first = spark.read.parquet(out + "/batch=*").collect()
+    assert {r.first_letter for r in first} == set(letters[:2])
+
+    # a new landing file arrives; the resumed drain processes ONLY it
+    with open(src / "0002.json", "w", encoding="utf-8") as f:
+        json.dump({letters[2]: doc[letters[2]]}, f)
+    stream2 = spark.readStream.format("letterjson").load(str(src))
+    jobs.foreach_batch_to_parquet(stream2, out, checkpoint_dir=ckpt)
+    rows = spark.read.parquet(out + "/batch=*").collect()
+    assert {r.first_letter for r in rows} == set(letters)
+    # no duplicates: every record landed exactly once across both drains
+    assert len(rows) == sum(len(v) for v in doc.values())
