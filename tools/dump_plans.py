@@ -369,7 +369,8 @@ def main() -> None:
         "| sim_ann_ivf_pq (build+query) | 6.5 s | 6.8 s | 7.5 s | 1.2× — KMeans fit is the fixed cost |\n"
         "| sim_ann_ivf_pq_serving (frozen index) | 1.3 s | 1.6 s | 1.5 s | ~flat: probes scan nprobe/nlist of the codes |\n"
         "| events_funnel | 1.3 s | 1.2 s | 1.3 s | flat — per-stage filtered aggs, 1 M rows is still overhead-dominated on 32 cores |\n"
-        "| events_hll_daily_users | 0.43 s | 0.44 s | 0.39 s | flat — sketch agg is map-side partials + tiny exchange |\n\n"
+        "| events_hll_daily_users | 0.43 s | 0.44 s | 0.39 s | flat — sketch agg is map-side partials + tiny exchange |\n"
+        "| text_boilerplate_scrub | 1.5 s | 2.0 s | 3.1 s | 2.1× — df agg + broadcast anti-join + one reassembly shuffle |\n\n"
         "Every family is at-or-below linear in input rows; minhash is the\n"
         "one whose OUTPUT also grew 10× (61.6 M verified pairs — the\n"
         "adversarial fixture makes each replica internally near-duplicate),\n"
@@ -379,7 +380,13 @@ def main() -> None:
         "blocks spread across executors. Nothing crosses replica boundaries:\n"
         "candidate counts, CC edges, and per-list ANN scans all scale with\n"
         "their replica, which is exactly the 100-TB contract (work per\n"
-        "partition bounded, no cross-input quadratic term).\n"
+        "partition bounded, no cross-input quadratic term).\n\n"
+        "Measurement discipline learned re-running this sweep: the ×10\n"
+        "minhash cell is warmup-sensitive far beyond bench.py's 2-pass\n"
+        "protocol — a cold JVM pass measured 232 s, then 35 s, then ~25 s\n"
+        "steady-state (same plan, same rows). Sweep cells are comparable\n"
+        "only within one process on an otherwise idle box; a concurrent\n"
+        "pytest session inflated the same cell 8×.\n"
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
