@@ -190,6 +190,7 @@ _TAIL_ORDER = [
     "graph_doc_pagerank",
     "sample_bernoulli",
     "sample_stratified_by_lang",
+    "ml_quality_scores",
 ]
 
 
@@ -247,6 +248,11 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ):
         pool.update(mod.QUERIES)
     pool["ml_feature_encoding"] = encoding.ml_feature_encoding
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.ml import (
+        quality as _quality,
+    )
+
+    pool["ml_quality_scores"] = _quality.quality_scores_entry
     unrouted = (
         set(pool) - set(_ORACLE_ORDER) - set(_TAIL_ORDER) - _PACKAGED_IN_COMPOSITES
     )

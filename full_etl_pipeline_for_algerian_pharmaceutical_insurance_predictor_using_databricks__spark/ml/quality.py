@@ -136,3 +136,12 @@ def score(model: PipelineModel, docs: DataFrame) -> DataFrame:
         prob_keep,
         (F.col("prediction") == 1.0).alias("keep"),
     )
+
+
+def quality_scores_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry (rows-only): train on the sf_dir corpus and score
+    every document — the full distill-then-filter cycle as one plan.
+    Not SQL-expressible (LBFGS fit); floors + batch/stream score parity
+    are pinned in tests/test_ml.py."""
+    result = train_quality(spark, sf_dir)
+    return score(result.model, load_table(spark, sf_dir, "documents"))

@@ -89,3 +89,21 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     SQL entry points resolve the same relations the DataFrame API uses."""
     for name in names or TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_with_provenance(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fresh file scan with lineage columns from the hidden `_metadata`
+    struct (file_name, file_size, file_modification_time) — the
+    row-level provenance a 100-TB audit needs ("which landed file did
+    this row come from") without writing the path into the data.
+
+    Separate from `load_table` on purpose: `_metadata` rides only a
+    direct file-source scan (a cached/persisted materialization drops
+    it), and the events nanos rebuild projects it away."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return df.withColumns(
+        {
+            "_file_name": F.col("_metadata.file_name"),
+            "_file_size": F.col("_metadata.file_size"),
+        }
+    )

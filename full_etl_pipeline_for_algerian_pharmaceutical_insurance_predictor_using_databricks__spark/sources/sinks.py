@@ -40,6 +40,34 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
+def overwrite_partitions_dynamic(
+    spark: SparkSession, df: DataFrame, path: str, partition_col: str
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in `df`, leave every other partition untouched — the idempotent
+    partition-reload primitive (re-land one day of a 100-TB events
+    table without static-overwrite nuking the rest, and re-running the
+    same load converges to the same state).
+
+    Implemented with Spark's `partitionOverwriteMode=dynamic` session
+    conf scoped to this write and restored after; the write itself is
+    a plain INSERT OVERWRITE on the Hive-style layout that
+    `write_partitioned` produced."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def read_back_verified(spark: SparkSession, name: str, expected_rows: int) -> DataFrame:
     """Catalog round-trip check (parity with ING:217-224): read the
     table back and assert the row count survived the write."""

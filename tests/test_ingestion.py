@@ -468,3 +468,61 @@ def test_datasource_stream_checkpoint_restart_continuation(
     assert {r.first_letter for r in rows} == set(letters)
     # no duplicates: every record landed exactly once across both drains
     assert len(rows) == sum(len(v) for v in doc.values())
+
+
+def test_provenance_metadata_columns(spark, sf_correct):
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources.catalog import (
+        load_with_provenance,
+    )
+
+    df = load_with_provenance(spark, sf_correct, "documents")
+    rows = df.select("_file_name", "_file_size").distinct().collect()
+    assert len(rows) == 1  # single-file fixture ⇒ one provenance value
+    assert rows[0]._file_name == "documents.parquet"
+    assert rows[0]._file_size > 0
+    # provenance rides every row without disturbing the data columns
+    assert df.count() == 500
+
+
+def test_dynamic_partition_overwrite_touches_only_loaded_partitions(spark, tmp_path):
+    """Re-landing one partition replaces it and ONLY it: other
+    partitions' files stay byte-identical, and re-running the same
+    load is idempotent."""
+    import glob
+    import hashlib
+    import os
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources.sinks import (
+        overwrite_partitions_dynamic,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "part_tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id long, grp string, v double",
+    )
+    write_partitioned(base, path, "grp")
+
+    def digest(pattern):
+        return {
+            os.path.relpath(f, path): hashlib.sha256(open(f, "rb").read()).hexdigest()
+            for f in sorted(glob.glob(os.path.join(path, pattern, "*.parquet")))
+        }
+
+    b_before, c_before = digest("grp=b"), digest("grp=c")
+    assert b_before and c_before
+
+    mode_before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    reload_a = spark.createDataFrame([(1, "a", 99.0)], "id long, grp string, v double")
+    overwrite_partitions_dynamic(spark, reload_a, path, "grp")
+    rows = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {1: 99.0, 3: 30.0, 4: 40.0}  # grp=a replaced wholesale
+    assert digest("grp=b") == b_before and digest("grp=c") == c_before
+
+    # idempotent re-land
+    overwrite_partitions_dynamic(spark, reload_a, path, "grp")
+    rows2 = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert rows2 == rows
+    # session conf restored (the dynamic mode stayed scoped to the write)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == mode_before
