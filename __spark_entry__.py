@@ -167,6 +167,7 @@ _TAIL_ORDER = [
     "events_props_variant",
     "text_boilerplate_scrub",
     "sample_split_leakproof",
+    "join_lateral_top2_orders",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",

@@ -2295,7 +2295,50 @@ ORDER BY s_name
 """
 
 
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT — per-customer top-2
+    orders expressed the way an analyst writes it (a dependent
+    subquery per outer row).  The point is what Catalyst DOES with it:
+    the lateral decorrelates into `row_number` over (o_custkey) with a
+    **WindowGroupLimit** pushed below the shuffle (each map task keeps
+    only 2 rows per key before exchanging) and a plain equi-join back
+    to customers — the same single-shuffle plan as the hand-written
+    window top-k (`window_top3_orders_per_customer`), so the naive
+    formulation costs nothing at 100 TB.  Plan pinned in
+    tests/test_plans.py."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM customer c JOIN LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t ON TRUE
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
 QUERIES = {
+    "join_lateral_top2_orders": lateral_top2_orders,
     "join_asof_latest_order": asof_latest_order,
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "join_range_price_tiers": range_join_price_tiers,
@@ -2340,6 +2383,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_lateral_top2_orders": _LATERAL_SQL,
     "join_asof_latest_order": _ASOF_SQL,
     "tpch_q1_pricing_summary": _Q1_SQL,
     "join_range_price_tiers": _RANGE_JOIN_SQL,

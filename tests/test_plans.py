@@ -254,3 +254,16 @@ def test_q20_nested_in_is_semi_join(spark, sf_correct):
     supplier (each IN level joins without row duplication)."""
     plan = executed_plan(relational.q20_surplus_suppliers(spark, sf_correct))
     assert "LeftSemi" in plan
+
+
+def test_lateral_limit_decorrelates_to_window_group_limit(spark, sf_correct):
+    """The correlated LATERAL ... LIMIT 2 must decorrelate: row_number
+    window with a WindowGroupLimit (per-task top-2 pruning BEFORE the
+    exchange) feeding a plain equi-join — never a per-row nested-loop
+    or cartesian execution of the subquery."""
+    df = relational.lateral_top2_orders(spark, sf_correct)
+    plan = executed_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "row_number" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
