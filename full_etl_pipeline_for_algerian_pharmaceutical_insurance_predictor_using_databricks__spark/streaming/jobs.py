@@ -1835,3 +1835,53 @@ def boilerplate_topk_read(
         .agg(F.sum("df").alias("df"))
     )
     return merged.orderBy(F.col("df").desc(), "seg_text").limit(k)
+
+
+# --------------------------------------------------------------------------
+# Stream-static dimension enrichment
+# --------------------------------------------------------------------------
+
+
+def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static user dimension for enrichment demos: tier derived
+    deterministically from the id (stands in for any slowly-changing
+    dim table the stream joins against)."""
+    from ..sources import load_table
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    tier = (
+        F.when(F.col("user_id") % 4 == 0, "platinum")
+        .when(F.col("user_id") % 4 == 1, "gold")
+        .when(F.col("user_id") % 4 == 2, "silver")
+        .otherwise("bronze")
+    )
+    return users.withColumn("tier", tier)
+
+
+def enriched_events_stream(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """STREAM-STATIC join: enrich each micro-batch with a broadcast
+    dimension — stateless (no watermark, no state store, APPEND-legal),
+    because the static side is fixed per trigger; the planner re-reads
+    the dim each micro-batch, which is how slowly-changing dims pick up
+    updates between triggers.  At 100 TB/day this is the standard
+    fact-stream × dim-table enrichment: the dim broadcasts, the stream
+    never shuffles.  Row-level on purpose — a downstream watermarked
+    agg composes on top; the parity test rolls the landed rows up."""
+    return stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "tier", "event_type", "value"
+    )
+
+
+def enriched_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin over the full fixture (parity oracle)."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.join(F.broadcast(user_tier_dim(spark, sf_dir)), "user_id")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )

@@ -1239,3 +1239,61 @@ def test_boilerplate_registry_matches_batch_union_law(spark, sf_dir, tmp_path):
         .collect()
     }
     assert again == batch
+
+
+# --------------------------------------------------------------------------
+# Stream-static dimension enrichment
+# --------------------------------------------------------------------------
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: the streamed per-(tier, type)
+    rollup equals the batch join exactly (the static side is fixed, so
+    enrichment is stateless and trigger-count-invariant)."""
+    import glob as g
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    median = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, half in [
+        ("a", ev.filter(F.col("event_id") <= median)),
+        ("b", ev.filter(F.col("event_id") > median)),
+    ]:
+        d = tmp_path / f"_{name}"
+        half.withColumn(
+            "ts", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)")
+        ).coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet")
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", str(src))
+        .option("pathGlobFilter", "*.parquet")
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    dim = jobs.user_tier_dim(spark, sf_dir)
+    out = str(tmp_path / "enriched")
+    jobs.foreach_batch_to_parquet(jobs.enriched_events_stream(stream, dim), out)
+    landed = spark.read.parquet(out + "/batch=*")
+    got = {
+        (r.tier, r.event_type): (r.events, r.users)
+        for r in landed.groupBy("tier", "event_type")
+        .agg(F.count("*").alias("events"), F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    want = {
+        (r.tier, r.event_type): (r.events, r.users)
+        for r in jobs.enriched_events_batch(spark, sf_dir).collect()
+    }
+    assert got == want
+    # every event enriched exactly once (join lost/duplicated nothing)
+    assert landed.count() == ev.count()
+    assert landed.select("event_id").distinct().count() == ev.count()
