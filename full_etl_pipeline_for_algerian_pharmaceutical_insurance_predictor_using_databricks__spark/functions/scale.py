@@ -18,6 +18,7 @@ at 100 TB:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -259,3 +260,62 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# --------------------------------------------------------------------------
+# Cost-based optimization (table/column statistics → join reorder)
+# --------------------------------------------------------------------------
+
+_CBO_CONF_KEYS = (
+    "spark.sql.cbo.enabled",
+    "spark.sql.cbo.joinReorder.enabled",
+)
+
+
+def enable_cbo(spark: SparkSession) -> dict[str, str | None]:
+    """Turn on the cost-based optimizer + stats-driven join reorder;
+    returns prior conf values for `restore_confs`.  CBO only acts on
+    CATALOG tables with ANALYZE'd statistics (`analyze_for_cbo`) —
+    plain file scans keep the size-only estimates.  At 100 TB this is
+    the difference between joining two facts first (a disaster the
+    left-to-right planner can write) and starting from the most
+    selective dimension."""
+    old: dict[str, str | None] = {}
+    for k in _CBO_CONF_KEYS:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k in _CBO_CONF_KEYS:
+        spark.conf.set(k, "true")
+    return old
+
+
+def analyze_for_cbo(
+    spark: SparkSession, tables: dict[str, DataFrame], columns: bool = True
+) -> None:
+    """Materialize each frame as a catalog table and ANALYZE it —
+    row counts + (optionally) per-column NDV/min/max histogramless
+    stats, the inputs the CBO costs joins with.  This is the recurring
+    maintenance step a warehouse schedules after loads (Delta collects
+    the same stats at write time)."""
+    import shutil
+
+    for name, df in tables.items():
+        # a crashed previous run can leave the managed location behind
+        # with no catalog entry — saveAsTable then refuses the name
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = os.path.join("spark-warehouse", name)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
+        df.write.mode("overwrite").saveAsTable(name)
+        suffix = " FOR ALL COLUMNS" if columns else ""
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS{suffix}")
+
+
+def catalog_row_count_stat(spark: SparkSession, table: str) -> int | None:
+    """The optimizer-visible row count for an ANALYZE'd table (None if
+    no stats) — what the CBO actually costs with."""
+    plan = spark.table(table)._jdf.queryExecution().optimizedPlan()
+    opt = plan.stats().rowCount()
+    return int(str(opt.get())) if not opt.isEmpty() else None

@@ -217,3 +217,58 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_correct, tmp_path):
     assert n_z < n_plain
     # and the data must round-trip intact
     assert spark.read.parquet(zdir).count() == ev.count()
+
+
+def test_cbo_stats_drive_join_reorder(spark, sf_correct):
+    """ANALYZE'd statistics + CBO join reorder: a 4-table join written
+    in the WORST left-to-right order (fact⋈fact first, the selective
+    dim last) is re-planned to start from the most selective edge
+    (customer⋈filtered-nation), pushing the big fact to the end — the
+    stats-driven reorder a 100-TB star join depends on."""
+    import re
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.functions import (
+        scale,
+    )
+
+    old = scale.enable_cbo(spark)
+    try:
+        scale.analyze_for_cbo(
+            spark,
+            {
+                "cbo_lineitem": load_table(spark, sf_correct, "lineitem"),
+                "cbo_orders": load_table(spark, sf_correct, "orders"),
+                "cbo_nation": load_table(spark, sf_correct, "nation"),
+                "cbo_customer": load_table(spark, sf_correct, "customer"),
+            },
+        )
+        # optimizer-visible row counts exist for every analyzed table
+        counts = {
+            t: scale.catalog_row_count_stat(spark, t)
+            for t in ("cbo_lineitem", "cbo_orders", "cbo_nation", "cbo_customer")
+        }
+        assert counts["cbo_lineitem"] == 60000 and counts["cbo_nation"] == 25
+        df = spark.sql(
+            """
+            SELECT n.n_name, count(*) AS cnt
+            FROM cbo_lineitem l
+            JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
+            JOIN cbo_customer c ON o.o_custkey = c.c_custkey
+            JOIN cbo_nation n ON c.c_nationkey = n.n_nationkey
+                             AND n.n_name = 'NATION_19'
+            GROUP BY n.n_name
+            """
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        order = re.findall(r"cbo_\w+", plan)
+        # reorder happened: the two smallest relations join first, the
+        # big fact is LAST — not the written order
+        assert order.index("cbo_lineitem") == len(order) - 1
+        assert set(order[:2]) == {"cbo_customer", "cbo_nation"}
+        # and the result is still correct
+        [row] = df.collect()
+        assert row.n_name == "NATION_19" and row.cnt > 0
+    finally:
+        scale.restore_confs(spark, old)
+        for t in ("cbo_lineitem", "cbo_orders", "cbo_nation", "cbo_customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
