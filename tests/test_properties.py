@@ -278,3 +278,48 @@ def test_contracted_containment_equals_bruteforce(spark, token_lists, threshold)
             if c >= threshold:
                 want[(a, b)] = c
     assert got == want
+
+
+@_SLOW
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F
+                ),
+                min_size=1,
+                max_size=6,
+            ),
+            min_size=1,
+            max_size=23,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_segmentation_is_a_partition_of_tokens(spark, token_lists):
+    """with_segments law: for ANY document, the segments partition the
+    token sequence — concatenating seg_texts in seg_idx order yields
+    the original tokens, and every segment except possibly the last
+    has exactly SEG_TOKENS tokens."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.curation import (
+        SEG_TOKENS,
+        with_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    segs = with_segments(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append((r.seg_idx, r.seg_text))
+    for i, toks in enumerate(token_lists):
+        parts = [t for _, t in sorted(by_doc[i])]
+        rebuilt = " ".join(parts).split(" ")
+        assert rebuilt == toks
+        for p in parts[:-1]:
+            assert len(p.split(" ")) == SEG_TOKENS
+        assert 1 <= len(parts[-1].split(" ")) <= SEG_TOKENS
