@@ -166,6 +166,7 @@ _TAIL_ORDER = [
     "events_value_time_stats",
     "events_props_variant",
     "text_boilerplate_scrub",
+    "text_substring_dedup",
     "sample_split_leakproof",
     "join_lateral_top2_orders",
     # rows-only: recall/error-bound/determinism-tested in pytest

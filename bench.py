@@ -71,6 +71,9 @@ HEADLINE = [
     # r6 seventh batch: corpus-wide heavy-hitter mining + broadcast
     # anti-join scrub
     "text_boilerplate_scrub",
+    "text_substring_dedup",
+    "join_lateral_top2_orders",
+    "events_props_variant",
     "dedup_exact",
     # heavy LLM-data ops so round-over-round regressions are visible
     "dedup_jaccard_pairs",

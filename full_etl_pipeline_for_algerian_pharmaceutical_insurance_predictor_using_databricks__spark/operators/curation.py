@@ -800,6 +800,95 @@ SELECT b.doc_id,
 FROM arrs b LEFT JOIN agg a USING (doc_id)
 """
 
+def substring_dedup(
+    spark: SparkSession, sf_dir: str, seg_tokens: int = SEG_TOKENS
+) -> DataFrame:
+    """Exact substring deduplication (RefinedWeb/SlimPajama stage):
+    every segment keeps only its globally FIRST occurrence — ordered by
+    (doc_id, seg_idx) — and later repeats are cut out of their
+    documents, complementing `boilerplate_scrub` (which drops by
+    corpus-frequency rank, not occurrence order).
+
+    Spark shape: the first-occurrence election is `row_number() = 1`
+    over (seg_text) ordered by (doc_id, seg_idx) — one shuffle of the
+    segment table by segment key, which is the honest cost of a GLOBAL
+    first-occurrence semantics (no broadcast shortcut exists: the
+    winner set is corpus-sized).  At 100 TB the segment key is hashed
+    (fixed width) and the shuffle is the same dedup-by-key exchange as
+    `dedup_exact`, just at sub-document granularity; reassembly is the
+    one groupBy(doc_id).  Docs whose every segment appeared earlier
+    survive as empty rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("a")
+    ).withColumn("segs_total", F.ceil(F.size("a") / F.lit(seg_tokens)).cast("int"))
+    segs = with_segments(docs, seg_tokens)
+    w = Window.partitionBy("seg_text").orderBy("doc_id", "seg_idx")
+    kept = segs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("segs_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                lambda s: s["seg_text"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        arr.select("doc_id", "segs_total")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "segs_total",
+            F.coalesce(F.col("segs_kept"), F.lit(0).cast("bigint")).alias(
+                "segs_kept"
+            ),
+            (
+                F.col("segs_total").cast("bigint")
+                - F.coalesce(F.col("segs_kept"), F.lit(0).cast("bigint"))
+            ).alias("segs_dropped"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+_SUBSTRING_SQL = rf"""
+WITH arrs AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS a,
+           CAST(CEIL(len(regexp_split_to_array(trim(text), '\s+'))
+                     / {SEG_TOKENS}.0) AS INT) AS segs_total
+    FROM documents
+),
+segs AS (
+    SELECT doc_id,
+           CAST(i AS INT) AS seg_idx,
+           array_to_string(
+               a[(i * {SEG_TOKENS} + 1):(i * {SEG_TOKENS} + {SEG_TOKENS})],
+               ' ') AS seg_text
+    FROM arrs, unnest(generate_series(0, segs_total - 1)) AS t(i)
+),
+kept AS (
+    SELECT doc_id, seg_idx, seg_text
+    FROM segs
+    QUALIFY row_number() OVER (
+        PARTITION BY seg_text ORDER BY doc_id, seg_idx) = 1
+),
+agg AS (
+    SELECT doc_id,
+           count(*) AS segs_kept,
+           string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.segs_total,
+       COALESCE(a.segs_kept, 0) AS segs_kept,
+       CAST(b.segs_total AS BIGINT) - COALESCE(a.segs_kept, 0) AS segs_dropped,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM arrs b LEFT JOIN agg a USING (doc_id)
+"""
+
 # --------------------------------------------------------------------------
 # 10. Leakage-proof (group-aware) dataset split
 # --------------------------------------------------------------------------
@@ -870,6 +959,7 @@ QUERIES = {
     "agg_column_profile": column_profile,
     "corpus_curation_ledger": curate_corpus,
     "text_boilerplate_scrub": boilerplate_scrub,
+    "text_substring_dedup": substring_dedup,
     "sample_split_leakproof": split_leakproof,
 }
 
@@ -883,5 +973,6 @@ ORACLES = {
     "sample_cap_per_source": _CAP_SQL,
     "agg_column_profile": _PROFILE_SQL,
     "text_boilerplate_scrub": _BOILER_SQL,
+    "text_substring_dedup": _SUBSTRING_SQL,
     "sample_split_leakproof": _GSPLIT_SQL,
 }

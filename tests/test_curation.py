@@ -505,3 +505,27 @@ def test_leakproof_split_covers_and_balances(spark, sf_correct):
     assert set(c) <= {"train", "val", "test"}
     # hash split targets 96/2/2 over GROUPS; allow generous slack at sf0.01
     assert c["train"] / n > 0.85
+
+
+# --------------------------------------------------------------------------
+# Exact substring dedup (first occurrence wins)
+# --------------------------------------------------------------------------
+
+
+def test_substring_dedup_first_occurrence_law(spark, sf_correct):
+    out = curation.substring_dedup(spark, sf_correct).collect()
+    docs = load_table(spark, sf_correct, "documents")
+    assert len(out) == docs.count()
+    for r in out:
+        assert r.segs_kept + r.segs_dropped == r.segs_total
+    # every distinct segment survives exactly once corpus-wide: total
+    # kept == number of distinct segments
+    segs = curation.with_segments(docs)
+    n_distinct = segs.select("seg_text").distinct().count()
+    assert sum(r.segs_kept for r in out) == n_distinct
+    # the smallest doc_id holding a segment is the one that keeps it:
+    # doc 0's segments are all first occurrences, so doc 0 loses only
+    # its own internal repeats
+    first = next(r for r in out if r.doc_id == 0)
+    own = [r.seg_text for r in segs.filter(F.col("doc_id") == 0).collect()]
+    assert first.segs_kept == len(set(own))
