@@ -243,6 +243,21 @@ def main() -> None:
          "never shuffles for the filter, only the per-doc reassembly "
          "groupBy. At 100 TB the boilerplate set stays top-k-bounded, "
          "so the broadcast side is constant-size by construction."),
+        ("text_substring_dedup", curation.substring_dedup,
+         "Global first-occurrence substring dedup: the election is "
+         "row_number()=1 over (seg_text) — ONE shuffle of the segment "
+         "table by segment key (the honest cost of global semantics; "
+         "no broadcast shortcut exists since the winner set is "
+         "corpus-sized), then the per-doc reassembly groupBy. Same "
+         "dedup-by-key exchange as dedup_exact, at sub-document "
+         "granularity."),
+        ("join_lateral_top2_orders", relational.lateral_top2_orders,
+         "Correlated LATERAL ... LIMIT 2 as the analyst writes it: "
+         "Catalyst decorrelates to row_number over (o_custkey) with "
+         "WindowGroupLimit pushed BELOW the exchange (per-task top-2 "
+         "pruning) and a plain equi-join back to customers — the same "
+         "single-shuffle plan as the hand-written window top-k; no "
+         "nested-loop, no per-row subquery execution."),
         ("scale.bloom_pruned_revenue (runtime Bloom-filter pruning)",
          lambda s, d: (
              scale.set_runtime_bloom(s, application_side_min="0", disable_broadcast=True),
