@@ -32,11 +32,15 @@ import json
 import os
 from collections.abc import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -141,6 +145,82 @@ class LetterJsonStreamReader(SimpleDataSourceStreamReader):
         return iter([r for path in files for r in _read_landed_file(path)])
 
 
+@dataclass
+class _LetterWriteMessage(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class LetterJsonWriter(DataSourceWriter):
+    """Write side of the format — the two-phase commit shape every
+    distributed writer needs: each task lands its rows as an INVISIBLE
+    `*.json.tmp` letter-keyed document (a suffix the reader's
+    `*.json` filters never match) and reports it in its commit
+    message; only the driver's `commit` renames them into visible
+    `part-*.json` files (after clearing old parts under overwrite), and
+    `abort` deletes the temps — a failed/speculative task can never
+    leave a half-written visible file.  One file per task: repartition
+    by `first_letter` upstream to get the canonical one-document-per-
+    letter layout; the reader accepts any file granularity either way."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("letterjson requires a path")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _LetterWriteMessage:
+        import uuid
+
+        doc: dict[str, list] = {}
+        n = 0
+        for row in iterator:
+            lab = row["lab"]
+            cls = row["class"]
+            doc.setdefault(row["first_letter"], []).append(
+                {
+                    "name": row["name"],
+                    "lab": {
+                        "name": lab["name"] if lab else None,
+                        "address": lab["address"] if lab else None,
+                        "tel": lab["tel"] if lab else None,
+                        "web": lab["web"] if lab else None,
+                    },
+                    "class": {
+                        "therapeutic": cls["therapeutic"] if cls else None,
+                        "pharmacological": cls["pharmacological"] if cls else None,
+                    },
+                    "form": row["form"],
+                    "generic": row["generic"],
+                    "reference_rate": row["reference_rate"],
+                    "refundable": row["refundable"],
+                }
+            )
+            n += 1
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(doc, f, sort_keys=True)
+        return _LetterWriteMessage(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-") and f.endswith(".json"):
+                    os.remove(os.path.join(self.path, f))
+        for i, m in enumerate(messages):
+            if m.n_rows == 0:
+                os.remove(m.tmp_path)
+                continue
+            os.rename(m.tmp_path, os.path.join(self.path, f"part-{i:05d}.json"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class LetterJsonDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -151,6 +231,9 @@ class LetterJsonDataSource(DataSource):
 
     def reader(self, schema: StructType) -> LetterJsonReader:
         return LetterJsonReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> LetterJsonWriter:
+        return LetterJsonWriter(self.options, overwrite)
 
     def simpleStreamReader(self, schema: StructType) -> LetterJsonStreamReader:
         return LetterJsonStreamReader(self.options)

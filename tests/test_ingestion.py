@@ -526,3 +526,29 @@ def test_dynamic_partition_overwrite_touches_only_loaded_partitions(spark, tmp_p
     assert rows2 == rows
     # session conf restored (the dynamic mode stayed scoped to the write)
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == mode_before
+
+
+def test_datasource_writer_roundtrip_and_two_phase_commit(
+    spark, landing, registered, tmp_path
+):
+    """Write side of the custom format: distributed round-trip equals
+    the source rows; overwrite replaces instead of appending; no task
+    temp files survive a committed write."""
+    import os
+
+    df = spark.read.format("letterjson").load(landing)
+    out = str(tmp_path / "written")
+    df.repartition(2, "first_letter").write.format("letterjson").mode(
+        "overwrite"
+    ).save(out)
+    files = sorted(os.listdir(out))
+    assert files and all(f.startswith("part-") and f.endswith(".json") for f in files)
+    back = spark.read.format("letterjson").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # overwrite: second write replaces, never appends
+    df.write.format("letterjson").mode("overwrite").save(out)
+    again = spark.read.format("letterjson").load(out)
+    assert again.count() == df.count()
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, df.collect()))
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
