@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
     composites,
+    constraints,
     curation,
     dashboard,
     dedup,
@@ -169,6 +170,7 @@ _TAIL_ORDER = [
     "text_substring_dedup",
     "sample_split_leakproof",
     "join_lateral_top2_orders",
+    "dq_orders_audit",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",
@@ -236,6 +238,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (
         dashboard,
+        constraints,
         relational,
         events,
         text,
@@ -285,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
     pool: dict[str, str] = {}
     for mod in (
         dashboard,
+        constraints,
         relational,
         events,
         text,

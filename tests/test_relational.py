@@ -123,3 +123,49 @@ def test_scd2_single_exchange(spark, sf_correct):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality constraints (operators/constraints.py)
+# --------------------------------------------------------------------------
+
+
+def test_dq_audit_single_pass_and_firing_rule(spark, sf_correct):
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        constraints,
+    )
+
+    [row] = constraints.audit_orders(spark, sf_correct).collect()
+    # clean fixture: structural rules all pass
+    assert row.null_orderkey == 0 and row.null_custkey == 0
+    assert row.bad_status == 0 and row.nonpositive_price == 0
+    assert row.duplicate_orderkeys == 0 and row.orphan_custkeys == 0
+    # the deliberately-tight range rule fires (proves counting works)
+    assert row.price_above_400k > 0
+
+
+def test_dq_rules_detect_injected_violations(spark):
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        constraints,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, -5.0), (None, 3.0), (4, None)],
+        "id long, v double",
+    )
+    [row] = constraints.check_rows(
+        df,
+        [
+            constraints.RowRule("null_id", F.col("id").isNotNull()),
+            constraints.RowRule("bad_v", F.col("v") > 0),
+        ],
+    ).collect()
+    assert row.null_id == 1
+    # NULL predicate is a violation: v=None fails `v > 0`
+    assert row.bad_v == 2
+    assert constraints.count_duplicate_keys(df, ["id"]) == 1
+    parent = spark.createDataFrame([(1,), (4,)], "pk long")
+    # id=None and the non-parent rows orphan; NULL fk counts as orphan
+    orphans = constraints.count_orphans(df, parent, "id", "pk")
+    assert orphans == 1  # the NULL id row (1,1,4 all have parents)
