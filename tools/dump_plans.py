@@ -385,7 +385,8 @@ def main() -> None:
         "| sim_ann_ivf_pq_serving (frozen index) | 1.3 s | 1.6 s | 1.5 s | ~flat: probes scan nprobe/nlist of the codes |\n"
         "| events_funnel | 1.3 s | 1.2 s | 1.3 s | flat — per-stage filtered aggs, 1 M rows is still overhead-dominated on 32 cores |\n"
         "| events_hll_daily_users | 0.43 s | 0.44 s | 0.39 s | flat — sketch agg is map-side partials + tiny exchange |\n"
-        "| text_boilerplate_scrub | 1.5 s | 2.0 s | 3.1 s | 2.1× — df agg + broadcast anti-join + one reassembly shuffle |\n\n"
+        "| text_boilerplate_scrub | 1.5 s | 2.0 s | 3.1 s | 2.1× — df agg + broadcast anti-join + one reassembly shuffle |\n"
+        "| text_substring_dedup | 1.6 s | 1.3 s | 1.6 s | flat — one segment-key shuffle, WindowGroupLimit prunes repeats map-side |\n\n"
         "Every family is at-or-below linear in input rows; minhash is the\n"
         "one whose OUTPUT also grew 10× (61.6 M verified pairs — the\n"
         "adversarial fixture makes each replica internally near-duplicate),\n"

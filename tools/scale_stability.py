@@ -3,6 +3,8 @@ DISJOINT key/token/user namespaces and measure how the heavy operator
 families' wall time grows with input size.
 
     python tools/scale_stability.py [factors...]   # default: 1 4 10
+    SCALE_OPS=op1,op2 ... restricts to named ops (one-off additions
+    get measured without re-running the whole sweep).
 
 Replication is namespace-disjoint on purpose: replica i's documents
 share no tokens with replica j's (every token gets a `_r<i>` suffix),
@@ -144,7 +146,12 @@ def main() -> None:
         "events_funnel": events.funnel,
         "events_hll_daily_users": events.hll_daily_users,
         "text_boilerplate_scrub": curation.boilerplate_scrub,
+        "text_substring_dedup": curation.substring_dedup,
     }
+    only = os.environ.get("SCALE_OPS")
+    if only:
+        keep = {k.strip() for k in only.split(",")}
+        ops = {k: v for k, v in ops.items() if k in keep}
 
     dirs = {f: replicate(spark, f) for f in factors}
     results: dict[str, dict[int, dict[str, float]]] = {}
