@@ -1885,3 +1885,75 @@ def enriched_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("users"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming data-quality gate (expectations on the ingest path)
+# --------------------------------------------------------------------------
+
+
+def dq_gate_stream(
+    stream: DataFrame,
+    rules: list,
+    out_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Expectations ON the ingest stream (the Delta `ON VIOLATION`
+    contract without Delta): each micro-batch splits into rows
+    satisfying EVERY row rule (landed under `out_dir/batch=<id>`) and
+    violating rows (landed under `quarantine_dir/batch=<id>` with a
+    `failed_rules` array naming what fired — the triage artifact).
+    NULL predicates count as violations, matching the batch auditor.
+    Both sinks are batch-id-keyed overwrites, so retries replace their
+    own partition; pass + quarantine partition every input row."""
+    from ..operators.constraints import RowRule  # noqa: F401 (type docs)
+
+    import tempfile
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        oks = [
+            F.coalesce(r.predicate.cast("boolean"), F.lit(False)).alias(
+                f"_ok_{r.name}"
+            )
+            for r in rules
+        ]
+        flagged = batch_df.select("*", *oks)
+        all_ok = None
+        for r in rules:
+            c = F.col(f"_ok_{r.name}")
+            all_ok = c if all_ok is None else (all_ok & c)
+        failed = F.filter(
+            F.array(*[
+                F.when(~F.col(f"_ok_{r.name}"), F.lit(r.name)) for r in rules
+            ]),
+            lambda x: x.isNotNull(),
+        )
+        ok_cols = [f"_ok_{r.name}" for r in rules]
+        flagged.filter(all_ok).drop(*ok_cols).write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+        (
+            flagged.filter(~all_ok)
+            .withColumn("failed_rules", failed)
+            .drop(*ok_cols)
+            .write.mode("overwrite")
+            .parquet(f"{quarantine_dir}/batch={batch_id}")
+        )
+
+    def drain(ckpt: str) -> None:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("DQ gate drain exceeded 300s")
+
+    if checkpoint_dir is not None:
+        drain(checkpoint_dir)
+    else:
+        with tempfile.TemporaryDirectory() as ckpt:
+            drain(ckpt)

@@ -1297,3 +1297,65 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
     # every event enriched exactly once (join lost/duplicated nothing)
     assert landed.count() == ev.count()
     assert landed.select("event_id").distinct().count() == ev.count()
+
+
+# --------------------------------------------------------------------------
+# Streaming data-quality gate
+# --------------------------------------------------------------------------
+
+
+def test_dq_gate_stream_partitions_rows_and_names_failures(spark, tmp_path):
+    """The gate partitions every input row into pass XOR quarantine,
+    and quarantined rows carry the names of exactly the rules they
+    violated (NULL predicate = violation, matching the batch
+    auditor)."""
+    import glob as g
+    import shutil
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.constraints import (
+        RowRule,
+    )
+
+    rows = [
+        (1, 10.0, "F"),
+        (2, -5.0, "O"),      # bad_v
+        (3, None, "F"),      # bad_v (NULL)
+        (4, 7.0, "X"),       # bad_status
+        (5, -1.0, "X"),      # bad_v AND bad_status
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, status string")
+    src = tmp_path / "src"
+    src.mkdir()
+    d = tmp_path / "_d"
+    df.coalesce(1).write.parquet(str(d))
+    shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / "0.parquet")
+
+    stream = (
+        spark.readStream.schema("id long, v double, status string")
+        .format("parquet")
+        .option("path", str(src))
+        .option("pathGlobFilter", "*.parquet")
+        .load()
+    )
+    rules = [
+        RowRule("bad_v", F.col("v") > 0),
+        RowRule("bad_status", F.col("status").isin("F", "O")),
+    ]
+    out, quar = str(tmp_path / "ok"), str(tmp_path / "quarantine")
+    jobs.dq_gate_stream(stream, rules, out, quar)
+
+    passed = {r.id for r in spark.read.parquet(out + "/batch=*").collect()}
+    quarantined = {
+        r.id: sorted(r.failed_rules)
+        for r in spark.read.parquet(quar + "/batch=*").collect()
+    }
+    assert passed == {1}
+    assert quarantined == {
+        2: ["bad_v"],
+        3: ["bad_v"],
+        4: ["bad_status"],
+        5: ["bad_status", "bad_v"],
+    }
+    # partition law: pass + quarantine == input, no overlap
+    assert passed.isdisjoint(quarantined)
+    assert passed | set(quarantined) == {r[0] for r in rows}
