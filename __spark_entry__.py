@@ -177,6 +177,7 @@ _TAIL_ORDER = [
     # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest
     "text_winnowed_fingerprints",
     "text_bpe_merges",
+    "text_bpe_tokenize",
     "text_topic_clusters",
     "corpus_curation_ledger",
     "mm_image_ahash_pairs",

@@ -881,8 +881,17 @@ def bpe_learn(
     Rows-only entry: the merge loop is not SQL-expressible; parity is
     pinned against a pure-Python reference BPE in tests/test_llm_ops.py.
     """
+    merges, _ = _bpe_loop(_bpe_words(spark, sf_dir), n_merges)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency table with initial char+EOW symbol arrays — the
+    one corpus-scale scan of the BPE algorithm."""
     docs = load_table(spark, sf_dir, "documents")
-    words = (
+    return (
         docs.select(
             F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
         )
@@ -899,9 +908,27 @@ def bpe_learn(
         .localCheckpoint()
     )
 
+
+def _merge_fold(a: str, b: str) -> F.Column:
+    """Left-to-right greedy application of ONE merge (a,b)→a+b over a
+    symbol array column `s`."""
+
     def esc(t: str) -> str:
         return t.replace("\\", "\\\\").replace("'", "\\'")
 
+    return F.expr(
+        f"aggregate(s, cast(array() as array<string>), (acc, x) -> "
+        f"if(size(acc) > 0 AND element_at(acc, -1) = '{esc(a)}' "
+        f"AND x = '{esc(b)}', "
+        f"concat(slice(acc, 1, size(acc) - 1), array('{esc(a + b)}')), "
+        f"concat(acc, array(x))))"
+    )
+
+
+def _bpe_loop(words: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
+    """The sequential merge loop over the word table; returns the merge
+    list and the words table with final symbol arrays (the trained
+    tokenizer's word → subwords mapping)."""
     merges = []
     for step in range(1, n_merges + 1):
         pairs = (
@@ -929,16 +956,41 @@ def bpe_learn(
             break
         a, b, cnt = top[0].left, top[0].right, top[0].pair_count
         merges.append((step, a, b, a + b, cnt))
-        merged = F.expr(
-            f"aggregate(s, cast(array() as array<string>), (acc, x) -> "
-            f"if(size(acc) > 0 AND element_at(acc, -1) = '{esc(a)}' "
-            f"AND x = '{esc(b)}', "
-            f"concat(slice(acc, 1, size(acc) - 1), array('{esc(a + b)}')), "
-            f"concat(acc, array(x))))"
+        words = words.withColumn("s", _merge_fold(a, b)).localCheckpoint()
+    return merges, words
+
+
+def bpe_tokenize(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Apply the learned BPE tokenizer to the corpus — the serving half
+    of `bpe_learn`: the merge loop yields the word → subword-sequence
+    mapping ON THE WORD TABLE (never the corpus), and the corpus is
+    then tokenized by a join from exploded doc words to that mapping.
+    At web scale the word table is millions of rows, so the join is a
+    plain shuffle join (or broadcast once the vocabulary is capped) —
+    the corpus-side pass stays a single explode + join + re-agg.
+
+    Returns per doc: (doc_id, n_words, n_subwords, max_word_subwords).
+    Rows-only entry; exact parity with serial reference tokenization
+    is pinned in tests/test_llm_ops.py."""
+    _, words = _bpe_loop(_bpe_words(spark, sf_dir), n_merges)
+    word_map = words.select(
+        "w", F.size("s").alias("word_subwords")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        doc_words.join(word_map, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("word_subwords").alias("n_subwords"),
+            F.max("word_subwords").alias("max_word_subwords"),
         )
-        words = words.withColumn("s", merged).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, merged string, pair_count bigint"
     )
 
 
@@ -946,8 +998,13 @@ def bpe_merges_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(spark, sf_dir)
 
 
+def bpe_tokenize_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_tokenize(spark, sf_dir)
+
+
 QUERIES = {
     "text_bpe_merges": bpe_merges_entry,
+    "text_bpe_tokenize": bpe_tokenize_entry,
     "text_winnowed_fingerprints": winnowed_fingerprints,
     "text_topic_clusters": topic_clusters,
     "text_hash_embedding": hash_embedding,

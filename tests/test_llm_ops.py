@@ -817,3 +817,53 @@ def test_bpe_merges_match_serial_reference(spark, sf_correct):
     # merge table is usable: merged symbol really is left+right
     for _, left, right, merged, _ in got:
         assert merged == left + right
+
+
+def test_bpe_tokenize_matches_serial_reference(spark, sf_correct):
+    """Applying the learned merges: per-doc subword counts equal
+    tokenizing each word with the serial reference BPE's final
+    segmentation."""
+    n_merges = 12
+    docs = load_table(spark, sf_correct, "documents")
+    wc = {
+        r.w: r.n
+        for r in docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    merges = _reference_bpe(wc, n_merges)
+
+    # reference final segmentation per word
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.text import (
+        EOW,
+    )
+
+    def segment(word):
+        syms = list(word) + [EOW]
+        for _, a, b, _, _ in merges:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        return syms
+
+    seg_len = {w: len(segment(w)) for w in wc}
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords, r.max_word_subwords)
+        for r in text.bpe_tokenize(spark, sf_correct, n_merges=n_merges).collect()
+    }
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        ws = [w for w in r.text.strip().lower().split() if w]
+        lens = [seg_len[w] for w in ws]
+        want[r.doc_id] = (len(ws), sum(lens), max(lens))
+    assert got == want
