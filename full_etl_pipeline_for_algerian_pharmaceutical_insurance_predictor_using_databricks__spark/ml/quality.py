@@ -145,3 +145,30 @@ def quality_scores_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pinned in tests/test_ml.py."""
     result = train_quality(spark, sf_dir)
     return score(result.model, load_table(spark, sf_dir, "documents"))
+
+
+def save_quality_model(result: QualityTrainResult, path: str) -> None:
+    """Persist the trained filter with its eval metrics (Spark ML
+    writer — the cluster-loadable artifact, not a pickle)."""
+    import json
+    import os
+
+    result.model.write().overwrite().save(os.path.join(path, "model"))
+    with open(os.path.join(path, "metadata.json"), "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "auc": result.auc,
+                "accuracy": result.accuracy,
+                "train_rows": result.train_rows,
+                "test_rows": result.test_rows,
+                "n_features": N_FEATURES,
+                "train_pct": TRAIN_PCT,
+            },
+            f,
+        )
+
+
+def load_quality_model(spark: SparkSession, path: str) -> PipelineModel:
+    import os
+
+    return PipelineModel.load(os.path.join(path, "model"))

@@ -157,3 +157,28 @@ def test_quality_score_batch_stream_parity(spark, sf_correct, tmp_path):
         sp, sk = stream_scores[doc_id]
         assert sk == k
         assert abs(sp - p) < 1e-12
+
+
+def test_quality_model_persistence_roundtrip(spark, sf_correct, tmp_path):
+    """Saved filter reloads and scores identically (the artifact the
+    streaming ingest path loads at startup)."""
+    import json
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.ml import (
+        quality,
+    )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        load_table,
+    )
+
+    r = quality.train_quality(spark, sf_correct)
+    path = str(tmp_path / "qmodel")
+    quality.save_quality_model(r, path)
+    meta = json.load(open(f"{path}/metadata.json"))
+    assert meta["auc"] == r.auc and meta["train_rows"] == r.train_rows
+
+    docs = load_table(spark, sf_correct, "documents")
+    before = {row.doc_id: row.quality_prob for row in quality.score(r.model, docs).collect()}
+    loaded = quality.load_quality_model(spark, path)
+    after = {row.doc_id: row.quality_prob for row in quality.score(loaded, docs).collect()}
+    assert before == after
