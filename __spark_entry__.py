@@ -171,6 +171,7 @@ _TAIL_ORDER = [
     "sample_split_leakproof",
     "join_lateral_top2_orders",
     "dq_orders_audit",
+    "events_seasonal_anomalies",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",

@@ -473,6 +473,113 @@ def score_hourly_counts(
     )
 
 
+def seasonal_anomalies(
+    spark: SparkSession, sf_dir: str, z_thresh: float = 2.5, min_peers: int = 3
+) -> DataFrame:
+    """Seasonal (hour-of-day) anomaly detection — the complement of the
+    trailing-window scorer: each (type, hour) is scored against the
+    SAME CLOCK HOUR on other days (leave-one-out, so a spike can't
+    inflate its own baseline), catching "3 AM looks like 3 PM" cases a
+    trailing window normalizes away.
+
+    Exact integer count/sum/sum-of-squares per (type, hour-of-day)
+    seasonal cell, leave-one-out mean/variance derived by subtraction,
+    one identical double expression per engine (the cross-engine
+    determinism recipe shared with `hourly_anomalies`).  Hours whose
+    cell has < `min_peers` other days, or zero variance, are excluded.
+
+    Spark shape: hourly aggregate → tiny (type × 24) seasonal-stats
+    aggregate → broadcast join back — partition sizes track |hours|,
+    never event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count("*").alias("events"))
+    hod = F.hour("hour_start").alias("hod")
+    cells = (
+        hourly.select("event_type", hod, "events")
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count("*").alias("n_cell"),
+            F.sum("events").alias("s_cell"),
+            F.sum(F.col("events") * F.col("events")).alias("sq_cell"),
+        )
+    )
+    j = hourly.withColumn("hod", F.hour("hour_start")).join(
+        F.broadcast(cells), ["event_type", "hod"]
+    )
+    loo_n = F.col("n_cell") - 1
+    loo_s = F.col("s_cell") - F.col("events")
+    loo_sq = F.col("sq_cell") - F.col("events") * F.col("events")
+    usable = loo_n >= min_peers
+    mean = F.when(usable, loo_s / loo_n)
+    var = F.when(usable, (loo_sq - loo_s * loo_s / loo_n) / (loo_n - 1))
+    z = F.when(var > 0, (F.col("events") - mean) / F.sqrt(var))
+    return (
+        j.withColumn("peer_days", loo_n)
+        .withColumn("seasonal_mean", mean)
+        .withColumn("s_var", var)
+        .withColumn("z_score", z)
+        .filter((loo_n >= min_peers) & (F.col("s_var") > 0))
+        .select(
+            "event_type",
+            F.unix_timestamp("hour_start").alias("hour_epoch"),
+            F.col("hod").cast("int").alias("hod"),
+            "events",
+            "seasonal_mean",
+            "z_score",
+            (F.abs(F.col("z_score")) > z_thresh).alias("is_anomaly"),
+        )
+    )
+
+
+_SEASONAL_SQL = """
+WITH hourly AS (
+    SELECT event_type,
+           date_trunc('hour', ts) AS hour_start,
+           CAST(count(*) AS BIGINT) AS events
+    FROM events
+    GROUP BY 1, 2
+),
+cells AS (
+    SELECT event_type,
+           EXTRACT(hour FROM hour_start) AS hod,
+           CAST(count(*) AS BIGINT) AS n_cell,
+           CAST(sum(events) AS BIGINT) AS s_cell,
+           CAST(sum(events * events) AS BIGINT) AS sq_cell
+    FROM hourly
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT h.event_type, h.hour_start, h.events,
+           c.hod, c.n_cell - 1 AS loo_n,
+           c.s_cell - h.events AS loo_s,
+           c.sq_cell - h.events * h.events AS loo_sq
+    FROM hourly h
+    JOIN cells c
+      ON h.event_type = c.event_type
+     AND EXTRACT(hour FROM h.hour_start) = c.hod
+),
+scored AS (
+    SELECT event_type, hour_start, hod, events,
+           loo_n,
+           loo_s / loo_n AS seasonal_mean,
+           (loo_sq - loo_s * loo_s / loo_n) / (loo_n - 1) AS s_var
+    FROM j
+    WHERE loo_n >= 3
+)
+SELECT event_type,
+       CAST(FLOOR(EXTRACT(epoch FROM hour_start)) AS BIGINT) AS hour_epoch,
+       CAST(hod AS INTEGER) AS hod,
+       events,
+       seasonal_mean,
+       (events - seasonal_mean) / sqrt(s_var) AS z_score,
+       abs((events - seasonal_mean) / sqrt(s_var)) > 2.5 AS is_anomaly
+FROM scored
+WHERE s_var > 0
+"""
+
+
 _ANOMALY_SQL = """
 WITH hourly AS (
     SELECT event_type, date_trunc('hour', ts) AS hour_start,
@@ -1149,6 +1256,7 @@ QUERIES = {
     "events_sessionization": sessionization,
     "events_json_props": json_props_extract,
     "events_props_variant": props_variant_stats,
+    "events_seasonal_anomalies": seasonal_anomalies,
     "events_hourly_activity": hourly_user_activity,
     "events_daily_rollup_from_hourly": daily_rollup_from_hourly,
 }
@@ -1171,6 +1279,7 @@ ORACLES = {
     "events_sessionization": _SESSION_SQL,
     "events_json_props": _JSON_SQL,
     "events_props_variant": _VARIANT_SQL,
+    "events_seasonal_anomalies": _SEASONAL_SQL,
     "events_hourly_activity": _HOURLY_SQL,
     "events_daily_rollup_from_hourly": _DAILY_ROLLUP_SQL,
 }
