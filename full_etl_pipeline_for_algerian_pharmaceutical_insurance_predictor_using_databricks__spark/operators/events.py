@@ -495,6 +495,17 @@ def seasonal_anomalies(
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
     ).agg(F.count("*").alias("events"))
+    return score_seasonal_counts(hourly, z_thresh, min_peers)
+
+
+def score_seasonal_counts(
+    hourly: DataFrame, z_thresh: float = 2.5, min_peers: int = 3
+) -> DataFrame:
+    """The seasonal-cell scoring stage of `seasonal_anomalies`,
+    factored out so the continuous-aggregate registry can score ON
+    READ over merged partials with the identical plan
+    (`streaming.jobs.hourly_rollup_seasonal_read`).  Input:
+    (event_type, hour_start, events)."""
     hod = F.hour("hour_start").alias("hod")
     cells = (
         hourly.select("event_type", hod, "events")

@@ -1957,3 +1957,25 @@ def dq_gate_stream(
     else:
         with tempfile.TemporaryDirectory() as ckpt:
             drain(ckpt)
+
+
+def hourly_rollup_seasonal_read(
+    spark: SparkSession,
+    registry_dir: str,
+    z_thresh: float = 2.5,
+    min_peers: int = 3,
+) -> DataFrame:
+    """Seasonal (hour-of-day) anomaly scoring ON READ over the
+    continuous-aggregate registry — the leave-one-out twin of
+    `hourly_rollup_anomaly_read`, sharing
+    `operators.events.score_seasonal_counts` so the registry's answer
+    equals the batch operator's over the same events regardless of
+    arrival batching (parity-tested)."""
+    from ..operators.events import score_seasonal_counts
+
+    merged = (
+        spark.read.parquet(registry_dir)
+        .groupBy("hour_start", "event_type")
+        .agg(F.sum("events").alias("events"))
+    )
+    return score_seasonal_counts(merged, z_thresh, min_peers)

@@ -1359,3 +1359,24 @@ def test_dq_gate_stream_partitions_rows_and_names_failures(spark, tmp_path):
     # partition law: pass + quarantine == input, no overlap
     assert passed.isdisjoint(quarantined)
     assert passed | set(quarantined) == {r[0] for r in rows}
+
+
+def test_hourly_rollup_seasonal_read_matches_batch(spark, sf_dir, tmp_path):
+    """Seasonal (hour-of-day, leave-one-out) scoring on read over the
+    registry equals the batch seasonal operator exactly — same lossless
+    partial merge, same scoring stage."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        events as ev_ops,
+    )
+
+    reg = str(tmp_path / "rollup_seasonal")
+    jobs.hourly_rollup_registry_ingest(jobs.events_stream(spark, sf_dir), reg)
+    got = {
+        (r.event_type, r.hour_epoch): (r.events, r.z_score, r.is_anomaly)
+        for r in jobs.hourly_rollup_seasonal_read(spark, reg).collect()
+    }
+    want = {
+        (r.event_type, r.hour_epoch): (r.events, r.z_score, r.is_anomaly)
+        for r in ev_ops.seasonal_anomalies(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
