@@ -172,6 +172,7 @@ _TAIL_ORDER = [
     "join_lateral_top2_orders",
     "dq_orders_audit",
     "events_seasonal_anomalies",
+    "dq_events_drift",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",

@@ -114,10 +114,84 @@ FROM orders
 """
 
 
+def events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit (PSI, Population Stability Index —
+    the standard model-monitoring statistic): split the events table
+    into two periods at the midpoint of its time range and compare the
+    event-type distributions.  Per-type PSI terms
+    (p_a − p_b)·ln(p_a/p_b) are emitted per bin (sum = the PSI; > 0.2
+    is the conventional "significant drift" alarm).
+
+    Cross-engine determinism: the split point is exact integer epoch
+    arithmetic ((min+max) DIV 2), counts are exact, and the only
+    double math is the identical p/ln expression on identical integers.
+    One scan + one tiny per-type aggregate — the nightly drift check
+    costs one pass at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    bounds = ev.agg(
+        F.min(epoch).alias("lo"), F.max(epoch).alias("hi")
+    ).first()
+    mid = (bounds.lo + bounds.hi) // 2
+    per_type = ev.groupBy("event_type").agg(
+        F.sum(F.when(epoch <= mid, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(epoch > mid, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    tot = per_type.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    ).first()
+    p_a = F.col("n_a") / F.lit(tot.ta)
+    p_b = F.col("n_b") / F.lit(tot.tb)
+    psi = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0), (p_a - p_b) * F.log(p_a / p_b)
+    )
+    return per_type.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        psi.alias("psi_term"),
+    )
+
+
+_DRIFT_SQL = """
+WITH bounds AS (
+    SELECT CAST(FLOOR(MIN(EXTRACT(epoch FROM ts))) AS BIGINT) AS lo,
+           CAST(FLOOR(MAX(EXTRACT(epoch FROM ts))) AS BIGINT) AS hi
+    FROM events
+),
+per_type AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)
+                              <= (SELECT (lo + hi) // 2 FROM bounds)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)
+                              > (SELECT (lo + hi) // 2 FROM bounds)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+    FROM events
+    GROUP BY event_type
+),
+tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM per_type)
+SELECT event_type,
+       n_a,
+       n_b,
+       n_a / (SELECT ta FROM tot) AS p_a,
+       n_b / (SELECT tb FROM tot) AS p_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN (n_a / (SELECT ta FROM tot) - n_b / (SELECT tb FROM tot))
+                 * ln((n_a / (SELECT ta FROM tot)) / (n_b / (SELECT tb FROM tot)))
+       END AS psi_term
+FROM per_type
+"""
+
+
 QUERIES = {
     "dq_orders_audit": audit_orders,
+    "dq_events_drift": events_drift,
 }
 
 ORACLES = {
     "dq_orders_audit": _AUDIT_SQL,
+    "dq_events_drift": _DRIFT_SQL,
 }
