@@ -1979,3 +1979,65 @@ def hourly_rollup_seasonal_read(
         .agg(F.sum("events").alias("events"))
     )
     return score_seasonal_counts(merged, z_thresh, min_peers)
+
+
+# --------------------------------------------------------------------------
+# Streaming drift monitor (PSI vs a frozen baseline)
+# --------------------------------------------------------------------------
+
+
+def baseline_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen reference distribution of event types (the training-time
+    snapshot a production monitor compares live traffic against)."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    total = per_type.agg(F.sum("n")).first()[0]
+    return per_type.select(
+        "event_type", (F.col("n") / F.lit(total)).alias("p_base")
+    )
+
+
+def drift_monitor_stream(
+    stream: DataFrame, baseline: DataFrame, out_dir: str
+) -> None:
+    """Per-micro-batch PSI against the frozen baseline: each trigger
+    lands (batch_id keyed, idempotent) one row per event type with the
+    batch share, baseline share, and PSI term — the live
+    model-monitoring feed.  The baseline is a broadcast dim (tiny);
+    the per-batch cost is one batch-sized count aggregate.  Types
+    absent from either side get a NULL psi_term (the standard PSI
+    epsilon-handling decision is left to the consumer, visibly)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counts = batch_df.groupBy("event_type").agg(F.count("*").alias("n"))
+        total = counts.agg(F.sum("n")).first()
+        n_total = total[0] if total and total[0] else 0
+        if n_total == 0:
+            return
+        joined = counts.join(F.broadcast(baseline), "event_type", "full")
+        p_batch = F.coalesce(F.col("n"), F.lit(0)) / F.lit(n_total)
+        psi = F.when(
+            (F.col("n") > 0) & (F.col("p_base") > 0),
+            (p_batch - F.col("p_base")) * F.log(p_batch / F.col("p_base")),
+        )
+        out = joined.select(
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("batch_events"),
+            p_batch.alias("p_batch"),
+            "p_base",
+            psi.alias("psi_term"),
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("drift monitor drain exceeded 300s")

@@ -1380,3 +1380,60 @@ def test_hourly_rollup_seasonal_read_matches_batch(spark, sf_dir, tmp_path):
         for r in ev_ops.seasonal_anomalies(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------------------------------------
+# Streaming drift monitor
+# --------------------------------------------------------------------------
+
+
+def test_drift_monitor_zero_on_matching_and_fires_on_skew(spark, sf_dir, tmp_path):
+    """PSI ≈ 0 when the stream replays the baseline corpus; PSI blows
+    up when the stream is skewed to one type (the monitor actually
+    detects drift, not just runs)."""
+    import glob as g
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    baseline = jobs.baseline_type_distribution(spark, sf_dir)
+
+    def stream_of(df, name):
+        src = tmp_path / name
+        src.mkdir()
+        d = tmp_path / f"_{name}"
+        df.withColumn(
+            "ts", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)")
+        ).coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / "0.parquet")
+        schema = (
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        return (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("path", str(src))
+            .option("pathGlobFilter", "*.parquet")
+            .load()
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    out_same = str(tmp_path / "psi_same")
+    jobs.drift_monitor_stream(stream_of(ev, "same"), baseline, out_same)
+    same = spark.read.parquet(out_same + "/batch=*").collect()
+    assert len(same) > 0
+    psi_same = sum(r.psi_term for r in same if r.psi_term is not None)
+    assert abs(psi_same) < 1e-9  # identical distribution ⇒ PSI exactly ~0
+
+    out_skew = str(tmp_path / "psi_skew")
+    jobs.drift_monitor_stream(
+        stream_of(ev.filter(F.col("event_type") == "click"), "skew"),
+        baseline,
+        out_skew,
+    )
+    skew = spark.read.parquet(out_skew + "/batch=*").collect()
+    psi_skew = sum(r.psi_term for r in skew if r.psi_term is not None)
+    assert psi_skew > 0.2  # conventional "significant drift" threshold
+    # absent types are visible with NULL psi (not silently dropped)
+    absent = [r for r in skew if r.batch_events == 0]
+    assert absent and all(r.psi_term is None for r in absent)
