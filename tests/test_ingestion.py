@@ -552,3 +552,28 @@ def test_datasource_writer_roundtrip_and_two_phase_commit(
     assert again.count() == df.count()
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, df.collect()))
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_compact_files_bin_packs_and_preserves_rows(spark, tmp_path):
+    """OPTIMIZE-style compaction: many small files → few, same rows;
+    idempotent; stale temp dirs from a crash are cleared at entry."""
+    import os
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources.sinks import (
+        compact_files,
+    )
+
+    path = str(tmp_path / "smallfiles")
+    df = spark.range(10000).withColumn("v", F.col("id") * 2)
+    df.repartition(32).write.parquet(path)
+    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) == 32
+
+    os.makedirs(path + "_compact_tmp")  # stale temp from a "crash"
+    n = compact_files(spark, path, target_mb=512)
+    assert n == 1  # tiny data packs into one target-size file
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(10000))
+    # idempotent
+    assert compact_files(spark, path, target_mb=512) == 1

@@ -267,3 +267,23 @@ def test_lateral_limit_decorrelates_to_window_group_limit(spark, sf_correct):
     assert "row_number" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_correct):
+    """The per-join strategy escape hatch: hints override the
+    planner's size-based choice — broadcast / shuffle-hash / 
+    sort-merge each produce their operator for the same join."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        load_table,
+    )
+
+    orders = load_table(spark, sf_correct, "orders")
+    customer = load_table(spark, sf_correct, "customer")
+
+    def plan_with(hint: str) -> str:
+        j = orders.join(customer.hint(hint), orders.o_custkey == customer.c_custkey)
+        return executed_plan(j)
+
+    assert "BroadcastHashJoin" in plan_with("broadcast")
+    assert "ShuffledHashJoin" in plan_with("shuffle_hash")
+    assert "SortMergeJoin" in plan_with("merge")
