@@ -176,6 +176,7 @@ _TAIL_ORDER = [
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",
+    "events_hll_overlap",
     # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest
     "text_winnowed_fingerprints",
     "text_bpe_merges",

@@ -1020,6 +1020,40 @@ def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate audience overlap between every pair of event types
+    by inclusion-exclusion on HLL sketches: |A∩B| ≈ |A| + |B| − |A∪B|,
+    where |A∪B| comes from `hll_union` of the two per-type sketches —
+    the sketch-algebra answer to "how many users both viewed AND
+    purchased" that needs ONE pass over events (per-type sketches) and
+    then only sketch math, never a re-scan per pair.  At 100 TB with
+    hundreds of segments this is the only affordable way to fill an
+    overlap matrix.  Rows-only entry: estimates carry HLL error;
+    tests bound them against exact intersections."""
+    ev = load_table(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    a = sketches.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sketches.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est_a.alias("users_a"),
+        est_b.alias("users_b"),
+        est_u.alias("users_union"),
+        (est_a + est_b - est_u).alias("users_overlap_est"),
+    )
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -1268,6 +1302,7 @@ QUERIES = {
     "events_json_props": json_props_extract,
     "events_props_variant": props_variant_stats,
     "events_seasonal_anomalies": seasonal_anomalies,
+    "events_hll_overlap": hll_audience_overlap,
     "events_hourly_activity": hourly_user_activity,
     "events_daily_rollup_from_hourly": daily_rollup_from_hourly,
 }

