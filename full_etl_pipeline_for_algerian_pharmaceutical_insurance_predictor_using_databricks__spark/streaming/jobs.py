@@ -2041,3 +2041,23 @@ def drift_monitor_stream(
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("drift monitor drain exceeded 300s")
+
+
+def registry_diff(
+    spark: SparkSession,
+    registry_dir: str,
+    batch_a: int | None,
+    batch_b: int | None,
+) -> DataFrame:
+    """Time-travel DIFF between two as-of snapshots — the read side of
+    Delta's change data feed on the batch-keyed registry: full rows
+    tagged 'added' (in B, not A) or 'removed' (in A, not B), computed
+    with multiset semantics (exceptAll both ways) so duplicate rows
+    diff correctly.  Appends between A and B show as pure adds;
+    a scrub/expiry rewrite shows its deletions as removes — which is
+    how a consumer audits exactly what a GDPR scrub took out."""
+    a = read_registry_asof(spark, registry_dir, batch_a)
+    b = read_registry_asof(spark, registry_dir, batch_b)
+    added = b.exceptAll(a).withColumn("change", F.lit("added"))
+    removed = a.exceptAll(b).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)

@@ -1437,3 +1437,32 @@ def test_drift_monitor_zero_on_matching_and_fires_on_skew(spark, sf_dir, tmp_pat
     # absent types are visible with NULL psi (not silently dropped)
     absent = [r for r in skew if r.batch_events == 0]
     assert absent and all(r.psi_term is None for r in absent)
+
+
+def test_registry_diff_tracks_appends_and_scrubs(spark, tmp_path):
+    """DIFF between snapshots: appends show as adds; a scrub's
+    deletions show as removes — the change-data-feed read on the
+    registry."""
+    reg = str(tmp_path / "diff_reg")
+    for b in range(5):
+        spark.createDataFrame(
+            [(b, f"user{b % 2}", float(b))],
+            "batch_val long, subject string, v double",
+        ).write.parquet(f"{reg}/batch={b}")
+
+    d = jobs.registry_diff(spark, reg, 1, 4)
+    rows = {(r.batch_val, r.change) for r in d.collect()}
+    assert rows == {(2, "added"), (3, "added"), (4, "added")}
+
+    # scrub user1 (batches 1 and 3) and diff the full registry against
+    # its pre-scrub self via a copied snapshot
+    import shutil
+
+    snap = str(tmp_path / "pre_scrub")
+    shutil.copytree(reg, snap)
+    jobs.scrub_registry(spark, reg, column="subject", values=["user1"])
+    before = spark.read.parquet(snap + "/batch=*")
+    after = spark.read.parquet(reg + "/batch=*")
+    removed = before.exceptAll(after).collect()
+    assert {r.batch_val for r in removed} == {1, 3}
+    assert after.filter(F.col("subject") == "user1").count() == 0
