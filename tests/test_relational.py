@@ -20,6 +20,7 @@ def test_all_queries_have_oracles():
     assert set(events.QUERIES) - set(events.ORACLES) == {
         "events_approx_distinct_users",
         "events_hll_daily_users",
+        "events_hll_overlap",
     }
 
 
