@@ -173,6 +173,7 @@ _TAIL_ORDER = [
     "dq_orders_audit",
     "events_seasonal_anomalies",
     "dq_events_drift",
+    "corpus_health_report",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",

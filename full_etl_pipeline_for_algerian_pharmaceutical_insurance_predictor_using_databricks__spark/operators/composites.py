@@ -347,6 +347,113 @@ FROM ({multimodal.ORACLES["mm_audio_rms"]})
 """
 
 
+# --- corpus health report ---------------------------------------------------
+
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mission-control composite: ONE row summarizing the audit surface
+    a data lead reads every morning — corpus size and exact-dup mass,
+    quality-verdict mix, sub-document dedup pressure (boilerplate +
+    substring segments dropped), relational DQ violations, and the
+    count of drifted event types.  Every term is an integer derived
+    from an already-oracled operator, so the whole report value-checks
+    cross-engine (the one double family, PSI, enters only through a
+    thresholded count — each per-row double is computed identically on
+    identical integers in both engines, so the comparison is
+    deterministic).  Plan: five independent 1-row aggregates crossed
+    together; each subtree is the underlying operator's plan."""
+    from . import constraints as dq
+
+    docs = text.load_table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+    )
+    base = docs.agg(
+        F.count("*").alias("docs_total"),
+        (F.count("*") - F.countDistinct(F.md5(normalized))).alias(
+            "exact_dup_docs"
+        ),
+    )
+    q = text.with_quality(docs).agg(
+        F.sum(F.when(F.col("verdict") == "keep", 1).otherwise(0))
+        .cast("bigint")
+        .alias("q_keep"),
+        F.sum(F.when(F.col("verdict") == "review", 1).otherwise(0))
+        .cast("bigint")
+        .alias("q_review"),
+        F.sum(F.when(F.col("verdict") == "drop", 1).otherwise(0))
+        .cast("bigint")
+        .alias("q_drop"),
+    )
+    boiler = curation.boilerplate_scrub(spark, sf_dir).agg(
+        F.sum("segs_dropped").alias("boiler_segs_dropped")
+    )
+    substr = curation.substring_dedup(spark, sf_dir).agg(
+        F.sum("segs_dropped").alias("substr_segs_dropped")
+    )
+    audit = dq.audit_orders(spark, sf_dir)
+    viol = audit.select(
+        sum(F.col(c) for c in audit.columns).cast("bigint").alias("dq_violations")
+    )
+    drift = dq.events_drift(spark, sf_dir).agg(
+        F.sum(
+            F.when(F.abs(F.col("psi_term")) > 0.01, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("drifted_types")
+    )
+    return (
+        base.crossJoin(q)
+        .crossJoin(boiler)
+        .crossJoin(substr)
+        .crossJoin(viol)
+        .crossJoin(drift)
+    )
+
+
+def _health_sql() -> str:
+    from . import constraints as dq
+
+    return f"""
+SELECT *
+FROM (
+    SELECT CAST(count(*) AS BIGINT) AS docs_total,
+           CAST(count(*) - count(DISTINCT md5(trim(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g')))) AS BIGINT)
+               AS exact_dup_docs
+    FROM documents
+) a
+CROSS JOIN (
+    SELECT CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+               AS q_keep,
+           CAST(SUM(CASE WHEN verdict = 'review' THEN 1 ELSE 0 END) AS BIGINT)
+               AS q_review,
+           CAST(SUM(CASE WHEN verdict = 'drop' THEN 1 ELSE 0 END) AS BIGINT)
+               AS q_drop
+    FROM ({text.ORACLES["text_quality_score"]})
+) b
+CROSS JOIN (
+    SELECT CAST(SUM(segs_dropped) AS BIGINT) AS boiler_segs_dropped
+    FROM ({curation.ORACLES["text_boilerplate_scrub"]})
+) c
+CROSS JOIN (
+    SELECT CAST(SUM(segs_dropped) AS BIGINT) AS substr_segs_dropped
+    FROM ({curation.ORACLES["text_substring_dedup"]})
+) d
+CROSS JOIN (
+    SELECT CAST(null_orderkey + null_custkey + bad_status
+                + nonpositive_price + price_above_400k
+                + duplicate_orderkeys + orphan_custkeys AS BIGINT)
+               AS dq_violations
+    FROM ({dq.ORACLES["dq_orders_audit"]})
+) e
+CROSS JOIN (
+    SELECT CAST(SUM(CASE WHEN ABS(psi_term) > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS drifted_types
+    FROM ({dq.ORACLES["dq_events_drift"]})
+) f
+"""
+
+
 QUERIES = {
     "med_q01_q07_overview": med_q01_q07_overview,
     "med_q04_q12_breakdowns": med_q04_q12_breakdowns,
@@ -361,6 +468,7 @@ QUERIES = {
     "text_source_mixture": text_source_mixture,
     "mm_image_meta_resize": mm_image_meta_resize,
     "mm_frame_audio": mm_frame_audio,
+    "corpus_health_report": corpus_health_report,
 }
 
 ORACLES = {
@@ -377,4 +485,5 @@ ORACLES = {
     "text_source_mixture": _SOURCE_MIXTURE_SQL,
     "mm_image_meta_resize": _IMAGE_META_RESIZE_SQL,
     "mm_frame_audio": _FRAME_AUDIO_SQL,
+    "corpus_health_report": _health_sql(),
 }
