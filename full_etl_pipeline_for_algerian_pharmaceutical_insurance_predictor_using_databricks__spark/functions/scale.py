@@ -300,14 +300,22 @@ def analyze_for_cbo(
     maintenance step a warehouse schedules after loads (Delta collects
     the same stats at write time)."""
     import shutil
+    from urllib.parse import urlparse
 
+    warehouse = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
     for name, df in tables.items():
         # a crashed previous run can leave the managed location behind
-        # with no catalog entry — saveAsTable then refuses the name
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        loc = os.path.join("spark-warehouse", name)
-        if os.path.isdir(loc):
-            shutil.rmtree(loc)
+        # with no catalog entry — saveAsTable then refuses the name.
+        # Only clear the location when no live catalog table owns it:
+        # dropping + rmtree'ing an unrelated pre-existing table here
+        # would be destructive (resolve the real warehouse dir, never a
+        # hard-coded relative path).
+        if not spark.catalog.tableExists(name):
+            loc = os.path.join(warehouse, name)
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
         df.write.mode("overwrite").saveAsTable(name)
         suffix = " FOR ALL COLUMNS" if columns else ""
         spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS{suffix}")

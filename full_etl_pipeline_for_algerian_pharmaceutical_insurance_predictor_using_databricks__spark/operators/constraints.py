@@ -45,9 +45,10 @@ def check_rows(df: DataFrame, rules: list[RowRule]) -> DataFrame:
     return df.agg(*[_violations(r) for r in rules])
 
 
-def count_duplicate_keys(df: DataFrame, keys: list[str]) -> Column:
+def count_duplicate_keys(df: DataFrame, keys: list[str]) -> int:
     """Rows beyond the first per key (0 ⇔ key is unique).  groupBy
-    shuffles key-level partial counts only."""
+    shuffles key-level partial counts only.  Eager: triggers a job and
+    returns the scalar (like count_orphans), not a lazy Column."""
     per_key = df.groupBy(*keys).agg(F.count("*").alias("n"))
     return per_key.agg(
         F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("bigint")

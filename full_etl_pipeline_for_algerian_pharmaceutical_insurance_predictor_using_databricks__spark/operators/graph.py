@@ -42,6 +42,14 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select(F.col("id"), F.lit(0.0).alias("rank"))
+    # Materialize the edge frame ONCE before the loop: `edges` may carry an
+    # arbitrarily expensive lineage (doc_pagerank feeds it the whole
+    # ngram_jaccard_pairs mining pipeline), and every iteration references
+    # it twice (dangling-mass scalar + contribution join) plus once more in
+    # the final plan — without truncation the miner re-executes ~2× per
+    # iteration.  `deg` is derived from the checkpointed frame so it shares
+    # the materialized scan instead of re-deriving the lineage.
+    edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):

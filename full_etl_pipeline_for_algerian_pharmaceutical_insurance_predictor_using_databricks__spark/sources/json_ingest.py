@@ -52,8 +52,14 @@ def read_letter_keyed_json(spark: SparkSession, path: str) -> DataFrame:
     inferred = {f.name: f.dataType for f in exploded.schema["med"].dataType.fields}
 
     def subfield(parent: str, name: str, dtype) -> F.Column:
+        # An all-null parent is inferred as StringType, not StructType —
+        # guard the fieldNames() probe or the lookup raises instead of
+        # emitting a null-filled struct.
         parent_type = inferred.get(parent)
-        present = parent_type is not None and name in parent_type.fieldNames()
+        present = (
+            isinstance(parent_type, T.StructType)
+            and name in parent_type.fieldNames()
+        )
         col = F.col(f"med.{parent}.{name}") if present else F.lit(None)
         return col.cast(dtype).alias(name)
 

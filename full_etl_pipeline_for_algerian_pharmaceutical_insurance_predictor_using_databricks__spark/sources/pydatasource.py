@@ -209,11 +209,23 @@ class LetterJsonWriter(DataSourceWriter):
             for f in os.listdir(self.path):
                 if f.startswith("part-") and f.endswith(".json"):
                     os.remove(os.path.join(self.path, f))
-        for i, m in enumerate(messages):
+        # Append mode must not reuse part numbers from a prior commit —
+        # os.rename would silently clobber committed files.  Start the
+        # index past the highest existing part-*.json.
+        base = 0
+        for f in os.listdir(self.path):
+            if f.startswith("part-") and f.endswith(".json"):
+                try:
+                    base = max(base, int(f[5:10]) + 1)
+                except ValueError:
+                    pass
+        i = base
+        for m in messages:
             if m.n_rows == 0:
                 os.remove(m.tmp_path)
                 continue
             os.rename(m.tmp_path, os.path.join(self.path, f"part-{i:05d}.json"))
+            i += 1
 
     def abort(self, messages) -> None:
         for m in messages:

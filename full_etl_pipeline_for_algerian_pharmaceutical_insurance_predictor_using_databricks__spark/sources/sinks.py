@@ -275,6 +275,13 @@ def compact_files(
 
     tmp = path.rstrip("/") + "_compact_tmp"
     old = path.rstrip("/") + "_compact_old"
+    # Recover from a crash inside the rename window of a previous run:
+    # if the data directory is gone but `_compact_old` survives, the crash
+    # happened between `rename(path, old)` and `rename(tmp, path)` — the
+    # ONLY complete copy is `old`, so restore it before clearing temps
+    # (mirrors merge_upsert's _recover_merge_state).
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
     for stale in (tmp, old):
         if os.path.isdir(stale):
             shutil.rmtree(stale)
