@@ -183,6 +183,7 @@ _TAIL_ORDER = [
     "text_bpe_merges",
     "text_bpe_tokenize",
     "text_topic_clusters",
+    "text_topic_serving",
     "corpus_curation_ledger",
     "mm_image_ahash_pairs",
     "dedup_minhash_lsh",

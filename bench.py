@@ -67,6 +67,7 @@ HEADLINE = [
     "text_bm25_search",
     "text_ngram_topk",
     "text_topic_clusters",
+    "text_topic_serving",
     "events_funnel",
     # r6 seventh batch: corpus-wide heavy-hitter mining + broadcast
     # anti-join scrub
@@ -105,6 +106,8 @@ HEAVY_WARMUPS = {
     "sim_ann_ivf_pq_serving": 2,
     "dedup_containment_pairs": 2,
     "text_topic_clusters": 2,
+    # first warm pass builds the on-disk topic index
+    "text_topic_serving": 2,
     "dedup_embedding_clustered": 2,
 }
 

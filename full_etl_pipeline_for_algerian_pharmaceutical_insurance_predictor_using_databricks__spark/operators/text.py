@@ -724,8 +724,23 @@ def topic_clusters(
     document-frequent terms — exact and readable at any corpus size.
     The only non-agg shuffles are the KMeans fit's own and the
     token-count exchange."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import IDF, HashingTF
+    idf_model, km_model = _topic_fit(spark, sf_dir, k, n_features, seed)
+    assigned = _topic_assign(
+        _topic_docs_tf(spark, sf_dir, n_features), idf_model, km_model
+    )
+    return _topic_table(assigned, top_terms)
+
+
+TOPIC_INDEX_VERSION = 1
+
+
+def _topic_docs_tf(spark: SparkSession, sf_dir: str, n_features: int) -> DataFrame:
+    """Tokenized documents with their hashed term-frequency vector, as
+    both the ML vector (`tf`, for the one-time fits) and a plain array
+    (`tf_arr`, for the declarative assignment math).  HashingTF is a
+    stateless transformer — identical output in build and serving."""
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
@@ -733,15 +748,42 @@ def topic_clusters(
     tf = HashingTF(
         inputCol="toks", outputCol="tf", numFeatures=n_features
     ).transform(docs)
-    vecs = (
-        IDF(inputCol="tf", outputCol="tfidf")
-        .fit(tf)
-        .transform(tf)
-        .select("doc_id", "toks", "tfidf")
+    return tf.withColumn("tf_arr", vector_to_array(F.col("tf")))
+
+
+def _topic_fit(
+    spark: SparkSession, sf_dir: str, k: int, n_features: int, seed: int
+):
+    """Fit IDF + seeded KMeans on the hashed term frequencies and
+    return the two fitted models.  Both are tiny (dim + k·dim values)
+    and natively persistable via Spark ML's writer — the same artifact
+    path the reference's model sink uses (`ml/pipeline.py`)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import IDF
+
+    tf = _topic_docs_tf(spark, sf_dir, n_features)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    vecs = idf_model.transform(tf).select("doc_id", "tfidf")
+    km_model = KMeans(
+        k=k, seed=seed, maxIter=10, featuresCol="tfidf",
+        predictionCol="cluster_id",
+    ).fit(vecs)
+    return idf_model, km_model
+
+
+def _topic_assign(docs_tf: DataFrame, idf_model, km_model) -> DataFrame:
+    """Nearest-centroid assignment through the fitted transformers —
+    pure model.transform projections (JVM-side BLAS with norm-pruned
+    distances), no fit stage, no Python UDF, no shuffle.  Build and
+    serving share this exact code path (serving reloads the persisted
+    models), so their labels are identical by construction."""
+    return (
+        km_model.transform(idf_model.transform(docs_tf))
+        .select("doc_id", "toks", "cluster_id")
     )
-    km = KMeans(k=k, seed=seed, maxIter=10, featuresCol="tfidf",
-                predictionCol="cluster_id")
-    assigned = km.fit(vecs).transform(vecs).select("doc_id", "toks", "cluster_id")
+
+
+def _topic_table(assigned: DataFrame, top_terms: int) -> DataFrame:
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
     term_counts = (
         assigned.select(
@@ -770,6 +812,72 @@ def topic_clusters(
         .select("cluster_id", "n_docs", "top_terms")
         .orderBy(F.desc("n_docs"), F.asc("cluster_id"))
     )
+
+
+def _default_topic_index_dir(sf_dir: str) -> str:
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(
+        repo_root, "spark-warehouse",
+        f"topic_index_v{TOPIC_INDEX_VERSION}_{tag}",
+    )
+
+
+def topic_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    k: int = 8,
+    n_features: int = 1024,
+    seed: int = 7,
+) -> str:
+    """One-time topic-model build: fit IDF + KMeans and persist both
+    fitted models via Spark ML's native writer plus a meta row under
+    `index_dir` — the train/serve split (`ivf_pq_build_index`'s
+    pattern applied to topic clustering).  The index is O(dim + k·dim)
+    values regardless of corpus size."""
+    idf_model, km_model = _topic_fit(spark, sf_dir, k, n_features, seed)
+    idf_model.write().overwrite().save(f"{index_dir}/idf")
+    km_model.write().overwrite().save(f"{index_dir}/kmeans")
+    spark.createDataFrame(
+        [(k, n_features, seed)], "k int, n_features int, seed int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    return index_dir
+
+
+def topic_clusters_serving(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    top_terms: int = 5,
+) -> DataFrame:
+    """Query-only topic map against FROZEN on-disk fitted models
+    (built once by `topic_index_build` if absent): the amortized
+    serving cost, vs `topic_clusters` which re-fits IDF + KMeans per
+    call.  The plan is a parquet scan + stateless transform
+    projections — no KMeans or IDF fit anywhere (pinned in
+    tests/test_plans.py); assignment goes through the identical
+    `_topic_assign` path as the build entry with the identical model
+    parameters, so labels match `topic_clusters` exactly."""
+    import os
+
+    if index_dir is None:
+        index_dir = _default_topic_index_dir(sf_dir)
+    if not os.path.isdir(os.path.join(index_dir, "kmeans")):
+        topic_index_build(spark, sf_dir, index_dir)
+    from pyspark.ml.clustering import KMeansModel
+    from pyspark.ml.feature import IDFModel
+
+    meta = spark.read.parquet(f"{index_dir}/meta").first()
+    idf_model = IDFModel.load(f"{index_dir}/idf")
+    km_model = KMeansModel.load(f"{index_dir}/kmeans")
+    assigned = _topic_assign(
+        _topic_docs_tf(spark, sf_dir, meta["n_features"]), idf_model, km_model
+    )
+    return _topic_table(assigned, top_terms)
 
 
 # --------------------------------------------------------------------------
@@ -1007,6 +1115,7 @@ QUERIES = {
     "text_bpe_tokenize": bpe_tokenize_entry,
     "text_winnowed_fingerprints": winnowed_fingerprints,
     "text_topic_clusters": topic_clusters,
+    "text_topic_serving": topic_clusters_serving,
     "text_hash_embedding": hash_embedding,
     "text_ngram_topk": ngram_topk,
     "text_bpe_token_count": bpe_token_count,

@@ -668,6 +668,30 @@ def test_topic_clusters_invariants(spark, sf_correct):
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
 
 
+def test_topic_serving_matches_build(spark, sf_correct, tmp_path):
+    """The frozen-index serving entry must reproduce the build entry's
+    cluster table exactly — same models, same `_topic_assign` path —
+    and a second serving call against the already-built index must be
+    identical (no hidden refit)."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        text as text_ops,
+    )
+
+    idx = str(tmp_path / "topic_idx")
+    build = text_ops.topic_clusters(spark, sf_correct).collect()
+    serve = text_ops.topic_clusters_serving(
+        spark, sf_correct, index_dir=idx
+    ).collect()
+    assert [tuple(r) for r in build] == [tuple(r) for r in serve]
+    import os
+
+    assert os.path.isdir(os.path.join(idx, "kmeans"))
+    again = text_ops.topic_clusters_serving(
+        spark, sf_correct, index_dir=idx
+    ).collect()
+    assert [tuple(r) for r in serve] == [tuple(r) for r in again]
+
+
 def test_containment_bitmask_matches_inverted_index(spark, sf_correct):
     """The bitmask dispatch (tiny vocab) and the general inverted-index
     path must emit bit-identical directed pairs."""

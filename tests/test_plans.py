@@ -147,6 +147,17 @@ def test_ivf_pq_serving_plan_has_no_fit(spark, sf_correct, tmp_path):
     assert has_broadcast_join(df)
 
 
+def test_topic_serving_plan_has_no_fit(spark, sf_correct, tmp_path):
+    """The topic serving path transforms through FROZEN reloaded models
+    — no IDF/KMeans fit stage, no Python row-UDF; one scan of
+    documents feeds both the assignment and the label join."""
+    idx = str(tmp_path / "topic_plan")
+    df = text.topic_clusters_serving(spark, sf_correct, index_dir=idx)
+    plan = executed_plan(df)
+    assert "TreeAggregate" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_skew_join_splits_hot_partition(spark, sf_correct):
     """With skew thresholds lowered to fixture scale, AQE must split
     the planted hot key's partition: SortMergeJoin(skew=true) +
