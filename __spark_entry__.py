@@ -163,6 +163,7 @@ _TAIL_ORDER = [
     "dedup_containment_pairs",
     "events_trailing_hour",
     "mm_audio_segments",
+    "mm_video_metadata",
     "text_hash_embedding",
     "events_value_time_stats",
     "events_props_variant",

@@ -26,6 +26,37 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 DEFAULT_SALT_BUCKETS = 16
 
 
+def checkpoint_df(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a DataFrame with lineage truncation — the
+    engine's single knob for every heavy intermediate (LSH candidate
+    lists, contracted pair graphs, CC loop state).
+
+    Default storage is localCheckpoint's MEMORY_AND_DISK — right on a
+    real cluster where blocks spread across executors.  In single-JVM
+    local mode EVERY block lives in the one driver heap, so a ×10
+    scale sweep (61.6 M minhash candidate pairs) used to need
+    SPARK_DRIVER_MEM=48g; set SPARK_GRAFT_CHECKPOINT_STORAGE=DISK_ONLY
+    (or any StorageLevel name) to keep materializations off-heap and
+    run the sweep at the default 8 GiB heap.  A bad level name fails
+    fast with the valid choices."""
+    name = os.environ.get("SPARK_GRAFT_CHECKPOINT_STORAGE")
+    if not name:
+        return df.localCheckpoint()
+    from pyspark import StorageLevel
+
+    level = getattr(StorageLevel, name, None)
+    if not isinstance(level, StorageLevel):
+        valid = [
+            k for k, v in vars(StorageLevel).items()
+            if isinstance(v, StorageLevel)
+        ]
+        raise ValueError(
+            f"SPARK_GRAFT_CHECKPOINT_STORAGE={name!r} is not a "
+            f"StorageLevel; choose one of {sorted(valid)}"
+        )
+    return df.localCheckpoint(eager=True, storageLevel=level)
+
+
 def with_salt(df: DataFrame, n_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
     """Add a `_salt` column in [0, n_buckets), hashing the row's
     columns TOGETHER WITH a per-row monotonic id: identical rows of a

@@ -337,12 +337,12 @@ def mm_frame_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FRAME_AUDIO_SQL = f"""
-SELECT 'video' AS modality, doc_id, frame_idx AS idx, frame_token,
+SELECT 'video' AS modality, doc_id, frame_idx AS idx, pixel_sum,
        CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS INTEGER) AS n_samples
 FROM ({multimodal.ORACLES["mm_frame_sample"]})
 UNION ALL
 SELECT 'audio' AS modality, doc_id, window_idx AS idx,
-       CAST(NULL AS VARCHAR) AS frame_token, rms, n_samples
+       CAST(NULL AS BIGINT) AS pixel_sum, rms, n_samples
 FROM ({multimodal.ORACLES["mm_audio_rms"]})
 """
 

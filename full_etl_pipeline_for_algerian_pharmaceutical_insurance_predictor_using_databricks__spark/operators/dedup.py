@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from ..functions.scale import checkpoint_df
 from ..sources import load_table
 
 # --------------------------------------------------------------------------
@@ -115,8 +116,8 @@ def _contract(tok: DataFrame) -> DataFrame:
             "members",
             F.size("members").alias("n_members"),
         )
-        .localCheckpoint()
     )
+    groups = checkpoint_df(groups)
     parallelism = tok.sparkSession.sparkContext.defaultParallelism
     if groups.rdd.getNumPartitions() < parallelism:
         groups = groups.repartition(parallelism)
@@ -474,6 +475,20 @@ def _rep_jaccard_pairs_inverted(
     separately callable so parity tests can pit it against the bitmask
     strategy on the same input."""
     rep_tok = _rep_tokens(groups)
+    # Length filter (the classic size-ratio prune of the similarity-join
+    # literature): jaccard(A,B) >= t forces min(|A|,|B|) >= t*max(|A|,|B|),
+    # so posting pairs whose set sizes differ by more than (1-t) can be
+    # dropped INSIDE the token self-join, before the per-pair count
+    # aggregate ever sees them.  Exactness is untouched — every dropped
+    # pair is provably below threshold.
+    rep_sized = groups.select(
+        F.col("rep").alias("doc_id"),
+        "set_size",
+        F.explode("tokens").alias("token"),
+    )
+    size_compatible = (
+        F.col("t1.set_size") >= threshold * F.col("t2.set_size")
+    ) & (F.col("t2.set_size") >= threshold * F.col("t1.set_size"))
     if max_df is not None:
         # document frequency counts DOCUMENTS, not distinct sets — a
         # token appearing in one 10k-duplicate group is as hot as one in
@@ -485,14 +500,14 @@ def _rep_jaccard_pairs_inverted(
             .groupBy("token")
             .agg(F.sum("n_members").alias("df"))
         )
-        join_tok = rep_tok.join(
+        join_tok = rep_sized.join(
             doc_freq.filter(F.col("df") <= max_df), "token"
-        ).select("doc_id", "token")
+        ).select("doc_id", "token", "set_size")
         t1 = join_tok.alias("t1")
         t2 = join_tok.alias("t2")
         candidates = (
             t1.join(t2, F.col("t1.token") == F.col("t2.token"))
-            .filter(F.col("t1.doc_id") < F.col("t2.doc_id"))
+            .filter((F.col("t1.doc_id") < F.col("t2.doc_id")) & size_compatible)
             .select(
                 F.col("t1.doc_id").alias("doc_a"),
                 F.col("t2.doc_id").alias("doc_b"),
@@ -500,26 +515,26 @@ def _rep_jaccard_pairs_inverted(
             .distinct()
         )
         return _verify_pairs_exact(candidates, _rep_arrays(groups), threshold)
-    sizes = groups.select(F.col("rep").alias("doc_id"), "set_size")
-    t1 = rep_tok.alias("t1")
-    t2 = rep_tok.alias("t2")
+    t1 = rep_sized.alias("t1")
+    t2 = rep_sized.alias("t2")
+    # sizes ride the posting rows, so the final jaccard needs no extra
+    # size joins — one self-join + one aggregate is the whole plan
     shared = (
         t1.join(t2, F.col("t1.token") == F.col("t2.token"))
-        .filter(F.col("t1.doc_id") < F.col("t2.doc_id"))
+        .filter((F.col("t1.doc_id") < F.col("t2.doc_id")) & size_compatible)
         .groupBy(
-            F.col("t1.doc_id").alias("doc_a"), F.col("t2.doc_id").alias("doc_b")
+            F.col("t1.doc_id").alias("doc_a"),
+            F.col("t2.doc_id").alias("doc_b"),
+            F.col("t1.set_size").alias("size_a"),
+            F.col("t2.set_size").alias("size_b"),
         )
         .agg(F.count("*").alias("shared"))
     )
-    s1 = sizes.alias("s1").hint("shuffle_hash")
-    s2 = sizes.alias("s2").hint("shuffle_hash")
     jac = F.col("shared") / (
-        F.col("s1.set_size") + F.col("s2.set_size") - F.col("shared")
+        F.col("size_a") + F.col("size_b") - F.col("shared")
     )
     return (
-        shared.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
-        .join(s2, F.col("doc_b") == F.col("s2.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        shared.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -659,6 +674,20 @@ def _rep_containment_pairs(
         if vocab is not None:
             return _rep_containment_pairs_bitmask(groups, threshold, vocab)
     rep_tok = _rep_tokens(groups)
+    # Length filter (the classic size-ratio prune of the similarity-join
+    # literature): jaccard(A,B) >= t forces min(|A|,|B|) >= t*max(|A|,|B|),
+    # so posting pairs whose set sizes differ by more than (1-t) can be
+    # dropped INSIDE the token self-join, before the per-pair count
+    # aggregate ever sees them.  Exactness is untouched — every dropped
+    # pair is provably below threshold.
+    rep_sized = groups.select(
+        F.col("rep").alias("doc_id"),
+        "set_size",
+        F.explode("tokens").alias("token"),
+    )
+    size_compatible = (
+        F.col("t1.set_size") >= threshold * F.col("t2.set_size")
+    ) & (F.col("t2.set_size") >= threshold * F.col("t1.set_size"))
     if max_df is not None:
         # df counts DOCUMENTS (weight reps by group size) — see
         # `_rep_jaccard_pairs_inverted`; dropped-token candidates are
@@ -899,9 +928,11 @@ def minhash_lsh_pairs(
         # cache — poison for benchmarks) and is never unpersisted;
         # checkpoint blocks are reclaimed when the DataFrame is GC'd.
         # At cluster scale this is the same "materialize the candidate
-        # list" step every LSH pipeline has.
-        .localCheckpoint()
+        # list" step every LSH pipeline has — checkpoint_df so the
+        # storage level is environment-selectable (DISK_ONLY keeps the
+        # 61.6 M-pair ×10 sweep inside the default single-JVM heap).
     )
+    candidates = checkpoint_df(candidates)
     # adaptive verify: same dictionary-bitmask strategy as
     # _rep_jaccard_pairs — exact bit_count intersection when the rep
     # vocabulary fits one word, array_intersect otherwise
@@ -1104,8 +1135,8 @@ def embedding_near_dup_clustered(
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .withColumn("vec", array_to_vector(F.col("embedding").cast("array<double>")))
-        .localCheckpoint()
     )
+    emb = checkpoint_df(emb)
     km = KMeans(
         k=n_clusters, seed=7, maxIter=5, featuresCol="vec", predictionCol="cell0"
     )
@@ -1180,11 +1211,15 @@ def embedding_dedup_keepers(
     pairs = (
         embedding_near_dup_clustered(spark, sf_dir, threshold, n_clusters, n_assign)
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
-        .localCheckpoint()
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    pairs = checkpoint_df(pairs)
+    edges = checkpoint_df(
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+    )
     labels = _cc_min_label_loop(emb_ids, edges, max_iter)
     return labels.select(
         F.col("doc_id").alias("vec_id"),
@@ -1241,18 +1276,16 @@ def dedup_clusters(
     # materialize the pair list BEFORE mirroring: the two union branches
     # are separate subtrees to Spark (no cross-branch CSE), so an
     # un-checkpointed union would run the whole near-dup join twice
-    pairs = (
-        _rep_jaccard_pairs(groups, JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
+    pairs = checkpoint_df(
+        _rep_jaccard_pairs(groups, JACCARD_THRESHOLD).select("doc_a", "doc_b")
     )
-    edges = (
+    # pairs' lineage would replay every iteration otherwise
+    edges = checkpoint_df(
         pairs.union(
             pairs.select(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
         )
-        .localCheckpoint()  # pairs' lineage replays every iteration otherwise
     )
     # Size the loop's shuffle parallelism to the graph.  Each iteration
     # is a short standalone query over checkpointed (stats-less) inputs,
@@ -1283,8 +1316,20 @@ def dedup_clusters(
 def _cc_min_label_loop(
     docs: DataFrame, edges: DataFrame, max_iter: int
 ) -> DataFrame:
-    """Min-label propagation with pointer doubling (see dedup_clusters)."""
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    """Min-label propagation with pointer doubling (see dedup_clusters).
+
+    The loop iterates ONLY over edge-incident vertices: a singleton
+    (no edges) can never change its label, yet it used to ride through
+    every per-iteration join and checkpoint.  On a dedup graph the
+    duplicate subgraph is a small fraction of the corpus, so dropping
+    singletons shrinks each round's label table from |V| to
+    |V_incident| — the r7 fix for the worst ×10 scale curve.  Isolated
+    vertices rejoin once at the end with themselves as cluster_id
+    (identical output: a singleton's component min is itself)."""
+    verts = checkpoint_df(
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    )
+    labels = verts.select("doc_id", F.col("doc_id").alias("cluster_id"))
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -1324,8 +1369,8 @@ def _cc_min_label_loop(
                     | (F.coalesce("l_cluster", "cluster_id") < F.col("cluster_id"))
                 ).alias("changed"),
             )
-            .localCheckpoint()
         )
+        stepped = checkpoint_df(stepped)
         changed = stepped.filter("changed").count()
         new_labels = stepped.select("doc_id", "cluster_id")
         # drop the superseded checkpoint's cached blocks — only the
@@ -1334,7 +1379,9 @@ def _cc_min_label_loop(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
 
 
 # Oracle: transitive closure by recursive CTE (fine at test scale;

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.scale import checkpoint_df
 from ..sources import load_table
 
 
@@ -49,7 +50,7 @@ def pagerank(
     # the final plan — without truncation the miner re-executes ~2× per
     # iteration.  `deg` is derived from the checkpointed frame so it shares
     # the materialized scan instead of re-deriving the lineage.
-    edges = edges.localCheckpoint()
+    edges = checkpoint_df(edges)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
@@ -78,7 +79,7 @@ def pagerank(
             ).alias("rank"),
         )
         if (i + 1) % 3 == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = checkpoint_df(ranks)
     return ranks
 
 

@@ -9,10 +9,12 @@ digest, and the decode kernels parse the actual byte format — BMP
 header fields, bottom-up padded pixel rows, RIFF chunk walk, 16-bit
 little-endian samples — with pure numpy.  Feed them a BMP/WAV from any
 other tool and they decode it the same way (asserted against
-hand-built files in tests).  Compressed formats (JPEG/PNG/FLAC) would
-swap the parse body for PIL/soundfile and keep every other line; only
-the "video" frame-sampling entry still uses an opaque synthetic
-payload, since no video container fits in a pure-numpy parser.
+hand-built files in tests).  Video is REAL too as of r7: the fixtures
+are genuine AVI containers (RIFF 'AVI ' with avih/strh/strf headers
+and a movi list of uncompressed BI_RGB '00db' DIB frames) and the
+decoder walks the actual chunk tree.  Compressed formats
+(JPEG/MP3/H.264) would swap the parse body for PIL/soundfile/PyAV and
+keep every other line.
 
 Because the fixture bytes are digest-derived, every decoded feature is
 ALSO SQL-expressible, so the DuckDB oracles value-check the full real
@@ -431,36 +433,217 @@ GROUP BY doc_id, grp
 
 
 # --------------------------------------------------------------------------
-# "Video" frame sampling — still an opaque synthetic payload (no video
-# container parses in pure numpy); the explode+filter plumbing is real.
+# AVI: encode (fixture generator) and decode (the real video codec) —
+# RIFF 'AVI ' container with uncompressed BI_RGB 24-bit DIB frames.
+# Reuses the WAV chunk-walk discipline and the BMP DIB pixel layout.
 # --------------------------------------------------------------------------
 
+AVI_FPS = 25
+VIDEO_MIN_FRAMES = 2  # n_frames = 2 + digest[2] % 3 → 2..4
 
-def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque 16-byte payload for the video-shape entry (md5-derived) —
-    stands in for a real container the environment cannot decode."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.to_binary(F.md5(F.col("text")), F.lit("hex")).alias("image_bytes"),
+
+def _encode_dib(img) -> bytes:
+    """numpy (h, w, 3) uint8 → raw DIB pixel data (bottom-up rows,
+    4-byte row padding) — the frame payload format BMP and AVI share."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    row_size = _bmp_row_size(w)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : 3 * w] = img[::-1].reshape(h, 3 * w)
+    return rows.tobytes()
+
+
+def _decode_dib(buf: bytes, w: int, h: int):
+    """Raw bottom-up padded DIB pixel data → (h, w, 3) uint8 top-down."""
+    import numpy as np
+
+    row_size = _bmp_row_size(w)
+    px = np.frombuffer(buf, dtype=np.uint8, count=h * row_size)
+    return px.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)[::-1]
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    """fourcc + little-endian size + body (+ word-alignment pad)."""
+    return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+
+def _riff_list(fourcc: bytes, children: bytes) -> bytes:
+    return _riff_chunk(b"LIST", fourcc + children)
+
+
+def _encode_avi(frames) -> bytes:
+    """numpy (n, h, w, 3) uint8 frame stack → a real AVI file: RIFF
+    'AVI ' with a full hdrl (avih main header + one 'vids'/'DIB '
+    stream with its BITMAPINFOHEADER) and a movi list of '00db'
+    uncompressed DIB frame chunks."""
+    n, h, w = frames.shape[:3]
+    frame_bytes = h * _bmp_row_size(w)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // AVI_FPS, frame_bytes * AVI_FPS, 0, 0x10,  # HASINDEX-less, interleave flag
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, AVI_FPS, 0, n, frame_bytes, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi",
+        b"".join(_riff_chunk(b"00db", _encode_dib(f)) for f in frames),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_avi(b: bytes):
+    """Real AVI parse: validate RIFF/'AVI ' magic, walk the top-level
+    chunk list, descend into hdrl for the stream geometry (strf
+    BITMAPINFOHEADER — must be 24-bit BI_RGB) and into movi for the
+    frame chunks ('00db' raw / '00dc' — both carry DIB data when the
+    handler is 'DIB ').  Unknown chunks (JUNK, idx1, extra LISTs) are
+    skipped by size, like the WAV walk.  Returns (frames (n,h,w,3)
+    uint8 top-down, fps)."""
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI: missing RIFF/'AVI ' magic")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            cid, size = struct.unpack_from("<4sI", b, pos)
+            yield cid, pos + 8, size
+            pos += 8 + size + (size & 1)
+
+    w = h = None
+    rate = scale = None
+    frame_chunks: list[tuple[int, int]] = []
+    for cid, off, size in walk(12, len(b)):
+        if cid != b"LIST":
+            continue  # idx1 / JUNK at top level
+        kind = b[off : off + 4]
+        if kind == b"hdrl":
+            for c2, o2, s2 in walk(off + 4, off + size):
+                if c2 == b"LIST" and b[o2 : o2 + 4] == b"strl":
+                    for c3, o3, s3 in walk(o2 + 4, o2 + s2):
+                        if c3 == b"strh":
+                            fcc_type, handler = struct.unpack_from("<4s4s", b, o3)
+                            if fcc_type != b"vids":
+                                raise ValueError("first stream is not video")
+                            scale, rate = struct.unpack_from("<II", b, o3 + 20)
+                        elif c3 == b"strf":
+                            (
+                                _bi_size, w, h, planes, bpp, compression,
+                            ) = struct.unpack_from("<IiiHHI", b, o3)
+                            if bpp != 24 or compression != 0 or planes != 1:
+                                raise ValueError(
+                                    f"unsupported AVI frames: bpp={bpp} "
+                                    f"comp={compression}"
+                                )
+        elif kind == b"movi":
+            for c2, o2, s2 in walk(off + 4, off + size):
+                if c2[2:4] in (b"db", b"dc"):
+                    frame_chunks.append((o2, s2))
+    if w is None or h is None:
+        raise ValueError("AVI missing stream format header")
+    frames = np.stack(
+        [_decode_dib(b[o : o + sz], w, abs(h)) for o, sz in frame_chunks]
+    )
+    fps = (rate / scale) if rate and scale else float(AVI_FPS)
+    return frames, fps
+
+
+def synthetic_avi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a REAL deterministic AVI to each document: geometry from
+    the digest like the BMP fixture (w = 2 + d[0] % 8, h = 2 + d[1] % 8,
+    n_frames = 2 + d[2] % 3), pixel (f, r, c, ch) =
+    digest[(f·h·w·3 + r·w·3 + c·3 + ch) mod 16] — every decoded frame
+    feature stays SQL-replayable."""
+    media = _digest_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            out = []
+            for b in batch["digest"]:
+                d = np.frombuffer(b, dtype=np.uint8)
+                w, h = 2 + int(d[0]) % 8, 2 + int(d[1]) % 8
+                n = VIDEO_MIN_FRAMES + int(d[2]) % 3
+                frames = np.resize(d, n * h * w * 3).reshape(n, h, w, 3)
+                out.append(_encode_avi(frames))
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "video_bytes": out})
+
+    return media.mapInPandas(run, "doc_id long, video_bytes binary")
+
+
+def video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary AVI column → typed metadata (frame count, geometry, fps,
+    container size), all read from the parsed container itself."""
+    media = synthetic_avi_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for b in batch["video_bytes"]:
+                frames, fps = _decode_avi(bytes(b))
+                n, h, w = frames.shape[:3]
+                rows.append((n, w, h, float(fps), len(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_frames": pd.Series([r[0] for r in rows], dtype="int32"),
+                    "width": pd.Series([r[1] for r in rows], dtype="int32"),
+                    "height": pd.Series([r[2] for r in rows], dtype="int32"),
+                    "fps": [r[3] for r in rows],
+                    "n_bytes": pd.Series([r[4] for r in rows], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        run, "doc_id long, n_frames int, width int, height int, fps double, n_bytes int"
     )
 
 
-def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 4) -> DataFrame:
-    """'Video' frame sampling shape: explode byte payload into frames,
-    keep every n-th — demonstrates the explode+filter pattern used for
-    frame extraction (the container decode stays synthetic)."""
-    media = synthetic_media(spark, sf_dir)
-    frames = media.select(
-        "doc_id",
-        F.posexplode(
-            F.split(F.base64(F.col("image_bytes")), "(?!^)")
-        ).alias("frame_idx", "frame_token"),
-    )
-    # Spark's split() keeps one trailing empty token — not a frame
-    return frames.filter(
-        (F.col("frame_idx") % every_n == 0) & (F.col("frame_token") != "")
-    )
+def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 2) -> DataFrame:
+    """Video frame sampling over GENUINE container bytes: decode the
+    AVI, keep every n-th frame, emit per-frame features (pixel
+    checksum) — the sample-then-featurize shape of a video training
+    pipeline.  Only (doc_id, frame_idx, int64) leaves the Arrow batch;
+    the frame pixels never hit a shuffle."""
+    media = synthetic_avi_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, b in zip(batch["doc_id"], batch["video_bytes"]):
+                frames, _ = _decode_avi(bytes(b))
+                for i in range(0, frames.shape[0], every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(int(frames[i].astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, "doc_id long, frame_idx int, pixel_sum long")
 
 
 # --------------------------------------------------------------------------
@@ -555,6 +738,7 @@ QUERIES = {
     "mm_image_metadata": image_metadata,
     "mm_image_ahash_pairs": image_ahash_pairs,
     "mm_frame_sample": frame_sample,
+    "mm_video_metadata": video_metadata,
     "mm_audio_rms": audio_rms_windows,
     "mm_audio_segments": audio_low_energy_segments,
     "mm_image_resize": image_resize,
@@ -605,13 +789,43 @@ FROM px
 GROUP BY doc_id, out_w, out_h
 """
 
-_FRAME_SAMPLE_SQL = """
-SELECT doc_id, frame_idx, substr(b64, frame_idx + 1, 1) AS frame_token
-FROM (
-    SELECT doc_id, b64, unnest(range(0, length(b64))) AS frame_idx
-    FROM (SELECT doc_id, to_base64(unhex(md5(text))) AS b64 FROM documents)
+_VIDEO_DIMS = """
+SELECT doc_id, md5(text) AS hx,
+       2 + (('0x' || substr(md5(text), 1, 2))::INT % 8) AS w,
+       2 + (('0x' || substr(md5(text), 3, 2))::INT % 8) AS h,
+       2 + (('0x' || substr(md5(text), 5, 2))::INT % 3) AS nf
+FROM documents
+"""
+
+# container size = 12 (RIFF hdr) + 200 (hdrl) + 12 (movi LIST hdr+fourcc)
+# + nf · (8 + h · padded_row); header math mirrors _encode_avi exactly
+_VIDEO_META_SQL = f"""
+SELECT doc_id,
+       CAST(nf AS INT) AS n_frames,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       25.0 AS fps,
+       CAST(224 + nf * (8 + h * ((3 * w + 3) // 4 * 4)) AS INT) AS n_bytes
+FROM ({_VIDEO_DIMS})
+"""
+
+_FRAME_SAMPLE_SQL = f"""
+WITH px AS (
+    SELECT doc_id, f.x AS frame_idx,
+           ('0x' || substr(hx,
+               2 * ((f.x * h * w * 3 + r.x * w * 3 + c.x * 3 + ch.x) % 16) + 1,
+               2))::BIGINT AS v
+    FROM ({_VIDEO_DIMS})
+    CROSS JOIN range(4) f(x)
+    CROSS JOIN range(9) r(x)
+    CROSS JOIN range(9) c(x)
+    CROSS JOIN range(3) ch(x)
+    WHERE f.x < nf AND f.x % 2 = 0 AND r.x < h AND c.x < w
 )
-WHERE frame_idx % 4 = 0
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum
+FROM px
+GROUP BY doc_id, frame_idx
 """
 
 _AUDIO_RMS_SQL = f"""
@@ -636,6 +850,7 @@ GROUP BY doc_id, i // {AUDIO_WINDOW}
 ORACLES: dict[str, str] = {
     "mm_image_metadata": _IMAGE_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
+    "mm_video_metadata": _VIDEO_META_SQL,
     "mm_audio_rms": _AUDIO_RMS_SQL,
     "mm_audio_segments": _AUDIO_SEGMENTS_SQL,
     "mm_image_resize": _RESIZE_SQL,

@@ -16,6 +16,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from ..functions.scale import checkpoint_df
 from ..sources import load_table
 
 
@@ -501,10 +502,9 @@ def ann_pq(
     # returned DataFrame still needs it at execution time); checkpoint
     # blocks are reclaimed when the DataFrame is GC'd, and the dim probe
     # below reads one materialized block instead of re-scanning parquet
-    emb = (
+    emb = checkpoint_df(
         load_table(spark, sf_dir, "embeddings")
         .withColumn("norm", norm_col(F.col("embedding")))
-        .localCheckpoint()
     )
     dim = emb.select(F.size("embedding")).first()[0]
     sub_d = dim // m
@@ -787,11 +787,10 @@ def ann_ivf_pq(
     read exactly twice: codebook fit/encode, and the O(Q·k) re-rank."""
     from pyspark.ml.functions import array_to_vector
 
-    emb = (
+    emb = checkpoint_df(
         load_table(spark, sf_dir, "embeddings")
         .withColumn("norm", norm_col(F.col("embedding")))
         .withColumn("vec", array_to_vector(F.col("embedding").cast("array<double>")))
-        .localCheckpoint()
     )
     dim = emb.select(F.size("embedding")).first()[0]
     sub_d = dim // m
@@ -840,11 +839,10 @@ def ivf_pq_build_index(
     list_id so a probe's scan prunes to its lists' files."""
     from pyspark.ml.functions import array_to_vector
 
-    emb = (
+    emb = checkpoint_df(
         load_table(spark, sf_dir, "embeddings")
         .withColumn("norm", norm_col(F.col("embedding")))
         .withColumn("vec", array_to_vector(F.col("embedding").cast("array<double>")))
-        .localCheckpoint()
     )
     dim = emb.select(F.size("embedding")).first()[0]
     sub_d = dim // m

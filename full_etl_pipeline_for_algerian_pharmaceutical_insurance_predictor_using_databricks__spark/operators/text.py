@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from ..functions.scale import checkpoint_df
 from ..sources import load_table
 
 #: Stopword regexes per language for the n-gram/stopword language ID.
@@ -999,7 +1000,7 @@ def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-frequency table with initial char+EOW symbol arrays — the
     one corpus-scale scan of the BPE algorithm."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    return checkpoint_df(
         docs.select(
             F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
         )
@@ -1013,7 +1014,6 @@ def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(F.lit(EOW)),
             ),
         )
-        .localCheckpoint()
     )
 
 
@@ -1064,7 +1064,7 @@ def _bpe_loop(words: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
             break
         a, b, cnt = top[0].left, top[0].right, top[0].pair_count
         merges.append((step, a, b, a + b, cnt))
-        words = words.withColumn("s", _merge_fold(a, b)).localCheckpoint()
+        words = checkpoint_df(words.withColumn("s", _merge_fold(a, b)))
     return merges, words
 
 

@@ -222,10 +222,15 @@ def test_multimodal_metadata_schema_and_determinism(spark, sf_correct):
 
 
 def test_frame_sample_keeps_every_nth(spark, sf_correct):
-    out = multimodal.frame_sample(spark, sf_correct, every_n=4)
-    assert out.filter(F.col("frame_idx") % 4 != 0).count() == 0
-    assert out.filter(F.col("frame_token") == "").count() == 0
-    assert out.count() > 0
+    out = multimodal.frame_sample(spark, sf_correct, every_n=2)
+    assert out.filter(F.col("frame_idx") % 2 != 0).count() == 0
+    # frames are real decoded pixels: checksums are positive and bounded
+    # by the max possible pixel sum (9·9·3 bytes of 255)
+    bounds = out.agg(F.min("pixel_sum"), F.max("pixel_sum")).collect()[0]
+    assert 0 < bounds[0] and bounds[1] <= 9 * 9 * 3 * 255
+    # every doc has 2..4 frames → sampling every 2nd keeps 1 or 2
+    per_doc = out.groupBy("doc_id").count()
+    assert per_doc.filter((F.col("count") < 1) | (F.col("count") > 2)).count() == 0
 
 
 def test_audio_rms_windows(spark, sf_correct):
@@ -300,6 +305,74 @@ def test_wav_codec_chunk_walk_and_roundtrip():
 
     with pytest.raises(ValueError, match="RIFF"):
         multimodal._decode_wav(b"OggS nope")
+
+
+def test_avi_codec_chunk_walk_and_roundtrip():
+    """The AVI kernel is a real container codec: encode→decode is
+    frame-exact, and a FOREIGN layout we did not encode — JUNK chunk
+    before hdrl, an idx1 index after movi, '00dc' frame ids — parses
+    to the same frames.  Junk-in/garbage-out is refused on magic."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(11)
+    for n, h, w in [(1, 2, 2), (3, 4, 5), (4, 9, 3)]:
+        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        got, fps = multimodal._decode_avi(multimodal._encode_avi(frames))
+        assert (got == frames).all()
+        assert fps == multimodal.AVI_FPS
+
+    # foreign layout: JUNK at top level, 00dc frame ids, trailing idx1
+    n, h, w = 2, 3, 3
+    frames = np.arange(n * h * w * 3, dtype=np.uint8).reshape(n, h, w, 3)
+    frame_bytes = h * multimodal._bmp_row_size(w)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        40000, frame_bytes * 25, 0, 0x10, n, 0, 1, frame_bytes, w, h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, 25, 0, n, frame_bytes, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = multimodal._riff_list(
+        b"hdrl",
+        multimodal._riff_chunk(b"avih", avih)
+        + multimodal._riff_list(
+            b"strl",
+            multimodal._riff_chunk(b"strh", strh)
+            + multimodal._riff_chunk(b"strf", strf),
+        ),
+    )
+    movi = multimodal._riff_list(
+        b"movi",
+        b"".join(
+            multimodal._riff_chunk(b"00dc", multimodal._encode_dib(f))
+            for f in frames
+        ),
+    )
+    idx1 = multimodal._riff_chunk(
+        b"idx1", struct.pack("<4sIII", b"00dc", 0x10, 4, frame_bytes)
+    )
+    body = (
+        b"AVI "
+        + multimodal._riff_chunk(b"JUNK", b"\x00" * 12)
+        + hdrl
+        + movi
+        + idx1
+    )
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, fps = multimodal._decode_avi(avi)
+    assert (got == frames).all() and fps == 25.0
+
+    with pytest.raises(ValueError, match="magic"):
+        multimodal._decode_avi(b"RIFFxxxxWAVE")
 
 
 def test_shingle_tokenization_paths_agree(spark, sf_correct):

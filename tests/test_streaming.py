@@ -1466,3 +1466,59 @@ def test_registry_diff_tracks_appends_and_scrubs(spark, tmp_path):
     removed = before.exceptAll(after).collect()
     assert {r.batch_val for r in removed} == {1, 3}
     assert after.filter(F.col("subject") == "user1").count() == 0
+
+
+def test_dashboard_registry_serves_batch_dashboard(spark, sf_dir, tmp_path):
+    """Incremental dashboard serving: medications replayed in
+    micro-batches into the partial-aggregate registry must serve
+    med_q05 / med_q14 EXACTLY as the batch builders compute them, the
+    overview KPIs must match a direct aggregate over the cleaned
+    relation, and re-ingesting the same arrivals must not change any
+    read (idempotence — overwrite-per-batch, never double count)."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        dashboard,
+    )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.medications import (
+        medications,
+    )
+
+    landing = str(tmp_path / "med_landing")
+    reg = str(tmp_path / "med_registry")
+
+    jobs.dashboard_registry_ingest(
+        jobs.medications_stream(spark, sf_dir, landing), reg
+    )
+    # > 1 micro-batch actually happened (file-per-trigger replay)
+    import glob as _glob
+
+    n_batches = len(_glob.glob(f"{reg}/batch=*"))
+    assert n_batches >= 2
+
+    got05 = jobs.dashboard_form_distribution_read(spark, reg).collect()
+    want05 = dashboard.q05_form_distribution(spark, sf_dir).collect()
+    assert [tuple(r) for r in got05] == [tuple(r) for r in want05]
+
+    got14 = sorted(
+        map(tuple, jobs.dashboard_class_balance_read(spark, reg).collect())
+    )
+    want14 = sorted(
+        map(tuple, dashboard.q14_class_balance(spark, sf_dir).collect())
+    )
+    assert got14 == want14
+
+    med = medications(spark, sf_dir)
+    want_over = med.agg(
+        F.count("*").cast("bigint").alias("total_medications"),
+        F.round(F.avg("price"), 0).cast("double").alias("avg_price_DA"),
+        F.max("price").alias("most_expensive_DA"),
+    ).collect()
+    got_over = jobs.dashboard_overview_read(spark, reg).collect()
+    assert [tuple(r) for r in got_over] == [tuple(r) for r in want_over]
+
+    # idempotence: replay the same landing into the same registry
+    jobs.dashboard_registry_ingest(
+        jobs.medications_stream(spark, sf_dir, landing), reg
+    )
+    assert len(_glob.glob(f"{reg}/batch=*")) == n_batches
+    again05 = jobs.dashboard_form_distribution_read(spark, reg).collect()
+    assert [tuple(r) for r in again05] == [tuple(r) for r in want05]
