@@ -175,6 +175,8 @@ _TAIL_ORDER = [
     "events_seasonal_anomalies",
     "dq_events_drift",
     "corpus_health_report",
+    "retrieval_hybrid_rrf",
+    "sample_weighted_topk",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",

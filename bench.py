@@ -65,6 +65,7 @@ HEADLINE = [
     "text_pii_redaction",
     "text_chunk_windows",
     "text_bm25_search",
+    "retrieval_hybrid_rrf",
     "text_ngram_topk",
     "text_topic_clusters",
     "text_topic_serving",

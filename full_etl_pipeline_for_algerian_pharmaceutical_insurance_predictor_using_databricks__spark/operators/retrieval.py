@@ -192,12 +192,262 @@ WHERE rank <= {BM25_TOP_K}
 _BM25_SQL = _bm25_sql()
 
 
+# --------------------------------------------------------------------------
+# Hybrid retrieval — BM25 (lexical) + embedding cosine (dense) fused by
+# reciprocal-rank fusion (Cormack/Clarke/Büttcher's RRF)
+# --------------------------------------------------------------------------
+
+RRF_K = 60          # the standard RRF dampening constant
+HYBRID_QUERIES = 4  # query docs: doc_id/vec_id 0..3 (populated at every SF)
+HYBRID_LIST_K = 20  # per-ranker candidate list depth
+HYBRID_TOP = 10     # fused results per query
+
+
+def hybrid_rrf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = HYBRID_QUERIES,
+    list_k: int = HYBRID_LIST_K,
+    rrf_k: int = RRF_K,
+    top: int = HYBRID_TOP,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """More-like-this HYBRID search: for each query document, rank the
+    corpus lexically (BM25 over the query doc's top TF-IDF terms) and
+    densely (embedding cosine), then fuse with reciprocal-rank fusion:
+
+        rrf(d) = Σ_lists 1 / (rrf_k + rank_list(d))
+
+    — rank-based fusion needs no score calibration between the two
+    rankers, which is why RRF is the production default for
+    lexical+dense ensembles.
+
+    Scale shape: the lexical side is the BM25 plan with a per-query
+    term table (broadcast — n_queries · top_terms rows); the dense side
+    is the broadcast-query exact scan for the oracle anchor (swap in
+    the IVF-PQ serving index for the 100-TB path — ranks, and therefore
+    the fusion, are unchanged wherever recall holds).  The fuse itself
+    is a full-outer join of two (query, doc, rank) lists — at most
+    2·list_k rows per query — plus one windowed top-k.  RRF scores are
+    sums of 1/(k+rank) over INTEGER ranks, so cross-engine float parity
+    is exact."""
+    from .similarity import dot_col, guard_cartesian, norm_col
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # --- lexical list: BM25 with per-query-doc top TF-IDF terms
+    qterms = (
+        tfidf_top_terms(spark, sf_dir)
+        .filter(F.col("doc_id") < n_queries)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    tfs = _doc_term_counts(docs)
+    df_tab = (
+        tfs.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl")
+    )
+    stats = docs.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1) / norm
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("lex_score"), F.asc("doc_id")
+    )
+    lex = (
+        tfs.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df_tab), "term")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("lex_score"))
+        .withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= list_k)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+    # --- dense list: exact cosine (the oracle anchor; see docstring)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    guard_cartesian(corpus.count() * n_queries, "hybrid_rrf_search", 200_000_000)
+    emb = corpus.withColumn("norm", norm_col(F.col("embedding")))
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    w_den = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("doc_id")
+    )
+    dense = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                dot_col(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+        .withColumn("dense_rank", F.row_number().over(w_den))
+        .filter(F.col("dense_rank") <= list_k)
+        .select("query_id", "doc_id", "dense_rank")
+    )
+
+    # --- reciprocal-rank fusion
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+        "lex_rank",
+        "dense_rank",
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= top)
+        .select(
+            "query_id", "rank", "doc_id", "rrf_score", "lex_rank", "dense_rank"
+        )
+    )
+
+
+_HYBRID_SQL = rf"""
+WITH tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    )
+    GROUP BY doc_id, term
+),
+df_all AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+qterms AS (
+    SELECT doc_id AS query_id, term
+    FROM (
+        SELECT doc_id, term,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, term
+               ) AS term_rank
+        FROM tf JOIN df_all USING (term) CROSS JOIN n
+        WHERE doc_id < {HYBRID_QUERIES}
+    )
+    WHERE term_rank <= {TFIDF_TOP_TERMS}
+),
+qdf AS (
+    SELECT term, COUNT(*) AS df FROM tf
+    WHERE term IN (SELECT DISTINCT term FROM qterms)
+    GROUP BY term
+),
+dl AS (
+    SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+    FROM documents
+),
+stats AS (
+    SELECT COUNT(*) AS n_docs,
+           AVG(len(regexp_split_to_array(trim(text), '\s+'))) AS avgdl
+    FROM documents
+),
+lex AS (
+    SELECT query_id, doc_id, lex_rank
+    FROM (
+        SELECT query_id, doc_id, lex_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY lex_score DESC, doc_id
+               ) AS lex_rank
+        FROM (
+            SELECT q.query_id, tf.doc_id,
+                   SUM(
+                       ln(1.0 + (stats.n_docs - qdf.df + 0.5) / (qdf.df + 0.5))
+                       * tf.tf * ({BM25_K1} + 1)
+                       / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                          + {BM25_B} * dl.dl / stats.avgdl))
+                   ) AS lex_score
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN qdf USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+            WHERE tf.doc_id != q.query_id
+            GROUP BY q.query_id, tf.doc_id
+        )
+    )
+    WHERE lex_rank <= {HYBRID_LIST_K}
+),
+dense AS (
+    SELECT query_id, doc_id, dense_rank
+    FROM (
+        SELECT
+            q.vec_id AS query_id,
+            c.vec_id AS doc_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])) DESC,
+                         c.vec_id ASC
+            ) AS dense_rank
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {HYBRID_QUERIES} AND q.vec_id != c.vec_id
+    )
+    WHERE dense_rank <= {HYBRID_LIST_K}
+)
+SELECT query_id, rank, doc_id, rrf_score, lex_rank, dense_rank
+FROM (
+    SELECT query_id, doc_id, rrf_score, lex_rank, dense_rank,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+           ) AS rank
+    FROM (
+        SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + d.dense_rank), 0.0) AS rrf_score,
+               l.lex_rank, d.dense_rank
+        FROM lex l
+        FULL OUTER JOIN dense d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+)
+WHERE rank <= {HYBRID_TOP}
+"""
+
+
 QUERIES = {
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_bm25_search": bm25_search,
+    "retrieval_hybrid_rrf": hybrid_rrf_search,
 }
 
 ORACLES = {
     "text_tfidf_top_terms": _TFIDF_SQL,
     "text_bm25_search": _BM25_SQL,
+    "retrieval_hybrid_rrf": _HYBRID_SQL,
 }

@@ -15,11 +15,18 @@ Three tiers, by reproducibility guarantee:
 3. **Stratified** (`sample_stratified_by_lang`) — `df.sampleBy` with
    per-stratum fractions: balances skewed strata (e.g. downsample the
    dominant language); rows-only + tolerance-tested.
+4. **Weighted without replacement** (`sample_weighted_topk`) —
+   Efraimidis–Spirakis A-ES: per-row key ln(u)/w with u a HASH-derived
+   uniform (tier-1 determinism, so cross-engine oracle-checkable) and
+   w the row's weight; the global top-k by key is an exact weighted
+   sample without replacement.  The distributed shape is a top-k
+   (TakeOrderedAndProject), never a sort — the standard way to draw a
+   quality-weighted training subset from a 100-TB corpus in one pass.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources import load_table
 
@@ -80,12 +87,60 @@ def sample_stratified_by_lang(
     return docs.sampleBy("lang", fractions, seed=seed).select("doc_id", "lang")
 
 
+WEIGHTED_K = 50
+
+
+def sample_weighted_topk(
+    spark: SparkSession, sf_dir: str, k: int = WEIGHTED_K
+) -> DataFrame:
+    """Exact weighted sample WITHOUT replacement (A-ES, tier 4 above):
+    weight = n_chars (longer docs proportionally likelier), uniform u
+    from the first 15 md5 hex digits of doc_id (deterministic, dense in
+    (0,1)), key = ln(u)/w, keep the k LARGEST keys.  Selection
+    probabilities follow the Efraimidis–Spirakis guarantee; the hash-u
+    makes the draw reproducible on any engine/partitioning, which is
+    what lets DuckDB value-check it."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    key = F.log(u) / F.col("n_chars")
+    w = Window.orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", key.alias("es_key"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "lang", "n_chars")
+    )
+
+
+_WEIGHTED_SQL = f"""
+SELECT rank, doc_id, lang, n_chars
+FROM (
+    SELECT doc_id, lang, n_chars,
+           ROW_NUMBER() OVER (
+               ORDER BY ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           / CAST({1 << 60} AS DOUBLE)) / n_chars DESC,
+                        doc_id ASC
+           ) AS rank
+    FROM documents
+    WHERE n_chars > 0
+)
+WHERE rank <= {WEIGHTED_K}
+"""
+
+
 QUERIES = {
     "sample_hash_mod": sample_hash_mod,
     "sample_bernoulli": sample_bernoulli,
     "sample_stratified_by_lang": sample_stratified_by_lang,
+    "sample_weighted_topk": sample_weighted_topk,
 }
 
 ORACLES = {
     "sample_hash_mod": _HASH_SAMPLE_SQL,
+    "sample_weighted_topk": _WEIGHTED_SQL,
 }

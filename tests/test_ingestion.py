@@ -577,3 +577,54 @@ def test_compact_files_bin_packs_and_preserves_rows(spark, tmp_path):
     assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(10000))
     # idempotent
     assert compact_files(spark, path, target_mb=512) == 1
+
+
+def test_compact_files_recovers_from_mid_swap_crash(spark, tmp_path):
+    """A crash BETWEEN the two swap renames leaves the only complete
+    copy in `_compact_old`; the next run must restore it, not rmtree
+    it (the data-loss window the round-6 review flagged)."""
+    import os
+    import shutil
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources.sinks import (
+        compact_files,
+    )
+
+    path = str(tmp_path / "compactable")
+    spark.range(1000).withColumn("v", F.col("id") + 1).repartition(8).write.parquet(path)
+
+    # simulate the crash window: data dir renamed away, tmp half-written
+    os.rename(path, path + "_compact_old")
+    os.makedirs(path + "_compact_tmp")
+
+    n = compact_files(spark, path, target_mb=512)
+    assert n == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == sum(i + 1 for i in range(1000))
+    assert not os.path.isdir(path + "_compact_old")
+    assert not os.path.isdir(path + "_compact_tmp")
+    shutil.rmtree(path)
+
+
+def test_datasource_append_does_not_clobber_prior_parts(
+    spark, landing, registered, tmp_path
+):
+    """Append mode must number new part files past the existing ones —
+    reusing part-00000 silently replaced previously committed data."""
+    import os
+
+    df = spark.read.format("letterjson").load(landing)
+    out = str(tmp_path / "appended")
+    df.write.format("letterjson").mode("overwrite").save(out)
+    first = sorted(
+        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".json")
+    )
+    df.write.format("letterjson").mode("append").save(out)
+    second = sorted(
+        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".json")
+    )
+    assert set(first) < set(second)  # originals survive
+    assert len(second) == 2 * len(first)
+    back = spark.read.format("letterjson").load(out)
+    assert back.count() == 2 * df.count()

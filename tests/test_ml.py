@@ -182,3 +182,51 @@ def test_quality_model_persistence_roundtrip(spark, sf_correct, tmp_path):
     loaded = quality.load_quality_model(spark, path)
     after = {row.doc_id: row.quality_prob for row in quality.score(loaded, docs).collect()}
     assert before == after
+
+
+def test_model_registry_lifecycle(spark, sf_correct, tmp_path):
+    """Register → promote → serve → register v2 → promote → rollback:
+    versions are immutable and monotonically numbered, stage pointers
+    swap atomically (no partial pointer ever readable), rollback
+    reinstates the previous production model, and the loaded model
+    actually predicts (same output as the in-memory TrainResult)."""
+    import os
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.ml import (
+        registry,
+    )
+
+    root = str(tmp_path / "model_registry")
+    assert registry.list_versions(root) == []
+
+    res = mlp.train(spark, sf_correct)
+    v1 = registry.register(res, root, extra_meta={"note": "first"})
+    assert v1 == 1
+    registry.promote(root, v1)
+    assert registry.resolve(root) == 1
+
+    model, meta = registry.load_stage(spark, root)
+    assert meta["version"] == 1 and meta["note"] == "first"
+    assert meta["accuracy"] == res.accuracy
+    data = mlp.prepare(spark, sf_correct).limit(20)
+    got = model.transform(data).select("prediction").collect()
+    want = res.model.transform(data).select("prediction").collect()
+    assert got == want
+
+    v2 = registry.register(res, root)
+    assert v2 == 2 and registry.list_versions(root) == [1, 2]
+    registry.promote(root, v2)
+    assert registry.resolve(root) == 2
+
+    # rollback reinstates v1; nothing was deleted
+    assert registry.rollback(root) == 1
+    assert registry.resolve(root) == 1
+    assert registry.list_versions(root) == [1, 2]
+    assert os.path.isdir(os.path.join(root, "versions", "v2"))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        registry.promote(root, 99)
+    with pytest.raises(ValueError):
+        registry.rollback(root)  # already at the oldest version
