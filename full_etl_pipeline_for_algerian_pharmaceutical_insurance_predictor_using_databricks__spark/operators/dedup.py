@@ -1326,9 +1326,10 @@ def _cc_min_label_loop(
     |V_incident| — the r7 fix for the worst ×10 scale curve.  Isolated
     vertices rejoin once at the end with themselves as cluster_id
     (identical output: a singleton's component min is itself)."""
-    verts = checkpoint_df(
-        edges.select(F.col("doc_a").alias("doc_id")).distinct()
-    )
+    # verts needs no checkpoint of its own: its lineage is one distinct
+    # over the (caller-checkpointed) edge frame, and it is only consumed
+    # until the first iteration's `stepped` checkpoint replaces it
+    verts = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = verts.select("doc_id", F.col("doc_id").alias("cluster_id"))
     for _ in range(max_iter):
         neighbor_min = (
