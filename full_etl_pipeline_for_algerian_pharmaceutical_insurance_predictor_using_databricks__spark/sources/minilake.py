@@ -242,3 +242,99 @@ def history(path: str) -> list[dict]:
         }
         for v in versions(path)
     ]
+
+
+def committed_stream_batches(path: str) -> set[int]:
+    """Stream batch ids already committed to this table (for the
+    exactly-once foreachBatch rule below)."""
+    out = set()
+    for v in versions(path):
+        c = _read_commit(path, v)
+        if "stream_batch_id" in c:
+            out.add(int(c["stream_batch_id"]))
+    return out
+
+
+def commit_stream_batch(df: DataFrame, path: str, batch_id: int) -> int | None:
+    """Idempotent streaming append: the commit records its micro-batch
+    id, and a RETRY of an already-committed batch is a no-op — the
+    transactional-writer rule that makes foreachBatch exactly-once on
+    top of Structured Streaming's at-least-once replay (the same
+    `txnAppId`/`txnVersion` contract Delta's streaming sink uses).
+    Returns the claimed version, or None for a skipped duplicate."""
+    if batch_id in committed_stream_batches(path):
+        return None
+    files = _land_data_files(df, path)
+    return _claim_version(
+        path,
+        {
+            "mode": "append",
+            "add": files,
+            "remove": [],
+            "schema": df.schema.json(),
+            "stream_batch_id": int(batch_id),
+        },
+    )
+
+
+def lake_stream_sink(stream: DataFrame, path: str, timeout_s: int = 300) -> None:
+    """Drain a stream into a minilake table with Trigger.AvailableNow,
+    one exactly-once commit per micro-batch."""
+    import tempfile
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        commit_stream_batch(batch_df, path, batch_id)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"lake stream sink drain exceeded {timeout_s}s")
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental (CDC-style) read: the rows ADDED by commits in
+    (since_version, to_version].  Because data files are immutable and
+    append commits only add, the change set is exactly the files those
+    commits list — the reader scans ONLY the delta, never the table
+    (what makes incremental consumers cheap at 100 TB).  An overwrite
+    or compact commit in the range raises: its adds are rewrites, not
+    new rows — consumers must re-sync from a snapshot at that point
+    (Delta CDF signals the same situation with its own change types)."""
+    vs = versions(path)
+    if to_version is None:
+        to_version = vs[-1] if vs else since_version
+    files: list[str] = []
+    schema_json = None
+    for v in vs:
+        if since_version < v <= to_version:
+            c = _read_commit(path, v)
+            if c["mode"] != "append":
+                raise ValueError(
+                    f"version {v} is a {c['mode']!r} commit — incremental "
+                    "reads only span appends; re-sync from a snapshot"
+                )
+            files.extend(c["add"])
+            schema_json = c["schema"]
+    if not files:
+        ref = vs[-1] if vs else None
+        if schema_json is None and ref is not None:
+            schema_json = _read_commit(path, ref)["schema"]
+        from pyspark.sql.types import StructType
+
+        if schema_json is None:
+            raise FileNotFoundError(f"no commits under {path}")
+        return spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
+    return spark.read.parquet(
+        *[os.path.join(_data_dir(path), f) for f in sorted(files)]
+    )

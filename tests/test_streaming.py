@@ -1522,3 +1522,47 @@ def test_dashboard_registry_serves_batch_dashboard(spark, sf_dir, tmp_path):
     assert len(_glob.glob(f"{reg}/batch=*")) == n_batches
     again05 = jobs.dashboard_form_distribution_read(spark, reg).collect()
     assert [tuple(r) for r in again05] == [tuple(r) for r in want05]
+
+
+def test_lake_stream_sink_exactly_once_and_cdc(spark, sf_dir, tmp_path):
+    """Streaming into the commit-log table: one commit per micro-batch,
+    a replayed batch id is a NO-OP (exactly-once on top of
+    at-least-once foreachBatch), and incremental readers scan only the
+    files of the commits in their version range — never the table."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        load_table,
+        minilake,
+    )
+
+    path = str(tmp_path / "lake_stream")
+    stream = jobs.documents_stream(spark, sf_dir, max_files_per_trigger=1)
+    minilake.lake_stream_sink(stream, path)
+
+    docs = load_table(spark, sf_dir, "documents")
+    snap = minilake.read_snapshot(spark, path)
+    assert snap.count() == docs.count()
+    vs = minilake.versions(path)
+    assert len(vs) >= 1
+
+    # retry of an already-committed batch id: no new version, no dupes
+    some_batch = sorted(minilake.committed_stream_batches(path))[0]
+    assert (
+        minilake.commit_stream_batch(docs.limit(5), path, some_batch) is None
+    )
+    assert minilake.versions(path) == vs
+    assert minilake.read_snapshot(spark, path).count() == docs.count()
+
+    # CDC: rows added after version v are exactly the later commits
+    mid = vs[len(vs) // 2]
+    changes = minilake.read_changes(spark, path, since_version=mid)
+    upto = minilake.read_snapshot(spark, path, version=mid)
+    assert changes.count() == docs.count() - upto.count()
+    # disjointness: no doc appears in both the snapshot and the delta
+    assert upto.join(changes, "doc_id", "inner").count() == 0
+
+    # an overwrite in the range breaks incremental consumption loudly
+    minilake.commit_overwrite(docs.limit(3), path)
+    import pytest
+
+    with pytest.raises(ValueError, match="re-sync"):
+        minilake.read_changes(spark, path, since_version=mid)
