@@ -115,8 +115,45 @@ def _claim_version(path: str, commit: dict) -> int:
         return version
 
 
-def commit_append(df: DataFrame, path: str) -> int:
-    """APPEND commit: land the files, claim the next version."""
+def _check_schema(df: DataFrame, path: str, allow_evolution: bool) -> None:
+    """Schema ENFORCEMENT on append (Delta's write-time contract): the
+    incoming frame must carry every existing column with the same type;
+    NEW columns are rejected unless `allow_evolution` (they read back
+    as NULL for old files via parquet schema merging).  Type changes
+    are never silent."""
+    vs = versions(path)
+    if not vs:
+        return
+    from pyspark.sql.types import StructType
+
+    current = StructType.fromJson(json.loads(_read_commit(path, vs[-1])["schema"]))
+    cur_types = {f.name: f.dataType for f in current.fields}
+    new_types = {f.name: f.dataType for f in df.schema.fields}
+    missing = sorted(set(cur_types) - set(new_types))
+    if missing:
+        raise ValueError(f"append is missing table columns {missing}")
+    changed = sorted(
+        n for n in cur_types if n in new_types and cur_types[n] != new_types[n]
+    )
+    if changed:
+        raise ValueError(
+            f"append changes column types {changed} — never silent; "
+            "rewrite via commit_overwrite"
+        )
+    added = sorted(set(new_types) - set(cur_types))
+    if added and not allow_evolution:
+        raise ValueError(
+            f"append adds new columns {added}; pass allow_evolution=True "
+            "to evolve the table schema"
+        )
+
+
+def commit_append(
+    df: DataFrame, path: str, allow_evolution: bool = False
+) -> int:
+    """APPEND commit: enforce (or evolve) the schema, land the files,
+    claim the next version."""
+    _check_schema(df, path, allow_evolution)
     files = _land_data_files(df, path)
     return _claim_version(
         path,
@@ -177,7 +214,7 @@ def read_snapshot(
             json.loads(_read_commit(path, version)["schema"])
         )
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(
+    return spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(_data_dir(path), f) for f in files]
     )
 

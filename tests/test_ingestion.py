@@ -703,3 +703,34 @@ def test_minilake_empty_and_version_claim(spark, tmp_path):
     ]
     assert minilake.read_snapshot(spark, path, version=0).count() == 5
     assert minilake.versions(path) == [0, 1]
+
+
+def test_minilake_schema_enforcement_and_evolution(spark, tmp_path):
+    """Write-time schema contract: missing columns and type changes are
+    rejected loudly; new columns require allow_evolution=True and read
+    back as NULL for pre-evolution files (merged snapshot schema)."""
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    path = str(tmp_path / "lake3")
+    base = spark.range(10).withColumn("v", F.col("id") * 2)
+    minilake.commit_append(base, path)
+
+    with pytest.raises(ValueError, match="missing table columns"):
+        minilake.commit_append(base.drop("v"), path)
+    with pytest.raises(ValueError, match="changes column types"):
+        minilake.commit_append(
+            base.withColumn("v", F.col("v").cast("string")), path
+        )
+    evolved = base.withColumn("lang", F.lit("en"))
+    with pytest.raises(ValueError, match="allow_evolution"):
+        minilake.commit_append(evolved, path)
+
+    minilake.commit_append(evolved, path, allow_evolution=True)
+    snap = minilake.read_snapshot(spark, path)
+    assert set(snap.columns) == {"id", "v", "lang"}
+    assert snap.count() == 20
+    assert snap.filter(F.col("lang").isNull()).count() == 10  # old files
