@@ -685,6 +685,91 @@ def corpus_registry_ingest(stream: DataFrame, registry_dir: str) -> None:
             raise TimeoutError("registry ingest drain exceeded 300s")
 
 
+MEMBERSHIP_BUCKETS = 1 << 16
+
+
+def corpus_registry_ingest_gated(
+    stream: DataFrame, registry_dir: str, n_buckets: int = MEMBERSHIP_BUCKETS
+) -> None:
+    """`corpus_registry_ingest` with a MEMBERSHIP-SKETCH gate: each
+    committed batch also lands the distinct hash buckets of its
+    fingerprints (`xxhash64 mod n_buckets` — a Bloom filter with k=1
+    stored sparsely, ≤ n_buckets rows however big the batch).  The
+    next batch probes the prior sketches FIRST:
+
+      definitely-new  = fingerprints whose bucket no sketch contains
+                        (sketches have NO false negatives) — these
+                        skip the registry anti-join entirely;
+      might-be-dup    = the remainder — only THESE anti-join against
+                        the registry partitions for the exact verdict.
+
+    False positives cost a verify, never a wrong answer: the committed
+    rows are identical to the ungated ingest (parity-tested).  Scale
+    point: in steady state almost every arriving row is new, so the
+    per-batch cost collapses from one registry-probe per ROW to one
+    broadcast semi-join against KB-sized sketches plus an anti-join
+    over the small candidate set — the membership gate every
+    production MERGE pipeline puts in front of the table.  The probe
+    stays declarative (plain joins) — no engine-internal bloom
+    expressions — so Catalyst broadcasts and prunes it like any other
+    dimension."""
+    import glob
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        normalized = F.trim(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+        )
+        fps = (
+            batch_df.select("doc_id", F.md5(normalized).alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("keeper_doc_id"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("fingerprint"), F.lit(n_buckets)),
+            )
+        )
+        own = f"{registry_dir}/batch={batch_id}"
+        own_sketch = f"{registry_dir}/_sketch/batch={batch_id}"
+        prior = sorted(
+            p for p in glob.glob(f"{registry_dir}/batch=*") if p != own
+        )
+        prior_sketches = sorted(
+            p
+            for p in glob.glob(f"{registry_dir}/_sketch/batch=*")
+            if p != own_sketch
+        )
+        if prior and prior_sketches:
+            sketch = F.broadcast(
+                spark.read.parquet(*prior_sketches).select("bucket").distinct()
+            )
+            definite_new = fps.join(sketch, "bucket", "left_anti")
+            candidates = fps.join(sketch, "bucket", "left_semi")
+            seen = spark.read.parquet(*prior).select("fingerprint")
+            verified_new = candidates.join(seen, "fingerprint", "left_anti")
+            fps = definite_new.unionByName(verified_new)
+        out = fps.select("fingerprint", "keeper_doc_id", "bucket")
+        # one pass writes both the partition and its sketch
+        out = out.localCheckpoint()
+        out.select("fingerprint", "keeper_doc_id").write.mode(
+            "overwrite"
+        ).parquet(own)
+        out.select("bucket").distinct().write.mode("overwrite").parquet(
+            own_sketch
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("gated registry ingest drain exceeded 300s")
+
+
 def near_dup_registry_ingest(
     stream: DataFrame, registry_dir: str, threshold: float = 0.5
 ) -> None:

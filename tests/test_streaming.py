@@ -1566,3 +1566,40 @@ def test_lake_stream_sink_exactly_once_and_cdc(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="re-sync"):
         minilake.read_changes(spark, path, since_version=mid)
+
+
+def test_gated_registry_matches_ungated_and_prunes(spark, sf_dir, tmp_path):
+    """The membership-gated ingest commits EXACTLY the keeper set of
+    the batch operator (gate false positives cost a verify, never a
+    wrong answer), re-ingest adds zero fingerprints (the sketch path's
+    no-false-negative law end-to-end), and the per-batch sketch stays
+    sketch-sized (≤ n_buckets rows regardless of batch size)."""
+    import glob as _glob
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        dedup,
+    )
+
+    reg = str(tmp_path / "gated_registry")
+    jobs.corpus_registry_ingest_gated(
+        jobs.documents_stream(spark, sf_dir, max_files_per_trigger=1), reg
+    )
+    got = {
+        (r.fingerprint, r.keeper_doc_id)
+        for r in spark.read.parquet(reg + "/batch=*").collect()
+    }
+    expected = {
+        (r.fingerprint, r.keeper_doc_id)
+        for r in dedup.exact_dedup(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    for sk in _glob.glob(reg + "/_sketch/batch=*"):
+        n = spark.read.parquet(sk).count()
+        assert n <= jobs.MEMBERSHIP_BUCKETS
+
+    # full replay: every fingerprint already known — nothing new lands
+    jobs.corpus_registry_ingest_gated(
+        jobs.documents_stream(spark, sf_dir, max_files_per_trigger=1), reg
+    )
+    assert spark.read.parquet(reg + "/batch=*").count() == len(expected)
