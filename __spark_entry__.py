@@ -202,6 +202,7 @@ _TAIL_ORDER = [
     "sim_ann_ivf_pq_serving",
     "sim_quantize_int8",
     "graph_doc_pagerank",
+    "sim_pca_project",
     "sample_bernoulli",
     "sample_stratified_by_lang",
     "ml_quality_scores",

