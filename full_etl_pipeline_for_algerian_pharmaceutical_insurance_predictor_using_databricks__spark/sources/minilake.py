@@ -37,7 +37,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _LOG_FMT = "{:020d}.json"
 
@@ -67,22 +67,55 @@ def _read_commit(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _land_data_files(df: DataFrame, path: str) -> list[str]:
+def _file_zone_map(local_path: str, stat_cols: list[str]) -> dict:
+    """Per-file min/max/rowcount for `stat_cols`, read from the parquet
+    FOOTER (row-group statistics — no data scan).  These are the zone
+    maps Delta/Iceberg store in their logs; readers skip whole files
+    whose [min, max] cannot match a predicate."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(local_path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {"rows": md.num_rows, "stats": {}}
+    for col in stat_cols:
+        if col not in names:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names[col]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out["stats"][col] = [lo, hi]
+    return out
+
+
+def _land_data_files(
+    df: DataFrame, path: str, stat_cols: list[str] | None = None
+) -> list[str] | tuple[list[str], dict]:
     """Write the frame's partitions as immutable uuid-named parquet
-    files under data/; returns their table-relative names.  The files
-    are INVISIBLE to readers until a commit references them."""
+    files under data/; returns their table-relative names (plus their
+    zone maps when `stat_cols` is given).  The files are INVISIBLE to
+    readers until a commit references them."""
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     os.makedirs(_data_dir(path), exist_ok=True)
     names = []
+    zones: dict = {}
     for f in sorted(os.listdir(staging)):
         if f.endswith(".parquet"):
             name = f"{uuid.uuid4().hex}.parquet"
-            os.rename(
-                os.path.join(staging, f), os.path.join(_data_dir(path), name)
-            )
+            dest = os.path.join(_data_dir(path), name)
+            os.rename(os.path.join(staging, f), dest)
             names.append(name)
+            if stat_cols:
+                zones[name] = _file_zone_map(dest, stat_cols)
     shutil.rmtree(staging)
+    if stat_cols:
+        return names, zones
     return names
 
 
@@ -149,21 +182,27 @@ def _check_schema(df: DataFrame, path: str, allow_evolution: bool) -> None:
 
 
 def commit_append(
-    df: DataFrame, path: str, allow_evolution: bool = False
+    df: DataFrame,
+    path: str,
+    allow_evolution: bool = False,
+    stat_cols: list[str] | None = None,
 ) -> int:
     """APPEND commit: enforce (or evolve) the schema, land the files,
-    claim the next version."""
+    claim the next version.  `stat_cols` records per-file zone maps in
+    the commit for data skipping and file-pruned MERGE."""
     _check_schema(df, path, allow_evolution)
-    files = _land_data_files(df, path)
-    return _claim_version(
-        path,
-        {
-            "mode": "append",
-            "add": files,
-            "remove": [],
-            "schema": df.schema.json(),
-        },
-    )
+    commit = {
+        "mode": "append",
+        "remove": [],
+        "schema": df.schema.json(),
+    }
+    if stat_cols:
+        files, zones = _land_data_files(df, path, stat_cols)
+        commit["zones"] = zones
+    else:
+        files = _land_data_files(df, path)
+    commit["add"] = files
+    return _claim_version(path, commit)
 
 
 def commit_overwrite(df: DataFrame, path: str) -> int:
@@ -374,4 +413,89 @@ def read_changes(
         return spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
     return spark.read.parquet(
         *[os.path.join(_data_dir(path), f) for f in sorted(files)]
+    )
+
+
+def _live_zones(path: str, as_of: int | None = None) -> dict:
+    """file → zone map for every live file that has one."""
+    zones: dict = {}
+    for v in versions(path):
+        if as_of is not None and v > as_of:
+            break
+        c = _read_commit(path, v)
+        for f in c["remove"]:
+            zones.pop(f, None)
+        for f in c["add"]:
+            zones[f] = c.get("zones", {}).get(f)
+    return zones
+
+
+def scan_pruned(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """Data-skipping scan: read only the live files whose [min, max]
+    zone for `col` overlaps [lo, hi] (files without a zone map are
+    conservatively read).  Returns (frame pre-filtered to the range,
+    files_read, files_skipped) — the skip count is the point: at
+    100 TB a selective predicate over a clustered column touches a
+    handful of files, and the decision uses ONLY the log, no footer
+    reads at query time."""
+    zones = _live_zones(path)
+    chosen, skipped = [], 0
+    for f, z in zones.items():
+        zr = None if z is None else z["stats"].get(col)
+        if zr is not None and (zr[1] < lo or zr[0] > hi):
+            skipped += 1
+            continue
+        chosen.append(f)
+    if not chosen:
+        empty = read_snapshot(spark, path).limit(0)
+        return empty.filter(F.col(col).between(lo, hi)), 0, skipped
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(_data_dir(path), f) for f in sorted(chosen)]
+    )
+    return df.filter(F.col(col).between(lo, hi)), len(chosen), skipped
+
+
+def merge_upsert_lake(
+    spark: SparkSession, updates: DataFrame, path: str, key: str
+) -> int:
+    """File-pruned MERGE (WHEN MATCHED UPDATE / NOT MATCHED INSERT):
+    zone maps pick the live files whose key range can contain an
+    updated key; ONLY those files are rewritten (existing rows not in
+    `updates` are carried over), untouched files stay byte-identical
+    and keep their names in the log.  This is Delta's MERGE pruning —
+    rewrite cost tracks where the keys actually land, not table size."""
+    bounds = updates.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    zones = _live_zones(path)
+    touched, untouched = [], []
+    for f, z in zones.items():
+        zr = None if z is None else z["stats"].get(key)
+        if zr is not None and (zr[1] < lo or zr[0] > hi):
+            untouched.append(f)
+        else:
+            touched.append(f)
+    if touched:
+        old_rows = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(_data_dir(path), f) for f in sorted(touched)]
+        )
+        carried = old_rows.join(
+            updates.select(key).distinct(), key, "left_anti"
+        )
+        merged = carried.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = updates
+    files, new_zones = _land_data_files(merged, path, [key])
+    return _claim_version(
+        path,
+        {
+            "mode": "merge",
+            "add": files,
+            "remove": sorted(touched),
+            "schema": merged.schema.json(),
+            "zones": new_zones,
+        },
     )

@@ -734,3 +734,44 @@ def test_minilake_schema_enforcement_and_evolution(spark, tmp_path):
     assert set(snap.columns) == {"id", "v", "lang"}
     assert snap.count() == 20
     assert snap.filter(F.col("lang").isNull()).count() == 10  # old files
+
+
+def test_minilake_zone_maps_skip_files_and_prune_merge(spark, tmp_path):
+    """Zone maps from parquet footers land in the commit log; a
+    selective range scan reads ONLY overlapping files (skip count
+    proves it, using the log alone); MERGE rewrites only the files
+    whose key range can contain an update — untouched files keep their
+    exact names in the log — and produces upsert-correct rows."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    path = str(tmp_path / "zoned")
+    # 4 files with disjoint id ranges via range-partitioned write
+    df = spark.range(1000).withColumn("v", F.col("id") * 10)
+    minilake.commit_append(
+        df.repartitionByRange(4, "id"), path, stat_cols=["id"]
+    )
+    zones = minilake._live_zones(path)
+    assert len(zones) == 4 and all(
+        z and "id" in z["stats"] for z in zones.values()
+    )
+
+    pruned, n_read, n_skipped = minilake.scan_pruned(spark, path, "id", 10, 20)
+    assert n_read == 1 and n_skipped == 3
+    assert pruned.count() == 11
+    assert pruned.agg(F.min("id"), F.max("id")).first() == (10, 20)
+
+    # merge touching only the low range: 3 files survive untouched
+    before = set(minilake._live_files(path))
+    updates = spark.range(5).withColumn("v", F.lit(-1).cast("long"))
+    minilake.merge_upsert_lake(spark, updates, path, "id")
+    after = set(minilake._live_files(path))
+    assert len(before & after) == 3  # untouched files carried by name
+    snap = minilake.read_snapshot(spark, path)
+    assert snap.count() == 1000
+    assert snap.filter(F.col("v") == -1).count() == 5
+    assert snap.filter((F.col("id") < 5) & (F.col("v") != -1)).count() == 0
+    # merge commit carries zone maps too → skipping still works
+    _, n_read2, n_skipped2 = minilake.scan_pruned(spark, path, "id", 900, 950)
+    assert n_read2 == 1 and n_skipped2 >= 3
