@@ -457,6 +457,42 @@ def scan_pruned(
     return df.filter(F.col(col).between(lo, hi)), len(chosen), skipped
 
 
+def scan_pruned_multi(
+    spark: SparkSession, path: str, preds: dict
+) -> tuple[DataFrame, int, int]:
+    """Data-skipping scan over SEVERAL range predicates at once
+    ({col: (lo, hi)}): a file is read only if EVERY predicate's range
+    overlaps its zone — the multi-column pruning that makes Z-ORDERED
+    layouts pay off (a linear sort gives tight zones on one column;
+    the Morton layout gives usably-tight zones on both, so a 2-D box
+    predicate skips most files — demonstrated in tests against
+    `functions.scale.zorder_key_2d`)."""
+    zones = _live_zones(path)
+    chosen, skipped = [], 0
+    for f, z in zones.items():
+        keep = True
+        for col, (lo, hi) in preds.items():
+            zr = None if z is None else z["stats"].get(col)
+            if zr is not None and (zr[1] < lo or zr[0] > hi):
+                keep = False
+                break
+        if not keep:
+            skipped += 1
+            continue
+        chosen.append(f)
+    cond = None
+    for col, (lo, hi) in preds.items():
+        c = F.col(col).between(lo, hi)
+        cond = c if cond is None else (cond & c)
+    if not chosen:
+        empty = read_snapshot(spark, path).limit(0)
+        return empty.filter(cond), 0, skipped
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(_data_dir(path), f) for f in sorted(chosen)]
+    )
+    return df.filter(cond), len(chosen), skipped
+
+
 def merge_upsert_lake(
     spark: SparkSession, updates: DataFrame, path: str, key: str
 ) -> int:

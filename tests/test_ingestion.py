@@ -775,3 +775,56 @@ def test_minilake_zone_maps_skip_files_and_prune_merge(spark, tmp_path):
     # merge commit carries zone maps too → skipping still works
     _, n_read2, n_skipped2 = minilake.scan_pruned(spark, path, "id", 900, 950)
     assert n_read2 == 1 and n_skipped2 >= 3
+
+
+def test_minilake_zorder_layout_skips_in_both_dimensions(spark, tmp_path):
+    """Layout × zone maps: a LINEAR sort gives tight zones on its sort
+    column only (box predicate on the other column skips nothing); the
+    Z-ORDER layout gives usably tight zones on BOTH, so the same 2-D
+    box skips most files — the OPTIMIZE ZORDER BY payoff, measured
+    from the commit log alone."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.functions.scale import (
+        zorder_key_2d,
+    )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    n, files = 4096, 16
+    base = (
+        spark.range(n)
+        .withColumn("x", F.col("id") % 1000)
+        .withColumn("y", F.pmod(F.xxhash64("id"), F.lit(1000)))
+    )
+    ybox = {"y": (0, 99)}  # selective on the NON-sort column
+
+    linear = str(tmp_path / "linear")
+    minilake.commit_append(
+        base.repartitionByRange(files, "x"), linear, stat_cols=["x", "y"]
+    )
+    lin_df, lin_read, lin_skip = minilake.scan_pruned_multi(
+        spark, linear, ybox
+    )
+
+    zord = str(tmp_path / "zord")
+    zkey = zorder_key_2d(F.col("x"), F.col("y"), 0, 1000, 0, 1000)
+    minilake.commit_append(
+        base.withColumn("z", zkey).repartitionByRange(files, "z").drop("z"),
+        zord,
+        stat_cols=["x", "y"],
+    )
+    z_df, z_read, z_skip = minilake.scan_pruned_multi(spark, zord, ybox)
+
+    # identical answers, very different file counts
+    assert sorted(map(tuple, lin_df.collect())) == sorted(map(tuple, z_df.collect()))
+    assert lin_skip + lin_read == z_skip + z_read == files
+    # linear-by-x: y is unclustered → every file's y-zone spans the
+    # predicate → zero skipping.  z-order: y participates in the key →
+    # most files' y-zones miss the 10% band.
+    assert lin_skip == 0
+    assert z_skip > files // 2
+    # and the 2-D box stays cheap on the z layout
+    _, z2_read, _ = minilake.scan_pruned_multi(
+        spark, zord, {"x": (0, 99), "y": (0, 99)}
+    )
+    assert z2_read <= files // 2
