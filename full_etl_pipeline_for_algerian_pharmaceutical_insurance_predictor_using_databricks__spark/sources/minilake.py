@@ -439,22 +439,9 @@ def scan_pruned(
     files_read, files_skipped) — the skip count is the point: at
     100 TB a selective predicate over a clustered column touches a
     handful of files, and the decision uses ONLY the log, no footer
-    reads at query time."""
-    zones = _live_zones(path)
-    chosen, skipped = [], 0
-    for f, z in zones.items():
-        zr = None if z is None else z["stats"].get(col)
-        if zr is not None and (zr[1] < lo or zr[0] > hi):
-            skipped += 1
-            continue
-        chosen.append(f)
-    if not chosen:
-        empty = read_snapshot(spark, path).limit(0)
-        return empty.filter(F.col(col).between(lo, hi)), 0, skipped
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(_data_dir(path), f) for f in sorted(chosen)]
-    )
-    return df.filter(F.col(col).between(lo, hi)), len(chosen), skipped
+    reads at query time.  Single-predicate convenience over
+    `scan_pruned_multi`."""
+    return scan_pruned_multi(spark, path, {col: (lo, hi)})
 
 
 def scan_pruned_multi(
@@ -502,6 +489,7 @@ def merge_upsert_lake(
     `updates` are carried over), untouched files stay byte-identical
     and keep their names in the log.  This is Delta's MERGE pruning —
     rewrite cost tracks where the keys actually land, not table size."""
+    _check_schema(updates, path, allow_evolution=False)
     bounds = updates.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).first()

@@ -85,6 +85,22 @@ def main() -> None:
          "self-join (the df <= 1000 filter below is the posting-list bound), then "
          "candidates are exact-verified against FULL token sets. Without the cap, "
          "one stopword with df=k contributes k² join rows."),
+        ("retrieval_hybrid_rrf", retrieval.hybrid_rrf_search,
+         "Hybrid lexical+dense retrieval fused by RRF: the BM25 side joins "
+         "the corpus term table against a BROADCAST per-query term list and "
+         "broadcast df/stats scalars; the dense side is the broadcast-query "
+         "exact anchor (IVF serving is the scale swap — ranks, hence the "
+         "fusion, carry over). The fuse itself is a full-outer join of two "
+         "bounded (query, doc, rank) lists + one partitioned window — at any "
+         "corpus size the fusion cost is O(queries × list_k)."),
+        ("text_topic_serving", lambda s, d: __import__(
+            "full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.text",
+            fromlist=["text"]).topic_clusters_serving(s, d),
+         "Frozen-model topic serving: the plan is one documents scan → "
+         "stateless hashing/IDF/centroid transforms (reloaded Spark ML "
+         "models, JVM BLAS) → the label join — no IDF or KMeans FIT stage "
+         "anywhere (the build entry pays those once; serving measured 1.2 s "
+         "vs 2.8 s warmed build at sf0.1)."),
         ("tpch_q10_returned_items", relational.q10_returned_items,
          "Q10 shape: the quarter date window and returnflag filter both "
          "push into their parquet scans (PushedFilters) before any join, "
@@ -403,6 +419,51 @@ def main() -> None:
         "steady-state (same plan, same rows). Sweep cells are comparable\n"
         "only within one process on an otherwise idle box; a concurrent\n"
         "pytest session inflated the same cell 8×.\n"
+        "\nRound-7 adjudication of the r5→r6 `dedup_jaccard_pairs` bench delta\n"
+        "(1.69 s → 2.53 s): an idle-box A/B at sf0.1 (4 warmed runs, vanilla\n"
+        "local[32] session, gc between runs) measured a stable 3.1–3.3 s;\n"
+        "bench's tuned session reports 2.5–2.6 s — i.e. r6's number matches\n"
+        "this table's 2.6 s steady state, and **r5's 1.69 s was the outlier**\n"
+        "(most plausibly a CacheManager-warm artifact of r5's session layout).\n"
+        "The pinned expectation for future rounds is 2.6 s ± 15% under bench.\n"
+        "\n**Round-7 updates to this table** (same protocol, default 8 GiB heap\n"
+        "with `SPARK_GRAFT_CHECKPOINT_STORAGE=DISK_ONLY` — see below):\n\n"
+        "| op | ×1 (sf0.1) | ×4 | ×10 | wall growth at 10× input |\n"
+        "|---|---|---|---|---|\n"
+        "| dedup_minhash_lsh | 6.2 s / 6.3 M pairs | 12.0 s / 25.0 M | 23.1 s / 61.6 M | 3.7× at DEFAULT heap (the 48g requirement is gone) |\n"
+        "| dedup_clusters (CC) | 6.3 s | 10.2 s | 16.3 s | **2.6×** (was 6.4× in r6) |\n"
+        "\n(Bench-tier note: at the sf0.1 fixture the entry reads 4.6–6.0 s\n"
+        "across days/runs — the restricted loop adds a final singleton join\n"
+        "whose fixed cost shows at fixture scale; the ×10 curve is what the\n"
+        "change buys.  The pre-change sweep measured the SAME ~6.0 s ×1 cell,\n"
+        "so the fixture-scale spread is box variance, not a regression.)\n"
+        "\nTwo r7 changes produced the CC drop, both verified oracle-neutral:\n\n"
+        "1. `_cc_min_label_loop` iterates ONLY over edge-incident vertices\n"
+        "   (singletons can never change label; they rejoin once at the end).\n"
+        "   Phase profile at ×10 after the fix: loop 3.9 s, member join 1.0 s\n"
+        "   — the loop is ~flat in scale and the wall was mining-bound.\n"
+        "2. `_rep_jaccard_pairs_inverted` gained the classic LENGTH FILTER\n"
+        "   (jaccard ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|)) applied INSIDE the\n"
+        "   token self-join, with set sizes riding the posting rows (exploded\n"
+        "   from `groups` directly — joining them on afterwards re-shuffled\n"
+        "   the full posting list twice and measured 70 s at ×10).  The\n"
+        "   post-aggregate size joins are gone entirely: the plan is one\n"
+        "   self-join + one aggregate.  ×10 mining dropped 27.5 s → ~10 s.\n"
+        "\nThe ×1/×10 strategy flip is worth knowing when reading the ratio: ×1's\n"
+        "tiny fixture vocabulary dispatches to the bitmask path while ×10's\n"
+        "10×-larger vocabulary takes the inverted-index path, so the ratio\n"
+        "compares different physical strategies; within the inverted strategy\n"
+        "growth is ~linear in input+output, which is the floor for an operator\n"
+        "that must touch every posting.\n"
+        "\n**Default-heap sweeps** (r7): every heavy materialization now routes\n"
+        "through `functions.scale.checkpoint_df`, which honors\n"
+        "`SPARK_GRAFT_CHECKPOINT_STORAGE=<StorageLevel>`.  With `DISK_ONLY`,\n"
+        "the ×10 minhash sweep (61.6 M-pair checkpoint) passes at the default\n"
+        "8 GiB single-JVM heap — 23.1 s vs ~25 s steady state at 48g, i.e.\n"
+        "within noise — so the 48g requirement documented above is now an\n"
+        "option, not a prerequisite.  Default (unset) keeps localCheckpoint's\n"
+        "MEMORY_AND_DISK, the right level on a real cluster where blocks\n"
+        "spread across executors.\n"
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
