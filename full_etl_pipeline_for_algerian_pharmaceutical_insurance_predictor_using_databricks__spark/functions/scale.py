@@ -57,6 +57,19 @@ def checkpoint_df(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True, storageLevel=level)
 
 
+def default_index_dir(kind: str, version: int, sf_dir: str) -> str:
+    """Canonical on-disk location for a frozen serving index:
+    <repo>/spark-warehouse/<kind>_index_v<version>_<sf tag>.  One
+    definition for every build/serve split (IVF-PQ, topic model, PCA)
+    so the layout and versioning scheme can only change in one place."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(
+        repo_root, "spark-warehouse", f"{kind}_index_v{version}_{tag}"
+    )
+
+
 def with_salt(df: DataFrame, n_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
     """Add a `_salt` column in [0, n_buckets), hashing the row's
     columns TOGETHER WITH a per-row monotonic id: identical rows of a

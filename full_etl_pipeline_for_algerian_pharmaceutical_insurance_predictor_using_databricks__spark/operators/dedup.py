@@ -674,20 +674,13 @@ def _rep_containment_pairs(
         if vocab is not None:
             return _rep_containment_pairs_bitmask(groups, threshold, vocab)
     rep_tok = _rep_tokens(groups)
-    # Length filter (the classic size-ratio prune of the similarity-join
-    # literature): jaccard(A,B) >= t forces min(|A|,|B|) >= t*max(|A|,|B|),
-    # so posting pairs whose set sizes differ by more than (1-t) can be
-    # dropped INSIDE the token self-join, before the per-pair count
-    # aggregate ever sees them.  Exactness is untouched — every dropped
-    # pair is provably below threshold.
-    rep_sized = groups.select(
-        F.col("rep").alias("doc_id"),
-        "set_size",
-        F.explode("tokens").alias("token"),
-    )
-    size_compatible = (
-        F.col("t1.set_size") >= threshold * F.col("t2.set_size")
-    ) & (F.col("t2.set_size") >= threshold * F.col("t1.set_size"))
+    # NOTE: the symmetric Jaccard length filter does NOT apply here —
+    # containment(A→B) = |A∩B|/|A| is one-directional (a 5-token set
+    # fully inside a 100-token set scores 1.0), so a size-ratio prune
+    # would drop exactly the pairs this operator exists to find.  The
+    # only valid bound (|B| ≥ t·|A|) is direction-specific and the
+    # candidates below are undirected; the exact verify keeps both
+    # directions correct.
     if max_df is not None:
         # df counts DOCUMENTS (weight reps by group size) — see
         # `_rep_jaccard_pairs_inverted`; dropped-token candidates are

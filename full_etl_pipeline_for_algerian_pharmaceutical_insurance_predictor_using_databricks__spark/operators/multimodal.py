@@ -454,13 +454,16 @@ def _encode_dib(img) -> bytes:
     return rows.tobytes()
 
 
-def _decode_dib(buf: bytes, w: int, h: int):
-    """Raw bottom-up padded DIB pixel data → (h, w, 3) uint8 top-down."""
+def _decode_dib(buf: bytes, w: int, h: int, flip: bool = True):
+    """Raw padded DIB pixel data → (h, w, 3) uint8 top-down.  `flip`
+    reverses the row order (positive-height bottom-up storage, the
+    default); top-down DIBs (negative biHeight) pass flip=False."""
     import numpy as np
 
     row_size = _bmp_row_size(w)
     px = np.frombuffer(buf, dtype=np.uint8, count=h * row_size)
-    return px.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)[::-1]
+    img = px.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    return img[::-1] if flip else img
 
 
 def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
@@ -553,12 +556,20 @@ def _decode_avi(b: bytes):
                                 )
         elif kind == b"movi":
             for c2, o2, s2 in walk(off + 4, off + size):
-                if c2[2:4] in (b"db", b"dc"):
+                # only the FIRST stream's frames ('00db' raw / '00dc')
+                # — a second stream ('01db', e.g. audio) must not
+                # interleave into the video frame stack
+                if c2[:2] == b"00" and c2[2:4] in (b"db", b"dc"):
                     frame_chunks.append((o2, s2))
     if w is None or h is None:
         raise ValueError("AVI missing stream format header")
+    # positive biHeight = bottom-up rows (flip to top-down); negative =
+    # already top-down (common from Windows encoders) — honor the sign
     frames = np.stack(
-        [_decode_dib(b[o : o + sz], w, abs(h)) for o, sz in frame_chunks]
+        [
+            _decode_dib(b[o : o + sz], w, abs(h), flip=h > 0)
+            for o, sz in frame_chunks
+        ]
     )
     fps = (rate / scale) if rate and scale else float(AVI_FPS)
     return frames, fps

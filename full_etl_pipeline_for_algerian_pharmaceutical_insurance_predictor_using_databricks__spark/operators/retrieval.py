@@ -93,6 +93,32 @@ WHERE term_rank <= {TFIDF_TOP_TERMS}
 """
 
 
+def _doc_lengths_and_stats(docs: DataFrame):
+    """(per-doc length frame, 1-row (n_docs, avgdl) frame) — the two
+    corpus statistics every BM25 scorer joins against."""
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl")
+    )
+    stats = docs.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("avgdl"),
+    )
+    return dl, stats
+
+
+def _bm25_contrib(k1: float, b: float) -> F.Column:
+    """The per-(doc, term) BM25 contribution expression over columns
+    tf/df/dl/n_docs/avgdl — ONE definition shared by `bm25_search` and
+    `hybrid_rrf_search` so the scoring function cannot silently
+    diverge between them (their DuckDB oracles restate it)."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    return idf * F.col("tf") * (k1 + 1) / norm
+
+
 def bm25_search(
     spark: SparkSession,
     sf_dir: str,
@@ -117,20 +143,9 @@ def bm25_search(
     docs = load_table(spark, sf_dir, "documents")
     terms = [t.lower() for t in query]
     tfs = _doc_term_counts(docs).filter(F.col("term").isin(terms))
-    dl = docs.select(
-        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl")
-    )
-    stats = docs.groupBy().agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("avgdl"),
-    )
+    dl, stats = _doc_lengths_and_stats(docs)
     df_tab = tfs.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    contrib = idf * F.col("tf") * (k1 + 1) / norm
+    contrib = _bm25_contrib(k1, b)
     scored = (
         tfs.join(F.broadcast(df_tab), "term")
         .join(dl.hint("shuffle_hash"), "doc_id")
@@ -248,19 +263,8 @@ def hybrid_rrf_search(
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
-    dl = docs.select(
-        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl")
-    )
-    stats = docs.groupBy().agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("avgdl"),
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    contrib = idf * F.col("tf") * (k1 + 1) / norm
+    dl, stats = _doc_lengths_and_stats(docs)
+    contrib = _bm25_contrib(k1, b)
     w_lex = Window.partitionBy("query_id").orderBy(
         F.desc("lex_score"), F.asc("doc_id")
     )

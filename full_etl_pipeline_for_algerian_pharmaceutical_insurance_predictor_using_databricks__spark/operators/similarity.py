@@ -811,15 +811,9 @@ IVF_PQ_INDEX_VERSION = 1
 
 
 def _default_index_dir(sf_dir: str) -> str:
-    # anchored at the repo root (not the process cwd) so callers from
-    # any working directory share one index per (version, sf) pair
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return os.path.join(
-        repo_root, "spark-warehouse", f"ivfpq_index_v{IVF_PQ_INDEX_VERSION}_{tag}"
-    )
+    from ..functions.scale import default_index_dir
+
+    return default_index_dir("ivfpq", IVF_PQ_INDEX_VERSION, sf_dir)
 
 
 def ivf_pq_build_index(
@@ -900,12 +894,9 @@ PCA_INDEX_VERSION = 1
 
 
 def _default_pca_index_dir(sf_dir: str) -> str:
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return os.path.join(
-        repo_root, "spark-warehouse", f"pca_index_v{PCA_INDEX_VERSION}_{tag}"
-    )
+    from ..functions.scale import default_index_dir
+
+    return default_index_dir("pca", PCA_INDEX_VERSION, sf_dir)
 
 
 def pca_build_index(

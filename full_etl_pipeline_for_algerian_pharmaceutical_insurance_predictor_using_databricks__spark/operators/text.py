@@ -882,15 +882,9 @@ def _topic_table(assigned: DataFrame, top_terms: int) -> DataFrame:
 
 
 def _default_topic_index_dir(sf_dir: str) -> str:
-    import os
+    from ..functions.scale import default_index_dir
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return os.path.join(
-        repo_root, "spark-warehouse",
-        f"topic_index_v{TOPIC_INDEX_VERSION}_{tag}",
-    )
+    return default_index_dir("topic", TOPIC_INDEX_VERSION, sf_dir)
 
 
 def topic_index_build(

@@ -119,12 +119,15 @@ def _land_data_files(
     return names
 
 
-def _claim_version(path: str, commit: dict) -> int:
+def _claim_version(path: str, commit: dict, refresh=None) -> int:
     """Write the commit json to a temp file, then atomically claim the
     next version number with os.link (put-if-absent): a concurrent
     writer that claimed it first makes the link raise, and we retry at
     the next number — optimistic concurrency, the Delta protocol's
-    commit rule."""
+    commit rule.  `refresh(commit)` runs before every (re)attempt so
+    snapshot-dependent fields (an overwrite's remove list) are
+    re-validated against the log as it stands at claim time — a lost
+    race must never commit a stale view of which files are live."""
     ld = _log_dir(path)
     os.makedirs(ld, exist_ok=True)
     tmp = os.path.join(ld, f"_tmp-{uuid.uuid4().hex}.json")
@@ -132,6 +135,8 @@ def _claim_version(path: str, commit: dict) -> int:
         vs = versions(path)
         version = (vs[-1] + 1) if vs else 0
         commit["version"] = version
+        if refresh is not None:
+            refresh(commit)
         with open(tmp, "w") as f:
             json.dump(commit, f)
             f.flush()
@@ -209,16 +214,18 @@ def commit_overwrite(df: DataFrame, path: str) -> int:
     """OVERWRITE commit: the new snapshot is exactly the landed files;
     every currently-live file is listed in `remove`.  Removed files
     stay on disk (time travel) until `vacuum`."""
-    live = _live_files(path)
     files = _land_data_files(df, path)
     return _claim_version(
         path,
         {
             "mode": "overwrite",
             "add": files,
-            "remove": sorted(live),
+            "remove": sorted(_live_files(path)),
             "schema": df.schema.json(),
         },
+        # re-derive the remove list at claim time: a concurrent append
+        # that wins the race would otherwise survive the "overwrite"
+        refresh=lambda c: c.__setitem__("remove", sorted(_live_files(path))),
     )
 
 
@@ -283,12 +290,17 @@ def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     )
 
 
-def vacuum(path: str, retain_versions: int = 0) -> int:
+def vacuum(path: str, retain_versions: int = 0, min_age_s: float = 600.0) -> int:
     """Delete data files unreferenced by the retained history: keep
     everything reachable from the last `retain_versions`+1 snapshots
-    (0 = current only), plus nothing that a crashed writer orphaned.
-    Returns the number of files deleted.  This is the step that trades
-    time travel for space — exactly Delta's VACUUM contract."""
+    (0 = current only).  Unreferenced files younger than `min_age_s`
+    are SPARED — they may belong to an in-flight writer that has landed
+    data but not yet claimed its commit (Delta's VACUUM has the same
+    modification-time retention window, default 7 days).  Returns the
+    number of files deleted — the step that trades time travel for
+    space."""
+    import time as _time
+
     vs = versions(path)
     if not vs:
         return 0
@@ -299,10 +311,16 @@ def vacuum(path: str, retain_versions: int = 0) -> int:
             referenced |= _live_files(path, as_of=v)
     deleted = 0
     ddir = _data_dir(path)
+    now = _time.time()
     if os.path.isdir(ddir):
         for f in os.listdir(ddir):
-            if f.endswith(".parquet") and f not in referenced:
-                os.unlink(os.path.join(ddir, f))
+            full = os.path.join(ddir, f)
+            if (
+                f.endswith(".parquet")
+                and f not in referenced
+                and now - os.path.getmtime(full) >= min_age_s
+            ):
+                os.unlink(full)
                 deleted += 1
     return deleted
 
@@ -358,8 +376,16 @@ def lake_stream_sink(stream: DataFrame, path: str, timeout_s: int = 300) -> None
     one exactly-once commit per micro-batch."""
     import tempfile
 
+    # one log scan per DRAIN, not per batch: the seen-set is consulted
+    # and extended in memory (commit_stream_batch would re-read every
+    # commit json per micro-batch — O(V²) over a long-lived table)
+    seen = committed_stream_batches(path)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        commit_stream_batch(batch_df, path, batch_id)
+        if batch_id in seen:
+            return
+        if commit_stream_batch(batch_df, path, batch_id) is not None:
+            seen.add(batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -494,6 +520,11 @@ def merge_upsert_lake(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).first()
     lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        # empty update set: an incremental period with zero changes is
+        # a no-op, not a crash — return the current version unchanged
+        vs = versions(path)
+        return vs[-1] if vs else -1
     zones = _live_zones(path)
     touched, untouched = [], []
     for f, z in zones.items():

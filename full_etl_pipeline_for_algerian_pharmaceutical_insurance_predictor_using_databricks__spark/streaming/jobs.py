@@ -739,7 +739,13 @@ def corpus_registry_ingest_gated(
             for p in glob.glob(f"{registry_dir}/_sketch/batch=*")
             if p != own_sketch
         )
-        if prior and prior_sketches:
+        # The sketch shortcut is only sound when EVERY prior partition
+        # has its sketch (a partition without one could hold any
+        # fingerprint) — a registry seeded by the ungated ingest, or a
+        # half-written sketch dir, falls back to the exact anti-join
+        # for all rows rather than silently skipping dedup.
+        sketches_complete = len(prior_sketches) == len(prior)
+        if prior and sketches_complete:
             sketch = F.broadcast(
                 spark.read.parquet(*prior_sketches).select("bucket").distinct()
             )
@@ -748,6 +754,9 @@ def corpus_registry_ingest_gated(
             seen = spark.read.parquet(*prior).select("fingerprint")
             verified_new = candidates.join(seen, "fingerprint", "left_anti")
             fps = definite_new.unionByName(verified_new)
+        elif prior:
+            seen = spark.read.parquet(*prior).select("fingerprint")
+            fps = fps.join(seen, "fingerprint", "left_anti")
         out = fps.select("fingerprint", "keeper_doc_id", "bucket")
         # one pass writes both the partition and its sketch
         out = out.localCheckpoint()

@@ -673,7 +673,9 @@ def test_minilake_commit_log_lifecycle(spark, tmp_path):
     assert minilake.read_snapshot(spark, path).count() == 7
 
     n_files_before = len(os.listdir(path + "/data"))
-    deleted = minilake.vacuum(path, retain_versions=0)
+    # min_age_s=0: the test's 'orphans' are seconds old; production
+    # default spares young files for in-flight writers
+    deleted = minilake.vacuum(path, retain_versions=0, min_age_s=0)
     assert deleted > 0
     assert len(os.listdir(path + "/data")) == n_files_before - deleted
     # current snapshot survives vacuum; history before it is gone

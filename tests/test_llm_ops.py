@@ -371,6 +371,36 @@ def test_avi_codec_chunk_walk_and_roundtrip():
     got, fps = multimodal._decode_avi(avi)
     assert (got == frames).all() and fps == 25.0
 
+    # TOP-DOWN variant (negative biHeight) with a second stream whose
+    # '01db' chunks must NOT interleave into the video frame stack
+    strf_td = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl_td = multimodal._riff_list(
+        b"hdrl",
+        multimodal._riff_chunk(b"avih", avih)
+        + multimodal._riff_list(
+            b"strl",
+            multimodal._riff_chunk(b"strh", strh)
+            + multimodal._riff_chunk(b"strf", strf_td),
+        ),
+    )
+    movi_td = multimodal._riff_list(
+        b"movi",
+        b"".join(
+            multimodal._riff_chunk(b"00db", multimodal._encode_dib(f[::-1]))
+            # encode_dib writes bottom-up; feeding the row-reversed image
+            # yields literal top-down bytes, matching biHeight < 0
+            for f in frames
+        )
+        + multimodal._riff_chunk(b"01db", b"\x00" * frame_bytes),
+    )
+    body_td = b"AVI " + hdrl_td + movi_td
+    avi_td = b"RIFF" + struct.pack("<I", len(body_td)) + body_td
+    got_td, _ = multimodal._decode_avi(avi_td)
+    assert got_td.shape[0] == n  # the '01db' chunk was excluded
+    assert (got_td == frames).all()
+
     with pytest.raises(ValueError, match="magic"):
         multimodal._decode_avi(b"RIFFxxxxWAVE")
 

@@ -1603,3 +1603,13 @@ def test_gated_registry_matches_ungated_and_prunes(spark, sf_dir, tmp_path):
         jobs.documents_stream(spark, sf_dir, max_files_per_trigger=1), reg
     )
     assert spark.read.parquet(reg + "/batch=*").count() == len(expected)
+
+    # FALLBACK path: a registry seeded by the UNGATED ingest has no
+    # sketches — the gated ingest must fall back to the exact
+    # anti-join, never silently skip dedup
+    reg2 = str(tmp_path / "seeded_ungated")
+    jobs.corpus_registry_ingest(jobs.documents_stream(spark, sf_dir), reg2)
+    jobs.corpus_registry_ingest_gated(
+        jobs.documents_stream(spark, sf_dir, max_files_per_trigger=1), reg2
+    )
+    assert spark.read.parquet(reg2 + "/batch=*").count() == len(expected)
