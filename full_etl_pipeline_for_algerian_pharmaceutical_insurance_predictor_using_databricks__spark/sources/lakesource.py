@@ -1,0 +1,160 @@
+"""Spark DataSource over the minilake commit log — the table format
+(`sources/minilake.py`) surfaced as a first-class `format("minilake")`
+for both batch and Structured Streaming.
+
+- **Batch** (`spark.read.format("minilake").load(path)`): reads the
+  CURRENT snapshot; one live data file → one `InputPartition`, so the
+  scan parallelizes across files and a task touches exactly one
+  immutable parquet file.
+- **Streaming** (`spark.readStream.format("minilake").load(path)`):
+  the commit log IS the offset log — `{"version": v}` marks the last
+  consumed commit, each micro-batch is the rows ADDED by the append
+  commits in `(start, end]` (read incrementally from only those files,
+  never the table), and `readBetweenOffsets` replays any committed
+  range byte-identically after a restart.  Exactly-once end to end:
+  the sink sees each commit's rows once because versions are claimed
+  atomically at write time.  An overwrite/compact commit inside the
+  range fails the batch loudly (incremental consumers must re-sync
+  from a snapshot — the same signal `minilake.read_changes` gives).
+
+The readers run in Python workers and parse parquet with pyarrow;
+rows are emitted as tuples in schema field order.  This is the slow
+general path by design — the fast path for bulk snapshot reads stays
+`minilake.read_snapshot` (JVM parquet scans); the DataSource exists
+for the STREAMING contract, where the per-trigger delta is small.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+from . import minilake
+
+FORMAT_NAME = "minilake"
+
+
+def _latest_schema(path: str) -> StructType:
+    vs = minilake.versions(path)
+    if not vs:
+        raise ValueError(f"no minilake log under {path}")
+    return StructType.fromJson(
+        json.loads(minilake._read_commit(path, vs[-1])["schema"])
+    )
+
+
+def _file_rows(path: str, data_file: str, field_names: list[str]) -> list[tuple]:
+    """All rows of one immutable data file as schema-ordered tuples."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(os.path.join(minilake._data_dir(path), data_file))
+    cols = {name: table.column(name).to_pylist() for name in table.column_names}
+    n = table.num_rows
+    return [
+        tuple(cols[name][i] if name in cols else None for name in field_names)
+        for i in range(n)
+    ]
+
+
+@dataclass
+class _LakePartition(InputPartition):
+    data_file: str
+
+
+class MinilakeReader(DataSourceReader):
+    """Batch: the current snapshot, one task per live file."""
+
+    def __init__(self, options: dict, schema: StructType):
+        path = options.get("path")
+        if not path:
+            raise ValueError("minilake requires a path")
+        self.path = path
+        self.field_names = [f.name for f in schema.fields]
+
+    def partitions(self) -> list[_LakePartition]:
+        return [
+            _LakePartition(f) for f in sorted(minilake._live_files(self.path))
+        ]
+
+    def read(self, partition: _LakePartition) -> Iterator[tuple]:
+        yield from _file_rows(self.path, partition.data_file, self.field_names)
+
+
+class MinilakeStreamReader(SimpleDataSourceStreamReader):
+    """The commit log as the streaming offset log (see module doc)."""
+
+    def __init__(self, options: dict, schema: StructType):
+        path = options.get("path")
+        if not path:
+            raise ValueError("minilake requires a path")
+        self.path = path
+        self.field_names = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        # start BEFORE the first commit: the first micro-batch carries
+        # the full committed history, after which batches are deltas
+        return {"version": -1}
+
+    def _added_files(self, start_v: int, end_v: int) -> list[str]:
+        files: list[str] = []
+        for v in minilake.versions(self.path):
+            if start_v < v <= end_v:
+                c = minilake._read_commit(self.path, v)
+                if c["mode"] != "append":
+                    raise ValueError(
+                        f"minilake stream hit a {c['mode']!r} commit at "
+                        f"version {v} — incremental consumption only spans "
+                        "appends; restart the stream from a fresh snapshot"
+                    )
+                files.extend(c["add"])
+        return files
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        vs = minilake.versions(self.path)
+        end_v = vs[-1] if vs else start["version"]
+        rows = [
+            r
+            for f in self._added_files(start["version"], end_v)
+            for r in _file_rows(self.path, f, self.field_names)
+        ]
+        # materialized list, not a generator: the engine's prefetch
+        # cache copies the returned iterator for replay
+        return iter(rows), {"version": end_v}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(
+            [
+                r
+                for f in self._added_files(start["version"], end["version"])
+                for r in _file_rows(self.path, f, self.field_names)
+            ]
+        )
+
+
+class MinilakeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return _latest_schema(self.options["path"])
+
+    def reader(self, schema: StructType) -> MinilakeReader:
+        return MinilakeReader(self.options, schema)
+
+    def simpleStreamReader(self, schema: StructType) -> MinilakeStreamReader:
+        return MinilakeStreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(MinilakeDataSource)

@@ -1613,3 +1613,52 @@ def test_gated_registry_matches_ungated_and_prunes(spark, sf_dir, tmp_path):
         jobs.documents_stream(spark, sf_dir, max_files_per_trigger=1), reg2
     )
     assert spark.read.parquet(reg2 + "/batch=*").count() == len(expected)
+
+
+def test_minilake_datasource_batch_and_stream(spark, sf_dir, tmp_path):
+    """format('minilake'): batch read equals the snapshot; the stream's
+    offsets are commit versions — the first micro-batch is the
+    committed history, appends BETWEEN triggers arrive as exactly
+    their delta rows, and a checkpoint restart resumes from the stored
+    version without re-emitting consumed commits."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        lakesource,
+        minilake,
+    )
+
+    lakesource.register(spark)
+    path = str(tmp_path / "lake_src")
+    df1 = spark.range(40).withColumn("v", F.col("id") * 2)
+    df2 = spark.range(40, 50).withColumn("v", F.col("id") * 2)
+    minilake.commit_append(df1, path)
+
+    # batch parity with the native snapshot read
+    got = spark.read.format("minilake").load(path)
+    want = minilake.read_snapshot(spark, path)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # stream: drain history, append, drain the delta — same checkpoint
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("minilake")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 40
+    minilake.commit_append(df2, path)
+    drain()
+    result = spark.read.parquet(out)
+    assert result.count() == 50  # only the 10 new rows were appended
+    assert sorted(map(tuple, result.collect())) == sorted(
+        map(tuple, minilake.read_snapshot(spark, path).collect())
+    )
