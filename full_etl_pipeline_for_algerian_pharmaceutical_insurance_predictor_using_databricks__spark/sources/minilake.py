@@ -40,6 +40,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _LOG_FMT = "{:020d}.json"
+_CKPT_FMT = "{:020d}.checkpoint.json"
+
+# Write a folded-state checkpoint every N commits (0 disables).  This is
+# the Delta checkpoint rule (default every 10 commits): without it every
+# snapshot read replays the log from version 0 — O(total commits), a
+# real cost once a streaming sink has appended for months.  With it a
+# reader folds the latest checkpoint plus the tail commits only.
+_CHECKPOINT_EVERY = int(os.environ.get("SPARK_GRAFT_LAKE_CHECKPOINT_EVERY", "10"))
 
 
 def _log_dir(path: str) -> str:
@@ -65,6 +73,91 @@ def versions(path: str) -> list[int]:
 def _read_commit(path: str, version: int) -> dict:
     with open(os.path.join(_log_dir(path), _LOG_FMT.format(version))) as f:
         return json.load(f)
+
+
+def _latest_checkpoint(path: str, as_of: int | None = None) -> dict | None:
+    """The newest readable checkpoint with version ≤ `as_of` (None =
+    any).  A torn/unreadable checkpoint file is skipped, never fatal —
+    readers fall back to older checkpoints or a full log fold."""
+    ld = _log_dir(path)
+    if not os.path.isdir(ld):
+        return None
+    cands = []
+    for name in os.listdir(ld):
+        if name.endswith(".checkpoint.json") and name[:-16].isdigit():
+            v = int(name[:-16])
+            if as_of is None or v <= as_of:
+                cands.append(v)
+    for v in sorted(cands, reverse=True):
+        try:
+            with open(os.path.join(ld, _CKPT_FMT.format(v))) as f:
+                ck = json.load(f)
+            if ck.get("version") == v and "live" in ck:
+                return ck
+        except (OSError, ValueError):
+            continue
+    return None
+
+
+def _fold_state(path: str, as_of: int | None = None) -> dict:
+    """Fold the log into reader state as of a version: start from the
+    newest checkpoint ≤ as_of (if any) and apply only the tail commits.
+    Returns {"version", "live": {file: zone|None}, "stream_batch_ids"}.
+    This is what bounds snapshot-construction cost at scale: O(tail)
+    commit reads instead of O(history)."""
+    ck = _latest_checkpoint(path, as_of)
+    if ck is not None:
+        live: dict = dict(ck["live"])
+        stream_ids = set(ck.get("stream_batch_ids", []))
+        start_after = ck["version"]
+    else:
+        live, stream_ids, start_after = {}, set(), -1
+    last = start_after
+    for v in versions(path):
+        if v <= start_after:
+            continue
+        if as_of is not None and v > as_of:
+            break
+        c = _read_commit(path, v)
+        for f in c["remove"]:
+            live.pop(f, None)
+        for f in c["add"]:
+            live[f] = c.get("zones", {}).get(f)
+        if "stream_batch_id" in c:
+            stream_ids.add(int(c["stream_batch_id"]))
+        last = v
+    return {"version": last, "live": live, "stream_batch_ids": stream_ids}
+
+
+def write_checkpoint(path: str, version: int | None = None) -> int:
+    """Write the folded state as of `version` (default: latest) to
+    `_log/<version>.checkpoint.json` atomically (temp + os.replace).
+    Idempotent and race-safe: the state is a pure function of the
+    immutable log prefix, so concurrent writers produce equivalent
+    checkpoints and last-replace-wins is harmless.
+    Commits themselves are never touched — time travel to versions
+    before the checkpoint still folds from older commits."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no minilake log under {path}")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise ValueError(f"version {version} not in log (have {vs})")
+    st = _fold_state(path, as_of=version)
+    ck = {
+        "version": version,
+        "live": st["live"],
+        "stream_batch_ids": sorted(st["stream_batch_ids"]),
+    }
+    ld = _log_dir(path)
+    tmp = os.path.join(ld, f"_ckpt-tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(ck, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(ld, _CKPT_FMT.format(version)))
+    return version
 
 
 def _file_zone_map(local_path: str, stat_cols: list[str]) -> dict:
@@ -150,6 +243,13 @@ def _claim_version(path: str, commit: dict, refresh=None) -> int:
                 os.path.join(ld, _LOG_FMT.format(version))
             ):
                 os.unlink(tmp)
+        if _CHECKPOINT_EVERY > 0 and version > 0 and version % _CHECKPOINT_EVERY == 0:
+            # Delta's rule: fold a checkpoint every N commits.  Best
+            # effort — a failure here never fails the commit itself.
+            try:
+                write_checkpoint(path, version)
+            except OSError:
+                pass
         return version
 
 
@@ -230,14 +330,7 @@ def commit_overwrite(df: DataFrame, path: str) -> int:
 
 
 def _live_files(path: str, as_of: int | None = None) -> set[str]:
-    live: set[str] = set()
-    for v in versions(path):
-        if as_of is not None and v > as_of:
-            break
-        c = _read_commit(path, v)
-        live -= set(c["remove"])
-        live |= set(c["add"])
-    return live
+    return set(_fold_state(path, as_of)["live"])
 
 
 def read_snapshot(
@@ -340,13 +433,9 @@ def history(path: str) -> list[dict]:
 
 def committed_stream_batches(path: str) -> set[int]:
     """Stream batch ids already committed to this table (for the
-    exactly-once foreachBatch rule below)."""
-    out = set()
-    for v in versions(path):
-        c = _read_commit(path, v)
-        if "stream_batch_id" in c:
-            out.add(int(c["stream_batch_id"]))
-    return out
+    exactly-once foreachBatch rule below).  Checkpoints carry the
+    cumulative id set, so this too is O(tail), not O(history)."""
+    return _fold_state(path)["stream_batch_ids"]
 
 
 def commit_stream_batch(df: DataFrame, path: str, batch_id: int) -> int | None:
@@ -443,17 +532,8 @@ def read_changes(
 
 
 def _live_zones(path: str, as_of: int | None = None) -> dict:
-    """file → zone map for every live file that has one."""
-    zones: dict = {}
-    for v in versions(path):
-        if as_of is not None and v > as_of:
-            break
-        c = _read_commit(path, v)
-        for f in c["remove"]:
-            zones.pop(f, None)
-        for f in c["add"]:
-            zones[f] = c.get("zones", {}).get(f)
-    return zones
+    """file → zone map (or None) for every live file."""
+    return _fold_state(path, as_of)["live"]
 
 
 def scan_pruned(
@@ -552,5 +632,52 @@ def merge_upsert_lake(
             "remove": sorted(touched),
             "schema": merged.schema.json(),
             "zones": new_zones,
+        },
+    )
+
+
+def delete_where(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> int:
+    """File-pruned DELETE (`DELETE FROM t WHERE col BETWEEN lo AND hi`):
+    zone maps split the live files into provably-unaffected (kept
+    byte-identical, names unchanged in the log) and possibly-affected
+    (rewritten without the matching rows).  Rewrite cost tracks where
+    the deleted rows actually live, not table size — Delta's DELETE
+    pruning.  Files whose rewrite comes back empty are dropped rather
+    than committed as zero-row parquet.  The deletion is itself a
+    versioned commit: the pre-delete snapshot stays time-travelable
+    until vacuum (the GDPR caveat Delta documents — a compliance scrub
+    must be followed by VACUUM to destroy the bytes)."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no minilake log under {path}")
+    zones = _live_zones(path)
+    touched, untouched = [], []
+    for f, z in zones.items():
+        zr = None if z is None else z["stats"].get(col)
+        if zr is not None and (zr[1] < lo or zr[0] > hi):
+            untouched.append(f)
+        else:
+            touched.append(f)
+    if not touched:
+        return vs[-1]  # no file can contain a matching row: no-op
+    old_rows = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(_data_dir(path), f) for f in sorted(touched)]
+    )
+    kept = old_rows.filter(~F.col(col).between(lo, hi))
+    files, new_zones = _land_data_files(kept, path, [col])
+    nonempty = [f for f in files if new_zones.get(f, {}).get("rows", 0) > 0]
+    for f in files:
+        if f not in nonempty:  # drop zero-row rewrites before commit
+            os.unlink(os.path.join(_data_dir(path), f))
+    return _claim_version(
+        path,
+        {
+            "mode": "delete",
+            "add": nonempty,
+            "remove": sorted(touched),
+            "schema": old_rows.schema.json(),
+            "zones": {f: new_zones[f] for f in nonempty},
         },
     )

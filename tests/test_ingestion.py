@@ -4,6 +4,8 @@ Pharma_Ingestion_Cleaning.py flow)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -830,3 +832,122 @@ def test_minilake_zorder_layout_skips_in_both_dimensions(spark, tmp_path):
         spark, zord, {"x": (0, 99), "y": (0, 99)}
     )
     assert z2_read <= files // 2
+
+
+def test_minilake_checkpoint_bounds_log_replay(spark, tmp_path, monkeypatch):
+    """Delta's checkpoint rule: every N commits the folded state is
+    written next to the log, and readers fold checkpoint + tail instead
+    of replaying from version 0 — snapshot-construction cost is O(tail),
+    not O(history).  Correctness is unchanged for current reads, time
+    travel BEFORE the checkpoint, and torn checkpoint files."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    monkeypatch.setattr(minilake, "_CHECKPOINT_EVERY", 5)
+    path = str(tmp_path / "ck_lake")
+    for i in range(12):
+        minilake.commit_append(
+            spark.range(i * 10, (i + 1) * 10).withColumn("v", F.col("id") % 3),
+            path,
+        )
+
+    ld = os.path.join(path, "_log")
+    cks = sorted(f for f in os.listdir(ld) if f.endswith(".checkpoint.json"))
+    assert [int(f[:-16]) for f in cks] == [5, 10]
+    assert minilake.read_snapshot(spark, path).count() == 120
+
+    # a fresh fold reads ONLY the commits after the newest checkpoint
+    seen = []
+    orig = minilake._read_commit
+
+    def counting(p, v):
+        seen.append(v)
+        return orig(p, v)
+
+    monkeypatch.setattr(minilake, "_read_commit", counting)
+    state = minilake._fold_state(path)
+    assert set(seen) == {11}
+    monkeypatch.setattr(minilake, "_read_commit", orig)
+
+    # the checkpointed fold equals a from-scratch fold
+    monkeypatch.setattr(minilake, "_latest_checkpoint", lambda *a, **k: None)
+    scratch = minilake._fold_state(path)
+    assert state["live"] == scratch["live"]
+    assert state["stream_batch_ids"] == scratch["stream_batch_ids"]
+    monkeypatch.undo()
+    monkeypatch.setattr(minilake, "_CHECKPOINT_EVERY", 5)
+
+    # time travel to a version before any checkpoint still folds right
+    assert minilake.read_snapshot(spark, path, version=3).count() == 40
+
+    # a torn checkpoint is skipped, never fatal: readers fall back
+    torn = os.path.join(ld, minilake._CKPT_FMT.format(11))
+    with open(torn, "w") as f:
+        f.write('{"version": 11')  # truncated json
+    assert minilake._fold_state(path)["live"] == scratch["live"]
+    assert minilake.read_snapshot(spark, path).count() == 120
+
+
+def test_minilake_checkpoint_carries_stream_ids(spark, tmp_path, monkeypatch):
+    """The exactly-once stream-batch id set survives checkpoint folding:
+    a replayed micro-batch is still a no-op when its commit is only
+    reachable through the checkpoint."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    monkeypatch.setattr(minilake, "_CHECKPOINT_EVERY", 5)
+    path = str(tmp_path / "ck_stream_lake")
+    df = spark.range(4).withColumn("v", F.lit(1))
+    for b in range(6):
+        assert minilake.commit_stream_batch(df, path, b) is not None
+    assert os.path.exists(
+        os.path.join(path, "_log", minilake._CKPT_FMT.format(5))
+    )
+    assert minilake.committed_stream_batches(path) == set(range(6))
+    # batch 2's commit is inside the checkpointed prefix — replay no-ops
+    assert minilake.commit_stream_batch(df, path, 2) is None
+    assert minilake.read_snapshot(spark, path).count() == 24
+
+
+def test_minilake_delete_where_prunes_files(spark, tmp_path):
+    """File-pruned DELETE: only files whose key zone can contain the
+    predicate are rewritten; the rest keep their names in the log.  The
+    pre-delete snapshot stays time-travelable, incremental readers are
+    told to re-sync, and a rewrite that comes back empty commits no
+    zero-row parquet."""
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    path = str(tmp_path / "del_lake")
+    base = spark.range(1000).withColumn("v", F.col("id") % 7)
+    minilake.commit_append(
+        base.repartitionByRange(10, "id"), path, stat_cols=["id"]
+    )
+    before = minilake._live_files(path)
+
+    minilake.delete_where(spark, path, "id", 100, 199)
+    after = minilake._live_files(path)
+    # zone maps proved most files untouched — byte-identical, same names
+    assert len(before & after) >= 7
+    snap = minilake.read_snapshot(spark, path)
+    assert snap.count() == 900
+    assert snap.filter(F.col("id").between(100, 199)).count() == 0
+    # pre-delete snapshot still readable until vacuum
+    assert minilake.read_snapshot(spark, path, version=0).count() == 1000
+    # a delete is not an append: incremental consumers must re-sync
+    with pytest.raises(ValueError, match="re-sync"):
+        minilake.read_changes(spark, path, since_version=0)
+
+    # deleting every remaining row commits add=[] (no zero-row files)
+    v = minilake.delete_where(spark, path, "id", -1, 2000)
+    h = minilake.history(path)[-1]
+    assert h["mode"] == "delete" and h["n_added"] == 0 and h["version"] == v
+    assert minilake.read_snapshot(spark, path).count() == 0
+
+    # predicate outside every zone: provable no-op, version unchanged
+    assert minilake.delete_where(spark, path, "id", 5000, 6000) == v
