@@ -129,6 +129,7 @@ _TAIL_ORDER = [
     "scd2_order_status_history",
     "agg_column_profile",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "text_ngram_topk",
     "events_funnel",
     "tpch_q10_returned_items",

@@ -664,6 +664,124 @@ GROUP BY dt.doc_id
 """
 
 
+#: Interpolation weight on the bigram term (Jelinek–Mercer smoothing);
+#: an exact binary fraction so both engines compute the identical
+#: double: p(w2|w1) = 3/4 · c(w1,w2)/c(w1·) + 1/4 · c(w2)/N.
+BIGRAM_LAMBDA = 0.75
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average surprisal under an interpolated BIGRAM LM
+    trained on the corpus itself — the stronger sibling of
+    `unigram_logprob` (CCNet's actual filter is a 5-gram KenLM; the
+    Jelinek–Mercer-interpolated bigram is the same signal family with
+    the same distributed shape).  Repetitive/templated docs score low
+    (their transitions dominate the LM), incoherent token soup scores
+    high even when its unigrams are common — which is exactly what the
+    unigram filter cannot see.
+
+    Shape: bigrams come from array slicing (`arrays_zip` of the
+    token array offset by one) — per-row, no window, no shuffle to
+    form pairs; then everything is token-keyed group-bys and equi-joins
+    against Zipf-bounded LM tables (bigram counts, context totals,
+    unigram backoff, one broadcast scalar).  Surprisal is quantized to
+    integer milli-nats before the per-doc BIGINT sum — order-
+    independent and cross-engine stable, same contract as
+    `unigram_logprob`."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+    )
+    tok = toks.select("doc_id", F.explode("t").alias("token"))
+    uni = tok.groupBy("token").agg(F.count("*").alias("cf"))
+    total = uni.agg(F.sum("cf").alias("n_corpus"))
+    npairs = F.greatest(F.size("t") - 1, F.lit(0))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), F.lit(1), npairs).alias("w1"),
+                F.slice(F.col("t"), F.lit(2), npairs).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    bg_lm = doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    ctx = bg_lm.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    scored = (
+        bg_lm.join(ctx, "w1")
+        .join(uni.withColumnRenamed("token", "w2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    F.lit(BIGRAM_LAMBDA) * F.col("cb") / F.col("c1")
+                    + F.lit(1 - BIGRAM_LAMBDA)
+                    * F.col("cf")
+                    / F.col("n_corpus")
+                )
+                * LM_SURPRISAL_QUANT
+            )
+            .cast("bigint")
+            .alias("mnats"),
+        )
+    )
+    return (
+        doc_bg.join(scored, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("mnats")).cast("bigint").alias("sum_mnats"),
+            (
+                F.sum(F.col("tf") * F.col("mnats"))
+                / (F.sum("tf") * LM_SURPRISAL_QUANT)
+            ).alias("avg_surprisal_nats"),
+        )
+    )
+
+
+_BIGRAM_LM_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+uni AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY 1),
+tot AS (SELECT SUM(cf) AS n_corpus FROM uni),
+bg AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM toks, UNNEST(range(1, len(t))) AS r(i)
+),
+doc_bg AS (
+    SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
+),
+bg_lm AS (SELECT w1, w2, SUM(tf) AS cb FROM doc_bg GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(cb) AS c1 FROM bg_lm GROUP BY 1),
+scored AS (
+    SELECT bg_lm.w1, bg_lm.w2,
+           CAST(ROUND(-LN({BIGRAM_LAMBDA} * CAST(cb AS DOUBLE) / c1
+                          + {1 - BIGRAM_LAMBDA} * CAST(cf AS DOUBLE) / n_corpus)
+                      * {LM_SURPRISAL_QUANT}) AS BIGINT) AS mnats
+    FROM bg_lm
+    JOIN ctx USING (w1)
+    JOIN uni ON uni.token = bg_lm.w2
+    CROSS JOIN tot
+)
+SELECT doc_bg.doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(tf * mnats) AS BIGINT) AS sum_mnats,
+       CAST(SUM(tf * mnats) AS DOUBLE)
+           / (SUM(tf) * {LM_SURPRISAL_QUANT}) AS avg_surprisal_nats
+FROM doc_bg
+JOIN scored ON scored.w1 = doc_bg.w1 AND scored.w2 = doc_bg.w2
+GROUP BY doc_bg.doc_id
+"""
+
+
 #: GPT-2-style pretokenizer split, minus the `\s+(?!\S)` lookahead term
 #: (RE2 — the DuckDB oracle engine — has no lookahead; dropping it only
 #: merges trailing-space runs, and BOTH engines run this same pattern).
@@ -1189,6 +1307,7 @@ QUERIES = {
     "text_fingerprint": fingerprint,
     "text_source_lang_rollup": source_lang_rollup,
     "text_unigram_logprob": unigram_logprob,
+    "text_bigram_logprob": bigram_logprob,
 }
 
 ORACLES = {
@@ -1205,4 +1324,5 @@ ORACLES = {
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_source_lang_rollup": _SOURCE_LANG_SQL,
     "text_unigram_logprob": _UNIGRAM_LM_SQL,
+    "text_bigram_logprob": _BIGRAM_LM_SQL,
 }

@@ -383,6 +383,62 @@ def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     )
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+) -> int:
+    """`OPTIMIZE ZORDER BY (x, y)` as a commit: rewrite the live
+    snapshot range-partitioned along the 2-D Morton curve
+    (`functions.scale.zorder_key_2d`) and record both columns' zone
+    maps, so `scan_pruned_multi` box predicates skip most files in
+    EITHER dimension afterwards.  Like `compact`, pre-optimize versions
+    stay time-travelable (old files leave the log, not the disk).
+    Aborts instead of committing if a concurrent writer changed the
+    table between read and claim — Delta resolves OPTIMIZE conflicts
+    the same way (the rewrite must exactly replace what it read)."""
+    from ..functions import scale
+
+    snap = read_snapshot(spark, path)
+    live = sorted(_live_files(path))
+    lo_hi = snap.agg(
+        F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
+    ).first()
+    z = scale.zorder_key_2d(
+        F.col(x_col), F.col(y_col), lo_hi[0], lo_hi[1], lo_hi[2], lo_hi[3]
+    )
+    clustered = (
+        snap.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    files, zones = _land_data_files(clustered, path, [x_col, y_col])
+
+    def check_unchanged(commit: dict) -> None:
+        if sorted(_live_files(path)) != live:
+            for f in files:  # clean our orphaned rewrite before raising
+                os.unlink(os.path.join(_data_dir(path), f))
+            raise RuntimeError(
+                "optimize_zorder lost a race with a concurrent commit; "
+                "re-run against the new snapshot"
+            )
+
+    return _claim_version(
+        path,
+        {
+            "mode": "optimize",
+            "add": files,
+            "remove": live,
+            "schema": snap.schema.json(),
+            "zones": zones,
+        },
+        refresh=check_unchanged,
+    )
+
+
 def vacuum(path: str, retain_versions: int = 0, min_age_s: float = 600.0) -> int:
     """Delete data files unreferenced by the retained history: keep
     everything reachable from the last `retain_versions`+1 snapshots

@@ -951,3 +951,88 @@ def test_minilake_delete_where_prunes_files(spark, tmp_path):
 
     # predicate outside every zone: provable no-op, version unchanged
     assert minilake.delete_where(spark, path, "id", 5000, 6000) == v
+
+
+def test_minilake_optimize_zorder_upgrades_layout_in_place(spark, tmp_path):
+    """OPTIMIZE ZORDER BY as a commit: a table appended linear-by-x
+    (y unclustered → zero y-skipping) is rewritten along the Morton
+    curve in place — the same 2-D box scan then skips most files, rows
+    are unchanged, and the pre-optimize version stays travelable."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    path = str(tmp_path / "zopt_lake")
+    files = 16
+    base = (
+        spark.range(4000)
+        .withColumn("x", (F.col("id") % 1000).cast("double"))
+        .withColumn("y", F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double"))
+        .drop("id")
+    )
+    minilake.commit_append(
+        base.repartitionByRange(files, "x"), path, stat_cols=["x", "y"]
+    )
+    ybox = {"y": (0.0, 99.0)}
+    lin_df, lin_read, lin_skip = minilake.scan_pruned_multi(spark, path, ybox)
+    assert lin_skip == 0  # linear-by-x: every file spans all of y
+
+    v = minilake.optimize_zorder(spark, path, "x", "y", n_files=files)
+    z_df, z_read, z_skip = minilake.scan_pruned_multi(spark, path, ybox)
+    assert z_skip > files // 2
+    assert sorted(map(tuple, lin_df.collect())) == sorted(
+        map(tuple, z_df.collect())
+    )
+    assert minilake.read_snapshot(spark, path).count() == 4000
+    assert minilake.read_snapshot(spark, path, version=v - 1).count() == 4000
+    assert z_read + z_skip == files
+    assert minilake.history(path)[-1]["mode"] == "optimize"
+
+    # 2-D box on the z layout touches a minority of files
+    _, box_read, _ = minilake.scan_pruned_multi(
+        spark, path, {"x": (0.0, 99.0), "y": (0.0, 99.0)}
+    )
+    assert box_read <= files // 2
+
+
+def test_minilake_optimize_zorder_aborts_on_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A commit that lands between OPTIMIZE's snapshot read and its
+    claim must abort the rewrite (never silently drop the concurrent
+    rows) and leave no orphan files in the log."""
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    path = str(tmp_path / "zrace_lake")
+    df = spark.range(100).withColumn("x", F.col("id").cast("double")).withColumn(
+        "y", F.col("id").cast("double")
+    ).drop("id")
+    minilake.commit_append(df, path, stat_cols=["x", "y"])
+
+    orig_land = minilake._land_data_files
+    raced = {"done": False}
+
+    def land_then_race(frame, p, stat_cols=None):
+        out = orig_land(frame, p, stat_cols)
+        if not raced["done"]:
+            raced["done"] = True
+            # a concurrent writer appends AFTER optimize read its snapshot
+            monkeypatch.setattr(minilake, "_land_data_files", orig_land)
+            minilake.commit_append(
+                spark.range(5).withColumn("x", F.lit(0.0)).withColumn(
+                    "y", F.lit(0.0)
+                ).drop("id"),
+                p,
+            )
+        return out
+
+    monkeypatch.setattr(minilake, "_land_data_files", land_then_race)
+    with pytest.raises(RuntimeError, match="lost a race"):
+        minilake.optimize_zorder(spark, path, "x", "y", n_files=4)
+    # the concurrent append survived; optimize committed nothing
+    assert minilake.read_snapshot(spark, path).count() == 105
+    assert [h["mode"] for h in minilake.history(path)] == ["append", "append"]
