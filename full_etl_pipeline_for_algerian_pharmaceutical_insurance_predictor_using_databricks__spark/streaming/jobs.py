@@ -488,6 +488,47 @@ def click_purchase_left_outer_stream(stream: DataFrame) -> DataFrame:
     ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
 
 
+def click_purchase_full_outer_stream(stream: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the outer
+    matrix (inner/left/full): matched pairs emit immediately; an
+    unmatched PURCHASE emits null click columns and an unmatched CLICK
+    emits null purchase columns, each only once the watermark passes
+    its side's join window (no future partner can still arrive).  Both
+    sides therefore need both the watermark AND a time bound — the
+    same state-eviction clock as the left twin, now driving outer-row
+    emission in both directions.  Both user keys are projected because
+    either side may be the null one."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "click_ts >= purchase_ts - INTERVAL 30 MINUTES AND "
+            "click_ts < purchase_ts"
+        ),
+        "full_outer",
+    ).select(
+        "purchase_id", "click_id", "p_user", "c_user", "purchase_ts", "click_ts"
+    )
+
+
 def click_purchase_interval_join_batch(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

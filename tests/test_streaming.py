@@ -1662,3 +1662,62 @@ def test_minilake_datasource_batch_and_stream(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, result.collect())) == sorted(
         map(tuple, minilake.read_snapshot(spark, path).collect())
     )
+
+
+def test_stream_stream_full_outer_join_matches_batch(spark, sf_dir):
+    """Full-outer twin: matched rows equal the batch inner join; null
+    rows in EACH direction are genuine batch-unmatched rows of that
+    side; and every unmatched row old enough for the final watermark
+    to have passed its join window must have emitted (the boundary-row
+    engine latency of the left-outer test applies per side)."""
+    stream = jobs.events_stream(spark, sf_dir)
+    result = jobs.run_available_now(
+        jobs.click_purchase_full_outer_stream(stream), "t_ssfull",
+        output_mode="append",
+    ).collect()
+    got_matched = {
+        (r.purchase_id, r.click_id)
+        for r in result
+        if r.click_id is not None and r.purchase_id is not None
+    }
+    got_null_clicks = {r.purchase_id for r in result if r.click_id is None}
+    got_null_purch = {r.click_id for r in result if r.purchase_id is None}
+
+    inner = {
+        (r.purchase_id, r.click_id)
+        for r in jobs.click_purchase_interval_join_batch(spark, sf_dir).collect()
+    }
+    assert got_matched == inner
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = {
+        r.event_id: r.t
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.unix_timestamp("ts").alias("t"))
+        .collect()
+    }
+    clicks = {
+        r.event_id: r.t
+        for r in ev.filter(F.col("event_type") == "click")
+        .select("event_id", F.unix_timestamp("ts").alias("t"))
+        .collect()
+    }
+    unmatched_p = set(purchases) - {pid for pid, _ in inner}
+    unmatched_c = set(clicks) - {cid for _, cid in inner}
+    assert got_null_clicks <= unmatched_p
+    assert got_null_purch <= unmatched_c
+    # emitted at most once per side
+    null_p_rows = [r.purchase_id for r in result if r.click_id is None]
+    null_c_rows = [r.click_id for r in result if r.purchase_id is None]
+    assert len(null_p_rows) == len(set(null_p_rows))
+    assert len(null_c_rows) == len(set(null_c_rows))
+
+    max_t = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    horizon = max_t - 10 * 60 - 30 * 60  # watermark delay + join window
+    mature_p = {p for p in unmatched_p if purchases[p] < horizon}
+    mature_c = {c for c in unmatched_c if clicks[c] < horizon}
+    missing_p = mature_p - got_null_clicks
+    missing_c = mature_c - got_null_purch
+    assert len(missing_p) <= 1, f"unflushed purchases: {sorted(missing_p)}"
+    assert len(missing_c) <= 1, f"unflushed clicks: {sorted(missing_c)}"
+    assert got_null_clicks and got_null_purch
