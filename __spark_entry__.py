@@ -130,6 +130,7 @@ _TAIL_ORDER = [
     "agg_column_profile",
     "text_unigram_logprob",
     "text_bigram_logprob",
+    "text_source_divergence",
     "text_ngram_topk",
     "events_funnel",
     "tpch_q10_returned_items",

@@ -782,6 +782,110 @@ GROUP BY doc_bg.doc_id
 """
 
 
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift vs the whole corpus: each source's
+    token distribution scored by cross-entropy against the corpus
+    unigram LM, its own self-entropy, and their difference — the exact
+    KL divergence KL(source ‖ corpus) in nats.  This is the mixture
+    audit that answers "which source is the outlier" before reweighting
+    (PSI drift in constraints.py answers the same question for numeric
+    columns; this is its token-distribution sibling).
+
+    Shape: one (source, token) count table feeds BOTH distributions
+    (corpus counts = a second agg over it), joined back token-keyed —
+    Zipf-bounded sides, no window, no collect.  Surprisals are
+    quantized to milli-nats and summed as BIGINT per the module's
+    cross-engine contract; KL is computed from the SAME quantized
+    terms, so kl_nats ≥ 0 up to quantization (±0.001 nat/token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("tf"))
+    totals = st.groupBy("source").agg(F.sum("tf").alias("n_src"))
+    corpus = st.groupBy("token").agg(F.sum("tf").alias("cf"))
+    n_corpus = corpus.agg(F.sum("cf").alias("n_corpus"))
+    q_corpus = corpus.crossJoin(F.broadcast(n_corpus)).select(
+        "token",
+        F.round(
+            -F.log(F.col("cf") / F.col("n_corpus")) * LM_SURPRISAL_QUANT
+        )
+        .cast("bigint")
+        .alias("corpus_mnats"),
+    )
+    scored = (
+        st.join(totals, "source")
+        .join(q_corpus, "token")
+        .select(
+            "source",
+            "tf",
+            "corpus_mnats",
+            F.round(
+                -F.log(F.col("tf") / F.col("n_src")) * LM_SURPRISAL_QUANT
+            )
+            .cast("bigint")
+            .alias("src_mnats"),
+        )
+    )
+    quant = F.lit(float(LM_SURPRISAL_QUANT))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.col("corpus_mnats")) / (F.sum("tf") * quant)).alias(
+                "cross_entropy_nats"
+            ),
+            (F.sum(F.col("tf") * F.col("src_mnats")) / (F.sum("tf") * quant)).alias(
+                "self_entropy_nats"
+            ),
+            (
+                F.sum(F.col("tf") * (F.col("corpus_mnats") - F.col("src_mnats")))
+                / (F.sum("tf") * quant)
+            ).alias("kl_nats"),
+        )
+        .orderBy(F.desc("kl_nats"))
+    )
+
+
+_SOURCE_DIVERGENCE_SQL = rf"""
+WITH tok AS (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+),
+st AS (SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+totals AS (SELECT source, SUM(tf) AS n_src FROM st GROUP BY 1),
+corpus AS (SELECT token, SUM(tf) AS cf FROM st GROUP BY 1),
+nc AS (SELECT SUM(cf) AS n_corpus FROM corpus),
+qc AS (
+    SELECT token,
+           CAST(ROUND(-LN(CAST(cf AS DOUBLE) / n_corpus)
+                      * {LM_SURPRISAL_QUANT}) AS BIGINT) AS corpus_mnats
+    FROM corpus CROSS JOIN nc
+),
+scored AS (
+    SELECT st.source, st.tf, qc.corpus_mnats,
+           CAST(ROUND(-LN(CAST(st.tf AS DOUBLE) / totals.n_src)
+                      * {LM_SURPRISAL_QUANT}) AS BIGINT) AS src_mnats
+    FROM st
+    JOIN totals USING (source)
+    JOIN qc USING (token)
+)
+SELECT source,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf * corpus_mnats) AS DOUBLE)
+           / (SUM(tf) * {LM_SURPRISAL_QUANT}.0) AS cross_entropy_nats,
+       CAST(SUM(tf * src_mnats) AS DOUBLE)
+           / (SUM(tf) * {LM_SURPRISAL_QUANT}.0) AS self_entropy_nats,
+       CAST(SUM(tf * (corpus_mnats - src_mnats)) AS DOUBLE)
+           / (SUM(tf) * {LM_SURPRISAL_QUANT}.0) AS kl_nats
+FROM scored
+GROUP BY source
+ORDER BY kl_nats DESC
+"""
+
+
 #: GPT-2-style pretokenizer split, minus the `\s+(?!\S)` lookahead term
 #: (RE2 — the DuckDB oracle engine — has no lookahead; dropping it only
 #: merges trailing-space runs, and BOTH engines run this same pattern).
@@ -1308,6 +1412,7 @@ QUERIES = {
     "text_source_lang_rollup": source_lang_rollup,
     "text_unigram_logprob": unigram_logprob,
     "text_bigram_logprob": bigram_logprob,
+    "text_source_divergence": source_divergence,
 }
 
 ORACLES = {
@@ -1325,4 +1430,5 @@ ORACLES = {
     "text_source_lang_rollup": _SOURCE_LANG_SQL,
     "text_unigram_logprob": _UNIGRAM_LM_SQL,
     "text_bigram_logprob": _BIGRAM_LM_SQL,
+    "text_source_divergence": _SOURCE_DIVERGENCE_SQL,
 }
