@@ -26,6 +26,7 @@ def main() -> None:
         relational,
         retrieval,
         similarity,
+        text,
     )
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.functions import (
         scale,
@@ -101,6 +102,23 @@ def main() -> None:
          "models, JVM BLAS) → the label join — no IDF or KMeans FIT stage "
          "anywhere (the build entry pays those once; serving measured 1.2 s "
          "vs 2.8 s warmed build at sf0.1)."),
+        ("text_bigram_logprob", text.bigram_logprob,
+         "Interpolated bigram LM scoring: bigram pairs come from ARRAY "
+         "SLICING of the per-doc token array (arrays_zip of the array "
+         "offset by one) — a narrow projection, no window and no shuffle "
+         "to form pairs. Everything after is token-keyed hash aggregates "
+         "with map-side partials and equi-joins against Zipf-bounded LM "
+         "tables (bigram counts, context totals, unigram backoff) plus "
+         "one broadcast 1-row corpus total; surprisal is quantized to "
+         "BIGINT milli-nats so the per-doc sums are order-independent "
+         "across partial aggregation."),
+        ("text_source_divergence", text.source_divergence,
+         "KL(source ‖ corpus): ONE (source, token) count table feeds both "
+         "distributions (corpus counts are a second agg over it), joined "
+         "back token-keyed; the final per-source aggregate is a handful "
+         "of rows. Same quantized-surprisal contract as the LM entries, "
+         "so the divergence is computed from identical integer terms on "
+         "both engines."),
         ("tpch_q10_returned_items", relational.q10_returned_items,
          "Q10 shape: the quarter date window and returnflag filter both "
          "push into their parquet scans (PushedFilters) before any join, "
