@@ -69,6 +69,8 @@ HEADLINE = [
     "text_ngram_topk",
     "text_topic_clusters",
     "text_topic_serving",
+    "text_bigram_logprob",
+    "text_source_divergence",
     "events_funnel",
     # r6 seventh batch: corpus-wide heavy-hitter mining + broadcast
     # anti-join scrub

@@ -516,9 +516,35 @@ def commit_stream_batch(df: DataFrame, path: str, batch_id: int) -> int | None:
     )
 
 
-def lake_stream_sink(stream: DataFrame, path: str, timeout_s: int = 300) -> None:
+def maybe_compact(
+    spark: SparkSession, path: str, max_live_files: int = 64, target_mb: int = 128
+) -> int | None:
+    """Auto-OPTIMIZE rule for streaming sinks: compact only when the
+    live-file count exceeds `max_live_files`.  A micro-batch sink
+    commits a few small files per trigger — the classic small-file
+    accumulation that multiplies scan tasks at 100 TB — so the
+    maintenance pass must be threshold-driven, not per-batch (a
+    per-batch rewrite would be O(table) work per trigger).  Returns the
+    compaction commit version, or None when under threshold.  The
+    decision reads only the log (checkpoint + tail), no data files."""
+    if len(_live_files(path)) <= max_live_files:
+        return None
+    return compact(spark, path, target_mb=target_mb)
+
+
+def lake_stream_sink(
+    stream: DataFrame,
+    path: str,
+    timeout_s: int = 300,
+    auto_compact_files: int | None = None,
+) -> None:
     """Drain a stream into a minilake table with Trigger.AvailableNow,
-    one exactly-once commit per micro-batch."""
+    one exactly-once commit per micro-batch.  With
+    `auto_compact_files=N`, runs the `maybe_compact` maintenance rule
+    once after the drain (post-drain, not per-batch: compaction
+    commits are rewrites, and interleaving them with appends would
+    force incremental `read_changes` consumers to re-sync
+    mid-stream)."""
     import tempfile
 
     # one log scan per DRAIN, not per batch: the seen-set is consulted
@@ -542,6 +568,8 @@ def lake_stream_sink(stream: DataFrame, path: str, timeout_s: int = 300) -> None
         if not q.awaitTermination(timeout_s):
             q.stop()
             raise TimeoutError(f"lake stream sink drain exceeded {timeout_s}s")
+    if auto_compact_files is not None:
+        maybe_compact(stream.sparkSession, path, max_live_files=auto_compact_files)
 
 
 def read_changes(

@@ -1721,3 +1721,51 @@ def test_stream_stream_full_outer_join_matches_batch(spark, sf_dir):
     assert len(missing_p) <= 1, f"unflushed purchases: {sorted(missing_p)}"
     assert len(missing_c) <= 1, f"unflushed clicks: {sorted(missing_c)}"
     assert got_null_clicks and got_null_purch
+
+
+def test_lake_stream_sink_auto_compacts_small_files(spark, sf_dir, tmp_path):
+    """The small-file maintenance rule: a per-file-trigger drain leaves
+    one small commit per micro-batch; with `auto_compact_files` the
+    post-drain pass compacts once the live-file count crosses the
+    threshold — row parity holds, the pre-compaction version stays
+    travelable, and a second drain with nothing new is a no-op that
+    compacts nothing."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        load_table,
+        minilake,
+    )
+
+    path = str(tmp_path / "lake_autocompact")
+    docs = load_table(spark, sf_dir, "documents")
+    # three seed appends of disjoint id-offset slices: small files that
+    # never collide with the streamed rows
+    offset = docs.withColumn("doc_id", -F.col("doc_id") - 1)
+    for i in range(3):
+        minilake.commit_append(
+            offset.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(1),
+            path,
+        )
+    assert len(minilake._live_files(path)) >= 3
+
+    stream = jobs.documents_stream(spark, sf_dir, max_files_per_trigger=1)
+    minilake.lake_stream_sink(stream, path, auto_compact_files=2)
+    total = docs.count() * 2
+    hist = minilake.history(path)
+    assert hist[-1]["mode"] == "compact"
+    live_after = minilake._live_files(path)
+    assert len(live_after) <= 2
+    assert minilake.read_snapshot(spark, path).count() == total
+    # pre-compaction snapshot still readable
+    pre = hist[-1]["version"] - 1
+    assert minilake.read_snapshot(spark, path, version=pre).count() == total
+
+    # under threshold: maybe_compact declines
+    assert minilake.maybe_compact(spark, path, max_live_files=64) is None
+
+    # re-drain the same source: every batch id already committed → no
+    # appends, still under threshold → no second compaction
+    n_versions = len(minilake.versions(path))
+    stream2 = jobs.documents_stream(spark, sf_dir, max_files_per_trigger=1)
+    minilake.lake_stream_sink(stream2, path, auto_compact_files=2)
+    assert len(minilake.versions(path)) == n_versions
+    assert minilake.read_snapshot(spark, path).count() == total
