@@ -474,6 +474,47 @@ def vacuum(path: str, retain_versions: int = 0, min_age_s: float = 600.0) -> int
     return deleted
 
 
+def restore(path: str, version: int) -> int:
+    """`RESTORE TABLE TO VERSION` as a pure log operation: commit
+    add/remove deltas that make the live set exactly the target
+    version's — ZERO data movement (the files are immutable and still
+    on disk), which is what makes undoing an accidental overwrite or
+    bad merge instant at any table size.  The restore is itself a
+    versioned commit, so it is auditable and travelable like any
+    other.  Zone maps ride along for re-added files.  Raises if any
+    needed file was already vacuumed (Delta's RESTORE documents the
+    same failure mode) — time travel trades against retention, and a
+    restore cannot resurrect destroyed bytes."""
+    vs = versions(path)
+    if version not in vs:
+        raise ValueError(f"version {version} not in log (have {vs})")
+    target = _fold_state(path, as_of=version)["live"]
+    missing = sorted(
+        f
+        for f in target
+        if not os.path.exists(os.path.join(_data_dir(path), f))
+    )
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to version {version}: {len(missing)} data "
+            f"file(s) already vacuumed (first: {missing[0]})"
+        )
+    cur = _live_files(path)
+    schema = _read_commit(path, version)["schema"]
+    add = sorted(set(target) - cur)
+    return _claim_version(
+        path,
+        {
+            "mode": "restore",
+            "add": add,
+            "remove": sorted(cur - set(target)),
+            "schema": schema,
+            "zones": {f: target[f] for f in add if target[f] is not None},
+            "restored_version": version,
+        },
+    )
+
+
 def history(path: str) -> list[dict]:
     """The audit log: (version, mode, files added/removed) per commit."""
     return [

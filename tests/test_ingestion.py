@@ -1036,3 +1036,43 @@ def test_minilake_optimize_zorder_aborts_on_concurrent_commit(
     # the concurrent append survived; optimize committed nothing
     assert minilake.read_snapshot(spark, path).count() == 105
     assert [h["mode"] for h in minilake.history(path)] == ["append", "append"]
+
+
+def test_minilake_restore_is_log_only_and_vacuum_aware(spark, tmp_path):
+    """RESTORE TO VERSION: undoing an overwrite is a pure log commit —
+    no data files are written or moved, zone maps ride along for the
+    re-added files, the restore itself is travelable, and restoring to
+    a vacuumed version fails loudly instead of returning a torn
+    table."""
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    path = str(tmp_path / "restore_lake")
+    df1 = spark.range(100).withColumn("v", F.col("id") * 2)
+    df2 = spark.range(100, 140).withColumn("v", F.col("id") * 2)
+    minilake.commit_append(df1, path, stat_cols=["id"])
+    v1 = minilake.commit_append(df2, path, stat_cols=["id"])
+    minilake.commit_overwrite(spark.range(3).withColumn("v", F.lit(0).cast("long")), path)
+    assert minilake.read_snapshot(spark, path).count() == 3
+
+    n_data_files = len(os.listdir(os.path.join(path, "data")))
+    rv = minilake.restore(path, v1)
+    # log-only: not a single data file added
+    assert len(os.listdir(os.path.join(path, "data"))) == n_data_files
+    assert minilake.read_snapshot(spark, path).count() == 140
+    assert minilake.history(path)[-1]["mode"] == "restore"
+    # zone maps survive the round trip: pruned scan still skips
+    _, n_read, n_skipped = minilake.scan_pruned(spark, path, "id", 0, 10)
+    assert n_skipped > 0
+    # the overwrite state is itself still travelable
+    assert minilake.read_snapshot(spark, path, version=rv - 1).count() == 3
+
+    # vacuum away history, then try to restore to it: loud failure
+    minilake.commit_overwrite(spark.range(5).withColumn("v", F.lit(1).cast("long")), path)
+    minilake.vacuum(path, retain_versions=0, min_age_s=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        minilake.restore(path, v1)
+    assert minilake.read_snapshot(spark, path).count() == 5
