@@ -362,25 +362,34 @@ def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     """Log-driven OPTIMIZE: rewrite the live snapshot into
     ceil(bytes/target) files and commit (add=new, remove=old).  Unlike
     `sinks.compact_files`, every PRE-compaction version stays readable
-    afterwards — old files leave the log, not the disk."""
+    afterwards — old files leave the log, not the disk.  Zone maps are
+    RE-RECORDED for every column any live file had stats on, so data
+    skipping survives compaction (clustering quality is whatever the
+    rewrite's partitioning gives — re-run `optimize_zorder` to restore
+    a Morton layout; the zones honestly describe the new files either
+    way)."""
     import math
 
-    live = sorted(_live_files(path))
+    zones_before = _live_zones(path)
+    live = sorted(zones_before)
+    stat_cols = sorted(
+        {c for z in zones_before.values() if z for c in z["stats"]}
+    )
     total = sum(
         os.path.getsize(os.path.join(_data_dir(path), f)) for f in live
     )
     n_files = max(1, math.ceil(total / (target_mb << 20)))
     snap = read_snapshot(spark, path)
-    files = _land_data_files(snap.repartition(n_files), path)
-    return _claim_version(
-        path,
-        {
-            "mode": "compact",
-            "add": files,
-            "remove": live,
-            "schema": snap.schema.json(),
-        },
-    )
+    commit = {"mode": "compact", "remove": live, "schema": snap.schema.json()}
+    if stat_cols:
+        files, zones = _land_data_files(
+            snap.repartition(n_files), path, stat_cols
+        )
+        commit["zones"] = zones
+    else:
+        files = _land_data_files(snap.repartition(n_files), path)
+    commit["add"] = files
+    return _claim_version(path, commit)
 
 
 def optimize_zorder(
@@ -406,6 +415,10 @@ def optimize_zorder(
     lo_hi = snap.agg(
         F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
     ).first()
+    if any(b is None for b in lo_hi):
+        # empty snapshot or an all-NULL zorder column: nothing to
+        # cluster — clean no-op, not a TypeError inside the key expr
+        return versions(path)[-1]
     z = scale.zorder_key_2d(
         F.col(x_col), F.col(y_col), lo_hi[0], lo_hi[1], lo_hi[2], lo_hi[3]
     )
@@ -773,7 +786,16 @@ def delete_where(
     than committed as zero-row parquet.  The deletion is itself a
     versioned commit: the pre-delete snapshot stays time-travelable
     until vacuum (the GDPR caveat Delta documents — a compliance scrub
-    must be followed by VACUUM to destroy the bytes)."""
+    must be followed by VACUUM to destroy the bytes).
+
+    Semantics and safety (post-review hardening): rows whose `col` is
+    NULL are KEPT — `WHERE col BETWEEN lo AND hi` is three-valued-NULL
+    for them, so SQL DELETE does not touch them; a rewrite whose row
+    count equals the touched files' (zone-known) row count is a
+    zero-match NO-OP that commits nothing (coarse zones overlap more
+    than the data does); and the commit aborts if a concurrent
+    rewrite removed any touched file between zone read and claim —
+    committing stale removes would resurrect or duplicate rows."""
     vs = versions(path)
     if not vs:
         raise FileNotFoundError(f"no minilake log under {path}")
@@ -790,19 +812,45 @@ def delete_where(
     old_rows = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(_data_dir(path), f) for f in sorted(touched)]
     )
-    kept = old_rows.filter(~F.col(col).between(lo, hi))
+    kept = old_rows.filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
     files, new_zones = _land_data_files(kept, path, [col])
     nonempty = [f for f in files if new_zones.get(f, {}).get("rows", 0) > 0]
-    for f in files:
-        if f not in nonempty:  # drop zero-row rewrites before commit
+
+    def _discard(names: list[str]) -> None:
+        for f in names:
             os.unlink(os.path.join(_data_dir(path), f))
+
+    _discard([f for f in files if f not in nonempty])
+    # zero-match no-op: if every touched file's row count is known from
+    # its zone map and the rewrite kept them all, commit nothing
+    old_counts = [zones[f]["rows"] if zones[f] else None for f in touched]
+    if None not in old_counts and sum(
+        new_zones[f]["rows"] for f in nonempty
+    ) == sum(old_counts):
+        _discard(nonempty)
+        return vs[-1]
+    # the table schema is the TABLE's contract (latest commit), not the
+    # merged schema of only the touched files — evolved columns that
+    # live solely in untouched files must survive the delete
+    table_schema = _read_commit(path, vs[-1])["schema"]
+
+    def check_touched_live(commit: dict) -> None:
+        if not set(touched) <= _live_files(path):
+            _discard(nonempty)
+            raise RuntimeError(
+                "delete_where lost a race with a concurrent rewrite "
+                "(compact/overwrite/optimize); re-run against the new "
+                "snapshot"
+            )
+
     return _claim_version(
         path,
         {
             "mode": "delete",
             "add": nonempty,
             "remove": sorted(touched),
-            "schema": old_rows.schema.json(),
+            "schema": table_schema,
             "zones": {f: new_zones[f] for f in nonempty},
         },
+        refresh=check_touched_live,
     )

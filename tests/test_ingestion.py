@@ -1076,3 +1076,110 @@ def test_minilake_restore_is_log_only_and_vacuum_aware(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         minilake.restore(path, v1)
     assert minilake.read_snapshot(spark, path).count() == 5
+
+
+def test_minilake_delete_where_keeps_nulls_and_nops_zero_match(spark, tmp_path):
+    """Review hardening: NULL-keyed rows survive a range delete (SQL
+    three-valued logic), a delete whose zones overlap but whose rows
+    don't is a commit-free no-op, the table schema keeps evolved
+    columns that live only in untouched files, and compact re-records
+    zone maps / empty optimize is a no-op."""
+    from pyspark.sql import types as T
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    path = str(tmp_path / "del2_lake")
+    base = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (None, "null-row"), (500, "far")],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("s", T.StringType()),
+            ]
+        ),
+    )
+    minilake.commit_append(base.coalesce(1), path, stat_cols=["k"])
+
+    # zones overlap [12, 18] (file k-range [10, 500]) but no row matches:
+    # commit-free no-op
+    v = minilake.delete_where(spark, path, "k", 12, 18)
+    assert v == minilake.versions(path)[-1]
+    assert len(minilake.versions(path)) == 1
+    assert minilake.read_snapshot(spark, path).count() == 4
+
+    # NULL row survives a real delete over its file
+    minilake.delete_where(spark, path, "k", 0, 99)
+    rows = {r.s for r in minilake.read_snapshot(spark, path).collect()}
+    assert rows == {"null-row", "far"}
+
+    # schema keeps evolved column living only in an untouched file
+    evolved = spark.createDataFrame(
+        [(1000, "w-row", 7.5)], "k long, s string, w double"
+    )
+    minilake.commit_append(evolved, path, allow_evolution=True, stat_cols=["k"])
+    minilake.delete_where(spark, path, "k", 400, 600)  # touches only 'far'
+    import json as _json
+
+    latest = minilake._read_commit(path, minilake.versions(path)[-1])
+    assert latest["mode"] == "delete"
+    names = [f["name"] for f in _json.loads(latest["schema"])["fields"]]
+    assert "w" in names
+    snap = minilake.read_snapshot(spark, path)
+    assert {r.s for r in snap.collect()} == {"null-row", "w-row"}
+
+    # compact re-records zone maps for previously-stat'd columns
+    minilake.compact(spark, path, target_mb=512)
+    zones = minilake._live_zones(path)
+    assert zones and all(z and "k" in z["stats"] for z in zones.values())
+    assert {r.s for r in minilake.read_snapshot(spark, path).collect()} == {
+        "null-row", "w-row",
+    }
+
+    # delete everything, then optimize on the empty snapshot: clean no-op
+    minilake.delete_where(spark, path, "k", -10**9, 10**9)
+    # (NULL row survives even the full-range delete, per SQL semantics)
+    assert {r.s for r in minilake.read_snapshot(spark, path).collect()} == {
+        "null-row",
+    }
+    minilake.commit_overwrite(
+        minilake.read_snapshot(spark, path).limit(0), path
+    )
+    v_now = minilake.versions(path)[-1]
+    assert minilake.optimize_zorder(spark, path, "k", "k") == v_now
+
+
+def test_minilake_delete_where_aborts_on_concurrent_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """A compact that lands between delete_where's zone read and its
+    claim must abort the delete — committing the stale remove list
+    would resurrect deleted rows out of the compacted file."""
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    path = str(tmp_path / "del_race_lake")
+    base = spark.range(100).withColumn("v", F.col("id") % 5)
+    minilake.commit_append(base.repartition(4), path, stat_cols=["id"])
+
+    orig_land = minilake._land_data_files
+    raced = {"done": False}
+
+    def land_then_race(frame, p, stat_cols=None):
+        out = orig_land(frame, p, stat_cols)
+        if not raced["done"]:
+            raced["done"] = True
+            monkeypatch.setattr(minilake, "_land_data_files", orig_land)
+            minilake.compact(spark, p, target_mb=512)
+        return out
+
+    monkeypatch.setattr(minilake, "_land_data_files", land_then_race)
+    with pytest.raises(RuntimeError, match="lost a race"):
+        minilake.delete_where(spark, path, "id", 0, 49)
+    # nothing deleted, compacted table intact
+    assert minilake.read_snapshot(spark, path).count() == 100
+    assert minilake.history(path)[-1]["mode"] == "compact"
