@@ -1183,3 +1183,38 @@ def test_minilake_delete_where_aborts_on_concurrent_rewrite(
     # nothing deleted, compacted table intact
     assert minilake.read_snapshot(spark, path).count() == 100
     assert minilake.history(path)[-1]["mode"] == "compact"
+
+
+def test_minilake_concurrent_appends_all_win_distinct_versions(spark, tmp_path):
+    """Optimistic concurrency under real contention: 8 threads append
+    simultaneously; every commit must land under a DISTINCT version
+    (the os.link put-if-absent makes losers retry at the next number)
+    and the final snapshot holds every writer's rows exactly once."""
+    import concurrent.futures
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    path = str(tmp_path / "conc_lake")
+    n_writers = 8
+
+    def append(i: int) -> int:
+        df = spark.range(i * 100, (i + 1) * 100).withColumn(
+            "writer", F.lit(i)
+        )
+        return minilake.commit_append(df.coalesce(1), path)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=n_writers) as ex:
+        got = sorted(ex.map(append, range(n_writers)))
+
+    assert got == list(range(n_writers))  # distinct, gapless versions
+    assert minilake.versions(path) == got
+    snap = minilake.read_snapshot(spark, path)
+    assert snap.count() == n_writers * 100
+    assert snap.select("id").distinct().count() == n_writers * 100
+    per_writer = {
+        r.writer: r.n
+        for r in snap.groupBy("writer").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_writer == {i: 100 for i in range(n_writers)}
