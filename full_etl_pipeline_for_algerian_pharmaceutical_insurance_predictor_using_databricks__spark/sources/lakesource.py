@@ -34,8 +34,10 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -141,6 +143,101 @@ class MinilakeStreamReader(SimpleDataSourceStreamReader):
         )
 
 
+@dataclass
+class _LakeWriteMessage(WriterCommitMessage):
+    file_name: str | None
+    n_rows: int
+
+
+class MinilakeWriter(DataSourceWriter):
+    """Batch write path (`df.write.format("minilake").save(path)`):
+    the Python DataSource two-phase commit mapped onto the commit log.
+
+    - `write` (executors): each task lands its rows as ONE immutable
+      uuid-named parquet file under data/ — invisible until committed —
+      and reports the name.  A retried/speculative task lands a second
+      file, but only the message Spark keeps is committed; losers stay
+      unreferenced and are reclaimed by `vacuum` (the same crashed-
+      writer story as the native API).
+    - `commit` (driver): ONE log commit claiming all reported files —
+      append enforces the table's schema contract; overwrite re-derives
+      its remove list at claim time like `minilake.commit_overwrite`.
+    - `abort`: unlinks every landed file.
+
+    Rows cross the Python boundary tuple-at-a-time, so this is the
+    general/slow path by design — bulk writes stay on the JVM via
+    `minilake.commit_append`.  The format exists so the table is
+    READ/WRITE complete as a `format("minilake")` citizen."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("minilake requires a path")
+        self.path = path
+        self.schema = schema
+        self.overwrite = overwrite
+        if not overwrite:
+            minilake._check_schema_struct(schema, path, allow_evolution=False)
+
+    def write(self, rows) -> _LakeWriteMessage:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        tuples = [tuple(r) for r in rows]
+        if not tuples:
+            return _LakeWriteMessage(file_name=None, n_rows=0)
+        arrow_schema = to_arrow_schema(self.schema)
+        cols = list(zip(*tuples))
+        table = pa.Table.from_arrays(
+            [
+                pa.array(col, type=arrow_schema.field(i).type)
+                for i, col in enumerate(cols)
+            ],
+            schema=arrow_schema,
+        )
+        ddir = minilake._data_dir(self.path)
+        os.makedirs(ddir, exist_ok=True)
+        name = f"{_uuid.uuid4().hex}.parquet"
+        pq.write_table(table, os.path.join(ddir, name))
+        return _LakeWriteMessage(file_name=name, n_rows=len(tuples))
+
+    def commit(self, messages) -> None:
+        files = sorted(m.file_name for m in messages if m and m.file_name)
+        if self.overwrite:
+            minilake._claim_version(
+                self.path,
+                {
+                    "mode": "overwrite",
+                    "add": files,
+                    "remove": sorted(minilake._live_files(self.path)),
+                    "schema": self.schema.json(),
+                },
+                refresh=lambda c: c.__setitem__(
+                    "remove", sorted(minilake._live_files(self.path))
+                ),
+            )
+        else:
+            minilake._claim_version(
+                self.path,
+                {
+                    "mode": "append",
+                    "add": files,
+                    "remove": [],
+                    "schema": self.schema.json(),
+                },
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.file_name:
+                full = os.path.join(minilake._data_dir(self.path), m.file_name)
+                if os.path.exists(full):
+                    os.unlink(full)
+
+
 class MinilakeDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -154,6 +251,9 @@ class MinilakeDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> MinilakeStreamReader:
         return MinilakeStreamReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> MinilakeWriter:
+        return MinilakeWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

@@ -259,6 +259,12 @@ def _check_schema(df: DataFrame, path: str, allow_evolution: bool) -> None:
     NEW columns are rejected unless `allow_evolution` (they read back
     as NULL for old files via parquet schema merging).  Type changes
     are never silent."""
+    _check_schema_struct(df.schema, path, allow_evolution)
+
+
+def _check_schema_struct(schema, path: str, allow_evolution: bool) -> None:
+    """`_check_schema` on a bare StructType (the DataSource writer has
+    no DataFrame, only the schema Spark hands it)."""
     vs = versions(path)
     if not vs:
         return
@@ -266,7 +272,7 @@ def _check_schema(df: DataFrame, path: str, allow_evolution: bool) -> None:
 
     current = StructType.fromJson(json.loads(_read_commit(path, vs[-1])["schema"]))
     cur_types = {f.name: f.dataType for f in current.fields}
-    new_types = {f.name: f.dataType for f in df.schema.fields}
+    new_types = {f.name: f.dataType for f in schema.fields}
     missing = sorted(set(cur_types) - set(new_types))
     if missing:
         raise ValueError(f"append is missing table columns {missing}")

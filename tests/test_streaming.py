@@ -1769,3 +1769,52 @@ def test_lake_stream_sink_auto_compacts_small_files(spark, sf_dir, tmp_path):
     minilake.lake_stream_sink(stream2, path, auto_compact_files=2)
     assert len(minilake.versions(path)) == n_versions
     assert minilake.read_snapshot(spark, path).count() == total
+
+
+def test_minilake_datasource_writer_two_phase_commit(spark, sf_dir, tmp_path):
+    """format('minilake') WRITE path: each append/overwrite is exactly
+    ONE log commit regardless of task count, append enforces the table
+    schema contract, overwrite removes the prior live set, and the
+    written table reads back identically through both the native
+    snapshot and the DataSource reader."""
+    import pyspark.sql.utils  # noqa: F401
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        lakesource,
+        minilake,
+    )
+
+    lakesource.register(spark)
+    path = str(tmp_path / "lake_write")
+    df1 = spark.range(60).withColumn("v", F.col("id") * 3)
+    df1.repartition(4).write.format("minilake").mode("append").save(path)
+    assert [h["mode"] for h in minilake.history(path)] == ["append"]
+    assert minilake.read_snapshot(spark, path).count() == 60
+
+    df2 = spark.range(60, 75).withColumn("v", F.col("id") * 3)
+    df2.write.format("minilake").mode("append").save(path)
+    hist = minilake.history(path)
+    assert [h["mode"] for h in hist] == ["append", "append"]
+    snap = minilake.read_snapshot(spark, path)
+    assert snap.count() == 75
+
+    # read-back parity through the DataSource reader
+    got = spark.read.format("minilake").load(path)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, snap.collect())
+    )
+
+    # schema contract: a type-changed append fails loudly
+    bad = spark.range(3).withColumn("v", F.lit("oops"))
+    with pytest.raises(Exception, match="column types|missing table"):
+        bad.write.format("minilake").mode("append").save(path)
+    assert len(minilake.versions(path)) == 2
+
+    # overwrite: one commit, prior live set removed, still travelable
+    df3 = spark.range(5).withColumn("v", F.lit(0).cast("long"))
+    df3.write.format("minilake").mode("overwrite").save(path)
+    hist = minilake.history(path)
+    assert hist[-1]["mode"] == "overwrite" and hist[-1]["n_removed"] > 0
+    assert minilake.read_snapshot(spark, path).count() == 5
+    assert minilake.read_snapshot(spark, path, version=1).count() == 75
