@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -238,6 +239,57 @@ class MinilakeWriter(DataSourceWriter):
                     os.unlink(full)
 
 
+class MinilakeStreamWriter(DataSourceStreamWriter):
+    """Streaming sink (`df.writeStream.format("minilake")`): the
+    engine's at-least-once micro-batch replay becomes exactly-once by
+    keying each log commit with its batch id — the identical
+    `txnAppId`/`txnVersion` contract `minilake.commit_stream_batch`
+    implements for foreachBatch, now as a native sink.  A replayed
+    batch (restart from checkpoint, speculative re-commit) finds its
+    id already in the log and commits NOTHING; its landed files stay
+    unreferenced for vacuum.  Tasks land immutable uuid parquet files
+    exactly like the batch writer; `commit` claims one version per
+    micro-batch."""
+
+    def __init__(self, options: dict, schema: StructType):
+        path = options.get("path")
+        if not path:
+            raise ValueError("minilake requires a path")
+        self.path = path
+        self.schema = schema
+
+    # task-side: identical landing protocol to the batch writer
+    write = MinilakeWriter.write
+
+    def commit(self, messages, batchId: int) -> None:
+        files = sorted(m.file_name for m in messages if m and m.file_name)
+        if batchId in minilake.committed_stream_batches(self.path):
+            # replay of a committed batch: exactly-once no-op; the
+            # just-landed duplicates stay unreferenced (vacuum fodder)
+            for f in files:
+                full = os.path.join(minilake._data_dir(self.path), f)
+                if os.path.exists(full):
+                    os.unlink(full)
+            return
+        minilake._claim_version(
+            self.path,
+            {
+                "mode": "append",
+                "add": files,
+                "remove": [],
+                "schema": self.schema.json(),
+                "stream_batch_id": int(batchId),
+            },
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.file_name:
+                full = os.path.join(minilake._data_dir(self.path), m.file_name)
+                if os.path.exists(full):
+                    os.unlink(full)
+
+
 class MinilakeDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -254,6 +306,9 @@ class MinilakeDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> MinilakeWriter:
         return MinilakeWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> MinilakeStreamWriter:
+        return MinilakeStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:

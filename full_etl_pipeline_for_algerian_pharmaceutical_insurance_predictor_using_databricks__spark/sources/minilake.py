@@ -547,6 +547,36 @@ def history(path: str) -> list[dict]:
     ]
 
 
+def describe_detail(path: str) -> dict:
+    """`DESCRIBE DETAIL`: the table's operational vitals from the log
+    alone (no data scan) — live file count and bytes, current/
+    checkpoint versions, commit and stream-batch counts, schema.  The
+    numbers an operator needs to decide whether to compact, vacuum, or
+    re-cluster."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no minilake log under {path}")
+    state = _fold_state(path)
+    ddir = _data_dir(path)
+    size = sum(
+        os.path.getsize(os.path.join(ddir, f))
+        for f in state["live"]
+        if os.path.exists(os.path.join(ddir, f))
+    )
+    ck = _latest_checkpoint(path)
+    return {
+        "format": "minilake",
+        "location": path,
+        "version": vs[-1],
+        "num_commits": len(vs),
+        "checkpoint_version": None if ck is None else ck["version"],
+        "num_live_files": len(state["live"]),
+        "size_bytes": size,
+        "num_stream_batches": len(state["stream_batch_ids"]),
+        "schema": _read_commit(path, vs[-1])["schema"],
+    }
+
+
 def committed_stream_batches(path: str) -> set[int]:
     """Stream batch ids already committed to this table (for the
     exactly-once foreachBatch rule below).  Checkpoints carry the

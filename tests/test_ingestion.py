@@ -1218,3 +1218,25 @@ def test_minilake_concurrent_appends_all_win_distinct_versions(spark, tmp_path):
         for r in snap.groupBy("writer").agg(F.count("*").alias("n")).collect()
     }
     assert per_writer == {i: 100 for i in range(n_writers)}
+
+
+def test_minilake_describe_detail_reads_only_the_log(spark, tmp_path, monkeypatch):
+    """DESCRIBE DETAIL reports the operational vitals (files, bytes,
+    versions, checkpoint, stream batches) from the log alone."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    monkeypatch.setattr(minilake, "_CHECKPOINT_EVERY", 2)
+    path = str(tmp_path / "detail_lake")
+    df = spark.range(50).withColumn("v", F.col("id"))
+    minilake.commit_append(df.coalesce(1), path)
+    minilake.commit_append(df.coalesce(1), path)
+    minilake.commit_stream_batch(df.coalesce(1), path, 0)
+
+    d = minilake.describe_detail(path)
+    assert d["version"] == 2 and d["num_commits"] == 3
+    assert d["checkpoint_version"] == 2
+    assert d["num_live_files"] == 3 and d["size_bytes"] > 0
+    assert d["num_stream_batches"] == 1
+    assert '"v"' in d["schema"]

@@ -1818,3 +1818,57 @@ def test_minilake_datasource_writer_two_phase_commit(spark, sf_dir, tmp_path):
     assert hist[-1]["mode"] == "overwrite" and hist[-1]["n_removed"] > 0
     assert minilake.read_snapshot(spark, path).count() == 5
     assert minilake.read_snapshot(spark, path, version=1).count() == 75
+
+
+def test_minilake_native_stream_sink_exactly_once(spark, sf_dir, tmp_path):
+    """writeStream.format('minilake'): one batch-id-keyed commit per
+    micro-batch; a re-drain from a FRESH checkpoint replays the same
+    batch ids and commits nothing (exactly-once over at-least-once
+    replay), leaving no duplicate rows and no new versions."""
+    import tempfile
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        lakesource,
+        load_table,
+        minilake,
+    )
+
+    lakesource.register(spark)
+    path = str(tmp_path / "native_sink_lake")
+
+    def drain():
+        stream = jobs.documents_stream(spark, sf_dir, max_files_per_trigger=1)
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                stream.writeStream.format("minilake")
+                .option("path", path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+
+    drain()
+    docs = load_table(spark, sf_dir, "documents")
+    assert minilake.read_snapshot(spark, path).count() == docs.count()
+    vs = minilake.versions(path)
+    batches = minilake.committed_stream_batches(path)
+    assert len(vs) == len(batches) >= 1
+    assert all(
+        "stream_batch_id" in minilake._read_commit(path, v) for v in vs
+    )
+
+    # fresh checkpoint → the engine replays batch ids from 0; every
+    # commit must no-op
+    drain()
+    assert minilake.versions(path) == vs
+    assert minilake.read_snapshot(spark, path).count() == docs.count()
+    # replayed batches left no visible duplicates
+    assert (
+        minilake.read_snapshot(spark, path)
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
