@@ -1872,3 +1872,67 @@ def test_minilake_native_stream_sink_exactly_once(spark, sf_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def test_lake_stream_source_feeds_dedup_registry(spark, sf_dir, tmp_path):
+    """Composition across the format's quadrants: documents land in a
+    minilake table (with injected exact duplicates), the table's
+    STREAM SOURCE feeds the incremental dedup registry, and the
+    registry's keeper set equals the batch exact-dedup answer over the
+    lake snapshot.  New appends then flow through as deltas — the
+    registry adds only genuinely new fingerprints."""
+    import glob
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        lakesource,
+        load_table,
+        minilake,
+    )
+
+    lakesource.register(spark)
+    lake = str(tmp_path / "corpus_lake")
+    reg = str(tmp_path / "registry")
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    dupes = docs.limit(20).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    minilake.commit_append(docs, lake)
+    minilake.commit_append(dupes, lake)
+
+    stream = spark.readStream.format("minilake").load(lake)
+    jobs.corpus_registry_ingest(stream, reg)
+
+    registry = spark.read.parquet(*glob.glob(f"{reg}/batch=*"))
+    snap = minilake.read_snapshot(spark, lake)
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+    )
+    want = (
+        snap.select(F.md5(normalized).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    assert registry.count() == want.count()
+    joined = registry.join(
+        want, registry.fingerprint == want.fp, "inner"
+    ).filter(F.col("keeper_doc_id") == F.col("keeper"))
+    assert joined.count() == want.count()
+
+    # a new append flows through as a delta: one genuinely-new doc +
+    # one more duplicate → exactly one new registry fingerprint
+    n_before = registry.count()
+    fresh = spark.createDataFrame(
+        [(20_000_001, "an entirely new never seen document body")],
+        "doc_id long, text string",
+    )
+    more_dupes = docs.limit(1).withColumn(
+        "doc_id", F.col("doc_id") + 30_000_000
+    )
+    minilake.commit_append(fresh.unionByName(more_dupes), lake)
+    stream2 = spark.readStream.format("minilake").load(lake)
+    jobs.corpus_registry_ingest(stream2, reg)
+    after = spark.read.parquet(*glob.glob(f"{reg}/batch=*"))
+    assert after.count() == n_before + 1
