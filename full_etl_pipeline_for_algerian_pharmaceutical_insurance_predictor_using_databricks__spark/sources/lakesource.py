@@ -257,6 +257,9 @@ class MinilakeStreamWriter(DataSourceStreamWriter):
             raise ValueError("minilake requires a path")
         self.path = path
         self.schema = schema
+        # same write-time schema contract as the batch append path: a
+        # stream must never silently commit a divergent schema
+        minilake._check_schema_struct(schema, path, allow_evolution=False)
 
     # task-side: identical landing protocol to the batch writer
     write = MinilakeWriter.write

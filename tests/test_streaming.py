@@ -1936,3 +1936,43 @@ def test_lake_stream_source_feeds_dedup_registry(spark, sf_dir, tmp_path):
     jobs.corpus_registry_ingest(stream2, reg)
     after = spark.read.parquet(*glob.glob(f"{reg}/batch=*"))
     assert after.count() == n_before + 1
+
+
+def test_minilake_native_stream_sink_enforces_schema(spark, sf_dir, tmp_path):
+    """The native stream sink applies the same write-time schema
+    contract as batch append: a type-changed stream fails at start
+    instead of committing a divergent schema."""
+    import tempfile
+
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        lakesource,
+        minilake,
+    )
+
+    lakesource.register(spark)
+    path = str(tmp_path / "schema_sink_lake")
+    minilake.commit_append(
+        spark.range(5).withColumn("text", F.lit("x")).withColumnRenamed(
+            "id", "doc_id"
+        ),
+        path,
+    )
+    bad_stream = (
+        jobs.documents_stream(spark, sf_dir, max_files_per_trigger=1)
+        .select("doc_id", F.col("lang").alias("text"))
+        .withColumn("text", F.col("text").cast("binary"))
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        with pytest.raises(Exception, match="column types"):
+            q = (
+                bad_stream.writeStream.format("minilake")
+                .option("path", path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.processAllAvailable()
+    assert len(minilake.versions(path)) == 1  # nothing committed
