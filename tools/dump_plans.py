@@ -450,7 +450,7 @@ def main() -> None:
         "|---|---|---|---|---|\n"
         "| dedup_minhash_lsh | 6.2 s / 6.3 M pairs | 12.0 s / 25.0 M | 23.1 s / 61.6 M | 3.7× at DEFAULT heap (the 48g requirement is gone) |\n"
         "| dedup_clusters (CC) | 6.3 s | 10.2 s | 16.3 s | **2.6×** (was 6.4× in r6) |\n"
-        "\n(Bench-tier note: at the sf0.1 fixture the entry reads 4.6–6.0 s\n"
+        "\n(Bench-tier note: at the sf0.1 fixture the entry reads 4.6–6.5 s\n"
         "across days/runs — the restricted loop adds a final singleton join\n"
         "whose fixed cost shows at fixture scale; the ×10 curve is what the\n"
         "change buys.  The pre-change sweep measured the SAME ~6.0 s ×1 cell,\n"
