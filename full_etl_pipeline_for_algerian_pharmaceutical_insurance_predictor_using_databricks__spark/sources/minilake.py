@@ -547,6 +547,66 @@ def history(path: str) -> list[dict]:
     ]
 
 
+#: Bump when the roundtrip entry's pipeline changes shape — the entry
+#: reuses a previously-built lake only if its version tag matches.
+_ROUNDTRIP_LAKE_VERSION = 1
+#: doc_id range deleted by the roundtrip pipeline.
+_ROUNDTRIP_DELETE_LO, _ROUNDTRIP_DELETE_HI = 100, 199
+
+
+def documents_roundtrip_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate entry that value-checks the TABLE FORMAT itself:
+    ingest `documents` into a minilake table (append with zone maps),
+    run a file-pruned DELETE of a doc_id range and an OPTIMIZE
+    compaction, then aggregate the surviving snapshot per source.  The
+    DuckDB oracle states the same aggregate over the raw parquet with
+    the deleted range excluded — so a value match proves the commit
+    log, zone-map pruning, delete rewrite, and compaction preserved
+    content EXACTLY (not just row counts).  The lake is built once per
+    (version, sf) under spark-warehouse and reused — the same
+    build-once pattern as the ANN/topic serving indexes."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir("minilake", _ROUNDTRIP_LAKE_VERSION, sf_dir),
+        "docs_lake",
+    )
+    if not versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        commit_append(
+            docs.repartitionByRange(8, "doc_id"), path, stat_cols=["doc_id"]
+        )
+        delete_where(
+            spark, path, "doc_id", _ROUNDTRIP_DELETE_LO, _ROUNDTRIP_DELETE_HI
+        )
+        compact(spark, path, target_mb=128)
+    snap = read_snapshot(spark, path)
+    return (
+        snap.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUNDTRIP_ORACLE_SQL = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+WHERE doc_id NOT BETWEEN {_ROUNDTRIP_DELETE_LO} AND {_ROUNDTRIP_DELETE_HI}
+GROUP BY source
+ORDER BY source
+"""
+
+
 def describe_detail(path: str) -> dict:
     """`DESCRIBE DETAIL`: the table's operational vitals from the log
     alone (no data scan) — live file count and bytes, current/
