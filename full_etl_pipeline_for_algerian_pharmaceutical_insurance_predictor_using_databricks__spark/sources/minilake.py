@@ -246,9 +246,16 @@ def _claim_version(path: str, commit: dict, refresh=None) -> int:
         if _CHECKPOINT_EVERY > 0 and version > 0 and version % _CHECKPOINT_EVERY == 0:
             # Delta's rule: fold a checkpoint every N commits.  Best
             # effort — a failure here never fails the commit itself.
+            # Broad except by design (post-review): once os.link has
+            # succeeded the commit IS durable, and letting any
+            # checkpoint exception (not just OSError — e.g. a malformed
+            # zone entry surfacing as TypeError during the fold)
+            # propagate would make the caller see its successful write
+            # as failed; an at-least-once retry would then double-apply
+            # a non-idempotent append.
             try:
                 write_checkpoint(path, version)
-            except OSError:
+            except Exception:
                 pass
         return version
 
@@ -373,7 +380,17 @@ def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     skipping survives compaction (clustering quality is whatever the
     rewrite's partitioning gives — re-run `optimize_zorder` to restore
     a Morton layout; the zones honestly describe the new files either
-    way)."""
+    way).
+
+    Conflict rule (post-review hardening): the commit ABORTS — and
+    unlinks its orphaned rewrite — if any file it is REMOVING is no
+    longer live at claim time: a compaction must exactly replace what
+    it read, and committing a stale remove list after a racing
+    delete/overwrite would resurrect deleted rows AND leave the racer's
+    rewritten file live (duplicates).  A concurrent APPEND is benign
+    and allowed through — the appended file is not in the remove list,
+    so it survives the compaction commit untouched (Delta resolves
+    OPTIMIZE-vs-append the same way: disjoint file sets commute)."""
     import math
 
     zones_before = _live_zones(path)
@@ -395,7 +412,18 @@ def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     else:
         files = _land_data_files(snap.repartition(n_files), path)
     commit["add"] = files
-    return _claim_version(path, commit)
+
+    def check_removed_live(_c: dict) -> None:
+        if not set(live) <= _live_files(path):
+            for f in files:  # clean our orphaned rewrite before raising
+                os.unlink(os.path.join(_data_dir(path), f))
+            raise RuntimeError(
+                "compact lost a race with a concurrent rewrite "
+                "(delete/overwrite/optimize); re-run against the new "
+                "snapshot"
+            )
+
+    return _claim_version(path, commit, refresh=check_removed_live)
 
 
 def optimize_zorder(
@@ -466,17 +494,35 @@ def vacuum(path: str, retain_versions: int = 0, min_age_s: float = 600.0) -> int
     data but not yet claimed its commit (Delta's VACUUM has the same
     modification-time retention window, default 7 days).  Returns the
     number of files deleted — the step that trades time travel for
-    space."""
+    space.
+
+    The referenced set is built in ONE forward fold of the log (from
+    the newest checkpoint ≤ the oldest retained version), accumulating
+    each retained version's live set as it passes — O(tail) commit
+    reads total, not O(retained × tail) as a per-version
+    `_live_files(as_of=v)` loop would cost on a long-lived table with
+    deep retention."""
     import time as _time
 
     vs = versions(path)
     if not vs:
         return 0
     keep_from = vs[max(0, len(vs) - 1 - retain_versions)]
-    referenced: set[str] = set()
+    ck = _latest_checkpoint(path, as_of=keep_from)
+    if ck is not None:
+        live: set[str] = set(ck["live"])
+        start_after = ck["version"]
+    else:
+        live, start_after = set(), -1
+    referenced: set[str] = set(live) if start_after >= keep_from else set()
     for v in vs:
+        if v <= start_after:
+            continue
+        c = _read_commit(path, v)
+        live.difference_update(c["remove"])
+        live.update(c["add"])
         if v >= keep_from:
-            referenced |= _live_files(path, as_of=v)
+            referenced |= live
     deleted = 0
     ddir = _data_dir(path)
     now = _time.time()
@@ -518,19 +564,31 @@ def restore(path: str, version: int) -> int:
             f"cannot restore to version {version}: {len(missing)} data "
             f"file(s) already vacuumed (first: {missing[0]})"
         )
-    cur = _live_files(path)
     schema = _read_commit(path, version)["schema"]
-    add = sorted(set(target) - cur)
+
+    def refresh_deltas(commit: dict) -> None:
+        # the add/remove deltas depend on the CURRENT live set, so they
+        # must be recomputed at claim time (like commit_overwrite): a
+        # concurrent append between fold and claim would otherwise be
+        # neither removed nor accounted for, silently breaking the
+        # "live set becomes exactly the target version's" postcondition
+        cur = _live_files(path)
+        add = sorted(set(target) - cur)
+        commit["add"] = add
+        commit["remove"] = sorted(cur - set(target))
+        commit["zones"] = {f: target[f] for f in add if target[f] is not None}
+
     return _claim_version(
         path,
         {
             "mode": "restore",
-            "add": add,
-            "remove": sorted(cur - set(target)),
+            "add": [],
+            "remove": [],
             "schema": schema,
-            "zones": {f: target[f] for f in add if target[f] is not None},
+            "zones": {},
             "restored_version": version,
         },
+        refresh=refresh_deltas,
     )
 
 
@@ -650,9 +708,14 @@ def commit_stream_batch(df: DataFrame, path: str, batch_id: int) -> int | None:
     transactional-writer rule that makes foreachBatch exactly-once on
     top of Structured Streaming's at-least-once replay (the same
     `txnAppId`/`txnVersion` contract Delta's streaming sink uses).
-    Returns the claimed version, or None for a skipped duplicate."""
+    Returns the claimed version, or None for a skipped duplicate.
+    The write-time schema contract is enforced exactly like the batch
+    append path (and the native DataSource stream sink) — a foreachBatch
+    stream must never silently commit a divergent schema into the
+    log."""
     if batch_id in committed_stream_batches(path):
         return None
+    _check_schema(df, path, allow_evolution=False)
     files = _land_data_files(df, path)
     return _claim_version(
         path,
@@ -687,6 +750,7 @@ def lake_stream_sink(
     path: str,
     timeout_s: int = 300,
     auto_compact_files: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Drain a stream into a minilake table with Trigger.AvailableNow,
     one exactly-once commit per micro-batch.  With
@@ -694,8 +758,25 @@ def lake_stream_sink(
     once after the drain (post-drain, not per-batch: compaction
     commits are rewrites, and interleaving them with appends would
     force incremental `read_changes` consumers to re-sync
-    mid-stream)."""
-    import tempfile
+    mid-stream).
+
+    The streaming checkpoint PERSISTS next to the table (default
+    `<path>/_stream_checkpoint`) — load-bearing for exactly-once
+    across drains (post-review hardening).  The idempotence key in the
+    log is the bare micro-batch id, i.e. Delta's (txnAppId, txnVersion)
+    with the app fixed to this table's query — which is only sound if
+    batch ids are MONOTONIC across drains.  A throwaway checkpoint per
+    drain restarts ids at 0, so a replayed id whose batch now contains
+    NEW rows (the source grew, or trigger chunking changed) would be
+    silently skipped: data loss.  With the persisted checkpoint the
+    engine itself replays only genuinely-unfinished batches and assigns
+    fresh ids to new data, and the log-side id check stays what it is
+    meant to be — crash-replay dedup, not cross-drain change detection.
+    Consequence (as with any Delta streaming sink): one checkpoint ↔
+    one source query; pass `checkpoint_dir` to drain a DIFFERENT source
+    into the same table."""
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(path, "_stream_checkpoint")
 
     # one log scan per DRAIN, not per batch: the seen-set is consulted
     # and extended in memory (commit_stream_batch would re-read every
@@ -708,16 +789,15 @@ def lake_stream_sink(
         if commit_stream_batch(batch_df, path, batch_id) is not None:
             seen.add(batch_id)
 
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            stream.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(timeout_s):
-            q.stop()
-            raise TimeoutError(f"lake stream sink drain exceeded {timeout_s}s")
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"lake stream sink drain exceeded {timeout_s}s")
     if auto_compact_files is not None:
         maybe_compact(stream.sparkSession, path, max_live_files=auto_compact_files)
 
@@ -858,6 +938,21 @@ def merge_upsert_lake(
     else:
         merged = updates
     files, new_zones = _land_data_files(merged, path, [key])
+
+    def check_touched_live(_c: dict) -> None:
+        # same claim-time revalidation as delete_where: if a concurrent
+        # rewrite (compact/overwrite/optimize/delete) removed any file
+        # this merge read and is about to remove, committing the stale
+        # list would resurrect or duplicate rows — abort and clean up
+        if not set(touched) <= _live_files(path):
+            for f in files:
+                os.unlink(os.path.join(_data_dir(path), f))
+            raise RuntimeError(
+                "merge_upsert_lake lost a race with a concurrent rewrite "
+                "(compact/overwrite/optimize); re-run against the new "
+                "snapshot"
+            )
+
     return _claim_version(
         path,
         {
@@ -867,6 +962,7 @@ def merge_upsert_lake(
             "schema": merged.schema.json(),
             "zones": new_zones,
         },
+        refresh=check_touched_live,
     )
 
 

@@ -784,8 +784,15 @@ def corpus_registry_ingest_gated(
         # has its sketch (a partition without one could hold any
         # fingerprint) — a registry seeded by the ungated ingest, or a
         # half-written sketch dir, falls back to the exact anti-join
-        # for all rows rather than silently skipping dedup.
-        sketches_complete = len(prior_sketches) == len(prior)
+        # for all rows rather than silently skipping dedup.  Compared
+        # as batch=<id> SETS, not list lengths (post-review): an orphan
+        # sketch plus a sketch-less partition cancel out in a count but
+        # not in a subset check.  An orphan sketch alone is harmless —
+        # it can only add false-positive candidates, which the exact
+        # anti-join verifies anyway — so superset is allowed.
+        prior_ids = {p.rsplit("batch=", 1)[1] for p in prior}
+        sketch_ids = {p.rsplit("batch=", 1)[1] for p in prior_sketches}
+        sketches_complete = prior_ids <= sketch_ids
         if prior and sketches_complete:
             sketch = F.broadcast(
                 spark.read.parquet(*prior_sketches).select("bucket").distinct()
