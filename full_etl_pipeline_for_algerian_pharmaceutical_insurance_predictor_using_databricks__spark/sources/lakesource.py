@@ -177,6 +177,16 @@ class MinilakeWriter(DataSourceWriter):
         self.path = path
         self.schema = schema
         self.overwrite = overwrite
+        if minilake.partition_spec(path):
+            # partitioned landing needs the JVM writer's partitionBy
+            # split; the tuple-at-a-time Python write path would commit
+            # files without partition tuples, silently disabling the
+            # partition-pruning tier — refuse instead
+            raise ValueError(
+                "format('minilake') cannot write to a PARTITIONED table; "
+                "use the native API (minilake.commit_append/"
+                "commit_overwrite) which lands partition tuples"
+            )
         if not overwrite:
             minilake._check_schema_struct(schema, path, allow_evolution=False)
 
@@ -257,6 +267,12 @@ class MinilakeStreamWriter(DataSourceStreamWriter):
             raise ValueError("minilake requires a path")
         self.path = path
         self.schema = schema
+        if minilake.partition_spec(path):
+            raise ValueError(
+                "format('minilake') streaming sink cannot write to a "
+                "PARTITIONED table; use minilake.lake_stream_sink "
+                "(foreachBatch over the native API)"
+            )
         # same write-time schema contract as the batch append path: a
         # stream must never silently commit a divergent schema
         minilake._check_schema_struct(schema, path, allow_evolution=False)

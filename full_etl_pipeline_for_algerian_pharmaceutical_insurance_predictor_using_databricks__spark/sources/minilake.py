@@ -186,28 +186,87 @@ def _file_zone_map(local_path: str, stat_cols: list[str]) -> dict:
     return out
 
 
+#: Hive's sentinel for a NULL partition value in directory names.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+#: Prefix for the throwaway partitionBy copies (see _land_data_files).
+_PART_PREFIX = "__mlpart_"
+
+
+def _parse_partition_value(raw: str, dtype_simple: str):
+    """Hive-escaped directory value → JSON-able Python value, typed by
+    the column's Spark simpleString type (integers/floats parse; all
+    else stays the unescaped string, which sorts/compares correctly for
+    string partition columns)."""
+    from urllib.parse import unquote
+
+    if raw == _HIVE_NULL:
+        return None
+    s = unquote(raw)
+    if dtype_simple in ("tinyint", "smallint", "int", "bigint"):
+        return int(s)
+    if dtype_simple in ("float", "double"):
+        return float(s)
+    return s
+
+
 def _land_data_files(
-    df: DataFrame, path: str, stat_cols: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    stat_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> list[str] | tuple[list[str], dict]:
     """Write the frame's partitions as immutable uuid-named parquet
     files under data/; returns their table-relative names (plus their
-    zone maps when `stat_cols` is given).  The files are INVISIBLE to
-    readers until a commit references them."""
+    zone maps when `stat_cols` or `partition_by` is given).  The files
+    are INVISIBLE to readers until a commit references them.
+
+    Partitioned landing takes the ICEBERG layout, not Hive's: the
+    partition columns STAY in the data files (each file remains a
+    complete, self-describing row set — snapshot reads and the Python
+    DataSource need no directory-name reconstruction), and the commit
+    log records each file's partition TUPLE (`zones[f]["partition"]`)
+    as exact metadata for partition pruning — the first skipping tier,
+    checked before zone maps, with no footer reads.  Mechanically the
+    frame is written `partitionBy` on throwaway COPIES of the partition
+    columns so Spark splits files one-partition-value-per-file while
+    the originals stay in the data."""
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    if partition_by:
+        dtypes = dict(df.dtypes)
+        dfw = df
+        for c in partition_by:
+            dfw = dfw.withColumn(_PART_PREFIX + c, F.col(c))
+        dfw.write.mode("overwrite").partitionBy(
+            *[_PART_PREFIX + c for c in partition_by]
+        ).parquet(staging)
+    else:
+        df.write.mode("overwrite").parquet(staging)
     os.makedirs(_data_dir(path), exist_ok=True)
     names = []
     zones: dict = {}
-    for f in sorted(os.listdir(staging)):
-        if f.endswith(".parquet"):
+    for dirpath, _dirs, files in sorted(os.walk(staging)):
+        # partition tuple from the hive dirs between staging and file
+        pvals: dict = {}
+        rel = os.path.relpath(dirpath, staging)
+        if partition_by and rel != ".":
+            for seg in rel.split(os.sep):
+                k, _, v = seg.partition("=")
+                if k.startswith(_PART_PREFIX):
+                    col = k[len(_PART_PREFIX):]
+                    pvals[col] = _parse_partition_value(v, dtypes[col])
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
             name = f"{uuid.uuid4().hex}.parquet"
             dest = os.path.join(_data_dir(path), name)
-            os.rename(os.path.join(staging, f), dest)
+            os.rename(os.path.join(dirpath, f), dest)
             names.append(name)
-            if stat_cols:
-                zones[name] = _file_zone_map(dest, stat_cols)
+            if stat_cols or partition_by:
+                zones[name] = _file_zone_map(dest, stat_cols or [])
+                if partition_by:
+                    zones[name]["partition"] = pvals
     shutil.rmtree(staging)
-    if stat_cols:
+    if stat_cols or partition_by:
         return names, zones
     return names
 
@@ -299,23 +358,49 @@ def _check_schema_struct(schema, path: str, allow_evolution: bool) -> None:
         )
 
 
+def partition_spec(path: str) -> list[str]:
+    """The table's partition columns (empty for an unpartitioned
+    table) — a table-level property carried on every commit and fixed
+    at table creation (an overwrite may change it, like Delta's
+    `overwriteSchema`)."""
+    vs = versions(path)
+    if not vs:
+        return []
+    return list(_read_commit(path, vs[-1]).get("partition_by", []))
+
+
 def commit_append(
     df: DataFrame,
     path: str,
     allow_evolution: bool = False,
     stat_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """APPEND commit: enforce (or evolve) the schema, land the files,
     claim the next version.  `stat_cols` records per-file zone maps in
-    the commit for data skipping and file-pruned MERGE."""
+    the commit for data skipping and file-pruned MERGE; `partition_by`
+    (first commit only — later appends inherit and must not contradict
+    the table's spec) records per-file partition tuples for the
+    cheaper pruning tier (see `_land_data_files`)."""
     _check_schema(df, path, allow_evolution)
+    spec = partition_spec(path)
+    if versions(path):
+        if partition_by is not None and list(partition_by) != spec:
+            raise ValueError(
+                f"append partition_by {list(partition_by)} contradicts the "
+                f"table's partition spec {spec}"
+            )
+        partition_by = spec
+    else:
+        partition_by = list(partition_by or [])
     commit = {
         "mode": "append",
         "remove": [],
         "schema": df.schema.json(),
+        "partition_by": partition_by,
     }
-    if stat_cols:
-        files, zones = _land_data_files(df, path, stat_cols)
+    if stat_cols or partition_by:
+        files, zones = _land_data_files(df, path, stat_cols, partition_by)
         commit["zones"] = zones
     else:
         files = _land_data_files(df, path)
@@ -323,19 +408,30 @@ def commit_append(
     return _claim_version(path, commit)
 
 
-def commit_overwrite(df: DataFrame, path: str) -> int:
+def commit_overwrite(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> int:
     """OVERWRITE commit: the new snapshot is exactly the landed files;
     every currently-live file is listed in `remove`.  Removed files
-    stay on disk (time travel) until `vacuum`."""
-    files = _land_data_files(df, path)
+    stay on disk (time travel) until `vacuum`.  The partition spec is
+    kept unless `partition_by` explicitly changes it (an overwrite is
+    the one commit allowed to re-partition the table)."""
+    spec = list(partition_by) if partition_by is not None else partition_spec(path)
+    commit = {
+        "mode": "overwrite",
+        "remove": sorted(_live_files(path)),
+        "schema": df.schema.json(),
+        "partition_by": spec,
+    }
+    if spec:
+        files, zones = _land_data_files(df, path, None, spec)
+        commit["zones"] = zones
+    else:
+        files = _land_data_files(df, path)
+    commit["add"] = files
     return _claim_version(
         path,
-        {
-            "mode": "overwrite",
-            "add": files,
-            "remove": sorted(_live_files(path)),
-            "schema": df.schema.json(),
-        },
+        commit,
         # re-derive the remove list at claim time: a concurrent append
         # that wins the race would otherwise survive the "overwrite"
         refresh=lambda c: c.__setitem__("remove", sorted(_live_files(path))),
@@ -402,11 +498,17 @@ def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
         os.path.getsize(os.path.join(_data_dir(path), f)) for f in live
     )
     n_files = max(1, math.ceil(total / (target_mb << 20)))
+    spec = partition_spec(path)
     snap = read_snapshot(spark, path)
-    commit = {"mode": "compact", "remove": live, "schema": snap.schema.json()}
-    if stat_cols:
+    commit = {
+        "mode": "compact",
+        "remove": live,
+        "schema": snap.schema.json(),
+        "partition_by": spec,
+    }
+    if stat_cols or spec:
         files, zones = _land_data_files(
-            snap.repartition(n_files), path, stat_cols
+            snap.repartition(n_files), path, stat_cols, spec
         )
         commit["zones"] = zones
     else:
@@ -462,7 +564,8 @@ def optimize_zorder(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
-    files, zones = _land_data_files(clustered, path, [x_col, y_col])
+    spec = partition_spec(path)
+    files, zones = _land_data_files(clustered, path, [x_col, y_col], spec)
 
     def check_unchanged(commit: dict) -> None:
         if sorted(_live_files(path)) != live:
@@ -481,6 +584,7 @@ def optimize_zorder(
             "remove": live,
             "schema": snap.schema.json(),
             "zones": zones,
+            "partition_by": spec,
         },
         refresh=check_unchanged,
     )
@@ -577,6 +681,9 @@ def restore(path: str, version: int) -> int:
         commit["add"] = add
         commit["remove"] = sorted(cur - set(target))
         commit["zones"] = {f: target[f] for f in add if target[f] is not None}
+        commit["partition_by"] = _read_commit(path, version).get(
+            "partition_by", []
+        )
 
     return _claim_version(
         path,
@@ -665,6 +772,73 @@ ORDER BY source
 """
 
 
+#: Bump when the partitioned-scan entry's pipeline changes shape.
+_PART_LAKE_VERSION = 1
+_PART_SCAN_LANG = "en"
+_PART_SCAN_LO, _PART_SCAN_HI = 0, 249
+
+
+def partitioned_scan_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate entry for PARTITIONED minilake tables: ingest
+    `documents` PARTITIONED BY (lang) with doc_id zone maps
+    (range-clustered so the zones are tight), then answer a
+    lang + doc_id box query through `scan_pruned_multi` — the partition
+    tier drops every non-'en' file from the exact tuples in the log (no
+    footer reads), the zone tier drops 'en' files outside the id range,
+    and the surviving files are aggregated per source.  The DuckDB
+    oracle states the same aggregate over the raw parquet, so a value
+    match proves partition landing, tuple recording, and two-tier
+    pruning lost no rows and leaked none from pruned partitions.  The
+    pruning COUNTS themselves (most files skipped, none by accident)
+    are pinned in tests/test_lake_partitioned.py.  Lake built once per
+    (version, sf) under spark-warehouse, like the roundtrip entry."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir("minilake_part", _PART_LAKE_VERSION, sf_dir),
+        "docs_lake_part",
+    )
+    if not versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        commit_append(
+            docs.repartitionByRange(4, "doc_id"),
+            path,
+            stat_cols=["doc_id"],
+            partition_by=["lang"],
+        )
+    df, _read, _skipped = scan_pruned_multi(
+        spark,
+        path,
+        {
+            "lang": (_PART_SCAN_LANG, _PART_SCAN_LANG),
+            "doc_id": (_PART_SCAN_LO, _PART_SCAN_HI),
+        },
+    )
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+PARTITIONED_ORACLE_SQL = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang = '{_PART_SCAN_LANG}'
+  AND doc_id BETWEEN {_PART_SCAN_LO} AND {_PART_SCAN_HI}
+GROUP BY source
+ORDER BY source
+"""
+
+
 def describe_detail(path: str) -> dict:
     """`DESCRIBE DETAIL`: the table's operational vitals from the log
     alone (no data scan) — live file count and bytes, current/
@@ -682,6 +856,16 @@ def describe_detail(path: str) -> dict:
         if os.path.exists(os.path.join(ddir, f))
     )
     ck = _latest_checkpoint(path)
+    spec = partition_spec(path)
+    n_parts = None
+    if spec:
+        n_parts = len(
+            {
+                tuple(sorted((z.get("partition") or {}).items()))
+                for z in state["live"].values()
+                if z is not None
+            }
+        )
     return {
         "format": "minilake",
         "location": path,
@@ -691,6 +875,8 @@ def describe_detail(path: str) -> dict:
         "num_live_files": len(state["live"]),
         "size_bytes": size,
         "num_stream_batches": len(state["stream_batch_ids"]),
+        "partition_by": spec,
+        "num_partitions": n_parts,
         "schema": _read_commit(path, vs[-1])["schema"],
     }
 
@@ -716,17 +902,21 @@ def commit_stream_batch(df: DataFrame, path: str, batch_id: int) -> int | None:
     if batch_id in committed_stream_batches(path):
         return None
     _check_schema(df, path, allow_evolution=False)
-    files = _land_data_files(df, path)
-    return _claim_version(
-        path,
-        {
-            "mode": "append",
-            "add": files,
-            "remove": [],
-            "schema": df.schema.json(),
-            "stream_batch_id": int(batch_id),
-        },
-    )
+    spec = partition_spec(path)
+    commit = {
+        "mode": "append",
+        "remove": [],
+        "schema": df.schema.json(),
+        "stream_batch_id": int(batch_id),
+        "partition_by": spec,
+    }
+    if spec:
+        files, zones = _land_data_files(df, path, None, spec)
+        commit["zones"] = zones
+    else:
+        files = _land_data_files(df, path)
+    commit["add"] = files
+    return _claim_version(path, commit)
 
 
 def maybe_compact(
@@ -850,6 +1040,23 @@ def _live_zones(path: str, as_of: int | None = None) -> dict:
     return _fold_state(path, as_of)["live"]
 
 
+def _file_outside_range(z: dict | None, col: str, lo, hi) -> bool:
+    """True iff the file PROVABLY holds no row with `col` in [lo, hi] —
+    by its exact partition value first (when `col` is a partition
+    column), else by its zone-map [min, max].  Files without either
+    are conservatively inside (must be read/rewritten)."""
+    if z is None:
+        return False
+    part = z.get("partition") or {}
+    if col in part:
+        pv = part[col]
+        # a NULL partition value never matches a BETWEEN predicate,
+        # so the file provably holds no matching row
+        return pv is None or pv < lo or pv > hi
+    zr = z.get("stats", {}).get(col)
+    return zr is not None and (zr[1] < lo or zr[0] > hi)
+
+
 def scan_pruned(
     spark: SparkSession, path: str, col: str, lo, hi
 ) -> tuple[DataFrame, int, int]:
@@ -873,17 +1080,20 @@ def scan_pruned_multi(
     layouts pay off (a linear sort gives tight zones on one column;
     the Morton layout gives usably-tight zones on both, so a 2-D box
     predicate skips most files — demonstrated in tests against
-    `functions.scale.zorder_key_2d`)."""
+    `functions.scale.zorder_key_2d`).
+
+    Skipping runs in TWO tiers per file, both from the log alone:
+    first the file's partition tuple (exact values — Delta/Iceberg's
+    partition pruning, the cheapest and tightest check), then its zone
+    map [min, max] for non-partition columns.  NULL partition values
+    and files without metadata are conservatively read."""
     zones = _live_zones(path)
     chosen, skipped = [], 0
     for f, z in zones.items():
-        keep = True
-        for col, (lo, hi) in preds.items():
-            zr = None if z is None else z["stats"].get(col)
-            if zr is not None and (zr[1] < lo or zr[0] > hi):
-                keep = False
-                break
-        if not keep:
+        if any(
+            _file_outside_range(z, col, lo, hi)
+            for col, (lo, hi) in preds.items()
+        ):
             skipped += 1
             continue
         chosen.append(f)
@@ -922,8 +1132,7 @@ def merge_upsert_lake(
     zones = _live_zones(path)
     touched, untouched = [], []
     for f, z in zones.items():
-        zr = None if z is None else z["stats"].get(key)
-        if zr is not None and (zr[1] < lo or zr[0] > hi):
+        if _file_outside_range(z, key, lo, hi):
             untouched.append(f)
         else:
             touched.append(f)
@@ -937,7 +1146,9 @@ def merge_upsert_lake(
         merged = carried.unionByName(updates, allowMissingColumns=True)
     else:
         merged = updates
-    files, new_zones = _land_data_files(merged, path, [key])
+    files, new_zones = _land_data_files(
+        merged, path, [key], partition_spec(path)
+    )
 
     def check_touched_live(_c: dict) -> None:
         # same claim-time revalidation as delete_where: if a concurrent
@@ -961,6 +1172,7 @@ def merge_upsert_lake(
             "remove": sorted(touched),
             "schema": merged.schema.json(),
             "zones": new_zones,
+            "partition_by": partition_spec(path),
         },
         refresh=check_touched_live,
     )
@@ -994,8 +1206,7 @@ def delete_where(
     zones = _live_zones(path)
     touched, untouched = [], []
     for f, z in zones.items():
-        zr = None if z is None else z["stats"].get(col)
-        if zr is not None and (zr[1] < lo or zr[0] > hi):
+        if _file_outside_range(z, col, lo, hi):
             untouched.append(f)
         else:
             touched.append(f)
@@ -1005,7 +1216,7 @@ def delete_where(
         *[os.path.join(_data_dir(path), f) for f in sorted(touched)]
     )
     kept = old_rows.filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
-    files, new_zones = _land_data_files(kept, path, [col])
+    files, new_zones = _land_data_files(kept, path, [col], partition_spec(path))
     nonempty = [f for f in files if new_zones.get(f, {}).get("rows", 0) > 0]
 
     def _discard(names: list[str]) -> None:
@@ -1015,7 +1226,9 @@ def delete_where(
     _discard([f for f in files if f not in nonempty])
     # zero-match no-op: if every touched file's row count is known from
     # its zone map and the rewrite kept them all, commit nothing
-    old_counts = [zones[f]["rows"] if zones[f] else None for f in touched]
+    old_counts = [
+        zones[f].get("rows") if zones[f] else None for f in touched
+    ]
     if None not in old_counts and sum(
         new_zones[f]["rows"] for f in nonempty
     ) == sum(old_counts):
@@ -1043,6 +1256,7 @@ def delete_where(
             "remove": sorted(touched),
             "schema": table_schema,
             "zones": {f: new_zones[f] for f in nonempty},
+            "partition_by": partition_spec(path),
         },
         refresh=check_touched_live,
     )
