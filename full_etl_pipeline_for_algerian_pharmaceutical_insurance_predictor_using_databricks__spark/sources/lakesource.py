@@ -113,6 +113,11 @@ class MinilakeStreamReader(SimpleDataSourceStreamReader):
         for v in minilake.versions(self.path):
             if start_v < v <= end_v:
                 c = minilake._read_commit(self.path, v)
+                if c["mode"] in ("compact", "optimize"):
+                    # pure rewrite: every row was already delivered by
+                    # the append commit that introduced it — routine
+                    # maintenance must not break a running stream
+                    continue
                 if c["mode"] != "append":
                     raise ValueError(
                         f"minilake stream hit a {c['mode']!r} commit at "

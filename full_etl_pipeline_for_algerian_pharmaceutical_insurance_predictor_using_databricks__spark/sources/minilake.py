@@ -714,22 +714,17 @@ def history(path: str) -> list[dict]:
 
 #: Bump when the roundtrip entry's pipeline changes shape — the entry
 #: reuses a previously-built lake only if its version tag matches.
-_ROUNDTRIP_LAKE_VERSION = 1
+#: v2: delete commits record their CDF predicate (read by
+#: lake_changes_feed, which shares this lake).
+_ROUNDTRIP_LAKE_VERSION = 2
 #: doc_id range deleted by the roundtrip pipeline.
 _ROUNDTRIP_DELETE_LO, _ROUNDTRIP_DELETE_HI = 100, 199
 
 
-def documents_roundtrip_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-gate entry that value-checks the TABLE FORMAT itself:
-    ingest `documents` into a minilake table (append with zone maps),
-    run a file-pruned DELETE of a doc_id range and an OPTIMIZE
-    compaction, then aggregate the surviving snapshot per source.  The
-    DuckDB oracle states the same aggregate over the raw parquet with
-    the deleted range excluded — so a value match proves the commit
-    log, zone-map pruning, delete rewrite, and compaction preserved
-    content EXACTLY (not just row counts).  The lake is built once per
-    (version, sf) under spark-warehouse and reused — the same
-    build-once pattern as the ANN/topic serving indexes."""
+def _ensure_roundtrip_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per version+sf, under spark-warehouse) the shared
+    append → pruned-DELETE → compact documents lake used by the
+    roundtrip and changes-feed entries."""
     from ..functions.scale import default_index_dir
     from . import load_table
 
@@ -748,7 +743,21 @@ def documents_roundtrip_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, path, "doc_id", _ROUNDTRIP_DELETE_LO, _ROUNDTRIP_DELETE_HI
         )
         compact(spark, path, target_mb=128)
-    snap = read_snapshot(spark, path)
+    return path
+
+
+def documents_roundtrip_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate entry that value-checks the TABLE FORMAT itself:
+    ingest `documents` into a minilake table (append with zone maps),
+    run a file-pruned DELETE of a doc_id range and an OPTIMIZE
+    compaction, then aggregate the surviving snapshot per source.  The
+    DuckDB oracle states the same aggregate over the raw parquet with
+    the deleted range excluded — so a value match proves the commit
+    log, zone-map pruning, delete rewrite, and compaction preserved
+    content EXACTLY (not just row counts).  The lake is built once per
+    (version, sf) under spark-warehouse and reused — the same
+    build-once pattern as the ANN/topic serving indexes."""
+    snap = read_snapshot(spark, _ensure_roundtrip_lake(spark, sf_dir))
     return (
         snap.groupBy("source")
         .agg(
@@ -769,6 +778,52 @@ FROM documents
 WHERE doc_id NOT BETWEEN {_ROUNDTRIP_DELETE_LO} AND {_ROUNDTRIP_DELETE_HI}
 GROUP BY source
 ORDER BY source
+"""
+
+
+def changes_feed_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate entry for the CHANGE DATA FEED: over the shared
+    append → pruned-DELETE → compact lake, `read_changes(change_feed=
+    True)` from the beginning must emit every ingested row as an
+    'insert', the deleted doc_id range as 'delete' rows, and NOTHING
+    for the compaction (a pure rewrite adds no changes).  The DuckDB
+    oracle states both legs straight off the raw parquet, so a value
+    match proves the feed is exact — the log-recorded delete predicate
+    reproduces precisely the removed rows, and maintenance commits are
+    invisible to incremental consumers."""
+    feed = read_changes(
+        spark,
+        _ensure_roundtrip_lake(spark, sf_dir),
+        since_version=-1,
+        change_feed=True,
+    )
+    return (
+        feed.groupBy(
+            F.col("_change_type").alias("change_type"), F.col("source")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("change_type", "source")
+    )
+
+
+CHANGES_FEED_ORACLE_SQL = f"""
+SELECT change_type, source, n_rows, sum_ids FROM (
+  SELECT 'insert' AS change_type, source,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT 'delete' AS change_type, source,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+  FROM documents
+  WHERE doc_id BETWEEN {_ROUNDTRIP_DELETE_LO} AND {_ROUNDTRIP_DELETE_HI}
+  GROUP BY source
+)
+ORDER BY change_type, source
 """
 
 
@@ -997,42 +1052,102 @@ def read_changes(
     path: str,
     since_version: int,
     to_version: int | None = None,
+    change_feed: bool = False,
 ) -> DataFrame:
-    """Incremental (CDC-style) read: the rows ADDED by commits in
-    (since_version, to_version].  Because data files are immutable and
-    append commits only add, the change set is exactly the files those
-    commits list — the reader scans ONLY the delta, never the table
-    (what makes incremental consumers cheap at 100 TB).  An overwrite
-    or compact commit in the range raises: its adds are rewrites, not
-    new rows — consumers must re-sync from a snapshot at that point
-    (Delta CDF signals the same situation with its own change types)."""
+    """Incremental (CDC-style) read over commits in
+    (since_version, to_version].  The reader scans ONLY the files each
+    commit names, never the table — what makes incremental consumers
+    cheap at 100 TB.
+
+    Default mode returns the rows ADDED by append commits.  A COMPACT
+    or OPTIMIZE commit in the range is silently SKIPPED (post-review
+    r8): a pure rewrite adds no rows the consumer hasn't already been
+    delivered, so routine maintenance must not break incremental
+    consumers.  Any row-changing commit (delete/overwrite/restore/
+    merge) still raises — the plain row feed cannot express removals.
+
+    With `change_feed=True` the result is a Delta-CDF-style feed with
+    `_change_type` ('insert' | 'delete') and `_commit_version` columns:
+    appends emit inserts; DELETE commits emit delete rows (the removed
+    files' rows matching the commit's recorded predicate — exact,
+    because a delete removes precisely the matching rows of the files
+    it rewrote); RESTORE and OVERWRITE emit deletes for their removed
+    files' rows and inserts for their added files' rows; compact/
+    optimize emit nothing.  MERGE still raises: splitting its rewritten
+    files into carried vs updated rows needs change files written at
+    commit time (Delta's update_pre/postimage) — re-sync from a
+    snapshot instead.  The feed reads removed files from disk, so it is
+    bounded by VACUUM retention exactly as Delta's CDF is."""
     vs = versions(path)
     if to_version is None:
         to_version = vs[-1] if vs else since_version
-    files: list[str] = []
+    # (version, change_type, files, predicate-or-None) groups
+    groups: list[tuple[int, str, list[str], dict | None]] = []
     schema_json = None
     for v in vs:
-        if since_version < v <= to_version:
-            c = _read_commit(path, v)
-            if c["mode"] != "append":
+        if not since_version < v <= to_version:
+            continue
+        c = _read_commit(path, v)
+        mode = c["mode"]
+        schema_json = c["schema"]
+        if mode in ("compact", "optimize"):
+            continue  # pure rewrite: rows already delivered
+        if mode == "append":
+            groups.append((v, "insert", c["add"], None))
+        elif not change_feed:
+            raise ValueError(
+                f"version {v} is a {mode!r} commit — the plain row feed "
+                "only spans appends (maintenance rewrites are skipped); "
+                "use change_feed=True or re-sync from a snapshot"
+            )
+        elif mode == "delete":
+            pred = c.get("predicate")
+            if pred is None:
                 raise ValueError(
-                    f"version {v} is a {c['mode']!r} commit — incremental "
-                    "reads only span appends; re-sync from a snapshot"
+                    f"delete commit {v} carries no replayable predicate; "
+                    "re-sync from a snapshot"
                 )
-            files.extend(c["add"])
-            schema_json = c["schema"]
-    if not files:
-        ref = vs[-1] if vs else None
-        if schema_json is None and ref is not None:
-            schema_json = _read_commit(path, ref)["schema"]
-        from pyspark.sql.types import StructType
+            groups.append((v, "delete", c["remove"], pred))
+        elif mode in ("restore", "overwrite"):
+            groups.append((v, "delete", c["remove"], None))
+            groups.append((v, "insert", c["add"], None))
+        else:  # merge (or future modes): not row-splittable from the log
+            raise ValueError(
+                f"version {v} is a {mode!r} commit — its rewritten files "
+                "mix carried and changed rows; re-sync from a snapshot"
+            )
+    frames = []
+    for v, ctype, files, pred in groups:
+        if not files:
+            continue
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(_data_dir(path), f) for f in sorted(files)]
+        )
+        if pred is not None:
+            df = df.filter(F.col(pred["col"]).between(pred["lo"], pred["hi"]))
+        if change_feed:
+            df = df.withColumn("_change_type", F.lit(ctype)).withColumn(
+                "_commit_version", F.lit(v).cast("bigint")
+            )
+        frames.append(df)
+    if frames:
+        out = frames[0]
+        for df in frames[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
+    ref = vs[-1] if vs else None
+    if schema_json is None and ref is not None:
+        schema_json = _read_commit(path, ref)["schema"]
+    from pyspark.sql.types import StringType, StructType
 
-        if schema_json is None:
-            raise FileNotFoundError(f"no commits under {path}")
-        return spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
-    return spark.read.parquet(
-        *[os.path.join(_data_dir(path), f) for f in sorted(files)]
-    )
+    if schema_json is None:
+        raise FileNotFoundError(f"no commits under {path}")
+    schema = StructType.fromJson(json.loads(schema_json))
+    if change_feed:
+        schema = schema.add("_change_type", StringType()).add(
+            "_commit_version", "bigint"
+        )
+    return spark.createDataFrame([], schema)
 
 
 def _live_zones(path: str, as_of: int | None = None) -> dict:
@@ -1238,6 +1353,11 @@ def delete_where(
     # merged schema of only the touched files — evolved columns that
     # live solely in untouched files must survive the delete
     table_schema = _read_commit(path, vs[-1])["schema"]
+    try:  # predicate bounds must survive the JSON log (dates etc. don't)
+        json.dumps([lo, hi])
+        predicate = {"col": col, "lo": lo, "hi": hi}
+    except TypeError:
+        predicate = None
 
     def check_touched_live(commit: dict) -> None:
         if not set(touched) <= _live_files(path):
@@ -1257,6 +1377,10 @@ def delete_where(
             "schema": table_schema,
             "zones": {f: new_zones[f] for f in nonempty},
             "partition_by": partition_spec(path),
+            # the predicate makes the commit CDF-replayable: the
+            # deleted rows are exactly the removed files' rows matching
+            # it (see read_changes(change_feed=True))
+            "predicate": predicate,
         },
         refresh=check_touched_live,
     )
