@@ -134,6 +134,7 @@ _TAIL_ORDER = [
     "lake_documents_roundtrip",
     "lake_partitioned_scan",
     "lake_changes_feed",
+    "lake_dv_roundtrip",
     "text_ngram_topk",
     "events_funnel",
     "tpch_q10_returned_items",
@@ -281,6 +282,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_documents_roundtrip"] = _minilake.documents_roundtrip_entry
     pool["lake_partitioned_scan"] = _minilake.partitioned_scan_entry
     pool["lake_changes_feed"] = _minilake.changes_feed_entry
+    pool["lake_dv_roundtrip"] = _minilake.dv_roundtrip_entry
     unrouted = (
         set(pool) - set(_ORACLE_ORDER) - set(_TAIL_ORDER) - _PACKAGED_IN_COMPOSITES
     )
@@ -333,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_documents_roundtrip"] = _minilake.ROUNDTRIP_ORACLE_SQL
     pool["lake_partitioned_scan"] = _minilake.PARTITIONED_ORACLE_SQL
     pool["lake_changes_feed"] = _minilake.CHANGES_FEED_ORACLE_SQL
+    pool["lake_dv_roundtrip"] = _minilake.DV_ORACLE_SQL
     # window entries MUST have an oracle; tail entries carry one when
     # SQL-expressible (check_oracle / the judge's local gate use them)
     out = {name: pool[name] for name in _ORACLE_ORDER + _TAIL_ORDER if name in pool}

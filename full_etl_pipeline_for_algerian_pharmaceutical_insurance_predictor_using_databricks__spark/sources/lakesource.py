@@ -56,26 +56,46 @@ def _latest_schema(path: str) -> StructType:
     )
 
 
-def _file_rows(path: str, data_file: str, field_names: list[str]) -> list[tuple]:
-    """All rows of one immutable data file as schema-ordered tuples."""
+def _file_rows(
+    path: str,
+    data_file: str,
+    field_names: list[str],
+    dv_names: tuple[str, ...] = (),
+) -> list[tuple]:
+    """All VISIBLE rows of one immutable data file as schema-ordered
+    tuples — row positions listed for this file in `dv_names` deletion
+    vectors are skipped (the Python-side twin of the JVM scan's
+    broadcast anti-join)."""
     import pyarrow.parquet as pq
 
     table = pq.read_table(os.path.join(minilake._data_dir(path), data_file))
+    hidden: set[int] = set()
+    for n in dv_names:
+        dv = pq.read_table(
+            os.path.join(minilake._dv_dir(path), n),
+            columns=["file", "row_index"],
+        )
+        files = dv.column("file").to_pylist()
+        ris = dv.column("row_index").to_pylist()
+        hidden.update(ri for f, ri in zip(files, ris) if f == data_file)
     cols = {name: table.column(name).to_pylist() for name in table.column_names}
     n = table.num_rows
     return [
         tuple(cols[name][i] if name in cols else None for name in field_names)
         for i in range(n)
+        if i not in hidden
     ]
 
 
 @dataclass
 class _LakePartition(InputPartition):
     data_file: str
+    dv_names: tuple[str, ...] = ()
 
 
 class MinilakeReader(DataSourceReader):
-    """Batch: the current snapshot, one task per live file."""
+    """Batch: the current snapshot, one task per live file (each task
+    carries its file's deletion-vector names)."""
 
     def __init__(self, options: dict, schema: StructType):
         path = options.get("path")
@@ -85,12 +105,19 @@ class MinilakeReader(DataSourceReader):
         self.field_names = [f.name for f in schema.fields]
 
     def partitions(self) -> list[_LakePartition]:
+        state = minilake._fold_state(self.path)
         return [
-            _LakePartition(f) for f in sorted(minilake._live_files(self.path))
+            _LakePartition(f, tuple(state["dvs"].get(f, [])))
+            for f in sorted(state["live"])
         ]
 
     def read(self, partition: _LakePartition) -> Iterator[tuple]:
-        yield from _file_rows(self.path, partition.data_file, self.field_names)
+        yield from _file_rows(
+            self.path,
+            partition.data_file,
+            self.field_names,
+            partition.dv_names,
+        )
 
 
 class MinilakeStreamReader(SimpleDataSourceStreamReader):

@@ -58,6 +58,10 @@ def _data_dir(path: str) -> str:
     return os.path.join(path, "data")
 
 
+def _dv_dir(path: str) -> str:
+    return os.path.join(path, "dv")
+
+
 def versions(path: str) -> list[int]:
     """Committed versions in order (empty for a fresh/absent table)."""
     ld = _log_dir(path)
@@ -102,16 +106,24 @@ def _latest_checkpoint(path: str, as_of: int | None = None) -> dict | None:
 def _fold_state(path: str, as_of: int | None = None) -> dict:
     """Fold the log into reader state as of a version: start from the
     newest checkpoint ≤ as_of (if any) and apply only the tail commits.
-    Returns {"version", "live": {file: zone|None}, "stream_batch_ids"}.
-    This is what bounds snapshot-construction cost at scale: O(tail)
-    commit reads instead of O(history)."""
+    Returns {"version", "live": {file: zone|None}, "stream_batch_ids",
+    "dvs": {file: [dv file names]}}.  This is what bounds
+    snapshot-construction cost at scale: O(tail) commit reads instead
+    of O(history).
+
+    DV fold rules: a commit's `"dv"` map APPENDS deletion-vector files
+    to its data files (multiple DV deletes stack); removing a data
+    file drops its DV list (the rewrite/compaction physically applied
+    them); a restore commit's `"dv_restore"` REPLACES the whole map
+    with the target version's."""
     ck = _latest_checkpoint(path, as_of)
     if ck is not None:
         live: dict = dict(ck["live"])
         stream_ids = set(ck.get("stream_batch_ids", []))
+        dvs: dict = {f: list(ns) for f, ns in ck.get("dvs", {}).items()}
         start_after = ck["version"]
     else:
-        live, stream_ids, start_after = {}, set(), -1
+        live, stream_ids, dvs, start_after = {}, set(), {}, -1
     last = start_after
     for v in versions(path):
         if v <= start_after:
@@ -121,12 +133,22 @@ def _fold_state(path: str, as_of: int | None = None) -> dict:
         c = _read_commit(path, v)
         for f in c["remove"]:
             live.pop(f, None)
+            dvs.pop(f, None)
         for f in c["add"]:
             live[f] = c.get("zones", {}).get(f)
+        if "dv_restore" in c:
+            dvs = {f: list(ns) for f, ns in c["dv_restore"].items()}
+        for f, names in c.get("dv", {}).items():
+            dvs.setdefault(f, []).extend(names)
         if "stream_batch_id" in c:
             stream_ids.add(int(c["stream_batch_id"]))
         last = v
-    return {"version": last, "live": live, "stream_batch_ids": stream_ids}
+    return {
+        "version": last,
+        "live": live,
+        "stream_batch_ids": stream_ids,
+        "dvs": dvs,
+    }
 
 
 def write_checkpoint(path: str, version: int | None = None) -> int:
@@ -149,6 +171,7 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
         "version": version,
         "live": st["live"],
         "stream_batch_ids": sorted(st["stream_batch_ids"]),
+        "dvs": st["dvs"],
     }
     ld = _log_dir(path)
     tmp = os.path.join(ld, f"_ckpt-tmp-{uuid.uuid4().hex}.json")
@@ -442,11 +465,77 @@ def _live_files(path: str, as_of: int | None = None) -> set[str]:
     return set(_fold_state(path, as_of)["live"])
 
 
+#: Throwaway column names for the DV anti-join (never leak to callers).
+_DV_FILE, _DV_RI = "_mlk_dv_file", "_mlk_dv_ri"
+
+
+def _with_position(df: DataFrame) -> DataFrame:
+    """Attach (file name, row index) identity columns from the parquet
+    reader's generated `_metadata` — the physical row position Delta's
+    deletion vectors key on, with no data-layout changes."""
+    return df.withColumn(
+        _DV_FILE,
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    ).withColumn(_DV_RI, F.col("_metadata.row_index"))
+
+
+def _read_dv(spark: SparkSession, path: str, names: list[str]) -> DataFrame:
+    """The union of deletion-vector position sets (file, row_index)."""
+    return (
+        spark.read.parquet(*[os.path.join(_dv_dir(path), n) for n in sorted(set(names))])
+        .select(
+            F.col("file").alias(_DV_FILE), F.col("row_index").alias(_DV_RI)
+        )
+        .dropDuplicates()
+    )
+
+
+def _read_files_with_dvs(
+    spark: SparkSession, path: str, files: list[str], dvs: dict
+) -> DataFrame | None:
+    """Read data files applying their deletion vectors: files without
+    a DV take the plain fast path; files with DVs are read with row
+    positions and anti-joined against the (broadcast, KB-sized) DV
+    position set.  This is the Delta DV scan shape — deletes cost
+    O(matched rows) at write time and a cheap hash anti-join at read
+    time, no file rewrites.  Returns None for an empty file list."""
+    if not files:
+        return None
+    plain = [f for f in files if not dvs.get(f)]
+    dv_files = [f for f in files if dvs.get(f)]
+    frames = []
+    if plain:
+        frames.append(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(_data_dir(path), f) for f in sorted(plain)]
+            )
+        )
+    if dv_files:
+        df = _with_position(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(_data_dir(path), f) for f in sorted(dv_files)]
+            )
+        )
+        dv = _read_dv(
+            spark, path, [n for f in dv_files for n in dvs[f]]
+        )
+        frames.append(
+            df.join(F.broadcast(dv), [_DV_FILE, _DV_RI], "left_anti").drop(
+                _DV_FILE, _DV_RI
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """Snapshot read, optionally as-of an older version (time travel).
-    An empty snapshot still carries the committed schema."""
+    """Snapshot read, optionally as-of an older version (time travel),
+    with each file's deletion vectors applied.  An empty snapshot
+    still carries the committed schema."""
     vs = versions(path)
     if not vs:
         raise FileNotFoundError(f"no minilake log under {path}")
@@ -454,17 +543,18 @@ def read_snapshot(
         version = vs[-1]
     if version not in vs:
         raise ValueError(f"version {version} not in log (have {vs})")
-    files = sorted(_live_files(path, as_of=version))
-    if not files:
+    state = _fold_state(path, as_of=version)
+    out = _read_files_with_dvs(
+        spark, path, sorted(state["live"]), state["dvs"]
+    )
+    if out is None:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(
             json.loads(_read_commit(path, version)["schema"])
         )
         return spark.createDataFrame([], schema)
-    return spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(_data_dir(path), f) for f in files]
-    )
+    return out
 
 
 def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
@@ -615,31 +705,49 @@ def vacuum(path: str, retain_versions: int = 0, min_age_s: float = 600.0) -> int
     ck = _latest_checkpoint(path, as_of=keep_from)
     if ck is not None:
         live: set[str] = set(ck["live"])
+        dvs: dict = {f: list(ns) for f, ns in ck.get("dvs", {}).items()}
         start_after = ck["version"]
     else:
-        live, start_after = set(), -1
-    referenced: set[str] = set(live) if start_after >= keep_from else set()
+        live, dvs, start_after = set(), {}, -1
+    if start_after >= keep_from:
+        referenced: set[str] = set(live)
+        referenced_dv: set[str] = {n for ns in dvs.values() for n in ns}
+    else:
+        referenced, referenced_dv = set(), set()
     for v in vs:
         if v <= start_after:
             continue
         c = _read_commit(path, v)
-        live.difference_update(c["remove"])
+        for f in c["remove"]:
+            live.discard(f)
+            dvs.pop(f, None)
         live.update(c["add"])
+        if "dv_restore" in c:
+            dvs = {f: list(ns) for f, ns in c["dv_restore"].items()}
+        for f, names in c.get("dv", {}).items():
+            dvs.setdefault(f, []).extend(names)
         if v >= keep_from:
             referenced |= live
+            referenced_dv |= {n for ns in dvs.values() for n in ns}
     deleted = 0
-    ddir = _data_dir(path)
     now = _time.time()
-    if os.path.isdir(ddir):
-        for f in os.listdir(ddir):
-            full = os.path.join(ddir, f)
-            if (
-                f.endswith(".parquet")
-                and f not in referenced
-                and now - os.path.getmtime(full) >= min_age_s
-            ):
-                os.unlink(full)
-                deleted += 1
+
+    def _sweep(directory: str, keep: set[str]) -> int:
+        n = 0
+        if os.path.isdir(directory):
+            for f in os.listdir(directory):
+                full = os.path.join(directory, f)
+                if (
+                    f.endswith(".parquet")
+                    and f not in keep
+                    and now - os.path.getmtime(full) >= min_age_s
+                ):
+                    os.unlink(full)
+                    n += 1
+        return n
+
+    deleted += _sweep(_data_dir(path), referenced)
+    deleted += _sweep(_dv_dir(path), referenced_dv)
     return deleted
 
 
@@ -657,11 +765,20 @@ def restore(path: str, version: int) -> int:
     vs = versions(path)
     if version not in vs:
         raise ValueError(f"version {version} not in log (have {vs})")
-    target = _fold_state(path, as_of=version)["live"]
+    target_state = _fold_state(path, as_of=version)
+    target = target_state["live"]
+    target_dvs = {
+        f: ns for f, ns in target_state["dvs"].items() if f in target and ns
+    }
     missing = sorted(
         f
         for f in target
         if not os.path.exists(os.path.join(_data_dir(path), f))
+    ) + sorted(
+        os.path.join("dv", n)
+        for ns in target_dvs.values()
+        for n in ns
+        if not os.path.exists(os.path.join(_dv_dir(path), n))
     )
     if missing:
         raise FileNotFoundError(
@@ -684,6 +801,9 @@ def restore(path: str, version: int) -> int:
         commit["partition_by"] = _read_commit(path, version).get(
             "partition_by", []
         )
+        # full DV-state replacement: the restored snapshot's visible
+        # rows are its files MINUS its DVs, exactly as they were
+        commit["dv_restore"] = target_dvs
 
     return _claim_version(
         path,
@@ -776,6 +896,62 @@ SELECT source,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
 FROM documents
 WHERE doc_id NOT BETWEEN {_ROUNDTRIP_DELETE_LO} AND {_ROUNDTRIP_DELETE_HI}
+GROUP BY source
+ORDER BY source
+"""
+
+
+#: Bump when the DV entry's pipeline changes shape.
+_DV_LAKE_VERSION = 1
+_DV_DELETE_A = (100, 199)
+_DV_DELETE_B = (300, 349)
+
+
+def dv_roundtrip_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate entry for DELETION VECTORS: ingest `documents`, run
+    TWO stacked DV deletes (no data file is rewritten — the commits
+    attach position sidecars; asserted in tests/test_lake_dv.py), then
+    aggregate the visible snapshot per source.  The DuckDB oracle
+    states the same aggregate over the raw parquet with both ranges
+    excluded, so a value match proves position capture, DV stacking,
+    and the scan-time broadcast anti-join hide EXACTLY the deleted
+    rows.  Lake built once per (version, sf), like its siblings."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir("minilake_dv", _DV_LAKE_VERSION, sf_dir),
+        "docs_lake_dv",
+    )
+    if not versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        commit_append(
+            docs.repartitionByRange(8, "doc_id"), path, stat_cols=["doc_id"]
+        )
+        delete_where(spark, path, "doc_id", *_DV_DELETE_A, strategy="dv")
+        delete_where(spark, path, "doc_id", *_DV_DELETE_B, strategy="dv")
+    snap = read_snapshot(spark, path)
+    return (
+        snap.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+DV_ORACLE_SQL = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+WHERE doc_id NOT BETWEEN {_DV_DELETE_A[0]} AND {_DV_DELETE_A[1]}
+  AND doc_id NOT BETWEEN {_DV_DELETE_B[0]} AND {_DV_DELETE_B[1]}
 GROUP BY source
 ORDER BY source
 """
@@ -932,6 +1108,9 @@ def describe_detail(path: str) -> dict:
         "num_stream_batches": len(state["stream_batch_ids"]),
         "partition_by": spec,
         "num_partitions": n_parts,
+        "num_dv_files": len(
+            {n for ns in state["dvs"].values() for n in ns}
+        ),
         "schema": _read_commit(path, vs[-1])["schema"],
     }
 
@@ -1081,9 +1260,17 @@ def read_changes(
     vs = versions(path)
     if to_version is None:
         to_version = vs[-1] if vs else since_version
-    # (version, change_type, files, predicate-or-None) groups
-    groups: list[tuple[int, str, list[str], dict | None]] = []
+    # each group reads `files`, optionally filters by `pred`, keeps
+    # only positions in `semi` DVs, drops positions in `anti` DVs —
+    # DVs make "the rows this commit changed" a position-set question,
+    # and prior-state DVs must be EXCLUDED from delete legs (those rows
+    # were already delivered as deletes by the commit that hid them)
+    groups: list[dict] = []
     schema_json = None
+
+    def _dvs_for(dv_map: dict, files: list[str]) -> list[str]:
+        return sorted({n for f in files for n in dv_map.get(f, [])})
+
     for v in vs:
         if not since_version < v <= to_version:
             continue
@@ -1093,12 +1280,23 @@ def read_changes(
         if mode in ("compact", "optimize"):
             continue  # pure rewrite: rows already delivered
         if mode == "append":
-            groups.append((v, "insert", c["add"], None))
+            groups.append(dict(v=v, ctype="insert", files=c["add"]))
         elif not change_feed:
             raise ValueError(
                 f"version {v} is a {mode!r} commit — the plain row feed "
                 "only spans appends (maintenance rewrites are skipped); "
                 "use change_feed=True or re-sync from a snapshot"
+            )
+        elif mode == "delete" and c.get("dv"):
+            # DV delete: exactly this commit's position set (the writer
+            # already excluded previously-hidden rows)
+            groups.append(
+                dict(
+                    v=v,
+                    ctype="delete",
+                    files=sorted(c["dv"]),
+                    semi=sorted({n for ns in c["dv"].values() for n in ns}),
+                )
             )
         elif mode == "delete":
             pred = c.get("predicate")
@@ -1107,27 +1305,97 @@ def read_changes(
                     f"delete commit {v} carries no replayable predicate; "
                     "re-sync from a snapshot"
                 )
-            groups.append((v, "delete", c["remove"], pred))
+            prior_dvs = _fold_state(path, as_of=v - 1)["dvs"]
+            groups.append(
+                dict(
+                    v=v,
+                    ctype="delete",
+                    files=c["remove"],
+                    pred=pred,
+                    anti=_dvs_for(prior_dvs, c["remove"]),
+                )
+            )
         elif mode in ("restore", "overwrite"):
-            groups.append((v, "delete", c["remove"], None))
-            groups.append((v, "insert", c["add"], None))
+            prior = _fold_state(path, as_of=v - 1)
+            target_dvs = c.get("dv_restore", {}) if mode == "restore" else {}
+            groups.append(
+                dict(
+                    v=v,
+                    ctype="delete",
+                    files=c["remove"],
+                    anti=_dvs_for(prior["dvs"], c["remove"]),
+                )
+            )
+            groups.append(
+                dict(
+                    v=v,
+                    ctype="insert",
+                    files=c["add"],
+                    anti=_dvs_for(target_dvs, c["add"]),
+                )
+            )
+            if mode == "restore":
+                # files live across the restore whose DV state changed:
+                # positions un-hidden become inserts, newly hidden
+                # become deletes
+                common = sorted(
+                    (set(prior["live"]) - set(c["remove"])) - set(c["add"])
+                )
+                p_names = _dvs_for(prior["dvs"], common)
+                t_names = _dvs_for(target_dvs, common)
+                if p_names != t_names:
+                    groups.append(
+                        dict(
+                            v=v,
+                            ctype="insert",
+                            files=common,
+                            semi=p_names,
+                            anti=t_names,
+                        )
+                    )
+                    groups.append(
+                        dict(
+                            v=v,
+                            ctype="delete",
+                            files=common,
+                            semi=t_names,
+                            anti=p_names,
+                        )
+                    )
         else:  # merge (or future modes): not row-splittable from the log
             raise ValueError(
                 f"version {v} is a {mode!r} commit — its rewritten files "
                 "mix carried and changed rows; re-sync from a snapshot"
             )
     frames = []
-    for v, ctype, files, pred in groups:
-        if not files:
+    for g in groups:
+        files = g["files"]
+        if not files or (g.get("semi") == []):
             continue
         df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(_data_dir(path), f) for f in sorted(files)]
         )
+        pred = g.get("pred")
         if pred is not None:
             df = df.filter(F.col(pred["col"]).between(pred["lo"], pred["hi"]))
+        if g.get("semi") or g.get("anti"):
+            df = _with_position(df)
+            if g.get("semi"):
+                df = df.join(
+                    F.broadcast(_read_dv(spark, path, g["semi"])),
+                    [_DV_FILE, _DV_RI],
+                    "left_semi",
+                )
+            if g.get("anti"):
+                df = df.join(
+                    F.broadcast(_read_dv(spark, path, g["anti"])),
+                    [_DV_FILE, _DV_RI],
+                    "left_anti",
+                )
+            df = df.drop(_DV_FILE, _DV_RI)
         if change_feed:
-            df = df.withColumn("_change_type", F.lit(ctype)).withColumn(
-                "_commit_version", F.lit(v).cast("bigint")
+            df = df.withColumn("_change_type", F.lit(g["ctype"])).withColumn(
+                "_commit_version", F.lit(g["v"]).cast("bigint")
             )
         frames.append(df)
     if frames:
@@ -1202,7 +1470,8 @@ def scan_pruned_multi(
     partition pruning, the cheapest and tightest check), then its zone
     map [min, max] for non-partition columns.  NULL partition values
     and files without metadata are conservatively read."""
-    zones = _live_zones(path)
+    state = _fold_state(path)
+    zones = state["live"]
     chosen, skipped = [], 0
     for f, z in zones.items():
         if any(
@@ -1219,9 +1488,7 @@ def scan_pruned_multi(
     if not chosen:
         empty = read_snapshot(spark, path).limit(0)
         return empty.filter(cond), 0, skipped
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(_data_dir(path), f) for f in sorted(chosen)]
-    )
+    df = _read_files_with_dvs(spark, path, sorted(chosen), state["dvs"])
     return df.filter(cond), len(chosen), skipped
 
 
@@ -1244,7 +1511,8 @@ def merge_upsert_lake(
         # a no-op, not a crash — return the current version unchanged
         vs = versions(path)
         return vs[-1] if vs else -1
-    zones = _live_zones(path)
+    state = _fold_state(path)
+    zones = state["live"]
     touched, untouched = [], []
     for f, z in zones.items():
         if _file_outside_range(z, key, lo, hi):
@@ -1252,8 +1520,9 @@ def merge_upsert_lake(
         else:
             touched.append(f)
     if touched:
-        old_rows = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(_data_dir(path), f) for f in sorted(touched)]
+        # DV-applied read: carried rows must not resurrect deleted ones
+        old_rows = _read_files_with_dvs(
+            spark, path, sorted(touched), state["dvs"]
         )
         carried = old_rows.join(
             updates.select(key).distinct(), key, "left_anti"
@@ -1294,7 +1563,7 @@ def merge_upsert_lake(
 
 
 def delete_where(
-    spark: SparkSession, path: str, col: str, lo, hi
+    spark: SparkSession, path: str, col: str, lo, hi, strategy: str = "rewrite"
 ) -> int:
     """File-pruned DELETE (`DELETE FROM t WHERE col BETWEEN lo AND hi`):
     zone maps split the live files into provably-unaffected (kept
@@ -1314,11 +1583,23 @@ def delete_where(
     zero-match NO-OP that commits nothing (coarse zones overlap more
     than the data does); and the commit aborts if a concurrent
     rewrite removed any touched file between zone read and claim —
-    committing stale removes would resurrect or duplicate rows."""
+    committing stale removes would resurrect or duplicate rows.
+
+    `strategy="dv"` commits a DELETION VECTOR instead of rewriting: the
+    matching rows' (file, row_index) positions land as a small parquet
+    sidecar under dv/ and the commit ATTACHES it to the touched files —
+    O(matched rows) write cost regardless of file sizes, applied at
+    scan time by a broadcast anti-join (what Delta/Iceberg v2 ship as
+    merge-on-read deletes).  The rewrite strategy stays the
+    copy-on-write path that physically drops the rows (and materializes
+    any previously-attached DVs for the files it rewrites)."""
     vs = versions(path)
     if not vs:
         raise FileNotFoundError(f"no minilake log under {path}")
-    zones = _live_zones(path)
+    if strategy not in ("rewrite", "dv"):
+        raise ValueError(f"unknown delete strategy {strategy!r}")
+    state = _fold_state(path)
+    zones = state["live"]
     touched, untouched = [], []
     for f, z in zones.items():
         if _file_outside_range(z, col, lo, hi):
@@ -1327,8 +1608,10 @@ def delete_where(
             touched.append(f)
     if not touched:
         return vs[-1]  # no file can contain a matching row: no-op
-    old_rows = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(_data_dir(path), f) for f in sorted(touched)]
+    if strategy == "dv":
+        return _delete_where_dv(spark, path, col, lo, hi, touched, state)
+    old_rows = _read_files_with_dvs(
+        spark, path, sorted(touched), state["dvs"]
     )
     kept = old_rows.filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
     files, new_zones = _land_data_files(kept, path, [col], partition_spec(path))
@@ -1381,6 +1664,94 @@ def delete_where(
             # deleted rows are exactly the removed files' rows matching
             # it (see read_changes(change_feed=True))
             "predicate": predicate,
+        },
+        refresh=check_touched_live,
+    )
+
+
+def _delete_where_dv(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    touched: list[str],
+    state: dict,
+) -> int:
+    """DV-strategy DELETE (see `delete_where`): compute the matching
+    rows' physical positions over the DV-APPLIED view of the touched
+    files (already-deleted rows are excluded, so each DV holds exactly
+    the rows THIS commit deletes — load-bearing for the change feed),
+    land them as a parquet sidecar, and commit with `"dv"` attaching it
+    to every touched file.  Zero matches → no-op, nothing committed.
+    Same claim-time conflict rule as the rewrite path: if a concurrent
+    rewrite removed any touched file, the DV would silently stop
+    applying to the survivor's rewritten rows — abort instead."""
+    vs = versions(path)
+    pos = (
+        _with_position(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(_data_dir(path), f) for f in sorted(touched)]
+            )
+        )
+        .filter(F.col(col).between(lo, hi))
+        .select(
+            F.col(_DV_FILE).alias("file"), F.col(_DV_RI).alias("row_index")
+        )
+    )
+    prior = sorted({n for f in touched for n in state["dvs"].get(f, [])})
+    if prior:
+        already = _read_dv(spark, path, prior).select(
+            F.col(_DV_FILE).alias("file"), F.col(_DV_RI).alias("row_index")
+        )
+        pos = pos.join(F.broadcast(already), ["file", "row_index"], "left_anti")
+    staging = os.path.join(path, f"_dvstaging-{uuid.uuid4().hex}")
+    pos.coalesce(1).write.mode("overwrite").parquet(staging)
+    os.makedirs(_dv_dir(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    names, n_rows = [], 0
+    for f in sorted(os.listdir(staging)):
+        if f.endswith(".parquet"):
+            name = f"{uuid.uuid4().hex}.parquet"
+            dest = os.path.join(_dv_dir(path), name)
+            os.rename(os.path.join(staging, f), dest)
+            n_rows += pq.ParquetFile(dest).metadata.num_rows
+            names.append(name)
+    shutil.rmtree(staging)
+
+    def _discard() -> None:
+        for n in names:
+            os.unlink(os.path.join(_dv_dir(path), n))
+
+    if n_rows == 0:
+        _discard()
+        return vs[-1]  # zero matches: no-op
+
+    def check_touched_live(_c: dict) -> None:
+        if not set(touched) <= _live_files(path):
+            _discard()
+            raise RuntimeError(
+                "delete_where(dv) lost a race with a concurrent rewrite "
+                "(compact/overwrite/optimize); re-run against the new "
+                "snapshot"
+            )
+
+    try:
+        json.dumps([lo, hi])
+        predicate = {"col": col, "lo": lo, "hi": hi}
+    except TypeError:
+        predicate = None
+    return _claim_version(
+        path,
+        {
+            "mode": "delete",
+            "add": [],
+            "remove": [],
+            "schema": _read_commit(path, vs[-1])["schema"],
+            "partition_by": partition_spec(path),
+            "predicate": predicate,
+            "dv": {f: names for f in sorted(touched)},
         },
         refresh=check_touched_live,
     )
