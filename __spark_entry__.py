@@ -185,6 +185,7 @@ _TAIL_ORDER = [
     "sample_weighted_topk",
     "text_quality_curriculum",
     # rows-only: recall/error-bound/determinism-tested in pytest
+    "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
     "events_hll_daily_users",
     "events_hll_overlap",

@@ -66,6 +66,7 @@ HEADLINE = [
     "text_chunk_windows",
     "text_bm25_search",
     "retrieval_hybrid_rrf",
+    "retrieval_hybrid_rrf_serving",
     "text_ngram_topk",
     "text_topic_clusters",
     "text_topic_serving",
@@ -104,9 +105,10 @@ HEAVY_WARMUPS = {
     "dedup_minhash_lsh": 2,
     "sim_ann_ivf": 2,
     "sim_ann_ivf_pq": 2,
-    # serving entry: the first warm pass also builds the on-disk index,
+    # serving entries: the first warm pass also builds the on-disk index,
     # so the timed pass measures the frozen-index query path only
     "sim_ann_ivf_pq_serving": 2,
+    "retrieval_hybrid_rrf_serving": 2,
     "dedup_containment_pairs": 2,
     "text_topic_clusters": 2,
     # first warm pass builds the on-disk topic index

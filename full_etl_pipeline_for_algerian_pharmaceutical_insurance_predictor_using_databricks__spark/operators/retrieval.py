@@ -218,6 +218,77 @@ HYBRID_LIST_K = 20  # per-ranker candidate list depth
 HYBRID_TOP = 10     # fused results per query
 
 
+def _lexical_list(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int,
+    list_k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """(query_id, doc_id, lex_rank): BM25 over each query doc's top
+    TF-IDF terms — the lexical arm shared by both hybrid entries (one
+    definition, so the fusion inputs cannot diverge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = (
+        tfidf_top_terms(spark, sf_dir)
+        .filter(F.col("doc_id") < n_queries)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    tfs = _doc_term_counts(docs)
+    df_tab = (
+        tfs.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    dl, stats = _doc_lengths_and_stats(docs)
+    contrib = _bm25_contrib(k1, b)
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("lex_score"), F.asc("doc_id")
+    )
+    return (
+        tfs.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df_tab), "term")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("lex_score"))
+        .withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= list_k)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+
+def _rrf_fuse(
+    lex: DataFrame, dense: DataFrame, rrf_k: int, top: int
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (query_id, doc_id, *_rank) lists —
+    shared by both hybrid entries."""
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+        "lex_rank",
+        "dense_rank",
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= top)
+        .select(
+            "query_id", "rank", "doc_id", "rrf_score", "lex_rank", "dense_rank"
+        )
+    )
+
+
 def hybrid_rrf_search(
     spark: SparkSession,
     sf_dir: str,
@@ -249,37 +320,7 @@ def hybrid_rrf_search(
     is exact."""
     from .similarity import dot_col, guard_cartesian, norm_col
 
-    docs = load_table(spark, sf_dir, "documents")
-
-    # --- lexical list: BM25 with per-query-doc top TF-IDF terms
-    qterms = (
-        tfidf_top_terms(spark, sf_dir)
-        .filter(F.col("doc_id") < n_queries)
-        .select(F.col("doc_id").alias("query_id"), "term")
-    )
-    tfs = _doc_term_counts(docs)
-    df_tab = (
-        tfs.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
-    dl, stats = _doc_lengths_and_stats(docs)
-    contrib = _bm25_contrib(k1, b)
-    w_lex = Window.partitionBy("query_id").orderBy(
-        F.desc("lex_score"), F.asc("doc_id")
-    )
-    lex = (
-        tfs.join(F.broadcast(qterms), "term")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(df_tab), "term")
-        .join(dl.hint("shuffle_hash"), "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(contrib).alias("lex_score"))
-        .withColumn("lex_rank", F.row_number().over(w_lex))
-        .filter(F.col("lex_rank") <= list_k)
-        .select("query_id", "doc_id", "lex_rank")
-    )
+    lex = _lexical_list(spark, sf_dir, n_queries, list_k, k1, b)
 
     # --- dense list: exact cosine (the oracle anchor; see docstring)
     corpus = load_table(spark, sf_dir, "embeddings")
@@ -316,29 +357,42 @@ def hybrid_rrf_search(
         .select("query_id", "doc_id", "dense_rank")
     )
 
-    # --- reciprocal-rank fusion
-    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+    return _rrf_fuse(lex, dense, rrf_k, top)
+
+
+def hybrid_rrf_serving(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = HYBRID_QUERIES,
+    list_k: int = HYBRID_LIST_K,
+    rrf_k: int = RRF_K,
+    top: int = HYBRID_TOP,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """`hybrid_rrf_search` with its dense arm swapped onto the FROZEN
+    IVF-PQ serving index (`similarity.ann_ivf_pq_serving`) — the
+    100-TB path the exact entry's docstring promises.  The lexical arm
+    and the RRF fusion are the SAME builders; only the dense candidate
+    list changes: probe selection → ADC scan of the probed lists →
+    exact re-rank over the on-disk index (built once per sf).  The plan
+    therefore has NO KMeans stage and NO exact corpus×query scan
+    (asserted in tests/test_plans.py) and its wall is the amortized
+    serving cost.  Rows-only entry: ANN candidate lists are not
+    DuckDB-expressible; instead pytest pins a rank-overlap floor
+    against the exact hybrid entry (tests/test_llm_ops.py) — wherever
+    ANN recall holds, fused ranks match."""
+    from .similarity import ann_ivf_pq_serving
+
+    lex = _lexical_list(spark, sf_dir, n_queries, list_k, k1, b)
+    dense = ann_ivf_pq_serving(
+        spark, sf_dir, k=list_k, n_queries=n_queries
+    ).select(
         "query_id",
-        "doc_id",
-        (
-            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)
-            )
-        ).alias("rrf_score"),
-        "lex_rank",
-        "dense_rank",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
     )
-    w_f = Window.partitionBy("query_id").orderBy(
-        F.desc("rrf_score"), F.asc("doc_id")
-    )
-    return (
-        fused.withColumn("rank", F.row_number().over(w_f))
-        .filter(F.col("rank") <= top)
-        .select(
-            "query_id", "rank", "doc_id", "rrf_score", "lex_rank", "dense_rank"
-        )
-    )
+    return _rrf_fuse(lex, dense, rrf_k, top)
 
 
 _HYBRID_SQL = rf"""
@@ -448,6 +502,7 @@ QUERIES = {
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_bm25_search": bm25_search,
     "retrieval_hybrid_rrf": hybrid_rrf_search,
+    "retrieval_hybrid_rrf_serving": hybrid_rrf_serving,
 }
 
 ORACLES = {

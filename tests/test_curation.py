@@ -529,3 +529,36 @@ def test_substring_dedup_first_occurrence_law(spark, sf_correct):
     first = next(r for r in out if r.doc_id == 0)
     own = [r.seg_text for r in segs.filter(F.col("doc_id") == 0).collect()]
     assert first.segs_kept == len(set(own))
+
+
+def test_hybrid_rrf_serving_rank_overlap_and_shape(spark, sf_correct):
+    """The serving hybrid (frozen IVF-PQ dense arm) must agree with the
+    exact hybrid wherever ANN recall holds: identical lexical arm, and
+    a pinned top-10 overlap floor per query after fusion."""
+    exact = retrieval.hybrid_rrf_search(spark, sf_correct).collect()
+    served = retrieval.hybrid_rrf_serving(spark, sf_correct).collect()
+    assert len(served) == len(exact)
+    by_q_exact: dict = {}
+    by_q_served: dict = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for r in served:
+        by_q_served.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert set(by_q_exact) == set(by_q_served)
+    overlaps = [
+        len(by_q_exact[q] & by_q_served[q]) / len(by_q_exact[q])
+        for q in by_q_exact
+    ]
+    # identical lexical arm + high-recall ANN arm: most of the fused
+    # top-10 must survive the dense-arm swap
+    assert sum(overlaps) / len(overlaps) >= 0.6, overlaps
+    # lexical ranks are bit-identical between the two entries
+    lex_exact = {
+        (r["query_id"], r["doc_id"]): r["lex_rank"]
+        for r in exact
+        if r["lex_rank"] is not None
+    }
+    for r in served:
+        key = (r["query_id"], r["doc_id"])
+        if r["lex_rank"] is not None and key in lex_exact:
+            assert r["lex_rank"] == lex_exact[key]

@@ -298,3 +298,19 @@ def test_join_strategy_hints_are_honored(spark, sf_correct):
     assert "BroadcastHashJoin" in plan_with("broadcast")
     assert "ShuffledHashJoin" in plan_with("shuffle_hash")
     assert "SortMergeJoin" in plan_with("merge")
+
+
+def test_hybrid_rrf_serving_plan_has_no_fit_no_exact_scan(spark, sf_correct):
+    """The serving hybrid's dense arm rides the frozen IVF-PQ index:
+    no KMeans/ML fit stage, no query×corpus exact-scan cartesian —
+    the only cross joins left are broadcast scalar/probe sides."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        retrieval,
+    )
+
+    df = retrieval.hybrid_rrf_serving(spark, sf_correct)
+    plan = executed_plan(df)
+    assert "KMeans" not in plan and "TreeAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert has_broadcast_join(df)
