@@ -184,6 +184,7 @@ _TAIL_ORDER = [
     "retrieval_hybrid_rrf",
     "sample_weighted_topk",
     "text_quality_curriculum",
+    "mm_image_png_pipeline",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",

@@ -220,6 +220,240 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PNG: encode and decode — the first COMPRESSED codec in the family
+# (zlib DEFLATE via the stdlib; filtering/unfiltering in pure numpy)
+# --------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a, b, c):
+    """The Paeth predictor (PNG spec §9.4), vectorized over numpy
+    arrays: pick whichever of left/up/up-left is closest to a+b-c."""
+    import numpy as np
+
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.int32)
+
+
+def _encode_png(img, level: int = 6) -> bytes:
+    """numpy (h, w, 3) uint8 → REAL compressed PNG bytes (8-bit
+    truecolor, non-interlaced): per-scanline filtering — row r uses
+    filter r % 5, so every stream exercises None/Sub/Up/Average/Paeth
+    — then one zlib DEFLATE stream in a single IDAT.  Filtering
+    against ORIGINAL neighbors is fully vectorized (the sequential
+    dependency only exists on the decode side)."""
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    bpp = 3
+    rows = img.reshape(h, w * bpp).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for r in range(h):
+        row = rows[r]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        ftype = r % 5
+        if ftype == 0:
+            out = row
+        elif ftype == 1:  # Sub
+            out = row - left
+        elif ftype == 2:  # Up
+            out = row - prev
+        elif ftype == 3:  # Average
+            out = row - (left + prev) // 2
+        else:  # Paeth
+            out = row - _paeth(left, prev, upleft)
+        raw.append(ftype)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(b: bytes):
+    """Real PNG parse: signature, chunk walk with CRC VERIFICATION,
+    multi-IDAT concatenation (foreign writers split the stream),
+    ancillary chunks skipped, zlib inflate, then per-scanline
+    UNFILTERING of all five filter types (Sub/Paeth reconstruct
+    sequentially against decoded left neighbors, per spec).  Returns
+    (h, w, 3) uint8.  8-bit truecolor non-interlaced only — the
+    variant every fixture and the common fast path use; anything else
+    raises rather than mis-decoding."""
+    import zlib
+
+    import numpy as np
+
+    if b[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = len(PNG_SIG), None, []
+    while pos + 8 <= len(b):
+        (size,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + size)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} fails CRC")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color={ctype_} "
+            f"interlace={interlace}"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    bpp, stride = 3, 1 + 3 * w
+    if len(raw) != h * stride:
+        raise ValueError("PNG stream length mismatch")
+    out = np.zeros((h, w * bpp), dtype=np.int32)
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for r in range(h):
+        ftype = raw[r * stride]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=w * bpp, offset=r * stride + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # Up
+            rec = (row + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            rec = np.zeros(w * bpp, dtype=np.int32)
+            for i in range(w * bpp):
+                left = rec[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                upleft = prev[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = (
+                        left
+                        if pa <= pb and pa <= pc
+                        else (up if pb <= pc else upleft)
+                    )
+                rec[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(h, w, bpp)
+
+
+def synthetic_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a REAL deterministic compressed PNG to each document:
+    dims from digest bytes 2/3 (w, h = 2 + d % 8), pixel
+    (r, c, ch) = digest[(r·w·3 + c·3 + ch) mod 16] — same SQL-replayable
+    pixel model as the BMP fixture, but the bytes go through genuine
+    DEFLATE compression and all five PNG filters."""
+    media = _digest_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            out = []
+            for b in batch["digest"]:
+                d = np.frombuffer(b, dtype=np.uint8)
+                w, h = 2 + int(d[2]) % 8, 2 + int(d[3]) % 8
+                img = np.resize(d, h * w * 3).reshape(h, w, 3)
+                out.append(_encode_png(img))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "image_bytes": out}
+            )
+
+    return media.mapInPandas(run, "doc_id long, image_bytes binary")
+
+
+PNG_PIPELINE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized_pixel_sum", T.LongType()),
+    ]
+)
+
+
+def image_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-image pipeline over genuine PNG bytes: decode
+    (CRC-checked chunk walk → inflate → unfilter all five types) →
+    full-image checksum → 2:1 nearest-neighbor resize checksum.  The
+    DuckDB oracle recomputes dims and BOTH checksums from the digest
+    math, so any defect in the compressed path — CRC, inflate
+    boundaries, filter reconstruction, row order — breaks the value
+    match.  (The compressed byte COUNT is intentionally not oracled:
+    DEFLATE output length isn't SQL-expressible.)"""
+    media = synthetic_png_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for b in batch["image_bytes"]:
+                img = _decode_png(bytes(b))
+                small = img[::2, ::2, :]
+                rows.append(
+                    (
+                        img.shape[1],
+                        img.shape[0],
+                        int(img.sum()),
+                        small.shape[1],
+                        small.shape[0],
+                        int(small.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "width": pd.Series([r[0] for r in rows], dtype="int32"),
+                    "height": pd.Series([r[1] for r in rows], dtype="int32"),
+                    "pixel_sum": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "out_width": pd.Series([r[3] for r in rows], dtype="int32"),
+                    "out_height": pd.Series([r[4] for r in rows], dtype="int32"),
+                    "resized_pixel_sum": pd.Series(
+                        [r[5] for r in rows], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, PNG_PIPELINE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # WAV: encode (fixture generator) and decode (the real codec)
 # --------------------------------------------------------------------------
 
@@ -753,6 +987,7 @@ QUERIES = {
     "mm_audio_rms": audio_rms_windows,
     "mm_audio_segments": audio_low_energy_segments,
     "mm_image_resize": image_resize,
+    "mm_image_png_pipeline": image_png_pipeline,
 }
 
 # The fixture bytes are digest-derived, so the REAL decoded features
@@ -858,6 +1093,41 @@ FROM (
 GROUP BY doc_id, i // {AUDIO_WINDOW}
 """
 
+_PNG_DIMS = """
+SELECT doc_id, md5(text) AS hx,
+       2 + (('0x' || substr(md5(text), 5, 2))::INT % 8) AS w,
+       2 + (('0x' || substr(md5(text), 7, 2))::INT % 8) AS h
+FROM documents
+"""
+
+_PNG_PIPELINE_SQL = f"""
+WITH dims AS (
+    SELECT *, (w + 1) // 2 AS out_w, (h + 1) // 2 AS out_h
+    FROM ({_PNG_DIMS})
+),
+px AS (
+    SELECT doc_id, w, h, out_w, out_h, r.x AS r, c.x AS c,
+           ('0x' || substr(hx,
+               2 * ((r.x * w * 3 + c.x * 3 + ch.x) % 16) + 1,
+               2))::BIGINT AS v
+    FROM dims
+    CROSS JOIN range(9) r(x)
+    CROSS JOIN range(9) c(x)
+    CROSS JOIN range(3) ch(x)
+    WHERE r.x < h AND c.x < w
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(out_w AS INT) AS out_width,
+       CAST(out_h AS INT) AS out_height,
+       CAST(SUM(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN v ELSE 0 END)
+            AS BIGINT) AS resized_pixel_sum
+FROM px
+GROUP BY doc_id, w, h, out_w, out_h
+"""
+
 ORACLES: dict[str, str] = {
     "mm_image_metadata": _IMAGE_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
@@ -865,4 +1135,5 @@ ORACLES: dict[str, str] = {
     "mm_audio_rms": _AUDIO_RMS_SQL,
     "mm_audio_segments": _AUDIO_SEGMENTS_SQL,
     "mm_image_resize": _RESIZE_SQL,
+    "mm_image_png_pipeline": _PNG_PIPELINE_SQL,
 }

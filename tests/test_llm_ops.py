@@ -1024,3 +1024,95 @@ def test_pca_projection_invariants(spark, sf_correct, tmp_path):
     assert [(r.vec_id, r.pca) for r in rows] == [
         (r.vec_id, r.pca) for r in again
     ]
+
+
+def test_png_codec_roundtrip_foreign_layout_and_crc():
+    """PNG (the compressed codec): lossless roundtrip across shapes
+    that exercise all five filters; a FOREIGN layout (split IDAT
+    stream + interleaved ancillary tEXt chunk — what other writers
+    emit) decodes identically; a corrupted chunk fails its CRC check;
+    non-PNG bytes and unsupported variants raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        multimodal,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (2, 3), (5, 4), (9, 9), (7, 2), (16, 11)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (multimodal._decode_png(multimodal._encode_png(img)) == img).all()
+
+    # foreign layout: rebuild a stream with IDAT split into 3 chunks
+    # and a tEXt ancillary chunk between them
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    ours = multimodal._encode_png(img)
+    pos = len(multimodal.PNG_SIG)
+    chunks = []
+    while pos + 8 <= len(ours):
+        (size,) = struct.unpack_from(">I", ours, pos)
+        chunks.append((ours[pos + 4 : pos + 8], ours[pos + 8 : pos + 8 + size]))
+        pos += 12 + size
+    idat = next(body for ctype, body in chunks if ctype == b"IDAT")
+    third = max(1, len(idat) // 3)
+    foreign = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(
+            b"IHDR", next(body for c, body in chunks if c == b"IHDR")
+        )
+        + multimodal._png_chunk(b"IDAT", idat[:third])
+        + multimodal._png_chunk(b"tEXt", b"Software\x00somewriter")
+        + multimodal._png_chunk(b"IDAT", idat[third : 2 * third])
+        + multimodal._png_chunk(b"IDAT", idat[2 * third :])
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert (multimodal._decode_png(foreign) == img).all()
+
+    # CRC corruption is detected, not mis-decoded
+    bad = bytearray(ours)
+    bad[len(multimodal.PNG_SIG) + 8 + 3] ^= 0xFF  # flip an IHDR body byte
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal._decode_png(bytes(bad))
+
+    with pytest.raises(ValueError, match="signature"):
+        multimodal._decode_png(b"BM not a png")
+
+    # unsupported variant (16-bit depth) raises rather than mis-decoding
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    raw = zlib.compress(bytes(2 * (1 + 2 * 6)))
+    variant = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr16)
+        + multimodal._png_chunk(b"IDAT", raw)
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        multimodal._decode_png(variant)
+
+
+def test_png_fixture_exercises_all_filters_and_compresses(spark, sf_dir):
+    """The digest fixtures genuinely compress (DEFLATE shrinks the
+    filtered stream vs raw scanlines for most images) and tall images
+    carry all five per-row filter types through the roundtrip."""
+    import numpy as np
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        multimodal,
+    )
+
+    img = np.tile(np.arange(30, dtype=np.uint8).reshape(1, 10, 3), (8, 1, 1))
+    png = multimodal._encode_png(img)
+    assert png[: len(multimodal.PNG_SIG)] == multimodal.PNG_SIG
+    assert len(png) < 8 * (1 + 30) + 57  # smaller than the raw stream
+    assert (multimodal._decode_png(png) == img).all()
+
+    rows = multimodal.synthetic_png_media(spark, sf_dir).limit(20).collect()
+    assert len(rows) == 20
+    for r in rows:
+        b = bytes(r["image_bytes"])
+        assert b[: len(multimodal.PNG_SIG)] == multimodal.PNG_SIG
+        multimodal._decode_png(b)  # every fixture byte stream parses
