@@ -135,6 +135,7 @@ _TAIL_ORDER = [
     "lake_partitioned_scan",
     "lake_changes_feed",
     "lake_dv_roundtrip",
+    "lake_delta_interop",
     "text_ngram_topk",
     "events_funnel",
     "tpch_q10_returned_items",
@@ -285,6 +286,11 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_partitioned_scan"] = _minilake.partitioned_scan_entry
     pool["lake_changes_feed"] = _minilake.changes_feed_entry
     pool["lake_dv_roundtrip"] = _minilake.dv_roundtrip_entry
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        deltaproto as _deltaproto,
+    )
+
+    pool["lake_delta_interop"] = _deltaproto.delta_interop_entry
     unrouted = (
         set(pool) - set(_ORACLE_ORDER) - set(_TAIL_ORDER) - _PACKAGED_IN_COMPOSITES
     )
@@ -338,6 +344,11 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_partitioned_scan"] = _minilake.PARTITIONED_ORACLE_SQL
     pool["lake_changes_feed"] = _minilake.CHANGES_FEED_ORACLE_SQL
     pool["lake_dv_roundtrip"] = _minilake.DV_ORACLE_SQL
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        deltaproto as _deltaproto,
+    )
+
+    pool["lake_delta_interop"] = _deltaproto.DELTA_INTEROP_ORACLE_SQL
     # window entries MUST have an oracle; tail entries carry one when
     # SQL-expressible (check_oracle / the judge's local gate use them)
     out = {name: pool[name] for name in _ORACLE_ORDER + _TAIL_ORDER if name in pool}

@@ -1,0 +1,516 @@
+"""Delta Lake PROTOCOL interop — read and write real `_delta_log`
+tables (reference ING:211 `format("delta")...saveAsTable`; the
+`delta-spark` package is not installable in this sandbox, re-verified
+every round, but the transaction-log FORMAT is public — the Delta
+PROTOCOL.md spec — so this module speaks it directly).
+
+What this adds over `minilake` (the engine's own commit-log format):
+BYTE-LEVEL interop.  A table written here is a protocol-v1 Delta table
+— `_delta_log/<v>.json` with `protocol` / `metaData` / `add` / `remove`
+actions (newline-delimited JSON), hive-layout partition directories,
+relative paths — that any real Delta engine (Spark+delta, DuckDB
+delta, Trino, polars) can read; and `read_delta` folds a `_delta_log`
+produced by any such engine, including parquet CHECKPOINTS via
+`_last_checkpoint`, as long as it needs no reader features past
+protocol v1/v2 basics (deletion vectors / column mapping raise loudly
+rather than mis-read — the spec's own rule for unsupported reader
+features).
+
+Scale notes: snapshot construction is the same driver-side fold real
+Delta performs at planning time (the log is the tiny side); data stays
+in distributed parquet scans.  Partition values come from the log's
+`partitionValues` (authoritative — partition columns are NOT stored in
+the data files, per the Delta/Hive layout), attached as typed literal
+columns per partition group so Catalyst still prunes and codegens the
+scan.  Commits claim versions with the same atomic put-if-absent
+(`os.link`) rule minilake uses — the optimistic concurrency the
+protocol requires of writers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_LOG_FMT = "{:020d}.json"
+_CKPT_FMT = "{:020d}.checkpoint.parquet"
+
+#: Reader/writer protocol versions this module writes (v1 readers —
+#: the maximally-compatible tier) and the highest it can READ without
+#: feature flags.
+_WRITE_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+_MAX_READER_VERSION = 2  # v2 adds nothing a plain reader must act on
+#: Reader features (protocol v3+) this module does NOT implement; a
+#: table requiring any of them must raise, never silently mis-read.
+_UNSUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+    "v2Checkpoint",
+    "typeWidening",
+    "variantType",
+}
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_delta_log")
+
+
+def delta_versions(path: str) -> list[int]:
+    """Committed versions of a Delta table (empty if absent)."""
+    ld = _log_dir(path)
+    if not os.path.isdir(ld):
+        return []
+    return sorted(
+        int(n[:-5])
+        for n in os.listdir(ld)
+        if n.endswith(".json") and n[:-5].isdigit()
+    )
+
+
+def _read_actions(path: str, version: int) -> list[dict]:
+    """One commit's actions (newline-delimited JSON, per spec)."""
+    out = []
+    with open(os.path.join(_log_dir(path), _LOG_FMT.format(version))) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def _check_protocol(proto: dict) -> None:
+    if proto.get("minReaderVersion", 1) > _MAX_READER_VERSION:
+        feats = set(proto.get("readerFeatures") or [])
+        unsupported = feats & _UNSUPPORTED_READER_FEATURES
+        # v3 tables LIST their reader features; we can read one iff
+        # every listed feature is outside the unsupported set (none
+        # such exist today, so in practice this raises)
+        if unsupported or not feats:
+            raise ValueError(
+                "Delta table requires unsupported reader capabilities: "
+                f"minReaderVersion={proto.get('minReaderVersion')} "
+                f"features={sorted(feats) or 'unknown'}"
+            )
+
+
+def _last_checkpoint(path: str) -> dict | None:
+    p = os.path.join(_log_dir(path), "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None  # spec: _last_checkpoint is a hint, never required
+
+
+def _fold_delta_state(spark: SparkSession, path: str, version: int | None):
+    """Fold the Delta log into (metaData, {file: add-action}) as of
+    `version` — from the newest usable parquet checkpoint plus the JSON
+    tail, exactly as the spec prescribes for snapshot construction."""
+    vs = delta_versions(path)
+    ckpt_meta = _last_checkpoint(path)
+    live: dict[str, dict] = {}
+    meta = None
+    proto: dict = {}
+    start_after = -1
+    if ckpt_meta is not None and (version is None or ckpt_meta["version"] <= version):
+        ck_v = int(ckpt_meta["version"])
+        ck_file = os.path.join(_log_dir(path), _CKPT_FMT.format(ck_v))
+        if os.path.exists(ck_file):
+            for row in spark.read.parquet(ck_file).collect():
+                d = row.asDict(recursive=True)
+                if d.get("add"):
+                    live[d["add"]["path"]] = d["add"]
+                if d.get("remove"):
+                    live.pop(d["remove"]["path"], None)
+                if d.get("metaData") and d["metaData"].get("id"):
+                    meta = d["metaData"]
+                if d.get("protocol") and d["protocol"].get("minReaderVersion"):
+                    proto = d["protocol"]
+            start_after = ck_v
+    if version is None:
+        if not vs and start_after < 0:
+            raise FileNotFoundError(f"no Delta log under {path}")
+        version = vs[-1] if vs else start_after
+    for v in vs:
+        if v <= start_after or v > version:
+            continue
+        for a in _read_actions(path, v):
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+            elif "metaData" in a:
+                meta = a["metaData"]
+            elif "protocol" in a:
+                proto = a["protocol"]
+    if proto:
+        _check_protocol(proto)
+    if meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    return meta, live, version
+
+
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot (optionally time-travel) read of a real Delta table.
+    Partition columns are reconstructed from each add-action's
+    `partitionValues` (the authoritative source — they are absent from
+    the data files), cast to the schema's types, and the groups
+    unioned; unpartitioned tables are a single multi-file scan."""
+    from pyspark.sql.types import StructType
+
+    meta, live, version = _fold_delta_state(spark, path, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    data_cols = [f for f in schema.fields if f.name not in part_cols]
+    if not live:
+        return spark.createDataFrame([], schema)
+    if not part_cols:
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in sorted(live)]
+        )
+    types = {f.name: f.dataType for f in schema.fields}
+    read_schema = StructType(data_cols)
+    groups: dict[tuple, list[str]] = {}
+    for fname, add in live.items():
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(fname)
+    frames = []
+    for key, files in sorted(groups.items()):
+        df = spark.read.schema(read_schema).parquet(
+            *[os.path.join(path, f) for f in sorted(files)]
+        )
+        for c, raw in zip(part_cols, key):
+            # spec serialization: null ↔ absent/empty; values are strings
+            lit = F.lit(None) if raw is None else F.lit(raw)
+            df = df.withColumn(c, lit.cast(types[c]))
+        frames.append(df.select(*[f.name for f in schema.fields]))
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def delta_history(path: str) -> list[dict]:
+    """(version, operation, n_added, n_removed) per commit, from the
+    commitInfo + file actions."""
+    out = []
+    for v in delta_versions(path):
+        acts = _read_actions(path, v)
+        info = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
+        out.append(
+            {
+                "version": v,
+                "operation": info.get("operation", "UNKNOWN"),
+                "n_added": sum(1 for a in acts if "add" in a),
+                "n_removed": sum(1 for a in acts if "remove" in a),
+            }
+        )
+    return out
+
+
+def _claim_delta_version(path: str, lines: list[str]) -> int:
+    """Atomic put-if-absent commit (os.link), retrying at the next
+    version on a lost race — the writer rule the protocol requires."""
+    ld = _log_dir(path)
+    os.makedirs(ld, exist_ok=True)
+    tmp = os.path.join(ld, f"_commit-{uuid.uuid4().hex}.json.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    while True:
+        vs = delta_versions(path)
+        version = (vs[-1] + 1) if vs else 0
+        try:
+            os.link(tmp, os.path.join(ld, _LOG_FMT.format(version)))
+        except FileExistsError:
+            continue
+        os.unlink(tmp)
+        return version
+
+
+def _land_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None
+) -> list[tuple[str, dict, int]]:
+    """Write the frame as uuid-named parquet files in the Delta/Hive
+    layout (hive partition dirs, partition columns DROPPED from file
+    content, per spec) and return (relative path, partitionValues,
+    size) triples — invisible until committed."""
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    if partition_by:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
+    else:
+        df.write.mode("overwrite").parquet(staging)
+    out = []
+    for dirpath, _dirs, files in sorted(os.walk(staging)):
+        rel = os.path.relpath(dirpath, staging)
+        pvals: dict[str, str | None] = {}
+        segs = [] if rel == "." else rel.split(os.sep)
+        for seg in segs:
+            k, _, v = seg.partition("=")
+            if partition_by and k in partition_by:
+                pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            relname = "/".join(segs + [name]) if segs else name
+            dest = os.path.join(path, *segs, name)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(os.path.join(dirpath, f), dest)
+            out.append((relname, pvals, os.path.getsize(dest)))
+    shutil.rmtree(staging)
+    return out
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write a REAL protocol-v1 Delta commit: land hive-layout parquet,
+    then one `_delta_log/<v>.json` with commitInfo + (first commit)
+    protocol/metaData + add actions (+ remove actions for overwrite).
+    The resulting table is readable by any Delta engine.  Appends to an
+    existing table inherit its partitioning and must not contradict
+    it; `mode="overwrite"` logically removes the prior live set (time
+    travel keeps it readable)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    vs = delta_versions(path)
+    first = not vs
+    spark = df.sparkSession
+    existing_meta = None
+    if not first:
+        existing_meta, live, _v = _fold_delta_state(spark, path, None)
+        spec = list(existing_meta.get("partitionColumns") or [])
+        if partition_by is not None and list(partition_by) != spec:
+            raise ValueError(
+                f"partition_by {list(partition_by)} contradicts the table's "
+                f"partition spec {spec}"
+            )
+        partition_by = spec
+    else:
+        partition_by = list(partition_by or [])
+        live = {}
+    files = _land_parquet(df, path, partition_by)
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": mode.upper()},
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    if first:
+        lines.append(json.dumps({"protocol": dict(_WRITE_PROTOCOL)}))
+    if first or mode == "overwrite":
+        meta_id = (
+            existing_meta["id"] if existing_meta else str(uuid.uuid4())
+        )
+        lines.append(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": meta_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": partition_by,
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        )
+    if mode == "overwrite":
+        for fname in sorted(live):
+            lines.append(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": fname,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            )
+    for relname, pvals, size in files:
+        lines.append(
+            json.dumps(
+                {
+                    "add": {
+                        "path": relname,
+                        "partitionValues": pvals,
+                        "size": size,
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        )
+    return _claim_delta_version(path, lines)
+
+
+def write_delta_checkpoint(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """Write a classic parquet CHECKPOINT of the folded state (one row
+    per live add + the metaData + protocol rows) and point
+    `_last_checkpoint` at it — the structure real readers use to skip
+    the JSON tail.  Commits stay untouched (time travel)."""
+    vs = delta_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no Delta log under {path}")
+    if version is None:
+        version = vs[-1]
+    meta, live, version = _fold_delta_state(spark, path, version)
+    add_type = (
+        "struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>"
+    )
+    meta_type = (
+        "struct<id:string,format:struct<provider:string>,"
+        "schemaString:string,partitionColumns:array<string>,"
+        "createdTime:bigint>"
+    )
+    proto_type = "struct<minReaderVersion:int,minWriterVersion:int>"
+    rows = [
+        {
+            "add": {
+                "path": a["path"],
+                "partitionValues": a.get("partitionValues") or {},
+                "size": int(a.get("size") or 0),
+                "modificationTime": int(a.get("modificationTime") or 0),
+                "dataChange": False,
+            },
+            "metaData": None,
+            "protocol": None,
+        }
+        for a in live.values()
+    ]
+    rows.append(
+        {
+            "add": None,
+            "metaData": {
+                "id": meta["id"],
+                "format": {"provider": "parquet"},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": list(meta.get("partitionColumns") or []),
+                "createdTime": int(meta.get("createdTime") or 0),
+            },
+            "protocol": None,
+        }
+    )
+    rows.append({"add": None, "metaData": None, "protocol": dict(_WRITE_PROTOCOL)})
+    schema = f"add {add_type}, metaData {meta_type}, protocol {proto_type}"
+    ck = os.path.join(_log_dir(path), _CKPT_FMT.format(version))
+    tmpdir = os.path.join(_log_dir(path), f"_ckpt-{uuid.uuid4().hex}")
+    spark.createDataFrame(
+        [(r["add"], r["metaData"], r["protocol"]) for r in rows], schema
+    ).coalesce(1).write.mode("overwrite").parquet(tmpdir)
+    part = next(
+        f for f in sorted(os.listdir(tmpdir)) if f.endswith(".parquet")
+    )
+    os.replace(os.path.join(tmpdir, part), ck)
+    shutil.rmtree(tmpdir)
+    tmp = os.path.join(_log_dir(path), f"_lc-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    os.replace(tmp, os.path.join(_log_dir(path), "_last_checkpoint"))
+    return version
+
+
+def delta_to_minilake(
+    spark: SparkSession, delta_path: str, minilake_path: str
+) -> int:
+    """Migration helper — the 'switch engines' story: snapshot a real
+    Delta table and commit it into a minilake table (same partition
+    spec), so every minilake capability (zone maps, DVs, CDF, restore)
+    applies from the next commit on."""
+    from . import minilake
+
+    meta, _live, _v = _fold_delta_state(spark, delta_path, None)
+    spec = list(meta.get("partitionColumns") or [])
+    snap = read_delta(spark, delta_path)
+    return minilake.commit_append(
+        snap, minilake_path, partition_by=spec or None
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver entry
+# --------------------------------------------------------------------------
+
+_DELTA_LAKE_VERSION = 1
+
+
+def delta_interop_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate entry for the Delta-protocol path: write `documents`
+    as a REAL partitioned Delta table (hive layout + `_delta_log` JSON
+    commits: protocol/metaData/add actions), append a second slice,
+    write a parquet checkpoint + `_last_checkpoint`, then read the
+    snapshot back through the protocol reader (checkpoint + JSON tail,
+    partition columns reconstructed from partitionValues) and aggregate
+    per lang.  The DuckDB oracle restates the union off the raw
+    parquet, so a value match proves the log format, hive partition
+    landing, checkpoint fold, and partition-value reconstruction are
+    exact."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir("deltaproto", _DELTA_LAKE_VERSION, sf_dir),
+        "docs_delta",
+    )
+    if not delta_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        write_delta(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            path,
+            partition_by=["lang"],
+        )
+        write_delta(docs.filter(F.col("doc_id") % 2 == 1), path)
+        write_delta_checkpoint(spark, path)
+    snap = read_delta(spark, path)
+    return (
+        snap.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+DELTA_INTEROP_ORACLE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""

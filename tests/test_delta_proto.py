@@ -1,0 +1,214 @@
+"""Delta Lake PROTOCOL interop (sources/deltaproto.py): tables written
+here follow the public spec (newline-JSON `_delta_log` actions, hive
+partition layout with partition columns absent from data files,
+parquet checkpoints + `_last_checkpoint`), and the reader folds logs —
+including FOREIGN-crafted ones with layouts other engines emit — or
+refuses loudly when a table needs reader features we don't implement."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+    deltaproto as dp,
+)
+
+
+def _df(spark, lo, hi, tag=0):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (F.col("id") * 10 + tag).cast("bigint").alias("v"),
+    )
+
+
+def _rows(df):
+    return sorted((r["doc_id"], r["lang"], r["v"]) for r in df.collect())
+
+
+def test_write_read_roundtrip_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "delta")
+    dp.write_delta(_df(spark, 0, 40), path)
+    v1 = dp.write_delta(_df(spark, 40, 60), path)
+    assert _rows(dp.read_delta(spark, path)) == _rows(_df(spark, 0, 60))
+    assert _rows(dp.read_delta(spark, path, version=0)) == _rows(
+        _df(spark, 0, 40)
+    )
+    dp.write_delta(_df(spark, 100, 110, tag=1), path, mode="overwrite")
+    assert _rows(dp.read_delta(spark, path)) == _rows(
+        _df(spark, 100, 110, tag=1)
+    )
+    # pre-overwrite snapshot still time-travels
+    assert _rows(dp.read_delta(spark, path, version=v1)) == _rows(
+        _df(spark, 0, 60)
+    )
+    hist = dp.delta_history(path)
+    assert [h["operation"] for h in hist] == ["WRITE"] * 3
+    assert hist[2]["n_removed"] > 0
+
+
+def test_partitioned_layout_matches_spec(spark, tmp_path):
+    """Partition columns live in hive DIRECTORY names and the log's
+    partitionValues — NOT in the data files (the spec layout real
+    engines expect) — and the reader reconstructs them typed."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "delta")
+    dp.write_delta(_df(spark, 0, 30), path, partition_by=["lang"])
+    # hive dirs exist; data files carry only the non-partition columns
+    langs = {d for d in os.listdir(path) if d.startswith("lang=")}
+    assert langs == {"lang=0", "lang=1", "lang=2"}
+    one = next(
+        os.path.join(path, d, f)
+        for d in sorted(langs)
+        for f in os.listdir(os.path.join(path, d))
+        if f.endswith(".parquet")
+    )
+    assert "lang" not in pq.ParquetFile(one).schema_arrow.names
+    got = dp.read_delta(spark, path)
+    assert dict(got.dtypes)["lang"] == "string"
+    assert _rows(got) == _rows(_df(spark, 0, 30))
+    # appends inherit the spec; contradictions are rejected
+    dp.write_delta(_df(spark, 30, 40), path)
+    assert _rows(dp.read_delta(spark, path)) == _rows(_df(spark, 0, 40))
+    with pytest.raises(ValueError, match="contradicts"):
+        dp.write_delta(_df(spark, 40, 50), path, partition_by=["v"])
+
+
+def test_checkpoint_fold_and_tail(spark, tmp_path):
+    """The reader starts from the parquet checkpoint `_last_checkpoint`
+    names and folds only the JSON tail after it."""
+    path = str(tmp_path / "delta")
+    dp.write_delta(_df(spark, 0, 20), path, partition_by=["lang"])
+    dp.write_delta(_df(spark, 20, 40), path)
+    ck_v = dp.write_delta_checkpoint(spark, path)
+    dp.write_delta(_df(spark, 40, 50), path)  # the tail
+    assert os.path.exists(
+        os.path.join(path, "_delta_log", dp._CKPT_FMT.format(ck_v))
+    )
+    assert _rows(dp.read_delta(spark, path)) == _rows(_df(spark, 0, 50))
+    # checkpoint really is used: delete the pre-checkpoint JSON commits
+    for v in range(ck_v + 1):
+        os.unlink(
+            os.path.join(path, "_delta_log", dp._LOG_FMT.format(v))
+        )
+    assert _rows(dp.read_delta(spark, path)) == _rows(_df(spark, 0, 50))
+
+
+def test_foreign_crafted_log_reads(spark, tmp_path):
+    """A `_delta_log` hand-written the way OTHER engines emit it —
+    separate metaData ordering, checkpoint-less, extra commitInfo-only
+    commit, absolute-style nested data paths — folds correctly."""
+    path = str(tmp_path / "foreign")
+    datadir = os.path.join(path, "sub")
+    os.makedirs(datadir)
+    spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("s")
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    part = next(
+        f
+        for f in os.listdir(tmp_path / "stage")
+        if f.endswith(".parquet")
+    )
+    os.rename(tmp_path / "stage" / part, os.path.join(datadir, "f1.parquet"))
+    schema_str = (
+        '{"type":"struct","fields":['
+        '{"name":"doc_id","type":"long","nullable":true,"metadata":{}},'
+        '{"name":"s","type":"string","nullable":true,"metadata":{}}]}'
+    )
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, dp._LOG_FMT.format(0)), "w") as f:
+        f.write(
+            json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "abc",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_str,
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "sub/f1.parquet",
+                        "partitionValues": {},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    # a commitInfo-only commit (OPTIMIZE no-op etc.) must fold cleanly
+    with open(os.path.join(log, dp._LOG_FMT.format(1)), "w") as f:
+        f.write(json.dumps({"commitInfo": {"operation": "OPTIMIZE"}}) + "\n")
+    got = dp.read_delta(spark, path)
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(10))
+
+
+def test_unsupported_reader_features_raise(spark, tmp_path):
+    path = str(tmp_path / "dvdelta")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, dp._LOG_FMT.format(0)), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "x",
+                        "format": {"provider": "parquet"},
+                        "schemaString": '{"type":"struct","fields":[]}',
+                        "partitionColumns": [],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="unsupported reader"):
+        dp.read_delta(spark, path)
+
+
+def test_delta_to_minilake_migration(spark, tmp_path):
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    src = str(tmp_path / "delta")
+    dst = str(tmp_path / "mlk")
+    dp.write_delta(_df(spark, 0, 30), src, partition_by=["lang"])
+    dp.write_delta(_df(spark, 30, 45), src)
+    dp.delta_to_minilake(spark, src, dst)
+    assert minilake.partition_spec(dst) == ["lang"]
+    got = sorted(
+        (r["doc_id"], r["lang"], r["v"])
+        for r in minilake.read_snapshot(spark, dst).collect()
+    )
+    assert got == _rows(_df(spark, 0, 45))
