@@ -1154,19 +1154,48 @@ def commit_stream_batch(df: DataFrame, path: str, batch_id: int) -> int | None:
 
 
 def maybe_compact(
-    spark: SparkSession, path: str, max_live_files: int = 64, target_mb: int = 128
+    spark: SparkSession,
+    path: str,
+    max_live_files: int = 64,
+    target_mb: int = 128,
+    max_dv_ratio: float | None = None,
 ) -> int | None:
-    """Auto-OPTIMIZE rule for streaming sinks: compact only when the
-    live-file count exceeds `max_live_files`.  A micro-batch sink
-    commits a few small files per trigger — the classic small-file
-    accumulation that multiplies scan tasks at 100 TB — so the
-    maintenance pass must be threshold-driven, not per-batch (a
-    per-batch rewrite would be O(table) work per trigger).  Returns the
-    compaction commit version, or None when under threshold.  The
-    decision reads only the log (checkpoint + tail), no data files."""
-    if len(_live_files(path)) <= max_live_files:
-        return None
-    return compact(spark, path, target_mb=target_mb)
+    """Auto-OPTIMIZE rule for streaming sinks: compact when the
+    live-file count exceeds `max_live_files`, or (with `max_dv_ratio`)
+    when deletion vectors hide more than that fraction of the table's
+    rows — the merge-on-read rent comes due and the rewrite pays it
+    off (the same trigger Delta's auto-compaction / Iceberg's
+    rewrite_data_files policies use).  A micro-batch sink commits a
+    few small files per trigger — the classic small-file accumulation
+    that multiplies scan tasks at 100 TB — so the maintenance pass
+    must be threshold-driven, not per-batch (a per-batch rewrite would
+    be O(table) work per trigger).  Returns the compaction commit
+    version, or None when under both thresholds.  The file-count
+    decision reads only the log; the DV ratio additionally reads the
+    KB-sized sidecar FOOTERS (never data files), and only fires when
+    every live file has a log-recorded row count (else the ratio is
+    unknowable without a scan — stay conservative and decline)."""
+    state = _fold_state(path)
+    if len(state["live"]) > max_live_files:
+        return compact(spark, path, target_mb=target_mb)
+    if max_dv_ratio is not None and state["dvs"]:
+        totals = [
+            None if z is None else z.get("rows")
+            for z in state["live"].values()
+        ]
+        if None not in totals and sum(totals) > 0:
+            import pyarrow.parquet as pq
+
+            names = {n for ns in state["dvs"].values() for n in ns}
+            hidden = sum(
+                pq.ParquetFile(
+                    os.path.join(_dv_dir(path), n)
+                ).metadata.num_rows
+                for n in names
+            )
+            if hidden / sum(totals) > max_dv_ratio:
+                return compact(spark, path, target_mb=target_mb)
+    return None
 
 
 def lake_stream_sink(
@@ -1752,6 +1781,10 @@ def _delete_where_dv(
             "partition_by": partition_spec(path),
             "predicate": predicate,
             "dv": {f: names for f in sorted(touched)},
+            # hidden-row count, known at write time — lets maintenance
+            # policy (maybe_compact's dv-ratio trigger) read the log
+            # alone, no sidecar scans
+            "dv_rows": n_rows,
         },
         refresh=check_touched_live,
     )

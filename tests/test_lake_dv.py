@@ -162,3 +162,21 @@ def test_vacuum_sweeps_obsolete_dv_files(spark, lake):
     assert deleted >= 1
     assert os.listdir(minilake._dv_dir(lake)) == []
     assert _ids(spark, lake) == want
+
+
+def test_maybe_compact_dv_ratio_trigger(spark, lake):
+    """The DV-density maintenance trigger: under the ratio it declines,
+    over it it compacts (materializing the DVs) — decided from the log
+    plus sidecar footers only."""
+    minilake.delete_where(spark, lake, "doc_id", 0, 9, strategy="dv")  # 10%
+    assert (
+        minilake.maybe_compact(spark, lake, max_live_files=64, max_dv_ratio=0.3)
+        is None
+    )
+    minilake.delete_where(spark, lake, "doc_id", 10, 44, strategy="dv")  # 45%
+    v = minilake.maybe_compact(
+        spark, lake, max_live_files=64, max_dv_ratio=0.3
+    )
+    assert v is not None
+    assert minilake._fold_state(lake)["dvs"] == {}
+    assert _ids(spark, lake) == list(range(45, 100))
