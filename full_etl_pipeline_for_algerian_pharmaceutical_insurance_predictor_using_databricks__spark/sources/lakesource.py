@@ -47,6 +47,13 @@ from . import minilake
 FORMAT_NAME = "minilake"
 
 
+def _cdf_option(options: dict) -> bool:
+    """The readChangeFeed option (Spark hands DataSource options with
+    case-insensitive keys; accept both spellings)."""
+    v = options.get("readchangefeed", options.get("readChangeFeed", "false"))
+    return str(v).lower() == "true"
+
+
 def _latest_schema(path: str) -> StructType:
     vs = minilake.versions(path)
     if not vs:
@@ -120,20 +127,114 @@ class MinilakeReader(DataSourceReader):
         )
 
 
+def _dv_positions(path: str, dv_names, data_file: str) -> set[int]:
+    """Row indices of `data_file` listed in the given DV sidecars."""
+    import pyarrow.parquet as pq
+
+    hidden: set[int] = set()
+    for n in sorted(set(dv_names)):
+        dv = pq.read_table(
+            os.path.join(minilake._dv_dir(path), n),
+            columns=["file", "row_index"],
+        )
+        files = dv.column("file").to_pylist()
+        ris = dv.column("row_index").to_pylist()
+        hidden.update(ri for f, ri in zip(files, ris) if f == data_file)
+    return hidden
+
+
+def _file_rows_at(
+    path: str, data_file: str, field_names: list[str], keep: set[int]
+) -> list[tuple]:
+    """Rows of one data file AT the given positions only."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(os.path.join(minilake._data_dir(path), data_file))
+    cols = {name: table.column(name).to_pylist() for name in table.column_names}
+    return [
+        tuple(cols[name][i] if name in cols else None for name in field_names)
+        for i in range(table.num_rows)
+        if i in keep
+    ]
+
+
 class MinilakeStreamReader(SimpleDataSourceStreamReader):
-    """The commit log as the streaming offset log (see module doc)."""
+    """The commit log as the streaming offset log (see module doc).
+
+    With `option("readChangeFeed", "true")` the stream is the CHANGE
+    FEED instead of the plain row feed (Delta's CDF streaming
+    counterpart): each micro-batch carries `_change_type`
+    ('insert' | 'delete') and `_commit_version` columns — appends emit
+    inserts, DV deletes emit exactly their newly-hidden positions,
+    predicate deletes emit the removed files' visible matching rows,
+    and compact/optimize emit nothing.  Overwrite/restore/merge still
+    end the stream loudly (a streaming consumer across a full rewrite
+    must re-sync — same rule as the batch feed's merge case)."""
 
     def __init__(self, options: dict, schema: StructType):
         path = options.get("path")
         if not path:
             raise ValueError("minilake requires a path")
         self.path = path
-        self.field_names = [f.name for f in schema.fields]
+        self.cdf = _cdf_option(options)
+        base = [f.name for f in schema.fields]
+        if self.cdf:
+            base = [n for n in base if n not in ("_change_type", "_commit_version")]
+        self.field_names = base
 
     def initialOffset(self) -> dict:
         # start BEFORE the first commit: the first micro-batch carries
         # the full committed history, after which batches are deltas
         return {"version": -1}
+
+    def _change_rows(self, start_v: int, end_v: int) -> list[tuple]:
+        """CDF rows for the commits in (start_v, end_v] — the Python
+        row-level twin of `minilake.read_changes(change_feed=True)`
+        for the stream's small per-trigger deltas."""
+        rows: list[tuple] = []
+        for v in minilake.versions(self.path):
+            if not start_v < v <= end_v:
+                continue
+            c = minilake._read_commit(self.path, v)
+            mode = c["mode"]
+            if mode in ("compact", "optimize"):
+                continue
+            if mode == "append":
+                for f in c["add"]:
+                    for r in _file_rows(self.path, f, self.field_names):
+                        rows.append(r + ("insert", v))
+            elif mode == "delete" and c.get("dv"):
+                names = {n for ns in c["dv"].values() for n in ns}
+                for f in sorted(c["dv"]):
+                    keep = _dv_positions(self.path, names, f)
+                    if keep:
+                        for r in _file_rows_at(
+                            self.path, f, self.field_names, keep
+                        ):
+                            rows.append(r + ("delete", v))
+            elif mode == "delete" and c.get("predicate"):
+                pred = c["predicate"]
+                col_i = self.field_names.index(pred["col"])
+                prior_dvs = minilake._fold_state(self.path, as_of=v - 1)["dvs"]
+                for f in sorted(c["remove"]):
+                    # visible rows only: prior DVs already emitted their
+                    # positions as deletes when they were committed
+                    visible = _file_rows(
+                        self.path,
+                        f,
+                        self.field_names,
+                        tuple(prior_dvs.get(f, [])),
+                    )
+                    for r in visible:
+                        val = r[col_i]
+                        if val is not None and pred["lo"] <= val <= pred["hi"]:
+                            rows.append(r + ("delete", v))
+            else:
+                raise ValueError(
+                    f"minilake change-feed stream hit a {mode!r} commit at "
+                    f"version {v} — re-sync from a fresh snapshot"
+                )
+        return rows
 
     def _added_files(self, start_v: int, end_v: int) -> list[str]:
         files: list[str] = []
@@ -157,16 +258,21 @@ class MinilakeStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         vs = minilake.versions(self.path)
         end_v = vs[-1] if vs else start["version"]
-        rows = [
-            r
-            for f in self._added_files(start["version"], end_v)
-            for r in _file_rows(self.path, f, self.field_names)
-        ]
+        if self.cdf:
+            rows = self._change_rows(start["version"], end_v)
+        else:
+            rows = [
+                r
+                for f in self._added_files(start["version"], end_v)
+                for r in _file_rows(self.path, f, self.field_names)
+            ]
         # materialized list, not a generator: the engine's prefetch
         # cache copies the returned iterator for replay
         return iter(rows), {"version": end_v}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        if self.cdf:
+            return iter(self._change_rows(start["version"], end["version"]))
         return iter(
             [
                 r
@@ -347,7 +453,14 @@ class MinilakeDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> StructType:
-        return _latest_schema(self.options["path"])
+        from pyspark.sql.types import LongType, StringType
+
+        schema = _latest_schema(self.options["path"])
+        if _cdf_option(self.options):
+            schema = schema.add("_change_type", StringType()).add(
+                "_commit_version", LongType()
+            )
+        return schema
 
     def reader(self, schema: StructType) -> MinilakeReader:
         return MinilakeReader(self.options, schema)

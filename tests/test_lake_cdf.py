@@ -188,3 +188,65 @@ def test_registry_ingest_survives_optimize(spark, sf_dir, tmp_path):
     landed = spark.read.parquet(*sorted(glob.glob(f"{reg}/batch=*")))
     assert landed.count() == docs.count()
     assert landed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_stream_change_feed_option(spark, tmp_path):
+    """format('minilake') with readChangeFeed=true streams the CHANGE
+    FEED: inserts for appends, exact delete rows for DV and predicate
+    deletes, nothing for compaction — exactly-once across drains with
+    a persistent checkpoint."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        lakesource,
+    )
+
+    lakesource.register(spark)
+    path = str(tmp_path / "lake")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    minilake.commit_append(
+        _df(spark, 0, 60).repartitionByRange(3, "doc_id"),
+        path,
+        stat_cols=["doc_id"],
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("minilake")
+            .option("readChangeFeed", "true")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    first = spark.read.parquet(out)
+    assert first.count() == 60
+    assert {r["_change_type"] for r in first.collect()} == {"insert"}
+
+    minilake.delete_where(spark, path, "doc_id", 10, 19, strategy="dv")
+    minilake.delete_where(spark, path, "doc_id", 40, 44)  # rewrite path
+    minilake.compact(spark, path)
+    drain()
+    feed = spark.read.parquet(out)
+    deletes = feed.filter(F.col("_change_type") == "delete")
+    assert sorted(r["doc_id"] for r in deletes.collect()) == list(
+        range(10, 20)
+    ) + list(range(40, 45))
+    # compaction contributed nothing; replay state matches the snapshot
+    inserts = feed.filter(F.col("_change_type") == "insert")
+    assert inserts.count() == 60
+    net = {r["doc_id"] for r in inserts.collect()} - {
+        r["doc_id"] for r in deletes.collect()
+    }
+    snap_ids = {
+        r["doc_id"] for r in minilake.read_snapshot(spark, path).collect()
+    }
+    assert net == snap_ids
+    # third drain with nothing new: no extra rows
+    n = feed.count()
+    drain()
+    assert spark.read.parquet(out).count() == n
