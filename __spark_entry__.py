@@ -186,6 +186,7 @@ _TAIL_ORDER = [
     "sample_weighted_topk",
     "text_quality_curriculum",
     "mm_image_png_pipeline",
+    "mm_image_jpeg_pipeline",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",

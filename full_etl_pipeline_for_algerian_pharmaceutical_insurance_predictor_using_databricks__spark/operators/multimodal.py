@@ -454,6 +454,105 @@ def image_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# JPEG: the lossy compressed codec (operators/jpeg.py — pure numpy
+# baseline T.81: DCT, quantization, Huffman entropy coding)
+# --------------------------------------------------------------------------
+
+
+def synthetic_jpeg_media(
+    spark: SparkSession, sf_dir: str, quality: int = 90
+) -> DataFrame:
+    """Attach a REAL baseline JPEG to each document: dims from digest
+    bytes 4/5 (8..15 — at least one full DCT block), pixels from the
+    digest tiling.  The bytes go through genuine DCT + quantization +
+    Huffman coding; decode is lossy-but-deterministic."""
+    media = _digest_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import jpeg
+
+        for batch in batches:
+            out = []
+            for b in batch["digest"]:
+                d = np.frombuffer(b, dtype=np.uint8)
+                w, h = 8 + int(d[4]) % 8, 8 + int(d[5]) % 8
+                img = np.resize(d, h * w * 3).reshape(h, w, 3)
+                out.append(jpeg.encode_jpeg(img, quality))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "image_bytes": out}
+            )
+
+    return media.mapInPandas(run, "doc_id long, image_bytes binary")
+
+
+JPEG_PIPELINE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("psnr_ok", T.BooleanType()),
+    ]
+)
+
+#: Reconstruction floor for the digest fixtures at quality 90 — lossy
+#: decode must stay within sane distortion of the original pixels (a
+#: broken dequant/IDCT/Huffman path lands far below this).
+JPEG_PSNR_FLOOR_DB = 20.0
+
+
+def image_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-compressed image pipeline over genuine JPEG bytes: decode
+    (marker walk → Huffman → dequant → IDCT → color convert), report
+    geometry AND a per-image reconstruction check (`psnr_ok`: PSNR vs
+    the digest-derived original ≥ JPEG_PSNR_FLOOR_DB).  Dims and the boolean
+    are SQL-stated by the oracle (dims from digest math; psnr_ok must
+    be TRUE for every row) — so a broken entropy decode or IDCT fails
+    the value match even though quantized pixel values themselves are
+    not SQL-expressible.  One mapInPandas carries the digest through
+    encode → decode → score so the original never leaves the batch."""
+    media = _digest_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import jpeg
+
+        for batch in batches:
+            ids, ws, hs, oks = [], [], [], []
+            for doc_id, b in zip(batch["doc_id"], batch["digest"]):
+                d = np.frombuffer(b, dtype=np.uint8)
+                w, h = 8 + int(d[4]) % 8, 8 + int(d[5]) % 8
+                orig = np.resize(d, h * w * 3).reshape(h, w, 3)
+                dec = jpeg.decode_jpeg(jpeg.encode_jpeg(orig, 90))
+                mse = float(
+                    ((dec.astype(np.float64) - orig.astype(np.float64)) ** 2).mean()
+                )
+                psnr = (
+                    float("inf")
+                    if mse == 0
+                    else 10.0 * np.log10(255.0**2 / mse)
+                )
+                ids.append(doc_id)
+                ws.append(dec.shape[1])
+                hs.append(dec.shape[0])
+                oks.append(psnr >= JPEG_PSNR_FLOOR_DB)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "format": ["jpeg"] * len(ids),
+                    "psnr_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return media.mapInPandas(run, JPEG_PIPELINE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # WAV: encode (fixture generator) and decode (the real codec)
 # --------------------------------------------------------------------------
 
@@ -988,6 +1087,7 @@ QUERIES = {
     "mm_audio_segments": audio_low_energy_segments,
     "mm_image_resize": image_resize,
     "mm_image_png_pipeline": image_png_pipeline,
+    "mm_image_jpeg_pipeline": image_jpeg_pipeline,
 }
 
 # The fixture bytes are digest-derived, so the REAL decoded features
@@ -1128,6 +1228,15 @@ FROM px
 GROUP BY doc_id, w, h, out_w, out_h
 """
 
+_JPEG_PIPELINE_SQL = """
+SELECT doc_id,
+       CAST(8 + (('0x' || substr(md5(text), 9, 2))::INT % 8) AS INT) AS width,
+       CAST(8 + (('0x' || substr(md5(text), 11, 2))::INT % 8) AS INT) AS height,
+       'jpeg' AS format,
+       TRUE AS psnr_ok
+FROM documents
+"""
+
 ORACLES: dict[str, str] = {
     "mm_image_metadata": _IMAGE_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
@@ -1136,4 +1245,5 @@ ORACLES: dict[str, str] = {
     "mm_audio_segments": _AUDIO_SEGMENTS_SQL,
     "mm_image_resize": _RESIZE_SQL,
     "mm_image_png_pipeline": _PNG_PIPELINE_SQL,
+    "mm_image_jpeg_pipeline": _JPEG_PIPELINE_SQL,
 }
