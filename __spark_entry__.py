@@ -136,6 +136,7 @@ _TAIL_ORDER = [
     "lake_changes_feed",
     "lake_dv_roundtrip",
     "lake_delta_interop",
+    "lake_incremental_view",
     "text_ngram_topk",
     "events_funnel",
     "tpch_q10_returned_items",
@@ -292,6 +293,11 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     pool["lake_delta_interop"] = _deltaproto.delta_interop_entry
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        lakeview as _lakeview,
+    )
+
+    pool["lake_incremental_view"] = _lakeview.incremental_view_entry
     unrouted = (
         set(pool) - set(_ORACLE_ORDER) - set(_TAIL_ORDER) - _PACKAGED_IN_COMPOSITES
     )
@@ -350,6 +356,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     pool["lake_delta_interop"] = _deltaproto.DELTA_INTEROP_ORACLE_SQL
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        lakeview as _lakeview,
+    )
+
+    pool["lake_incremental_view"] = _lakeview.VIEW_ORACLE_SQL
     # window entries MUST have an oracle; tail entries carry one when
     # SQL-expressible (check_oracle / the judge's local gate use them)
     out = {name: pool[name] for name in _ORACLE_ORDER + _TAIL_ORDER if name in pool}
