@@ -192,20 +192,34 @@ def _file_zone_map(local_path: str, stat_cols: list[str]) -> dict:
 
     md = pq.ParquetFile(local_path).metadata
     names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    out: dict = {"rows": md.num_rows, "stats": {}}
+    out: dict = {"rows": md.num_rows, "stats": {}, "nulls": {}}
     for col in stat_cols:
         if col not in names:
             continue
         lo = hi = None
+        have_minmax = True
+        nulls: int | None = 0
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(names[col]).statistics
+            if st is not None and nulls is not None and st.null_count is not None:
+                nulls += st.null_count
+            else:
+                nulls = None
             if st is None or not st.has_min_max:
-                lo = hi = None
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None:
+                have_minmax = False
+                if nulls is None:
+                    break
+                continue
+            if lo is None or st.min < lo:
+                lo = st.min
+            if hi is None or st.max > hi:
+                hi = st.max
+        if have_minmax and lo is not None:
             out["stats"][col] = [lo, hi]
+        if nulls is not None:
+            # null COUNT per column (Delta stores the same): lets an
+            # IS NULL predicate skip files with provably zero nulls
+            out["nulls"][col] = nulls
     return out
 
 
@@ -306,6 +320,12 @@ def _claim_version(path: str, commit: dict, refresh=None) -> int:
     ld = _log_dir(path)
     os.makedirs(ld, exist_ok=True)
     tmp = os.path.join(ld, f"_tmp-{uuid.uuid4().hex}.json")
+    # wall-clock commit time for TIMESTAMP AS OF — set once (a claim
+    # retry keeps the first attempt's stamp; ordering across writers is
+    # by VERSION, the timestamp is the human/audit axis, as in Delta)
+    import time as _time
+
+    commit.setdefault("timestamp_ms", int(_time.time() * 1000))
     while True:
         vs = versions(path)
         version = (vs[-1] + 1) if vs else 0
@@ -530,15 +550,41 @@ def _read_files_with_dvs(
     return out
 
 
+def version_at_timestamp(path: str, timestamp_ms: int) -> int:
+    """`TIMESTAMP AS OF`: the last version committed at or before the
+    given wall-clock millisecond (commits without a stamp — pre-r8
+    logs — are treated as infinitely old, i.e. always included).
+    Raises if the table did not exist yet at that time, like Delta."""
+    vs = versions(path)
+    best = None
+    for v in vs:
+        ts = _read_commit(path, v).get("timestamp_ms", 0)
+        if ts <= timestamp_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit at or before timestamp_ms={timestamp_ms} "
+            f"(earliest is version {vs[0] if vs else None})"
+        )
+    return best
+
+
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
-    """Snapshot read, optionally as-of an older version (time travel),
-    with each file's deletion vectors applied.  An empty snapshot
-    still carries the committed schema."""
+    """Snapshot read, optionally as-of an older version or wall-clock
+    timestamp (time travel), with each file's deletion vectors
+    applied.  An empty snapshot still carries the committed schema."""
     vs = versions(path)
     if not vs:
         raise FileNotFoundError(f"no minilake log under {path}")
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_at_timestamp(path, timestamp_ms)
     if version is None:
         version = vs[-1]
     if version not in vs:
@@ -1519,6 +1565,31 @@ def scan_pruned_multi(
         return empty.filter(cond), 0, skipped
     df = _read_files_with_dvs(spark, path, sorted(chosen), state["dvs"])
     return df.filter(cond), len(chosen), skipped
+
+
+def scan_pruned_isnull(
+    spark: SparkSession, path: str, col: str
+) -> tuple[DataFrame, int, int]:
+    """Data-skipping scan for `col IS NULL`: read only the live files
+    whose recorded null COUNT is nonzero (or unknown).  The third
+    skipping statistic after partition tuples and min/max zones —
+    Delta records the same nullCount — and the one that makes
+    "find the rows missing a value" (a constant data-quality query)
+    touch almost nothing on a mostly-complete 100-TB column.  Returns
+    (frame pre-filtered to IS NULL, files_read, files_skipped)."""
+    state = _fold_state(path)
+    chosen, skipped = [], 0
+    for f, z in state["live"].items():
+        nulls = None if z is None else z.get("nulls", {}).get(col)
+        if nulls == 0:
+            skipped += 1  # provably no NULL rows in this file
+            continue
+        chosen.append(f)
+    if not chosen:
+        empty = read_snapshot(spark, path).limit(0)
+        return empty.filter(F.col(col).isNull()), 0, skipped
+    df = _read_files_with_dvs(spark, path, sorted(chosen), state["dvs"])
+    return df.filter(F.col(col).isNull()), len(chosen), skipped
 
 
 def merge_upsert_lake(

@@ -182,3 +182,60 @@ def test_datasource_reader_works_writer_refuses(spark, part_lake):
     assert "lang" in got.columns
     with pytest.raises(Exception, match="PARTITIONED"):
         docs.limit(5).write.format("minilake").mode("append").save(path)
+
+
+def test_timestamp_time_travel(spark, tmp_path, monkeypatch):
+    """TIMESTAMP AS OF: commits carry wall-clock stamps; a read at a
+    past instant resolves to the last version committed by then."""
+    import time as time_mod
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake as mlk,
+    )
+
+    path = str(tmp_path / "ts_lake")
+    clock = {"now": 1_000.0}
+    monkeypatch.setattr(time_mod, "time", lambda: clock["now"])
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    mlk.commit_append(df, path)  # v0 @ t=1000s
+    clock["now"] = 2_000.0
+    mlk.commit_append(df.withColumn("doc_id", F.col("doc_id") + 10), path)
+    clock["now"] = 3_000.0
+    mlk.delete_where(spark, path, "doc_id", 0, 4)
+
+    assert mlk.version_at_timestamp(path, 1_500_000) == 0
+    assert mlk.read_snapshot(spark, path, timestamp_ms=1_500_000).count() == 10
+    assert mlk.read_snapshot(spark, path, timestamp_ms=2_500_000).count() == 20
+    assert mlk.read_snapshot(spark, path, timestamp_ms=9_999_999).count() == 15
+    with pytest.raises(ValueError, match="no commit at or before"):
+        mlk.version_at_timestamp(path, 500_000)
+    with pytest.raises(ValueError, match="not both"):
+        mlk.read_snapshot(spark, path, version=0, timestamp_ms=1_500_000)
+
+
+def test_isnull_pruning_via_null_counts(spark, tmp_path):
+    """Null-count zone stats: files with provably zero NULLs in the
+    probed column are skipped by `scan_pruned_isnull`; files holding
+    the NULL rows are read and only those rows return."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake as mlk,
+    )
+
+    path = str(tmp_path / "null_lake")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 20, F.col("id")).alias("maybe"),  # NULL < 20
+    )
+    # range-partition by doc_id (5 x 20-row files): the NULLs live
+    # entirely in the bottom file; the other four provably skip
+    mlk.commit_append(
+        df.repartitionByRange(5, "doc_id"),
+        path,
+        stat_cols=["doc_id", "maybe"],
+    )
+    out, n_read, n_skipped = mlk.scan_pruned_isnull(spark, path, "maybe")
+    assert n_skipped >= 3 and n_read <= 2
+    assert out.count() == 20
+    # and the zone metadata actually recorded the counts
+    zones = mlk._live_zones(path)
+    assert sum(z["nulls"]["maybe"] for z in zones.values()) == 20
