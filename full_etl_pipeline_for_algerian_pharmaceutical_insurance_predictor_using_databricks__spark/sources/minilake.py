@@ -121,9 +121,10 @@ def _fold_state(path: str, as_of: int | None = None) -> dict:
         live: dict = dict(ck["live"])
         stream_ids = set(ck.get("stream_batch_ids", []))
         dvs: dict = {f: list(ns) for f, ns in ck.get("dvs", {}).items()}
+        cons: dict = dict(ck.get("constraints", {}))
         start_after = ck["version"]
     else:
-        live, stream_ids, dvs, start_after = {}, set(), {}, -1
+        live, stream_ids, dvs, cons, start_after = {}, set(), {}, {}, -1
     last = start_after
     for v in versions(path):
         if v <= start_after:
@@ -140,6 +141,10 @@ def _fold_state(path: str, as_of: int | None = None) -> dict:
             dvs = {f: list(ns) for f, ns in c["dv_restore"].items()}
         for f, names in c.get("dv", {}).items():
             dvs.setdefault(f, []).extend(names)
+        for name, expr in c.get("constraint_add", {}).items():
+            cons[name] = expr
+        for name in c.get("constraint_drop", []):
+            cons.pop(name, None)
         if "stream_batch_id" in c:
             stream_ids.add(int(c["stream_batch_id"]))
         last = v
@@ -148,6 +153,7 @@ def _fold_state(path: str, as_of: int | None = None) -> dict:
         "live": live,
         "stream_batch_ids": stream_ids,
         "dvs": dvs,
+        "constraints": cons,
     }
 
 
@@ -172,6 +178,7 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
         "live": st["live"],
         "stream_batch_ids": sorted(st["stream_batch_ids"]),
         "dvs": st["dvs"],
+        "constraints": st["constraints"],
     }
     ld = _log_dir(path)
     tmp = os.path.join(ld, f"_ckpt-tmp-{uuid.uuid4().hex}.json")
@@ -412,6 +419,80 @@ def partition_spec(path: str) -> list[str]:
     return list(_read_commit(path, vs[-1]).get("partition_by", []))
 
 
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr_sql: str
+) -> int:
+    """`ALTER TABLE ADD CONSTRAINT name CHECK (expr)`: record a
+    write-time invariant in the log.  Every later append / stream
+    batch / merge must satisfy it (SQL CHECK semantics: a row passes
+    unless the expression is FALSE — NULL passes).  The constraint is
+    validated against the CURRENT snapshot first, so a table can never
+    hold a constraint its existing rows violate (Delta's rule)."""
+    if name in _fold_state(path)["constraints"]:
+        raise ValueError(f"constraint {name!r} already exists")
+    snap = read_snapshot(spark, path)
+    n_bad = snap.filter(
+        ~F.coalesce(F.expr(expr_sql), F.lit(True))
+    ).limit(1).count()
+    if n_bad:
+        raise ValueError(
+            f"cannot add constraint {name!r}: existing rows violate "
+            f"CHECK ({expr_sql})"
+        )
+    return _claim_version(
+        path,
+        {
+            "mode": "alter",
+            "add": [],
+            "remove": [],
+            "schema": _read_commit(path, versions(path)[-1])["schema"],
+            "partition_by": partition_spec(path),
+            "constraint_add": {name: expr_sql},
+        },
+    )
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """`ALTER TABLE DROP CONSTRAINT name` as a versioned commit."""
+    if name not in _fold_state(path)["constraints"]:
+        raise ValueError(f"no constraint named {name!r}")
+    return _claim_version(
+        path,
+        {
+            "mode": "alter",
+            "add": [],
+            "remove": [],
+            "schema": _read_commit(path, versions(path)[-1])["schema"],
+            "partition_by": partition_spec(path),
+            "constraint_drop": [name],
+        },
+    )
+
+
+def _check_constraints(df: DataFrame, path: str) -> None:
+    """Enforce every table CHECK constraint on the incoming frame in
+    ONE aggregate pass (a count per constraint of rows where the
+    expression is FALSE — NULL passes, per SQL CHECK).  Runs BEFORE
+    any file lands, so a rejected write leaves no trace."""
+    cons = _fold_state(path)["constraints"]
+    if not cons:
+        return
+    names = sorted(cons)
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(cons[n]), F.lit(True)), 1).otherwise(0)
+        ).alias(n)
+        for n in names
+    ]
+    row = df.agg(*aggs).first()
+    bad = {n: int(row[n] or 0) for n in names if row[n]}
+    if bad:
+        detail = ", ".join(
+            f"{n} CHECK ({cons[n]}): {c} row(s)" for n, c in sorted(bad.items())
+        )
+        raise ValueError(f"write violates table constraints — {detail}")
+
+
 def commit_append(
     df: DataFrame,
     path: str,
@@ -426,6 +507,7 @@ def commit_append(
     the table's spec) records per-file partition tuples for the
     cheaper pruning tier (see `_land_data_files`)."""
     _check_schema(df, path, allow_evolution)
+    _check_constraints(df, path)
     spec = partition_spec(path)
     if versions(path):
         if partition_by is not None and list(partition_by) != spec:
@@ -1157,6 +1239,7 @@ def describe_detail(path: str) -> dict:
         "num_dv_files": len(
             {n for ns in state["dvs"].values() for n in ns}
         ),
+        "constraints": dict(state["constraints"]),
         "schema": _read_commit(path, vs[-1])["schema"],
     }
 
@@ -1182,6 +1265,7 @@ def commit_stream_batch(df: DataFrame, path: str, batch_id: int) -> int | None:
     if batch_id in committed_stream_batches(path):
         return None
     _check_schema(df, path, allow_evolution=False)
+    _check_constraints(df, path)
     spec = partition_spec(path)
     commit = {
         "mode": "append",
@@ -1602,6 +1686,7 @@ def merge_upsert_lake(
     and keep their names in the log.  This is Delta's MERGE pruning —
     rewrite cost tracks where the keys actually land, not table size."""
     _check_schema(updates, path, allow_evolution=False)
+    _check_constraints(updates, path)
     bounds = updates.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).first()

@@ -239,3 +239,54 @@ def test_isnull_pruning_via_null_counts(spark, tmp_path):
     # and the zone metadata actually recorded the counts
     zones = mlk._live_zones(path)
     assert sum(z["nulls"]["maybe"] for z in zones.values()) == 20
+
+
+def test_check_constraints_enforced_at_write_time(spark, tmp_path):
+    """ALTER TABLE ADD CONSTRAINT: validated against existing rows,
+    enforced on append / stream batch / merge BEFORE anything lands
+    (SQL CHECK semantics: NULL passes), droppable, and visible in
+    describe_detail."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake as mlk,
+    )
+
+    path = str(tmp_path / "cons_lake")
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, F.col("id") * 2).alias("price"),
+    )
+    mlk.commit_append(df, path)
+    mlk.add_constraint(spark, path, "price_nonneg", "price >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        mlk.add_constraint(spark, path, "price_nonneg", "price >= 0")
+    # a constraint the current rows violate cannot be added
+    with pytest.raises(ValueError, match="existing rows violate"):
+        mlk.add_constraint(spark, path, "big_ids", "doc_id >= 5")
+    assert mlk.describe_detail(path)["constraints"] == {
+        "price_nonneg": "price >= 0"
+    }
+
+    good = spark.range(20, 25).select(
+        F.col("id").alias("doc_id"), F.lit(None).cast("bigint").alias("price")
+    )
+    mlk.commit_append(good, path)  # NULL price passes CHECK
+
+    bad = spark.range(30, 35).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(-1) * F.col("id")).alias("price"),
+    )
+    n_before = len(mlk._live_files(path))
+    with pytest.raises(ValueError, match="price_nonneg"):
+        mlk.commit_append(bad, path)
+    with pytest.raises(ValueError, match="price_nonneg"):
+        mlk.commit_stream_batch(bad, path, batch_id=99)
+    with pytest.raises(ValueError, match="price_nonneg"):
+        mlk.merge_upsert_lake(spark, bad, path, "doc_id")
+    # rejected writes left no trace
+    assert len(mlk._live_files(path)) == n_before
+    assert 99 not in mlk.committed_stream_batches(path)
+    assert mlk.read_snapshot(spark, path).count() == 15
+
+    mlk.drop_constraint(path, "price_nonneg")
+    mlk.commit_append(bad, path)  # now allowed
+    assert mlk.read_snapshot(spark, path).count() == 20
