@@ -512,8 +512,15 @@ def image_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     be TRUE for every row) — so a broken entropy decode or IDCT fails
     the value match even though quantized pixel values themselves are
     not SQL-expressible.  One mapInPandas carries the digest through
-    encode → decode → score so the original never leaves the batch."""
-    media = _digest_media(spark, sf_dir)
+    encode → decode → score so the original never leaves the batch.
+    The digest frame is repartitioned first: the fixture parquet is a
+    single file, and a per-row DCT+Huffman kernel on one partition
+    would serialize ~2.6 ms/image on a single core — the repartition
+    spreads the Arrow batches across the executor threads (the rule
+    for any compute-bound mapInPandas kernel)."""
+    media = _digest_media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
