@@ -91,6 +91,17 @@ HEADLINE = [
     "sim_ann_ivf_pq_serving",
     "sim_knn_bruteforce",
     "sim_label_centroids",
+    # r8 lakehouse entries (build-once caches under spark-warehouse;
+    # the timed pass measures the serving read + aggregate, like the
+    # ANN/topic serving entries)
+    "lake_documents_roundtrip",
+    "lake_partitioned_scan",
+    "lake_changes_feed",
+    "lake_dv_roundtrip",
+    "lake_incremental_view",
+    "lake_delta_interop",
+    "mm_image_jpeg_pipeline",
+    "mm_image_png_pipeline",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -114,6 +125,13 @@ HEAVY_WARMUPS = {
     # first warm pass builds the on-disk topic index
     "text_topic_serving": 2,
     "dedup_embedding_clustered": 2,
+    # first warm pass builds the cached lakes / delta log
+    "lake_documents_roundtrip": 2,
+    "lake_partitioned_scan": 2,
+    "lake_changes_feed": 2,
+    "lake_dv_roundtrip": 2,
+    "lake_incremental_view": 2,
+    "lake_delta_interop": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce
