@@ -169,36 +169,10 @@ def read_delta(
     from pyspark.sql.types import StructType
 
     meta, live, version = _fold_delta_state(spark, path, version)
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns") or [])
-    data_cols = [f for f in schema.fields if f.name not in part_cols]
     if not live:
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
         return spark.createDataFrame([], schema)
-    if not part_cols:
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(path, f) for f in sorted(live)]
-        )
-    types = {f.name: f.dataType for f in schema.fields}
-    read_schema = StructType(data_cols)
-    groups: dict[tuple, list[str]] = {}
-    for fname, add in live.items():
-        pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(fname)
-    frames = []
-    for key, files in sorted(groups.items()):
-        df = spark.read.schema(read_schema).parquet(
-            *[os.path.join(path, f) for f in sorted(files)]
-        )
-        for c, raw in zip(part_cols, key):
-            # spec serialization: null ↔ absent/empty; values are strings
-            lit = F.lit(None) if raw is None else F.lit(raw)
-            df = df.withColumn(c, lit.cast(types[c]))
-        frames.append(df.select(*[f.name for f in schema.fields]))
-    out = frames[0]
-    for df in frames[1:]:
-        out = out.unionByName(df)
-    return out
+    return _read_adds(spark, path, meta, live)
 
 
 def delta_history(path: str) -> list[dict]:
@@ -240,13 +214,63 @@ def _claim_delta_version(path: str, lines: list[str]) -> int:
         return version
 
 
+def _file_stats_json(local_path: str) -> str | None:
+    """The add-action `stats` JSON the Delta spec defines —
+    numRecords / minValues / maxValues / nullCount, read from the
+    parquet FOOTER.  Real engines (Spark+delta, Trino) write and use
+    the same structure for data skipping."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(local_path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for col, ci in names.items():
+        lo = hi = None
+        ok_minmax = True
+        nc: int | None = 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is not None and nc is not None and st.null_count is not None:
+                nc += st.null_count
+            else:
+                nc = None
+            if st is None or not st.has_min_max:
+                ok_minmax = False
+                continue
+            if lo is None or st.min < lo:
+                lo = st.min
+            if hi is None or st.max > hi:
+                hi = st.max
+        if ok_minmax and lo is not None:
+            try:
+                json.dumps([lo, hi])
+                mins[col], maxs[col] = lo, hi
+            except TypeError:
+                pass  # non-JSON stat types (binary): omit, per spec
+        if nc is not None:
+            nulls[col] = nc
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
 def _land_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None
-) -> list[tuple[str, dict, int]]:
+) -> list[tuple[str, dict, int, str | None]]:
     """Write the frame as uuid-named parquet files in the Delta/Hive
     layout (hive partition dirs, partition columns DROPPED from file
     content, per spec) and return (relative path, partitionValues,
-    size) triples — invisible until committed."""
+    size, stats-json) tuples — invisible until committed."""
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     if partition_by:
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
@@ -269,7 +293,9 @@ def _land_parquet(
             dest = os.path.join(path, *segs, name)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.rename(os.path.join(dirpath, f), dest)
-            out.append((relname, pvals, os.path.getsize(dest)))
+            out.append(
+                (relname, pvals, os.path.getsize(dest), _file_stats_json(dest))
+            )
     shutil.rmtree(staging)
     return out
 
@@ -352,21 +378,167 @@ def write_delta(
                     }
                 )
             )
-    for relname, pvals, size in files:
+    for relname, pvals, size, stats in files:
+        add = {
+            "path": relname,
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if stats is not None:
+            add["stats"] = stats  # spec: a JSON string inside the action
+        lines.append(json.dumps({"add": add}))
+    return _claim_delta_version(path, lines)
+
+
+def _add_outside_range(add: dict, part_cols: list[str], col: str, lo, hi) -> bool:
+    """True iff the add-action's metadata PROVES no row of its file has
+    `col` in [lo, hi] — by exact partition value first, then the stats
+    JSON's minValues/maxValues (string-compare for string partition
+    values, native compare for stats, exactly what Delta's data
+    skipping does)."""
+    if col in part_cols:
+        pv = (add.get("partitionValues") or {}).get(col)
+        return pv is None or pv < str(lo) or pv > str(hi)
+    stats = add.get("stats")
+    if not stats:
+        return False
+    try:
+        s = json.loads(stats)
+        mn = s.get("minValues", {}).get(col)
+        mx = s.get("maxValues", {}).get(col)
+    except (ValueError, AttributeError):
+        return False
+    if mn is None or mx is None:
+        return False
+    return mx < lo or mn > hi
+
+
+def read_delta_pruned(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """Data-skipping snapshot read over a range predicate, from the
+    log's add-action metadata alone (partition values, then the stats
+    JSON) — no footer reads at query time.  Returns (frame filtered to
+    the range, files_read, files_skipped).  Works identically on
+    tables written by this module or by any engine that records
+    per-file stats (they all do)."""
+    from pyspark.sql.types import StructType
+
+    meta, live, _v = _fold_delta_state(spark, path, None)
+    part_cols = list(meta.get("partitionColumns") or [])
+    skipped = 0
+    kept: dict[str, dict] = {}
+    for fname, add in live.items():
+        if _add_outside_range(add, part_cols, col, lo, hi):
+            skipped += 1
+        else:
+            kept[fname] = add
+    cond = F.col(col).between(lo, hi)
+    if not kept:
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        return spark.createDataFrame([], schema).filter(cond), 0, skipped
+    df = _read_adds(spark, path, meta, kept)
+    return df.filter(cond), len(kept), skipped
+
+
+def delete_where_delta(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> int:
+    """`DELETE FROM delta_table WHERE col BETWEEN lo AND hi` as a real
+    protocol commit: add-action stats/partition values pick the
+    possibly-affected files; only those are rewritten (NULLs kept —
+    three-valued BETWEEN), committed as remove+add actions any Delta
+    engine replays.  Zero touched files → no-op."""
+    meta, live, _v = _fold_delta_state(spark, path, None)
+    part_cols = list(meta.get("partitionColumns") or [])
+    touched = {
+        f: a
+        for f, a in live.items()
+        if not _add_outside_range(a, part_cols, col, lo, hi)
+    }
+    vs = delta_versions(path)
+    if not touched:
+        return vs[-1]
+    old_rows = _read_adds(spark, path, meta, touched)
+    kept = old_rows.filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
+    files = _land_parquet(kept, path, part_cols or None)
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "predicate": f"{col} BETWEEN {lo!r} AND {hi!r}"
+                    },
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    for fname in sorted(touched):
         lines.append(
             json.dumps(
                 {
-                    "add": {
-                        "path": relname,
-                        "partitionValues": pvals,
-                        "size": size,
-                        "modificationTime": now_ms,
+                    "remove": {
+                        "path": fname,
+                        "deletionTimestamp": now_ms,
                         "dataChange": True,
                     }
                 }
             )
         )
+    for relname, pvals, size, stats in files:
+        add = {
+            "path": relname,
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if stats is not None:
+            add["stats"] = stats
+        lines.append(json.dumps({"add": add}))
     return _claim_delta_version(path, lines)
+
+
+def _read_adds(
+    spark: SparkSession, path: str, meta: dict, adds: dict
+) -> DataFrame:
+    """Read a set of add-actions' files with partition columns
+    reconstructed — the shared scan used by read_delta and the pruned/
+    delete paths."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    if not part_cols:
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in sorted(adds)]
+        )
+    types = {f.name: f.dataType for f in schema.fields}
+    read_schema = StructType([f for f in schema.fields if f.name not in part_cols])
+    groups: dict[tuple, list[str]] = {}
+    for fname, add in adds.items():
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(fname)
+    frames = []
+    for key, fs in sorted(groups.items()):
+        df = spark.read.schema(read_schema).parquet(
+            *[os.path.join(path, f) for f in sorted(fs)]
+        )
+        for c, raw in zip(part_cols, key):
+            lit = F.lit(None) if raw is None else F.lit(raw)
+            df = df.withColumn(c, lit.cast(types[c]))
+        frames.append(df.select(*[f.name for f in schema.fields]))
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def write_delta_checkpoint(
@@ -384,7 +556,8 @@ def write_delta_checkpoint(
     meta, live, version = _fold_delta_state(spark, path, version)
     add_type = (
         "struct<path:string,partitionValues:map<string,string>,"
-        "size:bigint,modificationTime:bigint,dataChange:boolean>"
+        "size:bigint,modificationTime:bigint,dataChange:boolean,"
+        "stats:string>"
     )
     meta_type = (
         "struct<id:string,format:struct<provider:string>,"
@@ -400,6 +573,9 @@ def write_delta_checkpoint(
                 "size": int(a.get("size") or 0),
                 "modificationTime": int(a.get("modificationTime") or 0),
                 "dataChange": False,
+                # stats survive checkpointing, or data skipping would
+                # silently stop working once a checkpoint lands
+                "stats": a.get("stats"),
             },
             "metaData": None,
             "protocol": None,

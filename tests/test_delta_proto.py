@@ -212,3 +212,64 @@ def test_delta_to_minilake_migration(spark, tmp_path):
         for r in minilake.read_snapshot(spark, dst).collect()
     )
     assert got == _rows(_df(spark, 0, 45))
+
+
+def test_stats_recorded_pruned_read_and_delete(spark, tmp_path):
+    """Add actions carry the spec's stats JSON (numRecords/minValues/
+    maxValues/nullCount); read_delta_pruned skips files from the log
+    alone; delete_where_delta rewrites only possibly-affected files as
+    a remove+add commit; stats survive checkpointing."""
+    import json as json_mod
+    import os
+
+    path = str(tmp_path / "delta")
+    dp.write_delta(
+        _df(spark, 0, 100).repartitionByRange(5, "doc_id"), path
+    )
+    _meta, live, _v = dp._fold_delta_state(spark, path, None)
+    stats = [json_mod.loads(a["stats"]) for a in live.values()]
+    assert all("minValues" in s and s["numRecords"] == 20 for s in stats)
+    assert sum(s["numRecords"] for s in stats) == 100
+
+    got, n_read, n_skipped = dp.read_delta_pruned(spark, path, "doc_id", 0, 19)
+    assert n_read == 1 and n_skipped == 4
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(20))
+
+    # delete a narrow range: only its file is rewritten
+    before = set(live)
+    dp.delete_where_delta(spark, path, "doc_id", 40, 49)
+    _meta, after, _v = dp._fold_delta_state(spark, path, None)
+    assert len(before & set(after)) == 4  # four files untouched by name
+    assert _rows(dp.read_delta(spark, path)) == _rows(
+        _df(spark, 0, 100).filter(~F.col("doc_id").between(40, 49))
+    )
+    assert dp.delta_history(path)[-1]["operation"] == "DELETE"
+    # no-op delete: provably-empty range commits nothing
+    n = len(dp.delta_versions(path))
+    dp.delete_where_delta(spark, path, "doc_id", 5000, 6000)
+    assert len(dp.delta_versions(path)) == n
+
+    # stats survive a checkpoint: prune again after folding from it
+    ck_v = dp.write_delta_checkpoint(spark, path)
+    for v in range(ck_v + 1):
+        os.unlink(os.path.join(path, "_delta_log", dp._LOG_FMT.format(v)))
+    got2, n_read2, n_skipped2 = dp.read_delta_pruned(
+        spark, path, "doc_id", 0, 19
+    )
+    assert n_skipped2 >= 3
+    assert sorted(r["doc_id"] for r in got2.collect()) == list(range(20))
+
+
+def test_partition_tier_pruning_on_delta(spark, tmp_path):
+    path = str(tmp_path / "delta")
+    dp.write_delta(_df(spark, 0, 60), path, partition_by=["lang"])
+    got, n_read, n_skipped = dp.read_delta_pruned(spark, path, "lang", "1", "1")
+    assert n_skipped >= 2  # lang=0 and lang=2 partitions skipped
+    assert sorted(set(r["lang"] for r in got.collect())) == ["1"]
+    # partition-pruned delete touches only that partition's files
+    _m, live0, _ = dp._fold_delta_state(spark, path, None)
+    other = {f for f, a in live0.items() if a["partitionValues"]["lang"] != "1"}
+    dp.delete_where_delta(spark, path, "lang", "1", "1")
+    _m, live1, _ = dp._fold_delta_state(spark, path, None)
+    assert other <= set(live1)
+    assert dp.read_delta(spark, path).filter(F.col("lang") == "1").count() == 0
