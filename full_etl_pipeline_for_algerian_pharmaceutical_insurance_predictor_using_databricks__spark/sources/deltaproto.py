@@ -505,6 +505,61 @@ def delete_where_delta(
     return _claim_delta_version(path, lines)
 
 
+def compact_delta(spark: SparkSession, path: str, target_mb: int = 128) -> int:
+    """OPTIMIZE as a real protocol commit: rewrite the live snapshot
+    into ceil(bytes/target) files per partition and commit remove+add
+    actions with `dataChange: false` — the spec flag that tells other
+    engines' incremental/streaming consumers these adds carry no new
+    rows (exactly how Delta's own OPTIMIZE avoids re-delivering data).
+    Pre-compaction versions stay time-travelable."""
+    import math
+
+    meta, live, _v = _fold_delta_state(spark, path, None)
+    if not live:
+        return delta_versions(path)[-1]
+    part_cols = list(meta.get("partitionColumns") or [])
+    total = sum(int(a.get("size") or 0) for a in live.values())
+    n_files = max(1, math.ceil(total / (target_mb << 20)))
+    snap = _read_adds(spark, path, meta, live).repartition(n_files)
+    files = _land_parquet(snap, path, part_cols or None)
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "OPTIMIZE",
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    for fname in sorted(live):
+        lines.append(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": fname,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+        )
+    for relname, pvals, size, stats in files:
+        add = {
+            "path": relname,
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": False,
+        }
+        if stats is not None:
+            add["stats"] = stats
+        lines.append(json.dumps({"add": add}))
+    return _claim_delta_version(path, lines)
+
+
 def _read_adds(
     spark: SparkSession, path: str, meta: dict, adds: dict
 ) -> DataFrame:

@@ -273,3 +273,29 @@ def test_partition_tier_pruning_on_delta(spark, tmp_path):
     _m, live1, _ = dp._fold_delta_state(spark, path, None)
     assert other <= set(live1)
     assert dp.read_delta(spark, path).filter(F.col("lang") == "1").count() == 0
+
+
+def test_compact_delta_datachange_false(spark, tmp_path):
+    """OPTIMIZE commits remove+add with dataChange:false; content and
+    time travel are preserved; the resulting adds carry fresh stats so
+    pruning keeps working post-compaction."""
+    import json as json_mod
+
+    path = str(tmp_path / "delta")
+    dp.write_delta(_df(spark, 0, 50).repartitionByRange(5, "doc_id"), path)
+    dp.write_delta(_df(spark, 50, 70), path)
+    v_pre = dp.delta_versions(path)[-1]
+    dp.compact_delta(spark, path)
+    assert _rows(dp.read_delta(spark, path)) == _rows(_df(spark, 0, 70))
+    assert _rows(dp.read_delta(spark, path, version=v_pre)) == _rows(
+        _df(spark, 0, 70)
+    )
+    hist = dp.delta_history(path)
+    assert hist[-1]["operation"] == "OPTIMIZE"
+    acts = dp._read_actions(path, hist[-1]["version"])
+    changes = [
+        a["add"]["dataChange"] for a in acts if "add" in a
+    ] + [a["remove"]["dataChange"] for a in acts if "remove" in a]
+    assert changes and not any(changes)
+    _got, n_read, n_skipped = dp.read_delta_pruned(spark, path, "doc_id", 0, 5)
+    assert n_read >= 1  # stats present on the compacted files
