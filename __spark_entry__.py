@@ -136,6 +136,7 @@ _TAIL_ORDER = [
     "lake_changes_feed",
     "lake_dv_roundtrip",
     "lake_delta_interop",
+    "lake_iceberg_interop",
     "lake_incremental_view",
     "text_ngram_topk",
     "events_funnel",
@@ -294,6 +295,11 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     pool["lake_delta_interop"] = _deltaproto.delta_interop_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        iceberg as _iceberg,
+    )
+
+    pool["lake_iceberg_interop"] = _iceberg.iceberg_interop_entry
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
 
@@ -356,6 +362,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     pool["lake_delta_interop"] = _deltaproto.DELTA_INTEROP_ORACLE_SQL
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        iceberg as _iceberg,
+    )
+
+    pool["lake_iceberg_interop"] = _iceberg.ICEBERG_INTEROP_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
