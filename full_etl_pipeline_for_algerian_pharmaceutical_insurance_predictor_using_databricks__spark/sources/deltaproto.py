@@ -450,7 +450,10 @@ def delete_where_delta(
     protocol commit: add-action stats/partition values pick the
     possibly-affected files; only those are rewritten (NULLs kept —
     three-valued BETWEEN), committed as remove+add actions any Delta
-    engine replays.  Zero touched files → no-op."""
+    engine replays, plus a `cdc` action whose `_change_data` file
+    carries the deleted rows (`_change_type='delete'`) so CDF readers
+    get the exact row-level feed the spec prescribes for rewrites.
+    Zero touched files → no-op."""
     meta, live, _v = _fold_delta_state(spark, path, None)
     part_cols = list(meta.get("partitionColumns") or [])
     touched = {
@@ -463,7 +466,11 @@ def delete_where_delta(
         return vs[-1]
     old_rows = _read_adds(spark, path, meta, touched)
     kept = old_rows.filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
+    dropped = old_rows.filter(F.col(col).between(lo, hi))
     files = _land_parquet(kept, path, part_cols or None)
+    cdc_files = _land_cdc(
+        dropped.withColumn("_change_type", F.lit("delete")), path
+    )
     now_ms = int(time.time() * 1000)
     lines = [
         json.dumps(
@@ -502,7 +509,139 @@ def delete_where_delta(
         if stats is not None:
             add["stats"] = stats
         lines.append(json.dumps({"add": add}))
+    for rel, size in cdc_files:
+        lines.append(
+            json.dumps(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": size,
+                        "dataChange": False,
+                    }
+                }
+            )
+        )
     return _claim_delta_version(path, lines)
+
+
+def _land_cdc(df: DataFrame, path: str) -> list[tuple[str, int]]:
+    """Land change-data rows (table columns + `_change_type`) under
+    `_change_data/` — the directory the Delta CDF spec prescribes —
+    and return (relative path, size) pairs for `cdc` actions."""
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
+    out = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        name = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+        rel = f"_change_data/{name}"
+        os.rename(os.path.join(staging, f), os.path.join(path, *rel.split("/")))
+        out.append((rel, os.path.getsize(os.path.join(path, *rel.split("/")))))
+    shutil.rmtree(staging)
+    return out
+
+
+def read_changes_delta(
+    spark: SparkSession,
+    path: str,
+    since_version: int = 0,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Change data feed over a real Delta log, per the CDF spec's
+    reader rules applied commit by commit:
+
+    - a commit with `cdc` actions: its `_change_data` files ARE the
+      changes (they carry `_change_type`); file actions are ignored;
+    - otherwise insert-only commits (all dataChange adds) are inserts,
+      delete-only commits (all dataChange removes) are whole-file
+      deletes read back from the still-present pre-image files, and
+      OVERWRITE commits are exact as full-snapshot delete + insert;
+    - commits whose actions all carry `dataChange: false` (OPTIMIZE /
+      checkpoint rewrites) contribute nothing;
+    - any other mixed rewrite without `cdc` raises — per the spec a
+      file-level diff of such a commit double-counts rewritten rows,
+      so refusing beats mis-reading.
+
+    Returns table columns + `_change_type` + `_commit_version`.
+    Works on logs written by this module or any engine that follows
+    the spec's cdc-action convention."""
+    meta, _live, _v = _fold_delta_state(spark, path, None)
+    vs = [
+        v
+        for v in delta_versions(path)
+        if v >= since_version and (end_version is None or v <= end_version)
+    ]
+    frames = []
+    for v in vs:
+        acts = _read_actions(path, v)
+        cdc = [a["cdc"] for a in acts if "cdc" in a]
+        if cdc:
+            files = [os.path.join(path, c["path"]) for c in cdc]
+            df = spark.read.parquet(*sorted(files))
+            frames.append(df.withColumn("_commit_version", F.lit(v)))
+            continue
+        adds = {
+            a["add"]["path"]: a["add"]
+            for a in acts
+            if "add" in a and a["add"].get("dataChange")
+        }
+        removes = {
+            a["remove"]["path"]: a["remove"]
+            for a in acts
+            if "remove" in a and a["remove"].get("dataChange", True)
+        }
+        if adds and removes:
+            info = next(
+                (a["commitInfo"] for a in acts if "commitInfo" in a), {}
+            )
+            op = (info.get("operation") or "").upper()
+            mode = (info.get("operationParameters") or {}).get("mode", "")
+            if not (op == "WRITE" and str(mode).upper() == "OVERWRITE"):
+                raise ValueError(
+                    f"commit {v}: mixed add+remove rewrite without cdc "
+                    "actions — change feed not derivable from file actions"
+                )
+        if adds:
+            df = _read_adds(spark, path, meta, adds)
+            frames.append(
+                df.withColumn("_change_type", F.lit("insert")).withColumn(
+                    "_commit_version", F.lit(v)
+                )
+            )
+        if removes:
+            # pre-image files are still on disk (VACUUM-less log); every
+            # row of a dataChange remove is a delete
+            avail = {
+                f: {"path": f, "partitionValues": {}}
+                for f in removes
+                if os.path.exists(os.path.join(path, f))
+            }
+            if len(avail) != len(removes):
+                raise ValueError(
+                    f"commit {v}: removed file(s) no longer present — "
+                    "cannot reconstruct the change feed"
+                )
+            df = _read_adds(spark, path, meta, avail)
+            frames.append(
+                df.withColumn("_change_type", F.lit("delete")).withColumn(
+                    "_commit_version", F.lit(v)
+                )
+            )
+    if not frames:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn("_change_type", F.lit("")).withColumn(
+            "_commit_version", F.lit(0)
+        )
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def compact_delta(spark: SparkSession, path: str, target_mb: int = 128) -> int:

@@ -299,3 +299,84 @@ def test_compact_delta_datachange_false(spark, tmp_path):
     assert changes and not any(changes)
     _got, n_read, n_skipped = dp.read_delta_pruned(spark, path, "doc_id", 0, 5)
     assert n_read >= 1  # stats present on the compacted files
+
+
+def test_change_data_feed_spec_rules(spark, tmp_path):
+    """CDF per the spec: cdc actions win when present (DELETE writes
+    `_change_data` pre-images), insert-only commits derive inserts,
+    OVERWRITE derives full-snapshot delete+insert, dataChange:false
+    commits (OPTIMIZE) contribute nothing."""
+    path = str(tmp_path / "delta")
+    dp.write_delta(
+        _df(spark, 0, 40).repartitionByRange(4, "doc_id"),
+        path,
+        partition_by=["lang"],
+    )
+    dp.write_delta(_df(spark, 40, 50), path)
+    dp.delete_where_delta(spark, path, "doc_id", 10, 19)
+    dp.compact_delta(spark, path)
+    dp.write_delta(_df(spark, 100, 105), path, mode="overwrite")
+    ch = dp.read_changes_delta(spark, path)
+    agg = sorted(
+        tuple(r)
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .count()
+        .collect()
+    )
+    assert agg == [
+        (0, "insert", 40),
+        (1, "insert", 10),
+        (2, "delete", 10),
+        (4, "delete", 40),
+        (4, "insert", 5),
+    ]
+    dels = dp.read_changes_delta(spark, path, 2, 2)
+    assert sorted(r["doc_id"] for r in dels.collect()) == list(range(10, 20))
+    # the cdc landing is real: _change_data files + cdc actions on disk
+    assert any(
+        f.startswith("cdc-")
+        for f in os.listdir(os.path.join(path, "_change_data"))
+    )
+    acts = dp._read_actions(path, 2)
+    assert any("cdc" in a for a in acts)
+
+
+def test_change_feed_refuses_underivable_foreign_rewrite(spark, tmp_path):
+    """A foreign mixed add+remove commit WITHOUT cdc actions (e.g. an
+    engine that rewrote files with CDF disabled) must raise — a
+    file-level diff would double-count the rewritten rows."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "delta")
+    dp.write_delta(_df(spark, 0, 20), path)
+    meta, live, _v = dp._fold_delta_state(spark, path, None)
+    fname = sorted(live)[0]
+    # craft a rewrite commit: remove one file, re-add it, no cdc
+    lines = [
+        json.dumps({"commitInfo": {"operation": "MERGE", "timestamp": 1}}),
+        json.dumps(
+            {
+                "remove": {
+                    "path": fname,
+                    "deletionTimestamp": 1,
+                    "dataChange": True,
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "add": {
+                    "path": fname,
+                    "partitionValues": {},
+                    "size": live[fname]["size"],
+                    "modificationTime": 1,
+                    "dataChange": True,
+                }
+            }
+        ),
+    ]
+    dp._claim_delta_version(path, lines)
+    with _pytest.raises(ValueError, match="not derivable"):
+        dp.read_changes_delta(spark, path).count()
+    # but a window that excludes the bad commit still reads
+    assert dp.read_changes_delta(spark, path, 0, 0).count() == 20
