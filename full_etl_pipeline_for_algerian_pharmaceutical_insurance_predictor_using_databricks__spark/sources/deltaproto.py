@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import struct
 import time
 import uuid
 
@@ -47,14 +48,24 @@ _WRITE_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 _MAX_READER_VERSION = 2  # v2 adds nothing a plain reader must act on
 #: Reader features (protocol v3+) this module does NOT implement; a
 #: table requiring any of them must raise, never silently mis-read.
+#: deletionVectors is NOT here — r8 implements the full DV read/write
+#: path (roaring bitmaps + Z85, see sources/roaring.py).
 _UNSUPPORTED_READER_FEATURES = {
-    "deletionVectors",
     "columnMapping",
     "timestampNtz",
     "v2Checkpoint",
     "typeWidening",
     "variantType",
 }
+#: Protocol announced once a table carries deletion vectors (the spec
+#: requires the feature flags from the first DV commit on).
+_DV_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+_DV_MAGIC = 1681511377
 
 
 def _log_dir(path: str) -> str:
@@ -142,15 +153,24 @@ def _fold_delta_state(spark: SparkSession, path: str, version: int | None):
     for v in vs:
         if v <= start_after or v > version:
             continue
+        # per-commit reconciliation: removes apply first, then adds —
+        # so a commit carrying remove+add of the SAME path (the spec's
+        # deletion-vector update shape) resolves add-wins regardless
+        # of action order, as the protocol prescribes
+        commit_adds: dict[str, dict] = {}
+        commit_removes: list[str] = []
         for a in _read_actions(path, v):
             if "add" in a:
-                live[a["add"]["path"]] = a["add"]
+                commit_adds[a["add"]["path"]] = a["add"]
             elif "remove" in a:
-                live.pop(a["remove"]["path"], None)
+                commit_removes.append(a["remove"]["path"])
             elif "metaData" in a:
                 meta = a["metaData"]
             elif "protocol" in a:
                 proto = a["protocol"]
+        for p in commit_removes:
+            live.pop(p, None)
+        live.update(commit_adds)
     if proto:
         _check_protocol(proto)
     if meta is None:
@@ -443,17 +463,37 @@ def read_delta_pruned(
     return df.filter(cond), len(kept), skipped
 
 
+def _current_protocol(path: str) -> dict:
+    proto = dict(_WRITE_PROTOCOL)
+    for v in delta_versions(path):
+        for a in _read_actions(path, v):
+            if "protocol" in a:
+                proto = a["protocol"]
+    return proto
+
+
 def delete_where_delta(
-    spark: SparkSession, path: str, col: str, lo, hi
+    spark: SparkSession, path: str, col: str, lo, hi, strategy: str = "rewrite"
 ) -> int:
     """`DELETE FROM delta_table WHERE col BETWEEN lo AND hi` as a real
-    protocol commit: add-action stats/partition values pick the
-    possibly-affected files; only those are rewritten (NULLs kept —
-    three-valued BETWEEN), committed as remove+add actions any Delta
-    engine replays, plus a `cdc` action whose `_change_data` file
-    carries the deleted rows (`_change_type='delete'`) so CDF readers
-    get the exact row-level feed the spec prescribes for rewrites.
-    Zero touched files → no-op."""
+    protocol commit.  Add-action stats/partition values pick the
+    possibly-affected files; then:
+
+    - ``strategy="rewrite"`` (copy-on-write): only touched files are
+      rewritten (NULLs kept — three-valued BETWEEN), committed as
+      remove+add actions any Delta engine replays;
+    - ``strategy="dv"`` (merge-on-read): no data file is rewritten —
+      matched row positions become real deletion vectors (roaring +
+      Z85, spec file framing), each touched file re-added with its
+      DeletionVectorDescriptor (unioned with any existing DV) and the
+      protocol upgraded to readerVersion 3 + the `deletionVectors`
+      feature flags, exactly the commit shape delta-spark emits.
+
+    Both write a `cdc` action whose `_change_data` file carries the
+    deleted rows (`_change_type='delete'`), so CDF readers get the
+    exact row-level feed.  Zero touched files → no-op."""
+    if strategy not in ("rewrite", "dv"):
+        raise ValueError(f"unknown delete strategy {strategy!r}")
     meta, live, _v = _fold_delta_state(spark, path, None)
     part_cols = list(meta.get("partitionColumns") or [])
     touched = {
@@ -464,6 +504,10 @@ def delete_where_delta(
     vs = delta_versions(path)
     if not touched:
         return vs[-1]
+    if strategy == "dv":
+        return _delete_where_delta_dv(
+            spark, path, meta, touched, part_cols, col, lo, hi
+        )
     old_rows = _read_adds(spark, path, meta, touched)
     kept = old_rows.filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
     dropped = old_rows.filter(F.col(col).between(lo, hi))
@@ -509,6 +553,148 @@ def delete_where_delta(
         if stats is not None:
             add["stats"] = stats
         lines.append(json.dumps({"add": add}))
+    for rel, size in cdc_files:
+        lines.append(
+            json.dumps(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": size,
+                        "dataChange": False,
+                    }
+                }
+            )
+        )
+    return _claim_delta_version(path, lines)
+
+
+def _delete_where_delta_dv(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    touched: dict,
+    part_cols: list[str],
+    col: str,
+    lo,
+    hi,
+) -> int:
+    """Merge-on-read half of delete_where_delta: positions → roaring
+    DV file → remove+add(same path, descriptor) commit + protocol
+    upgrade.  Matched positions are collected driver-side to build the
+    bitmaps — the same in-memory step every real DV writer performs
+    (roaring bitmaps are KB-scale); the row scan and the CDF landing
+    stay distributed."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    types = {f.name: f.dataType for f in schema.fields}
+    read_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    tail_to_rel = {f.rsplit("/", 1)[-1]: f for f in touched}
+    groups: dict[tuple, list[str]] = {}
+    for fname, add in touched.items():
+        pv = (add.get("partitionValues") or {}) if part_cols else {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(fname)
+    frames = []
+    for key, fs in sorted(groups.items()):
+        df = spark.read.schema(read_schema).parquet(
+            *[os.path.join(path, f) for f in sorted(fs)]
+        )
+        df = df.withColumn(
+            _DP_FILE,
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn(_DP_RI, F.col("_metadata.row_index"))
+        for c, raw in zip(part_cols, key):
+            lit = F.lit(None) if raw is None else F.lit(raw)
+            df = df.withColumn(c, lit.cast(types[c]))
+        frames.append(
+            df.select(*[f.name for f in schema.fields], _DP_FILE, _DP_RI)
+        )
+    scan = frames[0]
+    for df in frames[1:]:
+        scan = scan.unionByName(df)
+    matches = scan.filter(F.col(col).between(lo, hi))
+    # rows already hidden by an existing DV must not re-delete (or
+    # re-appear in the change feed)
+    old_pos: dict[str, list[int]] = {}
+    already = []
+    for fname, add in touched.items():
+        desc = add.get("deletionVector")
+        if desc:
+            old_pos[fname] = _dv_positions(path, desc)
+            tail = fname.rsplit("/", 1)[-1]
+            already.extend((tail, ri) for ri in old_pos[fname])
+    if already:
+        adf = spark.createDataFrame(
+            already, f"{_DP_FILE} string, {_DP_RI} bigint"
+        )
+        matches = matches.join(
+            F.broadcast(adf), [_DP_FILE, _DP_RI], "left_anti"
+        )
+    matches = matches.localCheckpoint(eager=True)  # scan once, use twice
+    cdc_files = _land_cdc(
+        matches.drop(_DP_FILE, _DP_RI).withColumn(
+            "_change_type", F.lit("delete")
+        ),
+        path,
+    )
+    new_pos: dict[str, list[int]] = {}
+    for r in matches.select(_DP_FILE, _DP_RI).collect():
+        rel = tail_to_rel[r[_DP_FILE]]
+        new_pos.setdefault(rel, []).append(r[_DP_RI])
+    vs = delta_versions(path)
+    if not new_pos:
+        return vs[-1]
+    bitmaps = {
+        rel: sorted(set(new_pos[rel]) | set(old_pos.get(rel, [])))
+        for rel in new_pos
+    }
+    descs = _write_dv_file(path, bitmaps)
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "predicate": f"{col} BETWEEN {lo!r} AND {hi!r}"
+                    },
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    proto = _current_protocol(path)
+    if "deletionVectors" not in (proto.get("readerFeatures") or []):
+        lines.append(json.dumps({"protocol": dict(_DV_PROTOCOL)}))
+    for rel in sorted(bitmaps):
+        old_add = touched[rel]
+        lines.append(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        )
+        new_add = {
+            "path": rel,
+            "partitionValues": old_add.get("partitionValues") or {},
+            "size": old_add.get("size"),
+            "modificationTime": now_ms,
+            "dataChange": True,
+            "deletionVector": descs[rel],
+        }
+        if old_add.get("stats"):
+            new_add["stats"] = old_add["stats"]
+        lines.append(json.dumps({"add": new_add}))
     for rel, size in cdc_files:
         lines.append(
             json.dumps(
@@ -699,32 +885,155 @@ def compact_delta(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     return _claim_delta_version(path, lines)
 
 
+# --------------------------------------------------------------------------
+# Deletion vectors (protocol v3 readerFeature, roaring + Z85 per spec)
+# --------------------------------------------------------------------------
+
+
+def _dv_positions(path: str, desc: dict) -> list[int]:
+    """Decode a DeletionVectorDescriptor into its deleted row indices,
+    per the spec's three storage types: `u` (relative file named by a
+    Z85 uuid, optional random prefix), `p` (absolute path), `i`
+    (inline Z85 payload).  File-stored DVs live in the spec's framed
+    layout — version byte, then [size int32 BE][data][CRC32 BE] with
+    data = magic int32 LE + portable RoaringBitmapArray."""
+    import binascii
+
+    from . import roaring
+
+    st = desc.get("storageType")
+    if st == "i":
+        data = roaring.z85_decode(desc["pathOrInlineDv"])
+    elif st in ("u", "p"):
+        if st == "u":
+            # the Z85 uuid is always the LAST 20 chars; everything
+            # before is the random directory prefix (no separator in
+            # the encoding — '/' is itself a Z85 alphabet character)
+            enc = desc["pathOrInlineDv"]
+            prefix, uuid_enc = enc[:-20], enc[-20:]
+            dv_uuid = uuid.UUID(bytes=roaring.z85_decode(uuid_enc))
+            parts = [path] + ([prefix] if prefix else [])
+            fpath = os.path.join(*parts, f"deletion_vector_{dv_uuid}.bin")
+        else:
+            fpath = desc["pathOrInlineDv"]
+            if fpath.startswith("file:"):
+                fpath = fpath[len("file:") :]
+                while fpath.startswith("//"):
+                    fpath = fpath[1:]
+        with open(fpath, "rb") as f:
+            raw = f.read()
+        off = int(desc.get("offset") or 1)
+        (size,) = struct.unpack(">i", raw[off : off + 4])
+        data = raw[off + 4 : off + 4 + size]
+        (crc,) = struct.unpack(">I", raw[off + 4 + size : off + 8 + size])
+        if binascii.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"deletion vector checksum mismatch in {fpath}")
+    else:
+        raise ValueError(f"unknown DV storageType {st!r}")
+    (magic,) = struct.unpack("<i", data[:4])
+    if magic != _DV_MAGIC:
+        raise ValueError(f"bad deletion-vector magic {magic}")
+    return roaring.deserialize_rbm64(data[4:])
+
+
+def _write_dv_file(path: str, bitmaps: dict[str, list[int]]) -> dict[str, dict]:
+    """Write ONE on-disk DV file holding every (file → positions)
+    bitmap of a commit — the packing real writers use — and return
+    per-data-file DeletionVectorDescriptors (storageType `u`)."""
+    import binascii
+
+    from . import roaring
+
+    dv_uuid = uuid.uuid4()
+    fname = f"deletion_vector_{dv_uuid}.bin"
+    buf = bytearray(b"\x01")  # format version
+    descs: dict[str, dict] = {}
+    for data_file in sorted(bitmaps):
+        positions = bitmaps[data_file]
+        data = (
+            int(_DV_MAGIC).to_bytes(4, "little", signed=True)
+            + roaring.serialize_rbm64(positions)
+        )
+        offset = len(buf)
+        buf += len(data).to_bytes(4, "big", signed=True)
+        buf += data
+        buf += (binascii.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big")
+        descs[data_file] = {
+            "storageType": "u",
+            "pathOrInlineDv": roaring.z85_encode(dv_uuid.bytes),
+            "offset": offset,
+            "sizeInBytes": len(data),
+            "cardinality": len(positions),
+        }
+    tmp = os.path.join(path, f"_dv-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "wb") as f:
+        f.write(bytes(buf))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, fname))
+    return descs
+
+
+_DP_FILE, _DP_RI = "_dp_dv_file", "_dp_dv_ri"
+
+
+def _apply_dvs(
+    spark: SparkSession, path: str, df: DataFrame, dv_files: dict[str, dict]
+) -> DataFrame:
+    """Anti-join a scan against its files' decoded DV position sets —
+    the Delta DV read shape: the bitmap is loaded in memory (KB-scale
+    roaring, exactly what real readers do) and broadcast against the
+    parquet reader's `_metadata.row_index`."""
+    pos_rows = []
+    for fname, desc in dv_files.items():
+        tail = fname.rsplit("/", 1)[-1]
+        for ri in _dv_positions(path, desc):
+            pos_rows.append((tail, ri))
+    if not pos_rows:
+        return df
+    pos = spark.createDataFrame(
+        pos_rows, f"{_DP_FILE} string, {_DP_RI} bigint"
+    )
+    keyed = df.withColumn(
+        _DP_FILE,
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    ).withColumn(_DP_RI, F.col("_metadata.row_index"))
+    return keyed.join(F.broadcast(pos), [_DP_FILE, _DP_RI], "left_anti").drop(
+        _DP_FILE, _DP_RI
+    )
+
+
 def _read_adds(
     spark: SparkSession, path: str, meta: dict, adds: dict
 ) -> DataFrame:
     """Read a set of add-actions' files with partition columns
-    reconstructed — the shared scan used by read_delta and the pruned/
-    delete paths."""
+    reconstructed and deletion vectors applied — the shared scan used
+    by read_delta and the pruned/delete paths."""
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    if not part_cols:
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(path, f) for f in sorted(adds)]
-        )
     types = {f.name: f.dataType for f in schema.fields}
-    read_schema = StructType([f for f in schema.fields if f.name not in part_cols])
+    read_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
     groups: dict[tuple, list[str]] = {}
     for fname, add in adds.items():
-        pv = add.get("partitionValues") or {}
+        pv = (add.get("partitionValues") or {}) if part_cols else {}
         key = tuple(pv.get(c) for c in part_cols)
         groups.setdefault(key, []).append(fname)
     frames = []
     for key, fs in sorted(groups.items()):
+        dv_files = {
+            f: adds[f]["deletionVector"]
+            for f in fs
+            if adds[f].get("deletionVector")
+        }
         df = spark.read.schema(read_schema).parquet(
             *[os.path.join(path, f) for f in sorted(fs)]
         )
+        if dv_files:
+            df = _apply_dvs(spark, path, df, dv_files)
         for c, raw in zip(part_cols, key):
             lit = F.lit(None) if raw is None else F.lit(raw)
             df = df.withColumn(c, lit.cast(types[c]))
@@ -751,14 +1060,19 @@ def write_delta_checkpoint(
     add_type = (
         "struct<path:string,partitionValues:map<string,string>,"
         "size:bigint,modificationTime:bigint,dataChange:boolean,"
-        "stats:string>"
+        "stats:string,deletionVector:struct<storageType:string,"
+        "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
+        "cardinality:bigint>>"
     )
     meta_type = (
         "struct<id:string,format:struct<provider:string>,"
         "schemaString:string,partitionColumns:array<string>,"
         "createdTime:bigint>"
     )
-    proto_type = "struct<minReaderVersion:int,minWriterVersion:int>"
+    proto_type = (
+        "struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>"
+    )
     rows = [
         {
             "add": {
@@ -770,6 +1084,19 @@ def write_delta_checkpoint(
                 # stats survive checkpointing, or data skipping would
                 # silently stop working once a checkpoint lands
                 "stats": a.get("stats"),
+                # and so do deletion vectors, or checkpointing would
+                # silently resurrect deleted rows
+                "deletionVector": (
+                    {
+                        "storageType": dv["storageType"],
+                        "pathOrInlineDv": dv["pathOrInlineDv"],
+                        "offset": int(dv.get("offset") or 0),
+                        "sizeInBytes": int(dv.get("sizeInBytes") or 0),
+                        "cardinality": int(dv.get("cardinality") or 0),
+                    }
+                    if (dv := a.get("deletionVector"))
+                    else None
+                ),
             },
             "metaData": None,
             "protocol": None,
@@ -789,7 +1116,12 @@ def write_delta_checkpoint(
             "protocol": None,
         }
     )
-    rows.append({"add": None, "metaData": None, "protocol": dict(_WRITE_PROTOCOL)})
+    # the checkpoint must restate the table's ACTUAL protocol (feature
+    # flags included) — writing the default here would un-announce
+    # deletionVectors and break readers' feature gating
+    rows.append(
+        {"add": None, "metaData": None, "protocol": _current_protocol(path)}
+    )
     schema = f"add {add_type}, metaData {meta_type}, protocol {proto_type}"
     ck = os.path.join(_log_dir(path), _CKPT_FMT.format(version))
     tmpdir = os.path.join(_log_dir(path), f"_ckpt-{uuid.uuid4().hex}")

@@ -163,7 +163,10 @@ def test_foreign_crafted_log_reads(spark, tmp_path):
 
 
 def test_unsupported_reader_features_raise(spark, tmp_path):
-    path = str(tmp_path / "dvdelta")
+    """columnMapping is still an unimplemented reader feature and must
+    refuse; deletionVectors no longer appears here — r8 implements it
+    (see test_deletion_vector_delete_and_read)."""
+    path = str(tmp_path / "cmdelta")
     log = os.path.join(path, "_delta_log")
     os.makedirs(log)
     with open(os.path.join(log, dp._LOG_FMT.format(0)), "w") as f:
@@ -173,7 +176,7 @@ def test_unsupported_reader_features_raise(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors"],
+                        "readerFeatures": ["columnMapping"],
                     }
                 }
             )
@@ -380,3 +383,127 @@ def test_change_feed_refuses_underivable_foreign_rewrite(spark, tmp_path):
         dp.read_changes_delta(spark, path).count()
     # but a window that excludes the bad commit still reads
     assert dp.read_changes_delta(spark, path, 0, 0).count() == 20
+
+
+def test_roaring_z85_codecs():
+    """Spec vectors: the ZeroMQ Z85 'HelloWorld' example; roaring
+    roundtrips across array/bitmap containers and 2^32 buckets; a
+    hand-crafted run-container bitmap (cookie 12347) decodes."""
+    import struct
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        roaring as rb,
+    )
+
+    hello = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert rb.z85_encode(hello) == "HelloWorld"
+    assert rb.z85_decode("HelloWorld") == hello
+    for vals in ([], [0], [1, 5, 7], list(range(70000)), [2**32 + 5, 3]):
+        assert rb.deserialize_rbm64(rb.serialize_rbm64(vals)) == sorted(
+            set(vals)
+        )
+    run = bytearray()
+    run += struct.pack("<HH", 12347, 0)  # run cookie, 1 container
+    run += bytes([0b1])  # container 0 is a run container
+    run += struct.pack("<HH", 0, 10)  # key 0, cardinality-1
+    run += struct.pack("<H", 1)  # 1 run
+    run += struct.pack("<HH", 10, 10)  # start 10, length-1 = 10
+    full = struct.pack("<q", 1) + bytes(run)
+    assert rb.deserialize_rbm64(full) == list(range(10, 21))
+
+
+def test_deletion_vector_delete_and_read(spark, tmp_path):
+    """strategy='dv': no data file rewritten — the commit re-adds the
+    same paths with DeletionVectorDescriptors (real roaring+Z85 `.bin`
+    sidecar), upgrades the protocol to readerVersion 3, unions on
+    repeat deletes, survives checkpoints, and compaction materializes
+    the DVs away."""
+    path = str(tmp_path / "delta")
+    dp.write_delta(
+        _df(spark, 0, 60).repartitionByRange(6, "doc_id"),
+        path,
+        partition_by=["lang"],
+    )
+    v_dv = dp.delete_where_delta(spark, path, "doc_id", 10, 19, strategy="dv")
+    acts = dp._read_actions(path, v_dv)
+    addpaths = sorted(a["add"]["path"] for a in acts if "add" in a)
+    rmpaths = sorted(a["remove"]["path"] for a in acts if "remove" in a)
+    assert addpaths == rmpaths  # merge-on-read: same files re-added
+    assert all(a["add"]["deletionVector"] for a in acts if "add" in a)
+    assert any(
+        a["protocol"]["minReaderVersion"] == 3
+        and "deletionVectors" in a["protocol"]["readerFeatures"]
+        for a in acts
+        if "protocol" in a
+    )
+    assert any(f.startswith("deletion_vector_") for f in os.listdir(path))
+    got = dp.read_delta(spark, path)
+    assert got.count() == 50
+    assert got.filter("doc_id between 10 and 19").count() == 0
+    # overlapping second DV delete: unions, CDF reports only NEW rows
+    dp.delete_where_delta(spark, path, "doc_id", 15, 24, strategy="dv")
+    got2 = dp.read_delta(spark, path)
+    assert _rows(got2) == _rows(
+        _df(spark, 0, 60).filter(~F.col("doc_id").between(10, 24))
+    )
+    ch = dp.read_changes_delta(spark, path, 2, 2)
+    assert sorted(r["doc_id"] for r in ch.collect()) == list(range(20, 25))
+    # checkpoint carries descriptors + the feature-flagged protocol
+    dp.write_delta_checkpoint(spark, path)
+    assert dp.read_delta(spark, path).count() == 45
+    assert dp.read_delta(spark, path, version=0).count() == 60
+    dp.compact_delta(spark, path)
+    meta, live, _v = dp._fold_delta_state(spark, path, None)
+    assert not any(a.get("deletionVector") for a in live.values())
+    assert dp.read_delta(spark, path).count() == 45
+
+
+def test_inline_dv_and_foreign_descriptor(spark, tmp_path):
+    """storageType 'i' (inline Z85 payload) decodes; a descriptor
+    whose uuid encoding contains '/' (a Z85 alphabet char) must not be
+    mis-split; corrupted checksums raise."""
+    import binascii
+    import struct
+    import uuid as uuid_mod
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        roaring as rb,
+    )
+
+    path = str(tmp_path / "delta")
+    os.makedirs(path)
+    data = int(dp._DV_MAGIC).to_bytes(4, "little", signed=True) + (
+        rb.serialize_rbm64([1, 3, 5])
+    )
+    if len(data) % 4 == 0:
+        desc = {"storageType": "i", "pathOrInlineDv": rb.z85_encode(data)}
+        assert dp._dv_positions(path, desc) == [1, 3, 5]
+    # craft a 'u' file whose z85 uuid contains '/'
+    dv_uuid = None
+    for _ in range(20000):
+        cand = uuid_mod.uuid4()
+        if "/" in rb.z85_encode(cand.bytes):
+            dv_uuid = cand
+            break
+    assert dv_uuid is not None
+    buf = bytearray(b"\x01")
+    offset = len(buf)
+    buf += len(data).to_bytes(4, "big", signed=True)
+    buf += data
+    buf += (binascii.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big")
+    with open(os.path.join(path, f"deletion_vector_{dv_uuid}.bin"), "wb") as f:
+        f.write(bytes(buf))
+    desc = {
+        "storageType": "u",
+        "pathOrInlineDv": rb.z85_encode(dv_uuid.bytes),
+        "offset": offset,
+        "sizeInBytes": len(data),
+    }
+    assert dp._dv_positions(path, desc) == [1, 3, 5]
+    # flip a data byte: checksum must catch it
+    corrupt = bytearray(buf)
+    corrupt[6] ^= 0xFF
+    with open(os.path.join(path, f"deletion_vector_{dv_uuid}.bin"), "wb") as f:
+        f.write(bytes(corrupt))
+    with pytest.raises(ValueError, match="checksum"):
+        dp._dv_positions(path, desc)
