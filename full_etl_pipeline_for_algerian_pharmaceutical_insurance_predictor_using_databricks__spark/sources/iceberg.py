@@ -500,17 +500,20 @@ def _abs_path(table_path: str, p: str) -> str:
 
 
 def _read_manifest_list(path: str, snap: dict) -> list[dict]:
+    """All manifest_file records of a snapshot — data manifests
+    (content 0) AND v2 delete manifests (content 1); callers split."""
     ml = _abs_path(path, snap["manifest-list"])
     records, _meta, _schema = avrotiny.read_container(ml)
-    for r in records:
-        if (r.get("content") or 0) != 0:
-            raise ValueError(
-                "Iceberg snapshot carries a DELETE manifest (v2 row-level "
-                "deletes) — unsupported; refusing to mis-read"
-            )
     return records
 
+
+def _data_manifests(manifest_files: list[dict]) -> list[dict]:
+    return [m for m in manifest_files if (m.get("content") or 0) == 0]
+
+
 def _read_manifest(path: str, mf: dict) -> list[dict]:
+    """Entries of a DATA manifest.  A data_file record with content 1/2
+    inside one (malformed tree) still refuses."""
     mp = _abs_path(path, mf["manifest_path"])
     records, _meta, _schema = avrotiny.read_container(mp)
     out = []
@@ -518,18 +521,52 @@ def _read_manifest(path: str, mf: dict) -> list[dict]:
         df = r["data_file"]
         if (df.get("content") or 0) != 0:
             raise ValueError(
-                "Iceberg manifest entry is a delete file (position/equality"
-                " deletes) — unsupported; refusing to mis-read"
+                "delete file inside a data manifest — malformed Iceberg "
+                "tree; refusing to mis-read"
             )
         out.append(r)
     return out
 
 
-def _live_entries(path: str, meta: dict, snap: dict) -> list[dict]:
-    """Live data files of a snapshot: every manifest entry with status
-    ADDED(1) or EXISTING(0); DELETED(2) entries drop out."""
+def _position_delete_files(path: str, manifest_files: list[dict]) -> list[str]:
+    """Live v2 POSITION-delete files of a snapshot (spec content=1
+    entries: parquet rows of (file_path, pos)).  Equality deletes
+    (content=2) are the genuinely schema-dependent tier and refuse
+    loudly rather than mis-read."""
     out = []
-    for mf in _read_manifest_list(path, snap):
+    for mf in manifest_files:
+        if (mf.get("content") or 0) != 1:
+            continue
+        mp = _abs_path(path, mf["manifest_path"])
+        records, _meta, _schema = avrotiny.read_container(mp)
+        for r in records:
+            if r.get("status", 0) not in (0, 1):
+                continue
+            df_rec = r["data_file"]
+            content = df_rec.get("content") or 0
+            if content == 2:
+                raise ValueError(
+                    "Iceberg snapshot carries EQUALITY deletes — "
+                    "unsupported; refusing to mis-read"
+                )
+            if content != 1:
+                raise ValueError(
+                    "data file inside a delete manifest — malformed "
+                    "Iceberg tree; refusing to mis-read"
+                )
+            if (df_rec.get("file_format") or "PARQUET").upper() != "PARQUET":
+                raise ValueError(
+                    "non-parquet position-delete file — unsupported"
+                )
+            out.append(_abs_path(path, df_rec["file_path"]))
+    return out
+
+
+def _live_entries(path: str, meta: dict, snap: dict) -> list[dict]:
+    """Live data files of a snapshot: every data-manifest entry with
+    status ADDED(1) or EXISTING(0); DELETED(2) entries drop out."""
+    out = []
+    for mf in _data_manifests(_read_manifest_list(path, snap)):
         for e in _read_manifest(path, mf):
             if e.get("status", 0) in (0, 1):
                 out.append(e)
@@ -541,13 +578,24 @@ def _live_entries(path: str, meta: dict, snap: dict) -> list[dict]:
 # --------------------------------------------------------------------------
 
 
+_IB_FILE, _IB_POS = "_ib_del_file", "_ib_del_pos"
+
+
 def _read_entries(
-    spark: SparkSession, path: str, meta: dict, entries: list[dict]
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    entries: list[dict],
+    delete_files: list[str] | None = None,
 ) -> DataFrame:
     """Scan a set of data files, reconstructing identity-partition
     columns from each entry's partition struct — the spec's column
     projection rule for identity transforms (partition source columns
-    may be absent from data files)."""
+    may be absent from data files).  When v2 POSITION-delete files are
+    live, their (file_path, pos) rows are anti-joined against the
+    scan's `_metadata` row identity (merge-on-read, the same broadcast
+    shape the minilake/Delta DV scans use); both sides key on the
+    file-name tail, unique by construction (uuid part names)."""
     fields = _schema_of(meta)
     spec = _spec_of(meta)
     schema = _spark_schema(fields)
@@ -573,17 +621,38 @@ def _read_entries(
         groups.setdefault(key, []).append(
             _abs_path(path, df_rec["file_path"])
         )
+    deletes = list(delete_files or [])
+    extra = [_IB_FILE, _IB_POS] if deletes else []
     frames = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(read_schema).parquet(*sorted(files))
+        if deletes:
+            df = df.withColumn(
+                _IB_FILE,
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            ).withColumn(_IB_POS, F.col("_metadata.row_index"))
         for pname, raw in zip(part_names, key):
             col = part_src[pname]
             lit = F.lit(None) if raw is None else F.lit(raw)
             df = df.withColumn(col, lit.cast(part_type[pname]))
-        frames.append(df.select(*[f.name for f in schema.fields]))
+        frames.append(df.select(*[f.name for f in schema.fields], *extra))
     out = frames[0]
     for df in frames[1:]:
         out = out.unionByName(df)
+    if deletes:
+        pos = (
+            spark.read.parquet(*sorted(set(deletes)))
+            .select(
+                F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
+                    _IB_FILE
+                ),
+                F.col("pos").cast("bigint").alias(_IB_POS),
+            )
+            .dropDuplicates()
+        )
+        out = out.join(
+            F.broadcast(pos), [_IB_FILE, _IB_POS], "left_anti"
+        ).drop(_IB_FILE, _IB_POS)
     return out
 
 
@@ -597,7 +666,15 @@ def read_iceberg(
     snap = _snapshot(meta, snapshot_id)
     if snap is None:
         return spark.createDataFrame([], _spark_schema(_schema_of(meta)))
-    return _read_entries(spark, path, meta, _live_entries(path, meta, snap))
+    mfs = _read_manifest_list(path, snap)
+    entries = []
+    for mf in _data_manifests(mfs):
+        for e in _read_manifest(path, mf):
+            if e.get("status", 0) in (0, 1):
+                entries.append(e)
+    return _read_entries(
+        spark, path, meta, entries, _position_delete_files(path, mfs)
+    )
 
 
 def read_iceberg_pruned(
@@ -631,7 +708,8 @@ def read_iceberg_pruned(
     files_read = 0
     files_skipped = 0
     kept: list[dict] = []
-    for mf in _read_manifest_list(path, snap):
+    all_mfs = _read_manifest_list(path, snap)
+    for mf in _data_manifests(all_mfs):
         summaries = mf.get("partitions")
         if part_pos is not None and summaries and part_pos < len(summaries):
             s = summaries[part_pos]
@@ -668,7 +746,9 @@ def read_iceberg_pruned(
                     continue
             files_read += 1
             kept.append(e)
-    df = _read_entries(spark, path, meta, kept)
+    df = _read_entries(
+        spark, path, meta, kept, _position_delete_files(path, all_mfs)
+    )
     return df.filter(cond), files_read, files_skipped, manifests_skipped
 
 
@@ -1075,6 +1155,16 @@ def delete_where_iceberg(
         if base is None:
             raise FileNotFoundError(f"no Iceberg metadata under {path}")
         prev = _snapshot(base, None)
+        if prev is not None and _position_delete_files(
+            path, _read_manifest_list(path, prev)
+        ):
+            # rewriting files while carrying forward delete manifests
+            # needs v2 sequence-number bookkeeping we don't write;
+            # refusing beats resurrecting deleted rows
+            raise ValueError(
+                "copy-on-write DELETE on a table with live position-"
+                "delete files is unsupported"
+            )
         live = (
             _live_entries(path, base, prev) if prev is not None else []
         )
