@@ -549,7 +549,7 @@ def test_refuses_delete_files(spark, tmp_path):
     for r in recs:
         r["content"] = 1  # mark as a DELETE manifest
     av.write_container(ml, ws, recs)
-    with pytest.raises(ValueError, match="DELETE manifest"):
+    with pytest.raises(ValueError, match="delete manifest"):
         ib.read_iceberg(spark, path)
 
 
