@@ -46,17 +46,12 @@ _CKPT_FMT = "{:020d}.checkpoint.parquet"
 #: feature flags.
 _WRITE_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 _MAX_READER_VERSION = 2  # v2 adds nothing a plain reader must act on
-#: Reader features (protocol v3+) this module does NOT implement; a
-#: table requiring any of them must raise, never silently mis-read.
-#: deletionVectors is NOT here — r8 implements the full DV read/write
-#: path (roaring bitmaps + Z85, see sources/roaring.py).
-_UNSUPPORTED_READER_FEATURES = {
-    "columnMapping",
-    "timestampNtz",
-    "v2Checkpoint",
-    "typeWidening",
-    "variantType",
-}
+#: Reader features (protocol v3+) this module DOES implement.  The
+#: Delta spec's rule for v3 tables is an ALLOWLIST: a reader may open
+#: the table iff it implements EVERY listed readerFeature — any
+#: feature outside this set (including ones newer than this module)
+#: must raise, never silently mis-read.
+_SUPPORTED_READER_FEATURES = {"deletionVectors"}
 #: Protocol announced once a table carries deletion vectors (the spec
 #: requires the feature flags from the first DV commit on).
 _DV_PROTOCOL = {
@@ -98,16 +93,34 @@ def _read_actions(path: str, version: int) -> list[dict]:
 def _check_protocol(proto: dict) -> None:
     if proto.get("minReaderVersion", 1) > _MAX_READER_VERSION:
         feats = set(proto.get("readerFeatures") or [])
-        unsupported = feats & _UNSUPPORTED_READER_FEATURES
-        # v3 tables LIST their reader features; we can read one iff
-        # every listed feature is outside the unsupported set (none
-        # such exist today, so in practice this raises)
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        # v3 tables LIST their reader features; the spec says a reader
+        # may open the table iff it implements every listed feature —
+        # an empty list on a v3 table is malformed, so it raises too
         if unsupported or not feats:
             raise ValueError(
                 "Delta table requires unsupported reader capabilities: "
                 f"minReaderVersion={proto.get('minReaderVersion')} "
-                f"features={sorted(feats) or 'unknown'}"
+                f"features={sorted(unsupported or feats) or 'unknown'}"
             )
+
+
+def _remove_action(old_add: dict, now_ms: int, data_change: bool) -> dict:
+    """Spec-shaped remove action carrying the removed file's extended
+    metadata (partitionValues / size / deletionVector from its add
+    action, `extendedFileMetadata: true`) — what real writers emit and
+    what CDF delete-derivation on partitioned/DV'd tables needs."""
+    rm = {
+        "path": old_add["path"],
+        "deletionTimestamp": now_ms,
+        "dataChange": data_change,
+        "extendedFileMetadata": True,
+        "partitionValues": old_add.get("partitionValues") or {},
+        "size": old_add.get("size"),
+    }
+    if old_add.get("deletionVector"):
+        rm["deletionVector"] = old_add["deletionVector"]
+    return rm
 
 
 def _last_checkpoint(path: str) -> dict | None:
@@ -389,13 +402,7 @@ def write_delta(
         for fname in sorted(live):
             lines.append(
                 json.dumps(
-                    {
-                        "remove": {
-                            "path": fname,
-                            "deletionTimestamp": now_ms,
-                            "dataChange": True,
-                        }
-                    }
+                    {"remove": _remove_action(live[fname], now_ms, True)}
                 )
             )
     for relname, pvals, size, stats in files:
@@ -533,13 +540,7 @@ def delete_where_delta(
     for fname in sorted(touched):
         lines.append(
             json.dumps(
-                {
-                    "remove": {
-                        "path": fname,
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                    }
-                }
+                {"remove": _remove_action(touched[fname], now_ms, True)}
             )
         )
     for relname, pvals, size, stats in files:
@@ -581,10 +582,10 @@ def _delete_where_delta_dv(
 ) -> int:
     """Merge-on-read half of delete_where_delta: positions → roaring
     DV file → remove+add(same path, descriptor) commit + protocol
-    upgrade.  Matched positions are collected driver-side to build the
-    bitmaps — the same in-memory step every real DV writer performs
-    (roaring bitmaps are KB-scale); the row scan and the CDF landing
-    stay distributed."""
+    upgrade.  The row scan, the CDF landing, AND the per-file roaring
+    bitmap serialization are all distributed — the driver handles only
+    the serialized KB-scale blobs, so a wide delete (millions of
+    matched positions) never flows through driver memory."""
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -618,22 +619,39 @@ def _delete_where_delta_dv(
         scan = scan.unionByName(df)
     matches = scan.filter(F.col(col).between(lo, hi))
     # rows already hidden by an existing DV must not re-delete (or
-    # re-appear in the change feed)
-    old_pos: dict[str, list[int]] = {}
-    already = []
-    for fname, add in touched.items():
-        desc = add.get("deletionVector")
-        if desc:
-            old_pos[fname] = _dv_positions(path, desc)
-            tail = fname.rsplit("/", 1)[-1]
-            already.extend((tail, ri) for ri in old_pos[fname])
-    if already:
-        adf = spark.createDataFrame(
-            already, f"{_DP_FILE} string, {_DP_RI} bigint"
+    # re-appear in the change feed); old DVs are expanded to position
+    # rows ON EXECUTORS (mapInPandas over the KB-scale descriptors) so
+    # a wide existing DV never transits the driver
+    old_desc_json = {
+        fname.rsplit("/", 1)[-1]: json.dumps(add["deletionVector"])
+        for fname, add in touched.items()
+        if add.get("deletionVector")
+    }
+    if old_desc_json:
+        desc_df = spark.createDataFrame(
+            sorted(old_desc_json.items()),
+            f"{_DP_FILE} string, dv_desc string",
         )
-        matches = matches.join(
-            F.broadcast(adf), [_DP_FILE, _DP_RI], "left_anti"
+
+        def _expand_old(pdfs):
+            import pandas as pd
+
+            for pdf in pdfs:
+                for t, dj in zip(pdf[_DP_FILE], pdf["dv_desc"]):
+                    yield pd.DataFrame(
+                        {
+                            _DP_FILE: t,
+                            _DP_RI: pd.Series(
+                                _dv_positions(path, json.loads(dj)),
+                                dtype="int64",
+                            ),
+                        }
+                    )
+
+        adf = desc_df.mapInPandas(
+            _expand_old, f"{_DP_FILE} string, {_DP_RI} bigint"
         )
+        matches = matches.join(adf, [_DP_FILE, _DP_RI], "left_anti")
     matches = matches.localCheckpoint(eager=True)  # scan once, use twice
     cdc_files = _land_cdc(
         matches.drop(_DP_FILE, _DP_RI).withColumn(
@@ -641,18 +659,43 @@ def _delete_where_delta_dv(
         ),
         path,
     )
-    new_pos: dict[str, list[int]] = {}
-    for r in matches.select(_DP_FILE, _DP_RI).collect():
-        rel = tail_to_rel[r[_DP_FILE]]
-        new_pos.setdefault(rel, []).append(r[_DP_RI])
+
+    # per-file roaring bitmaps are serialized ON EXECUTORS (groupBy
+    # file → applyInPandas); the driver only ever handles the KB-scale
+    # blobs — never an O(matched-rows) position list.  The union with
+    # a file's existing DV happens in the same kernel.
+    def _blob_kernel(key, pdf):
+        import pandas as pd
+
+        from . import roaring
+
+        tail = key[0]
+        pos = set(int(x) for x in pdf[_DP_RI])
+        dj = old_desc_json.get(tail)
+        if dj:
+            pos |= set(_dv_positions(path, json.loads(dj)))
+        return pd.DataFrame(
+            {
+                "tail": [tail],
+                "blob": [roaring.serialize_rbm64(sorted(pos))],
+                "card": [len(pos)],
+            }
+        )
+
+    blob_rows = (
+        matches.select(_DP_FILE, _DP_RI)
+        .groupBy(_DP_FILE)
+        .applyInPandas(_blob_kernel, "tail string, blob binary, card bigint")
+        .collect()
+    )
     vs = delta_versions(path)
-    if not new_pos:
+    if not blob_rows:
         return vs[-1]
-    bitmaps = {
-        rel: sorted(set(new_pos[rel]) | set(old_pos.get(rel, [])))
-        for rel in new_pos
+    blobs = {
+        tail_to_rel[r["tail"]]: (bytes(r["blob"]), int(r["card"]))
+        for r in blob_rows
     }
-    descs = _write_dv_file(path, bitmaps)
+    descs = _write_dv_blobs(path, blobs)
     now_ms = int(time.time() * 1000)
     lines = [
         json.dumps(
@@ -671,18 +714,10 @@ def _delete_where_delta_dv(
     proto = _current_protocol(path)
     if "deletionVectors" not in (proto.get("readerFeatures") or []):
         lines.append(json.dumps({"protocol": dict(_DV_PROTOCOL)}))
-    for rel in sorted(bitmaps):
+    for rel in sorted(blobs):
         old_add = touched[rel]
         lines.append(
-            json.dumps(
-                {
-                    "remove": {
-                        "path": rel,
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
+            json.dumps({"remove": _remove_action(old_add, now_ms, True)})
         )
         new_add = {
             "path": rel,
@@ -755,6 +790,20 @@ def read_changes_delta(
     Works on logs written by this module or any engine that follows
     the spec's cdc-action convention."""
     meta, _live, _v = _fold_delta_state(spark, path, None)
+    # pre-image fold as of since_version-1, then rolled forward commit
+    # by commit: a derived delete looks up the removed file's FULL
+    # add-action here, so partition columns reconstruct and a DV a
+    # prior commit attached still hides its rows (no double-counted
+    # deletes) — the remove action's own optional fields are only the
+    # fallback for foreign logs removing files never seen added
+    pre_live: dict[str, dict] = {}
+    if since_version > 0:
+        try:
+            _m, pre_live, _pv = _fold_delta_state(
+                spark, path, since_version - 1
+            )
+        except (ValueError, FileNotFoundError):
+            pre_live = {}
     vs = [
         v
         for v in delta_versions(path)
@@ -763,59 +812,66 @@ def read_changes_delta(
     frames = []
     for v in vs:
         acts = _read_actions(path, v)
+        all_adds = {a["add"]["path"]: a["add"] for a in acts if "add" in a}
+        all_remove_paths = [
+            a["remove"]["path"] for a in acts if "remove" in a
+        ]
         cdc = [a["cdc"] for a in acts if "cdc" in a]
         if cdc:
             files = [os.path.join(path, c["path"]) for c in cdc]
             df = spark.read.parquet(*sorted(files))
             frames.append(df.withColumn("_commit_version", F.lit(v)))
-            continue
-        adds = {
-            a["add"]["path"]: a["add"]
-            for a in acts
-            if "add" in a and a["add"].get("dataChange")
-        }
-        removes = {
-            a["remove"]["path"]: a["remove"]
-            for a in acts
-            if "remove" in a and a["remove"].get("dataChange", True)
-        }
-        if adds and removes:
-            info = next(
-                (a["commitInfo"] for a in acts if "commitInfo" in a), {}
-            )
-            op = (info.get("operation") or "").upper()
-            mode = (info.get("operationParameters") or {}).get("mode", "")
-            if not (op == "WRITE" and str(mode).upper() == "OVERWRITE"):
-                raise ValueError(
-                    f"commit {v}: mixed add+remove rewrite without cdc "
-                    "actions — change feed not derivable from file actions"
-                )
-        if adds:
-            df = _read_adds(spark, path, meta, adds)
-            frames.append(
-                df.withColumn("_change_type", F.lit("insert")).withColumn(
-                    "_commit_version", F.lit(v)
-                )
-            )
-        if removes:
-            # pre-image files are still on disk (VACUUM-less log); every
-            # row of a dataChange remove is a delete
-            avail = {
-                f: {"path": f, "partitionValues": {}}
-                for f in removes
-                if os.path.exists(os.path.join(path, f))
+        else:
+            adds = {
+                p: a for p, a in all_adds.items() if a.get("dataChange")
             }
-            if len(avail) != len(removes):
-                raise ValueError(
-                    f"commit {v}: removed file(s) no longer present — "
-                    "cannot reconstruct the change feed"
+            removes = {
+                a["remove"]["path"]: a["remove"]
+                for a in acts
+                if "remove" in a and a["remove"].get("dataChange", True)
+            }
+            if adds and removes:
+                info = next(
+                    (a["commitInfo"] for a in acts if "commitInfo" in a), {}
                 )
-            df = _read_adds(spark, path, meta, avail)
-            frames.append(
-                df.withColumn("_change_type", F.lit("delete")).withColumn(
-                    "_commit_version", F.lit(v)
+                op = (info.get("operation") or "").upper()
+                mode = (info.get("operationParameters") or {}).get("mode", "")
+                if not (op == "WRITE" and str(mode).upper() == "OVERWRITE"):
+                    raise ValueError(
+                        f"commit {v}: mixed add+remove rewrite without cdc "
+                        "actions — change feed not derivable from file "
+                        "actions"
+                    )
+            if adds:
+                df = _read_adds(spark, path, meta, adds)
+                frames.append(
+                    df.withColumn("_change_type", F.lit("insert")).withColumn(
+                        "_commit_version", F.lit(v)
+                    )
                 )
-            )
+            if removes:
+                # pre-image files are still on disk (VACUUM-less log);
+                # every still-visible row of a dataChange remove is a
+                # delete
+                avail = {
+                    f: pre_live.get(f, rm)
+                    for f, rm in removes.items()
+                    if os.path.exists(os.path.join(path, f))
+                }
+                if len(avail) != len(removes):
+                    raise ValueError(
+                        f"commit {v}: removed file(s) no longer present — "
+                        "cannot reconstruct the change feed"
+                    )
+                df = _read_adds(spark, path, meta, avail)
+                frames.append(
+                    df.withColumn("_change_type", F.lit("delete")).withColumn(
+                        "_commit_version", F.lit(v)
+                    )
+                )
+        for p in all_remove_paths:
+            pre_live.pop(p, None)
+        pre_live.update(all_adds)
     if not frames:
         from pyspark.sql.types import StructType
 
@@ -862,13 +918,7 @@ def compact_delta(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     for fname in sorted(live):
         lines.append(
             json.dumps(
-                {
-                    "remove": {
-                        "path": fname,
-                        "deletionTimestamp": now_ms,
-                        "dataChange": False,
-                    }
-                }
+                {"remove": _remove_action(live[fname], now_ms, False)}
             )
         )
     for relname, pvals, size, stats in files:
@@ -937,9 +987,26 @@ def _dv_positions(path: str, desc: dict) -> list[int]:
 
 
 def _write_dv_file(path: str, bitmaps: dict[str, list[int]]) -> dict[str, dict]:
-    """Write ONE on-disk DV file holding every (file → positions)
-    bitmap of a commit — the packing real writers use — and return
-    per-data-file DeletionVectorDescriptors (storageType `u`)."""
+    """Positions-list convenience wrapper over `_write_dv_blobs`."""
+    from . import roaring
+
+    return _write_dv_blobs(
+        path,
+        {
+            f: (roaring.serialize_rbm64(v), len(set(v)))
+            for f, v in bitmaps.items()
+        },
+    )
+
+
+def _write_dv_blobs(
+    path: str, blobs: dict[str, tuple[bytes, int]]
+) -> dict[str, dict]:
+    """Write ONE on-disk DV file holding every (file → serialized
+    RoaringBitmapArray blob, cardinality) of a commit — the packing
+    real writers use — and return per-data-file
+    DeletionVectorDescriptors (storageType `u`).  Blobs arrive already
+    serialized (built on executors for wide deletes)."""
     import binascii
 
     from . import roaring
@@ -948,12 +1015,9 @@ def _write_dv_file(path: str, bitmaps: dict[str, list[int]]) -> dict[str, dict]:
     fname = f"deletion_vector_{dv_uuid}.bin"
     buf = bytearray(b"\x01")  # format version
     descs: dict[str, dict] = {}
-    for data_file in sorted(bitmaps):
-        positions = bitmaps[data_file]
-        data = (
-            int(_DV_MAGIC).to_bytes(4, "little", signed=True)
-            + roaring.serialize_rbm64(positions)
-        )
+    for data_file in sorted(blobs):
+        blob, cardinality = blobs[data_file]
+        data = int(_DV_MAGIC).to_bytes(4, "little", signed=True) + blob
         offset = len(buf)
         buf += len(data).to_bytes(4, "big", signed=True)
         buf += data
@@ -963,7 +1027,7 @@ def _write_dv_file(path: str, bitmaps: dict[str, list[int]]) -> dict[str, dict]:
             "pathOrInlineDv": roaring.z85_encode(dv_uuid.bytes),
             "offset": offset,
             "sizeInBytes": len(data),
-            "cardinality": len(positions),
+            "cardinality": cardinality,
         }
     tmp = os.path.join(path, f"_dv-{uuid.uuid4().hex}.tmp")
     with open(tmp, "wb") as f:

@@ -153,18 +153,20 @@ def _deserialize_bitmap32(buf: bytes, pos: int) -> tuple[list[int], int]:
 
 
 def serialize_rbm64(values) -> bytes:
-    """Delta's RoaringBitmapArray portable form: int64 LE = number of
-    32-bit bitmaps, then one 32-bit bitmap per consecutive high-32 key
-    starting at 0 (position == key; empty buckets serialize empty)."""
+    """Delta's RoaringBitmapArray / RoaringTreemap portable form
+    (RoaringFormatSpec 64-bit extension, as written by delta-spark and
+    delta-rs): int64 LE = number of NON-EMPTY 32-bit bitmaps, then for
+    each, ascending: uint32 LE high-32 key + the bitmap's standard
+    32-bit portable serialization.  Empty buckets are never written."""
     buckets: dict[int, list[int]] = {}
     for v in sorted(set(int(v) for v in values)):
         if v < 0:
             raise ValueError("deletion-vector positions are unsigned")
         buckets.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
-    n = (max(buckets) + 1) if buckets else 0
-    out = bytearray(struct.pack("<q", n))
-    for k in range(n):
-        out += _serialize_bitmap32(buckets.get(k, []))
+    out = bytearray(struct.pack("<q", len(buckets)))
+    for k in sorted(buckets):
+        out += struct.pack("<I", k)
+        out += _serialize_bitmap32(buckets[k])
     return bytes(out)
 
 
@@ -172,9 +174,17 @@ def deserialize_rbm64(buf: bytes) -> list[int]:
     (n,) = struct.unpack_from("<q", buf, 0)
     pos = 8
     values: list[int] = []
-    for k in range(n):
+    prev_key = -1
+    for _ in range(n):
+        (key,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        if key <= prev_key:
+            raise ValueError(
+                f"RoaringBitmapArray keys not strictly ascending ({key})"
+            )
+        prev_key = key
         vals, pos = _deserialize_bitmap32(buf, pos)
-        values.extend((k << 32) | v for v in vals)
+        values.extend((key << 32) | v for v in vals)
     if pos != len(buf):
         raise ValueError(
             f"trailing bytes after RoaringBitmapArray ({len(buf) - pos})"

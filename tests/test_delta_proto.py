@@ -199,6 +199,46 @@ def test_unsupported_reader_features_raise(spark, tmp_path):
         dp.read_delta(spark, path)
 
 
+def test_unknown_future_reader_feature_raises(spark, tmp_path):
+    """The spec's v3 rule is an ALLOWLIST: any listed readerFeature
+    this module does not implement — including ones invented AFTER it
+    — must refuse, not silently mis-read."""
+    path = str(tmp_path / "futuredelta")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, dp._LOG_FMT.format(0)), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": [
+                            "deletionVectors",
+                            "someFeatureFromTheFuture",
+                        ],
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "x",
+                        "format": {"provider": "parquet"},
+                        "schemaString": '{"type":"struct","fields":[]}',
+                        "partitionColumns": [],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="someFeatureFromTheFuture"):
+        dp.read_delta(spark, path)
+
+
 def test_delta_to_minilake_migration(spark, tmp_path):
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         minilake,
@@ -344,6 +384,54 @@ def test_change_data_feed_spec_rules(spark, tmp_path):
     assert any("cdc" in a for a in acts)
 
 
+def test_derived_delete_partition_and_dv_fidelity(spark, tmp_path):
+    """Delete derivation from remove actions must reconstruct the
+    pre-image faithfully: partition columns come back typed and
+    non-null (from the removed file's add action, not a stub), and
+    rows a PRIOR commit's deletion vector already hid are NOT
+    re-emitted as deletes when the file is later removed."""
+    path = str(tmp_path / "delta")
+    dp.write_delta(
+        _df(spark, 0, 30).repartitionByRange(3, "doc_id"),
+        path,
+        partition_by=["lang"],
+    )
+    # v1: DV delete hides doc_id 0-9 (cdc actions carry these changes)
+    dp.delete_where_delta(spark, path, "doc_id", 0, 9, strategy="dv")
+    # v2: overwrite — removes every file; the delete leg is DERIVED
+    dp.write_delta(_df(spark, 100, 102), path, mode="overwrite")
+    dels = dp.read_changes_delta(spark, path, 2, 2).filter(
+        "_change_type = 'delete'"
+    )
+    got = sorted((r["doc_id"], r["lang"]) for r in dels.collect())
+    # DV-hidden rows (0-9) must not reappear; partition col is non-null
+    assert got == [(i, str(i % 3)) for i in range(10, 30)]
+
+
+def test_wide_dv_delete_builds_bitmaps_on_executors(spark, tmp_path):
+    """A wide DV delete (≥10⁵ matched positions) works end-to-end —
+    the roaring blobs are serialized per-file on executors and only
+    KB-scale blobs reach the driver (VERDICT r8 task 3)."""
+    n, lo, hi = 150_000, 10_000, 130_000 - 1
+    path = str(tmp_path / "delta")
+    dp.write_delta(_df(spark, 0, n).repartition(4), path)
+    dp.delete_where_delta(spark, path, "doc_id", lo, hi, strategy="dv")
+    got = dp.read_delta(spark, path)
+    assert got.count() == n - (hi - lo + 1)
+    assert got.filter(F.col("doc_id").between(lo, hi)).count() == 0
+    # descriptors on the re-added files account for every position
+    acts = dp._read_actions(path, dp.delta_versions(path)[-1])
+    cards = [
+        a["add"]["deletionVector"]["cardinality"] for a in acts if "add" in a
+    ]
+    assert sum(cards) == hi - lo + 1
+    # and the sidecar DV file itself stays KB-scale (roaring, not rows)
+    dv_files = [f for f in os.listdir(path) if f.startswith("deletion_vector_")]
+    assert dv_files and all(
+        os.path.getsize(os.path.join(path, f)) < 1 << 20 for f in dv_files
+    )
+
+
 def test_change_feed_refuses_underivable_foreign_rewrite(spark, tmp_path):
     """A foreign mixed add+remove commit WITHOUT cdc actions (e.g. an
     engine that rewrote files with CDF disabled) must raise — a
@@ -408,8 +496,39 @@ def test_roaring_z85_codecs():
     run += struct.pack("<HH", 0, 10)  # key 0, cardinality-1
     run += struct.pack("<H", 1)  # 1 run
     run += struct.pack("<HH", 10, 10)  # start 10, length-1 = 10
-    full = struct.pack("<q", 1) + bytes(run)
+    full = struct.pack("<q", 1) + struct.pack("<I", 0) + bytes(run)
     assert rb.deserialize_rbm64(full) == list(range(10, 21))
+
+
+def test_rbm64_portable_golden_bytes():
+    """Byte-exact golden fixture hand-assembled from the
+    RoaringFormatSpec 64-bit extension (RoaringTreemap / delta-spark
+    RoaringBitmapArray portable): int64 LE count of NON-EMPTY buckets,
+    then per bucket a uint32 LE high-32 key + the 32-bit portable
+    bitmap.  Buckets 0 and 5 — the key gap is unrepresentable in the
+    pre-r9 dense encoding, so this pins real-engine interop."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        roaring as rb,
+    )
+
+    golden = bytes.fromhex(
+        "0200000000000000"  # 2 non-empty buckets
+        "00000000"  # bucket key 0
+        "3a300000"  # no-run cookie 12346
+        "01000000"  # 1 container
+        "00000200"  # container key 0, cardinality-1 = 2
+        "10000000"  # offset header: container data at byte 16
+        "010002006400"  # array values 1, 2, 100
+        "05000000"  # bucket key 5
+        "3a300000"
+        "01000000"
+        "00000000"  # container key 0, cardinality-1 = 0
+        "10000000"
+        "0700"  # array value 7
+    )
+    positions = [1, 2, 100, (5 << 32) + 7]
+    assert rb.serialize_rbm64(positions) == golden
+    assert rb.deserialize_rbm64(golden) == sorted(positions)
 
 
 def test_deletion_vector_delete_and_read(spark, tmp_path):
