@@ -130,9 +130,37 @@ def _spark_schema(fields: list[dict]):
 # --------------------------------------------------------------------------
 
 
+def _to_internal(ice_type: str, v):
+    """Normalize a user/pyarrow value to the spec's internal repr:
+    `date` → days since epoch (int32), `timestamptz` → micros since
+    epoch UTC (int64).  Ints pass through (already internal)."""
+    import datetime
+
+    if v is None:
+        return None
+    if (
+        ice_type == "date"
+        and isinstance(v, datetime.date)
+        and not isinstance(v, datetime.datetime)
+    ):
+        return (v - datetime.date(1970, 1, 1)).days
+    if ice_type in ("timestamptz", "timestamp") and isinstance(
+        v, datetime.datetime
+    ):
+        dt = (
+            v
+            if v.tzinfo is not None
+            else v.replace(tzinfo=datetime.timezone.utc)
+        )
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        return (dt - epoch) // datetime.timedelta(microseconds=1)
+    return v
+
+
 def ser_value(ice_type: str, v) -> bytes | None:
     if v is None:
         return None
+    v = _to_internal(ice_type, v)
     if ice_type == "boolean":
         return b"\x01" if v else b"\x00"
     if ice_type == "int" or ice_type == "date":
@@ -499,6 +527,15 @@ def _abs_path(table_path: str, p: str) -> str:
     return os.path.join(table_path, p)
 
 
+def _file_uri(table_path: str, rel: str) -> str:
+    """Absolute `file://` URI for a table-relative location.  The spec
+    defines manifest-list / manifest_path / file_path as FULL URIs and
+    reference implementations (Java Iceberg, PyIceberg, Trino) do not
+    resolve relative paths — so writers here emit URIs, while
+    `_abs_path` stays tolerant of both forms on read."""
+    return "file://" + os.path.abspath(os.path.join(table_path, rel))
+
+
 def _read_manifest_list(path: str, snap: dict) -> list[dict]:
     """All manifest_file records of a snapshot — data manifests
     (content 0) AND v2 delete manifests (content 1); callers split."""
@@ -581,6 +618,19 @@ def _live_entries(path: str, meta: dict, snap: dict) -> list[dict]:
 _IB_FILE, _IB_POS = "_ib_del_file", "_ib_del_pos"
 
 
+def _part_literal(raw, spark_type: str):
+    """Typed literal for a partition value stored in its Iceberg
+    internal repr (date = days int, timestamp = micros long — a plain
+    cast would misread both)."""
+    if raw is None:
+        return F.lit(None).cast(spark_type)
+    if spark_type == "date":
+        return F.date_from_unix_date(F.lit(int(raw)))
+    if spark_type == "timestamp":
+        return F.timestamp_micros(F.lit(int(raw)))
+    return F.lit(raw).cast(spark_type)
+
+
 def _read_entries(
     spark: SparkSession,
     path: str,
@@ -633,8 +683,7 @@ def _read_entries(
             ).withColumn(_IB_POS, F.col("_metadata.row_index"))
         for pname, raw in zip(part_names, key):
             col = part_src[pname]
-            lit = F.lit(None) if raw is None else F.lit(raw)
-            df = df.withColumn(col, lit.cast(part_type[pname]))
+            df = df.withColumn(col, _part_literal(raw, part_type[pname]))
         frames.append(df.select(*[f.name for f in schema.fields], *extra))
     out = frames[0]
     for df in frames[1:]:
@@ -702,7 +751,7 @@ def read_iceberg_pruned(
         (i for i, pf in enumerate(spec) if pf["source-id"] == fid), None
     )
     part_name = spec[part_pos]["name"] if part_pos is not None else None
-    lo_b, hi_b = ser_value(ice_type, lo), ser_value(ice_type, hi)
+    lo_i, hi_i = _to_internal(ice_type, lo), _to_internal(ice_type, hi)
 
     manifests_skipped = 0
     files_read = 0
@@ -719,7 +768,7 @@ def read_iceberg_pruned(
                 s_lo is not None
                 and s_hi is not None
                 and not s.get("contains_null")
-                and (s_hi < lo or s_lo > hi)
+                and (s_hi < lo_i or s_lo > hi_i)
             ):
                 manifests_skipped += 1
                 continue
@@ -729,7 +778,7 @@ def read_iceberg_pruned(
             df_rec = e["data_file"]
             if part_name is not None:
                 pv = (df_rec.get("partition") or {}).get(part_name)
-                if pv is not None and (pv < lo or pv > hi):
+                if pv is not None and (pv < lo_i or pv > hi_i):
                     files_skipped += 1
                     continue
             else:
@@ -740,7 +789,7 @@ def read_iceberg_pruned(
                 if (
                     f_lo is not None
                     and f_hi is not None
-                    and (f_hi < lo or f_lo > hi)
+                    and (f_hi < lo_i or f_lo > hi_i)
                 ):
                     files_skipped += 1
                     continue
@@ -755,6 +804,35 @@ def read_iceberg_pruned(
 # --------------------------------------------------------------------------
 # Write path
 # --------------------------------------------------------------------------
+
+
+def _parse_hive_value(ice_type: str, v: str):
+    """Decode one hive partition-directory value into the spec's
+    internal repr for its Iceberg type.  Hive %XX escaping (Spark's
+    ExternalCatalogUtils.escapePathName) is decoded first, so string
+    values with special characters round-trip exactly; date → days
+    int, boolean → bool, float/double → float."""
+    from urllib.parse import unquote
+
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    v = unquote(v)
+    if ice_type in ("int", "long"):
+        return int(v)
+    if ice_type in ("float", "double"):
+        return float(v)
+    if ice_type == "boolean":
+        return v.lower() == "true"
+    if ice_type == "date":
+        import datetime
+
+        return _to_internal("date", datetime.date.fromisoformat(v))
+    if ice_type == "string":
+        return v
+    raise ValueError(
+        f"Iceberg type {ice_type!r} unsupported as an identity "
+        "partition source"
+    )
 
 
 def _land_data(
@@ -783,18 +861,12 @@ def _land_data(
         for seg in segs:
             k, _, v = seg.partition("=")
             if k in part_cols:
-                if v == "__HIVE_DEFAULT_PARTITION__":
-                    pvals[k] = None
-                else:
-                    ice_t = name_to_field[k]["type"]
-                    pvals[k] = (
-                        int(v) if ice_t in ("int", "long") else v
-                    )
+                pvals[k] = _parse_hive_value(name_to_field[k]["type"], v)
         for fname in sorted(files):
             if not fname.endswith(".parquet"):
                 continue
             new = f"{uuid.uuid4().hex}.parquet"
-            reldest = "/".join(["data"] + segs + [new])
+            reldest = _file_uri(path, "/".join(["data"] + segs + [new]))
             dest = os.path.join(path, "data", *segs, new)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.rename(os.path.join(dirpath, fname), dest)
@@ -925,7 +997,7 @@ def _write_manifest(
         e["data_file"]["record_count"] for e in entries if e["status"] == st
     )
     return {
-        "manifest_path": os.path.join("metadata", name),
+        "manifest_path": _file_uri(path, os.path.join("metadata", name)),
         "manifest_length": os.path.getsize(mp),
         "partition_spec_id": 0,
         "added_snapshot_id": snapshot_id,
@@ -950,7 +1022,7 @@ def _write_manifest_list(
         manifest_files,
         metadata={"format-version": "1"},
     )
-    return os.path.join("metadata", name)
+    return _file_uri(path, os.path.join("metadata", name))
 
 
 def _new_snapshot_id() -> int:
@@ -1075,6 +1147,13 @@ def write_iceberg(
     else:
         fields = _iceberg_fields(df.schema)
         by_name = {f["name"]: f for f in fields}
+        for c in partition_by or []:
+            if by_name[c]["type"] in ("timestamptz", "binary"):
+                raise ValueError(
+                    f"partition column {c!r}: type "
+                    f"{by_name[c]['type']!r} unsupported as an identity "
+                    "partition source"
+                )
         spec = [
             {
                 "name": c,
@@ -1136,18 +1215,20 @@ def delete_where_iceberg(
     )
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
 
+    lo_i, hi_i = _to_internal(ice_type, lo), _to_internal(ice_type, hi)
+
     def touched_by_range(entry: dict) -> bool:
         df_rec = entry["data_file"]
         if part_name is not None:
             pv = (df_rec.get("partition") or {}).get(part_name)
-            return pv is None or (lo <= pv <= hi)
+            return pv is None or (lo_i <= pv <= hi_i)
         lbs = _norm_id_map(df_rec.get("lower_bounds"))
         ubs = _norm_id_map(df_rec.get("upper_bounds"))
         f_lo = deser_value(ice_type, lbs.get(fid))
         f_hi = deser_value(ice_type, ubs.get(fid))
         if f_lo is None or f_hi is None:
             return True  # no stats: conservatively touched
-        return not (f_hi < lo or f_lo > hi)
+        return not (f_hi < lo_i or f_lo > hi_i)
 
     result = {"changed": True}
 
