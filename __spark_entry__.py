@@ -189,6 +189,7 @@ _TAIL_ORDER = [
     "text_quality_curriculum",
     "mm_image_png_pipeline",
     "mm_image_jpeg_pipeline",
+    "lake_iceberg_v2_deletes",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -299,6 +300,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     pool["lake_iceberg_interop"] = _iceberg.iceberg_interop_entry
+    pool["lake_iceberg_v2_deletes"] = _iceberg.iceberg_v2_deletes_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -367,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     pool["lake_iceberg_interop"] = _iceberg.ICEBERG_INTEROP_ORACLE_SQL
+    pool["lake_iceberg_v2_deletes"] = _iceberg.ICEBERG_V2_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

@@ -8,13 +8,17 @@ This is the third lakehouse tier next to `minilake` (the engine's own
 commit-log format) and `deltaproto` (the Delta protocol): a table
 written here follows the HadoopTables filesystem convention
 (`metadata/v<N>.metadata.json` + `version-hint.text`) with
-format-version 1 metadata — the maximally-compatible tier — so real
-engines (Spark+iceberg-runtime, Trino, DuckDB iceberg, pyiceberg) can
-read it; and `read_iceberg` folds metadata written by any such engine,
-including format-version 2, as long as the snapshot carries no delete
-files (position/equality deletes raise loudly rather than mis-read —
-the same refuse-don't-corrupt rule deltaproto applies to deletion
-vectors).
+format-version 1 metadata by default — the maximally-compatible tier
+— so real engines (Spark+iceberg-runtime, Trino, DuckDB iceberg,
+pyiceberg) can read it; merge-on-read DELETE upgrades a table to
+format-version 2 (sequence numbers, position-delete files in
+content=1 delete manifests).  `read_iceberg` folds metadata written
+by any such engine, v1 or v2, applying POSITION deletes (path-matched
+anti-join on `_metadata.row_index`) and EQUALITY deletes (null-safe
+anti-join on the equality_ids columns, restricted to data files whose
+sequence number predates the delete's); malformed trees and
+non-parquet delete files raise loudly rather than mis-read — the same
+refuse-don't-corrupt rule deltaproto applies to deletion vectors.
 
 Spec points this module implements (all from the public Iceberg spec):
 - table metadata JSON: schemas with field-ids, identity partition
@@ -239,17 +243,32 @@ def _partition_avro_schema(part_fields: list[dict], ice_types: dict) -> dict:
     return {"type": "record", "name": "r102", "fields": fields}
 
 
-def _manifest_entry_schema(part_schema: dict) -> dict:
+def _manifest_entry_schema(part_schema: dict, fv: int = 1) -> dict:
+    head = (
+        # v2: data_file.content is required (0 data / 1 position
+        # deletes / 2 equality deletes); block_size_in_bytes is gone
+        [{"name": "content", "type": "int", "field-id": 134}]
+        if fv >= 2
+        else []
+    )
+    v1_only = (
+        [{"name": "block_size_in_bytes", "type": "long", "field-id": 105}]
+        if fv == 1
+        else []
+    )
     data_file = {
         "type": "record",
         "name": "r2",
-        "fields": [
+        "fields": head
+        + [
             {"name": "file_path", "type": "string", "field-id": 100},
             {"name": "file_format", "type": "string", "field-id": 101},
             {"name": "partition", "type": part_schema, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-            {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
+        ]
+        + v1_only
+        + [
             {
                 "name": "value_counts",
                 "type": _opt(_id_map_schema("k119_v120", 119, 120, "long")),
@@ -280,8 +299,39 @@ def _manifest_entry_schema(part_schema: dict) -> dict:
                 "field-id": 132,
                 "default": None,
             },
-        ],
+        ]
+        + (
+            [
+                {
+                    "name": "equality_ids",
+                    "type": _opt({"type": "array", "items": "int"}),
+                    "field-id": 135,
+                    "default": None,
+                }
+            ]
+            if fv >= 2
+            else []
+        ),
     }
+    seq_fields = (
+        [
+            # null + status ADDED → inherited from the manifest list
+            {
+                "name": "sequence_number",
+                "type": _opt("long"),
+                "field-id": 3,
+                "default": None,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": _opt("long"),
+                "field-id": 4,
+                "default": None,
+            },
+        ]
+        if fv >= 2
+        else []
+    )
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -293,6 +343,9 @@ def _manifest_entry_schema(part_schema: dict) -> dict:
                 "field-id": 1,
                 "default": None,
             },
+        ]
+        + seq_fields
+        + [
             {"name": "data_file", "type": data_file, "field-id": 2},
         ],
     }
@@ -375,6 +428,37 @@ _MANIFEST_FILE_SCHEMA = {
         },
     ],
 }
+
+
+def _manifest_file_schema(fv: int = 1) -> dict:
+    """Manifest-list record schema; v2 adds the required content /
+    sequence_number / min_sequence_number fields (ids 517/515/516)."""
+    if fv == 1:
+        return _MANIFEST_FILE_SCHEMA
+    sch = json.loads(json.dumps(_MANIFEST_FILE_SCHEMA))
+    extra = [
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+    ]
+    # insert after partition_spec_id, the spec's field order
+    sch["fields"] = sch["fields"][:3] + extra + sch["fields"][3:]
+    return sch
+
+
+def _norm_manifest_file_v2(mf: dict) -> dict:
+    """Fill the v2-required manifest_file fields on a record carried
+    forward from a v1 manifest list (spec upgrade rule: pre-upgrade
+    manifests are data manifests at sequence number 0)."""
+    out = dict(mf)
+    for k, default in (
+        ("content", 0),
+        ("sequence_number", 0),
+        ("min_sequence_number", 0),
+    ):
+        if out.get(k) is None:
+            out[k] = default
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -548,9 +632,20 @@ def _data_manifests(manifest_files: list[dict]) -> list[dict]:
     return [m for m in manifest_files if (m.get("content") or 0) == 0]
 
 
+def _entry_seq(r: dict, mf: dict) -> int:
+    """Effective data sequence number of a manifest entry: explicit
+    field, else inherited from its manifest (the spec's inheritance
+    rule for null + ADDED; v1 manifests fold to 0)."""
+    seq = r.get("sequence_number")
+    if seq is None:
+        seq = mf.get("sequence_number") or 0
+    return int(seq)
+
+
 def _read_manifest(path: str, mf: dict) -> list[dict]:
-    """Entries of a DATA manifest.  A data_file record with content 1/2
-    inside one (malformed tree) still refuses."""
+    """Entries of a DATA manifest, each annotated with its effective
+    data sequence number (`_seq`).  A data_file record with content
+    1/2 inside one (malformed tree) still refuses."""
     mp = _abs_path(path, mf["manifest_path"])
     records, _meta, _schema = avrotiny.read_container(mp)
     out = []
@@ -561,16 +656,22 @@ def _read_manifest(path: str, mf: dict) -> list[dict]:
                 "delete file inside a data manifest — malformed Iceberg "
                 "tree; refusing to mis-read"
             )
+        r["_seq"] = _entry_seq(r, mf)
         out.append(r)
     return out
 
 
-def _position_delete_files(path: str, manifest_files: list[dict]) -> list[str]:
-    """Live v2 POSITION-delete files of a snapshot (spec content=1
-    entries: parquet rows of (file_path, pos)).  Equality deletes
-    (content=2) are the genuinely schema-dependent tier and refuse
-    loudly rather than mis-read."""
-    out = []
+def _delete_files(
+    path: str, manifest_files: list[dict]
+) -> tuple[list[str], list[dict]]:
+    """Live v2 delete files of a snapshot, split by kind:
+    (position-delete parquet paths, equality-delete descriptors
+    [{path, seq, ids}]).  Position deletes key on explicit file_path
+    so they apply path-matched regardless of sequence; equality
+    deletes apply only to data rows whose file's data sequence number
+    is STRICTLY BELOW the delete's — the descriptor carries it."""
+    pos: list[str] = []
+    eq: list[dict] = []
     for mf in manifest_files:
         if (mf.get("content") or 0) != 1:
             continue
@@ -581,22 +682,30 @@ def _position_delete_files(path: str, manifest_files: list[dict]) -> list[str]:
                 continue
             df_rec = r["data_file"]
             content = df_rec.get("content") or 0
-            if content == 2:
-                raise ValueError(
-                    "Iceberg snapshot carries EQUALITY deletes — "
-                    "unsupported; refusing to mis-read"
-                )
-            if content != 1:
+            if content not in (1, 2):
                 raise ValueError(
                     "data file inside a delete manifest — malformed "
                     "Iceberg tree; refusing to mis-read"
                 )
             if (df_rec.get("file_format") or "PARQUET").upper() != "PARQUET":
-                raise ValueError(
-                    "non-parquet position-delete file — unsupported"
+                raise ValueError("non-parquet delete file — unsupported")
+            if content == 1:
+                pos.append(_abs_path(path, df_rec["file_path"]))
+            else:
+                ids = list(df_rec.get("equality_ids") or [])
+                if not ids:
+                    raise ValueError(
+                        "equality-delete file without equality_ids — "
+                        "refusing to mis-read"
+                    )
+                eq.append(
+                    {
+                        "path": _abs_path(path, df_rec["file_path"]),
+                        "seq": _entry_seq(r, mf),
+                        "ids": ids,
+                    }
                 )
-            out.append(_abs_path(path, df_rec["file_path"]))
-    return out
+    return pos, eq
 
 
 def _live_entries(path: str, meta: dict, snap: dict) -> list[dict]:
@@ -616,6 +725,7 @@ def _live_entries(path: str, meta: dict, snap: dict) -> list[dict]:
 
 
 _IB_FILE, _IB_POS = "_ib_del_file", "_ib_del_pos"
+_IB_SEQ = "_ib_data_seq"
 
 
 def _part_literal(raw, spark_type: str):
@@ -637,6 +747,8 @@ def _read_entries(
     meta: dict,
     entries: list[dict],
     delete_files: list[str] | None = None,
+    eq_deletes: list[dict] | None = None,
+    keep_identity: bool = False,
 ) -> DataFrame:
     """Scan a set of data files, reconstructing identity-partition
     columns from each entry's partition struct — the spec's column
@@ -645,7 +757,13 @@ def _read_entries(
     live, their (file_path, pos) rows are anti-joined against the
     scan's `_metadata` row identity (merge-on-read, the same broadcast
     shape the minilake/Delta DV scans use); both sides key on the
-    file-name tail, unique by construction (uuid part names)."""
+    file-name tail, unique by construction (uuid part names).  When v2
+    EQUALITY-delete files are live, each one anti-joins null-safely on
+    its equality_ids columns, restricted to rows whose file's data
+    sequence number is strictly below the delete's (the spec's
+    application rule — rows appended after the delete survive).
+    `keep_identity` keeps (_IB_FILE, _IB_POS) in the output — the
+    merge-on-read delete writer uses it to locate matched rows."""
     fields = _schema_of(meta)
     spec = _spec_of(meta)
     schema = _spark_schema(fields)
@@ -658,30 +776,45 @@ def _read_entries(
     from pyspark.sql.types import StructType
 
     if not entries:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        if keep_identity:
+            out = out.withColumn(_IB_FILE, F.lit(None).cast("string"))
+            out = out.withColumn(_IB_POS, F.lit(None).cast("bigint"))
+        return out
     read_cols = [
         f for f in schema.fields if f.name not in set(part_src.values())
     ]
     read_schema = StructType(read_cols)
+    deletes = list(delete_files or [])
+    eqs = list(eq_deletes or [])
+    need_identity = bool(deletes) or keep_identity
+    # group files by (partition tuple, data sequence number): the seq
+    # is constant per group so it attaches as a literal — no join
     groups: dict[tuple, list[str]] = {}
     for e in entries:
         df_rec = e["data_file"]
         pv = df_rec.get("partition") or {}
-        key = tuple(pv.get(n) for n in part_names)
+        key = tuple(pv.get(n) for n in part_names) + (
+            (e.get("_seq", 0),) if eqs else ()
+        )
         groups.setdefault(key, []).append(
             _abs_path(path, df_rec["file_path"])
         )
-    deletes = list(delete_files or [])
-    extra = [_IB_FILE, _IB_POS] if deletes else []
+    extra = ([_IB_FILE, _IB_POS] if need_identity else []) + (
+        [_IB_SEQ] if eqs else []
+    )
     frames = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        pkey = key[: len(part_names)]
         df = spark.read.schema(read_schema).parquet(*sorted(files))
-        if deletes:
+        if need_identity:
             df = df.withColumn(
                 _IB_FILE,
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
             ).withColumn(_IB_POS, F.col("_metadata.row_index"))
-        for pname, raw in zip(part_names, key):
+        if eqs:
+            df = df.withColumn(_IB_SEQ, F.lit(int(key[-1])))
+        for pname, raw in zip(part_names, pkey):
             col = part_src[pname]
             df = df.withColumn(col, _part_literal(raw, part_type[pname]))
         frames.append(df.select(*[f.name for f in schema.fields], *extra))
@@ -699,9 +832,22 @@ def _read_entries(
             )
             .dropDuplicates()
         )
-        out = out.join(
-            F.broadcast(pos), [_IB_FILE, _IB_POS], "left_anti"
-        ).drop(_IB_FILE, _IB_POS)
+        out = out.join(F.broadcast(pos), [_IB_FILE, _IB_POS], "left_anti")
+    for ed in sorted(eqs, key=lambda d: (d["seq"], d["path"])):
+        cols = [by_id[i]["name"] for i in ed["ids"]]
+        dels = (
+            spark.read.parquet(ed["path"])
+            .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
+            .dropDuplicates()
+        )
+        cond = F.col(_IB_SEQ) < F.lit(int(ed["seq"]))
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
+        out = out.join(F.broadcast(dels), on=cond, how="left_anti")
+    if eqs:
+        out = out.drop(_IB_SEQ)
+    if deletes and not keep_identity:
+        out = out.drop(_IB_FILE, _IB_POS)
     return out
 
 
@@ -721,9 +867,8 @@ def read_iceberg(
         for e in _read_manifest(path, mf):
             if e.get("status", 0) in (0, 1):
                 entries.append(e)
-    return _read_entries(
-        spark, path, meta, entries, _position_delete_files(path, mfs)
-    )
+    pos_files, eq_deletes = _delete_files(path, mfs)
+    return _read_entries(spark, path, meta, entries, pos_files, eq_deletes)
 
 
 def read_iceberg_pruned(
@@ -795,9 +940,8 @@ def read_iceberg_pruned(
                     continue
             files_read += 1
             kept.append(e)
-    df = _read_entries(
-        spark, path, meta, kept, _position_delete_files(path, all_mfs)
-    )
+    pos_files, eq_deletes = _delete_files(path, all_mfs)
+    df = _read_entries(spark, path, meta, kept, pos_files, eq_deletes)
     return df.filter(cond), files_read, files_skipped, manifests_skipped
 
 
@@ -969,12 +1113,34 @@ def _write_manifest(
     meta_fields: list[dict],
     spec: list[dict],
     schema_json: dict,
+    fv: int = 1,
+    content: str = "data",
+    seq: int = 0,
 ) -> dict:
     """Write one manifest Avro file; return its manifest_file record
-    for the manifest list."""
+    for the manifest list.  For fv=2, entries are normalized to the v2
+    shape (data_file.content, equality_ids, per-entry sequence
+    numbers — null + ADDED inherits `seq` per the spec's inheritance
+    rule, EXISTING/DELETED keep their explicit data sequence)."""
     ice_types = {f["id"]: f["type"] for f in meta_fields}
     part_schema = _partition_avro_schema(spec, ice_types)
-    entry_schema = _manifest_entry_schema(part_schema)
+    entry_schema = _manifest_entry_schema(part_schema, fv)
+    if fv >= 2:
+        norm = []
+        for e in entries:
+            e = dict(e)
+            df_rec = dict(e["data_file"])
+            if df_rec.get("content") is None:
+                df_rec["content"] = 0
+            df_rec.setdefault("equality_ids", None)
+            e["data_file"] = df_rec
+            # ADDED entries inherit; others need their data sequence
+            if e.get("sequence_number") is None and e["status"] != 1:
+                e["sequence_number"] = e.get("_seq", 0)
+            e.setdefault("sequence_number", None)
+            e.setdefault("file_sequence_number", None)
+            norm.append(e)
+        entries = norm
     name = f"{uuid.uuid4().hex}-m0.avro"
     mp = os.path.join(_meta_dir(path), name)
     avrotiny.write_container(
@@ -986,8 +1152,8 @@ def _write_manifest(
             "schema-id": "0",
             "partition-spec": json.dumps(spec),
             "partition-spec-id": "0",
-            "format-version": "1",
-            "content": "data",
+            "format-version": str(fv),
+            "content": content,
         },
     )
     n_added = sum(1 for e in entries if e["status"] == 1)
@@ -996,7 +1162,7 @@ def _write_manifest(
     rows = lambda st: sum(  # noqa: E731
         e["data_file"]["record_count"] for e in entries if e["status"] == st
     )
-    return {
+    mf = {
         "manifest_path": _file_uri(path, os.path.join("metadata", name)),
         "manifest_length": os.path.getsize(mp),
         "partition_spec_id": 0,
@@ -1009,18 +1175,33 @@ def _write_manifest(
         "existing_rows_count": rows(0),
         "deleted_rows_count": rows(2),
     }
+    if fv >= 2:
+        mf["content"] = 0 if content == "data" else 1
+        mf["sequence_number"] = seq
+        explicit = [
+            e["sequence_number"]
+            for e in entries
+            if e.get("sequence_number") is not None
+        ]
+        mf["min_sequence_number"] = min(explicit + [seq])
+    return mf
 
 
 def _write_manifest_list(
-    path: str, snapshot_id: int, manifest_files: list[dict]
+    path: str,
+    snapshot_id: int,
+    manifest_files: list[dict],
+    fv: int = 1,
 ) -> str:
     name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     mp = os.path.join(_meta_dir(path), name)
+    if fv >= 2:
+        manifest_files = [_norm_manifest_file_v2(m) for m in manifest_files]
     avrotiny.write_container(
         mp,
-        _MANIFEST_FILE_SCHEMA,
+        _manifest_file_schema(fv),
         manifest_files,
-        metadata={"format-version": "1"},
+        metadata={"format-version": str(fv)},
     )
     return _file_uri(path, os.path.join("metadata", name))
 
@@ -1035,19 +1216,37 @@ def _commit_snapshot(
     build_manifests,
     schema_fields: list[dict] | None = None,
     spec_fields: list[dict] | None = None,
+    format_version: int | None = None,
 ) -> int:
-    """Shared commit: build_manifests(base_meta_or_None, snapshot_id)
-    → list of manifest_file records; wrap them in a manifest list and a
-    new metadata version.  Retries against a refreshed base on races
-    (the manifest build re-runs, so remove lists can never go stale —
-    the claim-time refresh rule minilake's rewrites follow)."""
+    """Shared commit: build_manifests(base_meta_or_None, snapshot_id,
+    seq, fv) → list of manifest_file records; wrap them in a manifest
+    list and a new metadata version.  Retries against a refreshed base
+    on races (the manifest build re-runs, so remove lists can never go
+    stale — the claim-time refresh rule minilake's rewrites follow).
+    `format_version=2` on a v1 table performs the spec's v1→v2 upgrade
+    (existing manifests keep data sequence number 0); v2 commits bump
+    `last-sequence-number` and stamp the snapshot's sequence-number."""
     result: dict = {}
 
     def build(base: dict | None) -> dict:
         snapshot_id = _new_snapshot_id()
         now_ms = int(time.time() * 1000)
-        manifest_files = build_manifests(base, snapshot_id)
-        ml_rel = _write_manifest_list(path, snapshot_id, manifest_files)
+        base_fv = (
+            int(base.get("format-version", 1)) if base is not None else 1
+        )
+        fv = max(base_fv, format_version or 1)
+        if fv not in (1, 2):
+            raise ValueError(f"unsupported Iceberg format-version {fv}")
+        seq = 0
+        if fv >= 2:
+            last = (
+                int(base.get("last-sequence-number") or 0)
+                if base is not None
+                else 0
+            )
+            seq = last + 1
+        manifest_files = build_manifests(base, snapshot_id, seq, fv)
+        ml_rel = _write_manifest_list(path, snapshot_id, manifest_files, fv)
         snap = {
             "snapshot-id": snapshot_id,
             "timestamp-ms": now_ms,
@@ -1055,6 +1254,8 @@ def _commit_snapshot(
             "manifest-list": ml_rel,
             "schema-id": 0,
         }
+        if fv >= 2:
+            snap["sequence-number"] = seq
         if base is not None:
             cur = base.get("current-snapshot-id")
             if cur not in (None, -1):
@@ -1064,7 +1265,7 @@ def _commit_snapshot(
                 raise ValueError("first commit needs a schema")
             spec = spec_fields or []
             meta = {
-                "format-version": 1,
+                "format-version": fv,
                 "table-uuid": str(uuid.uuid4()),
                 "location": path,
                 "last-updated-ms": now_ms,
@@ -1101,6 +1302,9 @@ def _commit_snapshot(
         else:
             meta = json.loads(json.dumps(base))
             meta["last-updated-ms"] = now_ms
+            meta["format-version"] = fv
+        if fv >= 2:
+            meta["last-sequence-number"] = seq
         meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
         meta["current-snapshot-id"] = snapshot_id
         meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
@@ -1118,14 +1322,19 @@ def write_iceberg(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    format_version: int = 1,
 ) -> int:
-    """Write a REAL Iceberg v1 snapshot: land parquet under `data/`,
+    """Write a REAL Iceberg snapshot: land parquet under `data/`,
     write a manifest + manifest list (Avro, deflate), commit
     `v<N>.metadata.json` + `version-hint.text`.  Appends carry the
     previous snapshot's manifests forward untouched (Iceberg's own
     fast-append shape); `mode="overwrite"` starts the file set fresh
     (prior snapshots stay time-travelable).  Identity partitioning
-    only, inherited by appends."""
+    only, inherited by appends.  `format_version=1` (default) is the
+    maximally-compatible tier; tables a merge-on-read DELETE has
+    upgraded to v2 keep writing v2 manifests (sequence numbers and
+    all); overwrite on a v2 table drops its delete manifests along
+    with the data files they referenced."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     exists = bool(_metadata_versions(path))
@@ -1167,13 +1376,16 @@ def write_iceberg(
     data_files = _land_data(df, path, part_cols, fields)
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
 
-    def build_manifests(base: dict | None, snapshot_id: int) -> list[dict]:
+    def build_manifests(
+        base: dict | None, snapshot_id: int, seq: int, fv: int
+    ) -> list[dict]:
         entries = [
             {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
             for d in data_files
         ]
         new_mf = _write_manifest(
-            path, entries, snapshot_id, fields, spec, schema_json
+            path, entries, snapshot_id, fields, spec, schema_json,
+            fv=fv, seq=seq,
         )
         carried: list[dict] = []
         if mode == "append" and base is not None:
@@ -1188,20 +1400,138 @@ def write_iceberg(
         build_manifests,
         schema_fields=fields,
         spec_fields=spec,
+        format_version=format_version,
     )
 
 
+_POS_DELETE_FIELD_IDS = {"file_path": 2147483546, "pos": 2147483545}
+
+
+def _land_position_deletes(
+    spark: SparkSession,
+    path: str,
+    matches: DataFrame,
+    touched: list[dict],
+    part_names: list[str],
+) -> list[dict]:
+    """Land matched (_IB_FILE, _IB_POS) rows as v2 position-delete
+    parquet files under `data/` — one group per partition of the
+    referenced data files, rows sorted by (file_path, pos) as the spec
+    prescribes, with the reserved field-ids (2147483546/2147483545)
+    stamped into the parquet schema so field-id-based readers resolve
+    the columns.  file_path values are the EXACT URIs recorded in the
+    data files' manifest entries.  Returns data_file records
+    (content=1).  The position rows land distributed (Spark write);
+    the field-id stamp is a streaming per-row-group parquet rewrite."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tails: dict[str, tuple[str, tuple]] = {}
+    for e in touched:
+        df_rec = e["data_file"]
+        fp = df_rec["file_path"]
+        pv = df_rec.get("partition") or {}
+        tails[fp.rsplit("/", 1)[-1]] = (
+            fp,
+            tuple(pv.get(n) for n in part_names),
+        )
+    parts = sorted({v[1] for v in tails.values()}, key=str)
+    grp_of = {pt: i for i, pt in enumerate(parts)}
+    map_df = spark.createDataFrame(
+        [(t, fp, grp_of[pt]) for t, (fp, pt) in sorted(tails.items())],
+        f"{_IB_FILE} string, file_path string, _grp int",
+    )
+    rows = matches.join(F.broadcast(map_df), _IB_FILE).select(
+        "file_path", F.col(_IB_POS).cast("bigint").alias("pos"), "_grp"
+    )
+    staging = os.path.join(path, f"_delstaging-{uuid.uuid4().hex}")
+    (
+        rows.repartition(max(1, len(parts)), "_grp")
+        .sortWithinPartitions("file_path", "pos")
+        .write.partitionBy("_grp")
+        .parquet(staging)
+    )
+    pa_schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483546"},
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483545"},
+            ),
+        ]
+    )
+    out: list[dict] = []
+    for dirpath, _dirs, files in sorted(os.walk(staging)):
+        seg = os.path.basename(dirpath)
+        if not seg.startswith("_grp="):
+            continue
+        pt = parts[int(seg.split("=", 1)[1])]
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, fname)
+            pf = pq.ParquetFile(src)
+            if pf.metadata.num_rows == 0:
+                continue
+            name = f"{uuid.uuid4().hex}-deletes.parquet"
+            dest = os.path.join(path, "data", name)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            writer = pq.ParquetWriter(dest, pa_schema)
+            for rg in range(pf.num_row_groups):
+                t = pf.read_row_group(rg, columns=["file_path", "pos"])
+                writer.write_table(t.cast(pa_schema))
+            writer.close()
+            out.append(
+                {
+                    "content": 1,
+                    "file_path": _file_uri(path, f"data/{name}"),
+                    "file_format": "PARQUET",
+                    "partition": dict(zip(part_names, pt)),
+                    "record_count": pf.metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(dest),
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "split_offsets": None,
+                    "equality_ids": None,
+                }
+            )
+    shutil.rmtree(staging)
+    return out
+
+
 def delete_where_iceberg(
-    spark: SparkSession, path: str, col: str, lo, hi
+    spark: SparkSession, path: str, col: str, lo, hi,
+    strategy: str = "cow",
 ) -> int:
-    """`DELETE FROM iceberg_table WHERE col BETWEEN lo AND hi` as a v1
-    copy-on-write commit: metadata-tier pruning picks the possibly-
-    affected files; those are rewritten (NULLs kept — three-valued
-    BETWEEN) and the new snapshot's single manifest records survivors
-    as EXISTING, dropped files as DELETED, and rewrites as ADDED —
-    the exact status bookkeeping real engines emit for copy-on-write
-    DELETE.  The manifest build runs inside the commit retry loop, so
-    a racing commit can never make the remove set stale."""
+    """`DELETE FROM iceberg_table WHERE col BETWEEN lo AND hi`.
+
+    `strategy="cow"` (default): copy-on-write — metadata-tier pruning
+    picks the possibly-affected files; those are rewritten (NULLs kept
+    — three-valued BETWEEN, live deletes applied to the pre-image) and
+    the new snapshot's manifest records survivors as EXISTING (with
+    their data sequence numbers), dropped files as DELETED, rewrites
+    as ADDED; delete manifests carry forward for the EXISTING files.
+
+    `strategy="merge-on-read"`: no data file is rewritten — matched
+    row positions land as v2 POSITION-delete parquet files (file_path
+    + pos with the spec's reserved field-ids, one per partition,
+    sorted) in a content=1 delete manifest; a v1 table upgrades to
+    format-version 2 on the first such delete (spec upgrade rule:
+    existing files keep data sequence number 0).
+
+    Both run the manifest build inside the commit retry loop, so a
+    racing commit can never make the remove set stale."""
+    if strategy not in ("cow", "merge-on-read"):
+        raise ValueError(f"unknown delete strategy {strategy!r}")
     meta0 = current_metadata(path)
     fields = _schema_of(meta0)
     spec = _spec_of(meta0)
@@ -1231,21 +1561,65 @@ def delete_where_iceberg(
         return not (f_hi < lo_i or f_lo > hi_i)
 
     result = {"changed": True}
+    part_names = [pf["name"] for pf in spec]
 
-    def build_manifests(base: dict | None, snapshot_id: int) -> list[dict]:
+    if strategy == "merge-on-read":
+
+        def build_mor(
+            base: dict | None, snapshot_id: int, seq: int, fv: int
+        ) -> list[dict]:
+            if base is None:
+                raise FileNotFoundError(f"no Iceberg metadata under {path}")
+            prev = _snapshot(base, None)
+            mfs = (
+                _read_manifest_list(path, prev) if prev is not None else []
+            )
+            live = (
+                _live_entries(path, base, prev) if prev is not None else []
+            )
+            touched = [e for e in live if touched_by_range(e)]
+            if not touched:
+                result["changed"] = False
+                return list(mfs)
+            # existing deletes are applied to the scan first, so the
+            # new delete file carries only NEWLY matched positions
+            pos_files, eq_dels = _delete_files(path, mfs)
+            scan = _read_entries(
+                spark, path, base, touched, pos_files, eq_dels,
+                keep_identity=True,
+            )
+            matches = scan.filter(F.col(col).between(lo, hi)).select(
+                _IB_FILE, _IB_POS
+            )
+            del_files = _land_position_deletes(
+                spark, path, matches, touched, part_names
+            )
+            if not del_files:
+                result["changed"] = False
+                return list(mfs)
+            entries = [
+                {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
+                for d in del_files
+            ]
+            del_mf = _write_manifest(
+                path, entries, snapshot_id, fields, spec, schema_json,
+                fv=2, content="deletes", seq=seq,
+            )
+            return list(mfs) + [del_mf]
+
+        return _commit_snapshot(
+            path, "delete", build_mor, format_version=2
+        )
+
+    def build_manifests(
+        base: dict | None, snapshot_id: int, seq: int, fv: int
+    ) -> list[dict]:
         if base is None:
             raise FileNotFoundError(f"no Iceberg metadata under {path}")
         prev = _snapshot(base, None)
-        if prev is not None and _position_delete_files(
-            path, _read_manifest_list(path, prev)
-        ):
-            # rewriting files while carrying forward delete manifests
-            # needs v2 sequence-number bookkeeping we don't write;
-            # refusing beats resurrecting deleted rows
-            raise ValueError(
-                "copy-on-write DELETE on a table with live position-"
-                "delete files is unsupported"
-            )
+        mfs = _read_manifest_list(path, prev) if prev is not None else []
+        pos_files, eq_dels = _delete_files(path, mfs)
+        delete_mfs = [m for m in mfs if (m.get("content") or 0) == 1]
         live = (
             _live_entries(path, base, prev) if prev is not None else []
         )
@@ -1255,17 +1629,23 @@ def delete_where_iceberg(
             result["changed"] = False
         rewritten: list[dict] = []
         if touched:
-            old_rows = _read_entries(spark, path, base, touched)
+            # live deletes apply to the pre-image read, so the rewrite
+            # materializes them for the touched files; carried delete
+            # manifests keep masking the EXISTING files, and their
+            # references to the dropped files are inert (path-matched)
+            old_rows = _read_entries(
+                spark, path, base, touched, pos_files, eq_dels
+            )
             kept_rows = old_rows.filter(
                 F.col(col).isNull() | ~F.col(col).between(lo, hi)
             )
-            part_cols = [pf["name"] for pf in spec]
-            rewritten = _land_data(kept_rows, path, part_cols, fields)
+            rewritten = _land_data(kept_rows, path, part_names, fields)
         entries = (
             [
                 {
                     "status": 0,
                     "snapshot_id": e.get("snapshot_id"),
+                    "_seq": e.get("_seq", 0),
                     "data_file": e["data_file"],
                 }
                 for e in untouched
@@ -1274,6 +1654,7 @@ def delete_where_iceberg(
                 {
                     "status": 2,
                     "snapshot_id": snapshot_id,
+                    "_seq": e.get("_seq", 0),
                     "data_file": e["data_file"],
                 }
                 for e in touched
@@ -1283,11 +1664,11 @@ def delete_where_iceberg(
                 for d in rewritten
             ]
         )
-        return [
-            _write_manifest(
-                path, entries, snapshot_id, fields, spec, schema_json
-            )
-        ]
+        new_mf = _write_manifest(
+            path, entries, snapshot_id, fields, spec, schema_json,
+            fv=fv, seq=seq,
+        )
+        return [new_mf] + delete_mfs
 
     return _commit_snapshot(path, "delete", build_manifests)
 
@@ -1356,6 +1737,67 @@ def iceberg_interop_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_ICEBERG_V2_LAKE_VERSION = 1
+
+
+def iceberg_v2_deletes_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for the v2 DELETE paths: write `documents`
+    partitioned by lang (v1), merge-on-read DELETE two OVERLAPPING
+    doc_id ranges — the first upgrades the table to format-version 2
+    (position-delete parquet + sequence numbers); the second lands
+    only newly-matched positions against a table ALREADY carrying
+    deletes — then copy-on-write DELETE a third range while live
+    position-delete files mask the EXISTING files (carried delete
+    manifests), and read the final snapshot back through the full v2
+    metadata tree.  A value match against the raw-parquet oracle
+    proves sequence bookkeeping, delete-manifest carry-forward, and
+    position-delete application are all exact."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir("iceberg_v2", _ICEBERG_V2_LAKE_VERSION, sf_dir),
+        "docs_iceberg_v2",
+    )
+    if not _metadata_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        write_iceberg(docs, path, partition_by=["lang"])
+        delete_where_iceberg(
+            spark, path, "doc_id", 100, 199, strategy="merge-on-read"
+        )
+        delete_where_iceberg(
+            spark, path, "doc_id", 150, 249, strategy="merge-on-read"
+        )
+        delete_where_iceberg(spark, path, "doc_id", 300, 349)
+    snap = read_iceberg(spark, path)
+    return (
+        snap.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+ICEBERG_V2_ORACLE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+WHERE doc_id NOT BETWEEN 100 AND 249
+  AND doc_id NOT BETWEEN 300 AND 349
+GROUP BY lang
+ORDER BY lang
+"""
 
 
 ICEBERG_INTEROP_ORACLE_SQL = """

@@ -3,8 +3,9 @@ codec): tables written here follow the public Iceberg spec (v1
 metadata JSON, Avro manifest lists/manifests with spec field-ids,
 single-value serialized bounds, identity-partition hive layout), and
 the reader folds metadata trees — including FOREIGN-crafted ones with
-the layouts other engines emit — or refuses loudly when a snapshot
-carries v2 delete files we don't implement."""
+the layouts other engines emit — applies v2 position/equality deletes
+with sequence-number semantics, or refuses loudly on malformed
+trees."""
 
 from __future__ import annotations
 
@@ -589,6 +590,145 @@ def test_reads_foreign_crafted_table(spark, tmp_path):
     # bounds in avro-map form still prune
     _g, nread, nskip, _ms = ib.read_iceberg_pruned(spark, path, "doc_id", 5, 9)
     assert (nread, nskip) == (0, 1)
+
+
+def test_merge_on_read_position_deletes_v2(spark, tmp_path):
+    """strategy='merge-on-read': no data file rewritten — matched
+    positions land as v2 position-delete parquet (reserved field-ids,
+    sorted) in a content=1 delete manifest; the v1 table upgrades to
+    format-version 2 with sequence numbers; a SECOND overlapping
+    delete on the already-carrying table emits only NEW positions; a
+    later append survives the deletes; and a copy-on-write DELETE with
+    live position-delete files (the pre-r9 refusal) now works without
+    resurrecting hidden rows."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ice")
+    ib.write_iceberg(_df(spark, 0, 40), path, partition_by=["lang"])
+    data_before = sorted(
+        f
+        for _d, _s, fs in os.walk(os.path.join(path, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 10, 19, strategy="merge-on-read"
+    )
+    meta = ib.current_metadata(path)
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 1
+    assert ib._snapshot(meta, None)["sequence-number"] == 1
+    survivors = [i for i in range(40) if not 10 <= i <= 19]
+    got = ib.read_iceberg(spark, path)
+    assert sorted(r["doc_id"] for r in got.collect()) == survivors
+    # merge-on-read: every original data file still live, none rewritten
+    data_after = sorted(
+        f
+        for _d, _s, fs in os.walk(os.path.join(path, "data"))
+        for f in fs
+        if f.endswith(".parquet") and "-deletes" not in f
+    )
+    assert data_after == data_before
+    # the delete files carry the spec's reserved field-ids + sort order
+    del_files = [
+        os.path.join(d, f)
+        for d, _s, fs in os.walk(os.path.join(path, "data"))
+        for f in fs
+        if f.endswith("-deletes.parquet")
+    ]
+    assert del_files
+    sch = pq.ParquetFile(del_files[0]).schema_arrow
+    assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+    assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+    t = pq.read_table(del_files[0])
+    pairs = list(zip(t["file_path"].to_pylist(), t["pos"].to_pylist()))
+    assert pairs == sorted(pairs)
+    assert all(fp.startswith("file:///") for fp, _ in pairs)
+    # overlapping second delete: only NEW positions (15-24) land
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 15, 24, strategy="merge-on-read"
+    )
+    survivors = [i for i in range(40) if not 10 <= i <= 24]
+    got = ib.read_iceberg(spark, path)
+    assert sorted(r["doc_id"] for r in got.collect()) == survivors
+    new_rows = sum(
+        pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        for d, _s, fs in os.walk(os.path.join(path, "data"))
+        for f in fs
+        if f.endswith("-deletes.parquet")
+    )
+    assert new_rows == 15  # 10 first delete + 5 genuinely new
+    # append on the v2 table: new files (higher seq, fresh paths) are
+    # untouched by the existing deletes — including doc_ids in range
+    ib.write_iceberg(_df(spark, 15, 18, tag=1), path)
+    got = ib.read_iceberg(spark, path)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        survivors + [15, 16, 17]
+    )
+    # copy-on-write DELETE with live position-delete files
+    ib.delete_where_iceberg(spark, path, "doc_id", 0, 4)
+    got = ib.read_iceberg(spark, path)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        [i for i in range(5, 40) if not 10 <= i <= 24] + [15, 16, 17]
+    )
+    # time travel: the pre-delete snapshot still reads all 40 rows
+    first = ib.iceberg_snapshots(path)[0]["snapshot_id"]
+    assert ib.read_iceberg(spark, path, snapshot_id=first).count() == 40
+
+
+def test_equality_deletes_read_with_sequence_rule(spark, tmp_path):
+    """content=2 EQUALITY deletes anti-join null-safely on their
+    equality_ids columns and apply only to rows whose file's data
+    sequence number is STRICTLY below the delete's — data appended
+    after the delete survives even when it matches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ice")
+    ib.write_iceberg(_df(spark, 0, 30), path, format_version=2)  # seq 1
+    fields = ib._schema_of(ib.current_metadata(path))
+    lang_id = next(f["id"] for f in fields if f["name"] == "lang")
+    eqf = os.path.join(path, "data", "eq-del.parquet")
+    pq.write_table(pa.table({"lang": ["1"]}), eqf)
+    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+
+    def build(base, snapshot_id, seq, fv):
+        mfs = ib._read_manifest_list(path, ib._snapshot(base, None))
+        entry = {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 2,
+                "file_path": ib._file_uri(path, "data/eq-del.parquet"),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(eqf),
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "split_offsets": None,
+                "equality_ids": [lang_id],
+            },
+        }
+        mf = ib._write_manifest(
+            path, [entry], snapshot_id, fields, [], schema_json,
+            fv=2, content="deletes", seq=seq,
+        )
+        return list(mfs) + [mf]
+
+    ib._commit_snapshot(path, "delete", build)  # seq 2
+    got = ib.read_iceberg(spark, path)
+    assert sorted(r["doc_id"] for r in got.collect()) == [
+        i for i in range(30) if i % 3 != 1
+    ]
+    # doc 31 has lang '1' but lands at seq 3 > delete seq 2 → survives
+    ib.write_iceberg(_df(spark, 31, 34, tag=1), path)
+    got = ib.read_iceberg(spark, path)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        [i for i in range(30) if i % 3 != 1] + [31, 32, 33]
+    )
 
 
 def test_refuses_delete_files(spark, tmp_path):
