@@ -13,6 +13,8 @@ unpartitioned trap); the global BM25 top-k is TakeOrderedAndProject.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources import load_table
@@ -260,6 +262,88 @@ def _lexical_list(
     )
 
 
+LEX_INDEX_VERSION = 1
+
+
+def _lex_index_dir(sf_dir: str) -> str:
+    from ..functions.scale import default_index_dir
+
+    return default_index_dir("lexidx", LEX_INDEX_VERSION, sf_dir)
+
+
+def lexical_build_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> str:
+    """One-time LEXICAL serving index (the BM25 analogue of the frozen
+    IVF-PQ split): postings joined with document length
+    (term, doc_id, tf, dl), the full document-frequency table, the
+    (n_docs, avgdl) corpus-stats row, and each document's top TF-IDF
+    terms, persisted as parquet.  The serving path never re-tokenizes
+    — the corpus text is read exactly once, at build time (the
+    Lucene index/search split); query-time scans are column-pruned
+    numeric postings."""
+    from ..functions.scale import checkpoint_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    tfs = checkpoint_df(_doc_term_counts(docs))
+    dl, stats = _doc_lengths_and_stats(docs)
+    tfs.join(dl.hint("shuffle_hash"), "doc_id").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/postings")
+    tfs.groupBy("term").agg(F.count("*").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/df")
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    tfidf_top_terms(spark, sf_dir).select("doc_id", "term").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/qtop")
+    return index_dir
+
+
+def _lexical_list_served(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int,
+    list_k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """`_lexical_list` against the FROZEN lexical index (built once by
+    `lexical_build_index` if absent): identical BM25 math and inputs —
+    same per-doc top-TF-IDF query terms, same corpus-wide df/stats —
+    so lexical ranks are bit-identical to the exact arm's (pinned in
+    tests/test_curation.py); the plan is parquet scans + broadcast
+    joins, with no tokenization anywhere."""
+    index_dir = _lex_index_dir(sf_dir)
+    if not os.path.isdir(os.path.join(index_dir, "postings")):
+        lexical_build_index(spark, sf_dir, index_dir)
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    qterms = (
+        spark.read.parquet(f"{index_dir}/qtop")
+        .filter(F.col("doc_id") < n_queries)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    df_tab = spark.read.parquet(f"{index_dir}/df").join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    contrib = _bm25_contrib(k1, b)
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("lex_score"), F.asc("doc_id")
+    )
+    return (
+        postings.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df_tab), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("lex_score"))
+        .withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= list_k)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+
 def _rrf_fuse(
     lex: DataFrame, dense: DataFrame, rrf_k: int, top: int
 ) -> DataFrame:
@@ -370,21 +454,22 @@ def hybrid_rrf_serving(
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """`hybrid_rrf_search` with its dense arm swapped onto the FROZEN
-    IVF-PQ serving index (`similarity.ann_ivf_pq_serving`) — the
-    100-TB path the exact entry's docstring promises.  The lexical arm
-    and the RRF fusion are the SAME builders; only the dense candidate
-    list changes: probe selection → ADC scan of the probed lists →
-    exact re-rank over the on-disk index (built once per sf).  The plan
-    therefore has NO KMeans stage and NO exact corpus×query scan
-    (asserted in tests/test_plans.py) and its wall is the amortized
-    serving cost.  Rows-only entry: ANN candidate lists are not
+    """`hybrid_rrf_search` with BOTH arms on frozen serving indexes —
+    the 100-TB path the exact entry's docstring promises: the dense
+    arm rides the IVF-PQ index (`similarity.ann_ivf_pq_serving`), the
+    lexical arm rides the lexical postings index
+    (`lexical_build_index` — no tokenization at query time), and the
+    RRF fusion is the same builder.  BM25 math and query terms are
+    identical to the exact arm's, so lexical ranks are bit-identical
+    (pinned in tests).  The plan has NO KMeans stage, NO exact
+    corpus×query scan, and NO text tokenization (asserted in
+    tests/test_plans.py); its wall is the amortized serving cost.  Rows-only entry: ANN candidate lists are not
     DuckDB-expressible; instead pytest pins a rank-overlap floor
     against the exact hybrid entry (tests/test_llm_ops.py) — wherever
     ANN recall holds, fused ranks match."""
     from .similarity import ann_ivf_pq_serving
 
-    lex = _lexical_list(spark, sf_dir, n_queries, list_k, k1, b)
+    lex = _lexical_list_served(spark, sf_dir, n_queries, list_k, k1, b)
     dense = ann_ivf_pq_serving(
         spark, sf_dir, k=list_k, n_queries=n_queries
     ).select(

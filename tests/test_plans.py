@@ -314,3 +314,6 @@ def test_hybrid_rrf_serving_plan_has_no_fit_no_exact_scan(spark, sf_correct):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert has_broadcast_join(df)
+    # r9: the lexical arm rides the frozen postings index — no text
+    # tokenization (explode-of-split) anywhere at query time
+    assert "explode" not in plan.lower()
