@@ -190,6 +190,7 @@ _TAIL_ORDER = [
     "mm_image_png_pipeline",
     "mm_image_jpeg_pipeline",
     "lake_iceberg_v2_deletes",
+    "med_q02_lake_table",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",

@@ -100,6 +100,8 @@ HEADLINE = [
     "lake_dv_roundtrip",
     "lake_incremental_view",
     "lake_delta_interop",
+    "lake_iceberg_interop",
+    "lake_iceberg_v2_deletes",
     "mm_image_jpeg_pipeline",
     "mm_image_png_pipeline",
 ]
@@ -132,6 +134,8 @@ HEAVY_WARMUPS = {
     "lake_dv_roundtrip": 2,
     "lake_incremental_view": 2,
     "lake_delta_interop": 2,
+    "lake_iceberg_interop": 2,
+    "lake_iceberg_v2_deletes": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce
@@ -238,7 +242,29 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # full-precision artifact, readable whole (the stdout line is
+    # capped — see below)
+    artifact = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
+    )
+    with open(artifact, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    # stdout contract: ONE JSON line — but the driver keeps only the
+    # LAST 2000 stdout chars, and r8's 64-entry default-separator line
+    # outgrew that (BENCH_r08 parsed null).  Emit compact separators +
+    # 2-decimal timings (~29 chars/entry); if the headline set ever
+    # outgrows even that, drop the per-query map from the LINE only and
+    # point at bench_result.json.
+    line_obj = dict(
+        out, queries={k: round(v, 2) for k, v in timings.items()}
+    )
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1985:
+        line_obj.pop("queries")
+        line_obj["n_queries"] = len(timings)
+        line_obj["detail"] = "bench_result.json"
+        line = json.dumps(line_obj, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -102,7 +102,13 @@ def q02_price_by_disease_area(
     """`min_drug_count` parameterizes the HAVING threshold: the reference's
     30 assumes ~2,900 rows; the sf0.001 smoke fixture has ~190 cleaned
     rows, where 30 filters every group (entry() passes 3)."""
-    med = medications(spark, sf_dir)
+    return _q02_agg(medications(spark, sf_dir), min_drug_count)
+
+
+def _q02_agg(med: DataFrame, min_drug_count: int) -> DataFrame:
+    """Query 2 aggregate body over any medications-shaped frame — the
+    parquet-CTE entry and the lake-table entry share it, so the two
+    can only diverge in their SOURCE."""
     return (
         med.filter(F.col("therapeutic_class").isNotNull())
         .groupBy(F.col("therapeutic_class").alias("disease_area"))
@@ -116,6 +122,34 @@ def q02_price_by_disease_area(
         .orderBy(F.desc("avg_price_DA"), F.asc("disease_area"))
         .limit(12)
     )
+
+
+_MEDALLION_LAKE_VERSION = 1
+
+
+def q02_over_lake_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDALLION-fidelity entry (reference chain ING:211
+    `format("delta")...saveAsTable` → ING:218 / ML:9 `spark.table`):
+    the cleaned medications frame is SUNK into the engine's own table
+    format (minilake commit log, built once per sf like the serving
+    indexes) and Query 2 runs UNCHANGED over the snapshot read — the
+    dashboard pack over the lake tier, not the parquet CTE.  The
+    oracle is Query 2's own SQL over the shared derivation, so a value
+    match proves the sink → snapshot-read roundtrip content-exact."""
+    import os
+
+    from ..functions.scale import default_index_dir
+    from ..sources import minilake
+
+    path = os.path.join(
+        default_index_dir("medallion", _MEDALLION_LAKE_VERSION, sf_dir),
+        "medications_lake",
+    )
+    if not minilake.versions(path):
+        minilake.commit_append(
+            medications(spark, sf_dir), path, stat_cols=["price"]
+        )
+    return _q02_agg(minilake.read_snapshot(spark, path), min_drug_count=30)
 
 
 _Q02_SQL = """
@@ -626,6 +660,7 @@ QUERIES = {
     "med_ingest_clean": medications_table,
     "med_refundable_by_class": refundable_by_class,
     "med_raw_price_order": raw_price_order,
+    "med_q02_lake_table": q02_over_lake_table,
 }
 
 ORACLES = {
@@ -646,4 +681,6 @@ ORACLES = {
     "med_ingest_clean": MEDICATIONS_CTE + _MEDICATIONS_SQL,
     "med_refundable_by_class": MEDICATIONS_CTE + _REFUNDABLE_BY_CLASS_SQL,
     "med_raw_price_order": MEDICATIONS_RAW_CTE + _RAW_PRICE_ORDER_SQL,
+    # the lake-table entry answers Query 2 exactly — same oracle SQL
+    "med_q02_lake_table": MEDICATIONS_CTE + _Q02_SQL,
 }
