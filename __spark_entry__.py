@@ -191,6 +191,8 @@ _TAIL_ORDER = [
     "mm_image_jpeg_pipeline",
     "lake_iceberg_v2_deletes",
     "med_q02_lake_table",
+    "mm_video_mjpeg_pipeline",
+    "mm_audio_adpcm_pipeline",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",

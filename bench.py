@@ -104,6 +104,8 @@ HEADLINE = [
     "lake_iceberg_v2_deletes",
     "mm_image_jpeg_pipeline",
     "mm_image_png_pipeline",
+    "mm_video_mjpeg_pipeline",
+    "mm_audio_adpcm_pipeline",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,

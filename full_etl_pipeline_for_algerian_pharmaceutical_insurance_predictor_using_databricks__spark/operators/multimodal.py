@@ -998,6 +998,242 @@ def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 2) -> DataFram
 
 
 # --------------------------------------------------------------------------
+# MJPEG-in-AVI: COMPRESSED video (the 'MJPG' fourcc every capture
+# pipeline understands) — each frame is a genuine JPEG (operators/jpeg)
+# inside the same RIFF container discipline as the DIB tier above.
+# --------------------------------------------------------------------------
+
+MJPEG_QUALITY = 90
+
+
+def _encode_avi_mjpeg(frames, quality: int = MJPEG_QUALITY) -> bytes:
+    """numpy (n, h, w, 3) uint8 frame stack → a real MJPEG AVI: 'vids'
+    stream with handler 'MJPG', strf biCompression = the 'MJPG'
+    fourcc, and a movi list of '00dc' chunks each holding a complete
+    baseline JPEG — the layout ffmpeg/VLC/OpenCV produce and consume
+    for motion-JPEG."""
+    from . import jpeg
+
+    n, h, w = frames.shape[:3]
+    payloads = [jpeg.encode_jpeg(f, quality) for f in frames]
+    max_sz = max(len(p) for p in payloads)
+    (mjpg,) = struct.unpack("<I", b"MJPG")
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // AVI_FPS, max_sz * AVI_FPS, 0, 0x10,
+        n, 0, 1, max_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, AVI_FPS, 0, n, max_sz, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, mjpg, max_sz, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+        ),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", pld) for pld in payloads)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_avi_mjpeg(b: bytes):
+    """MJPEG AVI parse: the same RIFF walk as `_decode_avi`, but the
+    strf must announce the 'MJPG' fourcc and every '00dc' chunk is a
+    standalone JPEG decoded through operators/jpeg.  Returns (frames
+    (n, h, w, 3) uint8, fps)."""
+    import numpy as np
+
+    from . import jpeg
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI: missing RIFF/'AVI ' magic")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            cid, size = struct.unpack_from("<4sI", b, pos)
+            yield cid, pos + 8, size
+            pos += 8 + size + (size & 1)
+
+    compression = rate = scale = None
+    frame_chunks: list[tuple[int, int]] = []
+    for cid, off, size in walk(12, len(b)):
+        if cid != b"LIST":
+            continue
+        kind = b[off : off + 4]
+        if kind == b"hdrl":
+            for c2, o2, s2 in walk(off + 4, off + size):
+                if c2 == b"LIST" and b[o2 : o2 + 4] == b"strl":
+                    for c3, o3, _s3 in walk(o2 + 4, o2 + s2):
+                        if c3 == b"strh":
+                            scale, rate = struct.unpack_from("<II", b, o3 + 20)
+                        elif c3 == b"strf":
+                            compression = b[o3 + 16 : o3 + 20]
+        elif kind == b"movi":
+            for c2, o2, s2 in walk(off + 4, off + size):
+                if c2[:2] == b"00" and c2[2:4] in (b"db", b"dc"):
+                    frame_chunks.append((o2, s2))
+    if compression != b"MJPG":
+        raise ValueError(f"not an MJPEG AVI: biCompression={compression!r}")
+    frames = np.stack(
+        [jpeg.decode_jpeg(b[o : o + sz]) for o, sz in frame_chunks]
+    )
+    fps = (rate / scale) if rate and scale else float(AVI_FPS)
+    return frames, fps
+
+
+def video_mjpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-video pipeline over genuine MJPEG AVI bytes: per
+    document, digest-derived frames are encoded frame-by-frame through
+    the real JPEG codec into a 'MJPG' AVI, the container is parsed
+    back, every frame entropy-decoded, and a per-FRAME PSNR floor
+    checked against the originals (`frames_ok`).  Geometry and frame
+    count are digest math the oracle restates; the booleans must be
+    TRUE — so a broken container walk, Huffman table, or IDCT fails
+    the value match.  Same compute-bound-kernel rule as the JPEG
+    entry: repartition before the mapInPandas so the per-frame DCT
+    work spreads across the executor threads."""
+    media = _digest_media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            ids, ns, ws, hs, oks = [], [], [], [], []
+            for doc_id, b in zip(batch["doc_id"], batch["digest"]):
+                d = np.frombuffer(b, dtype=np.uint8)
+                w, h = 8 + int(d[4]) % 8, 8 + int(d[5]) % 8
+                n = VIDEO_MIN_FRAMES + int(d[2]) % 3
+                orig = np.resize(d, n * h * w * 3).reshape(n, h, w, 3)
+                dec, fps = _decode_avi_mjpeg(_encode_avi_mjpeg(orig))
+                ok = dec.shape == orig.shape and fps == float(AVI_FPS)
+                if ok:
+                    for f in range(n):
+                        mse = float(
+                            (
+                                (dec[f].astype(np.float64)
+                                 - orig[f].astype(np.float64))
+                                ** 2
+                            ).mean()
+                        )
+                        psnr = (
+                            float("inf")
+                            if mse == 0
+                            else 10.0 * np.log10(255.0**2 / mse)
+                        )
+                        if psnr < JPEG_PSNR_FLOOR_DB:
+                            ok = False
+                            break
+                ids.append(doc_id)
+                ns.append(n)
+                ws.append(w)
+                hs.append(h)
+                oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(ns, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "format": ["mjpeg"] * len(ids),
+                    "frames_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, n_frames int, width int, height int, "
+        "format string, frames_ok boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# IMA ADPCM: COMPRESSED audio (WAV format tag 0x0011, operators/adpcm)
+# --------------------------------------------------------------------------
+
+ADPCM_MIN_SAMPLES = 384
+ADPCM_SNR_FLOOR_DB = 16.0
+
+
+def audio_adpcm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio pipeline over genuine IMA-ADPCM WAV bytes: per
+    document a digest-parameterized sine (amplitude/frequency/phase
+    from digest bytes — the band-limited content ADPCM is built for)
+    is encoded through the real 0x0011 codec (block headers, nibble
+    packing, fact chunk), decoded back, and checked for (a) exact
+    sample count from the fact chunk, (b) ≥3:1 compression of the
+    data payload vs 16-bit PCM, (c) an SNR floor.  `n_samples` and
+    `n_blocks` are digest math the oracle restates; the booleans must
+    be TRUE — a broken step table, nibble order, or block-boundary
+    state fails the value match."""
+    media = _digest_media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        from . import adpcm
+
+        for batch in batches:
+            ids, ns, nb, ratio_oks, snr_oks = [], [], [], [], []
+            for doc_id, b in zip(batch["doc_id"], batch["digest"]):
+                d = np.frombuffer(b, dtype=np.uint8)
+                # >=326 samples: the last block's padding amortizes
+                # and the 3:1 ratio check holds for every length
+                n = ADPCM_MIN_SAMPLES + int(d[0]) % 128
+                amp = 2000 + int(d[1]) * 90
+                freq = 1 + int(d[2]) % 16
+                phase = int(d[3]) / 256.0 * 2 * math.pi
+                t = np.arange(n)
+                x = (amp * np.sin(2 * np.pi * freq * t / n + phase)).astype(
+                    np.int16
+                )
+                wav = adpcm.encode_ima_wav(x)
+                y, _rate = adpcm.decode_ima_wav(wav)
+                y64 = np.asarray(y, dtype=np.int64)
+                x64 = x.astype(np.int64)
+                err = float(((y64 - x64) ** 2).mean())
+                sig = float((x64**2).mean()) or 1.0
+                snr = float("inf") if err == 0 else 10.0 * math.log10(sig / err)
+                data_sz = len(adpcm.encode_blocks(x))
+                ids.append(doc_id)
+                ns.append(len(y))
+                nb.append(data_sz // adpcm.BLOCK_ALIGN)
+                ratio_oks.append(data_sz * 3 < 2 * n)
+                snr_oks.append(snr >= ADPCM_SNR_FLOOR_DB)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "n_blocks": pd.Series(nb, dtype="int32"),
+                    "ratio_ok": pd.Series(ratio_oks, dtype="bool"),
+                    "snr_ok": pd.Series(snr_oks, dtype="bool"),
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, n_samples int, n_blocks int, "
+        "ratio_ok boolean, snr_ok boolean",
+    )
+
+
+# --------------------------------------------------------------------------
 # Perceptual image dedup — average-hash + banded Hamming join
 # --------------------------------------------------------------------------
 
@@ -1095,6 +1331,8 @@ QUERIES = {
     "mm_image_resize": image_resize,
     "mm_image_png_pipeline": image_png_pipeline,
     "mm_image_jpeg_pipeline": image_jpeg_pipeline,
+    "mm_video_mjpeg_pipeline": video_mjpeg_pipeline,
+    "mm_audio_adpcm_pipeline": audio_adpcm_pipeline,
 }
 
 # The fixture bytes are digest-derived, so the REAL decoded features
@@ -1244,6 +1482,29 @@ SELECT doc_id,
 FROM documents
 """
 
+_MJPEG_PIPELINE_SQL = """
+SELECT doc_id,
+       CAST(2 + (('0x' || substr(md5(text), 5, 2))::INT % 3) AS INT) AS n_frames,
+       CAST(8 + (('0x' || substr(md5(text), 9, 2))::INT % 8) AS INT) AS width,
+       CAST(8 + (('0x' || substr(md5(text), 11, 2))::INT % 8) AS INT) AS height,
+       'mjpeg' AS format,
+       TRUE AS frames_ok
+FROM documents
+"""
+
+_ADPCM_PIPELINE_SQL = """
+SELECT doc_id,
+       CAST(n_samples AS INT) AS n_samples,
+       CAST(CEIL(n_samples / 65.0) AS INT) AS n_blocks,
+       TRUE AS ratio_ok,
+       TRUE AS snr_ok
+FROM (
+    SELECT doc_id,
+           384 + (('0x' || substr(md5(text), 1, 2))::INT % 128) AS n_samples
+    FROM documents
+)
+"""
+
 ORACLES: dict[str, str] = {
     "mm_image_metadata": _IMAGE_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
@@ -1253,4 +1514,6 @@ ORACLES: dict[str, str] = {
     "mm_image_resize": _RESIZE_SQL,
     "mm_image_png_pipeline": _PNG_PIPELINE_SQL,
     "mm_image_jpeg_pipeline": _JPEG_PIPELINE_SQL,
+    "mm_video_mjpeg_pipeline": _MJPEG_PIPELINE_SQL,
+    "mm_audio_adpcm_pipeline": _ADPCM_PIPELINE_SQL,
 }

@@ -307,6 +307,78 @@ def test_wav_codec_chunk_walk_and_roundtrip():
         multimodal._decode_wav(b"OggS nope")
 
 
+def test_adpcm_codec_blocks_and_wav_container():
+    """IMA ADPCM (WAV 0x0011): block-boundary state survives (multi-
+    block streams decode continuously), the nibble order is LOW-first,
+    the fact chunk carries the true count, lossy error is bounded on
+    band-limited content, and non-IMA WAVs refuse."""
+    import math
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        adpcm,
+    )
+
+    # multi-block sine (crosses 65-sample block boundaries) round-trips
+    # within an SNR floor; count comes from the fact chunk exactly
+    for n in (1, 64, 65, 66, 200, 391):
+        t = np.arange(n)
+        x = (9000 * np.sin(2 * np.pi * 5 * t / max(n, 1) + 0.3)).astype(
+            np.int16
+        )
+        y, rate = adpcm.decode_ima_wav(adpcm.encode_ima_wav(x, 44100))
+        assert len(y) == n and rate == 44100
+        if n >= 64:
+            x64, y64 = x.astype(np.int64), np.asarray(y, dtype=np.int64)
+            err = float(((y64 - x64) ** 2).mean())
+            snr = 10 * math.log10(float((x64**2).mean()) / err)
+            assert snr >= 16.0, (n, snr)
+    # block geometry: 36-byte blocks, 65 samples each
+    x = np.zeros(130, dtype=np.int16)
+    assert len(adpcm.encode_blocks(x)) == 72
+    # LOW nibble first: a hand-built block [pred=0, idx=0] with first
+    # data byte 0x_C_2 decodes sample1 from nibble 2 (step 7: delta
+    # 0+3 → +3) then sample2 from nibble 0xC (8|4, step still 7:
+    # delta 0+7 → 3-7 = -4) — pins nibble order AND the delta math
+    blk = struct.pack("<hBx", 0, 0) + bytes([0xC2]) + b"\x00" * 31
+    got = adpcm.decode_blocks(blk, 3)
+    assert got[:3] == [0, 3, -4]
+    # refusal: plain PCM tag
+    pcm = (
+        struct.pack("<4sI4s", b"RIFF", 36, b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        + struct.pack("<4sI", b"data", 0)
+    )
+    with pytest.raises(ValueError, match="IMA"):
+        adpcm.decode_ima_wav(pcm)
+
+
+def test_mjpeg_avi_codec_roundtrip():
+    """MJPEG AVI: the container announces the 'MJPG' fourcc, every
+    '00dc' chunk is a standalone baseline JPEG, per-frame PSNR clears
+    the codec floor, and a DIB AVI refuses in the MJPEG decoder."""
+    import numpy as np
+    import pytest
+
+    d = np.arange(16, dtype=np.uint8) * 16
+    frames = np.resize(d, 3 * 10 * 12 * 3).reshape(3, 10, 12, 3)
+    b = multimodal._encode_avi_mjpeg(frames)
+    assert b[:4] == b"RIFF" and b"MJPG" in b[:200]
+    dec, fps = multimodal._decode_avi_mjpeg(b)
+    assert dec.shape == frames.shape and fps == float(multimodal.AVI_FPS)
+    for f in range(3):
+        mse = ((dec[f].astype(np.float64) - frames[f].astype(np.float64)) ** 2).mean()
+        psnr = 10 * np.log10(255.0**2 / mse) if mse else np.inf
+        assert psnr >= multimodal.JPEG_PSNR_FLOOR_DB
+    # an uncompressed DIB AVI is not an MJPEG stream
+    dib = multimodal._encode_avi(frames)
+    with pytest.raises(ValueError, match="MJPEG"):
+        multimodal._decode_avi_mjpeg(dib)
+
+
 def test_avi_codec_chunk_walk_and_roundtrip():
     """The AVI kernel is a real container codec: encode→decode is
     frame-exact, and a FOREIGN layout we did not encode — JUNK chunk
