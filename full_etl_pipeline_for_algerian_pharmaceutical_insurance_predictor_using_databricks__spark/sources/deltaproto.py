@@ -11,10 +11,11 @@ actions (newline-delimited JSON), hive-layout partition directories,
 relative paths — that any real Delta engine (Spark+delta, DuckDB
 delta, Trino, polars) can read; and `read_delta` folds a `_delta_log`
 produced by any such engine, including parquet CHECKPOINTS via
-`_last_checkpoint`, as long as it needs no reader features past
-protocol v1/v2 basics (deletion vectors / column mapping raise loudly
-rather than mis-read — the spec's own rule for unsupported reader
-features).
+`_last_checkpoint`, deletion vectors (v3 `deletionVectors`), and
+column mapping in name mode (v3 `columnMapping` — physical parquet
+names renamed to the logical schema, physical partitionValues keys);
+any OTHER listed reader feature raises loudly rather than mis-read —
+the spec's allowlist rule.
 
 Scale notes: snapshot construction is the same driver-side fold real
 Delta performs at planning time (the log is the tiny side); data stays
@@ -51,7 +52,7 @@ _MAX_READER_VERSION = 2  # v2 adds nothing a plain reader must act on
 #: the table iff it implements EVERY listed readerFeature — any
 #: feature outside this set (including ones newer than this module)
 #: must raise, never silently mis-read.
-_SUPPORTED_READER_FEATURES = {"deletionVectors"}
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
 #: Protocol announced once a table carries deletion vectors (the spec
 #: requires the feature flags from the first DV commit on).
 _DV_PROTOCOL = {
@@ -354,6 +355,11 @@ def write_delta(
     existing_meta = None
     if not first:
         existing_meta, live, _v = _fold_delta_state(spark, path, None)
+        if _column_mapping(existing_meta):
+            raise ValueError(
+                "writing to a column-mapped Delta table is unsupported "
+                "(this writer lands logical column names)"
+            )
         spec = list(existing_meta.get("partitionColumns") or [])
         if partition_by is not None and list(partition_by) != spec:
             raise ValueError(
@@ -454,11 +460,20 @@ def read_delta_pruned(
     from pyspark.sql.types import StructType
 
     meta, live, _v = _fold_delta_state(spark, path, None)
-    part_cols = list(meta.get("partitionColumns") or [])
+    mapping = _column_mapping(meta)
+    phys_to_log = {v: k for k, v in mapping.items()}
+    part_cols = [
+        phys_to_log.get(c, c) for c in (meta.get("partitionColumns") or [])
+    ]
+    # stats and partitionValues key on PHYSICAL names on mapped tables
+    phys_part = [mapping.get(c, c) for c in part_cols]
+    phys_col = mapping.get(col, col)
     skipped = 0
     kept: dict[str, dict] = {}
     for fname, add in live.items():
-        if _add_outside_range(add, part_cols, col, lo, hi):
+        if _add_outside_range(
+            add, phys_part, phys_col, lo, hi
+        ) and _add_outside_range(add, part_cols, col, lo, hi):
             skipped += 1
         else:
             kept[fname] = add
@@ -502,6 +517,11 @@ def delete_where_delta(
     if strategy not in ("rewrite", "dv"):
         raise ValueError(f"unknown delete strategy {strategy!r}")
     meta, live, _v = _fold_delta_state(spark, path, None)
+    if _column_mapping(meta):
+        raise ValueError(
+            "DELETE on a column-mapped Delta table is unsupported "
+            "(this writer lands logical column names)"
+        )
     part_cols = list(meta.get("partitionColumns") or [])
     touched = {
         f: a
@@ -898,6 +918,11 @@ def compact_delta(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     meta, live, _v = _fold_delta_state(spark, path, None)
     if not live:
         return delta_versions(path)[-1]
+    if _column_mapping(meta):
+        raise ValueError(
+            "OPTIMIZE on a column-mapped Delta table is unsupported "
+            "(this writer lands logical column names)"
+        )
     part_cols = list(meta.get("partitionColumns") or [])
     total = sum(int(a.get("size") or 0) for a in live.values())
     n_files = max(1, math.ceil(total / (target_mb << 20)))
@@ -1067,24 +1092,61 @@ def _apply_dvs(
     )
 
 
+def _column_mapping(meta: dict) -> dict[str, str]:
+    """{logical column → physical parquet name} when the table enables
+    column mapping (`delta.columnMapping.mode` in the metaData
+    configuration; physical names in each schema field's
+    `delta.columnMapping.physicalName` metadata).  Only `name` mode is
+    implemented — the mode delta-spark writes when the feature is on;
+    `id` mode (arbitrary parquet names resolved by field-id) refuses
+    loudly rather than guess."""
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+    if not mode or mode == "none":
+        return {}
+    if mode != "name":
+        raise ValueError(f"unsupported column mapping mode {mode!r}")
+    out = {}
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        md = f.get("metadata") or {}
+        out[f["name"]] = md.get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+    return out
+
+
 def _read_adds(
     spark: SparkSession, path: str, meta: dict, adds: dict
 ) -> DataFrame:
     """Read a set of add-actions' files with partition columns
     reconstructed and deletion vectors applied — the shared scan used
-    by read_delta and the pruned/delete paths."""
-    from pyspark.sql.types import StructType
+    by read_delta and the pruned/delete paths.  Tables with column
+    mapping (name mode) scan by PHYSICAL parquet names and rename to
+    the logical schema; partitionValues keys are looked up physical-
+    first (the spec's convention), falling back to logical."""
+    from pyspark.sql.types import StructField, StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns") or [])
+    mapping = _column_mapping(meta)
+    phys_to_log = {v: k for k, v in mapping.items()}
+    # partitionColumns may be stated in either namespace by foreign
+    # writers; normalize to logical
+    part_cols = [
+        phys_to_log.get(c, c) for c in (meta.get("partitionColumns") or [])
+    ]
     types = {f.name: f.dataType for f in schema.fields}
     read_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            StructField(mapping.get(f.name, f.name), f.dataType, True)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
     )
     groups: dict[tuple, list[str]] = {}
     for fname, add in adds.items():
         pv = (add.get("partitionValues") or {}) if part_cols else {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(
+            pv.get(mapping.get(c, c), pv.get(c)) for c in part_cols
+        )
         groups.setdefault(key, []).append(fname)
     frames = []
     for key, fs in sorted(groups.items()):
@@ -1098,6 +1160,10 @@ def _read_adds(
         )
         if dv_files:
             df = _apply_dvs(spark, path, df, dv_files)
+        for f in schema.fields:
+            phys = mapping.get(f.name, f.name)
+            if phys != f.name and f.name not in part_cols:
+                df = df.withColumnRenamed(phys, f.name)
         for c, raw in zip(part_cols, key):
             lit = F.lit(None) if raw is None else F.lit(raw)
             df = df.withColumn(c, lit.cast(types[c]))

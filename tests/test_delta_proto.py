@@ -163,9 +163,9 @@ def test_foreign_crafted_log_reads(spark, tmp_path):
 
 
 def test_unsupported_reader_features_raise(spark, tmp_path):
-    """columnMapping is still an unimplemented reader feature and must
-    refuse; deletionVectors no longer appears here — r8 implements it
-    (see test_deletion_vector_delete_and_read)."""
+    """v2Checkpoint is still an unimplemented reader feature and must
+    refuse; deletionVectors (r8) and columnMapping (r9) no longer
+    appear here — both are implemented."""
     path = str(tmp_path / "cmdelta")
     log = os.path.join(path, "_delta_log")
     os.makedirs(log)
@@ -176,7 +176,7 @@ def test_unsupported_reader_features_raise(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["columnMapping"],
+                        "readerFeatures": ["v2Checkpoint"],
                     }
                 }
             )
@@ -197,6 +197,124 @@ def test_unsupported_reader_features_raise(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="unsupported reader"):
         dp.read_delta(spark, path)
+
+
+def test_column_mapping_name_mode_reads(spark, tmp_path):
+    """A FOREIGN table with columnMapping (name mode, the delta-spark
+    default when enabled): parquet files carry PHYSICAL uuid-ish
+    column names, the schemaString maps them to logical names, and
+    partitionValues keys are physical.  The reader reconstructs the
+    logical schema exactly; `id` mode and WRITES to mapped tables
+    refuse loudly."""
+    path = str(tmp_path / "mapped")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    # physical-named parquet data file
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "`col-phys1` bigint, `col-phys2` bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import glob
+    import shutil as sh
+
+    src = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+    os.makedirs(os.path.join(path, "pdir=7"), exist_ok=True)
+    sh.copy(src, os.path.join(path, "pdir=7", "part-0.parquet"))
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "doc_id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-phys1",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-phys2",
+                    },
+                },
+                {
+                    "name": "grp",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 3,
+                        "delta.columnMapping.physicalName": "pdir",
+                    },
+                },
+            ],
+        }
+    )
+    with open(os.path.join(path, "_delta_log", dp._LOG_FMT.format(0)), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["columnMapping"],
+                        "writerFeatures": ["columnMapping"],
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "m",
+                        "format": {"provider": "parquet"},
+                        "schemaString": schema_string,
+                        "partitionColumns": ["grp"],
+                        "configuration": {
+                            "delta.columnMapping.mode": "name",
+                            "delta.columnMapping.maxColumnId": "3",
+                        },
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "pdir=7/part-0.parquet",
+                        "partitionValues": {"pdir": "7"},
+                        "size": os.path.getsize(src),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    got = dp.read_delta(spark, path)
+    assert sorted(got.columns) == ["doc_id", "grp", "v"]
+    assert sorted(tuple(r) for r in got.collect()) == [(1, 10, 7), (2, 20, 7)]
+    # pruned read resolves the predicate through the mapping
+    pr, nread, nskip = dp.read_delta_pruned(spark, path, "grp", 0, 5)
+    assert (nread, nskip) == (0, 1) and pr.count() == 0
+    # writes to a mapped table refuse rather than corrupt
+    with pytest.raises(ValueError, match="column-mapped"):
+        dp.write_delta(_df(spark, 0, 5), path)
+    with pytest.raises(ValueError, match="column-mapped"):
+        dp.delete_where_delta(spark, path, "doc_id", 0, 1)
+    # id mode refuses
+    meta = json.loads(
+        open(os.path.join(path, "_delta_log", dp._LOG_FMT.format(0))).readlines()[1]
+    )["metaData"]
+    meta["configuration"]["delta.columnMapping.mode"] = "id"
+    with pytest.raises(ValueError, match="mapping mode"):
+        dp._column_mapping(meta)
 
 
 def test_unknown_future_reader_feature_raises(spark, tmp_path):
