@@ -1,0 +1,386 @@
+"""Spark DataSource over the REAL Delta log — `sources/deltaproto.py`
+surfaced as a first-class `format("deltaproto")` for batch and
+Structured Streaming, the same contract `lakesource.py` gives the
+minilake tier (and the same contract delta-spark gives real Delta
+tables: a table is also a stream).
+
+- **Batch** (`spark.read.format("deltaproto").load(path)`): the
+  current snapshot, one live add-action → one `InputPartition`; each
+  task reads exactly one immutable parquet file, applies its deletion
+  vector, reconstructs partition columns from the add's
+  partitionValues, and resolves column mapping (name mode).
+- **Streaming** (`spark.readStream.format("deltaproto").load(path)`):
+  the `_delta_log` IS the offset log — `{"version": v}` marks the
+  last consumed commit and each micro-batch carries the rows of the
+  dataChange add actions in `(start, end]`.  dataChange:false commits
+  (OPTIMIZE / checkpoints) contribute nothing and do not break the
+  stream; a remove with dataChange inside the range fails the batch
+  loudly (incremental consumption spans appends — re-sync from a
+  snapshot, delta-spark's own rule without `ignoreChanges`).
+  With `option("readChangeFeed", "true")` the stream is the CDF
+  instead: committed `cdc` actions win (their `_change_data` parquet
+  IS the batch), insert-only commits derive inserts, delete-only
+  commits derive deletes from the still-present pre-image files
+  (partition values and prior DVs applied via the rolled-forward
+  pre-image fold), and underivable mixed rewrites fail loudly —
+  `deltaproto.read_changes_delta`'s rules, per micro-batch.
+
+Readers run in Python workers on pyarrow; rows are schema-ordered
+tuples.  The slow general path by design — bulk snapshot reads stay
+on `deltaproto.read_delta` (JVM scans); the DataSource exists for the
+STREAMING contract, where the per-trigger delta is small.  Snapshot
+state is folded by `_fold_py`, a pure-Python twin of
+`_fold_delta_state` (JSON tail + pyarrow checkpoint) usable where no
+SparkSession exists (DataSource.schema() and executor readers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+from . import deltaproto as dp
+
+FORMAT_NAME = "deltaproto"
+
+
+def _cdf_option(options: dict) -> bool:
+    v = options.get("readchangefeed", options.get("readChangeFeed", "false"))
+    return str(v).lower() == "true"
+
+
+def _fold_py(path: str, version: int | None = None):
+    """Pure-Python snapshot fold: newest usable parquet checkpoint
+    (pyarrow) + the JSON tail, with the same per-commit removes-then-
+    adds reconciliation as `deltaproto._fold_delta_state`.  Returns
+    (metaData, {file: add-action}, version)."""
+    import pyarrow.parquet as pq
+
+    vs = dp.delta_versions(path)
+    ckpt = dp._last_checkpoint(path)
+    live: dict[str, dict] = {}
+    meta = None
+    proto: dict = {}
+    start_after = -1
+    if ckpt is not None and (version is None or ckpt["version"] <= version):
+        ck_v = int(ckpt["version"])
+        ck_file = os.path.join(dp._log_dir(path), dp._CKPT_FMT.format(ck_v))
+        if os.path.exists(ck_file):
+            for d in pq.read_table(ck_file).to_pylist():
+                if d.get("add") and d["add"].get("path"):
+                    live[d["add"]["path"]] = d["add"]
+                if d.get("remove") and d["remove"].get("path"):
+                    live.pop(d["remove"]["path"], None)
+                if d.get("metaData") and d["metaData"].get("id"):
+                    meta = d["metaData"]
+                if d.get("protocol") and d["protocol"].get("minReaderVersion"):
+                    proto = d["protocol"]
+            start_after = ck_v
+    if version is None:
+        if not vs and start_after < 0:
+            raise FileNotFoundError(f"no Delta log under {path}")
+        version = vs[-1] if vs else start_after
+    for v in vs:
+        if v <= start_after or v > version:
+            continue
+        commit_adds: dict[str, dict] = {}
+        commit_removes: list[str] = []
+        for a in dp._read_actions(path, v):
+            if "add" in a:
+                commit_adds[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                commit_removes.append(a["remove"]["path"])
+            elif "metaData" in a:
+                meta = a["metaData"]
+            elif "protocol" in a:
+                proto = a["protocol"]
+        for p in commit_removes:
+            live.pop(p, None)
+        live.update(commit_adds)
+    if proto:
+        dp._check_protocol(proto)
+    if meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    return meta, live, version
+
+
+def _latest_schema(path: str) -> StructType:
+    meta, _live, _v = _fold_py(path)
+    return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def _pv_value(spark_type: str, raw: str | None):
+    """One hive-string partition value → the Python value Spark's
+    DataSource row converter expects for the field's type."""
+    if raw is None:
+        return None
+    if spark_type in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if spark_type in ("float", "double"):
+        return float(raw)
+    if spark_type == "boolean":
+        return raw.lower() == "true"
+    if spark_type == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    if spark_type == "string":
+        return raw
+    raise ValueError(
+        f"partition type {spark_type!r} unsupported by the deltaproto "
+        "DataSource"
+    )
+
+
+def _meta_layout(meta: dict, field_names: list[str]):
+    """(physical-name per logical field, partition cols (logical),
+    {logical: spark simpleString type}) — the per-file read plan."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = dp._column_mapping(meta)
+    phys_to_log = {v: k for k, v in mapping.items()}
+    part_cols = [
+        phys_to_log.get(c, c) for c in (meta.get("partitionColumns") or [])
+    ]
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    return mapping, part_cols, types
+
+
+def _add_rows(
+    path: str,
+    meta: dict,
+    add: dict,
+    field_names: list[str],
+    positions: set[int] | None = None,
+) -> list[tuple]:
+    """Rows of one add-action's file as schema-ordered tuples: DV
+    positions hidden (or, when `positions` is given, ONLY those
+    positions emitted — the CDF delete-derivation shape), partition
+    columns reconstructed, column mapping resolved."""
+    import pyarrow.parquet as pq
+
+    mapping, part_cols, types = _meta_layout(meta, field_names)
+    fpath = os.path.join(path, add["path"])
+    table = pq.read_table(fpath)
+    cols = {n: table.column(n).to_pylist() for n in table.column_names}
+    pv = add.get("partitionValues") or {}
+    part_vals = {
+        c: _pv_value(types[c], pv.get(mapping.get(c, c), pv.get(c)))
+        for c in part_cols
+    }
+    hidden: set[int] = set()
+    if positions is None and add.get("deletionVector"):
+        hidden = set(dp._dv_positions(path, add["deletionVector"]))
+    out = []
+    for i in range(table.num_rows):
+        if positions is not None:
+            if i not in positions:
+                continue
+        elif i in hidden:
+            continue
+        row = []
+        for name in field_names:
+            if name in part_cols:
+                row.append(part_vals[name])
+            else:
+                phys = mapping.get(name, name)
+                row.append(cols[phys][i] if phys in cols else None)
+        out.append(tuple(row))
+    return out
+
+
+@dataclass
+class _DeltaPartition(InputPartition):
+    add_json: str
+
+
+class DeltaProtoReader(DataSourceReader):
+    """Batch: the current snapshot, one task per live add-action."""
+
+    def __init__(self, options: dict, schema: StructType):
+        path = options.get("path")
+        if not path:
+            raise ValueError("deltaproto requires a path")
+        self.path = path
+        self.field_names = [f.name for f in schema.fields]
+
+    def partitions(self) -> list[_DeltaPartition]:
+        _meta, live, _v = _fold_py(self.path)
+        return [_DeltaPartition(json.dumps(live[f])) for f in sorted(live)]
+
+    def read(self, partition: _DeltaPartition) -> Iterator[tuple]:
+        meta, _live, _v = _fold_py(self.path)
+        yield from _add_rows(
+            self.path, meta, json.loads(partition.add_json), self.field_names
+        )
+
+
+class DeltaProtoStreamReader(SimpleDataSourceStreamReader):
+    """The Delta log as the streaming offset log (see module doc)."""
+
+    def __init__(self, options: dict, schema: StructType):
+        path = options.get("path")
+        if not path:
+            raise ValueError("deltaproto requires a path")
+        self.path = path
+        self.cdf = _cdf_option(options)
+        base = [f.name for f in schema.fields]
+        if self.cdf:
+            base = [
+                n for n in base if n not in ("_change_type", "_commit_version")
+            ]
+        self.field_names = base
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def _plain_rows(self, start_v: int, end_v: int) -> list[tuple]:
+        meta, _live, _v = _fold_py(self.path)
+        rows: list[tuple] = []
+        for v in dp.delta_versions(self.path):
+            if not start_v < v <= end_v:
+                continue
+            acts = dp._read_actions(self.path, v)
+            removes = [
+                a["remove"]
+                for a in acts
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if removes:
+                raise ValueError(
+                    f"deltaproto stream hit a data-changing remove at "
+                    f"version {v} — incremental consumption only spans "
+                    "appends; restart the stream from a fresh snapshot"
+                )
+            for a in acts:
+                if "add" in a and a["add"].get("dataChange"):
+                    rows.extend(
+                        _add_rows(self.path, meta, a["add"], self.field_names)
+                    )
+        return rows
+
+    def _change_rows(self, start_v: int, end_v: int) -> list[tuple]:
+        """CDF rows for (start_v, end_v] — `read_changes_delta`'s
+        derivation rules per micro-batch, with the pre-image fold
+        rolled forward so derived deletes reconstruct partition
+        columns and respect prior DVs."""
+        import pyarrow.parquet as pq
+
+        meta, _live, _v = _fold_py(self.path)
+        pre_live: dict[str, dict] = {}
+        if start_v >= 0:
+            try:
+                _m, pre_live, _pv = _fold_py(self.path, start_v)
+            except (ValueError, FileNotFoundError):
+                pre_live = {}
+        rows: list[tuple] = []
+        for v in dp.delta_versions(self.path):
+            if v > end_v:
+                break
+            if v <= start_v:
+                continue
+            acts = dp._read_actions(self.path, v)
+            all_adds = {a["add"]["path"]: a["add"] for a in acts if "add" in a}
+            all_removes = [a["remove"] for a in acts if "remove" in a]
+            cdc = [a["cdc"] for a in acts if "cdc" in a]
+            if cdc:
+                for c in cdc:
+                    t = pq.read_table(os.path.join(self.path, c["path"]))
+                    cols = {
+                        n: t.column(n).to_pylist() for n in t.column_names
+                    }
+                    for i in range(t.num_rows):
+                        rows.append(
+                            tuple(
+                                cols[n][i] if n in cols else None
+                                for n in self.field_names
+                            )
+                            + (cols["_change_type"][i], v)
+                        )
+            else:
+                adds = {
+                    p: a for p, a in all_adds.items() if a.get("dataChange")
+                }
+                removes = [
+                    r for r in all_removes if r.get("dataChange", True)
+                ]
+                if adds and removes:
+                    raise ValueError(
+                        f"commit {v}: mixed add+remove rewrite without cdc "
+                        "actions — change feed not derivable"
+                    )
+                for a in adds.values():
+                    for r in _add_rows(self.path, meta, a, self.field_names):
+                        rows.append(r + ("insert", v))
+                for rm in removes:
+                    pre = pre_live.get(rm["path"], rm)
+                    if not os.path.exists(
+                        os.path.join(self.path, rm["path"])
+                    ):
+                        raise ValueError(
+                            f"commit {v}: removed file no longer present — "
+                            "cannot reconstruct the change feed"
+                        )
+                    for r in _add_rows(
+                        self.path, meta, pre, self.field_names
+                    ):
+                        rows.append(r + ("delete", v))
+            for rm in all_removes:
+                pre_live.pop(rm["path"], None)
+            pre_live.update(all_adds)
+        return rows
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        vs = dp.delta_versions(self.path)
+        end_v = vs[-1] if vs else start["version"]
+        rows = (
+            self._change_rows(start["version"], end_v)
+            if self.cdf
+            else self._plain_rows(start["version"], end_v)
+        )
+        # materialized list, not a generator: the engine's prefetch
+        # cache copies the returned iterator for replay
+        return iter(rows), {"version": end_v}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        rows = (
+            self._change_rows(start["version"], end["version"])
+            if self.cdf
+            else self._plain_rows(start["version"], end["version"])
+        )
+        return iter(rows)
+
+
+class DeltaProtoDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        from pyspark.sql.types import LongType, StringType
+
+        schema = _latest_schema(self.options["path"])
+        if _cdf_option(self.options):
+            schema = schema.add("_change_type", StringType()).add(
+                "_commit_version", LongType()
+            )
+        return schema
+
+    def reader(self, schema: StructType) -> DeltaProtoReader:
+        return DeltaProtoReader(self.options, schema)
+
+    def simpleStreamReader(self, schema: StructType) -> DeltaProtoStreamReader:
+        return DeltaProtoStreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(DeltaProtoDataSource)
