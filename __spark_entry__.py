@@ -190,6 +190,7 @@ _TAIL_ORDER = [
     "mm_image_png_pipeline",
     "mm_image_jpeg_pipeline",
     "lake_iceberg_v2_deletes",
+    "lake_iceberg_changes",
     "med_q02_lake_table",
     "mm_video_mjpeg_pipeline",
     "mm_audio_adpcm_pipeline",
@@ -304,6 +305,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     pool["lake_iceberg_interop"] = _iceberg.iceberg_interop_entry
     pool["lake_iceberg_v2_deletes"] = _iceberg.iceberg_v2_deletes_entry
+    pool["lake_iceberg_changes"] = _iceberg.iceberg_changes_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -373,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
 
     pool["lake_iceberg_interop"] = _iceberg.ICEBERG_INTEROP_ORACLE_SQL
     pool["lake_iceberg_v2_deletes"] = _iceberg.ICEBERG_V2_ORACLE_SQL
+    pool["lake_iceberg_changes"] = _iceberg.ICEBERG_CHANGES_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

@@ -257,10 +257,14 @@ def main() -> None:
     # 2-decimal timings (~29 chars/entry); if the headline set ever
     # outgrows even that, drop the per-query map from the LINE only and
     # point at bench_result.json.
-    line_obj = dict(
-        out, queries={k: round(v, 2) for k, v in timings.items()}
-    )
-    line = json.dumps(line_obj, separators=(",", ":"))
+    line = ""
+    for ndigits in (2, 1):
+        line_obj = dict(
+            out, queries={k: round(v, ndigits) for k, v in timings.items()}
+        )
+        line = json.dumps(line_obj, separators=(",", ":"))
+        if len(line) <= 1985:
+            break
     if len(line) > 1985:
         line_obj.pop("queries")
         line_obj["n_queries"] = len(timings)

@@ -1673,6 +1673,154 @@ def delete_where_iceberg(
     return _commit_snapshot(path, "delete", build_manifests)
 
 
+def read_changes_iceberg(
+    spark: SparkSession, path: str, since_snapshot_id: int | None = None
+) -> DataFrame:
+    """Row-level CHANGELOG between snapshots — the shape Iceberg's
+    `create_changelog_view` procedure exposes, derived from metadata:
+
+    - an append snapshot's ADDED data files are inserts;
+    - position-delete files ADDED at a snapshot emit exactly their
+      (file, pos) rows as deletes (merge-on-read);
+    - a rewrite snapshot (copy-on-write DELETE / overwrite) diffs the
+      removed files' pre-image rows against the added files' rows with
+      CARRYOVER REMOVAL (`exceptAll` both ways) — rows a rewrite
+      merely copied between files appear in neither leg, exactly the
+      carryover rule the reference procedure applies;
+    - prior delete files keep masking pre-image reads, so rows hidden
+      before a rewrite are not re-reported.
+
+    Returns table columns + `_change_type` ('insert' | 'delete') +
+    `_snapshot_ordinal` (1-based position in the snapshot log — the
+    stable per-table change ordering).  Walks snapshots AFTER
+    `since_snapshot_id` (None = from the first snapshot)."""
+    meta = current_metadata(path)
+    fields = _schema_of(meta)
+    snaps = sorted(
+        meta.get("snapshots") or [], key=lambda s: s.get("timestamp-ms", 0)
+    )
+    start = 0
+    if since_snapshot_id is not None:
+        ids = [s["snapshot-id"] for s in snaps]
+        if since_snapshot_id not in ids:
+            raise ValueError(f"snapshot {since_snapshot_id} not in the log")
+        start = ids.index(since_snapshot_id) + 1
+    schema = _spark_schema(fields)
+    names = [f.name for f in schema.fields]
+    frames: list[DataFrame] = []
+    for ordinal, snap in enumerate(snaps, start=1):
+        if ordinal <= start:
+            continue
+        sid = snap["snapshot-id"]
+        mfs = _read_manifest_list(path, snap)
+        data_entries = []
+        for mf in _data_manifests(mfs):
+            data_entries.extend(_read_manifest(path, mf))
+        added = [
+            e
+            for e in data_entries
+            if e.get("status", 0) == 1 and e.get("snapshot_id") == sid
+        ]
+        removed = [
+            e
+            for e in data_entries
+            if e.get("status", 0) == 2 and e.get("snapshot_id") == sid
+        ]
+        # delete files, split into prior (mask pre-image reads) and
+        # newly-added-at-this-snapshot (merge-on-read delete rows)
+        prior_pos: list[str] = []
+        new_pos: list[str] = []
+        prior_eq: list[dict] = []
+        for mf in mfs:
+            if (mf.get("content") or 0) != 1:
+                continue
+            mp = _abs_path(path, mf["manifest_path"])
+            records, _m, _s = avrotiny.read_container(mp)
+            for r in records:
+                if r.get("status", 0) not in (0, 1):
+                    continue
+                df_rec = r["data_file"]
+                fp = _abs_path(path, df_rec["file_path"])
+                if (df_rec.get("content") or 0) == 2:
+                    if r.get("snapshot_id") == sid:
+                        # which rows an equality delete hid depends on
+                        # every older file's content — refuse rather
+                        # than under-report that snapshot's changes
+                        raise ValueError(
+                            f"snapshot {sid}: equality-delete commit — "
+                            "changelog not derivable"
+                        )
+                    prior_eq.append(
+                        {
+                            "path": fp,
+                            "seq": _entry_seq(r, mf),
+                            "ids": list(df_rec.get("equality_ids") or []),
+                        }
+                    )
+                elif r.get("snapshot_id") == sid:
+                    new_pos.append(fp)
+                else:
+                    prior_pos.append(fp)
+        tag = lambda df, ct: df.select(  # noqa: E731
+            *names,
+            F.lit(ct).alias("_change_type"),
+            F.lit(ordinal).cast("long").alias("_snapshot_ordinal"),
+        )
+        if added and removed:
+            pre = _read_entries(
+                spark, path, meta, removed, prior_pos, prior_eq
+            )
+            post = _read_entries(spark, path, meta, added, [], [])
+            frames.append(tag(pre.exceptAll(post), "delete"))
+            frames.append(tag(post.exceptAll(pre), "insert"))
+        elif added:
+            frames.append(
+                tag(_read_entries(spark, path, meta, added, [], []), "insert")
+            )
+        elif removed:
+            frames.append(
+                tag(
+                    _read_entries(
+                        spark, path, meta, removed, prior_pos, prior_eq
+                    ),
+                    "delete",
+                )
+            )
+        if new_pos:
+            pos_df = spark.read.parquet(*sorted(set(new_pos))).select(
+                F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
+                    _IB_FILE
+                ),
+                F.col("pos").cast("bigint").alias(_IB_POS),
+            )
+            tails = {
+                r[_IB_FILE] for r in pos_df.select(_IB_FILE).distinct().collect()
+            }
+            touched = [
+                e
+                for e in data_entries
+                if e.get("status", 0) in (0, 1)
+                and e["data_file"]["file_path"].rsplit("/", 1)[-1] in tails
+            ]
+            scan = _read_entries(
+                spark, path, meta, touched, prior_pos, prior_eq,
+                keep_identity=True,
+            )
+            hit = scan.join(
+                F.broadcast(pos_df), [_IB_FILE, _IB_POS], "inner"
+            ).drop(_IB_FILE, _IB_POS)
+            frames.append(tag(hit, "delete"))
+    if not frames:
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn("_change_type", F.lit("")).withColumn(
+            "_snapshot_ordinal", F.lit(0).cast("long")
+        )
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def iceberg_to_minilake(
     spark: SparkSession, iceberg_path: str, minilake_path: str
 ) -> int:
@@ -1742,18 +1890,11 @@ def iceberg_interop_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ICEBERG_V2_LAKE_VERSION = 1
 
 
-def iceberg_v2_deletes_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-tail entry for the v2 DELETE paths: write `documents`
-    partitioned by lang (v1), merge-on-read DELETE two OVERLAPPING
-    doc_id ranges — the first upgrades the table to format-version 2
-    (position-delete parquet + sequence numbers); the second lands
-    only newly-matched positions against a table ALREADY carrying
-    deletes — then copy-on-write DELETE a third range while live
-    position-delete files mask the EXISTING files (carried delete
-    manifests), and read the final snapshot back through the full v2
-    metadata tree.  A value match against the raw-parquet oracle
-    proves sequence bookkeeping, delete-manifest carry-forward, and
-    position-delete application are all exact."""
+def _ensure_v2_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once v2 fixture table shared by the v2-deletes and
+    changelog entries: documents partitioned by lang, two OVERLAPPING
+    merge-on-read deletes (doc_id 100-199 then 150-249), then a
+    copy-on-write delete (300-349) over live position-delete files."""
     from ..functions.scale import default_index_dir
     from . import load_table
 
@@ -1773,7 +1914,22 @@ def iceberg_v2_deletes_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, path, "doc_id", 150, 249, strategy="merge-on-read"
         )
         delete_where_iceberg(spark, path, "doc_id", 300, 349)
-    snap = read_iceberg(spark, path)
+    return path
+
+
+def iceberg_v2_deletes_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for the v2 DELETE paths: write `documents`
+    partitioned by lang (v1), merge-on-read DELETE two OVERLAPPING
+    doc_id ranges — the first upgrades the table to format-version 2
+    (position-delete parquet + sequence numbers); the second lands
+    only newly-matched positions against a table ALREADY carrying
+    deletes — then copy-on-write DELETE a third range while live
+    position-delete files mask the EXISTING files (carried delete
+    manifests), and read the final snapshot back through the full v2
+    metadata tree.  A value match against the raw-parquet oracle
+    proves sequence bookkeeping, delete-manifest carry-forward, and
+    position-delete application are all exact."""
+    snap = read_iceberg(spark, _ensure_v2_lake(spark, sf_dir))
     return (
         snap.groupBy("lang")
         .agg(
@@ -1784,6 +1940,47 @@ def iceberg_v2_deletes_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def iceberg_changes_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for the CHANGELOG: derive the row-level
+    change feed of the shared v2 fixture table across all four
+    snapshots and aggregate per (lang, change type).  The oracle
+    restates the expected feed off the raw parquet — inserts are the
+    initial load, deletes are exactly the union of the deleted ranges
+    (the overlapping merge-on-read deletes must not double-report
+    150-199, and the copy-on-write rewrite must report NO carryover
+    inserts) — so a value match proves newly-matched-only position
+    deletes, pre-image masking, and carryover removal."""
+    ch = read_changes_iceberg(spark, _ensure_v2_lake(spark, sf_dir))
+    return (
+        ch.groupBy("lang", "_change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("lang", "_change_type")
+    )
+
+
+ICEBERG_CHANGES_ORACLE_SQL = """
+SELECT lang, _change_type, n_rows, sum_ids FROM (
+    SELECT lang,
+           'insert' AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT lang,
+           'delete' AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    WHERE doc_id BETWEEN 100 AND 249 OR doc_id BETWEEN 300 AND 349
+    GROUP BY lang
+)
+ORDER BY lang, _change_type
+"""
 
 
 ICEBERG_V2_ORACLE_SQL = """

@@ -731,6 +731,48 @@ def test_equality_deletes_read_with_sequence_rule(spark, tmp_path):
     )
 
 
+def test_changelog_mor_and_carryover(spark, tmp_path):
+    """read_changes_iceberg: appends emit inserts, merge-on-read
+    deletes emit exactly their newly-hidden positions, and a
+    copy-on-write rewrite reports ONLY the net deletes — carryover
+    rows a rewrite merely copied between files appear in neither leg
+    (the reference changelog procedure's rule)."""
+    path = str(tmp_path / "ice")
+    ib.write_iceberg(_df(spark, 0, 30), path, partition_by=["lang"])
+    ib.write_iceberg(_df(spark, 30, 40), path)
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 5, 14, strategy="merge-on-read"
+    )
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 10, 19, strategy="merge-on-read"
+    )
+    ib.delete_where_iceberg(spark, path, "doc_id", 25, 29)  # cow rewrite
+    ch = ib.read_changes_iceberg(spark, path)
+    legs = {}
+    for r in ch.collect():
+        legs.setdefault((r["_snapshot_ordinal"], r["_change_type"]), []).append(
+            r["doc_id"]
+        )
+    assert sorted(legs[(1, "insert")]) == list(range(30))
+    assert sorted(legs[(2, "insert")]) == list(range(30, 40))
+    assert sorted(legs[(3, "delete")]) == list(range(5, 15))
+    assert sorted(legs[(4, "delete")]) == list(range(15, 20))  # newly hidden
+    assert sorted(legs[(5, "delete")]) == list(range(25, 30))
+    assert (5, "insert") not in legs  # carryover rows removed
+    assert set(legs) == {
+        (1, "insert"),
+        (2, "insert"),
+        (3, "delete"),
+        (4, "delete"),
+        (5, "delete"),
+    }
+    # incremental window: only changes after the given snapshot
+    second = ib.iceberg_snapshots(path)[1]["snapshot_id"]
+    tail = ib.read_changes_iceberg(spark, path, since_snapshot_id=second)
+    assert tail.filter("_change_type = 'insert'").count() == 0
+    assert tail.count() == 20
+
+
 def test_refuses_delete_files(spark, tmp_path):
     """v2 snapshots carrying delete manifests / delete data files must
     raise, never silently mis-read (the deltaproto DV rule)."""
