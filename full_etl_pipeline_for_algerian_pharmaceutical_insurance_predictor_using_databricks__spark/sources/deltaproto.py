@@ -52,7 +52,13 @@ _MAX_READER_VERSION = 2  # v2 adds nothing a plain reader must act on
 #: the table iff it implements EVERY listed readerFeature — any
 #: feature outside this set (including ones newer than this module)
 #: must raise, never silently mis-read.
-_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    # timestampNtz only marks the TYPE's presence — schemaString's
+    # `timestamp_ntz` maps 1:1 onto Spark's TimestampNTZType
+    "timestampNtz",
+}
 #: Protocol announced once a table carries deletion vectors (the spec
 #: requires the feature flags from the first DV commit on).
 _DV_PROTOCOL = {
@@ -193,20 +199,86 @@ def _fold_delta_state(spark: SparkSession, path: str, version: int | None):
 
 
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
-    """Snapshot (optionally time-travel) read of a real Delta table.
-    Partition columns are reconstructed from each add-action's
-    `partitionValues` (the authoritative source — they are absent from
-    the data files), cast to the schema's types, and the groups
-    unioned; unpartitioned tables are a single multi-file scan."""
+    """Snapshot (optionally time-travel by `version` or `TIMESTAMP AS
+    OF` via `timestamp_ms`) read of a real Delta table.  Partition
+    columns are reconstructed from each add-action's `partitionValues`
+    (the authoritative source — they are absent from the data files),
+    cast to the schema's types, and the groups unioned; unpartitioned
+    tables are a single multi-file scan."""
     from pyspark.sql.types import StructType
 
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = delta_version_at_timestamp(path, timestamp_ms)
     meta, live, version = _fold_delta_state(spark, path, version)
     if not live:
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         return spark.createDataFrame([], schema)
     return _read_adds(spark, path, meta, live)
+
+
+def delta_version_at_timestamp(path: str, timestamp_ms: int) -> int:
+    """`TIMESTAMP AS OF`: the last version whose commitInfo timestamp
+    (fallback: log-file mtime, the rule real readers apply to logs
+    without commitInfo) is at or before the given millisecond."""
+    best = None
+    for v in delta_versions(path):
+        acts = _read_actions(path, v)
+        info = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
+        ts = info.get("timestamp")
+        if ts is None:
+            ts = int(
+                os.path.getmtime(
+                    os.path.join(_log_dir(path), _LOG_FMT.format(v))
+                )
+                * 1000
+            )
+        if ts <= timestamp_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no Delta commit at or before timestamp_ms={timestamp_ms}"
+        )
+    return best
+
+
+def delta_txn_versions(spark: SparkSession, path: str) -> dict[str, int]:
+    """Latest committed `txn` version per appId — the spec's
+    application-transaction state idempotent (streaming) writers
+    consult to drop replayed batches.  Folded from the newest parquet
+    checkpoint's txn rows plus the JSON tail, like any other action."""
+    txns: dict[str, int] = {}
+    start_after = -1
+    ckpt = _last_checkpoint(path)
+    if ckpt is not None:
+        ck_v = int(ckpt["version"])
+        ck_file = os.path.join(_log_dir(path), _CKPT_FMT.format(ck_v))
+        if os.path.exists(ck_file):
+            df = spark.read.parquet(ck_file)
+            if "txn" in df.columns:
+                for row in df.select("txn").collect():
+                    t = row["txn"]
+                    if t and t["appId"] is not None:
+                        txns[t["appId"]] = max(
+                            txns.get(t["appId"], -1), int(t["version"])
+                        )
+            start_after = ck_v
+    for v in delta_versions(path):
+        if v <= start_after:
+            continue
+        for a in _read_actions(path, v):
+            if "txn" in a:
+                t = a["txn"]
+                txns[t["appId"]] = max(
+                    txns.get(t["appId"], -1), int(t["version"])
+                )
+    return txns
 
 
 def delta_history(path: str) -> list[dict]:
@@ -339,6 +411,7 @@ def write_delta(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write a REAL protocol-v1 Delta commit: land hive-layout parquet,
     then one `_delta_log/<v>.json` with commitInfo + (first commit)
@@ -346,10 +419,19 @@ def write_delta(
     The resulting table is readable by any Delta engine.  Appends to an
     existing table inherit its partitioning and must not contradict
     it; `mode="overwrite"` logically removes the prior live set (time
-    travel keeps it readable)."""
+    travel keeps it readable).  `txn=(appId, version)` makes the write
+    IDEMPOTENT via the spec's application-transaction action: a replay
+    whose version is not newer than the appId's committed txn state is
+    dropped (returns the current version, writes nothing) — the
+    exactly-once contract streaming sinks key their micro-batches on."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     vs = delta_versions(path)
+    if txn is not None and vs:
+        app_id, txv = txn
+        committed = delta_txn_versions(df.sparkSession, path).get(app_id, -1)
+        if committed >= int(txv):
+            return vs[-1]  # replayed batch: exactly-once no-op
     first = not vs
     spark = df.sparkSession
     existing_meta = None
@@ -422,6 +504,18 @@ def write_delta(
         if stats is not None:
             add["stats"] = stats  # spec: a JSON string inside the action
         lines.append(json.dumps({"add": add}))
+    if txn is not None:
+        lines.append(
+            json.dumps(
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": int(txn[1]),
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
+        )
     return _claim_delta_version(path, lines)
 
 
@@ -1114,6 +1208,82 @@ def _column_mapping(meta: dict) -> dict[str, str]:
     return out
 
 
+def _dv_file_name(path: str, desc: dict) -> str | None:
+    """Table-relative on-disk file a DV descriptor references (None
+    for inline payloads / external absolute paths)."""
+    if desc.get("storageType") != "u":
+        return None
+    enc = desc["pathOrInlineDv"]
+    from . import roaring
+
+    prefix, uuid_enc = enc[:-20], enc[-20:]
+    dv_uuid = uuid.UUID(bytes=roaring.z85_decode(uuid_enc))
+    parts = ([prefix] if prefix else []) + [f"deletion_vector_{dv_uuid}.bin"]
+    return "/".join(parts)
+
+
+def vacuum_delta(
+    spark: SparkSession,
+    path: str,
+    retain_versions: int = 0,
+    min_age_s: float = 600.0,
+) -> int:
+    """Delete data files, DV sidecars, and `_change_data` files
+    unreferenced by the retained history: everything reachable from
+    the last `retain_versions`+1 snapshots stays (0 = current only).
+    Unreferenced files younger than `min_age_s` are SPARED — they may
+    belong to an in-flight writer that landed data but has not yet
+    claimed its commit (real VACUUM's modification-time retention
+    window, default 7 days).  Returns the number of files deleted —
+    the step that trades time travel for space."""
+    import time as _time
+
+    vs = delta_versions(path)
+    if not vs:
+        return 0
+    retained = vs[-(retain_versions + 1) :]
+    referenced: set[str] = set()
+    for v in retained:
+        _meta, live, _v = _fold_delta_state(spark, path, v)
+        for f, add in live.items():
+            referenced.add(f)
+            dv = add.get("deletionVector")
+            if dv:
+                name = _dv_file_name(path, dv)
+                if name:
+                    referenced.add(name)
+        for a in _read_actions(path, v):
+            if "cdc" in a:
+                referenced.add(a["cdc"]["path"])
+    # CDF replay over the retained window also needs cdc files of the
+    # retained commits themselves (covered above); everything else is
+    # reclaimable once old enough
+    now = _time.time()
+    deleted = 0
+    for dirpath, dirs, files in os.walk(path):
+        rel_dir = os.path.relpath(dirpath, path)
+        if rel_dir.startswith("_delta_log"):
+            dirs[:] = []
+            continue
+        for fname in files:
+            if not (
+                fname.endswith(".parquet")
+                or fname.startswith("deletion_vector_")
+            ):
+                continue
+            rel = (
+                fname if rel_dir == "." else f"{rel_dir}/{fname}"
+            ).replace(os.sep, "/")
+            if rel in referenced:
+                continue
+            full = os.path.join(dirpath, fname)
+            if now - os.path.getmtime(full) < min_age_s:
+                continue
+            os.unlink(full)
+            deleted += 1
+    return deleted
+
+
 def _read_adds(
     spark: SparkSession, path: str, meta: dict, adds: dict
 ) -> DataFrame:
@@ -1203,6 +1373,7 @@ def write_delta_checkpoint(
         "struct<minReaderVersion:int,minWriterVersion:int,"
         "readerFeatures:array<string>,writerFeatures:array<string>>"
     )
+    txn_type = "struct<appId:string,version:bigint>"
     rows = [
         {
             "add": {
@@ -1230,6 +1401,7 @@ def write_delta_checkpoint(
             },
             "metaData": None,
             "protocol": None,
+            "txn": None,
         }
         for a in live.values()
     ]
@@ -1244,19 +1416,44 @@ def write_delta_checkpoint(
                 "createdTime": int(meta.get("createdTime") or 0),
             },
             "protocol": None,
+            "txn": None,
         }
     )
     # the checkpoint must restate the table's ACTUAL protocol (feature
     # flags included) — writing the default here would un-announce
     # deletionVectors and break readers' feature gating
     rows.append(
-        {"add": None, "metaData": None, "protocol": _current_protocol(path)}
+        {
+            "add": None,
+            "metaData": None,
+            "protocol": _current_protocol(path),
+            "txn": None,
+        }
     )
-    schema = f"add {add_type}, metaData {meta_type}, protocol {proto_type}"
+    # and the application-transaction state (latest txn per appId), or
+    # an idempotent streaming writer would re-apply batches after the
+    # JSON tail is checkpointed away — the spec's checkpoint rule
+    for app_id, txv in sorted(delta_txn_versions(spark, path).items()):
+        rows.append(
+            {
+                "add": None,
+                "metaData": None,
+                "protocol": None,
+                "txn": {"appId": app_id, "version": int(txv)},
+            }
+        )
+    schema = (
+        f"add {add_type}, metaData {meta_type}, protocol {proto_type}, "
+        f"txn {txn_type}"
+    )
     ck = os.path.join(_log_dir(path), _CKPT_FMT.format(version))
     tmpdir = os.path.join(_log_dir(path), f"_ckpt-{uuid.uuid4().hex}")
     spark.createDataFrame(
-        [(r["add"], r["metaData"], r["protocol"]) for r in rows], schema
+        [
+            (r["add"], r["metaData"], r["protocol"], r["txn"])
+            for r in rows
+        ],
+        schema,
     ).coalesce(1).write.mode("overwrite").parquet(tmpdir)
     part = next(
         f for f in sorted(os.listdir(tmpdir)) if f.endswith(".parquet")

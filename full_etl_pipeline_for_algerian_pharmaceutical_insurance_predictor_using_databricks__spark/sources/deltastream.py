@@ -44,8 +44,10 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -360,6 +362,186 @@ class DeltaProtoStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
 
+@dataclass
+class _DeltaWriteMessage(WriterCommitMessage):
+    file_name: str | None
+    n_rows: int
+
+
+class DeltaProtoStreamWriter(DataSourceStreamWriter):
+    """Streaming sink (`df.writeStream.format("deltaproto")`): the
+    engine's at-least-once micro-batch replay becomes exactly-once via
+    the Delta spec's `txn` action — each commit carries
+    (appId, version=batchId) and a replayed batch whose id is not
+    newer than the appId's committed txn state commits NOTHING (its
+    just-landed files stay unreferenced, `vacuum_delta` fodder).
+    Tasks land immutable uuid parquet files; `commit` claims one log
+    version per micro-batch with per-file stats, creating the table
+    (protocol + metaData) on the first commit.  Unpartitioned targets
+    only — the tuple-at-a-time Python path cannot land hive tuples."""
+
+    def __init__(self, options: dict, schema: StructType):
+        path = options.get("path")
+        if not path:
+            raise ValueError("deltaproto requires a path")
+        self.path = path
+        self.schema = schema
+        self.app_id = options.get(
+            "txnappid", options.get("txnAppId", "deltastream-sink")
+        )
+        if dp.delta_versions(path):
+            meta, _live, _v = _fold_py(path)
+            if meta.get("partitionColumns"):
+                raise ValueError(
+                    "format('deltaproto') streaming sink cannot write to "
+                    "a PARTITIONED table; use foreachBatch over "
+                    "deltaproto.write_delta (which lands hive tuples)"
+                )
+            if dp._column_mapping(meta):
+                raise ValueError(
+                    "writing to a column-mapped Delta table is unsupported"
+                )
+            existing = json.loads(meta["schemaString"])
+            ours = json.loads(self.schema.json())
+            if existing != ours:
+                raise ValueError(
+                    "stream schema differs from the table's schemaString"
+                )
+
+    def write(self, rows) -> _DeltaWriteMessage:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        tuples = [tuple(r) for r in rows]
+        if not tuples:
+            return _DeltaWriteMessage(file_name=None, n_rows=0)
+        arrow_schema = to_arrow_schema(self.schema)
+        cols = list(zip(*tuples))
+        table = pa.Table.from_arrays(
+            [
+                pa.array(col, type=arrow_schema.field(i).type)
+                for i, col in enumerate(cols)
+            ],
+            schema=arrow_schema,
+        )
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.parquet"
+        pq.write_table(table, os.path.join(self.path, name))
+        return _DeltaWriteMessage(file_name=name, n_rows=len(tuples))
+
+    def commit(self, messages, batchId: int) -> None:
+        import time as _time
+
+        files = sorted(m.file_name for m in messages if m and m.file_name)
+        committed = _txn_versions_py(self.path).get(self.app_id, -1)
+        if committed >= int(batchId):
+            for f in files:  # replay: exactly-once no-op
+                full = os.path.join(self.path, f)
+                if os.path.exists(full):
+                    os.unlink(full)
+            return
+        now_ms = int(_time.time() * 1000)
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": now_ms,
+                        "operation": "STREAMING UPDATE",
+                        "operationParameters": {
+                            "outputMode": "Append",
+                            "epochId": int(batchId),
+                        },
+                        "engineInfo": "sparkgraft-deltastream/1.0",
+                    }
+                }
+            )
+        ]
+        if not dp.delta_versions(self.path):
+            lines.append(json.dumps({"protocol": dict(dp._WRITE_PROTOCOL)}))
+            lines.append(
+                json.dumps(
+                    {
+                        "metaData": {
+                            "id": str(__import__("uuid").uuid4()),
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": self.schema.json(),
+                            "partitionColumns": [],
+                            "configuration": {},
+                            "createdTime": now_ms,
+                        }
+                    }
+                )
+            )
+        for f in files:
+            full = os.path.join(self.path, f)
+            add = {
+                "path": f,
+                "partitionValues": {},
+                "size": os.path.getsize(full),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            stats = dp._file_stats_json(full)
+            if stats is not None:
+                add["stats"] = stats
+            lines.append(json.dumps({"add": add}))
+        lines.append(
+            json.dumps(
+                {
+                    "txn": {
+                        "appId": self.app_id,
+                        "version": int(batchId),
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
+        )
+        dp._claim_delta_version(self.path, lines)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.file_name:
+                full = os.path.join(self.path, m.file_name)
+                if os.path.exists(full):
+                    os.unlink(full)
+
+
+def _txn_versions_py(path: str) -> dict[str, int]:
+    """Pure-Python twin of `deltaproto.delta_txn_versions` (checkpoint
+    via pyarrow + JSON tail) for the sink's driver-side replay check."""
+    import pyarrow.parquet as pq
+
+    txns: dict[str, int] = {}
+    start_after = -1
+    ckpt = dp._last_checkpoint(path)
+    if ckpt is not None:
+        ck_file = os.path.join(
+            dp._log_dir(path), dp._CKPT_FMT.format(int(ckpt["version"]))
+        )
+        if os.path.exists(ck_file):
+            t = pq.read_table(ck_file)
+            if "txn" in t.column_names:
+                for d in t.column("txn").to_pylist():
+                    if d and d.get("appId") is not None:
+                        txns[d["appId"]] = max(
+                            txns.get(d["appId"], -1), int(d["version"])
+                        )
+            start_after = int(ckpt["version"])
+    for v in dp.delta_versions(path):
+        if v <= start_after:
+            continue
+        for a in dp._read_actions(path, v):
+            if "txn" in a:
+                t = a["txn"]
+                txns[t["appId"]] = max(
+                    txns.get(t["appId"], -1), int(t["version"])
+                )
+    return txns
+
+
 class DeltaProtoDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -380,6 +562,11 @@ class DeltaProtoDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> DeltaProtoStreamReader:
         return DeltaProtoStreamReader(self.options, schema)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> DeltaProtoStreamWriter:
+        return DeltaProtoStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:

@@ -138,3 +138,174 @@ def test_stream_change_feed_option(spark, tmp_path):
     # batch CDF and stream CDF agree on the same window
     batch = dp.read_changes_delta(spark, path, 0)
     assert batch.filter("_change_type = 'delete'").count() == 15
+
+
+def test_stream_sink_exactly_once_txn(spark, tmp_path):
+    """format('deltaproto') streaming sink: each micro-batch commits
+    once with the spec's `txn` action (appId + batchId); a replayed
+    batch commits nothing; the resulting table is a plain Delta table
+    with stats-bearing adds readable by read_delta; txn state survives
+    a parquet checkpoint."""
+    deltastream.register(spark)
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    _df(spark, 0, 25).write.mode("overwrite").parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("doc_id bigint, lang string, v bigint")
+            .parquet(src)
+            .writeStream.format("deltaproto")
+            .option("path", path)
+            .option("txnAppId", "test-sink")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    assert _rows(dp.read_delta(spark, path)) == _rows(_df(spark, 0, 25))
+    acts = dp._read_actions(path, dp.delta_versions(path)[-1])
+    txns = [a["txn"] for a in acts if "txn" in a]
+    assert txns and txns[0]["appId"] == "test-sink"
+    assert any(a["add"].get("stats") for a in acts if "add" in a)
+    # replaying the SAME committed batch id is an exactly-once no-op
+    writer = deltastream.DeltaProtoStreamWriter(
+        {"path": path, "txnAppId": "test-sink"},
+        spark.read.format("deltaproto").load(path).schema,
+    )
+    v_before = dp.delta_versions(path)[-1]
+    writer.commit([], batchId=txns[0]["version"])
+    assert dp.delta_versions(path)[-1] == v_before
+    # txn state survives checkpointing the JSON tail away
+    dp.write_delta_checkpoint(spark, path)
+    assert dp.delta_txn_versions(spark, path)["test-sink"] == txns[0]["version"]
+
+
+def test_txn_idempotent_write_and_timestamp_travel(spark, tmp_path):
+    """write_delta(txn=) drops replayed application transactions, and
+    read_delta(timestamp_ms=) resolves TIMESTAMP AS OF from commitInfo
+    stamps."""
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "delta")
+    dp.write_delta(_df(spark, 0, 10), path, txn=("app", 0))
+    dp.write_delta(_df(spark, 10, 20), path, txn=("app", 1))
+    # replay of version 1: nothing committed
+    v = dp.write_delta(_df(spark, 10, 20), path, txn=("app", 1))
+    assert v == dp.delta_versions(path)[-1]
+    assert dp.read_delta(spark, path).count() == 20
+    assert dp.delta_txn_versions(spark, path) == {"app": 1}
+    # TIMESTAMP AS OF: stamp the two commits apart and query between
+    log = _os.path.join(path, "_delta_log")
+    for ver, ts in ((0, 1000), (1, 2000)):
+        f = _os.path.join(log, dp._LOG_FMT.format(ver))
+        lines = open(f).read().splitlines()
+        acts = [_json.loads(ln) for ln in lines if ln]
+        for a in acts:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(f, "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in acts) + "\n")
+    assert dp.read_delta(spark, path, timestamp_ms=1500).count() == 10
+    assert dp.read_delta(spark, path, timestamp_ms=2500).count() == 20
+    with pytest.raises(ValueError, match="no Delta commit"):
+        dp.read_delta(spark, path, timestamp_ms=500)
+
+
+def test_vacuum_delta_reclaims_unreferenced(spark, tmp_path):
+    """vacuum_delta removes data/DV/cdc files unreferenced by the
+    retained history (age-gated), keeps everything the retained
+    snapshots reference, and the table still reads exactly."""
+    import os as _os
+
+    path = str(tmp_path / "delta")
+    dp.write_delta(_df(spark, 0, 40).repartition(4), path)
+    dp.delete_where_delta(spark, path, "doc_id", 5, 9, strategy="dv")
+    dp.delete_where_delta(spark, path, "doc_id", 20, 29)  # rewrite
+    dp.compact_delta(spark, path)
+    before = dp.read_delta(spark, path)
+    rows_before = _rows(before)
+    # young files are spared
+    assert dp.vacuum_delta(spark, path, retain_versions=0, min_age_s=3600) == 0
+    # age everything, keep only the current snapshot
+    for dirpath, _dirs, files in _os.walk(path):
+        if "_delta_log" in dirpath:
+            continue
+        for f in files:
+            full = _os.path.join(dirpath, f)
+            _os.utime(full, (1, 1))
+    n = dp.vacuum_delta(spark, path, retain_versions=0, min_age_s=60)
+    assert n > 0
+    assert _rows(dp.read_delta(spark, path)) == rows_before
+    # time travel to vacuumed versions is gone (files missing) — but
+    # the latest snapshot is intact, which is the trade vacuum makes
+
+
+def test_timestamp_ntz_foreign_table_reads(spark, tmp_path):
+    """A v3 table listing timestampNtz reads: the type maps onto
+    Spark's TimestampNTZType; the feature gate passes."""
+    import datetime
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "ntz")
+    _os.makedirs(_os.path.join(path, "_delta_log"))
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2021, 3, 14, 1, 59, 26))],
+        "doc_id bigint, ts timestamp_ntz",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import glob
+    import shutil as _sh
+
+    src = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+    _sh.copy(src, _os.path.join(path, "f1.parquet"))
+    with open(
+        _os.path.join(path, "_delta_log", dp._LOG_FMT.format(0)), "w"
+    ) as f:
+        f.write(
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["timestampNtz"],
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            _json.dumps(
+                {
+                    "metaData": {
+                        "id": "n",
+                        "format": {"provider": "parquet"},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": [],
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            _json.dumps(
+                {
+                    "add": {
+                        "path": "f1.parquet",
+                        "partitionValues": {},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    got = dp.read_delta(spark, path)
+    assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+    assert got.collect()[0]["ts"] == datetime.datetime(2021, 3, 14, 1, 59, 26)
