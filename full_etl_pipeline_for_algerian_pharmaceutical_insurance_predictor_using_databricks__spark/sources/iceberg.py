@@ -781,9 +781,28 @@ def _read_entries(
             out = out.withColumn(_IB_FILE, F.lit(None).cast("string"))
             out = out.withColumn(_IB_POS, F.lit(None).cast("bigint"))
         return out
-    read_cols = [
-        f for f in schema.fields if f.name not in set(part_src.values())
-    ]
+    # name-mapping (renames): each field may resolve from any of its
+    # historical parquet column names — scan ALL candidates and
+    # coalesce (files carry names, not field ids; the spec's
+    # schema.name-mapping.default rule)
+    nm = _name_mapping(meta)
+    current_names = {f["name"] for f in fields}
+    candidates: dict[str, list[str]] = {}
+    for fd in fields:
+        names = [fd["name"]] + [
+            n
+            for n in nm.get(fd["id"], [])
+            if n != fd["name"] and n not in current_names
+        ]
+        candidates[fd["name"]] = names
+    from pyspark.sql.types import StructField
+
+    read_cols = []
+    for f in schema.fields:
+        if f.name in set(part_src.values()):
+            continue
+        for n in candidates[f.name]:
+            read_cols.append(StructField(n, f.dataType, True))
     read_schema = StructType(read_cols)
     deletes = list(delete_files or [])
     eqs = list(eq_deletes or [])
@@ -814,6 +833,12 @@ def _read_entries(
             ).withColumn(_IB_POS, F.col("_metadata.row_index"))
         if eqs:
             df = df.withColumn(_IB_SEQ, F.lit(int(key[-1])))
+        for f in schema.fields:
+            names = candidates.get(f.name) or []
+            if len(names) > 1:
+                df = df.withColumn(
+                    f.name, F.coalesce(*[F.col(n) for n in names])
+                )
         for pname, raw in zip(part_names, pkey):
             col = part_src[pname]
             df = df.withColumn(col, _part_literal(raw, part_type[pname]))
@@ -1671,6 +1696,124 @@ def delete_where_iceberg(
         return [new_mf] + delete_mfs
 
     return _commit_snapshot(path, "delete", build_manifests)
+
+
+def _name_mapping(meta: dict) -> dict[int, list[str]]:
+    """{field-id: [historical names]} from the spec's
+    `schema.name-mapping.default` table property — the mechanism that
+    resolves files written WITHOUT parquet field ids (ours, and most
+    Spark-written files) across renames."""
+    raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if not raw:
+        return {}
+    out: dict[int, list[str]] = {}
+    for e in json.loads(raw):
+        out[int(e["field-id"])] = list(e.get("names") or [])
+    return out
+
+
+def evolve_iceberg_schema(
+    path: str,
+    add: list[tuple[str, str]] | None = None,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> dict:
+    """Metadata-only schema evolution by FIELD-ID, the spec's rule:
+
+    - `add=[(name, ice_type), ...]` appends fields with fresh ids —
+      files written before the add read the column as null;
+    - `rename={old: new}` keeps the field-id and records the old name
+      in `schema.name-mapping.default`, so files written before the
+      rename (which carry NAMES, not field ids) still resolve;
+    - `drop=[name, ...]` removes the field from the current schema —
+      old files' bytes stay on disk, unprojected.  Dropping an
+      identity-partition source column refuses.
+
+    Appends a NEW schema (fresh schema-id) to `schemas` and bumps
+    `current-schema-id` / `last-column-id`; no snapshot is produced —
+    only a new metadata version (the shape real engines commit for
+    ALTER TABLE)."""
+
+    def build(base: dict | None) -> dict:
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        meta = json.loads(json.dumps(base))
+        fields = json.loads(json.dumps(_schema_of(meta)))
+        by_name = {f["name"]: f for f in fields}
+        spec_src_ids = {pf["source-id"] for pf in _spec_of(meta)}
+        mapping = _name_mapping(meta)
+        for old in drop or []:
+            if old not in by_name:
+                raise ValueError(f"no column {old!r} to drop")
+            if by_name[old]["id"] in spec_src_ids:
+                raise ValueError(
+                    f"cannot drop identity-partition source column {old!r}"
+                )
+            fields = [f for f in fields if f["name"] != old]
+            by_name.pop(old)
+        for old, new in (rename or {}).items():
+            if old not in by_name:
+                raise ValueError(f"no column {old!r} to rename")
+            if new in by_name:
+                raise ValueError(f"column {new!r} already exists")
+            f = by_name.pop(old)
+            names = mapping.setdefault(f["id"], [f["name"]])
+            if new not in names:
+                names.append(new)
+            f["name"] = new
+            by_name[new] = f
+        last_id = int(meta.get("last-column-id") or 0)
+        for name, ice_type in add or []:
+            if name in by_name:
+                raise ValueError(f"column {name!r} already exists")
+            if any(name in names for names in mapping.values()):
+                raise ValueError(
+                    f"column name {name!r} is a HISTORICAL name of another "
+                    "field (schema.name-mapping.default) — reusing it would "
+                    "make old files ambiguous; pick a fresh name"
+                )
+            if ice_type not in _ICE_TO_SPARK:
+                raise ValueError(f"unsupported Iceberg type {ice_type!r}")
+            last_id += 1
+            f = {
+                "id": last_id,
+                "name": name,
+                "required": False,
+                "type": ice_type,
+            }
+            fields.append(f)
+            by_name[name] = f
+        new_sid = (
+            max(
+                [sc.get("schema-id", 0) for sc in meta.get("schemas") or []]
+                + [meta.get("current-schema-id", 0)]
+            )
+            + 1
+        )
+        new_schema = {
+            "type": "struct",
+            "schema-id": new_sid,
+            "fields": fields,
+        }
+        meta["schemas"] = list(meta.get("schemas") or []) + [new_schema]
+        meta["current-schema-id"] = new_sid
+        meta["schema"] = new_schema  # v1 single-schema mirror
+        meta["last-column-id"] = max(
+            last_id, max((f["id"] for f in fields), default=0)
+        )
+        if mapping:
+            props = dict(meta.get("properties") or {})
+            props["schema.name-mapping.default"] = json.dumps(
+                [
+                    {"field-id": fid, "names": names}
+                    for fid, names in sorted(mapping.items())
+                ]
+            )
+            meta["properties"] = props
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        return meta
+
+    return _claim_metadata(path, build)
 
 
 def read_changes_iceberg(

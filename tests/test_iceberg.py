@@ -731,6 +731,64 @@ def test_equality_deletes_read_with_sequence_rule(spark, tmp_path):
     )
 
 
+def test_schema_evolution_by_field_id(spark, tmp_path):
+    """evolve_iceberg_schema: add (old files read null), rename (the
+    field-id keeps resolving files written under the OLD name via
+    schema.name-mapping.default), drop, and the refusals — dropping a
+    partition source and reusing a historical name."""
+    path = str(tmp_path / "ice")
+    ib.write_iceberg(_df(spark, 0, 10), path, partition_by=["lang"])
+    # ADD: old files read the new column as null
+    ib.evolve_iceberg_schema(path, add=[("score", "double")])
+    got = ib.read_iceberg(spark, path)
+    assert dict(got.dtypes)["score"] == "double"
+    assert got.filter(F.col("score").isNull()).count() == 10
+    # append WITH the new column
+    df2 = spark.range(10, 15).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (F.col("id") * 10).cast("bigint").alias("v"),
+        (F.col("id") * 0.5).cast("double").alias("score"),
+    )
+    ib.write_iceberg(df2, path)
+    got = ib.read_iceberg(spark, path)
+    assert got.filter(F.col("score").isNotNull()).count() == 5
+    # RENAME: files from BOTH generations resolve through the mapping
+    ib.evolve_iceberg_schema(path, rename={"v": "value"})
+    meta = ib.current_metadata(path)
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert any(sorted(e["names"]) == ["v", "value"] for e in nm)
+    got = ib.read_iceberg(spark, path)
+    assert "v" not in got.columns
+    assert sorted(r["value"] for r in got.collect()) == sorted(
+        i * 10 for i in range(15)
+    )
+    # a file written AFTER the rename (lands column 'value') reads too
+    df3 = df2.withColumnRenamed("v", "value").filter("doc_id = 10")
+    ib.write_iceberg(
+        df3.select("doc_id", "lang", "value", "score"), path
+    )
+    got = ib.read_iceberg(spark, path)
+    assert got.filter("doc_id = 10").count() == 2  # old + new landing
+    # metadata-tier pruning still works on the renamed column
+    _g, nread, nskip, _ms = ib.read_iceberg_pruned(spark, path, "value", 0, 1)
+    assert nread >= 1
+    # DROP, plus the refusals
+    ib.evolve_iceberg_schema(path, drop=["score"])
+    assert "score" not in ib.read_iceberg(spark, path).columns
+    with pytest.raises(ValueError, match="partition source"):
+        ib.evolve_iceberg_schema(path, drop=["lang"])
+    with pytest.raises(ValueError, match="HISTORICAL"):
+        ib.evolve_iceberg_schema(path, add=[("v", "long")])
+    # a COW delete on the evolved table materializes the current
+    # schema and the table still reads
+    ib.delete_where_iceberg(spark, path, "doc_id", 0, 4)
+    got = ib.read_iceberg(spark, path)
+    assert sorted(set(r["doc_id"] for r in got.collect())) == list(
+        range(5, 15)
+    )
+
+
 def test_changelog_mor_and_carryover(spark, tmp_path):
     """read_changes_iceberg: appends emit inserts, merge-on-read
     deletes emit exactly their newly-hidden positions, and a
