@@ -191,6 +191,7 @@ _TAIL_ORDER = [
     "mm_image_jpeg_pipeline",
     "lake_iceberg_v2_deletes",
     "lake_iceberg_changes",
+    "lake_delta_merge",
     "med_q02_lake_table",
     "mm_video_mjpeg_pipeline",
     "mm_audio_adpcm_pipeline",
@@ -299,6 +300,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     pool["lake_delta_interop"] = _deltaproto.delta_interop_entry
+    pool["lake_delta_merge"] = _deltaproto.delta_merge_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         iceberg as _iceberg,
     )
@@ -369,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     pool["lake_delta_interop"] = _deltaproto.DELTA_INTEROP_ORACLE_SQL
+    pool["lake_delta_merge"] = _deltaproto.DELTA_MERGE_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         iceberg as _iceberg,
     )

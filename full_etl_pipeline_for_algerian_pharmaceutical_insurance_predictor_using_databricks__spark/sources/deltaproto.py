@@ -1000,6 +1000,116 @@ def read_changes_delta(
     return out
 
 
+def merge_upsert_delta(
+    spark: SparkSession, updates: DataFrame, path: str, key: str
+) -> int:
+    """MERGE (WHEN MATCHED UPDATE / NOT MATCHED INSERT) as a real
+    protocol commit: add-action stats prune the live files whose key
+    range can contain an updated key; ONLY those are rewritten (their
+    unmatched rows carried over, deletion vectors applied so hidden
+    rows never resurrect), untouched files keep their add actions.
+    The commit carries the spec's MERGE change feed — cdc actions with
+    `update_preimage` / `update_postimage` rows for matched keys and
+    `insert` rows for new keys — so CDF readers see row-level merge
+    semantics, not a file diff."""
+    meta, live, _v = _fold_delta_state(spark, path, None)
+    if _column_mapping(meta):
+        raise ValueError(
+            "MERGE on a column-mapped Delta table is unsupported "
+            "(this writer lands logical column names)"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    bounds = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    vs = delta_versions(path)
+    if lo is None:
+        return vs[-1]  # empty update set: no-op
+    touched = {
+        f: a
+        for f, a in live.items()
+        if not _add_outside_range(a, part_cols, key, lo, hi)
+    }
+    keys = updates.select(key).distinct()
+    if touched:
+        old_rows = _read_adds(spark, path, meta, touched).localCheckpoint(
+            eager=True
+        )
+        carried = old_rows.join(keys, key, "left_anti")
+        matched_old = old_rows.join(F.broadcast(keys), key, "left_semi")
+        # keys present in the pre-image (touched files provably hold
+        # every possible match — pruning is conservative); NOT
+        # broadcast: touched files can be arbitrarily large
+        old_keys = old_rows.select(key).distinct()
+        merged = carried.unionByName(updates)
+    else:
+        old_rows = None
+        matched_old = None
+        old_keys = None
+        merged = updates
+    files = _land_parquet(merged, path, part_cols or None)
+    # MERGE change feed: preimage/postimage for matched, insert for new
+    cdc_frames = []
+    if matched_old is not None:
+        cdc_frames.append(
+            matched_old.withColumn("_change_type", F.lit("update_preimage"))
+        )
+        cdc_frames.append(
+            updates.join(old_keys, key, "left_semi").withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+        )
+        inserts = updates.join(old_keys, key, "left_anti")
+    else:
+        inserts = updates
+    cdc_frames.append(inserts.withColumn("_change_type", F.lit("insert")))
+    cdc = cdc_frames[0]
+    for f in cdc_frames[1:]:
+        cdc = cdc.unionByName(f)
+    cdc_files = _land_cdc(cdc, path)
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "MERGE",
+                    "operationParameters": {"predicate": f"t.{key} = s.{key}"},
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    for fname in sorted(touched):
+        lines.append(
+            json.dumps({"remove": _remove_action(touched[fname], now_ms, True)})
+        )
+    for relname, pvals, size, stats in files:
+        add = {
+            "path": relname,
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if stats is not None:
+            add["stats"] = stats
+        lines.append(json.dumps({"add": add}))
+    for relname, size in cdc_files:
+        lines.append(
+            json.dumps(
+                {
+                    "cdc": {
+                        "path": relname,
+                        "partitionValues": {},
+                        "size": size,
+                        "dataChange": False,
+                    }
+                }
+            )
+        )
+    return _claim_delta_version(path, lines)
+
+
 def compact_delta(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     """OPTIMIZE as a real protocol commit: rewrite the live snapshot
     into ceil(bytes/target) files per partition and commit remove+add
@@ -1489,6 +1599,72 @@ def delta_to_minilake(
 # --------------------------------------------------------------------------
 
 _DELTA_LAKE_VERSION = 1
+
+
+_DELTA_MERGE_LAKE_VERSION = 1
+
+
+def delta_merge_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for MERGE: write `documents` as a Delta table
+    (range-partitioned files so stats can prune), merge an update set
+    (doc_id 100-149 with UPPER-cased text) plus an insert set (doc_id
+    +10M clones of 150-159), then aggregate the snapshot per lang.
+    The oracle restates the merged content off the raw parquet, so a
+    value match proves key matching, file pruning, carried-row
+    preservation, and the rewrite landed content-exact."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir("deltamerge", _DELTA_MERGE_LAKE_VERSION, sf_dir),
+        "docs_delta_merge",
+    )
+    if not delta_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        write_delta(docs.repartitionByRange(8, "doc_id"), path)
+        updates = (
+            docs.filter(F.col("doc_id").between(100, 149))
+            .withColumn("text", F.upper(F.col("text")))
+            .unionByName(
+                docs.filter(F.col("doc_id").between(150, 159)).withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(10_000_000)
+                )
+            )
+        )
+        merge_upsert_delta(spark, updates, path, "doc_id")
+    snap = read_delta(spark, path)
+    return (
+        snap.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum(F.length(F.lower("text"))).cast("bigint").alias("lower_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+DELTA_MERGE_ORACLE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(LENGTH(LOWER(text))) AS BIGINT) AS lower_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM (
+    SELECT doc_id, lang,
+           CASE WHEN doc_id BETWEEN 100 AND 149 THEN UPPER(text)
+                ELSE text END AS text
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, lang, text
+    FROM documents WHERE doc_id BETWEEN 150 AND 159
+)
+GROUP BY lang
+ORDER BY lang
+"""
 
 
 def delta_interop_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

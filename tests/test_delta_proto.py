@@ -744,3 +744,49 @@ def test_inline_dv_and_foreign_descriptor(spark, tmp_path):
         f.write(bytes(corrupt))
     with pytest.raises(ValueError, match="checksum"):
         dp._dv_positions(path, desc)
+
+
+def test_merge_upsert_stats_pruned_with_cdf(spark, tmp_path):
+    """merge_upsert_delta: stats-pruned rewrite (untouched files keep
+    their add actions byte-identical), matched keys update, new keys
+    insert, DV-hidden rows never resurrect, and the commit's cdc
+    actions carry the spec's MERGE feed (update_preimage /
+    update_postimage / insert)."""
+    path = str(tmp_path / "delta")
+    dp.write_delta(_df(spark, 0, 60).repartitionByRange(6, "doc_id"), path)
+    dp.delete_where_delta(spark, path, "doc_id", 50, 51, strategy="dv")
+    _meta, live_before, _v = dp._fold_delta_state(spark, path, None)
+    # update keys 45-54 + brand-new keys 100-104: the files holding
+    # only 0-44 are provably outside [45, 104] and must survive
+    updates = _df(spark, 45, 55, tag=7).unionByName(
+        _df(spark, 100, 105, tag=7)
+    )
+    dp.merge_upsert_delta(spark, updates, path, "doc_id")
+    got = dp.read_delta(spark, path)
+    rows = {r["doc_id"]: r["v"] for r in got.collect()}
+    # matched keys updated (tag 7); 50-51 were DV-hidden -> re-INSERTED
+    # as new rows (MERGE semantics: not matched -> insert)
+    assert all(rows[i] == i * 10 + 7 for i in range(45, 55))
+    assert all(rows[i] == i * 10 + 7 for i in range(100, 105))
+    assert all(rows[i] == i * 10 for i in list(range(45)) + list(range(55, 60)))
+    assert len(rows) == 65
+    # untouched files carried byte-identical through the merge commit
+    _meta2, live_after, _v2 = dp._fold_delta_state(spark, path, None)
+    untouched_kept = set(live_before) & set(live_after)
+    assert untouched_kept  # pruning really spared files
+    # the MERGE cdc feed: preimage/postimage for the 8 visible matched
+    # keys, insert for the 5 new + 2 previously-hidden keys
+    ch = dp.read_changes_delta(
+        spark, path, dp.delta_versions(path)[-1]
+    )
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_type == {
+        "update_preimage": 8,
+        "update_postimage": 8,
+        "insert": 7,
+    }
