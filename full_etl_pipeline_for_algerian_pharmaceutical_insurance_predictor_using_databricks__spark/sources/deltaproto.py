@@ -112,6 +112,109 @@ def _check_protocol(proto: dict) -> None:
             )
 
 
+#: Writer features this module implements — the spec's rule for v7
+#: writers mirrors the reader allowlist: refuse to WRITE to a table
+#: listing any feature we would not honor (e.g. invariants we don't
+#: enforce would silently corrupt the table's contract).
+_SUPPORTED_WRITER_FEATURES = {
+    "deletionVectors",
+    "checkConstraints",
+    "changeDataFeed",
+    "appendOnly",
+    "columnMapping",  # write paths refuse separately via _column_mapping
+    "timestampNtz",
+}
+
+
+def _check_writer(proto: dict, meta: dict, operation: str) -> None:
+    """Gate a WRITE against the table's writer protocol + properties:
+    unknown writer features refuse; `delta.appendOnly` tables refuse
+    any operation that removes data."""
+    if proto.get("minWriterVersion", 1) >= 7:
+        feats = set(proto.get("writerFeatures") or [])
+        unsupported = feats - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise ValueError(
+                "Delta table requires unsupported writer capabilities: "
+                f"features={sorted(unsupported)}"
+            )
+    conf = meta.get("configuration") or {}
+    if (
+        str(conf.get("delta.appendOnly", "false")).lower() == "true"
+        and operation not in ("append", "optimize")
+    ):
+        raise ValueError(
+            f"delta.appendOnly table: {operation!r} would remove data"
+        )
+
+
+def _table_constraints(meta: dict) -> dict[str, str]:
+    """{name: SQL expression} from the metaData configuration's
+    `delta.constraints.<name>` keys (the spec's CHECK constraints)."""
+    out = {}
+    for k, v in (meta.get("configuration") or {}).items():
+        if k.startswith("delta.constraints."):
+            out[k[len("delta.constraints.") :]] = v
+    return out
+
+
+def _enforce_constraints(df: DataFrame, meta: dict) -> None:
+    """Refuse the write if any row VIOLATES a CHECK constraint (SQL
+    semantics: only FALSE violates — TRUE and NULL pass)."""
+    for name, expr in sorted(_table_constraints(meta).items()):
+        n_bad = df.filter(f"NOT COALESCE(({expr}), true)").count()
+        if n_bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by "
+                f"{n_bad} row(s)"
+            )
+
+
+def add_delta_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT: validate every EXISTING row against
+    the CHECK expression, then commit a metaData update carrying
+    `delta.constraints.<name>` and a protocol raise to writer
+    version 3 (the spec's checkConstraints tier) — later appends and
+    merges enforce it at write time."""
+    meta, live, _v = _fold_delta_state(spark, path, None)
+    if name in _table_constraints(meta):
+        raise ValueError(f"constraint {name!r} already exists")
+    snap = _read_adds(spark, path, meta, live) if live else None
+    if snap is not None:
+        n_bad = snap.filter(f"NOT COALESCE(({expr}), true)").count()
+        if n_bad:
+            raise ValueError(
+                f"cannot add CHECK constraint {name!r}: {n_bad} existing "
+                "row(s) violate it"
+            )
+    new_meta = json.loads(json.dumps(meta))
+    conf = dict(new_meta.get("configuration") or {})
+    conf[f"delta.constraints.{name}"] = expr
+    new_meta["configuration"] = conf
+    proto = _current_protocol(path)
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "ADD CONSTRAINT",
+                    "operationParameters": {"name": name, "expr": expr},
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    if proto.get("minWriterVersion", 1) < 3:
+        proto = dict(proto)
+        proto["minWriterVersion"] = 3
+        lines.append(json.dumps({"protocol": proto}))
+    lines.append(json.dumps({"metaData": new_meta}))
+    return _claim_delta_version(path, lines)
+
+
 def _remove_action(old_add: dict, now_ms: int, data_change: bool) -> dict:
     """Spec-shaped remove action carrying the removed file's extended
     metadata (partitionValues / size / deletionVector from its add
@@ -437,6 +540,8 @@ def write_delta(
     existing_meta = None
     if not first:
         existing_meta, live, _v = _fold_delta_state(spark, path, None)
+        _check_writer(_current_protocol(path), existing_meta, mode)
+        _enforce_constraints(df, existing_meta)
         if _column_mapping(existing_meta):
             raise ValueError(
                 "writing to a column-mapped Delta table is unsupported "
@@ -611,6 +716,7 @@ def delete_where_delta(
     if strategy not in ("rewrite", "dv"):
         raise ValueError(f"unknown delete strategy {strategy!r}")
     meta, live, _v = _fold_delta_state(spark, path, None)
+    _check_writer(_current_protocol(path), meta, "delete")
     if _column_mapping(meta):
         raise ValueError(
             "DELETE on a column-mapped Delta table is unsupported "
@@ -1013,6 +1119,8 @@ def merge_upsert_delta(
     `insert` rows for new keys — so CDF readers see row-level merge
     semantics, not a file diff."""
     meta, live, _v = _fold_delta_state(spark, path, None)
+    _check_writer(_current_protocol(path), meta, "merge")
+    _enforce_constraints(updates, meta)
     if _column_mapping(meta):
         raise ValueError(
             "MERGE on a column-mapped Delta table is unsupported "
@@ -1122,6 +1230,7 @@ def compact_delta(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     meta, live, _v = _fold_delta_state(spark, path, None)
     if not live:
         return delta_versions(path)[-1]
+    _check_writer(_current_protocol(path), meta, "optimize")
     if _column_mapping(meta):
         raise ValueError(
             "OPTIMIZE on a column-mapped Delta table is unsupported "

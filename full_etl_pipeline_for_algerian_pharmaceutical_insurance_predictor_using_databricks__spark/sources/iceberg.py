@@ -1964,6 +1964,96 @@ def read_changes_iceberg(
     return out
 
 
+def expire_iceberg_snapshots(path: str, keep_last: int = 1) -> int:
+    """Drop all but the newest `keep_last` snapshots from the table
+    metadata (snapshot-log pruned to match; the current snapshot
+    always survives) — the metadata half of Iceberg table maintenance.
+    Files only the expired snapshots referenced become orphans for
+    `remove_orphan_iceberg_files`.  Returns snapshots removed."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    removed = {"n": 0}
+
+    def build(base: dict | None) -> dict:
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        meta = json.loads(json.dumps(base))
+        snaps = sorted(
+            meta.get("snapshots") or [],
+            key=lambda s: s.get("timestamp-ms", 0),
+        )
+        keep = snaps[-keep_last:]
+        cur = meta.get("current-snapshot-id")
+        if cur not in (None, -1) and cur not in {
+            s["snapshot-id"] for s in keep
+        }:
+            keep.append(_snapshot(meta, cur))
+        keep_ids = {s["snapshot-id"] for s in keep}
+        removed["n"] = len(snaps) - len(keep_ids)
+        meta["snapshots"] = [
+            s for s in snaps if s["snapshot-id"] in keep_ids
+        ]
+        # parent pointers to expired snapshots are dangling — drop them
+        for s in meta["snapshots"]:
+            if s.get("parent-snapshot-id") not in keep_ids:
+                s.pop("parent-snapshot-id", None)
+        meta["snapshot-log"] = [
+            e
+            for e in meta.get("snapshot-log") or []
+            if e.get("snapshot-id") in keep_ids
+        ]
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        return meta
+
+    _claim_metadata(path, build)
+    return removed["n"]
+
+
+def remove_orphan_iceberg_files(path: str, min_age_s: float = 600.0) -> int:
+    """Delete data parquet and manifest/manifest-list Avro files no
+    RETAINED snapshot references (every entry status counts — a
+    DELETED entry still names a real file an older retained snapshot
+    may read).  Files younger than `min_age_s` are SPARED — an
+    in-flight writer lands files before claiming its metadata (the
+    same retention rule as VACUUM).  Metadata JSONs and version-hint
+    are never touched.  Returns files deleted."""
+    import time as _time
+
+    meta = current_metadata(path)
+    referenced: set[str] = set()
+    for snap in meta.get("snapshots") or []:
+        ml = _abs_path(path, snap["manifest-list"])
+        referenced.add(os.path.realpath(ml))
+        for mf in _read_manifest_list(path, snap):
+            mp = _abs_path(path, mf["manifest_path"])
+            referenced.add(os.path.realpath(mp))
+            records, _m, _sch = avrotiny.read_container(mp)
+            for r in records:
+                referenced.add(
+                    os.path.realpath(
+                        _abs_path(path, r["data_file"]["file_path"])
+                    )
+                )
+    now = _time.time()
+    deleted = 0
+    for sub, suffixes in (("data", (".parquet",)), ("metadata", (".avro",))):
+        root = os.path.join(path, sub)
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, files in os.walk(root):
+            for fname in files:
+                if not fname.endswith(suffixes):
+                    continue
+                full = os.path.realpath(os.path.join(dirpath, fname))
+                if full in referenced:
+                    continue
+                if now - os.path.getmtime(full) < min_age_s:
+                    continue
+                os.unlink(full)
+                deleted += 1
+    return deleted
+
+
 def iceberg_to_minilake(
     spark: SparkSession, iceberg_path: str, minilake_path: str
 ) -> int:

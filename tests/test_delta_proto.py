@@ -790,3 +790,62 @@ def test_merge_upsert_stats_pruned_with_cdf(spark, tmp_path):
         "update_postimage": 8,
         "insert": 7,
     }
+
+
+def test_check_constraints_and_writer_gating(spark, tmp_path):
+    """add_delta_constraint validates existing rows, raises writer
+    version, and later appends/merges enforce CHECK semantics (only
+    FALSE violates — NULL passes); appendOnly tables refuse deletes;
+    unknown v7 writer features refuse writes."""
+    path = str(tmp_path / "delta")
+    dp.write_delta(_df(spark, 0, 20), path)
+    dp.add_delta_constraint(spark, path, "v_nonneg", "v >= 0")
+    acts = dp._read_actions(path, dp.delta_versions(path)[-1])
+    conf = next(a["metaData"] for a in acts if "metaData" in a)[
+        "configuration"
+    ]
+    assert conf["delta.constraints.v_nonneg"] == "v >= 0"
+    assert dp._current_protocol(path)["minWriterVersion"] >= 3
+    # violating append refuses; clean append lands; NULL passes
+    bad = spark.createDataFrame(
+        [(999, "0", -5)], "doc_id bigint, lang string, v bigint"
+    )
+    with pytest.raises(ValueError, match="v_nonneg"):
+        dp.write_delta(bad, path)
+    nullv = spark.createDataFrame(
+        [(998, "0", None)], "doc_id bigint, lang string, v bigint"
+    )
+    dp.write_delta(nullv, path)
+    assert dp.read_delta(spark, path).count() == 21
+    with pytest.raises(ValueError, match="v_nonneg"):
+        dp.merge_upsert_delta(spark, bad, path, "doc_id")
+    # a constraint existing rows violate cannot be added
+    with pytest.raises(ValueError, match="existing"):
+        dp.add_delta_constraint(spark, path, "small", "doc_id < 10")
+    # appendOnly: deletes refuse, appends still land
+    import json as _json
+
+    meta, _live, _v = dp._fold_delta_state(spark, path, None)
+    new_meta = _json.loads(_json.dumps(meta))
+    new_meta["configuration"]["delta.appendOnly"] = "true"
+    dp._claim_delta_version(path, [_json.dumps({"metaData": new_meta})])
+    with pytest.raises(ValueError, match="appendOnly"):
+        dp.delete_where_delta(spark, path, "doc_id", 0, 5)
+    dp.write_delta(_df(spark, 50, 52), path)
+    # unknown v7 writer feature: writes refuse
+    dp._claim_delta_version(
+        path,
+        [
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["somethingNew"],
+                    }
+                }
+            )
+        ],
+    )
+    with pytest.raises(ValueError, match="writer capabilities"):
+        dp.write_delta(_df(spark, 60, 61), path)

@@ -731,6 +731,33 @@ def test_equality_deletes_read_with_sequence_rule(spark, tmp_path):
     )
 
 
+def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
+    """Maintenance pair: expire_iceberg_snapshots prunes the metadata
+    history (current survives), then remove_orphan_iceberg_files
+    reclaims data + Avro files only the expired snapshots referenced
+    (age-gated; young files spared); the current snapshot still reads
+    exactly."""
+    import os as _os
+
+    path = str(tmp_path / "ice")
+    ib.write_iceberg(_df(spark, 0, 20), path)
+    ib.write_iceberg(_df(spark, 100, 110, tag=1), path, mode="overwrite")
+    ib.write_iceberg(_df(spark, 110, 115, tag=1), path)
+    rows_before = _rows(ib.read_iceberg(spark, path))
+    assert len(ib.iceberg_snapshots(path)) == 3
+    assert ib.expire_iceberg_snapshots(path, keep_last=1) == 2
+    assert len(ib.iceberg_snapshots(path)) == 1
+    # young orphans spared, aged orphans reclaimed
+    assert ib.remove_orphan_iceberg_files(path, min_age_s=3600) == 0
+    for sub in ("data", "metadata"):
+        for dirpath, _d, files in _os.walk(_os.path.join(path, sub)):
+            for f in files:
+                _os.utime(_os.path.join(dirpath, f), (1, 1))
+    n = ib.remove_orphan_iceberg_files(path, min_age_s=60)
+    assert n > 0  # the overwritten first snapshot's files are gone
+    assert _rows(ib.read_iceberg(spark, path)) == rows_before
+
+
 def test_schema_evolution_by_field_id(spark, tmp_path):
     """evolve_iceberg_schema: add (old files read null), rename (the
     field-id keeps resolving files written under the OLD name via
