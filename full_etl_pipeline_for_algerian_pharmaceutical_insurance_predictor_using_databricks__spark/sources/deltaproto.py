@@ -1106,6 +1106,59 @@ def read_changes_delta(
     return out
 
 
+def restore_delta(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF: a NEW commit whose live set
+    equals the target version's snapshot — removes for files live now
+    but not then, re-adds (original add actions, dataChange true) for
+    files live then but not now, and the target's metaData if it
+    differs.  History is preserved (the restore itself is
+    time-travelable); raises if a vacuum already reclaimed any file
+    the target snapshot needs."""
+    meta_t, live_t, _vt = _fold_delta_state(spark, path, version)
+    meta_c, live_c, _vc = _fold_delta_state(spark, path, None)
+    _check_writer(_current_protocol(path), meta_c, "restore")
+    missing = [
+        f
+        for f in live_t
+        if f not in live_c and not os.path.exists(os.path.join(path, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore to version {version}: {len(missing)} data "
+            "file(s) were vacuumed away"
+        )
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": version},
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    if meta_t != meta_c:
+        lines.append(json.dumps({"metaData": meta_t}))
+    for f in sorted(set(live_c) - set(live_t)):
+        lines.append(
+            json.dumps({"remove": _remove_action(live_c[f], now_ms, True)})
+        )
+    for f in sorted(live_t):
+        cur = live_c.get(f)
+        if cur != live_t[f]:
+            # absent now, or present with a DIFFERENT descriptor (e.g.
+            # a deletion vector attached after the target): re-add the
+            # target's action so the DV state restores too
+            add = dict(live_t[f])
+            add["dataChange"] = True
+            add["modificationTime"] = now_ms
+            lines.append(json.dumps({"add": add}))
+    return _claim_delta_version(path, lines)
+
+
 def merge_upsert_delta(
     spark: SparkSession, updates: DataFrame, path: str, key: str
 ) -> int:

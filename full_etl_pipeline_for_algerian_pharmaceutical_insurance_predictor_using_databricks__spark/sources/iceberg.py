@@ -1016,12 +1016,26 @@ def _land_data(
     footer-derived per-field-id stats."""
     import pyarrow.parquet as pq
 
+    name_to_field = {f["name"]: f for f in fields}
+    # stamp each column's Iceberg field-id into the parquet schema
+    # (Spark's parquet.field.id passthrough — no extra IO): real
+    # engines resolve columns by id, so files stay readable across
+    # renames without relying on the name-mapping fallback
+    df = df.select(
+        *[
+            F.col(c).alias(
+                c, metadata={"parquet.field.id": name_to_field[c]["id"]}
+            )
+            if c in name_to_field
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     if part_cols:
         df.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
     else:
         df.write.mode("overwrite").parquet(staging)
-    name_to_field = {f["name"]: f for f in fields}
     out = []
     for dirpath, _dirs, files in sorted(os.walk(staging)):
         rel = os.path.relpath(dirpath, staging)

@@ -849,3 +849,23 @@ def test_check_constraints_and_writer_gating(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="writer capabilities"):
         dp.write_delta(_df(spark, 60, 61), path)
+
+
+def test_restore_to_version(spark, tmp_path):
+    """restore_delta: the new commit's snapshot equals the target
+    version's — including undoing a DV delete (the target's
+    descriptorless add re-lands) — and history stays navigable."""
+    path = str(tmp_path / "delta")
+    dp.write_delta(_df(spark, 0, 30), path)
+    v_target = dp.delta_versions(path)[-1]
+    dp.write_delta(_df(spark, 30, 40), path)
+    dp.delete_where_delta(spark, path, "doc_id", 5, 9, strategy="dv")
+    assert dp.read_delta(spark, path).count() == 35
+    dp.restore_delta(spark, path, v_target)
+    assert _rows(dp.read_delta(spark, path)) == _rows(_df(spark, 0, 30))
+    # the restore is itself a commit: pre-restore state time-travels
+    pre = dp.delta_versions(path)[-2]
+    assert dp.read_delta(spark, path, version=pre).count() == 35
+    # appends continue normally after the restore
+    dp.write_delta(_df(spark, 100, 103), path)
+    assert dp.read_delta(spark, path).count() == 33

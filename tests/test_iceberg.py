@@ -933,3 +933,28 @@ def test_entry_matches_oracle_shape(spark):
         "sum_ids",
     ]
     assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_data_files_carry_parquet_field_ids(spark, tmp_path):
+    """Landed data files stamp each column's Iceberg field-id into the
+    parquet schema (PARQUET:field_id) — the resolution spine real
+    engines use, so renamed columns resolve without name-mapping."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ice")
+    ib.write_iceberg(_df(spark, 0, 10), path, partition_by=["lang"])
+    fields = {f["name"]: f["id"] for f in ib._schema_of(ib.current_metadata(path))}
+    files = [
+        _os.path.join(d, f)
+        for d, _s, fs in _os.walk(_os.path.join(path, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files
+    sch = pq.ParquetFile(files[0]).schema_arrow
+    for fld in sch:
+        assert fld.metadata[b"PARQUET:field_id"] == str(
+            fields[fld.name]
+        ).encode(), fld.name
