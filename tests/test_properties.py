@@ -31,7 +31,10 @@ def _ref_price(s: str | None) -> int | None:
 
     if s is None:
         return None
-    m = re.search(r"(\d+)", s)
+    # ASCII digits only: Spark's Java regex \d and DuckDB's RE2 \d are
+    # both ASCII-class by default; Python's \d would also match unicode
+    # digits ('૦' etc.) and diverge from BOTH engines (hypothesis-found)
+    m = re.search(r"([0-9]+)", s)
     if not m:
         return None
     try:
@@ -323,3 +326,112 @@ def test_segmentation_is_a_partition_of_tokens(spark, token_lists):
         for p in parts[:-1]:
             assert len(p.split(" ")) == SEG_TOKENS
         assert 1 <= len(parts[-1].split(" ")) <= SEG_TOKENS
+
+
+# --------------------------------------------------------------------------
+# Binary codec laws (roaring / Z85 / IMA ADPCM / Avro) — pure Python,
+# no SparkSession needed
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sets(
+        st.one_of(
+            st.integers(min_value=0, max_value=2**16),  # array containers
+            st.integers(min_value=0, max_value=2**33),  # bucket gaps
+            st.builds(
+                lambda hi, lo: (hi << 32) | lo,
+                st.integers(min_value=0, max_value=12),
+                st.integers(min_value=0, max_value=2**32 - 1),
+            ),
+        ),
+        max_size=300,
+    )
+)
+def test_roaring_rbm64_roundtrip_law(values):
+    """serialize∘deserialize is the identity on ANY uint64 position
+    set — across array containers, sparse high-32 buckets, and bucket
+    boundaries (the r9 portable-format fix's regression net)."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        roaring as rb,
+    )
+
+    blob = rb.serialize_rbm64(values)
+    assert rb.deserialize_rbm64(blob) == sorted(values)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=64).filter(lambda b: len(b) % 4 == 0))
+def test_z85_roundtrip_law(raw):
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        roaring as rb,
+    )
+
+    assert rb.z85_decode(rb.z85_encode(raw)) == raw
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_adpcm_wav_container_law(samples):
+    """For ANY int16 signal (noise included): the WAV container
+    round-trips the exact sample COUNT and rate, every decoded sample
+    stays in int16 range, and the first sample of every block is
+    EXACT (it rides the block header verbatim)."""
+    import numpy as np
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        adpcm,
+    )
+
+    x = np.array(samples, dtype=np.int16)
+    y, rate = adpcm.decode_ima_wav(adpcm.encode_ima_wav(x, 16000))
+    assert rate == 16000
+    assert len(y) == len(x)
+    assert all(-32768 <= v <= 32767 for v in y)
+    for block_start in range(0, len(x), adpcm.SAMPLES_PER_BLOCK):
+        assert y[block_start] == int(x[block_start])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(max_size=12),
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.one_of(st.none(), st.binary(max_size=16)),
+        ),
+        max_size=20,
+    )
+)
+def test_avrotiny_container_roundtrip_law(rows):
+    """Object-container write∘read is the identity for ANY record
+    batch over string/long/optional-bytes fields, both codecs."""
+    import tempfile
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        avrotiny as av,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "prop",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "b", "type": ["null", "bytes"], "default": None},
+        ],
+    }
+    recs = [{"s": s, "n": n, "b": b} for s, n, b in rows]
+    with tempfile.NamedTemporaryFile(suffix=".avro", delete=False) as tf:
+        p = tf.name
+    for codec in ("null", "deflate"):
+        av.write_container(p, schema, recs, codec=codec)
+        got, _m, _ws = av.read_container(p)
+        assert got == recs
