@@ -1106,6 +1106,189 @@ def read_changes_delta(
     return out
 
 
+def update_where_delta(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    col: str,
+    lo,
+    hi,
+) -> int:
+    """`UPDATE ... SET <col>=<expr>, ... WHERE col BETWEEN lo AND hi`
+    as a real protocol commit: stats-pruned touched files rewritten
+    (non-matching rows carried verbatim, deletion vectors applied),
+    CHECK constraints enforced on the POST-image, and the commit's cdc
+    actions carry `update_preimage` / `update_postimage` rows — the
+    spec's row-level UPDATE feed."""
+    meta, live, _v = _fold_delta_state(spark, path, None)
+    _check_writer(_current_protocol(path), meta, "update")
+    if _column_mapping(meta):
+        raise ValueError(
+            "UPDATE on a column-mapped Delta table is unsupported "
+            "(this writer lands logical column names)"
+        )
+    unknown = set(set_exprs) - {
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    }
+    if unknown:
+        raise ValueError(f"SET targets unknown column(s) {sorted(unknown)}")
+    part_cols = list(meta.get("partitionColumns") or [])
+    if set(set_exprs) & set(part_cols):
+        raise ValueError("cannot UPDATE a partition column")
+    touched = {
+        f: a
+        for f, a in live.items()
+        if not _add_outside_range(a, part_cols, col, lo, hi)
+    }
+    vs = delta_versions(path)
+    if not touched:
+        return vs[-1]
+    old_rows = _read_adds(spark, path, meta, touched).localCheckpoint(
+        eager=True
+    )
+    cond = F.col(col).between(lo, hi)
+    pre = old_rows.filter(cond)
+    carried = old_rows.filter(F.col(col).isNull() | ~cond)
+    post = pre
+    for c, expr in sorted(set_exprs.items()):
+        post = post.withColumn(c, F.expr(expr))
+    post = post.select(*old_rows.columns)
+    _enforce_constraints(post, meta)
+    merged = carried.unionByName(post)
+    files = _land_parquet(merged, path, part_cols or None)
+    cdc = (
+        pre.withColumn("_change_type", F.lit("update_preimage"))
+        .unionByName(
+            post.withColumn("_change_type", F.lit("update_postimage"))
+        )
+    )
+    cdc_files = _land_cdc(cdc, path)
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "UPDATE",
+                    "operationParameters": {
+                        "predicate": f"{col} BETWEEN {lo!r} AND {hi!r}"
+                    },
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    for fname in sorted(touched):
+        lines.append(
+            json.dumps({"remove": _remove_action(touched[fname], now_ms, True)})
+        )
+    for relname, pvals, size, stats in files:
+        add = {
+            "path": relname,
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if stats is not None:
+            add["stats"] = stats
+        lines.append(json.dumps({"add": add}))
+    for relname, size in cdc_files:
+        lines.append(
+            json.dumps(
+                {
+                    "cdc": {
+                        "path": relname,
+                        "partitionValues": {},
+                        "size": size,
+                        "dataChange": False,
+                    }
+                }
+            )
+        )
+    return _claim_delta_version(path, lines)
+
+
+def optimize_zorder_delta(
+    spark: SparkSession,
+    path: str,
+    x_col: str,
+    y_col: str,
+    target_mb: int = 128,
+    n_files: int | None = None,
+) -> int:
+    """`OPTIMIZE ZORDER BY (x, y)` as a protocol commit: rewrite the
+    live snapshot range-partitioned along the 2-D Morton curve
+    (`functions.scale.zorder_key_2d`) with `dataChange: false` — other
+    engines' incremental consumers skip it, per spec — so the add-
+    action stats become box-prunable in EITHER dimension (the same
+    clustering real OPTIMIZE ZORDER buys).  Pre-optimize versions stay
+    time-travelable."""
+    import math
+
+    from ..functions import scale
+
+    meta, live, _v = _fold_delta_state(spark, path, None)
+    if not live:
+        return delta_versions(path)[-1]
+    _check_writer(_current_protocol(path), meta, "optimize")
+    if _column_mapping(meta):
+        raise ValueError(
+            "OPTIMIZE on a column-mapped Delta table is unsupported"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    snap = _read_adds(spark, path, meta, live)
+    lo_hi = snap.agg(
+        F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
+    ).first()
+    if any(b is None for b in lo_hi):
+        return delta_versions(path)[-1]
+    if n_files is None:
+        total = sum(int(a.get("size") or 0) for a in live.values())
+        n_files = max(2, math.ceil(total / (target_mb << 20)))
+    z = scale.zorder_key_2d(
+        F.col(x_col), F.col(y_col), lo_hi[0], lo_hi[1], lo_hi[2], lo_hi[3]
+    )
+    clustered = (
+        snap.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    files = _land_parquet(clustered, path, part_cols or None)
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "zOrderBy": f"[{x_col},{y_col}]"
+                    },
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    for fname in sorted(live):
+        lines.append(
+            json.dumps({"remove": _remove_action(live[fname], now_ms, False)})
+        )
+    for relname, pvals, size, stats in files:
+        add = {
+            "path": relname,
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": False,
+        }
+        if stats is not None:
+            add["stats"] = stats
+        lines.append(json.dumps({"add": add}))
+    return _claim_delta_version(path, lines)
+
+
 def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF: a NEW commit whose live set
     equals the target version's snapshot — removes for files live now

@@ -869,3 +869,63 @@ def test_restore_to_version(spark, tmp_path):
     # appends continue normally after the restore
     dp.write_delta(_df(spark, 100, 103), path)
     assert dp.read_delta(spark, path).count() == 33
+
+
+def test_update_where_with_cdf(spark, tmp_path):
+    """update_where_delta: pruned rewrite, NULL predicate rows kept
+    (three-valued), post-image constraint enforcement, and the cdc
+    feed carries exact update_preimage/update_postimage rows."""
+    path = str(tmp_path / "delta")
+    dp.write_delta(_df(spark, 0, 60).repartitionByRange(6, "doc_id"), path)
+    _meta, live_before, _v = dp._fold_delta_state(spark, path, None)
+    dp.update_where_delta(spark, path, {"v": "v + 1"}, "doc_id", 45, 54)
+    rows = {r["doc_id"]: r["v"] for r in dp.read_delta(spark, path).collect()}
+    assert all(rows[i] == i * 10 + 1 for i in range(45, 55))
+    assert all(rows[i] == i * 10 for i in list(range(45)) + list(range(55, 60)))
+    # pruning spared the low files
+    _m2, live_after, _v2 = dp._fold_delta_state(spark, path, None)
+    assert set(live_before) & set(live_after)
+    # the cdc feed: 10 preimage + 10 postimage rows, values exact
+    ch = dp.read_changes_delta(spark, path, dp.delta_versions(path)[-1])
+    pre = sorted(
+        r["v"]
+        for r in ch.filter("_change_type = 'update_preimage'").collect()
+    )
+    post = sorted(
+        r["v"]
+        for r in ch.filter("_change_type = 'update_postimage'").collect()
+    )
+    assert pre == [i * 10 for i in range(45, 55)]
+    assert post == [i * 10 + 1 for i in range(45, 55)]
+    # constraint violated by the POST-image refuses
+    dp.add_delta_constraint(spark, path, "v_cap", "v < 100000")
+    with pytest.raises(ValueError, match="v_cap"):
+        dp.update_where_delta(spark, path, {"v": "v + 200000"}, "doc_id", 0, 1)
+    # partition columns cannot be set
+    with pytest.raises(ValueError, match="partition column"):
+        path2 = str(tmp_path / "p")
+        dp.write_delta(_df(spark, 0, 9), path2, partition_by=["lang"])
+        dp.update_where_delta(spark, path2, {"lang": "'9'"}, "doc_id", 0, 5)
+
+
+def test_optimize_zorder_delta_improves_box_pruning(spark, tmp_path):
+    """ZORDER BY (doc_id, v): the rewrite lands dataChange:false (CDF
+    silent) and stats-pruned reads on the SECOND dimension skip files
+    — the clustering dividend a linear sort cannot give both axes."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, str(i % 3), rnd.randrange(0, 1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, v bigint")
+    path = str(tmp_path / "delta")
+    # land sorted by doc_id only: v is scattered through every file
+    dp.write_delta(df.repartitionByRange(8, "doc_id"), path)
+    _g, read_before, skip_before = dp.read_delta_pruned(spark, path, "v", 0, 49)
+    dp.optimize_zorder_delta(spark, path, "doc_id", "v", n_files=16)
+    # CDF: the optimize contributed nothing
+    ch = dp.read_changes_delta(spark, path, dp.delta_versions(path)[-1])
+    assert ch.count() == 0
+    got, read_after, skip_after = dp.read_delta_pruned(spark, path, "v", 0, 49)
+    assert skip_after > skip_before  # v-axis pruning now works
+    expect = sorted((r[0], r[2]) for r in rows if 0 <= r[2] <= 49)
+    assert sorted((r["doc_id"], r["v"]) for r in got.collect()) == expect
