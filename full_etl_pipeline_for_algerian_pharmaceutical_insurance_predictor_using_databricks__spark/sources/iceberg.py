@@ -2068,6 +2068,141 @@ def remove_orphan_iceberg_files(path: str, min_age_s: float = 600.0) -> int:
     return deleted
 
 
+def uniform_iceberg_metadata(spark: SparkSession, path: str) -> int:
+    """Delta-UniForm shape: generate an ICEBERG metadata tree for an
+    existing DELTA table's current snapshot — pointing at the SAME
+    parquet data files, no copy — so the table reads through either
+    protocol (`deltaproto.read_delta` AND `read_iceberg` / any
+    field-id/name resolving Iceberg reader).  Field-ids are assigned
+    in schema order; numeric bounds come from the Delta add-action
+    stats (string bounds are skipped — Delta may truncate them, and a
+    truncated max is not a valid upper bound); partition values
+    convert from Delta's hive strings to the Iceberg internal repr.
+    Tables carrying deletion vectors or column mapping refuse (the
+    same restriction real UniForm places on advanced features).
+    Re-running refreshes: each call commits a fresh snapshot of the
+    current Delta state.  Returns the snapshot id."""
+    from . import deltaproto as dp
+
+    meta_d, live, _v = dp._fold_delta_state(spark, path, None)
+    if dp._column_mapping(meta_d):
+        raise ValueError("UniForm metadata: column-mapped Delta tables "
+                         "are unsupported")
+    if any(a.get("deletionVector") for a in live.values()):
+        raise ValueError(
+            "UniForm metadata: the Delta snapshot carries deletion "
+            "vectors — compact them away first (compact_delta)"
+        )
+    dschema = json.loads(meta_d["schemaString"])
+    fields = []
+    for i, f in enumerate(dschema["fields"], start=1):
+        t = f["type"]
+        if not isinstance(t, str) or t not in _SPARK_TO_ICE:
+            raise ValueError(
+                f"column {f['name']!r}: Spark type {t!r} unsupported by "
+                "the Iceberg interop tier"
+            )
+        fields.append(
+            {
+                "id": i,
+                "name": f["name"],
+                "required": False,
+                "type": _SPARK_TO_ICE[t],
+            }
+        )
+    by_name = {f["name"]: f for f in fields}
+    part_cols = list(meta_d.get("partitionColumns") or [])
+    spec = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": by_name[c]["id"],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(part_cols)
+    ]
+    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+    data_files = []
+    for rel in sorted(live):
+        add = live[rel]
+        pvals = {}
+        for c in part_cols:
+            raw = (add.get("partitionValues") or {}).get(c)
+            pvals[c] = (
+                None
+                if raw is None
+                else _parse_hive_value(by_name[c]["type"], raw)
+            )
+        stats = {}
+        if add.get("stats"):
+            try:
+                stats = json.loads(add["stats"])
+            except ValueError:
+                stats = {}
+        n_rows = stats.get("numRecords")
+        if n_rows is None:
+            import pyarrow.parquet as pq
+
+            n_rows = pq.ParquetFile(
+                os.path.join(path, rel)
+            ).metadata.num_rows
+        lbs, ubs = {}, {}
+        for f in fields:
+            if f["type"] in ("string", "binary"):
+                continue  # Delta may truncate; numeric bounds only
+            mn = (stats.get("minValues") or {}).get(f["name"])
+            mx = (stats.get("maxValues") or {}).get(f["name"])
+            if mn is not None and mx is not None:
+                try:
+                    lbs[f["id"]] = ser_value(f["type"], mn)
+                    ubs[f["id"]] = ser_value(f["type"], mx)
+                except (ValueError, TypeError):
+                    pass
+        data_files.append(
+            {
+                "file_path": _file_uri(path, rel),
+                "file_format": "PARQUET",
+                "partition": pvals,
+                "record_count": int(n_rows),
+                "file_size_in_bytes": int(add.get("size") or 0),
+                "block_size_in_bytes": _BLOCK_SIZE,
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": [
+                    {"key": k, "value": v} for k, v in sorted(lbs.items())
+                ]
+                or None,
+                "upper_bounds": [
+                    {"key": k, "value": v} for k, v in sorted(ubs.items())
+                ]
+                or None,
+                "split_offsets": None,
+            }
+        )
+
+    def build_manifests(
+        base: dict | None, snapshot_id: int, seq: int, fv: int
+    ) -> list[dict]:
+        entries = [
+            {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
+            for d in data_files
+        ]
+        return [
+            _write_manifest(
+                path, entries, snapshot_id, fields, spec, schema_json,
+                fv=fv, seq=seq,
+            )
+        ]
+
+    return _commit_snapshot(
+        path,
+        "append" if not _metadata_versions(path) else "overwrite",
+        build_manifests,
+        schema_fields=fields,
+        spec_fields=spec,
+    )
+
+
 def iceberg_to_minilake(
     spark: SparkSession, iceberg_path: str, minilake_path: str
 ) -> int:

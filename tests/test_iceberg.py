@@ -958,3 +958,44 @@ def test_data_files_carry_parquet_field_ids(spark, tmp_path):
         assert fld.metadata[b"PARQUET:field_id"] == str(
             fields[fld.name]
         ).encode(), fld.name
+
+
+def test_uniform_dual_metadata_over_delta(spark, tmp_path):
+    """uniform_iceberg_metadata: one set of parquet files, two
+    protocols — the generated Iceberg tree reads IDENTICALLY to the
+    Delta log (partitioned table, hive partition values converted to
+    typed partition structs), metadata-tier pruning works off the
+    converted Delta stats, a refresh tracks new Delta commits, and DV
+    tables refuse."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        deltaproto as dp,
+    )
+
+    path = str(tmp_path / "dual")
+    dp.write_delta(
+        _df(spark, 0, 30).repartitionByRange(3, "doc_id"),
+        path,
+        partition_by=["lang"],
+    )
+    ib.uniform_iceberg_metadata(spark, path)
+    assert _rows(ib.read_iceberg(spark, path)) == _rows(
+        dp.read_delta(spark, path)
+    )
+    # pruning off the converted numeric stats skips files
+    _g, nread, nskip, _ms = ib.read_iceberg_pruned(spark, path, "doc_id", 0, 4)
+    assert nskip > 0
+    # refresh after another Delta commit
+    dp.write_delta(_df(spark, 30, 40), path)
+    ib.uniform_iceberg_metadata(spark, path)
+    assert _rows(ib.read_iceberg(spark, path)) == _rows(
+        dp.read_delta(spark, path)
+    )
+    # DV-carrying snapshots refuse until compacted
+    dp.delete_where_delta(spark, path, "doc_id", 0, 4, strategy="dv")
+    with pytest.raises(ValueError, match="deletion"):
+        ib.uniform_iceberg_metadata(spark, path)
+    dp.compact_delta(spark, path)
+    ib.uniform_iceberg_metadata(spark, path)
+    assert _rows(ib.read_iceberg(spark, path)) == _rows(
+        dp.read_delta(spark, path)
+    )
