@@ -192,6 +192,7 @@ _TAIL_ORDER = [
     "lake_iceberg_v2_deletes",
     "lake_iceberg_changes",
     "lake_delta_merge",
+    "lake_uniform_dual",
     "med_q02_lake_table",
     "mm_video_mjpeg_pipeline",
     "mm_audio_adpcm_pipeline",
@@ -308,6 +309,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_iceberg_interop"] = _iceberg.iceberg_interop_entry
     pool["lake_iceberg_v2_deletes"] = _iceberg.iceberg_v2_deletes_entry
     pool["lake_iceberg_changes"] = _iceberg.iceberg_changes_entry
+    pool["lake_uniform_dual"] = _iceberg.uniform_dual_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -379,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_iceberg_interop"] = _iceberg.ICEBERG_INTEROP_ORACLE_SQL
     pool["lake_iceberg_v2_deletes"] = _iceberg.ICEBERG_V2_ORACLE_SQL
     pool["lake_iceberg_changes"] = _iceberg.ICEBERG_CHANGES_ORACLE_SQL
+    pool["lake_uniform_dual"] = _iceberg.UNIFORM_DUAL_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

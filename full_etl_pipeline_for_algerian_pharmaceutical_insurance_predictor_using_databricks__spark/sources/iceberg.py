@@ -2269,6 +2269,49 @@ def iceberg_interop_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def uniform_dual_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for UNIFORM: generate Iceberg metadata over
+    the deltaproto fixture table (same parquet files, both logs) and
+    aggregate the ICEBERG-protocol read; the oracle is the same
+    content off the raw parquet, and `lake_delta_interop` checks the
+    DELTA-protocol read of the SAME files — together they prove the
+    dual-format contract value-exactly."""
+    from ..functions.scale import default_index_dir
+    from . import deltaproto as dp
+
+    # the deltaproto entry builds (and caches) the Delta side
+    dp.delta_interop_entry(spark, sf_dir).count()
+    path = os.path.join(
+        default_index_dir("deltaproto", dp._DELTA_LAKE_VERSION, sf_dir),
+        "docs_delta",
+    )
+    if not _metadata_versions(path):
+        uniform_iceberg_metadata(spark, path)
+    snap = read_iceberg(spark, path)
+    return (
+        snap.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+UNIFORM_DUAL_ORACLE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 _ICEBERG_V2_LAKE_VERSION = 1
 
 
