@@ -130,6 +130,7 @@ def main() -> None:
         curation,
         dedup,
         events,
+        retrieval,
         similarity,
     )
 
@@ -143,6 +144,9 @@ def main() -> None:
         "sim_ann_ivf_pq_serving": lambda s, d: similarity.ann_ivf_pq_serving(
             s, d, index_dir=os.path.join(d, "_ivfpq_index")
         ),
+        # r9: both arms frozen (lexical postings + IVF-PQ); indexes
+        # build lazily on the warm pass, timed pass is serving only
+        "retrieval_hybrid_rrf_serving": retrieval.hybrid_rrf_serving,
         "events_funnel": events.funnel,
         "events_hll_daily_users": events.hll_daily_users,
         "text_boilerplate_scrub": curation.boilerplate_scrub,
