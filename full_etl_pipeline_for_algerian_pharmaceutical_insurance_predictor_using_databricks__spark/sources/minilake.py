@@ -190,16 +190,29 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
     return version
 
 
-def _file_zone_map(local_path: str, stat_cols: list[str]) -> dict:
+def _file_zone_map(
+    local_path: str,
+    stat_cols: list[str],
+    bloom_cols: list[str] | tuple = (),
+) -> dict:
     """Per-file min/max/rowcount for `stat_cols`, read from the parquet
     FOOTER (row-group statistics — no data scan).  These are the zone
     maps Delta/Iceberg store in their logs; readers skip whole files
     whose [min, max] cannot match a predicate."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(local_path).metadata
+    pf = pq.ParquetFile(local_path)
+    md = pf.metadata
     names = {md.schema.column(i).name: i for i in range(md.num_columns)}
     out: dict = {"rows": md.num_rows, "stats": {}, "nulls": {}}
+    for col in bloom_cols or ():
+        if col not in names:
+            continue
+        bloom = _bloom_build(
+            pf.read(columns=[col]).column(col).to_pylist()
+        )
+        if bloom is not None:
+            out.setdefault("bloom", {})[col] = bloom
     for col in stat_cols:
         if col not in names:
             continue
@@ -230,6 +243,73 @@ def _file_zone_map(local_path: str, stat_cols: list[str]) -> dict:
     return out
 
 
+_BLOOM_MAX_DISTINCT = 200_000  # past this, skip the bloom (zone stays)
+_BLOOM_FPP = 0.01
+
+
+def _bloom_build(values) -> dict | None:
+    """Per-file Bloom filter over a column's DISTINCT values (classic
+    m/k sizing for ~1% false positives, double hashing from one
+    blake2b digest) — the skipping tier for EQUALITY lookups on
+    high-cardinality, unsorted columns where [min, max] zones cannot
+    prune.  Serialized base64 into the commit log like Delta's file-
+    level bloom indexes; ~1.2 KB per 1k distinct values."""
+    import base64
+    import math
+
+    distinct = {v for v in values if v is not None}
+    n = len(distinct)
+    if n == 0 or n > _BLOOM_MAX_DISTINCT:
+        return None
+    m = max(64, int(math.ceil(-n * math.log(_BLOOM_FPP) / (math.log(2) ** 2))))
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray((m + 7) // 8)
+    for v in distinct:
+        h1, h2 = _bloom_hashes(v)
+        for i in range(k):
+            pos = (h1 + i * h2) % m
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {
+        "m": m,
+        "k": k,
+        "bits": base64.b64encode(bytes(bits)).decode(),
+    }
+
+
+def _bloom_hashes(v) -> tuple[int, int]:
+    """Two independent 64-bit hashes of a value's canonical encoding
+    (double-hashing base)."""
+    import hashlib
+
+    raw = repr(v).encode() if not isinstance(v, (str, bytes)) else (
+        v.encode() if isinstance(v, str) else v
+    )
+    d = hashlib.blake2b(raw, digest_size=16).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little") | 1
+
+
+def _bloom_might_contain(bloom: dict, v) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["bits"])
+    m, k = bloom["m"], bloom["k"]
+    h1, h2 = _bloom_hashes(v)
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not bits[pos >> 3] & (1 << (pos & 7)):
+            return False
+    return True
+
+
+def _bloom_cols_of(zones: dict) -> list[str]:
+    """Bloom-indexed columns present in any live zone — rewrites carry
+    the index forward exactly like stat columns (a compaction that
+    silently dropped blooms would degrade equality skipping)."""
+    return sorted(
+        {c for z in zones.values() if z for c in (z.get("bloom") or {})}
+    )
+
+
 #: Hive's sentinel for a NULL partition value in directory names.
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: Prefix for the throwaway partitionBy copies (see _land_data_files).
@@ -258,6 +338,7 @@ def _land_data_files(
     path: str,
     stat_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> list[str] | tuple[list[str], dict]:
     """Write the frame's partitions as immutable uuid-named parquet
     files under data/; returns their table-relative names (plus their
@@ -305,12 +386,14 @@ def _land_data_files(
             dest = os.path.join(_data_dir(path), name)
             os.rename(os.path.join(dirpath, f), dest)
             names.append(name)
-            if stat_cols or partition_by:
-                zones[name] = _file_zone_map(dest, stat_cols or [])
+            if stat_cols or partition_by or bloom_cols:
+                zones[name] = _file_zone_map(
+                    dest, stat_cols or [], bloom_cols or ()
+                )
                 if partition_by:
                     zones[name]["partition"] = pvals
     shutil.rmtree(staging)
-    if stat_cols or partition_by:
+    if stat_cols or partition_by or bloom_cols:
         return names, zones
     return names
 
@@ -499,6 +582,7 @@ def commit_append(
     allow_evolution: bool = False,
     stat_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """APPEND commit: enforce (or evolve) the schema, land the files,
     claim the next version.  `stat_cols` records per-file zone maps in
@@ -524,8 +608,10 @@ def commit_append(
         "schema": df.schema.json(),
         "partition_by": partition_by,
     }
-    if stat_cols or partition_by:
-        files, zones = _land_data_files(df, path, stat_cols, partition_by)
+    if stat_cols or partition_by or bloom_cols:
+        files, zones = _land_data_files(
+            df, path, stat_cols, partition_by, bloom_cols
+        )
         commit["zones"] = zones
     else:
         files = _land_data_files(df, path)
@@ -712,6 +798,7 @@ def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     stat_cols = sorted(
         {c for z in zones_before.values() if z for c in z["stats"]}
     )
+    bloom_cols = _bloom_cols_of(zones_before)
     total = sum(
         os.path.getsize(os.path.join(_data_dir(path), f)) for f in live
     )
@@ -724,9 +811,9 @@ def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
         "schema": snap.schema.json(),
         "partition_by": spec,
     }
-    if stat_cols or spec:
+    if stat_cols or spec or bloom_cols:
         files, zones = _land_data_files(
-            snap.repartition(n_files), path, stat_cols, spec
+            snap.repartition(n_files), path, stat_cols, spec, bloom_cols
         )
         commit["zones"] = zones
     else:
@@ -783,7 +870,10 @@ def optimize_zorder(
         .drop("_z")
     )
     spec = partition_spec(path)
-    files, zones = _land_data_files(clustered, path, [x_col, y_col], spec)
+    files, zones = _land_data_files(
+        clustered, path, [x_col, y_col], spec,
+        _bloom_cols_of(_live_zones(path)),
+    )
 
     def check_unchanged(commit: dict) -> None:
         if sorted(_live_files(path)) != live:
@@ -1613,6 +1703,46 @@ def scan_pruned(
     return scan_pruned_multi(spark, path, {col: (lo, hi)})
 
 
+def scan_pruned_eq(
+    spark: SparkSession, path: str, col: str, value
+) -> tuple[DataFrame, int, int]:
+    """Equality-lookup scan with THREE skipping tiers per file, all
+    from the log alone: exact partition value, [min, max] zone
+    containment, then the per-file BLOOM filter (`bloom_cols=` at
+    append time) — the tier that prunes point lookups on
+    high-cardinality UNSORTED columns, where every file's min/max
+    range contains the probe and range zones cannot skip anything.
+    ~1% false-positive reads by construction, zero false skips.
+    Returns (frame pre-filtered to the value, files_read,
+    files_skipped)."""
+    if value is None:
+        raise ValueError("use an IS NULL predicate for null lookups")
+    state = _fold_state(path)
+    zones = state["live"]
+    chosen, skipped = [], 0
+    for f, z in zones.items():
+        if z:
+            part = z.get("partition") or {}
+            if col in part and part[col] != value:
+                skipped += 1
+                continue
+            zr = z.get("stats", {}).get(col)
+            if zr is not None and (value < zr[0] or value > zr[1]):
+                skipped += 1
+                continue
+            bloom = (z.get("bloom") or {}).get(col)
+            if bloom is not None and not _bloom_might_contain(bloom, value):
+                skipped += 1
+                continue
+        chosen.append(f)
+    cond = F.col(col) == F.lit(value)
+    if not chosen:
+        empty = read_snapshot(spark, path).limit(0)
+        return empty.filter(cond), 0, skipped
+    df = _read_files_with_dvs(spark, path, sorted(chosen), state["dvs"])
+    return df.filter(cond), len(chosen), skipped
+
+
 def scan_pruned_multi(
     spark: SparkSession, path: str, preds: dict
 ) -> tuple[DataFrame, int, int]:
@@ -1716,7 +1846,7 @@ def merge_upsert_lake(
     else:
         merged = updates
     files, new_zones = _land_data_files(
-        merged, path, [key], partition_spec(path)
+        merged, path, [key], partition_spec(path), _bloom_cols_of(zones)
     )
 
     def check_touched_live(_c: dict) -> None:
@@ -1799,7 +1929,9 @@ def delete_where(
         spark, path, sorted(touched), state["dvs"]
     )
     kept = old_rows.filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
-    files, new_zones = _land_data_files(kept, path, [col], partition_spec(path))
+    files, new_zones = _land_data_files(
+        kept, path, [col], partition_spec(path), _bloom_cols_of(zones)
+    )
     nonempty = [f for f in files if new_zones.get(f, {}).get("rows", 0) > 0]
 
     def _discard(names: list[str]) -> None:

@@ -1,0 +1,47 @@
+
+
+def test_bloom_equality_skipping_and_carry(spark, tmp_path):
+    """Bloom tier: on a HIGH-CARDINALITY UNSORTED column every file's
+    [min, max] zone contains any probe (range zones skip nothing), but
+    the per-file bloom prunes point lookups to ~the one true file;
+    zero false skips (probed values always found); the index survives
+    a compaction rewrite (carry like stat columns)."""
+    import random
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    rnd = random.Random(11)
+    # tokens randomly scattered across files: min/max spans everything
+    rows = [(i, f"tok-{rnd.randrange(0, 10**9):09d}") for i in range(8000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, token string")
+    path = str(tmp_path / "lake")
+    minilake.commit_append(
+        df.repartition(8), path, stat_cols=["token"], bloom_cols=["token"]
+    )
+    probes = [rows[13][1], rows[4321][1], rows[7999][1]]
+    for probe in probes:
+        got, nread, nskip = minilake.scan_pruned_eq(spark, path, "token", probe)
+        assert nskip > 0, "bloom pruned nothing"
+        vals = [r["doc_id"] for r in got.collect()]
+        assert vals == [
+            i for i, (di, t) in enumerate(rows) if t == probe
+        ]  # zero false skips
+    # range-zone tier alone cannot prune this layout
+    _g, _r, range_skips = minilake.scan_pruned(
+        spark, path, "token", probes[0], probes[0]
+    )
+    # a value absent from the table skips (almost) every file
+    _g2, nread2, nskip2 = minilake.scan_pruned_eq(
+        spark, path, "token", "tok-nonexistent"
+    )
+    assert nread2 <= 1 and nskip2 >= 7
+    # compaction carries the bloom index forward
+    minilake.compact(spark, path, target_mb=1)
+    zones = minilake._live_zones(path)
+    assert any("bloom" in (z or {}) for z in zones.values())
+    got3, _r3, nskip3 = minilake.scan_pruned_eq(spark, path, "token", probes[0])
+    assert sorted(r["doc_id"] for r in got3.collect()) == sorted(
+        i for i, (di, t) in enumerate(rows) if t == probes[0]
+    )
