@@ -1016,8 +1016,8 @@ def test_minilake_optimize_zorder_aborts_on_concurrent_commit(
     orig_land = minilake._land_data_files
     raced = {"done": False}
 
-    def land_then_race(frame, p, stat_cols=None, partition_by=None):
-        out = orig_land(frame, p, stat_cols, partition_by)
+    def land_then_race(frame, p, *args, **kwargs):
+        out = orig_land(frame, p, *args, **kwargs)
         if not raced["done"]:
             raced["done"] = True
             # a concurrent writer appends AFTER optimize read its snapshot
@@ -1169,8 +1169,8 @@ def test_minilake_delete_where_aborts_on_concurrent_rewrite(
     orig_land = minilake._land_data_files
     raced = {"done": False}
 
-    def land_then_race(frame, p, stat_cols=None, partition_by=None):
-        out = orig_land(frame, p, stat_cols, partition_by)
+    def land_then_race(frame, p, *args, **kwargs):
+        out = orig_land(frame, p, *args, **kwargs)
         if not raced["done"]:
             raced["done"] = True
             monkeypatch.setattr(minilake, "_land_data_files", orig_land)

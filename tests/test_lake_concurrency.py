@@ -63,8 +63,8 @@ def test_compact_aborts_on_racing_delete(spark, tmp_path, monkeypatch):
     orig_land = minilake._land_data_files
     raced = {"done": False}
 
-    def racing_land(df, p, stat_cols=None, partition_by=None):
-        out = orig_land(df, p, stat_cols, partition_by)
+    def racing_land(df, p, *args, **kwargs):
+        out = orig_land(df, p, *args, **kwargs)
         if not raced["done"]:
             raced["done"] = True  # guard: delete_where lands files too
             minilake.delete_where(spark, p, "doc_id", 50, 99)
