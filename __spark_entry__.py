@@ -196,6 +196,7 @@ _TAIL_ORDER = [
     "med_q02_lake_table",
     "mm_video_mjpeg_pipeline",
     "mm_audio_adpcm_pipeline",
+    "lake_bloom_lookup",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -296,6 +297,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_partitioned_scan"] = _minilake.partitioned_scan_entry
     pool["lake_changes_feed"] = _minilake.changes_feed_entry
     pool["lake_dv_roundtrip"] = _minilake.dv_roundtrip_entry
+    pool["lake_bloom_lookup"] = _minilake.bloom_lookup_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         deltaproto as _deltaproto,
     )
@@ -368,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_partitioned_scan"] = _minilake.PARTITIONED_ORACLE_SQL
     pool["lake_changes_feed"] = _minilake.CHANGES_FEED_ORACLE_SQL
     pool["lake_dv_roundtrip"] = _minilake.DV_ORACLE_SQL
+    pool["lake_bloom_lookup"] = _minilake.BLOOM_LOOKUP_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         deltaproto as _deltaproto,
     )

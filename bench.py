@@ -102,6 +102,7 @@ HEADLINE = [
     "lake_delta_interop",
     "lake_iceberg_interop",
     "lake_iceberg_v2_deletes",
+    "lake_bloom_lookup",
     "mm_image_jpeg_pipeline",
     "mm_image_png_pipeline",
     "mm_video_mjpeg_pipeline",
@@ -138,6 +139,7 @@ HEAVY_WARMUPS = {
     "lake_delta_interop": 2,
     "lake_iceberg_interop": 2,
     "lake_iceberg_v2_deletes": 2,
+    "lake_bloom_lookup": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

@@ -1288,6 +1288,79 @@ ORDER BY source
 """
 
 
+#: Bump when the bloom entry's pipeline changes shape.
+_BLOOM_LAKE_VERSION = 1
+#: Probe ids present at every SF (documents spans 0..499 even at
+#: sf0.001) plus two keys absent from every file — the absent probes
+#: exercise the all-files-skipped path (bloom answers "definitely
+#: not here" for every file and the scan touches nothing).
+_BLOOM_PROBE_IDS = (7, 57, 123, 250, 411)
+_BLOOM_ABSENT_KEYS = ("not-a-key-a", "not-a-key-b")
+
+
+def bloom_lookup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate entry for BLOOM-FILTER file skipping: ingest
+    `documents` keyed by `md5(doc_id)` — a high-cardinality UNSORTED
+    string column — landed as hash-distributed files with
+    `bloom_cols=["key"]`, so every file's [min, max] key range spans
+    ~the whole hex space and range zones can skip NOTHING; only the
+    per-file Bloom tier can prune a point lookup.  The entry probes
+    five present keys and two absent ones through `scan_pruned_eq`
+    and returns the matching docs; the DuckDB oracle states the same
+    lookup over the raw parquet (`md5` is hex-identical in Spark and
+    DuckDB), so a value match proves the Bloom tier never false-skips
+    (every probed row surfaces) and leaks nothing.  The skip COUNTS
+    (most files pruned per probe, zero files for absent keys) are
+    pinned in tests/test_minilake.py.  Lake built once per
+    (version, sf) under spark-warehouse, like its siblings."""
+    import hashlib
+
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir("minilake_bloom", _BLOOM_LAKE_VERSION, sf_dir),
+        "docs_lake_bloom",
+    )
+    if not versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("key"),
+        )
+        # Four commits, each hash-distributed across two files: eight
+        # live files whose key ranges all overlap, the layout where
+        # only the bloom tier has skipping power.
+        for b in range(4):
+            commit_append(
+                docs.filter(F.col("doc_id") % 4 == b).repartition(2, "key"),
+                path,
+                stat_cols=["key"],
+                bloom_cols=["key"],
+            )
+    probes = [
+        hashlib.md5(str(i).encode()).hexdigest() for i in _BLOOM_PROBE_IDS
+    ] + list(_BLOOM_ABSENT_KEYS)
+    out = None
+    for key in probes:
+        df, _read, _skipped = scan_pruned_eq(spark, path, "key", key)
+        part = df.select("doc_id", "source", "lang", "n_chars")
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("doc_id")
+
+
+BLOOM_LOOKUP_ORACLE_SQL = f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) IN (
+    {", ".join(f"md5(CAST({i} AS VARCHAR))" for i in _BLOOM_PROBE_IDS)}
+)
+ORDER BY doc_id
+"""
+
+
 def describe_detail(path: str) -> dict:
     """`DESCRIBE DETAIL`: the table's operational vitals from the log
     alone (no data scan) — live file count and bytes, current/

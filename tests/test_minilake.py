@@ -45,3 +45,35 @@ def test_bloom_equality_skipping_and_carry(spark, tmp_path):
     assert sorted(r["doc_id"] for r in got3.collect()) == sorted(
         i for i, (di, t) in enumerate(rows) if t == probes[0]
     )
+
+def test_bloom_lookup_entry_matches_and_skips(spark):
+    """The driver-gate entry surfaces exactly the probed docs, and on
+    its 8-file hash-distributed lake the bloom tier is doing the
+    pruning: present keys skip most files, absent keys read none."""
+    import hashlib
+    import os
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.functions.scale import (
+        default_index_dir,
+    )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = minilake.bloom_lookup_entry(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in got] == sorted(minilake._BLOOM_PROBE_IDS)
+
+    path = os.path.join(
+        default_index_dir(
+            "minilake_bloom", minilake._BLOOM_LAKE_VERSION, sf_dir
+        ),
+        "docs_lake_bloom",
+    )
+    for i in minilake._BLOOM_PROBE_IDS:
+        key = hashlib.md5(str(i).encode()).hexdigest()
+        _df, nread, nskip = minilake.scan_pruned_eq(spark, path, "key", key)
+        assert nskip >= 6 and nread <= 2  # bloom pruned the point lookup
+    for key in minilake._BLOOM_ABSENT_KEYS:
+        _df, nread, nskip = minilake.scan_pruned_eq(spark, path, "key", key)
+        assert nread <= 1  # absent key: (almost) everything skipped
