@@ -103,6 +103,7 @@ HEADLINE = [
     "lake_iceberg_interop",
     "lake_iceberg_v2_deletes",
     "lake_bloom_lookup",
+    "lake_iceberg_eq_upsert",
     "mm_image_jpeg_pipeline",
     "mm_image_png_pipeline",
     "mm_video_mjpeg_pipeline",
@@ -140,6 +141,7 @@ HEAVY_WARMUPS = {
     "lake_iceberg_interop": 2,
     "lake_iceberg_v2_deletes": 2,
     "lake_bloom_lookup": 2,
+    "lake_iceberg_eq_upsert": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

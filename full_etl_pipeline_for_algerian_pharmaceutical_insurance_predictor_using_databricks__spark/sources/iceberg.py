@@ -1712,6 +1712,115 @@ def delete_where_iceberg(
     return _commit_snapshot(path, "delete", build_manifests)
 
 
+#: Iceberg primitive → pyarrow type for equality-delete key files.
+_EQ_KEY_PA_TYPES = {
+    "long": "int64",
+    "int": "int32",
+    "string": "string",
+    "double": "float64",
+    "float": "float32",
+    "boolean": "bool_",
+}
+
+
+def delete_eq_iceberg(path: str, cols: list[str], keys: list) -> int:
+    """Equality DELETE — the Flink-CDC upsert primitive: land the key
+    tuples as a v2 EQUALITY-delete parquet file (content=2,
+    equality_ids = the key columns' field-ids) referenced from a
+    delete manifest.  No data file is read OR rewritten: the commit is
+    O(keys) regardless of table size, and the spec's sequence rule
+    scopes the delete to data files with a STRICTLY LOWER data
+    sequence number, so rows (re-)appended after the delete survive —
+    exactly the asymmetry that makes key-based upserts O(changes) at
+    100 TB: delete-by-key + append, never a table scan.  A v1 table
+    upgrades to format-version 2 (spec upgrade rule); key values match
+    null-safely on read (`_read_entries`).  Global deletes require an
+    unpartitioned scope per the spec, so partitioned tables refuse
+    loudly rather than mis-scope.  The reference's managed-table sink
+    (ingestion notebook `saveAsTable`, ING:211) has no row-level
+    maintenance; this is its scale-path extension."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta0 = current_metadata(path)
+    fields = _schema_of(meta0)
+    spec = _spec_of(meta0)
+    if spec:
+        raise ValueError(
+            "equality delete on a partitioned table: a GLOBAL delete "
+            "needs an unpartitioned spec (Iceberg spec scoping rule) — "
+            "use delete_where_iceberg or rewrite instead"
+        )
+    by_name = {f["name"]: f for f in fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"no column(s) {missing} in the Iceberg schema")
+    for c in cols:
+        t = by_name[c]["type"]
+        if t not in _EQ_KEY_PA_TYPES:
+            raise ValueError(
+                f"equality-delete key column {c!r}: type {t!r} unsupported"
+            )
+    rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+    if not rows:
+        raise ValueError("equality delete with no keys")
+    if any(len(r) != len(cols) for r in rows):
+        raise ValueError("key tuple arity does not match cols")
+    fids = [by_name[c]["id"] for c in cols]
+    pa_fields, arrays = [], []
+    for i, c in enumerate(cols):
+        pa_t = getattr(pa, _EQ_KEY_PA_TYPES[by_name[c]["type"]])()
+        pa_fields.append(
+            pa.field(
+                c,
+                pa_t,
+                nullable=True,
+                metadata={b"PARQUET:field_id": str(by_name[c]["id"]).encode()},
+            )
+        )
+        arrays.append(pa.array([r[i] for r in rows], pa_t))
+    table = pa.Table.from_arrays(arrays, schema=pa.schema(pa_fields))
+    name = f"{uuid.uuid4().hex}-eq-deletes.parquet"
+    dest = os.path.join(path, "data", name)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    pq.write_table(table, dest)
+    rec = {
+        "content": 2,
+        "file_path": _file_uri(path, f"data/{name}"),
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": len(rows),
+        "file_size_in_bytes": os.path.getsize(dest),
+        "value_counts": None,
+        "null_value_counts": None,
+        "lower_bounds": None,
+        "upper_bounds": None,
+        "split_offsets": None,
+        "equality_ids": fids,
+    }
+    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+
+    def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        prev = _snapshot(base, None)
+        mfs = _read_manifest_list(path, prev) if prev is not None else []
+        del_mf = _write_manifest(
+            path,
+            [{"status": 1, "snapshot_id": snapshot_id, "data_file": rec}],
+            snapshot_id,
+            fields,
+            spec,
+            schema_json,
+            fv=2,
+            content="deletes",
+            seq=seq,
+        )
+        return list(mfs) + [del_mf]
+
+    return _commit_snapshot(path, "delete", build, format_version=2)
+
+
 def _name_mapping(meta: dict) -> dict[int, list[str]]:
     """{field-id: [historical names]} from the spec's
     `schema.name-mapping.default` table property — the mechanism that
@@ -2309,6 +2418,77 @@ SELECT lang,
 FROM documents
 GROUP BY lang
 ORDER BY lang
+"""
+
+
+#: Bump when the equality-upsert fixture's pipeline changes shape.
+_ICEBERG_EQ_LAKE_VERSION = 1
+#: Upserted keys — present at every SF (documents spans 0..499 even
+#: at sf0.001).
+_EQ_UPSERT_IDS = (5, 17, 123, 250, 411, 499)
+
+
+def _ensure_eq_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once equality-upsert fixture: documents as an
+    UNPARTITIONED v2 table, a key-based equality DELETE of six doc_ids,
+    then replacement rows for the same keys appended AFTER the delete
+    (source rewritten to 'upserted') — the CDC upsert shape.  The
+    replacements carry a higher data sequence number than the delete,
+    so the spec's strictly-below rule must keep them while hiding the
+    originals."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir("iceberg_eq", _ICEBERG_EQ_LAKE_VERSION, sf_dir),
+        "docs_iceberg_eq",
+    )
+    if not _metadata_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        write_iceberg(docs.repartition(4), path, format_version=2)
+        delete_eq_iceberg(path, ["doc_id"], list(_EQ_UPSERT_IDS))
+        repl = docs.filter(
+            F.col("doc_id").isin(*_EQ_UPSERT_IDS)
+        ).withColumn("source", F.lit("upserted"))
+        write_iceberg(repl, path, mode="append")
+    return path
+
+
+def iceberg_eq_upsert_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for EQUALITY-delete round-trips: read the
+    upsert fixture back through the full v2 metadata tree and
+    aggregate per source.  The oracle restates the upsert over the raw
+    parquet (CASE-map the six keys to 'upserted'), so a value match
+    proves the O(keys) delete file hid EXACTLY the old rows (null-safe
+    key match, sequence strictly-below) and the re-appended
+    replacements survived — no row lost, none doubled."""
+    snap = read_iceberg(spark, _ensure_eq_lake(spark, sf_dir))
+    return (
+        snap.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+ICEBERG_EQ_ORACLE_SQL = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM (
+    SELECT CASE WHEN doc_id IN {_EQ_UPSERT_IDS} THEN 'upserted'
+                ELSE source END AS source,
+           doc_id, text
+    FROM documents
+)
+GROUP BY source
+ORDER BY source
 """
 
 

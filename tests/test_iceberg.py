@@ -999,3 +999,64 @@ def test_uniform_dual_metadata_over_delta(spark, tmp_path):
     assert _rows(ib.read_iceberg(spark, path)) == _rows(
         dp.read_delta(spark, path)
     )
+
+
+def test_delete_eq_write_path_upsert_shape(spark, tmp_path):
+    """`delete_eq_iceberg` writes a spec-shaped equality-delete file
+    (content=2, equality_ids, field-id-stamped parquet) in O(keys):
+    originals hidden, matching rows appended AFTER the delete survive
+    (sequence strictly-below), null keys match null-safely, and a v1
+    table upgrades to format-version 2."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ice_eq")
+    ib.write_iceberg(_df(spark, 0, 30), path)  # v1, seq-less
+    ib.delete_eq_iceberg(path, ["doc_id"], [3, 7, 11])  # upgrades to v2
+    meta = ib.current_metadata(path)
+    assert meta["format-version"] == 2
+    got = sorted(r["doc_id"] for r in ib.read_iceberg(spark, path).collect())
+    assert got == [i for i in range(30) if i not in (3, 7, 11)]
+    # CDC upsert: re-append the deleted keys with new payloads → survive
+    ib.write_iceberg(_df(spark, 3, 4, tag=9), path)
+    ib.write_iceberg(_df(spark, 7, 8, tag=9), path)
+    vals = {
+        r["doc_id"]: r["v"] for r in ib.read_iceberg(spark, path).collect()
+    }
+    assert vals[3] == 39 and vals[7] == 79 and 11 not in vals
+    # the delete file itself is spec-shaped: content=2 + stamped ids
+    mfs = ib._read_manifest_list(
+        path, ib._snapshot(ib.current_metadata(path), None)
+    )
+    _pos, eqs = ib._delete_files(path, mfs)
+    assert len(eqs) == 1 and eqs[0]["ids"]
+    pf = pq.ParquetFile(eqs[0]["path"])
+    assert pf.schema_arrow.field("doc_id").metadata[
+        b"PARQUET:field_id"
+    ] == str(eqs[0]["ids"][0]).encode()
+    # multi-column keys with a NULL component match null-safely
+    path2 = str(tmp_path / "ice_eq2")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "k bigint, tag string"
+    )
+    ib.write_iceberg(df, path2, format_version=2)
+    ib.delete_eq_iceberg(path2, ["k", "tag"], [(2, None)])
+    assert sorted(
+        r["k"] for r in ib.read_iceberg(spark, path2).collect()
+    ) == [1, 3]
+
+
+def test_delete_eq_refusals(spark, tmp_path):
+    """Loud refusals: partitioned scope, unknown column, unsupported
+    key type, empty keys, arity mismatch."""
+    path = str(tmp_path / "ice_part")
+    ib.write_iceberg(_df(spark, 0, 9), path, partition_by=["lang"])
+    with pytest.raises(ValueError, match="unpartitioned spec"):
+        ib.delete_eq_iceberg(path, ["doc_id"], [1])
+    path2 = str(tmp_path / "ice_flat")
+    ib.write_iceberg(_df(spark, 0, 9), path2)
+    with pytest.raises(ValueError, match="no column"):
+        ib.delete_eq_iceberg(path2, ["nope"], [1])
+    with pytest.raises(ValueError, match="no keys"):
+        ib.delete_eq_iceberg(path2, ["doc_id"], [])
+    with pytest.raises(ValueError, match="arity"):
+        ib.delete_eq_iceberg(path2, ["doc_id", "lang"], [(1,)])
