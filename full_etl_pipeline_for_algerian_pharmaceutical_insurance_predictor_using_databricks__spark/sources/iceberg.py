@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import io
 import json
+import math
 import os
 import shutil
 import struct
@@ -1835,6 +1836,66 @@ def _name_mapping(meta: dict) -> dict[int, list[str]]:
     return out
 
 
+def compact_iceberg(
+    spark: SparkSession, path: str, target_mb: int = 128
+) -> int:
+    """`rewrite_data_files` maintenance (Iceberg's compaction action):
+    read the live snapshot with every position AND equality delete
+    applied, re-land it as ~`target_mb` data files, and commit a
+    REPLACE snapshot that ADDs the rewrites, marks every old data file
+    DELETED, and carries NO delete manifests — the read-rent
+    mitigation after merge-on-read maintenance (each accumulated
+    delete file costs an anti-join on every subsequent read; after
+    compaction reads are plain scans again).  `operation: "replace"`
+    makes downstream consumers skip it: the incremental-append stream
+    passes it silently (icestream) and the changelog's carryover
+    removal reports zero rows for it (pinned in tests).  The manifest
+    build runs inside the commit retry loop, so a racing commit can
+    never make the remove set stale."""
+    meta0 = current_metadata(path)
+    fields = _schema_of(meta0)
+    spec = _spec_of(meta0)
+    part_names = [pf["name"] for pf in spec]
+    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+
+    def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        prev = _snapshot(base, None)
+        mfs = _read_manifest_list(path, prev) if prev is not None else []
+        live = _live_entries(path, base, prev) if prev is not None else []
+        if not live:
+            return list(mfs)
+        pos_files, eq_dels = _delete_files(path, mfs)
+        scan = _read_entries(spark, path, base, live, pos_files, eq_dels)
+        total = sum(
+            e["data_file"].get("file_size_in_bytes") or 0 for e in live
+        )
+        n_files = max(1, math.ceil(total / (target_mb << 20)))
+        rewritten = _land_data(
+            scan.repartition(n_files), path, part_names, fields
+        )
+        entries = [
+            {
+                "status": 2,
+                "snapshot_id": snapshot_id,
+                "_seq": e.get("_seq", 0),
+                "data_file": e["data_file"],
+            }
+            for e in live
+        ] + [
+            {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
+            for d in rewritten
+        ]
+        new_mf = _write_manifest(
+            path, entries, snapshot_id, fields, spec, schema_json,
+            fv=fv, seq=seq,
+        )
+        return [new_mf]
+
+    return _commit_snapshot(path, "replace", build)
+
+
 def evolve_iceberg_schema(
     path: str,
     add: list[tuple[str, str]] | None = None,
@@ -1993,10 +2054,46 @@ def read_changes_iceberg(
             if e.get("status", 0) == 2 and e.get("snapshot_id") == sid
         ]
         # delete files, split into prior (mask pre-image reads) and
-        # newly-added-at-this-snapshot (merge-on-read delete rows)
+        # newly-added-at-this-snapshot (merge-on-read delete rows).
+        # Prior deletes come from the PARENT snapshot's manifests: a
+        # compaction (replace) drops its delete manifests, so the
+        # current list cannot say which deletes masked the pre-image —
+        # reading them from the parent keeps rows hidden before the
+        # rewrite out of its diff.
         prior_pos: list[str] = []
         new_pos: list[str] = []
         prior_eq: list[dict] = []
+        parent = next(
+            (
+                s
+                for s in snaps
+                if s["snapshot-id"] == snap.get("parent-snapshot-id")
+            ),
+            None,
+        )
+        if parent is not None:
+            for mf in _read_manifest_list(path, parent):
+                if (mf.get("content") or 0) != 1:
+                    continue
+                mp = _abs_path(path, mf["manifest_path"])
+                records, _m, _s = avrotiny.read_container(mp)
+                for r in records:
+                    if r.get("status", 0) not in (0, 1):
+                        continue
+                    df_rec = r["data_file"]
+                    fp = _abs_path(path, df_rec["file_path"])
+                    if (df_rec.get("content") or 0) == 2:
+                        prior_eq.append(
+                            {
+                                "path": fp,
+                                "seq": _entry_seq(r, mf),
+                                "ids": list(
+                                    df_rec.get("equality_ids") or []
+                                ),
+                            }
+                        )
+                    else:
+                        prior_pos.append(fp)
         for mf in mfs:
             if (mf.get("content") or 0) != 1:
                 continue
@@ -2005,28 +2102,18 @@ def read_changes_iceberg(
             for r in records:
                 if r.get("status", 0) not in (0, 1):
                     continue
+                if r.get("snapshot_id") != sid:
+                    continue
                 df_rec = r["data_file"]
-                fp = _abs_path(path, df_rec["file_path"])
                 if (df_rec.get("content") or 0) == 2:
-                    if r.get("snapshot_id") == sid:
-                        # which rows an equality delete hid depends on
-                        # every older file's content — refuse rather
-                        # than under-report that snapshot's changes
-                        raise ValueError(
-                            f"snapshot {sid}: equality-delete commit — "
-                            "changelog not derivable"
-                        )
-                    prior_eq.append(
-                        {
-                            "path": fp,
-                            "seq": _entry_seq(r, mf),
-                            "ids": list(df_rec.get("equality_ids") or []),
-                        }
+                    # which rows an equality delete hid depends on
+                    # every older file's content — refuse rather
+                    # than under-report that snapshot's changes
+                    raise ValueError(
+                        f"snapshot {sid}: equality-delete commit — "
+                        "changelog not derivable"
                     )
-                elif r.get("snapshot_id") == sid:
-                    new_pos.append(fp)
-                else:
-                    prior_pos.append(fp)
+                new_pos.append(_abs_path(path, df_rec["file_path"]))
         tag = lambda df, ct: df.select(  # noqa: E731
             *names,
             F.lit(ct).alias("_change_type"),

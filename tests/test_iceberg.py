@@ -1060,3 +1060,34 @@ def test_delete_eq_refusals(spark, tmp_path):
         ib.delete_eq_iceberg(path2, ["doc_id"], [])
     with pytest.raises(ValueError, match="arity"):
         ib.delete_eq_iceberg(path2, ["doc_id", "lang"], [(1,)])
+
+
+def test_compact_iceberg_materializes_deletes(spark, tmp_path):
+    """rewrite_data_files: after position + equality deletes, compact
+    re-lands the visible rows, drops every delete manifest (reads stop
+    paying anti-join rent), preserves content exactly, and its replace
+    snapshot reports ZERO changelog rows (carryover removal)."""
+    path = str(tmp_path / "ice_cmp")
+    ib.write_iceberg(_df(spark, 0, 40).repartition(4), path)
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 10, 19, strategy="merge-on-read"
+    )
+    eq_sid = ib.delete_eq_iceberg(path, ["doc_id"], [30, 31])
+    want = _rows(ib.read_iceberg(spark, path))
+    assert len(want) == 28
+    ib.compact_iceberg(spark, path, target_mb=512)
+    assert _rows(ib.read_iceberg(spark, path)) == want
+    meta = ib.current_metadata(path)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["timestamp-ms"])
+    assert snaps[-1]["summary"]["operation"] == "replace"
+    mfs = ib._read_manifest_list(path, ib._snapshot(meta, None))
+    assert all((m.get("content") or 0) == 0 for m in mfs)  # no delete mfs
+    live = ib._live_entries(path, meta, ib._snapshot(meta, None))
+    assert len(live) == 1  # coalesced
+    # the replace snapshot contributes nothing to the changelog
+    # (walked from after the eq-delete snapshot, which refuses)
+    ch = ib.read_changes_iceberg(spark, path, since_snapshot_id=eq_sid)
+    assert ch.count() == 0  # both diff legs empty: pure rewrite
+    # appends after compaction still work (v2 seq keeps advancing)
+    ib.write_iceberg(_df(spark, 100, 103), path)
+    assert len(_rows(ib.read_iceberg(spark, path))) == 31
