@@ -198,6 +198,7 @@ _TAIL_ORDER = [
     "mm_audio_adpcm_pipeline",
     "lake_bloom_lookup",
     "lake_iceberg_eq_upsert",
+    "mm_audio_g711_pipeline",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",

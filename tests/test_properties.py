@@ -435,3 +435,37 @@ def test_avrotiny_container_roundtrip_law(rows):
         av.write_container(p, schema, recs, codec=codec)
         got, _m, _ws = av.read_container(p)
         assert got == recs
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_g711_companding_law(samples):
+    """For ANY int16 signal: both G.711 laws reach a decoded-value
+    fixpoint after one pass (decode∘encode∘decode∘encode == the first
+    decode — byte-level identity would trip on mu-law's two zero
+    codes), the error never exceeds the widest quantization step plus
+    clip loss, and the WAV container round-trips count and rate."""
+    import numpy as np
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        g711,
+    )
+
+    x = np.array(samples, dtype=np.int16)
+    for law, enc, dec, max_err in (
+        ("mulaw", g711.encode_mulaw, g711.decode_mulaw, 16 << 7),
+        ("alaw", g711.encode_alaw, g711.decode_alaw, 8 << 7),
+    ):
+        c = enc(x)
+        y = dec(c)
+        assert np.array_equal(dec(enc(y)), y), law
+        err = np.abs(y.astype(np.int64) - x.astype(np.int64))
+        assert int(err.max()) <= max_err, (law, int(err.max()))
+        wav_y, rate = g711.decode_g711_wav(g711.encode_g711_wav(x, law, 16000))
+        assert rate == 16000 and np.array_equal(wav_y, y)
