@@ -1316,6 +1316,77 @@ def audio_g711_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MP3 (MPEG-1 Layer III) frame-header scan — metadata without decode
+# --------------------------------------------------------------------------
+
+
+def audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 metadata scan over spec-valid MPEG-1 Layer III streams:
+    each document gets a digest-parameterized stream — an ID3v2 tag
+    (syncsafe size), then frames alternating between two bitrates
+    with the padding bit set on odd frames — and the scanner walks
+    the real header math (sync word, version/layer bits, bitrate and
+    sample-rate tables, the 144000·kbps/sr+pad frame-length formula)
+    to report frames, duration, stream geometry and CBR/VBR.  Every
+    output column is digest math the oracle restates: a wrong frame
+    length, missed padding bit, or broken ID3 skip desynchronizes the
+    walk and fails the value match (or refuses).  No payload byte is
+    ever read — the scan is header-bounded, exactly how a 100-TB
+    corpus indexes compressed audio it never decodes."""
+    media = _digest_media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import mpegaudio
+
+        for batch in batches:
+            rows = {
+                "doc_id": [], "n_frames": [], "sample_rate": [],
+                "duration_ms": [], "stream_bytes": [], "is_vbr": [],
+            }
+            for doc_id, b in zip(batch["doc_id"], batch["digest"]):
+                d = np.frombuffer(b, dtype=np.uint8)
+                n_frames = 4 + int(d[8]) % 8
+                sr_idx = int(d[9]) % 3
+                br1 = 1 + int(d[10]) % 14
+                br2 = 1 + int(d[11]) % 14
+                pad = int(d[12]) % 2  # odd frames carry the padding bit
+                specs = [
+                    (br1 if i % 2 == 0 else br2, sr_idx, pad if i % 2 else 0)
+                    for i in range(n_frames)
+                ]
+                id3 = bytes(range(int(d[13])))
+                meta = mpegaudio.scan_mpeg_stream(
+                    mpegaudio.encode_mp3_stream(specs, id3_payload=id3)
+                )
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(meta["n_frames"])
+                rows["sample_rate"].append(meta["sample_rate"])
+                rows["duration_ms"].append(meta["duration_ms"])
+                rows["stream_bytes"].append(meta["stream_bytes"])
+                rows["is_vbr"].append(meta["is_vbr"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                    "duration_ms": pd.Series(rows["duration_ms"], dtype="int64"),
+                    "stream_bytes": pd.Series(rows["stream_bytes"], dtype="int64"),
+                    "is_vbr": pd.Series(rows["is_vbr"], dtype="bool"),
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, n_frames int, sample_rate int, duration_ms long, "
+        "stream_bytes long, is_vbr boolean",
+    )
+
+
+# --------------------------------------------------------------------------
 # Perceptual image dedup — average-hash + banded Hamming join
 # --------------------------------------------------------------------------
 
@@ -1416,6 +1487,7 @@ QUERIES = {
     "mm_video_mjpeg_pipeline": video_mjpeg_pipeline,
     "mm_audio_adpcm_pipeline": audio_adpcm_pipeline,
     "mm_audio_g711_pipeline": audio_g711_pipeline,
+    "mm_audio_mp3_meta": audio_mp3_meta,
 }
 
 # The fixture bytes are digest-derived, so the REAL decoded features
@@ -1597,6 +1669,45 @@ SELECT doc_id,
 FROM documents
 """
 
+# restates the ISO/IEC 11172-3 stream geometry from digest math: frame
+# length 144000*kbps//sr (+pad on odd frames), syncsafe ID3 envelope,
+# alternating-bitrate VBR classification
+_MP3_META_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           4 + ('0x' || substr(md5(text), 17, 2))::INT % 8 AS n_frames,
+           ('0x' || substr(md5(text), 19, 2))::INT % 3 AS sr_idx,
+           1 + ('0x' || substr(md5(text), 21, 2))::INT % 14 AS br1,
+           1 + ('0x' || substr(md5(text), 23, 2))::INT % 14 AS br2,
+           ('0x' || substr(md5(text), 25, 2))::INT % 2 AS pad,
+           ('0x' || substr(md5(text), 27, 2))::INT AS id3_payload
+    FROM documents
+),
+t AS (
+    SELECT doc_id, n_frames, br1, br2,
+           CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS sr,
+           list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                        br1) AS k1,
+           list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                        br2) AS k2,
+           pad,
+           CASE WHEN id3_payload = 0 THEN 0 ELSE 10 + id3_payload END
+               AS id3_total
+    FROM d
+)
+SELECT doc_id,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(sr AS INT) AS sample_rate,
+       CAST((n_frames * 1152 * 1000) // sr AS BIGINT) AS duration_ms,
+       CAST(id3_total
+            + ((n_frames + 1) // 2) * ((144000 * k1) // sr)
+            + (n_frames // 2) * ((144000 * k2) // sr + pad)
+            AS BIGINT) AS stream_bytes,
+       br1 <> br2 AS is_vbr
+FROM t
+"""
+
 ORACLES: dict[str, str] = {
     "mm_image_metadata": _IMAGE_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
@@ -1609,4 +1720,5 @@ ORACLES: dict[str, str] = {
     "mm_video_mjpeg_pipeline": _MJPEG_PIPELINE_SQL,
     "mm_audio_adpcm_pipeline": _ADPCM_PIPELINE_SQL,
     "mm_audio_g711_pipeline": _G711_PIPELINE_SQL,
+    "mm_audio_mp3_meta": _MP3_META_SQL,
 }

@@ -412,6 +412,50 @@ def test_g711_codec_laws_and_wav_container():
         g711.decode_g711_wav(pcm)
 
 
+def test_mp3_frame_header_scan():
+    """MPEG-1 Layer III scanner: the spec frame-length formula (incl.
+    the padding bit), syncsafe ID3v2 skip, VBR classification, and
+    loud refusals on truncation / lost sync / free bitrate."""
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        mpegaudio as m,
+    )
+
+    # 128 kbps @ 44100: spec length 417; +1 with padding
+    assert m.frame_length(9, 0, 0) == 417
+    assert m.frame_length(9, 0, 1) == 418
+    # CBR stream, no tag
+    b = m.encode_mp3_stream([(9, 0, 0)] * 5)
+    meta = m.scan_mpeg_stream(b)
+    assert meta["n_frames"] == 5 and meta["sample_rate"] == 44100
+    assert meta["stream_bytes"] == 5 * 417 == meta["frame_bytes"]
+    assert not meta["is_vbr"] and meta["id3_bytes"] == 0
+    assert meta["duration_ms"] == (5 * 1152 * 1000) // 44100
+    # VBR with ID3 tag and padded odd frames @ 48000 (160 kbps → 480)
+    tag = bytes(200)
+    b = m.encode_mp3_stream(
+        [(10, 1, 0), (14, 1, 1), (10, 1, 0), (14, 1, 1)], id3_payload=tag
+    )
+    meta = m.scan_mpeg_stream(b)
+    assert meta["id3_bytes"] == 210 and meta["is_vbr"]
+    assert meta["bitrates_kbps"] == [160, 320]
+    assert meta["frame_bytes"] == 2 * 480 + 2 * ((144_000 * 320) // 48000 + 1)
+    assert meta["stream_bytes"] == 210 + meta["frame_bytes"]
+    # refusals: truncated final frame, garbage mid-stream, free bitrate
+    with pytest.raises(ValueError, match="truncated"):
+        m.scan_mpeg_stream(b[:-1])
+    good = m.encode_mp3_stream([(9, 0, 0)])
+    with pytest.raises(ValueError, match="sync"):
+        m.scan_mpeg_stream(good + b"junkjunk" * 60)
+    free = bytearray(good)
+    free[1 + 1] = (free[2] & 0x0F) | 0x00  # zero the bitrate index
+    with pytest.raises(ValueError, match="free/forbidden"):
+        m.scan_mpeg_stream(bytes(free))
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        m.scan_mpeg_stream(m.encode_id3v2(b"x"))
+
+
 def test_mjpeg_avi_codec_roundtrip():
     """MJPEG AVI: the container announces the 'MJPG' fourcc, every
     '00dc' chunk is a standalone baseline JPEG, per-frame PSNR clears
