@@ -200,6 +200,7 @@ _TAIL_ORDER = [
     "lake_iceberg_eq_upsert",
     "mm_audio_g711_pipeline",
     "mm_audio_mp3_meta",
+    "mm_video_mp4_pipeline",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",

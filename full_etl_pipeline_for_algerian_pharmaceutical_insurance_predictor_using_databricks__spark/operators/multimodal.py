@@ -1316,6 +1316,90 @@ def audio_g711_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MP4 (ISO BMFF): the real container tier — motion-JPEG samples inside
+# the ftyp/mdat/moov + stbl sample-table layout (operators/isobmff)
+# --------------------------------------------------------------------------
+
+
+def video_mp4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 pipeline over genuine ISO-BMFF bytes: per document,
+    digest-derived frames (same geometry as the MJPEG-AVI entry) are
+    muxed into a real MP4 — mvhd/tkhd/mdhd dual-clock metadata plus
+    the four stbl sample tables — then the container is parsed back
+    through the general stsc/stco/stsz sample mapping, every 'jpeg'
+    sample entropy-decoded, and a per-frame PSNR floor checked.
+    `duration_ms` comes from the media clock (stts ticks over the
+    mdhd timescale) and is digest math the oracle restates at 10 fps;
+    a wrong box length, fixed-point width, timescale conversion, or
+    chunk-offset expansion fails the value match (or refuses)."""
+    media = _digest_media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import isobmff
+
+        for batch in batches:
+            ids, ns, ws, hs, durs, oks = [], [], [], [], [], []
+            for doc_id, b in zip(batch["doc_id"], batch["digest"]):
+                d = np.frombuffer(b, dtype=np.uint8)
+                w, h = 8 + int(d[4]) % 8, 8 + int(d[5]) % 8
+                n = VIDEO_MIN_FRAMES + int(d[2]) % 3
+                orig = np.resize(d, n * h * w * 3).reshape(n, h, w, 3)
+                dec, meta = isobmff.decode_mp4_frames(
+                    isobmff.encode_mp4_mjpeg(orig)
+                )
+                ok = (
+                    dec.shape == orig.shape
+                    and meta["width"] == w
+                    and meta["height"] == h
+                    and meta["movie_timescale"] == isobmff.MOVIE_TIMESCALE
+                )
+                if ok:
+                    for f in range(n):
+                        mse = float(
+                            (
+                                (dec[f].astype(np.float64)
+                                 - orig[f].astype(np.float64))
+                                ** 2
+                            ).mean()
+                        )
+                        psnr = (
+                            float("inf")
+                            if mse == 0
+                            else 10.0 * np.log10(255.0**2 / mse)
+                        )
+                        if psnr < JPEG_PSNR_FLOOR_DB:
+                            ok = False
+                            break
+                ids.append(doc_id)
+                ns.append(n)
+                ws.append(w)
+                hs.append(h)
+                durs.append(meta["duration_ms"])
+                oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(ns, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                    "format": ["mp4"] * len(ids),
+                    "frames_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, n_frames int, width int, height int, "
+        "duration_ms long, format string, frames_ok boolean",
+    )
+
+
+# --------------------------------------------------------------------------
 # MP3 (MPEG-1 Layer III) frame-header scan — metadata without decode
 # --------------------------------------------------------------------------
 
@@ -1488,6 +1572,7 @@ QUERIES = {
     "mm_audio_adpcm_pipeline": audio_adpcm_pipeline,
     "mm_audio_g711_pipeline": audio_g711_pipeline,
     "mm_audio_mp3_meta": audio_mp3_meta,
+    "mm_video_mp4_pipeline": video_mp4_pipeline,
 }
 
 # The fixture bytes are digest-derived, so the REAL decoded features
@@ -1669,6 +1754,22 @@ SELECT doc_id,
 FROM documents
 """
 
+# same digest geometry as MJPEG-AVI plus the 10-fps media-clock math
+_MP4_PIPELINE_SQL = """
+SELECT doc_id,
+       CAST(2 + (('0x' || substr(md5(text), 5, 2))::INT % 3) AS INT)
+           AS n_frames,
+       CAST(8 + (('0x' || substr(md5(text), 9, 2))::INT % 8) AS INT)
+           AS width,
+       CAST(8 + (('0x' || substr(md5(text), 11, 2))::INT % 8) AS INT)
+           AS height,
+       CAST((2 + (('0x' || substr(md5(text), 5, 2))::INT % 3)) * 100
+            AS BIGINT) AS duration_ms,
+       'mp4' AS format,
+       TRUE AS frames_ok
+FROM documents
+"""
+
 # restates the ISO/IEC 11172-3 stream geometry from digest math: frame
 # length 144000*kbps//sr (+pad on odd frames), syncsafe ID3 envelope,
 # alternating-bitrate VBR classification
@@ -1721,4 +1822,5 @@ ORACLES: dict[str, str] = {
     "mm_audio_adpcm_pipeline": _ADPCM_PIPELINE_SQL,
     "mm_audio_g711_pipeline": _G711_PIPELINE_SQL,
     "mm_audio_mp3_meta": _MP3_META_SQL,
+    "mm_video_mp4_pipeline": _MP4_PIPELINE_SQL,
 }
