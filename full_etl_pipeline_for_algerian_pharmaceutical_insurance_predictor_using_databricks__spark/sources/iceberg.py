@@ -53,6 +53,7 @@ import io
 import json
 import math
 import os
+import re
 import shutil
 import struct
 import time
@@ -78,6 +79,8 @@ _SPARK_TO_ICE = {
     "binary": "binary",
     "date": "date",
     "timestamp": "timestamptz",
+    # Spark's tz-free TimestampNTZ is exactly Iceberg's `timestamp`
+    "timestamp_ntz": "timestamp",
 }
 _ICE_TO_SPARK = {v: k for k, v in _SPARK_TO_ICE.items()}
 _ICE_TO_AVRO = {
@@ -90,6 +93,7 @@ _ICE_TO_AVRO = {
     "binary": "bytes",
     "date": {"type": "int", "logicalType": "date"},
     "timestamptz": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamp": {"type": "long", "logicalType": "local-timestamp-micros"},
 }
 
 
@@ -232,11 +236,11 @@ def _id_map_schema(name: str, key_id: int, val_id: int, val_type="bytes"):
 def _partition_avro_schema(part_fields: list[dict], ice_types: dict) -> dict:
     fields = []
     for pf in part_fields:
-        src_type = ice_types[pf["source-id"]]
+        res_type = _pf_result_type(pf, ice_types[pf["source-id"]])
         fields.append(
             {
                 "name": pf["name"],
-                "type": _opt(_ICE_TO_AVRO[src_type]),
+                "type": _opt(_ICE_TO_AVRO[res_type]),
                 "field-id": pf["field-id"],
                 "default": None,
             }
@@ -770,9 +774,15 @@ def _read_entries(
     schema = _spark_schema(fields)
     by_id = {f["id"]: f for f in fields}
     part_names = [pf["name"] for pf in spec]
-    part_src = {pf["name"]: by_id[pf["source-id"]]["name"] for pf in spec}
+    # only IDENTITY partition values reconstruct as columns — transform
+    # sources stay inside the data files per the spec's projection rule
+    id_pfs = [
+        pf for pf in spec if pf.get("transform", "identity") == "identity"
+    ]
+    part_src = {pf["name"]: by_id[pf["source-id"]]["name"] for pf in id_pfs}
     part_type = {
-        pf["name"]: _ICE_TO_SPARK[by_id[pf["source-id"]]["type"]] for pf in spec
+        pf["name"]: _ICE_TO_SPARK[by_id[pf["source-id"]]["type"]]
+        for pf in id_pfs
     }
     from pyspark.sql.types import StructType
 
@@ -841,7 +851,9 @@ def _read_entries(
                     f.name, F.coalesce(*[F.col(n) for n in names])
                 )
         for pname, raw in zip(part_names, pkey):
-            col = part_src[pname]
+            col = part_src.get(pname)
+            if col is None:
+                continue  # transform field: source col is in the file
             df = df.withColumn(col, _part_literal(raw, part_type[pname]))
         frames.append(df.select(*[f.name for f in schema.fields], *extra))
     out = frames[0]
@@ -921,8 +933,22 @@ def read_iceberg_pruned(
     part_pos = next(
         (i for i, pf in enumerate(spec) if pf["source-id"] == fid), None
     )
-    part_name = spec[part_pos]["name"] if part_pos is not None else None
+    pf = spec[part_pos] if part_pos is not None else None
+    part_name = pf["name"] if pf is not None else None
     lo_i, hi_i = _to_internal(ice_type, lo), _to_internal(ice_type, hi)
+    # map the predicate bounds into PARTITION space: monotone
+    # transforms (identity/year/month/day/hour/truncate) bound a range
+    # — T(lo) <= T(v) <= T(hi) — while bucket scrambles order and can
+    # prune only a point lookup (lo == hi → one bucket value)
+    p_lo = p_hi = res_type = None
+    if pf is not None:
+        kind, _param = _parse_transform(pf.get("transform", "identity"))
+        res_type = _pf_result_type(pf, ice_type)
+        if kind in _MONOTONE_KINDS:
+            p_lo = _apply_transform_py(pf, ice_type, lo_i)
+            p_hi = _apply_transform_py(pf, ice_type, hi_i)
+        elif kind == "bucket" and lo_i == hi_i:
+            p_lo = p_hi = _apply_transform_py(pf, ice_type, lo_i)
 
     manifests_skipped = 0
     files_read = 0
@@ -931,15 +957,15 @@ def read_iceberg_pruned(
     all_mfs = _read_manifest_list(path, snap)
     for mf in _data_manifests(all_mfs):
         summaries = mf.get("partitions")
-        if part_pos is not None and summaries and part_pos < len(summaries):
+        if p_lo is not None and summaries and part_pos < len(summaries):
             s = summaries[part_pos]
-            s_lo = deser_value(ice_type, s.get("lower_bound"))
-            s_hi = deser_value(ice_type, s.get("upper_bound"))
+            s_lo = deser_value(res_type, s.get("lower_bound"))
+            s_hi = deser_value(res_type, s.get("upper_bound"))
             if (
                 s_lo is not None
                 and s_hi is not None
                 and not s.get("contains_null")
-                and (s_hi < lo_i or s_lo > hi_i)
+                and (s_hi < p_lo or s_lo > p_hi)
             ):
                 manifests_skipped += 1
                 continue
@@ -947,23 +973,24 @@ def read_iceberg_pruned(
             if e.get("status", 0) not in (0, 1):
                 continue
             df_rec = e["data_file"]
-            if part_name is not None:
+            if part_name is not None and p_lo is not None:
                 pv = (df_rec.get("partition") or {}).get(part_name)
-                if pv is not None and (pv < lo_i or pv > hi_i):
+                if pv is not None and (pv < p_lo or pv > p_hi):
                     files_skipped += 1
                     continue
-            else:
-                lbs = _norm_id_map(df_rec.get("lower_bounds"))
-                ubs = _norm_id_map(df_rec.get("upper_bounds"))
-                f_lo = deser_value(ice_type, lbs.get(fid))
-                f_hi = deser_value(ice_type, ubs.get(fid))
-                if (
-                    f_lo is not None
-                    and f_hi is not None
-                    and (f_hi < lo_i or f_lo > hi_i)
-                ):
-                    files_skipped += 1
-                    continue
+            # file-bound tier: present whenever the column lives in the
+            # data files (always, except identity partition sources)
+            lbs = _norm_id_map(df_rec.get("lower_bounds"))
+            ubs = _norm_id_map(df_rec.get("upper_bounds"))
+            f_lo = deser_value(ice_type, lbs.get(fid))
+            f_hi = deser_value(ice_type, ubs.get(fid))
+            if (
+                f_lo is not None
+                and f_hi is not None
+                and (f_hi < lo_i or f_lo > hi_i)
+            ):
+                files_skipped += 1
+                continue
             files_read += 1
             kept.append(e)
     pos_files, eq_deletes = _delete_files(path, all_mfs)
@@ -1005,19 +1032,348 @@ def _parse_hive_value(ice_type: str, v: str):
     )
 
 
+# --------------------------------------------------------------------------
+# Partition transforms (spec "Partition Transforms" + Appendix B hashing)
+# --------------------------------------------------------------------------
+
+_EPOCH_ORDINAL = 719_163  # datetime.date(1970, 1, 1).toordinal()
+_TIME_KINDS = ("year", "month", "day", "hour")
+#: transforms where v1 <= v2 implies T(v1) <= T(v2) — safe for
+#: mapping range-predicate bounds into partition space
+_MONOTONE_KINDS = ("identity",) + _TIME_KINDS + ("truncate",)
+
+
+def _parse_transform(t: str) -> tuple[str, int | None]:
+    """Spec transform string → (kind, param): 'bucket[16]' →
+    ('bucket', 16), 'truncate[4]' → ('truncate', 4), else (t, None)."""
+    m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", t)
+    if m:
+        return m.group(1), int(m.group(2))
+    return t, None
+
+
+_PB_TERM = re.compile(
+    r"(years?|months?|days?|hours?|bucket|truncate)\s*\(\s*"
+    r"(?:(\d+)\s*,\s*)?([A-Za-z_][\w]*)\s*\)$"
+)
+
+
+def _parse_partition_by(
+    partition_by: list[str], by_name: dict
+) -> list[dict]:
+    """User partition terms → spec partition fields.  Accepts the SQL
+    transform syntax real Iceberg DDL uses — `days(ts)`,
+    `bucket(16, id)`, `truncate(4, s)` — or a bare column name for
+    identity.  Validates source types per the spec's transform
+    domains and refuses anything else loudly."""
+    spec = []
+    for i, term in enumerate(partition_by):
+        term = term.strip()
+        m = _PB_TERM.fullmatch(term)
+        if m:
+            kind = m.group(1).rstrip("s") if m.group(1)[-1] == "s" else m.group(1)
+            kind = {"year": "year", "month": "month", "day": "day",
+                    "hour": "hour", "bucket": "bucket",
+                    "truncate": "truncate"}[kind]
+            param, col = m.group(2), m.group(3)
+        else:
+            kind, param, col = "identity", None, term
+        fld = by_name.get(col)
+        if fld is None:
+            raise ValueError(f"partition term {term!r}: no column {col!r}")
+        t = fld["type"]
+        if kind in ("bucket", "truncate"):
+            if param is None:
+                raise ValueError(
+                    f"partition term {term!r}: {kind} needs a width/count "
+                    f"argument — {kind}(N, {col})"
+                )
+            param = int(param)
+            if param < 1:
+                raise ValueError(f"partition term {term!r}: N must be >= 1")
+        if kind in ("year", "month", "day") and t not in (
+            "date", "timestamp", "timestamptz"
+        ):
+            raise ValueError(
+                f"partition term {term!r}: {kind} needs a date/timestamp "
+                f"source, got {t!r}"
+            )
+        if kind == "hour" and t not in ("timestamp", "timestamptz"):
+            raise ValueError(
+                f"partition term {term!r}: hour needs a timestamp source, "
+                f"got {t!r}"
+            )
+        if kind == "bucket" and t not in (
+            "int", "long", "date", "timestamp", "timestamptz", "string"
+        ):
+            raise ValueError(
+                f"partition term {term!r}: bucket over {t!r} unsupported"
+            )
+        if kind == "truncate" and t not in ("int", "long", "string"):
+            raise ValueError(
+                f"partition term {term!r}: truncate over {t!r} unsupported"
+            )
+        if kind == "identity" and t in ("timestamp", "timestamptz", "binary"):
+            raise ValueError(
+                f"partition column {col!r}: type {t!r} unsupported as an "
+                "identity partition source"
+            )
+        name = (
+            col
+            if kind == "identity"
+            else f"{col}_trunc" if kind == "truncate" else f"{col}_{kind}"
+        )
+        transform = (
+            kind if param is None else f"{kind}[{param}]"
+        )
+        spec.append(
+            {
+                "name": name,
+                "transform": transform,
+                "source-id": fld["id"],
+                "field-id": 1000 + i,
+            }
+        )
+    return spec
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant), seed 0 — the hash the Iceberg
+    spec's bucket transform mandates (Appendix B).  Returns a SIGNED
+    int32, matching the reference implementation's Java int."""
+    c1, c2, mask = 0xCC9E2D51, 0x1B873593, 0xFFFFFFFF
+    h = seed & mask
+    n = len(data)
+    for i in range(0, n - (n % 4), 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & mask
+        k = ((k << 15) | (k >> 17)) & mask
+        k = (k * c2) & mask
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & mask
+        h = (h * 5 + 0xE6546B64) & mask
+    tail = data[n - (n % 4) :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & mask
+        k = ((k << 15) | (k >> 17)) & mask
+        k = (k * c2) & mask
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & mask
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & mask
+    h ^= h >> 16
+    return h - (1 << 32) if h >= 1 << 31 else h
+
+
+def _bucket_of(ice_type: str, v_internal, n: int):
+    """Spec bucket value: murmur3 of the single-value hash bytes
+    (ints/longs/dates/timestamps as 8-byte little-endian LONG, strings
+    as UTF-8), masked positive, mod N."""
+    if v_internal is None:
+        return None
+    if ice_type in ("int", "long", "date", "timestamp", "timestamptz"):
+        b = int(v_internal).to_bytes(8, "little", signed=True)
+    elif ice_type == "string":
+        b = str(v_internal).encode("utf-8")
+    else:  # pragma: no cover - guarded at spec parse
+        raise ValueError(f"bucket over {ice_type!r} unsupported")
+    return (murmur3_32(b) & 0x7FFFFFFF) % n
+
+
+def _apply_transform_py(pf: dict, ice_type: str, v_internal):
+    """Partition value for one source value in its INTERNAL repr
+    (date → epoch days, timestamp → epoch micros) — the python twin of
+    the Spark landing expressions, used for metadata-tier pruning."""
+    kind, param = _parse_transform(pf.get("transform", "identity"))
+    if v_internal is None:
+        return None
+    if kind == "identity":
+        return v_internal
+    if kind == "bucket":
+        return _bucket_of(ice_type, v_internal, param)
+    if kind == "truncate":
+        if ice_type in ("int", "long"):
+            return (int(v_internal) // param) * param
+        return str(v_internal)[:param]
+    # time transforms
+    if ice_type == "date":
+        days = int(v_internal)
+    else:  # timestamp micros
+        if kind == "hour":
+            return int(v_internal) // 3_600_000_000
+        days = int(v_internal) // 86_400_000_000
+    if kind == "day":
+        return days
+    import datetime
+
+    d = datetime.date.fromordinal(_EPOCH_ORDINAL + days)
+    if kind == "month":
+        return (d.year - 1970) * 12 + d.month - 1
+    return d.year - 1970  # year
+
+
+def _pf_result_type(pf: dict, src_type: str) -> str:
+    """Iceberg type of a partition field's VALUE (spec result types:
+    time transforms and bucket → int; identity/truncate → source)."""
+    kind, _ = _parse_transform(pf.get("transform", "identity"))
+    if kind in _TIME_KINDS or kind == "bucket":
+        return "int"
+    return src_type
+
+
+def _ntz_micros_expr(c):
+    """Wall-clock micros since 1970-01-01T00:00 for a TimestampNTZ
+    column, from tz-free calendar fields (datediff/hour/minute/
+    date_part are all timezone-independent on NTZ — `cast` is NOT)."""
+    days = F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
+    return (
+        days.cast("long") * F.lit(86_400_000_000).cast("long")
+        + (F.hour(c) * 3600 + F.minute(c) * 60).cast("long") * 1_000_000
+        + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+    )
+
+
+def _bucket_expr(src_type: str, n: int, c):
+    """Spark column computing the spec bucket of `c` — murmur3 seed 0
+    over the normalized hash bytes.  Numeric/temporal sources are
+    hashed VECTORIZED (fixed 8-byte little-endian input → two-block
+    numpy murmur3 in an Arrow batch); strings hash per-row in the same
+    batch.  Spark's built-in `hash()` is murmur3 with seed 42 and
+    4-byte int encoding — NOT the spec function, hence the UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    if src_type in ("int", "long"):
+        norm = c.cast("long")
+    elif src_type == "date":
+        norm = F.datediff(c, F.lit("1970-01-01").cast("date")).cast("long")
+    elif src_type == "timestamp":
+        # tz-free NTZ: wall-clock micros from CALENDAR fields — a cast
+        # through TimestampType would shift by the session timezone
+        norm = _ntz_micros_expr(c)
+    elif src_type == "timestamptz":
+        norm = F.unix_micros(c)
+    else:
+        norm = c
+
+    if src_type == "string":
+
+        @pandas_udf("int")
+        def bucket_str(s):
+            import pandas as pd
+
+            return pd.Series(
+                [
+                    None
+                    if v is None
+                    else (murmur3_32(str(v).encode("utf-8")) & 0x7FFFFFFF) % n
+                    for v in s
+                ],
+                dtype="Int32",
+            )
+
+        return bucket_str(norm)
+
+    @pandas_udf("int")
+    def bucket_long(s):
+        import numpy as np
+        import pandas as pd
+
+        mask = s.isna()
+        u = s.fillna(0).astype("int64").to_numpy().astype(np.uint64)
+        h = np.zeros(u.shape, np.uint32)
+        c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+        for shift in (np.uint64(0), np.uint64(32)):
+            k = ((u >> shift) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            k = k * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h = h ^ k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h = h ^ np.uint32(8)
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        h = h ^ (h >> np.uint32(16))
+        out = pd.Series((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(
+            "Int32"
+        )
+        out[mask.to_numpy()] = None
+        return out
+
+    return bucket_long(norm)
+
+
+def _transform_expr(pf: dict, src_name: str, src_type: str):
+    """Spark column computing a partition field's value at landing
+    time.  Time transforms stay JVM-side (datediff / unix_micros /
+    calendar fields over a tz-free DATE, so the session timezone never
+    leaks in); truncate is floor-div / substring; bucket is the
+    murmur3 UDF above."""
+    kind, param = _parse_transform(pf.get("transform", "identity"))
+    c = F.col(src_name)
+    if kind == "identity":
+        return c
+    if kind == "bucket":
+        return _bucket_expr(src_type, param, c)
+    if kind == "truncate":
+        if src_type in ("int", "long"):
+            out = (F.floor(c / F.lit(param)) * param)
+            return out.cast("int" if src_type == "int" else "long")
+        return F.substring(c, 1, param)
+    if src_type == "date":
+        days = F.datediff(c, F.lit("1970-01-01").cast("date"))
+    elif src_type == "timestamp":
+        # tz-free NTZ: calendar fields only (no session-tz casts)
+        days = F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
+        if kind == "hour":
+            return (days.cast("long") * 24 + F.hour(c)).cast("int")
+    else:  # timestamptz: true UTC epoch math
+        secs = c.cast("long")
+        if kind == "hour":
+            return F.floor(secs / 3600).cast("int")
+        days = F.floor(secs / 86400).cast("int")
+    if kind == "day":
+        return days.cast("int")
+    cal = F.date_add(F.lit("1970-01-01").cast("date"), days.cast("int"))
+    if kind == "month":
+        return ((F.year(cal) - 1970) * 12 + F.month(cal) - 1).cast("int")
+    return (F.year(cal) - 1970).cast("int")
+
+
 def _land_data(
     df: DataFrame,
     path: str,
-    part_cols: list[str],
+    spec: list[dict],
     fields: list[dict],
 ) -> list[dict]:
     """Land the frame as parquet under `data/` (hive dirs when
-    partitioned; partition columns dropped from file content per the
-    identity-projection rule) and return data_file records with
+    partitioned; identity partition columns dropped from file content
+    per the identity-projection rule, TRANSFORM partition values
+    computed as derived columns — their SOURCE columns stay in the
+    files, as the spec requires) and return data_file records with
     footer-derived per-field-id stats."""
     import pyarrow.parquet as pq
 
     name_to_field = {f["name"]: f for f in fields}
+    by_id = {f["id"]: f for f in fields}
+    pf_by_name = {pf["name"]: pf for pf in spec}
+    part_cols: list[str] = []
+    for pf in spec:
+        kind, _param = _parse_transform(pf.get("transform", "identity"))
+        src = by_id[pf["source-id"]]["name"]
+        if kind == "identity":
+            part_cols.append(src)
+        else:
+            df = df.withColumn(
+                pf["name"],
+                _transform_expr(pf, src, by_id[pf["source-id"]]["type"]),
+            )
+            part_cols.append(pf["name"])
     # stamp each column's Iceberg field-id into the parquet schema
     # (Spark's parquet.field.id passthrough — no extra IO): real
     # engines resolve columns by id, so files stay readable across
@@ -1044,8 +1400,10 @@ def _land_data(
         pvals: dict[str, object] = {}
         for seg in segs:
             k, _, v = seg.partition("=")
-            if k in part_cols:
-                pvals[k] = _parse_hive_value(name_to_field[k]["type"], v)
+            pf = pf_by_name.get(k)
+            if pf is not None:
+                res_t = _pf_result_type(pf, by_id[pf["source-id"]]["type"])
+                pvals[k] = _parse_hive_value(res_t, v)
         for fname in sorted(files):
             if not fname.endswith(".parquet"):
                 continue
@@ -1129,7 +1487,7 @@ def _partition_summaries(
     by_id = {f["id"]: f for f in fields}
     out = []
     for pf in spec:
-        ice_t = by_id[pf["source-id"]]["type"]
+        ice_t = _pf_result_type(pf, by_id[pf["source-id"]]["type"])
         vals = [
             (e["data_file"].get("partition") or {}).get(pf["name"])
             for e in entries
@@ -1382,38 +1740,24 @@ def write_iceberg(
         base0 = current_metadata(path)
         fields = _schema_of(base0)
         spec = _spec_of(base0)
-        spec_names = [pf["name"] for pf in spec]
-        if partition_by is not None and list(partition_by) != spec_names:
-            raise ValueError(
-                f"partition_by {list(partition_by)} contradicts the "
-                f"table's partition spec {spec_names}"
-            )
-        for pf in spec:
-            if pf.get("transform", "identity") != "identity":
+        if partition_by is not None:
+            by_name = {f["name"]: f for f in fields}
+            want = _parse_partition_by(list(partition_by), by_name)
+            have = [
+                (pf.get("transform", "identity"), pf["source-id"])
+                for pf in spec
+            ]
+            if [(pf["transform"], pf["source-id"]) for pf in want] != have:
                 raise ValueError(
-                    f"unsupported partition transform {pf['transform']!r}"
+                    f"partition_by {list(partition_by)} contradicts the "
+                    "table's partition spec "
+                    f"{[pf['transform'] + ':' + pf['name'] for pf in spec]}"
                 )
     else:
         fields = _iceberg_fields(df.schema)
         by_name = {f["name"]: f for f in fields}
-        for c in partition_by or []:
-            if by_name[c]["type"] in ("timestamptz", "binary"):
-                raise ValueError(
-                    f"partition column {c!r}: type "
-                    f"{by_name[c]['type']!r} unsupported as an identity "
-                    "partition source"
-                )
-        spec = [
-            {
-                "name": c,
-                "transform": "identity",
-                "source-id": by_name[c]["id"],
-                "field-id": 1000 + i,
-            }
-            for i, c in enumerate(partition_by or [])
-        ]
-    part_cols = [pf["name"] for pf in spec]
-    data_files = _land_data(df, path, part_cols, fields)
+        spec = _parse_partition_by(list(partition_by or []), by_name)
+    data_files = _land_data(df, path, spec, fields)
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
 
     def build_manifests(
@@ -1580,18 +1924,27 @@ def delete_where_iceberg(
     if fid is None:
         raise ValueError(f"no column {col!r} in the Iceberg schema")
     ice_type = by_id[fid]["type"]
-    part_name = next(
-        (pf["name"] for pf in spec if pf["source-id"] == fid), None
-    )
+    del_pf = next((p for p in spec if p["source-id"] == fid), None)
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
 
     lo_i, hi_i = _to_internal(ice_type, lo), _to_internal(ice_type, hi)
+    # partition-tier bounds, mapped through the transform when monotone
+    # (bucket ranges can't prune; point deletes map to one bucket)
+    dp_lo = dp_hi = None
+    if del_pf is not None:
+        d_kind, _dp = _parse_transform(del_pf.get("transform", "identity"))
+        if d_kind in _MONOTONE_KINDS:
+            dp_lo = _apply_transform_py(del_pf, ice_type, lo_i)
+            dp_hi = _apply_transform_py(del_pf, ice_type, hi_i)
+        elif d_kind == "bucket" and lo_i == hi_i:
+            dp_lo = dp_hi = _apply_transform_py(del_pf, ice_type, lo_i)
 
     def touched_by_range(entry: dict) -> bool:
         df_rec = entry["data_file"]
-        if part_name is not None:
-            pv = (df_rec.get("partition") or {}).get(part_name)
-            return pv is None or (lo_i <= pv <= hi_i)
+        if del_pf is not None and dp_lo is not None:
+            pv = (df_rec.get("partition") or {}).get(del_pf["name"])
+            if pv is not None and (pv < dp_lo or pv > dp_hi):
+                return False
         lbs = _norm_id_map(df_rec.get("lower_bounds"))
         ubs = _norm_id_map(df_rec.get("upper_bounds"))
         f_lo = deser_value(ice_type, lbs.get(fid))
@@ -1679,7 +2032,7 @@ def delete_where_iceberg(
             kept_rows = old_rows.filter(
                 F.col(col).isNull() | ~F.col(col).between(lo, hi)
             )
-            rewritten = _land_data(kept_rows, path, part_names, fields)
+            rewritten = _land_data(kept_rows, path, spec, fields)
         entries = (
             [
                 {
@@ -1873,7 +2226,7 @@ def compact_iceberg(
         )
         n_files = max(1, math.ceil(total / (target_mb << 20)))
         rewritten = _land_data(
-            scan.repartition(n_files), path, part_names, fields
+            scan.repartition(n_files), path, spec, fields
         )
         entries = [
             {
@@ -2672,6 +3025,92 @@ SELECT lang, _change_type, n_rows, sum_ids FROM (
     GROUP BY lang
 )
 ORDER BY lang, _change_type
+"""
+
+
+#: Bump when the transform-partitioned fixture changes shape.
+_ICEBERG_TX_LAKE_VERSION = 1
+
+
+def _ensure_transform_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once transform-partitioned fixture: orders as a real
+    Iceberg table partitioned by years(o_orderdate) + bucket(4,
+    o_custkey) — the canonical time-plus-hash layout a 100-TB event
+    table ships with (Flink/Spark writers emit exactly this spec)."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir("iceberg_tx", _ICEBERG_TX_LAKE_VERSION, sf_dir),
+        "orders_iceberg",
+    )
+    if not _metadata_versions(path):
+        orders = load_table(spark, sf_dir, "orders")
+        write_iceberg(
+            orders,
+            path,
+            partition_by=["years(o_orderdate)", "bucket(4, o_custkey)"],
+        )
+    return path
+
+
+def iceberg_transforms_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for PARTITION TRANSFORMS: orders written as a
+    real Iceberg table partitioned by `years(o_orderdate)` +
+    `bucket(4, o_custkey)` (spec transform strings in the metadata
+    JSON, transformed values in manifest partition tuples with result
+    types, source columns KEPT in data files per the projection rule),
+    then two pruned scans through the metadata tiers: a year-range
+    scan (predicate bounds mapped through the monotone `year`
+    transform) aggregated per order priority, and a bucket point
+    lookup (the predicate value hashed with the spec's seed-0 murmur3
+    into one bucket).  The oracle restates both legs off the raw
+    parquet, so a value match proves the transform math, hive landing,
+    Avro partition typing, and pruned reads are all exact; the skip
+    COUNTS are pinned in pytest."""
+    import datetime
+
+    path = _ensure_transform_lake(spark, sf_dir)
+    rng, _fr, _fs, _ms = read_iceberg_pruned(
+        spark,
+        path,
+        "o_orderdate",
+        datetime.datetime(1995, 1, 1),
+        datetime.datetime(1995, 12, 31),
+    )
+    range_leg = rng.groupBy(
+        F.col("o_orderpriority").alias("leg")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+    )
+    pt, _fr2, _fs2, _ms2 = read_iceberg_pruned(
+        spark, path, "o_custkey", 42, 42
+    )
+    point_leg = pt.groupBy(F.lit("custkey:42").alias("leg")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+    )
+    return range_leg.unionByName(point_leg).orderBy("leg")
+
+
+ICEBERG_TRANSFORMS_ORACLE_SQL = """
+SELECT leg, n_rows, sum_keys FROM (
+    SELECT o_orderpriority AS leg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                          AND TIMESTAMP '1995-12-31'
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'custkey:42' AS leg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+    FROM orders
+    WHERE o_custkey = 42
+)
+ORDER BY leg
 """
 
 

@@ -90,8 +90,13 @@ def _entry_rows(
     spec = ib._spec_of(meta)
     by_id = {f["id"]: f for f in fields}
     nm = ib._name_mapping(meta)
-    part_src = {pf["name"]: by_id[pf["source-id"]]["name"] for pf in spec}
-    part_type = {pf["name"]: by_id[pf["source-id"]]["type"] for pf in spec}
+    # only IDENTITY partition values reconstruct as columns — transform
+    # sources live inside the data files (spec projection rule)
+    id_pfs = [
+        pf for pf in spec if pf.get("transform", "identity") == "identity"
+    ]
+    part_src = {pf["name"]: by_id[pf["source-id"]]["name"] for pf in id_pfs}
+    part_type = {pf["name"]: by_id[pf["source-id"]]["type"] for pf in id_pfs}
     df_rec = entry["data_file"]
     fpath = ib._abs_path(path, df_rec["file_path"])
     tail = fpath.rsplit("/", 1)[-1]

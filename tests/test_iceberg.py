@@ -1091,3 +1091,175 @@ def test_compact_iceberg_materializes_deletes(spark, tmp_path):
     # appends after compaction still work (v2 seq keeps advancing)
     ib.write_iceberg(_df(spark, 100, 103), path)
     assert len(_rows(ib.read_iceberg(spark, path))) == 31
+
+
+# --------------------------------------------------------------------------
+# partition transforms
+# --------------------------------------------------------------------------
+
+
+def test_bucket_hash_spec_vectors():
+    """Appendix B test vectors: the bucket transform's murmur3 (x86
+    32-bit, seed 0, 8-byte-LE longs / UTF-8 strings) must match the
+    published reference hashes exactly."""
+    import datetime
+
+    assert ib.murmur3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert ib.murmur3_32(b"iceberg") == 1210000089
+    days = (datetime.date(2017, 11, 16) - datetime.date(1970, 1, 1)).days
+    assert (
+        ib.murmur3_32(days.to_bytes(8, "little", signed=True)) == -653330422
+    )
+    us = (
+        int(
+            (
+                datetime.datetime(2017, 11, 16, 22, 31, 8)
+                - datetime.datetime(1970, 1, 1)
+            ).total_seconds()
+        )
+        * 1_000_000
+    )
+    assert ib.murmur3_32(us.to_bytes(8, "little", signed=True)) == -2047944441
+
+
+def test_transform_partitioned_roundtrip_and_pruning(spark, tmp_path):
+    """months()+bucket() spec: the table round-trips exactly (source
+    columns kept in data files, transformed values in partition
+    tuples), monotone transforms prune range scans through BOTH
+    metadata tiers, bucket prunes point lookups to one file group,
+    and copy-on-write DELETE works on the transform-partitioned
+    table."""
+    import datetime
+
+    df = spark.range(0, 600).select(
+        F.col("id").alias("k"),
+        F.date_add(
+            F.lit("1994-01-01").cast("date"), (F.col("id") % 360).cast("int")
+        ).alias("d"),
+        F.concat(F.lit("s"), F.col("id") % 5).alias("s"),
+    )
+    t = str(tmp_path / "tx")
+    ib.write_iceberg(df, t, partition_by=["months(d)", "bucket(4, k)"])
+    meta = ib.current_metadata(t)
+    spec = ib._spec_of(meta)
+    assert [pf["transform"] for pf in spec] == ["month", "bucket[4]"]
+    back = ib.read_iceberg(spark, t)
+    assert back.count() == 600
+    assert back.agg(F.sum("k")).first()[0] == 599 * 600 // 2
+    assert set(back.columns) == {"k", "d", "s"}
+
+    # range pruning through the month transform
+    pruned, fr, fs, ms = ib.read_iceberg_pruned(
+        spark, t, "d", datetime.date(1994, 3, 1), datetime.date(1994, 4, 30)
+    )
+    exp = df.filter(F.col("d").between("1994-03-01", "1994-04-30")).count()
+    assert pruned.count() == exp
+    assert fs > fr > 0  # most file groups skipped
+
+    # bucket point pruning: exactly the files of one (month, bucket)
+    pt, fr2, fs2, _ = ib.read_iceberg_pruned(spark, t, "k", 123, 123)
+    assert pt.count() == 1 and fs2 > fr2
+
+    # the Spark landing expressions agree with the python twins
+    chk = df.select(
+        "k", "d", ib._bucket_expr("long", 4, F.col("k")).alias("b")
+    ).collect()
+    for r in chk:
+        assert r["b"] == ib._bucket_of("long", r["k"], 4)
+        days = (r["d"] - datetime.date(1970, 1, 1)).days
+        assert ib._apply_transform_py(
+            {"transform": "month"}, "date", days
+        ) == (r["d"].year - 1970) * 12 + r["d"].month - 1
+
+    # CoW delete on the transform-partitioned table
+    ib.delete_where_iceberg(
+        spark, t, "d", datetime.date(1994, 1, 1), datetime.date(1994, 1, 31)
+    )
+    exp2 = df.filter(~F.col("d").between("1994-01-01", "1994-01-31")).count()
+    assert ib.read_iceberg(spark, t).count() == exp2
+
+
+def test_transform_ntz_micros_and_hour(spark):
+    """TimestampNTZ sources must transform from tz-free CALENDAR
+    fields: the wall-clock micros expression and the hour transform
+    match the python twins on fractional-second values regardless of
+    session timezone."""
+    rows = spark.sql(
+        "SELECT * FROM VALUES "
+        "(TIMESTAMP_NTZ '1995-03-07 22:31:08.123456'), "
+        "(TIMESTAMP_NTZ '1970-01-01 00:00:00'), "
+        "(TIMESTAMP_NTZ '2001-08-01 03:59:59.999999') AS t(ts)"
+    )
+    got = rows.select(
+        ib._ntz_micros_expr(F.col("ts")).alias("us"),
+        ib._transform_expr(
+            {"transform": "hour"}, "ts", "timestamp"
+        ).alias("h"),
+        ib._transform_expr({"transform": "day"}, "ts", "timestamp").alias(
+            "dy"
+        ),
+        ib._bucket_expr("timestamp", 16, F.col("ts")).alias("b"),
+        F.col("ts"),
+    ).collect()
+    import datetime
+
+    for r in got:
+        want = (
+            r["ts"] - datetime.datetime(1970, 1, 1)
+        ) // datetime.timedelta(microseconds=1)
+        assert r["us"] == want
+        assert r["h"] == want // 3_600_000_000
+        assert r["dy"] == want // 86_400_000_000
+        assert r["b"] == ib._bucket_of("timestamp", want, 16)
+
+
+def test_truncate_string_hive_escaping_roundtrip(spark, tmp_path):
+    """truncate[W] over strings with hive-hostile characters: the
+    truncated partition value (spaces, '=', '/') must land escaped and
+    round-trip EXACTLY into the manifest partition tuple."""
+    df = spark.createDataFrame(
+        [(1, "a b=c/d rest"), (2, "plain"), (3, "a b=c/d tail2")],
+        "k long, s string",
+    )
+    t = str(tmp_path / "trunc")
+    ib.write_iceberg(df, t, partition_by=["truncate(7, s)"])
+    meta = ib.current_metadata(t)
+    snap = ib._snapshot(meta, None)
+    pvs = set()
+    for mf in ib._data_manifests(ib._read_manifest_list(t, snap)):
+        for e in ib._read_manifest(t, mf):
+            pvs.add((e["data_file"].get("partition") or {}).get("s_trunc"))
+    assert pvs == {"a b=c/d", "plain"}
+    back = ib.read_iceberg(spark, t)
+    assert sorted(r["s"] for r in back.collect()) == [
+        "a b=c/d rest", "a b=c/d tail2", "plain",
+    ]
+    # truncate prefix pruning: equality probe on the full value maps
+    # through the monotone transform
+    pr, fr, fs, _ = ib.read_iceberg_pruned(spark, t, "s", "plain", "plain")
+    assert pr.count() == 1 and fs >= 1
+
+
+def test_transform_refusals_and_spec_pinning(spark, tmp_path):
+    """Loud refusals: hour over a date source, bucket over a double,
+    truncate without a width, unknown column; and an existing table
+    refuses a contradicting partition_by."""
+    df = spark.createDataFrame(
+        [(1, 2.5, __import__("datetime").date(2020, 1, 2))],
+        "k long, x double, d date",
+    )
+    t = str(tmp_path / "r")
+    with pytest.raises(ValueError, match="hour needs a timestamp"):
+        ib.write_iceberg(df, t, partition_by=["hours(d)"])
+    with pytest.raises(ValueError, match="bucket over"):
+        ib.write_iceberg(df, t, partition_by=["bucket(4, x)"])
+    with pytest.raises(ValueError, match="needs a width"):
+        ib.write_iceberg(df, t, partition_by=["truncate(k)"])
+    with pytest.raises(ValueError, match="no column"):
+        ib.write_iceberg(df, t, partition_by=["days(nope)"])
+    ib.write_iceberg(df, t, partition_by=["days(d)"])
+    with pytest.raises(ValueError, match="contradicts"):
+        ib.write_iceberg(df, t, partition_by=["months(d)"])
+    # appends with the MATCHING spec succeed
+    ib.write_iceberg(df, t, partition_by=["days(d)"])
+    assert ib.read_iceberg(spark, t).count() == 2
