@@ -108,6 +108,11 @@ HEADLINE = [
     "mm_image_png_pipeline",
     "mm_video_mjpeg_pipeline",
     "mm_audio_adpcm_pipeline",
+    # r9 batch-6 codecs/containers + transform-partitioned Iceberg
+    "mm_audio_g711_pipeline",
+    "mm_audio_mp3_meta",
+    "mm_video_mp4_pipeline",
+    "lake_iceberg_transforms",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -142,6 +147,8 @@ HEAVY_WARMUPS = {
     "lake_iceberg_v2_deletes": 2,
     "lake_bloom_lookup": 2,
     "lake_iceberg_eq_upsert": 2,
+    # first warm pass builds the transform-partitioned orders table
+    "lake_iceberg_transforms": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

@@ -562,6 +562,21 @@ def _spec_of(meta: dict) -> list[dict]:
     return meta.get("partition-spec", [])  # v1 form
 
 
+def _default_spec_id(meta: dict) -> int:
+    return int(meta.get("default-spec-id", 0))
+
+
+def _specs_by_id(meta: dict) -> dict[int, list[dict]]:
+    """spec-id → partition fields, for every spec the table has ever
+    had (after partition evolution old manifests keep their spec)."""
+    if "partition-specs" in meta:
+        return {
+            int(s.get("spec-id", 0)): s["fields"]
+            for s in meta["partition-specs"]
+        }
+    return {0: meta.get("partition-spec", [])}
+
+
 def _snapshot(meta: dict, snapshot_id: int | None) -> dict | None:
     snaps = meta.get("snapshots") or []
     if snapshot_id is None:
@@ -662,6 +677,10 @@ def _read_manifest(path: str, mf: dict) -> list[dict]:
                 "tree; refusing to mis-read"
             )
         r["_seq"] = _entry_seq(r, mf)
+        # the spec that interprets this manifest's partition tuples —
+        # after partition evolution, manifests from different specs
+        # coexist in one snapshot
+        r["_spec_id"] = mf.get("partition_spec_id") or 0
         out.append(r)
     return out
 
@@ -770,20 +789,34 @@ def _read_entries(
     `keep_identity` keeps (_IB_FILE, _IB_POS) in the output — the
     merge-on-read delete writer uses it to locate matched rows."""
     fields = _schema_of(meta)
-    spec = _spec_of(meta)
     schema = _spark_schema(fields)
     by_id = {f["id"]: f for f in fields}
-    part_names = [pf["name"] for pf in spec]
-    # only IDENTITY partition values reconstruct as columns — transform
-    # sources stay inside the data files per the spec's projection rule
-    id_pfs = [
-        pf for pf in spec if pf.get("transform", "identity") == "identity"
-    ]
-    part_src = {pf["name"]: by_id[pf["source-id"]]["name"] for pf in id_pfs}
-    part_type = {
-        pf["name"]: _ICE_TO_SPARK[by_id[pf["source-id"]]["type"]]
-        for pf in id_pfs
-    }
+    # per-SPEC partition interpretation: after partition evolution a
+    # snapshot mixes manifests written under different specs — each
+    # entry's `_spec_id` picks which spec decodes its tuple.  Only
+    # IDENTITY partition values reconstruct as columns — transform
+    # sources stay inside the data files per the spec's projection
+    # rule; identity sources dropped by a later schema evolution are
+    # skipped (not in the read schema).
+    spec_infos: dict[int, tuple] = {}
+    for sid, sfields in _specs_by_id(meta).items():
+        id_pfs = [
+            pf
+            for pf in sfields
+            if pf.get("transform", "identity") == "identity"
+            and pf["source-id"] in by_id
+        ]
+        spec_infos[sid] = (
+            [pf["name"] for pf in sfields],
+            {pf["name"]: by_id[pf["source-id"]]["name"] for pf in id_pfs},
+            {
+                pf["name"]: _ICE_TO_SPARK[by_id[pf["source-id"]]["type"]]
+                for pf in id_pfs
+            },
+        )
+    default_sid = _default_spec_id(meta)
+    if default_sid not in spec_infos:  # pragma: no cover - malformed meta
+        spec_infos[default_sid] = ([], {}, {})
     from pyspark.sql.types import StructType
 
     if not entries:
@@ -808,25 +841,33 @@ def _read_entries(
         candidates[fd["name"]] = names
     from pyspark.sql.types import StructField
 
-    read_cols = []
-    for f in schema.fields:
-        if f.name in set(part_src.values()):
-            continue
-        for n in candidates[f.name]:
-            read_cols.append(StructField(n, f.dataType, True))
-    read_schema = StructType(read_cols)
+    def read_schema_for(skip_srcs: set) -> StructType:
+        read_cols = []
+        for f in schema.fields:
+            if f.name in skip_srcs:
+                continue
+            for n in candidates[f.name]:
+                read_cols.append(StructField(n, f.dataType, True))
+        return StructType(read_cols)
+
     deletes = list(delete_files or [])
     eqs = list(eq_deletes or [])
     need_identity = bool(deletes) or keep_identity
-    # group files by (partition tuple, data sequence number): the seq
-    # is constant per group so it attaches as a literal — no join
+    # group files by (spec, partition tuple, data sequence number):
+    # spec and seq are constant per group, so identity values and the
+    # sequence attach as literals — no join
     groups: dict[tuple, list[str]] = {}
     for e in entries:
         df_rec = e["data_file"]
         pv = df_rec.get("partition") or {}
-        key = tuple(pv.get(n) for n in part_names) + (
-            (e.get("_seq", 0),) if eqs else ()
-        )
+        sid = int(e.get("_spec_id", 0))
+        if sid not in spec_infos:
+            raise ValueError(
+                f"manifest references unknown partition spec id {sid}"
+            )
+        key = (sid,) + tuple(
+            pv.get(n) for n in spec_infos[sid][0]
+        ) + ((e.get("_seq", 0),) if eqs else ())
         groups.setdefault(key, []).append(
             _abs_path(path, df_rec["file_path"])
         )
@@ -835,8 +876,12 @@ def _read_entries(
     )
     frames = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        pkey = key[: len(part_names)]
-        df = spark.read.schema(read_schema).parquet(*sorted(files))
+        sid = key[0]
+        part_names, part_src, part_type = spec_infos[sid]
+        pkey = key[1 : 1 + len(part_names)]
+        df = spark.read.schema(
+            read_schema_for(set(part_src.values()))
+        ).parquet(*sorted(files))
         if need_identity:
             df = df.withColumn(
                 _IB_FILE,
@@ -846,7 +891,7 @@ def _read_entries(
             df = df.withColumn(_IB_SEQ, F.lit(int(key[-1])))
         for f in schema.fields:
             names = candidates.get(f.name) or []
-            if len(names) > 1:
+            if len(names) > 1 and f.name not in part_src.values():
                 df = df.withColumn(
                     f.name, F.coalesce(*[F.col(n) for n in names])
                 )
@@ -954,10 +999,21 @@ def read_iceberg_pruned(
     files_read = 0
     files_skipped = 0
     kept: list[dict] = []
+    default_sid = _default_spec_id(meta)
     all_mfs = _read_manifest_list(path, snap)
     for mf in _data_manifests(all_mfs):
+        # partition tiers only apply to manifests written under the
+        # DEFAULT spec — after partition evolution, old-spec manifests
+        # have differently-ordered summaries and tuples; they fall
+        # through to the file-bound tier
+        mf_default = (mf.get("partition_spec_id") or 0) == default_sid
         summaries = mf.get("partitions")
-        if p_lo is not None and summaries and part_pos < len(summaries):
+        if (
+            mf_default
+            and p_lo is not None
+            and summaries
+            and part_pos < len(summaries)
+        ):
             s = summaries[part_pos]
             s_lo = deser_value(res_type, s.get("lower_bound"))
             s_hi = deser_value(res_type, s.get("upper_bound"))
@@ -973,7 +1029,7 @@ def read_iceberg_pruned(
             if e.get("status", 0) not in (0, 1):
                 continue
             df_rec = e["data_file"]
-            if part_name is not None and p_lo is not None:
+            if mf_default and part_name is not None and p_lo is not None:
                 pv = (df_rec.get("partition") or {}).get(part_name)
                 if pv is not None and (pv < p_lo or pv > p_hi):
                     files_skipped += 1
@@ -1514,12 +1570,16 @@ def _write_manifest(
     fv: int = 1,
     content: str = "data",
     seq: int = 0,
+    spec_id: int = 0,
 ) -> dict:
     """Write one manifest Avro file; return its manifest_file record
     for the manifest list.  For fv=2, entries are normalized to the v2
     shape (data_file.content, equality_ids, per-entry sequence
     numbers — null + ADDED inherits `seq` per the spec's inheritance
-    rule, EXISTING/DELETED keep their explicit data sequence)."""
+    rule, EXISTING/DELETED keep their explicit data sequence).
+    `spec_id` stamps which partition spec interprets the tuples —
+    after partition evolution new manifests carry the default spec
+    while carried-forward ones keep their own."""
     ice_types = {f["id"]: f["type"] for f in meta_fields}
     part_schema = _partition_avro_schema(spec, ice_types)
     entry_schema = _manifest_entry_schema(part_schema, fv)
@@ -1549,7 +1609,7 @@ def _write_manifest(
             "schema": json.dumps(schema_json),
             "schema-id": "0",
             "partition-spec": json.dumps(spec),
-            "partition-spec-id": "0",
+            "partition-spec-id": str(spec_id),
             "format-version": str(fv),
             "content": content,
         },
@@ -1563,7 +1623,7 @@ def _write_manifest(
     mf = {
         "manifest_path": _file_uri(path, os.path.join("metadata", name)),
         "manifest_length": os.path.getsize(mp),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "added_snapshot_id": snapshot_id,
         "added_data_files_count": n_added,
         "existing_data_files_count": n_existing,
@@ -1583,6 +1643,44 @@ def _write_manifest(
         ]
         mf["min_sequence_number"] = min(explicit + [seq])
     return mf
+
+
+def _write_manifests_by_spec(
+    path: str,
+    entries: list[dict],
+    snapshot_id: int,
+    fields: list[dict],
+    meta: dict,
+    schema_json: dict,
+    fv: int,
+    seq: int,
+) -> list[dict]:
+    """Write manifests for a mixed-entry set, ONE PER PARTITION SPEC:
+    after partition evolution, carried EXISTING/DELETED entries keep
+    their original spec's tuple layout (rewriting them under the new
+    spec would null their partition metadata), while fresh ADDED
+    entries land under the default spec."""
+    specs = _specs_by_id(meta)
+    default_sid = _default_spec_id(meta)
+    by_sid: dict[int, list[dict]] = {}
+    for e in entries:
+        by_sid.setdefault(int(e.get("_spec_id", default_sid)), []).append(e)
+    out = []
+    for sid, es in sorted(by_sid.items()):
+        out.append(
+            _write_manifest(
+                path,
+                es,
+                snapshot_id,
+                fields,
+                specs.get(sid, _spec_of(meta)),
+                schema_json,
+                fv=fv,
+                seq=seq,
+                spec_id=sid,
+            )
+        )
+    return out
 
 
 def _write_manifest_list(
@@ -1740,6 +1838,7 @@ def write_iceberg(
         base0 = current_metadata(path)
         fields = _schema_of(base0)
         spec = _spec_of(base0)
+        spec_sid = _default_spec_id(base0)
         if partition_by is not None:
             by_name = {f["name"]: f for f in fields}
             want = _parse_partition_by(list(partition_by), by_name)
@@ -1757,6 +1856,7 @@ def write_iceberg(
         fields = _iceberg_fields(df.schema)
         by_name = {f["name"]: f for f in fields}
         spec = _parse_partition_by(list(partition_by or []), by_name)
+        spec_sid = 0
     data_files = _land_data(df, path, spec, fields)
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
 
@@ -1769,7 +1869,7 @@ def write_iceberg(
         ]
         new_mf = _write_manifest(
             path, entries, snapshot_id, fields, spec, schema_json,
-            fv=fv, seq=seq,
+            fv=fv, seq=seq, spec_id=spec_sid,
         )
         carried: list[dict] = []
         if mode == "append" and base is not None:
@@ -1919,6 +2019,7 @@ def delete_where_iceberg(
     meta0 = current_metadata(path)
     fields = _schema_of(meta0)
     spec = _spec_of(meta0)
+    spec_sid = _default_spec_id(meta0)
     by_id = {f["id"]: f for f in fields}
     fid = next((f["id"] for f in fields if f["name"] == col), None)
     if fid is None:
@@ -1941,7 +2042,11 @@ def delete_where_iceberg(
 
     def touched_by_range(entry: dict) -> bool:
         df_rec = entry["data_file"]
-        if del_pf is not None and dp_lo is not None:
+        if (
+            del_pf is not None
+            and dp_lo is not None
+            and int(entry.get("_spec_id", 0)) == spec_sid
+        ):
             pv = (df_rec.get("partition") or {}).get(del_pf["name"])
             if pv is not None and (pv < dp_lo or pv > dp_hi):
                 return False
@@ -1996,7 +2101,7 @@ def delete_where_iceberg(
             ]
             del_mf = _write_manifest(
                 path, entries, snapshot_id, fields, spec, schema_json,
-                fv=2, content="deletes", seq=seq,
+                fv=2, content="deletes", seq=seq, spec_id=spec_sid,
             )
             return list(mfs) + [del_mf]
 
@@ -2039,6 +2144,7 @@ def delete_where_iceberg(
                     "status": 0,
                     "snapshot_id": e.get("snapshot_id"),
                     "_seq": e.get("_seq", 0),
+                    "_spec_id": e.get("_spec_id", 0),
                     "data_file": e["data_file"],
                 }
                 for e in untouched
@@ -2048,6 +2154,7 @@ def delete_where_iceberg(
                     "status": 2,
                     "snapshot_id": snapshot_id,
                     "_seq": e.get("_seq", 0),
+                    "_spec_id": e.get("_spec_id", 0),
                     "data_file": e["data_file"],
                 }
                 for e in touched
@@ -2057,11 +2164,10 @@ def delete_where_iceberg(
                 for d in rewritten
             ]
         )
-        new_mf = _write_manifest(
-            path, entries, snapshot_id, fields, spec, schema_json,
-            fv=fv, seq=seq,
+        new_mfs = _write_manifests_by_spec(
+            path, entries, snapshot_id, fields, base, schema_json, fv, seq
         )
-        return [new_mf] + delete_mfs
+        return new_mfs + delete_mfs
 
     return _commit_snapshot(path, "delete", build_manifests)
 
@@ -2099,6 +2205,7 @@ def delete_eq_iceberg(path: str, cols: list[str], keys: list) -> int:
     meta0 = current_metadata(path)
     fields = _schema_of(meta0)
     spec = _spec_of(meta0)
+    spec_sid = _default_spec_id(meta0)
     if spec:
         raise ValueError(
             "equality delete on a partitioned table: a GLOBAL delete "
@@ -2169,6 +2276,7 @@ def delete_eq_iceberg(path: str, cols: list[str], keys: list) -> int:
             fv=2,
             content="deletes",
             seq=seq,
+            spec_id=spec_sid,
         )
         return list(mfs) + [del_mf]
 
@@ -2208,6 +2316,7 @@ def compact_iceberg(
     meta0 = current_metadata(path)
     fields = _schema_of(meta0)
     spec = _spec_of(meta0)
+    spec_sid = _default_spec_id(meta0)
     part_names = [pf["name"] for pf in spec]
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
 
@@ -2233,6 +2342,7 @@ def compact_iceberg(
                 "status": 2,
                 "snapshot_id": snapshot_id,
                 "_seq": e.get("_seq", 0),
+                "_spec_id": e.get("_spec_id", 0),
                 "data_file": e["data_file"],
             }
             for e in live
@@ -2240,13 +2350,76 @@ def compact_iceberg(
             {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
             for d in rewritten
         ]
-        new_mf = _write_manifest(
-            path, entries, snapshot_id, fields, spec, schema_json,
-            fv=fv, seq=seq,
+        return _write_manifests_by_spec(
+            path, entries, snapshot_id, fields, base, schema_json, fv, seq
         )
-        return [new_mf]
 
     return _commit_snapshot(path, "replace", build)
+
+
+def evolve_iceberg_spec(path: str, partition_by: list[str]) -> int:
+    """Metadata-only PARTITION evolution — the spec's headline feature
+    over hive layouts: append a NEW partition spec (fresh spec-id,
+    partition field-ids continuing from `last-partition-id`, reusing
+    the field-id of any identical transform+source field from a prior
+    spec) and make it the default.  No data moves: existing manifests
+    keep their old spec-id and stay readable/prunable under the OLD
+    spec; future writes land under the new one; `compact_iceberg`
+    migrates old files to the new layout when rewriting.  Returns the
+    new spec-id."""
+    result = {}
+
+    def build(base: dict | None) -> dict:
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        meta = json.loads(json.dumps(base))
+        fields = _schema_of(meta)
+        by_name = {f["name"]: f for f in fields}
+        new_fields = _parse_partition_by(list(partition_by), by_name)
+        specs = meta.get("partition-specs") or [
+            {"spec-id": 0, "fields": meta.get("partition-spec", [])}
+        ]
+        cur_default = _spec_of(meta)
+        if [
+            (pf.get("transform", "identity"), pf["source-id"])
+            for pf in new_fields
+        ] == [
+            (pf.get("transform", "identity"), pf["source-id"])
+            for pf in cur_default
+        ]:
+            raise ValueError(
+                "new partition spec is identical to the current default"
+            )
+        # reuse field-ids for fields any prior spec already has
+        seen: dict[tuple, int] = {}
+        for s in specs:
+            for pf in s["fields"]:
+                seen[
+                    (pf.get("transform", "identity"), pf["source-id"])
+                ] = pf["field-id"]
+        last_pid = int(meta.get("last-partition-id") or 999)
+        for pf in new_fields:
+            k = (pf["transform"], pf["source-id"])
+            if k in seen:
+                pf["field-id"] = seen[k]
+            else:
+                last_pid += 1
+                pf["field-id"] = last_pid
+        new_sid = max(int(s.get("spec-id", 0)) for s in specs) + 1
+        specs = specs + [{"spec-id": new_sid, "fields": new_fields}]
+        meta["partition-specs"] = specs
+        meta["default-spec-id"] = new_sid
+        meta["last-partition-id"] = max(
+            last_pid, int(meta.get("last-partition-id") or 999)
+        )
+        # v1 legacy flat field mirrors the default spec
+        meta["partition-spec"] = new_fields
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        result["sid"] = new_sid
+        return meta
+
+    _claim_metadata(path, build)
+    return result["sid"]
 
 
 def evolve_iceberg_schema(

@@ -87,7 +87,11 @@ def _entry_rows(
     import pyarrow.parquet as pq
 
     fields = ib._schema_of(meta)
-    spec = ib._spec_of(meta)
+    # the entry's OWN spec interprets its partition tuple (after
+    # partition evolution manifests of different specs coexist)
+    spec = ib._specs_by_id(meta).get(
+        int(entry.get("_spec_id", 0)), ib._spec_of(meta)
+    )
     by_id = {f["id"]: f for f in fields}
     nm = ib._name_mapping(meta)
     # only IDENTITY partition values reconstruct as columns — transform
@@ -158,6 +162,7 @@ def _slim_entry(e: dict) -> dict:
     df_rec = e["data_file"]
     return {
         "_seq": int(e.get("_seq", 0)),
+        "_spec_id": int(e.get("_spec_id", 0)),
         "data_file": {
             "file_path": df_rec["file_path"],
             "partition": df_rec.get("partition") or {},

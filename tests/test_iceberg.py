@@ -1263,3 +1263,81 @@ def test_transform_refusals_and_spec_pinning(spark, tmp_path):
     # appends with the MATCHING spec succeed
     ib.write_iceberg(df, t, partition_by=["days(d)"])
     assert ib.read_iceberg(spark, t).count() == 2
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Partition evolution: a new default spec (fresh spec-id) applies
+    to future writes only — old manifests keep their spec, identity
+    columns still reconstruct for old-spec files, pruning falls back
+    to file bounds for them, CoW DELETE carries old-spec entries in
+    old-spec manifests, MOR delete works across mixed specs, and
+    compaction MIGRATES everything to the new layout."""
+    import datetime
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("lang"),
+            F.date_add(
+                F.lit("1994-01-01").cast("date"),
+                (F.col("id") % 200).cast("int"),
+            ).alias("d"),
+        )
+
+    t = str(tmp_path / "ev")
+    ib.write_iceberg(mk(0, 300), t, partition_by=["lang"])
+    sid = ib.evolve_iceberg_spec(t, ["months(d)"])
+    assert sid == 1
+    meta = ib.current_metadata(t)
+    assert ib._default_spec_id(meta) == 1
+    assert [pf["transform"] for pf in ib._spec_of(meta)] == ["month"]
+    # identical re-evolution refuses
+    with pytest.raises(ValueError, match="identical"):
+        ib.evolve_iceberg_spec(t, ["months(d)"])
+
+    ib.write_iceberg(mk(300, 500), t)
+    back = ib.read_iceberg(spark, t)
+    assert back.count() == 500
+    assert back.agg(F.sum("k")).first()[0] == 499 * 500 // 2
+    assert back.filter(F.col("lang").isNull()).count() == 0
+
+    # pruning: new-spec manifests prune via month tuples; old-spec
+    # files fall through to file bounds — results stay exact
+    pr, fr, fs, _ = ib.read_iceberg_pruned(
+        spark, t, "d", datetime.date(1994, 3, 1), datetime.date(1994, 3, 31)
+    )
+    exp = (
+        mk(0, 500)
+        .filter(F.col("d").between("1994-03-01", "1994-03-31"))
+        .count()
+    )
+    assert pr.count() == exp and fs > 0
+
+    # CoW delete across mixed specs: carried entries keep their spec,
+    # identity lang survives for old files
+    ib.delete_where_iceberg(spark, t, "k", 100, 399)
+    after = ib.read_iceberg(spark, t)
+    assert after.count() == 200
+    assert after.agg(F.sum("k")).first()[0] == sum(range(100)) + sum(
+        range(400, 500)
+    )
+    assert after.filter(F.col("lang").isNull()).count() == 0
+
+    # MOR delete on the mixed-spec table
+    ib.delete_where_iceberg(spark, t, "k", 0, 9, strategy="merge-on-read")
+    assert ib.read_iceberg(spark, t).count() == 190
+
+    # compaction migrates every live file to the new default spec
+    ib.compact_iceberg(spark, t)
+    meta2 = ib.current_metadata(t)
+    snap = ib._snapshot(meta2, None)
+    sids = {
+        e["_spec_id"]
+        for mf in ib._data_manifests(ib._read_manifest_list(t, snap))
+        for e in ib._read_manifest(t, mf)
+        if e.get("status", 0) in (0, 1)
+    }
+    assert sids == {1}
+    final = ib.read_iceberg(spark, t)
+    assert final.count() == 190
+    assert final.filter(F.col("lang").isNull()).count() == 0
