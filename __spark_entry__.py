@@ -202,6 +202,7 @@ _TAIL_ORDER = [
     "mm_audio_mp3_meta",
     "mm_video_mp4_pipeline",
     "lake_iceberg_transforms",
+    "lake_delta_generated",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -309,6 +310,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     pool["lake_delta_interop"] = _deltaproto.delta_interop_entry
     pool["lake_delta_merge"] = _deltaproto.delta_merge_entry
+    pool["lake_delta_generated"] = _deltaproto.delta_generated_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         iceberg as _iceberg,
     )
@@ -384,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
 
     pool["lake_delta_interop"] = _deltaproto.DELTA_INTEROP_ORACLE_SQL
     pool["lake_delta_merge"] = _deltaproto.DELTA_MERGE_ORACLE_SQL
+    pool["lake_delta_generated"] = _deltaproto.DELTA_GENERATED_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         iceberg as _iceberg,
     )

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import struct
 import time
@@ -156,6 +157,79 @@ def _table_constraints(meta: dict) -> dict[str, str]:
         if k.startswith("delta.constraints."):
             out[k[len("delta.constraints.") :]] = v
     return out
+
+
+def _generation_exprs(meta: dict) -> dict[str, str]:
+    """{column: SQL expression} from schemaString field metadata —
+    `delta.generationExpression`, the spec's GENERATED columns."""
+    try:
+        schema = json.loads(meta.get("schemaString") or "{}")
+    except ValueError:  # pragma: no cover - malformed log
+        return {}
+    out = {}
+    for f in schema.get("fields") or []:
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+#: Generation-expression shapes whose outputs are MONOTONE in the
+#: source column — the shapes Delta's own generated-column partition
+#: filters derive predicates for.  month()/day() alone are NOT
+#: monotone across year boundaries and are deliberately absent.
+_GEN_YEAR = re.compile(r"^\s*year\s*\(\s*([A-Za-z_]\w*)\s*\)\s*$", re.I)
+_GEN_DATEFMT = re.compile(
+    r"^\s*date_format\s*\(\s*([A-Za-z_]\w*)\s*,\s*"
+    r"'(yyyy-MM|yyyy-MM-dd)'\s*\)\s*$",
+    re.I,
+)
+_GEN_CASTDATE = re.compile(
+    r"^\s*(?:cast\s*\(\s*([A-Za-z_]\w*)\s+as\s+date\s*\)"
+    r"|to_date\s*\(\s*([A-Za-z_]\w*)\s*\))\s*$",
+    re.I,
+)
+
+
+def _gen_source_col(expr: str) -> str | None:
+    """Source column of a monotone generation shape, else None."""
+    m = _GEN_YEAR.match(expr)
+    if m:
+        return m.group(1)
+    m = _GEN_DATEFMT.match(expr)
+    if m:
+        return m.group(1)
+    m = _GEN_CASTDATE.match(expr)
+    if m:
+        return m.group(1) or m.group(2)
+    return None
+
+
+def _gen_partition_value(expr: str, v):
+    """The partition-value STRING the generation expression produces
+    for a date/datetime bound, plus whether comparisons are numeric —
+    (value, numeric) — or (None, False) when the shape/bound is
+    unsupported.  Used to map a source-column range predicate into
+    generated-partition space (monotone shapes only)."""
+    import datetime
+
+    if isinstance(v, str):
+        try:
+            v = datetime.datetime.fromisoformat(v)
+        except ValueError:
+            return None, False
+    if not isinstance(v, (datetime.date, datetime.datetime)):
+        return None, False
+    if _GEN_YEAR.match(expr):
+        return str(v.year), True
+    m = _GEN_DATEFMT.match(expr)
+    if m:
+        if m.group(2) == "yyyy-MM":
+            return f"{v.year:04d}-{v.month:02d}", False
+        return f"{v.year:04d}-{v.month:02d}-{v.day:02d}", False
+    if _GEN_CASTDATE.match(expr):
+        return f"{v.year:04d}-{v.month:02d}-{v.day:02d}", False
+    return None, False
 
 
 def _enforce_constraints(df: DataFrame, meta: dict) -> None:
@@ -515,6 +589,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Write a REAL protocol-v1 Delta commit: land hive-layout parquet,
     then one `_delta_log/<v>.json` with commitInfo + (first commit)
@@ -526,7 +601,18 @@ def write_delta(
     IDEMPOTENT via the spec's application-transaction action: a replay
     whose version is not newer than the appId's committed txn state is
     dropped (returns the current version, writes nothing) — the
-    exactly-once contract streaming sinks key their micro-batches on."""
+    exactly-once contract streaming sinks key their micro-batches on.
+
+    `generated={col: sql_expr}` defines GENERATED columns (spec:
+    `delta.generationExpression` field metadata, minWriterVersion 4) —
+    defined at table creation, enforced forever after: a missing
+    generated column is COMPUTED at write time; a supplied one is
+    VERIFIED against its expression (the spec's invariant) and the
+    write refuses on any mismatch.  Partition on a generated column
+    (`date_format(ts, 'yyyy-MM')`, `year(ts)`, `cast(ts as date)`)
+    and `read_delta_pruned` on the SOURCE column maps range bounds
+    through the expression — Delta's generated-column partition
+    filter."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     vs = delta_versions(path)
@@ -554,9 +640,36 @@ def write_delta(
                 f"partition spec {spec}"
             )
         partition_by = spec
+        gens = _generation_exprs(existing_meta)
+        if generated is not None and dict(generated) != gens:
+            raise ValueError(
+                f"generated {dict(generated)} contradicts the table's "
+                f"generated columns {gens}"
+            )
     else:
         partition_by = list(partition_by or [])
         live = {}
+        gens = dict(generated or {})
+    for c, expr in gens.items():
+        if c in df.columns:
+            # spec invariant: a SUPPLIED generated column must equal
+            # its expression on every row — refuse, never corrupt
+            bad = df.filter(
+                ~F.expr(expr).eqNullSafe(F.col(c))
+            ).limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"generated column {c!r} violates its generation "
+                    f"expression {expr!r}"
+                )
+        else:
+            df = df.withColumn(c, F.expr(expr))
+        df = df.withColumn(
+            c,
+            F.col(c).alias(
+                c, metadata={"delta.generationExpression": expr}
+            ),
+        )
     files = _land_parquet(df, path, partition_by)
     now_ms = int(time.time() * 1000)
     lines = [
@@ -572,7 +685,12 @@ def write_delta(
         )
     ]
     if first:
-        lines.append(json.dumps({"protocol": dict(_WRITE_PROTOCOL)}))
+        proto = dict(_WRITE_PROTOCOL)
+        if gens:
+            # generated columns require writer version 4 (the spec's
+            # generatedColumns table feature tier)
+            proto["minWriterVersion"] = max(proto["minWriterVersion"], 4)
+        lines.append(json.dumps({"protocol": proto}))
     if first or mode == "overwrite":
         meta_id = (
             existing_meta["id"] if existing_meta else str(uuid.uuid4())
@@ -667,12 +785,40 @@ def read_delta_pruned(
     # stats and partitionValues key on PHYSICAL names on mapped tables
     phys_part = [mapping.get(c, c) for c in part_cols]
     phys_col = mapping.get(col, col)
+    # generated-column partition filter: when a partition column is
+    # GENERATED from `col` through a monotone shape, map the range
+    # bounds into partition space and skip on the generated value too
+    gen = None
+    if col not in part_cols:
+        for g, expr in _generation_exprs(meta).items():
+            if g in part_cols and _gen_source_col(expr) == col:
+                g_lo, num = _gen_partition_value(expr, lo)
+                g_hi, _ = _gen_partition_value(expr, hi)
+                if g_lo is not None and g_hi is not None:
+                    gen = (mapping.get(g, g), g_lo, g_hi, num)
+                break
+
+    def _gen_outside(add: dict) -> bool:
+        if gen is None:
+            return False
+        gcol, g_lo, g_hi, num = gen
+        pv = (add.get("partitionValues") or {}).get(gcol)
+        if pv is None:
+            return False
+        if num:
+            try:
+                return int(pv) < int(g_lo) or int(pv) > int(g_hi)
+            except ValueError:
+                return False
+        return pv < g_lo or pv > g_hi
+
     skipped = 0
     kept: dict[str, dict] = {}
     for fname, add in live.items():
-        if _add_outside_range(
-            add, phys_part, phys_col, lo, hi
-        ) and _add_outside_range(add, part_cols, col, lo, hi):
+        if _gen_outside(add) or (
+            _add_outside_range(add, phys_part, phys_col, lo, hi)
+            and _add_outside_range(add, part_cols, col, lo, hi)
+        ):
             skipped += 1
         else:
             kept[fname] = add
@@ -2052,6 +2198,69 @@ def delta_interop_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: Bump when the generated-column fixture changes shape.
+_DELTA_GEN_LAKE_VERSION = 1
+
+
+def delta_generated_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for GENERATED COLUMNS: orders written as a
+    real Delta table partitioned by a generated
+    `date_format(o_orderdate, 'yyyy-MM')` month column
+    (`delta.generationExpression` field metadata, minWriterVersion 4 —
+    the protocol shape Databricks emits for generated partition
+    columns), then a pruned scan whose RANGE PREDICATE IS ON THE
+    SOURCE column: the reader maps the bounds through the monotone
+    generation expression into partition space (Delta's
+    generated-column partition filter) and aggregates one quarter per
+    order priority.  The oracle restates the filter off the raw
+    parquet — a value match proves expression computation, metadata
+    persistence, and the bound mapping are exact; skip counts are
+    pinned in pytest."""
+    import datetime
+
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir("deltagen", _DELTA_GEN_LAKE_VERSION, sf_dir),
+        "orders_delta_gen",
+    )
+    if not delta_versions(path):
+        orders = load_table(spark, sf_dir, "orders")
+        write_delta(
+            orders,
+            path,
+            partition_by=["o_month"],
+            generated={"o_month": "date_format(o_orderdate, 'yyyy-MM')"},
+        )
+    pr, _fr, _fs = read_delta_pruned(
+        spark,
+        path,
+        "o_orderdate",
+        datetime.datetime(1996, 4, 1),
+        datetime.datetime(1996, 6, 30),
+    )
+    return (
+        pr.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+DELTA_GENERATED_ORACLE_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-04-01' AND TIMESTAMP '1996-06-30'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
 
 
 DELTA_INTEROP_ORACLE_SQL = """

@@ -929,3 +929,72 @@ def test_optimize_zorder_delta_improves_box_pruning(spark, tmp_path):
     assert skip_after > skip_before  # v-axis pruning now works
     expect = sorted((r[0], r[2]) for r in rows if 0 <= r[2] <= 49)
     assert sorted((r["doc_id"], r["v"]) for r in got.collect()) == expect
+
+
+def test_generated_columns_partition_filter(spark, tmp_path):
+    """GENERATED columns: the expression is computed at write time,
+    recorded as `delta.generationExpression` field metadata under
+    minWriterVersion 4, ENFORCED on later writes (supplied values must
+    match; appends recompute), and a range predicate on the SOURCE
+    column prunes via the generated partition value (Delta's
+    generated-column partition filter) for every monotone shape."""
+    import datetime
+
+    t = str(tmp_path / "gen")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.lit(760_000_000) + F.col("id") * 86_400)
+        .cast("timestamp_ntz")
+        .alias("ts"),
+    )
+    dp.write_delta(
+        df,
+        t,
+        partition_by=["p_month"],
+        generated={"p_month": "date_format(ts, 'yyyy-MM')"},
+    )
+    meta, _live, _v = dp._fold_delta_state(spark, t, None)
+    assert dp._generation_exprs(meta) == {
+        "p_month": "date_format(ts, 'yyyy-MM')"
+    }
+    assert dp._current_protocol(t)["minWriterVersion"] == 4
+    back = dp.read_delta(spark, t)
+    assert back.count() == 400 and "p_month" in back.columns
+
+    lo = datetime.datetime(1994, 4, 1)
+    hi = datetime.datetime(1994, 4, 30, 23, 59, 59)
+    pr, fr, fs = dp.read_delta_pruned(spark, t, "ts", lo, hi)
+    assert pr.count() == df.filter(F.col("ts").between(lo, hi)).count()
+    assert fs > fr  # generated partition values skipped most files
+
+    # append recomputes; supplied-but-wrong values refuse; a
+    # contradicting generated spec refuses
+    df2 = spark.range(400, 450).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.lit(760_000_000) + F.col("id") * 86_400)
+        .cast("timestamp_ntz")
+        .alias("ts"),
+    )
+    dp.write_delta(df2, t)
+    assert dp.read_delta(spark, t).count() == 450
+    with pytest.raises(ValueError, match="violates its generation"):
+        dp.write_delta(df2.withColumn("p_month", F.lit("2099-01")), t)
+    with pytest.raises(ValueError, match="contradicts the table's"):
+        dp.write_delta(df2, t, generated={"p_month": "year(ts)"})
+
+    # bound-mapping twins across the monotone shapes
+    d = datetime.datetime(1995, 3, 7, 22, 31)
+    assert dp._gen_partition_value("year(ts)", d) == ("1995", True)
+    assert dp._gen_partition_value("date_format(ts, 'yyyy-MM')", d) == (
+        "1995-03",
+        False,
+    )
+    assert dp._gen_partition_value("CAST(ts AS DATE)", d) == (
+        "1995-03-07",
+        False,
+    )
+    assert dp._gen_partition_value("to_date(ts)", d) == ("1995-03-07", False)
+    # month() alone is not monotone: the shape is refused for mapping
+    assert dp._gen_partition_value("month(ts)", d) == (None, False)
+    assert dp._gen_source_col("date_format(ts, 'yyyy-MM')") == "ts"
+    assert dp._gen_source_col("month(ts)") is None
