@@ -1468,69 +1468,78 @@ def _land_data(
             dest = os.path.join(path, "data", *segs, new)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.rename(os.path.join(dirpath, fname), dest)
-            md = pq.ParquetFile(dest).metadata
-            lbs: dict[int, bytes] = {}
-            ubs: dict[int, bytes] = {}
-            vcs: dict[int, int] = {}
-            ncs: dict[int, int] = {}
-            cols = {
-                md.schema.column(i).name: i for i in range(md.num_columns)
-            }
-            for cname, ci in cols.items():
-                fld = name_to_field.get(cname)
-                if fld is None:
-                    continue
-                lo = hi = None
-                ok = True
-                nc = 0
-                nc_ok = True
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(ci).statistics
-                    if st is not None and st.null_count is not None:
-                        nc += st.null_count
-                    else:
-                        nc_ok = False
-                    if st is None or not st.has_min_max:
-                        ok = False
-                        continue
-                    if lo is None or st.min < lo:
-                        lo = st.min
-                    if hi is None or st.max > hi:
-                        hi = st.max
-                if ok and lo is not None:
-                    try:
-                        lbs[fld["id"]] = ser_value(fld["type"], lo)
-                        ubs[fld["id"]] = ser_value(fld["type"], hi)
-                    except (ValueError, TypeError):
-                        pass
-                vcs[fld["id"]] = md.num_rows
-                if nc_ok:
-                    ncs[fld["id"]] = nc
             out.append(
-                {
-                    "file_path": reldest,
-                    "file_format": "PARQUET",
-                    "partition": pvals,
-                    "record_count": md.num_rows,
-                    "file_size_in_bytes": os.path.getsize(dest),
-                    "block_size_in_bytes": _BLOCK_SIZE,
-                    "value_counts": [
-                        {"key": k, "value": v} for k, v in sorted(vcs.items())
-                    ],
-                    "null_value_counts": [
-                        {"key": k, "value": v} for k, v in sorted(ncs.items())
-                    ],
-                    "lower_bounds": [
-                        {"key": k, "value": v} for k, v in sorted(lbs.items())
-                    ],
-                    "upper_bounds": [
-                        {"key": k, "value": v} for k, v in sorted(ubs.items())
-                    ],
-                    "split_offsets": None,
-                }
+                _data_file_record(dest, reldest, name_to_field, pvals)
             )
     shutil.rmtree(staging)
     return out
+
+
+def _data_file_record(
+    dest: str, reldest: str, name_to_field: dict, pvals: dict
+) -> dict:
+    """data_file record for one landed parquet file, with
+    footer-derived per-field-id stats (value/null counts, single-value
+    serialized lower/upper bounds)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(dest).metadata
+    lbs: dict[int, bytes] = {}
+    ubs: dict[int, bytes] = {}
+    vcs: dict[int, int] = {}
+    ncs: dict[int, int] = {}
+    cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for cname, ci in cols.items():
+        fld = name_to_field.get(cname)
+        if fld is None:
+            continue
+        lo = hi = None
+        ok = True
+        nc = 0
+        nc_ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is not None and st.null_count is not None:
+                nc += st.null_count
+            else:
+                nc_ok = False
+            if st is None or not st.has_min_max:
+                ok = False
+                continue
+            if lo is None or st.min < lo:
+                lo = st.min
+            if hi is None or st.max > hi:
+                hi = st.max
+        if ok and lo is not None:
+            try:
+                lbs[fld["id"]] = ser_value(fld["type"], lo)
+                ubs[fld["id"]] = ser_value(fld["type"], hi)
+            except (ValueError, TypeError):
+                pass
+        vcs[fld["id"]] = md.num_rows
+        if nc_ok:
+            ncs[fld["id"]] = nc
+    return {
+        "file_path": reldest,
+        "file_format": "PARQUET",
+        "partition": pvals,
+        "record_count": md.num_rows,
+        "file_size_in_bytes": os.path.getsize(dest),
+        "block_size_in_bytes": _BLOCK_SIZE,
+        "value_counts": [
+            {"key": k, "value": v} for k, v in sorted(vcs.items())
+        ],
+        "null_value_counts": [
+            {"key": k, "value": v} for k, v in sorted(ncs.items())
+        ],
+        "lower_bounds": [
+            {"key": k, "value": v} for k, v in sorted(lbs.items())
+        ],
+        "upper_bounds": [
+            {"key": k, "value": v} for k, v in sorted(ubs.items())
+        ],
+        "split_offsets": None,
+    }
 
 
 def _partition_summaries(
@@ -1713,6 +1722,7 @@ def _commit_snapshot(
     schema_fields: list[dict] | None = None,
     spec_fields: list[dict] | None = None,
     format_version: int | None = None,
+    summary_extra: dict | None = None,
 ) -> int:
     """Shared commit: build_manifests(base_meta_or_None, snapshot_id,
     seq, fv) → list of manifest_file records; wrap them in a manifest
@@ -1746,7 +1756,7 @@ def _commit_snapshot(
         snap = {
             "snapshot-id": snapshot_id,
             "timestamp-ms": now_ms,
-            "summary": {"operation": operation},
+            "summary": {"operation": operation, **(summary_extra or {})},
             "manifest-list": ml_rel,
             "schema-id": 0,
         }
@@ -2355,6 +2365,98 @@ def compact_iceberg(
         )
 
     return _commit_snapshot(path, "replace", build)
+
+
+def iceberg_stream_batch_ids(path: str) -> dict[str, int]:
+    """{app-id: highest committed micro-batch id} from snapshot
+    summaries — the exactly-once ledger the streaming sink keys on
+    (the shape real Flink/Spark Iceberg sinks store in snapshot
+    summary properties)."""
+    out: dict[str, int] = {}
+    if not _metadata_versions(path):
+        return out
+    meta = current_metadata(path)
+    for s in meta.get("snapshots") or []:
+        sm = s.get("summary") or {}
+        app = sm.get("streaming-app-id")
+        if app is not None and "streaming-batch-id" in sm:
+            out[app] = max(out.get(app, -1), int(sm["streaming-batch-id"]))
+    return out
+
+
+def commit_iceberg_files(
+    path: str,
+    landed: list[str],
+    schema,
+    app_id: str | None = None,
+    batch_id: int | None = None,
+) -> int | None:
+    """Commit already-landed parquet files under `<path>/data/` as one
+    append snapshot — the streaming-sink primitive.  With
+    (app_id, batch_id), the commit is EXACTLY-ONCE: a replayed batch
+    whose id is not newer than the app's ledger entry commits nothing
+    (returns None; callers unlink their orphaned files).  Creates the
+    table (unpartitioned) from `schema` on the first commit; a
+    partitioned target refuses — the tuple-at-a-time sink path cannot
+    land hive tuples."""
+    if app_id is not None and batch_id is not None:
+        committed = iceberg_stream_batch_ids(path).get(app_id, -1)
+        if committed >= int(batch_id):
+            return None
+    exists = bool(_metadata_versions(path))
+    if exists:
+        meta0 = current_metadata(path)
+        fields = _schema_of(meta0)
+        if _spec_of(meta0):
+            raise ValueError(
+                "streaming sink cannot write to a PARTITIONED Iceberg "
+                "table; use foreachBatch over write_iceberg"
+            )
+    else:
+        fields = _iceberg_fields(schema)
+    name_to_field = {f["name"]: f for f in fields}
+    records = []
+    for rel in sorted(landed):
+        dest = os.path.join(path, "data", rel)
+        records.append(
+            _data_file_record(
+                dest, _file_uri(path, f"data/{rel}"), name_to_field, {}
+            )
+        )
+    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+
+    def build_manifests(
+        base: dict | None, snapshot_id: int, seq: int, fv: int
+    ) -> list[dict]:
+        entries = [
+            {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
+            for d in records
+        ]
+        new_mf = _write_manifest(
+            path, entries, snapshot_id, fields, [], schema_json,
+            fv=fv, seq=seq,
+        )
+        carried: list[dict] = []
+        if base is not None:
+            prev = _snapshot(base, None)
+            if prev is not None:
+                carried = _read_manifest_list(path, prev)
+        return [new_mf] + carried
+
+    summary = None
+    if app_id is not None and batch_id is not None:
+        summary = {
+            "streaming-app-id": app_id,
+            "streaming-batch-id": str(int(batch_id)),
+        }
+    return _commit_snapshot(
+        path,
+        "append",
+        build_manifests,
+        schema_fields=fields,
+        spec_fields=[],
+        summary_extra=summary,
+    )
 
 
 def evolve_iceberg_spec(path: str, partition_by: list[str]) -> int:

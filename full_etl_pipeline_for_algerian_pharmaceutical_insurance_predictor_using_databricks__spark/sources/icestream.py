@@ -37,8 +37,10 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -273,6 +275,101 @@ class IcebergStreamReader(SimpleDataSourceStreamReader):
         return iter(self._rows(start["ordinal"], end["ordinal"]))
 
 
+@dataclass
+class _IceWriteMessage(WriterCommitMessage):
+    file_name: str | None
+    n_rows: int
+
+
+class IcebergStreamWriter(DataSourceStreamWriter):
+    """Streaming sink (`df.writeStream.format("iceberg")`): the
+    engine's at-least-once micro-batch replay becomes exactly-once via
+    the snapshot-summary ledger — each commit's summary carries
+    (streaming-app-id, streaming-batch-id) and a replayed batch whose
+    id is not newer than the app's ledger entry commits NOTHING (its
+    just-landed files stay unreferenced — `remove_orphan_iceberg_files`
+    fodder), the same contract the deltaproto sink keys on `txn`
+    actions.  Tasks land immutable uuid parquet files under `data/`;
+    `commit` appends ONE snapshot per micro-batch with footer-derived
+    stats, creating the table on the first commit.  Unpartitioned
+    targets only — the tuple-at-a-time Python path cannot land hive
+    tuples."""
+
+    def __init__(self, options: dict, schema: StructType):
+        path = options.get("path")
+        if not path:
+            raise ValueError("iceberg requires a path")
+        self.path = path
+        self.schema = schema
+        self.app_id = options.get(
+            "streamappid", options.get("streamAppId", "icestream-sink")
+        )
+        if ib._metadata_versions(path):
+            meta = ib.current_metadata(path)
+            if ib._spec_of(meta):
+                raise ValueError(
+                    "format('iceberg') streaming sink cannot write to a "
+                    "PARTITIONED table; use foreachBatch over "
+                    "iceberg.write_iceberg (which lands hive tuples)"
+                )
+            ours = ib._iceberg_fields(schema)
+            theirs = ib._schema_of(meta)
+            if [(f["name"], f["type"]) for f in ours] != [
+                (f["name"], f["type"]) for f in theirs
+            ]:
+                raise ValueError(
+                    "stream schema differs from the Iceberg table schema"
+                )
+
+    def write(self, rows) -> _IceWriteMessage:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        tuples = [tuple(r) for r in rows]
+        if not tuples:
+            return _IceWriteMessage(file_name=None, n_rows=0)
+        arrow_schema = to_arrow_schema(self.schema)
+        cols = list(zip(*tuples))
+        table = pa.Table.from_arrays(
+            [
+                pa.array(col, type=arrow_schema.field(i).type)
+                for i, col in enumerate(cols)
+            ],
+            schema=arrow_schema,
+        )
+        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
+        name = f"{_uuid.uuid4().hex}.parquet"
+        pq.write_table(table, os.path.join(self.path, "data", name))
+        return _IceWriteMessage(file_name=name, n_rows=len(tuples))
+
+    def commit(self, messages, batchId: int) -> None:
+        files = sorted(m.file_name for m in messages if m and m.file_name)
+        if not files:
+            return
+        snap = ib.commit_iceberg_files(
+            self.path,
+            files,
+            self.schema,
+            app_id=self.app_id,
+            batch_id=int(batchId),
+        )
+        if snap is None:  # replayed batch: exactly-once no-op
+            for f in files:
+                full = os.path.join(self.path, "data", f)
+                if os.path.exists(full):
+                    os.unlink(full)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m and m.file_name:
+                full = os.path.join(self.path, "data", m.file_name)
+                if os.path.exists(full):
+                    os.unlink(full)
+
+
 class IcebergDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -286,6 +383,9 @@ class IcebergDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> IcebergStreamReader:
         return IcebergStreamReader(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return IcebergStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:

@@ -3,6 +3,8 @@ log as a batch source and an incremental-append streaming source."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -94,3 +96,84 @@ def test_stream_incremental_appends(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
+
+
+def test_stream_sink_exactly_once_summary_ledger(spark, tmp_path):
+    """format('iceberg') streaming sink: each micro-batch appends ONE
+    snapshot whose summary carries (streaming-app-id, streaming-batch-
+    id); a replayed batch commits nothing and unlinks its orphaned
+    files; the result is a plain Iceberg table with stats-bearing
+    data files readable by read_iceberg."""
+    icestream.register(spark)
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "ice")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(0, 25).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (F.col("id") * 10).cast("bigint").alias("v"),
+    )
+    df.write.mode("overwrite").parquet(src)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, lang string, v bigint")
+        .parquet(src)
+        .writeStream.format("iceberg")
+        .option("path", path)
+        .option("streamAppId", "test-ice-sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    back = ib.read_iceberg(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    ledger = ib.iceberg_stream_batch_ids(path)
+    assert ledger.get("test-ice-sink", -1) >= 0
+    committed = ledger["test-ice-sink"]
+
+    # stats made it into the manifest entries
+    meta = ib.current_metadata(path)
+    snap = ib._snapshot(meta, None)
+    entries = [
+        e
+        for mf in ib._data_manifests(ib._read_manifest_list(path, snap))
+        for e in ib._read_manifest(path, mf)
+    ]
+    assert entries and all(
+        e["data_file"].get("lower_bounds") for e in entries
+    )
+
+    # replaying a committed batch is an exactly-once no-op AND the
+    # orphaned replay file is unlinked
+    writer = icestream.IcebergStreamWriter(
+        {"path": path, "streamAppId": "test-ice-sink"}, back.schema
+    )
+    msg = writer.write(iter([(999, "x", 9990)]))
+    orphan = os.path.join(path, "data", msg.file_name)
+    assert os.path.exists(orphan)
+    n_snaps = len(meta.get("snapshots") or [])
+    writer.commit([msg], batchId=committed)
+    assert not os.path.exists(orphan)
+    assert len(ib.current_metadata(path).get("snapshots") or []) == n_snaps
+    assert ib.read_iceberg(spark, path).count() == 25
+
+    # a NEWER batch id commits normally
+    msg2 = writer.write(iter([(1000, "y", 10000)]))
+    writer.commit([msg2], batchId=committed + 1)
+    assert ib.read_iceberg(spark, path).count() == 26
+
+    # partitioned targets refuse the sink
+    p2 = str(tmp_path / "part")
+    ib.write_iceberg(df, p2, partition_by=["lang"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PARTITIONED"):
+        icestream.IcebergStreamWriter(
+            {"path": p2, "streamAppId": "x"}, back.schema
+        )
