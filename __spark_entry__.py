@@ -203,6 +203,7 @@ _TAIL_ORDER = [
     "mm_video_mp4_pipeline",
     "lake_iceberg_transforms",
     "lake_delta_generated",
+    "lake_iceberg_meta",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -321,6 +322,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_uniform_dual"] = _iceberg.uniform_dual_entry
     pool["lake_iceberg_eq_upsert"] = _iceberg.iceberg_eq_upsert_entry
     pool["lake_iceberg_transforms"] = _iceberg.iceberg_transforms_entry
+    pool["lake_iceberg_meta"] = _iceberg.iceberg_meta_tables_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -397,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_uniform_dual"] = _iceberg.UNIFORM_DUAL_ORACLE_SQL
     pool["lake_iceberg_eq_upsert"] = _iceberg.ICEBERG_EQ_ORACLE_SQL
     pool["lake_iceberg_transforms"] = _iceberg.ICEBERG_TRANSFORMS_ORACLE_SQL
+    pool["lake_iceberg_meta"] = _iceberg.ICEBERG_META_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

@@ -2367,6 +2367,149 @@ def compact_iceberg(
     return _commit_snapshot(path, "replace", build)
 
 
+def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
+    """Metadata tables — the `SELECT * FROM tbl.snapshots` inspection
+    surface every real Iceberg engine exposes, derived from the same
+    metadata tree the data reads fold:
+
+    - ``history``: (made_current_at, snapshot_id, parent_id,
+      is_current_ancestor) from the snapshot-log;
+    - ``snapshots``: (committed_at, snapshot_id, parent_id, operation,
+      manifest_list, summary);
+    - ``manifests``: per-manifest path/length/spec-id/content +
+      added/existing/deleted file counts of the CURRENT snapshot;
+    - ``files``: one row per live data file (content, file_path,
+      file_format, spec_id, partition JSON, record_count,
+      file_size_in_bytes, data_sequence_number);
+    - ``partitions``: live files aggregated per (spec_id, partition
+      JSON): record_count, file_count, total_size.
+
+    Everything is metadata-only (Avro/JSON folds, no parquet IO) and
+    lands as a small local DataFrame — the shape real engines also
+    compute driver-side from manifests."""
+    import datetime
+
+    meta = current_metadata(path)
+    snap = _snapshot(meta, None)
+
+    def ts(ms):
+        return datetime.datetime.fromtimestamp(
+            ms / 1000, tz=datetime.timezone.utc
+        ).replace(tzinfo=None)
+
+    if kind == "history":
+        cur_ancestors = set()
+        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+        cur = snap["snapshot-id"] if snap else None
+        while cur is not None:
+            cur_ancestors.add(cur)
+            cur = by_id.get(cur, {}).get("parent-snapshot-id")
+        rows = [
+            (
+                ts(e["timestamp-ms"]),
+                int(e["snapshot-id"]),
+                by_id.get(e["snapshot-id"], {}).get("parent-snapshot-id"),
+                e["snapshot-id"] in cur_ancestors,
+            )
+            for e in meta.get("snapshot-log") or []
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at timestamp_ntz, snapshot_id long, "
+            "parent_id long, is_current_ancestor boolean",
+        )
+    if kind == "snapshots":
+        rows = [
+            (
+                ts(s["timestamp-ms"]),
+                int(s["snapshot-id"]),
+                s.get("parent-snapshot-id"),
+                (s.get("summary") or {}).get("operation"),
+                s.get("manifest-list"),
+                json.dumps(s.get("summary") or {}, sort_keys=True),
+            )
+            for s in meta.get("snapshots") or []
+        ]
+        return spark.createDataFrame(
+            rows,
+            "committed_at timestamp_ntz, snapshot_id long, parent_id long, "
+            "operation string, manifest_list string, summary string",
+        )
+    mfs = _read_manifest_list(path, snap) if snap is not None else []
+    if kind == "manifests":
+        rows = [
+            (
+                m["manifest_path"],
+                int(m["manifest_length"]),
+                int(m.get("partition_spec_id") or 0),
+                int(m.get("content") or 0),
+                int(m.get("added_data_files_count") or 0),
+                int(m.get("existing_data_files_count") or 0),
+                int(m.get("deleted_data_files_count") or 0),
+            )
+            for m in mfs
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, content int, "
+            "added_data_files_count int, existing_data_files_count int, "
+            "deleted_data_files_count int",
+        )
+    if kind in ("files", "partitions"):
+        live = []
+        for mf in _data_manifests(mfs):
+            for e in _read_manifest(path, mf):
+                if e.get("status", 0) in (0, 1):
+                    live.append(e)
+        if kind == "files":
+            rows = [
+                (
+                    int(e["data_file"].get("content") or 0),
+                    e["data_file"]["file_path"],
+                    e["data_file"].get("file_format"),
+                    int(e.get("_spec_id", 0)),
+                    json.dumps(
+                        e["data_file"].get("partition") or {}, sort_keys=True
+                    ),
+                    int(e["data_file"].get("record_count") or 0),
+                    int(e["data_file"].get("file_size_in_bytes") or 0),
+                    int(e.get("_seq", 0)),
+                )
+                for e in live
+            ]
+            return spark.createDataFrame(
+                rows,
+                "content int, file_path string, file_format string, "
+                "spec_id int, partition string, record_count long, "
+                "file_size_in_bytes long, data_sequence_number long",
+            )
+        agg: dict[tuple, list[int]] = {}
+        for e in live:
+            k = (
+                int(e.get("_spec_id", 0)),
+                json.dumps(
+                    e["data_file"].get("partition") or {}, sort_keys=True
+                ),
+            )
+            a = agg.setdefault(k, [0, 0, 0])
+            a[0] += int(e["data_file"].get("record_count") or 0)
+            a[1] += 1
+            a[2] += int(e["data_file"].get("file_size_in_bytes") or 0)
+        rows = [
+            (sid, pj, a[0], a[1], a[2])
+            for (sid, pj), a in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "spec_id int, partition string, record_count long, "
+            "file_count long, total_size long",
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r}: expected history/snapshots/"
+        "manifests/files/partitions"
+    )
+
+
 def iceberg_stream_batch_ids(path: str) -> dict[str, int]:
     """{app-id: highest committed micro-batch id} from snapshot
     summaries — the exactly-once ledger the streaming sink keys on
@@ -3367,6 +3510,56 @@ def iceberg_transforms_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
     )
     return range_leg.unionByName(point_leg).orderBy("leg")
+
+
+def iceberg_meta_tables_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for METADATA TABLES: the `partitions`
+    inspection table of the shared v1 interop fixture (append ×2 +
+    copy-on-write delete) must account for every live row WITHOUT
+    touching a single data file — record counts come purely from
+    manifest bookkeeping.  The oracle restates the same per-lang
+    counts off the raw parquet, so a value match proves the
+    add/existing/deleted status folding and per-entry record_count
+    stats are exact (a file double-counted across carried manifests,
+    or a DELETED entry left live, breaks the match)."""
+    # reuse (and build if needed) the interop fixture
+    iceberg_interop_entry(spark, sf_dir).count()
+    from ..functions.scale import default_index_dir
+
+    path = os.path.join(
+        default_index_dir("iceberg", _ICEBERG_LAKE_VERSION, sf_dir),
+        "docs_iceberg",
+    )
+    parts = read_iceberg_meta(spark, path, "partitions")
+    return (
+        parts.select(
+            F.get_json_object("partition", "$.lang").alias("lang"),
+            "record_count",
+            "file_count",
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("record_count").cast("bigint").alias("n_rows"),
+            F.sum("file_count").cast("bigint").alias("n_files_gt0"),
+        )
+        .select(
+            "lang",
+            "n_rows",
+            (F.col("n_files_gt0") > 0).alias("has_files"),
+        )
+        .orderBy("lang")
+    )
+
+
+ICEBERG_META_ORACLE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS has_files
+FROM documents
+WHERE doc_id NOT BETWEEN 100 AND 199
+GROUP BY lang
+ORDER BY lang
+"""
 
 
 ICEBERG_TRANSFORMS_ORACLE_SQL = """

@@ -1341,3 +1341,40 @@ def test_partition_spec_evolution(spark, tmp_path):
     final = ib.read_iceberg(spark, t)
     assert final.count() == 190
     assert final.filter(F.col("lang").isNull()).count() == 0
+
+
+def test_metadata_tables(spark, tmp_path):
+    """read_iceberg_meta: the snapshots/history/manifests/files/
+    partitions inspection surface agrees with the table's actual
+    state across append → delete → compact."""
+    t = str(tmp_path / "mt")
+    ib.write_iceberg(_df(spark, 0, 60), t, partition_by=["lang"])
+    ib.write_iceberg(_df(spark, 60, 90), t)
+    ib.delete_where_iceberg(spark, t, "doc_id", 0, 29)
+
+    snaps = ib.read_iceberg_meta(spark, t, "snapshots").collect()
+    assert [r["operation"] for r in snaps] == ["append", "append", "delete"]
+    assert snaps[1]["parent_id"] == snaps[0]["snapshot_id"]
+
+    hist = ib.read_iceberg_meta(spark, t, "history").collect()
+    assert len(hist) == 3 and all(r["is_current_ancestor"] for r in hist)
+
+    files = ib.read_iceberg_meta(spark, t, "files")
+    assert (
+        files.agg(F.sum("record_count")).first()[0]
+        == ib.read_iceberg(spark, t).count()
+        == 60
+    )
+    # identity partition values visible in the partition JSON
+    parts = ib.read_iceberg_meta(spark, t, "partitions").collect()
+    assert {json.loads(r["partition"])["lang"] for r in parts} == {
+        "0", "1", "2",
+    }
+    assert sum(r["record_count"] for r in parts) == 60
+
+    mfs = ib.read_iceberg_meta(spark, t, "manifests")
+    assert mfs.count() >= 1
+    assert mfs.filter(F.col("content") == 0).count() == mfs.count()
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        ib.read_iceberg_meta(spark, t, "nope")
