@@ -204,6 +204,7 @@ _TAIL_ORDER = [
     "lake_iceberg_transforms",
     "lake_delta_generated",
     "lake_iceberg_meta",
+    "dedup_incremental_pairs",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",

@@ -113,6 +113,8 @@ HEADLINE = [
     "mm_audio_mp3_meta",
     "mm_video_mp4_pipeline",
     "lake_iceberg_transforms",
+    "lake_delta_generated",
+    "dedup_incremental_pairs",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -147,8 +149,11 @@ HEAVY_WARMUPS = {
     "lake_iceberg_v2_deletes": 2,
     "lake_bloom_lookup": 2,
     "lake_iceberg_eq_upsert": 2,
-    # first warm pass builds the transform-partitioned orders table
+    # first warm pass builds the transform-partitioned orders table /
+    # generated-column table / incremental posting index
     "lake_iceberg_transforms": 2,
+    "lake_delta_generated": 2,
+    "dedup_incremental_pairs": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

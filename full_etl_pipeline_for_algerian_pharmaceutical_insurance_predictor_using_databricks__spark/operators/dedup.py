@@ -30,6 +30,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..functions.scale import checkpoint_df
@@ -1400,6 +1402,121 @@ GROUP BY src
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental dedup: screen NEW arrivals against a FROZEN corpus index
+# --------------------------------------------------------------------------
+
+#: Bump when the incremental index layout changes.
+_INC_INDEX_VERSION = 1
+
+
+def _ensure_incremental_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once posting index over the BASE corpus (doc_id % 10 != 0):
+    one parquet table (token xxhash64, doc_id, set_size).  The
+    build/serve split every serving entry uses — at 100 TB the index
+    is maintained incrementally (append new postings per ingest
+    batch), never rebuilt."""
+    from ..functions.scale import default_index_dir
+
+    out = os.path.join(
+        default_index_dir("dedup_inc", _INC_INDEX_VERSION, sf_dir),
+        "base_postings",
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        tok = _token_sets(docs).select(
+            "doc_id", F.xxhash64("token").alias("token")
+        )
+        sizes = tok.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+        tok.join(sizes, "doc_id").select(
+            "token", "doc_id", "set_size"
+        ).write.mode("overwrite").parquet(out)
+    return out
+
+
+def incremental_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Near-dup screening of NEWLY ARRIVED documents (doc_id % 10 == 0,
+    the 'tenth shard just landed' slice) against the frozen base-corpus
+    posting index — the INCREMENTAL maintenance shape a 100-TB corpus
+    actually runs: per ingest batch, tokenize ONLY the new docs and
+    broadcast their postings against the stored index (the index side
+    never shuffles — a broadcast hash join streams over its scan),
+    length-prune with the standard two-sided bound, count shared
+    tokens, and keep exact Jaccard ≥ threshold.  Wall cost tracks the
+    BATCH size, not the corpus: the full-corpus `dedup_jaccard_pairs`
+    self-join never reruns.  Jaccard is int/int — exact across
+    engines, so the DuckDB oracle (cross-set pairs off raw text)
+    value-matches bit for bit."""
+    index_path = _ensure_incremental_index(spark, sf_dir)
+    base = spark.read.parquet(index_path)
+    new_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    new_tok = _token_sets(new_docs).select(
+        "doc_id", F.xxhash64("token").alias("token")
+    )
+    new_sizes = new_tok.groupBy("doc_id").agg(
+        F.count("*").alias("set_size")
+    )
+    new_post = new_tok.join(new_sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_new"),
+        "token",
+        F.col("set_size").alias("size_new"),
+    )
+    size_compatible = (
+        F.col("size_new") >= threshold * F.col("set_size")
+    ) & (F.col("set_size") >= threshold * F.col("size_new"))
+    shared = (
+        base.join(F.broadcast(new_post), "token")
+        .filter(size_compatible)
+        .groupBy(
+            "doc_new",
+            F.col("doc_id").alias("doc_base"),
+            "size_new",
+            F.col("set_size").alias("size_base"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared") / (
+        F.col("size_new") + F.col("size_base") - F.col("shared")
+    )
+    return shared.select(
+        "doc_new", "doc_base", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+_INC_JACCARD_SQL = rf"""
+WITH tok AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id
+),
+shared AS (
+    SELECT n.doc_id AS doc_new, b.doc_id AS doc_base, COUNT(*) AS shared
+    FROM tok n JOIN tok b ON n.token = b.token
+    WHERE n.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+    GROUP BY 1, 2
+)
+SELECT
+    doc_new,
+    doc_base,
+    shared / (sn.set_size + sb.set_size - shared) AS jaccard
+FROM shared
+JOIN sizes sn ON doc_new = sn.doc_id
+JOIN sizes sb ON doc_base = sb.doc_id
+WHERE shared / (sn.set_size + sb.set_size - shared) >= {JACCARD_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_clusters": dedup_clusters,
@@ -1410,6 +1527,7 @@ QUERIES = {
     "dedup_embedding_cosine": embedding_near_dup,
     "dedup_embedding_clustered": embedding_near_dup_clustered,
     "dedup_embedding_keepers": embedding_dedup_keepers,
+    "dedup_incremental_pairs": incremental_jaccard_pairs,
 }
 
 #: dedup_minhash_lsh / dedup_simhash_pairs depend on xxhash64 (no DuckDB
@@ -1420,4 +1538,5 @@ ORACLES = {
     "dedup_jaccard_pairs": _JACCARD_SQL,
     "dedup_containment_pairs": _CONTAINMENT_SQL,
     "dedup_embedding_cosine": _EMB_NEAR_DUP_SQL,
+    "dedup_incremental_pairs": _INC_JACCARD_SQL,
 }

@@ -1467,3 +1467,35 @@ def test_jpeg_fixture_pipeline_locally(spark, sf_dir):
         assert img.shape[0] >= 8 and img.shape[1] >= 8
     out = multimodal.image_jpeg_pipeline(spark, sf_dir).limit(50).collect()
     assert all(r["psnr_ok"] for r in out)
+
+
+def test_incremental_dedup_index_and_plan(spark, sf_correct):
+    """Incremental near-dup screening: results equal the cross-set
+    slice of the full self-join (parity with the oracle-checked
+    jaccard path), the batch side broadcasts (the stored index never
+    shuffles), and the index builds once (second call reuses it)."""
+    import os
+    import time
+
+    inc = dedup.incremental_jaccard_pairs(spark, sf_correct)
+    got = {(r.doc_new, r.doc_base): r.jaccard for r in inc.collect()}
+    full = dedup.ngram_jaccard_pairs(spark, sf_correct, threshold=0.9)
+    want = {}
+    for r in full.collect():
+        a, b = r.doc_a, r.doc_b
+        if a % 10 == 0 and b % 10 != 0:
+            want[(a, b)] = r.jaccard
+        elif b % 10 == 0 and a % 10 != 0:
+            want[(b, a)] = r.jaccard
+    assert got == want and got  # nonempty at sf0.001+
+    # the NEW-batch postings broadcast; the index side streams
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # build-once: the index dir's _SUCCESS survives and a re-run does
+    # not rewrite it
+    path = dedup._ensure_incremental_index(spark, sf_correct)
+    marker = os.path.join(path, "_SUCCESS")
+    before = os.path.getmtime(marker)
+    time.sleep(0.05)
+    dedup.incremental_jaccard_pairs(spark, sf_correct).count()
+    assert os.path.getmtime(marker) == before
