@@ -211,6 +211,7 @@ _TAIL_ORDER = [
     "events_hll_daily_users",
     "events_hll_overlap",
     # xxhash64-based winnowing — no DuckDB twin; guarantee-tested in pytest
+    "dedup_incremental_minhash",
     "text_winnowed_fingerprints",
     "text_bpe_merges",
     "text_bpe_tokenize",

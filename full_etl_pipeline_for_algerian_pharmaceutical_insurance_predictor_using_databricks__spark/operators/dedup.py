@@ -857,6 +857,35 @@ def _rep_minhash_signature(
     )
 
 
+def _band_table(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): each signature sliced into N_BANDS
+    contiguous row groups, each keyed by one xxhash64 of the slice —
+    the standard LSH banding table both the self-join and the
+    incremental probe bucket on."""
+    rows_per_band = N_HASHES // N_BANDS
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[i].cast("string")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        )
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -881,26 +910,7 @@ def minhash_lsh_pairs(
     docs = load_table(spark, sf_dir, "documents")
     groups = _contract(_token_sets(docs, shingle_n=shingle_n))
     sig = _rep_minhash_signature(groups)
-    rows_per_band = N_HASHES // N_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("signature")[i].cast("string")
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band", "band_key"),
-    )
+    bands = _band_table(sig)
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")
     candidates = (
@@ -939,6 +949,112 @@ def minhash_lsh_pairs(
     else:
         verified = _verify_pairs_exact(candidates, _rep_arrays(groups), threshold)
     return _expand_rep_pairs(verified, groups, threshold)
+
+
+# --------------------------------------------------------------------------
+# 3b. Incremental MinHash-LSH: probe new arrivals against a FROZEN
+#     band index — the fixed-size sibling of the exact posting index
+# --------------------------------------------------------------------------
+
+#: Bump when the incremental LSH index layout changes.
+_INC_LSH_VERSION = 1
+
+
+def _ensure_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once LSH index over the BASE corpus (doc_id % 10 != 0):
+    a band table (doc_id, band, band_key — N_BANDS rows per doc,
+    CONSTANT size per doc regardless of document length, unlike the
+    posting index) plus the interned token arrays the exact
+    verification joins against."""
+    from ..functions.scale import default_index_dir
+
+    root = default_index_dir("dedup_inc_lsh", _INC_LSH_VERSION, sf_dir)
+    bands_out = os.path.join(root, "bands")
+    arrays_out = os.path.join(root, "arrays")
+    if not os.path.exists(os.path.join(bands_out, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        tok = _token_sets(docs).select(
+            "doc_id", F.xxhash64("token").alias("token")
+        )
+        arrays = tok.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("token")).alias("tokens"),
+            F.count_distinct("token").alias("set_size"),
+        )
+        arrays.write.mode("overwrite").parquet(arrays_out)
+        _band_table(_minhash_signature(tok)).write.mode(
+            "overwrite"
+        ).parquet(bands_out)
+    return root
+
+
+def incremental_minhash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = CANDIDATE_VERIFY_THRESHOLD,
+) -> DataFrame:
+    """Near-dup screening of newly arrived documents against the
+    frozen MinHash-LSH band index — the shape a 100-TB corpus actually
+    maintains: the index holds N_BANDS fixed-width keys per document
+    (size tracks DOC COUNT, not token volume — the reason LSH, not
+    postings, is what scales to web crawls), the new batch's band keys
+    broadcast against it, and only the candidate pairs are verified
+    with exact Jaccard on the stored token arrays.  Same hash family,
+    banding and verify threshold as `dedup_minhash_lsh`, so the output
+    equals that entry's cross-set slice exactly (pinned in pytest);
+    rows-only for the driver (xxhash64 has no DuckDB twin)."""
+    root = _ensure_incremental_lsh_index(spark, sf_dir)
+    base_bands = spark.read.parquet(os.path.join(root, "bands"))
+    base_arrays = spark.read.parquet(os.path.join(root, "arrays"))
+    new_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    new_tok = _token_sets(new_docs).select(
+        "doc_id", F.xxhash64("token").alias("token")
+    )
+    new_arrays = new_tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("token")).alias("tokens"),
+        F.count_distinct("token").alias("set_size"),
+    )
+    new_bands = _band_table(_minhash_signature(new_tok))
+    candidates = (
+        base_bands.join(
+            F.broadcast(
+                new_bands.select(
+                    F.col("doc_id").alias("doc_new"), "band", "band_key"
+                )
+            ),
+            ["band", "band_key"],
+        )
+        .select("doc_new", F.col("doc_id").alias("doc_base"))
+        .distinct()
+    )
+    shared = (
+        candidates.join(
+            new_arrays.select(
+                F.col("doc_id").alias("doc_new"),
+                F.col("tokens").alias("_tn"),
+                F.col("set_size").alias("size_new"),
+            ),
+            "doc_new",
+        )
+        .join(
+            base_arrays.select(
+                F.col("doc_id").alias("doc_base"),
+                F.col("tokens").alias("_tb"),
+                F.col("set_size").alias("size_base"),
+            ),
+            "doc_base",
+        )
+        .withColumn("shared", F.size(F.array_intersect("_tn", "_tb")))
+    )
+    jac = F.col("shared") / (
+        F.col("size_new") + F.col("size_base") - F.col("shared")
+    )
+    return shared.select(
+        "doc_new", "doc_base", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------------
@@ -1528,6 +1644,7 @@ QUERIES = {
     "dedup_embedding_clustered": embedding_near_dup_clustered,
     "dedup_embedding_keepers": embedding_dedup_keepers,
     "dedup_incremental_pairs": incremental_jaccard_pairs,
+    "dedup_incremental_minhash": incremental_minhash_pairs,
 }
 
 #: dedup_minhash_lsh / dedup_simhash_pairs depend on xxhash64 (no DuckDB

@@ -1499,3 +1499,30 @@ def test_incremental_dedup_index_and_plan(spark, sf_correct):
     time.sleep(0.05)
     dedup.incremental_jaccard_pairs(spark, sf_correct).count()
     assert os.path.getmtime(marker) == before
+
+
+def test_incremental_minhash_matches_full_lsh_slice(spark, sf_correct):
+    """Incremental LSH probe: same hash family, banding and verify
+    threshold as the full self-join entry, so the output is EXACTLY
+    its cross-set slice (new × base); the index is fixed-width per
+    doc (N_BANDS band rows), and the probe side broadcasts."""
+    inc = dedup.incremental_minhash_pairs(spark, sf_correct)
+    got = {(r.doc_new, r.doc_base): round(r.jaccard, 9) for r in inc.collect()}
+    full = dedup.minhash_lsh_pairs(spark, sf_correct)
+    want = {}
+    for r in full.collect():
+        a, b = r.doc_a, r.doc_b
+        if a % 10 == 0 and b % 10 != 0:
+            want[(a, b)] = round(r.jaccard, 9)
+        elif b % 10 == 0 and a % 10 != 0:
+            want[(b, a)] = round(r.jaccard, 9)
+    assert got == want and got
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # index is N_BANDS rows per base doc — fixed size per doc
+    import os
+
+    root = dedup._ensure_incremental_lsh_index(spark, sf_correct)
+    bands = spark.read.parquet(os.path.join(root, "bands"))
+    n_base = bands.select("doc_id").distinct().count()
+    assert bands.count() == n_base * dedup.N_BANDS
