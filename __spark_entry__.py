@@ -205,6 +205,7 @@ _TAIL_ORDER = [
     "lake_delta_generated",
     "lake_iceberg_meta",
     "dedup_incremental_pairs",
+    "lake_delta_meta",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -314,6 +315,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_delta_interop"] = _deltaproto.delta_interop_entry
     pool["lake_delta_merge"] = _deltaproto.delta_merge_entry
     pool["lake_delta_generated"] = _deltaproto.delta_generated_entry
+    pool["lake_delta_meta"] = _deltaproto.delta_meta_tables_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         iceberg as _iceberg,
     )
@@ -391,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_delta_interop"] = _deltaproto.DELTA_INTEROP_ORACLE_SQL
     pool["lake_delta_merge"] = _deltaproto.DELTA_MERGE_ORACLE_SQL
     pool["lake_delta_generated"] = _deltaproto.DELTA_GENERATED_ORACLE_SQL
+    pool["lake_delta_meta"] = _deltaproto.DELTA_META_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         iceberg as _iceberg,
     )

@@ -115,6 +115,7 @@ HEADLINE = [
     "lake_iceberg_transforms",
     "lake_delta_generated",
     "dedup_incremental_pairs",
+    "dedup_incremental_minhash",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -154,6 +155,7 @@ HEAVY_WARMUPS = {
     "lake_iceberg_transforms": 2,
     "lake_delta_generated": 2,
     "dedup_incremental_pairs": 2,
+    "dedup_incremental_minhash": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

@@ -476,6 +476,113 @@ def delta_history(path: str) -> list[dict]:
     return out
 
 
+def read_delta_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
+    """Metadata tables — Delta's inspection surface (`DESCRIBE
+    DETAIL`/`DESCRIBE HISTORY`/file listing) as DataFrames, from the
+    same log fold the data reads run:
+
+    - ``detail``: one row — format, id, location, createdAt,
+      numFiles, sizeInBytes, partitionColumns, minReader/WriterVersion;
+    - ``files``: one row per LIVE add action (path, partitionValues
+      JSON, size, has_stats, has_dv);
+    - ``partitions``: live files aggregated per partitionValues JSON;
+    - ``history``: commitInfo per version (version, timestamp,
+      operation).
+
+    Metadata-only (log JSON + checkpoint fold, no parquet data IO)."""
+    import datetime
+
+    meta, live, _v = _fold_delta_state(spark, path, None)
+    proto = _current_protocol(path)
+
+    def ts(ms):
+        return datetime.datetime.fromtimestamp(
+            ms / 1000, tz=datetime.timezone.utc
+        ).replace(tzinfo=None)
+
+    if kind == "detail":
+        rows = [
+            (
+                "delta",
+                meta.get("id"),
+                path,
+                ts(meta["createdTime"]) if meta.get("createdTime") else None,
+                len(live),
+                sum(int(a.get("size") or 0) for a in live.values()),
+                json.dumps(meta.get("partitionColumns") or []),
+                int(proto.get("minReaderVersion", 1)),
+                int(proto.get("minWriterVersion", 1)),
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "format string, id string, location string, "
+            "createdAt timestamp_ntz, numFiles long, sizeInBytes long, "
+            "partitionColumns string, minReaderVersion int, "
+            "minWriterVersion int",
+        )
+    def n_records(a: dict):
+        s = a.get("stats")
+        try:
+            if isinstance(s, str):
+                s = json.loads(s)
+            return int((s or {}).get("numRecords"))
+        except (ValueError, TypeError, AttributeError):
+            return None
+
+    if kind == "files":
+        rows = [
+            (
+                a["path"],
+                json.dumps(a.get("partitionValues") or {}, sort_keys=True),
+                int(a.get("size") or 0),
+                n_records(a),
+                a.get("stats") is not None,
+                a.get("deletionVector") is not None,
+            )
+            for a in live.values()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, partitionValues string, size long, "
+            "record_count long, has_stats boolean, has_dv boolean",
+        )
+    if kind == "partitions":
+        agg: dict[str, list] = {}
+        for a in live.values():
+            k = json.dumps(a.get("partitionValues") or {}, sort_keys=True)
+            s = agg.setdefault(k, [0, 0, 0])
+            s[0] += 1
+            s[1] += int(a.get("size") or 0)
+            nr = n_records(a)
+            if s[2] is not None:
+                s[2] = None if nr is None else s[2] + nr
+        rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+        return spark.createDataFrame(
+            rows,
+            "partitionValues string, file_count long, total_size long, "
+            "record_count long",
+        )
+    if kind == "history":
+        rows = [
+            (
+                int(h["version"]),
+                h.get("operation"),
+                int(h.get("n_added") or 0),
+                int(h.get("n_removed") or 0),
+            )
+            for h in delta_history(path)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, operation string, n_added long, n_removed long",
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r}: expected "
+        "detail/files/partitions/history"
+    )
+
+
 def _claim_delta_version(path: str, lines: list[str]) -> int:
     """Atomic put-if-absent commit (os.link), retrying at the next
     version on a lost race — the writer rule the protocol requires."""
@@ -2089,7 +2196,7 @@ def delta_to_minilake(
 # Driver entry
 # --------------------------------------------------------------------------
 
-_DELTA_LAKE_VERSION = 1
+_DELTA_LAKE_VERSION = 2  # v2: fixture rebuilt so the checkpoint carries add stats
 
 
 _DELTA_MERGE_LAKE_VERSION = 1
@@ -2198,6 +2305,47 @@ def delta_interop_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def delta_meta_tables_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for Delta METADATA TABLES: the `partitions`
+    inspection table of the shared interop fixture must account for
+    every live row from the LOG's stats JSON alone (numRecords per
+    add action — no parquet data IO).  The oracle restates the per-lang
+    counts off the raw parquet, so a value match proves the
+    add/remove/checkpoint fold and per-file stats are exact."""
+    # reuse (and build if needed) the interop fixture
+    delta_interop_entry(spark, sf_dir).count()
+    from ..functions.scale import default_index_dir
+
+    path = os.path.join(
+        default_index_dir("deltaproto", _DELTA_LAKE_VERSION, sf_dir),
+        "docs_delta",
+    )
+    parts = read_delta_meta(spark, path, "partitions")
+    return (
+        parts.select(
+            F.get_json_object("partitionValues", "$.lang").alias("lang"),
+            "record_count",
+            "file_count",
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("record_count").cast("bigint").alias("n_rows"),
+            (F.sum("file_count") > 0).alias("has_files"),
+        )
+        .orderBy("lang")
+    )
+
+
+DELTA_META_ORACLE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS has_files
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
 
 
 #: Bump when the generated-column fixture changes shape.

@@ -998,3 +998,29 @@ def test_generated_columns_partition_filter(spark, tmp_path):
     assert dp._gen_partition_value("month(ts)", d) == (None, False)
     assert dp._gen_source_col("date_format(ts, 'yyyy-MM')") == "ts"
     assert dp._gen_source_col("month(ts)") is None
+
+
+def test_delta_metadata_tables(spark, tmp_path):
+    """read_delta_meta: detail/files/partitions/history agree with the
+    table's actual state across write → append → delete."""
+    t = str(tmp_path / "mt")
+    dp.write_delta(_df(spark, 0, 60), t, partition_by=["lang"])
+    dp.write_delta(_df(spark, 60, 90), t)
+    dp.delete_where_delta(spark, t, "doc_id", 0, 29)
+
+    detail = dp.read_delta_meta(spark, t, "detail").first()
+    assert detail["format"] == "delta"
+    assert json.loads(detail["partitionColumns"]) == ["lang"]
+    files = dp.read_delta_meta(spark, t, "files")
+    assert files.count() == detail["numFiles"]
+    assert files.filter(~F.col("has_stats")).count() == 0
+    parts = dp.read_delta_meta(spark, t, "partitions").collect()
+    assert {json.loads(r["partitionValues"])["lang"] for r in parts} == {
+        "0", "1", "2",
+    }
+    assert sum(r["file_count"] for r in parts) == detail["numFiles"]
+    hist = dp.read_delta_meta(spark, t, "history").collect()
+    assert [r["operation"] for r in hist] == ["WRITE", "WRITE", "DELETE"]
+    assert hist[2]["n_removed"] > 0
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        dp.read_delta_meta(spark, t, "nope")
