@@ -206,6 +206,7 @@ _TAIL_ORDER = [
     "lake_iceberg_meta",
     "dedup_incremental_pairs",
     "lake_delta_meta",
+    "events_cep_pattern",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",

@@ -1281,7 +1281,78 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Complex-event-processing pattern match (MATCH_RECOGNIZE-lite)
+# --------------------------------------------------------------------------
+
+
+def cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence PATTERN MATCHING — the
+    MATCH_RECOGNIZE/CEP shape, expressed relationally: each user's
+    events collapse into one ordered journey string (one char per
+    event type, sorted by (ts, event_id) — the tiebreak makes the
+    string deterministic across engines), then regex engines count
+    non-overlapping occurrences of the behavioral patterns:
+
+    - conversion  `vc*p` — a view leading to a purchase through any
+      number of clicks;
+    - error recovery `ep` — a purchase immediately after an error.
+
+    One groupBy shuffle on user_id (the natural CEP key — at 100 TB
+    this is the same per-key state partitioning Flink CEP runs);
+    sort + concat + regex all happen inside the aggregate projection,
+    JVM-side, no UDF.  The journey STRING itself is in the output, so
+    the oracle pins the full ordered reconstruction — a wrong sort
+    key, tie-break, or initial mapping shifts a character and fails
+    the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    journey = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: F.substring(s["event_type"], 1, 1),
+        ),
+    )
+    out = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        journey.alias("journey"),
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "journey",
+        F.size(F.regexp_extract_all("journey", F.lit("vc*p"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_conversions"),
+        F.size(F.regexp_extract_all("journey", F.lit("ep"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_error_recoveries"),
+    ).orderBy("user_id")
+
+
+_CEP_SQL = """
+WITH j AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+    FROM events
+    GROUP BY user_id
+)
+SELECT user_id, n_events, journey,
+       CAST(length(regexp_extract_all(journey, 'vc*p')) AS BIGINT)
+           AS n_conversions,
+       CAST(length(regexp_extract_all(journey, 'ep')) AS BIGINT)
+           AS n_error_recoveries
+FROM j
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "events_cep_pattern": cep_pattern,
     "events_funnel": funnel,
     "events_trailing_hour": trailing_hour_stats,
     "events_value_time_stats": value_time_stats,
@@ -1308,6 +1379,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cep_pattern": _CEP_SQL,
     "events_funnel": _FUNNEL_SQL,
     "events_trailing_hour": _TRAILING_SQL,
     "events_value_time_stats": _VALUE_TIME_STATS_SQL,

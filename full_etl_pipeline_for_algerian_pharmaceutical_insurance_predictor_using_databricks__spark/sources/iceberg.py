@@ -2602,6 +2602,50 @@ def commit_iceberg_files(
     )
 
 
+def rewrite_iceberg_manifests(path: str) -> int:
+    """Manifest compaction (`rewrite_manifests`): consolidate the
+    current snapshot's DATA manifests into ONE manifest per partition
+    spec — the metadata-side maintenance the exactly-once streaming
+    sink makes necessary (every micro-batch appends a manifest; after
+    N triggers each planning pass opens N Avro files).  No data file
+    moves: every live entry is rewritten as EXISTING with its data
+    sequence number preserved; delete manifests carry forward
+    untouched; the commit is a `replace` snapshot (row-invisible to
+    the changelog and the incremental-append stream, like
+    compact_iceberg).  Runs inside the commit retry loop."""
+    result = {"n_before": 0}
+
+    def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        fields = _schema_of(base)
+        schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+        prev = _snapshot(base, None)
+        mfs = _read_manifest_list(path, prev) if prev is not None else []
+        data_mfs = _data_manifests(mfs)
+        delete_mfs = [m for m in mfs if (m.get("content") or 0) == 1]
+        result["n_before"] = len(data_mfs)
+        entries = []
+        for mf in data_mfs:
+            for e in _read_manifest(path, mf):
+                if e.get("status", 0) in (0, 1):
+                    entries.append(
+                        {
+                            "status": 0,  # EXISTING under the new manifest
+                            "snapshot_id": e.get("snapshot_id"),
+                            "_seq": e.get("_seq", 0),
+                            "_spec_id": e.get("_spec_id", 0),
+                            "data_file": e["data_file"],
+                        }
+                    )
+        new_mfs = _write_manifests_by_spec(
+            path, entries, snapshot_id, fields, base, schema_json, fv, seq
+        )
+        return new_mfs + delete_mfs
+
+    return _commit_snapshot(path, "replace", build)
+
+
 def evolve_iceberg_spec(path: str, partition_by: list[str]) -> int:
     """Metadata-only PARTITION evolution — the spec's headline feature
     over hive layouts: append a NEW partition spec (fresh spec-id,

@@ -1378,3 +1378,45 @@ def test_metadata_tables(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown metadata table"):
         ib.read_iceberg_meta(spark, t, "nope")
+
+
+def test_rewrite_manifests_consolidates(spark, tmp_path):
+    """rewrite_manifests: N append manifests → one per spec, every
+    row still readable with its sequence number, snapshots from
+    before the rewrite still time-travel, MOR deletes keep applying,
+    and the changelog reports zero rows for the replace snapshot."""
+    t = str(tmp_path / "rm")
+    for lo in range(0, 100, 20):
+        ib.write_iceberg(_df(spark, lo, lo + 20), t)
+    ib.delete_where_iceberg(
+        spark, t, "doc_id", 0, 9, strategy="merge-on-read"
+    )
+    meta = ib.current_metadata(t)
+    snap_before = ib._snapshot(meta, None)
+    mfs_before = ib._data_manifests(
+        ib._read_manifest_list(t, snap_before)
+    )
+    assert len(mfs_before) == 5
+    ib.rewrite_iceberg_manifests(t)
+    meta2 = ib.current_metadata(t)
+    snap = ib._snapshot(meta2, None)
+    mfs = ib._read_manifest_list(t, snap)
+    assert len(ib._data_manifests(mfs)) == 1
+    assert sum(1 for m in mfs if (m.get("content") or 0) == 1) == 1
+    back = ib.read_iceberg(spark, t)
+    assert back.count() == 90  # MOR delete still applies
+    assert _rows(back) == _rows(_df(spark, 10, 100))
+    # time travel to the pre-rewrite snapshot still works
+    assert (
+        ib.read_iceberg(
+            spark, t, snapshot_id=snap_before["snapshot-id"]
+        ).count()
+        == 90
+    )
+    # the replace snapshot is change-invisible
+    ch = ib.read_changes_iceberg(spark, t)
+    frm = {r["_change_type"] for r in ch.select("_change_type").collect()}
+    assert frm == {"insert", "delete"}
+    inserts = ch.filter(F.col("_change_type") == "insert").count()
+    deletes = ch.filter(F.col("_change_type") == "delete").count()
+    assert (inserts, deletes) == (100, 10)
