@@ -935,12 +935,20 @@ def _read_entries(
 
 
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Snapshot (optionally time-travel) read of a real Iceberg table:
     metadata JSON → manifest list → manifests → parquet scan, identity
-    partition columns rebuilt from partition structs."""
+    partition columns rebuilt from partition structs.  `ref` reads a
+    named tag/branch head (`VERSION AS OF 'name'`)."""
     meta = current_metadata(path)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR ref, not both")
+        snapshot_id = _resolve_ref(meta, ref)
     snap = _snapshot(meta, snapshot_id)
     if snap is None:
         return spark.createDataFrame([], _spark_schema(_schema_of(meta)))
@@ -1723,6 +1731,7 @@ def _commit_snapshot(
     spec_fields: list[dict] | None = None,
     format_version: int | None = None,
     summary_extra: dict | None = None,
+    branch: str | None = None,
 ) -> int:
     """Shared commit: build_manifests(base_meta_or_None, snapshot_id,
     seq, fv) → list of manifest_file records; wrap them in a manifest
@@ -1762,7 +1771,16 @@ def _commit_snapshot(
         }
         if fv >= 2:
             snap["sequence-number"] = seq
-        if base is not None:
+        if branch is not None:
+            if base is None:
+                raise FileNotFoundError(
+                    f"no Iceberg metadata under {path}"
+                )
+            refs = base.get("refs") or {}
+            if branch not in refs or refs[branch].get("type") != "branch":
+                raise ValueError(f"no branch {branch!r}")
+            snap["parent-snapshot-id"] = int(refs[branch]["snapshot-id"])
+        elif base is not None:
             cur = base.get("current-snapshot-id")
             if cur not in (None, -1):
                 snap["parent-snapshot-id"] = cur
@@ -1812,10 +1830,17 @@ def _commit_snapshot(
         if fv >= 2:
             meta["last-sequence-number"] = seq
         meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
-        meta["current-snapshot-id"] = snapshot_id
-        meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
-            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-        ]
+        if branch is not None:
+            # branch commit: the head moves, MAIN history does not
+            meta.setdefault("refs", {})[branch] = {
+                "snapshot-id": snapshot_id,
+                "type": "branch",
+            }
+        else:
+            meta["current-snapshot-id"] = snapshot_id
+            meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+                {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+            ]
         result["snapshot_id"] = snapshot_id
         return meta
 
@@ -1829,6 +1854,7 @@ def write_iceberg(
     mode: str = "append",
     partition_by: list[str] | None = None,
     format_version: int = 1,
+    branch: str | None = None,
 ) -> int:
     """Write a REAL Iceberg snapshot: land parquet under `data/`,
     write a manifest + manifest list (Avro, deflate), commit
@@ -1883,7 +1909,11 @@ def write_iceberg(
         )
         carried: list[dict] = []
         if mode == "append" and base is not None:
-            prev = _snapshot(base, None)
+            # append on a branch carries the BRANCH head's manifests
+            prev = _snapshot(
+                base,
+                _resolve_ref(base, branch) if branch is not None else None,
+            )
             if prev is not None:
                 carried = _read_manifest_list(path, prev)
         return [new_mf] + carried
@@ -1895,6 +1925,7 @@ def write_iceberg(
         schema_fields=fields,
         spec_fields=spec,
         format_version=format_version,
+        branch=branch,
     )
 
 
@@ -2602,6 +2633,131 @@ def commit_iceberg_files(
     )
 
 
+# --------------------------------------------------------------------------
+# Named refs (spec v2 `refs` map): tags, branches, write-audit-publish
+# --------------------------------------------------------------------------
+
+
+def set_iceberg_ref(
+    path: str, name: str, snapshot_id: int | None = None, kind: str = "tag"
+) -> int:
+    """Create/update a named ref — `kind="tag"` (immutable bookmark)
+    or `kind="branch"` (independently-writable head) — pointing at
+    `snapshot_id` (default: the current snapshot).  The spec's `refs`
+    metadata map; `main` is reserved (it IS current-snapshot-id)."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"unknown ref kind {kind!r}")
+    if name == "main":
+        raise ValueError("'main' is the implicit current-snapshot branch")
+    result = {}
+
+    def build(base: dict | None) -> dict:
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        meta = json.loads(json.dumps(base))
+        sid = snapshot_id
+        if sid is None:
+            cur = meta.get("current-snapshot-id")
+            if cur in (None, -1):
+                raise ValueError("table has no current snapshot to ref")
+            sid = cur
+        _snapshot(meta, sid)  # must exist
+        refs = meta.setdefault("refs", {})
+        refs[name] = {"snapshot-id": int(sid), "type": kind}
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        result["sid"] = int(sid)
+        return meta
+
+    _claim_metadata(path, build)
+    return result["sid"]
+
+
+def drop_iceberg_ref(path: str, name: str) -> None:
+    def build(base: dict | None) -> dict:
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        meta = json.loads(json.dumps(base))
+        refs = meta.get("refs") or {}
+        if name not in refs:
+            raise ValueError(f"no ref {name!r}")
+        del refs[name]
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        return meta
+
+    _claim_metadata(path, build)
+
+
+def _resolve_ref(meta: dict, ref: str) -> int:
+    if ref == "main":
+        cur = meta.get("current-snapshot-id")
+        if cur in (None, -1):
+            raise ValueError("table has no current snapshot")
+        return int(cur)
+    refs = meta.get("refs") or {}
+    if ref not in refs:
+        raise ValueError(f"no ref {ref!r}")
+    return int(refs[ref]["snapshot-id"])
+
+
+def _is_ancestor(meta: dict, ancestor_id: int, descendant_id: int) -> bool:
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    cur = descendant_id
+    while cur is not None:
+        if cur == ancestor_id:
+            return True
+        cur = by_id.get(cur, {}).get("parent-snapshot-id")
+    return False
+
+
+def fast_forward_iceberg(path: str, branch: str) -> int:
+    """PUBLISH step of write-audit-publish: make `main` point at the
+    branch head.  Refuses unless main's current snapshot is an
+    ANCESTOR of the branch head (the spec's fast-forward rule — a
+    diverged main needs a real merge/cherry-pick, which this tier
+    does not fake).  The branch's commits enter the snapshot-log as
+    main history.  Returns the published snapshot id."""
+    result = {}
+
+    def build(base: dict | None) -> dict:
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        meta = json.loads(json.dumps(base))
+        refs = meta.get("refs") or {}
+        if branch not in refs or refs[branch].get("type") != "branch":
+            raise ValueError(f"no branch {branch!r}")
+        head = int(refs[branch]["snapshot-id"])
+        cur = meta.get("current-snapshot-id")
+        if cur not in (None, -1) and not _is_ancestor(meta, cur, head):
+            raise ValueError(
+                f"cannot fast-forward: main ({cur}) is not an ancestor "
+                f"of branch {branch!r} head ({head})"
+            )
+        # replay the branch's lineage (exclusive of current) into the
+        # snapshot-log so main history stays contiguous
+        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+        chain = []
+        walk = head
+        while walk is not None and walk != cur:
+            chain.append(walk)
+            walk = by_id.get(walk, {}).get("parent-snapshot-id")
+        log = list(meta.get("snapshot-log") or [])
+        for sid in reversed(chain):
+            log.append(
+                {
+                    "timestamp-ms": by_id[sid]["timestamp-ms"],
+                    "snapshot-id": sid,
+                }
+            )
+        meta["snapshot-log"] = log
+        meta["current-snapshot-id"] = head
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        result["sid"] = head
+        return meta
+
+    _claim_metadata(path, build)
+    return result["sid"]
+
+
 def rewrite_iceberg_manifests(path: str) -> int:
     """Manifest compaction (`rewrite_manifests`): consolidate the
     current snapshot's DATA manifests into ONE manifest per partition
@@ -3008,11 +3164,17 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 1) -> int:
             key=lambda s: s.get("timestamp-ms", 0),
         )
         keep = snaps[-keep_last:]
+        kept_ids = {s["snapshot-id"] for s in keep}
         cur = meta.get("current-snapshot-id")
-        if cur not in (None, -1) and cur not in {
-            s["snapshot-id"] for s in keep
-        }:
-            keep.append(_snapshot(meta, cur))
+        pinned = [cur] if cur not in (None, -1) else []
+        # named refs pin their heads (tags AND branch heads survive)
+        pinned += [
+            int(r["snapshot-id"]) for r in (meta.get("refs") or {}).values()
+        ]
+        for sid in pinned:
+            if sid not in kept_ids:
+                keep.append(_snapshot(meta, sid))
+                kept_ids.add(sid)
         keep_ids = {s["snapshot-id"] for s in keep}
         removed["n"] = len(snaps) - len(keep_ids)
         meta["snapshots"] = [

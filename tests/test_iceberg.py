@@ -1420,3 +1420,52 @@ def test_rewrite_manifests_consolidates(spark, tmp_path):
     inserts = ch.filter(F.col("_change_type") == "insert").count()
     deletes = ch.filter(F.col("_change_type") == "delete").count()
     assert (inserts, deletes) == (100, 10)
+
+
+def test_refs_tags_branches_wap(spark, tmp_path):
+    """Named refs: tags pin snapshots through expiry; branch writes
+    move ONLY the branch head (main history untouched) — the full
+    write-audit-publish flow: stage on a branch, validate its read,
+    fast-forward main; a diverged main refuses the fast-forward."""
+    t = str(tmp_path / "refs")
+    ib.write_iceberg(_df(spark, 0, 40), t)
+    v1 = ib.current_metadata(t)["current-snapshot-id"]
+    ib.set_iceberg_ref(t, "v1.0", kind="tag")
+
+    # WRITE: stage 40 more rows on an audit branch
+    ib.set_iceberg_ref(t, "audit", kind="branch")
+    ib.write_iceberg(_df(spark, 40, 80), t, branch="audit")
+    # main is untouched; the branch sees both slices
+    assert ib.read_iceberg(spark, t).count() == 40
+    assert ib.read_iceberg(spark, t, ref="audit").count() == 80
+    assert ib.read_iceberg(spark, t, ref="v1.0").count() == 40
+    assert ib.current_metadata(t)["current-snapshot-id"] == v1
+    # snapshot-log (main history) has exactly one entry
+    assert len(ib.current_metadata(t)["snapshot-log"]) == 1
+
+    # AUDIT failed? drop the branch — or PUBLISH: fast-forward main
+    ib.fast_forward_iceberg(t, "audit")
+    assert ib.read_iceberg(spark, t).count() == 80
+    assert len(ib.current_metadata(t)["snapshot-log"]) == 2
+
+    # divergence: new branch from v1.0's snapshot, then main moves on
+    ib.set_iceberg_ref(t, "stale", snapshot_id=v1, kind="branch")
+    ib.write_iceberg(_df(spark, 80, 90), t, branch="stale")
+    ib.write_iceberg(_df(spark, 90, 100), t)  # main diverges
+    with pytest.raises(ValueError, match="not an ancestor"):
+        ib.fast_forward_iceberg(t, "stale")
+
+    # expiry keeps every ref head (tag + branch) and the current;
+    # dropping the published audit branch unpins its staging snapshot
+    ib.drop_iceberg_ref(t, "audit")
+    removed = ib.expire_iceberg_snapshots(t, keep_last=1)
+    assert removed == 1  # exactly the unpinned audit staging snapshot
+    assert ib.read_iceberg(spark, t, ref="v1.0").count() == 40
+    assert ib.read_iceberg(spark, t, ref="stale").count() == 50
+    assert ib.read_iceberg(spark, t).count() == 90
+
+    ib.drop_iceberg_ref(t, "stale")
+    with pytest.raises(ValueError, match="no ref"):
+        ib.read_iceberg(spark, t, ref="stale")
+    with pytest.raises(ValueError, match="reserved|implicit"):
+        ib.set_iceberg_ref(t, "main")
