@@ -1075,7 +1075,7 @@ def _delete_where_delta_dv(
     frames = []
     for key, fs in sorted(groups.items()):
         df = spark.read.schema(read_schema).parquet(
-            *[os.path.join(path, f) for f in sorted(fs)]
+            *[_abs_add_path(path, f) for f in sorted(fs)]
         )
         df = df.withColumn(
             _DP_FILE,
@@ -1707,6 +1707,66 @@ def merge_upsert_delta(
     return _claim_delta_version(path, lines)
 
 
+def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
+    """SHALLOW CLONE — a zero-copy writable fork of `src`'s current
+    snapshot: `dst` gets its own `_delta_log` (fresh table id, same
+    schema/partitioning) whose add actions reference the SOURCE data
+    files as absolute file:// URIs (the spec's absolute-path form;
+    no byte is copied).  Writes/deletes/OPTIMIZE on the clone land new
+    files under `dst` and never mutate `src`; `vacuum_delta` on the
+    clone cannot reclaim source bytes (they live outside its root).
+    Tables whose live set carries deletion vectors refuse — DV
+    descriptors resolve table-relative here and would mis-point from
+    the clone's root (refuse, never mis-read)."""
+    meta, live, _v = _fold_delta_state(spark, src, None)
+    if delta_versions(dst):
+        raise ValueError(f"clone target {dst!r} already has a _delta_log")
+    if any(a.get("deletionVector") for a in live.values()):
+        raise ValueError(
+            "shallow clone of a table with live deletion vectors is "
+            "unsupported (table-relative DV resolution); compact first"
+        )
+    now_ms = int(time.time() * 1000)
+    proto = _current_protocol(src)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CLONE",
+                    "operationParameters": {"source": src},
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        ),
+        json.dumps({"protocol": dict(proto)}),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),  # a clone is a NEW table
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": list(
+                        meta.get("partitionColumns") or []
+                    ),
+                    "configuration": dict(meta.get("configuration") or {}),
+                    "createdTime": now_ms,
+                }
+            }
+        ),
+    ]
+    from urllib.parse import quote
+
+    for fname in sorted(live):
+        add = dict(live[fname])
+        src_abs = _abs_add_path(src, add["path"])
+        add["path"] = "file://" + quote(src_abs)
+        add["dataChange"] = True
+        lines.append(json.dumps({"add": add}))
+    os.makedirs(dst, exist_ok=True)
+    return _claim_delta_version(dst, lines)
+
+
 def compact_delta(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     """OPTIMIZE as a real protocol commit: rewrite the live snapshot
     into ceil(bytes/target) files per partition and commit remove+add
@@ -1992,6 +2052,19 @@ def vacuum_delta(
     return deleted
 
 
+def _abs_add_path(table_path: str, p: str) -> str:
+    """Resolve an add-action path: the spec allows a path RELATIVE to
+    the table root or an ABSOLUTE URL-encoded URI (what shallow CLONE
+    writes, pointing into the source table)."""
+    if p.startswith("file://"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    if os.path.isabs(p):
+        return p
+    return os.path.join(table_path, p)
+
+
 def _read_adds(
     spark: SparkSession, path: str, meta: dict, adds: dict
 ) -> DataFrame:
@@ -2034,7 +2107,7 @@ def _read_adds(
             if adds[f].get("deletionVector")
         }
         df = spark.read.schema(read_schema).parquet(
-            *[os.path.join(path, f) for f in sorted(fs)]
+            *[_abs_add_path(path, f) for f in sorted(fs)]
         )
         if dv_files:
             df = _apply_dvs(spark, path, df, dv_files)

@@ -309,6 +309,64 @@ def trailing_hour_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def cep_pattern_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of `operators.events.cep_pattern` — CEP pattern
+    counts maintained incrementally per user via
+    applyInPandasWithState, the Flink-CEP shape: one user_id shuffle
+    routes each key's events to its state, the journey re-sorts on
+    (ts, event_id) per batch (so OUT-OF-ORDER arrival across
+    micro-batches still yields the exact batch journey), and the regex
+    counters re-evaluate on the updated string.  `update` mode's last
+    row per user is the batch answer; state is the user's
+    (ts, event_id, initial) triple list — the same O(events-per-key)
+    the sessionizer twin keeps (production prunes below the
+    watermark)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, journey string, "
+        "n_conversions long, n_error_recoveries long"
+    )
+    state_schema = "ts array<long>, eid array<long>, ch array<string>"
+
+    def update(key, pdfs, state: GroupState):
+        import re
+
+        import pandas as pd
+
+        (user_id,) = key
+        ts_l, eid_l, ch_l = (
+            (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+            if state.exists
+            else ([], [], [])
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+            )
+            ts_l += [int(t) for t in ts_us]
+            eid_l += [int(e) for e in pdf["event_id"]]
+            ch_l += [str(t)[:1] for t in pdf["event_type"]]
+        state.update((ts_l, eid_l, ch_l))
+        order = sorted(range(len(ts_l)), key=lambda i: (ts_l[i], eid_l[i]))
+        journey = "".join(ch_l[i] for i in order)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [len(journey)],
+                "journey": [journey],
+                "n_conversions": [len(re.findall("vc*p", journey))],
+                "n_error_recoveries": [len(re.findall("ep", journey))],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def funnel_stage_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of `operators.events.funnel`: per-user ordered
     funnel progress (view → click → purchase, each stage strictly

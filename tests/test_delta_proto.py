@@ -1024,3 +1024,38 @@ def test_delta_metadata_tables(spark, tmp_path):
     assert hist[2]["n_removed"] > 0
     with pytest.raises(ValueError, match="unknown metadata table"):
         dp.read_delta_meta(spark, t, "nope")
+
+
+def test_shallow_clone_zero_copy_writable_fork(spark, tmp_path):
+    """Shallow CLONE: reads equal the source snapshot with zero bytes
+    copied (absolute-URI adds), the clone is independently writable
+    and deletable without touching the source, source evolution after
+    the clone is invisible to it, and DV-bearing sources refuse."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    dp.write_delta(_df(spark, 0, 60), src, partition_by=["lang"])
+    v = dp.clone_delta(spark, src, dst)
+    assert v == 0
+    assert _rows(dp.read_delta(spark, dst)) == _rows(_df(spark, 0, 60))
+    # zero copy: no parquet landed under dst
+    import glob as _glob
+
+    assert not _glob.glob(os.path.join(dst, "**", "*.parquet"),
+                          recursive=True)
+    # clone diverges independently: append + delete on dst only
+    dp.write_delta(_df(spark, 60, 70), dst)
+    dp.delete_where_delta(spark, dst, "doc_id", 0, 9)
+    assert dp.read_delta(spark, dst).count() == 60
+    assert dp.read_delta(spark, src).count() == 60  # source untouched
+    assert _rows(dp.read_delta(spark, src)) == _rows(_df(spark, 0, 60))
+    # source evolution after the clone is invisible to the clone
+    dp.write_delta(_df(spark, 100, 110), src)
+    assert dp.read_delta(spark, dst).count() == 60
+    # existing-target and DV refusals
+    with pytest.raises(ValueError, match="already has"):
+        dp.clone_delta(spark, src, dst)
+    dvsrc = str(tmp_path / "dvsrc")
+    dp.write_delta(_df(spark, 0, 40), dvsrc)
+    dp.delete_where_delta(spark, dvsrc, "doc_id", 0, 5, strategy="dv")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        dp.clone_delta(spark, dvsrc, str(tmp_path / "dvdst"))

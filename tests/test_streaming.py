@@ -1976,3 +1976,68 @@ def test_minilake_native_stream_sink_enforces_schema(spark, sf_dir, tmp_path):
             q.awaitTermination(120)
             q.processAllAvailable()
     assert len(minilake.versions(path)) == 1  # nothing committed
+
+
+def test_cep_stream_matches_batch_two_batches(spark, sf_dir, tmp_path):
+    """Per-user CEP journeys maintained across two arrival batches
+    (split by event_id, so each user's events arrive out of event-time
+    order) must reproduce the batch cep_pattern rows EXACTLY —
+    journey string and both regex counters."""
+    import glob as g
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    median = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, half in [
+        ("a", ev.filter(F.col("event_id") <= median)),
+        ("b", ev.filter(F.col("event_id") > median)),
+    ]:
+        d = tmp_path / f"_{name}"
+        half.withColumn(
+            "ts",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)"),
+        ).coalesce(1).write.parquet(str(d))
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", str(src))
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    result = jobs.run_available_now(
+        jobs.cep_pattern_stream(stream), "t_cep", output_mode="update"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        result.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        events as ev_ops,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.journey, r.n_conversions,
+                    r.n_error_recoveries)
+        for r in final.collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.journey, r.n_conversions,
+                    r.n_error_recoveries)
+        for r in ev_ops.cep_pattern(spark, sf_dir).collect()
+    }
+    assert got == want and got
