@@ -735,11 +735,19 @@ def write_delta(
         existing_meta, live, _v = _fold_delta_state(spark, path, None)
         _check_writer(_current_protocol(path), existing_meta, mode)
         _enforce_constraints(df, existing_meta)
-        if _column_mapping(existing_meta):
-            raise ValueError(
-                "writing to a column-mapped Delta table is unsupported "
-                "(this writer lands logical column names)"
-            )
+        mapping = _column_mapping(existing_meta)
+        if mapping:
+            # column-mapped tables: files and partitionValues carry
+            # PHYSICAL names — the logical frame renames before landing
+            want = [
+                f["name"]
+                for f in json.loads(existing_meta["schemaString"])["fields"]
+            ]
+            if sorted(df.columns) != sorted(want):
+                raise ValueError(
+                    f"stream/table schema mismatch: {sorted(df.columns)} "
+                    f"vs {sorted(want)}"
+                )
         spec = list(existing_meta.get("partitionColumns") or [])
         if partition_by is not None and list(partition_by) != spec:
             raise ValueError(
@@ -757,6 +765,7 @@ def write_delta(
         partition_by = list(partition_by or [])
         live = {}
         gens = dict(generated or {})
+        mapping = {}
     for c, expr in gens.items():
         if c in df.columns:
             # spec invariant: a SUPPLIED generated column must equal
@@ -777,7 +786,16 @@ def write_delta(
                 c, metadata={"delta.generationExpression": expr}
             ),
         )
-    files = _land_parquet(df, path, partition_by)
+    land_partition_by = partition_by
+    if mapping:
+        # land under PHYSICAL names (files and partitionValues live in
+        # physical namespace on mapped tables, per spec); the stated
+        # partitionColumns may be in either namespace — normalize
+        df = df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+        land_partition_by = [mapping.get(c, c) for c in partition_by]
+    files = _land_parquet(df, path, land_partition_by)
     now_ms = int(time.time() * 1000)
     lines = [
         json.dumps(
@@ -802,15 +820,26 @@ def write_delta(
         meta_id = (
             existing_meta["id"] if existing_meta else str(uuid.uuid4())
         )
+        # mapped tables keep their schemaString (it carries the
+        # physicalName metadata — df.schema is physical-renamed by
+        # now); overwrite also preserves table properties
+        # (constraints, columnMapping mode) like real Delta does
+        schema_str = (
+            existing_meta["schemaString"]
+            if mapping
+            else df.schema.json()
+        )
         lines.append(
             json.dumps(
                 {
                     "metaData": {
                         "id": meta_id,
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": df.schema.json(),
+                        "schemaString": schema_str,
                         "partitionColumns": partition_by,
-                        "configuration": {},
+                        "configuration": dict(
+                            (existing_meta or {}).get("configuration") or {}
+                        ),
                         "createdTime": now_ms,
                     }
                 }
@@ -1704,6 +1733,93 @@ def merge_upsert_delta(
                 }
             )
         )
+    return _claim_delta_version(path, lines)
+
+
+def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> int:
+    """Metadata-only `ALTER TABLE RENAME COLUMN` — the operation that
+    REQUIRES column mapping (without it, renaming means rewriting
+    every file): on first use the table upgrades to column mapping
+    `name` mode (each field gets `delta.columnMapping.id` and a
+    `physicalName` equal to its CURRENT name, so every existing file
+    keeps resolving; protocol bumps to reader 2 / writer 5 per the
+    spec's feature requirements), then the logical field renames while
+    the physical name stays.  Reads resolve through the mapping
+    (existing machinery); writes keep working too — they land under
+    physical names.  Zero data IO."""
+    meta, _live, _v = _fold_delta_state(spark, path, None)
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} to rename")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    conf = dict(meta.get("configuration") or {})
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "RENAME COLUMN",
+                    "operationParameters": {"from": old, "to": new},
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    if conf.get("delta.columnMapping.mode") != "name":
+        conf["delta.columnMapping.mode"] = "name"
+        max_id = 0
+        for f in schema["fields"]:
+            max_id += 1
+            md = f.setdefault("metadata", {})
+            md.setdefault("delta.columnMapping.id", max_id)
+            md.setdefault("delta.columnMapping.physicalName", f["name"])
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+        proto = _current_protocol(path)
+        if proto.get("minWriterVersion", 1) < 5:
+            lines.append(
+                json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": max(
+                                2, proto.get("minReaderVersion", 1)
+                            ),
+                            "minWriterVersion": 5,
+                        }
+                    }
+                )
+            )
+    for f in schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    # a renamed partition column keeps its PHYSICAL name in
+    # partitionColumns (the namespace files/partitionValues use)
+    mapping_after = {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in schema["fields"]
+    }
+    part_cols = [
+        mapping_after.get(new, c) if c == old else c
+        for c in (meta.get("partitionColumns") or [])
+    ]
+    lines.append(
+        json.dumps(
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": part_cols,
+                    "configuration": conf,
+                    "createdTime": meta.get("createdTime", now_ms),
+                }
+            }
+        )
+    )
     return _claim_delta_version(path, lines)
 
 

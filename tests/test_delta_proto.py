@@ -303,9 +303,17 @@ def test_column_mapping_name_mode_reads(spark, tmp_path):
     # pruned read resolves the predicate through the mapping
     pr, nread, nskip = dp.read_delta_pruned(spark, path, "grp", 0, 5)
     assert (nread, nskip) == (0, 1) and pr.count() == 0
-    # writes to a mapped table refuse rather than corrupt
-    with pytest.raises(ValueError, match="column-mapped"):
+    # writes to a mapped table now WORK: logical frames land under
+    # PHYSICAL names (r9 batch 8); a wrong logical schema refuses
+    more = spark.createDataFrame([(3, 30, 7)], "doc_id long, v long, grp long")
+    dp.write_delta(more, path)
+    got2 = dp.read_delta(spark, path)
+    assert sorted(tuple(r) for r in got2.collect()) == [
+        (1, 10, 7), (2, 20, 7), (3, 30, 7),
+    ]
+    with pytest.raises(ValueError, match="schema mismatch"):
         dp.write_delta(_df(spark, 0, 5), path)
+    # row-level ops still refuse on mapped tables (separate gap)
     with pytest.raises(ValueError, match="column-mapped"):
         dp.delete_where_delta(spark, path, "doc_id", 0, 1)
     # id mode refuses
@@ -1059,3 +1067,62 @@ def test_shallow_clone_zero_copy_writable_fork(spark, tmp_path):
     dp.delete_where_delta(spark, dvsrc, "doc_id", 0, 5, strategy="dv")
     with pytest.raises(ValueError, match="deletion vectors"):
         dp.clone_delta(spark, dvsrc, str(tmp_path / "dvdst"))
+
+
+def test_rename_column_mapping_write_path(spark, tmp_path):
+    """rename_delta_column: zero-IO rename via column mapping — the
+    table upgrades to name mode (physicalName = old name, protocol
+    2/5), old files keep resolving, renamed reads are correct, and
+    WRITES to the mapped table now work (landing under physical
+    names), including on a renamed PARTITION column."""
+    t = str(tmp_path / "rn")
+    dp.write_delta(_df(spark, 0, 30), t, partition_by=["lang"])
+    files_before = sorted(
+        dp.read_delta_meta(spark, t, "files").select("path").toPandas()["path"]
+    )
+    dp.rename_delta_column(spark, t, "v", "val")
+    dp.rename_delta_column(spark, t, "lang", "language")
+    meta, _live, _v = dp._fold_delta_state(spark, t, None)
+    assert dp._column_mapping(meta) == {
+        "doc_id": "doc_id", "language": "lang", "val": "v",
+    }
+    proto = dp._current_protocol(t)
+    assert proto["minReaderVersion"] >= 2 and proto["minWriterVersion"] >= 5
+    back = dp.read_delta(spark, t)
+    assert set(back.columns) == {"doc_id", "language", "val"}
+    assert back.agg(F.sum("val")).first()[0] == sum(i * 10 for i in range(30))
+    # zero data IO: the file set is unchanged
+    files_after = sorted(
+        dp.read_delta_meta(spark, t, "files").select("path").toPandas()["path"]
+    )
+    assert files_after == files_before
+
+    # writes to the mapped table land under PHYSICAL names
+    df2 = spark.range(30, 40).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("language"),
+        (F.col("id") * 10).cast("bigint").alias("val"),
+    )
+    dp.write_delta(df2, t)
+    back2 = dp.read_delta(spark, t)
+    assert back2.count() == 40
+    assert back2.agg(F.sum("val")).first()[0] == sum(
+        i * 10 for i in range(40)
+    )
+    # physical names inside the new parquet files + partitionValues
+    new_files = sorted(
+        set(
+            dp.read_delta_meta(spark, t, "files")
+            .select("path")
+            .toPandas()["path"]
+        )
+        - set(files_before)
+    )
+    assert new_files and all("lang=" in f for f in new_files)
+    # pruned read on the renamed logical column still skips
+    pr, fr, fs = dp.read_delta_pruned(spark, t, "doc_id", 0, 4)
+    assert pr.count() == 5 and fs > 0
+    with pytest.raises(ValueError, match="already exists"):
+        dp.rename_delta_column(spark, t, "val", "doc_id")
+    with pytest.raises(ValueError, match="no column"):
+        dp.rename_delta_column(spark, t, "nope", "x")
