@@ -655,12 +655,26 @@ def _file_stats_json(local_path: str) -> str | None:
 
 
 def _land_parquet(
-    df: DataFrame, path: str, partition_by: list[str] | None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None,
+    mapping: dict[str, str] | None = None,
 ) -> list[tuple[str, dict, int, str | None]]:
     """Write the frame as uuid-named parquet files in the Delta/Hive
     layout (hive partition dirs, partition columns DROPPED from file
     content, per spec) and return (relative path, partitionValues,
-    size, stats-json) tuples — invisible until committed."""
+    size, stats-json) tuples — invisible until committed.  `mapping`
+    (logical → physical, column-mapped tables) renames the frame and
+    the partition columns so files land in PHYSICAL namespace."""
+    if mapping:
+        df = df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+        partition_by = (
+            [mapping.get(c, c) for c in partition_by]
+            if partition_by
+            else partition_by
+        )
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     if partition_by:
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
@@ -786,16 +800,7 @@ def write_delta(
                 c, metadata={"delta.generationExpression": expr}
             ),
         )
-    land_partition_by = partition_by
-    if mapping:
-        # land under PHYSICAL names (files and partitionValues live in
-        # physical namespace on mapped tables, per spec); the stated
-        # partitionColumns may be in either namespace — normalize
-        df = df.select(
-            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
-        )
-        land_partition_by = [mapping.get(c, c) for c in partition_by]
-    files = _land_parquet(df, path, land_partition_by)
+    files = _land_parquet(df, path, partition_by, mapping=mapping)
     now_ms = int(time.time() * 1000)
     lines = [
         json.dumps(
@@ -999,30 +1004,40 @@ def delete_where_delta(
         raise ValueError(f"unknown delete strategy {strategy!r}")
     meta, live, _v = _fold_delta_state(spark, path, None)
     _check_writer(_current_protocol(path), meta, "delete")
-    if _column_mapping(meta):
-        raise ValueError(
-            "DELETE on a column-mapped Delta table is unsupported "
-            "(this writer lands logical column names)"
-        )
+    mapping = _column_mapping(meta)
     part_cols = list(meta.get("partitionColumns") or [])
+    # mapped tables: stats/partitionValues key on PHYSICAL names —
+    # prune in both namespaces (conservative union), like the reader
+    phys_part = [mapping.get(c, c) for c in part_cols]
+    phys_col = mapping.get(col, col)
     touched = {
         f: a
         for f, a in live.items()
-        if not _add_outside_range(a, part_cols, col, lo, hi)
+        if not (
+            _add_outside_range(a, part_cols, col, lo, hi)
+            and _add_outside_range(a, phys_part, phys_col, lo, hi)
+        )
     }
     vs = delta_versions(path)
     if not touched:
         return vs[-1]
     if strategy == "dv":
+        if mapping:
+            raise ValueError(
+                "strategy='dv' on a column-mapped Delta table is "
+                "unsupported (physical-name DV scan unimplemented); "
+                "use strategy='rewrite'"
+            )
         return _delete_where_delta_dv(
             spark, path, meta, touched, part_cols, col, lo, hi
         )
     old_rows = _read_adds(spark, path, meta, touched)
     kept = old_rows.filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
     dropped = old_rows.filter(F.col(col).between(lo, hi))
-    files = _land_parquet(kept, path, part_cols or None)
+    files = _land_parquet(kept, path, part_cols or None, mapping=mapping)
     cdc_files = _land_cdc(
-        dropped.withColumn("_change_type", F.lit("delete")), path
+        dropped.withColumn("_change_type", F.lit("delete")), path,
+        mapping=mapping,
     )
     now_ms = int(time.time() * 1000)
     lines = [
@@ -1248,10 +1263,18 @@ def _delete_where_delta_dv(
     return _claim_delta_version(path, lines)
 
 
-def _land_cdc(df: DataFrame, path: str) -> list[tuple[str, int]]:
+def _land_cdc(
+    df: DataFrame, path: str, mapping: dict[str, str] | None = None
+) -> list[tuple[str, int]]:
     """Land change-data rows (table columns + `_change_type`) under
     `_change_data/` — the directory the Delta CDF spec prescribes —
-    and return (relative path, size) pairs for `cdc` actions."""
+    and return (relative path, size) pairs for `cdc` actions.
+    `mapping` renames to PHYSICAL column names (mapped tables' cdc
+    files live in the same namespace as data files, per spec)."""
+    if mapping:
+        df = df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
@@ -1322,6 +1345,10 @@ def read_changes_delta(
         if cdc:
             files = [os.path.join(path, c["path"]) for c in cdc]
             df = spark.read.parquet(*sorted(files))
+            # mapped tables' cdc files carry PHYSICAL names, per spec
+            for logical, phys in _column_mapping(meta).items():
+                if phys != logical and phys in df.columns:
+                    df = df.withColumnRenamed(phys, logical)
             frames.append(df.withColumn("_commit_version", F.lit(v)))
         else:
             adds = {
@@ -1404,23 +1431,25 @@ def update_where_delta(
     spec's row-level UPDATE feed."""
     meta, live, _v = _fold_delta_state(spark, path, None)
     _check_writer(_current_protocol(path), meta, "update")
-    if _column_mapping(meta):
-        raise ValueError(
-            "UPDATE on a column-mapped Delta table is unsupported "
-            "(this writer lands logical column names)"
-        )
+    mapping = _column_mapping(meta)
     unknown = set(set_exprs) - {
         f["name"] for f in json.loads(meta["schemaString"])["fields"]
     }
     if unknown:
         raise ValueError(f"SET targets unknown column(s) {sorted(unknown)}")
     part_cols = list(meta.get("partitionColumns") or [])
-    if set(set_exprs) & set(part_cols):
+    phys_to_log = {v: k for k, v in mapping.items()}
+    if set(set_exprs) & {phys_to_log.get(c, c) for c in part_cols}:
         raise ValueError("cannot UPDATE a partition column")
+    phys_part = [mapping.get(c, c) for c in part_cols]
+    phys_col = mapping.get(col, col)
     touched = {
         f: a
         for f, a in live.items()
-        if not _add_outside_range(a, part_cols, col, lo, hi)
+        if not (
+            _add_outside_range(a, part_cols, col, lo, hi)
+            and _add_outside_range(a, phys_part, phys_col, lo, hi)
+        )
     }
     vs = delta_versions(path)
     if not touched:
@@ -1437,14 +1466,14 @@ def update_where_delta(
     post = post.select(*old_rows.columns)
     _enforce_constraints(post, meta)
     merged = carried.unionByName(post)
-    files = _land_parquet(merged, path, part_cols or None)
+    files = _land_parquet(merged, path, part_cols or None, mapping=mapping)
     cdc = (
         pre.withColumn("_change_type", F.lit("update_preimage"))
         .unionByName(
             post.withColumn("_change_type", F.lit("update_postimage"))
         )
     )
-    cdc_files = _land_cdc(cdc, path)
+    cdc_files = _land_cdc(cdc, path, mapping=mapping)
     now_ms = int(time.time() * 1000)
     lines = [
         json.dumps(
@@ -1514,10 +1543,7 @@ def optimize_zorder_delta(
     if not live:
         return delta_versions(path)[-1]
     _check_writer(_current_protocol(path), meta, "optimize")
-    if _column_mapping(meta):
-        raise ValueError(
-            "OPTIMIZE on a column-mapped Delta table is unsupported"
-        )
+    mapping = _column_mapping(meta)
     part_cols = list(meta.get("partitionColumns") or [])
     snap = _read_adds(spark, path, meta, live)
     lo_hi = snap.agg(
@@ -1537,7 +1563,7 @@ def optimize_zorder_delta(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
-    files = _land_parquet(clustered, path, part_cols or None)
+    files = _land_parquet(clustered, path, part_cols or None, mapping=mapping)
     now_ms = int(time.time() * 1000)
     lines = [
         json.dumps(
@@ -1639,11 +1665,7 @@ def merge_upsert_delta(
     meta, live, _v = _fold_delta_state(spark, path, None)
     _check_writer(_current_protocol(path), meta, "merge")
     _enforce_constraints(updates, meta)
-    if _column_mapping(meta):
-        raise ValueError(
-            "MERGE on a column-mapped Delta table is unsupported "
-            "(this writer lands logical column names)"
-        )
+    mapping = _column_mapping(meta)
     part_cols = list(meta.get("partitionColumns") or [])
     bounds = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
     lo, hi = bounds["lo"], bounds["hi"]
@@ -1653,7 +1675,16 @@ def merge_upsert_delta(
     touched = {
         f: a
         for f, a in live.items()
-        if not _add_outside_range(a, part_cols, key, lo, hi)
+        if not (
+            _add_outside_range(a, part_cols, key, lo, hi)
+            and _add_outside_range(
+                a,
+                [mapping.get(c, c) for c in part_cols],
+                mapping.get(key, key),
+                lo,
+                hi,
+            )
+        )
     }
     keys = updates.select(key).distinct()
     if touched:
@@ -1672,7 +1703,7 @@ def merge_upsert_delta(
         matched_old = None
         old_keys = None
         merged = updates
-    files = _land_parquet(merged, path, part_cols or None)
+    files = _land_parquet(merged, path, part_cols or None, mapping=mapping)
     # MERGE change feed: preimage/postimage for matched, insert for new
     cdc_frames = []
     if matched_old is not None:
@@ -1691,7 +1722,7 @@ def merge_upsert_delta(
     cdc = cdc_frames[0]
     for f in cdc_frames[1:]:
         cdc = cdc.unionByName(f)
-    cdc_files = _land_cdc(cdc, path)
+    cdc_files = _land_cdc(cdc, path, mapping=mapping)
     now_ms = int(time.time() * 1000)
     lines = [
         json.dumps(
@@ -1896,16 +1927,12 @@ def compact_delta(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     if not live:
         return delta_versions(path)[-1]
     _check_writer(_current_protocol(path), meta, "optimize")
-    if _column_mapping(meta):
-        raise ValueError(
-            "OPTIMIZE on a column-mapped Delta table is unsupported "
-            "(this writer lands logical column names)"
-        )
+    mapping = _column_mapping(meta)
     part_cols = list(meta.get("partitionColumns") or [])
     total = sum(int(a.get("size") or 0) for a in live.values())
     n_files = max(1, math.ceil(total / (target_mb << 20)))
     snap = _read_adds(spark, path, meta, live).repartition(n_files)
-    files = _land_parquet(snap, path, part_cols or None)
+    files = _land_parquet(snap, path, part_cols or None, mapping=mapping)
     now_ms = int(time.time() * 1000)
     lines = [
         json.dumps(

@@ -313,9 +313,14 @@ def test_column_mapping_name_mode_reads(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="schema mismatch"):
         dp.write_delta(_df(spark, 0, 5), path)
-    # row-level ops still refuse on mapped tables (separate gap)
-    with pytest.raises(ValueError, match="column-mapped"):
-        dp.delete_where_delta(spark, path, "doc_id", 0, 1)
+    # row-level DELETE (rewrite) works on mapped tables now; only the
+    # DV strategy keeps refusing (physical-name DV scan unimplemented)
+    dp.delete_where_delta(spark, path, "doc_id", 1, 1)
+    assert sorted(tuple(r) for r in dp.read_delta(spark, path).collect()) == [
+        (2, 20, 7), (3, 30, 7),
+    ]
+    with pytest.raises(ValueError, match="strategy='dv'"):
+        dp.delete_where_delta(spark, path, "doc_id", 2, 2, strategy="dv")
     # id mode refuses
     meta = json.loads(
         open(os.path.join(path, "_delta_log", dp._LOG_FMT.format(0))).readlines()[1]
@@ -1126,3 +1131,32 @@ def test_rename_column_mapping_write_path(spark, tmp_path):
         dp.rename_delta_column(spark, t, "val", "doc_id")
     with pytest.raises(ValueError, match="no column"):
         dp.rename_delta_column(spark, t, "nope", "x")
+
+    # row-level ops on the mapped table: UPDATE, DELETE, MERGE,
+    # OPTIMIZE/compact all land physical and read back logical; the
+    # change feed renames cdc columns back to logical
+    v_upd = dp.update_where_delta(
+        spark, t, {"val": "val + 1000"}, "doc_id", 0, 4
+    )
+    back3 = dp.read_delta(spark, t)
+    assert back3.filter(
+        (F.col("doc_id") <= 4) & (F.col("val") < 1000)
+    ).count() == 0
+    ch = dp.read_changes_delta(spark, t, since_version=v_upd)
+    assert set(ch.columns) >= {"doc_id", "language", "val", "_change_type"}
+    assert ch.filter(F.col("_change_type") == "update_postimage").count() == 5
+    dp.delete_where_delta(spark, t, "doc_id", 35, 39)
+    assert dp.read_delta(spark, t).count() == 35
+    ups = spark.createDataFrame(
+        [(0, "0", 7777), (100, "1", 1)],
+        "doc_id long, language string, val long",
+    )
+    dp.merge_upsert_delta(spark, ups, t, "doc_id")
+    back4 = dp.read_delta(spark, t)
+    assert back4.count() == 36
+    assert back4.filter(F.col("doc_id") == 0).first()["val"] == 7777
+    dp.compact_delta(spark, t, target_mb=1024)
+    assert dp.read_delta(spark, t).count() == 36
+    assert dp.read_delta(spark, t).agg(F.sum("doc_id")).first()[0] == (
+        back4.agg(F.sum("doc_id")).first()[0]
+    )
