@@ -1022,12 +1022,6 @@ def delete_where_delta(
     if not touched:
         return vs[-1]
     if strategy == "dv":
-        if mapping:
-            raise ValueError(
-                "strategy='dv' on a column-mapped Delta table is "
-                "unsupported (physical-name DV scan unimplemented); "
-                "use strategy='rewrite'"
-            )
         return _delete_where_delta_dv(
             spark, path, meta, touched, part_cols, col, lo, hi
         )
@@ -1103,18 +1097,29 @@ def _delete_where_delta_dv(
     bitmap serialization are all distributed — the driver handles only
     the serialized KB-scale blobs, so a wide delete (millions of
     matched positions) never flows through driver memory."""
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta)
+    phys_to_log = {v: k for k, v in mapping.items()}
+    # normalize to the LOGICAL namespace (mapped tables may state
+    # partitionColumns physically; files always carry PHYSICAL names)
+    log_part = [phys_to_log.get(c, c) for c in part_cols]
     types = {f.name: f.dataType for f in schema.fields}
     read_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            StructField(mapping.get(f.name, f.name), f.dataType, True)
+            for f in schema.fields
+            if f.name not in log_part
+        ]
     )
     tail_to_rel = {f.rsplit("/", 1)[-1]: f for f in touched}
     groups: dict[tuple, list[str]] = {}
     for fname, add in touched.items():
         pv = (add.get("partitionValues") or {}) if part_cols else {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(
+            pv.get(mapping.get(c, c), pv.get(c)) for c in log_part
+        )
         groups.setdefault(key, []).append(fname)
     frames = []
     for key, fs in sorted(groups.items()):
@@ -1125,7 +1130,11 @@ def _delete_where_delta_dv(
             _DP_FILE,
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
         ).withColumn(_DP_RI, F.col("_metadata.row_index"))
-        for c, raw in zip(part_cols, key):
+        for f in schema.fields:
+            phys = mapping.get(f.name, f.name)
+            if phys != f.name and f.name not in log_part:
+                df = df.withColumnRenamed(phys, f.name)
+        for c, raw in zip(log_part, key):
             lit = F.lit(None) if raw is None else F.lit(raw)
             df = df.withColumn(c, lit.cast(types[c]))
         frames.append(
@@ -1175,6 +1184,7 @@ def _delete_where_delta_dv(
             "_change_type", F.lit("delete")
         ),
         path,
+        mapping=mapping,
     )
 
     # per-file roaring bitmaps are serialized ON EXECUTORS (groupBy

@@ -313,14 +313,17 @@ def test_column_mapping_name_mode_reads(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="schema mismatch"):
         dp.write_delta(_df(spark, 0, 5), path)
-    # row-level DELETE (rewrite) works on mapped tables now; only the
-    # DV strategy keeps refusing (physical-name DV scan unimplemented)
+    # row-level DELETE works on mapped tables now — BOTH strategies:
+    # rewrite lands physical; merge-on-read scans physical and lands
+    # the DV sidecar
     dp.delete_where_delta(spark, path, "doc_id", 1, 1)
     assert sorted(tuple(r) for r in dp.read_delta(spark, path).collect()) == [
         (2, 20, 7), (3, 30, 7),
     ]
-    with pytest.raises(ValueError, match="strategy='dv'"):
-        dp.delete_where_delta(spark, path, "doc_id", 2, 2, strategy="dv")
+    dp.delete_where_delta(spark, path, "doc_id", 2, 2, strategy="dv")
+    assert sorted(tuple(r) for r in dp.read_delta(spark, path).collect()) == [
+        (3, 30, 7),
+    ]
     # id mode refuses
     meta = json.loads(
         open(os.path.join(path, "_delta_log", dp._LOG_FMT.format(0))).readlines()[1]
