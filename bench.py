@@ -116,6 +116,9 @@ HEADLINE = [
     "lake_delta_generated",
     "dedup_incremental_pairs",
     "dedup_incremental_minhash",
+    "events_cep_pattern",
+    "lake_iceberg_meta",
+    "lake_delta_meta",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -156,6 +159,8 @@ HEAVY_WARMUPS = {
     "lake_delta_generated": 2,
     "dedup_incremental_pairs": 2,
     "dedup_incremental_minhash": 2,
+    "lake_iceberg_meta": 2,
+    "lake_delta_meta": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce
