@@ -38,11 +38,9 @@ WAV_TAG_ALAW = 0x0006
 WAV_TAG_MULAW = 0x0007
 
 #: segment upper bounds for the mu-law 8-chord fit of the biased value
+#: (A-law uses a 13-bit table inline in encode_alaw — its chord 0 is
+#: linear, one octave lower)
 _MULAW_SEG_ENDS = np.array(
-    [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF], dtype=np.int64
-)
-#: A-law chords start one octave lower (no bias; chord 0 is linear)
-_ALAW_SEG_ENDS = np.array(
     [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF], dtype=np.int64
 )
 

@@ -2357,7 +2357,6 @@ def compact_iceberg(
     meta0 = current_metadata(path)
     fields = _schema_of(meta0)
     spec = _spec_of(meta0)
-    spec_sid = _default_spec_id(meta0)
     part_names = [pf["name"] for pf in spec]
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
 
