@@ -2404,6 +2404,7 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
 
     - ``history``: (made_current_at, snapshot_id, parent_id,
       is_current_ancestor) from the snapshot-log;
+    - ``refs``: named tags/branches plus the implicit `main`;
     - ``snapshots``: (committed_at, snapshot_id, parent_id, operation,
       manifest_list, summary);
     - ``manifests``: per-manifest path/length/spec-id/content +
@@ -2447,6 +2448,17 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
             rows,
             "made_current_at timestamp_ntz, snapshot_id long, "
             "parent_id long, is_current_ancestor boolean",
+        )
+    if kind == "refs":
+        rows = [("main", "branch", int(meta["current-snapshot-id"]))] if (
+            meta.get("current-snapshot-id") not in (None, -1)
+        ) else []
+        rows += [
+            (name, r.get("type"), int(r["snapshot-id"]))
+            for name, r in sorted((meta.get("refs") or {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
         )
     if kind == "snapshots":
         rows = [
@@ -2536,7 +2548,7 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
         )
     raise ValueError(
         f"unknown metadata table {kind!r}: expected history/snapshots/"
-        "manifests/files/partitions"
+        "refs/manifests/files/partitions"
     )
 
 

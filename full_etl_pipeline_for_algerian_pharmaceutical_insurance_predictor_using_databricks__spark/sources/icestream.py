@@ -178,18 +178,25 @@ class _IcePartition(InputPartition):
 
 
 class IcebergReader(DataSourceReader):
-    """Batch: the current snapshot, one task per live manifest entry."""
+    """Batch: the current snapshot — or a named tag/branch head via
+    `option("ref", name)` — one task per live manifest entry."""
 
     def __init__(self, options: dict, schema: StructType):
         path = options.get("path")
         if not path:
             raise ValueError("iceberg requires a path")
         self.path = path
+        self.ref = options.get("ref")
         self.field_names = [f.name for f in schema.fields]
+
+    def _snap(self, meta: dict):
+        if self.ref is not None:
+            return ib._snapshot(meta, ib._resolve_ref(meta, self.ref))
+        return ib._snapshot(meta, None)
 
     def partitions(self) -> list[_IcePartition]:
         meta = ib.current_metadata(self.path)
-        snap = ib._snapshot(meta, None)
+        snap = self._snap(meta)
         if snap is None:
             return []
         # slim JSON-safe projection: full entries carry BYTES bounds
@@ -200,7 +207,7 @@ class IcebergReader(DataSourceReader):
 
     def read(self, partition: _IcePartition) -> Iterator[tuple]:
         meta = ib.current_metadata(self.path)
-        snap = ib._snapshot(meta, None)
+        snap = self._snap(meta)
         pos_files, eq_deletes = ib._delete_files(
             self.path, ib._read_manifest_list(self.path, snap)
         )

@@ -1469,3 +1469,34 @@ def test_refs_tags_branches_wap(spark, tmp_path):
         ib.read_iceberg(spark, t, ref="stale")
     with pytest.raises(ValueError, match="reserved|implicit"):
         ib.set_iceberg_ref(t, "main")
+
+
+def test_ref_reads_via_datasource_and_refs_table(spark, tmp_path):
+    """format('iceberg') batch reads honor option('ref', ...), and the
+    `refs` metadata table lists main + every named ref."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        icestream,
+    )
+
+    icestream.register(spark)
+    t = str(tmp_path / "dsrefs")
+    ib.write_iceberg(_df(spark, 0, 30), t)
+    ib.set_iceberg_ref(t, "v1", kind="tag")
+    ib.set_iceberg_ref(t, "dev", kind="branch")
+    ib.write_iceberg(_df(spark, 30, 50), t, branch="dev")
+
+    cur = spark.read.format("iceberg").load(t)
+    assert cur.count() == 30
+    dev = spark.read.format("iceberg").option("ref", "dev").load(t)
+    assert dev.count() == 50
+    tag = spark.read.format("iceberg").option("ref", "v1").load(t)
+    assert tag.count() == 30
+
+    refs = {
+        r["name"]: (r["type"], r["snapshot_id"])
+        for r in ib.read_iceberg_meta(spark, t, "refs").collect()
+    }
+    assert set(refs) == {"main", "v1", "dev"}
+    assert refs["v1"][0] == "tag" and refs["dev"][0] == "branch"
+    assert refs["main"][1] == refs["v1"][1]  # main never moved
+    assert refs["dev"][1] != refs["main"][1]
