@@ -206,7 +206,10 @@ class _DeltaPartition(InputPartition):
 
 
 class DeltaProtoReader(DataSourceReader):
-    """Batch: the current snapshot, one task per live add-action."""
+    """Batch: the current snapshot — or time travel via
+    `option("versionAsOf", v)` / `option("timestampAsOf", epoch_ms)`,
+    the same reader options delta-spark exposes — one task per live
+    add-action."""
 
     def __init__(self, options: dict, schema: StructType):
         path = options.get("path")
@@ -214,13 +217,20 @@ class DeltaProtoReader(DataSourceReader):
             raise ValueError("deltaproto requires a path")
         self.path = path
         self.field_names = [f.name for f in schema.fields]
+        v = options.get("versionasof", options.get("versionAsOf"))
+        ts = options.get("timestampasof", options.get("timestampAsOf"))
+        if v is not None and ts is not None:
+            raise ValueError("pass versionAsOf OR timestampAsOf, not both")
+        self.version: int | None = int(v) if v is not None else None
+        if ts is not None:
+            self.version = dp.delta_version_at_timestamp(path, int(ts))
 
     def partitions(self) -> list[_DeltaPartition]:
-        _meta, live, _v = _fold_py(self.path)
+        _meta, live, _v = _fold_py(self.path, self.version)
         return [_DeltaPartition(json.dumps(live[f])) for f in sorted(live)]
 
     def read(self, partition: _DeltaPartition) -> Iterator[tuple]:
-        meta, _live, _v = _fold_py(self.path)
+        meta, _live, _v = _fold_py(self.path, self.version)
         yield from _add_rows(
             self.path, meta, json.loads(partition.add_json), self.field_names
         )

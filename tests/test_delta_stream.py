@@ -309,3 +309,45 @@ def test_timestamp_ntz_foreign_table_reads(spark, tmp_path):
     got = dp.read_delta(spark, path)
     assert dict(got.dtypes)["ts"] == "timestamp_ntz"
     assert got.collect()[0]["ts"] == datetime.datetime(2021, 3, 14, 1, 59, 26)
+
+
+def test_batch_datasource_time_travel_options(spark, tmp_path):
+    """format('deltaproto') batch reads honor versionAsOf /
+    timestampAsOf — delta-spark's reader options."""
+    import json as _json
+    import os as _os
+
+    deltastream.register(spark)
+    path = str(tmp_path / "tt")
+    dp.write_delta(_df(spark, 0, 10), path)
+    dp.write_delta(_df(spark, 10, 30), path)
+    # stamp the two commits apart for the timestamp option
+    log = _os.path.join(path, "_delta_log")
+    for ver, ts in ((0, 1000), (1, 2000)):
+        f = _os.path.join(log, dp._LOG_FMT.format(ver))
+        acts = [_json.loads(ln) for ln in open(f).read().splitlines() if ln]
+        for a in acts:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(f, "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in acts) + "\n")
+
+    assert spark.read.format("deltaproto").load(path).count() == 30
+    v0 = (
+        spark.read.format("deltaproto")
+        .option("versionAsOf", 0)
+        .load(path)
+    )
+    assert v0.count() == 10
+    t0 = (
+        spark.read.format("deltaproto")
+        .option("timestampAsOf", 1500)
+        .load(path)
+    )
+    assert t0.count() == 10
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not both"):
+        spark.read.format("deltaproto").option("versionAsOf", 0).option(
+            "timestampAsOf", 1500
+        ).load(path).count()
