@@ -178,7 +178,8 @@ class _IcePartition(InputPartition):
 
 
 class IcebergReader(DataSourceReader):
-    """Batch: the current snapshot — or a named tag/branch head via
+    """Batch: the current snapshot — or time travel via
+    `option("snapshotId", id)` / a named tag/branch head via
     `option("ref", name)` — one task per live manifest entry."""
 
     def __init__(self, options: dict, schema: StructType):
@@ -187,12 +188,16 @@ class IcebergReader(DataSourceReader):
             raise ValueError("iceberg requires a path")
         self.path = path
         self.ref = options.get("ref")
+        sid = options.get("snapshotid", options.get("snapshotId"))
+        if sid is not None and self.ref is not None:
+            raise ValueError("pass snapshotId OR ref, not both")
+        self.snapshot_id: int | None = int(sid) if sid is not None else None
         self.field_names = [f.name for f in schema.fields]
 
     def _snap(self, meta: dict):
         if self.ref is not None:
             return ib._snapshot(meta, ib._resolve_ref(meta, self.ref))
-        return ib._snapshot(meta, None)
+        return ib._snapshot(meta, self.snapshot_id)
 
     def partitions(self) -> list[_IcePartition]:
         meta = ib.current_metadata(self.path)

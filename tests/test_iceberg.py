@@ -1500,3 +1500,15 @@ def test_ref_reads_via_datasource_and_refs_table(spark, tmp_path):
     assert refs["v1"][0] == "tag" and refs["dev"][0] == "branch"
     assert refs["main"][1] == refs["v1"][1]  # main never moved
     assert refs["dev"][1] != refs["main"][1]
+
+    # explicit snapshotId time travel through the DataSource
+    by_id = (
+        spark.read.format("iceberg")
+        .option("snapshotId", refs["dev"][1])
+        .load(t)
+    )
+    assert by_id.count() == 50
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("iceberg").option("ref", "dev").option(
+            "snapshotId", refs["dev"][1]
+        ).load(t).count()
