@@ -35,6 +35,7 @@ from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_dat
     retrieval,
     sampling,
     similarity,
+    sqlfront,
     text,
 )
 from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.medications import (
@@ -207,6 +208,7 @@ _TAIL_ORDER = [
     "dedup_incremental_pairs",
     "lake_delta_meta",
     "events_cep_pattern",
+    "med_q02_sql_frontend",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -286,6 +288,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text,
         dedup,
         similarity,
+        sqlfront,
         multimodal,
         sampling,
         curation,
@@ -369,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
         text,
         dedup,
         similarity,
+        sqlfront,
         multimodal,
         sampling,
         curation,
