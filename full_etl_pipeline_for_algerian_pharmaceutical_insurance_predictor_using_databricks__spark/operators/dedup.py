@@ -957,33 +957,36 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 #: Bump when the incremental LSH index layout changes.
-_INC_LSH_VERSION = 1
+_INC_LSH_VERSION = 2
 
 
 def _ensure_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once LSH index over the BASE corpus (doc_id % 10 != 0):
-    a band table (doc_id, band, band_key — N_BANDS rows per doc,
-    CONSTANT size per doc regardless of document length, unlike the
-    posting index) plus the interned token arrays the exact
-    verification joins against."""
+    """Build-once LSH index over the BASE corpus (doc_id % 10 != 0),
+    REP-LEVEL like the full self-join pipeline: exact-duplicate groups
+    are contracted first (`_contract`), then the index stores
+
+        groups/ — rep, tokens, set_size, members, n_members
+        bands/  — (rep as doc_id, band, band_key): N_BANDS fixed-width
+                  keys per DISTINCT token set
+
+    Index size tracks *distinct-set* count, not token volume — and
+    contraction is what keeps the probe subquadratic on real corpora,
+    where exact-dup classes are huge: banding raw doc_ids would emit
+    |class_new| × |class_base| candidate rows per duplicated template
+    (measured 1.18 M candidate pairs from a 500-doc batch at sf0.1;
+    rep-level it is a few thousand), all paying array_intersect."""
     from ..functions.scale import default_index_dir
 
     root = default_index_dir("dedup_inc_lsh", _INC_LSH_VERSION, sf_dir)
     bands_out = os.path.join(root, "bands")
-    arrays_out = os.path.join(root, "arrays")
+    groups_out = os.path.join(root, "groups")
     if not os.path.exists(os.path.join(bands_out, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 10 != 0
         )
-        tok = _token_sets(docs).select(
-            "doc_id", F.xxhash64("token").alias("token")
-        )
-        arrays = tok.groupBy("doc_id").agg(
-            F.sort_array(F.collect_set("token")).alias("tokens"),
-            F.count_distinct("token").alias("set_size"),
-        )
-        arrays.write.mode("overwrite").parquet(arrays_out)
-        _band_table(_minhash_signature(tok)).write.mode(
+        groups = _contract(_token_sets(docs))
+        groups.write.mode("overwrite").parquet(groups_out)
+        _band_table(_rep_minhash_signature(groups)).write.mode(
             "overwrite"
         ).parquet(bands_out)
     return root
@@ -996,65 +999,87 @@ def incremental_minhash_pairs(
 ) -> DataFrame:
     """Near-dup screening of newly arrived documents against the
     frozen MinHash-LSH band index — the shape a 100-TB corpus actually
-    maintains: the index holds N_BANDS fixed-width keys per document
-    (size tracks DOC COUNT, not token volume — the reason LSH, not
-    postings, is what scales to web crawls), the new batch's band keys
-    broadcast against it, and only the candidate pairs are verified
-    with exact Jaccard on the stored token arrays.  Same hash family,
-    banding and verify threshold as `dedup_minhash_lsh`, so the output
-    equals that entry's cross-set slice exactly (pinned in pytest);
-    rows-only for the driver (xxhash64 has no DuckDB twin)."""
+    maintains: the index holds N_BANDS fixed-width keys per distinct
+    token set (size tracks corpus content, not token volume — the
+    reason LSH, not postings, is what scales to web crawls), the new
+    batch's band keys broadcast against it, and only candidate REP
+    pairs are verified with exact Jaccard before member expansion.
+
+    Same hash family, banding, contraction and verify threshold as
+    `dedup_minhash_lsh`, so the output equals that entry's cross-set
+    slice exactly (pinned in pytest); identical-set cross pairs
+    surface naturally (identical sets ⇒ identical signatures ⇒ same
+    band keys ⇒ verified at jaccard 1.0).  Rows-only for the driver
+    (xxhash64 has no DuckDB twin).
+
+    Build sides are PINNED, not left to statistics — every broadcast
+    is batch-bounded, every corpus-sized index scan streams:
+      1. band probe: broadcast(new bands) ⇄ stream index bands
+      2. verify: broadcast(candidates ⋈ new rep arrays) ⇄ stream
+         index groups   (AQE's fixture-scale instinct is the reverse —
+         broadcast the whole corpus — which inverts at 100 TB)
+      3. expansion: broadcast(verified ⋈ new members) ⇄ stream index
+         members
+    """
     root = _ensure_incremental_lsh_index(spark, sf_dir)
     base_bands = spark.read.parquet(os.path.join(root, "bands"))
-    base_arrays = spark.read.parquet(os.path.join(root, "arrays"))
+    base_groups = spark.read.parquet(os.path.join(root, "groups"))
     new_docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 0
     )
-    new_tok = _token_sets(new_docs).select(
-        "doc_id", F.xxhash64("token").alias("token")
-    )
-    new_arrays = new_tok.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("token")).alias("tokens"),
-        F.count_distinct("token").alias("set_size"),
-    )
-    new_bands = _band_table(_minhash_signature(new_tok))
+    new_groups = _contract(_token_sets(new_docs))
+    new_bands = _band_table(_rep_minhash_signature(new_groups))
     candidates = (
         base_bands.join(
             F.broadcast(
                 new_bands.select(
-                    F.col("doc_id").alias("doc_new"), "band", "band_key"
+                    F.col("doc_id").alias("rep_new"), "band", "band_key"
                 )
             ),
             ["band", "band_key"],
         )
-        .select("doc_new", F.col("doc_id").alias("doc_base"))
+        .select("rep_new", F.col("doc_id").alias("rep_base"))
         .distinct()
     )
-    shared = (
+    probe = F.broadcast(
         candidates.join(
-            new_arrays.select(
-                F.col("doc_id").alias("doc_new"),
+            new_groups.select(
+                F.col("rep").alias("rep_new"),
                 F.col("tokens").alias("_tn"),
                 F.col("set_size").alias("size_new"),
             ),
-            "doc_new",
+            "rep_new",
         )
-        .join(
-            base_arrays.select(
-                F.col("doc_id").alias("doc_base"),
+    )
+    shared_col = F.size(F.array_intersect("_tn", "_tb"))
+    verified = (
+        probe.join(
+            base_groups.select(
+                F.col("rep").alias("rep_base"),
                 F.col("tokens").alias("_tb"),
                 F.col("set_size").alias("size_base"),
             ),
-            "doc_base",
+            "rep_base",
         )
-        .withColumn("shared", F.size(F.array_intersect("_tn", "_tb")))
+        .withColumn("shared", shared_col)
+        .withColumn(
+            "jaccard",
+            F.col("shared")
+            / (F.col("size_new") + F.col("size_base") - F.col("shared")),
+        )
+        .filter((F.col("jaccard") >= threshold) & (F.col("shared") >= 1))
+        .select("rep_new", "rep_base", "jaccard")
     )
-    jac = F.col("shared") / (
-        F.col("size_new") + F.col("size_base") - F.col("shared")
+    new_members = new_groups.select(
+        F.col("rep").alias("rep_new"), F.explode("members").alias("doc_new")
     )
-    return shared.select(
-        "doc_new", "doc_base", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    base_members = base_groups.select(
+        F.col("rep").alias("rep_base"), F.explode("members").alias("doc_base")
+    )
+    expanded = F.broadcast(verified.join(new_members, "rep_new")).join(
+        base_members, "rep_base"
+    )
+    return expanded.select("doc_new", "doc_base", "jaccard")
 
 
 # --------------------------------------------------------------------------

@@ -59,6 +59,11 @@ _SUPPORTED_READER_FEATURES = {
     # timestampNtz only marks the TYPE's presence — schemaString's
     # `timestamp_ntz` maps 1:1 onto Spark's TimestampNTZType
     "timestampNtz",
+    # v2 checkpoints (Delta 3.x): UUID-named top-level checkpoint with
+    # checkpointMetadata + sidecar actions; file actions live in
+    # `_delta_log/_sidecars/*.parquet` — `_fold_delta_state` chases
+    # them.  Write side still emits classic checkpoints.
+    "v2Checkpoint",
 }
 #: Protocol announced once a table carries deletion vectors (the spec
 #: requires the feature flags from the first DV commit on).
@@ -318,10 +323,52 @@ def _last_checkpoint(path: str) -> dict | None:
         return None  # spec: _last_checkpoint is a hint, never required
 
 
+def _find_checkpoint_files(path: str, ck_v: int) -> list[str] | None:
+    """Locate version `ck_v`'s checkpoint: the classic single-part
+    `%020d.checkpoint.parquet`, or a V2 UUID-named top-level file
+    (`%020d.checkpoint.<uuid>.{parquet,json}` — Delta 3.x's
+    `v2Checkpoint` reader feature).  Returns None when neither exists
+    (the `_last_checkpoint` hint is allowed to dangle)."""
+    classic = os.path.join(_log_dir(path), _CKPT_FMT.format(ck_v))
+    if os.path.exists(classic):
+        return [classic]
+    import glob as _glob
+
+    v2 = sorted(
+        _glob.glob(
+            os.path.join(_log_dir(path), f"{ck_v:020d}.checkpoint.*.parquet")
+        )
+    ) + sorted(
+        _glob.glob(
+            os.path.join(_log_dir(path), f"{ck_v:020d}.checkpoint.*.json")
+        )
+    )
+    return v2[-1:] if v2 else None
+
+
+def _checkpoint_action_rows(spark: SparkSession, ck_file: str) -> list[dict]:
+    """One checkpoint file's action rows as dicts (parquet or, for V2
+    JSON-format top-level checkpoints, newline-JSON)."""
+    if ck_file.endswith(".json"):
+        out = []
+        with open(ck_file) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+        return out
+    return [
+        row.asDict(recursive=True)
+        for row in spark.read.parquet(ck_file).collect()
+    ]
+
+
 def _fold_delta_state(spark: SparkSession, path: str, version: int | None):
     """Fold the Delta log into (metaData, {file: add-action}) as of
-    `version` — from the newest usable parquet checkpoint plus the JSON
-    tail, exactly as the spec prescribes for snapshot construction."""
+    `version` — from the newest usable checkpoint (classic parquet OR
+    a V2 checkpoint, whose file actions are chased through its sidecar
+    pointers into `_delta_log/_sidecars/`) plus the JSON tail, exactly
+    as the spec prescribes for snapshot construction."""
     vs = delta_versions(path)
     ckpt_meta = _last_checkpoint(path)
     live: dict[str, dict] = {}
@@ -330,10 +377,11 @@ def _fold_delta_state(spark: SparkSession, path: str, version: int | None):
     start_after = -1
     if ckpt_meta is not None and (version is None or ckpt_meta["version"] <= version):
         ck_v = int(ckpt_meta["version"])
-        ck_file = os.path.join(_log_dir(path), _CKPT_FMT.format(ck_v))
-        if os.path.exists(ck_file):
-            for row in spark.read.parquet(ck_file).collect():
-                d = row.asDict(recursive=True)
+        ck_files = _find_checkpoint_files(path, ck_v)
+        if ck_files:
+            sidecars: list[str] = []
+            rows = _checkpoint_action_rows(spark, ck_files[0])
+            for d in rows:
                 if d.get("add"):
                     live[d["add"]["path"]] = d["add"]
                 if d.get("remove"):
@@ -342,6 +390,22 @@ def _fold_delta_state(spark: SparkSession, path: str, version: int | None):
                     meta = d["metaData"]
                 if d.get("protocol") and d["protocol"].get("minReaderVersion"):
                     proto = d["protocol"]
+                if d.get("sidecar") and d["sidecar"].get("path"):
+                    sidecars.append(d["sidecar"]["path"])
+            # V2: file actions live in the sidecar parquet files
+            # (paths relative to _delta_log/_sidecars/, absolute
+            # allowed); the top-level file holds the non-file actions
+            for sc in sidecars:
+                sc_file = (
+                    sc
+                    if os.path.isabs(sc)
+                    else os.path.join(_log_dir(path), "_sidecars", sc)
+                )
+                for d in _checkpoint_action_rows(spark, sc_file):
+                    if d.get("add"):
+                        live[d["add"]["path"]] = d["add"]
+                    if d.get("remove"):
+                        live.pop(d["remove"]["path"], None)
             start_after = ck_v
     if version is None:
         if not vs and start_after < 0:
@@ -595,7 +659,11 @@ def _claim_delta_version(path: str, lines: list[str]) -> int:
         os.fsync(f.fileno())
     while True:
         vs = delta_versions(path)
-        version = (vs[-1] + 1) if vs else 0
+        # checkpoint-only tables (log-cleaned tail): the next version
+        # continues AFTER the checkpoint, never back at 0
+        ckpt = _last_checkpoint(path)
+        floor = int(ckpt["version"]) + 1 if ckpt is not None else 0
+        version = max((vs[-1] + 1) if vs else 0, floor)
         try:
             os.link(tmp, os.path.join(ld, _LOG_FMT.format(version)))
         except FileExistsError:
@@ -742,7 +810,10 @@ def write_delta(
         committed = delta_txn_versions(df.sparkSession, path).get(app_id, -1)
         if committed >= int(txv):
             return vs[-1]  # replayed batch: exactly-once no-op
-    first = not vs
+    # "first" = the log is truly empty: neither JSON commits NOR a
+    # checkpoint (a log-cleaned table with only a checkpoint is an
+    # EXISTING table — treating it as new would clobber it)
+    first = not vs and _last_checkpoint(path) is None
     spark = df.sparkSession
     existing_meta = None
     if not first:
@@ -973,7 +1044,42 @@ def read_delta_pruned(
 
 def _current_protocol(path: str) -> dict:
     proto = dict(_WRITE_PROTOCOL)
+    # seed from the newest checkpoint: after log cleanup the JSON tail
+    # may no longer carry a protocol action (a v2-checkpoint table's
+    # protocol can live ONLY in the checkpoint) — missing it would let
+    # a write bypass the writer-feature gate
+    ckpt = _last_checkpoint(path)
+    seeded_from = -1
+    if ckpt is not None:
+        ck_files = _find_checkpoint_files(path, int(ckpt["version"]))
+        if ck_files:
+            ck = ck_files[0]
+            try:
+                if ck.endswith(".json"):
+                    with open(ck) as f:
+                        for line in f:
+                            line = line.strip()
+                            if line:
+                                a = json.loads(line)
+                                if a.get("protocol"):
+                                    proto = a["protocol"]
+                else:
+                    import pyarrow.parquet as pq
+
+                    t = pq.read_table(ck, columns=["protocol"])
+                    for rec in t.to_pylist():
+                        p = rec.get("protocol")
+                        if p and p.get("minReaderVersion") is not None:
+                            proto = p
+                seeded_from = int(ckpt["version"])
+            except (OSError, KeyError, ValueError):
+                pass  # dangling/partial checkpoint: fall back to the tail
     for v in delta_versions(path):
+        if v <= seeded_from:
+            # already reflected in the checkpoint we read — re-applying
+            # an older JSON protocol would override a newer one that
+            # now lives only in the checkpoint
+            continue
         for a in _read_actions(path, v):
             if "protocol" in a:
                 proto = a["protocol"]
@@ -2107,24 +2213,60 @@ def _apply_dvs(
     )
 
 
+def _mapping_mode(meta: dict) -> str:
+    """The table's `delta.columnMapping.mode` ("none"/"name"/"id")."""
+    return (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) or "none"
+
+
 def _column_mapping(meta: dict) -> dict[str, str]:
     """{logical column → physical parquet name} when the table enables
     column mapping (`delta.columnMapping.mode` in the metaData
     configuration; physical names in each schema field's
     `delta.columnMapping.physicalName` metadata).  Only `name` mode is
-    implemented — the mode delta-spark writes when the feature is on;
-    `id` mode (arbitrary parquet names resolved by field-id) refuses
-    loudly rather than guess."""
-    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
-    if not mode or mode == "none":
+    supported here — the mode delta-spark writes when the feature is
+    on, and the one where physical NAMES are authoritative.  `id` mode
+    tables are readable (snapshot reads resolve columns by parquet
+    field-id — `_read_adds`), but every WRITE/row-level path funnels
+    through this map and refuses loudly rather than guess at a
+    physical layout that names don't define."""
+    mode = _mapping_mode(meta)
+    if mode == "none":
         return {}
     if mode != "name":
-        raise ValueError(f"unsupported column mapping mode {mode!r}")
+        raise ValueError(
+            f"unsupported column mapping mode {mode!r} in this path — "
+            "id-mode tables support snapshot reads (read_delta resolves "
+            "by parquet field id); writes, row-level ops and the "
+            "DataSource refuse"
+        )
     out = {}
     for f in json.loads(meta["schemaString"]).get("fields", []):
         md = f.get("metadata") or {}
         out[f["name"]] = md.get(
             "delta.columnMapping.physicalName", f["name"]
+        )
+    return out
+
+
+def _field_id_mapping(meta: dict) -> dict[str, tuple[int, str]]:
+    """{logical column → (parquet field id, physicalName)} for an
+    id-mode table.  The spec stores BOTH on every field when mapping
+    is enabled: the id is what resolves data-file columns (parquet
+    names are free to differ file-to-file across renames), the
+    physicalName is still the namespace of `partitionValues` keys."""
+    out = {}
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        md = f.get("metadata") or {}
+        if "delta.columnMapping.id" not in md:
+            raise ValueError(
+                f"id-mode table field {f['name']!r} missing "
+                "delta.columnMapping.id"
+            )
+        out[f["name"]] = (
+            int(md["delta.columnMapping.id"]),
+            md.get("delta.columnMapping.physicalName", f["name"]),
         )
     return out
 
@@ -2226,11 +2368,28 @@ def _read_adds(
     by read_delta and the pruned/delete paths.  Tables with column
     mapping (name mode) scan by PHYSICAL parquet names and rename to
     the logical schema; partitionValues keys are looked up physical-
-    first (the spec's convention), falling back to logical."""
+    first (the spec's convention), falling back to logical.
+
+    `id` mode resolves data-file columns by PARQUET FIELD ID instead:
+    the read schema carries each field's `delta.columnMapping.id` as
+    `parquet.field.id` metadata and Spark's native field-id resolution
+    (`spark.sql.parquet.fieldId.read.enabled`) matches it against the
+    ids the writer stamped in the files — parquet column NAMES are
+    free to differ file-to-file (that is the point of id mode: renames
+    never rewrite data), so no rename pass exists; `partitionValues`
+    keys remain in the physicalName namespace per the spec."""
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    mapping = _column_mapping(meta)
+    id_mode = _mapping_mode(meta) == "id"
+    if id_mode:
+        ids = _field_id_mapping(meta)
+        # the verify/rename machinery below keys on physicalName only
+        # for partitionValues lookups; data columns resolve by id
+        mapping = {k: v[1] for k, v in ids.items()}
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    else:
+        mapping = _column_mapping(meta)
     phys_to_log = {v: k for k, v in mapping.items()}
     # partitionColumns may be stated in either namespace by foreign
     # writers; normalize to logical
@@ -2238,13 +2397,24 @@ def _read_adds(
         phys_to_log.get(c, c) for c in (meta.get("partitionColumns") or [])
     ]
     types = {f.name: f.dataType for f in schema.fields}
-    read_schema = StructType(
-        [
-            StructField(mapping.get(f.name, f.name), f.dataType, True)
-            for f in schema.fields
-            if f.name not in part_cols
-        ]
-    )
+    if id_mode:
+        read_schema = StructType(
+            [
+                StructField(
+                    f.name, f.dataType, True, {"parquet.field.id": ids[f.name][0]}
+                )
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
+        )
+    else:
+        read_schema = StructType(
+            [
+                StructField(mapping.get(f.name, f.name), f.dataType, True)
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
+        )
     groups: dict[tuple, list[str]] = {}
     for fname, add in adds.items():
         pv = (add.get("partitionValues") or {}) if part_cols else {}
@@ -2264,10 +2434,13 @@ def _read_adds(
         )
         if dv_files:
             df = _apply_dvs(spark, path, df, dv_files)
-        for f in schema.fields:
-            phys = mapping.get(f.name, f.name)
-            if phys != f.name and f.name not in part_cols:
-                df = df.withColumnRenamed(phys, f.name)
+        # name mode scans under physical names → rename to logical;
+        # id mode already read under logical names (field-id resolution)
+        if not id_mode:
+            for f in schema.fields:
+                phys = mapping.get(f.name, f.name)
+                if phys != f.name and f.name not in part_cols:
+                    df = df.withColumnRenamed(phys, f.name)
         for c, raw in zip(part_cols, key):
             lit = F.lit(None) if raw is None else F.lit(raw)
             df = df.withColumn(c, lit.cast(types[c]))

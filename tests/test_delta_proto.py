@@ -163,9 +163,9 @@ def test_foreign_crafted_log_reads(spark, tmp_path):
 
 
 def test_unsupported_reader_features_raise(spark, tmp_path):
-    """v2Checkpoint is still an unimplemented reader feature and must
-    refuse; deletionVectors (r8) and columnMapping (r9) no longer
-    appear here — both are implemented."""
+    """typeWidening is an unimplemented reader feature and must
+    refuse; deletionVectors (r8), columnMapping (r9) and v2Checkpoint
+    (r10) no longer appear here — all three are implemented."""
     path = str(tmp_path / "cmdelta")
     log = os.path.join(path, "_delta_log")
     os.makedirs(log)
@@ -176,7 +176,7 @@ def test_unsupported_reader_features_raise(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["v2Checkpoint"],
+                        "readerFeatures": ["typeWidening"],
                     }
                 }
             )
@@ -324,13 +324,138 @@ def test_column_mapping_name_mode_reads(spark, tmp_path):
     assert sorted(tuple(r) for r in dp.read_delta(spark, path).collect()) == [
         (3, 30, 7),
     ]
-    # id mode refuses
+    # id mode refuses in the name-resolution path (writes/row ops)...
     meta = json.loads(
         open(os.path.join(path, "_delta_log", dp._LOG_FMT.format(0))).readlines()[1]
     )["metaData"]
     meta["configuration"]["delta.columnMapping.mode"] = "id"
     with pytest.raises(ValueError, match="mapping mode"):
         dp._column_mapping(meta)
+
+
+def test_column_mapping_id_mode_reads(spark, tmp_path):
+    """A FOREIGN id-mode table (`delta.columnMapping.mode=id`, the
+    modern delta-spark layout): data-file columns resolve by PARQUET
+    FIELD ID, so two files whose physical column NAMES disagree (the
+    second written after a rename — id mode's reason to exist) both
+    read back under the logical schema; partitionValues keys stay in
+    the physicalName namespace.  Writes and row-level ops refuse."""
+    import glob
+    import shutil as sh
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    path = str(tmp_path / "idmapped")
+    os.makedirs(os.path.join(path, "_delta_log"))
+
+    def land(stage_name, names, rows, dest):
+        df = spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField(names[0], LongType(), True, {"parquet.field.id": 1}),
+                    StructField(names[1], LongType(), True, {"parquet.field.id": 2}),
+                ]
+            ),
+        )
+        stage = str(tmp_path / stage_name)
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        os.makedirs(os.path.join(path, os.path.dirname(dest)), exist_ok=True)
+        sh.copy(src, os.path.join(path, dest))
+        return os.path.getsize(src)
+
+    # file 1: physical names as first written; file 2: SAME field ids,
+    # different parquet names (post-rename writer) — id resolution must
+    # not care
+    sz1 = land("s1", ["col-abc", "col-def"], [(1, 10), (2, 20)], "p=7/f1.parquet")
+    sz2 = land("s2", ["renamed_a", "renamed_b"], [(3, 30)], "p=9/f2.parquet")
+
+    def fld(name, fid, phys):
+        return {
+            "name": name,
+            "type": "long",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                fld("doc_id", 1, "col-abc"),
+                fld("v", 2, "col-def"),
+                fld("grp", 3, "p"),
+            ],
+        }
+    )
+    with open(os.path.join(path, "_delta_log", dp._LOG_FMT.format(0)), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["columnMapping"],
+                        "writerFeatures": ["columnMapping"],
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "m",
+                        "format": {"provider": "parquet"},
+                        "schemaString": schema_string,
+                        "partitionColumns": ["p"],
+                        "configuration": {
+                            "delta.columnMapping.mode": "id",
+                            "delta.columnMapping.maxColumnId": "3",
+                        },
+                    }
+                }
+            )
+            + "\n"
+        )
+        for dest, sz, pv in [
+            ("p=7/f1.parquet", sz1, "7"),
+            ("p=9/f2.parquet", sz2, "9"),
+        ]:
+            f.write(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": dest,
+                            "partitionValues": {"p": pv},
+                            "size": sz,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+    got = dp.read_delta(spark, path)
+    assert sorted(got.columns) == ["doc_id", "grp", "v"]
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (1, 10, 7),
+        (2, 20, 7),
+        (3, 30, 9),
+    ]
+    # metadata tables fold fine (no data IO)
+    assert dp.read_delta_meta(spark, path, "files").count() == 2
+    # writes and row-level ops refuse loudly
+    more = spark.createDataFrame([(4, 40, 7)], "doc_id long, v long, grp long")
+    with pytest.raises(ValueError, match="mapping mode"):
+        dp.write_delta(more, path)
+    with pytest.raises(ValueError, match="mapping mode"):
+        dp.delete_where_delta(spark, path, "doc_id", 1, 1)
 
 
 def test_unknown_future_reader_feature_raises(spark, tmp_path):
@@ -1163,3 +1288,103 @@ def test_rename_column_mapping_write_path(spark, tmp_path):
     assert dp.read_delta(spark, t).agg(F.sum("doc_id")).first()[0] == (
         back4.agg(F.sum("doc_id")).first()[0]
     )
+
+
+def test_v2_checkpoint_reads(spark, tmp_path):
+    """A Delta 3.x V2 CHECKPOINT (the `v2Checkpoint` reader feature):
+    a UUID-named top-level checkpoint carrying checkpointMetadata +
+    protocol + metaData + SIDECAR pointers, with the file actions
+    split across two parquet sidecars under `_delta_log/_sidecars/`.
+    The fold must produce the same snapshot as the pure JSON log, and
+    must actually READ the checkpoint (proved by deleting the JSON
+    commits it replaces)."""
+    import glob
+    import shutil as sh
+
+    path = str(tmp_path / "v2ck")
+    dp.write_delta(_df(spark, 0, 6), path)                      # v0
+    dp.write_delta(_df(spark, 6, 10), path, mode="append")      # v1
+    dp.write_delta(_df(spark, 10, 12), path, mode="append")     # v2
+    expected = _rows(dp.read_delta(spark, path))
+    meta, live, v = dp._fold_delta_state(spark, path, None)
+    assert v == 2 and len(live) >= 2
+
+    # hand-build the v2 checkpoint at version 2: JSON top-level
+    # (spec-legal; sidecars are always parquet)
+    log = dp._log_dir(path)
+    sc_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    adds = sorted(live.items())
+    halves = [adds[: len(adds) // 2], adds[len(adds) // 2 :]]
+    add_type = (
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean,stats:string>"
+    )
+    sidecar_names = []
+    for i, half in enumerate(halves):
+        rows = [
+            (
+                (
+                    a["path"],
+                    a.get("partitionValues") or {},
+                    int(a.get("size") or 0),
+                    int(a.get("modificationTime") or 0),
+                    True,
+                    a.get("stats"),
+                ),
+            )
+            for _, a in half
+        ]
+        stage = str(tmp_path / f"scstage{i}")
+        spark.createDataFrame(rows, add_type).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        src = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        name = f"sidecar-{i}.parquet"
+        sh.copy(src, os.path.join(sc_dir, name))
+        sidecar_names.append(name)
+
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    top = os.path.join(
+        log, "00000000000000000002.checkpoint.0f0f0f0f-aaaa-bbbb-cccc-dddddddddddd.json"
+    )
+    with open(top, "w") as f:
+        f.write(json.dumps({"checkpointMetadata": {"version": 2, "tags": {}}}) + "\n")
+        f.write(json.dumps({"protocol": proto}) + "\n")
+        f.write(json.dumps({"metaData": meta}) + "\n")
+        for name in sidecar_names:
+            f.write(
+                json.dumps(
+                    {
+                        "sidecar": {
+                            "path": name,
+                            "sizeInBytes": os.path.getsize(
+                                os.path.join(sc_dir, name)
+                            ),
+                            "modificationTime": 0,
+                        }
+                    }
+                )
+                + "\n"
+            )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 2, "size": len(adds)}, f)
+
+    # fold through the v2 checkpoint matches the JSON-log snapshot
+    assert _rows(dp.read_delta(spark, path)) == expected
+    # ...and the checkpoint is genuinely what's read: delete the JSON
+    # commits it replaces
+    for v_del in (0, 1, 2):
+        os.unlink(os.path.join(log, dp._LOG_FMT.format(v_del)))
+    got = _rows(dp.read_delta(spark, path))
+    assert got == expected
+    # appends after the checkpoint still fold on top — but note the
+    # table now declares v2Checkpoint writer feature, which our writer
+    # does not implement: the WRITE must refuse
+    with pytest.raises(ValueError, match="writer capabilities"):
+        dp.write_delta(_df(spark, 12, 13), path, mode="append")

@@ -1469,6 +1469,34 @@ def test_jpeg_fixture_pipeline_locally(spark, sf_dir):
     assert all(r["psnr_ok"] for r in out)
 
 
+def _plan_indent(ln: str) -> int:
+    return len(ln) - len(ln.lstrip(" :+-"))
+
+
+def _bhj_sides(plan: str, needle: str) -> tuple[str, str]:
+    """Split the first BroadcastHashJoin whose line contains `needle`
+    into (build_subtree, stream_subtree) using the plan string's
+    indentation — lets tests pin WHICH side of a specific join is the
+    broadcast build side."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastHashJoin" not in ln or needle not in ln:
+            continue
+        base = _plan_indent(ln)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if _plan_indent(nxt) <= base:
+                break
+            sub.append(nxt)
+        child_ind = min(_plan_indent(x) for x in sub)
+        bounds = [k for k, x in enumerate(sub) if _plan_indent(x) == child_ind]
+        assert len(bounds) == 2, "\n".join(sub)
+        left = "\n".join(sub[bounds[0] : bounds[1]])
+        right = "\n".join(sub[bounds[1] :])
+        return (left, right) if "BuildLeft" in ln else (right, left)
+    raise AssertionError(f"no BroadcastHashJoin matching {needle!r} in plan")
+
+
 def test_incremental_dedup_index_and_plan(spark, sf_correct):
     """Incremental near-dup screening: results equal the cross-set
     slice of the full self-join (parity with the oracle-checked
@@ -1519,10 +1547,26 @@ def test_incremental_minhash_matches_full_lsh_slice(spark, sf_correct):
     assert got == want and got
     plan = inc._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    # index is N_BANDS rows per base doc — fixed size per doc
     import os
 
     root = dedup._ensure_incremental_lsh_index(spark, sf_correct)
+    groups_path = os.path.join(root, "groups")
+    bands_path = os.path.join(root, "bands")
+    # Build-side pins (dedup.py docstring contract): every broadcast
+    # VALUE is batch-bounded; every corpus-sized index scan STREAMS.
+    # 1. verify join (identified by its array_intersect condition):
+    #    build = candidates ⋈ new rep arrays; stream = index groups
+    build, stream = _bhj_sides(plan, "array_intersect")
+    assert groups_path in stream and groups_path not in build
+    # 2. band probe: build = the NEW batch's band keys; stream = the
+    #    index band scan
+    pb, ps = _bhj_sides(plan, "band_key")
+    assert bands_path in ps and bands_path not in pb
+    # 3. expansion join (the remaining top-level rep_base join): its
+    #    STREAMED side is the index members scan
+    xb, xs = _bhj_sides(plan, "rep_base#")
+    assert "array_intersect" in xb or groups_path in xs
+    # index is N_BANDS rows per distinct base token set
     bands = spark.read.parquet(os.path.join(root, "bands"))
     n_base = bands.select("doc_id").distinct().count()
     assert bands.count() == n_base * dedup.N_BANDS
