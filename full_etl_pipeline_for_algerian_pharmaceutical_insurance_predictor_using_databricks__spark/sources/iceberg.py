@@ -722,6 +722,20 @@ def _delete_files(
                         "equality-delete file without equality_ids — "
                         "refusing to mis-read"
                     )
+                # scoping rule: we implement GLOBAL application
+                # (unpartitioned-spec deletes).  A foreign partition-
+                # SCOPED equality delete (non-empty partition tuple)
+                # applies only within its partition — applying it
+                # globally would over-delete, so refuse loudly.
+                if any(
+                    v is not None
+                    for v in (df_rec.get("partition") or {}).values()
+                ):
+                    raise ValueError(
+                        "partition-scoped equality delete — only "
+                        "global (unpartitioned-spec) equality deletes "
+                        "are supported; refusing to mis-scope"
+                    )
                 eq.append(
                     {
                         "path": _abs_path(path, df_rec["file_path"]),
@@ -2224,6 +2238,44 @@ _EQ_KEY_PA_TYPES = {
 }
 
 
+def _ensure_unpartitioned_spec(path: str) -> int:
+    """Spec-id of an UNPARTITIONED spec in `partition-specs`, appending
+    one (metadata-only, default spec untouched) when absent.  Global
+    equality deletes must be stored under an unpartitioned spec — the
+    Iceberg scoping rule: deletes stored with a partitioned spec apply
+    only within their partition, unpartitioned ones apply globally."""
+    meta = current_metadata(path)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    specs = meta.get("partition-specs") or [
+        {"spec-id": 0, "fields": meta.get("partition-spec", [])}
+    ]
+    for sp in specs:
+        if not sp["fields"]:
+            return int(sp["spec-id"])
+    result: dict = {}
+
+    def build(base: dict | None) -> dict:
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        m = json.loads(json.dumps(base))
+        sps = m.get("partition-specs") or [
+            {"spec-id": 0, "fields": m.get("partition-spec", [])}
+        ]
+        for sp in sps:
+            if not sp["fields"]:
+                result["sid"] = int(sp["spec-id"])
+                return m
+        new_sid = max(int(sp.get("spec-id", 0)) for sp in sps) + 1
+        m["partition-specs"] = sps + [{"spec-id": new_sid, "fields": []}]
+        m["last-updated-ms"] = int(time.time() * 1000)
+        result["sid"] = new_sid
+        return m
+
+    _claim_metadata(path, build)
+    return result["sid"]
+
+
 def delete_eq_iceberg(path: str, cols: list[str], keys: list) -> int:
     """Equality DELETE — the Flink-CDC upsert primitive: land the key
     tuples as a v2 EQUALITY-delete parquet file (content=2,
@@ -2248,11 +2300,19 @@ def delete_eq_iceberg(path: str, cols: list[str], keys: list) -> int:
     spec = _spec_of(meta0)
     spec_sid = _default_spec_id(meta0)
     if spec:
-        raise ValueError(
-            "equality delete on a partitioned table: a GLOBAL delete "
-            "needs an unpartitioned spec (Iceberg spec scoping rule) — "
-            "use delete_where_iceberg or rewrite instead"
-        )
+        # Partitioned table: the spec's scoping rule says a GLOBAL
+        # equality delete must be STORED under an unpartitioned spec —
+        # so ensure one exists in `partition-specs` (metadata-only;
+        # the default spec is untouched) and land the delete manifest
+        # under it with an empty partition tuple.  Readers then apply
+        # it to every data file with a strictly-lower sequence number
+        # regardless of partition — the Flink-CDC upsert shape on a
+        # partitioned table, still O(keys).
+        eq_spec: list[dict] = []
+        eq_sid = _ensure_unpartitioned_spec(path)
+        meta0 = current_metadata(path)  # re-read: spec list grew
+    else:
+        eq_spec, eq_sid = spec, spec_sid
     by_name = {f["name"]: f for f in fields}
     missing = [c for c in cols if c not in by_name]
     if missing:
@@ -2312,12 +2372,12 @@ def delete_eq_iceberg(path: str, cols: list[str], keys: list) -> int:
             [{"status": 1, "snapshot_id": snapshot_id, "data_file": rec}],
             snapshot_id,
             fields,
-            spec,
+            eq_spec,
             schema_json,
             fv=2,
             content="deletes",
             seq=seq,
-            spec_id=spec_sid,
+            spec_id=eq_sid,
         )
         return list(mfs) + [del_mf]
 

@@ -1045,13 +1045,53 @@ def test_delete_eq_write_path_upsert_shape(spark, tmp_path):
     ) == [1, 3]
 
 
+def test_delete_eq_on_partitioned_table(spark, tmp_path):
+    """Equality delete on a PARTITIONED table (r10): the delete lands
+    GLOBALLY under an auto-appended unpartitioned spec (Iceberg's
+    scoping rule — a delete stored with an unpartitioned spec applies
+    to every partition), the default spec is untouched so appends keep
+    partitioning, and the seq rule still lets re-appended keys
+    survive — the Flink-CDC upsert shape on a partitioned table."""
+    path = str(tmp_path / "ice_part_eq")
+    ib.write_iceberg(_df(spark, 0, 30), path, partition_by=["lang"])
+    before_default = ib._default_spec_id(ib.current_metadata(path))
+    # keys span multiple lang partitions (doc_id % 3)
+    ib.delete_eq_iceberg(path, ["doc_id"], [3, 7, 11])
+    meta = ib.current_metadata(path)
+    assert ib._default_spec_id(meta) == before_default  # default kept
+    specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
+    assert [] in specs.values()  # unpartitioned spec appended
+    got = sorted(r["doc_id"] for r in ib.read_iceberg(spark, path).collect())
+    assert got == [i for i in range(30) if i not in (3, 7, 11)]
+    # upsert: re-append two deleted keys — strictly-below seq keeps them
+    ib.write_iceberg(_df(spark, 3, 4, tag=9), path)
+    ib.write_iceberg(_df(spark, 7, 8, tag=9), path)
+    vals = {
+        r["doc_id"]: r["v"] for r in ib.read_iceberg(spark, path).collect()
+    }
+    assert vals[3] == 39 and vals[7] == 79 and 11 not in vals
+    # appended files still carry the PARTITIONED default spec, and a
+    # second eq-delete reuses the existing unpartitioned spec
+    n_specs = len(ib.current_metadata(path)["partition-specs"])
+    ib.delete_eq_iceberg(path, ["doc_id"], [7])
+    assert len(ib.current_metadata(path)["partition-specs"]) == n_specs
+    got2 = sorted(r["doc_id"] for r in ib.read_iceberg(spark, path).collect())
+    assert 7 not in got2 and 3 in got2
+    # pruned partitioned read still works over the mixed tree
+    assert ib.read_iceberg(spark, path).filter("lang = '0'").count() > 0
+    # a FOREIGN partition-SCOPED equality delete refuses (we apply
+    # global deletes only — mis-scoping would over-delete)
+    mfs = ib._read_manifest_list(
+        path, ib._snapshot(ib.current_metadata(path), None)
+    )
+    _pos, eqs = ib._delete_files(path, mfs)
+    assert eqs and all(e["ids"] for e in eqs)
+
+
 def test_delete_eq_refusals(spark, tmp_path):
-    """Loud refusals: partitioned scope, unknown column, unsupported
-    key type, empty keys, arity mismatch."""
-    path = str(tmp_path / "ice_part")
-    ib.write_iceberg(_df(spark, 0, 9), path, partition_by=["lang"])
-    with pytest.raises(ValueError, match="unpartitioned spec"):
-        ib.delete_eq_iceberg(path, ["doc_id"], [1])
+    """Loud refusals: unknown column, unsupported key type, empty
+    keys, arity mismatch (partitioned tables are SUPPORTED since r10
+    — see test_delete_eq_on_partitioned_table)."""
     path2 = str(tmp_path / "ice_flat")
     ib.write_iceberg(_df(spark, 0, 9), path2)
     with pytest.raises(ValueError, match="no column"):
