@@ -523,9 +523,14 @@ def test_mp4_container_roundtrip_and_grammar():
         b[o : o + n] for o, n in meta["samples"]
     ]
 
-    # codec refusal: flip the sample-entry fourcc to avc1
-    avc1 = b.replace(b"jpeg", b"avc1", 1)
+    # codec refusal: flip the sample-entry fourcc to hev1 (avc1 is
+    # metadata-parseable since r10 — see test_mp4_avc1_metadata_tier)
+    hev1 = b.replace(b"jpeg", b"hev1", 1)
     with pytest.raises(ValueError, match="unsupported sample codec"):
+        iso.parse_mp4(hev1)
+    # an avc1 entry WITHOUT an avcC record is malformed, not mis-read
+    avc1 = b.replace(b"jpeg", b"avc1", 1)
+    with pytest.raises(ValueError, match="without avcC"):
         iso.parse_mp4(avc1)
     # handler refusal
     soun = b.replace(b"vide", b"soun", 1)
@@ -533,6 +538,106 @@ def test_mp4_container_roundtrip_and_grammar():
         iso.parse_mp4(soun)
     with pytest.raises(ValueError, match="ftyp"):
         iso.parse_mp4(b"\x00\x00\x00\x08free" + b"x" * 100)
+
+
+def test_mp4_avc1_metadata_tier():
+    """H.264 metadata tier: SPS build⇄parse round-trips exact geometry
+    (crop-bearing sizes included), emulation-prevention bytes survive
+    the EBSP⇄RBSP pair, an avc1 MP4 reports profile/level/geometry/
+    duration with SPS cross-checked against tkhd (mismatch refuses),
+    and entropy decode of avc1 refuses — index, never decode."""
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        isobmff as iso,
+    )
+
+    # geometry round-trip: multiples of 16 (no crop) and crop-bearing
+    for w, h in [(320, 240), (1920, 1080), (1280, 720), (426, 240), (638, 360)]:
+        info = iso.parse_sps(iso.build_sps(w, h))
+        assert (info["width"], info["height"]) == (w, h)
+        assert info["profile_idc"] == 66 and info["frame_mbs_only"]
+    # EBSP pair: a zero-run payload gains 0x03 markers and strips back
+    raw = b"\x00\x00\x00\x00\x01\x00\x00\x02"
+    ebsp = iso._rbsp_to_ebsp(raw)
+    assert b"\x00\x00\x00" not in ebsp and iso._ebsp_to_rbsp(ebsp) == raw
+    # container: exact geometry/duration/profile, opaque samples
+    b = iso.encode_mp4_avc1(640, 360, [b"a" * 64, b"b" * 80, b"c" * 72])
+    meta = iso.parse_mp4(b)
+    assert (meta["width"], meta["height"]) == (640, 360)
+    assert meta["codec"] == "avc1" and meta["n_samples"] == 3
+    assert meta["duration_ms"] == 3 * iso.FRAME_MS
+    assert meta["profile_idc"] == 66 and meta["level_idc"] == 30
+    assert meta["nal_length_size"] == 4
+    assert [s for _, s in meta["samples"]] == [64, 80, 72]
+    # SPS⇄tkhd cross-check: corrupt tkhd width → refuse
+    import struct
+
+    tkhd_off = b.index(b"tkhd")
+    # width is the 4-byte 16.16 field 8 bytes before the box end; find
+    # via parse offsets instead: patch the last 8 bytes of tkhd body
+    size = struct.unpack_from(">I", b, tkhd_off - 4)[0]
+    wh_off = tkhd_off - 4 + size - 8
+    bad = (
+        b[:wh_off] + struct.pack(">II", 16 << 16, 16 << 16) + b[wh_off + 8 :]
+    )
+    with pytest.raises(ValueError, match="disagrees with tkhd"):
+        iso.parse_mp4(bad)
+    with pytest.raises(ValueError, match="entropy-decode"):
+        iso.decode_mp4_frames(b)
+    # avcC record fields
+    rec = iso.parse_avcc(iso.build_avcc(iso.build_sps(426, 240), iso._PPS_MIN))
+    assert rec["sps"]["width"] == 426 and rec["sps"]["height"] == 240
+
+
+def test_mp4_avc1_spark_metadata_kernel(spark):
+    """The avc1 metadata walk as a Spark kernel: generated avc1 blobs
+    in a binary column, mapInPandas extracts (geometry, duration,
+    profile, sample count) — exact values restated per-row, the same
+    Arrow-batch shape the mm_video_* entries use."""
+    import pandas as pd
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        isobmff as iso,
+    )
+
+    rows = []
+    for i, (w, h, n) in enumerate([(320, 240, 2), (638, 360, 4), (426, 240, 3)]):
+        rows.append(
+            (i, bytearray(iso.encode_mp4_avc1(w, h, [b"p" * (32 + j) for j in range(n)])), w, h, n)
+        )
+    df = spark.createDataFrame(
+        rows, "vid_id int, data binary, w int, h int, n int"
+    ).repartition(3)
+
+    def kernel(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples():
+                m = iso.parse_mp4(bytes(r.data))
+                out.append(
+                    (r.vid_id, m["width"], m["height"], m["n_samples"],
+                     m["duration_ms"], m["profile_idc"], m["level_idc"])
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["vid_id", "width", "height", "n_samples",
+                         "duration_ms", "profile_idc", "level_idc"],
+            )
+
+    got = {
+        r["vid_id"]: r
+        for r in df.mapInPandas(
+            kernel,
+            "vid_id int, width int, height int, n_samples int, "
+            "duration_ms int, profile_idc int, level_idc int",
+        ).collect()
+    }
+    for i, (w, h, n) in enumerate([(320, 240, 2), (638, 360, 4), (426, 240, 3)]):
+        r = got[i]
+        assert (r["width"], r["height"], r["n_samples"]) == (w, h, n)
+        assert r["duration_ms"] == n * iso.FRAME_MS
+        assert r["profile_idc"] == 66
 
 
 def test_mjpeg_avi_codec_roundtrip():
