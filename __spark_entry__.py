@@ -209,6 +209,7 @@ _TAIL_ORDER = [
     "lake_delta_meta",
     "events_cep_pattern",
     "med_q02_sql_frontend",
+    "mm_audio_flac_meta",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",

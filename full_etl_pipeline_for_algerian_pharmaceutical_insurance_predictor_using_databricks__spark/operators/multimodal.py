@@ -1470,6 +1470,96 @@ def audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC metadata scan over spec-valid streams (operators/flac):
+    each document gets a digest-parameterized file — STREAMINFO (bit-
+    packed geometry + 36-bit total-samples), an optional placeholder
+    SEEKTABLE, a Vorbis-comment block (little-endian lengths), optional
+    PADDING, then an opaque audio tail — and the scanner walks the
+    metadata chain exactly like metaflac/ffprobe: geometry and
+    duration come from STREAMINFO (FLAC frames carry no length field,
+    so the audio section is *not* walkable without decoding — the
+    structural difference from the MP3 scanner, encoded here as
+    design).  Every output column is digest math the oracle restates:
+    a mis-shifted STREAMINFO bit field, a wrong block-header stride,
+    or a big/little-endian slip desynchronizes the walk and fails the
+    value match (or refuses)."""
+    media = _digest_media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import flac
+
+        srs = [8000, 16000, 22050, 24000, 32000, 44100, 48000, 96000]
+        for batch in batches:
+            rows = {
+                "doc_id": [], "sample_rate": [], "channels": [],
+                "bits_per_sample": [], "total_samples": [],
+                "duration_ms": [], "n_blocks": [], "n_seekpoints": [],
+                "n_comments": [], "stream_bytes": [],
+            }
+            for doc_id, b in zip(batch["doc_id"], batch["digest"]):
+                d = np.frombuffer(b, dtype=np.uint8)
+                sr = srs[int(d[8]) % 8]
+                channels = 1 + int(d[9]) % 2
+                bps = 16 if int(d[10]) % 2 == 0 else 24
+                total = 1000 + int(d[11]) * 251 + int(d[12])
+                n_seek = int(d[13]) % 5
+                n_comm = int(d[14]) % 4
+                pad = int(d[15]) % 64
+                meta = flac.scan_flac_stream(
+                    flac.encode_flac_stream(
+                        sr, channels, bps, total,
+                        n_seekpoints=n_seek,
+                        comments=[f"C{i:02d}=V" for i in range(n_comm)],
+                        padding_len=pad,
+                        audio_bytes=100 + int(d[15]),
+                    )
+                )
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(meta["sample_rate"])
+                rows["channels"].append(meta["channels"])
+                rows["bits_per_sample"].append(meta["bits_per_sample"])
+                rows["total_samples"].append(meta["total_samples"])
+                rows["duration_ms"].append(meta["duration_ms"])
+                rows["n_blocks"].append(meta["n_blocks"])
+                rows["n_seekpoints"].append(meta["n_seekpoints"])
+                rows["n_comments"].append(meta["n_comments"])
+                rows["stream_bytes"].append(meta["stream_bytes"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                    "channels": pd.Series(rows["channels"], dtype="int32"),
+                    "bits_per_sample": pd.Series(
+                        rows["bits_per_sample"], dtype="int32"
+                    ),
+                    "total_samples": pd.Series(
+                        rows["total_samples"], dtype="int64"
+                    ),
+                    "duration_ms": pd.Series(rows["duration_ms"], dtype="int64"),
+                    "n_blocks": pd.Series(rows["n_blocks"], dtype="int32"),
+                    "n_seekpoints": pd.Series(
+                        rows["n_seekpoints"], dtype="int32"
+                    ),
+                    "n_comments": pd.Series(rows["n_comments"], dtype="int32"),
+                    "stream_bytes": pd.Series(
+                        rows["stream_bytes"], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, sample_rate int, channels int, bits_per_sample int, "
+        "total_samples long, duration_ms long, n_blocks int, "
+        "n_seekpoints int, n_comments int, stream_bytes long",
+    )
+
+
 # --------------------------------------------------------------------------
 # Perceptual image dedup — average-hash + banded Hamming join
 # --------------------------------------------------------------------------
@@ -1572,6 +1662,7 @@ QUERIES = {
     "mm_audio_adpcm_pipeline": audio_adpcm_pipeline,
     "mm_audio_g711_pipeline": audio_g711_pipeline,
     "mm_audio_mp3_meta": audio_mp3_meta,
+    "mm_audio_flac_meta": audio_flac_meta,
     "mm_video_mp4_pipeline": video_mp4_pipeline,
 }
 
@@ -1809,6 +1900,45 @@ SELECT doc_id,
 FROM t
 """
 
+_FLAC_META_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(text), 17, 2))::INT % 8 AS sr_idx,
+           1 + ('0x' || substr(md5(text), 19, 2))::INT % 2 AS channels,
+           CASE WHEN ('0x' || substr(md5(text), 21, 2))::INT % 2 = 0
+                THEN 16 ELSE 24 END AS bps,
+           1000 + ('0x' || substr(md5(text), 23, 2))::INT * 251
+                + ('0x' || substr(md5(text), 25, 2))::INT AS total_samples,
+           ('0x' || substr(md5(text), 27, 2))::INT % 5 AS n_seek,
+           ('0x' || substr(md5(text), 29, 2))::INT % 4 AS n_comm,
+           ('0x' || substr(md5(text), 31, 2))::INT AS d15
+    FROM documents
+),
+t AS (
+    SELECT doc_id, channels, bps, total_samples, n_seek, n_comm, d15,
+           list_extract([8000,16000,22050,24000,32000,44100,48000,96000],
+                        sr_idx + 1) AS sr,
+           d15 % 64 AS pad
+    FROM d
+)
+SELECT doc_id,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(channels AS INT) AS channels,
+       CAST(bps AS INT) AS bits_per_sample,
+       CAST(total_samples AS BIGINT) AS total_samples,
+       CAST(total_samples * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(2 + CASE WHEN n_seek > 0 THEN 1 ELSE 0 END
+              + CASE WHEN pad > 0 THEN 1 ELSE 0 END AS INT) AS n_blocks,
+       CAST(n_seek AS INT) AS n_seekpoints,
+       CAST(n_comm AS INT) AS n_comments,
+       CAST(4 + 38
+            + CASE WHEN n_seek > 0 THEN 4 + 18 * n_seek ELSE 0 END
+            + 4 + 28 + 9 * n_comm
+            + CASE WHEN pad > 0 THEN 4 + pad ELSE 0 END
+            + 100 + d15 AS BIGINT) AS stream_bytes
+FROM t
+"""
+
 ORACLES: dict[str, str] = {
     "mm_image_metadata": _IMAGE_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
@@ -1822,5 +1952,6 @@ ORACLES: dict[str, str] = {
     "mm_audio_adpcm_pipeline": _ADPCM_PIPELINE_SQL,
     "mm_audio_g711_pipeline": _G711_PIPELINE_SQL,
     "mm_audio_mp3_meta": _MP3_META_SQL,
+    "mm_audio_flac_meta": _FLAC_META_SQL,
     "mm_video_mp4_pipeline": _MP4_PIPELINE_SQL,
 }

@@ -640,6 +640,80 @@ def test_mp4_avc1_spark_metadata_kernel(spark):
         assert r["profile_idc"] == 66
 
 
+def test_flac_metadata_scanner():
+    """FLAC scanner: STREAMINFO bit fields round-trip exactly through
+    the writer (20-bit sample rate, 3-bit channels, 5-bit bps, 36-bit
+    totals), Vorbis comments count with little-endian lengths,
+    reserved block types skip, and the spec's refusal set (magic,
+    non-STREAMINFO first, invalid type 127, overruns, bad seektable
+    stride) all raise."""
+    import struct
+
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        flac,
+    )
+
+    b = flac.encode_flac_stream(
+        44100, 2, 16, 1_234_567,
+        n_seekpoints=3,
+        comments=["TITLE=x", "ARTIST=y"],
+        padding_len=32,
+        audio_bytes=200,
+    )
+    m = flac.scan_flac_stream(b)
+    assert m["sample_rate"] == 44100 and m["channels"] == 2
+    assert m["bits_per_sample"] == 16 and m["total_samples"] == 1_234_567
+    assert m["duration_ms"] == 1_234_567 * 1000 // 44100
+    assert m["n_blocks"] == 4 and m["n_seekpoints"] == 3
+    assert m["n_comments"] == 2
+    assert m["audio_bytes"] == 200 and m["stream_bytes"] == len(b)
+    # extreme geometry survives the bit packing
+    m2 = flac.scan_flac_stream(
+        flac.encode_flac_stream(655349, 8, 32, (1 << 36) - 1)
+    )
+    assert m2["sample_rate"] == 655349 and m2["channels"] == 8
+    assert m2["bits_per_sample"] == 32
+    assert m2["total_samples"] == (1 << 36) - 1
+    # a reserved block type (42) is skipped by length, like real readers
+    si = flac.build_streaminfo(8000, 1, 16, 100)
+    res = (
+        flac.MAGIC
+        + flac._block_header(flac.T_STREAMINFO, len(si), False)
+        + si
+        + flac._block_header(42, 5, True)
+        + b"\x01\x02\x03\x04\x05"
+    )
+    assert flac.scan_flac_stream(res)["n_blocks"] == 2
+    # refusals
+    with pytest.raises(ValueError, match="magic"):
+        flac.scan_flac_stream(b"OggS" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="not STREAMINFO"):
+        flac.scan_flac_stream(
+            flac.MAGIC + flac._block_header(flac.T_PADDING, 4, True) + b"\x00" * 4
+        )
+    with pytest.raises(ValueError, match="type 127"):
+        flac.scan_flac_stream(
+            flac.MAGIC + flac._block_header(127, 4, True) + b"\x00" * 4
+        )
+    with pytest.raises(ValueError, match="overruns"):
+        flac.scan_flac_stream(b[: len(b) - 250])  # cut inside a block
+    bad_seek = (
+        flac.MAGIC
+        + flac._block_header(flac.T_STREAMINFO, len(si), False)
+        + si
+        + flac._block_header(flac.T_SEEKTABLE, 17, True)
+        + b"\x00" * 17
+    )
+    with pytest.raises(ValueError, match="multiple of 18"):
+        flac.scan_flac_stream(bad_seek)
+    with pytest.raises(ValueError, match="36-bit"):
+        flac.build_streaminfo(44100, 2, 16, 1 << 36)
+    with pytest.raises(ValueError, match="20-bit"):
+        flac.build_streaminfo(1 << 20, 2, 16, 1)
+
+
 def test_mjpeg_avi_codec_roundtrip():
     """MJPEG AVI: the container announces the 'MJPG' fourcc, every
     '00dc' chunk is a standalone baseline JPEG, per-frame PSNR clears
