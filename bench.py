@@ -119,6 +119,9 @@ HEADLINE = [
     "events_cep_pattern",
     "lake_iceberg_meta",
     "lake_delta_meta",
+    # r10: the reference SQL through spark.sql + the FLAC scanner
+    "med_q02_sql_frontend",
+    "mm_audio_flac_meta",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
