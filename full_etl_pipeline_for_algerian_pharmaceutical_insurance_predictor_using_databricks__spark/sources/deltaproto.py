@@ -129,6 +129,14 @@ _SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
     "columnMapping",  # write paths refuse separately via _column_mapping
     "timestampNtz",
+    # column invariants are enforced at write time (_enforce_constraints
+    # reads each field's delta.invariants metadata)
+    "invariants",
+    # generated columns are verified/derived on write (r9)
+    "generatedColumns",
+    # v2 checkpoints: write_delta_checkpoint emits the v2 layout on
+    # tables announcing the feature (r10)
+    "v2Checkpoint",
 }
 
 
@@ -238,14 +246,27 @@ def _gen_partition_value(expr: str, v):
 
 
 def _enforce_constraints(df: DataFrame, meta: dict) -> None:
-    """Refuse the write if any row VIOLATES a CHECK constraint (SQL
-    semantics: only FALSE violates — TRUE and NULL pass)."""
+    """Refuse the write if any row VIOLATES a CHECK constraint or a
+    COLUMN INVARIANT (the spec's `delta.invariants` field metadata —
+    the writer-v2 feature).  SQL semantics both ways: only FALSE
+    violates — TRUE and NULL pass."""
     for name, expr in sorted(_table_constraints(meta).items()):
         n_bad = df.filter(f"NOT COALESCE(({expr}), true)").count()
         if n_bad:
             raise ValueError(
                 f"CHECK constraint {name!r} ({expr}) violated by "
                 f"{n_bad} row(s)"
+            )
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        inv = (f.get("metadata") or {}).get("delta.invariants")
+        if not inv:
+            continue
+        expr = json.loads(inv)["expression"]["expression"]
+        n_bad = df.filter(f"NOT COALESCE(({expr}), true)").count()
+        if n_bad:
+            raise ValueError(
+                f"column invariant on {f['name']!r} ({expr}) violated "
+                f"by {n_bad} row(s)"
             )
 
 
@@ -334,6 +355,30 @@ def _find_checkpoint_files(path: str, ck_v: int) -> list[str] | None:
         return [classic]
     import glob as _glob
 
+    # multi-part classic: %020d.checkpoint.%010d.%010d.parquet — all
+    # parts must be present (their shared num-parts suffix says how
+    # many); a partial set means an in-flight writer, fall through
+    parts = sorted(
+        _glob.glob(
+            os.path.join(
+                _log_dir(path),
+                f"{ck_v:020d}.checkpoint.[0-9]*.[0-9]*.parquet",
+            )
+        )
+    )
+    multi = [
+        f
+        for f in parts
+        if len(os.path.basename(f).split(".")) == 5
+        and all(
+            seg.isdigit()
+            for seg in os.path.basename(f).split(".")[2:4]
+        )
+    ]
+    if multi:
+        want = int(os.path.basename(multi[0]).split(".")[3])
+        if len(multi) == want:
+            return multi
     v2 = sorted(
         _glob.glob(
             os.path.join(_log_dir(path), f"{ck_v:020d}.checkpoint.*.parquet")
@@ -380,7 +425,11 @@ def _fold_delta_state(spark: SparkSession, path: str, version: int | None):
         ck_files = _find_checkpoint_files(path, ck_v)
         if ck_files:
             sidecars: list[str] = []
-            rows = _checkpoint_action_rows(spark, ck_files[0])
+            rows = [
+                d
+                for f in ck_files
+                for d in _checkpoint_action_rows(spark, f)
+            ]
             for d in rows:
                 if d.get("add"):
                     live[d["add"]["path"]] = d["add"]
@@ -499,13 +548,15 @@ def delta_txn_versions(spark: SparkSession, path: str) -> dict[str, int]:
     ckpt = _last_checkpoint(path)
     if ckpt is not None:
         ck_v = int(ckpt["version"])
-        ck_file = os.path.join(_log_dir(path), _CKPT_FMT.format(ck_v))
-        if os.path.exists(ck_file):
-            df = spark.read.parquet(ck_file)
-            if "txn" in df.columns:
-                for row in df.select("txn").collect():
-                    t = row["txn"]
-                    if t and t["appId"] is not None:
+        ck_files = _find_checkpoint_files(path, ck_v)
+        if ck_files:
+            # v2 checkpoints keep txn rows in the TOP-LEVEL file (only
+            # file actions move to sidecars); multi-part classic may
+            # scatter them across parts — the shared reader covers both
+            for f in ck_files:
+                for d in _checkpoint_action_rows(spark, f):
+                    t = d.get("txn")
+                    if t and t.get("appId") is not None:
                         txns[t["appId"]] = max(
                             txns.get(t["appId"], -1), int(t["version"])
                         )
@@ -1053,24 +1104,24 @@ def _current_protocol(path: str) -> dict:
     if ckpt is not None:
         ck_files = _find_checkpoint_files(path, int(ckpt["version"]))
         if ck_files:
-            ck = ck_files[0]
             try:
-                if ck.endswith(".json"):
-                    with open(ck) as f:
-                        for line in f:
-                            line = line.strip()
-                            if line:
-                                a = json.loads(line)
-                                if a.get("protocol"):
-                                    proto = a["protocol"]
-                else:
-                    import pyarrow.parquet as pq
+                for ck in ck_files:
+                    if ck.endswith(".json"):
+                        with open(ck) as f:
+                            for line in f:
+                                line = line.strip()
+                                if line:
+                                    a = json.loads(line)
+                                    if a.get("protocol"):
+                                        proto = a["protocol"]
+                    else:
+                        import pyarrow.parquet as pq
 
-                    t = pq.read_table(ck, columns=["protocol"])
-                    for rec in t.to_pylist():
-                        p = rec.get("protocol")
-                        if p and p.get("minReaderVersion") is not None:
-                            proto = p
+                        t = pq.read_table(ck, columns=["protocol"])
+                        for rec in t.to_pylist():
+                            p = rec.get("protocol")
+                            if p and p.get("minReaderVersion") is not None:
+                                proto = p
                 seeded_from = int(ckpt["version"])
             except (OSError, KeyError, ValueError):
                 pass  # dangling/partial checkpoint: fall back to the tail
@@ -2452,18 +2503,31 @@ def _read_adds(
 
 
 def write_delta_checkpoint(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    v2: bool | None = None,
 ) -> int:
-    """Write a classic parquet CHECKPOINT of the folded state (one row
-    per live add + the metaData + protocol rows) and point
+    """Write a CHECKPOINT of the folded state and point
     `_last_checkpoint` at it — the structure real readers use to skip
-    the JSON tail.  Commits stay untouched (time travel)."""
+    the JSON tail.  Commits stay untouched (time travel).
+
+    Layout follows the table's protocol: on a table announcing the
+    `v2Checkpoint` feature (or with ``v2=True``) the V2 layout is
+    written — file actions in a parquet SIDECAR under
+    `_delta_log/_sidecars/`, a UUID-named JSON top-level carrying
+    checkpointMetadata + protocol + metaData + txn + the sidecar
+    pointer (the spec REQUIRES v2 format once the feature is on);
+    otherwise the classic single parquet."""
     vs = delta_versions(path)
-    if not vs:
+    if not vs and _last_checkpoint(path) is None:
         raise FileNotFoundError(f"no Delta log under {path}")
     if version is None:
-        version = vs[-1]
+        version = vs[-1] if vs else int(_last_checkpoint(path)["version"])
     meta, live, version = _fold_delta_state(spark, path, version)
+    proto_now = _current_protocol(path)
+    if v2 is None:
+        v2 = "v2Checkpoint" in set(proto_now.get("readerFeatures") or [])
+    if v2:
+        return _write_checkpoint_v2(spark, path, version, meta, live, proto_now)
     add_type = (
         "struct<path:string,partitionValues:map<string,string>,"
         "size:bigint,modificationTime:bigint,dataChange:boolean,"
@@ -2572,6 +2636,171 @@ def write_delta_checkpoint(
         json.dump({"version": version, "size": len(rows)}, f)
     os.replace(tmp, os.path.join(_log_dir(path), "_last_checkpoint"))
     return version
+
+
+def _write_checkpoint_v2(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    meta: dict,
+    live: dict,
+    proto: dict,
+) -> int:
+    """The V2 checkpoint layout: one parquet sidecar holding every
+    live add action, one UUID-named JSON top-level with the non-file
+    actions and the sidecar pointer."""
+    ld = _log_dir(path)
+    sc_dir = os.path.join(ld, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    add_type = (
+        "struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean,"
+        "stats:string,deletionVector:struct<storageType:string,"
+        "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
+        "cardinality:bigint>>"
+    )
+    add_rows = [
+        (
+            (
+                a["path"],
+                a.get("partitionValues") or {},
+                int(a.get("size") or 0),
+                int(a.get("modificationTime") or 0),
+                False,
+                a.get("stats"),
+                (
+                    (
+                        dv["storageType"],
+                        dv["pathOrInlineDv"],
+                        int(dv.get("offset") or 0),
+                        int(dv.get("sizeInBytes") or 0),
+                        int(dv.get("cardinality") or 0),
+                    )
+                    if (dv := a.get("deletionVector"))
+                    else None
+                ),
+            ),
+        )
+        for a in live.values()
+    ]
+    sc_name = f"{uuid.uuid4().hex}.parquet"
+    tmpdir = os.path.join(ld, f"_ckpt-{uuid.uuid4().hex}")
+    if add_rows:
+        df = spark.createDataFrame(add_rows, f"add {add_type}")
+    else:
+        from pyspark.sql.types import StructType
+
+        df = spark.createDataFrame(
+            [], StructType.fromDDL(f"add {add_type}")
+        )
+    df.coalesce(1).write.mode("overwrite").parquet(tmpdir)
+    part = next(
+        f for f in sorted(os.listdir(tmpdir)) if f.endswith(".parquet")
+    )
+    os.replace(os.path.join(tmpdir, part), os.path.join(sc_dir, sc_name))
+    shutil.rmtree(tmpdir)
+    top = os.path.join(
+        ld, f"{version:020d}.checkpoint.{uuid.uuid4()}.json"
+    )
+    lines = [
+        json.dumps(
+            {"checkpointMetadata": {"version": version, "tags": {}}}
+        ),
+        json.dumps({"protocol": proto}),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet"},
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": list(
+                        meta.get("partitionColumns") or []
+                    ),
+                    "configuration": dict(meta.get("configuration") or {}),
+                    "createdTime": int(meta.get("createdTime") or 0),
+                }
+            }
+        ),
+    ]
+    for app_id, txv in sorted(delta_txn_versions(spark, path).items()):
+        lines.append(
+            json.dumps({"txn": {"appId": app_id, "version": int(txv)}})
+        )
+    sc_path = os.path.join(sc_dir, sc_name)
+    lines.append(
+        json.dumps(
+            {
+                "sidecar": {
+                    "path": sc_name,
+                    "sizeInBytes": os.path.getsize(sc_path),
+                    "modificationTime": int(os.path.getmtime(sc_path) * 1000),
+                }
+            }
+        )
+    )
+    tmp = os.path.join(ld, f"_ckpt-{uuid.uuid4().hex}.json.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, top)
+    lc = os.path.join(ld, f"_lc-{uuid.uuid4().hex}.tmp")
+    with open(lc, "w") as f:
+        json.dump({"version": version, "size": len(live) + len(lines)}, f)
+    os.replace(lc, os.path.join(ld, "_last_checkpoint"))
+    return version
+
+
+#: legacy writer versions → the table features they imply (spec's
+#: upgrade table) — needed when raising a table to protocol (3, 7)
+_IMPLIED_WRITER_FEATURES = {
+    2: ["appendOnly", "invariants"],
+    3: ["checkConstraints"],
+    4: ["changeDataFeed", "generatedColumns"],
+    5: ["columnMapping"],
+    6: ["identityColumns"],
+}
+
+
+def upgrade_delta_to_v2_checkpoints(path: str) -> int:
+    """Enable the `v2Checkpoint` feature: commit a protocol upgrade to
+    (minReader 3, minWriter 7) listing v2Checkpoint PLUS every feature
+    the table's previous legacy versions implied (the spec's upgrade
+    rule — dropping an implied feature would silently waive it).
+    Subsequent `write_delta_checkpoint` calls emit the v2 layout, as
+    the feature requires."""
+    proto = _current_protocol(path)
+    feats_r = set(proto.get("readerFeatures") or [])
+    feats_w = set(proto.get("writerFeatures") or [])
+    if "v2Checkpoint" in feats_r and "v2Checkpoint" in feats_w:
+        vs = delta_versions(path)
+        if vs:
+            return vs[-1]
+        ckpt = _last_checkpoint(path)  # log-cleaned, checkpoint-only
+        if ckpt is not None:
+            return int(ckpt["version"])
+        raise FileNotFoundError(f"no Delta log under {path}")
+    if proto.get("minWriterVersion", 1) < 7:
+        for v, feats in _IMPLIED_WRITER_FEATURES.items():
+            if proto.get("minWriterVersion", 1) >= v:
+                feats_w.update(feats)
+    if proto.get("minReaderVersion", 1) >= 2:
+        feats_r.add("columnMapping")
+    feats_r.add("v2Checkpoint")
+    feats_w.add("v2Checkpoint")
+    unsupported = feats_w - _SUPPORTED_WRITER_FEATURES
+    if unsupported:
+        raise ValueError(
+            "cannot upgrade: implied writer features we do not "
+            f"implement: {sorted(unsupported)}"
+        )
+    new_proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(feats_r),
+        "writerFeatures": sorted(feats_w),
+    }
+    return _claim_delta_version(
+        path, [json.dumps({"protocol": new_proto})]
+    )
 
 
 def delta_to_minilake(

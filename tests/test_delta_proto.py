@@ -1357,6 +1357,8 @@ def test_v2_checkpoint_reads(spark, tmp_path):
         f.write(json.dumps({"checkpointMetadata": {"version": 2, "tags": {}}}) + "\n")
         f.write(json.dumps({"protocol": proto}) + "\n")
         f.write(json.dumps({"metaData": meta}) + "\n")
+        # v2 keeps NON-file actions (txn) in the top-level file
+        f.write(json.dumps({"txn": {"appId": "streamA", "version": 41}}) + "\n")
         for name in sidecar_names:
             f.write(
                 json.dumps(
@@ -1383,8 +1385,144 @@ def test_v2_checkpoint_reads(spark, tmp_path):
         os.unlink(os.path.join(log, dp._LOG_FMT.format(v_del)))
     got = _rows(dp.read_delta(spark, path))
     assert got == expected
-    # appends after the checkpoint still fold on top — but note the
-    # table now declares v2Checkpoint writer feature, which our writer
-    # does not implement: the WRITE must refuse
-    with pytest.raises(ValueError, match="writer capabilities"):
-        dp.write_delta(_df(spark, 12, 13), path, mode="append")
+    # txn state survives log cleanup through the v2 checkpoint
+    assert dp.delta_txn_versions(spark, path) == {"streamA": 41}
+    # appends after the checkpoint still fold on top (v2Checkpoint is
+    # an implemented writer feature since r10) and version numbering
+    # continues AFTER the checkpoint
+    v_new = dp.write_delta(_df(spark, 12, 13), path, mode="append")
+    assert v_new == 3
+    assert len(_rows(dp.read_delta(spark, path))) == len(expected) + 1
+    # ...and the next checkpoint auto-routes to the V2 layout (the
+    # feature REQUIRES it): UUID-named top-level + a sidecar
+    ckv = dp.write_delta_checkpoint(spark, path)
+    import glob as _glob
+
+    tops = _glob.glob(
+        os.path.join(log, f"{ckv:020d}.checkpoint.*.json")
+    )
+    assert tops and os.path.isdir(os.path.join(log, "_sidecars"))
+    # fold through the WRITTEN v2 checkpoint alone
+    for v_del in range(ckv + 1):
+        p_json = os.path.join(log, dp._LOG_FMT.format(v_del))
+        if os.path.exists(p_json):
+            os.unlink(p_json)
+    got3 = _rows(dp.read_delta(spark, path))
+    assert len(got3) == len(expected) + 1
+
+
+def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
+    """upgrade → v2 checkpoint WRITE → fold: the upgrade commit lists
+    the legacy-implied features, the checkpoint lands sidecar + JSON
+    top-level, txn state and DVs survive, and a plain (non-upgraded)
+    table still writes classic checkpoints."""
+    import glob
+
+    path = str(tmp_path / "v2w")
+    dp.write_delta(_df(spark, 0, 8), path)
+    dp.write_delta(
+        _df(spark, 8, 12), path, mode="append", txn=("appZ", 5)
+    )
+    dp.delete_where_delta(spark, path, "doc_id", 2, 3, strategy="dv")
+    expected = _rows(dp.read_delta(spark, path))
+    v_up = dp.upgrade_delta_to_v2_checkpoints(path)
+    proto = dp._current_protocol(path)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    # deletionVectors feature (from the DV delete) must survive
+    assert "deletionVectors" in proto["readerFeatures"]
+    # legacy-implied expansion: a plain (1,2) table gains the v2-era
+    # implied writer features on upgrade
+    p_leg = str(tmp_path / "legacy")
+    dp.write_delta(_df(spark, 0, 3), p_leg)
+    dp.upgrade_delta_to_v2_checkpoints(p_leg)
+    leg = dp._current_protocol(p_leg)
+    assert {"appendOnly", "invariants", "v2Checkpoint"} <= set(
+        leg["writerFeatures"]
+    )
+    ckv = dp.write_delta_checkpoint(spark, path)
+    assert ckv == v_up
+    log = dp._log_dir(path)
+    assert glob.glob(os.path.join(log, f"{ckv:020d}.checkpoint.*.json"))
+    assert not os.path.exists(os.path.join(log, dp._CKPT_FMT.format(ckv)))
+    # JSON tail gone: snapshot, txn state and the DV all come from the
+    # v2 checkpoint
+    for v_del in range(ckv + 1):
+        os.unlink(os.path.join(log, dp._LOG_FMT.format(v_del)))
+    assert _rows(dp.read_delta(spark, path)) == expected
+    assert dp.delta_txn_versions(spark, path) == {"appZ": 5}
+    # idempotent upgrade is a no-op
+    assert dp.upgrade_delta_to_v2_checkpoints(path) == ckv
+    # non-upgraded tables keep writing classic checkpoints
+    p2 = str(tmp_path / "classic")
+    dp.write_delta(_df(spark, 0, 4), p2)
+    cv = dp.write_delta_checkpoint(spark, p2)
+    assert os.path.exists(os.path.join(dp._log_dir(p2), dp._CKPT_FMT.format(cv)))
+
+
+def test_column_invariants_enforced(spark, tmp_path):
+    """`delta.invariants` field metadata (the writer-v2 feature the
+    upgrade path now announces): a violating append refuses, a
+    passing one lands, NULL passes (SQL CHECK semantics)."""
+    path = str(tmp_path / "inv")
+    dp.write_delta(_df(spark, 0, 4), path)
+    # inject an invariant on v (foreign tables carry these in-schema)
+    meta, _l, _v = dp._fold_delta_state(spark, path, None)
+    schema = json.loads(meta["schemaString"])
+    for f in schema["fields"]:
+        if f["name"] == "v":
+            f.setdefault("metadata", {})["delta.invariants"] = json.dumps(
+                {"expression": {"expression": "v >= 0"}}
+            )
+    meta2 = dict(meta, schemaString=json.dumps(schema))
+    dp._claim_delta_version(path, [json.dumps({"metaData": meta2})])
+    ok = spark.createDataFrame(
+        [(100, "0", 5), (101, "1", None)], "doc_id long, lang string, v long"
+    )
+    dp.write_delta(ok, path, mode="append")  # NULL passes
+    bad = spark.createDataFrame(
+        [(102, "0", -7)], "doc_id long, lang string, v long"
+    )
+    with pytest.raises(ValueError, match="invariant"):
+        dp.write_delta(bad, path, mode="append")
+
+
+def test_multipart_classic_checkpoint_reads(spark, tmp_path):
+    """Multi-part classic checkpoints
+    (`%020d.checkpoint.%010d.%010d.parquet`): the fold discovers and
+    unions every part; a PARTIAL part set (in-flight writer) is
+    ignored in favor of the JSON tail."""
+    import glob
+    import shutil as sh
+
+    path = str(tmp_path / "mpck")
+    dp.write_delta(_df(spark, 0, 6), path)
+    dp.write_delta(_df(spark, 6, 9), path, mode="append")
+    expected = _rows(dp.read_delta(spark, path))
+    v = dp.write_delta_checkpoint(spark, path)
+    log = dp._log_dir(path)
+    classic = os.path.join(log, dp._CKPT_FMT.format(v))
+    full = spark.read.parquet(classic)
+    rows = full.collect()
+    k = len(rows) // 2
+    for i, chunk in enumerate([rows[:k], rows[k:]], start=1):
+        stage = str(tmp_path / f"part{i}")
+        spark.createDataFrame(chunk, full.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        src = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        sh.copy(
+            src,
+            os.path.join(log, f"{v:020d}.checkpoint.{i:010d}.{2:010d}.parquet"),
+        )
+    os.unlink(classic)
+    for v_del in range(v + 1):
+        os.unlink(os.path.join(log, dp._LOG_FMT.format(v_del)))
+    assert _rows(dp.read_delta(spark, path)) == expected
+    # a lost part → the checkpoint is unusable; with the tail gone too
+    # the fold must refuse rather than half-read
+    os.unlink(
+        os.path.join(log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    )
+    with pytest.raises((ValueError, FileNotFoundError)):
+        dp.read_delta(spark, path)
