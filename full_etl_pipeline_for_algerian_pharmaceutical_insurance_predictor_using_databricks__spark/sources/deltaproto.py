@@ -1013,7 +1013,21 @@ def _add_outside_range(add: dict, part_cols: list[str], col: str, lo, hi) -> boo
     skipping does)."""
     if col in part_cols:
         pv = (add.get("partitionValues") or {}).get(col)
-        return pv is None or pv < str(lo) or pv > str(hi)
+        if pv is None:
+            # NULL partition value: no row of the file can be in [lo, hi]
+            return True
+        if isinstance(lo, bool) or isinstance(hi, bool):
+            return pv < str(lo) or pv > str(hi)
+        if isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+            # numeric bounds: compare NUMERICALLY — the serialized
+            # partition string is lexicographic ("9" > "10"), which
+            # mis-prunes across digit-count boundaries
+            try:
+                v = float(pv)
+            except ValueError:
+                return False  # can't prove anything: keep the file
+            return v < float(lo) or v > float(hi)
+        return pv < str(lo) or pv > str(hi)
     stats = add.get("stats")
     if not stats:
         return False
@@ -1040,7 +1054,7 @@ def read_delta_pruned(
     from pyspark.sql.types import StructType
 
     meta, live, _v = _fold_delta_state(spark, path, None)
-    mapping = _column_mapping(meta)
+    mapping = _physical_name_map(meta)  # id-mode readable: names only
     phys_to_log = {v: k for k, v in mapping.items()}
     part_cols = [
         phys_to_log.get(c, c) for c in (meta.get("partitionColumns") or [])
@@ -2299,6 +2313,20 @@ def _column_mapping(meta: dict) -> dict[str, str]:
             "delta.columnMapping.physicalName", f["name"]
         )
     return out
+
+
+def _physical_name_map(meta: dict) -> dict[str, str]:
+    """{logical → physicalName} for ANY column-mapping mode — stats
+    JSON and partitionValues key on physicalName in both `name` and
+    `id` modes (only DATA-column resolution differs); empty when
+    mapping is off.  Lets metadata-only paths (pruning, CDC renames)
+    serve id-mode tables that the write paths refuse."""
+    mode = _mapping_mode(meta)
+    if mode == "none":
+        return {}
+    if mode == "id":
+        return {k: v[1] for k, v in _field_id_mapping(meta).items()}
+    return _column_mapping(meta)
 
 
 def _field_id_mapping(meta: dict) -> dict[str, tuple[int, str]]:

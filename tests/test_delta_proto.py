@@ -450,6 +450,12 @@ def test_column_mapping_id_mode_reads(spark, tmp_path):
     ]
     # metadata tables fold fine (no data IO)
     assert dp.read_delta_meta(spark, path, "files").count() == 2
+    # pruned read resolves partition pruning through the physicalName
+    # namespace on an id-mode table (metadata only — no field ids
+    # needed until the surviving files are scanned)
+    pr, nread, nskip = dp.read_delta_pruned(spark, path, "grp", 8, 10)
+    assert (nread, nskip) == (1, 1)
+    assert sorted(tuple(r) for r in pr.collect()) == [(3, 30, 9)]
     # writes and row-level ops refuse loudly
     more = spark.createDataFrame([(4, 40, 7)], "doc_id long, v long, grp long")
     with pytest.raises(ValueError, match="mapping mode"):
