@@ -722,25 +722,19 @@ def _delete_files(
                         "equality-delete file without equality_ids — "
                         "refusing to mis-read"
                     )
-                # scoping rule: we implement GLOBAL application
-                # (unpartitioned-spec deletes).  A foreign partition-
-                # SCOPED equality delete (non-empty partition tuple)
-                # applies only within its partition — applying it
-                # globally would over-delete, so refuse loudly.
-                if any(
-                    v is not None
-                    for v in (df_rec.get("partition") or {}).values()
-                ):
-                    raise ValueError(
-                        "partition-scoped equality delete — only "
-                        "global (unpartitioned-spec) equality deletes "
-                        "are supported; refusing to mis-scope"
-                    )
+                # scoping rule (spec): a delete stored under an
+                # UNPARTITIONED spec applies globally; one stored
+                # under a partitioned spec applies only to data files
+                # in the SAME partition of that spec — the descriptor
+                # carries (spec_id, partition tuple) and _read_entries
+                # restricts the anti-join accordingly.
                 eq.append(
                     {
                         "path": _abs_path(path, df_rec["file_path"]),
                         "seq": _entry_seq(r, mf),
                         "ids": ids,
+                        "spec_id": int(mf.get("partition_spec_id") or 0),
+                        "partition": dict(df_rec.get("partition") or {}),
                     }
                 )
     return pos, eq
@@ -867,6 +861,24 @@ def _read_entries(
     deletes = list(delete_files or [])
     eqs = list(eq_deletes or [])
     need_identity = bool(deletes) or keep_identity
+
+    def _scope_str(sid: int, pkey: tuple) -> str:
+        return str((int(sid), tuple(pkey)))
+
+    # a delete is SCOPED iff its storing spec is partitioned (an
+    # all-null tuple under a partitioned spec targets the null
+    # partition, NOT the whole table)
+    any_scoped = False
+    for ed in eqs:
+        d_sid = int(ed.get("spec_id", 0))
+        d_names = spec_infos.get(d_sid, ([], {}, {}))[0]
+        if d_names:
+            ed["_scope"] = _scope_str(
+                d_sid, tuple(ed.get("partition", {}).get(n) for n in d_names)
+            )
+            any_scoped = True
+        else:
+            ed["_scope"] = None
     # group files by (spec, partition tuple, data sequence number):
     # spec and seq are constant per group, so identity values and the
     # sequence attach as literals — no join
@@ -887,7 +899,7 @@ def _read_entries(
         )
     extra = ([_IB_FILE, _IB_POS] if need_identity else []) + (
         [_IB_SEQ] if eqs else []
-    )
+    ) + (["_ib_part"] if any_scoped else [])
     frames = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
         sid = key[0]
@@ -903,6 +915,8 @@ def _read_entries(
             ).withColumn(_IB_POS, F.col("_metadata.row_index"))
         if eqs:
             df = df.withColumn(_IB_SEQ, F.lit(int(key[-1])))
+        if any_scoped:
+            df = df.withColumn("_ib_part", F.lit(_scope_str(sid, pkey)))
         for f in schema.fields:
             names = candidates.get(f.name) or []
             if len(names) > 1 and f.name not in part_src.values():
@@ -938,11 +952,17 @@ def _read_entries(
             .dropDuplicates()
         )
         cond = F.col(_IB_SEQ) < F.lit(int(ed["seq"]))
+        if ed.get("_scope") is not None:
+            # partition-scoped: rows outside the delete's partition
+            # never match the anti-join condition
+            cond = cond & (F.col("_ib_part") == F.lit(ed["_scope"]))
         for c in cols:
             cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
         out = out.join(F.broadcast(dels), on=cond, how="left_anti")
     if eqs:
         out = out.drop(_IB_SEQ)
+    if any_scoped:
+        out = out.drop("_ib_part")
     if deletes and not keep_identity:
         out = out.drop(_IB_FILE, _IB_POS)
     return out
@@ -2276,7 +2296,12 @@ def _ensure_unpartitioned_spec(path: str) -> int:
     return result["sid"]
 
 
-def delete_eq_iceberg(path: str, cols: list[str], keys: list) -> int:
+def delete_eq_iceberg(
+    path: str,
+    cols: list[str],
+    keys: list,
+    partition_scope: dict | None = None,
+) -> int:
     """Equality DELETE — the Flink-CDC upsert primitive: land the key
     tuples as a v2 EQUALITY-delete parquet file (content=2,
     equality_ids = the key columns' field-ids) referenced from a
@@ -2299,19 +2324,35 @@ def delete_eq_iceberg(path: str, cols: list[str], keys: list) -> int:
     fields = _schema_of(meta0)
     spec = _spec_of(meta0)
     spec_sid = _default_spec_id(meta0)
-    if spec:
-        # Partitioned table: the spec's scoping rule says a GLOBAL
-        # equality delete must be STORED under an unpartitioned spec —
-        # so ensure one exists in `partition-specs` (metadata-only;
-        # the default spec is untouched) and land the delete manifest
-        # under it with an empty partition tuple.  Readers then apply
-        # it to every data file with a strictly-lower sequence number
+    part_tuple: dict = {}
+    if spec and partition_scope is not None:
+        # Partition-SCOPED delete: stored under the (partitioned)
+        # default spec with the target partition tuple — readers apply
+        # it only to data files in that partition (still seq-gated).
+        # The CDC shape when the upsert stream is itself partitioned.
+        names = [pf["name"] for pf in spec]
+        if set(partition_scope) != set(names):
+            raise ValueError(
+                f"partition_scope keys {sorted(partition_scope)} != "
+                f"partition fields {names}"
+            )
+        eq_spec, eq_sid = spec, spec_sid
+        part_tuple = {n: partition_scope[n] for n in names}
+    elif spec:
+        # Partitioned table, GLOBAL delete: the spec's scoping rule
+        # says it must be STORED under an unpartitioned spec — ensure
+        # one exists in `partition-specs` (metadata-only; the default
+        # spec is untouched) and land the delete manifest under it
+        # with an empty partition tuple.  Readers then apply it to
+        # every data file with a strictly-lower sequence number
         # regardless of partition — the Flink-CDC upsert shape on a
         # partitioned table, still O(keys).
         eq_spec: list[dict] = []
         eq_sid = _ensure_unpartitioned_spec(path)
         meta0 = current_metadata(path)  # re-read: spec list grew
     else:
+        if partition_scope is not None:
+            raise ValueError("partition_scope on an unpartitioned table")
         eq_spec, eq_sid = spec, spec_sid
     by_name = {f["name"]: f for f in fields}
     missing = [c for c in cols if c not in by_name]
@@ -2350,7 +2391,7 @@ def delete_eq_iceberg(path: str, cols: list[str], keys: list) -> int:
         "content": 2,
         "file_path": _file_uri(path, f"data/{name}"),
         "file_format": "PARQUET",
-        "partition": {},
+        "partition": part_tuple,
         "record_count": len(rows),
         "file_size_in_bytes": os.path.getsize(dest),
         "value_counts": None,
@@ -3131,6 +3172,15 @@ def read_changes_iceberg(
                                 "seq": _entry_seq(r, mf),
                                 "ids": list(
                                     df_rec.get("equality_ids") or []
+                                ),
+                                # scope fields: a global delete lives
+                                # under the unpartitioned spec — the
+                                # storing manifest's spec id decides
+                                "spec_id": int(
+                                    mf.get("partition_spec_id") or 0
+                                ),
+                                "partition": dict(
+                                    df_rec.get("partition") or {}
                                 ),
                             }
                         )

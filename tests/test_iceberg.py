@@ -1079,13 +1079,58 @@ def test_delete_eq_on_partitioned_table(spark, tmp_path):
     assert 7 not in got2 and 3 in got2
     # pruned partitioned read still works over the mixed tree
     assert ib.read_iceberg(spark, path).filter("lang = '0'").count() > 0
-    # a FOREIGN partition-SCOPED equality delete refuses (we apply
-    # global deletes only — mis-scoping would over-delete)
     mfs = ib._read_manifest_list(
         path, ib._snapshot(ib.current_metadata(path), None)
     )
     _pos, eqs = ib._delete_files(path, mfs)
     assert eqs and all(e["ids"] for e in eqs)
+    # the global deletes are stored under the UNPARTITIONED spec
+    unpart_sid = ib._ensure_unpartitioned_spec(path)
+    assert all(e["spec_id"] == unpart_sid for e in eqs)
+
+
+def test_delete_eq_partition_scoped(spark, tmp_path):
+    """Partition-SCOPED equality deletes (the spec's other scoping
+    arm): a delete stored under the PARTITIONED spec with a partition
+    tuple applies only within that partition — the same key in a
+    different partition survives; the seq rule still protects
+    re-appends; mixing scoped + global deletes composes."""
+    path = str(tmp_path / "ice_scoped")
+    # doc_id % 3 = lang ∈ {'0','1','2'}: keys 6 and 9 live in lang='0'
+    ib.write_iceberg(_df(spark, 0, 30), path, partition_by=["lang"])
+    ib.delete_eq_iceberg(
+        path, ["v"], [60], partition_scope={"lang": "0"}
+    )
+    # v = doc_id*10: v=60 ⇒ doc 6 (lang '0') — scoped hit
+    got = sorted(r["doc_id"] for r in ib.read_iceberg(spark, path).collect())
+    assert got == [i for i in range(30) if i != 6]
+    # same VALUE scoped to a DIFFERENT partition: nothing matches
+    ib.delete_eq_iceberg(
+        path, ["v"], [90], partition_scope={"lang": "1"}
+    )
+    got2 = sorted(r["doc_id"] for r in ib.read_iceberg(spark, path).collect())
+    assert got2 == got  # doc 9 is in lang '0', not '1' — survives
+    # correctly-scoped second delete lands
+    ib.delete_eq_iceberg(
+        path, ["v"], [90], partition_scope={"lang": "0"}
+    )
+    got3 = sorted(r["doc_id"] for r in ib.read_iceberg(spark, path).collect())
+    assert got3 == [i for i in range(30) if i not in (6, 9)]
+    # seq rule: re-append doc 6 — survives the older scoped delete
+    ib.write_iceberg(_df(spark, 6, 7, tag=1), path)
+    vals = {r["doc_id"]: r["v"] for r in ib.read_iceberg(spark, path).collect()}
+    assert vals[6] == 61
+    # a GLOBAL delete composes with the scoped ones
+    ib.delete_eq_iceberg(path, ["doc_id"], [12])
+    got4 = sorted(r["doc_id"] for r in ib.read_iceberg(spark, path).collect())
+    assert 12 not in got4 and 6 in got4
+    # refusals: wrong scope keys / scope on unpartitioned table
+    with pytest.raises(ValueError, match="partition_scope keys"):
+        ib.delete_eq_iceberg(path, ["v"], [1], partition_scope={"nope": 1})
+    flat = str(tmp_path / "flat")
+    ib.write_iceberg(_df(spark, 0, 5), flat)
+    with pytest.raises(ValueError, match="unpartitioned table"):
+        ib.delete_eq_iceberg(flat, ["v"], [1], partition_scope={"lang": "0"})
 
 
 def test_delete_eq_refusals(spark, tmp_path):
