@@ -210,6 +210,7 @@ _TAIL_ORDER = [
     "events_cep_pattern",
     "med_q02_sql_frontend",
     "mm_audio_flac_meta",
+    "mm_video_avc1_meta",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",

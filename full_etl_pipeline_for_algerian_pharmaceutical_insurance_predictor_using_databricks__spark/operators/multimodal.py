@@ -1560,6 +1560,73 @@ def audio_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_avc1_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 (avc1) MP4 metadata walk — the codec a real crawl's video
+    actually uses: each document gets a digest-parameterized avc1 MP4
+    (spec-valid SPS/PPS inside the avcC record, real sample tables,
+    opaque payloads), and the indexer extracts geometry (decoded from
+    the SPS macroblock grid + frame cropping, cross-checked against
+    tkhd), duration (stts over the media clock), profile/level, and
+    sample-byte totals WITHOUT entropy-decoding a single frame.  Crop
+    is exercised on purpose: half the widths/heights are not multiples
+    of 16, so a wrong crop-unit or Exp-Golomb slip shifts geometry and
+    fails the value match."""
+    media = _digest_media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import isobmff
+
+        for batch in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "n_samples": [],
+                "duration_ms": [], "profile_idc": [], "level_idc": [],
+                "sample_bytes": [],
+            }
+            for doc_id, b in zip(batch["doc_id"], batch["digest"]):
+                d = np.frombuffer(b, dtype=np.uint8)
+                w = 160 + (int(d[8]) % 8) * 32 - (int(d[9]) % 2) * 6
+                h = 96 + (int(d[10]) % 8) * 16 - (int(d[11]) % 2) * 4
+                n = 2 + int(d[12]) % 6
+                base = 50 + int(d[13])
+                payloads = [b"\x00" * (base + j) for j in range(n)]
+                meta = isobmff.parse_mp4(
+                    isobmff.encode_mp4_avc1(w, h, payloads)
+                )
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["n_samples"].append(meta["n_samples"])
+                rows["duration_ms"].append(meta["duration_ms"])
+                rows["profile_idc"].append(meta["profile_idc"])
+                rows["level_idc"].append(meta["level_idc"])
+                rows["sample_bytes"].append(
+                    sum(sz for _o, sz in meta["samples"])
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int32"),
+                    "duration_ms": pd.Series(rows["duration_ms"], dtype="int64"),
+                    "profile_idc": pd.Series(rows["profile_idc"], dtype="int32"),
+                    "level_idc": pd.Series(rows["level_idc"], dtype="int32"),
+                    "sample_bytes": pd.Series(rows["sample_bytes"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, width int, height int, n_samples int, "
+        "duration_ms long, profile_idc int, level_idc int, "
+        "sample_bytes long",
+    )
+
+
 # --------------------------------------------------------------------------
 # Perceptual image dedup — average-hash + banded Hamming join
 # --------------------------------------------------------------------------
@@ -1663,6 +1730,7 @@ QUERIES = {
     "mm_audio_g711_pipeline": audio_g711_pipeline,
     "mm_audio_mp3_meta": audio_mp3_meta,
     "mm_audio_flac_meta": audio_flac_meta,
+    "mm_video_avc1_meta": video_avc1_meta,
     "mm_video_mp4_pipeline": video_mp4_pipeline,
 }
 
@@ -1939,6 +2007,28 @@ SELECT doc_id,
 FROM t
 """
 
+_AVC1_META_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           160 + (('0x' || substr(md5(text), 17, 2))::INT % 8) * 32
+               - (('0x' || substr(md5(text), 19, 2))::INT % 2) * 6 AS width,
+           96 + (('0x' || substr(md5(text), 21, 2))::INT % 8) * 16
+              - (('0x' || substr(md5(text), 23, 2))::INT % 2) * 4 AS height,
+           2 + ('0x' || substr(md5(text), 25, 2))::INT % 6 AS n,
+           50 + ('0x' || substr(md5(text), 27, 2))::INT AS base
+    FROM documents
+)
+SELECT doc_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(n AS INT) AS n_samples,
+       CAST(n * 100 AS BIGINT) AS duration_ms,
+       CAST(66 AS INT) AS profile_idc,
+       CAST(30 AS INT) AS level_idc,
+       CAST(n * base + n * (n - 1) // 2 AS BIGINT) AS sample_bytes
+FROM d
+"""
+
 ORACLES: dict[str, str] = {
     "mm_image_metadata": _IMAGE_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
@@ -1953,5 +2043,6 @@ ORACLES: dict[str, str] = {
     "mm_audio_g711_pipeline": _G711_PIPELINE_SQL,
     "mm_audio_mp3_meta": _MP3_META_SQL,
     "mm_audio_flac_meta": _FLAC_META_SQL,
+    "mm_video_avc1_meta": _AVC1_META_SQL,
     "mm_video_mp4_pipeline": _MP4_PIPELINE_SQL,
 }
