@@ -211,6 +211,7 @@ _TAIL_ORDER = [
     "med_q02_sql_frontend",
     "mm_audio_flac_meta",
     "mm_video_avc1_meta",
+    "mm_audio_ogg_meta",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",

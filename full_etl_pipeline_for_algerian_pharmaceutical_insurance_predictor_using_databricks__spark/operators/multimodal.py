@@ -1627,6 +1627,72 @@ def video_avc1_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg Vorbis metadata scan (operators/ogg): each document gets a
+    digest-parameterized stream — BOS page with the Vorbis id header,
+    a comment+setup page, one EOS audio page — and the scanner walks
+    every page by its LACING TABLE, verifying the spec CRC (poly
+    0x04C11DB7, unreflected) per page, counting completed packets via
+    terminating segments, and deriving duration from the final granule
+    position.  Every output column is digest math the oracle restates:
+    a wrong lacing stride, CRC slip or endianness mistake desyncs the
+    walk and refuses."""
+    media = _digest_media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import ogg
+
+        srs = [8000, 11025, 16000, 22050, 24000, 32000, 44100, 48000]
+        for batch in batches:
+            rows = {
+                "doc_id": [], "sample_rate": [], "channels": [],
+                "n_pages": [], "n_packets": [], "duration_ms": [],
+                "stream_bytes": [],
+            }
+            for doc_id, b in zip(batch["doc_id"], batch["digest"]):
+                d = np.frombuffer(b, dtype=np.uint8)
+                sr = srs[int(d[8]) % 8]
+                channels = 1 + int(d[9]) % 2
+                n = 3 + int(d[10]) % 6
+                base = 40 + int(d[11]) % 160
+                granule = 256 * (1 + int(d[12])) + int(d[13])
+                meta = ogg.scan_ogg_stream(
+                    ogg.encode_ogg_vorbis(
+                        sr, channels,
+                        [base + j for j in range(n)],
+                        granule,
+                    )
+                )
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(meta["sample_rate"])
+                rows["channels"].append(meta["channels"])
+                rows["n_pages"].append(meta["n_pages"])
+                rows["n_packets"].append(meta["n_packets"])
+                rows["duration_ms"].append(meta["duration_ms"])
+                rows["stream_bytes"].append(meta["stream_bytes"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                    "channels": pd.Series(rows["channels"], dtype="int32"),
+                    "n_pages": pd.Series(rows["n_pages"], dtype="int32"),
+                    "n_packets": pd.Series(rows["n_packets"], dtype="int32"),
+                    "duration_ms": pd.Series(rows["duration_ms"], dtype="int64"),
+                    "stream_bytes": pd.Series(rows["stream_bytes"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, sample_rate int, channels int, n_pages int, "
+        "n_packets int, duration_ms long, stream_bytes long",
+    )
+
+
 # --------------------------------------------------------------------------
 # Perceptual image dedup — average-hash + banded Hamming join
 # --------------------------------------------------------------------------
@@ -1731,6 +1797,7 @@ QUERIES = {
     "mm_audio_mp3_meta": audio_mp3_meta,
     "mm_audio_flac_meta": audio_flac_meta,
     "mm_video_avc1_meta": video_avc1_meta,
+    "mm_audio_ogg_meta": audio_ogg_meta,
     "mm_video_mp4_pipeline": video_mp4_pipeline,
 }
 
@@ -2029,6 +2096,36 @@ SELECT doc_id,
 FROM d
 """
 
+_OGG_META_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(text), 17, 2))::INT % 8 AS sr_idx,
+           1 + ('0x' || substr(md5(text), 19, 2))::INT % 2 AS channels,
+           3 + ('0x' || substr(md5(text), 21, 2))::INT % 6 AS n,
+           40 + ('0x' || substr(md5(text), 23, 2))::INT % 160 AS base,
+           256 * (1 + ('0x' || substr(md5(text), 25, 2))::INT)
+               + ('0x' || substr(md5(text), 27, 2))::INT AS granule
+    FROM documents
+),
+t AS (
+    SELECT doc_id, channels, n, base, granule,
+           list_extract([8000,11025,16000,22050,24000,32000,44100,48000],
+                        sr_idx + 1) AS sr
+    FROM d
+)
+SELECT doc_id,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(channels AS INT) AS channels,
+       CAST(3 AS INT) AS n_pages,
+       CAST(n + 3 AS INT) AS n_packets,
+       CAST(granule * 1000 // sr AS BIGINT) AS duration_ms,
+       -- id page 58 + header page 122 + audio page (27 + n lacing
+       -- bytes + sum of packet sizes base..base+n-1)
+       CAST(58 + 122 + 27 + n + n * base + n * (n - 1) // 2
+            AS BIGINT) AS stream_bytes
+FROM t
+"""
+
 ORACLES: dict[str, str] = {
     "mm_image_metadata": _IMAGE_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
@@ -2044,5 +2141,6 @@ ORACLES: dict[str, str] = {
     "mm_audio_mp3_meta": _MP3_META_SQL,
     "mm_audio_flac_meta": _FLAC_META_SQL,
     "mm_video_avc1_meta": _AVC1_META_SQL,
+    "mm_audio_ogg_meta": _OGG_META_SQL,
     "mm_video_mp4_pipeline": _MP4_PIPELINE_SQL,
 }

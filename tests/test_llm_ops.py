@@ -714,6 +714,54 @@ def test_flac_metadata_scanner():
         flac.build_streaminfo(1 << 20, 2, 16, 1)
 
 
+def test_ogg_vorbis_page_walker():
+    """Ogg scanner: page walk by lacing table with per-page CRC
+    (RFC 3533's unreflected 0x04C11DB7 — NOT zlib), packet counting
+    via terminating segments (255-multiple packets take a 0-lacing
+    terminator), duration from the final granule, and the refusal set
+    (capture, CRC, version, BOS, truncation)."""
+    import struct
+
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        ogg,
+    )
+
+    b = ogg.encode_ogg_vorbis(48000, 1, [100, 255, 90], 48000 * 2)
+    m = ogg.scan_ogg_stream(b)
+    assert m["sample_rate"] == 48000 and m["channels"] == 1
+    assert m["n_pages"] == 3 and m["n_packets"] == 6
+    assert m["duration_ms"] == 2000 and m["stream_bytes"] == len(b)
+    # CRC pin against the spec's own polynomial identity: the CRC of a
+    # page with its checksum zeroed must equal the stored value
+    assert ogg.ogg_crc(b"") == 0 and ogg.ogg_crc(b"\x00") == 0
+    assert ogg.ogg_crc(b"\x01") == 0x04C11DB7
+    # corruption anywhere in a page trips that page's CRC
+    bad = bytearray(b)
+    bad[-1] ^= 0x40
+    with pytest.raises(ValueError, match="CRC"):
+        ogg.scan_ogg_stream(bytes(bad))
+    with pytest.raises(ValueError, match="capture"):
+        ogg.scan_ogg_stream(b"NotO" + b[4:])
+    with pytest.raises(ValueError, match="version"):
+        broken = bytearray(b)
+        broken[4] = 1
+        ogg.scan_ogg_stream(bytes(broken))
+    with pytest.raises(ValueError, match="truncated"):
+        ogg.scan_ogg_stream(b[:20])
+    # a stream whose first page is not BOS/Vorbis refuses
+    audio_only = b[58 + 122 :]  # the EOS audio page alone
+    with pytest.raises(ValueError, match="BOS"):
+        ogg.scan_ogg_stream(audio_only)
+    # granule -1 ("no packet ends here") does not clobber duration
+    pg = ogg._page(7, 0, 0, ogg.F_BOS, [ogg.vorbis_id_header(8000, 1)])
+    pg2 = ogg._page(7, 1, -1, 0, [b"x" * 10])
+    pg3 = ogg._page(7, 2, 4000, ogg.F_EOS, [b"y" * 10])
+    m2 = ogg.scan_ogg_stream(pg + pg2 + pg3)
+    assert m2["duration_ms"] == 500
+
+
 def test_mjpeg_avi_codec_roundtrip():
     """MJPEG AVI: the container announces the 'MJPG' fourcc, every
     '00dc' chunk is a standalone baseline JPEG, per-frame PSNR clears
