@@ -76,17 +76,46 @@ def _fold_py(path: str, version: int | None = None):
     start_after = -1
     if ckpt is not None and (version is None or ckpt["version"] <= version):
         ck_v = int(ckpt["version"])
-        ck_file = os.path.join(dp._log_dir(path), dp._CKPT_FMT.format(ck_v))
-        if os.path.exists(ck_file):
-            for d in pq.read_table(ck_file).to_pylist():
-                if d.get("add") and d["add"].get("path"):
-                    live[d["add"]["path"]] = d["add"]
-                if d.get("remove") and d["remove"].get("path"):
-                    live.pop(d["remove"]["path"], None)
-                if d.get("metaData") and d["metaData"].get("id"):
-                    meta = d["metaData"]
-                if d.get("protocol") and d["protocol"].get("minReaderVersion"):
-                    proto = d["protocol"]
+        ck_files = dp._find_checkpoint_files(path, ck_v)
+
+        def rows_of(f: str):
+            if f.endswith(".json"):
+                out = []
+                with open(f) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if line:
+                            out.append(json.loads(line))
+                return out
+            return pq.read_table(f).to_pylist()
+
+        if ck_files:
+            sidecars: list[str] = []
+            for f in ck_files:  # multi-part classic or v2 top-level
+                for d in rows_of(f):
+                    if d.get("add") and d["add"].get("path"):
+                        live[d["add"]["path"]] = d["add"]
+                    if d.get("remove") and d["remove"].get("path"):
+                        live.pop(d["remove"]["path"], None)
+                    if d.get("metaData") and d["metaData"].get("id"):
+                        meta = d["metaData"]
+                    if d.get("protocol") and d["protocol"].get(
+                        "minReaderVersion"
+                    ):
+                        proto = d["protocol"]
+                    if d.get("sidecar") and d["sidecar"].get("path"):
+                        sidecars.append(d["sidecar"]["path"])
+            for sc in sidecars:  # v2: file actions live in sidecars
+                sc_file = (
+                    sc
+                    if os.path.isabs(sc)
+                    else os.path.join(dp._log_dir(path), "_sidecars", sc)
+                )
+                for d in rows_of(sc_file):
+                    if d.get("add") and d["add"].get("path"):
+                        live[d["add"]["path"]] = d["add"]
+                    if d.get("remove") and d["remove"].get("path"):
+                        live.pop(d["remove"]["path"], None)
             start_after = ck_v
     if version is None:
         if not vs and start_after < 0:

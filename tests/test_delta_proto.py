@@ -1457,6 +1457,14 @@ def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
         os.unlink(os.path.join(log, dp._LOG_FMT.format(v_del)))
     assert _rows(dp.read_delta(spark, path)) == expected
     assert dp.delta_txn_versions(spark, path) == {"appZ": 5}
+    # the pure-python DataSource fold chases the same v2 layout
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        deltastream as ds,
+    )
+
+    _m, live_py, _v = ds._fold_py(path)
+    _m2, live_jvm, _v2 = dp._fold_delta_state(spark, path, None)
+    assert set(live_py) == set(live_jvm)
     # idempotent upgrade is a no-op
     assert dp.upgrade_delta_to_v2_checkpoints(path) == ckv
     # non-upgraded tables keep writing classic checkpoints
