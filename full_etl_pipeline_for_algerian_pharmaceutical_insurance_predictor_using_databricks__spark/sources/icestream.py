@@ -122,10 +122,23 @@ def _entry_rows(
             if fp.rsplit("/", 1)[-1] == tail:
                 hidden.add(int(pos))
     seq = int(entry.get("_seq", 0))
+    entry_sid = int(entry.get("_spec_id", 0))
+    specs_by_id = ib._specs_by_id(meta)
     eq_rows: list[tuple[list[str], set]] = []
     for ed in eq_deletes:
         if seq >= int(ed["seq"]):
             continue  # strictly-older rule: this file postdates it
+        # scoping rule: a delete stored under a PARTITIONED spec
+        # applies only to data files in the SAME partition of that
+        # spec; unpartitioned-spec deletes are global
+        d_sid = int(ed.get("spec_id", 0))
+        d_spec = specs_by_id.get(d_sid, [])
+        if d_spec:
+            d_names = [pf["name"] for pf in d_spec]
+            if entry_sid != d_sid or tuple(
+                (ed.get("partition") or {}).get(n) for n in d_names
+            ) != tuple(pv.get(n) for n in d_names):
+                continue
         names = [by_id[i]["name"] for i in ed["ids"]]
         t = pq.read_table(ed["path"], columns=names)
         vals = {

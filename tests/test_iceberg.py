@@ -1131,6 +1131,17 @@ def test_delete_eq_partition_scoped(spark, tmp_path):
     ib.write_iceberg(_df(spark, 0, 5), flat)
     with pytest.raises(ValueError, match="unpartitioned table"):
         ib.delete_eq_iceberg(flat, ["v"], [1], partition_scope={"lang": "0"})
+    # the format("iceberg") DataSource applies the same scoping
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        icestream,
+    )
+
+    icestream.register(spark)
+    ds = sorted(
+        r["doc_id"]
+        for r in spark.read.format("iceberg").load(path).collect()
+    )
+    assert ds == got4
 
 
 def test_delete_eq_refusals(spark, tmp_path):
