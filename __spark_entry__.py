@@ -212,6 +212,7 @@ _TAIL_ORDER = [
     "mm_audio_flac_meta",
     "mm_video_avc1_meta",
     "mm_audio_ogg_meta",
+    "tpch_q6_sql_frontend",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",

@@ -429,10 +429,52 @@ def raw_price_order_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# the SQL front end generalizes past the dashboard: a TPC-H statement
+# as literal SQL text (public TPC-H spec Q6, adapted to the fixture's
+# timestamp l_shipdate and the cross-engine decimal-sum convention)
+# --------------------------------------------------------------------------
+
+_TPCH_Q6_TEXT = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def tpch_q6_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 as SQL TEXT through ``spark.sql()`` over a registered
+    `lineitem` view — proves the front end serves the relational tier
+    (range pushdown through a view, decimal aggregate arithmetic), not
+    only the reference's dashboard statements.  Same plan as the
+    DataFrame builder `tpch_q6_forecast_revenue`: the three range
+    predicates reach the parquet scan, one partial/final agg pair."""
+    from ..sources import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_TPCH_Q6_TEXT)
+
+
 QUERIES = {
     "med_q02_sql_frontend": q02_sql_frontend,
+    "tpch_q6_sql_frontend": tpch_q6_sql_frontend,
 }
+
+_TPCH_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
 
 ORACLES = {
     "med_q02_sql_frontend": MEDICATIONS_CTE + _Q02_ORACLE,
+    "tpch_q6_sql_frontend": _TPCH_Q6_ORACLE,
 }

@@ -1142,6 +1142,15 @@ def test_delete_eq_partition_scoped(spark, tmp_path):
         for r in spark.read.format("iceberg").load(path).collect()
     )
     assert ds == got4
+    # compaction materializes the scoped+global delete mix exactly and
+    # drops every delete manifest
+    want = _rows(ib.read_iceberg(spark, path))
+    ib.compact_iceberg(spark, path, target_mb=512)
+    assert _rows(ib.read_iceberg(spark, path)) == want
+    mfs2 = ib._read_manifest_list(
+        path, ib._snapshot(ib.current_metadata(path), None)
+    )
+    assert all((m.get("content") or 0) == 0 for m in mfs2)
 
 
 def test_delete_eq_refusals(spark, tmp_path):
