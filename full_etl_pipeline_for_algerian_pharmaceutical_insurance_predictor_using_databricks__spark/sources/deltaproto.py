@@ -137,6 +137,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # v2 checkpoints: write_delta_checkpoint emits the v2 layout on
     # tables announcing the feature (r10)
     "v2Checkpoint",
+    # in-commit timestamps: _claim_delta_version stamps a monotone
+    # commitInfo.inCommitTimestamp on every commit when the table
+    # property is on (r10)
+    "inCommitTimestamp",
 }
 
 
@@ -521,7 +525,10 @@ def delta_version_at_timestamp(path: str, timestamp_ms: int) -> int:
     for v in delta_versions(path):
         acts = _read_actions(path, v)
         info = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
-        ts = info.get("timestamp")
+        # ICT tables: the in-commit timestamp is the authoritative
+        # clock for time travel (file mtimes are not trustworthy after
+        # copies/restores — the feature's whole point)
+        ts = info.get("inCommitTimestamp", info.get("timestamp"))
         if ts is None:
             ts = int(
                 os.path.getmtime(
@@ -698,16 +705,108 @@ def read_delta_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
     )
 
 
+def _current_config(path: str) -> dict:
+    """The table's latest `configuration` map, checkpoint-seeded like
+    `_current_protocol` (metaData actions can live only in a
+    checkpoint after log cleanup)."""
+    conf: dict = {}
+    ckpt = _last_checkpoint(path)
+    seeded_from = -1
+    if ckpt is not None:
+        ck_files = _find_checkpoint_files(path, int(ckpt["version"]))
+        if ck_files:
+            try:
+                for ck in ck_files:
+                    if ck.endswith(".json"):
+                        with open(ck) as f:
+                            for line in f:
+                                line = line.strip()
+                                if line:
+                                    a = json.loads(line)
+                                    if a.get("metaData"):
+                                        conf = dict(
+                                            a["metaData"].get("configuration")
+                                            or {}
+                                        )
+                    else:
+                        import pyarrow.parquet as pq
+
+                        t = pq.read_table(ck, columns=["metaData"])
+                        for rec in t.to_pylist():
+                            m = rec.get("metaData")
+                            if m and m.get("id"):
+                                conf = dict(m.get("configuration") or {})
+                seeded_from = int(ckpt["version"])
+            except (OSError, KeyError, ValueError):
+                pass
+    for v in delta_versions(path):
+        if v <= seeded_from:
+            continue
+        for a in _read_actions(path, v):
+            if "metaData" in a:
+                conf = dict(a["metaData"].get("configuration") or {})
+    return conf
+
+
+def _ict_enabled(path: str) -> bool:
+    return (
+        _current_config(path).get("delta.enableInCommitTimestamps")
+        == "true"
+    )
+
+
+def _last_ict(path: str) -> int:
+    """The newest commit's inCommitTimestamp (monotonicity floor for
+    the next commit); falls back to the enablement-timestamp property,
+    then 0."""
+    for v in reversed(delta_versions(path)):
+        for a in _read_actions(path, v):
+            if "commitInfo" in a:
+                ict = a["commitInfo"].get("inCommitTimestamp")
+                if ict is not None:
+                    return int(ict)
+        break  # only the newest commit matters
+    ts = _current_config(path).get(
+        "delta.inCommitTimestampEnablementTimestamp"
+    )
+    return int(ts) if ts else 0
+
+
+def _with_ict(lines: list[str], ts: int) -> list[str]:
+    """Stamp `inCommitTimestamp` onto the commit's commitInfo — which
+    the spec requires to be the FIRST action when ICT is enabled
+    (prepended if the caller supplied none)."""
+    out = list(lines)
+    first = json.loads(out[0]) if out else {}
+    if "commitInfo" in first:
+        first["commitInfo"]["inCommitTimestamp"] = ts
+        first["commitInfo"].setdefault("timestamp", ts)
+        out[0] = json.dumps(first)
+    else:
+        out.insert(
+            0,
+            json.dumps(
+                {"commitInfo": {"inCommitTimestamp": ts, "timestamp": ts}}
+            ),
+        )
+    return out
+
+
 def _claim_delta_version(path: str, lines: list[str]) -> int:
     """Atomic put-if-absent commit (os.link), retrying at the next
-    version on a lost race — the writer rule the protocol requires."""
+    version on a lost race — the writer rule the protocol requires.
+    On ICT tables every attempt re-stamps a monotone
+    commitInfo.inCommitTimestamp (max(prev+1, now), recomputed per
+    attempt so a lost race never regresses the clock)."""
     ld = _log_dir(path)
     os.makedirs(ld, exist_ok=True)
+    ict = _ict_enabled(path)
     tmp = os.path.join(ld, f"_commit-{uuid.uuid4().hex}.json.tmp")
-    with open(tmp, "w") as f:
-        f.write("\n".join(lines) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
+    if not ict:
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
     while True:
         vs = delta_versions(path)
         # checkpoint-only tables (log-cleaned tail): the next version
@@ -715,9 +814,20 @@ def _claim_delta_version(path: str, lines: list[str]) -> int:
         ckpt = _last_checkpoint(path)
         floor = int(ckpt["version"]) + 1 if ckpt is not None else 0
         version = max((vs[-1] + 1) if vs else 0, floor)
+        if ict:
+            ts = max(_last_ict(path) + 1, int(time.time() * 1000))
+            with open(tmp, "w") as f:
+                f.write("\n".join(_with_ict(lines, ts)) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
         try:
             os.link(tmp, os.path.join(ld, _LOG_FMT.format(version)))
         except FileExistsError:
+            if ict:
+                os.unlink(tmp)
+                tmp = os.path.join(
+                    ld, f"_commit-{uuid.uuid4().hex}.json.tmp"
+                )
             continue
         os.unlink(tmp)
         return version
@@ -2786,6 +2896,70 @@ _IMPLIED_WRITER_FEATURES = {
     5: ["columnMapping"],
     6: ["identityColumns"],
 }
+
+
+def enable_delta_ict(spark: SparkSession, path: str) -> int:
+    """Enable In-Commit Timestamps: protocol upgrade to writer v7 with
+    the `inCommitTimestamp` feature (legacy-implied features expanded,
+    reader version untouched — ICT is writer-only) plus the spec's
+    three table properties; the enablement commit itself carries the
+    first inCommitTimestamp, and every later commit gets a strictly
+    increasing one from `_claim_delta_version`."""
+    meta, _live, _v = _fold_delta_state(spark, path, None)
+    conf = dict(meta.get("configuration") or {})
+    if conf.get("delta.enableInCommitTimestamps") == "true":
+        return delta_versions(path)[-1]
+    proto = _current_protocol(path)
+    feats_w = set(proto.get("writerFeatures") or [])
+    if proto.get("minWriterVersion", 1) < 7:
+        for ver, feats in _IMPLIED_WRITER_FEATURES.items():
+            if proto.get("minWriterVersion", 1) >= ver:
+                feats_w.update(feats)
+    feats_w.add("inCommitTimestamp")
+    unsupported = feats_w - _SUPPORTED_WRITER_FEATURES
+    if unsupported:
+        raise ValueError(
+            "cannot upgrade: implied writer features we do not "
+            f"implement: {sorted(unsupported)}"
+        )
+    new_proto = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(feats_w),
+    }
+    if proto.get("minReaderVersion", 1) >= 3:
+        new_proto["readerFeatures"] = sorted(
+            set(proto.get("readerFeatures") or [])
+        )
+    now_ms = int(time.time() * 1000)
+    expected = delta_versions(path)[-1] + 1
+    conf["delta.enableInCommitTimestamps"] = "true"
+    conf["delta.inCommitTimestampEnablementVersion"] = str(expected)
+    conf["delta.inCommitTimestampEnablementTimestamp"] = str(now_ms)
+    new_meta = dict(meta, configuration=conf)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "inCommitTimestamp": now_ms,
+                    "operation": "UPGRADE",
+                }
+            }
+        ),
+        json.dumps({"protocol": new_proto}),
+        json.dumps({"metaData": new_meta}),
+    ]
+    got = _claim_delta_version(path, lines)
+    if got != expected:
+        # lost a race: fix the recorded enablement version (the
+        # property is informational for time-travel boundaries)
+        conf["delta.inCommitTimestampEnablementVersion"] = str(got)
+        _claim_delta_version(
+            path,
+            [json.dumps({"metaData": dict(meta, configuration=conf)})],
+        )
+    return got
 
 
 def upgrade_delta_to_v2_checkpoints(path: str) -> int:

