@@ -153,6 +153,7 @@ def scan_ogg_stream(b: bytes) -> dict:
     "duration_ms", "stream_bytes"}`` — duration from the final granule
     position over the id header's sample rate."""
     pos = 0
+    serial0 = None
     n_pages = 0
     n_packets = 0
     last_granule = 0
@@ -168,6 +169,13 @@ def scan_ogg_stream(b: bytes) -> dict:
             raise ValueError(f"unsupported Ogg stream version {version}")
         flags = b[pos + 5]
         granule = struct.unpack_from("<q", b, pos + 6)[0]
+        serial = struct.unpack_from("<I", b, pos + 14)[0]
+        if serial0 is None:
+            serial0 = serial
+        elif serial != serial0:
+            # a second serial number means grouped (multiplexed)
+            # logical streams — per-stream accounting needed; refuse
+            raise ValueError("multiplexed Ogg streams unsupported")
         crc_stored = struct.unpack_from("<I", b, pos + 22)[0]
         n_segs = b[pos + 26]
         seg_lo = pos + 27
@@ -187,6 +195,12 @@ def scan_ogg_stream(b: bytes) -> dict:
         completed = sum(1 for s in segs if s < 255)
         n_packets += completed
         if flags & F_BOS:
+            if saw_bos:
+                # a second BOS page starts a CHAINED stream — duration
+                # and packet counts would silently mix links; refuse
+                raise ValueError(
+                    "chained Ogg stream (second BOS page) unsupported"
+                )
             saw_bos = True
             first = b[seg_hi : seg_hi + min(body_len, 30)]
             if len(first) < 30 or first[:7] != b"\x01vorbis":

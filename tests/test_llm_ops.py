@@ -760,6 +760,12 @@ def test_ogg_vorbis_page_walker():
     pg3 = ogg._page(7, 2, 4000, ogg.F_EOS, [b"y" * 10])
     m2 = ogg.scan_ogg_stream(pg + pg2 + pg3)
     assert m2["duration_ms"] == 500
+    # chained (second BOS) and multiplexed (second serial) refuse
+    with pytest.raises(ValueError, match="chained"):
+        ogg.scan_ogg_stream(b + b)
+    alien = ogg._page(99, 1, -1, 0, [b"z" * 10])
+    with pytest.raises(ValueError, match="multiplexed"):
+        ogg.scan_ogg_stream(pg + alien + pg3)
 
 
 def test_mjpeg_avi_codec_roundtrip():
