@@ -3005,6 +3005,72 @@ def upgrade_delta_to_v2_checkpoints(path: str) -> int:
     )
 
 
+def _pyarrow_rows(f: str) -> list[dict]:
+    """Sidecar rows of a parquet checkpoint without a Spark session
+    (raises KeyError-ish if the file has no sidecar column — classic
+    checkpoints — which callers treat as 'none')."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f, columns=["sidecar"])
+    return t.to_pylist()
+
+
+def cleanup_delta_log(path: str, retain_versions: int = 0) -> int:
+    """Metadata log cleanup (`delta.logRetentionDuration`'s version-
+    count analogue): delete JSON commits and superseded checkpoint
+    files STRICTLY OLDER than the newest checkpoint minus
+    `retain_versions` — everything at/after the cut stays replayable
+    (checkpoint + tail), older time travel is traded for space,
+    exactly what real Delta's log cleanup does.  V2 sidecars that no
+    remaining checkpoint references are removed too.  Requires a
+    checkpoint (there is nothing to fold from otherwise); returns the
+    number of files deleted."""
+    ckpt = _last_checkpoint(path)
+    if ckpt is None:
+        raise ValueError(
+            "log cleanup requires a checkpoint — write one first "
+            "(write_delta_checkpoint)"
+        )
+    ck_v = int(ckpt["version"])
+    cut = ck_v - max(0, int(retain_versions))
+    ld = _log_dir(path)
+    deleted = 0
+    for v in delta_versions(path):
+        if v < cut:
+            os.unlink(os.path.join(ld, _LOG_FMT.format(v)))
+            deleted += 1
+    # superseded checkpoints (any layout) below the newest one
+    import glob as _glob
+
+    kept_sidecars: set[str] = set()
+    for f in sorted(set(_glob.glob(os.path.join(ld, "*.checkpoint.*")))):
+        base = os.path.basename(f)
+        try:
+            v = int(base.split(".", 1)[0])
+        except ValueError:
+            continue
+        if v < ck_v:
+            os.unlink(f)
+            deleted += 1
+            continue
+        # surviving v2 top-levels pin their sidecars (json or parquet)
+        try:
+            for d in _checkpoint_action_rows(None, f) if f.endswith(
+                ".json"
+            ) else _pyarrow_rows(f):
+                if d.get("sidecar") and d["sidecar"].get("path"):
+                    kept_sidecars.add(d["sidecar"]["path"])
+        except (OSError, ValueError, KeyError):
+            pass  # classic parquet without a sidecar column etc.
+    sc_dir = os.path.join(ld, "_sidecars")
+    if os.path.isdir(sc_dir):
+        for name in os.listdir(sc_dir):
+            if name.endswith(".parquet") and name not in kept_sidecars:
+                os.unlink(os.path.join(sc_dir, name))
+                deleted += 1
+    return deleted
+
+
 def delta_to_minilake(
     spark: SparkSession, delta_path: str, minilake_path: str
 ) -> int:

@@ -1589,3 +1589,45 @@ def test_in_commit_timestamps(spark, tmp_path):
     # idempotent enable is a no-op
     assert dp.enable_delta_ict(spark, path) == dp.delta_versions(path)[-1] or True
     assert dp._current_config(path)["delta.enableInCommitTimestamps"] == "true"
+
+
+def test_cleanup_delta_log(spark, tmp_path):
+    """Log cleanup: commits + superseded checkpoints strictly below
+    (newest checkpoint − retain) are deleted, the table stays fully
+    readable/appendable from the checkpoint + tail, unreferenced v2
+    sidecars go too, and pre-cut time travel now refuses (the traded
+    capability, lost loudly not wrongly)."""
+    path = str(tmp_path / "lclean")
+    for i in range(5):
+        dp.write_delta(
+            _df(spark, i * 2, i * 2 + 2), path,
+            mode="overwrite" if i == 0 else "append",
+        )
+    dp.write_delta_checkpoint(spark, path, version=2)   # classic @2
+    dp.upgrade_delta_to_v2_checkpoints(path)            # v5
+    dp.write_delta(_df(spark, 10, 11), path, mode="append")  # v6
+    ckv = dp.write_delta_checkpoint(spark, path)        # v2 ckpt @6
+    expected = _rows(dp.read_delta(spark, path))
+    log = dp._log_dir(path)
+    n_side_before = len(os.listdir(os.path.join(log, "_sidecars")))
+    # keep one version of pre-checkpoint history
+    dp.cleanup_delta_log(path, retain_versions=1)
+    vs = dp.delta_versions(path)
+    assert vs == [5, 6]
+    # the classic checkpoint @2 is superseded and gone
+    assert not os.path.exists(os.path.join(log, dp._CKPT_FMT.format(2)))
+    assert _rows(dp.read_delta(spark, path)) == expected
+    # still appendable, versions continue
+    v_new = dp.write_delta(_df(spark, 11, 12), path, mode="append")
+    assert v_new == 7
+    # time travel to a cleaned version refuses loudly
+    with pytest.raises((ValueError, FileNotFoundError)):
+        dp.read_delta(spark, path, version=1).collect()
+    # a second checkpoint + full cleanup leaves a checkpoint-only table
+    ck2 = dp.write_delta_checkpoint(spark, path)
+    dp.cleanup_delta_log(path)
+    assert dp.delta_versions(path) == [ck2]  # only the ckpt commit's tail
+    # sidecars referenced by the SURVIVING checkpoint stay; older gone
+    names = os.listdir(os.path.join(log, "_sidecars"))
+    assert len(names) >= 1 and len(names) <= n_side_before + 1
+    assert len(_rows(dp.read_delta(spark, path))) == len(expected) + 1
