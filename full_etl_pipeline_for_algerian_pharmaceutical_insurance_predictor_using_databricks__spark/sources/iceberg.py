@@ -3317,6 +3317,28 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 1) -> int:
     return removed["n"]
 
 
+def cleanup_iceberg_metadata(path: str, keep_last: int = 1) -> int:
+    """Delete old `v<N>.metadata.json` versions, keeping the newest
+    `keep_last` — the `write.metadata.previous-versions-max` /
+    delete-after-commit maintenance real Iceberg writers run so the
+    metadata dir stops growing one file per commit.  Snapshots,
+    manifests and data files are untouched (those are
+    `expire_iceberg_snapshots` / orphan-removal territory); only
+    METADATA time travel below the cut is traded.  Returns files
+    deleted."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _metadata_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    md = _meta_dir(path)
+    deleted = 0
+    for v in vs[:-keep_last]:
+        os.unlink(os.path.join(md, f"v{v}.metadata.json"))
+        deleted += 1
+    return deleted
+
+
 def remove_orphan_iceberg_files(path: str, min_age_s: float = 600.0) -> int:
     """Delete data parquet and manifest/manifest-list Avro files no
     RETAINED snapshot references (every entry status counts — a

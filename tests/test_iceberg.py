@@ -1617,3 +1617,30 @@ def test_ref_reads_via_datasource_and_refs_table(spark, tmp_path):
         spark.read.format("iceberg").option("ref", "dev").option(
             "snapshotId", refs["dev"][1]
         ).load(t).count()
+
+
+def test_cleanup_iceberg_metadata(spark, tmp_path):
+    """Metadata-version cleanup: old v<N>.metadata.json files go, the
+    current pointer still resolves, reads/appends continue, and
+    snapshot time travel (which lives in the CURRENT metadata, not the
+    old files) still works."""
+    path = str(tmp_path / "ice_mclean")
+    ib.write_iceberg(_df(spark, 0, 5), path)
+    ib.write_iceberg(_df(spark, 5, 8), path)
+    ib.write_iceberg(_df(spark, 8, 9), path)
+    snaps = sorted(
+        ib.current_metadata(path)["snapshots"],
+        key=lambda s: s["timestamp-ms"],
+    )
+    want = _rows(ib.read_iceberg(spark, path))
+    assert len(ib._metadata_versions(path)) == 3
+    assert ib.cleanup_iceberg_metadata(path, keep_last=1) == 2
+    assert len(ib._metadata_versions(path)) == 1
+    assert _rows(ib.read_iceberg(spark, path)) == want
+    # snapshot time travel is metadata-internal — unaffected
+    old = ib.read_iceberg(spark, path, snapshot_id=snaps[0]["snapshot-id"])
+    assert len(_rows(old)) == 5
+    ib.write_iceberg(_df(spark, 9, 10), path)
+    assert len(_rows(ib.read_iceberg(spark, path))) == 10
+    with pytest.raises(ValueError, match="keep_last"):
+        ib.cleanup_iceberg_metadata(path, keep_last=0)
