@@ -175,15 +175,24 @@ def _pv_value(spark_type: str, raw: str | None):
 
 def _meta_layout(meta: dict, field_names: list[str]):
     """(physical-name per logical field, partition cols (logical),
-    {logical: spark simpleString type}) — the per-file read plan."""
+    {logical: spark simpleString type}, {logical: parquet field id} or
+    None) — the per-file read plan.  In `id` mapping mode data columns
+    resolve by parquet FIELD ID (the fourth element); physical names
+    still key partitionValues per the spec."""
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    mapping = dp._column_mapping(meta)
+    fids = None
+    if dp._mapping_mode(meta) == "id":
+        id_map = dp._field_id_mapping(meta)
+        mapping = {k: v[1] for k, v in id_map.items()}
+        fids = {k: v[0] for k, v in id_map.items()}
+    else:
+        mapping = dp._column_mapping(meta)
     phys_to_log = {v: k for k, v in mapping.items()}
     part_cols = [
         phys_to_log.get(c, c) for c in (meta.get("partitionColumns") or [])
     ]
     types = {f.name: f.dataType.simpleString() for f in schema.fields}
-    return mapping, part_cols, types
+    return mapping, part_cols, types, fids
 
 
 def _add_rows(
@@ -199,15 +208,33 @@ def _add_rows(
     columns reconstructed, column mapping resolved."""
     import pyarrow.parquet as pq
 
-    mapping, part_cols, types = _meta_layout(meta, field_names)
+    mapping, part_cols, types, fids = _meta_layout(meta, field_names)
     fpath = os.path.join(path, add["path"])
     table = pq.read_table(fpath)
     cols = {n: table.column(n).to_pylist() for n in table.column_names}
+    if fids is not None:
+        # id mode: remap file columns to LOGICAL names by the parquet
+        # field ids the writer stamped (names are free to differ
+        # file-to-file across renames — that is the point of id mode)
+        id_to_name = {}
+        for f in table.schema:
+            md = f.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None:
+                id_to_name[int(fid)] = f.name
+        cols = {
+            logical: cols[id_to_name[fid]]
+            for logical, fid in fids.items()
+            if fid in id_to_name and id_to_name[fid] in cols
+        }
     pv = add.get("partitionValues") or {}
+    # partitionValues keys stay PHYSICAL in both mapping modes
     part_vals = {
         c: _pv_value(types[c], pv.get(mapping.get(c, c), pv.get(c)))
         for c in part_cols
     }
+    if fids is not None:
+        mapping = {}  # data columns were remapped to logical names
     hidden: set[int] = set()
     if positions is None and add.get("deletionVector"):
         hidden = set(dp._dv_positions(path, add["deletionVector"]))

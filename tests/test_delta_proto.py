@@ -456,6 +456,17 @@ def test_column_mapping_id_mode_reads(spark, tmp_path):
     pr, nread, nskip = dp.read_delta_pruned(spark, path, "grp", 8, 10)
     assert (nread, nskip) == (1, 1)
     assert sorted(tuple(r) for r in pr.collect()) == [(3, 30, 9)]
+    # the format("deltaproto") DataSource resolves by field id too
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        deltastream as ds,
+    )
+
+    ds.register(spark)
+    got_ds = sorted(
+        tuple(r)
+        for r in spark.read.format("deltaproto").load(path).collect()
+    )
+    assert got_ds == [(1, 10, 7), (2, 20, 7), (3, 30, 9)]
     # writes and row-level ops refuse loudly
     more = spark.createDataFrame([(4, 40, 7)], "doc_id long, v long, grp long")
     with pytest.raises(ValueError, match="mapping mode"):
