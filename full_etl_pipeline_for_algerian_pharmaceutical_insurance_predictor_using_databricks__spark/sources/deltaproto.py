@@ -2412,9 +2412,9 @@ def _column_mapping(meta: dict) -> dict[str, str]:
     if mode != "name":
         raise ValueError(
             f"unsupported column mapping mode {mode!r} in this path — "
-            "id-mode tables support snapshot reads (read_delta resolves "
-            "by parquet field id); writes, row-level ops and the "
-            "DataSource refuse"
+            "id-mode tables support snapshot reads (read_delta and the "
+            "DataSource resolve by parquet field id); writes and "
+            "row-level ops refuse"
         )
     out = {}
     for f in json.loads(meta["schemaString"]).get("fields", []):
