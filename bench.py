@@ -119,9 +119,13 @@ HEADLINE = [
     "events_cep_pattern",
     "lake_iceberg_meta",
     "lake_delta_meta",
-    # r10: the reference SQL through spark.sql + the FLAC scanner
+    # r10: the reference SQL through spark.sql + the three new
+    # metadata scanners + TPC-H text through the front end
     "med_q02_sql_frontend",
     "mm_audio_flac_meta",
+    "mm_video_avc1_meta",
+    "mm_audio_ogg_meta",
+    "tpch_q6_sql_frontend",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
