@@ -1693,6 +1693,89 @@ def audio_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def probe_media(b: bytes) -> dict:
+    """Magic-byte container dispatch — the sniffing layer a corpus
+    indexer runs in front of the format walkers, so a mixed `binary`
+    column routes each blob to the right metadata parser:
+
+    - ``fLaC``            → FLAC metadata chain (operators/flac)
+    - ``OggS``            → Ogg page walk (operators/ogg)
+    - ``....ftyp``        → MP4/ISO-BMFF (operators/isobmff; avc1
+                            metadata tier, jpeg decodable)
+    - ``ID3`` / MP3 sync  → MPEG audio frame walk (operators/mpegaudio)
+    - ``RIFF…WAVE``       → canonical PCM-WAV header
+    - ``RIFF…AVI ``       → AVI (geometry/fps via the MP4-free parser)
+    - BMP/PNG/JPEG magics → image metadata
+
+    Returns ``{"container": ..., **format_fields}``; unknown magic
+    refuses loudly (never guess a parser)."""
+    import struct as _struct
+
+    from . import flac as _flac
+    from . import isobmff as _iso
+    from . import mpegaudio as _mpeg
+    from . import ogg as _ogg
+
+    if len(b) >= 4 and b[:4] == b"fLaC":
+        return {"container": "flac", **_flac.scan_flac_stream(b)}
+    if len(b) >= 4 and b[:4] == b"OggS":
+        return {"container": "ogg", **_ogg.scan_ogg_stream(b)}
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        meta = _iso.parse_mp4(b)
+        meta.pop("samples", None)
+        return {"container": "mp4", **meta}
+    if (len(b) >= 3 and b[:3] == b"ID3") or (
+        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+    ):
+        return {"container": "mp3", **_mpeg.scan_mpeg_stream(b)}
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        sr, n_ch = _struct.unpack_from("<IH", b, 24)[0], _struct.unpack_from(
+            "<H", b, 22
+        )[0]
+        bits = _struct.unpack_from("<H", b, 34)[0]
+        data_len = _struct.unpack_from("<I", b, 40)[0]
+        n = data_len // (n_ch * max(1, bits // 8))
+        return {
+            "container": "wav",
+            "sample_rate": sr,
+            "channels": n_ch,
+            "bits_per_sample": bits,
+            "duration_ms": n * 1000 // sr,
+            "stream_bytes": len(b),
+        }
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        frames, fps = _decode_avi(b)
+        return {
+            "container": "avi",
+            "width": int(frames.shape[2]),
+            "height": int(frames.shape[1]),
+            "n_frames": int(frames.shape[0]),
+            "fps": float(fps),
+        }
+    if len(b) >= 2 and b[:2] == b"BM":
+        img = _decode_bmp(b)
+        return {
+            "container": "bmp",
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+        }
+    if len(b) >= 8 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = _struct.unpack_from(">II", b, 16)
+        return {"container": "png", "width": int(w), "height": int(h)}
+    if len(b) >= 2 and b[:2] == b"\xff\xd8":
+        from . import jpeg as _jpeg
+
+        img = _jpeg.decode_jpeg(b)
+        return {
+            "container": "jpeg",
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+        }
+    raise ValueError(
+        f"unrecognized media magic {b[:8]!r} — refusing to guess a parser"
+    )
+
+
 # --------------------------------------------------------------------------
 # Perceptual image dedup — average-hash + banded Hamming join
 # --------------------------------------------------------------------------

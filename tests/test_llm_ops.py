@@ -768,6 +768,49 @@ def test_ogg_vorbis_page_walker():
         ogg.scan_ogg_stream(pg + alien + pg3)
 
 
+def test_probe_media_dispatch():
+    """Magic-byte dispatch routes every container this repo speaks to
+    the right walker (FLAC/Ogg/MP4-avc1/MP4-jpeg/MP3/WAV/AVI/BMP/PNG/
+    JPEG) and refuses unknown magic instead of guessing."""
+    import numpy as np
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        flac,
+        isobmff,
+        jpeg,
+        mpegaudio,
+        ogg,
+    )
+
+    pm = multimodal.probe_media
+    m = pm(flac.encode_flac_stream(8000, 1, 16, 8000, audio_bytes=50))
+    assert m["container"] == "flac" and m["duration_ms"] == 1000
+    m = pm(ogg.encode_ogg_vorbis(48000, 2, [60], 48000))
+    assert m["container"] == "ogg" and m["duration_ms"] == 1000
+    m = pm(isobmff.encode_mp4_avc1(320, 240, [b"x" * 50]))
+    assert m["container"] == "mp4" and m["codec"] == "avc1"
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(2, 8, 10, 3), dtype=np.uint8)
+    m = pm(isobmff.encode_mp4_mjpeg(frames))
+    assert m["container"] == "mp4" and m["codec"] == "jpeg"
+    m = pm(mpegaudio.encode_mp3_stream([(5, 0, 0), (5, 0, 0)]))
+    assert m["container"] == "mp3" and m["n_frames"] == 2
+    m = pm(mpegaudio.encode_mp3_stream([(5, 0, 0)], id3_payload=b"abc"))
+    assert m["container"] == "mp3"  # ID3-led stream still routes
+    wav = multimodal._encode_wav(np.zeros(800, dtype=np.int16), 8000)
+    m = pm(wav)
+    assert m["container"] == "wav" and m["duration_ms"] == 100
+    m = pm(multimodal._encode_avi(frames))
+    assert m["container"] == "avi" and m["n_frames"] == 2
+    m = pm(multimodal._encode_bmp(frames[0]))
+    assert m["container"] == "bmp" and (m["width"], m["height"]) == (10, 8)
+    m = pm(jpeg.encode_jpeg(frames[0]))
+    assert m["container"] == "jpeg"
+    with pytest.raises(ValueError, match="unrecognized media magic"):
+        pm(b"\x00\x01\x02\x03garbage")
+
+
 def test_mjpeg_avi_codec_roundtrip():
     """MJPEG AVI: the container announces the 'MJPG' fourcc, every
     '00dc' chunk is a standalone baseline JPEG, per-frame PSNR clears
