@@ -316,6 +316,38 @@ def _manifest_entry_schema(part_schema: dict, fv: int = 1) -> dict:
             ]
             if fv >= 2
             else []
+        )
+        + (
+            [
+                # v3: row-lineage inheritance + deletion-vector blob
+                # addressing (table spec v3 data_file fields)
+                {
+                    "name": "first_row_id",
+                    "type": _opt("long"),
+                    "field-id": 142,
+                    "default": None,
+                },
+                {
+                    "name": "referenced_data_file",
+                    "type": _opt("string"),
+                    "field-id": 143,
+                    "default": None,
+                },
+                {
+                    "name": "content_offset",
+                    "type": _opt("long"),
+                    "field-id": 144,
+                    "default": None,
+                },
+                {
+                    "name": "content_size_in_bytes",
+                    "type": _opt("long"),
+                    "field-id": 145,
+                    "default": None,
+                },
+            ]
+            if fv >= 3
+            else []
         ),
     }
     seq_fields = (
@@ -437,7 +469,9 @@ _MANIFEST_FILE_SCHEMA = {
 
 def _manifest_file_schema(fv: int = 1) -> dict:
     """Manifest-list record schema; v2 adds the required content /
-    sequence_number / min_sequence_number fields (ids 517/515/516)."""
+    sequence_number / min_sequence_number fields (ids 517/515/516);
+    v3 adds `first_row_id` (id 520) — the row-lineage inheritance
+    anchor each DATA manifest is assigned at list-write time."""
     if fv == 1:
         return _MANIFEST_FILE_SCHEMA
     sch = json.loads(json.dumps(_MANIFEST_FILE_SCHEMA))
@@ -448,6 +482,15 @@ def _manifest_file_schema(fv: int = 1) -> dict:
     ]
     # insert after partition_spec_id, the spec's field order
     sch["fields"] = sch["fields"][:3] + extra + sch["fields"][3:]
+    if fv >= 3:
+        sch["fields"].append(
+            {
+                "name": "first_row_id",
+                "type": _opt("long"),
+                "field-id": 520,
+                "default": None,
+            }
+        )
     return sch
 
 
@@ -669,6 +712,11 @@ def _read_manifest(path: str, mf: dict) -> list[dict]:
     mp = _abs_path(path, mf["manifest_path"])
     records, _meta, _schema = avrotiny.read_container(mp)
     out = []
+    # v3 row lineage: entries with a null data_file.first_row_id
+    # inherit from the manifest's assigned anchor in entry order, each
+    # consuming record_count; explicit values (stamped when an entry
+    # is carried into a rewritten manifest) win and consume nothing.
+    row_cursor = mf.get("first_row_id")
     for r in records:
         df = r["data_file"]
         if (df.get("content") or 0) != 0:
@@ -681,21 +729,34 @@ def _read_manifest(path: str, mf: dict) -> list[dict]:
         # after partition evolution, manifests from different specs
         # coexist in one snapshot
         r["_spec_id"] = mf.get("partition_spec_id") or 0
+        explicit = df.get("first_row_id")
+        if explicit is not None:
+            r["_first_row_id"] = int(explicit)
+        elif row_cursor is not None:
+            r["_first_row_id"] = int(row_cursor)
+            row_cursor += int(df.get("record_count") or 0)
+        else:
+            r["_first_row_id"] = None
         out.append(r)
     return out
 
 
 def _delete_files(
     path: str, manifest_files: list[dict]
-) -> tuple[list[str], list[dict]]:
-    """Live v2 delete files of a snapshot, split by kind:
+) -> tuple[list[str], list[dict], list[dict]]:
+    """Live v2/v3 delete files of a snapshot, split by kind:
     (position-delete parquet paths, equality-delete descriptors
-    [{path, seq, ids}]).  Position deletes key on explicit file_path
-    so they apply path-matched regardless of sequence; equality
-    deletes apply only to data rows whose file's data sequence number
-    is STRICTLY BELOW the delete's — the descriptor carries it."""
+    [{path, seq, ids}], deletion-vector descriptors [{path, offset,
+    length, referenced, cardinality}]).  Position deletes and DVs key
+    on explicit data-file path so they apply path-matched regardless
+    of sequence; equality deletes apply only to data rows whose file's
+    data sequence number is STRICTLY BELOW the delete's — the
+    descriptor carries it.  DVs (v3) are content=1 entries whose
+    file_format is PUFFIN, addressed by blob offset/length inside
+    their puffin file."""
     pos: list[str] = []
     eq: list[dict] = []
+    dvs: list[dict] = []
     for mf in manifest_files:
         if (mf.get("content") or 0) != 1:
             continue
@@ -711,7 +772,33 @@ def _delete_files(
                     "data file inside a delete manifest — malformed "
                     "Iceberg tree; refusing to mis-read"
                 )
-            if (df_rec.get("file_format") or "PARQUET").upper() != "PARQUET":
+            fmt = (df_rec.get("file_format") or "PARQUET").upper()
+            if fmt == "PUFFIN":
+                if content != 1:
+                    raise ValueError(
+                        "puffin equality-delete file — not a thing in "
+                        "the spec; refusing to mis-read"
+                    )
+                ref = df_rec.get("referenced_data_file")
+                off = df_rec.get("content_offset")
+                ln = df_rec.get("content_size_in_bytes")
+                if ref is None or off is None or ln is None:
+                    raise ValueError(
+                        "deletion-vector entry without referenced_data_"
+                        "file/content_offset/content_size_in_bytes — "
+                        "malformed v3 metadata"
+                    )
+                dvs.append(
+                    {
+                        "path": _abs_path(path, df_rec["file_path"]),
+                        "offset": int(off),
+                        "length": int(ln),
+                        "referenced": ref,
+                        "cardinality": int(df_rec.get("record_count") or 0),
+                    }
+                )
+                continue
+            if fmt != "PARQUET":
                 raise ValueError("non-parquet delete file — unsupported")
             if content == 1:
                 pos.append(_abs_path(path, df_rec["file_path"]))
@@ -737,7 +824,7 @@ def _delete_files(
                         "partition": dict(df_rec.get("partition") or {}),
                     }
                 )
-    return pos, eq
+    return pos, eq, dvs
 
 
 def _live_entries(path: str, meta: dict, snap: dict) -> list[dict]:
@@ -773,6 +860,39 @@ def _part_literal(raw, spark_type: str):
     return F.lit(raw).cast(spark_type)
 
 
+def _dv_positions_df(spark: SparkSession, dv_list: list[dict]) -> DataFrame:
+    """Expand v3 deletion-vector blobs into a (_IB_FILE, _IB_POS)
+    mask DataFrame.  Blob bytes are read driver-side (they are the
+    compressed roaring form — metadata-scale, like any manifest read)
+    and expanded to positions on the executors via an Arrow-batched
+    kernel, so a multi-million-row DV never materializes as Python
+    ints on the driver."""
+    from . import puffin
+
+    rows = []
+    for d in sorted(dv_list, key=lambda x: (x["referenced"], x["offset"])):
+        blob = puffin.read_blob(d["path"], d["offset"], d["length"])
+        rows.append((d["referenced"].rsplit("/", 1)[-1], bytearray(blob)))
+
+    def expand(batches):
+        import pandas as pd
+
+        from . import puffin as _pf
+
+        for pdf in batches:
+            for tail, blob in zip(pdf["tail"], pdf["blob"]):
+                positions = _pf.parse_dv_payload(bytes(blob))
+                if positions:
+                    yield pd.DataFrame(
+                        {_IB_FILE: tail, _IB_POS: positions}
+                    )
+
+    src = spark.createDataFrame(rows, "tail string, blob binary")
+    return src.repartition(min(len(rows), 32)).mapInPandas(
+        expand, schema=f"{_IB_FILE} string, {_IB_POS} bigint"
+    )
+
+
 def _read_entries(
     spark: SparkSession,
     path: str,
@@ -781,6 +901,7 @@ def _read_entries(
     delete_files: list[str] | None = None,
     eq_deletes: list[dict] | None = None,
     keep_identity: bool = False,
+    dvs: list[dict] | None = None,
 ) -> DataFrame:
     """Scan a set of data files, reconstructing identity-partition
     columns from each entry's partition struct — the spec's column
@@ -860,7 +981,8 @@ def _read_entries(
 
     deletes = list(delete_files or [])
     eqs = list(eq_deletes or [])
-    need_identity = bool(deletes) or keep_identity
+    dv_list = list(dvs or [])
+    need_identity = bool(deletes) or bool(dv_list) or keep_identity
 
     def _scope_str(sid: int, pkey: tuple) -> str:
         return str((int(sid), tuple(pkey)))
@@ -932,18 +1054,34 @@ def _read_entries(
     out = frames[0]
     for df in frames[1:]:
         out = out.unionByName(df)
+    masks = []
     if deletes:
-        pos = (
-            spark.read.parquet(*sorted(set(deletes)))
-            .select(
+        masks.append(
+            spark.read.parquet(*sorted(set(deletes))).select(
                 F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
                     _IB_FILE
                 ),
                 F.col("pos").cast("bigint").alias(_IB_POS),
             )
-            .dropDuplicates()
         )
-        out = out.join(F.broadcast(pos), [_IB_FILE, _IB_POS], "left_anti")
+    if dv_list:
+        # v3 deletion vectors: the driver ships each referenced file's
+        # COMPRESSED roaring blob to the executors (the blob is the
+        # small, already-deduplicated form); positions expand
+        # distributed inside an Arrow-batched kernel, then mask the
+        # scan through the same broadcast anti-join position deletes
+        # use.  One DV per data file by spec, so no dedup is needed
+        # across blobs.
+        masks.append(_dv_positions_df(spark, dv_list))
+    if masks:
+        mask = masks[0]
+        for m in masks[1:]:
+            mask = mask.unionByName(m)
+        out = out.join(
+            F.broadcast(mask.dropDuplicates()),
+            [_IB_FILE, _IB_POS],
+            "left_anti",
+        )
     for ed in sorted(eqs, key=lambda d: (d["seq"], d["path"])):
         cols = [by_id[i]["name"] for i in ed["ids"]]
         dels = (
@@ -963,7 +1101,7 @@ def _read_entries(
         out = out.drop(_IB_SEQ)
     if any_scoped:
         out = out.drop("_ib_part")
-    if deletes and not keep_identity:
+    if (deletes or dv_list) and not keep_identity:
         out = out.drop(_IB_FILE, _IB_POS)
     return out
 
@@ -973,11 +1111,18 @@ def read_iceberg(
     path: str,
     snapshot_id: int | None = None,
     ref: str | None = None,
+    with_row_lineage: bool = False,
 ) -> DataFrame:
     """Snapshot (optionally time-travel) read of a real Iceberg table:
     metadata JSON → manifest list → manifests → parquet scan, identity
     partition columns rebuilt from partition structs.  `ref` reads a
-    named tag/branch head (`VERSION AS OF 'name'`)."""
+    named tag/branch head (`VERSION AS OF 'name'`).
+    `with_row_lineage` (v3) appends the spec's lineage metadata
+    columns: `_row_id` (the file's inherited first_row_id + row
+    position — null for files whose manifest predates the v3 upgrade)
+    and `_last_updated_sequence_number` (the file's data sequence
+    number).  The per-file anchors attach via one broadcast map join —
+    no shuffle."""
     meta = current_metadata(path)
     if ref is not None:
         if snapshot_id is not None:
@@ -985,15 +1130,54 @@ def read_iceberg(
         snapshot_id = _resolve_ref(meta, ref)
     snap = _snapshot(meta, snapshot_id)
     if snap is None:
-        return spark.createDataFrame([], _spark_schema(_schema_of(meta)))
+        out = spark.createDataFrame([], _spark_schema(_schema_of(meta)))
+        if with_row_lineage:
+            out = out.withColumn(
+                "_row_id", F.lit(None).cast("bigint")
+            ).withColumn(
+                "_last_updated_sequence_number", F.lit(None).cast("bigint")
+            )
+        return out
     mfs = _read_manifest_list(path, snap)
     entries = []
     for mf in _data_manifests(mfs):
         for e in _read_manifest(path, mf):
             if e.get("status", 0) in (0, 1):
                 entries.append(e)
-    pos_files, eq_deletes = _delete_files(path, mfs)
-    return _read_entries(spark, path, meta, entries, pos_files, eq_deletes)
+    pos_files, eq_deletes, dvs = _delete_files(path, mfs)
+    if not with_row_lineage:
+        return _read_entries(
+            spark, path, meta, entries, pos_files, eq_deletes, dvs=dvs
+        )
+    if int(meta.get("format-version", 1)) < 3:
+        raise ValueError(
+            "row lineage needs a format-version 3 table — run "
+            "upgrade_iceberg_format(path, 3) first"
+        )
+    scan = _read_entries(
+        spark, path, meta, entries, pos_files, eq_deletes,
+        keep_identity=True, dvs=dvs,
+    )
+    anchors = spark.createDataFrame(
+        [
+            (
+                e["data_file"]["file_path"].rsplit("/", 1)[-1],
+                e.get("_first_row_id"),
+                int(e.get("_seq", 0)),
+            )
+            for e in entries
+        ],
+        f"{_IB_FILE} string, _ib_first bigint, "
+        "_last_updated_sequence_number bigint",
+    )
+    data_cols = [
+        f.name for f in _spark_schema(_schema_of(meta)).fields
+    ]
+    return (
+        scan.join(F.broadcast(anchors), _IB_FILE)
+        .withColumn("_row_id", F.col("_ib_first") + F.col(_IB_POS))
+        .select(*data_cols, "_row_id", "_last_updated_sequence_number")
+    )
 
 
 def read_iceberg_pruned(
@@ -1091,8 +1275,10 @@ def read_iceberg_pruned(
                 continue
             files_read += 1
             kept.append(e)
-    pos_files, eq_deletes = _delete_files(path, all_mfs)
-    df = _read_entries(spark, path, meta, kept, pos_files, eq_deletes)
+    pos_files, eq_deletes, dvs = _delete_files(path, all_mfs)
+    df = _read_entries(
+        spark, path, meta, kept, pos_files, eq_deletes, dvs=dvs
+    )
     return df.filter(cond), files_read, files_skipped, manifests_skipped
 
 
@@ -1642,6 +1828,22 @@ def _write_manifest(
             if df_rec.get("content") is None:
                 df_rec["content"] = 0
             df_rec.setdefault("equality_ids", None)
+            if fv >= 3:
+                # carried (EXISTING/DELETED) data entries must keep the
+                # row ids they inherited in their ORIGINAL manifest —
+                # stamp them explicitly, since this new manifest's
+                # inheritance anchor would otherwise re-number them.
+                # Fresh ADDED entries stay null and inherit.
+                if (
+                    df_rec.get("first_row_id") is None
+                    and (df_rec.get("content") or 0) == 0
+                    and e["status"] != 1
+                ):
+                    df_rec["first_row_id"] = e.get("_first_row_id")
+                df_rec.setdefault("first_row_id", None)
+                df_rec.setdefault("referenced_data_file", None)
+                df_rec.setdefault("content_offset", None)
+                df_rec.setdefault("content_size_in_bytes", None)
             e["data_file"] = df_rec
             # ADDED entries inherit; others need their data sequence
             if e.get("sequence_number") is None and e["status"] != 1:
@@ -1744,6 +1946,9 @@ def _write_manifest_list(
     mp = os.path.join(_meta_dir(path), name)
     if fv >= 2:
         manifest_files = [_norm_manifest_file_v2(m) for m in manifest_files]
+    if fv >= 3:
+        for m in manifest_files:
+            m.setdefault("first_row_id", None)
     avrotiny.write_container(
         mp,
         _manifest_file_schema(fv),
@@ -1784,7 +1989,7 @@ def _commit_snapshot(
             int(base.get("format-version", 1)) if base is not None else 1
         )
         fv = max(base_fv, format_version or 1)
-        if fv not in (1, 2):
+        if fv not in (1, 2, 3):
             raise ValueError(f"unsupported Iceberg format-version {fv}")
         seq = 0
         if fv >= 2:
@@ -1795,6 +2000,28 @@ def _commit_snapshot(
             )
             seq = last + 1
         manifest_files = build_manifests(base, snapshot_id, seq, fv)
+        first_row_id = None
+        if fv >= 3:
+            # v3 row lineage: every DATA manifest in the new list that
+            # lacks a first_row_id is assigned one here (list-write
+            # time — the spec's inheritance design lets carried
+            # manifests keep theirs without a rewrite); each
+            # assignment consumes added+existing rows, and the table's
+            # next-row-id advances past everything consumed.  On a
+            # v1/v2→v3 upgrade this lazily assigns row ids to
+            # pre-upgrade manifests at their first v3 appearance.
+            first_row_id = (
+                int(base.get("next-row-id") or 0) if base is not None else 0
+            )
+            cursor = first_row_id
+            for m in manifest_files:
+                if (m.get("content") or 0) != 0:
+                    continue
+                if m.get("first_row_id") is None:
+                    m["first_row_id"] = cursor
+                    cursor += int(m.get("added_rows_count") or 0) + int(
+                        m.get("existing_rows_count") or 0
+                    )
         ml_rel = _write_manifest_list(path, snapshot_id, manifest_files, fv)
         snap = {
             "snapshot-id": snapshot_id,
@@ -1805,6 +2032,8 @@ def _commit_snapshot(
         }
         if fv >= 2:
             snap["sequence-number"] = seq
+        if fv >= 3:
+            snap["first-row-id"] = first_row_id
         if branch is not None:
             if base is None:
                 raise FileNotFoundError(
@@ -1863,6 +2092,8 @@ def _commit_snapshot(
             meta["format-version"] = fv
         if fv >= 2:
             meta["last-sequence-number"] = seq
+        if fv >= 3:
+            meta["next-row-id"] = cursor
         meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
         if branch is not None:
             # branch commit: the head moves, MAIN history does not
@@ -2067,6 +2298,221 @@ def _land_position_deletes(
     return out
 
 
+def _land_dv_deletes(
+    spark: SparkSession,
+    path: str,
+    matches: DataFrame,
+    touched: list[dict],
+    dv_live: list[dict],
+    snapshot_id: int,
+    seq: int,
+) -> tuple[list[dict], list[dict]]:
+    """Land newly matched (_IB_FILE, _IB_POS) rows as Iceberg v3
+    DELETION VECTORS: one ``deletion-vector-v1`` blob per referenced
+    data file, all in ONE puffin file per commit (the spec's
+    recommended layout — a commit's DVs amortize into a single
+    object-store write).  The v3 invariant is one LIVE DV per data
+    file, and a replacement DV must contain its predecessor, so any
+    file that already had a DV gets its old positions merged in; the
+    old descriptor is returned as superseded for the caller to mark
+    DELETED.  Files whose old DV gains no new positions are left
+    untouched.  Per-file bitmaps serialize on the executors
+    (Arrow-batched groupBy kernel); only the compressed blobs travel
+    to the driver for the single-file write.  Returns (new DV
+    data_file records annotated with `_spec_id`, superseded DV
+    descriptors)."""
+    from . import puffin
+
+    ref_info: dict[str, dict] = {}
+    for e in touched:
+        df_rec = e["data_file"]
+        fp = df_rec["file_path"]
+        ref_info[fp.rsplit("/", 1)[-1]] = {
+            "uri": fp,
+            "partition": dict(df_rec.get("partition") or {}),
+            "spec_id": int(e.get("_spec_id", 0)),
+        }
+    hit_tails = sorted(
+        r[0]
+        for r in matches.select(_IB_FILE).distinct().collect()
+        if r[0] in ref_info
+    )
+    if not hit_tails:
+        return [], []
+    old_by_tail = {
+        d["referenced"].rsplit("/", 1)[-1]: d for d in dv_live
+    }
+    superseded = [old_by_tail[t] for t in hit_tails if t in old_by_tail]
+    pos_df = matches.filter(F.col(_IB_FILE).isin(hit_tails))
+    if superseded:
+        pos_df = pos_df.unionByName(_dv_positions_df(spark, superseded))
+
+    def to_blob(pdf):
+        import pandas as pd
+
+        from . import puffin as _pf
+
+        tail = pdf[_IB_FILE].iloc[0]
+        positions = sorted(set(int(p) for p in pdf[_IB_POS]))
+        return pd.DataFrame(
+            {
+                "tail": [tail],
+                "payload": [_pf.dv_payload(positions)],
+                "card": [len(positions)],
+            }
+        )
+
+    blobs = sorted(
+        pos_df.groupBy(_IB_FILE)
+        .applyInPandas(to_blob, "tail string, payload binary, card long")
+        .collect(),
+        key=lambda r: r["tail"],
+    )
+    name = f"{uuid.uuid4().hex}-deletes.puffin"
+    dest = os.path.join(path, "data", name)
+    metas = puffin.write_puffin(
+        dest,
+        [
+            {
+                "type": "deletion-vector-v1",
+                "data": bytes(b["payload"]),
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {
+                    "referenced-data-file": ref_info[b["tail"]]["uri"],
+                    "cardinality": str(int(b["card"])),
+                },
+            }
+            for b in blobs
+        ],
+        properties={"created-by": "sparkgraft-iceberg/1.0"},
+    )
+    puffin_uri = _file_uri(path, f"data/{name}")
+    puffin_size = os.path.getsize(dest)
+    out = []
+    for b, m in zip(blobs, metas):
+        info = ref_info[b["tail"]]
+        out.append(
+            {
+                "_spec_id": info["spec_id"],
+                "data_file": {
+                    "content": 1,
+                    "file_path": puffin_uri,
+                    "file_format": "PUFFIN",
+                    "partition": info["partition"],
+                    "record_count": int(b["card"]),
+                    "file_size_in_bytes": puffin_size,
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "split_offsets": None,
+                    "equality_ids": None,
+                    "first_row_id": None,
+                    "referenced_data_file": info["uri"],
+                    "content_offset": int(m["offset"]),
+                    "content_size_in_bytes": int(m["length"]),
+                },
+            }
+        )
+    return out, superseded
+
+
+def _rewrite_delete_manifests(
+    path: str,
+    mfs: list[dict],
+    superseded: list[dict],
+    new_dv_entries: list[dict],
+    snapshot_id: int,
+    fields: list[dict],
+    meta: dict,
+    schema_json: dict,
+    seq: int,
+    drop_pos_paths: frozenset[str] = frozenset(),
+) -> list[dict]:
+    """Manifest set for a v3 DV commit: data manifests carry forward
+    untouched; delete manifests containing a superseded DV (or, on
+    upgrade, a position-delete parquet listed in `drop_pos_paths`) are
+    rewritten (survivors EXISTING with their explicit data sequence,
+    superseded entries DELETED); untouched delete manifests carry
+    as-is; the new DV entries land in fresh delete manifests grouped
+    by the referenced files' partition specs."""
+    sup_keys = {
+        (d["path"], d["offset"]) for d in superseded
+    }
+    specs = _specs_by_id(meta)
+    out: list[dict] = []
+    for mf in mfs:
+        if (mf.get("content") or 0) != 1:
+            out.append(mf)
+            continue
+        mp = _abs_path(path, mf["manifest_path"])
+        records, _m, _s = avrotiny.read_container(mp)
+        live = [r for r in records if r.get("status", 0) in (0, 1)]
+
+        def _is_sup(r: dict) -> bool:
+            df_rec = r["data_file"]
+            fmt = (df_rec.get("file_format") or "").upper()
+            if fmt == "PUFFIN":
+                return (
+                    _abs_path(path, df_rec["file_path"]),
+                    int(df_rec.get("content_offset") or 0),
+                ) in sup_keys
+            return (
+                (df_rec.get("content") or 0) == 1
+                and _abs_path(path, df_rec["file_path"]) in drop_pos_paths
+            )
+
+        if not any(_is_sup(r) for r in live):
+            out.append(mf)
+            continue
+        entries = [
+            {
+                "status": 2 if _is_sup(r) else 0,
+                "snapshot_id": (
+                    snapshot_id if _is_sup(r) else r.get("snapshot_id")
+                ),
+                "_seq": _entry_seq(r, mf),
+                "data_file": r["data_file"],
+            }
+            for r in live
+        ]
+        sid = int(mf.get("partition_spec_id") or 0)
+        out.append(
+            _write_manifest(
+                path, entries, snapshot_id, fields,
+                specs.get(sid, []), schema_json,
+                fv=3, content="deletes", seq=seq, spec_id=sid,
+            )
+        )
+    by_sid: dict[int, list[dict]] = {}
+    for e in new_dv_entries:
+        by_sid.setdefault(int(e.get("_spec_id", 0)), []).append(e)
+    for sid, es in sorted(by_sid.items()):
+        out.append(
+            _write_manifest(
+                path,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "data_file": e["data_file"],
+                    }
+                    for e in es
+                ],
+                snapshot_id,
+                fields,
+                specs.get(sid, []),
+                schema_json,
+                fv=3,
+                content="deletes",
+                seq=seq,
+                spec_id=sid,
+            )
+        )
+    return out
+
+
 def delete_where_iceberg(
     spark: SparkSession, path: str, col: str, lo, hi,
     strategy: str = "cow",
@@ -2156,14 +2602,35 @@ def delete_where_iceberg(
                 return list(mfs)
             # existing deletes are applied to the scan first, so the
             # new delete file carries only NEWLY matched positions
-            pos_files, eq_dels = _delete_files(path, mfs)
+            pos_files, eq_dels, dv_live = _delete_files(path, mfs)
             scan = _read_entries(
                 spark, path, base, touched, pos_files, eq_dels,
-                keep_identity=True,
+                keep_identity=True, dvs=dv_live,
             )
             matches = scan.filter(F.col(col).between(lo, hi)).select(
                 _IB_FILE, _IB_POS
             )
+            if fv >= 3:
+                # v3: position-delete parquet may not be written —
+                # matched positions become deletion vectors, merged
+                # with (and superseding) any existing DV per file
+                if pos_files:
+                    raise ValueError(
+                        "v3 table still carries position-delete parquet "
+                        "— run upgrade_iceberg_format(path, 3) to fold "
+                        "them into deletion vectors first"
+                    )
+                new_entries, superseded = _land_dv_deletes(
+                    spark, path, matches, touched, dv_live,
+                    snapshot_id, seq,
+                )
+                if not new_entries:
+                    result["changed"] = False
+                    return list(mfs)
+                return _rewrite_delete_manifests(
+                    path, mfs, superseded, new_entries, snapshot_id,
+                    fields, base, schema_json, seq,
+                )
             del_files = _land_position_deletes(
                 spark, path, matches, touched, part_names
             )
@@ -2176,7 +2643,7 @@ def delete_where_iceberg(
             ]
             del_mf = _write_manifest(
                 path, entries, snapshot_id, fields, spec, schema_json,
-                fv=2, content="deletes", seq=seq, spec_id=spec_sid,
+                fv=fv, content="deletes", seq=seq, spec_id=spec_sid,
             )
             return list(mfs) + [del_mf]
 
@@ -2189,9 +2656,16 @@ def delete_where_iceberg(
     ) -> list[dict]:
         if base is None:
             raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        if fv >= 3:
+            raise ValueError(
+                "copy-on-write DELETE on a v3 table would re-number the "
+                "surviving rows' lineage ids (v3 requires rewrites to "
+                "materialize _row_id, which this writer does not do) — "
+                "use strategy='merge-on-read' (deletion vectors)"
+            )
         prev = _snapshot(base, None)
         mfs = _read_manifest_list(path, prev) if prev is not None else []
-        pos_files, eq_dels = _delete_files(path, mfs)
+        pos_files, eq_dels, _dvs = _delete_files(path, mfs)
         delete_mfs = [m for m in mfs if (m.get("content") or 0) == 1]
         live = (
             _live_entries(path, base, prev) if prev is not None else []
@@ -2415,7 +2889,7 @@ def delete_eq_iceberg(
             fields,
             eq_spec,
             schema_json,
-            fv=2,
+            fv=fv,
             content="deletes",
             seq=seq,
             spec_id=eq_sid,
@@ -2437,6 +2911,60 @@ def _name_mapping(meta: dict) -> dict[int, list[str]]:
     for e in json.loads(raw):
         out[int(e["field-id"])] = list(e.get("names") or [])
     return out
+
+
+def upgrade_iceberg_format(
+    spark: SparkSession, path: str, target: int = 3
+) -> int:
+    """Upgrade a table to `target` format-version with the spec's
+    invariants restored in the SAME commit.  v3 forbids position-delete
+    parquet files, so any live ones are folded into deletion vectors
+    first: their (file_path, pos) rows group per referenced data file,
+    each file's positions serialize as one ``deletion-vector-v1`` blob
+    in a single puffin file, the parquet entries are marked DELETED in
+    rewritten delete manifests, and the DV entries are ADDED.  Row
+    lineage starts at this commit: the manifest-list write assigns
+    `first_row_id` to every data manifest (pre-upgrade files get ids
+    lazily, the spec's inheritance path for upgraded tables).
+    Equality deletes are v3-legal and carry through untouched."""
+    if target not in (2, 3):
+        raise ValueError(f"cannot upgrade to format-version {target}")
+
+    def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        prev = _snapshot(base, None)
+        mfs = _read_manifest_list(path, prev) if prev is not None else []
+        if target < 3:
+            return list(mfs)
+        pos_files, _eq, dv_live = _delete_files(path, mfs)
+        if not pos_files:
+            return list(mfs)
+        fields = _schema_of(base)
+        schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+        live = _live_entries(path, base, prev) if prev is not None else []
+        matches = (
+            spark.read.parquet(*sorted(set(pos_files)))
+            .select(
+                F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
+                    _IB_FILE
+                ),
+                F.col("pos").cast("bigint").alias(_IB_POS),
+            )
+            .dropDuplicates()
+        )
+        new_entries, superseded = _land_dv_deletes(
+            spark, path, matches, live, dv_live, snapshot_id, seq
+        )
+        return _rewrite_delete_manifests(
+            path, mfs, superseded, new_entries, snapshot_id,
+            fields, base, schema_json, seq,
+            drop_pos_paths=frozenset(pos_files),
+        )
+
+    return _commit_snapshot(
+        path, "replace", build, format_version=target
+    )
 
 
 def compact_iceberg(
@@ -2464,12 +2992,19 @@ def compact_iceberg(
     def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
         if base is None:
             raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        if fv >= 3:
+            raise ValueError(
+                "rewrite_data_files on a v3 table would re-number row "
+                "lineage ids (v3 requires rewrites to materialize "
+                "_row_id, which this writer does not do) — compact "
+                "before upgrading to format-version 3"
+            )
         prev = _snapshot(base, None)
         mfs = _read_manifest_list(path, prev) if prev is not None else []
         live = _live_entries(path, base, prev) if prev is not None else []
         if not live:
             return list(mfs)
-        pos_files, eq_dels = _delete_files(path, mfs)
+        pos_files, eq_dels, _dvs = _delete_files(path, mfs)
         scan = _read_entries(spark, path, base, live, pos_files, eq_dels)
         total = sum(
             e["data_file"].get("file_size_in_bytes") or 0 for e in live
@@ -3146,6 +3681,18 @@ def read_changes_iceberg(
         prior_pos: list[str] = []
         new_pos: list[str] = []
         prior_eq: list[dict] = []
+        prior_dvs: list[dict] = []
+        new_dvs: list[dict] = []
+
+        def _dv_desc(df_rec: dict) -> dict:
+            return {
+                "path": _abs_path(path, df_rec["file_path"]),
+                "offset": int(df_rec.get("content_offset") or 0),
+                "length": int(df_rec.get("content_size_in_bytes") or 0),
+                "referenced": df_rec.get("referenced_data_file") or "",
+                "cardinality": int(df_rec.get("record_count") or 0),
+            }
+
         parent = next(
             (
                 s
@@ -3165,6 +3712,9 @@ def read_changes_iceberg(
                         continue
                     df_rec = r["data_file"]
                     fp = _abs_path(path, df_rec["file_path"])
+                    if (df_rec.get("file_format") or "").upper() == "PUFFIN":
+                        prior_dvs.append(_dv_desc(df_rec))
+                        continue
                     if (df_rec.get("content") or 0) == 2:
                         prior_eq.append(
                             {
@@ -3197,6 +3747,13 @@ def read_changes_iceberg(
                 if r.get("snapshot_id") != sid:
                     continue
                 df_rec = r["data_file"]
+                if (df_rec.get("file_format") or "").upper() == "PUFFIN":
+                    # v3 DV: a replacement vector contains its
+                    # predecessor's positions too — the prior-DV mask
+                    # on the pre-image scan subtracts them, so only
+                    # genuinely new deletes are reported
+                    new_dvs.append(_dv_desc(df_rec))
+                    continue
                 if (df_rec.get("content") or 0) == 2:
                     # which rows an equality delete hid depends on
                     # every older file's content — refuse rather
@@ -3213,7 +3770,8 @@ def read_changes_iceberg(
         )
         if added and removed:
             pre = _read_entries(
-                spark, path, meta, removed, prior_pos, prior_eq
+                spark, path, meta, removed, prior_pos, prior_eq,
+                dvs=prior_dvs,
             )
             post = _read_entries(spark, path, meta, added, [], [])
             frames.append(tag(pre.exceptAll(post), "delete"))
@@ -3226,18 +3784,28 @@ def read_changes_iceberg(
             frames.append(
                 tag(
                     _read_entries(
-                        spark, path, meta, removed, prior_pos, prior_eq
+                        spark, path, meta, removed, prior_pos, prior_eq,
+                        dvs=prior_dvs,
                     ),
                     "delete",
                 )
             )
-        if new_pos:
-            pos_df = spark.read.parquet(*sorted(set(new_pos))).select(
-                F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
-                    _IB_FILE
-                ),
-                F.col("pos").cast("bigint").alias(_IB_POS),
-            )
+        if new_pos or new_dvs:
+            legs = []
+            if new_pos:
+                legs.append(
+                    spark.read.parquet(*sorted(set(new_pos))).select(
+                        F.element_at(
+                            F.split(F.col("file_path"), "/"), -1
+                        ).alias(_IB_FILE),
+                        F.col("pos").cast("bigint").alias(_IB_POS),
+                    )
+                )
+            if new_dvs:
+                legs.append(_dv_positions_df(spark, new_dvs))
+            pos_df = legs[0]
+            for leg in legs[1:]:
+                pos_df = pos_df.unionByName(leg)
             tails = {
                 r[_IB_FILE] for r in pos_df.select(_IB_FILE).distinct().collect()
             }
@@ -3249,7 +3817,7 @@ def read_changes_iceberg(
             ]
             scan = _read_entries(
                 spark, path, meta, touched, prior_pos, prior_eq,
-                keep_identity=True,
+                keep_identity=True, dvs=prior_dvs,
             )
             hit = scan.join(
                 F.broadcast(pos_df), [_IB_FILE, _IB_POS], "inner"
@@ -3366,7 +3934,10 @@ def remove_orphan_iceberg_files(path: str, min_age_s: float = 600.0) -> int:
                 )
     now = _time.time()
     deleted = 0
-    for sub, suffixes in (("data", (".parquet",)), ("metadata", (".avro",))):
+    for sub, suffixes in (
+        ("data", (".parquet", ".puffin")),
+        ("metadata", (".avro",)),
+    ):
         root = os.path.join(path, sub)
         if not os.path.isdir(root):
             continue

@@ -83,9 +83,11 @@ def _entry_rows(
     field_names: list[str],
     pos_files: list[str],
     eq_deletes: list[dict],
+    dvs: list[dict] | None = None,
 ) -> list[tuple]:
     """Rows of one data-manifest entry as schema-ordered tuples, with
-    v2 deletes applied and partition/name-mapping resolved."""
+    v2 deletes (and v3 deletion vectors) applied and
+    partition/name-mapping resolved."""
     import pyarrow.parquet as pq
 
     fields = ib._schema_of(meta)
@@ -114,6 +116,13 @@ def _entry_rows(
         for pname, src in part_src.items()
     }
     hidden: set[int] = set()
+    for d in dvs or []:
+        if d["referenced"].rsplit("/", 1)[-1] == tail:
+            from . import puffin
+
+            hidden.update(
+                puffin.read_dv(d["path"], d["offset"], d["length"])
+            )
     for pf in sorted(set(pos_files)):
         t = pq.read_table(pf, columns=["file_path", "pos"])
         for fp, pos in zip(
@@ -226,7 +235,7 @@ class IcebergReader(DataSourceReader):
     def read(self, partition: _IcePartition) -> Iterator[tuple]:
         meta = ib.current_metadata(self.path)
         snap = self._snap(meta)
-        pos_files, eq_deletes = ib._delete_files(
+        pos_files, eq_deletes, dvs = ib._delete_files(
             self.path, ib._read_manifest_list(self.path, snap)
         )
         yield from _entry_rows(
@@ -236,6 +245,7 @@ class IcebergReader(DataSourceReader):
             self.field_names,
             pos_files,
             eq_deletes,
+            dvs,
         )
 
 

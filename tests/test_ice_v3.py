@@ -1,0 +1,311 @@
+"""Iceberg FORMAT-VERSION 3: Puffin deletion vectors + row lineage
+(sources/puffin.py + the v3 tier of sources/iceberg.py).
+
+What v3 changes, per the public table spec: position-delete parquet
+files are forbidden — merge-on-read deletes land as per-data-file
+roaring bitmaps (``deletion-vector-v1`` blobs) inside Puffin files,
+with at most ONE live DV per data file (a replacement must contain
+its predecessor); manifests inherit `first_row_id` anchors so every
+row carries a durable `_row_id`.  These tests pin the write path, the
+merge/replace invariant, the v2→v3 upgrade conversion, lineage
+assignment, the changelog's new-positions-only rule, and the loud
+refusals (cow rewrites would re-number lineage)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+    iceberg as ib,
+    puffin,
+)
+
+
+def _df(spark, lo, hi, tag=0):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (F.col("id") * 10 + tag).cast("bigint").alias("v"),
+    )
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+def _live_deletes(path):
+    meta = ib.current_metadata(path)
+    snap = ib._snapshot(meta, None)
+    return ib._delete_files(path, ib._read_manifest_list(path, snap))
+
+
+# --------------------------------------------------------------------------
+# puffin codec
+# --------------------------------------------------------------------------
+
+
+def test_puffin_dv_blob_roundtrip(tmp_path):
+    p = os.path.join(tmp_path, "dv.puffin")
+    positions = [0, 1, 7, 100_000, 2**33 + 5]
+    metas = puffin.write_puffin(
+        p,
+        [
+            {
+                "type": "deletion-vector-v1",
+                "data": puffin.dv_payload(positions),
+                "snapshot-id": 42,
+                "sequence-number": 3,
+                "properties": {
+                    "referenced-data-file": "data/a.parquet",
+                    "cardinality": "5",
+                },
+            }
+        ],
+    )
+    assert metas[0]["offset"] == 4  # right after the header magic
+    footer = puffin.read_puffin_footer(p)
+    assert footer["blobs"] == metas
+    got = puffin.read_dv(p, metas[0]["offset"], metas[0]["length"])
+    assert got == positions
+
+
+def test_puffin_dv_crc_and_magic_refusals():
+    blob = bytearray(puffin.dv_payload([1, 2, 3]))
+    blob[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        puffin.parse_dv_payload(bytes(blob))
+    blob2 = bytearray(puffin.dv_payload([1]))
+    blob2[4] = 0x00  # clobber the DV magic
+    with pytest.raises(ValueError, match="magic"):
+        puffin.parse_dv_payload(bytes(blob2))
+
+
+def test_puffin_unknown_flag_bits_refuse(tmp_path):
+    p = os.path.join(tmp_path, "f.puffin")
+    puffin.write_puffin(
+        p, [{"type": "deletion-vector-v1", "data": puffin.dv_payload([1])}]
+    )
+    raw = bytearray(open(p, "rb").read())
+    raw[-8] |= 0x02  # an undefined flag bit in byte 0
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="flag"):
+        puffin.read_puffin_footer(p)
+
+
+# --------------------------------------------------------------------------
+# v3 merge-on-read deletes = deletion vectors
+# --------------------------------------------------------------------------
+
+
+def test_v3_mor_delete_lands_dv_not_parquet(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 60).repartition(3), path,
+                     format_version=3)
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 10, 19, strategy="merge-on-read"
+    )
+    pos, eq, dvs = _live_deletes(path)
+    assert pos == [] and eq == []
+    assert dvs and all(d["path"].endswith(".puffin") for d in dvs)
+    assert sum(d["cardinality"] for d in dvs) == 10
+    assert _ids(ib.read_iceberg(spark, path)) == [
+        i for i in range(60) if not 10 <= i <= 19
+    ]
+
+
+def test_v3_replacement_dv_contains_predecessor(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 60).repartition(2), path,
+                     format_version=3)
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 10, 19, strategy="merge-on-read"
+    )
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 15, 29, strategy="merge-on-read"
+    )
+    _pos, _eq, dvs = _live_deletes(path)
+    # the v3 invariant: at most one LIVE DV per referenced data file
+    refs = [d["referenced"] for d in dvs]
+    assert len(refs) == len(set(refs))
+    # replacement vectors carry the union: 10..29 all deleted
+    assert sum(d["cardinality"] for d in dvs) == 20
+    for d in dvs:
+        assert len(puffin.read_dv(d["path"], d["offset"], d["length"])) == (
+            d["cardinality"]
+        )
+    assert _ids(ib.read_iceberg(spark, path)) == [
+        i for i in range(60) if not 10 <= i <= 29
+    ]
+
+
+def test_v3_time_travel_predates_dv(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 30), path, format_version=3)
+    snap0 = ib.current_metadata(path)["current-snapshot-id"]
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 0, 9, strategy="merge-on-read"
+    )
+    assert len(_ids(ib.read_iceberg(spark, path))) == 20
+    assert len(_ids(ib.read_iceberg(spark, path, snapshot_id=snap0))) == 30
+
+
+def test_v3_eq_deletes_still_work(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 20), path, format_version=3)
+    ib.delete_eq_iceberg(path, ["doc_id"], [3, 7])
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 10, 12, strategy="merge-on-read"
+    )
+    assert _ids(ib.read_iceberg(spark, path)) == [
+        i for i in range(20) if i not in (3, 7, 10, 11, 12)
+    ]
+
+
+def test_v3_refuses_cow_and_compaction(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 10), path, format_version=3)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        ib.delete_where_iceberg(spark, path, "doc_id", 0, 3, strategy="cow")
+    with pytest.raises(ValueError, match="lineage"):
+        ib.compact_iceberg(spark, path)
+
+
+# --------------------------------------------------------------------------
+# v2 → v3 upgrade
+# --------------------------------------------------------------------------
+
+
+def test_upgrade_folds_position_deletes_into_dvs(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 50).repartition(2), path)
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 5, 14, strategy="merge-on-read"
+    )
+    ib.delete_eq_iceberg(path, ["doc_id"], [40])
+    before = _ids(ib.read_iceberg(spark, path))
+    pos0, eq0, dvs0 = _live_deletes(path)
+    assert pos0 and not dvs0
+    ib.upgrade_iceberg_format(spark, path, 3)
+    meta = ib.current_metadata(path)
+    assert int(meta["format-version"]) == 3
+    pos1, eq1, dvs1 = _live_deletes(path)
+    assert pos1 == []  # v3 bans position-delete parquet
+    assert len(eq1) == len(eq0)  # equality deletes carry through
+    assert sum(d["cardinality"] for d in dvs1) == 10
+    assert _ids(ib.read_iceberg(spark, path)) == before
+
+
+def test_upgrade_without_deletes_is_metadata_only(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 10), path)
+    ib.upgrade_iceberg_format(spark, path, 3)
+    meta = ib.current_metadata(path)
+    assert int(meta["format-version"]) == 3
+    assert meta["next-row-id"] == 10
+    assert _ids(ib.read_iceberg(spark, path)) == list(range(10))
+    with pytest.raises(ValueError, match="format-version"):
+        ib.upgrade_iceberg_format(spark, path, 4)
+
+
+# --------------------------------------------------------------------------
+# row lineage
+# --------------------------------------------------------------------------
+
+
+def test_row_lineage_dense_and_monotone_per_append(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 40).repartition(3), path,
+                     format_version=3)
+    ib.write_iceberg(_df(spark, 40, 65), path)
+    lin = ib.read_iceberg(spark, path, with_row_lineage=True)
+    rows = lin.select("doc_id", "_row_id").collect()
+    ids = sorted(r["_row_id"] for r in rows)
+    assert ids == list(range(65))  # dense, no gaps, no dupes
+    # the second append's ids all land ABOVE the first's
+    batch2 = {r["_row_id"] for r in rows if r["doc_id"] >= 40}
+    assert batch2 == set(range(40, 65))
+    assert ib.current_metadata(path)["next-row-id"] == 65
+
+
+def test_row_lineage_survives_dv_delete(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 30).repartition(2), path,
+                     format_version=3)
+    before = {
+        r["doc_id"]: r["_row_id"]
+        for r in ib.read_iceberg(spark, path, with_row_lineage=True)
+        .select("doc_id", "_row_id")
+        .collect()
+    }
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 10, 14, strategy="merge-on-read"
+    )
+    after = {
+        r["doc_id"]: r["_row_id"]
+        for r in ib.read_iceberg(spark, path, with_row_lineage=True)
+        .select("doc_id", "_row_id")
+        .collect()
+    }
+    assert set(after) == set(before) - set(range(10, 15))
+    assert all(after[k] == before[k] for k in after)  # ids immutable
+    lin = ib.read_iceberg(spark, path, with_row_lineage=True)
+    seqs = {
+        r["_last_updated_sequence_number"] for r in lin.collect()
+    }
+    assert seqs == {1}  # surviving rows keep their append's sequence
+
+
+def test_row_lineage_refuses_below_v3(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 5), path)
+    with pytest.raises(ValueError, match="format-version 3"):
+        ib.read_iceberg(spark, path, with_row_lineage=True)
+
+
+# --------------------------------------------------------------------------
+# changelog + DataSource over DV tables
+# --------------------------------------------------------------------------
+
+
+def test_changelog_reports_only_new_dv_positions(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 30), path, format_version=3)
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 0, 9, strategy="merge-on-read"
+    )
+    ib.delete_where_iceberg(  # overlaps: only 10..14 are NEW deletes
+        spark, path, "doc_id", 5, 14, strategy="merge-on-read"
+    )
+    ch = ib.read_changes_iceberg(spark, path)
+    by_ord = {
+        (r["_snapshot_ordinal"], r["_change_type"]): r["count"]
+        for r in ch.groupBy("_snapshot_ordinal", "_change_type")
+        .count()
+        .collect()
+    }
+    assert by_ord == {
+        (1, "insert"): 30,
+        (2, "delete"): 10,
+        (3, "delete"): 5,
+    }
+    third = ch.filter(F.col("_snapshot_ordinal") == 3)
+    assert _ids(third) == list(range(10, 15))
+
+
+def test_datasource_reads_v3_dv_table(spark, tmp_path):
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        icestream,
+    )
+
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 25).repartition(2), path,
+                     format_version=3)
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 3, 8, strategy="merge-on-read"
+    )
+    icestream.register(spark)
+    got = spark.read.format("iceberg").load(path)
+    assert _ids(got) == [i for i in range(25) if not 3 <= i <= 8]

@@ -1027,7 +1027,7 @@ def test_delete_eq_write_path_upsert_shape(spark, tmp_path):
     mfs = ib._read_manifest_list(
         path, ib._snapshot(ib.current_metadata(path), None)
     )
-    _pos, eqs = ib._delete_files(path, mfs)
+    _pos, eqs, _dvs = ib._delete_files(path, mfs)
     assert len(eqs) == 1 and eqs[0]["ids"]
     pf = pq.ParquetFile(eqs[0]["path"])
     assert pf.schema_arrow.field("doc_id").metadata[
@@ -1082,7 +1082,7 @@ def test_delete_eq_on_partitioned_table(spark, tmp_path):
     mfs = ib._read_manifest_list(
         path, ib._snapshot(ib.current_metadata(path), None)
     )
-    _pos, eqs = ib._delete_files(path, mfs)
+    _pos, eqs, _dvs = ib._delete_files(path, mfs)
     assert eqs and all(e["ids"] for e in eqs)
     # the global deletes are stored under the UNPARTITIONED spec
     unpart_sid = ib._ensure_unpartitioned_spec(path)
