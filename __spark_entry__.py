@@ -213,6 +213,8 @@ _TAIL_ORDER = [
     "mm_video_avc1_meta",
     "mm_audio_ogg_meta",
     "tpch_q6_sql_frontend",
+    "lake_iceberg_v3_dv",
+    "lake_iceberg_row_lineage",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -335,6 +337,8 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_iceberg_eq_upsert"] = _iceberg.iceberg_eq_upsert_entry
     pool["lake_iceberg_transforms"] = _iceberg.iceberg_transforms_entry
     pool["lake_iceberg_meta"] = _iceberg.iceberg_meta_tables_entry
+    pool["lake_iceberg_v3_dv"] = _iceberg.iceberg_v3_dv_entry
+    pool["lake_iceberg_row_lineage"] = _iceberg.iceberg_row_lineage_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -414,6 +418,8 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_iceberg_eq_upsert"] = _iceberg.ICEBERG_EQ_ORACLE_SQL
     pool["lake_iceberg_transforms"] = _iceberg.ICEBERG_TRANSFORMS_ORACLE_SQL
     pool["lake_iceberg_meta"] = _iceberg.ICEBERG_META_ORACLE_SQL
+    pool["lake_iceberg_v3_dv"] = _iceberg.ICEBERG_V3_ORACLE_SQL
+    pool["lake_iceberg_row_lineage"] = _iceberg.ICEBERG_LINEAGE_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

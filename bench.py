@@ -126,6 +126,9 @@ HEADLINE = [
     "mm_video_avc1_meta",
     "mm_audio_ogg_meta",
     "tpch_q6_sql_frontend",
+    # r10 session 3: Iceberg v3 deletion vectors + row lineage
+    "lake_iceberg_v3_dv",
+    "lake_iceberg_row_lineage",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -168,6 +171,9 @@ HEAVY_WARMUPS = {
     "dedup_incremental_minhash": 2,
     "lake_iceberg_meta": 2,
     "lake_delta_meta": 2,
+    # first warm pass runs the full v3 lifecycle (upgrade + DV writes)
+    "lake_iceberg_v3_dv": 2,
+    "lake_iceberg_row_lineage": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

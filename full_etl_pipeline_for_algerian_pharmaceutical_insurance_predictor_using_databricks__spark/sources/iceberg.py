@@ -4527,3 +4527,178 @@ WHERE doc_id NOT BETWEEN 100 AND 199
 GROUP BY lang
 ORDER BY lang
 """
+
+
+#: Bump when the v3 fixture lifecycle changes shape.
+_ICEBERG_V3_LAKE_VERSION = 1
+
+
+def _ensure_v3_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once v3 fixture exercising the whole deletion-vector
+    lifecycle: even docs land partitioned by lang (v1), a merge-on-read
+    DELETE (100-199) creates position-delete parquet (v2), the upgrade
+    folds those into puffin DVs (v3), the odd docs append AFTER the
+    upgrade (row-lineage assignment over a live-DV table), and a second
+    overlapping DELETE (150-249) replaces DVs with merged supersets.
+    The surviving set is therefore ranges over PARITY×ID — exactly
+    restatable in SQL."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir("iceberg_v3", _ICEBERG_V3_LAKE_VERSION, sf_dir),
+        "docs_iceberg_v3",
+    )
+    if not _metadata_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        write_iceberg(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            path,
+            partition_by=["lang"],
+        )
+        delete_where_iceberg(
+            spark, path, "doc_id", 100, 199, strategy="merge-on-read"
+        )
+        upgrade_iceberg_format(spark, path, 3)
+        write_iceberg(docs.filter(F.col("doc_id") % 2 == 1), path)
+        delete_where_iceberg(
+            spark, path, "doc_id", 150, 249, strategy="merge-on-read"
+        )
+    return path
+
+
+def iceberg_v3_dv_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for the v3 DELETION-VECTOR path (table spec
+    v3 + Puffin spec): the fixture's first delete lands as v2
+    position-delete parquet, the upgrade folds it into per-data-file
+    roaring DVs in one puffin file, a post-upgrade append proves DVs
+    are file-scoped (re-appended ids survive), and the second
+    OVERLAPPING delete must write replacement DVs containing their
+    predecessors (one live DV per file) while marking the superseded
+    blobs DELETED.  The oracle restates the survivor set off the raw
+    parquet — evens deleted in 100-199, everyone deleted in 150-249 —
+    so a value match proves blob framing (CRC + magic), bitmap
+    merge-on-replace, manifest rewrite, and DV application are all
+    exact."""
+    snap = read_iceberg(spark, _ensure_v3_lake(spark, sf_dir))
+    return (
+        snap.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+ICEBERG_V3_ORACLE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+WHERE NOT (doc_id BETWEEN 150 AND 249)
+  AND NOT (doc_id BETWEEN 100 AND 199 AND doc_id % 2 = 0)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+#: Bump when the lineage fixture lifecycle changes shape.
+_ICEBERG_LINEAGE_LAKE_VERSION = 1
+
+
+def _ensure_lineage_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once row-lineage fixture with DETERMINISTIC id
+    assignment: each batch lands as ONE file sorted by doc_id, so
+    `_row_id` = the doc's rank within its batch plus the batch's
+    first-row-id offset — a mapping SQL can restate exactly.  Batch 1
+    is the evens, batch 2 the odds, then a DV delete removes 100-249
+    (ids stay immutable for survivors)."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "iceberg_lineage", _ICEBERG_LINEAGE_LAKE_VERSION, sf_dir
+        ),
+        "docs_iceberg_lineage",
+    )
+    if not _metadata_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang"
+        )
+        for parity in (0, 1):
+            batch = (
+                docs.filter(F.col("doc_id") % 2 == parity)
+                .repartition(1)
+                .sortWithinPartitions("doc_id")
+            )
+            write_iceberg(batch, path, format_version=3)
+        delete_where_iceberg(
+            spark, path, "doc_id", 100, 249, strategy="merge-on-read"
+        )
+    return path
+
+
+def iceberg_row_lineage_entry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-tail entry for v3 ROW LINEAGE: read the lineage fixture
+    with `_row_id` / `_last_updated_sequence_number` attached and
+    aggregate per lang — count, sum/min/max of the row ids, and the
+    set-sum of update sequences.  The oracle recomputes every
+    surviving row's id from first principles (rank within its sorted
+    single-file batch + the batch's first-row-id offset, offsets being
+    exact batch sizes because manifest assignment consumes
+    added_rows_count), so a value match proves inheritance-based id
+    assignment, next-row-id bookkeeping across commits, and id
+    immutability under DV deletes — the property that makes _row_id a
+    durable join key for incremental downstream pipelines at 100 TB."""
+    lin = read_iceberg(
+        spark, _ensure_lineage_lake(spark, sf_dir), with_row_lineage=True
+    )
+    return (
+        lin.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_row_id").cast("bigint").alias("sum_row_ids"),
+            F.min("_row_id").cast("bigint").alias("min_row_id"),
+            F.max("_row_id").cast("bigint").alias("max_row_id"),
+            F.sum("_last_updated_sequence_number")
+            .cast("bigint")
+            .alias("sum_seqs"),
+        )
+        .orderBy("lang")
+    )
+
+
+ICEBERG_LINEAGE_ORACLE_SQL = """
+WITH ids AS (
+    SELECT doc_id, lang,
+           (ROW_NUMBER() OVER (
+                PARTITION BY doc_id % 2 ORDER BY doc_id
+            ) - 1)
+           + CASE WHEN doc_id % 2 = 1
+                  THEN (SELECT COUNT(*) FROM documents
+                        WHERE doc_id % 2 = 0)
+                  ELSE 0 END AS row_id,
+           CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS seq
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(row_id) AS BIGINT) AS sum_row_ids,
+       CAST(MIN(row_id) AS BIGINT) AS min_row_id,
+       CAST(MAX(row_id) AS BIGINT) AS max_row_id,
+       CAST(SUM(seq) AS BIGINT) AS sum_seqs
+FROM ids
+WHERE doc_id NOT BETWEEN 100 AND 249
+GROUP BY lang
+ORDER BY lang
+"""
