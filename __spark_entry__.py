@@ -37,6 +37,7 @@ from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_dat
     similarity,
     sqlfront,
     text,
+    tpchsql,
 )
 from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators.medications import (
     MEDICATIONS_CTE,
@@ -215,6 +216,8 @@ _TAIL_ORDER = [
     "tpch_q6_sql_frontend",
     "lake_iceberg_v3_dv",
     "lake_iceberg_row_lineage",
+    "tpch_q1_sql_frontend",
+    "tpch_q18_sql_frontend",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -295,6 +298,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         similarity,
         sqlfront,
+        tpchsql,
         multimodal,
         sampling,
         curation,
@@ -381,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         similarity,
         sqlfront,
+        tpchsql,
         multimodal,
         sampling,
         curation,
