@@ -860,6 +860,13 @@ def _part_literal(raw, spark_type: str):
     return F.lit(raw).cast(spark_type)
 
 
+def _ddl_type(typ: str):
+    """One Spark DataType from a DDL type string ("bigint", ...)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(typ)
+
+
 def _dv_positions_df(spark: SparkSession, dv_list: list[dict]) -> DataFrame:
     """Expand v3 deletion-vector blobs into a (_IB_FILE, _IB_POS)
     mask DataFrame.  Blob bytes are read driver-side (they are the
@@ -902,6 +909,7 @@ def _read_entries(
     eq_deletes: list[dict] | None = None,
     keep_identity: bool = False,
     dvs: list[dict] | None = None,
+    extra_read_cols: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Scan a set of data files, reconstructing identity-partition
     columns from each entry's partition struct — the spec's column
@@ -916,7 +924,11 @@ def _read_entries(
     sequence number is strictly below the delete's (the spec's
     application rule — rows appended after the delete survive).
     `keep_identity` keeps (_IB_FILE, _IB_POS) in the output — the
-    merge-on-read delete writer uses it to locate matched rows."""
+    merge-on-read delete writer uses it to locate matched rows.
+    `extra_read_cols` [(name, spark_type)] are read from every data
+    file when present (files lacking them yield NULL, Spark's
+    explicit-schema rule) — the v3 lineage path uses this to pull
+    MATERIALIZED `_row_id` columns out of rewritten files."""
     fields = _schema_of(meta)
     schema = _spark_schema(fields)
     by_id = {f["id"]: f for f in fields}
@@ -953,6 +965,8 @@ def _read_entries(
         if keep_identity:
             out = out.withColumn(_IB_FILE, F.lit(None).cast("string"))
             out = out.withColumn(_IB_POS, F.lit(None).cast("bigint"))
+        for name, typ in extra_read_cols or []:
+            out = out.withColumn(name, F.lit(None).cast(typ))
         return out
     # name-mapping (renames): each field may resolve from any of its
     # historical parquet column names — scan ALL candidates and
@@ -970,6 +984,8 @@ def _read_entries(
         candidates[fd["name"]] = names
     from pyspark.sql.types import StructField
 
+    extras = list(extra_read_cols or [])
+
     def read_schema_for(skip_srcs: set) -> StructType:
         read_cols = []
         for f in schema.fields:
@@ -977,6 +993,8 @@ def _read_entries(
                 continue
             for n in candidates[f.name]:
                 read_cols.append(StructField(n, f.dataType, True))
+        for name, typ in extras:
+            read_cols.append(StructField(name, _ddl_type(typ), True))
         return StructType(read_cols)
 
     deletes = list(delete_files or [])
@@ -1021,7 +1039,7 @@ def _read_entries(
         )
     extra = ([_IB_FILE, _IB_POS] if need_identity else []) + (
         [_IB_SEQ] if eqs else []
-    ) + (["_ib_part"] if any_scoped else [])
+    ) + (["_ib_part"] if any_scoped else []) + [n for n, _t in extras]
     frames = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
         sid = key[0]
@@ -1106,6 +1124,58 @@ def _read_entries(
     return out
 
 
+#: v3 row-lineage metadata column names (spec: `_row_id`,
+#: `_last_updated_sequence_number`).
+_ROW_ID = "_row_id"
+_LUSN = "_last_updated_sequence_number"
+
+
+def _lineage_scan(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    entries: list[dict],
+    pos_files: list[str],
+    eq_dels: list[dict],
+    dvs: list[dict],
+) -> DataFrame:
+    """Scan with `_row_id` / `_last_updated_sequence_number` attached,
+    resolving the v3 precedence rule: a MATERIALIZED column in the
+    data file wins (files written by a lineage-preserving rewrite
+    carry their rows' original ids); otherwise the id is inherited —
+    manifest anchor + row position — and the update sequence is the
+    file's data sequence number.  Anchors attach via one broadcast map
+    join, no shuffle."""
+    scan = _read_entries(
+        spark, path, meta, entries, pos_files, eq_dels,
+        keep_identity=True, dvs=dvs,
+        extra_read_cols=[(_ROW_ID, "bigint"), (_LUSN, "bigint")],
+    )
+    anchors = spark.createDataFrame(
+        [
+            (
+                e["data_file"]["file_path"].rsplit("/", 1)[-1],
+                e.get("_first_row_id"),
+                int(e.get("_seq", 0)),
+            )
+            for e in entries
+        ],
+        f"{_IB_FILE} string, _ib_first bigint, _ib_seq bigint",
+    )
+    out = (
+        scan.join(F.broadcast(anchors), _IB_FILE, "left")
+        .withColumn(
+            _ROW_ID,
+            F.coalesce(
+                F.col(_ROW_ID), F.col("_ib_first") + F.col(_IB_POS)
+            ),
+        )
+        .withColumn(_LUSN, F.coalesce(F.col(_LUSN), F.col("_ib_seq")))
+    )
+    data_cols = [f.name for f in _spark_schema(_schema_of(meta)).fields]
+    return out.select(*data_cols, _ROW_ID, _LUSN)
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -1154,29 +1224,8 @@ def read_iceberg(
             "row lineage needs a format-version 3 table — run "
             "upgrade_iceberg_format(path, 3) first"
         )
-    scan = _read_entries(
-        spark, path, meta, entries, pos_files, eq_deletes,
-        keep_identity=True, dvs=dvs,
-    )
-    anchors = spark.createDataFrame(
-        [
-            (
-                e["data_file"]["file_path"].rsplit("/", 1)[-1],
-                e.get("_first_row_id"),
-                int(e.get("_seq", 0)),
-            )
-            for e in entries
-        ],
-        f"{_IB_FILE} string, _ib_first bigint, "
-        "_last_updated_sequence_number bigint",
-    )
-    data_cols = [
-        f.name for f in _spark_schema(_schema_of(meta)).fields
-    ]
-    return (
-        scan.join(F.broadcast(anchors), _IB_FILE)
-        .withColumn("_row_id", F.col("_ib_first") + F.col(_IB_POS))
-        .select(*data_cols, "_row_id", "_last_updated_sequence_number")
+    return _lineage_scan(
+        spark, path, meta, entries, pos_files, eq_deletes, dvs
     )
 
 
@@ -2656,13 +2705,6 @@ def delete_where_iceberg(
     ) -> list[dict]:
         if base is None:
             raise FileNotFoundError(f"no Iceberg metadata under {path}")
-        if fv >= 3:
-            raise ValueError(
-                "copy-on-write DELETE on a v3 table would re-number the "
-                "surviving rows' lineage ids (v3 requires rewrites to "
-                "materialize _row_id, which this writer does not do) — "
-                "use strategy='merge-on-read' (deletion vectors)"
-            )
         prev = _snapshot(base, None)
         mfs = _read_manifest_list(path, prev) if prev is not None else []
         pos_files, eq_dels, _dvs = _delete_files(path, mfs)
@@ -2679,10 +2721,17 @@ def delete_where_iceberg(
             # live deletes apply to the pre-image read, so the rewrite
             # materializes them for the touched files; carried delete
             # manifests keep masking the EXISTING files, and their
-            # references to the dropped files are inert (path-matched)
-            old_rows = _read_entries(
-                spark, path, base, touched, pos_files, eq_dels
-            )
+            # references to the dropped files are inert (path-matched).
+            # On v3 the rewrite also materializes each surviving row's
+            # lineage columns (spec rewrite rule) so _row_id survives.
+            if fv >= 3:
+                old_rows = _lineage_scan(
+                    spark, path, base, touched, pos_files, eq_dels, _dvs
+                )
+            else:
+                old_rows = _read_entries(
+                    spark, path, base, touched, pos_files, eq_dels
+                )
             kept_rows = old_rows.filter(
                 F.col(col).isNull() | ~F.col(col).between(lo, hi)
             )
@@ -2992,20 +3041,28 @@ def compact_iceberg(
     def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
         if base is None:
             raise FileNotFoundError(f"no Iceberg metadata under {path}")
-        if fv >= 3:
-            raise ValueError(
-                "rewrite_data_files on a v3 table would re-number row "
-                "lineage ids (v3 requires rewrites to materialize "
-                "_row_id, which this writer does not do) — compact "
-                "before upgrading to format-version 3"
-            )
         prev = _snapshot(base, None)
         mfs = _read_manifest_list(path, prev) if prev is not None else []
         live = _live_entries(path, base, prev) if prev is not None else []
         if not live:
             return list(mfs)
         pos_files, eq_dels, _dvs = _delete_files(path, mfs)
-        scan = _read_entries(spark, path, base, live, pos_files, eq_dels)
+        if fv >= 3:
+            # v3 lineage-preserving rewrite: each surviving row's
+            # _row_id / _last_updated_sequence_number MATERIALIZE into
+            # the new files (the spec's rewrite rule), so ids survive
+            # the re-layout; the read path prefers the file columns
+            # over inheritance, making the rewrite invisible to
+            # lineage consumers.  The new manifest still consumes
+            # next-row-id for the ADDED entries — ids are unique, not
+            # dense, per the spec.
+            scan = _lineage_scan(
+                spark, path, base, live, pos_files, eq_dels, _dvs
+            )
+        else:
+            scan = _read_entries(
+                spark, path, base, live, pos_files, eq_dels
+            )
         total = sum(
             e["data_file"].get("file_size_in_bytes") or 0 for e in live
         )

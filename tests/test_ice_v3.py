@@ -164,13 +164,52 @@ def test_v3_eq_deletes_still_work(spark, tmp_path):
     ]
 
 
-def test_v3_refuses_cow_and_compaction(spark, tmp_path):
+def _lineage_map(spark, path):
+    return {
+        r["doc_id"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in ib.read_iceberg(spark, path, with_row_lineage=True)
+        .select("doc_id", "_row_id", "_last_updated_sequence_number")
+        .collect()
+    }
+
+
+def test_v3_compaction_materializes_row_lineage(spark, tmp_path):
     path = os.path.join(tmp_path, "t")
-    ib.write_iceberg(_df(spark, 0, 10), path, format_version=3)
-    with pytest.raises(ValueError, match="merge-on-read"):
-        ib.delete_where_iceberg(spark, path, "doc_id", 0, 3, strategy="cow")
-    with pytest.raises(ValueError, match="lineage"):
-        ib.compact_iceberg(spark, path)
+    ib.write_iceberg(_df(spark, 0, 40).repartition(4), path,
+                     format_version=3)
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 10, 14, strategy="merge-on-read"
+    )
+    before = _lineage_map(spark, path)
+    ib.compact_iceberg(spark, path)
+    # the rewrite folded the DVs away and re-laid the files, but every
+    # surviving row keeps its _row_id AND its original update sequence
+    # (materialized columns win over inheritance on read)
+    assert _lineage_map(spark, path) == before
+    _pos, _eq, dvs = _live_deletes(path)
+    assert dvs == []
+    # a fresh DV delete over the MATERIALIZED files still works, and
+    # survivors still keep their ids
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 20, 24, strategy="merge-on-read"
+    )
+    after = _lineage_map(spark, path)
+    assert set(after) == set(before) - set(range(20, 25))
+    assert all(after[k] == before[k] for k in after)
+
+
+def test_v3_cow_delete_materializes_row_lineage(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 30).repartition(2), path,
+                     format_version=3)
+    before = _lineage_map(spark, path)
+    ib.delete_where_iceberg(spark, path, "doc_id", 5, 9, strategy="cow")
+    after = _lineage_map(spark, path)
+    assert set(after) == set(before) - set(range(5, 10))
+    assert all(after[k] == before[k] for k in after)
+    assert _ids(ib.read_iceberg(spark, path)) == [
+        i for i in range(30) if not 5 <= i <= 9
+    ]
 
 
 # --------------------------------------------------------------------------
