@@ -218,6 +218,7 @@ _TAIL_ORDER = [
     "lake_iceberg_row_lineage",
     "tpch_q1_sql_frontend",
     "tpch_q18_sql_frontend",
+    "lake_delta_row_tracking",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -330,6 +331,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_delta_merge"] = _deltaproto.delta_merge_entry
     pool["lake_delta_generated"] = _deltaproto.delta_generated_entry
     pool["lake_delta_meta"] = _deltaproto.delta_meta_tables_entry
+    pool["lake_delta_row_tracking"] = _deltaproto.delta_row_tracking_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         iceberg as _iceberg,
     )
@@ -412,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_delta_merge"] = _deltaproto.DELTA_MERGE_ORACLE_SQL
     pool["lake_delta_generated"] = _deltaproto.DELTA_GENERATED_ORACLE_SQL
     pool["lake_delta_meta"] = _deltaproto.DELTA_META_ORACLE_SQL
+    pool["lake_delta_row_tracking"] = _deltaproto.DELTA_RT_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         iceberg as _iceberg,
     )

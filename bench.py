@@ -126,9 +126,13 @@ HEADLINE = [
     "mm_video_avc1_meta",
     "mm_audio_ogg_meta",
     "tpch_q6_sql_frontend",
-    # r10 session 3: Iceberg v3 deletion vectors + row lineage
+    # r10 session 3: Iceberg v3 deletion vectors + row lineage, Delta
+    # row tracking, TPC-H through the SQL front end
     "lake_iceberg_v3_dv",
     "lake_iceberg_row_lineage",
+    "lake_delta_row_tracking",
+    "tpch_q1_sql_frontend",
+    "tpch_q18_sql_frontend",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -174,6 +178,8 @@ HEAVY_WARMUPS = {
     # first warm pass runs the full v3 lifecycle (upgrade + DV writes)
     "lake_iceberg_v3_dv": 2,
     "lake_iceberg_row_lineage": 2,
+    # first warm pass runs the row-tracking lifecycle (enable/DV/update)
+    "lake_delta_row_tracking": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

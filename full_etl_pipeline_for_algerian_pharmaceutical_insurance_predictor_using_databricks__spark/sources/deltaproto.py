@@ -141,6 +141,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # commitInfo.inCommitTimestamp on every commit when the table
     # property is on (r10)
     "inCommitTimestamp",
+    # row tracking: baseRowId assignment at claim time, materialized
+    # _row_id/_row_commit_version columns on rewrite (r10)
+    "rowTracking",
+    "domainMetadata",
 }
 
 
@@ -497,13 +501,16 @@ def read_delta(
     path: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    with_row_tracking: bool = False,
 ) -> DataFrame:
     """Snapshot (optionally time-travel by `version` or `TIMESTAMP AS
     OF` via `timestamp_ms`) read of a real Delta table.  Partition
     columns are reconstructed from each add-action's `partitionValues`
     (the authoritative source — they are absent from the data files),
     cast to the schema's types, and the groups unioned; unpartitioned
-    tables are a single multi-file scan."""
+    tables are a single multi-file scan.  `with_row_tracking` appends
+    the spec's `_row_id` / `_row_commit_version` metadata columns
+    (row-tracked tables only)."""
     from pyspark.sql.types import StructType
 
     if timestamp_ms is not None:
@@ -513,8 +520,20 @@ def read_delta(
     meta, live, version = _fold_delta_state(spark, path, version)
     if not live:
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        return spark.createDataFrame([], schema)
-    return _read_adds(spark, path, meta, live)
+        out = spark.createDataFrame([], schema)
+        if with_row_tracking:
+            if _rt_materialized_cols(meta) is None:
+                raise ValueError(
+                    "row tracking is not enabled on this table — run "
+                    "enable_delta_row_tracking first"
+                )
+            out = out.withColumn(
+                "_row_id", F.lit(None).cast("bigint")
+            ).withColumn("_row_commit_version", F.lit(None).cast("bigint"))
+        return out
+    return _read_adds(
+        spark, path, meta, live, row_tracking=with_row_tracking
+    )
 
 
 def delta_version_at_timestamp(path: str, timestamp_ms: int) -> int:
@@ -578,6 +597,163 @@ def delta_txn_versions(spark: SparkSession, path: str) -> dict[str, int]:
                     txns.get(t["appId"], -1), int(t["version"])
                 )
     return txns
+
+
+def _delta_domains(path: str) -> dict[str, str]:
+    """Live `domainMetadata` state — {domain: configuration JSON
+    string}, latest action per domain winning, `removed: true`
+    dropping it — folded PURE-PYTHON (pyarrow for parquet
+    checkpoints) so commit-time hooks can read it without a
+    SparkSession.  Domain metadata lives in classic checkpoint rows /
+    the v2 TOP-LEVEL file (never sidecars) plus the JSON tail."""
+    domains: dict[str, str] = {}
+
+    def fold(d: dict) -> None:
+        dm = d.get("domainMetadata")
+        if not dm or dm.get("domain") is None:
+            return
+        if dm.get("removed"):
+            domains.pop(dm["domain"], None)
+        else:
+            domains[dm["domain"]] = dm.get("configuration") or "{}"
+
+    start_after = -1
+    ckpt = _last_checkpoint(path)
+    if ckpt is not None:
+        ck_v = int(ckpt["version"])
+        ck_files = _find_checkpoint_files(path, ck_v)
+        if ck_files:
+            for f in ck_files:
+                if f.endswith(".json"):
+                    with open(f) as fh:
+                        for line in fh:
+                            line = line.strip()
+                            if line:
+                                fold(json.loads(line))
+                else:
+                    import pyarrow.parquet as pq
+
+                    pf = pq.ParquetFile(f)
+                    if "domainMetadata" in set(pf.schema_arrow.names):
+                        for d in pq.read_table(
+                            f, columns=["domainMetadata"]
+                        ).to_pylist():
+                            fold(d)
+            start_after = ck_v
+    for v in delta_versions(path):
+        if v <= start_after:
+            continue
+        for a in _read_actions(path, v):
+            fold(a)
+    return domains
+
+
+#: DomainMetadata domain carrying the row-tracking high-water mark.
+_RT_DOMAIN = "delta.rowTracking"
+
+
+def _rt_high_water_mark(path: str) -> int:
+    """Highest row id ever assigned (-1 before any assignment), from
+    the `delta.rowTracking` domain — the allocation cursor the spec
+    keeps OUT of the metaData action so concurrent writers contend on
+    one tiny domain row, not the schema."""
+    cfg = _delta_domains(path).get(_RT_DOMAIN)
+    if not cfg:
+        return -1
+    return int(json.loads(cfg).get("rowIdHighWaterMark", -1))
+
+
+def _rt_materialized_cols(meta: dict) -> tuple[str, str] | None:
+    """(row-id column, row-commit-version column) physical names for a
+    row-tracked table, from the spec's configuration keys; None when
+    row tracking is off."""
+    cfg = meta.get("configuration") or {}
+    if cfg.get("delta.enableRowTracking") != "true":
+        return None
+    rid = cfg.get("delta.rowTracking.materializedRowIdColumnName")
+    rcv = cfg.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    if not rid or not rcv:
+        raise ValueError(
+            "row tracking enabled without materialized column names — "
+            "malformed table configuration"
+        )
+    return rid, rcv
+
+
+def _rt_stamp_lines(path: str, lines: list[str], version: int) -> list[str]:
+    """Commit-time row-id assignment (runs INSIDE the claim retry loop
+    so a lost race re-reads the high-water mark): every add action
+    without a `baseRowId` gets the next id range (consuming its
+    stats.numRecords), `defaultRowCommitVersion` defaults to the
+    claimed version, and the new high-water mark lands as a
+    domainMetadata action in the same commit.  Adds that already carry
+    baseRowId (re-adds: DV updates, RESTORE, carried files) keep
+    theirs — that is what makes row ids durable."""
+    hwm = _rt_high_water_mark(path)
+    cursor = hwm + 1
+    out = []
+    for ln in lines:
+        a = json.loads(ln)
+        add = a.get("add")
+        if add is not None:
+            if add.get("baseRowId") is None:
+                stats = add.get("stats")
+                n = json.loads(stats).get("numRecords") if stats else None
+                if n is None:
+                    raise ValueError(
+                        "row tracking needs numRecords stats on every "
+                        f"add action (missing for {add.get('path')!r})"
+                    )
+                add["baseRowId"] = cursor
+                cursor += int(n)
+            if add.get("defaultRowCommitVersion") is None:
+                add["defaultRowCommitVersion"] = version
+            ln = json.dumps(a)
+        elif "domainMetadata" in a and (
+            a["domainMetadata"].get("domain") == _RT_DOMAIN
+        ):
+            continue  # re-stamped below with the fresh cursor
+        out.append(ln)
+    new_hwm = max(hwm, cursor - 1)
+    out.append(
+        json.dumps(
+            {
+                "domainMetadata": {
+                    "domain": _RT_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": new_hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+    )
+    return out
+
+
+def _rt_materialize(df: DataFrame, rt_cols: tuple[str, str]) -> DataFrame:
+    """Rename the logical lineage columns onto their configured hidden
+    file-column names before landing a rewrite."""
+    rid, rcv = rt_cols
+    return df.withColumnRenamed("_row_id", rid).withColumnRenamed(
+        "_row_commit_version", rcv
+    )
+
+
+def _rt_enabled_for_commit(path: str, lines: list[str]) -> bool:
+    """Whether the commit being written targets a row-tracked table:
+    a metaData action INSIDE the commit wins (the enablement commit
+    itself), else the table's current configuration."""
+    for ln in lines:
+        a = json.loads(ln)
+        if "metaData" in a:
+            cfg = a["metaData"].get("configuration") or {}
+            return cfg.get("delta.enableRowTracking") == "true"
+    return (
+        _current_config(path).get("delta.enableRowTracking") == "true"
+    )
 
 
 def delta_history(path: str) -> list[dict]:
@@ -797,12 +973,18 @@ def _claim_delta_version(path: str, lines: list[str]) -> int:
     version on a lost race — the writer rule the protocol requires.
     On ICT tables every attempt re-stamps a monotone
     commitInfo.inCommitTimestamp (max(prev+1, now), recomputed per
-    attempt so a lost race never regresses the clock)."""
+    attempt so a lost race never regresses the clock).  On row-tracked
+    tables every attempt (re-)assigns baseRowId ranges from the
+    freshly-read high-water mark and stamps the new mark's
+    domainMetadata — so two racing appends can never hand out
+    overlapping row ids."""
     ld = _log_dir(path)
     os.makedirs(ld, exist_ok=True)
     ict = _ict_enabled(path)
+    rt = _rt_enabled_for_commit(path, lines)
+    dynamic = ict or rt
     tmp = os.path.join(ld, f"_commit-{uuid.uuid4().hex}.json.tmp")
-    if not ict:
+    if not dynamic:
         with open(tmp, "w") as f:
             f.write("\n".join(lines) + "\n")
             f.flush()
@@ -814,16 +996,19 @@ def _claim_delta_version(path: str, lines: list[str]) -> int:
         ckpt = _last_checkpoint(path)
         floor = int(ckpt["version"]) + 1 if ckpt is not None else 0
         version = max((vs[-1] + 1) if vs else 0, floor)
-        if ict:
-            ts = max(_last_ict(path) + 1, int(time.time() * 1000))
+        if dynamic:
+            eff = _rt_stamp_lines(path, lines, version) if rt else lines
+            if ict:
+                ts = max(_last_ict(path) + 1, int(time.time() * 1000))
+                eff = _with_ict(eff, ts)
             with open(tmp, "w") as f:
-                f.write("\n".join(_with_ict(lines, ts)) + "\n")
+                f.write("\n".join(eff) + "\n")
                 f.flush()
                 os.fsync(f.fileno())
         try:
             os.link(tmp, os.path.join(ld, _LOG_FMT.format(version)))
         except FileExistsError:
-            if ict:
+            if dynamic:
                 os.unlink(tmp)
                 tmp = os.path.join(
                     ld, f"_commit-{uuid.uuid4().hex}.json.tmp"
@@ -1306,9 +1491,18 @@ def delete_where_delta(
         return _delete_where_delta_dv(
             spark, path, meta, touched, part_cols, col, lo, hi
         )
-    old_rows = _read_adds(spark, path, meta, touched)
+    rt_cols = _rt_materialized_cols(meta)
+    old_rows = _read_adds(
+        spark, path, meta, touched, row_tracking=bool(rt_cols)
+    )
     kept = old_rows.filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
     dropped = old_rows.filter(F.col(col).between(lo, hi))
+    if rt_cols:
+        # copy-on-write under row tracking: surviving rows carry their
+        # ids and commit versions into the rewritten files as the
+        # spec's MATERIALIZED columns
+        kept = _rt_materialize(kept, rt_cols)
+        dropped = dropped.drop("_row_id", "_row_commit_version")
     files = _land_parquet(kept, path, part_cols or None, mapping=mapping)
     cdc_files = _land_cdc(
         dropped.withColumn("_change_type", F.lit("delete")), path,
@@ -1537,6 +1731,12 @@ def _delete_where_delta_dv(
         }
         if old_add.get("stats"):
             new_add["stats"] = old_add["stats"]
+        # row tracking: the SAME physical file keeps its anchors — the
+        # whole point of the DV shape is that surviving rows' ids and
+        # commit versions never change
+        for k in ("baseRowId", "defaultRowCommitVersion"):
+            if old_add.get(k) is not None:
+                new_add[k] = old_add[k]
         lines.append(json.dumps({"add": new_add}))
     for rel, size in cdc_files:
         lines.append(
@@ -1745,9 +1945,10 @@ def update_where_delta(
     vs = delta_versions(path)
     if not touched:
         return vs[-1]
-    old_rows = _read_adds(spark, path, meta, touched).localCheckpoint(
-        eager=True
-    )
+    rt_cols = _rt_materialized_cols(meta)
+    old_rows = _read_adds(
+        spark, path, meta, touched, row_tracking=bool(rt_cols)
+    ).localCheckpoint(eager=True)
     cond = F.col(col).between(lo, hi)
     pre = old_rows.filter(cond)
     carried = old_rows.filter(F.col(col).isNull() | ~cond)
@@ -1756,7 +1957,19 @@ def update_where_delta(
         post = post.withColumn(c, F.expr(expr))
     post = post.select(*old_rows.columns)
     _enforce_constraints(post, meta)
+    if rt_cols:
+        # spec: an updated row KEEPS its _row_id but its commit
+        # version becomes the update's — materialize NULL so it
+        # inherits the new file's defaultRowCommitVersion; carried
+        # rows materialize both
+        post = post.withColumn(
+            "_row_commit_version", F.lit(None).cast("bigint")
+        )
     merged = carried.unionByName(post)
+    if rt_cols:
+        merged = _rt_materialize(merged, rt_cols)
+        pre = pre.drop("_row_id", "_row_commit_version")
+        post = post.drop("_row_id", "_row_commit_version")
     files = _land_parquet(merged, path, part_cols or None, mapping=mapping)
     cdc = (
         pre.withColumn("_change_type", F.lit("update_preimage"))
@@ -1836,7 +2049,8 @@ def optimize_zorder_delta(
     _check_writer(_current_protocol(path), meta, "optimize")
     mapping = _column_mapping(meta)
     part_cols = list(meta.get("partitionColumns") or [])
-    snap = _read_adds(spark, path, meta, live)
+    rt_cols = _rt_materialized_cols(meta)
+    snap = _read_adds(spark, path, meta, live, row_tracking=bool(rt_cols))
     lo_hi = snap.agg(
         F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
     ).first()
@@ -1854,6 +2068,9 @@ def optimize_zorder_delta(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+    if rt_cols:
+        # a re-layout copies rows between files — lineage materializes
+        clustered = _rt_materialize(clustered, rt_cols)
     files = _land_parquet(clustered, path, part_cols or None, mapping=mapping)
     now_ms = int(time.time() * 1000)
     lines = [
@@ -1978,26 +2195,48 @@ def merge_upsert_delta(
         )
     }
     keys = updates.select(key).distinct()
+    rt_cols = _rt_materialized_cols(meta)
     if touched:
-        old_rows = _read_adds(spark, path, meta, touched).localCheckpoint(
-            eager=True
-        )
+        old_rows = _read_adds(
+            spark, path, meta, touched, row_tracking=bool(rt_cols)
+        ).localCheckpoint(eager=True)
         carried = old_rows.join(keys, key, "left_anti")
         matched_old = old_rows.join(F.broadcast(keys), key, "left_semi")
         # keys present in the pre-image (touched files provably hold
         # every possible match — pruning is conservative); NOT
         # broadcast: touched files can be arbitrarily large
         old_keys = old_rows.select(key).distinct()
-        merged = carried.unionByName(updates)
+        if rt_cols:
+            # matched rows KEEP their _row_id (joined back by key) and
+            # renew their commit version (null → inherits the merge
+            # commit); unmatched source rows stay null on both —
+            # genuinely fresh rows get fresh ids from baseRowId+pos
+            merged = carried.unionByName(
+                updates.join(
+                    matched_old.select(key, "_row_id"), key, "left"
+                )
+                .withColumn(
+                    "_row_commit_version", F.lit(None).cast("bigint")
+                )
+                .select(*carried.columns)
+            )
+        else:
+            merged = carried.unionByName(updates)
     else:
         old_rows = None
         matched_old = None
         old_keys = None
         merged = updates
+    if rt_cols and touched:
+        merged = _rt_materialize(merged, rt_cols)
     files = _land_parquet(merged, path, part_cols or None, mapping=mapping)
     # MERGE change feed: preimage/postimage for matched, insert for new
     cdc_frames = []
     if matched_old is not None:
+        if rt_cols:
+            matched_old = matched_old.drop(
+                "_row_id", "_row_commit_version"
+            )
         cdc_frames.append(
             matched_old.withColumn("_change_type", F.lit("update_preimage"))
         )
@@ -2222,7 +2461,13 @@ def compact_delta(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     part_cols = list(meta.get("partitionColumns") or [])
     total = sum(int(a.get("size") or 0) for a in live.values())
     n_files = max(1, math.ceil(total / (target_mb << 20)))
-    snap = _read_adds(spark, path, meta, live).repartition(n_files)
+    rt_cols = _rt_materialized_cols(meta)
+    snap = _read_adds(
+        spark, path, meta, live, row_tracking=bool(rt_cols)
+    ).repartition(n_files)
+    if rt_cols:
+        # compaction copies rows between files — lineage materializes
+        snap = _rt_materialize(snap, rt_cols)
     files = _land_parquet(snap, path, part_cols or None, mapping=mapping)
     now_ms = int(time.time() * 1000)
     lines = [
@@ -2379,13 +2624,20 @@ def _apply_dvs(
     pos = spark.createDataFrame(
         pos_rows, f"{_DP_FILE} string, {_DP_RI} bigint"
     )
-    keyed = df.withColumn(
-        _DP_FILE,
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-    ).withColumn(_DP_RI, F.col("_metadata.row_index"))
-    return keyed.join(F.broadcast(pos), [_DP_FILE, _DP_RI], "left_anti").drop(
-        _DP_FILE, _DP_RI
+    # callers that already carry the identity columns (row-tracking
+    # scans) keep them through the anti-join; otherwise they are
+    # derived from _metadata here and dropped after
+    have = _DP_FILE in df.columns
+    keyed = (
+        df
+        if have
+        else df.withColumn(
+            _DP_FILE,
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn(_DP_RI, F.col("_metadata.row_index"))
     )
+    joined = keyed.join(F.broadcast(pos), [_DP_FILE, _DP_RI], "left_anti")
+    return joined if have else joined.drop(_DP_FILE, _DP_RI)
 
 
 def _mapping_mode(meta: dict) -> str:
@@ -2550,7 +2802,11 @@ def _abs_add_path(table_path: str, p: str) -> str:
 
 
 def _read_adds(
-    spark: SparkSession, path: str, meta: dict, adds: dict
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    adds: dict,
+    row_tracking: bool = False,
 ) -> DataFrame:
     """Read a set of add-actions' files with partition columns
     reconstructed and deletion vectors applied — the shared scan used
@@ -2566,8 +2822,14 @@ def _read_adds(
     ids the writer stamped in the files — parquet column NAMES are
     free to differ file-to-file (that is the point of id mode: renames
     never rewrite data), so no rename pass exists; `partitionValues`
-    keys remain in the physicalName namespace per the spec."""
-    from pyspark.sql.types import StructField, StructType
+    keys remain in the physicalName namespace per the spec.
+
+    `row_tracking=True` appends `_row_id` / `_row_commit_version`:
+    a MATERIALIZED hidden column in the data file wins (files written
+    by a row-id-preserving rewrite), else the add-action anchors —
+    baseRowId + `_metadata.row_index`, defaultRowCommitVersion — via
+    one broadcast map join (the spec's fresh-row rule)."""
+    from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     id_mode = _mapping_mode(meta) == "id"
@@ -2604,6 +2866,15 @@ def _read_adds(
                 if f.name not in part_cols
             ]
         )
+    rt_cols = _rt_materialized_cols(meta) if row_tracking else None
+    if row_tracking and rt_cols is None:
+        raise ValueError(
+            "row tracking is not enabled on this table — run "
+            "enable_delta_row_tracking first"
+        )
+    if rt_cols:
+        for c in rt_cols:
+            read_schema = read_schema.add(StructField(c, LongType(), True))
     groups: dict[tuple, list[str]] = {}
     for fname, add in adds.items():
         pv = (add.get("partitionValues") or {}) if part_cols else {}
@@ -2621,6 +2892,11 @@ def _read_adds(
         df = spark.read.schema(read_schema).parquet(
             *[_abs_add_path(path, f) for f in sorted(fs)]
         )
+        if rt_cols:
+            df = df.withColumn(
+                _DP_FILE,
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            ).withColumn(_DP_RI, F.col("_metadata.row_index"))
         if dv_files:
             df = _apply_dvs(spark, path, df, dv_files)
         # name mode scans under physical names → rename to logical;
@@ -2633,10 +2909,44 @@ def _read_adds(
         for c, raw in zip(part_cols, key):
             lit = F.lit(None) if raw is None else F.lit(raw)
             df = df.withColumn(c, lit.cast(types[c]))
-        frames.append(df.select(*[f.name for f in schema.fields]))
+        out_cols = [f.name for f in schema.fields]
+        if rt_cols:
+            out_cols += [_DP_FILE, _DP_RI, *rt_cols]
+        frames.append(df.select(*out_cols))
     out = frames[0]
     for df in frames[1:]:
         out = out.unionByName(df)
+    if rt_cols:
+        anchors = spark.createDataFrame(
+            [
+                (
+                    f.rsplit("/", 1)[-1],
+                    a.get("baseRowId"),
+                    a.get("defaultRowCommitVersion"),
+                )
+                for f, a in adds.items()
+            ],
+            f"{_DP_FILE} string, _dp_base bigint, _dp_dcv bigint",
+        )
+        rid, rcv = rt_cols
+        out = (
+            out.join(F.broadcast(anchors), _DP_FILE, "left")
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col(rid), F.col("_dp_base") + F.col(_DP_RI)
+                ),
+            )
+            .withColumn(
+                "_row_commit_version",
+                F.coalesce(F.col(rcv), F.col("_dp_dcv")),
+            )
+            .select(
+                *[f.name for f in schema.fields],
+                "_row_id",
+                "_row_commit_version",
+            )
+        )
     return out
 
 
@@ -2671,18 +2981,20 @@ def write_delta_checkpoint(
         "size:bigint,modificationTime:bigint,dataChange:boolean,"
         "stats:string,deletionVector:struct<storageType:string,"
         "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
-        "cardinality:bigint>>"
+        "cardinality:bigint>,baseRowId:bigint,"
+        "defaultRowCommitVersion:bigint>"
     )
     meta_type = (
         "struct<id:string,format:struct<provider:string>,"
         "schemaString:string,partitionColumns:array<string>,"
-        "createdTime:bigint>"
+        "configuration:map<string,string>,createdTime:bigint>"
     )
     proto_type = (
         "struct<minReaderVersion:int,minWriterVersion:int,"
         "readerFeatures:array<string>,writerFeatures:array<string>>"
     )
     txn_type = "struct<appId:string,version:bigint>"
+    dm_type = "struct<domain:string,configuration:string,removed:boolean>"
     rows = [
         {
             "add": {
@@ -2707,10 +3019,15 @@ def write_delta_checkpoint(
                     if (dv := a.get("deletionVector"))
                     else None
                 ),
+                # row-tracking anchors survive too, or every row id
+                # would silently change after a checkpoint
+                "baseRowId": a.get("baseRowId"),
+                "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
             },
             "metaData": None,
             "protocol": None,
             "txn": None,
+            "domainMetadata": None,
         }
         for a in live.values()
     ]
@@ -2722,10 +3039,15 @@ def write_delta_checkpoint(
                 "format": {"provider": "parquet"},
                 "schemaString": meta["schemaString"],
                 "partitionColumns": list(meta.get("partitionColumns") or []),
+                # configuration must survive, or CHECK constraints /
+                # column mapping / row tracking silently degrade after
+                # log cleanup
+                "configuration": dict(meta.get("configuration") or {}),
                 "createdTime": int(meta.get("createdTime") or 0),
             },
             "protocol": None,
             "txn": None,
+            "domainMetadata": None,
         }
     )
     # the checkpoint must restate the table's ACTUAL protocol (feature
@@ -2737,6 +3059,7 @@ def write_delta_checkpoint(
             "metaData": None,
             "protocol": _current_protocol(path),
             "txn": None,
+            "domainMetadata": None,
         }
     )
     # and the application-transaction state (latest txn per appId), or
@@ -2749,17 +3072,39 @@ def write_delta_checkpoint(
                 "metaData": None,
                 "protocol": None,
                 "txn": {"appId": app_id, "version": int(txv)},
+                "domainMetadata": None,
+            }
+        )
+    # live metadata domains (e.g. delta.rowTracking's high-water mark)
+    for dom, cfg in sorted(_delta_domains(path).items()):
+        rows.append(
+            {
+                "add": None,
+                "metaData": None,
+                "protocol": None,
+                "txn": None,
+                "domainMetadata": {
+                    "domain": dom,
+                    "configuration": cfg,
+                    "removed": False,
+                },
             }
         )
     schema = (
         f"add {add_type}, metaData {meta_type}, protocol {proto_type}, "
-        f"txn {txn_type}"
+        f"txn {txn_type}, domainMetadata {dm_type}"
     )
     ck = os.path.join(_log_dir(path), _CKPT_FMT.format(version))
     tmpdir = os.path.join(_log_dir(path), f"_ckpt-{uuid.uuid4().hex}")
     spark.createDataFrame(
         [
-            (r["add"], r["metaData"], r["protocol"], r["txn"])
+            (
+                r["add"],
+                r["metaData"],
+                r["protocol"],
+                r["txn"],
+                r["domainMetadata"],
+            )
             for r in rows
         ],
         schema,
@@ -2795,7 +3140,8 @@ def _write_checkpoint_v2(
         "size:bigint,modificationTime:bigint,dataChange:boolean,"
         "stats:string,deletionVector:struct<storageType:string,"
         "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
-        "cardinality:bigint>>"
+        "cardinality:bigint>,baseRowId:bigint,"
+        "defaultRowCommitVersion:bigint>"
     )
     add_rows = [
         (
@@ -2817,6 +3163,8 @@ def _write_checkpoint_v2(
                     if (dv := a.get("deletionVector"))
                     else None
                 ),
+                a.get("baseRowId"),
+                a.get("defaultRowCommitVersion"),
             ),
         )
         for a in live.values()
@@ -2863,6 +3211,18 @@ def _write_checkpoint_v2(
     for app_id, txv in sorted(delta_txn_versions(spark, path).items()):
         lines.append(
             json.dumps({"txn": {"appId": app_id, "version": int(txv)}})
+        )
+    for dom, cfg in sorted(_delta_domains(path).items()):
+        lines.append(
+            json.dumps(
+                {
+                    "domainMetadata": {
+                        "domain": dom,
+                        "configuration": cfg,
+                        "removed": False,
+                    }
+                }
+            )
         )
     sc_path = os.path.join(sc_dir, sc_name)
     lines.append(
@@ -2960,6 +3320,87 @@ def enable_delta_ict(spark: SparkSession, path: str) -> int:
             [json.dumps({"metaData": dict(meta, configuration=conf)})],
         )
     return got
+
+
+def enable_delta_row_tracking(spark: SparkSession, path: str) -> int:
+    """Enable ROW TRACKING (spec: writer feature `rowTracking` +
+    `domainMetadata`, writer v7; readers need nothing, which is why
+    the feature is writer-only): every row gets a durable `_row_id`
+    (fresh rows: add-action `baseRowId` + position) and a
+    `_row_commit_version` (fresh: `defaultRowCommitVersion`), with
+    rewrites materializing both into hidden file columns whose names
+    live in the table configuration.  The enablement commit BACKFILLS
+    the existing table metadata-only: every live add is re-committed
+    with its original commit version as `defaultRowCommitVersion`
+    (from a log walk; checkpoint-era files fall back to the enablement
+    version) and `_claim_delta_version` assigns their baseRowId ranges
+    + the `delta.rowTracking` high-water mark in the same commit — no
+    data file is touched."""
+    meta, live, _v = _fold_delta_state(spark, path, None)
+    conf = dict(meta.get("configuration") or {})
+    if conf.get("delta.enableRowTracking") == "true":
+        return delta_versions(path)[-1]
+    proto = _current_protocol(path)
+    feats_w = set(proto.get("writerFeatures") or [])
+    if proto.get("minWriterVersion", 1) < 7:
+        for ver, feats in _IMPLIED_WRITER_FEATURES.items():
+            if proto.get("minWriterVersion", 1) >= ver:
+                feats_w.update(feats)
+    feats_w.update({"rowTracking", "domainMetadata"})
+    unsupported = feats_w - _SUPPORTED_WRITER_FEATURES
+    if unsupported:
+        raise ValueError(
+            "cannot upgrade: implied writer features we do not "
+            f"implement: {sorted(unsupported)}"
+        )
+    new_proto = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(feats_w),
+    }
+    if proto.get("minReaderVersion", 1) >= 3:
+        new_proto["readerFeatures"] = sorted(
+            set(proto.get("readerFeatures") or [])
+        )
+    tag = uuid.uuid4().hex[:8]
+    conf["delta.enableRowTracking"] = "true"
+    conf["delta.rowTracking.materializedRowIdColumnName"] = (
+        f"_row_id_col_{tag}"
+    )
+    conf["delta.rowTracking.materializedRowCommitVersionColumnName"] = (
+        f"_row_cv_col_{tag}"
+    )
+    # original commit version per live file (for defaultRowCommitVersion)
+    add_versions: dict[str, int] = {}
+    for v in delta_versions(path):
+        for a in _read_actions(path, v):
+            if "add" in a:
+                add_versions[a["add"]["path"]] = v
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "UPGRADE",
+                    "operationParameters": {"feature": "rowTracking"},
+                }
+            }
+        ),
+        json.dumps({"protocol": new_proto}),
+        json.dumps({"metaData": dict(meta, configuration=conf)}),
+    ]
+    for fname in sorted(live):
+        add = dict(live[fname])
+        add.pop("baseRowId", None)  # assigned at claim time
+        ov = add_versions.get(fname)
+        if ov is not None:
+            add["defaultRowCommitVersion"] = ov
+        else:
+            add.pop("defaultRowCommitVersion", None)
+        add["dataChange"] = False
+        lines.append(json.dumps({"add": add}))
+    return _claim_delta_version(path, lines)
 
 
 def upgrade_delta_to_v2_checkpoints(path: str) -> int:
@@ -3314,6 +3755,100 @@ SELECT lang,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
        CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+#: Bump when the row-tracking fixture lifecycle changes shape.
+_DELTA_RT_LAKE_VERSION = 1
+
+
+def _ensure_rt_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once row-tracking fixture with DETERMINISTIC id
+    assignment: each batch lands as ONE file sorted by doc_id (so
+    `_row_id` = rank within batch + batch offset, restatable in SQL).
+    Lifecycle: v0 evens, v1 enable (backfill, commit version 0 kept),
+    v2 odds, v3 DV delete 100-249 (anchors carried, no rewrite), v4
+    UPDATE nchars for doc_id 300-349 (rewrite: ids MATERIALIZE, only
+    the updated rows' commit version moves to 4)."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir("deltart", _DELTA_RT_LAKE_VERSION, sf_dir),
+        "docs_delta_rt",
+    )
+    if not delta_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", F.length("text").cast("bigint").alias("nchars")
+        )
+        for parity in (0, 1):
+            batch = (
+                docs.filter(F.col("doc_id") % 2 == parity)
+                .repartition(1)
+                .sortWithinPartitions("doc_id")
+            )
+            write_delta(batch, path)
+            if parity == 0:
+                enable_delta_row_tracking(spark, path)
+        delete_where_delta(spark, path, "doc_id", 100, 249, strategy="dv")
+        update_where_delta(
+            spark, path, {"nchars": "nchars + 1000000"}, "doc_id", 300, 349
+        )
+    return path
+
+
+def delta_row_tracking_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for Delta ROW TRACKING: read the fixture with
+    `_row_id` / `_row_commit_version` attached and aggregate per lang.
+    The oracle recomputes every surviving row's id from first
+    principles (rank within its sorted single-file batch + the batch
+    offset) and every row's commit version from the lifecycle (evens
+    0, odds 2, updated rows 4), so a value match proves claim-time
+    baseRowId assignment, high-water-mark bookkeeping, anchor
+    preservation through the DV delete, and id materialization through
+    the UPDATE rewrite — the durable-row-id contract an incremental
+    100-TB pipeline joins on."""
+    rt = read_delta(
+        spark, _ensure_rt_lake(spark, sf_dir), with_row_tracking=True
+    )
+    return (
+        rt.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_row_id").cast("bigint").alias("sum_row_ids"),
+            F.min("_row_id").cast("bigint").alias("min_row_id"),
+            F.max("_row_id").cast("bigint").alias("max_row_id"),
+            F.sum("_row_commit_version").cast("bigint").alias("sum_cvs"),
+        )
+        .orderBy("lang")
+    )
+
+
+DELTA_RT_ORACLE_SQL = """
+WITH ids AS (
+    SELECT doc_id, lang,
+           (ROW_NUMBER() OVER (
+                PARTITION BY doc_id % 2 ORDER BY doc_id
+            ) - 1)
+           + CASE WHEN doc_id % 2 = 1
+                  THEN (SELECT COUNT(*) FROM documents
+                        WHERE doc_id % 2 = 0)
+                  ELSE 0 END AS row_id,
+           CASE WHEN doc_id BETWEEN 300 AND 349 THEN 4
+                WHEN doc_id % 2 = 1 THEN 2
+                ELSE 0 END AS cv
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(row_id) AS BIGINT) AS sum_row_ids,
+       CAST(MIN(row_id) AS BIGINT) AS min_row_id,
+       CAST(MAX(row_id) AS BIGINT) AS max_row_id,
+       CAST(SUM(cv) AS BIGINT) AS sum_cvs
+FROM ids
+WHERE doc_id NOT BETWEEN 100 AND 249
 GROUP BY lang
 ORDER BY lang
 """
