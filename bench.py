@@ -131,6 +131,7 @@ HEADLINE = [
     "lake_iceberg_v3_dv",
     "lake_iceberg_row_lineage",
     "lake_delta_row_tracking",
+    "lake_iceberg_upsert_atomic",
     "tpch_q1_sql_frontend",
     "tpch_q18_sql_frontend",
 ]
@@ -180,6 +181,8 @@ HEAVY_WARMUPS = {
     "lake_iceberg_row_lineage": 2,
     # first warm pass runs the row-tracking lifecycle (enable/DV/update)
     "lake_delta_row_tracking": 2,
+    # first warm pass lands the atomic-upsert fixture
+    "lake_iceberg_upsert_atomic": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

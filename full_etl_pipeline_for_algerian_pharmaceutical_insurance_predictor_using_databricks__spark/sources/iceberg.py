@@ -2819,6 +2819,69 @@ def _ensure_unpartitioned_spec(path: str) -> int:
     return result["sid"]
 
 
+def _land_eq_delete(
+    path: str,
+    fields: list[dict],
+    cols: list[str],
+    keys: list,
+    part_tuple: dict,
+) -> dict:
+    """Land key tuples as one EQUALITY-delete parquet file (content=2,
+    key columns stamped with their Iceberg field-ids) and return its
+    data_file record.  Shared by `delete_eq_iceberg` and the atomic
+    `upsert_iceberg`."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    by_name = {f["name"]: f for f in fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"no column(s) {missing} in the Iceberg schema")
+    for c in cols:
+        t = by_name[c]["type"]
+        if t not in _EQ_KEY_PA_TYPES:
+            raise ValueError(
+                f"equality-delete key column {c!r}: type {t!r} unsupported"
+            )
+    rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+    if not rows:
+        raise ValueError("equality delete with no keys")
+    if any(len(r) != len(cols) for r in rows):
+        raise ValueError("key tuple arity does not match cols")
+    fids = [by_name[c]["id"] for c in cols]
+    pa_fields, arrays = [], []
+    for i, c in enumerate(cols):
+        pa_t = getattr(pa, _EQ_KEY_PA_TYPES[by_name[c]["type"]])()
+        pa_fields.append(
+            pa.field(
+                c,
+                pa_t,
+                nullable=True,
+                metadata={b"PARQUET:field_id": str(by_name[c]["id"]).encode()},
+            )
+        )
+        arrays.append(pa.array([r[i] for r in rows], pa_t))
+    table = pa.Table.from_arrays(arrays, schema=pa.schema(pa_fields))
+    name = f"{uuid.uuid4().hex}-eq-deletes.parquet"
+    dest = os.path.join(path, "data", name)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    pq.write_table(table, dest)
+    return {
+        "content": 2,
+        "file_path": _file_uri(path, f"data/{name}"),
+        "file_format": "PARQUET",
+        "partition": part_tuple,
+        "record_count": len(rows),
+        "file_size_in_bytes": os.path.getsize(dest),
+        "value_counts": None,
+        "null_value_counts": None,
+        "lower_bounds": None,
+        "upper_bounds": None,
+        "split_offsets": None,
+        "equality_ids": fids,
+    }
+
+
 def delete_eq_iceberg(
     path: str,
     cols: list[str],
@@ -2840,9 +2903,6 @@ def delete_eq_iceberg(
     loudly rather than mis-scope.  The reference's managed-table sink
     (ingestion notebook `saveAsTable`, ING:211) has no row-level
     maintenance; this is its scale-path extension."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     meta0 = current_metadata(path)
     fields = _schema_of(meta0)
     spec = _spec_of(meta0)
@@ -2877,53 +2937,7 @@ def delete_eq_iceberg(
         if partition_scope is not None:
             raise ValueError("partition_scope on an unpartitioned table")
         eq_spec, eq_sid = spec, spec_sid
-    by_name = {f["name"]: f for f in fields}
-    missing = [c for c in cols if c not in by_name]
-    if missing:
-        raise ValueError(f"no column(s) {missing} in the Iceberg schema")
-    for c in cols:
-        t = by_name[c]["type"]
-        if t not in _EQ_KEY_PA_TYPES:
-            raise ValueError(
-                f"equality-delete key column {c!r}: type {t!r} unsupported"
-            )
-    rows = [k if isinstance(k, tuple) else (k,) for k in keys]
-    if not rows:
-        raise ValueError("equality delete with no keys")
-    if any(len(r) != len(cols) for r in rows):
-        raise ValueError("key tuple arity does not match cols")
-    fids = [by_name[c]["id"] for c in cols]
-    pa_fields, arrays = [], []
-    for i, c in enumerate(cols):
-        pa_t = getattr(pa, _EQ_KEY_PA_TYPES[by_name[c]["type"]])()
-        pa_fields.append(
-            pa.field(
-                c,
-                pa_t,
-                nullable=True,
-                metadata={b"PARQUET:field_id": str(by_name[c]["id"]).encode()},
-            )
-        )
-        arrays.append(pa.array([r[i] for r in rows], pa_t))
-    table = pa.Table.from_arrays(arrays, schema=pa.schema(pa_fields))
-    name = f"{uuid.uuid4().hex}-eq-deletes.parquet"
-    dest = os.path.join(path, "data", name)
-    os.makedirs(os.path.dirname(dest), exist_ok=True)
-    pq.write_table(table, dest)
-    rec = {
-        "content": 2,
-        "file_path": _file_uri(path, f"data/{name}"),
-        "file_format": "PARQUET",
-        "partition": part_tuple,
-        "record_count": len(rows),
-        "file_size_in_bytes": os.path.getsize(dest),
-        "value_counts": None,
-        "null_value_counts": None,
-        "lower_bounds": None,
-        "upper_bounds": None,
-        "split_offsets": None,
-        "equality_ids": fids,
-    }
+    rec = _land_eq_delete(path, fields, cols, keys, part_tuple)
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
 
     def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
@@ -2946,6 +2960,75 @@ def delete_eq_iceberg(
         return list(mfs) + [del_mf]
 
     return _commit_snapshot(path, "delete", build, format_version=2)
+
+
+def upsert_iceberg(
+    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+) -> int:
+    """ATOMIC key-based upsert in ONE snapshot — the exact commit
+    shape Flink's CDC sink emits: the replacement rows land as data
+    files AND their keys land as an equality-delete file, both at the
+    SAME data sequence number, in the same commit.  The spec's
+    strictly-below rule resolves it: the delete hides every OLDER row
+    with a matching key, while the new rows (same sequence) survive —
+    so there is no window where a reader can observe the keys deleted
+    but not yet re-inserted, which the two-commit delete-then-append
+    shape cannot guarantee.  O(changes): no data file is read or
+    rewritten, the delete file is O(keys).  Keys absent from the
+    table simply insert (their delete tuples match nothing).  A v1
+    table upgrades to format-version 2; partitioned tables store the
+    delete under an unpartitioned (global) spec per the scoping
+    rule."""
+    meta0 = current_metadata(path)
+    if meta0 is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    fields = _schema_of(meta0)
+    spec = _spec_of(meta0)
+    spec_sid = _default_spec_id(meta0)
+    want = {f["name"] for f in fields}
+    if set(df.columns) != want:
+        raise ValueError(
+            f"upsert frame columns {sorted(df.columns)} != table "
+            f"schema {sorted(want)}"
+        )
+    if spec:
+        eq_spec: list[dict] = []
+        eq_sid = _ensure_unpartitioned_spec(path)
+    else:
+        eq_spec, eq_sid = spec, spec_sid
+    key_rows = [
+        tuple(r) for r in df.select(*keys).distinct().collect()
+    ]
+    if not key_rows:
+        snap = _snapshot(meta0, None)
+        return int(snap["snapshot-id"]) if snap else 0
+    data_files = _land_data(df, path, spec, fields)
+    eq_rec = _land_eq_delete(path, fields, keys, key_rows, {})
+    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+
+    def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        prev = _snapshot(base, None)
+        mfs = _read_manifest_list(path, prev) if prev is not None else []
+        data_mf = _write_manifest(
+            path,
+            [
+                {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
+                for d in data_files
+            ],
+            snapshot_id, fields, spec, schema_json,
+            fv=fv, seq=seq, spec_id=spec_sid,
+        )
+        del_mf = _write_manifest(
+            path,
+            [{"status": 1, "snapshot_id": snapshot_id, "data_file": eq_rec}],
+            snapshot_id, fields, eq_spec, schema_json,
+            fv=fv, content="deletes", seq=seq, spec_id=eq_sid,
+        )
+        return list(mfs) + [data_mf, del_mf]
+
+    return _commit_snapshot(path, "overwrite", build, format_version=2)
 
 
 def _name_mapping(meta: dict) -> dict[int, list[str]]:
@@ -4758,4 +4841,91 @@ FROM ids
 WHERE doc_id NOT BETWEEN 100 AND 249
 GROUP BY lang
 ORDER BY lang
+"""
+
+
+#: Keys replaced / cloned by the atomic-upsert fixture (populated at
+#: every SF) and the doc_id offset of the inserted twins.
+_ATOMIC_UPSERT_IDS = (20, 21, 22, 23)
+_ATOMIC_UPSERT_OFFSET = 10_000_000
+
+#: Bump when the atomic-upsert fixture lifecycle changes shape.
+_ICEBERG_UPSERT_LAKE_VERSION = 1
+
+
+def _ensure_upsert_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once atomic-upsert fixture: documents as a v2 table, then
+    ONE `upsert_iceberg` commit that simultaneously REPLACES four keys
+    (source → 'upserted') and INSERTS four new rows (doc_id + 10M,
+    source 'inserted') — replacements, insertions, and the equality
+    delete all at the same sequence number in one snapshot."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "iceberg_upsert", _ICEBERG_UPSERT_LAKE_VERSION, sf_dir
+        ),
+        "docs_iceberg_upsert",
+    )
+    if not _metadata_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        write_iceberg(docs.repartition(4), path, format_version=2)
+        hit = docs.filter(F.col("doc_id").isin(*_ATOMIC_UPSERT_IDS))
+        repl = hit.withColumn("source", F.lit("upserted"))
+        ins = hit.select(
+            (F.col("doc_id") + _ATOMIC_UPSERT_OFFSET).alias("doc_id"),
+            F.lit("inserted").alias("source"),
+            "lang",
+            "text",
+        )
+        upsert_iceberg(spark, repl.unionByName(ins), path, ["doc_id"])
+    return path
+
+
+def iceberg_upsert_atomic_entry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-tail entry for the ATOMIC single-snapshot upsert: one
+    commit carries the replacement rows, brand-new rows, AND the
+    equality delete of the replaced keys at the same sequence number.
+    The oracle restates the post-state off the raw parquet (CASE-map
+    the replaced keys, UNION the inserted twins), so a value match
+    proves the strictly-below rule keeps the same-sequence
+    replacements while hiding every older key row — the commit shape
+    that makes CDC upserts atomic at 100 TB (no reader can see the
+    delete without the re-insert)."""
+    snap = read_iceberg(spark, _ensure_upsert_lake(spark, sf_dir))
+    return (
+        snap.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+ICEBERG_UPSERT_ORACLE_SQL = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM (
+    SELECT CASE WHEN doc_id IN {_ATOMIC_UPSERT_IDS} THEN 'upserted'
+                ELSE source END AS source,
+           doc_id, text
+    FROM documents
+    UNION ALL
+    SELECT 'inserted' AS source,
+           doc_id + {_ATOMIC_UPSERT_OFFSET} AS doc_id,
+           text
+    FROM documents
+    WHERE doc_id IN {_ATOMIC_UPSERT_IDS}
+)
+GROUP BY source
+ORDER BY source
 """

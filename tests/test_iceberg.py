@@ -1644,3 +1644,51 @@ def test_cleanup_iceberg_metadata(spark, tmp_path):
     assert len(_rows(ib.read_iceberg(spark, path))) == 10
     with pytest.raises(ValueError, match="keep_last"):
         ib.cleanup_iceberg_metadata(path, keep_last=0)
+
+
+# --------------------------------------------------------------------------
+# atomic single-snapshot upsert (same-sequence eq-delete + data)
+# --------------------------------------------------------------------------
+
+
+def test_upsert_iceberg_atomic_single_snapshot(spark, tmp_path):
+    """The Flink-CDC commit shape: replacements + their equality
+    delete land at the SAME sequence number in ONE snapshot — the new
+    rows survive the delete (strictly-below rule) and there is no
+    intermediate state with the keys missing."""
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 30).repartition(2), path,
+                     format_version=2)
+    n_snaps = len(ib.iceberg_snapshots(path))
+    up = _df(spark, 3, 6, tag=7)  # replaces 3,4,5
+    new = _df(spark, 100, 102, tag=7)  # inserts 100,101
+    ib.upsert_iceberg(spark, up.unionByName(new), path, ["doc_id"])
+    assert len(ib.iceberg_snapshots(path)) == n_snaps + 1
+    got = {r["doc_id"]: r["v"] for r in ib.read_iceberg(spark, path).collect()}
+    assert set(got) == set(range(30)) | {100, 101}
+    assert all(got[k] == k * 10 + 7 for k in (3, 4, 5, 100, 101))
+    assert all(got[k] == k * 10 for k in set(range(30)) - {3, 4, 5})
+
+
+def test_upsert_iceberg_repeated_and_partitioned(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 30), path, partition_by=["lang"])
+    ib.upsert_iceberg(spark, _df(spark, 5, 8, tag=1), path, ["doc_id"])
+    # a second upsert over an already-upserted key wins (higher seq)
+    ib.upsert_iceberg(spark, _df(spark, 7, 10, tag=2), path, ["doc_id"])
+    got = {r["doc_id"]: r["v"] for r in ib.read_iceberg(spark, path).collect()}
+    assert len(got) == 30
+    assert got[5] == 51 and got[6] == 61
+    assert got[7] == 72 and got[8] == 82 and got[9] == 92
+    assert got[0] == 0 and got[29] == 290
+
+
+def test_upsert_iceberg_refuses_schema_mismatch(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 5), path)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="schema"):
+        ib.upsert_iceberg(
+            spark, _df(spark, 0, 1).drop("v"), path, ["doc_id"]
+        )
