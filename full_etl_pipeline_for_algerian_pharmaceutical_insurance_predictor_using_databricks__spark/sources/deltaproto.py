@@ -2384,6 +2384,74 @@ def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> i
     return _claim_delta_version(path, lines)
 
 
+def add_delta_column(
+    spark: SparkSession, path: str, name: str, ddl_type: str
+) -> int:
+    """Metadata-only `ALTER TABLE ADD COLUMN` — a new NULLABLE field
+    appended to the schema in one metaData commit; zero data IO.
+    Files written before the add read the column as NULL (explicit
+    read schemas null-fill missing columns); later appends carry it.
+    On column-mapped tables the new field gets a fresh
+    `delta.columnMapping.id` and a UUID physical name (maxColumnId
+    bumped), exactly the spec's rule — so id-mode readers resolve it
+    by field id and name-mode files never collide with a recycled
+    logical name."""
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    meta, _live, _v = _fold_delta_state(spark, path, None)
+    _check_writer(_current_protocol(path), meta, "add column")
+    schema = json.loads(meta["schemaString"])
+    taken = {f["name"] for f in schema["fields"]} | {
+        (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+        for f in schema["fields"]
+    }
+    if name in taken:
+        raise ValueError(f"column {name!r} already exists")
+    new_field = StructField(
+        name, _parse_datatype_string(ddl_type), True
+    ).jsonValue()
+    conf = dict(meta.get("configuration") or {})
+    mode = conf.get("delta.columnMapping.mode")
+    if mode in ("name", "id"):
+        new_id = int(conf.get("delta.columnMapping.maxColumnId") or 0) + 1
+        new_field["metadata"] = {
+            "delta.columnMapping.id": new_id,
+            "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex}",
+        }
+        conf["delta.columnMapping.maxColumnId"] = str(new_id)
+    schema["fields"] = list(schema["fields"]) + [new_field]
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "ADD COLUMNS",
+                    "operationParameters": {
+                        "columns": f"{name} {ddl_type}"
+                    },
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": list(
+                        meta.get("partitionColumns") or []
+                    ),
+                    "configuration": conf,
+                    "createdTime": meta.get("createdTime", now_ms),
+                }
+            }
+        ),
+    ]
+    return _claim_delta_version(path, lines)
+
+
 def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
     """SHALLOW CLONE — a zero-copy writable fork of `src`'s current
     snapshot: `dst` gets its own `_delta_log` (fresh table id, same

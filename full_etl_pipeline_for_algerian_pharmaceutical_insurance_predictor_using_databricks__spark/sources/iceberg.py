@@ -860,6 +860,35 @@ def _part_literal(raw, spark_type: str):
     return F.lit(raw).cast(spark_type)
 
 
+#: Iceberg primitive types whose defaults we serialize as plain JSON
+#: single-values (spec "JSON single-value serialization").
+_DEFAULTABLE_TYPES = {"int", "long", "string", "double", "float", "boolean"}
+
+
+def _entry_has_field(path: str, df_rec: dict, fid: int, name: str) -> bool:
+    """Whether a data file CONTAINS a column (v3 default-values rule:
+    `initial-default` applies only to files written before the column
+    existed).  Decided from the entry's per-field-id stats maps —
+    metadata already in hand, zero IO; a file with NO stats at all
+    (minimal foreign writer) falls back to one driver-side footer
+    read."""
+    maps = [
+        df_rec.get(k)
+        for k in (
+            "value_counts",
+            "null_value_counts",
+            "lower_bounds",
+            "upper_bounds",
+        )
+    ]
+    if any(maps):
+        return any(fid in _norm_id_map(m) for m in maps if m)
+    import pyarrow.parquet as pq
+
+    sch = pq.ParquetFile(_abs_path(path, df_rec["file_path"])).schema_arrow
+    return name in set(sch.names)
+
+
 def _ddl_type(typ: str):
     """One Spark DataType from a DDL type string ("bigint", ...)."""
     from pyspark.sql.types import _parse_datatype_string
@@ -1019,9 +1048,18 @@ def _read_entries(
             any_scoped = True
         else:
             ed["_scope"] = None
-    # group files by (spec, partition tuple, data sequence number):
-    # spec and seq are constant per group, so identity values and the
-    # sequence attach as literals — no join
+    # v3 default values: initial-default applies only to files that
+    # PREDATE the column — presence is decided per file from its
+    # per-field-id stats and becomes part of the group key, so a
+    # group either reads the column or fills the default literal
+    defaulted = [
+        (f["name"], f["id"], f["initial-default"], _ICE_TO_SPARK[f["type"]])
+        for f in fields
+        if f.get("initial-default") is not None
+    ]
+    # group files by (spec, partition tuple, default-column presence,
+    # data sequence number): all constant per group, so identity
+    # values, defaults, and the sequence attach as literals — no join
     groups: dict[tuple, list[str]] = {}
     for e in entries:
         df_rec = e["data_file"]
@@ -1031,9 +1069,13 @@ def _read_entries(
             raise ValueError(
                 f"manifest references unknown partition spec id {sid}"
             )
+        presence = tuple(
+            _entry_has_field(path, df_rec, fid, nm)
+            for nm, fid, _d, _t in defaulted
+        )
         key = (sid,) + tuple(
             pv.get(n) for n in spec_infos[sid][0]
-        ) + ((e.get("_seq", 0),) if eqs else ())
+        ) + (presence,) + ((e.get("_seq", 0),) if eqs else ())
         groups.setdefault(key, []).append(
             _abs_path(path, df_rec["file_path"])
         )
@@ -1045,9 +1087,18 @@ def _read_entries(
         sid = key[0]
         part_names, part_src, part_type = spec_infos[sid]
         pkey = key[1 : 1 + len(part_names)]
+        presence = key[1 + len(part_names)]
+        absent = {
+            nm
+            for (nm, _fid, _d, _t), has in zip(defaulted, presence)
+            if not has
+        }
         df = spark.read.schema(
-            read_schema_for(set(part_src.values()))
+            read_schema_for(set(part_src.values()) | absent)
         ).parquet(*sorted(files))
+        for nm, _fid, dflt, typ in defaulted:
+            if nm in absent:
+                df = df.withColumn(nm, F.lit(dflt).cast(typ))
         if need_identity:
             df = df.withColumn(
                 _IB_FILE,
@@ -1059,7 +1110,11 @@ def _read_entries(
             df = df.withColumn("_ib_part", F.lit(_scope_str(sid, pkey)))
         for f in schema.fields:
             names = candidates.get(f.name) or []
-            if len(names) > 1 and f.name not in part_src.values():
+            if (
+                len(names) > 1
+                and f.name not in part_src.values()
+                and f.name not in absent
+            ):
                 df = df.withColumn(
                     f.name, F.coalesce(*[F.col(n) for n in names])
                 )
@@ -3656,14 +3711,18 @@ def evolve_iceberg_spec(path: str, partition_by: list[str]) -> int:
 
 def evolve_iceberg_schema(
     path: str,
-    add: list[tuple[str, str]] | None = None,
+    add: list[tuple] | None = None,
     rename: dict[str, str] | None = None,
     drop: list[str] | None = None,
 ) -> dict:
     """Metadata-only schema evolution by FIELD-ID, the spec's rule:
 
     - `add=[(name, ice_type), ...]` appends fields with fresh ids —
-      files written before the add read the column as null;
+      files written before the add read the column as null; a
+      3-tuple `(name, ice_type, default)` sets the v3 DEFAULT VALUES
+      pair (`initial-default` = what rows in files WITHOUT the column
+      read, `write-default` = what writers fill) so pre-existing rows
+      read the default instead of null;
     - `rename={old: new}` keeps the field-id and records the old name
       in `schema.name-mapping.default`, so files written before the
       rename (which carry NAMES, not field ids) still resolve;
@@ -3705,7 +3764,9 @@ def evolve_iceberg_schema(
             f["name"] = new
             by_name[new] = f
         last_id = int(meta.get("last-column-id") or 0)
-        for name, ice_type in add or []:
+        for item in add or []:
+            name, ice_type = item[0], item[1]
+            default = item[2] if len(item) > 2 else None
             if name in by_name:
                 raise ValueError(f"column {name!r} already exists")
             if any(name in names for names in mapping.values()):
@@ -3723,6 +3784,19 @@ def evolve_iceberg_schema(
                 "required": False,
                 "type": ice_type,
             }
+            if default is not None:
+                if ice_type not in _DEFAULTABLE_TYPES:
+                    raise ValueError(
+                        f"default value on type {ice_type!r} unsupported "
+                        f"(spec JSON single-value types only: "
+                        f"{sorted(_DEFAULTABLE_TYPES)})"
+                    )
+                # v3 default values: initial-default is what rows in
+                # files WITHOUT the column read; write-default is what
+                # writers fill for omitted columns — set equal here, so
+                # read semantics stay consistent either way
+                f["initial-default"] = default
+                f["write-default"] = default
             fields.append(f)
             by_name[name] = f
         new_sid = (

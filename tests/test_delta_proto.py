@@ -1642,3 +1642,58 @@ def test_cleanup_delta_log(spark, tmp_path):
     names = os.listdir(os.path.join(log, "_sidecars"))
     assert len(names) >= 1 and len(names) <= n_side_before + 1
     assert len(_rows(dp.read_delta(spark, path))) == len(expected) + 1
+
+
+# --------------------------------------------------------------------------
+# ALTER TABLE ADD COLUMN (metadata-only)
+# --------------------------------------------------------------------------
+
+
+def test_add_delta_column_old_files_read_null(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    dp.write_delta(_df(spark, 0, 10).repartition(2), path)
+    dp.add_delta_column(spark, path, "score", "bigint")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dp.read_delta(spark, path).select("doc_id", "score").collect()
+    }
+    assert got == {i: None for i in range(10)}
+    dp.write_delta(
+        _df(spark, 10, 13).withColumn(
+            "score", (F.col("doc_id") * 2).cast("bigint")
+        ),
+        path,
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dp.read_delta(spark, path).select("doc_id", "score").collect()
+    }
+    assert all(got[i] is None for i in range(10))
+    assert got[11] == 22
+    with pytest.raises(ValueError, match="already exists"):
+        dp.add_delta_column(spark, path, "score", "bigint")
+
+
+def test_add_delta_column_on_mapped_table(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    dp.write_delta(_df(spark, 0, 8), path)
+    dp.rename_delta_column(spark, path, "lang", "language")
+    dp.add_delta_column(spark, path, "score", "bigint")
+    meta, _live, _v = dp._fold_delta_state(spark, path, None)
+    fld = next(
+        f
+        for f in json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "score"
+    )
+    md = fld["metadata"]
+    assert md["delta.columnMapping.id"] > 0
+    assert md["delta.columnMapping.physicalName"].startswith("col-")
+    cfg = meta["configuration"]
+    assert int(cfg["delta.columnMapping.maxColumnId"]) == (
+        md["delta.columnMapping.id"]
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dp.read_delta(spark, path).select("doc_id", "score").collect()
+    }
+    assert got == {i: None for i in range(8)}

@@ -1692,3 +1692,62 @@ def test_upsert_iceberg_refuses_schema_mismatch(spark, tmp_path):
         ib.upsert_iceberg(
             spark, _df(spark, 0, 1).drop("v"), path, ["doc_id"]
         )
+
+
+# --------------------------------------------------------------------------
+# v3 default values on added columns
+# --------------------------------------------------------------------------
+
+
+def test_add_column_with_default_fills_old_files(spark, tmp_path):
+    """initial-default applies to files that PREDATE the column; files
+    written after carry real values — including real NULLs, which must
+    NOT be overwritten by the default (presence is per-file, from the
+    entry's field-id stats)."""
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 10).repartition(2), path)
+    ib.evolve_iceberg_schema(path, add=[("score", "long", 7)])
+    got = {r["doc_id"]: r["score"] for r in ib.read_iceberg(spark, path).collect()}
+    assert got == {i: 7 for i in range(10)}
+    new = _df(spark, 10, 14).withColumn(
+        "score",
+        F.when(F.col("doc_id") == 13, F.lit(None)).otherwise(
+            F.col("doc_id") * 100
+        ).cast("long"),
+    )
+    ib.write_iceberg(new, path)
+    got = {r["doc_id"]: r["score"] for r in ib.read_iceberg(spark, path).collect()}
+    assert all(got[i] == 7 for i in range(10))
+    assert got[10] == 1000 and got[12] == 1200
+    assert got[13] is None  # a REAL null in a new file stays null
+
+
+def test_add_column_without_default_reads_null(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 6), path)
+    ib.evolve_iceberg_schema(path, add=[("note", "string")])
+    got = ib.read_iceberg(spark, path).select("note").distinct().collect()
+    assert [r["note"] for r in got] == [None]
+
+
+def test_default_refuses_unsupported_type(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 3), path)
+    with pytest.raises(ValueError, match="default"):
+        ib.evolve_iceberg_schema(path, add=[("ts", "timestamp", 5)])
+
+
+def test_default_survives_mor_delete_and_compaction(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 20).repartition(2), path,
+                     format_version=2)
+    ib.evolve_iceberg_schema(path, add=[("score", "long", 7)])
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 0, 4, strategy="merge-on-read"
+    )
+    got = {r["doc_id"]: r["score"] for r in ib.read_iceberg(spark, path).collect()}
+    assert got == {i: 7 for i in range(5, 20)}
+    ib.compact_iceberg(spark, path)
+    # compaction MATERIALIZES the default into the rewritten files
+    got = {r["doc_id"]: r["score"] for r in ib.read_iceberg(spark, path).collect()}
+    assert got == {i: 7 for i in range(5, 20)}
