@@ -220,6 +220,7 @@ _TAIL_ORDER = [
     "tpch_q18_sql_frontend",
     "lake_delta_row_tracking",
     "lake_iceberg_upsert_atomic",
+    "lake_iceberg_defaults",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -347,6 +348,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_iceberg_v3_dv"] = _iceberg.iceberg_v3_dv_entry
     pool["lake_iceberg_row_lineage"] = _iceberg.iceberg_row_lineage_entry
     pool["lake_iceberg_upsert_atomic"] = _iceberg.iceberg_upsert_atomic_entry
+    pool["lake_iceberg_defaults"] = _iceberg.iceberg_defaults_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -431,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_iceberg_v3_dv"] = _iceberg.ICEBERG_V3_ORACLE_SQL
     pool["lake_iceberg_row_lineage"] = _iceberg.ICEBERG_LINEAGE_ORACLE_SQL
     pool["lake_iceberg_upsert_atomic"] = _iceberg.ICEBERG_UPSERT_ORACLE_SQL
+    pool["lake_iceberg_defaults"] = _iceberg.ICEBERG_DEFAULTS_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

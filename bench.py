@@ -132,6 +132,7 @@ HEADLINE = [
     "lake_iceberg_row_lineage",
     "lake_delta_row_tracking",
     "lake_iceberg_upsert_atomic",
+    "lake_iceberg_defaults",
     "tpch_q1_sql_frontend",
     "tpch_q18_sql_frontend",
 ]
@@ -183,6 +184,8 @@ HEAVY_WARMUPS = {
     "lake_delta_row_tracking": 2,
     # first warm pass lands the atomic-upsert fixture
     "lake_iceberg_upsert_atomic": 2,
+    # first warm pass lands the two-era defaults fixture
+    "lake_iceberg_defaults": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

@@ -5003,3 +5003,86 @@ FROM (
 GROUP BY source
 ORDER BY source
 """
+
+
+#: doc_id threshold splitting the defaults fixture's two eras.
+_DEFAULTS_SPLIT = 500
+
+#: Bump when the defaults fixture lifecycle changes shape.
+_ICEBERG_DEFAULTS_LAKE_VERSION = 1
+
+
+def _ensure_defaults_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once v3-default-values fixture: era 1 (doc_id < 500)
+    lands BEFORE the column exists; `evolve_iceberg_schema` then adds
+    `score long` with default 7; era 2 (doc_id >= 500) lands after,
+    carrying real scores — doc_id % 100, with every % 10 == 3 row a
+    REAL NULL that must not be overwritten by the default."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "iceberg_defaults", _ICEBERG_DEFAULTS_LAKE_VERSION, sf_dir
+        ),
+        "docs_iceberg_defaults",
+    )
+    if not _metadata_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang"
+        )
+        ib_split = F.col("doc_id") < _DEFAULTS_SPLIT
+        write_iceberg(docs.filter(ib_split).repartition(2), path)
+        evolve_iceberg_schema(path, add=[("score", "long", 7)])
+        era2 = docs.filter(~ib_split).withColumn(
+            "score",
+            F.when(F.col("doc_id") % 10 == 3, F.lit(None))
+            .otherwise(F.col("doc_id") % 100)
+            .cast("long"),
+        )
+        write_iceberg(era2, path)
+    return path
+
+
+def iceberg_defaults_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for v3 DEFAULT VALUES: a column added with
+    `initial-default` after the first era landed.  The oracle restates
+    the era rule in SQL (old rows read 7, new rows their written value
+    INCLUDING real NULLs), so a value match proves per-file column
+    presence is decided correctly from field-id stats — defaults fill
+    exactly the pre-evolution files, never clobbering genuine nulls —
+    the metadata-only ADD COLUMN ... DEFAULT a 100-TB table needs (no
+    backfill rewrite of a petabyte of history)."""
+    snap = read_iceberg(spark, _ensure_defaults_lake(spark, sf_dir))
+    return (
+        snap.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("score").cast("bigint").alias("sum_scores"),
+            F.count("score").cast("bigint").alias("n_scored"),
+            F.sum(
+                F.when(F.col("score") == 7, 1).otherwise(0)
+            ).cast("bigint").alias("n_default"),
+        )
+        .orderBy("lang")
+    )
+
+
+ICEBERG_DEFAULTS_ORACLE_SQL = f"""
+WITH scored AS (
+    SELECT lang,
+           CASE WHEN doc_id < {_DEFAULTS_SPLIT} THEN 7
+                WHEN doc_id % 10 = 3 THEN NULL
+                ELSE doc_id % 100 END AS score
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(score) AS BIGINT) AS sum_scores,
+       CAST(COUNT(score) AS BIGINT) AS n_scored,
+       CAST(SUM(CASE WHEN score = 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_default
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
