@@ -64,6 +64,9 @@ _SUPPORTED_READER_FEATURES = {
     # `_delta_log/_sidecars/*.parquet` — `_fold_delta_state` chases
     # them.  Write side still emits classic checkpoints.
     "v2Checkpoint",
+    # type widening: the read schema carries the WIDER type and the
+    # parquet reader upcasts narrower file values natively
+    "typeWidening",
 }
 #: Protocol announced once a table carries deletion vectors (the spec
 #: requires the feature flags from the first DV commit on).
@@ -145,6 +148,9 @@ _SUPPORTED_WRITER_FEATURES = {
     # _row_id/_row_commit_version columns on rewrite (r10)
     "rowTracking",
     "domainMetadata",
+    # type widening: metadata-only primitive promotion; readers upcast
+    # narrower parquet values natively (r10)
+    "typeWidening",
 }
 
 
@@ -2444,6 +2450,108 @@ def add_delta_column(
                         meta.get("partitionColumns") or []
                     ),
                     "configuration": conf,
+                    "createdTime": meta.get("createdTime", now_ms),
+                }
+            }
+        ),
+    ]
+    return _claim_delta_version(path, lines)
+
+
+#: Spec-legal widenings (typeWidening table feature): strictly
+#: information-preserving primitive promotions.
+_WIDENINGS = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+}
+
+
+def widen_delta_column(
+    spark: SparkSession, path: str, name: str, to_type: str
+) -> int:
+    """Metadata-only TYPE WIDENING (`ALTER TABLE ... TYPE <wider>`,
+    the spec's `typeWidening` table feature): the schema field's type
+    changes to a strictly-wider primitive and the change is recorded
+    in the field's `delta.typeChanges` metadata with the table version
+    that performed it.  Zero data IO — readers upcast old files'
+    narrower parquet values natively (Spark 4 reads INT32 under a LONG
+    read schema), so a 100-TB history never rewrites.  The protocol
+    upgrades to reader v3 / writer v7 with the feature announced both
+    sides (readers MUST understand the upcast rule)."""
+    meta, _live, _v = _fold_delta_state(spark, path, None)
+    _check_writer(_current_protocol(path), meta, "widen column")
+    schema = json.loads(meta["schemaString"])
+    fld = next((f for f in schema["fields"] if f["name"] == name), None)
+    if fld is None:
+        raise ValueError(f"no column {name!r} to widen")
+    frm = fld["type"]
+    if not isinstance(frm, str) or to_type not in _WIDENINGS.get(frm, ()):
+        raise ValueError(
+            f"cannot widen {name!r} from {frm!r} to {to_type!r} — "
+            f"spec-legal widenings from {frm!r}: "
+            f"{sorted(_WIDENINGS.get(frm, ())) or 'none'}"
+        )
+    proto = _current_protocol(path)
+    feats_w = set(proto.get("writerFeatures") or [])
+    feats_r = set(proto.get("readerFeatures") or [])
+    if proto.get("minWriterVersion", 1) < 7:
+        for ver, feats in _IMPLIED_WRITER_FEATURES.items():
+            if proto.get("minWriterVersion", 1) >= ver:
+                feats_w.update(feats)
+    feats_w.add("typeWidening")
+    feats_r.add("typeWidening")
+    unsupported = feats_w - _SUPPORTED_WRITER_FEATURES
+    if unsupported:
+        raise ValueError(
+            "cannot upgrade: implied writer features we do not "
+            f"implement: {sorted(unsupported)}"
+        )
+    expected = delta_versions(path)[-1] + 1
+    fld["type"] = to_type
+    md = fld.setdefault("metadata", {})
+    md["delta.typeChanges"] = list(md.get("delta.typeChanges") or []) + [
+        {"fromType": frm, "toType": to_type, "tableVersion": expected}
+    ]
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CHANGE COLUMN",
+                    "operationParameters": {
+                        "column": name,
+                        "from": frm,
+                        "to": to_type,
+                    },
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(feats_r),
+                    "writerFeatures": sorted(feats_w),
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": list(
+                        meta.get("partitionColumns") or []
+                    ),
+                    "configuration": dict(
+                        meta.get("configuration") or {}
+                    ),
                     "createdTime": meta.get("createdTime", now_ms),
                 }
             }

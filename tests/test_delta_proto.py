@@ -1697,3 +1697,76 @@ def test_add_delta_column_on_mapped_table(spark, tmp_path):
         for r in dp.read_delta(spark, path).select("doc_id", "score").collect()
     }
     assert got == {i: None for i in range(8)}
+
+
+# --------------------------------------------------------------------------
+# type widening (metadata-only primitive promotion)
+# --------------------------------------------------------------------------
+
+
+def test_widen_delta_column_int_to_long(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    dp.write_delta(
+        spark.range(0, 10).select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            (F.col("id") * 3).cast("int").alias("n"),
+        ),
+        path,
+    )
+    dp.widen_delta_column(spark, path, "n", "long")
+    got = dp.read_delta(spark, path)
+    assert dict(got.dtypes)["n"] == "bigint"
+    # old INT32 parquet values upcast on read, zero rewrite
+    assert sorted(r["n"] for r in got.collect()) == [i * 3 for i in range(10)]
+    # new writes may now exceed int range
+    dp.write_delta(
+        spark.range(10, 12).select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            (F.col("id") + 2**40).cast("bigint").alias("n"),
+        ),
+        path,
+    )
+    vals = sorted(r["n"] for r in dp.read_delta(spark, path).collect())
+    assert vals[-1] == 11 + 2**40
+    # the change is recorded with its table version (spec field)
+    meta, _l, _v = dp._fold_delta_state(spark, path, None)
+    fld = next(
+        f
+        for f in json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "n"
+    )
+    ch = fld["metadata"]["delta.typeChanges"]
+    assert ch[0]["fromType"] == "integer" and ch[0]["toType"] == "long"
+    proto = dp._current_protocol(path)
+    assert "typeWidening" in proto["readerFeatures"]
+    assert "typeWidening" in proto["writerFeatures"]
+
+
+def test_widen_delta_column_refuses_narrowing(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    dp.write_delta(
+        spark.range(0, 3).select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            F.col("id").cast("double").alias("x"),
+        ),
+        path,
+    )
+    with pytest.raises(ValueError, match="widen"):
+        dp.widen_delta_column(spark, path, "x", "float")
+    with pytest.raises(ValueError, match="widen"):
+        dp.widen_delta_column(spark, path, "doc_id", "integer")
+
+
+def test_widen_then_stats_pruning_still_works(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    dp.write_delta(
+        spark.range(0, 100).select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            F.col("id").cast("int").alias("n"),
+        ).repartition(4),
+        path,
+    )
+    dp.widen_delta_column(spark, path, "n", "long")
+    df, read, skipped = dp.read_delta_pruned(spark, path, "n", 5, 6)
+    assert sorted(r["n"] for r in df.collect()) == [5, 6]
+    assert skipped >= 1  # old int-typed stats still prune
