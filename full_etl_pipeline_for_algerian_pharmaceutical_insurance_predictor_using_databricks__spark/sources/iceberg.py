@@ -195,10 +195,17 @@ def deser_value(ice_type: str, raw: bytes | None):
     if ice_type == "int" or ice_type == "date":
         return struct.unpack("<i", raw)[0]
     if ice_type in ("long", "timestamptz", "timestamp"):
+        # bounds written BEFORE an int→long type promotion keep the
+        # old 4-byte form (spec: readers must accept either width)
+        if len(raw) == 4:
+            return struct.unpack("<i", raw)[0]
         return struct.unpack("<q", raw)[0]
     if ice_type == "float":
         return struct.unpack("<f", raw)[0]
     if ice_type == "double":
+        # float→double promotion: pre-promotion 4-byte bounds
+        if len(raw) == 4:
+            return struct.unpack("<f", raw)[0]
         return struct.unpack("<d", raw)[0]
     if ice_type == "string":
         return raw.decode("utf-8")
@@ -3709,11 +3716,16 @@ def evolve_iceberg_spec(path: str, partition_by: list[str]) -> int:
     return result["sid"]
 
 
+#: Spec-legal Iceberg type promotions (schema evolution §).
+_ICE_WIDENINGS = {"int": {"long"}, "float": {"double"}}
+
+
 def evolve_iceberg_schema(
     path: str,
     add: list[tuple] | None = None,
     rename: dict[str, str] | None = None,
     drop: list[str] | None = None,
+    widen: dict[str, str] | None = None,
 ) -> dict:
     """Metadata-only schema evolution by FIELD-ID, the spec's rule:
 
@@ -3729,6 +3741,11 @@ def evolve_iceberg_schema(
     - `drop=[name, ...]` removes the field from the current schema —
       old files' bytes stay on disk, unprojected.  Dropping an
       identity-partition source column refuses.
+    - `widen={name: wider_type}` performs the spec's TYPE PROMOTION
+      (int→long, float→double) — metadata-only: the parquet reader
+      upcasts old files' narrower values natively, and
+      `deser_value` accepts the pre-promotion 4-byte bounds so data
+      skipping keeps working on old manifests.
 
     Appends a NEW schema (fresh schema-id) to `schemas` and bumps
     `current-schema-id` / `last-column-id`; no snapshot is produced —
@@ -3752,6 +3769,17 @@ def evolve_iceberg_schema(
                 )
             fields = [f for f in fields if f["name"] != old]
             by_name.pop(old)
+        for cname, to_type in (widen or {}).items():
+            if cname not in by_name:
+                raise ValueError(f"no column {cname!r} to widen")
+            frm = by_name[cname]["type"]
+            if to_type not in _ICE_WIDENINGS.get(frm, ()):
+                raise ValueError(
+                    f"cannot promote {cname!r} from {frm!r} to "
+                    f"{to_type!r} — spec-legal promotions from {frm!r}: "
+                    f"{sorted(_ICE_WIDENINGS.get(frm, ())) or 'none'}"
+                )
+            by_name[cname]["type"] = to_type
         for old, new in (rename or {}).items():
             if old not in by_name:
                 raise ValueError(f"no column {old!r} to rename")

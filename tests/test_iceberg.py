@@ -1751,3 +1751,42 @@ def test_default_survives_mor_delete_and_compaction(spark, tmp_path):
     # compaction MATERIALIZES the default into the rewritten files
     got = {r["doc_id"]: r["score"] for r in ib.read_iceberg(spark, path).collect()}
     assert got == {i: 7 for i in range(5, 20)}
+
+
+# --------------------------------------------------------------------------
+# type promotion (int→long, float→double) — metadata-only
+# --------------------------------------------------------------------------
+
+
+def test_widen_iceberg_int_to_long(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    df = spark.range(0, 40).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        (F.col("id") * 3).cast("int").alias("n"),
+    )
+    ib.write_iceberg(df.repartition(3), path)
+    ib.evolve_iceberg_schema(path, widen={"n": "long"})
+    got = ib.read_iceberg(spark, path)
+    assert dict(got.dtypes)["n"] == "bigint"
+    assert sorted(r["n"] for r in got.collect()) == [i * 3 for i in range(40)]
+    # new appends may exceed int range
+    ib.write_iceberg(
+        spark.range(40, 42).select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            (F.col("id") + 2**40).cast("bigint").alias("n"),
+        ),
+        path,
+    )
+    vals = sorted(r["n"] for r in ib.read_iceberg(spark, path).collect())
+    assert vals[-1] == 41 + 2**40
+    # data skipping still reads OLD 4-byte bounds correctly
+    pruned, read, skipped, _m = ib.read_iceberg_pruned(spark, path, "n", 9, 9)
+    assert [r["n"] for r in pruned.collect()] == [9]
+    assert skipped >= 1
+
+
+def test_widen_iceberg_refuses_narrowing(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 5), path)
+    with pytest.raises(ValueError, match="promot"):
+        ib.evolve_iceberg_schema(path, widen={"v": "int"})
