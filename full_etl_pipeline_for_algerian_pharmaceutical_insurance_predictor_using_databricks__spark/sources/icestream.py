@@ -159,13 +159,16 @@ def _entry_rows(
     def value(name: str, i: int):
         if name in part_src.values():
             return part_vals[name]
-        fid = next(f["id"] for f in fields if f["name"] == name)
+        fd = next(f for f in fields if f["name"] == name)
         for cand in [name] + [
-            n for n in nm.get(fid, []) if n != name
+            n for n in nm.get(fd["id"], []) if n != name
         ]:
             if cand in cols:
                 return cols[cand][i]
-        return None
+        # v3 default values: a column ABSENT from the file reads its
+        # initial-default (files that predate the column), same as the
+        # native reader's presence rule
+        return fd.get("initial-default")
 
     out = []
     for i in range(table.num_rows):

@@ -177,3 +177,42 @@ def test_stream_sink_exactly_once_summary_ledger(spark, tmp_path):
         icestream.IcebergStreamWriter(
             {"path": p2, "streamAppId": "x"}, back.schema
         )
+
+
+def test_datasource_applies_v3_defaults(spark, tmp_path):
+    """The pure-python row reader follows the same default-values
+    presence rule as the native reader: a column absent from the file
+    reads its initial-default, while files written after carry their
+    real values (including genuine NULLs)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        iceberg as ib,
+    )
+
+    path = os.path.join(tmp_path, "t")
+    df = spark.range(0, 6).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("lang"),
+    )
+    ib.write_iceberg(df, path)
+    ib.evolve_iceberg_schema(path, add=[("score", "long", 7)])
+    ib.write_iceberg(
+        spark.range(6, 8).select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            (F.col("id") % 2).cast("string").alias("lang"),
+            F.when(F.col("id") == 7, F.lit(None))
+            .otherwise(F.lit(99))
+            .cast("long")
+            .alias("score"),
+        ),
+        path,
+    )
+    icestream.register(spark)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in spark.read.format("iceberg").load(path).collect()
+    }
+    assert got == {0: 7, 1: 7, 2: 7, 3: 7, 4: 7, 5: 7, 6: 99, 7: None}
