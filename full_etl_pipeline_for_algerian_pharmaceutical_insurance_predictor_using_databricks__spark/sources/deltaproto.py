@@ -151,6 +151,9 @@ _SUPPORTED_WRITER_FEATURES = {
     # type widening: metadata-only primitive promotion; readers upcast
     # narrower parquet values natively (r10)
     "typeWidening",
+    # liquid clustering: columns recorded in the delta.clustering
+    # domain; recluster_delta re-runs the rewrite (r10)
+    "clustering",
 }
 
 
@@ -2455,6 +2458,161 @@ def add_delta_column(
             }
         ),
     ]
+    return _claim_delta_version(path, lines)
+
+
+#: DomainMetadata domain recording a clustered table's columns.
+_CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def cluster_delta(
+    spark: SparkSession, path: str, cols: list[str],
+    target_mb: int = 128,
+) -> int:
+    """LIQUID CLUSTERING (the spec's `clustering` writer feature):
+    record the clustering columns in the `delta.clustering` domain and
+    rewrite the live set clustered on them — one column range-sorts,
+    two columns interleave on the Morton curve (the same multi-
+    dimensional locality OPTIMIZE ZORDER buys, but the column choice
+    is TABLE METADATA other writers discover and maintain, not a
+    per-command argument).  `recluster_delta` re-runs the rewrite
+    using the recorded columns.  dataChange=false adds, so
+    incremental consumers skip the re-layout."""
+    if not cols or len(cols) > 2:
+        raise ValueError(
+            "clustering needs 1 or 2 columns (Morton interleave is 2-D)"
+        )
+    meta, _live, _v = _fold_delta_state(spark, path, None)
+    _check_writer(_current_protocol(path), meta, "cluster")
+    names = {f["name"] for f in json.loads(meta["schemaString"])["fields"]}
+    missing = [c for c in cols if c not in names]
+    if missing:
+        raise ValueError(f"no clustering column(s) {missing}")
+    if meta.get("partitionColumns"):
+        raise ValueError(
+            "clustering and hive partitioning are mutually exclusive "
+            "(the spec's clustered-table rule)"
+        )
+    proto = _current_protocol(path)
+    feats_w = set(proto.get("writerFeatures") or [])
+    if proto.get("minWriterVersion", 1) < 7:
+        for ver, feats in _IMPLIED_WRITER_FEATURES.items():
+            if proto.get("minWriterVersion", 1) >= ver:
+                feats_w.update(feats)
+    feats_w.update({"clustering", "domainMetadata"})
+    unsupported = feats_w - _SUPPORTED_WRITER_FEATURES
+    if unsupported:
+        raise ValueError(
+            "cannot upgrade: implied writer features we do not "
+            f"implement: {sorted(unsupported)}"
+        )
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CLUSTER BY",
+                    "operationParameters": {"columns": ",".join(cols)},
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "protocol": {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": 7,
+                    **(
+                        {
+                            "readerFeatures": sorted(
+                                set(proto.get("readerFeatures") or [])
+                            )
+                        }
+                        if proto.get("minReaderVersion", 1) >= 3
+                        else {}
+                    ),
+                    "writerFeatures": sorted(feats_w),
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "domainMetadata": {
+                    "domain": _CLUSTERING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cols]}
+                    ),
+                    "removed": False,
+                }
+            }
+        ),
+    ]
+    _claim_delta_version(path, lines)
+    return recluster_delta(spark, path, target_mb=target_mb)
+
+
+def recluster_delta(
+    spark: SparkSession, path: str, target_mb: int = 128
+) -> int:
+    """OPTIMIZE on a clustered table: rewrite the live set clustered
+    on the columns recorded in the `delta.clustering` domain."""
+    cfg = _delta_domains(path).get(_CLUSTERING_DOMAIN)
+    if not cfg:
+        raise ValueError(
+            "not a clustered table — run cluster_delta first"
+        )
+    # spec stores column PATHS (nested arrays); we support top-level
+    cols = [
+        c[0] if isinstance(c, list) else c
+        for c in json.loads(cfg).get("clusteringColumns") or []
+    ]
+    if len(cols) == 2:
+        return optimize_zorder_delta(
+            spark, path, cols[0], cols[1], target_mb=target_mb
+        )
+    import math
+
+    meta, live, _v = _fold_delta_state(spark, path, None)
+    if not live:
+        return delta_versions(path)[-1]
+    total = sum(int(a.get("size") or 0) for a in live.values())
+    n_files = max(2, math.ceil(total / (target_mb << 20)))
+    rt_cols = _rt_materialized_cols(meta)
+    snap = _read_adds(
+        spark, path, meta, live, row_tracking=bool(rt_cols)
+    ).repartitionByRange(n_files, cols[0]).sortWithinPartitions(cols[0])
+    if rt_cols:
+        snap = _rt_materialize(snap, rt_cols)
+    files = _land_parquet(snap, path, None, mapping=_column_mapping(meta))
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {"clusterBy": ",".join(cols)},
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    for fname in sorted(live):
+        lines.append(
+            json.dumps({"remove": _remove_action(live[fname], now_ms, False)})
+        )
+    for relname, pvals, size, stats in files:
+        add = {
+            "path": relname,
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": False,
+        }
+        if stats is not None:
+            add["stats"] = stats
+        lines.append(json.dumps({"add": add}))
     return _claim_delta_version(path, lines)
 
 

@@ -1770,3 +1770,69 @@ def test_widen_then_stats_pruning_still_works(spark, tmp_path):
     df, read, skipped = dp.read_delta_pruned(spark, path, "n", 5, 6)
     assert sorted(r["n"] for r in df.collect()) == [5, 6]
     assert skipped >= 1  # old int-typed stats still prune
+
+
+# --------------------------------------------------------------------------
+# liquid clustering (delta.clustering domain + clustering feature)
+# --------------------------------------------------------------------------
+
+
+def test_cluster_delta_records_domain_and_clusters(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    dp.write_delta(
+        spark.range(0, 400).select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            (F.col("id") % 97).cast("bigint").alias("x"),
+            ((F.col("id") * 31) % 89).cast("bigint").alias("y"),
+        ).repartition(8),
+        path,
+    )
+    dp.cluster_delta(spark, path, ["x", "y"], target_mb=1)
+    cfg = json.loads(dp._delta_domains(path)[dp._CLUSTERING_DOMAIN])
+    assert cfg["clusteringColumns"] == [["x"], ["y"]]
+    proto = dp._current_protocol(path)
+    assert "clustering" in proto["writerFeatures"]
+    assert "domainMetadata" in proto["writerFeatures"]
+    # values intact after the re-layout
+    got = sorted(r["doc_id"] for r in dp.read_delta(spark, path).collect())
+    assert got == list(range(400))
+    # rewrite is dataChange=false: incremental consumers skip it
+    acts = dp._read_actions(path, dp.delta_versions(path)[-1])
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds and all(a["dataChange"] is False for a in adds)
+    # appends + recluster keep working off the RECORDED columns
+    dp.write_delta(
+        spark.range(400, 450).select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            (F.col("id") % 97).cast("bigint").alias("x"),
+            ((F.col("id") * 31) % 89).cast("bigint").alias("y"),
+        ),
+        path,
+    )
+    dp.recluster_delta(spark, path, target_mb=1)
+    got = sorted(r["doc_id"] for r in dp.read_delta(spark, path).collect())
+    assert got == list(range(450))
+
+
+def test_cluster_delta_single_column_and_refusals(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    dp.write_delta(_df(spark, 0, 60).repartition(4), path)
+    dp.cluster_delta(spark, path, ["v"], target_mb=1)
+    assert _rows(dp.read_delta(spark, path)) == _rows(_df(spark, 0, 60))
+    # single-column clustering range-sorts: file stats become disjoint
+    meta, live, _v = dp._fold_delta_state(spark, path, None)
+    bounds = sorted(
+        (
+            json.loads(a["stats"])["minValues"]["v"],
+            json.loads(a["stats"])["maxValues"]["v"],
+        )
+        for a in live.values()
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2
+    p2 = os.path.join(tmp_path, "p")
+    dp.write_delta(_df(spark, 0, 10), p2, partition_by=["lang"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        dp.cluster_delta(spark, p2, ["v"])
+    with pytest.raises(ValueError, match="clustered table"):
+        dp.recluster_delta(spark, p2)
