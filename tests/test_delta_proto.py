@@ -163,9 +163,9 @@ def test_foreign_crafted_log_reads(spark, tmp_path):
 
 
 def test_unsupported_reader_features_raise(spark, tmp_path):
-    """typeWidening is an unimplemented reader feature and must
-    refuse; deletionVectors (r8), columnMapping (r9) and v2Checkpoint
-    (r10) no longer appear here — all three are implemented."""
+    """variantType is an unimplemented reader feature and must refuse;
+    deletionVectors (r8), columnMapping (r9), v2Checkpoint and
+    typeWidening (r10) no longer appear here — all implemented."""
     path = str(tmp_path / "cmdelta")
     log = os.path.join(path, "_delta_log")
     os.makedirs(log)
@@ -176,7 +176,7 @@ def test_unsupported_reader_features_raise(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["typeWidening"],
+                        "readerFeatures": ["variantType"],
                     }
                 }
             )
