@@ -13,6 +13,7 @@ refusals (cow rewrites would re-number lineage)."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -348,3 +349,217 @@ def test_datasource_reads_v3_dv_table(spark, tmp_path):
     icestream.register(spark)
     got = spark.read.format("iceberg").load(path)
     assert _ids(got) == [i for i in range(25) if not 3 <= i <= 8]
+
+
+def test_reads_foreign_crafted_v3_table(spark, tmp_path):
+    """A v3 tree laid out the way ANOTHER engine would write it:
+    RELATIVE paths everywhere (our writer emits file: URIs), a
+    hand-assembled puffin DV, a manifest-list first_row_id anchor with
+    one entry inheriting and one carrying an EXPLICIT first_row_id —
+    must read with the DV applied and lineage resolved (explicit wins,
+    inherited consumes record_count in entry order)."""
+    import struct as _struct
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        avrotiny as av,
+    )
+
+    path = str(tmp_path / "foreign3")
+    data_dir = os.path.join(path, "data")
+    md = os.path.join(path, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(md)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2], "v": [10, 11, 12]}),
+        os.path.join(data_dir, "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"doc_id": [3, 4], "v": [13, 14]}),
+        os.path.join(data_dir, "f2.parquet"),
+    )
+    # DV hiding position 1 of f1 (doc_id=1), in a relative-path puffin
+    dv = puffin.dv_payload([1])
+    metas = puffin.write_puffin(
+        os.path.join(data_dir, "dv.puffin"),
+        [
+            {
+                "type": "deletion-vector-v1",
+                "data": dv,
+                "snapshot-id": 7,
+                "sequence-number": 2,
+                "properties": {
+                    "referenced-data-file": "data/f1.parquet",
+                    "cardinality": "1",
+                },
+            }
+        ],
+    )
+    entry_schema = ib._manifest_entry_schema(
+        {"type": "record", "name": "r102", "fields": []}, fv=3
+    )
+
+    def data_entry(fp, n, first_row_id):
+        return {
+            "status": 1,
+            "snapshot_id": 7,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 0,
+                "file_path": fp,  # RELATIVE
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": 1,
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "split_offsets": None,
+                "equality_ids": None,
+                "first_row_id": first_row_id,
+                "referenced_data_file": None,
+                "content_offset": None,
+                "content_size_in_bytes": None,
+            },
+        }
+
+    av.write_container(
+        os.path.join(md, "dm.avro"),
+        entry_schema,
+        [
+            data_entry("data/f1.parquet", 3, None),  # inherits 100..102
+            data_entry("data/f2.parquet", 2, 500),  # explicit
+        ],
+        codec="null",
+    )
+    dv_entry = data_entry("data/dv.puffin", 1, None)
+    dv_entry["data_file"].update(
+        {
+            "content": 1,
+            "file_format": "PUFFIN",
+            "referenced_data_file": "data/f1.parquet",
+            "content_offset": int(metas[0]["offset"]),
+            "content_size_in_bytes": int(metas[0]["length"]),
+        }
+    )
+    av.write_container(
+        os.path.join(md, "del.avro"), entry_schema, [dv_entry], codec="null"
+    )
+    ml_schema = ib._manifest_file_schema(fv=3)
+    av.write_container(
+        os.path.join(md, "ml.avro"),
+        ml_schema,
+        [
+            {
+                "manifest_path": "metadata/dm.avro",  # RELATIVE
+                "manifest_length": 1,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 2,
+                "min_sequence_number": 2,
+                "added_snapshot_id": 7,
+                "added_data_files_count": 2,
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "partitions": None,
+                "added_rows_count": 5,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "first_row_id": 100,
+            },
+            {
+                "manifest_path": "metadata/del.avro",
+                "manifest_length": 1,
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": 2,
+                "min_sequence_number": 2,
+                "added_snapshot_id": 7,
+                "added_data_files_count": 1,
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "partitions": None,
+                "added_rows_count": 1,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "first_row_id": None,
+            },
+        ],
+        codec="deflate",
+    )
+    meta = {
+        "format-version": 3,
+        "table-uuid": "00000000-0000-0000-0000-00000000v300",
+        "location": path,
+        "last-sequence-number": 2,
+        "last-updated-ms": 1,
+        "last-column-id": 2,
+        "next-row-id": 502,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "doc_id", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "v", "required": False,
+                     "type": "long"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "snapshots": [
+            {
+                "snapshot-id": 7,
+                "timestamp-ms": 1,
+                "sequence-number": 2,
+                "first-row-id": 100,
+                "summary": {"operation": "append"},
+                "manifest-list": "metadata/ml.avro",  # RELATIVE
+                "schema-id": 0,
+            }
+        ],
+        "current-snapshot-id": 7,
+        "snapshot-log": [],
+        "metadata-log": [],
+        "properties": {},
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("1")
+    got = ib.read_iceberg(spark, path)
+    assert sorted((r["doc_id"], r["v"]) for r in got.collect()) == [
+        (0, 10), (2, 12), (3, 13), (4, 14)  # doc_id=1 hidden by the DV
+    ]
+    lin = {
+        r["doc_id"]: r["_row_id"]
+        for r in ib.read_iceberg(spark, path, with_row_lineage=True)
+        .select("doc_id", "_row_id")
+        .collect()
+    }
+    # f1 inherits from the manifest anchor (100 + pos); f2 explicit 500
+    assert lin == {0: 100, 2: 102, 3: 500, 4: 501}
+
+
+def test_foreign_corrupt_dv_refuses(spark, tmp_path):
+    """A v3 table whose DV blob fails its CRC must refuse loudly at
+    read time, never silently resurrect (or over-delete) rows."""
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 10), path, format_version=3)
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 2, 4, strategy="merge-on-read"
+    )
+    _pos, _eq, dvs = _live_deletes(path)
+    raw = bytearray(open(dvs[0]["path"], "rb").read())
+    raw[dvs[0]["offset"] + dvs[0]["length"] - 1] ^= 0xFF  # clobber CRC
+    open(dvs[0]["path"], "wb").write(bytes(raw))
+    with pytest.raises(Exception, match="CRC"):
+        ib.read_iceberg(spark, path).collect()
