@@ -183,3 +183,94 @@ def test_row_tracking_refuses_when_disabled(spark, tmp_path):
     dp.write_delta(_df(spark, 0, 5), path)
     with pytest.raises(ValueError, match="row tracking"):
         dp.read_delta(spark, path, with_row_tracking=True).collect()
+
+
+def test_reads_foreign_row_tracked_table(spark, tmp_path):
+    """A row-tracked log CRAFTED the way delta-spark lays it out:
+    baseRowId/defaultRowCommitVersion on the add actions, the
+    high-water mark in a delta.rowTracking domainMetadata action, and
+    one file carrying MATERIALIZED id columns under configured hidden
+    names — our reader must resolve _row_id/_row_commit_version with
+    the materialized columns winning over the anchors."""
+    import json as _json
+
+    path = str(tmp_path / "foreign")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"k": [0, 1, 2]}), os.path.join(path, "a.parquet")
+    )
+    # rewritten file: rows 3,4 carry their ORIGINAL ids materialized
+    pq.write_table(
+        pa.table(
+            {
+                "k": [3, 4],
+                "ridcol": pa.array([77, 78], pa.int64()),
+                "rcvcol": pa.array([0, 0], pa.int64()),
+            }
+        ),
+        os.path.join(path, "b.parquet"),
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+        ],
+    }
+    lines = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["rowTracking", "domainMetadata"]}},
+        {"metaData": {
+            "id": "f",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.enableRowTracking": "true",
+                "delta.rowTracking.materializedRowIdColumnName": "ridcol",
+                "delta.rowTracking.materializedRowCommitVersionColumnName":
+                    "rcvcol",
+            },
+            "createdTime": 1,
+        }},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True,
+                 "stats": _json.dumps({"numRecords": 3}),
+                 "baseRowId": 10, "defaultRowCommitVersion": 0}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True,
+                 "stats": _json.dumps({"numRecords": 2}),
+                 "baseRowId": 100, "defaultRowCommitVersion": 1}},
+        {"domainMetadata": {"domain": "delta.rowTracking",
+                            "configuration": _json.dumps(
+                                {"rowIdHighWaterMark": 101}),
+                            "removed": False}},
+    ]
+    with open(os.path.join(log, dp._LOG_FMT.format(0)), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in lines) + "\n")
+    got = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in dp.read_delta(spark, path, with_row_tracking=True)
+        .collect()
+    }
+    # a.parquet: inherited anchors (10+pos, cv 0); b.parquet: the
+    # MATERIALIZED columns win over baseRowId=100
+    assert got == {
+        0: (10, 0), 1: (11, 0), 2: (12, 0),
+        3: (77, 0), 4: (78, 0),
+    }
+    assert dp._rt_high_water_mark(path) == 101
+    # the next append allocates ABOVE the foreign high-water mark
+    dp.write_delta(
+        spark.range(5, 7).select(F.col("id").cast("bigint").alias("k")),
+        path,
+    )
+    got2 = {
+        r["k"]: r["_row_id"]
+        for r in dp.read_delta(spark, path, with_row_tracking=True)
+        .collect()
+    }
+    assert sorted(got2[k] for k in (5, 6)) == [102, 103]
