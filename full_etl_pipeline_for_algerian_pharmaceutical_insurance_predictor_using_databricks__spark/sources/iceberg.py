@@ -326,6 +326,19 @@ def _manifest_entry_schema(part_schema: dict, fv: int = 1) -> dict:
         )
         + (
             [
+                # v2: which sort order laid the file out (pruning hint)
+                {
+                    "name": "sort_order_id",
+                    "type": _opt("int"),
+                    "field-id": 140,
+                    "default": None,
+                }
+            ]
+            if fv >= 2
+            else []
+        )
+        + (
+            [
                 # v3: row-lineage inheritance + deletion-vector blob
                 # addressing (table spec v3 data_file fields)
                 {
@@ -1939,6 +1952,7 @@ def _write_manifest(
             if df_rec.get("content") is None:
                 df_rec["content"] = 0
             df_rec.setdefault("equality_ids", None)
+            df_rec.setdefault("sort_order_id", None)
             if fv >= 3:
                 # carried (EXISTING/DELETED) data entries must keep the
                 # row ids they inherited in their ORIGINAL manifest —
@@ -2082,6 +2096,7 @@ def _commit_snapshot(
     format_version: int | None = None,
     summary_extra: dict | None = None,
     branch: str | None = None,
+    sort_order: dict | None = None,
 ) -> int:
     """Shared commit: build_manifests(base_meta_or_None, snapshot_id,
     seq, fv) → list of manifest_file records; wrap them in a manifest
@@ -2205,6 +2220,15 @@ def _commit_snapshot(
             meta["last-sequence-number"] = seq
         if fv >= 3:
             meta["next-row-id"] = cursor
+        if sort_order is not None:
+            orders = list(meta.get("sort-orders") or [])
+            if not any(
+                so.get("order-id") == sort_order["order-id"]
+                for so in orders
+            ):
+                orders.append(sort_order)
+            meta["sort-orders"] = orders
+            meta["default-sort-order-id"] = sort_order["order-id"]
         meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
         if branch is not None:
             # branch commit: the head moves, MAIN history does not
@@ -2231,6 +2255,7 @@ def write_iceberg(
     partition_by: list[str] | None = None,
     format_version: int = 1,
     branch: str | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Write a REAL Iceberg snapshot: land parquet under `data/`,
     write a manifest + manifest list (Avro, deflate), commit
@@ -2242,7 +2267,14 @@ def write_iceberg(
     maximally-compatible tier; tables a merge-on-read DELETE has
     upgraded to v2 keep writing v2 manifests (sequence numbers and
     all); overwrite on a v2 table drops its delete manifests along
-    with the data files they referenced."""
+    with the data files they referenced.
+
+    `sort_by=["col", "-other"]` ("-" = descending) registers a SORT
+    ORDER (spec `sort-orders` + `default-sort-order-id`, reused by
+    definition if already registered), range-clusters the frame on it
+    before landing (disjoint per-file bounds → manifest pruning), and
+    stamps each data file's `sort_order_id` — the metadata other
+    engines read to skip re-sorting already-clustered files."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     exists = bool(_metadata_versions(path))
@@ -2269,7 +2301,51 @@ def write_iceberg(
         by_name = {f["name"]: f for f in fields}
         spec = _parse_partition_by(list(partition_by or []), by_name)
         spec_sid = 0
+    sort_order = None
+    if sort_by:
+        by_fname = {f["name"]: f for f in fields}
+        sort_fields, sort_cols = [], []
+        for s in sort_by:
+            desc = s.startswith("-")
+            cname = s[1:] if desc else s
+            if cname not in by_fname:
+                raise ValueError(f"no sort column {cname!r} in the schema")
+            sort_fields.append(
+                {
+                    "transform": "identity",
+                    "source-id": by_fname[cname]["id"],
+                    "direction": "desc" if desc else "asc",
+                    "null-order": "nulls-last" if desc else "nulls-first",
+                }
+            )
+            sort_cols.append(
+                F.col(cname).desc() if desc else F.col(cname).asc()
+            )
+        # find-or-allocate the order id against the current metadata
+        # (an order is identified by its field DEFINITION, per spec)
+        orders = (
+            (current_metadata(path) if exists else {}).get("sort-orders")
+            or [{"order-id": 0, "fields": []}]
+        )
+        oid = next(
+            (
+                int(so["order-id"])
+                for so in orders
+                if so.get("fields") == sort_fields
+            ),
+            max(int(so.get("order-id", 0)) for so in orders) + 1,
+        )
+        sort_order = {"order-id": oid, "fields": sort_fields}
+        # keep the caller's parallelism as the file count (an explicit
+        # numPartitions also stops AQE collapsing the range shuffle of
+        # a small frame into one file — at scale callers size this)
+        df = df.repartitionByRange(
+            df.rdd.getNumPartitions() or 1, *sort_cols
+        ).sortWithinPartitions(*sort_cols)
     data_files = _land_data(df, path, spec, fields)
+    if sort_order is not None:
+        for d in data_files:
+            d["sort_order_id"] = sort_order["order-id"]
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
 
     def build_manifests(
@@ -2302,6 +2378,7 @@ def write_iceberg(
         spec_fields=spec,
         format_version=format_version,
         branch=branch,
+        sort_order=sort_order,
     )
 
 

@@ -1790,3 +1790,77 @@ def test_widen_iceberg_refuses_narrowing(spark, tmp_path):
     ib.write_iceberg(_df(spark, 0, 5), path)
     with pytest.raises(ValueError, match="promot"):
         ib.evolve_iceberg_schema(path, widen={"v": "int"})
+
+
+# --------------------------------------------------------------------------
+# sort orders (write-side clustering metadata)
+# --------------------------------------------------------------------------
+
+
+def test_write_iceberg_sort_by_registers_and_clusters(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    df = spark.range(0, 4000).select(
+        ((F.col("id") * 2654435761) % 4000).cast("bigint").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        F.col("id").cast("bigint").alias("v"),
+    ).repartition(8)
+    ib.write_iceberg(df, path, format_version=2, sort_by=["doc_id"])
+    meta = ib.current_metadata(path)
+    orders = {so["order-id"]: so for so in meta["sort-orders"]}
+    oid = meta["default-sort-order-id"]
+    assert oid != 0 and orders[oid]["fields"][0]["direction"] == "asc"
+    # every data file is stamped with the order id; bounds are DISJOINT
+    snap = ib._snapshot(meta, None)
+    entries = ib._live_entries(path, meta, snap)
+    assert all(
+        e["data_file"].get("sort_order_id") == oid for e in entries
+    )
+    fid = next(f["id"] for f in ib._schema_of(meta) if f["name"] == "doc_id")
+    bounds = sorted(
+        (
+            ib.deser_value("long", ib._norm_id_map(
+                e["data_file"]["lower_bounds"])[fid]),
+            ib.deser_value("long", ib._norm_id_map(
+                e["data_file"]["upper_bounds"])[fid]),
+        )
+        for e in entries
+    )
+    assert len(bounds) > 1
+    for (_lo1, hi1), (lo2, _hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2
+    # ...so a point lookup prunes all but one file
+    pruned, n_read, n_skipped, _m = ib.read_iceberg_pruned(
+        spark, path, "doc_id", 17, 17
+    )
+    assert [r["doc_id"] for r in pruned.collect()] == [17]
+    assert n_read == 1 and n_skipped == len(bounds) - 1
+    # same definition on a later append REUSES the registered order
+    ib.write_iceberg(
+        spark.range(4000, 4100).select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            (F.col("id") % 3).cast("string").alias("lang"),
+            F.col("id").cast("bigint").alias("v"),
+        ),
+        path,
+        sort_by=["doc_id"],
+    )
+    meta2 = ib.current_metadata(path)
+    assert len(meta2["sort-orders"]) == len(meta["sort-orders"])
+    assert meta2["default-sort-order-id"] == oid
+
+
+def test_write_iceberg_sort_by_desc_and_refusal(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(
+        _df(spark, 0, 50), path, format_version=2, sort_by=["-v"]
+    )
+    meta = ib.current_metadata(path)
+    so = next(
+        s
+        for s in meta["sort-orders"]
+        if s["order-id"] == meta["default-sort-order-id"]
+    )
+    assert so["fields"][0]["direction"] == "desc"
+    assert so["fields"][0]["null-order"] == "nulls-last"
+    with pytest.raises(ValueError, match="sort column"):
+        ib.write_iceberg(_df(spark, 50, 60), path, sort_by=["nope"])
