@@ -56,6 +56,24 @@ from . import deltaproto as dp
 FORMAT_NAME = "deltaproto"
 
 
+def _rt_option(options: dict) -> bool:
+    v = options.get("withrowtracking", options.get("withRowTracking"))
+    return str(v).lower() == "true"
+
+
+def _rt_cols_of(path: str) -> tuple[str, str]:
+    """Materialized row-id/commit-version column names of a
+    row-tracked table; refuses when row tracking is off."""
+    meta, _live, _v = _fold_py(path)
+    cols = dp._rt_materialized_cols(meta)
+    if cols is None:
+        raise ValueError(
+            "withRowTracking on a table without row tracking — run "
+            "enable_delta_row_tracking first"
+        )
+    return cols
+
+
 def _cdf_option(options: dict) -> bool:
     v = options.get("readchangefeed", options.get("readChangeFeed", "false"))
     return str(v).lower() == "true"
@@ -201,11 +219,16 @@ def _add_rows(
     add: dict,
     field_names: list[str],
     positions: set[int] | None = None,
+    rt_cols: tuple[str, str] | None = None,
 ) -> list[tuple]:
     """Rows of one add-action's file as schema-ordered tuples: DV
     positions hidden (or, when `positions` is given, ONLY those
     positions emitted — the CDF delete-derivation shape), partition
-    columns reconstructed, column mapping resolved."""
+    columns reconstructed, column mapping resolved.  With `rt_cols`
+    (the table's materialized hidden column names), the reserved
+    names `_row_id` / `_row_commit_version` in `field_names` resolve
+    by the row-tracking rule: materialized file column wins, else the
+    add-action anchor (baseRowId + position / defaultRowCommitVersion)."""
     import pyarrow.parquet as pq
 
     mapping, part_cols, types, fids = _meta_layout(meta, field_names)
@@ -222,11 +245,18 @@ def _add_rows(
             fid = md.get(b"PARQUET:field_id")
             if fid is not None:
                 id_to_name[int(fid)] = f.name
-        cols = {
+        remapped = {
             logical: cols[id_to_name[fid]]
             for logical, fid in fids.items()
             if fid in id_to_name and id_to_name[fid] in cols
         }
+        if rt_cols:
+            # materialized row-tracking columns carry no field id —
+            # they survive the remap under their own names
+            for c in rt_cols:
+                if c in cols:
+                    remapped[c] = cols[c]
+        cols = remapped
     pv = add.get("partitionValues") or {}
     # partitionValues keys stay PHYSICAL in both mapping modes
     part_vals = {
@@ -247,7 +277,22 @@ def _add_rows(
             continue
         row = []
         for name in field_names:
-            if name in part_cols:
+            if rt_cols and name == "_row_id":
+                rid, _rcv = rt_cols
+                mat = cols.get(rid, [None] * table.num_rows)[i]
+                base = add.get("baseRowId")
+                row.append(
+                    mat if mat is not None
+                    else (base + i if base is not None else None)
+                )
+            elif rt_cols and name == "_row_commit_version":
+                _rid, rcv = rt_cols
+                mat = cols.get(rcv, [None] * table.num_rows)[i]
+                row.append(
+                    mat if mat is not None
+                    else add.get("defaultRowCommitVersion")
+                )
+            elif name in part_cols:
                 row.append(part_vals[name])
             else:
                 phys = mapping.get(name, name)
@@ -273,6 +318,7 @@ class DeltaProtoReader(DataSourceReader):
             raise ValueError("deltaproto requires a path")
         self.path = path
         self.field_names = [f.name for f in schema.fields]
+        self.rt_cols = _rt_cols_of(path) if _rt_option(options) else None
         v = options.get("versionasof", options.get("versionAsOf"))
         ts = options.get("timestampasof", options.get("timestampAsOf"))
         if v is not None and ts is not None:
@@ -288,7 +334,11 @@ class DeltaProtoReader(DataSourceReader):
     def read(self, partition: _DeltaPartition) -> Iterator[tuple]:
         meta, _live, _v = _fold_py(self.path, self.version)
         yield from _add_rows(
-            self.path, meta, json.loads(partition.add_json), self.field_names
+            self.path,
+            meta,
+            json.loads(partition.add_json),
+            self.field_names,
+            rt_cols=self.rt_cols,
         )
 
 
@@ -301,6 +351,7 @@ class DeltaProtoStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("deltaproto requires a path")
         self.path = path
         self.cdf = _cdf_option(options)
+        self.rt_cols = _rt_cols_of(path) if _rt_option(options) else None
         base = [f.name for f in schema.fields]
         if self.cdf:
             base = [
@@ -312,7 +363,7 @@ class DeltaProtoStreamReader(SimpleDataSourceStreamReader):
         return {"version": -1}
 
     def _plain_rows(self, start_v: int, end_v: int) -> list[tuple]:
-        meta, _live, _v = _fold_py(self.path)
+        meta, live, _v = _fold_py(self.path)
         rows: list[tuple] = []
         for v in dp.delta_versions(self.path):
             if not start_v < v <= end_v:
@@ -331,8 +382,30 @@ class DeltaProtoStreamReader(SimpleDataSourceStreamReader):
                 )
             for a in acts:
                 if "add" in a and a["add"].get("dataChange"):
+                    add = a["add"]
+                    if self.rt_cols and add.get("baseRowId") is None:
+                        # commits that PREDATE row-tracking enablement
+                        # carry no anchors — the id is a property of
+                        # the FILE, so resolve it from the live fold
+                        # (the enablement backfill re-added every live
+                        # file with its assigned range)
+                        cur = live.get(add["path"])
+                        if cur is not None:
+                            add = dict(
+                                add,
+                                baseRowId=cur.get("baseRowId"),
+                                defaultRowCommitVersion=cur.get(
+                                    "defaultRowCommitVersion"
+                                ),
+                            )
                     rows.extend(
-                        _add_rows(self.path, meta, a["add"], self.field_names)
+                        _add_rows(
+                            self.path,
+                            meta,
+                            add,
+                            self.field_names,
+                            rt_cols=self.rt_cols,
+                        )
                     )
         return rows
 
@@ -617,9 +690,19 @@ class DeltaProtoDataSource(DataSource):
         from pyspark.sql.types import LongType, StringType
 
         schema = _latest_schema(self.options["path"])
+        if _cdf_option(self.options) and _rt_option(self.options):
+            raise ValueError(
+                "readChangeFeed and withRowTracking are mutually "
+                "exclusive reader options"
+            )
         if _cdf_option(self.options):
             schema = schema.add("_change_type", StringType()).add(
                 "_commit_version", LongType()
+            )
+        if _rt_option(self.options):
+            _rt_cols_of(self.options["path"])  # refuse early if off
+            schema = schema.add("_row_id", LongType()).add(
+                "_row_commit_version", LongType()
             )
         return schema
 

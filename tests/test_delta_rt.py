@@ -274,3 +274,70 @@ def test_reads_foreign_row_tracked_table(spark, tmp_path):
         .collect()
     }
     assert sorted(got2[k] for k in (5, 6)) == [102, 103]
+
+
+def test_datasource_with_row_tracking_option(spark, tmp_path):
+    """format('deltaproto').option('withRowTracking', 'true'):
+    the pure-python batch reader resolves _row_id/_row_commit_version
+    by the same rule as the native reader — anchors for fresh files,
+    materialized hidden columns for rewritten ones."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        deltastream,
+    )
+
+    path = os.path.join(tmp_path, "t")
+    dp.write_delta(_df(spark, 0, 20).repartition(2), path)
+    dp.enable_delta_row_tracking(spark, path)
+    before = _rt(spark, path)
+    # a rewrite materializes ids; the DataSource must read those too
+    dp.update_where_delta(spark, path, {"v": "v + 1"}, "k", 3, 5)
+    deltastream.register(spark)
+    got = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in spark.read.format("deltaproto")
+        .option("withRowTracking", "true")
+        .load(path)
+        .collect()
+    }
+    native = _rt(spark, path)
+    assert got == native
+    assert all(got[k][0] == before[k][0] for k in got)
+    # refusals: option on a plain table; option combined with CDF
+    plain = os.path.join(tmp_path, "plain")
+    dp.write_delta(_df(spark, 0, 3), plain)
+    with pytest.raises(Exception, match="row tracking"):
+        spark.read.format("deltaproto").option(
+            "withRowTracking", "true"
+        ).load(plain).collect()
+
+
+def test_stream_with_row_tracking_ids(spark, tmp_path):
+    """Streaming a row-tracked table delivers each appended row WITH
+    its durable _row_id — the join key an incremental downstream
+    pipeline needs."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        deltastream,
+    )
+
+    path = os.path.join(tmp_path, "t")
+    dp.write_delta(_df(spark, 0, 10).repartition(1), path)
+    dp.enable_delta_row_tracking(spark, path)
+    dp.write_delta(_df(spark, 10, 15).repartition(1), path)
+    deltastream.register(spark)
+    out = os.path.join(tmp_path, "out")
+    ck = os.path.join(tmp_path, "ck")
+    (
+        spark.readStream.format("deltaproto")
+        .option("withRowTracking", "true")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        r["k"]: r["_row_id"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == {k: v[0] for k, v in _rt(spark, path).items()}
