@@ -396,16 +396,43 @@ def _find_checkpoint_files(path: str, ck_v: int) -> list[str] | None:
         want = int(os.path.basename(multi[0]).split(".")[3])
         if len(multi) == want:
             return multi
+        # Incomplete multi-part set = in-flight (or interrupted) writer.
+        # Do NOT fall through to the v2 glob — '*' matches dots, so a
+        # stray part file would masquerade as a complete v2 top-level
+        # checkpoint and fold partial state.  Force full JSON replay.
+        return None
+
+    def _is_multipart(f: str) -> bool:
+        segs = os.path.basename(f).split(".")
+        return len(segs) == 5 and all(s.isdigit() for s in segs[2:4])
+
     v2 = sorted(
-        _glob.glob(
+        f
+        for f in _glob.glob(
             os.path.join(_log_dir(path), f"{ck_v:020d}.checkpoint.*.parquet")
         )
+        if not _is_multipart(f)
     ) + sorted(
         _glob.glob(
             os.path.join(_log_dir(path), f"{ck_v:020d}.checkpoint.*.json")
         )
     )
     return v2[-1:] if v2 else None
+
+
+def _checkpoint_versions(path: str) -> list[int]:
+    """Distinct versions that have at least one COMPLETE checkpoint on
+    disk (classic, multi-part, or v2 — `_find_checkpoint_files`
+    decides completeness), sorted ascending."""
+    import glob as _glob
+
+    seen: set[int] = set()
+    for f in _glob.glob(os.path.join(_log_dir(path), "*.checkpoint.*")):
+        try:
+            seen.add(int(os.path.basename(f).split(".", 1)[0]))
+        except ValueError:
+            continue
+    return sorted(v for v in seen if _find_checkpoint_files(path, v))
 
 
 def _checkpoint_action_rows(spark: SparkSession, ck_file: str) -> list[dict]:
@@ -433,6 +460,23 @@ def _fold_delta_state(spark: SparkSession, path: str, version: int | None):
     as the spec prescribes for snapshot construction."""
     vs = delta_versions(path)
     ckpt_meta = _last_checkpoint(path)
+    if version is not None and (
+        ckpt_meta is None or int(ckpt_meta["version"]) > version
+    ):
+        # time travel below the newest checkpoint: the _last_checkpoint
+        # hint is useless, but an OLDER on-disk checkpoint <= version is
+        # a valid base (log cleanup keeps one as the replay anchor)
+        older = [v for v in _checkpoint_versions(path) if v <= version]
+        ckpt_meta = {"version": max(older)} if older else None
+        if ckpt_meta is None and vs and vs[0] > 0:
+            # oldest JSON commit is not version 0 and no usable
+            # checkpoint: the base state is gone — refuse loudly
+            # instead of folding a partial tail into wrong data
+            raise ValueError(
+                f"version {version} of {path} is no longer replayable: "
+                f"oldest JSON commit is {vs[0]} and no checkpoint at or "
+                "below the requested version survives log cleanup"
+            )
     live: dict[str, dict] = {}
     meta = None
     proto: dict = {}
@@ -2574,6 +2618,7 @@ def recluster_delta(
     import math
 
     meta, live, _v = _fold_delta_state(spark, path, None)
+    _check_writer(_current_protocol(path), meta, "optimize")
     if not live:
         return delta_versions(path)[-1]
     total = sum(int(a.get("size") or 0) for a in live.values())
@@ -3810,11 +3855,21 @@ def cleanup_delta_log(path: str, retain_versions: int = 0) -> int:
     cut = ck_v - max(0, int(retain_versions))
     ld = _log_dir(path)
     deleted = 0
+    # Replay anchor: the newest complete checkpoint AT OR BELOW the
+    # cut.  Retained versions in [cut, ck_v) fold from this anchor +
+    # the retained JSON tail; without it they would need the full JSON
+    # history we are about to delete, so JSON commits are only deleted
+    # up to the anchor (<= anchor: the anchor checkpoint IS that
+    # snapshot), and the anchor checkpoint itself is kept.
+    anchors = [v for v in _checkpoint_versions(path) if v <= cut]
+    anchor = max(anchors) if anchors else None
+    json_cut = min(cut, anchor + 1) if anchor is not None else min(0, cut)
     for v in delta_versions(path):
-        if v < cut:
+        if v < json_cut:
             os.unlink(os.path.join(ld, _LOG_FMT.format(v)))
             deleted += 1
-    # superseded checkpoints (any layout) below the newest one
+    # superseded checkpoints (any layout) below the newest one — the
+    # replay anchor survives
     import glob as _glob
 
     kept_sidecars: set[str] = set()
@@ -3824,7 +3879,7 @@ def cleanup_delta_log(path: str, retain_versions: int = 0) -> int:
             v = int(base.split(".", 1)[0])
         except ValueError:
             continue
-        if v < ck_v:
+        if v < ck_v and v != anchor:
             os.unlink(f)
             deleted += 1
             continue

@@ -49,6 +49,7 @@ read.
 
 from __future__ import annotations
 
+import functools as _functools
 import io
 import json
 import math
@@ -752,6 +753,13 @@ def _read_manifest(path: str, mf: dict) -> list[dict]:
         explicit = df.get("first_row_id")
         if explicit is not None:
             r["_first_row_id"] = int(explicit)
+        elif r.get("status", 0) == 2:
+            # DELETED entries consume NO lineage rows: the manifest-list
+            # allocator (and the spec) budgets added_rows_count +
+            # existing_rows_count only, so letting a deleted entry eat
+            # the cursor would shift every live entry after it into the
+            # next manifest's range — duplicate/wrong durable row ids
+            r["_first_row_id"] = None
         elif row_cursor is not None:
             r["_first_row_id"] = int(row_cursor)
             row_cursor += int(df.get("record_count") or 0)
@@ -889,9 +897,11 @@ def _entry_has_field(path: str, df_rec: dict, fid: int, name: str) -> bool:
     """Whether a data file CONTAINS a column (v3 default-values rule:
     `initial-default` applies only to files written before the column
     existed).  Decided from the entry's per-field-id stats maps —
-    metadata already in hand, zero IO; a file with NO stats at all
-    (minimal foreign writer) falls back to one driver-side footer
-    read."""
+    metadata already in hand, zero IO — when they mention the field;
+    any file whose stats do NOT mention this field id (truncated
+    metrics, minimal foreign writer) falls back to one memoized
+    driver-side footer read, because absence from stats does not prove
+    absence from the file."""
     maps = [
         df_rec.get(k)
         for k in (
@@ -901,12 +911,25 @@ def _entry_has_field(path: str, df_rec: dict, fid: int, name: str) -> bool:
             "upper_bounds",
         )
     ]
-    if any(maps):
-        return any(fid in _norm_id_map(m) for m in maps if m)
+    if any(fid in _norm_id_map(m) for m in maps if m):
+        return True
+    # The stats maps can be TRUNCATED per column (metrics modes like
+    # max-inferred-column-defaults drop columns past a limit), so a
+    # field id missing from every map does NOT prove absence — fall
+    # back to the parquet footer whenever the specific id is unseen,
+    # not only when all maps are empty; otherwise a present column
+    # would be silently overwritten by the initial-default literal.
+    return name in _footer_names(_abs_path(path, df_rec["file_path"]))
+
+
+@_functools.lru_cache(maxsize=4096)
+def _footer_names(abs_path: str) -> frozenset:
+    """Column names from one parquet footer, memoized per file so the
+    per-(entry, defaulted-field) presence probe costs at most one
+    footer read per file."""
     import pyarrow.parquet as pq
 
-    sch = pq.ParquetFile(_abs_path(path, df_rec["file_path"])).schema_arrow
-    return name in set(sch.names)
+    return frozenset(pq.ParquetFile(abs_path).schema_arrow.names)
 
 
 def _ddl_type(typ: str):
@@ -2882,6 +2905,7 @@ def delete_where_iceberg(
                     "snapshot_id": e.get("snapshot_id"),
                     "_seq": e.get("_seq", 0),
                     "_spec_id": e.get("_spec_id", 0),
+                    "_first_row_id": e.get("_first_row_id"),
                     "data_file": e["data_file"],
                 }
                 for e in untouched
@@ -2892,6 +2916,7 @@ def delete_where_iceberg(
                     "snapshot_id": snapshot_id,
                     "_seq": e.get("_seq", 0),
                     "_spec_id": e.get("_spec_id", 0),
+                    "_first_row_id": e.get("_first_row_id"),
                     "data_file": e["data_file"],
                 }
                 for e in touched
@@ -3298,6 +3323,7 @@ def compact_iceberg(
                 "snapshot_id": snapshot_id,
                 "_seq": e.get("_seq", 0),
                 "_spec_id": e.get("_spec_id", 0),
+                "_first_row_id": e.get("_first_row_id"),
                 "data_file": e["data_file"],
             }
             for e in live
@@ -3717,6 +3743,7 @@ def rewrite_iceberg_manifests(path: str) -> int:
                             "snapshot_id": e.get("snapshot_id"),
                             "_seq": e.get("_seq", 0),
                             "_spec_id": e.get("_spec_id", 0),
+                            "_first_row_id": e.get("_first_row_id"),
                             "data_file": e["data_file"],
                         }
                     )

@@ -1621,13 +1621,18 @@ def test_cleanup_delta_log(spark, tmp_path):
     expected = _rows(dp.read_delta(spark, path))
     log = dp._log_dir(path)
     n_side_before = len(os.listdir(os.path.join(log, "_sidecars")))
-    # keep one version of pre-checkpoint history
+    # keep one version of pre-checkpoint history: the cut is 5, and the
+    # classic checkpoint @2 is the newest one at/below it, so it
+    # survives as the REPLAY ANCHOR and the JSON tail it needs (3, 4)
+    # is retained too — version 5 stays genuinely replayable instead of
+    # silently folding a partial tail (r11 fix)
     dp.cleanup_delta_log(path, retain_versions=1)
     vs = dp.delta_versions(path)
-    assert vs == [5, 6]
-    # the classic checkpoint @2 is superseded and gone
-    assert not os.path.exists(os.path.join(log, dp._CKPT_FMT.format(2)))
+    assert vs == [3, 4, 5, 6]
+    assert os.path.exists(os.path.join(log, dp._CKPT_FMT.format(2)))
     assert _rows(dp.read_delta(spark, path)) == expected
+    # the retained pre-checkpoint version folds value-exact via anchor
+    assert len(_rows(dp.read_delta(spark, path, version=5))) == 10
     # still appendable, versions continue
     v_new = dp.write_delta(_df(spark, 11, 12), path, mode="append")
     assert v_new == 7
@@ -1836,3 +1841,92 @@ def test_cluster_delta_single_column_and_refusals(spark, tmp_path):
         dp.cluster_delta(spark, p2, ["v"])
     with pytest.raises(ValueError, match="clustered table"):
         dp.recluster_delta(spark, p2)
+
+
+def test_incomplete_multipart_checkpoint_with_tail_falls_back(spark, tmp_path):
+    """An INCOMPLETE multi-part checkpoint (in-flight writer) must not
+    leak into the v2-UUID glob ('*' matches dots) and fold partial
+    state — with the JSON tail present the fold falls back to full
+    replay and returns the right data (r11 fix: silent wrong reads)."""
+    import glob
+    import shutil as sh
+
+    path = str(tmp_path / "mpck2")
+    dp.write_delta(_df(spark, 0, 6), path)
+    dp.write_delta(_df(spark, 6, 9), path, mode="append")
+    expected = _rows(dp.read_delta(spark, path))
+    v = dp.write_delta_checkpoint(spark, path)
+    log = dp._log_dir(path)
+    classic = os.path.join(log, dp._CKPT_FMT.format(v))
+    full = spark.read.parquet(classic)
+    rows = full.collect()
+    # land ONLY part 1 of a claimed 2-part set
+    stage = str(tmp_path / "part1")
+    spark.createDataFrame(rows[: len(rows) // 2], full.schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(stage)
+    src = glob.glob(os.path.join(stage, "*.parquet"))[0]
+    sh.copy(
+        src,
+        os.path.join(log, f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    os.unlink(classic)
+    assert dp._find_checkpoint_files(path, v) is None
+    # JSON tail intact: the fold must return the FULL table
+    assert _rows(dp.read_delta(spark, path)) == expected
+
+
+def test_recluster_single_column_respects_writer_gate(spark, tmp_path):
+    """recluster_delta's 1-column path runs the writer-feature gate
+    like every other rewrite (r11 fix: a foreign clustered table with
+    unsupported writer features could be rewritten in violation of
+    the protocol)."""
+    path = os.path.join(tmp_path, "t")
+    dp.write_delta(_df(spark, 0, 40).repartition(2), path)
+    dp.cluster_delta(spark, path, ["v"], target_mb=1)
+    # a foreign writer bumps the protocol with a feature we don't honor
+    dp._claim_delta_version(
+        path,
+        [
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["icebergCompatV9"],
+                    }
+                }
+            )
+        ],
+    )
+    with pytest.raises(ValueError, match="unsupported writer"):
+        dp.recluster_delta(spark, path, target_mb=1)
+
+
+def test_cleanup_keeps_replay_anchor_below_cut(spark, tmp_path):
+    """Log cleanup with retained pre-checkpoint history: the newest
+    checkpoint AT OR BELOW the cut survives as the replay anchor, so
+    every retained version folds correctly (r11 fix: versions in
+    [cut, newest-checkpoint) used to fold a partial JSON tail from
+    scratch — silent wrong data)."""
+    path = str(tmp_path / "anchor")
+    snaps = {}
+    for i in range(7):
+        dp.write_delta(
+            _df(spark, i * 2, i * 2 + 2), path,
+            mode="overwrite" if i == 0 else "append",
+        )
+        snaps[i] = _rows(dp.read_delta(spark, path))
+    dp.write_delta_checkpoint(spark, path, version=2)  # anchor @2
+    dp.write_delta_checkpoint(spark, path)             # newest @6
+    dp.cleanup_delta_log(path, retain_versions=4)      # cut = 2
+    log = dp._log_dir(path)
+    # the anchor checkpoint survives, JSON 0-1 are gone, 2-6 retained
+    assert os.path.exists(os.path.join(log, dp._CKPT_FMT.format(2)))
+    assert dp.delta_versions(path) == [2, 3, 4, 5, 6]
+    # every retained version time-travels value-exact via the anchor
+    for v in range(2, 7):
+        assert _rows(dp.read_delta(spark, path, version=v)) == snaps[v]
+    # pre-cut versions refuse loudly instead of folding partial state
+    with pytest.raises((ValueError, FileNotFoundError)):
+        dp.read_delta(spark, path, version=1).collect()

@@ -563,3 +563,75 @@ def test_foreign_corrupt_dv_refuses(spark, tmp_path):
     open(dvs[0]["path"], "wb").write(bytes(raw))
     with pytest.raises(Exception, match="CRC"):
         ib.read_iceberg(spark, path).collect()
+
+
+def test_cow_delete_keeps_untouched_file_lineage(spark, tmp_path):
+    """Multi-manifest cow rewrite: UNTOUCHED files are carried as
+    EXISTING entries and must keep their inherited `_row_id` anchors
+    — the carried entry dicts propagate `_first_row_id` so the new
+    manifest stamps them explicitly instead of letting the new
+    manifest's inheritance anchor re-number them (r11 fix: ids of
+    rows in the untouched append used to shift after any cow
+    delete)."""
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 6).repartition(2), path,
+                     format_version=3)
+    ib.write_iceberg(_df(spark, 6, 12).repartition(2), path,
+                     mode="append", format_version=3)
+    before = _lineage_map(spark, path)
+    ib.delete_where_iceberg(spark, path, "doc_id", 0, 2, strategy="cow")
+    after = _lineage_map(spark, path)
+    assert set(after) == set(range(3, 12))
+    # survivors in touched files keep ids (materialized); rows in the
+    # UNTOUCHED second append keep ids (explicit stamp on carry)
+    assert all(after[k][0] == before[k][0] for k in after)
+    ids = [v[0] for v in after.values()]
+    assert len(ids) == len(set(ids))
+
+
+def test_deleted_entries_consume_no_lineage_cursor(spark, tmp_path):
+    """A mixed-status manifest lazily assigned at v2→v3 upgrade:
+    DELETED entries budget no lineage rows (the allocator counts
+    added+existing only), so live entries AFTER a deleted one must not
+    be shifted into the next manifest's id range (r11 fix: duplicate
+    durable row ids)."""
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 10).repartition(2), path,
+                     format_version=2)
+    ib.write_iceberg(_df(spark, 10, 20).repartition(2), path,
+                     mode="append", format_version=2)
+    # cow delete writes ONE manifest with EXISTING + DELETED + ADDED
+    # entries (all null first_row_id on a v2 table)
+    ib.delete_where_iceberg(spark, path, "doc_id", 0, 3, strategy="cow")
+    ib.upgrade_iceberg_format(spark, path, 3)
+    after = _lineage_map(spark, path)
+    assert set(after) == set(range(4, 20))
+    ids = sorted(v[0] for v in after.values())
+    assert len(ids) == len(set(ids)), "duplicate durable row ids"
+    # dense assignment: exactly as many ids as live rows were budgeted
+    assert ids == list(range(len(ids)))
+
+
+def test_entry_has_field_with_truncated_stats(spark, tmp_path):
+    """Per-column-truncated metrics (stats present for SOME columns
+    but not the probed one) must fall back to the parquet footer —
+    absence from the stats maps does not prove absence from the file
+    (r11 fix: a present column was silently overwritten by the
+    initial-default literal)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = os.path.join(tmp_path, "data.parquet")
+    pq.write_table(pa.table({"a": [1, 2], "c": [7, 8]}), f)
+    df_rec = {
+        "file_path": f,
+        # stats mention ONLY field id 1 ("a") — truncated metrics
+        "value_counts": [{"key": 1, "value": 2}],
+        "null_value_counts": None,
+        "lower_bounds": None,
+        "upper_bounds": None,
+    }
+    assert ib._entry_has_field(str(tmp_path), df_rec, 3, "c") is True
+    assert ib._entry_has_field(str(tmp_path), df_rec, 4, "zzz") is False
+    # the id the stats DO mention short-circuits without any IO
+    assert ib._entry_has_field(str(tmp_path), df_rec, 1, "a") is True
