@@ -283,11 +283,26 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # per-FAMILY rollup (first name token: med/tpch/join/window/events/
+    # text/retrieval/dedup/sim/lake/mm): the stdout line is capped at
+    # ~2000 chars and the 92-entry per-query map no longer fits, so the
+    # driver-visible signal is one subtotal per subsystem — granular
+    # enough to localize a regression round-over-round, small enough to
+    # survive the cap.  Full per-entry detail always lands in
+    # bench_result.json (PLANS.md documents the family → entry map).
+    families: dict[str, float] = {}
+    fam_counts: dict[str, int] = {}
+    for k, v in timings.items():
+        fam = k.split("_", 1)[0]
+        families[fam] = round(families.get(fam, 0.0) + v, 2)
+        fam_counts[fam] = fam_counts.get(fam, 0) + 1
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "families": families,
+        "family_counts": fam_counts,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
@@ -310,10 +325,13 @@ def main() -> None:
         line_obj = dict(
             out, queries={k: round(v, ndigits) for k, v in timings.items()}
         )
+        line_obj.pop("family_counts", None)
         line = json.dumps(line_obj, separators=(",", ":"))
         if len(line) <= 1985:
             break
     if len(line) > 1985:
+        # drop the per-query map from the LINE only: the family rollup
+        # stays (one subtotal per subsystem), detail in the artifact
         line_obj.pop("queries")
         line_obj["n_queries"] = len(timings)
         line_obj["detail"] = "bench_result.json"
