@@ -221,6 +221,8 @@ _TAIL_ORDER = [
     "lake_delta_row_tracking",
     "lake_iceberg_upsert_atomic",
     "lake_iceberg_defaults",
+    "lake_delta_variant",
+    "lake_iceberg_variant",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -349,6 +351,8 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_iceberg_row_lineage"] = _iceberg.iceberg_row_lineage_entry
     pool["lake_iceberg_upsert_atomic"] = _iceberg.iceberg_upsert_atomic_entry
     pool["lake_iceberg_defaults"] = _iceberg.iceberg_defaults_entry
+    pool["lake_delta_variant"] = _deltaproto.delta_variant_entry
+    pool["lake_iceberg_variant"] = _iceberg.iceberg_variant_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -434,6 +438,8 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_iceberg_row_lineage"] = _iceberg.ICEBERG_LINEAGE_ORACLE_SQL
     pool["lake_iceberg_upsert_atomic"] = _iceberg.ICEBERG_UPSERT_ORACLE_SQL
     pool["lake_iceberg_defaults"] = _iceberg.ICEBERG_DEFAULTS_ORACLE_SQL
+    pool["lake_delta_variant"] = _deltaproto.DELTA_VARIANT_ORACLE_SQL
+    pool["lake_iceberg_variant"] = _iceberg.ICEBERG_VARIANT_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

@@ -135,6 +135,10 @@ HEADLINE = [
     "lake_iceberg_defaults",
     "tpch_q1_sql_frontend",
     "tpch_q18_sql_frontend",
+    # r11: VARIANT through the lake read tier (Delta variantType +
+    # Iceberg v3 variant), DV-masked variant_get scans
+    "lake_delta_variant",
+    "lake_iceberg_variant",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -186,6 +190,9 @@ HEAVY_WARMUPS = {
     "lake_iceberg_upsert_atomic": 2,
     # first warm pass lands the two-era defaults fixture
     "lake_iceberg_defaults": 2,
+    # first warm pass lands the variant fixtures (write + DV delete)
+    "lake_delta_variant": 2,
+    "lake_iceberg_variant": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

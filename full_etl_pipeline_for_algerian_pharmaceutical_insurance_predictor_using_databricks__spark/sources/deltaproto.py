@@ -67,6 +67,14 @@ _SUPPORTED_READER_FEATURES = {
     # type widening: the read schema carries the WIDER type and the
     # parquet reader upcasts narrower file values natively
     "typeWidening",
+    # VARIANT type (Delta 4.x): schemaString type "variant", parquet
+    # physical group {value, metadata} under the VARIANT logical
+    # annotation — Spark 4's parquet reader assembles it natively
+    "variantType",
+    # shredded variant (typed_value subtrees): Spark reads shredded
+    # files natively (spark.sql.variant.allowReadingShredded, default
+    # on), so the feature costs nothing extra on the read path
+    "variantShredding",
 }
 #: Protocol announced once a table carries deletion vectors (the spec
 #: requires the feature flags from the first DV commit on).
@@ -76,6 +84,42 @@ _DV_PROTOCOL = {
     "readerFeatures": ["deletionVectors"],
     "writerFeatures": ["deletionVectors"],
 }
+
+#: Legacy reader versions → the table features they imply (spec's
+#: upgrade table, reader side) — expanded when raising a table to the
+#: features protocol so nothing the table relied on goes unlisted.
+_IMPLIED_READER_FEATURES = {2: ["columnMapping"]}
+
+
+def _protocol_with_features(
+    proto: dict,
+    add_reader: list[str] | tuple = (),
+    add_writer: list[str] | tuple = (),
+) -> dict:
+    """The table's protocol raised to the features tier (reader 3 /
+    writer 7) with the given features ADDED — existing listed features
+    and the legacy-version-implied ones are preserved, never dropped
+    (the spec's upgrade rule)."""
+    feats_r = set(proto.get("readerFeatures") or [])
+    if proto.get("minReaderVersion", 1) < 3:
+        for ver, feats in _IMPLIED_READER_FEATURES.items():
+            if proto.get("minReaderVersion", 1) >= ver:
+                feats_r.update(feats)
+    feats_w = set(proto.get("writerFeatures") or [])
+    if proto.get("minWriterVersion", 1) < 7:
+        for ver, feats in _IMPLIED_WRITER_FEATURES.items():
+            if proto.get("minWriterVersion", 1) >= ver:
+                feats_w.update(feats)
+    feats_r.update(add_reader)
+    feats_w.update(add_writer)
+    # spec: reader-affecting features appear in BOTH lists
+    feats_w.update(feats_r)
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(feats_r),
+        "writerFeatures": sorted(feats_w),
+    }
 _DV_MAGIC = 1681511377
 
 
@@ -154,6 +198,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # liquid clustering: columns recorded in the delta.clustering
     # domain; recluster_delta re-runs the rewrite (r10)
     "clustering",
+    # VARIANT writes land spec-shaped annotated parquet (write_delta
+    # forces UNSHREDDED files for maximum foreign-reader compat and
+    # declares only variantType; shredded FOREIGN data still reads)
+    "variantType",
+    "variantShredding",
 }
 
 
@@ -1071,49 +1120,85 @@ def _claim_delta_version(path: str, lines: list[str]) -> int:
         return version
 
 
+def _schema_has_variant(schema) -> bool:
+    """Whether a Spark schema carries a VARIANT anywhere (top level or
+    nested) — the trigger for the variantType protocol features and
+    the unshredded-landing conf toggle."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructType,
+        VariantType,
+    )
+
+    def walk(dt) -> bool:
+        if isinstance(dt, VariantType):
+            return True
+        if isinstance(dt, StructType):
+            return any(walk(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return walk(dt.elementType)
+        if isinstance(dt, MapType):
+            return walk(dt.keyType) or walk(dt.valueType)
+        return False
+
+    return walk(schema)
+
+
+class _unshredded_variant_writes:
+    """Context manager pinning `spark.sql.variant.writeShredding.enabled`
+    to false for the duration of a landing write: this Spark build
+    SHREDS variant parquet by default, and the unshredded {value,
+    metadata} group is the maximally-interoperable on-disk shape (the
+    only one the plain `variantType` table feature allows — shredded
+    files would additionally require declaring `variantShredding`)."""
+
+    _KEY = "spark.sql.variant.writeShredding.enabled"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self._KEY, None)
+        self.spark.conf.set(self._KEY, "false")
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self._KEY)
+        else:
+            self.spark.conf.set(self._KEY, self.prev)
+        return False
+
+
 def _file_stats_json(local_path: str) -> str | None:
     """The add-action `stats` JSON the Delta spec defines —
     numRecords / minValues / maxValues / nullCount, read from the
-    parquet FOOTER.  Real engines (Spark+delta, Trino) write and use
-    the same structure for data skipping."""
-    import pyarrow.parquet as pq
+    parquet FOOTER (pyarrow, with a JVM fallback for files pyarrow
+    cannot open — VARIANT-typed columns).  Real engines (Spark+delta,
+    Trino) write and use the same structure for data skipping."""
+    from .pqfooter import read_footer
 
     try:
-        md = pq.ParquetFile(local_path).metadata
+        fm = read_footer(local_path)
     except Exception:
         return None
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
-    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    for col, ci in names.items():
-        lo = hi = None
-        ok_minmax = True
-        nc: int | None = 0
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st is not None and nc is not None and st.null_count is not None:
-                nc += st.null_count
-            else:
-                nc = None
-            if st is None or not st.has_min_max:
-                ok_minmax = False
-                continue
-            if lo is None or st.min < lo:
-                lo = st.min
-            if hi is None or st.max > hi:
-                hi = st.max
-        if ok_minmax and lo is not None:
+    for col, st in fm["columns"].items():
+        if "." in col:
+            continue  # leaf of a nested group (variant value/metadata)
+        if st["min"] is not None and st["max"] is not None:
             try:
-                json.dumps([lo, hi])
-                mins[col], maxs[col] = lo, hi
+                json.dumps([st["min"], st["max"]])
+                mins[col], maxs[col] = st["min"], st["max"]
             except TypeError:
                 pass  # non-JSON stat types (binary): omit, per spec
-        if nc is not None:
-            nulls[col] = nc
+        if st["null_count"] is not None:
+            nulls[col] = st["null_count"]
     return json.dumps(
         {
-            "numRecords": md.num_rows,
+            "numRecords": fm["num_rows"],
             "minValues": mins,
             "maxValues": maxs,
             "nullCount": nulls,
@@ -1143,10 +1228,20 @@ def _land_parquet(
             else partition_by
         )
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    if partition_by:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
-    else:
-        df.write.mode("overwrite").parquet(staging)
+    import contextlib
+
+    shred_guard = (
+        _unshredded_variant_writes(df.sparkSession)
+        if _schema_has_variant(df.schema)
+        else contextlib.nullcontext()
+    )
+    with shred_guard:
+        if partition_by:
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(
+                staging
+            )
+        else:
+            df.write.mode("overwrite").parquet(staging)
     out = []
     for dirpath, _dirs, files in sorted(os.walk(staging)):
         rel = os.path.relpath(dirpath, staging)
@@ -1290,6 +1385,21 @@ def write_delta(
             # generated columns require writer version 4 (the spec's
             # generatedColumns table feature tier)
             proto["minWriterVersion"] = max(proto["minWriterVersion"], 4)
+        if _schema_has_variant(df.schema):
+            # VARIANT requires the table-features protocol tier (spec:
+            # reader v3 / writer v7, `variantType` listed BOTH sides);
+            # legacy-implied writer features expand per the upgrade
+            # table, exactly like the enable_* helpers
+            feats_w = {"variantType"}
+            for ver, feats in _IMPLIED_WRITER_FEATURES.items():
+                if proto["minWriterVersion"] >= ver:
+                    feats_w.update(feats)
+            proto = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["variantType"],
+                "writerFeatures": sorted(feats_w),
+            }
         lines.append(json.dumps({"protocol": proto}))
     if first or mode == "overwrite":
         meta_id = (
@@ -1768,7 +1878,20 @@ def _delete_where_delta_dv(
     ]
     proto = _current_protocol(path)
     if "deletionVectors" not in (proto.get("readerFeatures") or []):
-        lines.append(json.dumps({"protocol": dict(_DV_PROTOCOL)}))
+        # MERGE the DV feature into the existing protocol — replacing
+        # it wholesale would silently drop features the table already
+        # carries (variantType, rowTracking, clustering, ...)
+        lines.append(
+            json.dumps(
+                {
+                    "protocol": _protocol_with_features(
+                        proto,
+                        add_reader=["deletionVectors"],
+                        add_writer=["deletionVectors"],
+                    )
+                }
+            )
+        )
     for rel in sorted(blobs):
         old_add = touched[rel]
         lines.append(
@@ -4238,6 +4361,74 @@ SELECT lang,
        CAST(SUM(cv) AS BIGINT) AS sum_cvs
 FROM ids
 WHERE doc_id NOT BETWEEN 100 AND 249
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+_DELTA_VARIANT_LAKE_VERSION = 1
+
+
+def _ensure_variant_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once VARIANT fixture: `documents` projected to (doc_id,
+    props) where props is a real VARIANT built from the row's own
+    fields (`parse_json(to_json(struct(...)))`), landed as an
+    unshredded variantType table, then DV-deleted over a doc_id range
+    — variant + deletion vectors + the merged feature protocol on one
+    table."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "deltavariant", _DELTA_VARIANT_LAKE_VERSION, sf_dir
+        ),
+        "docs_delta_variant",
+    )
+    if not delta_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.parse_json(
+                F.to_json(F.struct("lang", "source", "n_chars"))
+            ).alias("props"),
+        )
+        write_delta(docs.repartition(4), path)
+        delete_where_delta(spark, path, "doc_id", 100, 199, strategy="dv")
+    return path
+
+
+def delta_variant_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for the Delta variantType feature: read the
+    variant table (DV mask applied), extract typed fields with
+    variant_get, and aggregate.  The oracle restates the same
+    aggregate from the raw documents parquet, so a value match proves
+    the storage round-trip — schemaString `variant`, annotated parquet
+    group, DV-masked scan — is lossless field-by-field.  Scale shape:
+    variant decode is a columnar scan expression (no UDF, no shuffle
+    added); the group-by is the only exchange."""
+    snap = read_delta(spark, _ensure_variant_lake(spark, sf_dir))
+    return (
+        snap.select(
+            F.variant_get("props", "$.lang", "string").alias("lang"),
+            F.variant_get("props", "$.n_chars", "long").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DELTA_VARIANT_ORACLE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+WHERE doc_id NOT BETWEEN 100 AND 199
 GROUP BY lang
 ORDER BY lang
 """

@@ -165,7 +165,17 @@ def _fold_py(path: str, version: int | None = None):
 
 def _latest_schema(path: str) -> StructType:
     meta, _live, _v = _fold_py(path)
-    return StructType.fromJson(json.loads(meta["schemaString"]))
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if any(f.dataType.typeName() == "variant" for f in schema.fields):
+        # the stream tasks decode files with pyarrow in Python workers,
+        # and this pyarrow build cannot open VARIANT-typed parquet —
+        # refuse loudly instead of failing mid-stream inside a task
+        raise ValueError(
+            "variant columns are not supported by the deltaproto "
+            "STREAM reader (pyarrow-decoded tasks) — read the table "
+            "in batch via read_delta"
+        )
+    return schema
 
 
 def _pv_value(spark_type: str, raw: str | None):

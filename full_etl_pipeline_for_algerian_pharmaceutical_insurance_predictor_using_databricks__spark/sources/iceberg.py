@@ -82,6 +82,11 @@ _SPARK_TO_ICE = {
     "timestamp": "timestamptz",
     # Spark's tz-free TimestampNTZ is exactly Iceberg's `timestamp`
     "timestamp_ntz": "timestamp",
+    # v3 semi-structured type: same binary encoding as Spark VARIANT
+    # (the Iceberg variant spec adopted it); parquet physical shape is
+    # the annotated {metadata, value} group, shredded or not — Spark's
+    # reader assembles both.  Writes are v3-gated in write_iceberg.
+    "variant": "variant",
 }
 _ICE_TO_SPARK = {v: k for k, v in _SPARK_TO_ICE.items()}
 _ICE_TO_AVRO = {
@@ -924,12 +929,15 @@ def _entry_has_field(path: str, df_rec: dict, fid: int, name: str) -> bool:
 
 @_functools.lru_cache(maxsize=4096)
 def _footer_names(abs_path: str) -> frozenset:
-    """Column names from one parquet footer, memoized per file so the
-    per-(entry, defaulted-field) presence probe costs at most one
-    footer read per file."""
-    import pyarrow.parquet as pq
+    """Top-level column names from one parquet footer, memoized per
+    file so the per-(entry, defaulted-field) presence probe costs at
+    most one footer read per file.  pqfooter handles files pyarrow
+    cannot open (VARIANT columns)."""
+    from .pqfooter import read_footer
 
-    return frozenset(pq.ParquetFile(abs_path).schema_arrow.names)
+    return frozenset(
+        c.split(".", 1)[0] for c in read_footer(abs_path)["columns"]
+    )
 
 
 def _ddl_type(typ: str):
@@ -1820,10 +1828,22 @@ def _land_data(
         ]
     )
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    if part_cols:
-        df.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
-    else:
-        df.write.mode("overwrite").parquet(staging)
+    import contextlib
+
+    from .deltaproto import _schema_has_variant, _unshredded_variant_writes
+
+    shred_guard = (
+        _unshredded_variant_writes(df.sparkSession)
+        if _schema_has_variant(df.schema)
+        else contextlib.nullcontext()
+    )
+    with shred_guard:
+        if part_cols:
+            df.write.mode("overwrite").partitionBy(*part_cols).parquet(
+                staging
+            )
+        else:
+            df.write.mode("overwrite").parquet(staging)
     out = []
     for dirpath, _dirs, files in sorted(os.walk(staging)):
         rel = os.path.relpath(dirpath, staging)
@@ -1855,50 +1875,35 @@ def _data_file_record(
 ) -> dict:
     """data_file record for one landed parquet file, with
     footer-derived per-field-id stats (value/null counts, single-value
-    serialized lower/upper bounds)."""
-    import pyarrow.parquet as pq
+    serialized lower/upper bounds).  Footer access goes through
+    pqfooter.read_footer — pyarrow, with a JVM fallback for files
+    pyarrow cannot open (v3 VARIANT columns), so one variant column
+    never costs the other columns their pruning bounds."""
+    from .pqfooter import read_footer
 
-    md = pq.ParquetFile(dest).metadata
+    fm = read_footer(dest)
     lbs: dict[int, bytes] = {}
     ubs: dict[int, bytes] = {}
     vcs: dict[int, int] = {}
     ncs: dict[int, int] = {}
-    cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    for cname, ci in cols.items():
+    for cname, st in fm["columns"].items():
         fld = name_to_field.get(cname)
         if fld is None:
-            continue
-        lo = hi = None
-        ok = True
-        nc = 0
-        nc_ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st is not None and st.null_count is not None:
-                nc += st.null_count
-            else:
-                nc_ok = False
-            if st is None or not st.has_min_max:
-                ok = False
-                continue
-            if lo is None or st.min < lo:
-                lo = st.min
-            if hi is None or st.max > hi:
-                hi = st.max
-        if ok and lo is not None:
+            continue  # dotted nested leaves (variant value/metadata)
+        if st["min"] is not None and st["max"] is not None:
             try:
-                lbs[fld["id"]] = ser_value(fld["type"], lo)
-                ubs[fld["id"]] = ser_value(fld["type"], hi)
+                lbs[fld["id"]] = ser_value(fld["type"], st["min"])
+                ubs[fld["id"]] = ser_value(fld["type"], st["max"])
             except (ValueError, TypeError):
                 pass
-        vcs[fld["id"]] = md.num_rows
-        if nc_ok:
-            ncs[fld["id"]] = nc
+        vcs[fld["id"]] = fm["num_rows"]
+        if st["null_count"] is not None:
+            ncs[fld["id"]] = st["null_count"]
     return {
         "file_path": reldest,
         "file_format": "PARQUET",
         "partition": pvals,
-        "record_count": md.num_rows,
+        "record_count": fm["num_rows"],
         "file_size_in_bytes": os.path.getsize(dest),
         "block_size_in_bytes": _BLOCK_SIZE,
         "value_counts": [
@@ -2324,6 +2329,13 @@ def write_iceberg(
         by_name = {f["name"]: f for f in fields}
         spec = _parse_partition_by(list(partition_by or []), by_name)
         spec_sid = 0
+        if format_version < 3 and any(
+            f["type"] == "variant" for f in fields
+        ):
+            raise ValueError(
+                "variant columns require format_version=3 (the type "
+                "joins the spec in v3)"
+            )
     sort_order = None
     if sort_by:
         by_fname = {f["name"]: f for f in fields}
@@ -5215,6 +5227,79 @@ SELECT lang,
        CAST(SUM(CASE WHEN score = 7 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_default
 FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+_ICEBERG_VARIANT_LAKE_VERSION = 1
+
+
+def _ensure_variant_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once v3 VARIANT fixture: two appends of (doc_id, props)
+    where props is a real VARIANT built from the row's own fields,
+    then a merge-on-read DV delete over a doc_id range — variant +
+    Puffin deletion vectors + row lineage on one v3 table."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "iceberg_variant", _ICEBERG_VARIANT_LAKE_VERSION, sf_dir
+        ),
+        "docs_iceberg_variant",
+    )
+    if not _metadata_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.parse_json(
+                F.to_json(F.struct("lang", "source", "n_chars"))
+            ).alias("props"),
+        )
+        half = F.col("doc_id") % 2 == 0
+        write_iceberg(
+            docs.filter(half).repartition(2), path, format_version=3
+        )
+        write_iceberg(
+            docs.filter(~half).repartition(2), path,
+            mode="append", format_version=3,
+        )
+        delete_where_iceberg(
+            spark, path, "doc_id", 100, 199, strategy="merge-on-read"
+        )
+    return path
+
+
+def iceberg_variant_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for the Iceberg v3 VARIANT type: read the
+    variant table (DV mask applied), extract typed fields with
+    variant_get, and aggregate.  The oracle restates the aggregate
+    from the raw documents parquet, so a value match proves the v3
+    storage round-trip — schema type `variant`, annotated parquet,
+    Puffin-DV-masked scan — is lossless field-by-field."""
+    snap = read_iceberg(spark, _ensure_variant_lake(spark, sf_dir))
+    return (
+        snap.select(
+            F.variant_get("props", "$.lang", "string").alias("lang"),
+            F.variant_get("props", "$.n_chars", "long").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ICEBERG_VARIANT_ORACLE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars
+FROM documents
+WHERE doc_id NOT BETWEEN 100 AND 199
 GROUP BY lang
 ORDER BY lang
 """

@@ -50,7 +50,17 @@ FORMAT_NAME = "iceberg"
 
 
 def _schema(path: str) -> StructType:
-    return ib._spark_schema(ib._schema_of(ib.current_metadata(path)))
+    fields = ib._schema_of(ib.current_metadata(path))
+    if any(f["type"] == "variant" for f in fields):
+        # stream tasks decode files with pyarrow in Python workers, and
+        # this pyarrow build cannot open VARIANT-typed parquet — refuse
+        # loudly instead of failing mid-stream inside a task
+        raise ValueError(
+            "variant columns are not supported by the iceberg STREAM "
+            "reader (pyarrow-decoded tasks) — read the table in batch "
+            "via read_iceberg"
+        )
+    return ib._spark_schema(fields)
 
 
 def _from_internal(ice_type: str, v):
