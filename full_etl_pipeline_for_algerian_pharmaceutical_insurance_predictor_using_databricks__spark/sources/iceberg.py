@@ -3534,31 +3534,48 @@ def commit_iceberg_files(
     (app_id, batch_id), the commit is EXACTLY-ONCE: a replayed batch
     whose id is not newer than the app's ledger entry commits nothing
     (returns None; callers unlink their orphaned files).  Creates the
-    table (unpartitioned) from `schema` on the first commit; a
-    partitioned target refuses — the tuple-at-a-time sink path cannot
-    land hive tuples."""
+    table (unpartitioned) from `schema` on the first commit.
+
+    `landed` items are either a bare relative path (unpartitioned) or
+    a `(rel_path, {pf_name: internal_value})` pair — the partitioned
+    sink's per-tuple files; each pair's partition struct lands in the
+    manifest entry, so the snapshot is pruneable like any batch
+    write.  A partition tuple against an unpartitioned table (or the
+    reverse, on a partitioned one) refuses — the sink's spec snapshot
+    went stale."""
     if app_id is not None and batch_id is not None:
         committed = iceberg_stream_batch_ids(path).get(app_id, -1)
         if committed >= int(batch_id):
             return None
     exists = bool(_metadata_versions(path))
+    spec: list[dict] = []
+    spec_sid = 0
     if exists:
         meta0 = current_metadata(path)
         fields = _schema_of(meta0)
-        if _spec_of(meta0):
-            raise ValueError(
-                "streaming sink cannot write to a PARTITIONED Iceberg "
-                "table; use foreachBatch over write_iceberg"
-            )
+        spec = _spec_of(meta0)
+        spec_sid = _default_spec_id(meta0)
     else:
         fields = _iceberg_fields(schema)
+    norm: list[tuple[str, dict]] = [
+        (item, {}) if isinstance(item, str) else (item[0], item[1] or {})
+        for item in landed
+    ]
+    want_names = [pf["name"] for pf in spec]
+    for rel, pvals in norm:
+        if sorted(pvals) != sorted(want_names):
+            raise ValueError(
+                f"landed file {rel!r} carries partition tuple "
+                f"{sorted(pvals)} but the table's default spec is "
+                f"{sorted(want_names)}"
+            )
     name_to_field = {f["name"]: f for f in fields}
     records = []
-    for rel in sorted(landed):
+    for rel, pvals in sorted(norm):
         dest = os.path.join(path, "data", rel)
         records.append(
             _data_file_record(
-                dest, _file_uri(path, f"data/{rel}"), name_to_field, {}
+                dest, _file_uri(path, f"data/{rel}"), name_to_field, pvals
             )
         )
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
@@ -3571,8 +3588,8 @@ def commit_iceberg_files(
             for d in records
         ]
         new_mf = _write_manifest(
-            path, entries, snapshot_id, fields, [], schema_json,
-            fv=fv, seq=seq,
+            path, entries, snapshot_id, fields, spec, schema_json,
+            fv=fv, seq=seq, spec_id=spec_sid,
         )
         carried: list[dict] = []
         if base is not None:

@@ -327,6 +327,9 @@ class IcebergStreamReader(SimpleDataSourceStreamReader):
 class _IceWriteMessage(WriterCommitMessage):
     file_name: str | None
     n_rows: int
+    # partitioned targets: [(rel_path_with_hive_segs, {pf_name:
+    # internal_value}, n_rows)] per landed file — JSON-safe payload
+    files: list | None = None
 
 
 class IcebergStreamWriter(DataSourceStreamWriter):
@@ -339,9 +342,20 @@ class IcebergStreamWriter(DataSourceStreamWriter):
     fodder), the same contract the deltaproto sink keys on `txn`
     actions.  Tasks land immutable uuid parquet files under `data/`;
     `commit` appends ONE snapshot per micro-batch with footer-derived
-    stats, creating the table on the first commit.  Unpartitioned
-    targets only — the tuple-at-a-time Python path cannot land hive
-    tuples."""
+    stats, creating the table on the first commit (unpartitioned).
+
+    PARTITIONED targets (pre-created via write_iceberg) fan each
+    task's rows out by partition TUPLE — transforms evaluated in the
+    Python worker with the same spec-pinned pure-python kernels the
+    metadata pruner uses (`_apply_transform_py`: identity / bucket-
+    murmur3 / truncate / year / month / day) — landing one hive-pathed
+    file per tuple per task, identity source columns dropped from file
+    content per the spec's projection rule; `commit` stamps each
+    file's partition struct into the manifest, so downstream
+    `read_iceberg_pruned` skips non-matching tuples without opening a
+    file.  Timestamp-sourced partition transforms refuse (the
+    DataSource row codec surfaces session-zone-naive datetimes — a
+    silent timezone shift is worse than a loud refusal)."""
 
     def __init__(self, options: dict, schema: StructType):
         path = options.get("path")
@@ -352,22 +366,41 @@ class IcebergStreamWriter(DataSourceStreamWriter):
         self.app_id = options.get(
             "streamappid", options.get("streamAppId", "icestream-sink")
         )
+        self.spec: list[dict] = []
+        self.fields: list[dict] | None = None
         if ib._metadata_versions(path):
             meta = ib.current_metadata(path)
-            if ib._spec_of(meta):
-                raise ValueError(
-                    "format('iceberg') streaming sink cannot write to a "
-                    "PARTITIONED table; use foreachBatch over "
-                    "iceberg.write_iceberg (which lands hive tuples)"
-                )
-            ours = ib._iceberg_fields(schema)
             theirs = ib._schema_of(meta)
+            ours = ib._iceberg_fields(schema)
             if [(f["name"], f["type"]) for f in ours] != [
                 (f["name"], f["type"]) for f in theirs
             ]:
                 raise ValueError(
                     "stream schema differs from the Iceberg table schema"
                 )
+            self.spec = ib._spec_of(meta)
+            self.fields = theirs
+            by_id = {f["id"]: f for f in theirs}
+            for pf in self.spec:
+                src = by_id[pf["source-id"]]
+                ib._parse_transform(pf.get("transform", "identity"))
+                if src["type"] in ("timestamp", "timestamptz"):
+                    raise ValueError(
+                        "streaming sink cannot partition on a timestamp "
+                        f"source ({src['name']!r}): the DataSource row "
+                        "codec is session-zone-naive; partition on a "
+                        "DATE column or use foreachBatch over "
+                        "write_iceberg"
+                    )
+
+    def _tuple_of(self, row: tuple, idx: dict) -> tuple:
+        by_id = {f["id"]: f for f in self.fields}
+        out = []
+        for pf in self.spec:
+            src = by_id[pf["source-id"]]
+            vi = ib._to_internal(src["type"], row[idx[src["name"]]])
+            out.append(ib._apply_transform_py(pf, src["type"], vi))
+        return tuple(out)
 
     def write(self, rows) -> _IceWriteMessage:
         import uuid as _uuid
@@ -380,33 +413,87 @@ class IcebergStreamWriter(DataSourceStreamWriter):
         if not tuples:
             return _IceWriteMessage(file_name=None, n_rows=0)
         arrow_schema = to_arrow_schema(self.schema)
-        cols = list(zip(*tuples))
-        table = pa.Table.from_arrays(
-            [
-                pa.array(col, type=arrow_schema.field(i).type)
-                for i, col in enumerate(cols)
-            ],
-            schema=arrow_schema,
+
+        def land(rows_k: list[tuple], segs: list[str],
+                 drop: set[int]) -> str:
+            cols = list(zip(*rows_k))
+            table = pa.Table.from_arrays(
+                [
+                    pa.array(cols[i], type=arrow_schema.field(i).type)
+                    for i in range(len(arrow_schema))
+                    if i not in drop
+                ],
+                names=[
+                    arrow_schema.field(i).name
+                    for i in range(len(arrow_schema))
+                    if i not in drop
+                ],
+            )
+            d = os.path.join(self.path, "data", *segs)
+            os.makedirs(d, exist_ok=True)
+            name = f"{_uuid.uuid4().hex}.parquet"
+            pq.write_table(table, os.path.join(d, name))
+            return "/".join(segs + [name]) if segs else name
+
+        if not self.spec:
+            name = land(tuples, [], set())
+            return _IceWriteMessage(file_name=name, n_rows=len(tuples))
+        idx = {f.name: i for i, f in enumerate(self.schema.fields)}
+        by_id = {f["id"]: f for f in self.fields}
+        # identity source columns live in the partition struct, not in
+        # file content (the spec's identity-projection rule the batch
+        # writer and _read_entries already follow)
+        drop = {
+            idx[by_id[pf["source-id"]]["name"]]
+            for pf in self.spec
+            if ib._parse_transform(pf.get("transform", "identity"))[0]
+            == "identity"
+        }
+        groups: dict[tuple, list[tuple]] = {}
+        for t in tuples:
+            groups.setdefault(self._tuple_of(t, idx), []).append(t)
+        files = []
+        for key, rows_k in sorted(
+            groups.items(), key=lambda kv: str(kv[0])
+        ):
+            segs = [
+                "{}={}".format(
+                    pf["name"],
+                    "__HIVE_DEFAULT_PARTITION__" if v is None else v,
+                )
+                for pf, v in zip(self.spec, key)
+            ]
+            rel = land(rows_k, segs, drop)
+            files.append(
+                (rel, dict(zip([pf["name"] for pf in self.spec], key)),
+                 len(rows_k))
+            )
+        return _IceWriteMessage(
+            file_name=None, n_rows=len(tuples), files=files
         )
-        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
-        name = f"{_uuid.uuid4().hex}.parquet"
-        pq.write_table(table, os.path.join(self.path, "data", name))
-        return _IceWriteMessage(file_name=name, n_rows=len(tuples))
 
     def commit(self, messages, batchId: int) -> None:
-        files = sorted(m.file_name for m in messages if m and m.file_name)
-        if not files:
+        landed: list = []
+        for m in messages:
+            if m is None:
+                continue
+            if m.file_name:
+                landed.append(m.file_name)
+            for rel, pvals, _n in m.files or []:
+                landed.append((rel, pvals))
+        if not landed:
             return
         snap = ib.commit_iceberg_files(
             self.path,
-            files,
+            landed,
             self.schema,
             app_id=self.app_id,
             batch_id=int(batchId),
         )
         if snap is None:  # replayed batch: exactly-once no-op
-            for f in files:
-                full = os.path.join(self.path, "data", f)
+            for item in landed:
+                rel = item if isinstance(item, str) else item[0]
+                full = os.path.join(self.path, "data", rel)
                 if os.path.exists(full):
                     os.unlink(full)
 

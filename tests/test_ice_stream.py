@@ -168,14 +168,17 @@ def test_stream_sink_exactly_once_summary_ledger(spark, tmp_path):
     writer.commit([msg2], batchId=committed + 1)
     assert ib.read_iceberg(spark, path).count() == 26
 
-    # partitioned targets refuse the sink
+    # timestamp-sourced partition transforms refuse the sink (the
+    # DataSource row codec is session-zone-naive); other partitioned
+    # targets are first-class — test_stream_sink_partitioned below
     p2 = str(tmp_path / "part")
-    ib.write_iceberg(df, p2, partition_by=["lang"])
+    ts = df.withColumn("ts", F.timestamp_micros(F.col("doc_id")))
+    ib.write_iceberg(ts, p2, partition_by=["years(ts)"])
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="PARTITIONED"):
+    with _pytest.raises(ValueError, match="timestamp"):
         icestream.IcebergStreamWriter(
-            {"path": p2, "streamAppId": "x"}, back.schema
+            {"path": p2, "streamAppId": "x"}, ts.schema
         )
 
 
@@ -216,3 +219,122 @@ def test_datasource_applies_v3_defaults(spark, tmp_path):
         for r in spark.read.format("iceberg").load(path).collect()
     }
     assert got == {0: 7, 1: 7, 2: 7, 3: 7, 4: 7, 5: 7, 6: 99, 7: None}
+
+
+def test_stream_sink_partitioned_exactly_once_and_pruned(spark, tmp_path):
+    """Partitioned exactly-once sink: stream into a table partitioned
+    by (years(d), bucket(4, doc_id)) — each micro-batch lands one
+    hive-pathed file per partition tuple and ONE snapshot; the result
+    matches the batch writer row-for-row AND prunes identically; a
+    duplicate-trigger replay commits nothing; identity sources stay
+    out of file content."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    icestream.register(spark)
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "ice")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(0, 40).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        F.date_add(
+            F.lit("2019-06-01").cast("date"),
+            ((F.col("id") * 37) % 1100).cast("int"),
+        ).alias("d"),
+    )
+    # pre-create the partitioned table (empty) with the target spec:
+    # one identity field (dropped from file content, reconstructed on
+    # read), one time transform, one bucket transform
+    ib.write_iceberg(
+        df.limit(0), path,
+        partition_by=["lang", "years(d)", "bucket(4, doc_id)"],
+    )
+    df.write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema("doc_id bigint, lang string, d date")
+        .parquet(src)
+        .writeStream.format("iceberg")
+        .option("path", path)
+        .option("streamAppId", "test-part-sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    back = ib.read_iceberg(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # batch-parity of the landed metadata: a twin table written by the
+    # BATCH writer prunes to the same file subsets
+    twin = str(tmp_path / "twin")
+    ib.write_iceberg(
+        df, twin, partition_by=["lang", "years(d)", "bucket(4, doc_id)"]
+    )
+    import datetime as _dt
+
+    for col, lo, hi in [
+        ("d", _dt.date(2020, 1, 1), _dt.date(2020, 12, 31)),
+        ("doc_id", 7, 7),
+    ]:
+        got_s, read_s, skip_s, _mf_s = ib.read_iceberg_pruned(
+            spark, path, col, lo, hi
+        )
+        got_b, _read_b, _skip_b, _mf_b = ib.read_iceberg_pruned(
+            spark, twin, col, lo, hi
+        )
+        assert sorted(tuple(r) for r in got_s.collect()) == sorted(
+            tuple(r) for r in got_b.collect()
+        )
+        # pruning actually skipped files on the stream-landed table
+        assert skip_s > 0
+    # identity sources absent from file content, hive dirs present
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                       recursive=True)
+    assert files and all("d_year=" in f or "=" in f for f in files)
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources.pqfooter import (
+        read_footer,
+    )
+
+    for f in files:
+        cols = read_footer(f)["columns"]
+        assert "lang" not in cols  # identity source dropped
+        assert "d" in cols  # transform sources stay, per spec
+        assert "doc_id" in cols
+    # duplicate-trigger replay: exactly-once no-op, orphan unlinked
+    committed = ib.iceberg_stream_batch_ids(path)["test-part-sink"]
+    writer = icestream.IcebergStreamWriter(
+        {"path": path, "streamAppId": "test-part-sink"}, back.schema
+    )
+    import datetime
+
+    msg = writer.write(
+        iter([(999, "x", datetime.date(2021, 2, 3))])
+    )
+    assert msg.files and len(msg.files) == 1
+    orphan = os.path.join(path, "data", msg.files[0][0])
+    assert os.path.exists(orphan)
+    n_snaps = len(ib.current_metadata(path).get("snapshots") or [])
+    writer.commit([msg], batchId=committed)
+    assert not os.path.exists(orphan)
+    assert (
+        len(ib.current_metadata(path).get("snapshots") or []) == n_snaps
+    )
+    # a NEWER batch commits and the new tuple is pruneable
+    msg2 = writer.write(
+        iter([(1000, "y", datetime.date(2023, 7, 1))])
+    )
+    writer.commit([msg2], batchId=committed + 1)
+    got, _r, _s, _m = ib.read_iceberg_pruned(
+        spark, path, "d", _dt.date(2023, 1, 1), _dt.date(2023, 12, 31)
+    )
+    assert [r["doc_id"] for r in got.collect()] == [1000]
+    # a stale-spec tuple refuses at commit
+    with _pytest.raises(ValueError, match="partition tuple"):
+        ib.commit_iceberg_files(
+            path, [("nope.parquet", {"wrong": 1})], back.schema,
+            app_id="test-part-sink", batch_id=committed + 2,
+        )
