@@ -2894,17 +2894,17 @@ def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
     no byte is copied).  Writes/deletes/OPTIMIZE on the clone land new
     files under `dst` and never mutate `src`; `vacuum_delta` on the
     clone cannot reclaim source bytes (they live outside its root).
-    Tables whose live set carries deletion vectors refuse — DV
-    descriptors resolve table-relative here and would mis-point from
-    the clone's root (refuse, never mis-read)."""
+    Live deletion vectors carry over: a relative (`u`) descriptor
+    would mis-resolve from the clone's root, so each one is rewritten
+    to the spec's ABSOLUTE form (storageType `p`, file:// URI of the
+    SOURCE DV file) — the same absolute-path rule the add actions
+    follow; inline (`i`) and already-absolute (`p`) descriptors carry
+    verbatim.  A fresh DV delete on the clone lands new `u` vectors
+    under the clone's own root, replacing the absolute pointer for the
+    touched file — source bytes stay untouched."""
     meta, live, _v = _fold_delta_state(spark, src, None)
     if delta_versions(dst):
         raise ValueError(f"clone target {dst!r} already has a _delta_log")
-    if any(a.get("deletionVector") for a in live.values()):
-        raise ValueError(
-            "shallow clone of a table with live deletion vectors is "
-            "unsupported (table-relative DV resolution); compact first"
-        )
     now_ms = int(time.time() * 1000)
     proto = _current_protocol(src)
     lines = [
@@ -2940,6 +2940,17 @@ def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
         add = dict(live[fname])
         src_abs = _abs_add_path(src, add["path"])
         add["path"] = "file://" + quote(src_abs)
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            dv_rel = _dv_file_name(src, dv)
+            add["deletionVector"] = {
+                "storageType": "p",
+                "pathOrInlineDv": "file://"
+                + quote(os.path.abspath(os.path.join(src, dv_rel))),
+                "offset": dv.get("offset"),
+                "sizeInBytes": dv.get("sizeInBytes"),
+                "cardinality": dv.get("cardinality"),
+            }
         add["dataChange"] = True
         lines.append(json.dumps({"add": add}))
     os.makedirs(dst, exist_ok=True)
@@ -3033,7 +3044,9 @@ def _dv_positions(path: str, desc: dict) -> list[int]:
             parts = [path] + ([prefix] if prefix else [])
             fpath = os.path.join(*parts, f"deletion_vector_{dv_uuid}.bin")
         else:
-            fpath = desc["pathOrInlineDv"]
+            from urllib.parse import unquote
+
+            fpath = unquote(desc["pathOrInlineDv"])
             if fpath.startswith("file:"):
                 fpath = fpath[len("file:") :]
                 while fpath.startswith("//"):

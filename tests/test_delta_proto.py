@@ -1188,8 +1188,8 @@ def test_delta_metadata_tables(spark, tmp_path):
 def test_shallow_clone_zero_copy_writable_fork(spark, tmp_path):
     """Shallow CLONE: reads equal the source snapshot with zero bytes
     copied (absolute-URI adds), the clone is independently writable
-    and deletable without touching the source, source evolution after
-    the clone is invisible to it, and DV-bearing sources refuse."""
+    and deletable without touching the source, and source evolution
+    after the clone is invisible to it."""
     src = str(tmp_path / "src")
     dst = str(tmp_path / "dst")
     dp.write_delta(_df(spark, 0, 60), src, partition_by=["lang"])
@@ -1210,14 +1210,52 @@ def test_shallow_clone_zero_copy_writable_fork(spark, tmp_path):
     # source evolution after the clone is invisible to the clone
     dp.write_delta(_df(spark, 100, 110), src)
     assert dp.read_delta(spark, dst).count() == 60
-    # existing-target and DV refusals
+    # existing-target refusal
     with pytest.raises(ValueError, match="already has"):
         dp.clone_delta(spark, src, dst)
-    dvsrc = str(tmp_path / "dvsrc")
-    dp.write_delta(_df(spark, 0, 40), dvsrc)
-    dp.delete_where_delta(spark, dvsrc, "doc_id", 0, 5, strategy="dv")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        dp.clone_delta(spark, dvsrc, str(tmp_path / "dvdst"))
+
+
+def test_shallow_clone_of_dv_table(spark, tmp_path):
+    """Shallow CLONE over a DV-carrying source (r11 — was a refusal):
+    relative `u` descriptors rewrite to the spec's ABSOLUTE `p` form
+    pointing at the SOURCE DV file, the clone reads value-exact with
+    the mask applied, zero bytes copied, and a FRESH DV delete on the
+    clone lands its own vector under the clone's root without touching
+    the source."""
+    import glob as _glob
+
+    src = str(tmp_path / "dvsrc")
+    dst = str(tmp_path / "dvdst")
+    dp.write_delta(_df(spark, 0, 40).repartition(2), src)
+    dp.delete_where_delta(spark, src, "doc_id", 0, 5, strategy="dv")
+    expected = _rows(dp.read_delta(spark, src))
+    dp.clone_delta(spark, src, dst)
+    assert _rows(dp.read_delta(spark, dst)) == expected
+    # zero copy: neither parquet nor DV bytes landed under dst
+    assert not _glob.glob(os.path.join(dst, "**", "*.parquet"),
+                          recursive=True)
+    assert not _glob.glob(os.path.join(dst, "**", "deletion_vector_*"),
+                          recursive=True)
+    # the clone log carries the spec's ABSOLUTE p-form descriptor
+    _meta, live, _v = dp._fold_delta_state(spark, dst, None)
+    dvs = [a["deletionVector"] for a in live.values()
+           if a.get("deletionVector")]
+    assert dvs
+    for d in dvs:
+        assert d["storageType"] == "p"
+        assert d["pathOrInlineDv"].startswith("file://")
+        assert d.get("cardinality")
+    # a fresh DV delete on the CLONE lands under the clone's root and
+    # replaces the absolute pointer for the touched files
+    dp.delete_where_delta(spark, dst, "doc_id", 6, 8, strategy="dv")
+    assert sorted(
+        r[0] for r in dp.read_delta(spark, dst)
+        .select("doc_id").collect()
+    ) == [i for i in range(40) if i > 8]
+    assert _glob.glob(os.path.join(dst, "**", "deletion_vector_*"),
+                      recursive=True)
+    # source untouched by the clone's delete
+    assert _rows(dp.read_delta(spark, src)) == expected
 
 
 def test_rename_column_mapping_write_path(spark, tmp_path):
