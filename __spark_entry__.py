@@ -223,6 +223,7 @@ _TAIL_ORDER = [
     "lake_iceberg_defaults",
     "lake_delta_variant",
     "lake_iceberg_variant",
+    "lake_iceberg_changes_eq",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -353,6 +354,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_iceberg_defaults"] = _iceberg.iceberg_defaults_entry
     pool["lake_delta_variant"] = _deltaproto.delta_variant_entry
     pool["lake_iceberg_variant"] = _iceberg.iceberg_variant_entry
+    pool["lake_iceberg_changes_eq"] = _iceberg.iceberg_changes_eq_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -440,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_iceberg_defaults"] = _iceberg.ICEBERG_DEFAULTS_ORACLE_SQL
     pool["lake_delta_variant"] = _deltaproto.DELTA_VARIANT_ORACLE_SQL
     pool["lake_iceberg_variant"] = _iceberg.ICEBERG_VARIANT_ORACLE_SQL
+    pool["lake_iceberg_changes_eq"] = _iceberg.ICEBERG_CHANGES_EQ_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

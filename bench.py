@@ -139,6 +139,7 @@ HEADLINE = [
     # Iceberg v3 variant), DV-masked variant_get scans
     "lake_delta_variant",
     "lake_iceberg_variant",
+    "lake_iceberg_changes_eq",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -193,6 +194,8 @@ HEAVY_WARMUPS = {
     # first warm pass lands the variant fixtures (write + DV delete)
     "lake_delta_variant": 2,
     "lake_iceberg_variant": 2,
+    # shares the upsert fixture; warm pass builds it if absent
+    "lake_iceberg_changes_eq": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

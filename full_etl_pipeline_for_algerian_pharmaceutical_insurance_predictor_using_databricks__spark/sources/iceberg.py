@@ -4007,6 +4007,13 @@ def read_changes_iceberg(
       CARRYOVER REMOVAL (`exceptAll` both ways) — rows a rewrite
       merely copied between files appear in neither leg, exactly the
       carryover rule the reference procedure applies;
+    - equality-delete files ADDED at a snapshot emit the rows they hid
+      (r11): the pre-image of the affected files — older data
+      sequence, scope-pruned for partition-scoped deletes — is diffed
+      masked WITHOUT vs WITH the new deletes, so exactly the
+      newly-hidden rows report as deletes (the engine's own
+      `upsert_iceberg` snapshots changelog-read this way: inserts from
+      the added files, deletes from the eq leg);
     - prior delete files keep masking pre-image reads, so rows hidden
       before a rewrite are not re-reported.
 
@@ -4056,6 +4063,7 @@ def read_changes_iceberg(
         prior_pos: list[str] = []
         new_pos: list[str] = []
         prior_eq: list[dict] = []
+        new_eq: list[dict] = []
         prior_dvs: list[dict] = []
         new_dvs: list[dict] = []
 
@@ -4130,13 +4138,20 @@ def read_changes_iceberg(
                     new_dvs.append(_dv_desc(df_rec))
                     continue
                 if (df_rec.get("content") or 0) == 2:
-                    # which rows an equality delete hid depends on
-                    # every older file's content — refuse rather
-                    # than under-report that snapshot's changes
-                    raise ValueError(
-                        f"snapshot {sid}: equality-delete commit — "
-                        "changelog not derivable"
+                    # equality delete added at this snapshot: its
+                    # hidden rows are derived below by diffing the
+                    # pre-image of the affected (older-sequence)
+                    # files with and without this delete applied
+                    new_eq.append(
+                        {
+                            "path": _abs_path(path, df_rec["file_path"]),
+                            "seq": _entry_seq(r, mf),
+                            "ids": list(df_rec.get("equality_ids") or []),
+                            "spec_id": int(mf.get("partition_spec_id") or 0),
+                            "partition": dict(df_rec.get("partition") or {}),
+                        }
                     )
+                    continue
                 new_pos.append(_abs_path(path, df_rec["file_path"]))
         tag = lambda df, ct: df.select(  # noqa: E731
             *names,
@@ -4198,6 +4213,60 @@ def read_changes_iceberg(
                 F.broadcast(pos_df), [_IB_FILE, _IB_POS], "inner"
             ).drop(_IB_FILE, _IB_POS)
             frames.append(tag(hit, "delete"))
+        if new_eq:
+            # equality deletes hide rows in files whose data sequence
+            # is STRICTLY BELOW the delete's — prune the pre-image to
+            # those (and, when every new delete is partition-scoped,
+            # to the scoped tuples); the hidden rows are then exactly
+            # the diff of the pre-image masked WITHOUT vs WITH the new
+            # deletes, the same shape as the cow-rewrite leg
+            max_seq = max(d["seq"] for d in new_eq)
+            affected = [
+                e
+                for e in data_entries
+                if e.get("status", 0) in (0, 1)
+                and e.get("_seq", 0) < max_seq
+            ]
+            spec_names = {
+                int(s.get("spec-id", 0)): [
+                    pf["name"] for pf in s.get("fields") or []
+                ]
+                for s in meta.get("partition-specs") or []
+            }
+
+            def _entry_scope(e: dict):
+                sid_e = int(e.get("_spec_id", 0))
+                names_e = spec_names.get(sid_e) or []
+                pv = e["data_file"].get("partition") or {}
+                return (sid_e, tuple(pv.get(n) for n in names_e))
+
+            scopes = set()
+            all_scoped = True
+            for d in new_eq:
+                names_d = spec_names.get(int(d.get("spec_id", 0))) or []
+                if names_d:
+                    scopes.add(
+                        (
+                            int(d["spec_id"]),
+                            tuple(d["partition"].get(n) for n in names_d),
+                        )
+                    )
+                else:
+                    all_scoped = False
+            if all_scoped and scopes:
+                affected = [
+                    e for e in affected if _entry_scope(e) in scopes
+                ]
+            if affected:
+                pre_wo = _read_entries(
+                    spark, path, meta, affected, prior_pos,
+                    [dict(d) for d in prior_eq], dvs=prior_dvs,
+                )
+                pre_w = _read_entries(
+                    spark, path, meta, affected, prior_pos,
+                    [dict(d) for d in prior_eq + new_eq], dvs=prior_dvs,
+                )
+                frames.append(tag(pre_wo.exceptAll(pre_w), "delete"))
     if not frames:
         empty = spark.createDataFrame([], schema)
         return empty.withColumn("_change_type", F.lit("")).withColumn(
@@ -5319,4 +5388,51 @@ FROM documents
 WHERE doc_id NOT BETWEEN 100 AND 199
 GROUP BY lang
 ORDER BY lang
+"""
+
+
+def iceberg_changes_eq_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for the CHANGELOG over EQUALITY-DELETE
+    snapshots (r11 — previously a refusal): changelog-read the atomic
+    upsert fixture and aggregate per (ordinal, change type, source).
+    The oracle restates the exact feed — snapshot 1 inserts every
+    original document; snapshot 2 deletes the four replaced keys'
+    OLD images and inserts their replacements plus the four fresh
+    rows.  A value match proves the eq-delete leg reports precisely
+    the newly-hidden rows (older sequence only, no phantom keys, no
+    re-reported history).  Scale shape: the eq leg scans only
+    affected files (sequence-pruned), masked diff, no cartesian."""
+    ch = read_changes_iceberg(spark, _ensure_upsert_lake(spark, sf_dir))
+    return (
+        ch.groupBy("_snapshot_ordinal", "_change_type", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("_snapshot_ordinal", "_change_type", "source")
+    )
+
+
+ICEBERG_CHANGES_EQ_ORACLE_SQL = f"""
+WITH feed AS (
+    SELECT 1 AS _snapshot_ordinal, 'insert' AS _change_type,
+           source, doc_id
+    FROM documents
+    UNION ALL
+    SELECT 2, 'delete', source, doc_id
+    FROM documents WHERE doc_id IN {_ATOMIC_UPSERT_IDS}
+    UNION ALL
+    SELECT 2, 'insert', 'upserted', doc_id
+    FROM documents WHERE doc_id IN {_ATOMIC_UPSERT_IDS}
+    UNION ALL
+    SELECT 2, 'insert', 'inserted', doc_id + {_ATOMIC_UPSERT_OFFSET}
+    FROM documents WHERE doc_id IN {_ATOMIC_UPSERT_IDS}
+)
+SELECT CAST(_snapshot_ordinal AS BIGINT) AS _snapshot_ordinal,
+       _change_type, source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM feed
+GROUP BY _snapshot_ordinal, _change_type, source
+ORDER BY _snapshot_ordinal, _change_type, source
 """

@@ -1864,3 +1864,88 @@ def test_write_iceberg_sort_by_desc_and_refusal(spark, tmp_path):
     assert so["fields"][0]["null-order"] == "nulls-last"
     with pytest.raises(ValueError, match="sort column"):
         ib.write_iceberg(_df(spark, 50, 60), path, sort_by=["nope"])
+
+
+def test_changelog_over_equality_deletes(spark, tmp_path):
+    """read_changes_iceberg over equality-delete snapshots (r11 — was
+    a refusal): a global eq delete reports exactly the rows it hid
+    (only rows with STRICTLY OLDER data sequence); a partition-scoped
+    eq delete reports only its partition's rows; the engine's own
+    atomic upsert snapshot reports its inserts AND the old images it
+    replaced; rows hidden by PRIOR deletes are not re-reported."""
+    path = str(tmp_path / "ice")
+    ib.write_iceberg(_df(spark, 0, 20), path)            # snap 1
+    ib.delete_eq_iceberg(path, ["doc_id"], [3, 4, 99])   # snap 2
+    ib.write_iceberg(_df(spark, 3, 5, tag=7), path)      # snap 3: re-adds
+    ib.delete_eq_iceberg(path, ["doc_id"], [4, 10])      # snap 4
+    ch = ib.read_changes_iceberg(spark, path)
+    legs = {}
+    for r in ch.collect():
+        legs.setdefault(
+            (r["_snapshot_ordinal"], r["_change_type"]), []
+        ).append((r["doc_id"], r["v"]))
+    assert sorted(d for d, _v in legs[(1, "insert")]) == list(range(20))
+    # snap 2: hid 3 and 4 (99 matches nothing — no phantom row)
+    assert sorted(d for d, _v in legs[(2, "delete")]) == [3, 4]
+    assert sorted(d for d, _v in legs[(3, "insert")]) == [3, 4]
+    # snap 4: doc 4's LIVE image is the re-added (tag=7) one; doc 3's
+    # re-add survives (not in the delete); doc 10's original row hides;
+    # the snap-2-hidden originals are NOT re-reported
+    got4 = sorted(legs[(4, "delete")])
+    assert got4 == [(4, 47), (10, 100)]
+    assert set(legs) == {
+        (1, "insert"), (2, "delete"), (3, "insert"), (4, "delete"),
+    }
+    # matches a full-snapshot restatement: current = inserts - deletes
+    live = sorted(
+        (r["doc_id"], r["v"])
+        for r in ib.read_iceberg(spark, path).select("doc_id", "v").collect()
+    )
+    folded: dict = {}
+    for (ordinal, ct), rows in sorted(legs.items()):
+        for d, v in rows:
+            if ct == "insert":
+                folded[(d, v)] = True
+            else:
+                folded.pop((d, v), None)
+    assert sorted(folded) == live
+
+
+def test_changelog_partition_scoped_eq_delete(spark, tmp_path):
+    """A partition-scoped equality delete's changelog leg only scans
+    (and only reports) the scoped partition."""
+    path = str(tmp_path / "ice")
+    ib.write_iceberg(_df(spark, 0, 30), path, partition_by=["lang"])
+    # doc_id % 3 == lang; delete key doc_id=7 scoped to lang='1' hits,
+    # the same key scoped to lang='2' does not
+    ib.delete_eq_iceberg(
+        path, ["doc_id"], [7], partition_scope={"lang": "1"}
+    )
+    ib.delete_eq_iceberg(
+        path, ["doc_id"], [8], partition_scope={"lang": "1"}
+    )  # wrong partition for doc 8 (lang '2'): hides nothing
+    ch = ib.read_changes_iceberg(spark, path)
+    dels = sorted(
+        r["doc_id"] for r in ch.filter("_change_type = 'delete'").collect()
+    )
+    assert dels == [7]
+    assert ib.read_iceberg(spark, path).count() == 29
+
+
+def test_changelog_upsert_snapshot(spark, tmp_path):
+    """The engine's own upsert_iceberg commit (eq delete + data at the
+    SAME sequence) changelog-reads as old-image deletes + new-image
+    inserts in one ordinal."""
+    path = str(tmp_path / "ice")
+    ib.write_iceberg(_df(spark, 0, 10), path)
+    up = _df(spark, 5, 12, tag=3)  # 5-9 replace, 10-11 fresh
+    ib.upsert_iceberg(spark, up, path, keys=["doc_id"])
+    ch = ib.read_changes_iceberg(spark, path)
+    legs = {}
+    for r in ch.collect():
+        legs.setdefault(
+            (r["_snapshot_ordinal"], r["_change_type"]), []
+        ).append((r["doc_id"], r["v"]))
+    assert sorted(d for d, _v in legs[(2, "insert")]) == list(range(5, 12))
+    # deletes: the REPLACED old images only (tag 0), not the new rows
+    assert sorted(legs[(2, "delete")]) == [(d, d * 10) for d in range(5, 10)]
