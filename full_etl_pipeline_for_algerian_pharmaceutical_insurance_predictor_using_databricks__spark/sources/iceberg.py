@@ -831,8 +831,10 @@ def _delete_files(
                     }
                 )
                 continue
-            if fmt != "PARQUET":
-                raise ValueError("non-parquet delete file — unsupported")
+            if fmt not in ("PARQUET", "AVRO"):
+                raise ValueError(
+                    f"delete file format {fmt} — unsupported"
+                )
             if content == 1:
                 pos.append(_abs_path(path, df_rec["file_path"]))
             else:
@@ -978,6 +980,139 @@ def _dv_positions_df(spark: SparkSession, dv_list: list[dict]) -> DataFrame:
     return src.repartition(min(len(rows), 32)).mapInPandas(
         expand, schema=f"{_IB_FILE} string, {_IB_POS} bigint"
     )
+
+
+@_functools.lru_cache(maxsize=65536)
+def _is_avro_file(abs_path: str) -> bool:
+    """Container-magic sniff — landed data/delete files are immutable
+    (uuid names), so the memo never goes stale."""
+    local = abs_path[7:] if abs_path.startswith("file://") else abs_path
+    with open(local, "rb") as f:
+        return f.read(4) == b"Obj\x01"
+
+
+def _avro_scan(
+    spark: SparkSession,
+    files: list[str],
+    read_schema,
+    with_identity: bool,
+) -> DataFrame:
+    """Distributed scan of Iceberg AVRO data/delete files (the format
+    Flink writers land by default): one task per file decodes with the
+    avrotiny codec inside an Arrow-batched `mapInPandas` kernel — no
+    spark-avro connector exists in this environment, and the decode
+    parallelizes across files exactly like the parquet path
+    parallelizes across row groups.  Avro date/timestamp logical
+    values arrive as their container ints and convert JVM-side; row
+    POSITION is the record ordinal within its file (the spec's `pos`
+    definition), so position deletes and DVs apply to Avro data files
+    through the same identity anti-join as parquet."""
+    from pyspark.sql.types import (
+        DateType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    internal, converts = [], {}
+    for f in read_schema.fields:
+        if isinstance(f.dataType, DateType):
+            internal.append(StructField(f.name, IntegerType(), True))
+            converts[f.name] = "date"
+        elif isinstance(f.dataType, TimestampNTZType):
+            raise ValueError(
+                "timestamp (without zone) columns in Avro data files "
+                "are unsupported"
+            )
+        elif isinstance(f.dataType, TimestampType):
+            internal.append(StructField(f.name, LongType(), True))
+            converts[f.name] = "ts"
+        else:
+            internal.append(StructField(f.name, f.dataType, True))
+    names = [f.name for f in internal]
+    out_fields = list(internal)
+    if with_identity:
+        out_fields += [
+            StructField(_IB_FILE, StringType(), True),
+            StructField(_IB_POS, LongType(), True),
+        ]
+    paths = sorted(set(files))
+    src = spark.createDataFrame([(pp,) for pp in paths], "path string")
+
+    def decode(batches):
+        import pandas as pd
+
+        from . import avrotiny as _av
+
+        for pdf in batches:
+            for pth in pdf["path"]:
+                local = pth[7:] if pth.startswith("file://") else pth
+                records, _m, _s = _av.read_container(local)
+                data = {n: [r.get(n) for r in records] for n in names}
+                if with_identity:
+                    tail = local.rsplit("/", 1)[-1]
+                    data[_IB_FILE] = [tail] * len(records)
+                    data[_IB_POS] = list(range(len(records)))
+                yield pd.DataFrame(data)
+
+    out = src.repartition(len(paths)).mapInPandas(
+        decode, schema=StructType(out_fields)
+    )
+    for name, kind in converts.items():
+        out = out.withColumn(
+            name,
+            F.date_from_unix_date(F.col(name))
+            if kind == "date"
+            else F.timestamp_micros(F.col(name)),
+        )
+    return out
+
+
+def _pos_delete_rows(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """(file tail, pos) rows of a set of position-delete files —
+    parquet and Avro mixed (format sniffed per file)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    par = [f for f in sorted(set(paths)) if not _is_avro_file(f)]
+    avr = [f for f in sorted(set(paths)) if _is_avro_file(f)]
+    legs = []
+    if par:
+        legs.append(
+            spark.read.parquet(*par).select(
+                F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
+                    _IB_FILE
+                ),
+                F.col("pos").cast("bigint").alias(_IB_POS),
+            )
+        )
+    if avr:
+        sch = StructType(
+            [
+                StructField("file_path", StringType(), True),
+                StructField("pos", LongType(), True),
+            ]
+        )
+        legs.append(
+            _avro_scan(spark, avr, sch, with_identity=False).select(
+                F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
+                    _IB_FILE
+                ),
+                F.col("pos").cast("bigint").alias(_IB_POS),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def _read_entries(
@@ -1144,17 +1279,30 @@ def _read_entries(
             for (nm, _fid, _d, _t), has in zip(defaulted, presence)
             if not has
         }
-        df = spark.read.schema(
-            read_schema_for(set(part_src.values()) | absent)
-        ).parquet(*sorted(files))
+        rs = read_schema_for(set(part_src.values()) | absent)
+        par_files = [f for f in files if not _is_avro_file(f)]
+        avr_files = [f for f in files if _is_avro_file(f)]
+        subframes = []
+        if par_files:
+            d = spark.read.schema(rs).parquet(*sorted(par_files))
+            if need_identity:
+                d = d.withColumn(
+                    _IB_FILE,
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                ).withColumn(_IB_POS, F.col("_metadata.row_index"))
+            subframes.append(d)
+        if avr_files:
+            subframes.append(
+                _avro_scan(spark, avr_files, rs, need_identity)
+            )
+        df = subframes[0]
+        for d in subframes[1:]:
+            df = df.unionByName(d)
         for nm, _fid, dflt, typ in defaulted:
             if nm in absent:
                 df = df.withColumn(nm, F.lit(dflt).cast(typ))
-        if need_identity:
-            df = df.withColumn(
-                _IB_FILE,
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-            ).withColumn(_IB_POS, F.col("_metadata.row_index"))
         if eqs:
             df = df.withColumn(_IB_SEQ, F.lit(int(key[-1])))
         if any_scoped:
@@ -1180,14 +1328,7 @@ def _read_entries(
         out = out.unionByName(df)
     masks = []
     if deletes:
-        masks.append(
-            spark.read.parquet(*sorted(set(deletes))).select(
-                F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
-                    _IB_FILE
-                ),
-                F.col("pos").cast("bigint").alias(_IB_POS),
-            )
-        )
+        masks.append(_pos_delete_rows(spark, deletes))
     if dv_list:
         # v3 deletion vectors: the driver ships each referenced file's
         # COMPRESSED roaring blob to the executors (the blob is the
@@ -1208,8 +1349,17 @@ def _read_entries(
         )
     for ed in sorted(eqs, key=lambda d: (d["seq"], d["path"])):
         cols = [by_id[i]["name"] for i in ed["ids"]]
+        if _is_avro_file(ed["path"]):
+            eq_src = _avro_scan(
+                spark,
+                [ed["path"]],
+                _spark_schema([by_id[i] for i in ed["ids"]]),
+                with_identity=False,
+            )
+        else:
+            eq_src = spark.read.parquet(ed["path"])
         dels = (
-            spark.read.parquet(ed["path"])
+            eq_src
             .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
             .dropDuplicates()
         )
@@ -3251,16 +3401,7 @@ def upgrade_iceberg_format(
         fields = _schema_of(base)
         schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
         live = _live_entries(path, base, prev) if prev is not None else []
-        matches = (
-            spark.read.parquet(*sorted(set(pos_files)))
-            .select(
-                F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
-                    _IB_FILE
-                ),
-                F.col("pos").cast("bigint").alias(_IB_POS),
-            )
-            .dropDuplicates()
-        )
+        matches = _pos_delete_rows(spark, pos_files).dropDuplicates()
         new_entries, superseded = _land_dv_deletes(
             spark, path, matches, live, dv_live, snapshot_id, seq
         )
@@ -4183,14 +4324,7 @@ def read_changes_iceberg(
         if new_pos or new_dvs:
             legs = []
             if new_pos:
-                legs.append(
-                    spark.read.parquet(*sorted(set(new_pos))).select(
-                        F.element_at(
-                            F.split(F.col("file_path"), "/"), -1
-                        ).alias(_IB_FILE),
-                        F.col("pos").cast("bigint").alias(_IB_POS),
-                    )
-                )
+                legs.append(_pos_delete_rows(spark, new_pos))
             if new_dvs:
                 legs.append(_dv_positions_df(spark, new_dvs))
             pos_df = legs[0]

@@ -1949,3 +1949,245 @@ def test_changelog_upsert_snapshot(spark, tmp_path):
     assert sorted(d for d, _v in legs[(2, "insert")]) == list(range(5, 12))
     # deletes: the REPLACED old images only (tag 0), not the new rows
     assert sorted(legs[(2, "delete")]) == [(d, d * 10) for d in range(5, 10)]
+
+
+def test_reads_foreign_avro_data_and_delete_files(spark, tmp_path):
+    """A v2 tree mixing PARQUET and AVRO data files plus AVRO
+    position- AND equality-delete files — the layout Flink sinks land
+    by default (r11; Avro data/deletes previously unreadable).  The
+    Avro decode runs distributed (avrotiny in mapInPandas), `pos` is
+    the record ordinal within its Avro file, date/timestamp logical
+    ints convert to real Spark values, and all three delete kinds
+    apply across both formats."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        avrotiny as av,
+    )
+
+    path = str(tmp_path / "flinkish")
+    data_dir = os.path.join(path, "data")
+    md = os.path.join(path, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(md)
+    epoch_d = datetime.date(1970, 1, 1)
+
+    def d(i):
+        return datetime.date(2021, 1, 1) + datetime.timedelta(days=i)
+
+    def ts_us(i):
+        return 1_600_000_000_000_000 + i * 1_000_000
+
+    # parquet data file: doc_id 0-4
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "name": [f"p{i}" for i in range(5)],
+                "d": pa.array([d(i) for i in range(5)], pa.date32()),
+                "ts": pa.array(
+                    [ts_us(i) for i in range(5)],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+            }
+        ),
+        os.path.join(data_dir, "f1.parquet"),
+    )
+    # AVRO data file: doc_id 10-14, logical date/timestamp ints
+    avro_data_schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "ts",
+                "type": {
+                    "type": "long",
+                    "logicalType": "timestamp-micros",
+                },
+            },
+        ],
+    }
+    av.write_container(
+        os.path.join(data_dir, "av1.avro"),
+        avro_data_schema,
+        [
+            {
+                "doc_id": 10 + i,
+                "name": f"a{i}",
+                "d": (d(10 + i) - epoch_d).days,
+                "ts": ts_us(10 + i),
+            }
+            for i in range(5)
+        ],
+        codec="null",
+    )
+    # AVRO position-delete file: hides parquet pos 0 (doc 0) and avro
+    # pos 1 (doc 11)
+    posdel_schema = {
+        "type": "record",
+        "name": "posdel",
+        "fields": [
+            {"name": "file_path", "type": "string",
+             "field-id": 2147483546},
+            {"name": "pos", "type": "long", "field-id": 2147483545},
+        ],
+    }
+    av.write_container(
+        os.path.join(data_dir, "pd1.avro"),
+        posdel_schema,
+        [
+            {"file_path": "data/f1.parquet", "pos": 0},
+            {"file_path": "data/av1.avro", "pos": 1},
+        ],
+        codec="null",
+    )
+    # AVRO equality-delete file: hides doc_id 13 (and 2 — both formats)
+    eqdel_schema = {
+        "type": "record",
+        "name": "eqdel",
+        "fields": [{"name": "doc_id", "type": "long", "field-id": 1}],
+    }
+    av.write_container(
+        os.path.join(data_dir, "ed1.avro"),
+        eqdel_schema,
+        [{"doc_id": 13}, {"doc_id": 2}],
+        codec="null",
+    )
+    entry_schema = ib._manifest_entry_schema(
+        {"type": "record", "name": "r102", "fields": []}, fv=2
+    )
+
+    def entry(fp, fmt, n, content=0, eq_ids=None, seq=None):
+        return {
+            "status": 1,
+            "snapshot_id": 7,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": fp,  # RELATIVE, like real engines
+                "file_format": fmt,
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": 1,
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "split_offsets": None,
+                "equality_ids": eq_ids,
+                "sort_order_id": None,
+            },
+        }
+
+    av.write_container(
+        os.path.join(md, "dm.avro"),
+        entry_schema,
+        [
+            entry("data/f1.parquet", "PARQUET", 5),
+            entry("data/av1.avro", "AVRO", 5),
+        ],
+        codec="null",
+    )
+    av.write_container(
+        os.path.join(md, "del.avro"),
+        entry_schema,
+        [
+            entry("data/pd1.avro", "AVRO", 2, content=1),
+            entry("data/ed1.avro", "AVRO", 2, content=2, eq_ids=[1]),
+        ],
+        codec="null",
+    )
+    ml_schema = ib._manifest_file_schema(fv=2)
+
+    def mf(p, content, seq):
+        return {
+            "manifest_path": p,
+            "manifest_length": 1,
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": 7,
+            "added_data_files_count": 2,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "partitions": None,
+            "added_rows_count": 10,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    av.write_container(
+        os.path.join(md, "ml.avro"),
+        ml_schema,
+        [mf("metadata/dm.avro", 0, 1), mf("metadata/del.avro", 1, 2)],
+        codec="deflate",
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-0000000000av",
+        "location": path,
+        "last-sequence-number": 2,
+        "last-updated-ms": 1,
+        "last-column-id": 4,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "doc_id", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "name", "required": False,
+                     "type": "string"},
+                    {"id": 3, "name": "d", "required": False,
+                     "type": "date"},
+                    {"id": 4, "name": "ts", "required": False,
+                     "type": "timestamptz"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "snapshots": [
+            {
+                "snapshot-id": 7,
+                "timestamp-ms": 1,
+                "sequence-number": 2,
+                "summary": {"operation": "append"},
+                "manifest-list": "metadata/ml.avro",
+                "schema-id": 0,
+            }
+        ],
+        "current-snapshot-id": 7,
+        "snapshot-log": [],
+        "metadata-log": [],
+        "properties": {},
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("1")
+    got = ib.read_iceberg(spark, path).select(
+        "doc_id", "name", "d", F.unix_micros("ts").alias("us")
+    )
+    rows = sorted(tuple(r) for r in got.collect())
+    survivors = [1, 3, 4, 10, 12, 14]  # 0,11 pos-deleted; 2,13 eq-deleted
+    expected = sorted(
+        (
+            i,
+            (f"p{i}" if i < 5 else f"a{i - 10}"),
+            d(i),
+            ts_us(i),
+        )
+        for i in survivors
+    )
+    assert rows == expected
