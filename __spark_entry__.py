@@ -224,6 +224,7 @@ _TAIL_ORDER = [
     "lake_delta_variant",
     "lake_iceberg_variant",
     "lake_iceberg_changes_eq",
+    "mm_audio_ogg_chain",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",

@@ -140,6 +140,7 @@ HEADLINE = [
     "lake_delta_variant",
     "lake_iceberg_variant",
     "lake_iceberg_changes_eq",
+    "mm_audio_ogg_chain",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,

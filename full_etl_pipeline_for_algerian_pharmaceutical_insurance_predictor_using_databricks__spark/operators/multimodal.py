@@ -1693,6 +1693,81 @@ def audio_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_ogg_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED Ogg scan (operators/ogg.scan_ogg, r11): each document
+    gets a TWO-LINK physical stream — complete Ogg Vorbis streams
+    concatenated, each with its own serial/BOS/EOS, the shape internet
+    radio rips and `cat a.ogg b.ogg` arrive in — and the walker yields
+    one row per link with its own geometry, duration, and BYTE SPAN.
+    The oracle restates every column (page sizes are lacing math), so
+    a value match proves per-link accounting never mixes links and the
+    offsets make each link independently seekable."""
+    media = _digest_media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import ogg
+
+        srs = [8000, 11025, 16000, 22050, 24000, 32000, 44100, 48000]
+        cols = [
+            "doc_id", "link", "sample_rate", "channels", "n_pages",
+            "n_packets", "duration_ms", "byte_lo", "byte_hi",
+        ]
+        for batch in batches:
+            rows = {c: [] for c in cols}
+            for doc_id, b in zip(batch["doc_id"], batch["digest"]):
+                d = np.frombuffer(b, dtype=np.uint8)
+                links = []
+                for off in (8, 12):
+                    sr = srs[int(d[off]) % 8]
+                    ch = 1 + int(d[off + 1]) % 2
+                    n = 2 + int(d[off + 2]) % 5
+                    base = 30 + int(d[off + 3]) % 120
+                    granule = 512 * (1 + int(d[off]) % 4)
+                    links.append(
+                        (sr, ch, [base + j for j in range(n)], granule)
+                    )
+                for r in ogg.scan_ogg(ogg.encode_ogg_chain(links)):
+                    rows["doc_id"].append(doc_id)
+                    rows["link"].append(r["link"])
+                    rows["sample_rate"].append(r["sample_rate"])
+                    rows["channels"].append(r["channels"])
+                    rows["n_pages"].append(r["n_pages"])
+                    rows["n_packets"].append(r["n_packets"])
+                    rows["duration_ms"].append(r["duration_ms"])
+                    rows["byte_lo"].append(r["byte_lo"])
+                    rows["byte_hi"].append(r["byte_hi"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "link": pd.Series(rows["link"], dtype="int32"),
+                    "sample_rate": pd.Series(
+                        rows["sample_rate"], dtype="int32"
+                    ),
+                    "channels": pd.Series(rows["channels"], dtype="int32"),
+                    "n_pages": pd.Series(rows["n_pages"], dtype="int32"),
+                    "n_packets": pd.Series(
+                        rows["n_packets"], dtype="int32"
+                    ),
+                    "duration_ms": pd.Series(
+                        rows["duration_ms"], dtype="int64"
+                    ),
+                    "byte_lo": pd.Series(rows["byte_lo"], dtype="int64"),
+                    "byte_hi": pd.Series(rows["byte_hi"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, link int, sample_rate int, channels int, "
+        "n_pages int, n_packets int, duration_ms long, byte_lo long, "
+        "byte_hi long",
+    )
+
+
 def probe_media(b: bytes) -> dict:
     """Magic-byte container dispatch — the sniffing layer a corpus
     indexer runs in front of the format walkers, so a mixed `binary`
@@ -1881,6 +1956,7 @@ QUERIES = {
     "mm_audio_flac_meta": audio_flac_meta,
     "mm_video_avc1_meta": video_avc1_meta,
     "mm_audio_ogg_meta": audio_ogg_meta,
+    "mm_audio_ogg_chain": audio_ogg_chain,
     "mm_video_mp4_pipeline": video_mp4_pipeline,
 }
 
@@ -2209,6 +2285,52 @@ SELECT doc_id,
 FROM t
 """
 
+_OGG_CHAIN_SQL = """
+WITH d AS (
+    SELECT doc_id, g.link,
+           CASE WHEN g.link = 0 THEN 17 ELSE 25 END AS o
+    FROM documents, (SELECT UNNEST([0, 1]) AS link) g
+),
+p AS (
+    SELECT doc_id, link,
+           ('0x' || substr(md5(text), o, 2))::INT % 8 AS sr_idx,
+           1 + ('0x' || substr(md5(text), o + 2, 2))::INT % 2
+               AS channels,
+           2 + ('0x' || substr(md5(text), o + 4, 2))::INT % 5 AS n,
+           30 + ('0x' || substr(md5(text), o + 6, 2))::INT % 120
+               AS base,
+           512 * (1 + ('0x' || substr(md5(text), o, 2))::INT % 4)
+               AS granule
+    FROM documents JOIN d USING (doc_id)
+),
+t AS (
+    SELECT doc_id, link, channels, n, base, granule,
+           list_extract([8000,11025,16000,22050,24000,32000,44100,48000],
+                        sr_idx + 1) AS sr,
+           -- id page 58 + header page 122 + audio page
+           -- (27 + n lacing bytes + sum base..base+n-1)
+           58 + 122 + 27 + n + n * base + n * (n - 1) // 2 AS nbytes
+    FROM p
+)
+SELECT doc_id,
+       CAST(link AS INT) AS link,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(channels AS INT) AS channels,
+       CAST(3 AS INT) AS n_pages,
+       CAST(n + 3 AS INT) AS n_packets,
+       CAST(granule * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN link = 0 THEN 0
+                 ELSE LAG(nbytes) OVER (
+                     PARTITION BY doc_id ORDER BY link
+                 ) END AS BIGINT) AS byte_lo,
+       CAST(CASE WHEN link = 0 THEN nbytes
+                 ELSE nbytes + LAG(nbytes) OVER (
+                     PARTITION BY doc_id ORDER BY link
+                 ) END AS BIGINT) AS byte_hi
+FROM t
+"""
+
+
 ORACLES: dict[str, str] = {
     "mm_image_metadata": _IMAGE_META_SQL,
     "mm_frame_sample": _FRAME_SAMPLE_SQL,
@@ -2225,5 +2347,6 @@ ORACLES: dict[str, str] = {
     "mm_audio_flac_meta": _FLAC_META_SQL,
     "mm_video_avc1_meta": _AVC1_META_SQL,
     "mm_audio_ogg_meta": _OGG_META_SQL,
+    "mm_audio_ogg_chain": _OGG_CHAIN_SQL,
     "mm_video_mp4_pipeline": _MP4_PIPELINE_SQL,
 }

@@ -146,19 +146,29 @@ def encode_ogg_vorbis(
     return id_page + hdr_page + audio_page
 
 
-def scan_ogg_stream(b: bytes) -> dict:
-    """Walk every page (capture → header → lacing → CRC verify → skip
-    body) and parse the Vorbis id header from the BOS page.  Returns
-    ``{"sample_rate", "channels", "n_pages", "n_packets",
-    "duration_ms", "stream_bytes"}`` — duration from the final granule
-    position over the id header's sample rate."""
+def scan_ogg(b: bytes) -> list[dict]:
+    """Walk EVERY logical stream in an Ogg physical stream — chained
+    links (RFC 3533 §4: complete streams concatenated, each link
+    opened by its own BOS pages) and grouped/multiplexed streams
+    (several serials interleaved within one link, all their BOS pages
+    first).  One row per (link, serial): ``{"link", "serial",
+    "sample_rate", "channels", "n_pages", "n_packets", "duration_ms",
+    "byte_lo", "byte_hi"}`` — byte offsets span the stream's first
+    page through the end of its last page, so a chained internet-radio
+    rip is seekable per link from the scan alone.
+
+    Grammar enforcement per stream: version 0, page CRC, contiguous
+    page sequence numbers (a hole refuses — a lost page would silently
+    shorten the link), BOS-before-data (a data page whose serial never
+    opened refuses), no BOS inside an open link, no pages after EOS.
+    Every link's every stream must open with a Vorbis identification
+    header (the only codec this tier speaks)."""
     pos = 0
-    serial0 = None
-    n_pages = 0
-    n_packets = 0
-    last_granule = 0
-    info = None
-    saw_bos = False
+    link = 0
+    link_has_data = False
+    open_serials: set[int] = set()
+    streams: dict[tuple[int, int], dict] = {}
+    order: list[tuple[int, int]] = []
     while pos < len(b):
         if pos + 27 > len(b):
             raise ValueError("truncated Ogg page header")
@@ -170,12 +180,7 @@ def scan_ogg_stream(b: bytes) -> dict:
         flags = b[pos + 5]
         granule = struct.unpack_from("<q", b, pos + 6)[0]
         serial = struct.unpack_from("<I", b, pos + 14)[0]
-        if serial0 is None:
-            serial0 = serial
-        elif serial != serial0:
-            # a second serial number means grouped (multiplexed)
-            # logical streams — per-stream accounting needed; refuse
-            raise ValueError("multiplexed Ogg streams unsupported")
+        seq = struct.unpack_from("<I", b, pos + 18)[0]
         crc_stored = struct.unpack_from("<I", b, pos + 22)[0]
         n_segs = b[pos + 26]
         seg_lo = pos + 27
@@ -191,17 +196,22 @@ def scan_ogg_stream(b: bytes) -> dict:
         page[22:26] = b"\x00\x00\x00\x00"
         if ogg_crc(bytes(page)) != crc_stored:
             raise ValueError(f"Ogg page CRC mismatch at byte {pos}")
-        # packets completed on this page = terminating segments (< 255)
         completed = sum(1 for s in segs if s < 255)
-        n_packets += completed
         if flags & F_BOS:
-            if saw_bos:
-                # a second BOS page starts a CHAINED stream — duration
-                # and packet counts would silently mix links; refuse
+            if link_has_data:
+                if open_serials:
+                    raise ValueError(
+                        "BOS page inside an open link — grouped "
+                        "streams' BOS pages must precede all data "
+                        "pages (RFC 3533)"
+                    )
+                link += 1
+                link_has_data = False
+            key = (link, serial)
+            if key in streams:
                 raise ValueError(
-                    "chained Ogg stream (second BOS page) unsupported"
+                    f"duplicate BOS for serial {serial} in link {link}"
                 )
-            saw_bos = True
             first = b[seg_hi : seg_hi + min(body_len, 30)]
             if len(first) < 30 or first[:7] != b"\x01vorbis":
                 raise ValueError(
@@ -209,22 +219,134 @@ def scan_ogg_stream(b: bytes) -> dict:
                 )
             if struct.unpack_from("<I", first, 7)[0] != 0:
                 raise ValueError("unsupported Vorbis version")
-            info = {
-                "channels": first[11],
-                "sample_rate": struct.unpack_from("<I", first, 12)[0],
+            channels = first[11]
+            sample_rate = struct.unpack_from("<I", first, 12)[0]
+            if sample_rate == 0 or channels == 0:
+                raise ValueError(
+                    "Vorbis id header with zero rate/channels"
+                )
+            streams[key] = {
+                "link": link,
+                "serial": serial,
+                "sample_rate": sample_rate,
+                "channels": channels,
+                "n_pages": 0,
+                "n_packets": 0,
+                "last_granule": 0,
+                "byte_lo": pos,
+                "byte_hi": body_hi,
+                "_seq": seq,
             }
-            if info["sample_rate"] == 0 or info["channels"] == 0:
-                raise ValueError("Vorbis id header with zero rate/channels")
+            order.append(key)
+            open_serials.add(serial)
+            st = streams[key]
+        else:
+            link_has_data = True
+            key = (link, serial)
+            st = streams.get(key)
+            if st is None:
+                raise ValueError(
+                    f"page for serial {serial} without a BOS — "
+                    "multiplexed group missing its BOS pages, or a "
+                    "corrupt stream"
+                )
+            if serial not in open_serials:
+                raise ValueError(
+                    f"page for serial {serial} after its EOS page"
+                )
+            if seq != st["_seq"] + 1:
+                raise ValueError(
+                    f"page sequence hole in serial {serial}: expected "
+                    f"{st['_seq'] + 1}, found {seq}"
+                )
+            st["_seq"] = seq
+        st["n_pages"] += 1
+        st["n_packets"] += completed
+        st["byte_hi"] = body_hi
         if granule >= 0:  # -1 marks "no packet finishes on this page"
-            last_granule = granule
-        n_pages += 1
+            st["last_granule"] = granule
+        if flags & F_EOS:
+            open_serials.discard(serial)
         pos = body_hi
-    if not saw_bos or info is None:
+    if not streams:
         raise ValueError("no BOS page — not a valid Ogg stream start")
+    out = []
+    for key in order:
+        st = streams[key]
+        out.append(
+            {
+                "link": st["link"],
+                "serial": st["serial"],
+                "sample_rate": st["sample_rate"],
+                "channels": st["channels"],
+                "n_pages": st["n_pages"],
+                "n_packets": st["n_packets"],
+                "duration_ms": st["last_granule"] * 1000
+                // st["sample_rate"],
+                "byte_lo": st["byte_lo"],
+                "byte_hi": st["byte_hi"],
+            }
+        )
+    return out
+
+
+def encode_ogg_chain(links: list[tuple[int, int, list[int], int]]) -> bytes:
+    """A CHAINED physical stream: each (sample_rate, channels,
+    audio_packet_sizes, final_granule) link is a complete Ogg Vorbis
+    stream with its own serial number, concatenated — how internet
+    radio rips and `cat a.ogg b.ogg` files arrive."""
+    return b"".join(
+        encode_ogg_vorbis(sr, ch, sizes, granule, serial=0x5047 + i)
+        for i, (sr, ch, sizes, granule) in enumerate(links)
+    )
+
+
+def encode_ogg_grouped(streams: list[tuple[int, int, list[int], int]]) -> bytes:
+    """A GROUPED (multiplexed) link: every stream's BOS page first
+    (RFC 3533 §4), then the header and audio pages interleaved
+    round-robin."""
+    serials = [0x6047 + i for i in range(len(streams))]
+    bos = [
+        _page(s, 0, 0, F_BOS, [vorbis_id_header(sr, ch)])
+        for s, (sr, ch, _sz, _g) in zip(serials, streams)
+    ]
+    hdrs = []
+    audio = []
+    for s, (_sr, _ch, sizes, granule) in zip(serials, streams):
+        setup = b"\x05vorbis" + bytes((i * 31) & 0xFF for i in range(50))
+        hdrs.append(_page(s, 1, 0, 0, [vorbis_comment_header(), setup]))
+        pkts = [
+            bytes((j + i * 13) & 0xFF for i in range(n))
+            for j, n in enumerate(sizes)
+        ]
+        audio.append(_page(s, 2, granule, F_EOS, pkts))
+    return b"".join(bos + hdrs + audio)
+
+
+def scan_ogg_stream(b: bytes) -> dict:
+    """Single-logical-stream scan — the common `.ogg` file shape.
+    Returns ``{"sample_rate", "channels", "n_pages", "n_packets",
+    "duration_ms", "stream_bytes"}``; a physical stream carrying more
+    than one logical stream refuses with a pointer at `scan_ogg`
+    (which returns per-link/per-stream rows)."""
+    rows = scan_ogg(b)
+    if len(rows) != 1:
+        links = 1 + max(r["link"] for r in rows)
+        if links > 1:
+            raise ValueError(
+                f"chained Ogg stream ({links} links) — use scan_ogg "
+                "for per-link rows"
+            )
+        raise ValueError(
+            f"multiplexed Ogg streams ({len(rows)} serials) — use "
+            "scan_ogg for per-stream rows"
+        )
+    r = rows[0]
     return {
-        **info,
-        "n_pages": n_pages,
-        "n_packets": n_packets,
-        "duration_ms": last_granule * 1000 // info["sample_rate"],
+        "sample_rate": r["sample_rate"],
+        "channels": r["channels"],
+        "n_pages": r["n_pages"],
+        "n_packets": r["n_packets"],
+        "duration_ms": r["duration_ms"],
         "stream_bytes": len(b),
     }

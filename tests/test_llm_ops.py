@@ -1846,3 +1846,59 @@ def test_incremental_minhash_matches_full_lsh_slice(spark, sf_correct):
     bands = spark.read.parquet(os.path.join(root, "bands"))
     n_base = bands.select("doc_id").distinct().count()
     assert bands.count() == n_base * dedup.N_BANDS
+
+
+def test_ogg_chained_and_multiplexed_scan():
+    """scan_ogg (r11): chained links yield one row per link with
+    correct per-link geometry/duration and contiguous BYTE SPANS;
+    grouped (multiplexed) serials within one link account separately;
+    grammar violations refuse (BOS inside an open link, page after
+    EOS, sequence hole, data page with no BOS)."""
+    import pytest
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
+        ogg,
+    )
+
+    chain = ogg.encode_ogg_chain(
+        [(48000, 1, [100, 90], 48000), (8000, 2, [50, 60, 70], 16000)]
+    )
+    rows = ogg.scan_ogg(chain)
+    assert [r["link"] for r in rows] == [0, 1]
+    assert rows[0]["sample_rate"] == 48000 and rows[0]["channels"] == 1
+    assert rows[1]["sample_rate"] == 8000 and rows[1]["channels"] == 2
+    assert rows[0]["duration_ms"] == 1000
+    assert rows[1]["duration_ms"] == 2000
+    assert rows[0]["byte_lo"] == 0
+    assert rows[1]["byte_lo"] == rows[0]["byte_hi"]
+    assert rows[1]["byte_hi"] == len(chain)
+    assert rows[0]["n_packets"] == 5 and rows[1]["n_packets"] == 6
+    # single-stream wrapper refuses with a pointer at scan_ogg
+    with pytest.raises(ValueError, match="chained.*scan_ogg"):
+        ogg.scan_ogg_stream(chain)
+    # grouped: every BOS first, interleaved bodies, per-serial rows
+    grp = ogg.encode_ogg_grouped(
+        [(44100, 2, [80, 80], 44100), (16000, 1, [40], 8000)]
+    )
+    rows2 = ogg.scan_ogg(grp)
+    assert len(rows2) == 2 and all(r["link"] == 0 for r in rows2)
+    assert {r["sample_rate"] for r in rows2} == {44100, 16000}
+    assert sorted(r["duration_ms"] for r in rows2) == [500, 1000]
+    with pytest.raises(ValueError, match="multiplexed.*scan_ogg"):
+        ogg.scan_ogg_stream(grp)
+    # BOS inside an OPEN link (other stream not EOS'd) refuses
+    bos1 = ogg._page(1, 0, 0, ogg.F_BOS, [ogg.vorbis_id_header(8000, 1)])
+    data1 = ogg._page(1, 1, 4000, 0, [b"x" * 10])  # no EOS
+    bos2 = ogg._page(2, 0, 0, ogg.F_BOS, [ogg.vorbis_id_header(8000, 1)])
+    with pytest.raises(ValueError, match="open link"):
+        ogg.scan_ogg(bos1 + data1 + bos2)
+    # page AFTER the stream's EOS refuses
+    eos1 = ogg._page(1, 1, 4000, ogg.F_EOS, [b"x" * 10])
+    late = ogg._page(1, 2, 5000, 0, [b"y" * 10])
+    with pytest.raises(ValueError, match="after its EOS"):
+        ogg.scan_ogg(bos1 + eos1 + late)
+    # a page-sequence hole refuses (a lost page must not silently
+    # shorten the link)
+    hole = ogg._page(1, 3, 5000, ogg.F_EOS, [b"y" * 10])
+    with pytest.raises(ValueError, match="sequence hole"):
+        ogg.scan_ogg(bos1 + data1 + hole)
