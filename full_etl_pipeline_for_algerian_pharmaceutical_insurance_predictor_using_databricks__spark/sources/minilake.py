@@ -199,47 +199,40 @@ def _file_zone_map(
     FOOTER (row-group statistics — no data scan).  These are the zone
     maps Delta/Iceberg store in their logs; readers skip whole files
     whose [min, max] cannot match a predicate."""
-    import pyarrow.parquet as pq
+    from .pqfooter import read_footer
 
-    pf = pq.ParquetFile(local_path)
-    md = pf.metadata
-    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    out: dict = {"rows": md.num_rows, "stats": {}, "nulls": {}}
-    for col in bloom_cols or ():
-        if col not in names:
-            continue
-        bloom = _bloom_build(
-            pf.read(columns=[col]).column(col).to_pylist()
-        )
-        if bloom is not None:
-            out.setdefault("bloom", {})[col] = bloom
+    fm = read_footer(local_path)  # pyarrow, JVM fallback for VARIANT
+    out: dict = {"rows": fm["num_rows"], "stats": {}, "nulls": {}}
+    if bloom_cols:
+        # blooms need the column VALUES, not just the footer — pyarrow
+        # only; a variant-bearing file keeps its zone stats (above) but
+        # skips blooms, the same degrade rule as an oversized distinct
+        # set
+        try:
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(local_path)
+            names = set(pf.schema_arrow.names)
+            for col in bloom_cols:
+                if col not in names:
+                    continue
+                bloom = _bloom_build(
+                    pf.read(columns=[col]).column(col).to_pylist()
+                )
+                if bloom is not None:
+                    out.setdefault("bloom", {})[col] = bloom
+        except Exception:
+            pass
     for col in stat_cols:
-        if col not in names:
+        st = fm["columns"].get(col)
+        if st is None:
             continue
-        lo = hi = None
-        have_minmax = True
-        nulls: int | None = 0
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(names[col]).statistics
-            if st is not None and nulls is not None and st.null_count is not None:
-                nulls += st.null_count
-            else:
-                nulls = None
-            if st is None or not st.has_min_max:
-                have_minmax = False
-                if nulls is None:
-                    break
-                continue
-            if lo is None or st.min < lo:
-                lo = st.min
-            if hi is None or st.max > hi:
-                hi = st.max
-        if have_minmax and lo is not None:
-            out["stats"][col] = [lo, hi]
-        if nulls is not None:
+        if st["min"] is not None and st["max"] is not None:
+            out["stats"][col] = [st["min"], st["max"]]
+        if st["null_count"] is not None:
             # null COUNT per column (Delta stores the same): lets an
             # IS NULL predicate skip files with provably zero nulls
-            out["nulls"][col] = nulls
+            out["nulls"][col] = st["null_count"]
     return out
 
 
@@ -361,11 +354,24 @@ def _land_data_files(
         dfw = df
         for c in partition_by:
             dfw = dfw.withColumn(_PART_PREFIX + c, F.col(c))
-        dfw.write.mode("overwrite").partitionBy(
-            *[_PART_PREFIX + c for c in partition_by]
-        ).parquet(staging)
     else:
-        df.write.mode("overwrite").parquet(staging)
+        dfw = df
+    import contextlib
+
+    from .deltaproto import _schema_has_variant, _unshredded_variant_writes
+
+    shred_guard = (
+        _unshredded_variant_writes(df.sparkSession)
+        if _schema_has_variant(df.schema)
+        else contextlib.nullcontext()
+    )
+    with shred_guard:
+        if partition_by:
+            dfw.write.mode("overwrite").partitionBy(
+                *[_PART_PREFIX + c for c in partition_by]
+            ).parquet(staging)
+        else:
+            dfw.write.mode("overwrite").parquet(staging)
     os.makedirs(_data_dir(path), exist_ok=True)
     names = []
     zones: dict = {}

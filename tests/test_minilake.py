@@ -77,3 +77,67 @@ def test_bloom_lookup_entry_matches_and_skips(spark):
     for key in minilake._BLOOM_ABSENT_KEYS:
         _df, nread, nskip = minilake.scan_pruned_eq(spark, path, "key", key)
         assert nread <= 1  # absent key: (almost) everything skipped
+
+
+def test_variant_column_with_zone_maps_and_dv(spark, tmp_path):
+    """A VARIANT column in a minilake table (r11): the zone-map
+    collector routes through the JVM footer fallback (pyarrow cannot
+    open variant files), so SIBLING columns keep their min/max
+    skipping stats and blooms degrade gracefully; reads, pruning, and
+    DV deletes all compose; files land UNSHREDDED like the other lake
+    writers."""
+    from pyspark.sql import functions as F
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake as ml,
+    )
+
+    path = str(tmp_path / "mlvar")
+    df = spark.range(40).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("lang"),
+        F.parse_json(F.format_string('{"a": %d}', "id")).alias("props"),
+    )
+    ml.commit_append(
+        df.repartitionByRange(4, "doc_id"), path,
+        stat_cols=["doc_id", "lang"], bloom_cols=["doc_id"],
+    )
+    back = ml.read_snapshot(spark, path)
+    assert back.schema["props"].dataType.typeName() == "variant"
+    got = sorted(
+        r[0]
+        for r in back.select(
+            F.variant_get("props", "$.a", "long")
+        ).collect()
+    )
+    assert got == list(range(40))
+    # sibling zone maps present on every file (JVM footer fallback)
+    import json as _json
+    import os as _os
+
+    commit = _json.load(
+        open(sorted(
+            _os.path.join(ml._log_dir(path), f)
+            for f in _os.listdir(ml._log_dir(path))
+            if f.endswith(".json")
+        )[0])
+    )
+    zones = commit["zones"]
+    assert len(zones) == 4
+    for z in zones.values():
+        assert z["rows"] > 0
+        assert "doc_id" in z["stats"] and "lang" in z["stats"]
+        assert "props" not in z["stats"]
+    # range pruning still works through the variant table
+    pruned, n_read, n_skip = ml.scan_pruned(spark, path, "doc_id", 0, 9)
+    assert sorted(r["doc_id"] for r in pruned.collect()) == list(range(10))
+    assert n_skip > 0
+    # DV delete composes with the variant column
+    ml.delete_where(spark, path, "doc_id", 5, 14, strategy="dv")
+    left = sorted(
+        r[0]
+        for r in ml.read_snapshot(spark, path)
+        .select(F.variant_get("props", "$.a", "long"))
+        .collect()
+    )
+    assert left == [i for i in range(40) if not 5 <= i <= 14]
