@@ -2610,6 +2610,28 @@ def add_delta_column(
                 }
             }
         ),
+    ]
+    from pyspark.sql.types import StructType as _ST
+
+    if _schema_has_variant(
+        _ST.fromJson({"type": "struct", "fields": [new_field]})
+    ):
+        # adding the table's first VARIANT column: the spec requires
+        # the variantType feature BOTH sides from this commit on
+        proto = _current_protocol(path)
+        if "variantType" not in (proto.get("readerFeatures") or []):
+            lines.append(
+                json.dumps(
+                    {
+                        "protocol": _protocol_with_features(
+                            proto,
+                            add_reader=["variantType"],
+                            add_writer=["variantType"],
+                        )
+                    }
+                )
+            )
+    lines += [
         json.dumps(
             {
                 "metaData": {
