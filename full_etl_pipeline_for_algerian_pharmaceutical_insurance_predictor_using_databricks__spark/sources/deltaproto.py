@@ -1401,6 +1401,23 @@ def write_delta(
                 "writerFeatures": sorted(feats_w),
             }
         lines.append(json.dumps({"protocol": proto}))
+    elif _schema_has_variant(df.schema):
+        # non-first write introducing a VARIANT column (e.g. overwrite
+        # of an existing non-variant table): the rewritten schemaString
+        # alone would leave the table spec-invalid (variant under
+        # reader<3 / no variantType feature) — merge the feature into
+        # the existing protocol exactly like add_delta_column does
+        cur = _current_protocol(path)
+        if "variantType" not in set(cur.get("readerFeatures") or []):
+            lines.append(
+                json.dumps(
+                    {
+                        "protocol": _protocol_with_features(
+                            cur, ["variantType"], ["variantType"]
+                        )
+                    }
+                )
+            )
     if first or mode == "overwrite":
         meta_id = (
             existing_meta["id"] if existing_meta else str(uuid.uuid4())

@@ -166,7 +166,7 @@ def _fold_py(path: str, version: int | None = None):
 def _latest_schema(path: str) -> StructType:
     meta, _live, _v = _fold_py(path)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    if any(f.dataType.typeName() == "variant" for f in schema.fields):
+    if dp._schema_has_variant(schema):
         # the stream tasks decode files with pyarrow in Python workers,
         # and this pyarrow build cannot open VARIANT-typed parquet —
         # refuse loudly instead of failing mid-stream inside a task

@@ -2479,9 +2479,9 @@ def write_iceberg(
         by_name = {f["name"]: f for f in fields}
         spec = _parse_partition_by(list(partition_by or []), by_name)
         spec_sid = 0
-        if format_version < 3 and any(
-            f["type"] == "variant" for f in fields
-        ):
+        from .deltaproto import _schema_has_variant
+
+        if format_version < 3 and _schema_has_variant(df.schema):
             raise ValueError(
                 "variant columns require format_version=3 (the type "
                 "joins the spec in v3)"
@@ -4392,13 +4392,23 @@ def read_changes_iceberg(
                     e for e in affected if _entry_scope(e) in scopes
                 ]
             if affected:
+                # the snapshot's OWN pos-deletes/DVs mask BOTH sides:
+                # a row hidden by a new pos/DV at this snapshot was
+                # already reported by the pos leg above — without the
+                # mask, an eq-matched row would survive into this diff
+                # and report 'delete' twice (replacement DVs are
+                # supersets of their predecessors, and the mask union
+                # dropDuplicates before the anti-join, so prior+new
+                # concatenation is safe)
                 pre_wo = _read_entries(
-                    spark, path, meta, affected, prior_pos,
-                    [dict(d) for d in prior_eq], dvs=prior_dvs,
+                    spark, path, meta, affected, prior_pos + new_pos,
+                    [dict(d) for d in prior_eq],
+                    dvs=prior_dvs + new_dvs,
                 )
                 pre_w = _read_entries(
-                    spark, path, meta, affected, prior_pos,
-                    [dict(d) for d in prior_eq + new_eq], dvs=prior_dvs,
+                    spark, path, meta, affected, prior_pos + new_pos,
+                    [dict(d) for d in prior_eq + new_eq],
+                    dvs=prior_dvs + new_dvs,
                 )
                 frames.append(tag(pre_wo.exceptAll(pre_w), "delete"))
     if not frames:

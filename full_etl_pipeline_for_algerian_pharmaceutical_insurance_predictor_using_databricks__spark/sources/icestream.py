@@ -51,7 +51,9 @@ FORMAT_NAME = "iceberg"
 
 def _schema(path: str) -> StructType:
     fields = ib._schema_of(ib.current_metadata(path))
-    if any(f["type"] == "variant" for f in fields):
+    from .deltaproto import _schema_has_variant
+
+    if _schema_has_variant(ib._spark_schema(fields)):
         # stream tasks decode files with pyarrow in Python workers, and
         # this pyarrow build cannot open VARIANT-typed parquet — refuse
         # loudly instead of failing mid-stream inside a task
@@ -363,6 +365,19 @@ class IcebergStreamWriter(DataSourceStreamWriter):
             raise ValueError("iceberg requires a path")
         self.path = path
         self.schema = schema
+        from .deltaproto import _schema_has_variant
+
+        if _schema_has_variant(schema):
+            # write_iceberg gates variant on format_version=3; a first
+            # commit through this sink would create table metadata at
+            # the default (sub-v3) version — or die opaquely in the
+            # Arrow conversion inside a task.  Refuse up front.
+            raise ValueError(
+                "variant columns require format_version=3 and are not "
+                "supported by the iceberg STREAM sink — create the "
+                "table via write_iceberg(format_version=3) and use "
+                "foreachBatch"
+            )
         self.app_id = options.get(
             "streamappid", options.get("streamAppId", "icestream-sink")
         )

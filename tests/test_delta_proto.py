@@ -2222,3 +2222,62 @@ def test_variant_stream_reader_refuses(spark, tmp_path):
     dp.write_delta(_vdf(spark, 0, 4), path)
     with pytest.raises(Exception, match="variant.*STREAM|STREAM.*variant"):
         deltastream._latest_schema(path)
+
+
+def test_variant_nested_stream_reader_refuses(spark, tmp_path):
+    """A NESTED variant (struct field) must hit the stream reader's
+    guard too (r12 fix: the guard previously scanned only top-level
+    fields, so a nested variant passed it and died inside
+    pyarrow-decoding tasks mid-stream)."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        deltastream,
+    )
+
+    path = str(tmp_path / "varnest")
+    df = _vdf(spark, 0, 4).select(
+        "doc_id", F.struct("lang", "props").alias("meta")
+    )
+    dp.write_delta(df, path)
+    assert (
+        dp.read_delta(spark, path)
+        .select(F.variant_get("meta.props", "$.a", "long").alias("a"))
+        .count()
+    ) == 4
+    with pytest.raises(Exception, match="variant.*STREAM|STREAM.*variant"):
+        deltastream._latest_schema(path)
+
+
+def test_variant_overwrite_upgrades_protocol(spark, tmp_path):
+    """mode='overwrite' introducing a VARIANT column on an EXISTING
+    non-variant table must append a MERGED protocol action (r12 fix:
+    previously the schemaString gained the variant column while the
+    protocol stayed at reader v1 / writer v2 with no variantType
+    feature — spec-invalid for foreign readers)."""
+    path = str(tmp_path / "varow")
+    dp.write_delta(
+        spark.range(5).select(F.col("id").alias("doc_id")), path
+    )
+    pre = dp._current_protocol(path)
+    assert "variantType" not in set(pre.get("readerFeatures") or [])
+    dp.write_delta(_vdf(spark, 0, 6), path, mode="overwrite")
+    proto = dp._current_protocol(path)
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "variantType" in proto["readerFeatures"]
+    assert "variantType" in proto["writerFeatures"]
+    # the merge preserves legacy-version-implied writer features
+    assert "invariants" in proto["writerFeatures"]
+    got = sorted(
+        r["a"]
+        for r in dp.read_delta(spark, path)
+        .select(F.variant_get("props", "$.a", "long").alias("a"))
+        .collect()
+    )
+    assert got == list(range(6))
+    # appending to the now-variant table adds NO redundant protocol
+    dp.write_delta(_vdf(spark, 6, 8), path, mode="append")
+    ld = os.path.join(path, "_delta_log")
+    last = sorted(f for f in os.listdir(ld) if f.endswith(".json"))[-1]
+    with open(os.path.join(ld, last)) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    assert not any("protocol" in a for a in acts)

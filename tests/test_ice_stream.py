@@ -338,3 +338,39 @@ def test_stream_sink_partitioned_exactly_once_and_pruned(spark, tmp_path):
             path, [("nope.parquet", {"wrong": 1})], back.schema,
             app_id="test-part-sink", batch_id=committed + 2,
         )
+
+
+def test_variant_nested_refusals_reader_and_sink(spark, tmp_path):
+    """r12 ADVICE fixes: (a) the iceberg STREAM reader's variant guard
+    walks NESTED types (a struct-wrapped variant used to pass the
+    top-level check and die inside pyarrow tasks); (b) the streaming
+    SINK refuses variant-bearing schemas up front — a first commit
+    through it would otherwise create sub-v3 table metadata carrying
+    type 'variant'."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        VariantType,
+    )
+
+    path = str(tmp_path / "icevar")
+    df = spark.range(4).select(
+        F.col("id").alias("doc_id"),
+        F.parse_json(F.format_string('{"a": %d}', "id")).alias("p"),
+    )
+    ib.write_iceberg(df, path, format_version=3)
+    with pytest.raises(Exception, match="variant.*STREAM|STREAM.*variant"):
+        icestream._schema(path)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField(
+                "meta", StructType([StructField("p", VariantType())])
+            ),
+        ]
+    )
+    with pytest.raises(ValueError, match="variant"):
+        icestream.IcebergStreamWriter(
+            {"path": str(tmp_path / "sink")}, schema
+        )

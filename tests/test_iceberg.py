@@ -2191,3 +2191,45 @@ def test_reads_foreign_avro_data_and_delete_files(spark, tmp_path):
         for i in survivors
     )
     assert rows == expected
+
+
+def test_changelog_same_snapshot_pos_and_eq_reports_once(spark, tmp_path):
+    """A snapshot adding BOTH a position-delete file and an
+    equality-delete file hiding an overlapping row reports that row as
+    'delete' exactly ONCE (r12 fix: the eq leg's pre-image diff now
+    masks the snapshot's own new pos/DV deletes, so a row the pos leg
+    already emitted cannot survive into the eq exceptAll diff)."""
+    path = str(tmp_path / "ice")
+    ib.write_iceberg(_df(spark, 0, 10), path)
+    meta = ib.current_metadata(path)
+    fields = ib._schema_of(meta)
+    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+    live = ib._live_entries(path, meta, ib._snapshot(meta, None))
+    scan = ib._read_entries(spark, path, meta, live, keep_identity=True)
+    matches = scan.filter("doc_id = 3").select(ib._IB_FILE, ib._IB_POS)
+    pos_recs = ib._land_position_deletes(spark, path, matches, live, [])
+    # eq delete keys overlap the pos delete (doc 3) and add doc 5
+    eq_rec = ib._land_eq_delete(path, fields, ["doc_id"], [3, 5], {})
+
+    def build(base, snapshot_id, seq, fv):
+        mfs = ib._read_manifest_list(path, ib._snapshot(base, None))
+        entries = [
+            {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
+            for d in pos_recs + [eq_rec]
+        ]
+        del_mf = ib._write_manifest(
+            path, entries, snapshot_id, fields, [], schema_json,
+            fv=fv, content="deletes", seq=seq, spec_id=0,
+        )
+        return list(mfs) + [del_mf]
+
+    ib._commit_snapshot(path, "delete", build, format_version=2)
+    assert sorted(
+        r["doc_id"] for r in ib.read_iceberg(spark, path).collect()
+    ) == [0, 1, 2, 4, 6, 7, 8, 9]
+    ch = ib.read_changes_iceberg(spark, path)
+    dels = sorted(
+        r["doc_id"]
+        for r in ch.filter("_change_type = 'delete'").collect()
+    )
+    assert dels == [3, 5]  # doc 3 exactly once, never twice
