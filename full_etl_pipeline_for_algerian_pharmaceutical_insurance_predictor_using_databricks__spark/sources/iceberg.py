@@ -5580,3 +5580,112 @@ FROM feed
 GROUP BY _snapshot_ordinal, _change_type, source
 ORDER BY _snapshot_ordinal, _change_type, source
 """
+
+
+_ICEBERG_STREAM_HOURS_LAKE_VERSION = 1
+
+
+def _ensure_stream_hours_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once STREAMED fixture: the events table micro-batched
+    through the partitioned exactly-once streaming sink into an
+    Iceberg table partitioned by `hours(ts)` — the canonical
+    time-partitioned CDC landing shape (r12; timestamp-sourced
+    transforms previously refused in the sink).  The stream source is
+    pre-bucketed by hour so each partition tuple lands in ONE task —
+    without it, a T-task micro-batch writes up to T files per hour
+    tuple; at 100 TB the upstream job should bucket/sort by the
+    partition source for exactly this reason."""
+    from ..functions.scale import default_index_dir
+    from . import icestream, load_table
+
+    base = default_index_dir(
+        "iceberg_sh", _ICEBERG_STREAM_HOURS_LAKE_VERSION, sf_dir
+    )
+    path = os.path.join(base, "events_hours_iceberg")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        # build is NOT failure-atomic (empty pre-create + stream):
+        # a marker decides completeness, and any partial tree from an
+        # interrupted build is discarded
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        icestream.register(spark)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        src = os.path.join(base, "_src")
+        ckpt = os.path.join(base, "_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        # `ts` is TimestampNTZ (events.parquet is TIMESTAMP(NANOS,
+        # isAdjustedToUTC=false)); calendar fields on NTZ are tz-free,
+        # so this hour bucketing is engine-deterministic
+        ev.repartition(
+            8, F.col("ts").cast("date"), F.hour("ts")
+        ).write.mode("overwrite").parquet(src)
+        write_iceberg(ev.limit(0), path, partition_by=["hours(ts)"])
+        q = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp_ntz, "
+                "user_id bigint, event_type string"
+            )
+            .parquet(src)
+            .writeStream.format("iceberg")
+            .option("path", path)
+            .option("streamAppId", "stream-hours-fixture")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):  # pragma: no cover - hang guard
+            q.stop()
+            raise TimeoutError("stream-hours fixture build timed out")
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    return path
+
+
+def iceberg_stream_hours_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for TIMESTAMP PARTITION TRANSFORMS through
+    the partitioned exactly-once STREAMING sink (r12): events streamed
+    into an `hours(ts)`-partitioned Iceberg table (hour values
+    computed python-side in the sink workers from the row codec's
+    naive-UTC datetimes — probed engine-deterministic), then a 2-day
+    pruned scan (predicate bounds mapped through the monotone `hour`
+    transform skip non-matching tuples unopened) aggregated per event
+    type.  The oracle restates the window off the raw parquet, so a
+    value match proves the python hour kernel, hive landing, manifest
+    partition structs, and pruned read are all exact; pruning counts
+    and exactly-once replay are pinned in pytest."""
+    import datetime
+
+    path = _ensure_stream_hours_lake(spark, sf_dir)
+    df, _fr, _fs, _ms = read_iceberg_pruned(
+        spark,
+        path,
+        "ts",
+        datetime.datetime(2024, 1, 2, 0, 0, 0),
+        datetime.datetime(2024, 1, 3, 23, 59, 59, 999999),
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ICEBERG_STREAM_HOURS_ORACLE_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+  AND ts < TIMESTAMP '2024-01-04 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -355,9 +355,14 @@ class IcebergStreamWriter(DataSourceStreamWriter):
     content per the spec's projection rule; `commit` stamps each
     file's partition struct into the manifest, so downstream
     `read_iceberg_pruned` skips non-matching tuples without opening a
-    file.  Timestamp-sourced partition transforms refuse (the
-    DataSource row codec surfaces session-zone-naive datetimes — a
-    silent timezone shift is worse than a loud refusal)."""
+    file.  Timestamp-sourced transforms (hours/days/months/years) are
+    supported (r12): the DataSource row codec is engine-deterministic
+    — probed on this build, a timestamptz value arrives as a NAIVE
+    UTC datetime (session-timezone-independent) and an ntz value as
+    its wall-clock naive datetime — so `_to_internal`'s naive-as-UTC
+    rule yields exactly the spec's internal micros for BOTH types and
+    `_apply_transform_py`'s floor-division calendar math never sees a
+    session timezone."""
 
     def __init__(self, options: dict, schema: StructType):
         path = options.get("path")
@@ -399,14 +404,6 @@ class IcebergStreamWriter(DataSourceStreamWriter):
             for pf in self.spec:
                 src = by_id[pf["source-id"]]
                 ib._parse_transform(pf.get("transform", "identity"))
-                if src["type"] in ("timestamp", "timestamptz"):
-                    raise ValueError(
-                        "streaming sink cannot partition on a timestamp "
-                        f"source ({src['name']!r}): the DataSource row "
-                        "codec is session-zone-naive; partition on a "
-                        "DATE column or use foreachBatch over "
-                        "write_iceberg"
-                    )
 
     def _tuple_of(self, row: tuple, idx: dict) -> tuple:
         by_id = {f["id"]: f for f in self.fields}

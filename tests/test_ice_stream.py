@@ -168,18 +168,15 @@ def test_stream_sink_exactly_once_summary_ledger(spark, tmp_path):
     writer.commit([msg2], batchId=committed + 1)
     assert ib.read_iceberg(spark, path).count() == 26
 
-    # timestamp-sourced partition transforms refuse the sink (the
-    # DataSource row codec is session-zone-naive); other partitioned
-    # targets are first-class — test_stream_sink_partitioned below
+    # timestamp-sourced partition transforms are accepted since r12
+    # (the row codec was probed engine-deterministic) — full coverage
+    # in test_partitioned_stream_sink_timestamp_transforms below
     p2 = str(tmp_path / "part")
     ts = df.withColumn("ts", F.timestamp_micros(F.col("doc_id")))
     ib.write_iceberg(ts, p2, partition_by=["years(ts)"])
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="timestamp"):
-        icestream.IcebergStreamWriter(
-            {"path": p2, "streamAppId": "x"}, ts.schema
-        )
+    icestream.IcebergStreamWriter(
+        {"path": p2, "streamAppId": "x"}, ts.schema
+    )
 
 
 def test_datasource_applies_v3_defaults(spark, tmp_path):
@@ -374,3 +371,119 @@ def test_variant_nested_refusals_reader_and_sink(spark, tmp_path):
         icestream.IcebergStreamWriter(
             {"path": str(tmp_path / "sink")}, schema
         )
+
+
+def test_partitioned_stream_sink_timestamp_transforms(spark, tmp_path):
+    """Streaming sink into a table partitioned by hours(timestamptz) +
+    days(timestamp_ntz) — the r11 refusal, lifted in r12.  The
+    DataSource row codec is engine-deterministic (probed: timestamptz
+    arrives as a NAIVE UTC datetime regardless of session timezone;
+    ntz as its wall-clock naive datetime), so the python transform
+    kernels see exactly the spec's internal micros.  Pins: session-tz
+    independence (runs under Pacific/Kiritimati, UTC+14), row parity
+    and PARTITION-TUPLE parity with the batch writer, hour-range
+    pruning that skips files, and duplicate-trigger exactly-once."""
+    import datetime
+
+    icestream.register(spark)
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "ice")
+    twin = str(tmp_path / "twin")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(0, 48).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("id") * 1800
+        ).alias("ts"),
+        F.make_timestamp_ntz(
+            F.lit(2024), F.lit(3), (F.col("id") % 9 + 1).cast("int"),
+            F.lit(12), F.lit(30), F.lit(0.0),
+        ).alias("tsn"),
+    )
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+    try:
+        ib.write_iceberg(
+            df.limit(0), path, partition_by=["hours(ts)", "days(tsn)"]
+        )
+        df.write.mode("overwrite").parquet(src)
+        q = (
+            spark.readStream.schema(
+                "doc_id bigint, ts timestamp, tsn timestamp_ntz"
+            )
+            .parquet(src)
+            .writeStream.format("iceberg")
+            .option("path", path)
+            .option("streamAppId", "test-ts-sink")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        ib.write_iceberg(df, twin, partition_by=["hours(ts)", "days(tsn)"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    back = ib.read_iceberg(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+    # partition TUPLES in the manifests match the batch writer's
+    def tuples(p):
+        meta = ib.current_metadata(p)
+        snaps = ib._snapshot(meta, None)
+        out = {}
+        for mf in ib._data_manifests(ib._read_manifest_list(p, snaps)):
+            for e in ib._read_manifest(p, mf):
+                if e.get("status", 0) in (0, 1):
+                    pv = e["data_file"].get("partition") or {}
+                    key = (pv.get("ts_hour"), pv.get("tsn_day"))
+                    out[key] = out.get(key, 0) + int(
+                        e["data_file"]["record_count"]
+                    )
+        return out
+
+    assert tuples(path) == tuples(twin)
+    # hour-range pruning: 1_700_000_000s = 2023-11-14T22:13:20Z; rows
+    # span 24 h at 2/hour — a 3-hour UTC window keeps ~6 rows and
+    # SKIPS files on both tables identically
+    lo = datetime.datetime(2023, 11, 15, 6, 0, 0)
+    hi = datetime.datetime(2023, 11, 15, 8, 59, 59)
+    got_s, _r, skip_s, _m = ib.read_iceberg_pruned(spark, path, "ts", lo, hi)
+    got_b, _r2, skip_b, _m2 = ib.read_iceberg_pruned(spark, twin, "ts", lo, hi)
+    rows_s = sorted(r["doc_id"] for r in got_s.collect())
+    assert rows_s == sorted(r["doc_id"] for r in got_b.collect())
+    assert rows_s and len(rows_s) <= 8
+    assert skip_s > 0
+    # ntz day pruning stays wall-clock (no session-tz shift)
+    got_n, _r3, skip_n, _m3 = ib.read_iceberg_pruned(
+        spark, path, "tsn",
+        datetime.datetime(2024, 3, 2, 0, 0, 0),
+        datetime.datetime(2024, 3, 3, 23, 59, 59),
+    )
+    assert sorted(r["doc_id"] for r in got_n.collect()) == sorted(
+        r["doc_id"] for r in df.filter("day(tsn) in (2, 3)").collect()
+    )
+    assert skip_n > 0
+    # duplicate-trigger replay: exactly-once no-op
+    committed = ib.iceberg_stream_batch_ids(path)["test-ts-sink"]
+    writer = icestream.IcebergStreamWriter(
+        {"path": path, "streamAppId": "test-ts-sink"}, back.schema
+    )
+    msg = writer.write(
+        iter(
+            [
+                (
+                    999,
+                    datetime.datetime(2023, 11, 16, 1, 2, 3),
+                    datetime.datetime(2024, 3, 9, 4, 5, 6),
+                )
+            ]
+        )
+    )
+    n_snaps = len(ib.current_metadata(path).get("snapshots") or [])
+    writer.commit([msg], batchId=committed)
+    assert (
+        len(ib.current_metadata(path).get("snapshots") or []) == n_snaps
+    )
+    assert ib.read_iceberg(spark, path).count() == 48
