@@ -226,6 +226,7 @@ _TAIL_ORDER = [
     "lake_iceberg_changes_eq",
     "mm_audio_ogg_chain",
     "lake_iceberg_stream_hours",
+    "lake_uniform_dv",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -358,6 +359,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_iceberg_variant"] = _iceberg.iceberg_variant_entry
     pool["lake_iceberg_changes_eq"] = _iceberg.iceberg_changes_eq_entry
     pool["lake_iceberg_stream_hours"] = _iceberg.iceberg_stream_hours_entry
+    pool["lake_uniform_dv"] = _iceberg.uniform_dv_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -447,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_iceberg_variant"] = _iceberg.ICEBERG_VARIANT_ORACLE_SQL
     pool["lake_iceberg_changes_eq"] = _iceberg.ICEBERG_CHANGES_EQ_ORACLE_SQL
     pool["lake_iceberg_stream_hours"] = _iceberg.ICEBERG_STREAM_HOURS_ORACLE_SQL
+    pool["lake_uniform_dv"] = _iceberg.UNIFORM_DV_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

@@ -2275,6 +2275,7 @@ def _commit_snapshot(
     summary_extra: dict | None = None,
     branch: str | None = None,
     sort_order: dict | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Shared commit: build_manifests(base_meta_or_None, snapshot_id,
     seq, fv) → list of manifest_file records; wrap them in a manifest
@@ -2394,6 +2395,8 @@ def _commit_snapshot(
             meta = json.loads(json.dumps(base))
             meta["last-updated-ms"] = now_ms
             meta["format-version"] = fv
+        if properties:
+            meta.setdefault("properties", {}).update(properties)
         if fv >= 2:
             meta["last-sequence-number"] = seq
         if fv >= 3:
@@ -4549,27 +4552,33 @@ def uniform_iceberg_metadata(spark: SparkSession, path: str) -> int:
     parquet data files, no copy — so the table reads through either
     protocol (`deltaproto.read_delta` AND `read_iceberg` / any
     field-id/name resolving Iceberg reader).  Field-ids are assigned
-    in schema order; numeric bounds come from the Delta add-action
-    stats (string bounds are skipped — Delta may truncate them, and a
+    in schema order (or taken from `delta.columnMapping.id` when the
+    table is column-mapped — both engines then agree on field
+    identity); numeric bounds come from the Delta add-action stats
+    (string bounds are skipped — Delta may truncate them, and a
     truncated max is not a valid upper bound); partition values
     convert from Delta's hive strings to the Iceberg internal repr.
-    Tables carrying deletion vectors or column mapping refuse (the
-    same restriction real UniForm places on advanced features).
+    DELETION VECTORS (r12): each Delta DV decodes (roaring, the Delta
+    framing) and re-serializes as an Iceberg v3 ``deletion-vector-v1``
+    Puffin blob — one puffin file per generation — referenced from a
+    delete manifest, and the metadata commits at format-version 3;
+    the two sidecar encodings differ, but the positions are the same
+    integers, so both protocols hide exactly the same rows.  COLUMN
+    MAPPING (r12): Iceberg resolves the physical parquet names via
+    the spec's `schema.name-mapping.default` property (physical name →
+    field id), the exact mechanism the spec provides for files
+    written without field ids; id-mode files additionally carry
+    parquet field ids, which foreign readers may use directly.
     Re-running refreshes: each call commits a fresh snapshot of the
     current Delta state.  Returns the snapshot id."""
     from . import deltaproto as dp
 
     meta_d, live, _v = dp._fold_delta_state(spark, path, None)
-    if dp._column_mapping(meta_d):
-        raise ValueError("UniForm metadata: column-mapped Delta tables "
-                         "are unsupported")
-    if any(a.get("deletionVector") for a in live.values()):
-        raise ValueError(
-            "UniForm metadata: the Delta snapshot carries deletion "
-            "vectors — compact them away first (compact_delta)"
-        )
     dschema = json.loads(meta_d["schemaString"])
+    mapped = dp._mapping_mode(meta_d) != "none"
     fields = []
+    phys_of: dict[str, str] = {}
+    name_mapping: list[dict] = []
     for i, f in enumerate(dschema["fields"], start=1):
         t = f["type"]
         if not isinstance(t, str) or t not in _SPARK_TO_ICE:
@@ -4577,16 +4586,26 @@ def uniform_iceberg_metadata(spark: SparkSession, path: str) -> int:
                 f"column {f['name']!r}: Spark type {t!r} unsupported by "
                 "the Iceberg interop tier"
             )
+        md = f.get("metadata") or {}
+        fid = int(md.get("delta.columnMapping.id", i))
+        phys = md.get("delta.columnMapping.physicalName", f["name"])
         fields.append(
             {
-                "id": i,
+                "id": fid,
                 "name": f["name"],
                 "required": False,
                 "type": _SPARK_TO_ICE[t],
             }
         )
+        phys_of[f["name"]] = phys
+        name_mapping.append({"field-id": fid, "names": [phys]})
     by_name = {f["name"]: f for f in fields}
-    part_cols = list(meta_d.get("partitionColumns") or [])
+    # mapped tables record partitionColumns under PHYSICAL names (the
+    # namespace files/partitionValues use) — normalize to logical
+    log_of = {v: k for k, v in phys_of.items()}
+    part_cols = [
+        log_of.get(c, c) for c in (meta_d.get("partitionColumns") or [])
+    ]
     spec = [
         {
             "name": c,
@@ -4597,16 +4616,32 @@ def uniform_iceberg_metadata(spark: SparkSession, path: str) -> int:
         for i, c in enumerate(part_cols)
     ]
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+    from . import puffin
+
     data_files = []
+    # (referenced data-file uri, partition tuple, payload, cardinality)
+    dv_blobs: list[tuple[str, dict, bytes, int]] = []
     for rel in sorted(live):
         add = live[rel]
         pvals = {}
         for c in part_cols:
-            raw = (add.get("partitionValues") or {}).get(c)
+            # mapped tables key partitionValues by PHYSICAL name
+            pv_raw = add.get("partitionValues") or {}
+            raw = pv_raw.get(phys_of.get(c, c), pv_raw.get(c))
             pvals[c] = (
                 None
                 if raw is None
                 else _parse_hive_value(by_name[c]["type"], raw)
+            )
+        if add.get("deletionVector"):
+            positions = dp._dv_positions(path, add["deletionVector"])
+            dv_blobs.append(
+                (
+                    _file_uri(path, rel),
+                    pvals,
+                    puffin.dv_payload(positions),
+                    len(positions),
+                )
             )
         stats = {}
         if add.get("stats"):
@@ -4625,8 +4660,12 @@ def uniform_iceberg_metadata(spark: SparkSession, path: str) -> int:
         for f in fields:
             if f["type"] in ("string", "binary"):
                 continue  # Delta may truncate; numeric bounds only
-            mn = (stats.get("minValues") or {}).get(f["name"])
-            mx = (stats.get("maxValues") or {}).get(f["name"])
+            # stats key on PHYSICAL names under column mapping
+            pn = phys_of.get(f["name"], f["name"])
+            mns = stats.get("minValues") or {}
+            mxs = stats.get("maxValues") or {}
+            mn = mns.get(pn, mns.get(f["name"]))
+            mx = mxs.get(pn, mxs.get(f["name"]))
             if mn is not None and mx is not None:
                 try:
                     lbs[f["id"]] = ser_value(f["type"], mn)
@@ -4662,19 +4701,89 @@ def uniform_iceberg_metadata(spark: SparkSession, path: str) -> int:
             {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
             for d in data_files
         ]
-        return [
+        mfs = [
             _write_manifest(
                 path, entries, snapshot_id, fields, spec, schema_json,
                 fv=fv, seq=seq,
             )
         ]
+        if dv_blobs:
+            # one puffin file per generation, one deletion-vector-v1
+            # blob per DV'd data file (the spec's recommended packing)
+            name = f"{uuid.uuid4().hex}-uniform-deletes.puffin"
+            dest = os.path.join(path, "metadata", name)
+            metas = puffin.write_puffin(
+                dest,
+                [
+                    {
+                        "type": "deletion-vector-v1",
+                        "data": payload,
+                        "snapshot-id": snapshot_id,
+                        "sequence-number": seq,
+                        "properties": {
+                            "referenced-data-file": uri,
+                            "cardinality": str(card),
+                        },
+                    }
+                    for uri, _pv, payload, card in dv_blobs
+                ],
+                properties={"created-by": "sparkgraft-uniform/1.0"},
+            )
+            puffin_uri = _file_uri(path, f"metadata/{name}")
+            puffin_size = os.path.getsize(dest)
+            dv_entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": puffin_uri,
+                        "file_format": "PUFFIN",
+                        "partition": pv,
+                        "record_count": int(card),
+                        "file_size_in_bytes": puffin_size,
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "split_offsets": None,
+                        "equality_ids": None,
+                        "first_row_id": None,
+                        "referenced_data_file": uri,
+                        "content_offset": int(m["offset"]),
+                        "content_size_in_bytes": int(m["length"]),
+                    },
+                }
+                for (uri, pv, _payload, card), m in zip(dv_blobs, metas)
+            ]
+            mfs.append(
+                _write_manifest(
+                    path, dv_entries, snapshot_id, fields, spec,
+                    schema_json, fv=fv, content="deletes", seq=seq,
+                )
+            )
+        return mfs
 
+    properties = {}
+    if mapped:
+        properties["schema.name-mapping.default"] = json.dumps(
+            name_mapping
+        )
     return _commit_snapshot(
         path,
         "append" if not _metadata_versions(path) else "overwrite",
         build_manifests,
         schema_fields=fields,
         spec_fields=spec,
+        # DVs (PUFFIN delete manifests) and the variant type are v3
+        # constructs; plain snapshots stay at v1 for maximal reader
+        # compatibility, exactly like the batch writer's default
+        format_version=(
+            3
+            if dv_blobs or any(f["type"] == "variant" for f in fields)
+            else None
+        ),
+        properties=properties or None,
     )
 
 
@@ -4782,6 +4891,76 @@ SELECT lang,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
        CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+#: Bump when the DV+mapped UniForm fixture changes shape.
+_UNIFORM_DV_LAKE_VERSION = 1
+#: DV-deleted doc_id range — populated at every SF.
+_UNIFORM_DV_RANGE = (100, 149)
+
+
+def _ensure_uniform_dv_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture for UniForm over ADVANCED Delta features
+    (r12 — both were refusals): documents as a lang-partitioned Delta
+    table, a column RENAME (enables name-mode column mapping — files
+    keep physical name 'text' while the logical schema says 'body'),
+    then a deletion-vector DELETE of a doc_id range; finally the
+    Iceberg metadata generation, which re-serializes the Delta roaring
+    DV as a v3 Puffin deletion-vector blob and registers the physical
+    names under schema.name-mapping.default."""
+    from ..functions.scale import default_index_dir
+    from . import deltaproto as dp, load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "uniform_dv", _UNIFORM_DV_LAKE_VERSION, sf_dir
+        ),
+        "docs_uniform_dv",
+    )
+    if not dp.delta_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        dp.write_delta(docs, path, partition_by=["lang"])
+        dp.rename_delta_column(spark, path, "text", "body")
+        lo, hi = _UNIFORM_DV_RANGE
+        dp.delete_where_delta(spark, path, "doc_id", lo, hi, strategy="dv")
+        uniform_iceberg_metadata(spark, path)
+    return path
+
+
+def uniform_dv_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for UNIFORM over DV-carrying, COLUMN-MAPPED
+    Delta tables (r12): the Iceberg-protocol read of the fixture must
+    hide exactly the DV'd rows (Puffin deletion-vector blob decoded
+    and anti-joined on (file, pos)) and resolve the renamed column
+    through name-mapping.  The oracle restates the delete off the raw
+    parquet; `_rows`-level Delta parity is pinned in pytest, so a
+    value match here proves BOTH protocols agree with the source of
+    truth."""
+    path = _ensure_uniform_dv_lake(spark, sf_dir)
+    snap = read_iceberg(spark, path)
+    return (
+        snap.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("body")).cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+UNIFORM_DV_ORACLE_SQL = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+WHERE doc_id NOT BETWEEN {_UNIFORM_DV_RANGE[0]} AND {_UNIFORM_DV_RANGE[1]}
 GROUP BY lang
 ORDER BY lang
 """

@@ -965,8 +965,10 @@ def test_uniform_dual_metadata_over_delta(spark, tmp_path):
     protocols — the generated Iceberg tree reads IDENTICALLY to the
     Delta log (partitioned table, hive partition values converted to
     typed partition structs), metadata-tier pruning works off the
-    converted Delta stats, a refresh tracks new Delta commits, and DV
-    tables refuse."""
+    converted Delta stats, a refresh tracks new Delta commits, and a
+    DV-carrying snapshot (r12 — was a refusal) re-serializes the Delta
+    roaring DV as an Iceberg v3 Puffin deletion-vector blob so BOTH
+    protocols hide exactly the same rows."""
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         deltaproto as dp,
     )
@@ -990,10 +992,20 @@ def test_uniform_dual_metadata_over_delta(spark, tmp_path):
     assert _rows(ib.read_iceberg(spark, path)) == _rows(
         dp.read_delta(spark, path)
     )
-    # DV-carrying snapshots refuse until compacted
+    # a DV-carrying snapshot expands into a v3 Puffin DV (r12)
     dp.delete_where_delta(spark, path, "doc_id", 0, 4, strategy="dv")
-    with pytest.raises(ValueError, match="deletion"):
-        ib.uniform_iceberg_metadata(spark, path)
+    ib.uniform_iceberg_metadata(spark, path)
+    meta = ib.current_metadata(path)
+    assert meta["format-version"] == 3
+    mfs = ib._read_manifest_list(path, ib._snapshot(meta, None))
+    _pos, _eqs, dvs = ib._delete_files(path, mfs)
+    assert dvs and all(
+        d["path"].endswith(".puffin") for d in dvs
+    )
+    got = _rows(ib.read_iceberg(spark, path))
+    assert got == _rows(dp.read_delta(spark, path))
+    assert sorted(d for d, _l, _v in got) == list(range(5, 40))
+    # compaction clears the DVs; the regenerated tree follows
     dp.compact_delta(spark, path)
     ib.uniform_iceberg_metadata(spark, path)
     assert _rows(ib.read_iceberg(spark, path)) == _rows(
@@ -2233,3 +2245,62 @@ def test_changelog_same_snapshot_pos_and_eq_reports_once(spark, tmp_path):
         for r in ch.filter("_change_type = 'delete'").collect()
     )
     assert dels == [3, 5]  # doc 3 exactly once, never twice
+
+
+def test_uniform_over_column_mapped_delta(spark, tmp_path):
+    """uniform_iceberg_metadata over a NAME-mode column-mapped Delta
+    table (r12 — was a refusal): Iceberg field-ids come from
+    delta.columnMapping.id, the physical parquet names resolve through
+    the spec's schema.name-mapping.default property, partition columns
+    normalize physical→logical, and stats-driven pruning still works.
+    Combined with a DV delete the same table round-trips through BOTH
+    protocols value-exactly."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        deltaproto as dp,
+    )
+
+    path = str(tmp_path / "mapdual")
+    dp.write_delta(
+        _df(spark, 0, 30).repartitionByRange(3, "doc_id"),
+        path,
+        partition_by=["lang"],
+    )
+    # renaming enables name-mode mapping (physical names = old names)
+    dp.rename_delta_column(spark, path, "v", "val")
+    dp.write_delta(
+        _df(spark, 30, 40).withColumnRenamed("v", "val"),
+        path,
+        mode="append",
+    )
+    ib.uniform_iceberg_metadata(spark, path)
+    meta = ib.current_metadata(path)
+    nm = ib._name_mapping(meta)
+    by_name = {f["name"]: f for f in ib._schema_of(meta)}
+    assert nm[by_name["val"]["id"]] == ["v"]  # physical name mapped
+    got = sorted(
+        (r["doc_id"], r["lang"], r["val"])
+        for r in ib.read_iceberg(spark, path).collect()
+    )
+    assert got == [
+        (r["doc_id"], r["lang"], r["v"])
+        for r in _df(spark, 0, 40).orderBy("doc_id").collect()
+    ]
+    # pruning off converted stats still skips files
+    _g, _nr, nskip, _ms = ib.read_iceberg_pruned(spark, path, "doc_id", 0, 4)
+    assert nskip > 0
+    # DV delete on the MAPPED table: both protocols hide the same rows
+    dp.delete_where_delta(spark, path, "doc_id", 10, 14, strategy="dv")
+    ib.uniform_iceberg_metadata(spark, path)
+    assert ib.current_metadata(path)["format-version"] == 3
+    ice = sorted(
+        (r["doc_id"], r["lang"], r["val"])
+        for r in ib.read_iceberg(spark, path).collect()
+    )
+    delta = sorted(
+        (r["doc_id"], r["lang"], r["val"])
+        for r in dp.read_delta(spark, path).collect()
+    )
+    assert ice == delta
+    assert sorted(d for d, _l, _v in ice) == [
+        i for i in range(40) if not 10 <= i <= 14
+    ]
