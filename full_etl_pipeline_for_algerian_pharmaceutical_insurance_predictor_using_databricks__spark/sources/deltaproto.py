@@ -1206,6 +1206,24 @@ def _file_stats_json(local_path: str) -> str | None:
     )
 
 
+def _phys_select(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename a logical frame to the mapping's PHYSICAL namespace,
+    stamping `parquet.field.id` column metadata on id-mode tables
+    (`_ColumnMapping.ids`) so the landed files are id-resolvable."""
+    ids = getattr(mapping, "ids", None) or {}
+    return df.select(
+        *[
+            F.col(c).alias(
+                mapping.get(c, c),
+                metadata=(
+                    {"parquet.field.id": ids[c]} if c in ids else None
+                ),
+            )
+            for c in df.columns
+        ]
+    )
+
+
 def _land_parquet(
     df: DataFrame,
     path: str,
@@ -1217,11 +1235,12 @@ def _land_parquet(
     content, per spec) and return (relative path, partitionValues,
     size, stats-json) tuples — invisible until committed.  `mapping`
     (logical → physical, column-mapped tables) renames the frame and
-    the partition columns so files land in PHYSICAL namespace."""
+    the partition columns so files land in PHYSICAL namespace; on
+    id-mode tables (`mapping.ids`) each column also stamps its
+    `parquet.field.id` — Spark writes the ids natively, and id-mode
+    readers resolve by them."""
     if mapping:
-        df = df.select(
-            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
-        )
+        df = _phys_select(df, mapping)
         partition_by = (
             [mapping.get(c, c) for c in partition_by]
             if partition_by
@@ -1956,9 +1975,7 @@ def _land_cdc(
     `mapping` renames to PHYSICAL column names (mapped tables' cdc
     files live in the same namespace as data files, per spec)."""
     if mapping:
-        df = df.select(
-            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
-        )
+        df = _phys_select(df, mapping)
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
@@ -3201,28 +3218,39 @@ def _mapping_mode(meta: dict) -> str:
     ) or "none"
 
 
+class _ColumnMapping(dict):
+    """logical → physical rename map for landing frames; `.ids`
+    carries {logical → parquet field id} on ID-mode tables — landed
+    files must stamp the ids, because that is the ONLY way id-mode
+    readers resolve their columns (names are free to differ
+    file-to-file across renames)."""
+
+    ids: dict[str, int] | None = None
+
+
 def _column_mapping(meta: dict) -> dict[str, str]:
     """{logical column → physical parquet name} when the table enables
     column mapping (`delta.columnMapping.mode` in the metaData
     configuration; physical names in each schema field's
-    `delta.columnMapping.physicalName` metadata).  Only `name` mode is
-    supported here — the mode delta-spark writes when the feature is
-    on, and the one where physical NAMES are authoritative.  `id` mode
-    tables are readable (snapshot reads resolve columns by parquet
-    field-id — `_read_adds`), but every WRITE/row-level path funnels
-    through this map and refuses loudly rather than guess at a
-    physical layout that names don't define."""
+    `delta.columnMapping.physicalName` metadata).  In `name` mode the
+    physical NAMES are authoritative; in `id` mode (r12 — writes
+    previously refused) the spec still assigns a physicalName to every
+    field, so new files land under those names AND carry the fields'
+    parquet ids (`.ids` on the returned map — `_land_parquet` stamps
+    them), which is what id-mode readers resolve by."""
     mode = _mapping_mode(meta)
     if mode == "none":
         return {}
+    if mode == "id":
+        fim = _field_id_mapping(meta)
+        out = _ColumnMapping({k: v[1] for k, v in fim.items()})
+        out.ids = {k: v[0] for k, v in fim.items()}
+        return out
     if mode != "name":
         raise ValueError(
-            f"unsupported column mapping mode {mode!r} in this path — "
-            "id-mode tables support snapshot reads (read_delta and the "
-            "DataSource resolve by parquet field id); writes and "
-            "row-level ops refuse"
+            f"unsupported column mapping mode {mode!r}"
         )
-    out = {}
+    out = _ColumnMapping()
     for f in json.loads(meta["schemaString"]).get("fields", []):
         md = f.get("metadata") or {}
         out[f["name"]] = md.get(

@@ -325,13 +325,15 @@ def test_column_mapping_name_mode_reads(spark, tmp_path):
     assert sorted(tuple(r) for r in dp.read_delta(spark, path).collect()) == [
         (3, 30, 7),
     ]
-    # id mode refuses in the name-resolution path (writes/row ops)...
+    # id mode resolves too (r12): the map carries the field ids the
+    # landing path must stamp
     meta = json.loads(
         open(os.path.join(path, "_delta_log", dp._LOG_FMT.format(0))).readlines()[1]
     )["metaData"]
     meta["configuration"]["delta.columnMapping.mode"] = "id"
-    with pytest.raises(ValueError, match="mapping mode"):
-        dp._column_mapping(meta)
+    m = dp._column_mapping(meta)
+    assert m == {"doc_id": "col-phys1", "v": "col-phys2", "grp": "pdir"}
+    assert m.ids == {"doc_id": 1, "v": 2, "grp": 3}
 
 
 def test_column_mapping_id_mode_reads(spark, tmp_path):
@@ -340,7 +342,9 @@ def test_column_mapping_id_mode_reads(spark, tmp_path):
     FIELD ID, so two files whose physical column NAMES disagree (the
     second written after a rename — id mode's reason to exist) both
     read back under the logical schema; partitionValues keys stay in
-    the physicalName namespace.  Writes and row-level ops refuse."""
+    the physicalName namespace.  Writes land id-stamped physical-named
+    files and row-level ops rewrite through the same path (r12 — both
+    previously refused)."""
     import glob
     import shutil as sh
 
@@ -468,12 +472,45 @@ def test_column_mapping_id_mode_reads(spark, tmp_path):
         for r in spark.read.format("deltaproto").load(path).collect()
     )
     assert got_ds == [(1, 10, 7), (2, 20, 7), (3, 30, 9)]
-    # writes and row-level ops refuse loudly
+    # writes WORK (r12): the landed file carries physical names AND
+    # parquet field ids, so id-resolution keeps working
+    import pyarrow.parquet as pq
+
     more = spark.createDataFrame([(4, 40, 7)], "doc_id long, v long, grp long")
-    with pytest.raises(ValueError, match="mapping mode"):
-        dp.write_delta(more, path)
-    with pytest.raises(ValueError, match="mapping mode"):
-        dp.delete_where_delta(spark, path, "doc_id", 1, 1)
+    dp.write_delta(more, path)
+    got3 = sorted(
+        tuple(r) for r in dp.read_delta(spark, path).collect()
+    )
+    assert got3 == [(1, 10, 7), (2, 20, 7), (3, 30, 9), (4, 40, 7)]
+    new_files = [
+        f
+        for f in glob.glob(os.path.join(path, "p=7", "*.parquet"))
+        if "part-" in os.path.basename(f)
+    ]
+    assert new_files
+    for f in new_files:
+        sch = pq.ParquetFile(f).schema_arrow
+        assert [fl.name for fl in sch] == ["col-abc", "col-def"]
+        assert [
+            fl.metadata[b"PARQUET:field_id"] for fl in sch
+        ] == [b"1", b"2"]
+    # the DataSource reads the mixed foreign+engine tree identically
+    got_ds2 = sorted(
+        tuple(r)
+        for r in spark.read.format("deltaproto").load(path).collect()
+    )
+    assert got_ds2 == got3
+    # row-level ops: rewrite delete (cow) and DV delete both work
+    dp.delete_where_delta(spark, path, "doc_id", 1, 1)
+    dp.delete_where_delta(spark, path, "doc_id", 3, 3, strategy="dv")
+    got4 = sorted(
+        tuple(r) for r in dp.read_delta(spark, path).collect()
+    )
+    assert got4 == [(2, 20, 7), (4, 40, 7)]
+    assert sorted(
+        tuple(r)
+        for r in spark.read.format("deltaproto").load(path).collect()
+    ) == got4
 
 
 def test_unknown_future_reader_feature_raises(spark, tmp_path):
@@ -2281,3 +2318,166 @@ def test_variant_overwrite_upgrades_protocol(spark, tmp_path):
     with open(os.path.join(ld, last)) as fh:
         acts = [json.loads(ln) for ln in fh if ln.strip()]
     assert not any("protocol" in a for a in acts)
+
+
+def test_id_mode_row_op_matrix(spark, tmp_path):
+    """Full row-op matrix against a FOREIGN-crafted id-mode table
+    (r12 — writes previously refused): merge-upsert, UPDATE, DV
+    delete, cow delete, and compaction all land id-stamped
+    physical-named files; every step reads identically through
+    read_delta AND the format('deltaproto') DataSource (field-id
+    resolution over the mixed foreign+engine file set)."""
+    import glob
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    path = str(tmp_path / "idops")
+    os.makedirs(os.path.join(path, "_delta_log"))
+
+    def land(stage_name, names, rows, dest):
+        df = spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField(
+                        names[0], LongType(), True, {"parquet.field.id": 1}
+                    ),
+                    StructField(
+                        names[1], LongType(), True, {"parquet.field.id": 2}
+                    ),
+                ]
+            ),
+        )
+        stage = str(tmp_path / stage_name)
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        os.makedirs(
+            os.path.join(path, os.path.dirname(dest)), exist_ok=True
+        )
+        import shutil as sh
+
+        sh.copy(src, os.path.join(path, dest))
+        return os.path.getsize(src)
+
+    # two foreign files with DIFFERENT physical names, same field ids
+    sz1 = land("s1", ["c_one", "c_two"], [(i, i * 10) for i in range(5)],
+               "f1.parquet")
+    sz2 = land("s2", ["r_one", "r_two"], [(i, i * 10) for i in range(5, 8)],
+               "f2.parquet")
+
+    def fld(name, fid, phys):
+        return {
+            "name": name,
+            "type": "long",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [fld("doc_id", 1, "c_one"), fld("v", 2, "c_two")],
+        }
+    )
+    with open(
+        os.path.join(path, "_delta_log", dp._LOG_FMT.format(0)), "w"
+    ) as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["columnMapping"],
+                        "writerFeatures": ["columnMapping"],
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "m",
+                        "format": {"provider": "parquet"},
+                        "schemaString": schema_string,
+                        "partitionColumns": [],
+                        "configuration": {
+                            "delta.columnMapping.mode": "id",
+                            "delta.columnMapping.maxColumnId": "2",
+                        },
+                    }
+                }
+            )
+            + "\n"
+        )
+        for dest, sz in [("f1.parquet", sz1), ("f2.parquet", sz2)]:
+            f.write(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": dest,
+                            "partitionValues": {},
+                            "size": sz,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        deltastream as ds,
+    )
+
+    ds.register(spark)
+
+    def both():
+        a = sorted(
+            tuple(r) for r in dp.read_delta(spark, path).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in spark.read.format("deltaproto").load(path).collect()
+        )
+        assert a == b
+        return a
+
+    assert both() == [(i, i * 10) for i in range(8)]
+    # upsert: update key 2, insert key 100
+    ups = spark.createDataFrame(
+        [(2, 9999), (100, 1)], "doc_id long, v long"
+    )
+    dp.merge_upsert_delta(spark, ups, path, "doc_id")
+    vals = dict(both())
+    assert vals[2] == 9999 and vals[100] == 1 and len(vals) == 9
+    # UPDATE expression over logical names
+    dp.update_where_delta(spark, path, {"v": "v + 1"}, "doc_id", 0, 1)
+    vals = dict(both())
+    assert vals[0] == 1 and vals[1] == 11
+    # DV delete then cow delete
+    dp.delete_where_delta(spark, path, "doc_id", 5, 5, strategy="dv")
+    dp.delete_where_delta(spark, path, "doc_id", 6, 6)
+    vals = dict(both())
+    assert 5 not in vals and 6 not in vals and len(vals) == 7
+    # compaction rewrites everything — still id-resolvable
+    dp.compact_delta(spark, path, target_mb=1024)
+    vals = dict(both())
+    assert len(vals) == 7 and vals[2] == 9999
+    # rewritten files carry the ids and the physicalName namespace
+    import pyarrow.parquet as pq
+
+    live = dp.read_delta_meta(spark, path, "files").select(
+        "path"
+    ).toPandas()["path"]
+    for rel in live:
+        sch = pq.ParquetFile(os.path.join(path, rel)).schema_arrow
+        assert [fl.name for fl in sch] == ["c_one", "c_two"]
+        assert [
+            fl.metadata[b"PARQUET:field_id"] for fl in sch
+        ] == [b"1", b"2"]
