@@ -831,7 +831,7 @@ def _delete_files(
                     }
                 )
                 continue
-            if fmt not in ("PARQUET", "AVRO"):
+            if fmt not in ("PARQUET", "AVRO", "ORC"):
                 raise ValueError(
                     f"delete file format {fmt} — unsupported"
                 )
@@ -991,6 +991,91 @@ def _is_avro_file(abs_path: str) -> bool:
         return f.read(4) == b"Obj\x01"
 
 
+@_functools.lru_cache(maxsize=65536)
+def _is_orc_file(abs_path: str) -> bool:
+    """ORC magic sniff (the format starts with the 3 bytes 'ORC');
+    same immutable-file memo as the Avro sniff."""
+    local = abs_path[7:] if abs_path.startswith("file://") else abs_path
+    with open(local, "rb") as f:
+        return f.read(3) == b"ORC"
+
+
+def _orc_scan(
+    spark: SparkSession,
+    files: list[str],
+    read_schema,
+    with_identity: bool,
+) -> DataFrame:
+    """Distributed scan of Iceberg ORC data/delete files (r12; the
+    format Hive-lineage writers land): one task per file decodes with
+    pyarrow.orc inside an Arrow-batched `mapInPandas` kernel — this
+    Spark build's native ORC reader exposes NO `_metadata.row_index`
+    (probed: only file_path/size/etc), so the parquet path's identity
+    trick cannot work; instead row POSITION is the row ordinal within
+    its file (the spec's `pos` definition), letting position deletes
+    and DVs apply to ORC data files through the same identity
+    anti-join as parquet.  Columns absent from a file read as NULL
+    (schema-evolution rule).  Timestamp columns refuse loudly — ORC
+    writer-zone semantics vary by engine and a silent shift is worse
+    than a refusal."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    for f in read_schema.fields:
+        if isinstance(f.dataType, (TimestampType, TimestampNTZType)):
+            raise ValueError(
+                "timestamp columns in ORC data files are unsupported "
+                "(writer-zone semantics vary by engine)"
+            )
+    names = [f.name for f in read_schema.fields]
+    out_fields = [StructField(f.name, f.dataType, True) for f in read_schema.fields]
+    if with_identity:
+        out_fields += [
+            StructField(_IB_FILE, StringType(), True),
+            StructField(_IB_POS, LongType(), True),
+        ]
+    paths = sorted(set(files))
+    src = spark.createDataFrame([(pp,) for pp in paths], "path string")
+
+    def decode(batches):
+        import pandas as pd
+        import pyarrow.orc as po
+
+        for pdf in batches:
+            for pth in pdf["path"]:
+                local = pth[7:] if pth.startswith("file://") else pth
+                orc = po.ORCFile(local)
+                avail = set(orc.schema.names)
+                cols = [n for n in names if n in avail]
+                body = orc.read(columns=cols).to_pandas()
+                n = len(body)
+                data = {
+                    nm: (
+                        body[nm]
+                        if nm in body.columns
+                        else pd.Series([None] * n, dtype="object")
+                    )
+                    for nm in names
+                }
+                if with_identity:
+                    tail = local.rsplit("/", 1)[-1]
+                    data[_IB_FILE] = [tail] * n
+                    data[_IB_POS] = list(range(n))
+                yield pd.DataFrame(data)
+
+    return src.repartition(len(paths)).mapInPandas(
+        decode, schema=StructType(out_fields)
+    )
+
+
 def _avro_scan(
     spark: SparkSession,
     files: list[str],
@@ -1082,8 +1167,10 @@ def _pos_delete_rows(spark: SparkSession, paths: list[str]) -> DataFrame:
         StructType,
     )
 
-    par = [f for f in sorted(set(paths)) if not _is_avro_file(f)]
-    avr = [f for f in sorted(set(paths)) if _is_avro_file(f)]
+    uniq = sorted(set(paths))
+    avr = [f for f in uniq if _is_avro_file(f)]
+    orc = [f for f in uniq if _is_orc_file(f)]
+    par = [f for f in uniq if f not in set(avr) | set(orc)]
     legs = []
     if par:
         legs.append(
@@ -1094,21 +1181,22 @@ def _pos_delete_rows(spark: SparkSession, paths: list[str]) -> DataFrame:
                 F.col("pos").cast("bigint").alias(_IB_POS),
             )
         )
-    if avr:
-        sch = StructType(
-            [
-                StructField("file_path", StringType(), True),
-                StructField("pos", LongType(), True),
-            ]
-        )
-        legs.append(
-            _avro_scan(spark, avr, sch, with_identity=False).select(
-                F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
-                    _IB_FILE
-                ),
-                F.col("pos").cast("bigint").alias(_IB_POS),
+    sch = StructType(
+        [
+            StructField("file_path", StringType(), True),
+            StructField("pos", LongType(), True),
+        ]
+    )
+    for group, scan in ((avr, _avro_scan), (orc, _orc_scan)):
+        if group:
+            legs.append(
+                scan(spark, group, sch, with_identity=False).select(
+                    F.element_at(
+                        F.split(F.col("file_path"), "/"), -1
+                    ).alias(_IB_FILE),
+                    F.col("pos").cast("bigint").alias(_IB_POS),
+                )
             )
-        )
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -1280,8 +1368,11 @@ def _read_entries(
             if not has
         }
         rs = read_schema_for(set(part_src.values()) | absent)
-        par_files = [f for f in files if not _is_avro_file(f)]
         avr_files = [f for f in files if _is_avro_file(f)]
+        orc_files = [f for f in files if _is_orc_file(f)]
+        par_files = [
+            f for f in files if f not in set(avr_files) | set(orc_files)
+        ]
         subframes = []
         if par_files:
             d = spark.read.schema(rs).parquet(*sorted(par_files))
@@ -1296,6 +1387,10 @@ def _read_entries(
         if avr_files:
             subframes.append(
                 _avro_scan(spark, avr_files, rs, need_identity)
+            )
+        if orc_files:
+            subframes.append(
+                _orc_scan(spark, orc_files, rs, need_identity)
             )
         df = subframes[0]
         for d in subframes[1:]:
@@ -1351,6 +1446,13 @@ def _read_entries(
         cols = [by_id[i]["name"] for i in ed["ids"]]
         if _is_avro_file(ed["path"]):
             eq_src = _avro_scan(
+                spark,
+                [ed["path"]],
+                _spark_schema([by_id[i] for i in ed["ids"]]),
+                with_identity=False,
+            )
+        elif _is_orc_file(ed["path"]):
+            eq_src = _orc_scan(
                 spark,
                 [ed["path"]],
                 _spark_schema([by_id[i] for i in ed["ids"]]),

@@ -2304,3 +2304,205 @@ def test_uniform_over_column_mapped_delta(spark, tmp_path):
     assert sorted(d for d, _l, _v in ice) == [
         i for i in range(40) if not 10 <= i <= 14
     ]
+
+
+def test_reads_foreign_orc_data_and_delete_files(spark, tmp_path):
+    """A v2 tree mixing PARQUET and ORC data files plus ORC position-
+    AND equality-delete files — the Hive-lineage layout (r12; ORC
+    previously refused).  This Spark build's ORC reader exposes no
+    `_metadata.row_index` (probed), so the ORC decode runs distributed
+    via pyarrow.orc in mapInPandas with `pos` = row ordinal within the
+    file, and all delete kinds apply across both formats; a column
+    absent from one ORC file reads as NULL (schema evolution)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+    import pyarrow.parquet as pq
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        avrotiny as av,
+    )
+
+    path = str(tmp_path / "hiveish")
+    data_dir = os.path.join(path, "data")
+    md = os.path.join(path, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(md)
+
+    def d(i):
+        return datetime.date(2021, 1, 1) + datetime.timedelta(days=i)
+
+    # parquet data file: doc_id 0-4
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "name": [f"p{i}" for i in range(5)],
+                "d": pa.array([d(i) for i in range(5)], pa.date32()),
+            }
+        ),
+        os.path.join(data_dir, "f1.parquet"),
+    )
+    # ORC data file: doc_id 10-14
+    po.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([10 + i for i in range(5)], pa.int64()),
+                "name": [f"o{i}" for i in range(5)],
+                "d": pa.array([d(10 + i) for i in range(5)], pa.date32()),
+            }
+        ),
+        os.path.join(data_dir, "o1.orc"),
+    )
+    # ORC data file WITHOUT the `d` column (pre-evolution writer)
+    po.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([20], pa.int64()),
+                "name": ["old0"],
+            }
+        ),
+        os.path.join(data_dir, "o2.orc"),
+    )
+    # ORC position-delete file: hides parquet pos 0 (doc 0) and ORC
+    # pos 1 (doc 11)
+    po.write_table(
+        pa.table(
+            {
+                "file_path": ["data/f1.parquet", "data/o1.orc"],
+                "pos": pa.array([0, 1], pa.int64()),
+            }
+        ),
+        os.path.join(data_dir, "pd1.orc"),
+    )
+    # ORC equality-delete file: hides doc_id 13 and 2 (both formats)
+    po.write_table(
+        pa.table({"doc_id": pa.array([13, 2], pa.int64())}),
+        os.path.join(data_dir, "ed1.orc"),
+    )
+    entry_schema = ib._manifest_entry_schema(
+        {"type": "record", "name": "r102", "fields": []}, fv=2
+    )
+
+    def entry(fp, fmt, n, content=0, eq_ids=None, seq=None):
+        return {
+            "status": 1,
+            "snapshot_id": 7,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": fp,
+                "file_format": fmt,
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": 1,
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "split_offsets": None,
+                "equality_ids": eq_ids,
+                "sort_order_id": None,
+            },
+        }
+
+    av.write_container(
+        os.path.join(md, "dm.avro"),
+        entry_schema,
+        [
+            entry("data/f1.parquet", "PARQUET", 5),
+            entry("data/o1.orc", "ORC", 5),
+            entry("data/o2.orc", "ORC", 1),
+        ],
+        codec="null",
+    )
+    av.write_container(
+        os.path.join(md, "del.avro"),
+        entry_schema,
+        [
+            entry("data/pd1.orc", "ORC", 2, content=1),
+            entry("data/ed1.orc", "ORC", 2, content=2, eq_ids=[1]),
+        ],
+        codec="null",
+    )
+    ml_schema = ib._manifest_file_schema(fv=2)
+
+    def mf(p, content, seq):
+        return {
+            "manifest_path": p,
+            "manifest_length": 1,
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": 7,
+            "added_data_files_count": 2,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "partitions": None,
+            "added_rows_count": 11,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    av.write_container(
+        os.path.join(md, "ml.avro"),
+        ml_schema,
+        [mf("metadata/dm.avro", 0, 1), mf("metadata/del.avro", 1, 2)],
+        codec="deflate",
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-0000000000bc",
+        "location": path,
+        "last-sequence-number": 2,
+        "last-updated-ms": 1,
+        "last-column-id": 3,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "doc_id", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "name", "required": False,
+                     "type": "string"},
+                    {"id": 3, "name": "d", "required": False,
+                     "type": "date"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "snapshots": [
+            {
+                "snapshot-id": 7,
+                "timestamp-ms": 1,
+                "sequence-number": 2,
+                "summary": {"operation": "append"},
+                "manifest-list": "metadata/ml.avro",
+                "schema-id": 0,
+            }
+        ],
+        "current-snapshot-id": 7,
+        "snapshot-log": [],
+        "metadata-log": [],
+        "properties": {},
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("1")
+    got = ib.read_iceberg(spark, path)
+    rows = sorted(
+        (r["doc_id"], r["name"], r["d"]) for r in got.collect()
+    )
+    survivors = [1, 3, 4, 10, 12, 14]  # 0,11 pos-deleted; 2,13 eq-deleted
+    expected = sorted(
+        (i, (f"p{i}" if i < 5 else f"o{i - 10}"), d(i)) for i in survivors
+    ) + [(20, "old0", None)]
+    assert rows == sorted(expected)
