@@ -1154,13 +1154,14 @@ class _unshredded_variant_writes:
     files would additionally require declaring `variantShredding`)."""
 
     _KEY = "spark.sql.variant.writeShredding.enabled"
+    _VALUE = "false"
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
     def __enter__(self):
         self.prev = self.spark.conf.get(self._KEY, None)
-        self.spark.conf.set(self._KEY, "false")
+        self.spark.conf.set(self._KEY, self._VALUE)
 
     def __exit__(self, *exc):
         if self.prev is None:
@@ -1168,6 +1169,18 @@ class _unshredded_variant_writes:
         else:
             self.spark.conf.set(self._KEY, self.prev)
         return False
+
+
+class _shredded_variant_writes(_unshredded_variant_writes):
+    """Opt-in counterpart (`write_delta(..., shredded_variants=True)`):
+    pin shredding ON — explicitly, not via the build default, so the
+    landed layout stays deterministic — producing the typed_value
+    subtrees the variant-shredding spec defines (the layout Delta 4.x
+    writers emit).  Tables carrying shredded files must declare the
+    `variantShredding` table feature alongside `variantType`; the
+    write paths do exactly that when this mode is on."""
+
+    _VALUE = "true"
 
 
 def _file_stats_json(local_path: str) -> str | None:
@@ -1229,6 +1242,7 @@ def _land_parquet(
     path: str,
     partition_by: list[str] | None,
     mapping: dict[str, str] | None = None,
+    shred_variants: bool = False,
 ) -> list[tuple[str, dict, int, str | None]]:
     """Write the frame as uuid-named parquet files in the Delta/Hive
     layout (hive partition dirs, partition columns DROPPED from file
@@ -1250,7 +1264,11 @@ def _land_parquet(
     import contextlib
 
     shred_guard = (
-        _unshredded_variant_writes(df.sparkSession)
+        (
+            _shredded_variant_writes(df.sparkSession)
+            if shred_variants
+            else _unshredded_variant_writes(df.sparkSession)
+        )
         if _schema_has_variant(df.schema)
         else contextlib.nullcontext()
     )
@@ -1292,6 +1310,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     generated: dict[str, str] | None = None,
+    shredded_variants: bool = False,
 ) -> int:
     """Write a REAL protocol-v1 Delta commit: land hive-layout parquet,
     then one `_delta_log/<v>.json` with commitInfo + (first commit)
@@ -1314,7 +1333,16 @@ def write_delta(
     (`date_format(ts, 'yyyy-MM')`, `year(ts)`, `cast(ts as date)`)
     and `read_delta_pruned` on the SOURCE column maps range bounds
     through the expression — Delta's generated-column partition
-    filter."""
+    filter.
+
+    `shredded_variants=True` (flag-gated; unshredded stays the
+    default) lands VARIANT columns SHREDDED — the typed_value
+    subtrees of the variant-shredding spec, the layout Delta 4.x
+    writers actually produce — and declares the `variantShredding`
+    table feature alongside `variantType` (the spec requires it
+    before any shredded file may land).  Reads reassemble natively
+    (Spark's shredded-read path); sibling-column footer stats stay
+    intact for data skipping."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     vs = delta_versions(path)
@@ -1384,7 +1412,10 @@ def write_delta(
                 c, metadata={"delta.generationExpression": expr}
             ),
         )
-    files = _land_parquet(df, path, partition_by, mapping=mapping)
+    files = _land_parquet(
+        df, path, partition_by, mapping=mapping,
+        shred_variants=shredded_variants,
+    )
     now_ms = int(time.time() * 1000)
     lines = [
         json.dumps(
@@ -1406,35 +1437,43 @@ def write_delta(
             proto["minWriterVersion"] = max(proto["minWriterVersion"], 4)
         if _schema_has_variant(df.schema):
             # VARIANT requires the table-features protocol tier (spec:
-            # reader v3 / writer v7, `variantType` listed BOTH sides);
+            # reader v3 / writer v7, `variantType` listed BOTH sides —
+            # plus `variantShredding` when shredded files land);
             # legacy-implied writer features expand per the upgrade
             # table, exactly like the enable_* helpers
-            feats_w = {"variantType"}
+            var_feats = ["variantType"] + (
+                ["variantShredding"] if shredded_variants else []
+            )
+            feats_w = set(var_feats)
             for ver, feats in _IMPLIED_WRITER_FEATURES.items():
                 if proto["minWriterVersion"] >= ver:
                     feats_w.update(feats)
             proto = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["variantType"],
+                "readerFeatures": sorted(var_feats),
                 "writerFeatures": sorted(feats_w),
             }
         lines.append(json.dumps({"protocol": proto}))
     elif _schema_has_variant(df.schema):
         # non-first write introducing a VARIANT column (e.g. overwrite
-        # of an existing non-variant table): the rewritten schemaString
-        # alone would leave the table spec-invalid (variant under
-        # reader<3 / no variantType feature) — merge the feature into
-        # the existing protocol exactly like add_delta_column does
+        # of an existing non-variant table) or first SHREDDED landing
+        # on a variantType-only table: the schemaString/files alone
+        # would leave the table spec-invalid — merge the missing
+        # feature(s) into the existing protocol exactly like
+        # add_delta_column does
         cur = _current_protocol(path)
-        if "variantType" not in set(cur.get("readerFeatures") or []):
+        want = ["variantType"] + (
+            ["variantShredding"] if shredded_variants else []
+        )
+        missing = [
+            f for f in want
+            if f not in set(cur.get("readerFeatures") or [])
+        ]
+        if missing:
             lines.append(
                 json.dumps(
-                    {
-                        "protocol": _protocol_with_features(
-                            cur, ["variantType"], ["variantType"]
-                        )
-                    }
+                    {"protocol": _protocol_with_features(cur, want, want)}
                 )
             )
     if first or mode == "overwrite":

@@ -2216,6 +2216,114 @@ def test_variant_shredded_foreign_table_reads(spark, tmp_path):
     assert got == [(i, i, i) for i in range(8)]
 
 
+def _footer_schema_str(spark, f: str) -> str:
+    """Parquet footer schema as a string via the JVM reader (pyarrow
+    cannot open variant files)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    inp = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path("file://" + f), hconf
+    )
+    rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inp)
+    s = rdr.getFooter().getFileMetaData().getSchema().toString()
+    rdr.close()
+    return s
+
+
+def test_variant_shredded_write_roundtrip(spark, tmp_path):
+    """`shredded_variants=True` (flag-gated; default stays unshredded):
+    the landed files carry the variant-shredding spec's typed_value
+    subtrees, the protocol declares variantShredding ALONGSIDE
+    variantType on both sides (the spec requires the feature before
+    any shredded file may land), values reassemble exactly through
+    read_delta, and sibling-column footer stats stay intact for data
+    skipping.  The foreign-reader restatement is the footer check
+    itself: typed_value under the VARIANT group is exactly what
+    Delta 4.x shredded writers emit."""
+    import glob as _glob
+
+    path = str(tmp_path / "varshredwrite")
+    dp.write_delta(_vdf(spark, 0, 6), path, shredded_variants=True)
+    dp.write_delta(
+        _vdf(spark, 6, 12), path, mode="append", shredded_variants=True
+    )
+    proto = dp._current_protocol(path)
+    assert proto["minReaderVersion"] == 3
+    for side in ("readerFeatures", "writerFeatures"):
+        assert "variantType" in proto[side]
+        assert "variantShredding" in proto[side]
+    # every landed file WITH ROWS is genuinely shredded (zero-row
+    # task files have nothing to infer a shredding schema from and
+    # legally land unshredded — both layouts sit under the feature)
+    meta0, live0, _ = dp._fold_delta_state(spark, path, None)
+    checked = 0
+    for rel, add in live0.items():
+        if not add.get("stats"):
+            continue
+        if json.loads(add["stats"])["numRecords"] == 0:
+            continue
+        s = _footer_schema_str(spark, os.path.join(path, rel))
+        assert "typed_value" in s
+        assert "VARIANT" in s
+        checked += 1
+    assert checked >= 2  # at least one data-carrying file per write
+    back = dp.read_delta(spark, path)
+    assert back.schema["props"].dataType.typeName() == "variant"
+    got = sorted(
+        (r["doc_id"], r["a"], r["b"])
+        for r in back.select(
+            "doc_id",
+            F.variant_get("props", "$.a", "long").alias("a"),
+            F.variant_get("props", "$.nested.b", "long").alias("b"),
+        ).collect()
+    )
+    assert got == [(i, i, i) for i in range(12)]
+    # sibling-column stats intact (data skipping on doc_id survives)
+    meta, live, _v = dp._fold_delta_state(spark, path, None)
+    sts = [json.loads(a["stats"]) for a in live.values() if a.get("stats")]
+    assert sum(s["numRecords"] for s in sts) == 12
+    nonempty = [s for s in sts if s["numRecords"]]
+    assert nonempty
+    assert all("doc_id" in s["minValues"] for s in nonempty)
+    # the shredding conf is restored after the write
+    assert (
+        spark.conf.get("spark.sql.variant.writeShredding.enabled")
+        == "true"
+    )
+
+
+def test_variant_shredded_append_upgrades_protocol(spark, tmp_path):
+    """An UNSHREDDED variantType table later appended with
+    `shredded_variants=True` merges variantShredding into the existing
+    protocol (never clobbers), and the mixed unshredded+shredded file
+    set reads value-exact — both layouts are legal under the feature."""
+    import glob as _glob
+
+    path = str(tmp_path / "varshredmix")
+    dp.write_delta(_vdf(spark, 0, 4), path)
+    p0 = dp._current_protocol(path)
+    assert "variantShredding" not in set(p0.get("readerFeatures") or [])
+    dp.write_delta(
+        _vdf(spark, 4, 8), path, mode="append", shredded_variants=True
+    )
+    proto = dp._current_protocol(path)
+    assert "variantType" in proto["readerFeatures"]
+    assert "variantShredding" in proto["readerFeatures"]
+    assert "variantShredding" in proto["writerFeatures"]
+    layouts = {
+        "typed_value" in _footer_schema_str(spark, f)
+        for f in _glob.glob(os.path.join(path, "*.parquet"))
+    }
+    assert layouts == {True, False}  # genuinely mixed
+    got = sorted(
+        r["a"]
+        for r in dp.read_delta(spark, path)
+        .select(F.variant_get("props", "$.a", "long").alias("a"))
+        .collect()
+    )
+    assert got == list(range(8))
+
+
 def test_variant_binary_layout_pinned(spark):
     """FOREIGN-crafted variant BINARY per the public Spark/Parquet
     variant encoding spec, decoded by the engine: metadata = header
