@@ -227,6 +227,8 @@ _TAIL_ORDER = [
     "mm_audio_ogg_chain",
     "lake_iceberg_stream_hours",
     "lake_uniform_dv",
+    "lake_uniform_rev",
+    "lake_iceberg_pstats",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -360,6 +362,8 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_iceberg_changes_eq"] = _iceberg.iceberg_changes_eq_entry
     pool["lake_iceberg_stream_hours"] = _iceberg.iceberg_stream_hours_entry
     pool["lake_uniform_dv"] = _iceberg.uniform_dv_entry
+    pool["lake_uniform_rev"] = _iceberg.uniform_rev_entry
+    pool["lake_iceberg_pstats"] = _iceberg.iceberg_pstats_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -450,6 +454,8 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_iceberg_changes_eq"] = _iceberg.ICEBERG_CHANGES_EQ_ORACLE_SQL
     pool["lake_iceberg_stream_hours"] = _iceberg.ICEBERG_STREAM_HOURS_ORACLE_SQL
     pool["lake_uniform_dv"] = _iceberg.UNIFORM_DV_ORACLE_SQL
+    pool["lake_uniform_rev"] = _iceberg.UNIFORM_REV_ORACLE_SQL
+    pool["lake_iceberg_pstats"] = _iceberg.ICEBERG_PSTATS_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

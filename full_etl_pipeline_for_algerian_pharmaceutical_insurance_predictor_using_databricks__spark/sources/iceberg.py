@@ -3745,9 +3745,31 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
             "spec_id int, partition string, record_count long, "
             "file_count long, total_size long",
         )
+    if kind == "partition_stats":
+        # the REGISTERED partition statistics file for the current
+        # snapshot (write_iceberg_partition_stats) — the durable spec
+        # artifact, not the on-the-fly `partitions` fold above
+        sid = snap["snapshot-id"] if snap else None
+        reg = next(
+            (
+                e
+                for e in meta.get("partition-statistics") or []
+                if e.get("snapshot-id") == sid
+            ),
+            None,
+        )
+        if reg is None:
+            raise ValueError(
+                "no partition statistics registered for the current "
+                "snapshot — run write_iceberg_partition_stats first"
+            )
+        local = _abs_path(path, reg["statistics-path"])
+        return spark.read.parquet(
+            local[7:] if local.startswith("file://") else local
+        )
     raise ValueError(
         f"unknown metadata table {kind!r}: expected history/snapshots/"
-        "refs/manifests/files/partitions"
+        "refs/manifests/files/partitions/partition_stats"
     )
 
 
@@ -3983,6 +4005,199 @@ def fast_forward_iceberg(path: str, branch: str) -> int:
 
     _claim_metadata(path, build)
     return result["sid"]
+
+
+def _pa_of_ice(ice_t: str):
+    """pyarrow type for an Iceberg primitive — internal-repr friendly
+    (date accepts days ints, timestamps accept micros ints)."""
+    import pyarrow as pa
+
+    m = {
+        "int": pa.int32(),
+        "long": pa.int64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "date": pa.date32(),
+        "binary": pa.binary(),
+        "timestamptz": pa.timestamp("us", tz="UTC"),
+        "timestamp": pa.timestamp("us"),
+    }
+    if ice_t not in m:
+        raise ValueError(
+            f"Iceberg type {ice_t!r} unsupported in partition statistics"
+        )
+    return m[ice_t]
+
+
+def write_iceberg_partition_stats(path: str) -> str:
+    """Compute and register the spec's PARTITION STATISTICS FILE for
+    the current snapshot: one parquet row per (spec_id, partition
+    tuple) with data/position-delete/equality-delete record and file
+    counts plus total data size, the partition column typed as the
+    spec's UNIFIED partition struct (every partition field of every
+    spec, by field id — entries fill only their own spec's fields).
+    The file lands under `metadata/partition-stats-<snapshot-id>.
+    parquet` and registers in table metadata `partition-statistics`
+    (replacing a prior registration for the same snapshot), the
+    structure engines use to answer per-partition planning questions
+    (SHOW PARTITIONS, skew detection, compaction targeting) without
+    opening manifests.  Derived ENTIRELY from manifest metadata —
+    O(manifest entries), no data file is read; v3 deletion vectors
+    count as position deletes (their record_count is the DV
+    cardinality).  Returns the table-relative stats file path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = current_metadata(path)
+    snap = _snapshot(meta, None)
+    if snap is None:
+        raise ValueError("table has no current snapshot")
+    specs = meta.get("partition-specs") or [
+        {"spec-id": _default_spec_id(meta), "fields": _spec_of(meta)}
+    ]
+    by_id = {f["id"]: f for f in _schema_of(meta)}
+    # unified partition type: all partition fields of all specs, field
+    # id ascending (the spec's rule for the stats file partition struct)
+    uni: dict[int, dict] = {}
+    for sp in specs:
+        for pf in sp.get("fields") or []:
+            if pf["field-id"] not in uni:
+                src = by_id.get(pf["source-id"])
+                if src is None:
+                    raise ValueError(
+                        f"partition field {pf['name']!r} references "
+                        f"unknown source-id {pf['source-id']}"
+                    )
+                uni[pf["field-id"]] = {
+                    "name": pf["name"],
+                    "type": _pf_result_type(pf, src["type"]),
+                }
+    uni_ids = sorted(uni)
+    spec_fields = {
+        int(sp["spec-id"]): sp.get("fields") or [] for sp in specs
+    }
+    # fold every live manifest entry into (spec_id, partition) buckets
+    acc: dict[tuple, list] = {}
+    for mf in _read_manifest_list(path, snap):
+        mf_content = mf.get("content") or 0
+        sid = int(mf.get("partition_spec_id") or 0)
+        spf = spec_fields.get(sid, [])
+        records, _m, _s = avrotiny.read_container(
+            _abs_path(path, mf["manifest_path"])
+        )
+        for r in records:
+            if r.get("status", 0) not in (0, 1):
+                continue
+            rec = r["data_file"]
+            part = dict(rec.get("partition") or {})
+            vals = {fid: None for fid in uni_ids}
+            for pf in spf:
+                vals[pf["field-id"]] = part.get(pf["name"])
+            k = (sid, tuple(vals[fid] for fid in uni_ids))
+            a = acc.setdefault(k, [0, 0, 0, 0, 0, 0, 0])
+            n = int(rec.get("record_count") or 0)
+            if mf_content == 0:
+                a[0] += n
+                a[1] += 1
+                a[2] += int(rec.get("file_size_in_bytes") or 0)
+            elif (rec.get("content") or 0) == 1:
+                a[3] += n  # position deletes AND v3 DVs
+                a[4] += 1
+            else:
+                a[5] += n  # equality deletes
+                a[6] += 1
+    # rows sorted by partition tuple (spec rule), nulls last
+    keys = sorted(
+        acc,
+        key=lambda k: tuple(
+            (v is None, str(v)) for v in k[1]
+        )
+        + ((k[0],)),
+    )
+    part_arrays = []
+    part_fields = []
+    import pyarrow as _pa
+
+    for i, fid in enumerate(uni_ids):
+        t = _pa_of_ice(uni[fid]["type"])
+        part_arrays.append(
+            _pa.array([k[1][i] for k in keys], type=t)
+        )
+        part_fields.append(
+            _pa.field(
+                uni[fid]["name"], t,
+                metadata={b"PARQUET:field_id": str(fid).encode()},
+            )
+        )
+    cols: dict = {}
+    names = [
+        "data_record_count",
+        "data_file_count",
+        "total_data_file_size_in_bytes",
+        "position_delete_record_count",
+        "position_delete_file_count",
+        "equality_delete_record_count",
+        "equality_delete_file_count",
+    ]
+    for j, nm in enumerate(names):
+        t = pa.int32() if nm.endswith("file_count") else pa.int64()
+        cols[nm] = pa.array([acc[k][j] for k in keys], type=t)
+    arrays = [
+        pa.StructArray.from_arrays(
+            part_arrays, fields=part_fields
+        ) if part_fields else pa.array([{}] * len(keys), pa.struct([])),
+        pa.array([k[0] for k in keys], pa.int32()),
+    ] + [cols[nm] for nm in names]
+    schema = pa.schema(
+        [
+            pa.field(
+                "partition", pa.struct(part_fields),
+                metadata={b"PARQUET:field_id": b"1"},
+            ),
+            pa.field(
+                "spec_id", pa.int32(),
+                metadata={b"PARQUET:field_id": b"2"},
+            ),
+        ]
+        + [
+            pa.field(
+                nm,
+                pa.int32() if nm.endswith("file_count") else pa.int64(),
+                metadata={b"PARQUET:field_id": str(j + 3).encode()},
+            )
+            for j, nm in enumerate(names)
+        ]
+    )
+    table = pa.Table.from_arrays(arrays, schema=schema)
+    snap_id = int(snap["snapshot-id"])
+    rel = f"metadata/partition-stats-{snap_id}.parquet"
+    dest = os.path.join(path, rel)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    pq.write_table(table, dest)
+    entry = {
+        "snapshot-id": snap_id,
+        "statistics-path": _file_uri(path, rel),
+        "file-size-in-bytes": os.path.getsize(dest),
+    }
+
+    def build(base: dict | None) -> dict:
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        m2 = json.loads(json.dumps(base))
+        lst = [
+            e
+            for e in m2.get("partition-statistics") or []
+            if e.get("snapshot-id") != snap_id
+        ]
+        lst.append(entry)
+        m2["partition-statistics"] = lst
+        m2["last-updated-ms"] = int(time.time() * 1000)
+        return m2
+
+    _claim_metadata(path, build)
+    return rel
 
 
 def rewrite_iceberg_manifests(path: str) -> int:
@@ -4571,6 +4786,17 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 1) -> int:
             for e in meta.get("snapshot-log") or []
             if e.get("snapshot-id") in keep_ids
         ]
+        # statistics registrations of expired snapshots are dead —
+        # drop them so their files become orphans (spec maintenance)
+        for stats_key in ("partition-statistics", "statistics"):
+            if meta.get(stats_key):
+                meta[stats_key] = [
+                    e
+                    for e in meta[stats_key]
+                    if e.get("snapshot-id") in keep_ids
+                ]
+                if not meta[stats_key]:
+                    meta.pop(stats_key)
         meta["last-updated-ms"] = int(time.time() * 1000)
         return meta
 
@@ -4625,11 +4851,20 @@ def remove_orphan_iceberg_files(path: str, min_age_s: float = 600.0) -> int:
                         _abs_path(path, r["data_file"]["file_path"])
                     )
                 )
+    # registered statistics files (partition stats etc.) are pinned
+    for stats_key in ("partition-statistics", "statistics"):
+        for e in meta.get(stats_key) or []:
+            if e.get("statistics-path"):
+                referenced.add(
+                    os.path.realpath(
+                        _abs_path(path, e["statistics-path"])
+                    )
+                )
     now = _time.time()
     deleted = 0
     for sub, suffixes in (
         ("data", (".parquet", ".puffin")),
-        ("metadata", (".avro",)),
+        ("metadata", (".avro", ".parquet")),
     ):
         root = os.path.join(path, sub)
         if not os.path.isdir(root):
@@ -4889,6 +5124,280 @@ def uniform_iceberg_metadata(spark: SparkSession, path: str) -> int:
     )
 
 
+def _hive_partition_value(ice_type: str, v) -> str | None:
+    """Delta's hive-string partitionValues encoding for an Iceberg
+    internal partition value (date = days int, per the spec)."""
+    if v is None:
+        return None
+    if ice_type == "boolean":
+        return "true" if v else "false"
+    if ice_type == "date":
+        import datetime as _dt
+
+        return (
+            _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+        ).isoformat()
+    if ice_type in ("int", "long", "string", "float", "double"):
+        return str(v)
+    raise ValueError(
+        f"identity partition value of Iceberg type {ice_type!r} has no "
+        "Delta hive-string encoding in this tier (timestamps carry "
+        "engine-zone ambiguity) — refusing to mis-encode"
+    )
+
+
+#: Iceberg types whose entry bounds convert losslessly into Delta
+#: stats JSON min/max (strings may be truncated by metrics modes — a
+#: truncated max is not a valid upper bound; timestamps/binary skip).
+_DELTA_STATS_TYPES = {"int", "long", "float", "double", "boolean", "date"}
+
+
+def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
+    """REVERSE UniForm (the XTable direction): generate a DELTA log
+    for an existing ICEBERG table's current snapshot — pointing at the
+    SAME parquet data files, no copy — so the table reads through
+    either protocol (`read_iceberg` AND `deltaproto.read_delta` / any
+    Delta reader).  The mirror of `uniform_iceberg_metadata`:
+
+    - identity partition fields become Delta `partitionColumns`
+      (internal partition values re-encode as hive strings — both our
+      writer and the identity-projection rule keep those columns OUT
+      of the file content, exactly Delta's layout); non-identity
+      transform fields are dropped from the Delta view (their SOURCE
+      columns stay in the files per the spec, so the data is whole —
+      only the transform's pruning is lost to Delta readers)
+    - POSITION deletes and v3 DELETION VECTORS both re-serialize as
+      Delta deletion vectors (roaring + Z85 framing, one bin file):
+      the sidecar codecs differ but the hidden positions are the same
+      integers, so both protocols mask exactly the same rows;
+      EQUALITY deletes have no Delta representation — tables carrying
+      them refuse loudly (materialize first: `compact_iceberg`)
+    - per-entry bounds/null counts re-encode as add-action `stats`
+      JSON, so Delta data skipping keeps working
+    - the protocol climbs to the features tier only when needed
+      (deletionVectors / timestampNtz / variantType), staying at the
+      maximally-compatible reader 1 / writer 2 otherwise
+
+    Each call commits a fresh Delta version reconciling to the current
+    Iceberg snapshot (removes for files no longer live, adds for the
+    live set — same-path remove+add resolves add-wins per the spec).
+    Returns the Delta version.  O(live entries + deleted positions):
+    a metadata-scale conversion, no data file is read or written."""
+    from . import deltaproto as dp
+    from . import puffin
+
+    meta = current_metadata(path)
+    fields = _schema_of(meta)
+    spec = _spec_of(meta)
+    snap = _snapshot(meta, None)
+    # ---- schema: Iceberg fields -> Delta schemaString ----
+    delta_fields = []
+    by_id = {f["id"]: f for f in fields}
+    feats: set[str] = set()
+    for f in fields:
+        t = f["type"]
+        if not isinstance(t, str) or t not in _ICE_TO_SPARK:
+            raise ValueError(
+                f"field {f['name']!r}: Iceberg type {t!r} unsupported by "
+                "the Delta interop tier"
+            )
+        if t == "timestamp":
+            feats.add("timestampNtz")
+        if t == "variant":
+            feats.add("variantType")
+        delta_fields.append(
+            {
+                "name": f["name"],
+                "type": _ICE_TO_SPARK[t],
+                "nullable": not f.get("required", False),
+                "metadata": {},
+            }
+        )
+    part_cols = [
+        by_id[pf["source-id"]]["name"]
+        for pf in spec
+        if _parse_transform(pf.get("transform", "identity"))[0]
+        == "identity"
+    ]
+    # ---- live entries + delete state of the current snapshot ----
+    entries = _live_entries(path, meta, snap) if snap is not None else []
+    mfs = _read_manifest_list(path, snap) if snap is not None else []
+    pos_files, eq, dvs = _delete_files(path, mfs)
+    if eq:
+        raise ValueError(
+            "equality deletes cannot be represented in a Delta log — "
+            "materialize them first (compact_iceberg), then re-run"
+        )
+    # positions to hide, keyed by the data file's table-relative path
+    local_root = os.path.abspath(path)
+
+    def _rel(file_path: str) -> str:
+        local = _abs_path(path, file_path)
+        rel = os.path.relpath(os.path.abspath(local), local_root)
+        if rel.startswith(".."):
+            raise ValueError(
+                f"data file {file_path!r} lies outside the table root — "
+                "a relative Delta add action cannot reference it"
+            )
+        return rel.replace(os.sep, "/")
+
+    masks: dict[str, set[int]] = {}
+    for pf_path in pos_files:
+        local = pf_path[7:] if pf_path.startswith("file://") else pf_path
+        if _is_avro_file("file://" + local):
+            rows, _m, _s = avrotiny.read_container(local)
+            pairs = [(r["file_path"], r["pos"]) for r in rows]
+        elif _is_orc_file("file://" + local):
+            import pyarrow.orc as _orc
+
+            t = _orc.ORCFile(local).read(columns=["file_path", "pos"])
+            pairs = zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            )
+        else:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(local, columns=["file_path", "pos"])
+            pairs = zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            )
+        for fp, p in pairs:
+            masks.setdefault(_rel(fp), set()).add(int(p))
+    for d in dvs:
+        blob = puffin.read_blob(d["path"], d["offset"], d["length"])
+        masks.setdefault(_rel(d["referenced"]), set()).update(
+            puffin.parse_dv_payload(blob)
+        )
+    # Delta DV descriptors land once per conversion (one bin file)
+    descs = (
+        dp._write_dv_file(path, {k: sorted(v) for k, v in masks.items()})
+        if masks
+        else {}
+    )
+    if descs:
+        feats.add("deletionVectors")
+    # ---- add actions ----
+    now_ms = int(time.time() * 1000)
+    adds: dict[str, dict] = {}
+    for e in entries:
+        rec = e["data_file"]
+        fmt = (rec.get("file_format") or "PARQUET").upper()
+        if fmt != "PARQUET":
+            raise ValueError(
+                f"data file format {fmt} cannot sit in a Delta log "
+                "(format.provider is parquet) — rewrite first "
+                "(compact_iceberg)"
+            )
+        rel = _rel(rec["file_path"])
+        pvals: dict[str, str | None] = {}
+        raw_part = dict(rec.get("partition") or {})
+        for pf in spec:
+            kind, _p = _parse_transform(pf.get("transform", "identity"))
+            if kind != "identity":
+                continue
+            src = by_id[pf["source-id"]]
+            pvals[src["name"]] = _hive_partition_value(
+                src["type"], raw_part.get(pf["name"])
+            )
+        lbs = _norm_id_map(rec.get("lower_bounds"))
+        ubs = _norm_id_map(rec.get("upper_bounds"))
+        nulls = _norm_id_map(rec.get("null_value_counts"))
+        mins: dict = {}
+        maxs: dict = {}
+        ncs: dict = {}
+        for f in fields:
+            if f["name"] in pvals:
+                continue  # partition columns carry no file stats
+            if f["type"] in _DELTA_STATS_TYPES:
+                lo_b, hi_b = lbs.get(f["id"]), ubs.get(f["id"])
+                if lo_b is not None and hi_b is not None:
+                    lo_v = deser_value(f["type"], bytes(lo_b))
+                    hi_v = deser_value(f["type"], bytes(hi_b))
+                    if f["type"] == "date":
+                        lo_v = _hive_partition_value("date", lo_v)
+                        hi_v = _hive_partition_value("date", hi_v)
+                    mins[f["name"]], maxs[f["name"]] = lo_v, hi_v
+            nc = nulls.get(f["id"])
+            if nc is not None:
+                ncs[f["name"]] = int(nc)
+        add = {
+            "path": rel,
+            "partitionValues": pvals,
+            "size": int(rec.get("file_size_in_bytes") or 0),
+            "modificationTime": now_ms,
+            "dataChange": True,
+            "stats": json.dumps(
+                {
+                    "numRecords": int(rec.get("record_count") or 0),
+                    "minValues": mins,
+                    "maxValues": maxs,
+                    "nullCount": ncs,
+                }
+            ),
+        }
+        if rel in descs:
+            add["deletionVector"] = descs[rel]
+        adds[rel] = add
+    # ---- commit ----
+    prev_live: dict[str, dict] = {}
+    meta_id = str(uuid.uuid4())
+    if dp.delta_versions(path) or dp._last_checkpoint(path) is not None:
+        prev_meta, prev_live, _v = dp._fold_delta_state(spark, path, None)
+        meta_id = prev_meta["id"]
+    schema_str = json.dumps({"type": "struct", "fields": delta_fields})
+    proto = (
+        dp._protocol_with_features(
+            {"minReaderVersion": 1, "minWriterVersion": 2},
+            sorted(feats),
+            sorted(feats),
+        )
+        if feats
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CONVERT",
+                    "operationParameters": {"sourceFormat": "iceberg"},
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        ),
+        json.dumps({"protocol": proto}),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": meta_id,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_str,
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        ),
+    ]
+    for rel in sorted(prev_live):
+        lines.append(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        )
+    for rel in sorted(adds):
+        lines.append(json.dumps({"add": adds[rel]}))
+    return dp._claim_delta_version(path, lines)
+
+
 def iceberg_to_minilake(
     spark: SparkSession, iceberg_path: str, minilake_path: str
 ) -> int:
@@ -5063,6 +5572,159 @@ SELECT lang,
        CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM documents
 WHERE doc_id NOT BETWEEN {_UNIFORM_DV_RANGE[0]} AND {_UNIFORM_DV_RANGE[1]}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+#: Bump when the reverse-uniform fixture's pipeline changes shape.
+_UNIFORM_REV_LAKE_VERSION = 1
+#: doc_id range MOR-deleted before the Delta log generation — present
+#: at every SF (documents spans 0..499 even at sf0.001).
+_UNIFORM_REV_RANGE = (200, 274)
+
+
+def _ensure_uniform_rev_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture for REVERSE UniForm (r12): documents as a
+    lang-partitioned Iceberg table, a second append, a merge-on-read
+    position DELETE of a doc_id range, then the Delta log generation —
+    which converts the identity partition into Delta partitionColumns
+    and the position-delete parquet into a Delta deletion vector."""
+    from ..functions.scale import default_index_dir
+    from . import deltaproto as dp, load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "uniform_rev", _UNIFORM_REV_LAKE_VERSION, sf_dir
+        ),
+        "docs_uniform_rev",
+    )
+    if not dp.delta_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        write_iceberg(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            path,
+            partition_by=["lang"],
+        )
+        write_iceberg(docs.filter(F.col("doc_id") % 2 == 1), path)
+        lo, hi = _UNIFORM_REV_RANGE
+        delete_where_iceberg(
+            spark, path, "doc_id", lo, hi, strategy="merge-on-read"
+        )
+        uniform_delta_metadata(spark, path)
+    return path
+
+
+def uniform_rev_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for REVERSE UniForm (r12): the
+    Delta-protocol read of an Iceberg-written, MOR-deleted table must
+    reconstruct the identity partition from converted hive strings and
+    hide exactly the position-deleted rows through the converted
+    deletion vector.  The oracle restates the same content off the raw
+    parquet; Iceberg-side `_rows` parity is pinned in pytest, so a
+    value match proves both protocols agree with the source of
+    truth."""
+    from . import deltaproto as dp
+
+    path = _ensure_uniform_rev_lake(spark, sf_dir)
+    snap = dp.read_delta(spark, path)
+    return (
+        snap.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+UNIFORM_REV_ORACLE_SQL = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+WHERE doc_id NOT BETWEEN {_UNIFORM_REV_RANGE[0]} AND {_UNIFORM_REV_RANGE[1]}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+#: Bump when the partition-stats fixture's pipeline changes shape.
+_ICEBERG_PSTATS_LAKE_VERSION = 1
+#: doc_id range MOR-deleted before the stats computation.
+_PSTATS_RANGE = (150, 249)
+
+
+def _ensure_pstats_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture for partition statistics: documents as a
+    lang-partitioned Iceberg table (two appends), a merge-on-read
+    position DELETE of a doc_id range, then the spec's partition
+    statistics file computed and registered."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "iceberg_pstats", _ICEBERG_PSTATS_LAKE_VERSION, sf_dir
+        ),
+        "docs_iceberg_pstats",
+    )
+    if not _metadata_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        write_iceberg(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            path,
+            partition_by=["lang"],
+        )
+        write_iceberg(docs.filter(F.col("doc_id") % 2 == 1), path)
+        lo, hi = _PSTATS_RANGE
+        delete_where_iceberg(
+            spark, path, "doc_id", lo, hi, strategy="merge-on-read"
+        )
+        write_iceberg_partition_stats(path)
+    return path
+
+
+def iceberg_pstats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for PARTITION STATISTICS (r12): the
+    registered stats file's per-partition data and position-delete
+    record counts must equal what the raw table implies — the oracle
+    restates both off the raw parquet, so a value match proves the
+    manifest fold (record_count sums, per-partition delete
+    attribution, unified partition struct) is exact.  Metadata-only:
+    the entry never scans a data file."""
+    path = _ensure_pstats_lake(spark, sf_dir)
+    stats = read_iceberg_meta(spark, path, "partition_stats")
+    return (
+        stats.select(
+            F.col("partition.lang").alias("lang"),
+            F.col("data_record_count").alias("data_records"),
+            F.col("position_delete_record_count").alias("pos_deleted"),
+            (
+                F.col("data_record_count")
+                - F.col("position_delete_record_count")
+            ).alias("live_records"),
+        )
+        .orderBy("lang")
+    )
+
+
+ICEBERG_PSTATS_ORACLE_SQL = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS data_records,
+       CAST(SUM(CASE WHEN doc_id BETWEEN {_PSTATS_RANGE[0]} AND
+                {_PSTATS_RANGE[1]} THEN 1 ELSE 0 END) AS BIGINT)
+           AS pos_deleted,
+       CAST(COUNT(*) - SUM(CASE WHEN doc_id BETWEEN {_PSTATS_RANGE[0]}
+                AND {_PSTATS_RANGE[1]} THEN 1 ELSE 0 END) AS BIGINT)
+           AS live_records
+FROM documents
 GROUP BY lang
 ORDER BY lang
 """

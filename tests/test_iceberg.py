@@ -2506,3 +2506,180 @@ def test_reads_foreign_orc_data_and_delete_files(spark, tmp_path):
         (i, (f"p{i}" if i < 5 else f"o{i - 10}"), d(i)) for i in survivors
     ) + [(20, "old0", None)]
     assert rows == sorted(expected)
+
+
+def test_uniform_delta_metadata_over_iceberg(spark, tmp_path):
+    """uniform_delta_metadata (REVERSE UniForm — the XTable direction):
+    the generated Delta log reads IDENTICALLY to the Iceberg tree —
+    identity partitions become Delta partitionColumns with hive-string
+    values, v2 POSITION deletes re-serialize as Delta deletion vectors
+    (the protocol climbs to the features tier), entry bounds become
+    add-action stats, and a refresh tracks new Iceberg snapshots."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        deltaproto as dp,
+    )
+
+    path = str(tmp_path / "rev")
+    ib.write_iceberg(
+        _df(spark, 0, 30).repartition(3), path, partition_by=["lang"]
+    )
+    v0 = ib.uniform_delta_metadata(spark, path)
+    assert v0 == 0
+    meta, live, _ = dp._fold_delta_state(spark, path, None)
+    assert meta["partitionColumns"] == ["lang"]
+    assert dp._current_protocol(path) == {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    assert _rows(dp.read_delta(spark, path)) == _rows(
+        ib.read_iceberg(spark, path)
+    )
+    # converted stats carry numeric bounds for data skipping
+    sts = [json.loads(a["stats"]) for a in live.values()]
+    assert sum(s["numRecords"] for s in sts) == 30
+    assert all("doc_id" in s["minValues"] for s in sts)
+    assert all("lang" not in s["minValues"] for s in sts)  # partition col
+    # a MOR position delete converts into a Delta deletion vector
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 5, 14, strategy="merge-on-read"
+    )
+    ib.uniform_delta_metadata(spark, path)
+    proto = dp._current_protocol(path)
+    assert "deletionVectors" in proto["readerFeatures"]
+    got = _rows(dp.read_delta(spark, path))
+    assert got == _rows(ib.read_iceberg(spark, path))
+    assert sorted(d for d, _l, _v in got) == [
+        i for i in range(30) if not 5 <= i <= 14
+    ]
+    # refresh after an append reconciles (removes stale, adds new)
+    ib.write_iceberg(_df(spark, 30, 40), path, mode="append")
+    ib.uniform_delta_metadata(spark, path)
+    assert _rows(dp.read_delta(spark, path)) == _rows(
+        ib.read_iceberg(spark, path)
+    )
+    # COW compaction clears the delete files; the Delta view follows
+    ib.compact_iceberg(spark, path)
+    ib.uniform_delta_metadata(spark, path)
+    assert _rows(dp.read_delta(spark, path)) == _rows(
+        ib.read_iceberg(spark, path)
+    )
+
+
+def test_uniform_delta_metadata_dv_transforms_refusals(spark, tmp_path):
+    """The reverse-uniform edges: a v3 Puffin deletion vector converts
+    into the Delta DV framing (same hidden positions); a bucket-
+    partitioned table converts as UNPARTITIONED Delta (transform
+    source columns live in the files per the spec); equality deletes
+    refuse loudly (no Delta representation)."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        deltaproto as dp,
+    )
+
+    # v3 DV leg
+    p1 = str(tmp_path / "dv")
+    ib.write_iceberg(_df(spark, 0, 24).repartition(2), p1, format_version=3)
+    ib.delete_where_iceberg(
+        spark, p1, "doc_id", 3, 8, strategy="merge-on-read"
+    )
+    meta = ib.current_metadata(p1)
+    _pos, _eq, dvs = ib._delete_files(
+        p1, ib._read_manifest_list(p1, ib._snapshot(meta, None))
+    )
+    assert dvs  # v3 landed genuine Puffin DVs, not pos-delete parquet
+    ib.uniform_delta_metadata(spark, p1)
+    got = _rows(dp.read_delta(spark, p1))
+    assert got == _rows(ib.read_iceberg(spark, p1))
+    assert sorted(d for d, _l, _v in got) == [
+        i for i in range(24) if not 3 <= i <= 8
+    ]
+    # bucket transform -> unpartitioned Delta view, values whole
+    p2 = str(tmp_path / "bkt")
+    ib.write_iceberg(_df(spark, 0, 20), p2, partition_by=["bucket(4, doc_id)"])
+    ib.uniform_delta_metadata(spark, p2)
+    meta_d, _live, _ = dp._fold_delta_state(spark, p2, None)
+    assert meta_d["partitionColumns"] == []
+    assert _rows(dp.read_delta(spark, p2)) == _rows(
+        ib.read_iceberg(spark, p2)
+    )
+    # equality deletes refuse
+    p3 = str(tmp_path / "eq")
+    ib.write_iceberg(_df(spark, 0, 10), p3, format_version=2)
+    ib.delete_eq_iceberg(p3, ["doc_id"], [1, 2])
+    with pytest.raises(ValueError, match="equality deletes"):
+        ib.uniform_delta_metadata(spark, p3)
+
+
+def test_partition_statistics_file(spark, tmp_path):
+    """write_iceberg_partition_stats: the spec's partition statistics
+    file — one row per (spec_id, partition), data/delete record+file
+    counts from manifest metadata only, the partition column typed as
+    the UNIFIED struct across evolved specs; registered in table
+    metadata `partition-statistics`, pruned by snapshot expiry, and
+    its file pinned against orphan removal."""
+    path = str(tmp_path / "pstats")
+    ib.write_iceberg(
+        _df(spark, 0, 30).repartition(2), path, partition_by=["lang"]
+    )
+    ib.write_iceberg(_df(spark, 30, 45), path, mode="append")
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 10, 19, strategy="merge-on-read"
+    )
+    ib.write_iceberg_partition_stats(path)
+    stats = {
+        r["partition"]["lang"]: r
+        for r in ib.read_iceberg_meta(spark, path, "partition_stats")
+        .collect()
+    }
+    live = {
+        r["lang"]: r["n"]
+        for r in ib.read_iceberg(spark, path)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(stats) == set(live)
+    for lang, r in stats.items():
+        assert (
+            r["data_record_count"] - r["position_delete_record_count"]
+            == live[lang]
+        )
+        assert r["data_file_count"] >= 1
+        assert r["total_data_file_size_in_bytes"] > 0
+        assert r["equality_delete_record_count"] == 0
+    assert sum(r["data_record_count"] for r in stats.values()) == 45
+    assert sum(r["position_delete_record_count"] for r in stats.values()) == 10
+    # partition evolution: a second spec joins the same stats file
+    ib.evolve_iceberg_spec(path, [])
+    ib.write_iceberg(_df(spark, 45, 50), path, mode="append")
+    ib.write_iceberg_partition_stats(path)
+    df2 = ib.read_iceberg_meta(spark, path, "partition_stats")
+    rows2 = df2.collect()
+    assert sorted(set(r["spec_id"] for r in rows2)) == [0, 1]
+    unpart = [r for r in rows2 if r["spec_id"] == 1]
+    assert len(unpart) == 1 and unpart[0]["partition"]["lang"] is None
+    assert unpart[0]["data_record_count"] == 5
+    # two registrations now; expiry prunes the dead one, orphan
+    # removal deletes its file but never the registered survivor
+    meta = ib.current_metadata(path)
+    assert len(meta.get("partition-statistics") or []) == 2
+    ib.expire_iceberg_snapshots(path, keep_last=1)
+    meta = ib.current_metadata(path)
+    regs = meta.get("partition-statistics") or []
+    assert [e["snapshot-id"] for e in regs] == [
+        meta["current-snapshot-id"]
+    ]
+    n = ib.remove_orphan_iceberg_files(path, min_age_s=0.0)
+    assert n > 0
+    # the registered stats file survives and still reads
+    assert ib.read_iceberg_meta(spark, path, "partition_stats").count() == len(rows2)
+    # the stale one is gone from disk
+    import glob as _glob
+
+    assert len(
+        _glob.glob(os.path.join(path, "metadata", "partition-stats-*.parquet"))
+    ) == 1
+    # refusal before any stats are written
+    p2 = str(tmp_path / "nostats")
+    ib.write_iceberg(_df(spark, 0, 5), p2)
+    with pytest.raises(ValueError, match="partition statistics"):
+        ib.read_iceberg_meta(spark, p2, "partition_stats")
