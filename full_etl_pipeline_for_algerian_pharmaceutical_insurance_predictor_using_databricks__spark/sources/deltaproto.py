@@ -445,11 +445,14 @@ def _find_checkpoint_files(path: str, ck_v: int) -> list[str] | None:
         want = int(os.path.basename(multi[0]).split(".")[3])
         if len(multi) == want:
             return multi
-        # Incomplete multi-part set = in-flight (or interrupted) writer.
-        # Do NOT fall through to the v2 glob — '*' matches dots, so a
-        # stray part file would masquerade as a complete v2 top-level
-        # checkpoint and fold partial state.  Force full JSON replay.
-        return None
+        # Incomplete multi-part set = in-flight (or interrupted)
+        # writer.  The parts themselves must never fold (partial
+        # state), but a COMPLETE v2 top-level at the same version is
+        # still a valid base (another writer finished after the
+        # multi-part one died) — the v2 glob below excludes multi-part
+        # names explicitly, so falling through cannot mistake a stray
+        # part for a v2 checkpoint; with no v2 present it returns None
+        # and the reader replays JSON.
 
     def _is_multipart(f: str) -> bool:
         segs = os.path.basename(f).split(".")
@@ -1070,7 +1073,46 @@ def _with_ict(lines: list[str], ts: int) -> list[str]:
     return out
 
 
-def _claim_delta_version(path: str, lines: list[str]) -> int:
+class ConcurrentDeltaCommit(Exception):
+    """A racing commit invalidated this read-modify-write: a file this
+    commit removes/rewrites was already removed or rewritten (or the
+    protocol/metaData changed) between the snapshot it was computed
+    against and the version it tried to claim.  The Delta analogue of
+    delta-spark's ConcurrentDeleteDelete/MetadataChangedException —
+    blind retry here would silently LOSE the racer's update, so the
+    caller must re-read and re-apply."""
+
+
+def _assert_no_commit_conflict(
+    path: str, version: int, touched: set[str]
+) -> None:
+    """Raise ConcurrentDeltaCommit if commit `version` touches any of
+    `touched` (file-level write-write conflict) or changes the
+    table's protocol/metaData (the schema this RMW was planned
+    against)."""
+    for a in _read_actions(path, version):
+        if "protocol" in a or "metaData" in a:
+            raise ConcurrentDeltaCommit(
+                f"version {version} changed the table protocol/metadata "
+                "after this operation read its snapshot — re-read and "
+                "re-apply"
+            )
+        hit = None
+        if "add" in a and a["add"]["path"] in touched:
+            hit = a["add"]["path"]
+        elif "remove" in a and a["remove"]["path"] in touched:
+            hit = a["remove"]["path"]
+        if hit is not None:
+            raise ConcurrentDeltaCommit(
+                f"version {version} already rewrote {hit!r} after this "
+                "operation read its snapshot — blind commit would lose "
+                "that update; re-read and re-apply"
+            )
+
+
+def _claim_delta_version(
+    path: str, lines: list[str], read_version: int | None = None
+) -> int:
     """Atomic put-if-absent commit (os.link), retrying at the next
     version on a lost race — the writer rule the protocol requires.
     On ICT tables every attempt re-stamps a monotone
@@ -1079,7 +1121,24 @@ def _claim_delta_version(path: str, lines: list[str]) -> int:
     tables every attempt (re-)assigns baseRowId ranges from the
     freshly-read high-water mark and stamps the new mark's
     domainMetadata — so two racing appends can never hand out
-    overlapping row ids."""
+    overlapping row ids.
+
+    `read_version` (read-modify-write commits: DELETE/UPDATE/MERGE/
+    OPTIMIZE/RESTORE/overwrite) is the snapshot version the commit was
+    computed against: every intervening commit in
+    (read_version, claimed) is validated file-level against this
+    commit's remove/add set and raises ConcurrentDeltaCommit on
+    overlap — optimistic concurrency, the writer protocol's
+    serializability check.  Blind appends (read_version=None) never
+    conflict and keep the plain retry."""
+    touched: set[str] = set()
+    if read_version is not None:
+        for ln in lines:
+            a = json.loads(ln)
+            if "remove" in a:
+                touched.add(a["remove"]["path"])
+            elif "add" in a:
+                touched.add(a["add"]["path"])
     ld = _log_dir(path)
     os.makedirs(ld, exist_ok=True)
     ict = _ict_enabled(path)
@@ -1091,6 +1150,7 @@ def _claim_delta_version(path: str, lines: list[str]) -> int:
             f.write("\n".join(lines) + "\n")
             f.flush()
             os.fsync(f.fileno())
+    checked_to: int | None = read_version
     while True:
         vs = delta_versions(path)
         # checkpoint-only tables (log-cleaned tail): the next version
@@ -1098,6 +1158,12 @@ def _claim_delta_version(path: str, lines: list[str]) -> int:
         ckpt = _last_checkpoint(path)
         floor = int(ckpt["version"]) + 1 if ckpt is not None else 0
         version = max((vs[-1] + 1) if vs else 0, floor)
+        if checked_to is not None:
+            # validate every commit that landed after the snapshot
+            # this RMW read (each version checked at most once)
+            for v_i in range(checked_to + 1, version):
+                _assert_no_commit_conflict(path, v_i, touched)
+            checked_to = version - 1
         if dynamic:
             eff = _rt_stamp_lines(path, lines, version) if rt else lines
             if ict:
@@ -1535,7 +1601,16 @@ def write_delta(
                 }
             )
         )
-    return _claim_delta_version(path, lines)
+    # an overwrite is a read-modify-write of the prior live set: a
+    # racing rewrite of any of those files must abort, never be
+    # silently superseded; blind appends keep the plain retry
+    return _claim_delta_version(
+        path,
+        lines,
+        read_version=(
+            _v if (not first and mode == "overwrite") else None
+        ),
+    )
 
 
 def _add_outside_range(add: dict, part_cols: list[str], col: str, lo, hi) -> bool:
@@ -1727,7 +1802,8 @@ def delete_where_delta(
         return vs[-1]
     if strategy == "dv":
         return _delete_where_delta_dv(
-            spark, path, meta, touched, part_cols, col, lo, hi
+            spark, path, meta, touched, part_cols, col, lo, hi,
+            read_version=_v,
         )
     rt_cols = _rt_materialized_cols(meta)
     old_rows = _read_adds(
@@ -1791,7 +1867,7 @@ def delete_where_delta(
                 }
             )
         )
-    return _claim_delta_version(path, lines)
+    return _claim_delta_version(path, lines, read_version=_v)
 
 
 def _delete_where_delta_dv(
@@ -1803,6 +1879,7 @@ def _delete_where_delta_dv(
     col: str,
     lo,
     hi,
+    read_version: int | None = None,
 ) -> int:
     """Merge-on-read half of delete_where_delta: positions → roaring
     DV file → remove+add(same path, descriptor) commit + protocol
@@ -2002,7 +2079,7 @@ def _delete_where_delta_dv(
                 }
             )
         )
-    return _claim_delta_version(path, lines)
+    return _claim_delta_version(path, lines, read_version=read_version)
 
 
 def _land_cdc(
@@ -2270,7 +2347,7 @@ def update_where_delta(
                 }
             )
         )
-    return _claim_delta_version(path, lines)
+    return _claim_delta_version(path, lines, read_version=_v)
 
 
 def optimize_zorder_delta(
@@ -2351,7 +2428,7 @@ def optimize_zorder_delta(
         if stats is not None:
             add["stats"] = stats
         lines.append(json.dumps({"add": add}))
-    return _claim_delta_version(path, lines)
+    return _claim_delta_version(path, lines, read_version=_v)
 
 
 def restore_delta(spark: SparkSession, path: str, version: int) -> int:
@@ -2404,7 +2481,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
             add["dataChange"] = True
             add["modificationTime"] = now_ms
             lines.append(json.dumps({"add": add}))
-    return _claim_delta_version(path, lines)
+    return _claim_delta_version(path, lines, read_version=_vc)
 
 
 def merge_upsert_delta(
@@ -2543,7 +2620,7 @@ def merge_upsert_delta(
                 }
             )
         )
-    return _claim_delta_version(path, lines)
+    return _claim_delta_version(path, lines, read_version=_v)
 
 
 def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> int:
@@ -2876,7 +2953,7 @@ def recluster_delta(
         if stats is not None:
             add["stats"] = stats
         lines.append(json.dumps({"add": add}))
-    return _claim_delta_version(path, lines)
+    return _claim_delta_version(path, lines, read_version=_v)
 
 
 #: Spec-legal widenings (typeWidening table feature): strictly
@@ -3106,7 +3183,7 @@ def compact_delta(spark: SparkSession, path: str, target_mb: int = 128) -> int:
         if stats is not None:
             add["stats"] = stats
         lines.append(json.dumps({"add": add}))
-    return _claim_delta_version(path, lines)
+    return _claim_delta_version(path, lines, read_version=_v)
 
 
 # --------------------------------------------------------------------------

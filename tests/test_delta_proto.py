@@ -2589,3 +2589,299 @@ def test_id_mode_row_op_matrix(spark, tmp_path):
         assert [
             fl.metadata[b"PARQUET:field_id"] for fl in sch
         ] == [b"1", b"2"]
+
+
+# --------------------------------------------------------------------------
+# Log-lifecycle property sweep (checkpoint / multi-part / cleanup /
+# restore interaction — the wrong-data class two r11 ADVICE bugs sat in)
+# --------------------------------------------------------------------------
+
+
+def _split_multipart(path: str) -> bool:
+    """Replace the newest CLASSIC checkpoint with an equivalent
+    2-part multi-part set (the %020d.checkpoint.%010d.%010d.parquet
+    naming), updating the _last_checkpoint hint with `parts` the way
+    real multi-part writers do.  Returns False when the newest
+    checkpoint is not classic (v2 layout) — nothing to split."""
+    import pyarrow.parquet as pq
+
+    ck = dp._last_checkpoint(path)
+    if ck is None:
+        return False
+    v = int(ck["version"])
+    ld = os.path.join(path, "_delta_log")
+    classic = os.path.join(ld, dp._CKPT_FMT.format(v))
+    if not os.path.exists(classic):
+        return False
+    t = pq.read_table(classic)
+    half = max(1, t.num_rows // 2)
+    slices = [t.slice(0, half), t.slice(half)]
+    for i, sl in enumerate(slices, start=1):
+        pq.write_table(
+            sl,
+            os.path.join(
+                ld, f"{v:020d}.checkpoint.{i:010d}.{len(slices):010d}.parquet"
+            ),
+        )
+    os.unlink(classic)
+    with open(os.path.join(ld, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "parts": len(slices)}, f)
+    return True
+
+
+def _drop_incomplete_multipart(path: str, at_version: int) -> bool:
+    """Simulate an INTERRUPTED multi-part checkpoint writer at
+    `at_version`: land part 1 of a claimed 2-part set (copied from any
+    complete classic checkpoint — stale content, exactly what folding
+    it would corrupt state with) and do NOT touch _last_checkpoint
+    (the spec's writer ordering: parts first, hint last).  Readers
+    must ignore the partial set entirely."""
+    import glob as _glob
+    import shutil as _sh
+
+    ld = os.path.join(path, "_delta_log")
+    donors = [
+        f
+        for f in _glob.glob(os.path.join(ld, "*.checkpoint.parquet"))
+        if os.path.basename(f).split(".")[0].isdigit()
+    ]
+    if not donors:
+        return False
+    dest = os.path.join(
+        ld, f"{at_version:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+    )
+    if os.path.exists(dest):
+        return False
+    _sh.copy(donors[0], dest)
+    return True
+
+
+def test_delta_log_lifecycle_property(spark, tmp_path):
+    """50 seeded random op sequences over one table each —
+    (append | overwrite | checkpoint | v2-upgrade | multi-part split |
+    interrupted multi-part | cleanup | restore) — then a full sweep:
+    every version ever committed either reads back EXACTLY its
+    recorded state or refuses loudly (ValueError/FileNotFoundError),
+    and only versions below the newest checkpoint are allowed to
+    refuse (log cleanup trades their time travel for space).  Wrong
+    data is never acceptable; the newest version must always read.
+
+    The sweep reads the LATEST version plus a seeded sample of three
+    older ones per sequence (full-sweep×50 measured 17½ min of pure
+    Spark job scheduling; the sample keeps per-version coverage high
+    across 50 seeds at ~⅓ the wall).  SPARK_GRAFT_LIFECYCLE_SEQS
+    overrides the sequence count."""
+    import random
+
+    n_seq = int(os.environ.get("SPARK_GRAFT_LIFECYCLE_SEQS", "50"))
+    rng = random.Random(0xD17A12)
+    for seq in range(n_seq):
+        path = str(tmp_path / f"t{seq:02d}")
+        expected: dict[int, frozenset] = {}
+        cur: set = set()
+        batch = 0
+
+        def commit(append: bool):
+            nonlocal cur, batch
+            rows = [(batch, i) for i in range(rng.randint(1, 3))]
+            batch += 1
+            df = spark.createDataFrame(
+                rows, "batch bigint, val bigint"
+            ).coalesce(1)
+            v = dp.write_delta(
+                df, path, mode="append" if append else "overwrite"
+            )
+            cur = (cur | set(rows)) if append else set(rows)
+            expected[v] = frozenset(cur)
+
+        commit(append=False)  # the table always exists
+        for _ in range(5):
+            op = rng.choices(
+                ["append", "overwrite", "ckpt", "v2", "mpart",
+                 "mpart_broken", "cleanup", "restore"],
+                weights=[30, 10, 18, 5, 10, 7, 12, 8],
+            )[0]
+            if op in ("append", "overwrite"):
+                commit(op == "append")
+            elif op == "ckpt":
+                dp.write_delta_checkpoint(spark, path)
+            elif op == "v2":
+                v = dp.upgrade_delta_to_v2_checkpoints(path)
+                expected[v] = frozenset(cur)
+            elif op == "mpart":
+                _split_multipart(path)
+            elif op == "mpart_broken":
+                _drop_incomplete_multipart(
+                    path, dp.delta_versions(path)[-1]
+                )
+            elif op == "cleanup":
+                try:
+                    dp.cleanup_delta_log(
+                        path, retain_versions=rng.randint(0, 2)
+                    )
+                except ValueError:
+                    pass  # no checkpoint yet — loud refusal is the contract
+            elif op == "restore":
+                v0 = rng.choice(sorted(expected))
+                try:
+                    v = dp.restore_delta(spark, path, v0)
+                except (ValueError, FileNotFoundError):
+                    continue  # target no longer replayable: loud is fine
+                cur = set(expected[v0])
+                expected[v] = frozenset(cur)
+        ck_vs = dp._checkpoint_versions(path)
+        newest_ck = max(ck_vs) if ck_vs else -1
+        latest = max(expected)
+        older = [v for v in expected if v != latest]
+        sweep = {latest} | set(rng.sample(older, min(3, len(older))))
+        for v in sorted(sweep):
+            try:
+                got = frozenset(
+                    (r["batch"], r["val"])
+                    for r in dp.read_delta(spark, path, version=v).collect()
+                )
+            except (ValueError, FileNotFoundError):
+                assert v < newest_ck, (
+                    f"seq {seq}: version {v} refused but no newer "
+                    f"checkpoint justifies cleanup (newest ck {newest_ck})"
+                )
+                assert v != latest, f"seq {seq}: latest version {v} refused"
+                continue
+            assert got == expected[v], (
+                f"seq {seq}: version {v} read wrong data: "
+                f"{sorted(got)} != {sorted(expected[v])}"
+            )
+
+
+def test_complete_v2_checkpoint_next_to_interrupted_multipart(
+    spark, tmp_path
+):
+    """A version can carry BOTH an interrupted multi-part set (writer
+    died mid-parts) and a complete v2 checkpoint (another writer
+    finished).  The v2 base must be found — previously the incomplete
+    multi-part short-circuited discovery to None, and after log
+    cleanup the un-based JSON tail would fold partial state."""
+    path = str(tmp_path / "v2mix")
+    df = spark.createDataFrame(
+        [(0, i) for i in range(4)], "batch bigint, val bigint"
+    ).coalesce(1)
+    v0 = dp.write_delta(df, path)
+    # classic checkpoint at v0 — the donor the stray parts copy from
+    dp.write_delta_checkpoint(spark, path, version=v0)
+    dp.upgrade_delta_to_v2_checkpoints(path)
+    df2 = spark.createDataFrame(
+        [(1, i) for i in range(2)], "batch bigint, val bigint"
+    ).coalesce(1)
+    v2 = dp.write_delta(df2, path, mode="append")
+    assert _drop_incomplete_multipart(path, v2)
+    # the protocol now carries v2Checkpoint → this writes the v2 layout
+    dp.write_delta_checkpoint(spark, path, version=v2)
+    found = dp._find_checkpoint_files(path, v2)
+    assert found is not None and len(found) >= 1
+    assert all(
+        len(os.path.basename(f).split(".")) != 5 for f in found
+    ), "stray multi-part parts must never be selected"
+    # cleanup then read: the v2 base keeps every retained version exact
+    dp.cleanup_delta_log(path, retain_versions=0)
+    got = sorted(
+        (r["batch"], r["val"])
+        for r in dp.read_delta(spark, path).collect()
+    )
+    assert got == [(0, 0), (0, 1), (0, 2), (0, 3), (1, 0), (1, 1)]
+
+
+# --------------------------------------------------------------------------
+# Optimistic concurrency: read-modify-write conflict detection
+# --------------------------------------------------------------------------
+
+
+def _rmw_lines(live: dict, rel: str) -> list[str]:
+    """A minimal crafted RMW commit (remove + re-add of one file) —
+    what a second writer's DELETE/UPDATE would emit for `rel`."""
+    add = dict(live[rel])
+    add["dataChange"] = True
+    return [
+        json.dumps({"commitInfo": {"timestamp": 0, "operation": "DELETE"}}),
+        json.dumps({"remove": {"path": rel, "dataChange": True}}),
+        json.dumps({"add": add}),
+    ]
+
+
+def test_concurrent_rmw_conflict_detected(spark, tmp_path):
+    """Two writers plan row-level ops against the SAME snapshot; the
+    slower one must abort with ConcurrentDeltaCommit, never silently
+    supersede the faster one's deletion vector (the lost-update race
+    blind retry would hide).  Disjoint-file RMWs and blind appends
+    commit fine; an intervening metaData change also aborts."""
+    path = str(tmp_path / "occ")
+    df1 = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "doc_id long, v long"
+    ).coalesce(1)
+    df2 = spark.createDataFrame(
+        [(i, i * 10) for i in range(10, 20)], "doc_id long, v long"
+    ).coalesce(1)
+    dp.write_delta(df1, path)
+    dp.write_delta(df2, path, mode="append")
+    # first DV delete carries the protocol upgrade — do it BEFORE the
+    # raced snapshot (a protocol change rightly aborts EVERY concurrent
+    # txn, which would mask the file-overlap distinction below)
+    dp.delete_where_delta(spark, path, "doc_id", 0, 0, strategy="dv")
+    meta, live, v0 = dp._fold_delta_state(spark, path, None)
+    # file -> id range via stats (two single-file commits)
+    by_min = {
+        json.loads(a["stats"])["minValues"]["doc_id"]: rel
+        for rel, a in live.items()
+    }
+    f_low, f_high = by_min[0], by_min[10]
+    # writer A lands first: DV delete inside the LOW file
+    dp.delete_where_delta(spark, path, "doc_id", 3, 5, strategy="dv")
+    # writer B computed against v0 and touches the SAME file: abort
+    with pytest.raises(dp.ConcurrentDeltaCommit, match="rewrote"):
+        dp._claim_delta_version(
+            path, _rmw_lines(live, f_low), read_version=v0
+        )
+    assert dp.delta_versions(path)[-1] == v0 + 1  # nothing committed
+    # writer C computed against v0 but touches the OTHER file: fine
+    v_c = dp._claim_delta_version(
+        path, _rmw_lines(live, f_high), read_version=v0
+    )
+    assert v_c == v0 + 2
+    got = sorted(
+        r["doc_id"] for r in dp.read_delta(spark, path).collect()
+    )
+    assert got == [i for i in range(1, 20) if not 3 <= i <= 5]
+    # blind appends (no read_version) never conflict
+    df3 = spark.createDataFrame(
+        [(100, 0)], "doc_id long, v long"
+    ).coalesce(1)
+    dp.write_delta(df3, path, mode="append")
+    # a metaData change between read and commit aborts the RMW too
+    meta2, live2, v1 = dp._fold_delta_state(spark, path, None)
+    dp.add_delta_column(spark, path, "note", "string")
+    with pytest.raises(dp.ConcurrentDeltaCommit, match="protocol/metadata"):
+        dp._claim_delta_version(
+            path, _rmw_lines(live2, f_high), read_version=v1
+        )
+
+
+def test_concurrent_overwrite_vs_rmw(spark, tmp_path):
+    """An overwrite planned against a snapshot aborts when a racing
+    row-level op already rewrote one of the files it removes."""
+    path = str(tmp_path / "occow")
+    df = spark.createDataFrame(
+        [(i, i) for i in range(8)], "doc_id long, v long"
+    ).coalesce(1)
+    dp.write_delta(df, path)
+    meta, live, v0 = dp._fold_delta_state(spark, path, None)
+    dp.delete_where_delta(spark, path, "doc_id", 1, 2, strategy="dv")
+    # overwrite whose remove set was computed at v0
+    now = 0
+    lines = [
+        json.dumps({"commitInfo": {"timestamp": now, "operation": "WRITE"}})
+    ]
+    for rel in sorted(live):
+        lines.append(
+            json.dumps({"remove": {"path": rel, "dataChange": True}})
+        )
+    with pytest.raises(dp.ConcurrentDeltaCommit):
+        dp._claim_delta_version(path, lines, read_version=v0)
