@@ -229,6 +229,7 @@ _TAIL_ORDER = [
     "lake_uniform_dv",
     "lake_uniform_rev",
     "lake_iceberg_pstats",
+    "lake_iceberg_ndv",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -364,6 +365,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_uniform_dv"] = _iceberg.uniform_dv_entry
     pool["lake_uniform_rev"] = _iceberg.uniform_rev_entry
     pool["lake_iceberg_pstats"] = _iceberg.iceberg_pstats_entry
+    pool["lake_iceberg_ndv"] = _iceberg.iceberg_ndv_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -456,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_uniform_dv"] = _iceberg.UNIFORM_DV_ORACLE_SQL
     pool["lake_uniform_rev"] = _iceberg.UNIFORM_REV_ORACLE_SQL
     pool["lake_iceberg_pstats"] = _iceberg.ICEBERG_PSTATS_ORACLE_SQL
+    pool["lake_iceberg_ndv"] = _iceberg.ICEBERG_NDV_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

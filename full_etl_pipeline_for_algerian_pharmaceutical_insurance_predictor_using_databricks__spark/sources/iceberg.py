@@ -4200,6 +4200,191 @@ def write_iceberg_partition_stats(path: str) -> str:
     return rel
 
 
+#: Iceberg types the theta NDV tier canonicalizes for hashing —
+#: integral types hash their 8-byte LE long form, strings their UTF-8
+#: bytes (the DataSketches update rules); everything else refuses.
+_THETA_TYPES = {"int", "long", "string", "date"}
+
+
+def write_iceberg_table_stats(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    k: int = 4096,
+) -> str:
+    """Compute and register table-level NDV STATISTICS for the current
+    snapshot: one `apache-datasketches-theta-v1` compact sketch per
+    column in a Puffin file under `metadata/`, registered in table
+    metadata `statistics` with per-blob `ndv` properties — the
+    structure Trino/Spark planners read for distinct-count planning.
+
+    Distributed as a single O(n) scan with NO shuffle: each partition
+    hashes its values (murmur3 x64 128, seed 9001, folded to 63 bits
+    per the DataSketches update rule), dedupes, and keeps its k+1
+    smallest — the global k+1 smallest is a subset of the union of
+    per-partition k+1 smallest (the KMV merge identity), so the
+    driver merges ≤ (partitions × (k+1)) longs, KB-scale at any table
+    size.  Byte-parity with the Java library is untestable offline;
+    the format follows the published v3 compact layout and the seed
+    hash is embedded, so a foreign reader with a different build
+    refuses rather than misestimates.  Returns the table-relative
+    Puffin path."""
+    from . import puffin, theta
+
+    meta = current_metadata(path)
+    snap = _snapshot(meta, None)
+    if snap is None:
+        raise ValueError("table has no current snapshot")
+    fields = _schema_of(meta)
+    by_name = {f["name"]: f for f in fields}
+    if columns is None:
+        columns = [f["name"] for f in fields if f["type"] in _THETA_TYPES]
+    for c in columns:
+        if c not in by_name:
+            raise ValueError(f"no column {c!r} in the Iceberg schema")
+        if by_name[c]["type"] not in _THETA_TYPES:
+            raise ValueError(
+                f"column {c!r} has type {by_name[c]['type']!r} — the "
+                f"theta NDV tier canonicalizes {sorted(_THETA_TYPES)} only"
+            )
+    snap_df = read_iceberg(spark, path).select(*columns)
+    kk = int(k)
+    col_types = {c: by_name[c]["type"] for c in columns}
+
+    def topk(batches):
+        import pandas as pd
+
+        from . import theta as _th
+
+        best: dict[str, set] = {c: set() for c in columns}
+        for pdf in batches:
+            for c in columns:
+                t = col_types[c]
+                vals = pdf[c].dropna().unique()
+                s = best[c]
+                for v in vals:
+                    if t == "string":
+                        data = str(v).encode("utf-8")
+                    elif t in ("int", "long", "date"):
+                        import struct as _st
+
+                        data = _st.pack("<q", int(v))
+                    else:  # pragma: no cover - gated above
+                        continue
+                    s.add(_th.hash63(data))
+                if len(s) > 4 * (kk + 1):
+                    best[c] = set(sorted(s)[: kk + 1])
+        rows = []
+        for c in columns:
+            for h in sorted(best[c])[: kk + 1]:
+                rows.append((c, h))
+        yield pd.DataFrame(rows, columns=["col", "h"])
+
+    cand = snap_df.mapInPandas(topk, schema="col string, h long")
+    pooled: dict[str, set] = {c: set() for c in columns}
+    for r in cand.collect():
+        pooled[r["col"]].add(int(r["h"]))
+    blobs = []
+    ndv: dict[str, int] = {}
+    for i, c in enumerate(columns):
+        hs = sorted(pooled[c])
+        blob = theta.serialize_compact(hs[: kk + 1], k=kk)
+        est = theta.estimate(blob)
+        ndv[c] = int(round(est))
+        blobs.append(
+            {
+                "type": "apache-datasketches-theta-v1",
+                "data": blob,
+                "fields": [by_name[c]["id"]],
+                "snapshot-id": int(snap["snapshot-id"]),
+                "sequence-number": int(snap.get("sequence-number") or 0),
+                "properties": {"ndv": str(ndv[c])},
+            }
+        )
+    snap_id = int(snap["snapshot-id"])
+    rel = f"metadata/{snap_id}-stats.puffin"
+    dest = os.path.join(path, rel)
+    metas = puffin.write_puffin(dest, blobs)
+    size = os.path.getsize(dest)
+    footer_size = size - 4 - sum(m["length"] for m in metas)
+    entry = {
+        "snapshot-id": snap_id,
+        "statistics-path": _file_uri(path, rel),
+        "file-size-in-bytes": size,
+        "file-footer-size-in-bytes": footer_size,
+        "blob-metadata": [
+            {
+                "type": m["type"],
+                "snapshot-id": m["snapshot-id"],
+                "sequence-number": m["sequence-number"],
+                "fields": m["fields"],
+                "properties": b.get("properties") or {},
+            }
+            for m, b in zip(metas, blobs)
+        ],
+    }
+
+    def build(base: dict | None) -> dict:
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        m2 = json.loads(json.dumps(base))
+        lst = [
+            e
+            for e in m2.get("statistics") or []
+            if e.get("snapshot-id") != snap_id
+        ]
+        lst.append(entry)
+        m2["statistics"] = lst
+        m2["last-updated-ms"] = int(time.time() * 1000)
+        return m2
+
+    _claim_metadata(path, build)
+    return rel
+
+
+def read_iceberg_ndv(path: str) -> dict[str, int]:
+    """{column: NDV estimate} from the registered statistics file of
+    the CURRENT snapshot — blob `ndv` properties when present, else
+    the sketch itself re-estimated.  Raises when no statistics are
+    registered for the current snapshot (stale stats must never be
+    silently served)."""
+    from . import puffin, theta
+
+    meta = current_metadata(path)
+    snap = _snapshot(meta, None)
+    sid = snap["snapshot-id"] if snap else None
+    reg = next(
+        (
+            e
+            for e in meta.get("statistics") or []
+            if e.get("snapshot-id") == sid
+        ),
+        None,
+    )
+    if reg is None:
+        raise ValueError(
+            "no statistics registered for the current snapshot — run "
+            "write_iceberg_table_stats first"
+        )
+    local = _abs_path(path, reg["statistics-path"])
+    footer = puffin.read_puffin_footer(local)
+    by_id = {f["id"]: f["name"] for f in _schema_of(meta)}
+    out: dict[str, int] = {}
+    for bm in footer["blobs"]:
+        if bm["type"] != "apache-datasketches-theta-v1":
+            continue
+        name = by_id.get((bm.get("fields") or [None])[0])
+        if name is None:
+            continue
+        props = bm.get("properties") or {}
+        if "ndv" in props:
+            out[name] = int(props["ndv"])
+        else:
+            blob = puffin.read_blob(local, bm["offset"], bm["length"])
+            out[name] = int(round(theta.estimate(blob)))
+    return out
+
+
 def rewrite_iceberg_manifests(path: str) -> int:
     """Manifest compaction (`rewrite_manifests`): consolidate the
     current snapshot's DATA manifests into ONE manifest per partition
@@ -5342,9 +5527,10 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
         adds[rel] = add
     # ---- commit ----
     prev_live: dict[str, dict] = {}
+    prev_v: int | None = None
     meta_id = str(uuid.uuid4())
     if dp.delta_versions(path) or dp._last_checkpoint(path) is not None:
-        prev_meta, prev_live, _v = dp._fold_delta_state(spark, path, None)
+        prev_meta, prev_live, prev_v = dp._fold_delta_state(spark, path, None)
         meta_id = prev_meta["id"]
     schema_str = json.dumps({"type": "struct", "fields": delta_fields})
     proto = (
@@ -5395,7 +5581,7 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
         )
     for rel in sorted(adds):
         lines.append(json.dumps({"add": adds[rel]}))
-    return dp._claim_delta_version(path, lines)
+    return dp._claim_delta_version(path, lines, read_version=prev_v)
 
 
 def iceberg_to_minilake(
@@ -5727,6 +5913,58 @@ SELECT lang,
 FROM documents
 GROUP BY lang
 ORDER BY lang
+"""
+
+
+#: Bump when the NDV-stats fixture's pipeline changes shape.
+_ICEBERG_NDV_LAKE_VERSION = 1
+
+
+def _ensure_ndv_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture for table statistics: documents as an
+    Iceberg table with theta NDV sketches computed and registered for
+    its low-cardinality columns (lang, source) — below the sketch's
+    nominal k the KMV estimate is LOSSLESS, so the entry is exactly
+    oracle-checkable at every SF."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "iceberg_ndv", _ICEBERG_NDV_LAKE_VERSION, sf_dir
+        ),
+        "docs_iceberg_ndv",
+    )
+    if not _metadata_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        write_iceberg(docs.repartition(8), path)
+        write_iceberg_table_stats(spark, path, columns=["lang", "source"])
+    return path
+
+
+def iceberg_ndv_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for TABLE STATISTICS (r12): the registered
+    `apache-datasketches-theta-v1` NDV sketches must reproduce the
+    exact distinct counts for below-k columns — a value match proves
+    the murmur-hash canonicalization, the KMV retention, the compact
+    serialization, and the statistics registration round-trip."""
+    path = _ensure_ndv_lake(spark, sf_dir)
+    ndv = read_iceberg_ndv(path)
+    rows = [(c, int(n)) for c, n in sorted(ndv.items())]
+    return spark.createDataFrame(rows, "col string, ndv bigint").orderBy(
+        "col"
+    )
+
+
+ICEBERG_NDV_ORACLE_SQL = """
+SELECT 'lang' AS col, CAST(COUNT(DISTINCT lang) AS BIGINT) AS ndv
+FROM documents
+UNION ALL
+SELECT 'source' AS col, CAST(COUNT(DISTINCT source) AS BIGINT) AS ndv
+FROM documents
+ORDER BY col
 """
 
 

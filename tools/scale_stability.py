@@ -156,6 +156,24 @@ def main() -> None:
         "text_boilerplate_scrub": curation.boilerplate_scrub,
         "text_substring_dedup": curation.substring_dedup,
     }
+    # r11/r12 lake + multimodal entries sweep through their driver
+    # builders directly (fixtures build lazily on the warm pass,
+    # keyed by the ×N dir — the timed pass is the READ path alone)
+    import __spark_entry__ as _entry
+
+    _q = _entry.queries()
+    for nm in (
+        "lake_delta_variant",
+        "lake_iceberg_variant",
+        "lake_iceberg_changes_eq",
+        "mm_audio_ogg_chain",
+        "lake_iceberg_stream_hours",
+        "lake_uniform_dv",
+        "lake_uniform_rev",
+        "lake_iceberg_pstats",
+    ):
+        ops[nm] = _q[nm]
+
     only = os.environ.get("SCALE_OPS")
     if only:
         keep = {k.strip() for k in only.split(",")}
