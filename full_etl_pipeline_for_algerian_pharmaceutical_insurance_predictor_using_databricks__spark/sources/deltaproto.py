@@ -2710,6 +2710,105 @@ def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> i
     return _claim_delta_version(path, lines)
 
 
+def drop_delta_column(spark: SparkSession, path: str, name: str) -> int:
+    """Metadata-only `ALTER TABLE DROP COLUMN` — the OTHER operation
+    that requires column mapping (the dropped column's bytes stay in
+    every file, merely unprojected; without the mapping a reader could
+    not tell a dropped-then-readded column from the original, so the
+    spec gates drops on it).  First use upgrades the table to name
+    mode exactly like rename_delta_column; re-adding the same logical
+    name later is safe because add_delta_column assigns a FRESH
+    physical name on mapped tables — the old bytes never resurrect.
+    Refuses: partition columns, columns referenced by a generation
+    expression or CHECK constraint, and the last remaining column.
+    Zero data IO; time travel below this commit still reads the
+    column."""
+    import re
+
+    meta, _live, _v = _fold_delta_state(spark, path, None)
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if name not in names:
+        raise ValueError(f"no column {name!r} to drop")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    mapping = _column_mapping(meta)
+    phys = mapping.get(name, name) if mapping else name
+    if name in (meta.get("partitionColumns") or []) or phys in (
+        meta.get("partitionColumns") or []
+    ):
+        raise ValueError(f"{name!r} is a partition column — cannot drop")
+    token = re.compile(rf"\b{re.escape(name)}\b")
+    for f in schema["fields"]:
+        if f["name"] == name:
+            continue
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr and token.search(expr):
+            raise ValueError(
+                f"{name!r} is referenced by {f['name']!r}'s generation "
+                "expression — cannot drop"
+            )
+    conf = dict(meta.get("configuration") or {})
+    for k, v in conf.items():
+        if k.startswith("delta.constraints.") and token.search(v):
+            raise ValueError(
+                f"{name!r} is referenced by CHECK constraint "
+                f"{k.removeprefix('delta.constraints.')!r} — cannot drop"
+            )
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DROP COLUMNS",
+                    "operationParameters": {"columns": f"[{name}]"},
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    if conf.get("delta.columnMapping.mode") not in ("name", "id"):
+        conf["delta.columnMapping.mode"] = "name"
+        max_id = 0
+        for f in schema["fields"]:
+            max_id += 1
+            md = f.setdefault("metadata", {})
+            md.setdefault("delta.columnMapping.id", max_id)
+            md.setdefault("delta.columnMapping.physicalName", f["name"])
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+        proto = _current_protocol(path)
+        if proto.get("minWriterVersion", 1) < 5:
+            lines.append(
+                json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": max(
+                                2, proto.get("minReaderVersion", 1)
+                            ),
+                            "minWriterVersion": 5,
+                        }
+                    }
+                )
+            )
+    schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
+    lines.append(
+        json.dumps(
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": meta.get("partitionColumns") or [],
+                    "configuration": conf,
+                    "createdTime": meta.get("createdTime", now_ms),
+                }
+            }
+        )
+    )
+    return _claim_delta_version(path, lines)
+
+
 def add_delta_column(
     spark: SparkSession, path: str, name: str, ddl_type: str
 ) -> int:
@@ -4625,6 +4724,83 @@ SELECT lang,
        CAST(MAX(n_chars) AS BIGINT) AS max_chars
 FROM documents
 WHERE doc_id NOT BETWEEN 100 AND 199
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+#: Bump when the schema-evolution fixture's pipeline changes shape.
+_DELTA_EVOLUTION_LAKE_VERSION = 1
+
+
+def _ensure_evolution_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once SCHEMA-EVOLUTION fixture: documents written, then
+    the full metadata-only ALTER matrix applied — RENAME text→body
+    (upgrades to column mapping), DROP source (bytes stay on disk,
+    unprojected), ADD note (all-null), and an append against the
+    evolved schema.  Every file on disk predates some part of the
+    final schema, so the read exercises mapping resolution, dropped-
+    column pruning, and missing-column null fill at once."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "deltaevol", _DELTA_EVOLUTION_LAKE_VERSION, sf_dir
+        ),
+        "docs_delta_evolution",
+    )
+    if not delta_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        )
+        write_delta(docs.filter(F.col("doc_id") % 2 == 0), path)
+        rename_delta_column(spark, path, "text", "body")
+        drop_delta_column(spark, path, "source")
+        add_delta_column(spark, path, "note", "string")
+        late = (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .withColumnRenamed("text", "body")
+            .drop("source")
+            .withColumn("note", F.lit("late"))
+        )
+        write_delta(
+            late.select("doc_id", "lang", "body", "note"),
+            path,
+            mode="append",
+        )
+    return path
+
+
+def delta_evolution_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for the ALTER TABLE matrix (r12): after
+    rename + drop + add + append, the per-lang aggregate over the
+    mapped/renamed column, the null-filled added column, and the
+    surviving ids must restate exactly from the raw parquet — a value
+    match proves mapping resolution and dropped-column pruning never
+    touch row content."""
+    path = _ensure_evolution_lake(spark, sf_dir)
+    snap = read_delta(spark, path)
+    return (
+        snap.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("body")).cast("bigint").alias("total_chars"),
+            F.count("note").cast("bigint").alias("n_notes"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+DELTA_EVOLUTION_ORACLE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_notes,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
 GROUP BY lang
 ORDER BY lang
 """

@@ -2885,3 +2885,84 @@ def test_concurrent_overwrite_vs_rmw(spark, tmp_path):
         )
     with pytest.raises(dp.ConcurrentDeltaCommit):
         dp._claim_delta_version(path, lines, read_version=v0)
+
+
+def test_drop_delta_column(spark, tmp_path):
+    """Metadata-only DROP COLUMN: first use upgrades to column mapping
+    (old files keep resolving), the dropped column disappears from
+    reads while its bytes stay on disk, time travel below the drop
+    still serves it, writes against the narrowed schema work, and a
+    re-ADDED same-name column gets a FRESH physical name so the old
+    bytes never resurrect.  Partition / generated / constraint /
+    last-column drops refuse."""
+    path = str(tmp_path / "dropcol")
+    df = spark.createDataFrame(
+        [(i, f"t{i}", i * 10) for i in range(8)],
+        "doc_id long, tag string, v long",
+    ).coalesce(1)
+    dp.write_delta(df, path)
+    v_drop = dp.drop_delta_column(spark, path, "tag")
+    back = dp.read_delta(spark, path)
+    assert back.columns == ["doc_id", "v"]
+    assert back.count() == 8
+    # mapping enabled, physical bytes still on disk
+    meta, live, _ = dp._fold_delta_state(spark, path, None)
+    conf = meta.get("configuration") or {}
+    assert conf.get("delta.columnMapping.mode") == "name"
+    import pyarrow.parquet as pq
+
+    rel = next(iter(live))
+    assert "tag" in {
+        c.name for c in pq.ParquetFile(os.path.join(path, rel)).schema_arrow
+    }
+    # time travel below the drop still reads the column
+    old = dp.read_delta(spark, path, version=v_drop - 1)
+    assert "tag" in old.columns
+    assert sorted(r["tag"] for r in old.collect()) == [
+        f"t{i}" for i in range(8)
+    ]
+    # writes against the narrowed schema land fine
+    df2 = spark.createDataFrame(
+        [(100, 1000)], "doc_id long, v long"
+    ).coalesce(1)
+    dp.write_delta(df2, path, mode="append")
+    assert dp.read_delta(spark, path).count() == 9
+    # re-add the same logical name: fresh physical name, all nulls
+    dp.add_delta_column(spark, path, "tag", "string")
+    back2 = dp.read_delta(spark, path)
+    assert back2.filter(F.col("tag").isNotNull()).count() == 0
+    meta2, _l2, _ = dp._fold_delta_state(spark, path, None)
+    f_tag = next(
+        f
+        for f in json.loads(meta2["schemaString"])["fields"]
+        if f["name"] == "tag"
+    )
+    assert f_tag["metadata"]["delta.columnMapping.physicalName"].startswith(
+        "col-"
+    )
+    # refusals
+    with pytest.raises(ValueError, match="no column"):
+        dp.drop_delta_column(spark, path, "ghost")
+    p2 = str(tmp_path / "dropref")
+    dp.write_delta(
+        spark.createDataFrame(
+            [(1, "a", 2)], "doc_id long, lang string, v long"
+        ).coalesce(1),
+        p2,
+        partition_by=["lang"],
+        generated={"v": "doc_id * 2"},
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        dp.drop_delta_column(spark, p2, "lang")
+    with pytest.raises(ValueError, match="generation expression"):
+        dp.drop_delta_column(spark, p2, "doc_id")
+    p3 = str(tmp_path / "dropcon")
+    dp.write_delta(
+        spark.createDataFrame([(1, 2)], "a long, b long").coalesce(1), p3
+    )
+    dp.add_delta_constraint(spark, p3, "b_pos", "b > 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        dp.drop_delta_column(spark, p3, "b")
+    dp.drop_delta_column(spark, p3, "a")
+    with pytest.raises(ValueError, match="only column"):
+        dp.drop_delta_column(spark, p3, "b")
