@@ -1534,17 +1534,38 @@ def _lineage_scan(
     return out.select(*data_cols, _ROW_ID, _LUSN)
 
 
+def iceberg_snapshot_at_timestamp(path: str, timestamp_ms: int) -> int:
+    """`TIMESTAMP AS OF`: the snapshot current at `timestamp_ms`, from
+    the snapshot-log (the spec's made-current ledger).  Raises when
+    the timestamp predates the oldest retained entry — expired history
+    must refuse, never silently serve the oldest survivor."""
+    meta = current_metadata(path)
+    log = sorted(
+        meta.get("snapshot-log") or [], key=lambda e: e["timestamp-ms"]
+    )
+    at = [e for e in log if e["timestamp-ms"] <= timestamp_ms]
+    if not at:
+        raise ValueError(
+            f"no snapshot at or before {timestamp_ms} — the history may "
+            "have been expired"
+        )
+    return int(at[-1]["snapshot-id"])
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     ref: str | None = None,
+    timestamp_ms: int | None = None,
     with_row_lineage: bool = False,
 ) -> DataFrame:
     """Snapshot (optionally time-travel) read of a real Iceberg table:
     metadata JSON → manifest list → manifests → parquet scan, identity
     partition columns rebuilt from partition structs.  `ref` reads a
-    named tag/branch head (`VERSION AS OF 'name'`).
+    named tag/branch head (`VERSION AS OF 'name'`); `timestamp_ms`
+    reads the snapshot current at that instant (`TIMESTAMP AS OF`,
+    resolved through the snapshot-log).
     `with_row_lineage` (v3) appends the spec's lineage metadata
     columns: `_row_id` (the file's inherited first_row_id + row
     position — null for files whose manifest predates the v3 upgrade)
@@ -1552,10 +1573,14 @@ def read_iceberg(
     number).  The per-file anchors attach via one broadcast map join —
     no shuffle."""
     meta = current_metadata(path)
+    if sum(x is not None for x in (snapshot_id, ref, timestamp_ms)) > 1:
+        raise ValueError(
+            "pass at most one of snapshot_id / ref / timestamp_ms"
+        )
     if ref is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass snapshot_id OR ref, not both")
         snapshot_id = _resolve_ref(meta, ref)
+    elif timestamp_ms is not None:
+        snapshot_id = iceberg_snapshot_at_timestamp(path, timestamp_ms)
     snap = _snapshot(meta, snapshot_id)
     if snap is None:
         out = spark.createDataFrame([], _spark_schema(_schema_of(meta)))
@@ -3745,6 +3770,42 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
             "spec_id int, partition string, record_count long, "
             "file_count long, total_size long",
         )
+    if kind == "delete_files":
+        rows = []
+        for mf in mfs:
+            if (mf.get("content") or 0) != 1:
+                continue
+            records, _m, _s = avrotiny.read_container(
+                _abs_path(path, mf["manifest_path"])
+            )
+            for e in records:
+                if e.get("status", 0) not in (0, 1):
+                    continue
+                rec = e["data_file"]
+                rows.append(
+                    (
+                        int(rec.get("content") or 0),
+                        rec["file_path"],
+                        rec.get("file_format"),
+                        int(mf.get("partition_spec_id") or 0),
+                        json.dumps(
+                            rec.get("partition") or {}, sort_keys=True
+                        ),
+                        int(rec.get("record_count") or 0),
+                        int(rec.get("file_size_in_bytes") or 0),
+                        json.dumps(list(rec.get("equality_ids") or []))
+                        if rec.get("equality_ids")
+                        else None,
+                        rec.get("referenced_data_file"),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "content int, file_path string, file_format string, "
+            "spec_id int, partition string, record_count long, "
+            "file_size_in_bytes long, equality_ids string, "
+            "referenced_data_file string",
+        )
     if kind == "partition_stats":
         # the REGISTERED partition statistics file for the current
         # snapshot (write_iceberg_partition_stats) — the durable spec
@@ -3769,7 +3830,7 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
         )
     raise ValueError(
         f"unknown metadata table {kind!r}: expected history/snapshots/"
-        "refs/manifests/files/partitions/partition_stats"
+        "refs/manifests/files/partitions/delete_files/partition_stats"
     )
 
 

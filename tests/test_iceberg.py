@@ -2683,3 +2683,63 @@ def test_partition_statistics_file(spark, tmp_path):
     ib.write_iceberg(_df(spark, 0, 5), p2)
     with pytest.raises(ValueError, match="partition statistics"):
         ib.read_iceberg_meta(spark, p2, "partition_stats")
+
+
+def test_timestamp_as_of_read(spark, tmp_path):
+    """`TIMESTAMP AS OF` through the snapshot-log: each commit's
+    made-current instant serves exactly that snapshot's rows; a
+    pre-history timestamp refuses (expired history must never silently
+    serve the oldest survivor); combining selectors refuses."""
+    import time as _time
+
+    path = str(tmp_path / "tsread")
+    ib.write_iceberg(_df(spark, 0, 5), path)
+    meta1 = ib.current_metadata(path)
+    t1 = meta1["snapshot-log"][-1]["timestamp-ms"]
+    _time.sleep(0.02)
+    ib.write_iceberg(_df(spark, 5, 9), path, mode="append")
+    meta2 = ib.current_metadata(path)
+    t2 = meta2["snapshot-log"][-1]["timestamp-ms"]
+    assert t2 >= t1
+    got1 = sorted(
+        r["doc_id"]
+        for r in ib.read_iceberg(spark, path, timestamp_ms=t1).collect()
+    )
+    assert got1 == list(range(5))
+    got2 = sorted(
+        r["doc_id"]
+        for r in ib.read_iceberg(
+            spark, path, timestamp_ms=t2 + 10_000
+        ).collect()
+    )
+    assert got2 == list(range(9))
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        ib.read_iceberg(spark, path, timestamp_ms=t1 - 10_000)
+    with pytest.raises(ValueError, match="at most one"):
+        ib.read_iceberg(spark, path, snapshot_id=1, timestamp_ms=t1)
+
+
+def test_delete_files_meta_table(spark, tmp_path):
+    """`tbl.delete_files` metadata table: one row per live delete file
+    with its content kind (1=position/DV, 2=equality), equality ids,
+    and DV referenced_data_file — derived metadata-only."""
+    path = str(tmp_path / "delmeta")
+    ib.write_iceberg(_df(spark, 0, 20), path, format_version=2)
+    ib.delete_where_iceberg(
+        spark, path, "doc_id", 2, 4, strategy="merge-on-read"
+    )
+    ib.delete_eq_iceberg(path, ["doc_id"], [10, 11])
+    rows = ib.read_iceberg_meta(spark, path, "delete_files").collect()
+    kinds = sorted(r["content"] for r in rows)
+    assert kinds == [1, 2]
+    eq = next(r for r in rows if r["content"] == 2)
+    assert json.loads(eq["equality_ids"]) == [1]  # doc_id's field id
+    assert eq["record_count"] == 2
+    pos = next(r for r in rows if r["content"] == 1)
+    assert pos["record_count"] == 3
+    # v3 upgrade folds the pos-delete into a DV with a referenced file
+    ib.upgrade_iceberg_format(spark, path, 3)
+    rows3 = ib.read_iceberg_meta(spark, path, "delete_files").collect()
+    dv = next(r for r in rows3 if r["content"] == 1)
+    assert dv["file_format"] == "PUFFIN"
+    assert dv["referenced_data_file"]
