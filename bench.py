@@ -141,6 +141,14 @@ HEADLINE = [
     "lake_iceberg_variant",
     "lake_iceberg_changes_eq",
     "mm_audio_ogg_chain",
+    # r12: streamed hours-partitioned target, UniForm both directions,
+    # partition/NDV statistics, the ALTER-matrix read
+    "lake_iceberg_stream_hours",
+    "lake_uniform_dv",
+    "lake_uniform_rev",
+    "lake_iceberg_pstats",
+    "lake_iceberg_ndv",
+    "lake_delta_evolution",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,

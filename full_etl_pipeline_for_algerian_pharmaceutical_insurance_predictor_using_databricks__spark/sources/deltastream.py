@@ -163,9 +163,41 @@ def _fold_py(path: str, version: int | None = None):
     return meta, live, version
 
 
+def _strip_field_metadata(dt):
+    """Schema with every StructField's metadata dropped, recursively.
+    Delta schemaStrings carry columnMapping / generationExpression
+    field metadata, but Spark's streaming scan asserts
+    `fromArrowSchema(prefetched batch) == declared schema` with
+    metadata-inclusive StructField equality — and Arrow round-trips
+    drop the metadata, so a mapped/generated table's stream would die
+    on that assert unless the DataSource declares a clean schema."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(
+                    f.name, _strip_field_metadata(f.dataType), f.nullable
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_strip_field_metadata(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _strip_field_metadata(dt.keyType),
+            _strip_field_metadata(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def _latest_schema(path: str) -> StructType:
     meta, _live, _v = _fold_py(path)
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    schema = _strip_field_metadata(
+        StructType.fromJson(json.loads(meta["schemaString"]))
+    )
     if dp._schema_has_variant(schema):
         # the stream tasks decode files with pyarrow in Python workers,
         # and this pyarrow build cannot open VARIANT-typed parquet —
@@ -368,12 +400,65 @@ class DeltaProtoStreamReader(SimpleDataSourceStreamReader):
                 n for n in base if n not in ("_change_type", "_commit_version")
             ]
         self.field_names = base
+        # schema fingerprint at stream start: a mid-stream schema
+        # change (rename/drop/widen commits a new metaData) must FAIL
+        # the stream like delta-spark does — silently decoding old
+        # batches against a moved mapping serves stale column names
+        meta0, _l0, _v0 = _fold_py(path)
+        self._schema_sig = self._sig_of(meta0)
+
+    @staticmethod
+    def _sig_of(meta: dict) -> list[tuple[str, str]]:
+        return [
+            (f["name"], json.dumps(f["type"], sort_keys=True))
+            for f in json.loads(meta["schemaString"])["fields"]
+        ]
+
+    def _check_schema_stable(self, meta: dict) -> None:
+        if self._sig_of(meta) != self._schema_sig:
+            raise ValueError(
+                "the Delta table schema changed since this stream "
+                "started (rename/drop/add/widen) — restart the stream "
+                "from a NEW checkpoint so it binds the new schema"
+            )
+
+    def _check_offset_schema(self, start: dict) -> None:
+        """The offset log carries the schema hash the stream was bound
+        to when it produced that offset; a resumed stream whose table
+        schema moved underneath the checkpoint must fail LOUDLY with
+        the cause (delta-spark's rule) — without this, the failure
+        surfaces as an opaque sink-side schema mismatch."""
+        import hashlib
+
+        want = start.get("schema")
+        if want is None:
+            return  # pre-upgrade checkpoint: stable-schema guard only
+        have = hashlib.sha256(
+            json.dumps(self._schema_sig).encode()
+        ).hexdigest()[:16]
+        if want != have:
+            raise ValueError(
+                "this checkpoint was written against a different table "
+                "schema (rename/drop/add/widen since) — restart the "
+                "stream from a NEW checkpoint so it binds the new schema"
+            )
+
+    def _offset(self, version: int) -> dict:
+        import hashlib
+
+        return {
+            "version": version,
+            "schema": hashlib.sha256(
+                json.dumps(self._schema_sig).encode()
+            ).hexdigest()[:16],
+        }
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        return self._offset(-1)
 
     def _plain_rows(self, start_v: int, end_v: int) -> list[tuple]:
         meta, live, _v = _fold_py(self.path)
+        self._check_schema_stable(meta)
         rows: list[tuple] = []
         for v in dp.delta_versions(self.path):
             if not start_v < v <= end_v:
@@ -427,6 +512,7 @@ class DeltaProtoStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
 
         meta, _live, _v = _fold_py(self.path)
+        self._check_schema_stable(meta)
         pre_live: dict[str, dict] = {}
         if start_v >= 0:
             try:
@@ -491,6 +577,7 @@ class DeltaProtoStreamReader(SimpleDataSourceStreamReader):
         return rows
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        self._check_offset_schema(start)
         vs = dp.delta_versions(self.path)
         end_v = vs[-1] if vs else start["version"]
         rows = (
@@ -500,9 +587,10 @@ class DeltaProtoStreamReader(SimpleDataSourceStreamReader):
         )
         # materialized list, not a generator: the engine's prefetch
         # cache copies the returned iterator for replay
-        return iter(rows), {"version": end_v}
+        return iter(rows), self._offset(end_v)
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        self._check_offset_schema(start)
         rows = (
             self._change_rows(start["version"], end["version"])
             if self.cdf

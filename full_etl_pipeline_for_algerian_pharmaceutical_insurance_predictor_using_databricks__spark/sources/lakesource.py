@@ -58,8 +58,16 @@ def _latest_schema(path: str) -> StructType:
     vs = minilake.versions(path)
     if not vs:
         raise ValueError(f"no minilake log under {path}")
-    return StructType.fromJson(
-        json.loads(minilake._read_commit(path, vs[-1])["schema"])
+    from .deltastream import _strip_field_metadata
+
+    # field metadata (e.g. a generation expression stamped by the
+    # writer) must not reach the stream's declared schema: Spark's
+    # streaming scan compares the prefetched Arrow batches' schema
+    # metadata-inclusively (see deltastream._strip_field_metadata)
+    return _strip_field_metadata(
+        StructType.fromJson(
+            json.loads(minilake._read_commit(path, vs[-1])["schema"])
+        )
     )
 
 

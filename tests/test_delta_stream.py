@@ -351,3 +351,58 @@ def test_batch_datasource_time_travel_options(spark, tmp_path):
         spark.read.format("deltaproto").option("versionAsOf", 0).option(
             "timestampAsOf", 1500
         ).load(path).count()
+
+
+def test_stream_fails_on_mid_stream_schema_change(spark, tmp_path):
+    """A rename/drop commit BETWEEN triggers must fail the stream
+    (delta-spark's rule) — the restarted stream binds the new schema
+    and keeps going; already-delivered rows are not re-served."""
+    deltastream.register(spark)
+    path = str(tmp_path / "delta")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    dp.write_delta(_df(spark, 0, 10), path)
+
+    def drain():
+        q = (
+            spark.readStream.format("deltaproto")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 10
+    dp.rename_delta_column(spark, path, "v", "val")
+    dp.write_delta(
+        _df(spark, 10, 15).withColumnRenamed("v", "val"),
+        path,
+        mode="append",
+    )
+    import pyspark.errors
+
+    with pytest.raises(
+        pyspark.errors.exceptions.base.PySparkException,
+        match="different table schema|schema changed",
+    ):
+        drain()
+    # restart (fresh checkpoint): the new-schema stream serves all rows
+    out2 = str(tmp_path / "out2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    q = (
+        spark.readStream.format("deltaproto")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    back = spark.read.parquet(out2)
+    assert "val" in back.columns
+    assert back.count() == 15
