@@ -273,9 +273,41 @@ class IcebergStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("iceberg requires a path")
         self.path = path
         self.field_names = [f.name for f in schema.fields]
+        # schema fingerprint at stream start: evolve_iceberg_schema
+        # (rename/drop/add/widen) mid-stream or under a resumed
+        # checkpoint must fail LOUDLY with the cause (the delta stream
+        # reader's rule) — field ids make old files readable, but the
+        # stream's DECLARED schema is fixed at bind time
+        self._schema_sig = self._sig_of(ib.current_metadata(path))
+
+    @staticmethod
+    def _sig_of(meta: dict) -> str:
+        import hashlib
+
+        sig = [
+            (f["id"], f["name"], json.dumps(f["type"], sort_keys=True))
+            for f in ib._schema_of(meta)
+        ]
+        return hashlib.sha256(json.dumps(sig).encode()).hexdigest()[:16]
+
+    def _check_schema(self, meta: dict, start: dict) -> None:
+        now = self._sig_of(meta)
+        if now != self._schema_sig:
+            raise ValueError(
+                "the Iceberg table schema changed since this stream "
+                "started (evolve_iceberg_schema) — restart the stream "
+                "from a NEW checkpoint so it binds the new schema"
+            )
+        want = start.get("schema")
+        if want is not None and want != now:
+            raise ValueError(
+                "this checkpoint was written against a different table "
+                "schema — restart the stream from a NEW checkpoint so "
+                "it binds the new schema"
+            )
 
     def initialOffset(self) -> dict:
-        return {"ordinal": 0}
+        return {"ordinal": 0, "schema": self._schema_sig}
 
     def _rows(self, start: int, end: int) -> list[tuple]:
         meta = ib.current_metadata(self.path)
@@ -315,13 +347,15 @@ class IcebergStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         meta = ib.current_metadata(self.path)
+        self._check_schema(meta, start)
         end = len(_snap_ordered(meta))
         rows = self._rows(start["ordinal"], end)
         # materialized list, not a generator: the engine's prefetch
         # cache copies the returned iterator for replay
-        return iter(rows), {"ordinal": end}
+        return iter(rows), {"ordinal": end, "schema": self._schema_sig}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        self._check_schema(ib.current_metadata(self.path), start)
         return iter(self._rows(start["ordinal"], end["ordinal"]))
 
 

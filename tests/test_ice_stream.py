@@ -487,3 +487,48 @@ def test_partitioned_stream_sink_timestamp_transforms(spark, tmp_path):
         len(ib.current_metadata(path).get("snapshots") or []) == n_snaps
     )
     assert ib.read_iceberg(spark, path).count() == 48
+
+
+def test_ice_stream_fails_on_schema_evolution(spark, tmp_path):
+    """evolve_iceberg_schema between triggers must fail the stream
+    loudly; a fresh checkpoint binds the new schema and serves all
+    rows (old files null-fill the added column by field id)."""
+    icestream.register(spark)
+    path = str(tmp_path / "ice")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ib.write_iceberg(_df(spark, 0, 8), path)
+
+    def drain(o, c):
+        q = (
+            spark.readStream.format("iceberg")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", o)
+            .option("checkpointLocation", c)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain(out, ckpt)
+    assert spark.read.parquet(out).count() == 8
+    ib.evolve_iceberg_schema(path, add=[("note", "string")])
+    ib.write_iceberg(
+        _df(spark, 8, 12).withColumn("note", F.lit("n")),
+        path,
+        mode="append",
+    )
+    import pyspark.errors
+
+    with pytest.raises(
+        pyspark.errors.exceptions.base.PySparkException,
+        match="different table schema|schema changed",
+    ):
+        drain(out, ckpt)
+    out2 = str(tmp_path / "out2")
+    drain(out2, str(tmp_path / "ckpt2"))
+    back = spark.read.parquet(out2)
+    assert back.count() == 12
+    assert "note" in back.columns
+    assert back.filter(F.col("note").isNotNull()).count() == 4
