@@ -638,6 +638,26 @@ class DeltaProtoStreamWriter(DataSourceStreamWriter):
                 raise ValueError(
                     "writing to a column-mapped Delta table is unsupported"
                 )
+            # the sink lands rows in Python workers and cannot run the
+            # write-time validations write_delta enforces — refuse
+            # rather than land unvalidated rows on a guarded table
+            # (checked before the schema comparison: a guarded table
+            # refuses regardless of what schema the stream brings)
+            if any(
+                k.startswith("delta.constraints.")
+                for k in (meta.get("configuration") or {})
+            ):
+                raise ValueError(
+                    "the target table has CHECK constraints — the "
+                    "streaming sink cannot validate them; use "
+                    "foreachBatch over deltaproto.write_delta"
+                )
+            if dp._generation_exprs(meta):
+                raise ValueError(
+                    "the target table has GENERATED columns — the "
+                    "streaming sink cannot compute/verify them; use "
+                    "foreachBatch over deltaproto.write_delta"
+                )
             existing = json.loads(meta["schemaString"])
             ours = json.loads(self.schema.json())
             if existing != ours:

@@ -406,3 +406,48 @@ def test_stream_fails_on_mid_stream_schema_change(spark, tmp_path):
     back = spark.read.parquet(out2)
     assert "val" in back.columns
     assert back.count() == 15
+
+
+def test_stream_sink_refuses_guarded_tables(spark, tmp_path):
+    """The streaming sink cannot run write_delta's validations in
+    Python workers — tables with CHECK constraints or GENERATED
+    columns refuse up front instead of landing unvalidated rows."""
+    deltastream.register(spark)
+    p1 = str(tmp_path / "con")
+    dp.write_delta(_df(spark, 0, 4), p1)
+    dp.add_delta_constraint(spark, p1, "v_pos", "v >= 0")
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(Exception, match="CHECK constraints"):
+        (
+            src.selectExpr(
+                "value as doc_id",
+                "cast(value % 3 as string) as lang",
+                "value * 10 as v",
+            )
+            .writeStream.format("deltaproto")
+            .option("path", p1)
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
+    p2 = str(tmp_path / "gen")
+    dp.write_delta(
+        _df(spark, 0, 4), p2, generated={"v": "doc_id * 10"}
+    )
+    with pytest.raises(Exception, match="GENERATED columns"):
+        (
+            src.selectExpr(
+                "value as doc_id",
+                "cast(value % 3 as string) as lang",
+                "value * 10 as v",
+            )
+            .writeStream.format("deltaproto")
+            .option("path", p2)
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
