@@ -5416,8 +5416,13 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
       Delta deletion vectors (roaring + Z85 framing, one bin file):
       the sidecar codecs differ but the hidden positions are the same
       integers, so both protocols mask exactly the same rows;
-      EQUALITY deletes have no Delta representation — tables carrying
-      them refuse loudly (materialize first: `compact_iceberg`)
+      EQUALITY deletes (no Delta representation of their own)
+      MATERIALIZE into the same deletion vectors: only the
+      scope-affected data files (sequence strictly below a delete's,
+      partition-matched) are scanned with row identity and the
+      eq-removed (file, pos) set — the exceptAll of the undeleted vs
+      eq-applied reads — folds into the masks, O(affected rows) never
+      O(table)
     - per-entry bounds/null counts re-encode as add-action `stats`
       JSON, so Delta data skipping keeps working
     - the protocol climbs to the features tier only when needed
@@ -5469,11 +5474,6 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
     entries = _live_entries(path, meta, snap) if snap is not None else []
     mfs = _read_manifest_list(path, snap) if snap is not None else []
     pos_files, eq, dvs = _delete_files(path, mfs)
-    if eq:
-        raise ValueError(
-            "equality deletes cannot be represented in a Delta log — "
-            "materialize them first (compact_iceberg), then re-run"
-        )
     # positions to hide, keyed by the data file's table-relative path
     local_root = os.path.abspath(path)
 
@@ -5516,6 +5516,53 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
         masks.setdefault(_rel(d["referenced"]), set()).update(
             puffin.parse_dv_payload(blob)
         )
+    if eq:
+        # equality deletes materialize into positions: scan ONLY the
+        # scope-affected files (conservatively pruned here; the eq
+        # application inside _read_entries is exactly scoped) and diff
+        # the undeleted read against the eq-applied read on row
+        # identity — O(affected rows), the changelog eq leg's bound
+        specs_by_id = _specs_by_id(meta)
+
+        def eq_affects(e: dict, d: dict) -> bool:
+            if int(e.get("_seq", 0)) >= int(d["seq"]):
+                return False
+            d_sid = int(d.get("spec_id", 0))
+            d_names = [
+                pf["name"] for pf in specs_by_id.get(d_sid, [])
+            ]
+            if not d_names:
+                return True  # stored under an unpartitioned spec: global
+            if int(e.get("_spec_id", 0)) != d_sid:
+                return True  # cross-spec: let the exact join decide
+            part = dict(e["data_file"].get("partition") or {})
+            dp_part = d.get("partition") or {}
+            return all(part.get(n) == dp_part.get(n) for n in d_names)
+
+        affected = [
+            e for e in entries if any(eq_affects(e, d) for d in eq)
+        ]
+        if affected:
+            sub_all = _read_entries(
+                spark, path, meta, affected, keep_identity=True
+            ).select(_IB_FILE, _IB_POS)
+            sub_kept = _read_entries(
+                spark,
+                path,
+                meta,
+                affected,
+                eq_deletes=[dict(d) for d in eq],
+                keep_identity=True,
+            ).select(_IB_FILE, _IB_POS)
+            tail_to_rel = {
+                _rel(e["data_file"]["file_path"]).rsplit("/", 1)[-1]:
+                    _rel(e["data_file"]["file_path"])
+                for e in affected
+            }
+            for r in sub_all.exceptAll(sub_kept).collect():
+                masks.setdefault(tail_to_rel[r[_IB_FILE]], set()).add(
+                    int(r[_IB_POS])
+                )
     # Delta DV descriptors land once per conversion (one bin file)
     descs = (
         dp._write_dv_file(path, {k: sorted(v) for k, v in masks.items()})

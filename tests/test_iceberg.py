@@ -2565,12 +2565,14 @@ def test_uniform_delta_metadata_over_iceberg(spark, tmp_path):
     )
 
 
-def test_uniform_delta_metadata_dv_transforms_refusals(spark, tmp_path):
+def test_uniform_delta_metadata_dv_transforms_eq(spark, tmp_path):
     """The reverse-uniform edges: a v3 Puffin deletion vector converts
     into the Delta DV framing (same hidden positions); a bucket-
     partitioned table converts as UNPARTITIONED Delta (transform
     source columns live in the files per the spec); equality deletes
-    refuse loudly (no Delta representation)."""
+    MATERIALIZE into deletion vectors — including the upsert shape
+    where a key re-appended AFTER the delete survives (sequence
+    strictly-below rule)."""
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         deltaproto as dp,
     )
@@ -2601,12 +2603,20 @@ def test_uniform_delta_metadata_dv_transforms_refusals(spark, tmp_path):
     assert _rows(dp.read_delta(spark, p2)) == _rows(
         ib.read_iceberg(spark, p2)
     )
-    # equality deletes refuse
+    # equality deletes materialize — upsert shape: key 2 re-appended
+    # AFTER the delete survives while the pre-delete originals hide
     p3 = str(tmp_path / "eq")
     ib.write_iceberg(_df(spark, 0, 10), p3, format_version=2)
     ib.delete_eq_iceberg(p3, ["doc_id"], [1, 2])
-    with pytest.raises(ValueError, match="equality deletes"):
-        ib.uniform_delta_metadata(spark, p3)
+    ib.write_iceberg(_df(spark, 2, 3, tag=7), p3, mode="append")
+    ib.uniform_delta_metadata(spark, p3)
+    got = _rows(dp.read_delta(spark, p3))
+    assert got == _rows(ib.read_iceberg(spark, p3))
+    ids = sorted(d for d, _l, _v in got)
+    assert ids == [0, 2, 3, 4, 5, 6, 7, 8, 9]
+    assert next(v for d, _l, v in got if d == 2) == 27  # the upsert won
+    proto = dp._current_protocol(p3)
+    assert "deletionVectors" in proto["readerFeatures"]
 
 
 def test_partition_statistics_file(spark, tmp_path):
