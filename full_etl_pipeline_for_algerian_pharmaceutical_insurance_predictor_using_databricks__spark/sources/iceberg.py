@@ -3857,6 +3857,7 @@ def commit_iceberg_files(
     schema,
     app_id: str | None = None,
     batch_id: int | None = None,
+    expect_spec: list[tuple] | None = None,
 ) -> int | None:
     """Commit already-landed parquet files under `<path>/data/` as one
     append snapshot — the streaming-sink primitive.  With
@@ -3890,6 +3891,22 @@ def commit_iceberg_files(
         (item, {}) if isinstance(item, str) else (item[0], item[1] or {})
         for item in landed
     ]
+    if expect_spec is not None:
+        # full-definition staleness check (the sink passes the spec it
+        # computed its tuples under): a mid-stream spec evolution with
+        # the SAME field names (bucket(4) -> bucket(8)) would pass the
+        # name check below but mis-attribute every tuple — wrong
+        # pruning on every later read
+        now_def = [
+            (pf["name"], pf.get("transform", "identity"), pf["source-id"])
+            for pf in spec
+        ]
+        if [tuple(t) for t in expect_spec] != now_def:
+            raise ValueError(
+                "the table's partition spec changed since this stream "
+                "started (evolve_iceberg_spec) — restart the stream so "
+                "it lands tuples under the new spec"
+            )
     want_names = [pf["name"] for pf in spec]
     for rel, pvals in norm:
         if sorted(pvals) != sorted(want_names):

@@ -535,6 +535,17 @@ class IcebergStreamWriter(DataSourceStreamWriter):
             self.schema,
             app_id=self.app_id,
             batch_id=int(batchId),
+            # the spec this writer computed its partition tuples under:
+            # a mid-stream evolve_iceberg_spec must refuse the commit
+            # (same-name spec changes would silently mis-attribute)
+            expect_spec=[
+                (
+                    pf["name"],
+                    pf.get("transform", "identity"),
+                    pf["source-id"],
+                )
+                for pf in self.spec
+            ],
         )
         if snap is None:  # replayed batch: exactly-once no-op
             for item in landed:

@@ -532,3 +532,42 @@ def test_ice_stream_fails_on_schema_evolution(spark, tmp_path):
     assert back.count() == 12
     assert "note" in back.columns
     assert back.filter(F.col("note").isNotNull()).count() == 4
+
+
+def test_commit_files_refuses_stale_spec(spark, tmp_path):
+    """commit_iceberg_files(expect_spec=...): a partition-spec change
+    with the SAME field name (bucket(4) -> bucket(8) both emit
+    doc_id_bucket) passes the tuple-name check but would mis-attribute
+    every tuple — the full-definition fingerprint refuses instead."""
+    import glob as _glob
+    import shutil as _sh
+
+    path = str(tmp_path / "ice")
+    ib.write_iceberg(_df(spark, 0, 8), path, partition_by=["bucket(4, doc_id)"])
+    meta = ib.current_metadata(path)
+    old_spec = [
+        (pf["name"], pf.get("transform", "identity"), pf["source-id"])
+        for pf in ib._spec_of(meta)
+    ]
+    assert old_spec[0][1] == "bucket[4]"
+    ib.evolve_iceberg_spec(path, ["bucket(8, doc_id)"])
+    donor = _glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                       recursive=True)[0]
+    rel = "stale-probe.parquet"
+    _sh.copy(donor, os.path.join(path, "data", rel))
+    schema = ib._spark_schema(ib._schema_of(meta))
+    with pytest.raises(ValueError, match="partition spec changed"):
+        ib.commit_iceberg_files(
+            path, [(rel, {"doc_id_bucket": 1})], schema,
+            expect_spec=old_spec,
+        )
+    # the matching spec commits fine
+    new_spec = [
+        (pf["name"], pf.get("transform", "identity"), pf["source-id"])
+        for pf in ib._spec_of(ib.current_metadata(path))
+    ]
+    assert new_spec[0][1] == "bucket[8]"
+    snap = ib.commit_iceberg_files(
+        path, [(rel, {"doc_id_bucket": 1})], schema, expect_spec=new_spec
+    )
+    assert snap is not None
