@@ -2753,3 +2753,105 @@ def test_delete_files_meta_table(spark, tmp_path):
     dv = next(r for r in rows3 if r["content"] == 1)
     assert dv["file_format"] == "PUFFIN"
     assert dv["referenced_data_file"]
+
+
+def test_iceberg_lifecycle_property(spark, tmp_path):
+    """Seeded random op sequences over one table each — (append |
+    overwrite | cow-delete | mor-delete | eq-delete | compact |
+    rewrite-manifests | expire | orphan-removal) — then a sweep: every
+    RETAINED snapshot reads back exactly its recorded state (by
+    snapshot id, post-compaction/replace snapshots included), expired
+    ones refuse or are absent, and the current read always matches.
+    The Iceberg twin of the Delta log-lifecycle sweep; count
+    overridable via SPARK_GRAFT_LIFECYCLE_SEQS (halved)."""
+    import random
+
+    n_seq = max(
+        1, int(os.environ.get("SPARK_GRAFT_LIFECYCLE_SEQS", "50")) // 3
+    )
+    rng = random.Random(0x1CEB12)
+    for seq in range(n_seq):
+        path = str(tmp_path / f"t{seq:02d}")
+        cur: dict[int, int] = {}  # doc_id -> v
+        by_snap: dict[int, frozenset] = {}
+        batch = 0
+
+        def record(snap_id):
+            by_snap[snap_id] = frozenset(cur.items())
+
+        def commit(mode: str):
+            nonlocal batch, cur
+            b = batch
+            batch += 1
+            ids = [b * 10 + k for k in range(rng.randint(1, 3))]
+            vals = {i: i * 10 + b for i in ids}
+            if mode == "append":
+                cur.update(vals)
+            else:
+                cur = dict(vals)
+            df = spark.createDataFrame(
+                [(i, str(i % 3), v) for i, v in vals.items()],
+                "doc_id long, lang string, v long",
+            ).coalesce(1)
+            record(ib.write_iceberg(df, path, mode=mode))
+
+        commit("append")
+        for _ in range(5):
+            op = rng.choices(
+                ["append", "overwrite", "cow", "mor", "eq", "compact",
+                 "manifests", "expire", "orphan"],
+                weights=[30, 8, 10, 10, 10, 8, 6, 10, 8],
+            )[0]
+            if op in ("append", "overwrite"):
+                commit(op)
+            elif op in ("cow", "mor"):
+                if not cur:
+                    continue
+                lo = rng.choice(sorted(cur))
+                hi = lo + rng.randint(0, 15)
+                for i in [i for i in cur if lo <= i <= hi]:
+                    del cur[i]
+                record(
+                    ib.delete_where_iceberg(
+                        spark, path, "doc_id", lo, hi,
+                        strategy="cow" if op == "cow" else "merge-on-read",
+                    )
+                )
+            elif op == "eq":
+                if not cur:
+                    continue
+                keys = rng.sample(sorted(cur), min(2, len(cur)))
+                for k in keys:
+                    del cur[k]
+                record(ib.delete_eq_iceberg(path, ["doc_id"], keys))
+            elif op == "compact":
+                record(ib.compact_iceberg(spark, path))
+            elif op == "manifests":
+                record(ib.rewrite_iceberg_manifests(path))
+            elif op == "expire":
+                ib.expire_iceberg_snapshots(
+                    path, keep_last=rng.randint(1, 3)
+                )
+            elif op == "orphan":
+                ib.remove_orphan_iceberg_files(path, min_age_s=0.0)
+        meta = ib.current_metadata(path)
+        retained = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+        got_cur = frozenset(
+            (r["doc_id"], r["v"])
+            for r in ib.read_iceberg(spark, path).collect()
+        )
+        assert got_cur == frozenset(cur.items()), f"seq {seq}: current"
+        for sid, want in by_snap.items():
+            if sid not in retained:
+                with pytest.raises((ValueError, KeyError, OSError)):
+                    ib.read_iceberg(spark, path, snapshot_id=sid).collect()
+                continue
+            got = frozenset(
+                (r["doc_id"], r["v"])
+                for r in ib.read_iceberg(
+                    spark, path, snapshot_id=sid
+                ).collect()
+            )
+            assert got == want, (
+                f"seq {seq}: snapshot {sid} read wrong data"
+            )
