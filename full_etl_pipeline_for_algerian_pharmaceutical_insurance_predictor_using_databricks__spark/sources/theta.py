@@ -207,29 +207,28 @@ def merge(bufs: list[bytes], k: int = DEFAULT_K,
           seed: int = DEFAULT_SEED) -> bytes:
     """Union of compact sketches (the a-not-b/union algebra subset
     NDV maintenance needs): pool retained hashes below the smallest
-    input theta, then re-serialize at nominal k."""
+    input theta; more than k survivors re-tighten theta to the
+    (k+1)-smallest (serialize_compact's rule, which is <= the pooled
+    theta so the invariant holds), otherwise theta stays the pooled
+    minimum — an input already in estimation mode keeps the union
+    there even when few hashes survive."""
     min_theta = _MAX63 + 1
     pooled: set[int] = set()
     for b in bufs:
         sk = deserialize_compact(b, seed)
         min_theta = min(min_theta, sk["theta"])
         pooled.update(sk["hashes"])
-    pooled = {h for h in pooled if h < min_theta}
-    hs = sorted(pooled)
-    if len(hs) > k:
-        # re-serialize keeps the k smallest; theta tightens to the
-        # (k+1)-th which is <= min_theta, preserving the invariant
+    hs = sorted(h for h in pooled if h < min_theta)
+    if len(hs) > k or min_theta > _MAX63:
         return serialize_compact(hs, k=k, seed=seed)
-    # fewer than k survivors but theta may still be < max (estimation)
-    out = serialize_compact(hs, k=k, seed=seed)
-    if min_theta <= _MAX63 and len(hs) <= k:
-        sh = seed_hash(seed)
-        head = struct.pack(
-            "<BBBBBBH", 3, _SERIAL_VERSION, _FAMILY_COMPACT, 0, 0,
-            _FLAG_READONLY | _FLAG_COMPACT | _FLAG_ORDERED, sh,
-        )
-        body = struct.pack("<if", len(hs), 1.0) + struct.pack(
-            "<Q", min_theta
-        )
-        return head + body + b"".join(struct.pack("<Q", h) for h in hs)
-    return out
+    # <= k survivors under an estimation-mode theta: keep that theta
+    head = struct.pack(
+        "<BBBBBBH", 3, _SERIAL_VERSION, _FAMILY_COMPACT, 0, 0,
+        _FLAG_READONLY | _FLAG_COMPACT | _FLAG_ORDERED, seed_hash(seed),
+    )
+    return (
+        head
+        + struct.pack("<if", len(hs), 1.0)
+        + struct.pack("<Q", min_theta)
+        + b"".join(struct.pack("<Q", h) for h in hs)
+    )

@@ -156,3 +156,22 @@ def test_iceberg_table_stats_end_to_end(spark, tmp_path):
     # default column pick skips the double silently
     ib.write_iceberg_table_stats(spark, p2)
     assert set(ib.read_iceberg_ndv(p2)) == {"doc_id"}
+
+
+def test_merge_keeps_estimation_theta():
+    """Union of an estimation-mode sketch with a tiny exact one stays
+    in estimation mode under the pooled minimum theta — few surviving
+    hashes must not silently reset theta to 2^63 (that would
+    overestimate confidence and underestimate NDV error)."""
+    big = theta.serialize_compact(
+        [theta.hash63(struct.pack("<q", i)) for i in range(50_000)], k=64
+    )
+    small = theta.serialize_compact(
+        [theta.hash63(struct.pack("<q", i)) for i in range(3)], k=64
+    )
+    m = theta.merge([big, small], k=64)
+    sk = theta.deserialize_compact(m)
+    assert sk["theta"] <= theta.deserialize_compact(big)["theta"]
+    assert sk["theta"] <= theta._MAX63
+    est = theta.estimate(m)
+    assert abs(est - 50_000) / 50_000 < 0.5  # lgK=6 is coarse; sane band
