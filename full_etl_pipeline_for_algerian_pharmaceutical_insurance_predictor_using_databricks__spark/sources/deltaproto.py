@@ -1073,6 +1073,26 @@ def _with_ict(lines: list[str], ts: int) -> list[str]:
     return out
 
 
+def _maybe_auto_checkpoint(spark: SparkSession, path: str, version: int) -> None:
+    """Post-commit auto-checkpointing per the table's
+    `delta.checkpointInterval` property — the cadence real Delta
+    writers run (default 10 there; here OPT-IN via the property, so
+    tables without it keep their explicit-checkpoint behavior).  A
+    failed checkpoint never fails the already-committed write: the
+    checkpoint is an optimization, the JSON commit is the truth."""
+    try:
+        meta, _live, _v = _fold_delta_state(spark, path, None)
+        iv = int(
+            (meta.get("configuration") or {}).get(
+                "delta.checkpointInterval", 0
+            )
+        )
+        if iv > 0 and version > 0 and version % iv == 0:
+            write_delta_checkpoint(spark, path, version=version)
+    except Exception:
+        pass  # best-effort: the commit itself already succeeded
+
+
 class ConcurrentDeltaCommit(Exception):
     """A racing commit invalidated this read-modify-write: a file this
     commit removes/rewrites was already removed or rewritten (or the
@@ -1604,13 +1624,15 @@ def write_delta(
     # an overwrite is a read-modify-write of the prior live set: a
     # racing rewrite of any of those files must abort, never be
     # silently superseded; blind appends keep the plain retry
-    return _claim_delta_version(
+    _v_new = _claim_delta_version(
         path,
         lines,
         read_version=(
             _v if (not first and mode == "overwrite") else None
         ),
     )
+    _maybe_auto_checkpoint(spark, path, _v_new)
+    return _v_new
 
 
 def _add_outside_range(add: dict, part_cols: list[str], col: str, lo, hi) -> bool:
@@ -1867,7 +1889,9 @@ def delete_where_delta(
                 }
             )
         )
-    return _claim_delta_version(path, lines, read_version=_v)
+    _v_new = _claim_delta_version(path, lines, read_version=_v)
+    _maybe_auto_checkpoint(spark, path, _v_new)
+    return _v_new
 
 
 def _delete_where_delta_dv(
@@ -2079,7 +2103,9 @@ def _delete_where_delta_dv(
                 }
             )
         )
-    return _claim_delta_version(path, lines, read_version=read_version)
+    _v_new = _claim_delta_version(path, lines, read_version=read_version)
+    _maybe_auto_checkpoint(spark, path, _v_new)
+    return _v_new
 
 
 def _land_cdc(
@@ -2347,7 +2373,9 @@ def update_where_delta(
                 }
             )
         )
-    return _claim_delta_version(path, lines, read_version=_v)
+    _v_new = _claim_delta_version(path, lines, read_version=_v)
+    _maybe_auto_checkpoint(spark, path, _v_new)
+    return _v_new
 
 
 def optimize_zorder_delta(
@@ -2428,7 +2456,9 @@ def optimize_zorder_delta(
         if stats is not None:
             add["stats"] = stats
         lines.append(json.dumps({"add": add}))
-    return _claim_delta_version(path, lines, read_version=_v)
+    _v_new = _claim_delta_version(path, lines, read_version=_v)
+    _maybe_auto_checkpoint(spark, path, _v_new)
+    return _v_new
 
 
 def restore_delta(spark: SparkSession, path: str, version: int) -> int:
@@ -2481,7 +2511,9 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
             add["dataChange"] = True
             add["modificationTime"] = now_ms
             lines.append(json.dumps({"add": add}))
-    return _claim_delta_version(path, lines, read_version=_vc)
+    _v_new = _claim_delta_version(path, lines, read_version=_vc)
+    _maybe_auto_checkpoint(spark, path, _v_new)
+    return _v_new
 
 
 def merge_upsert_delta(
@@ -2620,7 +2652,9 @@ def merge_upsert_delta(
                 }
             )
         )
-    return _claim_delta_version(path, lines, read_version=_v)
+    _v_new = _claim_delta_version(path, lines, read_version=_v)
+    _maybe_auto_checkpoint(spark, path, _v_new)
+    return _v_new
 
 
 def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> int:
@@ -3052,7 +3086,9 @@ def recluster_delta(
         if stats is not None:
             add["stats"] = stats
         lines.append(json.dumps({"add": add}))
-    return _claim_delta_version(path, lines, read_version=_v)
+    _v_new = _claim_delta_version(path, lines, read_version=_v)
+    _maybe_auto_checkpoint(spark, path, _v_new)
+    return _v_new
 
 
 #: Spec-legal widenings (typeWidening table feature): strictly
@@ -3282,7 +3318,9 @@ def compact_delta(spark: SparkSession, path: str, target_mb: int = 128) -> int:
         if stats is not None:
             add["stats"] = stats
         lines.append(json.dumps({"add": add}))
-    return _claim_delta_version(path, lines, read_version=_v)
+    _v_new = _claim_delta_version(path, lines, read_version=_v)
+    _maybe_auto_checkpoint(spark, path, _v_new)
+    return _v_new
 
 
 # --------------------------------------------------------------------------

@@ -2966,3 +2966,43 @@ def test_drop_delta_column(spark, tmp_path):
     dp.drop_delta_column(spark, p3, "a")
     with pytest.raises(ValueError, match="only column"):
         dp.drop_delta_column(spark, p3, "b")
+
+
+def test_auto_checkpoint_interval(spark, tmp_path):
+    """`delta.checkpointInterval` (opt-in table property): commits at
+    multiples of the interval write a checkpoint automatically —
+    across write/DELETE/MERGE paths — and reads keep folding exactly;
+    tables without the property never auto-checkpoint."""
+    path = str(tmp_path / "autock")
+    df = spark.createDataFrame(
+        [(i, i) for i in range(6)], "doc_id long, v long"
+    ).coalesce(1)
+    dp.write_delta(df, path)  # v0
+    # opt in via a property-bearing metaData commit
+    meta, _l, _ = dp._fold_delta_state(spark, path, None)
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.checkpointInterval"] = "2"
+    lines = [
+        json.dumps({"commitInfo": {"timestamp": 0, "operation":
+                                   "SET TBLPROPERTIES"}}),
+        json.dumps({"metaData": {**meta, "configuration": conf}}),
+    ]
+    dp._claim_delta_version(path, lines)  # v1
+    assert dp._checkpoint_versions(path) == []
+    df2 = spark.createDataFrame([(10, 10)], "doc_id long, v long").coalesce(1)
+    v = dp.write_delta(df2, path, mode="append")  # v2 -> checkpoint
+    assert v == 2
+    assert dp._checkpoint_versions(path) == [2]
+    dp.write_delta(df2, path, mode="append")  # v3: no checkpoint
+    assert dp._checkpoint_versions(path) == [2]
+    v4 = dp.delete_where_delta(spark, path, "doc_id", 0, 0, strategy="dv")
+    assert v4 == 4
+    assert dp._checkpoint_versions(path) == [2, 4]
+    # folding through the auto-checkpoints stays exact
+    got = sorted(r["doc_id"] for r in dp.read_delta(spark, path).collect())
+    assert got == [1, 2, 3, 4, 5, 10, 10]
+    # no property -> never auto-checkpoints
+    p2 = str(tmp_path / "noauto")
+    for k in range(4):
+        dp.write_delta(df2, p2, mode="append")
+    assert dp._checkpoint_versions(p2) == []
