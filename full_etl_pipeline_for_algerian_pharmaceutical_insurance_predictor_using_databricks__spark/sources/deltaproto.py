@@ -2744,6 +2744,63 @@ def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> i
     return _claim_delta_version(path, lines)
 
 
+def set_delta_properties(
+    spark: SparkSession, path: str, props: dict[str, str | None]
+) -> int:
+    """`ALTER TABLE SET/UNSET TBLPROPERTIES`: a metadata-only commit
+    updating the table configuration (None values UNSET).  The knobs
+    other operations honor land here — `delta.checkpointInterval`
+    (post-commit auto-checkpointing), `delta.appendOnly` (write
+    guard), retention properties.  Protocol-governed properties
+    (columnMapping mode, constraints) refuse — they have dedicated
+    helpers that also manage the protocol/feature side."""
+    guarded = ("delta.columnMapping.", "delta.constraints.")
+    for k in props:
+        if any(k.startswith(g) for g in guarded):
+            raise ValueError(
+                f"property {k!r} is protocol-governed — use the "
+                "dedicated helper (rename/drop_delta_column, "
+                "add_delta_constraint)"
+            )
+    meta, _live, _v = _fold_delta_state(spark, path, None)
+    conf = dict(meta.get("configuration") or {})
+    for k, v in props.items():
+        if v is None:
+            conf.pop(k, None)
+        else:
+            conf[str(k)] = str(v)
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps(
+                            {k: v for k, v in props.items()}
+                        )
+                    },
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": meta.get("partitionColumns") or [],
+                    "configuration": conf,
+                    "createdTime": meta.get("createdTime", now_ms),
+                }
+            }
+        ),
+    ]
+    return _claim_delta_version(path, lines)
+
+
 def drop_delta_column(spark: SparkSession, path: str, name: str) -> int:
     """Metadata-only `ALTER TABLE DROP COLUMN` — the OTHER operation
     that requires column mapping (the dropped column's bytes stay in

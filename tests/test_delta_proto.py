@@ -2978,16 +2978,10 @@ def test_auto_checkpoint_interval(spark, tmp_path):
         [(i, i) for i in range(6)], "doc_id long, v long"
     ).coalesce(1)
     dp.write_delta(df, path)  # v0
-    # opt in via a property-bearing metaData commit
-    meta, _l, _ = dp._fold_delta_state(spark, path, None)
-    conf = dict(meta.get("configuration") or {})
-    conf["delta.checkpointInterval"] = "2"
-    lines = [
-        json.dumps({"commitInfo": {"timestamp": 0, "operation":
-                                   "SET TBLPROPERTIES"}}),
-        json.dumps({"metaData": {**meta, "configuration": conf}}),
-    ]
-    dp._claim_delta_version(path, lines)  # v1
+    # opt in via the property setter (v1)
+    dp.set_delta_properties(
+        spark, path, {"delta.checkpointInterval": "2"}
+    )
     assert dp._checkpoint_versions(path) == []
     df2 = spark.createDataFrame([(10, 10)], "doc_id long, v long").coalesce(1)
     v = dp.write_delta(df2, path, mode="append")  # v2 -> checkpoint
@@ -3006,3 +3000,30 @@ def test_auto_checkpoint_interval(spark, tmp_path):
     for k in range(4):
         dp.write_delta(df2, p2, mode="append")
     assert dp._checkpoint_versions(p2) == []
+
+
+def test_set_delta_properties(spark, tmp_path):
+    """SET/UNSET TBLPROPERTIES round-trip; protocol-governed keys
+    refuse toward their dedicated helpers; the appendOnly guard set
+    through it bites immediately."""
+    path = str(tmp_path / "props")
+    df = spark.createDataFrame([(1, 2)], "a long, b long").coalesce(1)
+    dp.write_delta(df, path)
+    dp.set_delta_properties(
+        spark, path, {"custom.owner": "team-x", "delta.appendOnly": "true"}
+    )
+    meta, _l, _ = dp._fold_delta_state(spark, path, None)
+    conf = meta["configuration"]
+    assert conf["custom.owner"] == "team-x"
+    dp.write_delta(df, path, mode="append")  # appends stay legal
+    with pytest.raises(ValueError, match="appendOnly"):
+        dp.delete_where_delta(spark, path, "a", 1, 1)
+    dp.set_delta_properties(spark, path, {"delta.appendOnly": None})
+    dp.delete_where_delta(spark, path, "a", 99, 99)  # unset: legal again
+    meta2, _l2, _ = dp._fold_delta_state(spark, path, None)
+    assert "delta.appendOnly" not in meta2["configuration"]
+    assert meta2["configuration"]["custom.owner"] == "team-x"
+    with pytest.raises(ValueError, match="protocol-governed"):
+        dp.set_delta_properties(
+            spark, path, {"delta.columnMapping.mode": "name"}
+        )
