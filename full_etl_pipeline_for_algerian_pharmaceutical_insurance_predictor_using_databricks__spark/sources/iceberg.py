@@ -3965,6 +3965,38 @@ def commit_iceberg_files(
 # --------------------------------------------------------------------------
 
 
+def set_iceberg_properties(
+    path: str, props: dict[str, str | None]
+) -> None:
+    """`ALTER TABLE SET/UNSET TBLPROPERTIES` — metadata-only update of
+    the table `properties` map (None values UNSET); the Iceberg twin
+    of deltaproto.set_delta_properties.  `schema.name-mapping.default`
+    refuses — it is maintained by the rename/uniform machinery and a
+    hand-set mapping would silently re-route column resolution."""
+    if "schema.name-mapping.default" in props:
+        raise ValueError(
+            "schema.name-mapping.default is maintained by the engine "
+            "(evolve_iceberg_schema rename / uniform_iceberg_metadata) "
+            "— refusing a hand-set mapping"
+        )
+
+    def build(base: dict | None) -> dict:
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        meta = json.loads(json.dumps(base))
+        conf = dict(meta.get("properties") or {})
+        for k, v in props.items():
+            if v is None:
+                conf.pop(k, None)
+            else:
+                conf[str(k)] = str(v)
+        meta["properties"] = conf
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        return meta
+
+    _claim_metadata(path, build)
+
+
 def set_iceberg_ref(
     path: str, name: str, snapshot_id: int | None = None, kind: str = "tag"
 ) -> int:

@@ -2855,3 +2855,25 @@ def test_iceberg_lifecycle_property(spark, tmp_path):
             assert got == want, (
                 f"seq {seq}: snapshot {sid} read wrong data"
             )
+
+
+def test_set_iceberg_properties(spark, tmp_path):
+    """SET/UNSET round-trip on the table properties map; the engine-
+    maintained name-mapping key refuses."""
+    path = str(tmp_path / "props")
+    ib.write_iceberg(_df(spark, 0, 4), path)
+    ib.set_iceberg_properties(
+        path, {"commit.retry.num-retries": "7", "owner": "team-x"}
+    )
+    meta = ib.current_metadata(path)
+    assert meta["properties"]["owner"] == "team-x"
+    assert meta["properties"]["commit.retry.num-retries"] == "7"
+    ib.set_iceberg_properties(path, {"owner": None})
+    meta = ib.current_metadata(path)
+    assert "owner" not in (meta.get("properties") or {})
+    with pytest.raises(ValueError, match="name-mapping"):
+        ib.set_iceberg_properties(
+            path, {"schema.name-mapping.default": "[]"}
+        )
+    # the table still reads after property churn
+    assert ib.read_iceberg(spark, path).count() == 4
