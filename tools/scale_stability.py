@@ -171,6 +171,8 @@ def main() -> None:
         "lake_uniform_dv",
         "lake_uniform_rev",
         "lake_iceberg_pstats",
+        "lake_iceberg_ndv",
+        "lake_delta_evolution",
     ):
         ops[nm] = _q[nm]
 
