@@ -226,8 +226,15 @@ class IcebergReader(DataSourceReader):
         self.path = path
         self.ref = options.get("ref")
         sid = options.get("snapshotid", options.get("snapshotId"))
-        if sid is not None and self.ref is not None:
-            raise ValueError("pass snapshotId OR ref, not both")
+        ts = options.get("asoftimestamp", options.get("asOfTimestamp"))
+        if sum(x is not None for x in (sid, self.ref, ts)) > 1:
+            raise ValueError(
+                "pass at most one of snapshotId / ref / asOfTimestamp"
+            )
+        if ts is not None:
+            # TIMESTAMP AS OF, ms epoch — the same reader option real
+            # Iceberg DataSources expose; resolves via the snapshot-log
+            sid = ib.iceberg_snapshot_at_timestamp(path, int(ts))
         self.snapshot_id: int | None = int(sid) if sid is not None else None
         self.field_names = [f.name for f in schema.fields]
 

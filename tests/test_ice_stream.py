@@ -571,3 +571,32 @@ def test_commit_files_refuses_stale_spec(spark, tmp_path):
         path, [(rel, {"doc_id_bucket": 1})], schema, expect_spec=new_spec
     )
     assert snap is not None
+
+
+def test_batch_datasource_as_of_timestamp(spark, tmp_path):
+    """`option("asOfTimestamp", ms)` on the batch DataSource resolves
+    through the snapshot-log like read_iceberg(timestamp_ms=);
+    combined selectors refuse."""
+    import time as _time
+
+    icestream.register(spark)
+    path = str(tmp_path / "ice")
+    ib.write_iceberg(_df(spark, 0, 5), path)
+    t1 = ib.current_metadata(path)["snapshot-log"][-1]["timestamp-ms"]
+    _time.sleep(0.02)
+    ib.write_iceberg(_df(spark, 5, 8), path, mode="append")
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("iceberg")
+        .option("asOfTimestamp", str(t1))
+        .load(path)
+        .collect()
+    )
+    assert got == list(range(5))
+    assert (
+        spark.read.format("iceberg").load(path).count() == 8
+    )
+    with pytest.raises(Exception, match="at most one"):
+        spark.read.format("iceberg").option(
+            "asOfTimestamp", str(t1)
+        ).option("snapshotId", "1").load(path).collect()
