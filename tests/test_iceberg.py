@@ -1625,7 +1625,7 @@ def test_ref_reads_via_datasource_and_refs_table(spark, tmp_path):
         .load(t)
     )
     assert by_id.count() == 50
-    with pytest.raises(Exception, match="not both"):
+    with pytest.raises(Exception, match="at most one"):
         spark.read.format("iceberg").option("ref", "dev").option(
             "snapshotId", refs["dev"][1]
         ).load(t).count()
