@@ -4375,7 +4375,17 @@ def write_iceberg_table_stats(
                 for v in vals:
                     if t == "string":
                         data = str(v).encode("utf-8")
-                    elif t in ("int", "long", "date"):
+                    elif t == "date":
+                        # Arrow hands DateType back as datetime.date
+                        # (or a Timestamp after pandas coercion) — the
+                        # documented canonical form is the days-int.
+                        import datetime as _dt
+                        import struct as _st
+
+                        dv = v if type(v) is _dt.date else v.date()
+                        days = (dv - _dt.date(1970, 1, 1)).days
+                        data = _st.pack("<q", days)
+                    elif t in ("int", "long"):
                         import struct as _st
 
                         data = _st.pack("<q", int(v))

@@ -158,6 +158,58 @@ def test_iceberg_table_stats_end_to_end(spark, tmp_path):
     assert set(ib.read_iceberg_ndv(p2)) == {"doc_id"}
 
 
+def test_iceberg_table_stats_date_column(spark, tmp_path):
+    """Date columns are in _THETA_TYPES (auto-selected by default) and
+    canonicalize to the documented days-since-epoch int — Arrow hands
+    DateType back as datetime.date, which int() cannot take, so this
+    used to crash the mapInPandas worker on ANY table with a date."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ndv_date")
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.date_add(
+            F.lit("2020-01-01").cast("date"), (F.col("id") % 31).cast("int")
+        ).alias("day"),
+    )
+    ib.write_iceberg(df.repartition(4), path)
+    ib.write_iceberg_table_stats(spark, path)
+    ndv = ib.read_iceberg_ndv(path)
+    assert ndv["day"] == 31  # below k: lossless
+    assert ndv["doc_id"] == 500
+    # the canonical form is the days-int: the registered sketch holds
+    # exactly the hashes of struct.pack('<q', days)
+    import datetime as _dt
+
+    expect = {
+        theta.hash63(
+            struct.pack(
+                "<q",
+                (_dt.date(2020, 1, 1) - _dt.date(1970, 1, 1)).days + i,
+            )
+        )
+        for i in range(31)
+    }
+    meta = ib.current_metadata(path)
+    reg = (meta.get("statistics") or [])[-1]
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        puffin,
+    )
+
+    fields = {f["name"]: f["id"] for f in ib._schema_of(meta)}
+    local = os.path.join(path, "metadata", os.path.basename(
+        reg["statistics-path"]
+    ))
+    footer = puffin.read_puffin_footer(local)
+    bm = [
+        b for b in footer["blobs"] if b["fields"] == [fields["day"]]
+    ][0]
+    sk = theta.deserialize_compact(
+        puffin.read_blob(local, bm["offset"], bm["length"])
+    )
+    assert set(sk["hashes"]) == expect
+
+
 def test_merge_keeps_estimation_theta():
     """Union of an estimation-mode sketch with a tiny exact one stays
     in estimation mode under the pooled minimum theta — few surviving
