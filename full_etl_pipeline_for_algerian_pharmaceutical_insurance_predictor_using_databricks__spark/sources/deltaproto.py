@@ -1081,11 +1081,11 @@ def _maybe_auto_checkpoint(spark: SparkSession, path: str, version: int) -> None
     failed checkpoint never fails the already-committed write: the
     checkpoint is an optimization, the JSON commit is the truth."""
     try:
-        meta, _live, _v = _fold_delta_state(spark, path, None)
+        # read ONLY the configuration (checkpoint header + JSON tail):
+        # folding full state here would add O(snapshot) work to every
+        # write even when the property is unset (the default)
         iv = int(
-            (meta.get("configuration") or {}).get(
-                "delta.checkpointInterval", 0
-            )
+            _current_config(path).get("delta.checkpointInterval", 0)
         )
         if iv > 0 and version > 0 and version % iv == 0:
             write_delta_checkpoint(spark, path, version=version)
@@ -1103,13 +1103,41 @@ class ConcurrentDeltaCommit(Exception):
     caller must re-read and re-apply."""
 
 
+def _add_in_read_scope(add: dict, scope) -> bool:
+    """Whether an intervening commit's add-action lands NEW ROWS inside
+    the read scope an RMW was planned against.  `scope` is `"table"`
+    (full-table read: overwrite/restore), or a predicate descriptor
+    {part_cols, col, lo, hi, phys_part, phys_col} mirroring the
+    data-skipping prune the RMW itself ran — a file is in scope unless
+    `_add_outside_range` PROVES it disjoint in both the logical and
+    physical namespaces (exactly the RMW's own pruning rule, so scope
+    == what the operation actually read).  dataChange=false adds
+    (compaction rewrites) carry no new rows and never conflict."""
+    if scope is None:
+        return False
+    if not add.get("dataChange", True):
+        return False
+    if scope == "table":
+        return True
+    return not (
+        _add_outside_range(
+            add, scope["part_cols"], scope["col"], scope["lo"], scope["hi"]
+        )
+        and _add_outside_range(
+            add, scope["phys_part"], scope["phys_col"], scope["lo"],
+            scope["hi"],
+        )
+    )
+
+
 def _assert_no_commit_conflict(
-    path: str, version: int, touched: set[str]
+    path: str, version: int, touched: set[str], read_scope=None
 ) -> None:
     """Raise ConcurrentDeltaCommit if commit `version` touches any of
-    `touched` (file-level write-write conflict) or changes the
-    table's protocol/metaData (the schema this RMW was planned
-    against)."""
+    `touched` (file-level write-write conflict), ADDS files whose rows
+    may fall inside `read_scope` (read-write conflict — delta-spark's
+    ConcurrentAppendException), or changes the table's
+    protocol/metaData (the schema this RMW was planned against)."""
     for a in _read_actions(path, version):
         if "protocol" in a or "metaData" in a:
             raise ConcurrentDeltaCommit(
@@ -1128,10 +1156,20 @@ def _assert_no_commit_conflict(
                 "operation read its snapshot — blind commit would lose "
                 "that update; re-read and re-apply"
             )
+        if "add" in a and _add_in_read_scope(a["add"], read_scope):
+            raise ConcurrentDeltaCommit(
+                f"version {version} appended {a['add']['path']!r} inside "
+                "the range this operation read (concurrent append) — its "
+                "rows would silently escape the predicate; re-read and "
+                "re-apply"
+            )
 
 
 def _claim_delta_version(
-    path: str, lines: list[str], read_version: int | None = None
+    path: str,
+    lines: list[str],
+    read_version: int | None = None,
+    read_scope=None,
 ) -> int:
     """Atomic put-if-absent commit (os.link), retrying at the next
     version on a lost race — the writer rule the protocol requires.
@@ -1147,10 +1185,14 @@ def _claim_delta_version(
     OPTIMIZE/RESTORE/overwrite) is the snapshot version the commit was
     computed against: every intervening commit in
     (read_version, claimed) is validated file-level against this
-    commit's remove/add set and raises ConcurrentDeltaCommit on
-    overlap — optimistic concurrency, the writer protocol's
-    serializability check.  Blind appends (read_version=None) never
-    conflict and keep the plain retry."""
+    commit's remove/add set — and, when `read_scope` is given, its ADD
+    actions are checked against the range/table scope the RMW read
+    (delta-spark's ConcurrentAppendException) — raising
+    ConcurrentDeltaCommit on overlap.  Without a read_scope the
+    isolation is write-write/file-level only (appends never conflict:
+    correct for dataChange=false maintenance rewrites like
+    OPTIMIZE/compaction, which read no predicate).  Blind appends
+    (read_version=None) never conflict and keep the plain retry."""
     touched: set[str] = set()
     if read_version is not None:
         for ln in lines:
@@ -1182,7 +1224,7 @@ def _claim_delta_version(
             # validate every commit that landed after the snapshot
             # this RMW read (each version checked at most once)
             for v_i in range(checked_to + 1, version):
-                _assert_no_commit_conflict(path, v_i, touched)
+                _assert_no_commit_conflict(path, v_i, touched, read_scope)
             checked_to = version - 1
         if dynamic:
             eff = _rt_stamp_lines(path, lines, version) if rt else lines
@@ -1623,12 +1665,17 @@ def write_delta(
         )
     # an overwrite is a read-modify-write of the prior live set: a
     # racing rewrite of any of those files must abort, never be
-    # silently superseded; blind appends keep the plain retry
+    # silently superseded — and a racing APPEND must too (its rows
+    # would survive the overwrite, so the table would no longer equal
+    # the overwriting frame); blind appends keep the plain retry
     _v_new = _claim_delta_version(
         path,
         lines,
         read_version=(
             _v if (not first and mode == "overwrite") else None
+        ),
+        read_scope=(
+            "table" if (not first and mode == "overwrite") else None
         ),
     )
     _maybe_auto_checkpoint(spark, path, _v_new)
@@ -1889,7 +1936,13 @@ def delete_where_delta(
                 }
             )
         )
-    _v_new = _claim_delta_version(path, lines, read_version=_v)
+    _scope = {
+        "part_cols": part_cols, "col": col, "lo": lo, "hi": hi,
+        "phys_part": phys_part, "phys_col": phys_col,
+    }
+    _v_new = _claim_delta_version(
+        path, lines, read_version=_v, read_scope=_scope
+    )
     _maybe_auto_checkpoint(spark, path, _v_new)
     return _v_new
 
@@ -2103,7 +2156,14 @@ def _delete_where_delta_dv(
                 }
             )
         )
-    _v_new = _claim_delta_version(path, lines, read_version=read_version)
+    _scope = {
+        "part_cols": part_cols, "col": col, "lo": lo, "hi": hi,
+        "phys_part": [mapping.get(c, c) for c in log_part],
+        "phys_col": mapping.get(col, col),
+    }
+    _v_new = _claim_delta_version(
+        path, lines, read_version=read_version, read_scope=_scope
+    )
     _maybe_auto_checkpoint(spark, path, _v_new)
     return _v_new
 
@@ -2373,7 +2433,13 @@ def update_where_delta(
                 }
             )
         )
-    _v_new = _claim_delta_version(path, lines, read_version=_v)
+    _scope = {
+        "part_cols": part_cols, "col": col, "lo": lo, "hi": hi,
+        "phys_part": phys_part, "phys_col": phys_col,
+    }
+    _v_new = _claim_delta_version(
+        path, lines, read_version=_v, read_scope=_scope
+    )
     _maybe_auto_checkpoint(spark, path, _v_new)
     return _v_new
 
@@ -2511,7 +2577,9 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
             add["dataChange"] = True
             add["modificationTime"] = now_ms
             lines.append(json.dumps({"add": add}))
-    _v_new = _claim_delta_version(path, lines, read_version=_vc)
+    _v_new = _claim_delta_version(
+        path, lines, read_version=_vc, read_scope="table"
+    )
     _maybe_auto_checkpoint(spark, path, _v_new)
     return _v_new
 
@@ -2652,7 +2720,14 @@ def merge_upsert_delta(
                 }
             )
         )
-    _v_new = _claim_delta_version(path, lines, read_version=_v)
+    _scope = {
+        "part_cols": part_cols, "col": key, "lo": lo, "hi": hi,
+        "phys_part": [mapping.get(c, c) for c in part_cols],
+        "phys_col": mapping.get(key, key),
+    }
+    _v_new = _claim_delta_version(
+        path, lines, read_version=_v, read_scope=_scope
+    )
     _maybe_auto_checkpoint(spark, path, _v_new)
     return _v_new
 
@@ -2754,13 +2829,22 @@ def set_delta_properties(
     guard), retention properties.  Protocol-governed properties
     (columnMapping mode, constraints) refuse — they have dedicated
     helpers that also manage the protocol/feature side."""
-    guarded = ("delta.columnMapping.", "delta.constraints.")
+    guarded = (
+        "delta.columnMapping.",
+        "delta.constraints.",
+        # row tracking is protocol-governed too: flipping the property
+        # without the rowTracking/domainMetadata writer features and
+        # materialized column names makes every later write either
+        # refuse or stamp undeclared actions
+        "delta.enableRowTracking",
+        "delta.rowTracking.",
+    )
     for k in props:
         if any(k.startswith(g) for g in guarded):
             raise ValueError(
                 f"property {k!r} is protocol-governed — use the "
                 "dedicated helper (rename/drop_delta_column, "
-                "add_delta_constraint)"
+                "add_delta_constraint, enable_row_tracking)"
             )
     meta, _live, _v = _fold_delta_state(spark, path, None)
     conf = dict(meta.get("configuration") or {})
@@ -2798,7 +2882,11 @@ def set_delta_properties(
             }
         ),
     ]
-    return _claim_delta_version(path, lines)
+    # a property update is itself a read-modify-write of the
+    # configuration map: two racing updates must not silently lose one
+    # — the metaData action already conflicts in
+    # _assert_no_commit_conflict, so the loser re-reads and re-applies
+    return _claim_delta_version(path, lines, read_version=_v)
 
 
 def drop_delta_column(spark: SparkSession, path: str, name: str) -> int:

@@ -2887,6 +2887,162 @@ def test_concurrent_overwrite_vs_rmw(spark, tmp_path):
         dp._claim_delta_version(path, lines, read_version=v0)
 
 
+def test_concurrent_append_vs_rmw(spark, tmp_path, monkeypatch):
+    """delta-spark's ConcurrentAppendException semantics: an append
+    that lands predicate-matching rows between an RMW's snapshot read
+    and its claim makes the RMW refuse (its effect would reflect the
+    pre-append snapshot and the appended rows would escape the
+    predicate).  Partition-disjoint appends still commit, and
+    dataChange=false maintenance adds never read-conflict."""
+    path = str(tmp_path / "occapp")
+    df = spark.createDataFrame(
+        [(i, i % 2, i * 10) for i in range(20)],
+        "doc_id long, p int, v long",
+    ).coalesce(1)
+    dp.write_delta(df, path, partition_by=["p"])
+
+    orig = dp._claim_delta_version
+    state: dict = {}
+
+    def racer(path_, lines, read_version=None, read_scope=None):
+        # between the RMW's snapshot read and its claim, land an
+        # append carrying rows the RMW's predicate matches
+        if read_version is not None and not state.get("raced"):
+            state["raced"] = True
+            extra = spark.createDataFrame(
+                [(100, state["race_p"], 0)], "doc_id long, p int, v long"
+            ).coalesce(1)
+            dp.write_delta(extra, path_, mode="append", partition_by=["p"])
+        state["scope"] = read_scope
+        return orig(
+            path_, lines, read_version=read_version, read_scope=read_scope
+        )
+
+    monkeypatch.setattr(dp, "_claim_delta_version", racer)
+
+    # racing append into the SAME partition the DELETE reads: refuse
+    state["race_p"] = 0
+    with pytest.raises(dp.ConcurrentDeltaCommit, match="appended"):
+        dp.delete_where_delta(spark, path, "p", 0, 0)
+    # the delete committed NOTHING: every original row + the racer live
+    assert dp.read_delta(spark, path).count() == 21
+    # the real delete plumbed its prune params through as the scope
+    assert state["scope"]["col"] == "p"
+    assert (state["scope"]["lo"], state["scope"]["hi"]) == (0, 0)
+
+    # racing append into the OTHER partition: the DELETE commits
+    state["raced"] = False
+    state["race_p"] = 0
+    dp.delete_where_delta(spark, path, "p", 1, 1)
+    got = sorted(
+        r["doc_id"] for r in dp.read_delta(spark, path).collect()
+    )
+    assert got == sorted(
+        [i for i in range(20) if i % 2 == 0] + [100, 100]
+    )
+
+    monkeypatch.setattr(dp, "_claim_delta_version", orig)
+
+    # an overwrite planned before an append refuses too ("table" scope)
+    _meta, live, v0 = dp._fold_delta_state(spark, path, None)
+    extra = spark.createDataFrame(
+        [(200, 0, 0)], "doc_id long, p int, v long"
+    ).coalesce(1)
+    dp.write_delta(extra, path, mode="append", partition_by=["p"])
+    lines = [
+        json.dumps({"commitInfo": {"timestamp": 0, "operation": "WRITE"}})
+    ] + [
+        json.dumps({"remove": {"path": rel, "dataChange": True}})
+        for rel in sorted(live)
+    ]
+    with pytest.raises(dp.ConcurrentDeltaCommit, match="appended"):
+        dp._claim_delta_version(
+            path, lines, read_version=v0, read_scope="table"
+        )
+
+    # dataChange=false adds (compaction shape) never read-conflict
+    _meta, live1, v1 = dp._fold_delta_state(spark, path, None)
+    dp._claim_delta_version(
+        path,
+        [
+            json.dumps(
+                {"commitInfo": {"timestamp": 0, "operation": "OPTIMIZE"}}
+            ),
+            json.dumps(
+                {
+                    "add": {
+                        "path": "p=0/part-nodata.parquet",
+                        "partitionValues": {"p": "0"},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": False,
+                    }
+                }
+            ),
+        ],
+    )
+    v2 = dp._claim_delta_version(
+        path,
+        [
+            json.dumps(
+                {"commitInfo": {"timestamp": 0, "operation": "DELETE"}}
+            )
+        ],
+        read_version=v1,
+        read_scope="table",
+    )
+    assert v2 == v1 + 2
+
+
+def test_concurrent_property_updates_conflict(spark, tmp_path, monkeypatch):
+    """set_delta_properties is a read-modify-write of the configuration
+    map: a racing property update between its read and its claim must
+    conflict (metaData change), never be silently overwritten."""
+    path = str(tmp_path / "occprops")
+    df = spark.createDataFrame([(1, 1)], "doc_id long, v long").coalesce(1)
+    dp.write_delta(df, path)
+
+    orig = dp._claim_delta_version
+    state = {"raced": False}
+
+    def racer(path_, lines, read_version=None, read_scope=None):
+        if not state["raced"]:
+            state["raced"] = True
+            dp.set_delta_properties(
+                spark, path_, {"custom.other": "yes"}
+            )
+        return orig(
+            path_, lines, read_version=read_version, read_scope=read_scope
+        )
+
+    monkeypatch.setattr(dp, "_claim_delta_version", racer)
+    with pytest.raises(dp.ConcurrentDeltaCommit, match="protocol/metadata"):
+        dp.set_delta_properties(spark, path, {"custom.mine": "1"})
+    monkeypatch.setattr(dp, "_claim_delta_version", orig)
+    conf = dp._current_config(path)
+    assert conf.get("custom.other") == "yes"  # the racer won
+    assert "custom.mine" not in conf  # the loser lost loudly, not silently
+    # re-applied after a fresh read it lands
+    dp.set_delta_properties(spark, path, {"custom.mine": "1"})
+    assert dp._current_config(path).get("custom.mine") == "1"
+
+
+def test_row_tracking_properties_guarded(spark, tmp_path):
+    """delta.enableRowTracking / delta.rowTracking.* are
+    protocol-governed: setting them through SET TBLPROPERTIES would
+    flip _rt_enabled_for_commit without the writer features or
+    materialized column names — refuse toward enable_row_tracking."""
+    path = str(tmp_path / "rtguard")
+    df = spark.createDataFrame([(1, 1)], "doc_id long, v long").coalesce(1)
+    dp.write_delta(df, path)
+    for key in (
+        "delta.enableRowTracking",
+        "delta.rowTracking.materializedRowIdColumnName",
+    ):
+        with pytest.raises(ValueError, match="protocol-governed"):
+            dp.set_delta_properties(spark, path, {key: "true"})
+
+
 def test_drop_delta_column(spark, tmp_path):
     """Metadata-only DROP COLUMN: first use upgrades to column mapping
     (old files keep resolving), the dropped column disappears from
