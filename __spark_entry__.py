@@ -231,6 +231,7 @@ _TAIL_ORDER = [
     "lake_iceberg_pstats",
     "lake_iceberg_ndv",
     "lake_delta_evolution",
+    "lake_iceberg_decimal",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -368,6 +369,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_iceberg_pstats"] = _iceberg.iceberg_pstats_entry
     pool["lake_iceberg_ndv"] = _iceberg.iceberg_ndv_entry
     pool["lake_delta_evolution"] = _deltaproto.delta_evolution_entry
+    pool["lake_iceberg_decimal"] = _iceberg.iceberg_decimal_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -462,6 +464,7 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_iceberg_pstats"] = _iceberg.ICEBERG_PSTATS_ORACLE_SQL
     pool["lake_iceberg_ndv"] = _iceberg.ICEBERG_NDV_ORACLE_SQL
     pool["lake_delta_evolution"] = _deltaproto.DELTA_EVOLUTION_ORACLE_SQL
+    pool["lake_iceberg_decimal"] = _iceberg.ICEBERG_DECIMAL_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

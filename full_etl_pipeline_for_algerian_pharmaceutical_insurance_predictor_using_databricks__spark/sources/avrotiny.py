@@ -144,6 +144,33 @@ def _union_branch(schema: list, value) -> int:
     raise ValueError(f"no union branch for {value!r} in {schema!r}")
 
 
+def _dec_unscaled(value, scale: int) -> int:
+    """Unscaled int of a decimal value at the schema's scale."""
+    import decimal
+
+    return int(decimal.Decimal(value).scaleb(scale))
+
+
+def _dec_from_unscaled(unscaled: int, scale: int):
+    import decimal
+
+    return decimal.Decimal(unscaled).scaleb(-scale)
+
+
+def min_signed_bytes(n: int) -> bytes:
+    """Minimal big-endian two's-complement encoding of an int — the
+    Avro/Iceberg `decimal` bytes form."""
+    length = ((n + 1 if n < 0 else n).bit_length() // 8) + 1
+    return n.to_bytes(length, "big", signed=True)
+
+
+def _is_decimal(schema) -> bool:
+    return (
+        isinstance(schema, dict)
+        and schema.get("logicalType") == "decimal"
+    )
+
+
 def write_datum(buf: io.BytesIO, schema, value) -> None:
     t = _type_of(schema)
     if t == "null":
@@ -157,7 +184,14 @@ def write_datum(buf: io.BytesIO, schema, value) -> None:
     elif t == "double":
         buf.write(struct.pack("<d", float(value)))
     elif t == "bytes":
-        raw = bytes(value)
+        if _is_decimal(schema) and not isinstance(
+            value, (bytes, bytearray)
+        ):
+            raw = min_signed_bytes(
+                _dec_unscaled(value, int(schema.get("scale") or 0))
+            )
+        else:
+            raw = bytes(value)
         _write_long(buf, len(raw))
         buf.write(raw)
     elif t == "string":
@@ -165,7 +199,16 @@ def write_datum(buf: io.BytesIO, schema, value) -> None:
         _write_long(buf, len(raw))
         buf.write(raw)
     elif t == "fixed":
-        raw = bytes(value)
+        if _is_decimal(schema) and not isinstance(
+            value, (bytes, bytearray)
+        ):
+            # decimal logical type: sign-extend the unscaled value's
+            # two's complement to the fixed size (the Avro spec form)
+            raw = _dec_unscaled(
+                value, int(schema.get("scale") or 0)
+            ).to_bytes(schema["size"], "big", signed=True)
+        else:
+            raw = bytes(value)
         if len(raw) != schema["size"]:
             raise ValueError("fixed size mismatch")
         buf.write(raw)
@@ -220,11 +263,23 @@ def read_datum(buf, schema):
     if t == "double":
         return struct.unpack("<d", buf.read(8))[0]
     if t == "bytes":
-        return buf.read(_read_long(buf))
+        raw = buf.read(_read_long(buf))
+        if _is_decimal(schema):
+            return _dec_from_unscaled(
+                int.from_bytes(raw, "big", signed=True),
+                int(schema.get("scale") or 0),
+            )
+        return raw
     if t == "string":
         return buf.read(_read_long(buf)).decode("utf-8")
     if t == "fixed":
-        return buf.read(schema["size"])
+        raw = buf.read(schema["size"])
+        if _is_decimal(schema):
+            return _dec_from_unscaled(
+                int.from_bytes(raw, "big", signed=True),
+                int(schema.get("scale") or 0),
+            )
+        return raw
     if t == "enum":
         return schema["symbols"][_read_long(buf)]
     if t == "union":

@@ -103,27 +103,238 @@ _ICE_TO_AVRO = {
 }
 
 
+_DEC_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+
+
+def _dec_params(t) -> tuple[int, int] | None:
+    """(precision, scale) of an Iceberg `decimal(P, S)` type string,
+    else None."""
+    if not isinstance(t, str):
+        return None
+    m = _DEC_RE.match(t)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def _dec_required_bytes(precision: int) -> int:
+    """Minimum fixed size holding ANY unscaled value of the precision
+    (the Iceberg/Avro `fixed` size rule for decimals)."""
+    return len(avrotiny.min_signed_bytes(10**precision - 1))
+
+
+def _to_decimal(v):
+    """Normalize a user/footer value to decimal.Decimal (floats go
+    through str — repr round-trip, never binary artifacts)."""
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return v
+    if isinstance(v, float):
+        return decimal.Decimal(str(v))
+    return decimal.Decimal(v)
+
+
+def _spark_to_ice_type(dt) -> str | dict:
+    """Iceberg JSON type for one Spark DataType — primitives map by
+    name, decimal carries (P, S), struct/list/map recurse WITHOUT id
+    assignment (ids are stamped by _iceberg_fields)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DecimalType,
+        MapType,
+        StructType,
+    )
+
+    if isinstance(dt, DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _spark_to_ice_type(f.dataType),
+                }
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, ArrayType):
+        return {
+            "type": "list",
+            "element": _spark_to_ice_type(dt.elementType),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, MapType):
+        return {
+            "type": "map",
+            "key": _spark_to_ice_type(dt.keyType),
+            "value": _spark_to_ice_type(dt.valueType),
+            "value-required": not dt.valueContainsNull,
+        }
+    tn = dt.typeName()
+    if tn not in _SPARK_TO_ICE:
+        raise ValueError(
+            f"type {tn} not supported by the Iceberg interop tier"
+        )
+    return _SPARK_TO_ICE[tn]
+
+
 def _iceberg_fields(df_schema) -> list[dict]:
-    """Iceberg schema fields (with assigned field-ids) from a flat
-    Spark schema.  Nested/exotic types raise — the interop tier covers
-    the flat-relational shape every engine agrees on."""
+    """Iceberg schema fields (with assigned field-ids) from a Spark
+    schema.  Ids are assigned the way Java Iceberg's assignFreshIds
+    does: all direct fields of a struct get consecutive ids FIRST,
+    then each field's nested types allocate theirs (so a flat schema
+    keeps the historical 1..n ids exactly).  Nested struct/list/map
+    and decimal(P, S) are first-class; exotic types raise."""
+    counter = [0]
+
+    def alloc() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    def stamp_ids(t, spark_dt):
+        """Copy an id-less Iceberg JSON type, allocating element/key/
+        value/field ids level-order."""
+        if isinstance(t, str):
+            return t
+        kind = t["type"]
+        if kind == "struct":
+            ids = [alloc() for _ in t["fields"]]
+            out_fields = []
+            for fid, f, sf in zip(ids, t["fields"], spark_dt.fields):
+                out_fields.append(
+                    {
+                        "id": fid,
+                        "name": f["name"],
+                        "required": f.get("required", False),
+                        "type": None,  # filled below (children after siblings)
+                    }
+                )
+            for of, f, sf in zip(out_fields, t["fields"], spark_dt.fields):
+                of["type"] = stamp_ids(f["type"], sf.dataType)
+            return {"type": "struct", "fields": out_fields}
+        if kind == "list":
+            eid = alloc()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": stamp_ids(t["element"], spark_dt.elementType),
+                "element-required": t.get("element-required", False),
+            }
+        if kind == "map":
+            kid, vid = alloc(), alloc()
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": stamp_ids(t["key"], spark_dt.keyType),
+                "value-id": vid,
+                "value": stamp_ids(t["value"], spark_dt.valueType),
+                "value-required": t.get("value-required", False),
+            }
+        raise ValueError(f"unknown Iceberg composite kind {kind!r}")
+
+    tops = []
+    for f in df_schema.fields:
+        try:
+            raw = _spark_to_ice_type(f.dataType)
+        except ValueError as e:
+            raise ValueError(f"column {f.name!r}: {e}") from None
+        tops.append((alloc(), f, raw))
     out = []
-    for i, f in enumerate(df_schema.fields, start=1):
-        tn = f.dataType.typeName()
-        if tn not in _SPARK_TO_ICE:
-            raise ValueError(
-                f"column {f.name!r}: type {tn} not supported by the "
-                "Iceberg interop tier"
-            )
+    for fid, f, raw in tops:
         out.append(
             {
-                "id": i,
+                "id": fid,
                 "name": f.name,
                 "required": False,
-                "type": _SPARK_TO_ICE[tn],
+                "type": stamp_ids(raw, f.dataType),
             }
         )
     return out
+
+
+def _max_field_id(fields: list[dict]) -> int:
+    """Highest field-id anywhere in a schema, nested ids included —
+    the `last-column-id` floor."""
+
+    def walk(t) -> int:
+        if isinstance(t, str):
+            return 0
+        kind = t.get("type")
+        if kind == "struct":
+            return max(
+                (
+                    max(int(f["id"]), walk(f["type"]))
+                    for f in t["fields"]
+                ),
+                default=0,
+            )
+        if kind == "list":
+            return max(int(t.get("element-id") or 0), walk(t["element"]))
+        if kind == "map":
+            return max(
+                int(t.get("key-id") or 0),
+                int(t.get("value-id") or 0),
+                walk(t["key"]),
+                walk(t["value"]),
+            )
+        return 0
+
+    return max(
+        (max(int(f["id"]), walk(f["type"])) for f in fields), default=0
+    )
+
+
+def _ice_type_to_spark_json(t):
+    """Spark JSON-schema type (string or dict) for one Iceberg JSON
+    type — the recursive inverse of _spark_to_ice_type."""
+    if isinstance(t, str):
+        if t in _ICE_TO_SPARK:
+            return _ICE_TO_SPARK[t]
+        ps = _dec_params(t)
+        if ps is not None:
+            return f"decimal({ps[0]},{ps[1]})"
+        raise ValueError(f"Iceberg type {t!r} not supported")
+    kind = t.get("type")
+    if kind == "struct":
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": f["name"],
+                    "type": _ice_type_to_spark_json(f["type"]),
+                    "nullable": not f.get("required", False),
+                    "metadata": {},
+                }
+                for f in t["fields"]
+            ],
+        }
+    if kind == "list":
+        return {
+            "type": "array",
+            "elementType": _ice_type_to_spark_json(t["element"]),
+            "containsNull": not t.get("element-required", False),
+        }
+    if kind == "map":
+        return {
+            "type": "map",
+            "keyType": _ice_type_to_spark_json(t["key"]),
+            "valueType": _ice_type_to_spark_json(t["value"]),
+            "valueContainsNull": not t.get("value-required", False),
+        }
+    raise ValueError(f"Iceberg type {t!r} not supported")
+
+
+def _ice_primitive_to_spark(t) -> str:
+    """Spark type STRING for an Iceberg primitive (partition sources,
+    equality-delete columns — places the spec restricts to
+    primitives); composites raise."""
+    s = _ice_type_to_spark_json(t)
+    if not isinstance(s, str):
+        raise ValueError(
+            f"Iceberg type {t!r} is not a primitive — unsupported here"
+        )
+    return s
 
 
 def _spark_schema(fields: list[dict]):
@@ -131,12 +342,21 @@ def _spark_schema(fields: list[dict]):
 
     cols = []
     for f in fields:
-        t = f["type"]
-        if not isinstance(t, str) or t not in _ICE_TO_SPARK:
+        try:
+            st = _ice_type_to_spark_json(f["type"])
+        except ValueError:
             raise ValueError(
-                f"field {f.get('name')!r}: Iceberg type {t!r} not supported"
-            )
-        cols.append({"name": f["name"], "type": _ICE_TO_SPARK[t], "nullable": True, "metadata": {}})
+                f"field {f.get('name')!r}: Iceberg type {f['type']!r} "
+                "not supported"
+            ) from None
+        cols.append(
+            {
+                "name": f["name"],
+                "type": st,
+                "nullable": True,
+                "metadata": {},
+            }
+        )
     return StructType.fromJson({"type": "struct", "fields": cols})
 
 
@@ -169,6 +389,9 @@ def _to_internal(ice_type: str, v):
         )
         epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
         return (dt - epoch) // datetime.timedelta(microseconds=1)
+    ps = _dec_params(ice_type)
+    if ps is not None:
+        return _to_decimal(v)
     return v
 
 
@@ -190,6 +413,11 @@ def ser_value(ice_type: str, v) -> bytes | None:
         return str(v).encode("utf-8")
     if ice_type == "binary":
         return bytes(v)
+    ps = _dec_params(ice_type)
+    if ps is not None:
+        # spec Appendix D: unscaled value, MINIMUM number of bytes,
+        # big-endian two's-complement
+        return avrotiny.min_signed_bytes(int(v.scaleb(ps[1])))
     raise ValueError(f"cannot serialize Iceberg type {ice_type!r}")
 
 
@@ -217,6 +445,15 @@ def deser_value(ice_type: str, raw: bytes | None):
         return raw.decode("utf-8")
     if ice_type == "binary":
         return raw
+    ps = _dec_params(ice_type)
+    if ps is not None:
+        import decimal
+
+        # readers accept ANY byte width (a foreign writer may pad to
+        # the type's fixed size) — two's complement decodes the same
+        return decimal.Decimal(
+            int.from_bytes(raw, "big", signed=True)
+        ).scaleb(-ps[1])
     raise ValueError(f"cannot deserialize Iceberg type {ice_type!r}")
 
 
@@ -246,6 +483,23 @@ def _id_map_schema(name: str, key_id: int, val_id: int, val_type="bytes"):
     }
 
 
+def _ice_to_avro_type(res_type: str, field_id: int):
+    """Avro schema node for one Iceberg primitive partition-value type
+    — decimal(P, S) becomes the spec's fixed + decimal logical type
+    (size from the precision, name unique per field-id)."""
+    ps = _dec_params(res_type)
+    if ps is not None:
+        return {
+            "type": "fixed",
+            "name": f"decimal_{field_id}",
+            "size": _dec_required_bytes(ps[0]),
+            "logicalType": "decimal",
+            "precision": ps[0],
+            "scale": ps[1],
+        }
+    return _ICE_TO_AVRO[res_type]
+
+
 def _partition_avro_schema(part_fields: list[dict], ice_types: dict) -> dict:
     fields = []
     for pf in part_fields:
@@ -253,7 +507,7 @@ def _partition_avro_schema(part_fields: list[dict], ice_types: dict) -> dict:
         fields.append(
             {
                 "name": pf["name"],
-                "type": _opt(_ICE_TO_AVRO[res_type]),
+                "type": _opt(_ice_to_avro_type(res_type, pf["field-id"])),
                 "field-id": pf["field-id"],
                 "default": None,
             }
@@ -1254,7 +1508,9 @@ def _read_entries(
             [pf["name"] for pf in sfields],
             {pf["name"]: by_id[pf["source-id"]]["name"] for pf in id_pfs},
             {
-                pf["name"]: _ICE_TO_SPARK[by_id[pf["source-id"]]["type"]]
+                pf["name"]: _ice_primitive_to_spark(
+                    by_id[pf["source-id"]]["type"]
+                )
                 for pf in id_pfs
             },
         )
@@ -1327,7 +1583,12 @@ def _read_entries(
     # per-field-id stats and becomes part of the group key, so a
     # group either reads the column or fills the default literal
     defaulted = [
-        (f["name"], f["id"], f["initial-default"], _ICE_TO_SPARK[f["type"]])
+        (
+            f["name"],
+            f["id"],
+            f["initial-default"],
+            _ice_primitive_to_spark(f["type"]),
+        )
         for f in fields
         if f.get("initial-default") is not None
     ]
@@ -1742,6 +2003,8 @@ def _parse_hive_value(ice_type: str, v: str):
         return _to_internal("date", datetime.date.fromisoformat(v))
     if ice_type == "string":
         return v
+    if _dec_params(ice_type) is not None:
+        return _to_decimal(v)
     raise ValueError(
         f"Iceberg type {ice_type!r} unsupported as an identity "
         "partition source"
@@ -1798,6 +2061,11 @@ def _parse_partition_by(
         if fld is None:
             raise ValueError(f"partition term {term!r}: no column {col!r}")
         t = fld["type"]
+        if not isinstance(t, str):
+            raise ValueError(
+                f"partition term {term!r}: nested column types cannot be "
+                "partition sources (spec: transforms take primitives)"
+            )
         if kind in ("bucket", "truncate"):
             if param is None:
                 raise ValueError(
@@ -1821,11 +2089,15 @@ def _parse_partition_by(
             )
         if kind == "bucket" and t not in (
             "int", "long", "date", "timestamp", "timestamptz", "string"
-        ):
+        ) and _dec_params(t) is None:
             raise ValueError(
                 f"partition term {term!r}: bucket over {t!r} unsupported"
             )
-        if kind == "truncate" and t not in ("int", "long", "string"):
+        if (
+            kind == "truncate"
+            and t not in ("int", "long", "string")
+            and _dec_params(t) is None
+        ):
             raise ValueError(
                 f"partition term {term!r}: truncate over {t!r} unsupported"
             )
@@ -1894,6 +2166,12 @@ def _bucket_of(ice_type: str, v_internal, n: int):
         b = int(v_internal).to_bytes(8, "little", signed=True)
     elif ice_type == "string":
         b = str(v_internal).encode("utf-8")
+    elif _dec_params(ice_type) is not None:
+        # spec Appendix B: minimum-byte big-endian two's complement of
+        # the UNSCALED value
+        b = avrotiny.min_signed_bytes(
+            int(_to_decimal(v_internal).scaleb(_dec_params(ice_type)[1]))
+        )
     else:  # pragma: no cover - guarded at spec parse
         raise ValueError(f"bucket over {ice_type!r} unsupported")
     return (murmur3_32(b) & 0x7FFFFFFF) % n
@@ -1913,6 +2191,11 @@ def _apply_transform_py(pf: dict, ice_type: str, v_internal):
     if kind == "truncate":
         if ice_type in ("int", "long"):
             return (int(v_internal) // param) * param
+        ps = _dec_params(ice_type)
+        if ps is not None:
+            # spec: unscaled u → u - (u mod W), mod floor-signed
+            u = int(_to_decimal(v_internal).scaleb(ps[1]))
+            return _to_decimal(u - (u % param)).scaleb(-ps[1])
         return str(v_internal)[:param]
     # time transforms
     if ice_type == "date":
@@ -1960,6 +2243,33 @@ def _bucket_expr(src_type: str, n: int, c):
     batch.  Spark's built-in `hash()` is murmur3 with seed 42 and
     4-byte int encoding — NOT the spec function, hence the UDF."""
     from pyspark.sql.functions import pandas_udf
+
+    dec_ps = _dec_params(src_type)
+    if dec_ps is not None:
+        scale = dec_ps[1]
+
+        @pandas_udf("int")
+        def bucket_dec(s):
+            import decimal
+
+            import pandas as pd
+
+            out = []
+            for v in s:
+                if v is None:
+                    out.append(None)
+                else:
+                    u = int(decimal.Decimal(v).scaleb(scale))
+                    out.append(
+                        (
+                            murmur3_32(avrotiny.min_signed_bytes(u))
+                            & 0x7FFFFFFF
+                        )
+                        % n
+                    )
+            return pd.Series(out, dtype="Int32")
+
+        return bucket_dec(c)
 
     if src_type in ("int", "long"):
         norm = c.cast("long")
@@ -2040,6 +2350,30 @@ def _transform_expr(pf: dict, src_name: str, src_type: str):
         if src_type in ("int", "long"):
             out = (F.floor(c / F.lit(param)) * param)
             return out.cast("int" if src_type == "int" else "long")
+        dec_ps = _dec_params(src_type)
+        if dec_ps is not None:
+            from pyspark.sql.functions import pandas_udf
+
+            prec, scale = dec_ps
+
+            @pandas_udf(f"decimal({prec},{scale})")
+            def trunc_dec(s):
+                import decimal
+
+                import pandas as pd
+
+                out = []
+                for v in s:
+                    if v is None:
+                        out.append(None)
+                    else:
+                        u = int(decimal.Decimal(v).scaleb(scale))
+                        out.append(
+                            decimal.Decimal(u - (u % param)).scaleb(-scale)
+                        )
+                return pd.Series(out)
+
+            return trunc_dec(c)
         return F.substring(c, 1, param)
     if src_type == "date":
         days = F.datediff(c, F.lit("1970-01-01").cast("date"))
@@ -2488,7 +2822,7 @@ def _commit_snapshot(
                 "table-uuid": str(uuid.uuid4()),
                 "location": path,
                 "last-updated-ms": now_ms,
-                "last-column-id": max(f["id"] for f in schema_fields),
+                "last-column-id": _max_field_id(schema_fields),
                 "schema": {
                     "type": "struct",
                     "schema-id": 0,
@@ -4619,6 +4953,17 @@ def evolve_iceberg_spec(path: str, partition_by: list[str]) -> int:
 _ICE_WIDENINGS = {"int": {"long"}, "float": {"double"}}
 
 
+def _legal_widening(frm, to) -> bool:
+    """Spec type promotions: int→long, float→double, and
+    decimal(P, S) → decimal(P', S) with P' > P (same scale)."""
+    if to in _ICE_WIDENINGS.get(frm, ()):
+        return True
+    a, b = _dec_params(frm), _dec_params(to)
+    return (
+        a is not None and b is not None and b[1] == a[1] and b[0] > a[0]
+    )
+
+
 def evolve_iceberg_schema(
     path: str,
     add: list[tuple] | None = None,
@@ -4672,7 +5017,7 @@ def evolve_iceberg_schema(
             if cname not in by_name:
                 raise ValueError(f"no column {cname!r} to widen")
             frm = by_name[cname]["type"]
-            if to_type not in _ICE_WIDENINGS.get(frm, ()):
+            if not _legal_widening(frm, to_type):
                 raise ValueError(
                     f"cannot promote {cname!r} from {frm!r} to "
                     f"{to_type!r} — spec-legal promotions from {frm!r}: "
@@ -4702,8 +5047,15 @@ def evolve_iceberg_schema(
                     "field (schema.name-mapping.default) — reusing it would "
                     "make old files ambiguous; pick a fresh name"
                 )
-            if ice_type not in _ICE_TO_SPARK:
-                raise ValueError(f"unsupported Iceberg type {ice_type!r}")
+            if not isinstance(ice_type, str) or (
+                ice_type not in _ICE_TO_SPARK
+                and _dec_params(ice_type) is None
+            ):
+                raise ValueError(
+                    f"unsupported Iceberg type {ice_type!r} (ALTER ADD "
+                    "takes primitives incl. decimal; nested adds are "
+                    "unsupported)"
+                )
             last_id += 1
             f = {
                 "id": last_id,
@@ -4741,9 +5093,7 @@ def evolve_iceberg_schema(
         meta["schemas"] = list(meta.get("schemas") or []) + [new_schema]
         meta["current-schema-id"] = new_sid
         meta["schema"] = new_schema  # v1 single-schema mirror
-        meta["last-column-id"] = max(
-            last_id, max((f["id"] for f in fields), default=0)
-        )
+        meta["last-column-id"] = max(last_id, _max_field_id(fields))
         if mapping:
             props = dict(meta.get("properties") or {})
             props["schema.name-mapping.default"] = json.dumps(
@@ -5223,7 +5573,15 @@ def uniform_iceberg_metadata(spark: SparkSession, path: str) -> int:
     name_mapping: list[dict] = []
     for i, f in enumerate(dschema["fields"], start=1):
         t = f["type"]
-        if not isinstance(t, str) or t not in _SPARK_TO_ICE:
+        ice_t = None
+        if isinstance(t, str):
+            if t in _SPARK_TO_ICE:
+                ice_t = _SPARK_TO_ICE[t]
+            else:
+                dm = _DEC_RE.match(t.replace(" ", ""))
+                if dm:
+                    ice_t = f"decimal({dm.group(1)}, {dm.group(2)})"
+        if ice_t is None:
             raise ValueError(
                 f"column {f['name']!r}: Spark type {t!r} unsupported by "
                 "the Iceberg interop tier"
@@ -5236,7 +5594,7 @@ def uniform_iceberg_metadata(spark: SparkSession, path: str) -> int:
                 "id": fid,
                 "name": f["name"],
                 "required": False,
-                "type": _SPARK_TO_ICE[t],
+                "type": ice_t,
             }
         )
         phys_of[f["name"]] = phys
@@ -5444,6 +5802,8 @@ def _hive_partition_value(ice_type: str, v) -> str | None:
         ).isoformat()
     if ice_type in ("int", "long", "string", "float", "double"):
         return str(v)
+    if _dec_params(ice_type) is not None:
+        return str(_to_decimal(v))
     raise ValueError(
         f"identity partition value of Iceberg type {ice_type!r} has no "
         "Delta hive-string encoding in this tier (timestamps carry "
@@ -5506,7 +5866,12 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
     feats: set[str] = set()
     for f in fields:
         t = f["type"]
-        if not isinstance(t, str) or t not in _ICE_TO_SPARK:
+        ps = _dec_params(t)
+        if ps is not None:
+            delta_t = f"decimal({ps[0]},{ps[1]})"
+        elif isinstance(t, str) and t in _ICE_TO_SPARK:
+            delta_t = _ICE_TO_SPARK[t]
+        else:
             raise ValueError(
                 f"field {f['name']!r}: Iceberg type {t!r} unsupported by "
                 "the Delta interop tier"
@@ -5518,7 +5883,7 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
         delta_fields.append(
             {
                 "name": f["name"],
-                "type": _ICE_TO_SPARK[t],
+                "type": delta_t,
                 "nullable": not f.get("required", False),
                 "metadata": {},
             }
@@ -7036,4 +7401,97 @@ WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
   AND ts < TIMESTAMP '2024-01-04 00:00:00'
 GROUP BY event_type
 ORDER BY event_type
+"""
+
+
+_ICEBERG_DECIMAL_LAKE_VERSION = 2
+
+
+def _ensure_decimal_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once DECIMAL + NESTED fixture (r13: the flat-schema gates
+    are gone): lineitem cast to decimal money columns plus a struct
+    column, landed under a `truncate(1000000, price)` partition spec
+    (Appendix-B decimal truncate floors the UNSCALED value, so width
+    10^6 at scale 2 = 10000.00-wide buckets — ~11 partitions), then a decimal
+    range DELETE (copy-on-write over decimal bounds) and a
+    metadata-only precision widening decimal(12,2)→decimal(20,2)."""
+    from decimal import Decimal
+
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "iceberg_decimal", _ICEBERG_DECIMAL_LAKE_VERSION, sf_dir
+        ),
+        "li_iceberg_decimal",
+    )
+    if not _metadata_versions(path):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+            F.col("l_quantity").cast("decimal(8,2)").alias("qty"),
+            F.struct(
+                F.col("l_returnflag").alias("rf"),
+                F.col("l_linestatus").alias("ls"),
+            ).alias("flags"),
+        )
+        write_iceberg(
+            li.repartition(4),
+            path,
+            partition_by=["truncate(1000000, price)"],
+        )
+        delete_where_iceberg(
+            spark, path, "price", Decimal("2000.00"), Decimal("2999.99")
+        )
+        evolve_iceberg_schema(path, widen={"price": "decimal(20, 2)"})
+    return path
+
+
+def iceberg_decimal_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for DECIMAL + NESTED types in the Iceberg
+    tier: a pruned scan over the widened decimal column (bounds wrote
+    at decimal(12,2), read at decimal(20,2) — Appendix-D bytes decode
+    at any width; the truncate partition tier maps the range through
+    the monotone decimal transform), grouped on a STRUCT member.  The
+    oracle restates the cast/delete/filter pipeline in SQL, so a value
+    match proves schema mapping, decimal stats, hive decimal landing,
+    the copy-on-write delete, and precision widening are all exact."""
+    from decimal import Decimal
+
+    path = _ensure_decimal_lake(spark, sf_dir)
+    df, _fr, _fs, _ms = read_iceberg_pruned(
+        spark, path, "price", Decimal("1000.00"), Decimal("50000.00")
+    )
+    return (
+        df.groupBy(F.col("flags.rf").alias("rf"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("price").cast("decimal(18,2)").alias("sum_price"),
+            F.max("qty").cast("decimal(8,2)").alias("max_qty"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("rf")
+    )
+
+
+ICEBERG_DECIMAL_ORACLE_SQL = """
+WITH src AS (
+    SELECT l_orderkey,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+           CAST(l_quantity AS DECIMAL(8,2)) AS qty,
+           l_returnflag AS rf
+    FROM lineitem
+)
+SELECT rf,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price) AS DECIMAL(18,2)) AS sum_price,
+       CAST(MAX(qty) AS DECIMAL(8,2)) AS max_qty,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM src
+WHERE price BETWEEN 1000.00 AND 50000.00
+  AND NOT (price BETWEEN 2000.00 AND 2999.99)
+GROUP BY rf
+ORDER BY rf
 """

@@ -122,7 +122,7 @@ def _entry_rows(
     tail = fpath.rsplit("/", 1)[-1]
     table = pq.read_table(fpath)
     cols = {n: table.column(n).to_pylist() for n in table.column_names}
-    pv = df_rec.get("partition") or {}
+    pv = _unslim_partition(df_rec.get("partition") or {})
     part_vals = {
         src: _from_internal(part_type[pname], pv.get(pname))
         for pname, src in part_src.items()
@@ -197,15 +197,36 @@ def _entry_rows(
 
 def _slim_entry(e: dict) -> dict:
     """JSON-safe projection of a manifest entry: exactly what the row
-    reader needs (bounds are bytes and never cross the wire)."""
+    reader needs (bounds are bytes and never cross the wire; DECIMAL
+    partition values ride as tagged strings — json has no Decimal)."""
+    import decimal
+
     df_rec = e["data_file"]
+    part = {
+        k: ({"__decimal__": str(v)} if isinstance(v, decimal.Decimal) else v)
+        for k, v in (df_rec.get("partition") or {}).items()
+    }
     return {
         "_seq": int(e.get("_seq", 0)),
         "_spec_id": int(e.get("_spec_id", 0)),
         "data_file": {
             "file_path": df_rec["file_path"],
-            "partition": df_rec.get("partition") or {},
+            "partition": part,
         },
+    }
+
+
+def _unslim_partition(pv: dict) -> dict:
+    """Inverse of _slim_entry's partition encoding."""
+    import decimal
+
+    return {
+        k: (
+            decimal.Decimal(v["__decimal__"])
+            if isinstance(v, dict) and "__decimal__" in v
+            else v
+        )
+        for k, v in (pv or {}).items()
     }
 
 

@@ -54,6 +54,19 @@ def _new_col() -> dict:
     return {"null_count": 0, "min": None, "max": None, "minmax_ok": True}
 
 
+def _dec_stat(raw, scale: int):
+    """Decimal stat from its raw physical form: INT32/INT64 carry the
+    unscaled int, FLBA carries big-endian two's-complement bytes."""
+    import decimal
+
+    u = (
+        raw
+        if isinstance(raw, int)
+        else int.from_bytes(raw, "big", signed=True)
+    )
+    return decimal.Decimal(u).scaleb(-scale)
+
+
 def _via_pyarrow(abs_path: str) -> dict:
     import pyarrow.parquet as pq
 
@@ -62,16 +75,29 @@ def _via_pyarrow(abs_path: str) -> dict:
     for ci in range(md.num_columns):
         # .path is the dotted leaf path ("s.a"), matching the JVM
         # branch's toDotString(); .name would be the bare leaf name
-        name = md.schema.column(ci).path
+        sc = md.schema.column(ci)
+        name = sc.path
+        lt = sc.logical_type
+        dec_scale = (
+            lt.scale if lt is not None and lt.type == "DECIMAL" else None
+        )
         col = cols.setdefault(name, _new_col())
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
-            _agg(
-                col,
-                st.null_count if st is not None else None,
-                st.min if st is not None and st.has_min_max else None,
-                st.max if st is not None and st.has_min_max else None,
-            )
+            if st is None:
+                _agg(col, None, None, None)
+                continue
+            has = st.has_min_max
+            if dec_scale is not None:
+                # pyarrow cannot logical-decode decimal stats (raises
+                # ArrowNotImplementedError on .min) — decode the raw
+                # physical form ourselves
+                lo = _dec_stat(st.min_raw, dec_scale) if has else None
+                hi = _dec_stat(st.max_raw, dec_scale) if has else None
+            else:
+                lo = st.min if has else None
+                hi = st.max if has else None
+            _agg(col, st.null_count, lo, hi)
     return {"num_rows": md.num_rows, "columns": cols}
 
 
@@ -124,13 +150,29 @@ def _jvm_minmax(cc, st):
     pt_name = pt.getPrimitiveTypeName().toString()
     ann = pt.getLogicalTypeAnnotation()
     ann_s = ann.toString().lower() if ann is not None else ""
+    import re as _re
+
+    dec = _re.search(r"decimal\((\d+),\s*(\d+)\)", ann_s)
     try:
+        if dec is not None:
+            scale = int(dec.group(2))
+            if pt_name in ("INT32", "INT64"):
+                return (
+                    _dec_stat(int(st.genericGetMin()), scale),
+                    _dec_stat(int(st.genericGetMax()), scale),
+                )
+            if pt_name in ("BINARY", "FIXED_LEN_BYTE_ARRAY"):
+                return (
+                    _dec_stat(bytes(st.genericGetMin().getBytes()), scale),
+                    _dec_stat(bytes(st.genericGetMax().getBytes()), scale),
+                )
+            return None, None
         if pt_name in _JVM_NUMERIC:
-            # date/timestamp/time/decimal annotations ride int physical
-            # types; pyarrow surfaces those as Python date/datetime
-            # objects, which both consumers OMIT — match that omission
-            # rather than leak raw epoch integers into the stats
-            if any(k in ann_s for k in ("date", "time", "decimal")):
+            # date/timestamp/time annotations ride int physical types;
+            # pyarrow surfaces those as Python date/datetime objects,
+            # which both consumers OMIT — match that omission rather
+            # than leak raw epoch integers into the stats
+            if any(k in ann_s for k in ("date", "time")):
                 return None, None
             return st.genericGetMin(), st.genericGetMax()
         if pt_name == "BINARY" and "string" in ann_s:
