@@ -1,0 +1,225 @@
+"""Statistics-driven join planning over lake tables (r13).
+
+The lake tiers REGISTER planner-grade statistics — Iceberg manifests
+carry per-file record counts and byte sizes, `write_iceberg_table_stats`
+lands per-column NDV theta sketches, Delta add-actions carry `stats`
+JSON — but until this module nothing READ them back into planning.
+That matters at 100 TB for one specific failure: Spark's broadcast
+decision keys on the SCAN's sizeInBytes estimate, and the lake read
+paths here (manifest-grouped unions, DV anti-joins, name-mapping
+coalesces) obscure it, so a genuinely-broadcastable dimension falls
+back to a sort-merge join — two full shuffles of a fact table because
+the optimizer could not see through the plan to the 40 MB of data
+underneath.
+
+`lake_table_stats` answers from METADATA ONLY (no data IO — the same
+files a planning pass already reads), `advise_join` is the pure
+decision function (returns the decision WITH its evidence so a plan
+review can audit why), and `lake_join` applies it.
+
+Reference: full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks-'s warehouse queries join the medications fact to
+dimension lookups (pharmaceutical_dashboard_queries.sql); this is the
+scale-tier machinery those joins need at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = [
+    "lake_table_stats",
+    "advise_join",
+    "lake_join",
+    "DEFAULT_BROADCAST_BYTES",
+]
+
+#: Conservative broadcast ceiling: well above Spark's 10 MB default
+#: (executors hold hundreds of MB of broadcast comfortably) but far
+#: below memory trouble.  Callers size it to their cluster.
+DEFAULT_BROADCAST_BYTES = 256 * 1024 * 1024
+
+
+def _is_iceberg(path: str) -> bool:
+    from . import iceberg as ib
+
+    return bool(ib._metadata_versions(path))
+
+
+def _is_delta(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "_delta_log"))
+
+
+def lake_table_stats(spark: SparkSession, path: str) -> dict:
+    """Planner-grade statistics for a lake table from METADATA only.
+
+    Returns {"format", "rows", "bytes", "ndv": {col: int}, "sources":
+    [...]} — `rows`/`bytes` sum the live file metadata (Iceberg
+    manifest entries / Delta add actions + stats JSON), `ndv` comes
+    from the REGISTERED artifacts only when they describe the current
+    snapshot (stale statistics are never served — the same rule
+    read_iceberg_ndv applies).  Never touches data files."""
+    sources: list[str] = []
+    ndv: dict[str, int] = {}
+    if _is_iceberg(path):
+        from . import iceberg as ib
+
+        meta = ib.current_metadata(path)
+        snap = ib._snapshot(meta, None)
+        rows = 0
+        nbytes = 0
+        if snap is not None:
+            for e in ib._live_entries(path, meta, snap):
+                rec = e["data_file"]
+                rows += int(rec.get("record_count") or 0)
+                nbytes += int(rec.get("file_size_in_bytes") or 0)
+            sources.append("iceberg:manifest-entries")
+            try:
+                ndv = ib.read_iceberg_ndv(path)
+                sources.append("iceberg:statistics(theta-ndv)")
+            except ValueError:
+                pass  # none registered / stale: size tier still works
+        return {
+            "format": "iceberg",
+            "rows": rows,
+            "bytes": nbytes,
+            "ndv": ndv,
+            "sources": sources,
+        }
+    if _is_delta(path):
+        import json as _json
+
+        from . import deltaproto as dp
+
+        _meta, live, _v = dp._fold_delta_state(spark, path, None)
+        rows = 0
+        nbytes = 0
+        rows_known = True
+        for add in live.values():
+            nbytes += int(add.get("size") or 0)
+            n = None
+            if add.get("stats"):
+                try:
+                    n = _json.loads(add["stats"]).get("numRecords")
+                except ValueError:
+                    n = None
+            if n is None:
+                rows_known = False
+            else:
+                rows += int(n)
+        sources.append("delta:add-stats")
+        return {
+            "format": "delta",
+            "rows": rows if rows_known else None,
+            "bytes": nbytes,
+            "ndv": {},
+            "sources": sources,
+        }
+    raise ValueError(f"{path!r} is neither an Iceberg nor a Delta table")
+
+
+def advise_join(
+    left_stats: dict,
+    right_stats: dict,
+    key: str,
+    broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
+) -> dict:
+    """Pure decision: which side (if either) to broadcast for an
+    equi-join on `key`, with the evidence attached.
+
+    Rules, in order:
+    - a side whose metadata byte size fits the threshold broadcasts
+      (the smaller one when both fit);
+    - neither fits → shuffle, but when the registered key NDV on one
+      side is tiny relative to its rows the decision flags SKEW (a
+      handful of hot keys dominate the shuffle — salt it).
+    Every decision records the stats it used under "evidence"."""
+    lb, rb = int(left_stats["bytes"]), int(right_stats["bytes"])
+    fits = {
+        "left": lb <= broadcast_threshold_bytes,
+        "right": rb <= broadcast_threshold_bytes,
+    }
+    evidence = {
+        "left": {
+            k: left_stats.get(k) for k in ("rows", "bytes", "sources")
+        },
+        "right": {
+            k: right_stats.get(k) for k in ("rows", "bytes", "sources")
+        },
+        "key": key,
+        "left_key_ndv": (left_stats.get("ndv") or {}).get(key),
+        "right_key_ndv": (right_stats.get("ndv") or {}).get(key),
+        "threshold_bytes": broadcast_threshold_bytes,
+    }
+    if fits["left"] or fits["right"]:
+        side = (
+            ("left" if lb <= rb else "right")
+            if (fits["left"] and fits["right"])
+            else ("left" if fits["left"] else "right")
+        )
+        return {
+            "broadcast": side,
+            "reason": (
+                f"{side} side is {evidence[side]['bytes']} bytes by lake "
+                f"metadata (≤ {broadcast_threshold_bytes}) — hash-broadcast "
+                "instead of shuffling both sides"
+            ),
+            "skew_risk": False,
+            "evidence": evidence,
+        }
+    skew = False
+    for side, st in (("left", left_stats), ("right", right_stats)):
+        n = (st.get("ndv") or {}).get(key)
+        rows = st.get("rows")
+        if n is not None and rows and n * 1000 < rows:
+            skew = True
+    return {
+        "broadcast": None,
+        "reason": (
+            "neither side fits the broadcast threshold by lake metadata "
+            "— shuffle join"
+            + (
+                "; registered key NDV is tiny relative to rows — SALT the"
+                " join key (hot-key skew)"
+                if skew
+                else ""
+            )
+        ),
+        "skew_risk": skew,
+        "evidence": evidence,
+    }
+
+
+def _read_lake(spark: SparkSession, path: str) -> DataFrame:
+    if _is_iceberg(path):
+        from . import iceberg as ib
+
+        return ib.read_iceberg(spark, path)
+    from . import deltaproto as dp
+
+    return dp.read_delta(spark, path)
+
+
+def lake_join(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    on: str,
+    how: str = "inner",
+    broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
+) -> tuple[DataFrame, dict]:
+    """Join two lake tables with the statistics-advised strategy:
+    reads both metadata stats, picks the broadcast side (if any), and
+    returns (joined frame, decision).  The decision dict is the audit
+    trail — evidence carries the exact stats read."""
+    ls = lake_table_stats(spark, left_path)
+    rs = lake_table_stats(spark, right_path)
+    dec = advise_join(ls, rs, on, broadcast_threshold_bytes)
+    left = _read_lake(spark, left_path)
+    right = _read_lake(spark, right_path)
+    if dec["broadcast"] == "left":
+        left = F.broadcast(left)
+    elif dec["broadcast"] == "right":
+        right = F.broadcast(right)
+    return left.join(right, on=on, how=how), dec

@@ -4692,8 +4692,27 @@ def write_iceberg_table_stats(
                 f"theta NDV tier canonicalizes {sorted(_THETA_TYPES)} only"
             )
     snap_df = read_iceberg(spark, path).select(*columns)
-    kk = int(k)
     col_types = {c: by_name[c]["type"] for c in columns}
+    pooled = _theta_topk_scan(snap_df, columns, col_types, int(k))
+    blobs = []
+    for c in columns:
+        blob = theta.serialize_compact(
+            sorted(pooled[c])[: int(k) + 1], k=int(k)
+        )
+        blobs.append((by_name[c]["id"], blob))
+    return _register_theta_stats(path, snap, blobs)
+
+
+def _theta_topk_scan(
+    snap_df: DataFrame,
+    columns: list[str],
+    col_types: dict[str, str],
+    kk: int,
+) -> dict[str, set]:
+    """The distributed KMV candidate scan shared by the full-rebuild
+    and incremental stats paths: per-partition top-(k+1) smallest
+    63-bit hashes per column via mapInPandas (no shuffle), pooled on
+    the driver (≤ partitions × (k+1) longs)."""
 
     def topk(batches):
         import pandas as pd
@@ -4738,27 +4757,36 @@ def write_iceberg_table_stats(
     pooled: dict[str, set] = {c: set() for c in columns}
     for r in cand.collect():
         pooled[r["col"]].add(int(r["h"]))
-    blobs = []
-    ndv: dict[str, int] = {}
-    for i, c in enumerate(columns):
-        hs = sorted(pooled[c])
-        blob = theta.serialize_compact(hs[: kk + 1], k=kk)
-        est = theta.estimate(blob)
-        ndv[c] = int(round(est))
-        blobs.append(
+    return pooled
+
+
+def _register_theta_stats(
+    path: str, snap: dict, blobs: list[tuple[int, bytes]]
+) -> str:
+    """Land [(field-id, compact sketch)] as a Puffin statistics file
+    and register it for `snap` in table metadata (replacing any prior
+    registration for the same snapshot).  Returns the table-relative
+    Puffin path."""
+    from . import puffin, theta
+
+    out_blobs = []
+    for fid, blob in blobs:
+        out_blobs.append(
             {
                 "type": "apache-datasketches-theta-v1",
                 "data": blob,
-                "fields": [by_name[c]["id"]],
+                "fields": [int(fid)],
                 "snapshot-id": int(snap["snapshot-id"]),
                 "sequence-number": int(snap.get("sequence-number") or 0),
-                "properties": {"ndv": str(ndv[c])},
+                "properties": {
+                    "ndv": str(int(round(theta.estimate(blob))))
+                },
             }
         )
     snap_id = int(snap["snapshot-id"])
     rel = f"metadata/{snap_id}-stats.puffin"
     dest = os.path.join(path, rel)
-    metas = puffin.write_puffin(dest, blobs)
+    metas = puffin.write_puffin(dest, out_blobs)
     size = os.path.getsize(dest)
     footer_size = size - 4 - sum(m["length"] for m in metas)
     entry = {
@@ -4774,7 +4802,7 @@ def write_iceberg_table_stats(
                 "fields": m["fields"],
                 "properties": b.get("properties") or {},
             }
-            for m, b in zip(metas, blobs)
+            for m, b in zip(metas, out_blobs)
         ],
     }
 
@@ -4794,6 +4822,124 @@ def write_iceberg_table_stats(
 
     _claim_metadata(path, build)
     return rel
+
+
+def update_iceberg_table_stats(
+    spark: SparkSession, path: str, k: int = 4096
+) -> str:
+    """INCREMENTAL NDV maintenance: refresh the registered statistics
+    to the current snapshot by scanning ONLY the files appended since
+    the last registration and unioning their per-column sketches into
+    the registered ones (`theta.merge` — the KMV union keeps exactly
+    the hashes a from-scratch rebuild would retain, so the refreshed
+    estimate equals the rebuild's).  O(appended data), not O(table).
+
+    Refuses loudly when union maintenance would be WRONG or
+    impossible: no prior registration (run write_iceberg_table_stats),
+    a non-append snapshot in between (NDV cannot shrink via union —
+    deletes/overwrites stale the stats; rebuild), a registered column
+    dropped from the schema, or the base snapshot expired out of the
+    parent chain."""
+    from . import puffin, theta
+
+    meta = current_metadata(path)
+    snap = _snapshot(meta, None)
+    if snap is None:
+        raise ValueError("table has no current snapshot")
+    snap_id = int(snap["snapshot-id"])
+    regs = meta.get("statistics") or []
+    if any(e.get("snapshot-id") == snap_id for e in regs):
+        have = next(
+            e for e in regs if e.get("snapshot-id") == snap_id
+        )
+        return "metadata/" + os.path.basename(have["statistics-path"])
+    if not regs:
+        raise ValueError(
+            "no statistics registered — run write_iceberg_table_stats "
+            "for the initial full build"
+        )
+    by_sid = {int(s["snapshot-id"]): s for s in meta.get("snapshots") or []}
+    reg_sids = {int(e["snapshot-id"]) for e in regs}
+    # walk the parent chain from the current snapshot back to the
+    # newest registered one; every hop must be an append
+    chain: list[dict] = []
+    cur = snap
+    base_reg = None
+    while True:
+        parent = cur.get("parent-snapshot-id")
+        chain.append(cur)
+        if parent is None or int(parent) not in by_sid:
+            break
+        if int(parent) in reg_sids:
+            base_reg = next(
+                e for e in regs if int(e["snapshot-id"]) == int(parent)
+            )
+            break
+        cur = by_sid[int(parent)]
+    if base_reg is None:
+        raise ValueError(
+            "no registered statistics on this snapshot's parent chain "
+            "(the base snapshot expired or stats were never built) — "
+            "rebuild with write_iceberg_table_stats"
+        )
+    for s in chain:
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op != "append":
+            raise ValueError(
+                f"snapshot {s['snapshot-id']} is a {op!r} — NDV cannot "
+                "shrink via union, so incremental maintenance would "
+                "serve a stale overestimate; rebuild with "
+                "write_iceberg_table_stats"
+            )
+    # registered columns, resolved through the CURRENT schema
+    local = _abs_path(path, base_reg["statistics-path"])
+    footer = puffin.read_puffin_footer(local)
+    fields = _schema_of(meta)
+    by_id = {f["id"]: f for f in fields}
+    base_blobs: list[tuple[int, bytes]] = []
+    for bm in footer["blobs"]:
+        if bm["type"] != "apache-datasketches-theta-v1":
+            continue
+        fid = (bm.get("fields") or [None])[0]
+        if fid not in by_id:
+            raise ValueError(
+                f"registered statistics cover dropped field id {fid} — "
+                "rebuild with write_iceberg_table_stats"
+            )
+        base_blobs.append(
+            (fid, puffin.read_blob(local, bm["offset"], bm["length"]))
+        )
+    if not base_blobs:
+        raise ValueError(
+            "the registered statistics file carries no theta blobs — "
+            "rebuild with write_iceberg_table_stats"
+        )
+    columns = [by_id[fid]["name"] for fid, _b in base_blobs]
+    col_types = {by_id[fid]["name"]: by_id[fid]["type"] for fid, _b in base_blobs}
+    # ONLY the files the intervening appends ADDED
+    new_sids = {int(s["snapshot-id"]) for s in chain}
+    added = []
+    for mf in _data_manifests(_read_manifest_list(path, snap)):
+        for e in _read_manifest(path, mf):
+            if (
+                e.get("status", 0) == 1
+                and int(e.get("snapshot_id") or 0) in new_sids
+            ):
+                added.append(e)
+    kk = int(k)
+    merged: list[tuple[int, bytes]] = []
+    if added:
+        delta_df = _read_entries(spark, path, meta, added).select(*columns)
+        pooled = _theta_topk_scan(delta_df, columns, col_types, kk)
+        for fid, base_blob in base_blobs:
+            c = by_id[fid]["name"]
+            delta_blob = theta.serialize_compact(
+                sorted(pooled[c])[: kk + 1], k=kk
+            )
+            merged.append((fid, theta.merge([base_blob, delta_blob], k=kk)))
+    else:
+        merged = base_blobs  # metadata-only appends: re-register as-is
+    return _register_theta_stats(path, snap, merged)
 
 
 def read_iceberg_ndv(path: str) -> dict[str, int]:

@@ -1,0 +1,159 @@
+"""Statistics-driven join planning (sources/advisor.py): the r13
+"consume the statistics" tier — registered NDV sketches, Iceberg
+manifest record counts, and Delta add-action stats read BACK into a
+broadcast-vs-shuffle decision, with the evidence attached so a plan
+review can audit why."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+    advisor,
+    deltaproto as dp,
+    iceberg as ib,
+)
+
+
+def _plan(df) -> str:
+    df.collect()  # AQE: final plan only exists after an action
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def fact_dim(spark, tmp_path):
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    ib.write_iceberg(
+        spark.range(50_000)
+        .select(
+            F.col("id").alias("row_id"),
+            (F.col("id") % 20).alias("dim_id"),
+            (F.col("id") * 3).alias("v"),
+        )
+        .repartition(4),
+        fact,
+    )
+    ib.write_iceberg(
+        spark.range(20).select(
+            F.col("id").alias("dim_id"),
+            F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        ),
+        dim,
+    )
+    ib.write_iceberg_table_stats(spark, fact)
+    ib.write_iceberg_table_stats(spark, dim)
+    return fact, dim
+
+
+def test_lake_table_stats_metadata_only(spark, fact_dim):
+    fact, dim = fact_dim
+    st = advisor.lake_table_stats(spark, fact)
+    assert st["format"] == "iceberg"
+    assert st["rows"] == 50_000  # manifest record counts, no scan
+    assert st["bytes"] > 0
+    assert st["ndv"]["dim_id"] == 20  # the registered theta sketch
+    assert "iceberg:statistics(theta-ndv)" in st["sources"]
+    # a new append stales the NDV registration — size tier still serves
+    ib.write_iceberg(
+        spark.range(5).select(
+            F.col("id").alias("row_id"),
+            F.lit(0).alias("dim_id"),
+            F.lit(0).alias("v"),
+        ),
+        fact,
+        mode="append",
+    )
+    st2 = advisor.lake_table_stats(spark, fact)
+    assert st2["rows"] == 50_005
+    assert st2["ndv"] == {}
+    assert "iceberg:statistics(theta-ndv)" not in st2["sources"]
+
+
+def test_advised_join_broadcasts_where_spark_shuffled(spark, fact_dim):
+    """THE point of the advisor: with Spark's own auto-broadcast
+    unavailable (at 100 TB the lake read plan's sizeInBytes estimate
+    exceeds the ceiling), the plain join sort-merges — two full
+    shuffles — while the advised join reads the manifest byte counts
+    and broadcasts the dimension."""
+    fact, dim = fact_dim
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = ib.read_iceberg(spark, fact).join(
+            ib.read_iceberg(spark, dim), on="dim_id"
+        )
+        assert "SortMergeJoin" in _plan(plain)
+        joined, dec = advisor.lake_join(spark, fact, dim, on="dim_id")
+        assert dec["broadcast"] == "right"
+        assert "BroadcastHashJoin" in _plan(joined)
+        assert joined.count() == 50_000
+        # the decision is TRACED to the stats it read
+        ev = dec["evidence"]
+        assert ev["right"]["rows"] == 20
+        assert ev["right"]["bytes"] > 0
+        assert "iceberg:manifest-entries" in ev["right"]["sources"]
+        assert ev["right_key_ndv"] == 20
+        assert str(ev["right"]["bytes"]) in dec["reason"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_advise_join_shuffle_and_skew_flag(spark, fact_dim):
+    fact, dim = fact_dim
+    fs = advisor.lake_table_stats(spark, fact)
+    ds = advisor.lake_table_stats(spark, dim)
+    # neither fits a 1-byte threshold: shuffle; the fact side's key NDV
+    # (20) is tiny vs its 50k rows -> hot-key skew flag
+    dec = advisor.advise_join(fs, ds, "dim_id", broadcast_threshold_bytes=1)
+    assert dec["broadcast"] is None
+    assert dec["skew_risk"] is True
+    assert "SALT" in dec["reason"]
+    # both fit: the smaller side broadcasts
+    dec2 = advisor.advise_join(
+        fs, ds, "dim_id", broadcast_threshold_bytes=1 << 40
+    )
+    assert dec2["broadcast"] == "right"
+
+
+def test_lake_join_delta_side(spark, tmp_path):
+    """The advisor reads Delta add-action stats too: an Iceberg fact
+    joined to a small Delta dimension broadcasts on Delta metadata."""
+    fact = str(tmp_path / "ifact")
+    dim = str(tmp_path / "ddim")
+    ib.write_iceberg(
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("row_id"), (F.col("id") % 7).alias("dim_id")
+        )
+        .repartition(2),
+        fact,
+    )
+    dp.write_delta(
+        spark.range(7)
+        .select(
+            F.col("id").alias("dim_id"),
+            F.concat(F.lit("d"), F.col("id")).alias("name"),
+        )
+        .coalesce(1),
+        dim,
+    )
+    st = advisor.lake_table_stats(spark, dim)
+    assert st["format"] == "delta"
+    assert st["rows"] == 7  # from the add-action stats JSON, no scan
+    assert "delta:add-stats" in st["sources"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined, dec = advisor.lake_join(spark, fact, dim, on="dim_id")
+        assert dec["broadcast"] == "right"
+        assert "BroadcastHashJoin" in _plan(joined)
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_not_a_lake_table_refuses(spark, tmp_path):
+    with pytest.raises(ValueError, match="neither an Iceberg nor a Delta"):
+        advisor.lake_table_stats(spark, str(tmp_path / "nope"))

@@ -210,6 +210,53 @@ def test_iceberg_table_stats_date_column(spark, tmp_path):
     assert set(sk["hashes"]) == expect
 
 
+def test_incremental_ndv_maintenance(spark, tmp_path):
+    """update_iceberg_table_stats refreshes stats by scanning ONLY the
+    appended files and unioning sketches — the result is IDENTICAL to
+    a from-scratch rebuild (the KMV union retains exactly the hashes
+    the rebuild would), and non-append history refuses loudly."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "incndv")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 50).cast("string").alias("lang"),
+    )
+    ib.write_iceberg(mk(0, 30000).repartition(4), path)
+    ib.write_iceberg_table_stats(spark, path)
+    # two appends: overlapping + fresh values
+    ib.write_iceberg(mk(20000, 45000).repartition(4), path, mode="append")
+    ib.write_iceberg(mk(45000, 60000).repartition(4), path, mode="append")
+    rel = ib.update_iceberg_table_stats(spark, path)
+    assert os.path.exists(os.path.join(path, rel))
+    inc = ib.read_iceberg_ndv(path)
+    assert inc["lang"] == 50  # below k: lossless through the union
+    # pinned EQUAL to the from-scratch rebuild, not merely within band
+    rel_full = ib.write_iceberg_table_stats(spark, path)
+    full = ib.read_iceberg_ndv(path)
+    assert inc == full
+    assert abs(inc["doc_id"] - 60000) / 60000 < 0.06
+    # no-op when stats already cover the current snapshot: returns the
+    # existing registration instead of rescanning
+    rel2 = ib.update_iceberg_table_stats(spark, path)
+    assert rel2 == rel_full
+    # a DELETE in between makes union maintenance wrong — refuse
+    ib.delete_where_iceberg(spark, path, "doc_id", 0, 99)
+    with pytest.raises(ValueError, match="cannot shrink"):
+        ib.update_iceberg_table_stats(spark, path)
+    # rebuild clears the staleness; further appends update again
+    ib.write_iceberg_table_stats(spark, path)
+    ib.write_iceberg(mk(60000, 61000).repartition(2), path, mode="append")
+    ib.update_iceberg_table_stats(spark, path)
+    ndv = ib.read_iceberg_ndv(path)
+    assert abs(ndv["doc_id"] - 60900) / 60900 < 0.06
+    # no registration at all → refuse toward the full build
+    p2 = str(tmp_path / "nostats")
+    ib.write_iceberg(mk(0, 10), p2)
+    with pytest.raises(ValueError, match="no statistics registered"):
+        ib.update_iceberg_table_stats(spark, p2)
+
+
 def test_merge_keeps_estimation_theta():
     """Union of an estimation-mode sketch with a tiny exact one stays
     in estimation mode under the pooled minimum theta — few surviving
