@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _LOG_FMT = "{:020d}.json"
 _CKPT_FMT = "{:020d}.checkpoint.parquet"
+_CRC_FMT = "{:020d}.crc"
 
 #: Reader/writer protocol versions this module writes (v1 readers —
 #: the maximally-compatible tier) and the highest it can READ without
@@ -598,7 +599,76 @@ def _fold_delta_state(spark: SparkSession, path: str, version: int | None):
         _check_protocol(proto)
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
+    _verify_delta_checksum(path, version, live)
     return meta, live, version
+
+
+def _verify_delta_checksum(path: str, version: int, live: dict) -> None:
+    """When a `<version>.crc` version-checksum file exists (real Delta
+    writers emit them), verify the folded state against it and refuse
+    LOUDLY on mismatch — a diverging file count / table size means the
+    log or a checkpoint is corrupted, and serving rows from it would
+    be a silent wrong answer.  Absent files verify nothing (they are
+    an optimization, not part of the protocol's correctness core)."""
+    crc = os.path.join(_log_dir(path), _CRC_FMT.format(version))
+    if not os.path.exists(crc):
+        return
+    try:
+        with open(crc) as f:
+            want = json.load(f)
+    except (OSError, ValueError):
+        raise ValueError(
+            f"version checksum file {_CRC_FMT.format(version)} is "
+            "unreadable — refusing to serve a possibly-corrupted snapshot"
+        ) from None
+    n = want.get("numFiles")
+    if n is not None and int(n) != len(live):
+        raise ValueError(
+            f"version checksum mismatch at {version}: crc records "
+            f"{int(n)} live files, the folded log has {len(live)} — "
+            "log or checkpoint corruption; refusing to serve"
+        )
+    ts = want.get("tableSizeBytes")
+    if ts is not None:
+        have = sum(int(a.get("size") or 0) for a in live.values())
+        if int(ts) != have:
+            raise ValueError(
+                f"version checksum mismatch at {version}: crc records "
+                f"tableSizeBytes={int(ts)}, the folded log sums {have} — "
+                "log or checkpoint corruption; refusing to serve"
+            )
+
+
+def write_delta_checksum(
+    spark: SparkSession, path: str, version: int | None = None
+) -> str:
+    """Emit the `<version>.crc` VERSION CHECKSUM file delta-spark
+    writes per commit (VersionChecksum): a JSON summary of the
+    post-commit state — live file count, total table bytes, the
+    metaData and protocol — that readers cross-check against their
+    replay.  Returns the file path.  Automatic per-commit emission is
+    opt-in via the `delta.writeChecksumFile` table property (the fold
+    is metadata-scale but O(snapshot); a 100-TB deployment schedules
+    it like checkpoints)."""
+    meta, live, v = _fold_delta_state(spark, path, version)
+    body = {
+        "tableSizeBytes": sum(
+            int(a.get("size") or 0) for a in live.values()
+        ),
+        "numFiles": len(live),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": meta,
+        "protocol": _current_protocol(path),
+    }
+    dest = os.path.join(_log_dir(path), _CRC_FMT.format(v))
+    tmp = dest + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, dest)
+    return dest
 
 
 def read_delta(
@@ -1084,11 +1154,13 @@ def _maybe_auto_checkpoint(spark: SparkSession, path: str, version: int) -> None
         # read ONLY the configuration (checkpoint header + JSON tail):
         # folding full state here would add O(snapshot) work to every
         # write even when the property is unset (the default)
-        iv = int(
-            _current_config(path).get("delta.checkpointInterval", 0)
-        )
+        conf = _current_config(path)
+        iv = int(conf.get("delta.checkpointInterval", 0))
         if iv > 0 and version > 0 and version % iv == 0:
             write_delta_checkpoint(spark, path, version=version)
+        # per-commit version checksums, opt-in like the interval above
+        if conf.get("delta.writeChecksumFile") == "true":
+            write_delta_checksum(spark, path, version=version)
     except Exception:
         pass  # best-effort: the commit itself already succeeded
 
@@ -4469,6 +4541,11 @@ def cleanup_delta_log(path: str, retain_versions: int = 0) -> int:
         if v < json_cut:
             os.unlink(os.path.join(ld, _LOG_FMT.format(v)))
             deleted += 1
+            # the version's checksum sidecar goes with its commit
+            crc = os.path.join(ld, _CRC_FMT.format(v))
+            if os.path.exists(crc):
+                os.unlink(crc)
+                deleted += 1
     # superseded checkpoints (any layout) below the newest one — the
     # replay anchor survives
     import glob as _glob

@@ -3043,6 +3043,75 @@ def test_row_tracking_properties_guarded(spark, tmp_path):
             dp.set_delta_properties(spark, path, {key: "true"})
 
 
+def test_delta_version_checksums(spark, tmp_path):
+    """`<version>.crc` version-checksum files (delta-spark's
+    VersionChecksum): opt-in per-commit emission via the
+    delta.writeChecksumFile property, read-side verification whenever
+    one is present — a corrupted log refuses loudly instead of serving
+    wrong rows — and log cleanup removes a deleted commit's crc."""
+    path = str(tmp_path / "crc")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, i * 2) for i in range(lo, hi)], "doc_id long, v long"
+    ).coalesce(1)
+    dp.write_delta(mk(0, 5), path)
+    dp.set_delta_properties(
+        spark, path, {"delta.writeChecksumFile": "true"}
+    )
+    v2 = dp.write_delta(mk(5, 8), path, mode="append")
+    v3 = dp.write_delta(mk(8, 12), path, mode="append")
+    ld = os.path.join(path, "_delta_log")
+    crc2 = os.path.join(ld, f"{v2:020d}.crc")
+    crc3 = os.path.join(ld, f"{v3:020d}.crc")
+    assert os.path.exists(crc2) and os.path.exists(crc3)
+    body = json.load(open(crc3))
+    assert body["numFiles"] == 3
+    assert body["tableSizeBytes"] > 0
+    assert body["metadata"]["id"] and body["protocol"]["minReaderVersion"]
+    assert dp.read_delta(spark, path).count() == 12
+    # manual emission works for tables without the property
+    p2 = str(tmp_path / "crc2")
+    dp.write_delta(mk(0, 4), p2)
+    dest = dp.write_delta_checksum(spark, p2)
+    assert os.path.exists(dest)
+    assert dp.read_delta(spark, p2).count() == 4  # verifies green
+    # corrupted LOG under an intact crc: drop the newest commit's add
+    # action and the reader must refuse, not serve a partial table
+    target = os.path.join(ld, f"{v3:020d}.json")
+    lines = [
+        ln
+        for ln in open(target).read().splitlines()
+        if ln.strip() and "add" not in json.loads(ln)
+    ]
+    with open(target, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        dp.read_delta(spark, path).count()
+    # restore by removing the stale crc: absent crc verifies nothing
+    os.unlink(crc3)
+    assert dp.read_delta(spark, path).count() == 8
+    # a tampered crc against a HEALTHY log also refuses
+    body2 = json.load(open(crc2))
+    body2["tableSizeBytes"] += 1
+    json.dump(body2, open(crc2, "w"))
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        dp.read_delta(spark, path, version=v2).count()
+    os.unlink(crc2)
+    # cleanup removes crc sidecars with their commits
+    p3 = str(tmp_path / "crc3")
+    dp.write_delta(mk(0, 3), p3)
+    dp.set_delta_properties(
+        spark, p3, {"delta.writeChecksumFile": "true"}
+    )
+    v = dp.write_delta(mk(3, 6), p3, mode="append")
+    dp.write_delta(mk(6, 9), p3, mode="append")
+    dp.write_delta_checkpoint(spark, p3)
+    dp.cleanup_delta_log(p3, retain_versions=0)
+    ld3 = os.path.join(p3, "_delta_log")
+    assert not os.path.exists(os.path.join(ld3, f"{v:020d}.json"))
+    assert not os.path.exists(os.path.join(ld3, f"{v:020d}.crc"))
+    assert dp.read_delta(spark, p3).count() == 9
+
+
 def test_drop_delta_column(spark, tmp_path):
     """Metadata-only DROP COLUMN: first use upgrades to column mapping
     (old files keep resolving), the dropped column disappears from
