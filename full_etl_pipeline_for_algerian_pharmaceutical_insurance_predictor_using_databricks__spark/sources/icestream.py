@@ -581,6 +581,40 @@ class IcebergStreamWriter(DataSourceStreamWriter):
                 full = os.path.join(self.path, "data", rel)
                 if os.path.exists(full):
                     os.unlink(full)
+            return
+        self._maybe_merge_manifests()
+
+    def _maybe_merge_manifests(self) -> None:
+        """Post-commit manifest auto-compaction, OPT-IN via the table
+        properties real Iceberg writers honor —
+        `commit.manifest-merge.enabled` (+ the
+        `commit.manifest.min-count-to-merge` threshold, default 100):
+        every micro-batch appends one manifest, so a long-running
+        stream otherwise grows an O(triggers) metadata list that every
+        planning pass re-opens.  The rewrite is a `replace` snapshot
+        (row-invisible to the changelog and the incremental stream
+        reader) and best-effort: a failed compaction never fails the
+        already-committed batch, and the exactly-once ledger scans ALL
+        snapshot summaries so an interleaved replace never loses a
+        (app-id, batch-id) entry."""
+        try:
+            meta = ib.current_metadata(self.path)
+            props = meta.get("properties") or {}
+            if props.get("commit.manifest-merge.enabled") != "true":
+                return
+            min_count = int(
+                props.get("commit.manifest.min-count-to-merge", 100)
+            )
+            snap = ib._snapshot(meta, None)
+            if snap is None:
+                return
+            n = len(
+                ib._data_manifests(ib._read_manifest_list(self.path, snap))
+            )
+            if n >= min_count:
+                ib.rewrite_iceberg_manifests(self.path)
+        except Exception:
+            pass  # maintenance only: the batch commit already landed
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

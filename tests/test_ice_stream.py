@@ -600,3 +600,68 @@ def test_batch_datasource_as_of_timestamp(spark, tmp_path):
         spark.read.format("iceberg").option(
             "asOfTimestamp", str(t1)
         ).option("snapshotId", "1").load(path).collect()
+
+
+def test_stream_sink_manifest_auto_compaction(spark, tmp_path):
+    """Opt-in stream-sink maintenance (r13): with
+    `commit.manifest-merge.enabled` set, the sink compacts the data
+    manifests whenever their count reaches
+    `commit.manifest.min-count-to-merge` — a long-running stream keeps
+    a BOUNDED manifest list (each trigger otherwise appends one
+    forever) with row-exact reads throughout, and the exactly-once
+    ledger survives the interleaved `replace` snapshots."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    path = str(tmp_path / "icemm")
+    schema = _parse_datatype_string("doc_id bigint, lang string")
+
+    def run_batch(b: int) -> None:
+        w = icestream.IcebergStreamWriter(
+            {"path": path, "streamAppId": "mm-app"}, schema
+        )
+        msg = w.write(
+            iter([(b * 10 + i, f"l{i % 2}") for i in range(10)])
+        )
+        w.commit([msg], batchId=b)
+
+    def n_data_manifests() -> int:
+        meta = ib.current_metadata(path)
+        snap = ib._snapshot(meta, None)
+        return len(ib._data_manifests(ib._read_manifest_list(path, snap)))
+
+    run_batch(0)  # creates the table (property not yet set: no merge)
+    ib.set_iceberg_properties(
+        path,
+        {
+            "commit.manifest-merge.enabled": "true",
+            "commit.manifest.min-count-to-merge": "5",
+        },
+    )
+    peak = 0
+    for b in range(1, 13):
+        run_batch(b)
+        n = n_data_manifests()
+        peak = max(peak, n)
+        # row-exact at every step, through every compaction
+        assert ib.read_iceberg(spark, path).count() == (b + 1) * 10
+    # bounded: compaction fires at the threshold, so the list never
+    # grows past it (5 = merge threshold; without maintenance it
+    # would be 13 by now)
+    assert peak <= 5
+    assert n_data_manifests() <= 5
+    # the ledger survived the replace snapshots: replaying an old
+    # batch is still an exactly-once no-op
+    w = icestream.IcebergStreamWriter(
+        {"path": path, "streamAppId": "mm-app"}, schema
+    )
+    msg = w.write(iter([(999, "zz")]))
+    orphan = os.path.join(path, "data", msg.file_name)
+    n_before = ib.read_iceberg(spark, path).count()
+    w.commit([msg], batchId=3)
+    assert not os.path.exists(orphan)
+    assert ib.read_iceberg(spark, path).count() == n_before
+    # values, not just counts: every non-replayed row present exactly once
+    got = sorted(
+        r["doc_id"] for r in ib.read_iceberg(spark, path).collect()
+    )
+    assert got == sorted(b * 10 + i for b in range(13) for i in range(10))
