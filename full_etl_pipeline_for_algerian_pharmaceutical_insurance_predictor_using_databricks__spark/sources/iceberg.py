@@ -4519,6 +4519,13 @@ def write_iceberg_partition_stats(path: str) -> str:
                     "type": _pf_result_type(pf, src["type"]),
                 }
     uni_ids = sorted(uni)
+    if not uni_ids:
+        # an empty unified struct cannot land in parquet (and the file
+        # would answer no planning question anyway) — refuse, loudly
+        raise ValueError(
+            "table has no partition fields under any spec — partition "
+            "statistics are per-partition; nothing to register"
+        )
     spec_fields = {
         int(sp["spec-id"]): sp.get("fields") or [] for sp in specs
     }

@@ -2758,10 +2758,14 @@ def test_delete_files_meta_table(spark, tmp_path):
 def test_iceberg_lifecycle_property(spark, tmp_path):
     """Seeded random op sequences over one table each — (append |
     overwrite | cow-delete | mor-delete | eq-delete | compact |
-    rewrite-manifests | expire | orphan-removal) — then a sweep: every
-    RETAINED snapshot reads back exactly its recorded state (by
-    snapshot id, post-compaction/replace snapshots included), expired
-    ones refuse or are absent, and the current read always matches.
+    rewrite-manifests | expire | orphan-removal | partition-stats |
+    NDV stats (incremental-first) | branch create/append |
+    fast-forward publish) — then a sweep: every RETAINED snapshot
+    reads back exactly its recorded state (by snapshot id,
+    post-compaction/replace and branch snapshots included), expired
+    ones refuse or are absent, the current read always matches, every
+    statistics registration references a retained snapshot with its
+    file on disk, and a live branch head reads its recorded state.
     The Iceberg twin of the Delta log-lifecycle sweep; count
     overridable via SPARK_GRAFT_LIFECYCLE_SEQS (halved)."""
     import random
@@ -2772,35 +2776,58 @@ def test_iceberg_lifecycle_property(spark, tmp_path):
     rng = random.Random(0x1CEB12)
     for seq in range(n_seq):
         path = str(tmp_path / f"t{seq:02d}")
-        cur: dict[int, int] = {}  # doc_id -> v
+        # half the sequences run identity-partitioned (partition stats
+        # need a spec; deletes/compaction/branches cover both layouts)
+        part_by = ["lang"] if rng.random() < 0.5 else None
+        cur: dict[int, int] = {}  # doc_id -> v (main)
+        dev: dict[int, int] | None = None  # branch model, when live
         by_snap: dict[int, frozenset] = {}
         batch = 0
 
-        def record(snap_id):
-            by_snap[snap_id] = frozenset(cur.items())
+        def record(snap_id, state=None):
+            by_snap[snap_id] = frozenset(
+                (cur if state is None else state).items()
+            )
 
-        def commit(mode: str):
-            nonlocal batch, cur
+        def mk_df(vals: dict):
+            return spark.createDataFrame(
+                [(i, str(i % 3), v) for i, v in vals.items()],
+                "doc_id long, lang string, v long",
+            ).coalesce(1)
+
+        def commit(mode: str, branch: str | None = None):
+            nonlocal batch, cur, dev
             b = batch
             batch += 1
             ids = [b * 10 + k for k in range(rng.randint(1, 3))]
             vals = {i: i * 10 + b for i in ids}
-            if mode == "append":
-                cur.update(vals)
+            if branch is None:
+                if mode == "append":
+                    cur.update(vals)
+                else:
+                    cur = dict(vals)
+                record(
+                    ib.write_iceberg(
+                        mk_df(vals), path, mode=mode,
+                        partition_by=part_by,
+                    )
+                )
             else:
-                cur = dict(vals)
-            df = spark.createDataFrame(
-                [(i, str(i % 3), v) for i, v in vals.items()],
-                "doc_id long, lang string, v long",
-            ).coalesce(1)
-            record(ib.write_iceberg(df, path, mode=mode))
+                dev.update(vals)
+                record(
+                    ib.write_iceberg(
+                        mk_df(vals), path, mode="append", branch=branch
+                    ),
+                    state=dev,
+                )
 
         commit("append")
-        for _ in range(5):
+        for _ in range(7):
             op = rng.choices(
                 ["append", "overwrite", "cow", "mor", "eq", "compact",
-                 "manifests", "expire", "orphan"],
-                weights=[30, 8, 10, 10, 10, 8, 6, 10, 8],
+                 "manifests", "expire", "orphan", "pstats", "ndv",
+                 "branch", "branch_append", "ff"],
+                weights=[24, 7, 9, 9, 9, 7, 5, 9, 7, 6, 6, 5, 6, 5],
             )[0]
             if op in ("append", "overwrite"):
                 commit(op)
@@ -2834,6 +2861,35 @@ def test_iceberg_lifecycle_property(spark, tmp_path):
                 )
             elif op == "orphan":
                 ib.remove_orphan_iceberg_files(path, min_age_s=0.0)
+            elif op == "pstats":
+                if part_by is None:
+                    # unpartitioned: the refusal is the pinned behavior
+                    with pytest.raises(ValueError, match="no partition"):
+                        ib.write_iceberg_partition_stats(path)
+                else:
+                    ib.write_iceberg_partition_stats(path)
+            elif op == "ndv":
+                # incremental maintenance first; any refusal (no base,
+                # non-append history, expired chain) → full rebuild
+                try:
+                    ib.update_iceberg_table_stats(spark, path)
+                except ValueError:
+                    ib.write_iceberg_table_stats(spark, path)
+            elif op == "branch":
+                ib.set_iceberg_ref(path, "dev", kind="branch")
+                dev = dict(cur)
+            elif op == "branch_append":
+                if dev is None:
+                    continue
+                commit("append", branch="dev")
+            elif op == "ff":
+                if dev is None:
+                    continue
+                try:
+                    ib.fast_forward_iceberg(path, "dev")
+                    cur = dict(dev)
+                except ValueError:
+                    pass  # diverged main: refusal leaves main intact
         meta = ib.current_metadata(path)
         retained = {s["snapshot-id"] for s in meta.get("snapshots") or []}
         got_cur = frozenset(
@@ -2855,6 +2911,25 @@ def test_iceberg_lifecycle_property(spark, tmp_path):
             assert got == want, (
                 f"seq {seq}: snapshot {sid} read wrong data"
             )
+        # statistics registrations never dangle: each references a
+        # retained snapshot and its file survives orphan removal
+        for key in ("statistics", "partition-statistics"):
+            for e in meta.get(key) or []:
+                assert e["snapshot-id"] in retained, (
+                    f"seq {seq}: {key} references expired snapshot"
+                )
+                local = ib._abs_path(path, e["statistics-path"])
+                assert os.path.exists(local), (
+                    f"seq {seq}: {key} file missing ({local})"
+                )
+        # a live branch head reads exactly its recorded state
+        refs = meta.get("refs") or {}
+        if dev is not None and "dev" in refs:
+            got_dev = frozenset(
+                (r["doc_id"], r["v"])
+                for r in ib.read_iceberg(spark, path, ref="dev").collect()
+            )
+            assert got_dev == frozenset(dev.items()), f"seq {seq}: branch"
 
 
 def test_set_iceberg_properties(spark, tmp_path):
