@@ -2737,18 +2737,32 @@ def _commit_snapshot(
     branch: str | None = None,
     sort_order: dict | None = None,
     properties: dict | None = None,
+    expect_schema: list[dict] | None = None,
 ) -> int:
     """Shared commit: build_manifests(base_meta_or_None, snapshot_id,
     seq, fv) → list of manifest_file records; wrap them in a manifest
     list and a new metadata version.  Retries against a refreshed base
     on races (the manifest build re-runs, so remove lists can never go
     stale — the claim-time refresh rule minilake's rewrites follow).
+    `expect_schema` (RMW commits whose rewrite frames/manifest schema
+    were computed against a snapshot read) refuses when the CURRENT
+    schema differs — a racing evolve_iceberg_schema would otherwise be
+    silently stamped over with the stale field list.
     `format_version=2` on a v1 table performs the spec's v1→v2 upgrade
     (existing manifests keep data sequence number 0); v2 commits bump
     `last-sequence-number` and stamp the snapshot's sequence-number."""
     result: dict = {}
 
     def build(base: dict | None) -> dict:
+        if (
+            expect_schema is not None
+            and base is not None
+            and _schema_of(base) != expect_schema
+        ):
+            raise ValueError(
+                "the table schema changed after this operation read its "
+                "snapshot (evolve_iceberg_schema) — re-read and re-apply"
+            )
         snapshot_id = _new_snapshot_id()
         now_ms = int(time.time() * 1000)
         base_fv = (
@@ -3485,7 +3499,8 @@ def delete_where_iceberg(
             return list(mfs) + [del_mf]
 
         return _commit_snapshot(
-            path, "delete", build_mor, format_version=2
+            path, "delete", build_mor, format_version=2,
+            expect_schema=fields,
         )
 
     def build_manifests(
@@ -3557,7 +3572,9 @@ def delete_where_iceberg(
         )
         return new_mfs + delete_mfs
 
-    return _commit_snapshot(path, "delete", build_manifests)
+    return _commit_snapshot(
+        path, "delete", build_manifests, expect_schema=fields
+    )
 
 
 #: Iceberg primitive → pyarrow type for equality-delete key files.
@@ -3749,7 +3766,9 @@ def delete_eq_iceberg(
         )
         return list(mfs) + [del_mf]
 
-    return _commit_snapshot(path, "delete", build, format_version=2)
+    return _commit_snapshot(
+        path, "delete", build, format_version=2, expect_schema=fields
+    )
 
 
 def upsert_iceberg(
@@ -3818,7 +3837,9 @@ def upsert_iceberg(
         )
         return list(mfs) + [data_mf, del_mf]
 
-    return _commit_snapshot(path, "overwrite", build, format_version=2)
+    return _commit_snapshot(
+        path, "overwrite", build, format_version=2, expect_schema=fields
+    )
 
 
 def _name_mapping(meta: dict) -> dict[int, list[str]]:
@@ -3952,7 +3973,9 @@ def compact_iceberg(
             path, entries, snapshot_id, fields, base, schema_json, fv, seq
         )
 
-    return _commit_snapshot(path, "replace", build)
+    return _commit_snapshot(
+        path, "replace", build, expect_schema=fields
+    )
 
 
 def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
@@ -4657,6 +4680,15 @@ def write_iceberg_partition_stats(path: str) -> str:
 _THETA_TYPES = {"int", "long", "string", "date"}
 
 
+def _theta_supported(t) -> bool:
+    """Types the NDV tier canonicalizes: the flat set plus decimal
+    (unscaled minimal two's-complement bytes — Appendix B's bucket
+    canonical form, so the sketch hashes are layout-independent)."""
+    return (isinstance(t, str) and t in _THETA_TYPES) or (
+        _dec_params(t) is not None
+    )
+
+
 def write_iceberg_table_stats(
     spark: SparkSession,
     path: str,
@@ -4689,14 +4721,17 @@ def write_iceberg_table_stats(
     fields = _schema_of(meta)
     by_name = {f["name"]: f for f in fields}
     if columns is None:
-        columns = [f["name"] for f in fields if f["type"] in _THETA_TYPES]
+        columns = [
+            f["name"] for f in fields if _theta_supported(f["type"])
+        ]
     for c in columns:
         if c not in by_name:
             raise ValueError(f"no column {c!r} in the Iceberg schema")
-        if by_name[c]["type"] not in _THETA_TYPES:
+        if not _theta_supported(by_name[c]["type"]):
             raise ValueError(
                 f"column {c!r} has type {by_name[c]['type']!r} — the "
-                f"theta NDV tier canonicalizes {sorted(_THETA_TYPES)} only"
+                f"theta NDV tier canonicalizes "
+                f"{sorted(_THETA_TYPES) + ['decimal(P, S)']} only"
             )
     snap_df = read_iceberg(spark, path).select(*columns)
     col_types = {c: by_name[c]["type"] for c in columns}
@@ -4721,10 +4756,16 @@ def _theta_topk_scan(
     63-bit hashes per column via mapInPandas (no shuffle), pooled on
     the driver (≤ partitions × (k+1) longs)."""
 
+    dec_scales = {
+        c: _dec_params(t)[1]
+        for c, t in col_types.items()
+        if _dec_params(t) is not None
+    }
+
     def topk(batches):
         import pandas as pd
 
-        from . import theta as _th
+        from . import avrotiny as _av, theta as _th
 
         best: dict[str, set] = {c: set() for c in columns}
         for pdf in batches:
@@ -4733,7 +4774,13 @@ def _theta_topk_scan(
                 vals = pdf[c].dropna().unique()
                 s = best[c]
                 for v in vals:
-                    if t == "string":
+                    if c in dec_scales:
+                        import decimal as _dec
+
+                        data = _av.min_signed_bytes(
+                            int(_dec.Decimal(v).scaleb(dec_scales[c]))
+                        )
+                    elif t == "string":
                         data = str(v).encode("utf-8")
                     elif t == "date":
                         # Arrow hands DateType back as datetime.date

@@ -2952,3 +2952,36 @@ def test_set_iceberg_properties(spark, tmp_path):
         )
     # the table still reads after property churn
     assert ib.read_iceberg(spark, path).count() == 4
+
+
+def test_concurrent_schema_evolution_vs_rmw(spark, tmp_path, monkeypatch):
+    """An evolve_iceberg_schema that lands between an RMW's snapshot
+    read and its metadata claim must abort the RMW (its rewrite frame
+    and manifest schema were computed against the OLD field list —
+    committing would stamp stale schema over the evolution); the RMW
+    re-run against the new schema succeeds."""
+    path = str(tmp_path / "occ_evolve")
+    ib.write_iceberg(_df(spark, 0, 10), path)
+
+    orig = ib._claim_metadata
+    state = {"raced": False}
+
+    def racer(path_, build):
+        if not state["raced"]:
+            state["raced"] = True
+            ib.evolve_iceberg_schema(path_, add=[("note", "string")])
+        return orig(path_, build)
+
+    monkeypatch.setattr(ib, "_claim_metadata", racer)
+    with pytest.raises(ValueError, match="schema changed"):
+        ib.delete_where_iceberg(spark, path, "doc_id", 2, 4)
+    monkeypatch.setattr(ib, "_claim_metadata", orig)
+    # nothing committed: every row still present, schema evolved
+    back = ib.read_iceberg(spark, path)
+    assert back.count() == 10
+    assert "note" in back.columns
+    # re-read-and-reapply succeeds against the new schema
+    ib.delete_where_iceberg(spark, path, "doc_id", 2, 4)
+    assert sorted(
+        r["doc_id"] for r in ib.read_iceberg(spark, path).collect()
+    ) == [0, 1, 5, 6, 7, 8, 9]

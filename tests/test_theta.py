@@ -210,6 +210,52 @@ def test_iceberg_table_stats_date_column(spark, tmp_path):
     assert set(sk["hashes"]) == expect
 
 
+def test_iceberg_table_stats_decimal_column(spark, tmp_path):
+    """Decimal columns join the NDV tier (r13): canonicalized as the
+    minimal two's-complement unscaled bytes (Appendix B's bucket form),
+    auto-selected by default, exact below k."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ndv_dec")
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 40) / 4).cast("decimal(8,2)").alias("amt"),
+    )
+    ib.write_iceberg(df.repartition(4), path)
+    ib.write_iceberg_table_stats(spark, path)
+    ndv = ib.read_iceberg_ndv(path)
+    assert ndv["amt"] == 40
+    assert ndv["doc_id"] == 2000
+    # the canonical hash form is pinned: unscaled minimal bytes
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        avrotiny,
+        puffin,
+    )
+
+    meta = ib.current_metadata(path)
+    reg = (meta.get("statistics") or [])[-1]
+    fields = {f["name"]: f["id"] for f in ib._schema_of(meta)}
+    local = os.path.join(
+        path, "metadata", os.path.basename(reg["statistics-path"])
+    )
+    footer = puffin.read_puffin_footer(local)
+    bm = [b for b in footer["blobs"] if b["fields"] == [fields["amt"]]][0]
+    sk = theta.deserialize_compact(
+        puffin.read_blob(local, bm["offset"], bm["length"])
+    )
+    expect = {
+        theta.hash63(
+            avrotiny.min_signed_bytes(
+                int(Decimal(i % 40).scaleb(2) / 4)
+            )
+        )
+        for i in range(40)
+    }
+    assert set(sk["hashes"]) == expect
+
+
 def test_incremental_ndv_maintenance(spark, tmp_path):
     """update_iceberg_table_stats refreshes stats by scanning ONLY the
     appended files and unioning sketches — the result is IDENTICAL to
