@@ -1890,10 +1890,19 @@ def read_iceberg_pruned(
         return empty.filter(cond), 0, 0, 0
     fields = _schema_of(meta)
     spec = _spec_of(meta)
-    fid = next((f["id"] for f in fields if f["name"] == col), None)
-    if fid is None:
+    # dotted paths resolve STRUCT leaves ("s.a") — their bounds land in
+    # manifests under the nested field id, so struct members prune too
+    lookup = _struct_leaf_index({f["name"]: f for f in fields})
+    fld = lookup.get(col)
+    if fld is None:
         raise ValueError(f"no column {col!r} in the Iceberg schema")
-    ice_type = next(f["type"] for f in fields if f["id"] == fid)
+    if not isinstance(fld["type"], str):
+        raise ValueError(
+            f"column {col!r} has composite type — range pruning takes a "
+            "primitive (filter a leaf, e.g. a struct member path)"
+        )
+    fid = fld["id"]
+    ice_type = fld["type"]
     part_pos = next(
         (i for i, pf in enumerate(spec) if pf["source-id"] == fid), None
     )
@@ -2481,26 +2490,52 @@ def _land_data(
     return out
 
 
+def _struct_leaf_index(name_to_field: dict) -> dict:
+    """Extend a top-level {name: field} lookup with STRUCT leaves
+    keyed by their dotted parquet path ("s.a" → the nested field) —
+    the spec keys stats by field id including nested leaves, so
+    struct members get pruning bounds too.  List/map interiors keep
+    the historical skip (their parquet paths carry synthetic
+    "list.element"/"key_value" segments and their repeated-value
+    bounds tier is a different contract)."""
+    out = dict(name_to_field)
+
+    def walk(prefix: str, t) -> None:
+        if isinstance(t, dict) and t.get("type") == "struct":
+            for f in t["fields"]:
+                p = f"{prefix}.{f['name']}"
+                if isinstance(f["type"], str):
+                    out[p] = f
+                else:
+                    walk(p, f["type"])
+
+    for name, fld in name_to_field.items():
+        walk(name, fld.get("type"))
+    return out
+
+
 def _data_file_record(
     dest: str, reldest: str, name_to_field: dict, pvals: dict
 ) -> dict:
     """data_file record for one landed parquet file, with
     footer-derived per-field-id stats (value/null counts, single-value
-    serialized lower/upper bounds).  Footer access goes through
+    serialized lower/upper bounds) — nested STRUCT leaves included,
+    keyed by their own field ids.  Footer access goes through
     pqfooter.read_footer — pyarrow, with a JVM fallback for files
     pyarrow cannot open (v3 VARIANT columns), so one variant column
     never costs the other columns their pruning bounds."""
     from .pqfooter import read_footer
 
     fm = read_footer(dest)
+    lookup = _struct_leaf_index(name_to_field)
     lbs: dict[int, bytes] = {}
     ubs: dict[int, bytes] = {}
     vcs: dict[int, int] = {}
     ncs: dict[int, int] = {}
     for cname, st in fm["columns"].items():
-        fld = name_to_field.get(cname)
-        if fld is None:
-            continue  # dotted nested leaves (variant value/metadata)
+        fld = lookup.get(cname)
+        if fld is None or not isinstance(fld.get("type"), str):
+            continue  # list/map interiors, variant value/metadata
         if st["min"] is not None and st["max"] is not None:
             try:
                 lbs[fld["id"]] = ser_value(fld["type"], st["min"])

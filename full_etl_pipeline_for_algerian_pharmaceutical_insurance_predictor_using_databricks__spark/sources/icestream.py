@@ -88,6 +88,27 @@ def _snap_ordered(meta: dict) -> list[dict]:
     )
 
 
+def _pyval(t, v):
+    """Normalize one pyarrow-decoded value to the shape Spark's
+    Python-DataSource codec expects for its Iceberg type: pyarrow
+    returns MAP columns as lists of (key, value) PAIRS, the codec
+    asserts dict; struct/list recurse for nested maps."""
+    if v is None or isinstance(t, str):
+        return v
+    kind = t.get("type")
+    if kind == "struct":
+        return {
+            f["name"]: _pyval(f["type"], v.get(f["name"]))
+            for f in t["fields"]
+        }
+    if kind == "list":
+        return [_pyval(t["element"], x) for x in v]
+    if kind == "map":
+        pairs = v.items() if isinstance(v, dict) else v
+        return {k: _pyval(t["value"], val) for k, val in pairs}
+    return v
+
+
 def _entry_rows(
     path: str,
     meta: dict,
@@ -176,7 +197,7 @@ def _entry_rows(
             n for n in nm.get(fd["id"], []) if n != name
         ]:
             if cand in cols:
-                return cols[cand][i]
+                return _pyval(fd["type"], cols[cand][i])
         # v3 default values: a column ABSENT from the file reads its
         # initial-default (files that predate the column), same as the
         # native reader's presence rule

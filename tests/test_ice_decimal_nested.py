@@ -391,3 +391,77 @@ def test_nested_refusals_still_loud(spark, tmp_path):
         ib.evolve_iceberg_schema(
             path, add=[("extra", {"type": "struct", "fields": []})]
         )
+
+
+def test_struct_leaf_bounds_and_pruning(spark, tmp_path):
+    """Struct members get manifest bounds under their OWN field ids
+    (the spec keys stats by nested leaf id) and read_iceberg_pruned
+    resolves dotted paths — a range filter on s.a skips files without
+    opening them, decimal leaves included."""
+    path = str(tmp_path / "structprune")
+    for i in range(5):  # one file per append -> per-file leaf bounds
+        df = spark.createDataFrame(
+            [
+                (
+                    i * 10 + j,
+                    {"a": i * 100 + j, "m": Decimal(str(i)) + Decimal("0.5")},
+                )
+                for j in range(10)
+            ],
+            "doc_id long, s struct<a:int,m:decimal(8,2)>",
+        ).coalesce(1)
+        ib.write_iceberg(df, path, mode="append" if i else "overwrite")
+    meta = ib.current_metadata(path)
+    fields = ib._schema_of(meta)
+    leaf = ib._struct_leaf_index({f["name"]: f for f in fields})
+    a_id, m_id = leaf["s.a"]["id"], leaf["s.m"]["id"]
+    snap = ib._snapshot(meta, None)
+    entries = ib._live_entries(path, meta, snap)
+    assert len(entries) == 5
+    bounds = []
+    for e in entries:
+        lbs = ib._norm_id_map(e["data_file"].get("lower_bounds"))
+        ubs = ib._norm_id_map(e["data_file"].get("upper_bounds"))
+        assert a_id in lbs and m_id in lbs
+        bounds.append(
+            (
+                ib.deser_value("int", lbs[a_id]),
+                ib.deser_value("int", ubs[a_id]),
+            )
+        )
+    assert sorted(bounds) == [(i * 100, i * 100 + 9) for i in range(5)]
+    # pruned read on the int leaf: 1 file read, 4 skipped
+    pr, fr, fs, _ms = ib.read_iceberg_pruned(spark, path, "s.a", 205, 207)
+    assert sorted(r["doc_id"] for r in pr.collect()) == [25, 26, 27]
+    assert (fr, fs) == (1, 4)
+    # pruned read on the DECIMAL leaf
+    pr2, fr2, fs2, _ = ib.read_iceberg_pruned(
+        spark, path, "s.m", Decimal("3.5"), Decimal("3.5")
+    )
+    assert pr2.count() == 10
+    assert fs2 == 4
+    # composite paths refuse toward leaves
+    with pytest.raises(ValueError, match="composite type"):
+        ib.read_iceberg_pruned(spark, path, "s", 0, 1)
+    with pytest.raises(ValueError, match="no column"):
+        ib.read_iceberg_pruned(spark, path, "s.nope", 0, 1)
+
+
+def test_nested_types_through_datasource(spark, tmp_path):
+    """The registered batch DataSource serves struct/list/map/decimal
+    columns (pyarrow row decode → Spark's Python-DataSource codec)."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        icestream,
+    )
+
+    icestream.register(spark)
+    path = str(tmp_path / "nested_ds")
+    df = _nested_df(spark)
+    ib.write_iceberg(df, path)
+    back = spark.read.format("iceberg").load(path)
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["s"].asDict() == {"a": 1, "b": "x"}
+    assert rows[1]["xs"] == [1, 2, 3]
+    assert rows[1]["m"] == {"k": Decimal("9.99")}
+    assert rows[1]["price"] == Decimal("12.35")
+    assert rows[3]["s"] is None and rows[3]["m"] is None
