@@ -232,6 +232,7 @@ _TAIL_ORDER = [
     "lake_iceberg_ndv",
     "lake_delta_evolution",
     "lake_iceberg_decimal",
+    "lake_advised_join",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -371,6 +372,11 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_delta_evolution"] = _deltaproto.delta_evolution_entry
     pool["lake_iceberg_decimal"] = _iceberg.iceberg_decimal_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        advisor as _advisor,
+    )
+
+    pool["lake_advised_join"] = _advisor.advised_join_entry
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
 
@@ -465,6 +471,11 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_iceberg_ndv"] = _iceberg.ICEBERG_NDV_ORACLE_SQL
     pool["lake_delta_evolution"] = _deltaproto.DELTA_EVOLUTION_ORACLE_SQL
     pool["lake_iceberg_decimal"] = _iceberg.ICEBERG_DECIMAL_ORACLE_SQL
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        advisor as _advisor,
+    )
+
+    pool["lake_advised_join"] = _advisor.ADVISED_JOIN_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

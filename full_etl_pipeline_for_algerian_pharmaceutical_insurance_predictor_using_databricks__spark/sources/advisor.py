@@ -223,3 +223,71 @@ def lake_join(
     elif dec["broadcast"] == "right":
         right = F.broadcast(right)
     return left.join(right, on=on, how=how), dec
+
+
+_ADVISOR_LAKE_VERSION = 1
+
+
+def _ensure_advisor_lake(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once fact/dim Iceberg pair for the advised-join entry:
+    lineitem as the fact, part as the dimension, NDV statistics
+    registered on both so the decision runs on real artifacts."""
+    import os
+
+    from ..functions.scale import default_index_dir
+    from . import iceberg as ib, load_table
+
+    root = default_index_dir("advisor", _ADVISOR_LAKE_VERSION, sf_dir)
+    fact = os.path.join(root, "fact_lineitem")
+    dim = os.path.join(root, "dim_part")
+    if not ib._metadata_versions(fact):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.col("l_partkey").alias("p_partkey"),
+            "l_extendedprice",
+            "l_quantity",
+        )
+        ib.write_iceberg(li.repartition(4), fact)
+        ib.write_iceberg_table_stats(spark, fact, columns=["p_partkey"])
+    if not ib._metadata_versions(dim):
+        part = load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_type"
+        )
+        ib.write_iceberg(part.coalesce(1), dim)
+        ib.write_iceberg_table_stats(spark, dim, columns=["p_partkey"])
+    return fact, dim
+
+
+def advised_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for the statistics-advised join: the lineitem
+    fact joins the part dimension through lake_join — the broadcast
+    decision reads the Iceberg manifest byte counts and registered NDV
+    sketches, never a data file — then per-brand revenue aggregates.
+    The oracle restates the join/agg off the raw parquet, so a value
+    match proves the advised plan computes exactly what the shuffle
+    plan would; the broadcast/evidence contract is pinned in
+    tests/test_advisor.py."""
+    fact, dim = _ensure_advisor_lake(spark, sf_dir)
+    joined, dec = lake_join(spark, fact, dim, on="p_partkey")
+    assert dec["broadcast"] is not None  # metadata says the dim fits
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ADVISED_JOIN_ORACLE_SQL = """
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l.l_extendedprice), 2) AS revenue,
+       CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""

@@ -3428,10 +3428,20 @@ def delete_where_iceberg(
     spec = _spec_of(meta0)
     spec_sid = _default_spec_id(meta0)
     by_id = {f["id"]: f for f in fields}
-    fid = next((f["id"] for f in fields if f["name"] == col), None)
-    if fid is None:
+    # dotted paths resolve STRUCT leaves ("s.a"): their bounds prune
+    # under the nested field id, and the rewrite filter is a struct
+    # member access
+    fld = _struct_leaf_index({f["name"]: f for f in fields}).get(col)
+    if fld is None:
         raise ValueError(f"no column {col!r} in the Iceberg schema")
-    ice_type = by_id[fid]["type"]
+    if not isinstance(fld["type"], str):
+        raise ValueError(
+            f"column {col!r} has composite type — DELETE takes a "
+            "primitive predicate (filter a leaf, e.g. a struct member "
+            "path)"
+        )
+    fid = fld["id"]
+    ice_type = fld["type"]
     del_pf = next((p for p in spec if p["source-id"] == fid), None)
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
 

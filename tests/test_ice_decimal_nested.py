@@ -465,3 +465,33 @@ def test_nested_types_through_datasource(spark, tmp_path):
     assert rows[1]["m"] == {"k": Decimal("9.99")}
     assert rows[1]["price"] == Decimal("12.35")
     assert rows[3]["s"] is None and rows[3]["m"] is None
+
+
+def test_delete_where_on_struct_leaf(spark, tmp_path):
+    """DELETE with a dotted struct-leaf predicate: pruning by the
+    nested leaf's bounds, rewrite filter as member access, both
+    strategies."""
+    path = str(tmp_path / "structdel")
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(i * 10 + j, {"a": i * 100 + j, "b": f"t{j}"}) for j in range(10)],
+            "doc_id long, s struct<a:int,b:string>",
+        ).coalesce(1)
+        ib.write_iceberg(df, path, mode="append" if i else "overwrite")
+    ib.delete_where_iceberg(spark, path, "s.a", 103, 106)
+    got = sorted(
+        r["doc_id"] for r in ib.read_iceberg(spark, path).collect()
+    )
+    assert got == [d for d in range(30) if not 13 <= d <= 16]
+    # merge-on-read flavor on another leaf range
+    ib.delete_where_iceberg(
+        spark, path, "s.a", 205, 206, strategy="merge-on-read"
+    )
+    got2 = sorted(
+        r["doc_id"] for r in ib.read_iceberg(spark, path).collect()
+    )
+    assert got2 == [
+        d for d in range(30) if not (13 <= d <= 16 or 25 <= d <= 26)
+    ]
+    with pytest.raises(ValueError, match="composite type"):
+        ib.delete_where_iceberg(spark, path, "s", 0, 1)
