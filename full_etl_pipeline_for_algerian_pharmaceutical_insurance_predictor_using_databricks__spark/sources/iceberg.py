@@ -2409,14 +2409,29 @@ def _land_data(
     path: str,
     spec: list[dict],
     fields: list[dict],
+    file_format: str = "parquet",
 ) -> list[dict]:
-    """Land the frame as parquet under `data/` (hive dirs when
-    partitioned; identity partition columns dropped from file content
-    per the identity-projection rule, TRANSFORM partition values
-    computed as derived columns — their SOURCE columns stay in the
-    files, as the spec requires) and return data_file records with
-    footer-derived per-field-id stats."""
+    """Land the frame as parquet (or ORC, r13) under `data/` (hive
+    dirs when partitioned; identity partition columns dropped from
+    file content per the identity-projection rule, TRANSFORM partition
+    values computed as derived columns — their SOURCE columns stay in
+    the files, as the spec requires) and return data_file records with
+    footer-derived per-field-id stats.  ORC landings refuse timestamp
+    columns up front (the ORC read tier refuses them — writer-zone
+    semantics vary by engine) and carry record counts without value
+    bounds (pyarrow exposes no ORC column statistics)."""
     import pyarrow.parquet as pq
+
+    if file_format not in ("parquet", "orc"):
+        raise ValueError(f"unsupported data file format {file_format!r}")
+    if file_format == "orc":
+        for f in fields:
+            if f["type"] in ("timestamp", "timestamptz", "variant"):
+                raise ValueError(
+                    f"column {f['name']!r}: type {f['type']!r} is not "
+                    "supported in ORC data files by this tier (the ORC "
+                    "read path refuses it) — land parquet instead"
+                )
 
     name_to_field = {f["name"]: f for f in fields}
     by_id = {f["id"]: f for f in fields}
@@ -2458,12 +2473,10 @@ def _land_data(
         else contextlib.nullcontext()
     )
     with shred_guard:
+        w = df.write.mode("overwrite")
         if part_cols:
-            df.write.mode("overwrite").partitionBy(*part_cols).parquet(
-                staging
-            )
-        else:
-            df.write.mode("overwrite").parquet(staging)
+            w = w.partitionBy(*part_cols)
+        w.format(file_format).save(staging)
     out = []
     for dirpath, _dirs, files in sorted(os.walk(staging)):
         rel = os.path.relpath(dirpath, staging)
@@ -2475,19 +2488,50 @@ def _land_data(
             if pf is not None:
                 res_t = _pf_result_type(pf, by_id[pf["source-id"]]["type"])
                 pvals[k] = _parse_hive_value(res_t, v)
+        ext = ".parquet" if file_format == "parquet" else ".orc"
         for fname in sorted(files):
-            if not fname.endswith(".parquet"):
+            if not fname.endswith(ext):
                 continue
-            new = f"{uuid.uuid4().hex}.parquet"
+            new = f"{uuid.uuid4().hex}{ext}"
             reldest = _file_uri(path, "/".join(["data"] + segs + [new]))
             dest = os.path.join(path, "data", *segs, new)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.rename(os.path.join(dirpath, fname), dest)
             out.append(
                 _data_file_record(dest, reldest, name_to_field, pvals)
+                if file_format == "parquet"
+                else _orc_data_file_record(dest, reldest, name_to_field, pvals)
             )
     shutil.rmtree(staging)
     return out
+
+
+def _orc_data_file_record(
+    dest: str, reldest: str, name_to_field: dict, pvals: dict
+) -> dict:
+    """data_file record for one landed ORC file: record count from the
+    ORC file footer (pyarrow.orc), value bounds omitted — pyarrow
+    exposes no ORC column statistics, and absent bounds are valid
+    (readers simply cannot skip the file)."""
+    import pyarrow.orc as _orc
+
+    n_rows = int(_orc.ORCFile(dest).nrows)
+    return {
+        "file_path": reldest,
+        "file_format": "ORC",
+        "partition": pvals,
+        "record_count": n_rows,
+        "file_size_in_bytes": os.path.getsize(dest),
+        "block_size_in_bytes": _BLOCK_SIZE,
+        "value_counts": [
+            {"key": f["id"], "value": n_rows}
+            for f in sorted(name_to_field.values(), key=lambda f: f["id"])
+        ],
+        "null_value_counts": None,
+        "lower_bounds": None,
+        "upper_bounds": None,
+        "split_offsets": None,
+    }
 
 
 def _struct_leaf_index(name_to_field: dict) -> dict:
@@ -2947,8 +2991,11 @@ def write_iceberg(
     format_version: int = 1,
     branch: str | None = None,
     sort_by: list[str] | None = None,
+    file_format: str | None = None,
 ) -> int:
-    """Write a REAL Iceberg snapshot: land parquet under `data/`,
+    """Write a REAL Iceberg snapshot: land parquet (or ORC via
+    `file_format="orc"`, defaulting to the table's
+    `write.format.default` property) under `data/`,
     write a manifest + manifest list (Avro, deflate), commit
     `v<N>.metadata.json` + `version-hint.text`.  Appends carry the
     previous snapshot's manifests forward untouched (Iceberg's own
@@ -2968,9 +3015,20 @@ def write_iceberg(
     engines read to skip re-sorting already-clustered files."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if file_format not in (None, "parquet", "orc"):
+        raise ValueError(f"unsupported file_format {file_format!r}")
     exists = bool(_metadata_versions(path))
     if exists:
         base0 = current_metadata(path)
+        if file_format is None:
+            file_format = (base0.get("properties") or {}).get(
+                "write.format.default", "parquet"
+            )
+            if file_format not in ("parquet", "orc"):
+                raise ValueError(
+                    f"table property write.format.default="
+                    f"{file_format!r} unsupported"
+                )
         fields = _schema_of(base0)
         spec = _spec_of(base0)
         spec_sid = _default_spec_id(base0)
@@ -3040,7 +3098,9 @@ def write_iceberg(
         df = df.repartitionByRange(
             df.rdd.getNumPartitions() or 1, *sort_cols
         ).sortWithinPartitions(*sort_cols)
-    data_files = _land_data(df, path, spec, fields)
+    data_files = _land_data(
+        df, path, spec, fields, file_format=file_format or "parquet"
+    )
     if sort_order is not None:
         for d in data_files:
             d["sort_order_id"] = sort_order["order-id"]
@@ -3077,6 +3137,11 @@ def write_iceberg(
         format_version=format_version,
         branch=branch,
         sort_order=sort_order,
+        properties=(
+            {"write.format.default": "orc"}
+            if (not exists and file_format == "orc")
+            else None
+        ),
     )
 
 
