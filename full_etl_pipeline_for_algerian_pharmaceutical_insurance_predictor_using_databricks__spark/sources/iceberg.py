@@ -192,47 +192,6 @@ def _iceberg_fields(df_schema) -> list[dict]:
         counter[0] += 1
         return counter[0]
 
-    def stamp_ids(t, spark_dt):
-        """Copy an id-less Iceberg JSON type, allocating element/key/
-        value/field ids level-order."""
-        if isinstance(t, str):
-            return t
-        kind = t["type"]
-        if kind == "struct":
-            ids = [alloc() for _ in t["fields"]]
-            out_fields = []
-            for fid, f, sf in zip(ids, t["fields"], spark_dt.fields):
-                out_fields.append(
-                    {
-                        "id": fid,
-                        "name": f["name"],
-                        "required": f.get("required", False),
-                        "type": None,  # filled below (children after siblings)
-                    }
-                )
-            for of, f, sf in zip(out_fields, t["fields"], spark_dt.fields):
-                of["type"] = stamp_ids(f["type"], sf.dataType)
-            return {"type": "struct", "fields": out_fields}
-        if kind == "list":
-            eid = alloc()
-            return {
-                "type": "list",
-                "element-id": eid,
-                "element": stamp_ids(t["element"], spark_dt.elementType),
-                "element-required": t.get("element-required", False),
-            }
-        if kind == "map":
-            kid, vid = alloc(), alloc()
-            return {
-                "type": "map",
-                "key-id": kid,
-                "key": stamp_ids(t["key"], spark_dt.keyType),
-                "value-id": vid,
-                "value": stamp_ids(t["value"], spark_dt.valueType),
-                "value-required": t.get("value-required", False),
-            }
-        raise ValueError(f"unknown Iceberg composite kind {kind!r}")
-
     tops = []
     for f in df_schema.fields:
         try:
@@ -247,10 +206,54 @@ def _iceberg_fields(df_schema) -> list[dict]:
                 "id": fid,
                 "name": f.name,
                 "required": False,
-                "type": stamp_ids(raw, f.dataType),
+                "type": _stamp_type_ids(raw, alloc),
             }
         )
     return out
+
+
+def _stamp_type_ids(t, alloc):
+    """Copy an id-less Iceberg JSON type, allocating element/key/
+    value/field ids level-order (direct struct fields before their
+    nested types — the assignFreshIds shape)."""
+    if isinstance(t, str):
+        if t in _ICE_TO_SPARK or _dec_params(t) is not None:
+            return t
+        raise ValueError(f"unsupported Iceberg type {t!r}")
+    kind = t.get("type") if isinstance(t, dict) else None
+    if kind == "struct":
+        ids = [alloc() for _ in t["fields"]]
+        out_fields = [
+            {
+                "id": fid,
+                "name": f["name"],
+                "required": f.get("required", False),
+                "type": None,  # filled below (children after siblings)
+            }
+            for fid, f in zip(ids, t["fields"])
+        ]
+        for of, f in zip(out_fields, t["fields"]):
+            of["type"] = _stamp_type_ids(f["type"], alloc)
+        return {"type": "struct", "fields": out_fields}
+    if kind == "list":
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _stamp_type_ids(t["element"], alloc),
+            "element-required": t.get("element-required", False),
+        }
+    if kind == "map":
+        kid, vid = alloc(), alloc()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _stamp_type_ids(t["key"], alloc),
+            "value-id": vid,
+            "value": _stamp_type_ids(t["value"], alloc),
+            "value-required": t.get("value-required", False),
+        }
+    raise ValueError(f"unsupported Iceberg type {t!r}")
 
 
 def _max_field_id(fields: list[dict]) -> int:
@@ -1704,6 +1707,14 @@ def _read_entries(
             "left_anti",
         )
     for ed in sorted(eqs, key=lambda d: (d["seq"], d["path"])):
+        for i in ed["ids"]:
+            f0 = by_id.get(i)
+            if f0 is None or not isinstance(f0["type"], str):
+                raise ValueError(
+                    f"equality delete references field id {i}, which is "
+                    "not a top-level primitive column of the current "
+                    "schema — refusing to mis-apply"
+                )
         cols = [by_id[i]["name"] for i in ed["ids"]]
         if _is_avro_file(ed["path"]):
             eq_src = _avro_scan(
@@ -5357,24 +5368,35 @@ def evolve_iceberg_schema(
                     "field (schema.name-mapping.default) — reusing it would "
                     "make old files ambiguous; pick a fresh name"
                 )
-            if not isinstance(ice_type, str) or (
-                ice_type not in _ICE_TO_SPARK
-                and _dec_params(ice_type) is None
-            ):
-                raise ValueError(
-                    f"unsupported Iceberg type {ice_type!r} (ALTER ADD "
-                    "takes primitives incl. decimal; nested adds are "
-                    "unsupported)"
-                )
             last_id += 1
+            top_id = last_id
+
+            def _alloc() -> int:
+                nonlocal last_id
+                last_id += 1
+                return last_id
+
+            try:
+                # primitives pass through; nested struct/list/map get
+                # fresh ids allocated past last-column-id (level-order)
+                stamped = _stamp_type_ids(ice_type, _alloc)
+            except ValueError:
+                raise ValueError(
+                    f"unsupported Iceberg type {ice_type!r} for ALTER "
+                    "ADD (primitives incl. decimal, or an id-less "
+                    "struct/list/map JSON type)"
+                ) from None
             f = {
-                "id": last_id,
+                "id": top_id,
                 "name": name,
                 "required": False,
-                "type": ice_type,
+                "type": stamped,
             }
             if default is not None:
-                if ice_type not in _DEFAULTABLE_TYPES:
+                if (
+                    not isinstance(ice_type, str)
+                    or ice_type not in _DEFAULTABLE_TYPES
+                ):
                     raise ValueError(
                         f"default value on type {ice_type!r} unsupported "
                         f"(spec JSON single-value types only: "

@@ -181,6 +181,14 @@ def _entry_rows(
                 (ed.get("partition") or {}).get(n) for n in d_names
             ) != tuple(pv.get(n) for n in d_names):
                 continue
+        for i in ed["ids"]:
+            f0 = by_id.get(i)
+            if f0 is None or not isinstance(f0["type"], str):
+                raise ValueError(
+                    f"equality delete references field id {i}, which is "
+                    "not a top-level primitive column of the current "
+                    "schema — refusing to mis-apply"
+                )
         names = [by_id[i]["name"] for i in ed["ids"]]
         t = pq.read_table(ed["path"], columns=names)
         vals = {

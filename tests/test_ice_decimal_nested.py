@@ -380,17 +380,60 @@ def test_foreign_crafted_decimal_table_reads(spark, tmp_path):
 
 
 def test_nested_refusals_still_loud(spark, tmp_path):
-    """Nested columns cannot be partition sources, and ALTER ADD of a
-    nested type refuses toward a full schema rewrite."""
+    """Nested columns cannot be partition sources; ALTER ADD of a
+    nested type allocates fresh level-order ids past last-column-id
+    and old rows read the new column as NULL; malformed types refuse."""
     path = str(tmp_path / "refuse")
     df = _nested_df(spark)
     with pytest.raises(ValueError, match="nested column types"):
         ib.write_iceberg(df, path, partition_by=["s"])
     ib.write_iceberg(df, path)
+    before = ib.current_metadata(path)["last-column-id"]
+    ib.evolve_iceberg_schema(
+        path,
+        add=[
+            (
+                "extra",
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "x", "required": False, "type": "int"},
+                        {
+                            "name": "tags",
+                            "required": False,
+                            "type": {
+                                "type": "list",
+                                "element": "string",
+                                "element-required": False,
+                            },
+                        },
+                    ],
+                },
+            )
+        ],
+    )
+    meta = ib.current_metadata(path)
+    extra = next(
+        f for f in ib._schema_of(meta) if f["name"] == "extra"
+    )
+    ids = [extra["id"]] + [
+        sf["id"] for sf in extra["type"]["fields"]
+    ] + [extra["type"]["fields"][1]["type"]["element-id"]]
+    assert min(ids) > before  # fresh ids, never reused
+    assert len(set(ids)) == len(ids)
+    assert meta["last-column-id"] == max(ids)
+    back = ib.read_iceberg(spark, path)
+    assert back.filter(F.col("extra").isNotNull()).count() == 0
+    # writes against the evolved schema round-trip the nested column
+    row = spark.createDataFrame(
+        [(9, None, None, None, None, {"x": 7, "tags": ["a", "b"]})],
+        back.schema,
+    )
+    ib.write_iceberg(row, path, mode="append")
+    got = ib.read_iceberg(spark, path).filter(F.col("id") == 9).first()
+    assert got["extra"].asDict() == {"x": 7, "tags": ["a", "b"]}
     with pytest.raises(ValueError, match="unsupported Iceberg type"):
-        ib.evolve_iceberg_schema(
-            path, add=[("extra", {"type": "struct", "fields": []})]
-        )
+        ib.evolve_iceberg_schema(path, add=[("bad", {"type": "nope"})])
 
 
 def test_struct_leaf_bounds_and_pruning(spark, tmp_path):
