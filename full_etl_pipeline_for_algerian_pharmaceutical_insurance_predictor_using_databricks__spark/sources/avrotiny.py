@@ -171,6 +171,17 @@ def _is_decimal(schema) -> bool:
     )
 
 
+def _is_uuid_fixed(schema) -> bool:
+    """fixed(16) annotated `uuid` — Iceberg's uuid partition-value
+    form; decoded to/from the canonical lowercase string the way
+    decimal logicals decode to Decimal."""
+    return (
+        isinstance(schema, dict)
+        and schema.get("logicalType") == "uuid"
+        and schema.get("size") == 16
+    )
+
+
 def write_datum(buf: io.BytesIO, schema, value) -> None:
     t = _type_of(schema)
     if t == "null":
@@ -207,6 +218,10 @@ def write_datum(buf: io.BytesIO, schema, value) -> None:
             raw = _dec_unscaled(
                 value, int(schema.get("scale") or 0)
             ).to_bytes(schema["size"], "big", signed=True)
+        elif _is_uuid_fixed(schema) and isinstance(value, str):
+            import uuid as _uuid
+
+            raw = _uuid.UUID(value).bytes
         else:
             raw = bytes(value)
         if len(raw) != schema["size"]:
@@ -279,6 +294,10 @@ def read_datum(buf, schema):
                 int.from_bytes(raw, "big", signed=True),
                 int(schema.get("scale") or 0),
             )
+        if _is_uuid_fixed(schema):
+            import uuid as _uuid
+
+            return str(_uuid.UUID(bytes=raw))
         return raw
     if t == "enum":
         return schema["symbols"][_read_long(buf)]

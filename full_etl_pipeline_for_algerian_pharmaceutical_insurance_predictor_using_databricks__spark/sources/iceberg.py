@@ -133,6 +133,52 @@ def _to_decimal(v):
     return decimal.Decimal(v)
 
 
+_FIXED_RE = re.compile(r"^fixed\[\s*(\d+)\s*\]$")
+
+
+def _fixed_size(t) -> int | None:
+    """Byte length of an Iceberg `fixed[L]` type string, else None."""
+    if not isinstance(t, str):
+        return None
+    m = _FIXED_RE.match(t)
+    return int(m.group(1)) if m else None
+
+
+def _uuid_str(v) -> str:
+    """Canonical lowercase 8-4-4-4-12 uuid string from a str or the
+    spec's 16-byte big-endian form (RFC-4122 field order)."""
+    if isinstance(v, (bytes, bytearray)):
+        return str(uuid.UUID(bytes=bytes(v)))
+    return str(uuid.UUID(str(v)))
+
+
+def _time_micros(v) -> int:
+    """Microseconds since midnight (the spec's `time` internal repr)
+    from a datetime.time, an "HH:MM:SS[.ffffff]" string, or an
+    already-internal int."""
+    import datetime
+
+    if isinstance(v, datetime.time):
+        return (
+            (v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000
+            + v.microsecond
+        )
+    if isinstance(v, str):
+        return _time_micros(datetime.time.fromisoformat(v))
+    return int(v)
+
+
+def _time_of_micros(us: int):
+    """datetime.time for micros-since-midnight (deser twin)."""
+    import datetime
+
+    us = int(us)
+    s, us = divmod(us, 1_000_000)
+    h, s = divmod(s, 3600)
+    m, s = divmod(s, 60)
+    return datetime.time(h, m, s, us)
+
+
 def _spark_to_ice_type(dt) -> str | dict:
     """Iceberg JSON type for one Spark DataType — primitives map by
     name, decimal carries (P, S), struct/list/map recurse WITHOUT id
@@ -142,10 +188,15 @@ def _spark_to_ice_type(dt) -> str | dict:
         DecimalType,
         MapType,
         StructType,
+        TimeType,
     )
 
     if isinstance(dt, DecimalType):
         return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, TimeType):
+        # Spark 4.1's TIME — Iceberg `time` is micros since midnight;
+        # TIME(p<=6) fits exactly (micros is the max Spark precision)
+        return "time"
     if isinstance(dt, StructType):
         return {
             "type": "struct",
@@ -217,7 +268,12 @@ def _stamp_type_ids(t, alloc):
     value/field ids level-order (direct struct fields before their
     nested types — the assignFreshIds shape)."""
     if isinstance(t, str):
-        if t in _ICE_TO_SPARK or _dec_params(t) is not None:
+        if (
+            t in _ICE_TO_SPARK
+            or t in ("uuid", "time")
+            or _dec_params(t) is not None
+            or _fixed_size(t) is not None
+        ):
             return t
         raise ValueError(f"unsupported Iceberg type {t!r}")
     kind = t.get("type") if isinstance(t, dict) else None
@@ -297,6 +353,15 @@ def _ice_type_to_spark_json(t):
         ps = _dec_params(t)
         if ps is not None:
             return f"decimal({ps[0]},{ps[1]})"
+        if t == "uuid":
+            # Spark has no uuid type — the ecosystem rule (Java
+            # Iceberg's TypeToSparkType) projects uuid as its
+            # canonical lowercase string form
+            return "string"
+        if t == "time":
+            return "time(6)"  # micros — Spark 4.1 TIME at full width
+        if _fixed_size(t) is not None:
+            return "binary"
         raise ValueError(f"Iceberg type {t!r} not supported")
     kind = t.get("type")
     if kind == "struct":
@@ -340,11 +405,40 @@ def _ice_primitive_to_spark(t) -> str:
     return s
 
 
+def _nested_exotic(t, depth: int = 0) -> str | None:
+    """First uuid/time type found BELOW the top level of an Iceberg
+    type tree, else None.  Top-level uuid/time columns get dedicated
+    scan handling (binary→canonical-string conversion, the Arrow
+    parquet kernel); nested occurrences would silently decode wrong,
+    so the schema mapping refuses them loudly."""
+    if isinstance(t, str):
+        return t if depth > 0 and t in ("uuid", "time") else None
+    kind = t.get("type")
+    if kind == "struct":
+        for f in t["fields"]:
+            hit = _nested_exotic(f["type"], depth + 1)
+            if hit:
+                return hit
+    elif kind == "list":
+        return _nested_exotic(t["element"], depth + 1)
+    elif kind == "map":
+        return _nested_exotic(t["key"], depth + 1) or _nested_exotic(
+            t["value"], depth + 1
+        )
+    return None
+
+
 def _spark_schema(fields: list[dict]):
     from pyspark.sql.types import StructType
 
     cols = []
     for f in fields:
+        hit = _nested_exotic(f["type"])
+        if hit:
+            raise ValueError(
+                f"field {f.get('name')!r}: nested {hit!r} columns are "
+                "unsupported (top-level uuid/time only)"
+            )
         try:
             st = _ice_type_to_spark_json(f["type"])
         except ValueError:
@@ -395,6 +489,18 @@ def _to_internal(ice_type: str, v):
     ps = _dec_params(ice_type)
     if ps is not None:
         return _to_decimal(v)
+    if ice_type == "uuid":
+        return _uuid_str(v)
+    if ice_type == "time":
+        return _time_micros(v)
+    fl = _fixed_size(ice_type)
+    if fl is not None:
+        b = bytes(v)
+        if len(b) != fl:
+            raise ValueError(
+                f"fixed[{fl}] value has {len(b)} bytes"
+            )
+        return b
     return v
 
 
@@ -421,6 +527,13 @@ def ser_value(ice_type: str, v) -> bytes | None:
         # spec Appendix D: unscaled value, MINIMUM number of bytes,
         # big-endian two's-complement
         return avrotiny.min_signed_bytes(int(v.scaleb(ps[1])))
+    if ice_type == "uuid":
+        # 16-byte big-endian (RFC-4122 field order)
+        return uuid.UUID(v).bytes
+    if ice_type == "time":
+        return struct.pack("<q", int(v))  # micros since midnight
+    if _fixed_size(ice_type) is not None:
+        return bytes(v)  # length validated by _to_internal
     raise ValueError(f"cannot serialize Iceberg type {ice_type!r}")
 
 
@@ -457,6 +570,12 @@ def deser_value(ice_type: str, raw: bytes | None):
         return decimal.Decimal(
             int.from_bytes(raw, "big", signed=True)
         ).scaleb(-ps[1])
+    if ice_type == "uuid":
+        return _uuid_str(raw)  # internal repr: canonical string
+    if ice_type == "time":
+        return struct.unpack("<q", raw)[0]  # internal repr: micros
+    if _fixed_size(ice_type) is not None:
+        return raw
     raise ValueError(f"cannot deserialize Iceberg type {ice_type!r}")
 
 
@@ -500,6 +619,18 @@ def _ice_to_avro_type(res_type: str, field_id: int):
             "precision": ps[0],
             "scale": ps[1],
         }
+    if res_type == "uuid":
+        return {
+            "type": "fixed",
+            "name": f"uuid_{field_id}",
+            "size": 16,
+            "logicalType": "uuid",
+        }
+    if res_type == "time":
+        return {"type": "long", "logicalType": "time-micros"}
+    fl = _fixed_size(res_type)
+    if fl is not None:
+        return {"type": "fixed", "name": f"fixed_{field_id}", "size": fl}
     return _ICE_TO_AVRO[res_type]
 
 
@@ -1149,6 +1280,12 @@ def _part_literal(raw, spark_type: str):
         return F.date_from_unix_date(F.lit(int(raw)))
     if spark_type == "timestamp":
         return F.timestamp_micros(F.lit(int(raw)))
+    if spark_type.startswith("time("):
+        return F.lit(_time_of_micros(raw))  # foreign identity(time)
+    if spark_type == "string" and isinstance(raw, (bytes, bytearray)):
+        # uuid identity value decoded from a manifest whose avro
+        # schema lost the logical annotation (minimal foreign writer)
+        return F.lit(_uuid_str(raw))
     return F.lit(raw).cast(spark_type)
 
 
@@ -1286,11 +1423,18 @@ def _orc_scan(
         TimestampType,
     )
 
+    from pyspark.sql.types import TimeType as _TT
+
     for f in read_schema.fields:
         if isinstance(f.dataType, (TimestampType, TimestampNTZType)):
             raise ValueError(
                 "timestamp columns in ORC data files are unsupported "
                 "(writer-zone semantics vary by engine)"
+            )
+        if isinstance(f.dataType, _TT):
+            raise ValueError(
+                "time columns in ORC data files are unsupported by "
+                "this tier — land parquet instead"
             )
     names = [f.name for f in read_schema.fields]
     out_fields = [StructField(f.name, f.dataType, True) for f in read_schema.fields]
@@ -1322,6 +1466,103 @@ def _orc_scan(
                     )
                     for nm in names
                 }
+                if with_identity:
+                    tail = local.rsplit("/", 1)[-1]
+                    data[_IB_FILE] = [tail] * n
+                    data[_IB_POS] = list(range(n))
+                yield pd.DataFrame(data)
+
+    return src.repartition(len(paths)).mapInPandas(
+        decode, schema=StructType(out_fields)
+    )
+
+
+def _uuid_str_expr(c):
+    """Canonical lowercase 8-4-4-4-12 uuid string from a 16-byte
+    binary column — pure JVM expressions (hex/substr/concat), no
+    Python in the hot path."""
+    h = F.lower(F.hex(c))
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.substring(h, 13, 4),
+            F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
+        )
+    )
+
+
+def _pq_arrow_scan(
+    spark: SparkSession,
+    files: list[str],
+    read_schema,
+    with_identity: bool,
+) -> DataFrame:
+    """Distributed scan of parquet data files through pyarrow instead
+    of Spark's native reader — the route for tables carrying `time`
+    columns, whose TIME(MICROS) annotation Spark's parquet reader
+    refuses outright (both isAdjustedToUTC flavors) even though Spark
+    4.1 has the TimeType.  One task per file decodes inside an
+    Arrow-batched `mapInPandas` kernel; row POSITION is the ordinal
+    within the file (whole-file in-order read — the spec's `pos`), so
+    position deletes and DVs apply through the same identity anti-join
+    as the native path.  uuid columns come back as their physical
+    16-byte form (the caller converts to canonical strings exactly as
+    on the native path); columns absent from a file read as NULL
+    (schema-evolution rule)."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimeType,
+    )
+
+    time_cols = {
+        f.name for f in read_schema.fields if isinstance(f.dataType, TimeType)
+    }
+    names = [f.name for f in read_schema.fields]
+    out_fields = [
+        StructField(f.name, f.dataType, True) for f in read_schema.fields
+    ]
+    if with_identity:
+        out_fields += [
+            StructField(_IB_FILE, StringType(), True),
+            StructField(_IB_POS, LongType(), True),
+        ]
+    paths = sorted(set(files))
+    src = spark.createDataFrame([(pp,) for pp in paths], "path string")
+
+    def decode(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for pth in pdf["path"]:
+                local = pth[7:] if pth.startswith("file://") else pth
+                pf = pq.ParquetFile(local)
+                avail = set(pf.schema_arrow.names)
+                cols = [n for n in names if n in avail]
+                body = pf.read(columns=cols).to_pandas()
+                n = len(body)
+                data = {}
+                for nm in names:
+                    if nm in body.columns:
+                        s = body[nm]
+                        if nm in time_cols and s.dtype != object:
+                            # foreign writer landed plain INT64 micros
+                            s = s.map(
+                                lambda v: None
+                                if pd.isna(v)
+                                else _time_of_micros(int(v))
+                            )
+                        data[nm] = s
+                    else:
+                        data[nm] = pd.Series([None] * n, dtype="object")
                 if with_identity:
                     tail = local.rsplit("/", 1)[-1]
                     data[_IB_FILE] = [tail] * n
@@ -1369,6 +1610,11 @@ def _avro_scan(
             raise ValueError(
                 "timestamp (without zone) columns in Avro data files "
                 "are unsupported"
+            )
+        elif type(f.dataType).__name__ == "TimeType":
+            raise ValueError(
+                "time columns in Avro data files are unsupported by "
+                "this tier — land parquet instead"
             )
         elif isinstance(f.dataType, TimestampType):
             internal.append(StructField(f.name, LongType(), True))
@@ -1492,6 +1738,13 @@ def _read_entries(
     fields = _schema_of(meta)
     schema = _spark_schema(fields)
     by_id = {f["id"]: f for f in fields}
+    # uuid columns read in their PHYSICAL form (FLBA(16) → binary, the
+    # one shape Spark's parquet reader accepts) and convert to
+    # canonical strings per group below; any `time` column routes the
+    # group's parquet files through the Arrow scan kernel (Spark's
+    # native reader refuses the TIME annotation outright)
+    uuid_cols = {f["name"] for f in fields if f["type"] == "uuid"}
+    has_time = any(f["type"] == "time" for f in fields)
     # per-SPEC partition interpretation: after partition evolution a
     # snapshot mixes manifests written under different specs — each
     # entry's `_spec_id` picks which spec decodes its tuple.  Only
@@ -1549,12 +1802,15 @@ def _read_entries(
     extras = list(extra_read_cols or [])
 
     def read_schema_for(skip_srcs: set) -> StructType:
+        from pyspark.sql.types import BinaryType
+
         read_cols = []
         for f in schema.fields:
             if f.name in skip_srcs:
                 continue
+            dt = BinaryType() if f.name in uuid_cols else f.dataType
             for n in candidates[f.name]:
-                read_cols.append(StructField(n, f.dataType, True))
+                read_cols.append(StructField(n, dt, True))
         for name, typ in extras:
             read_cols.append(StructField(name, _ddl_type(typ), True))
         return StructType(read_cols)
@@ -1639,14 +1895,19 @@ def _read_entries(
         ]
         subframes = []
         if par_files:
-            d = spark.read.schema(rs).parquet(*sorted(par_files))
-            if need_identity:
-                d = d.withColumn(
-                    _IB_FILE,
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
-                    ),
-                ).withColumn(_IB_POS, F.col("_metadata.row_index"))
+            if has_time:
+                d = _pq_arrow_scan(
+                    spark, sorted(par_files), rs, need_identity
+                )
+            else:
+                d = spark.read.schema(rs).parquet(*sorted(par_files))
+                if need_identity:
+                    d = d.withColumn(
+                        _IB_FILE,
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        ),
+                    ).withColumn(_IB_POS, F.col("_metadata.row_index"))
             subframes.append(d)
         if avr_files:
             subframes.append(
@@ -1676,6 +1937,12 @@ def _read_entries(
                 df = df.withColumn(
                     f.name, F.coalesce(*[F.col(n) for n in names])
                 )
+        for u in uuid_cols:
+            # file-read uuid columns arrive as FLBA(16) binary —
+            # convert to the canonical string projection (identity
+            # partition sources reconstruct as strings below instead)
+            if u not in part_src.values() and u not in absent:
+                df = df.withColumn(u, _uuid_str_expr(F.col(u)))
         for pname, raw in zip(part_names, pkey):
             col = part_src.get(pname)
             if col is None:
@@ -1714,6 +1981,15 @@ def _read_entries(
                     f"equality delete references field id {i}, which is "
                     "not a top-level primitive column of the current "
                     "schema — refusing to mis-apply"
+                )
+            if f0["type"] in ("uuid", "time") or (
+                _fixed_size(f0["type"]) is not None
+            ):
+                raise ValueError(
+                    f"equality delete on {f0['name']!r} "
+                    f"({f0['type']}) is unsupported — the delete "
+                    "file's physical form cannot be matched against "
+                    "the projected column without ambiguity"
                 )
         cols = [by_id[i]["name"] for i in ed["ids"]]
         if _is_avro_file(ed["path"]):
@@ -2023,6 +2299,8 @@ def _parse_hive_value(ice_type: str, v: str):
         return _to_internal("date", datetime.date.fromisoformat(v))
     if ice_type == "string":
         return v
+    if ice_type == "uuid":
+        return _uuid_str(v)
     if _dec_params(ice_type) is not None:
         return _to_decimal(v)
     raise ValueError(
@@ -2107,9 +2385,15 @@ def _parse_partition_by(
                 f"partition term {term!r}: hour needs a timestamp source, "
                 f"got {t!r}"
             )
-        if kind == "bucket" and t not in (
-            "int", "long", "date", "timestamp", "timestamptz", "string"
-        ) and _dec_params(t) is None:
+        if (
+            kind == "bucket"
+            and t not in (
+                "int", "long", "date", "timestamp", "timestamptz",
+                "string", "uuid", "binary",
+            )
+            and _dec_params(t) is None
+            and _fixed_size(t) is None
+        ):
             raise ValueError(
                 f"partition term {term!r}: bucket over {t!r} unsupported"
             )
@@ -2121,7 +2405,10 @@ def _parse_partition_by(
             raise ValueError(
                 f"partition term {term!r}: truncate over {t!r} unsupported"
             )
-        if kind == "identity" and t in ("timestamp", "timestamptz", "binary"):
+        if kind == "identity" and (
+            t in ("timestamp", "timestamptz", "binary", "time")
+            or _fixed_size(t) is not None
+        ):
             raise ValueError(
                 f"partition column {col!r}: type {t!r} unsupported as an "
                 "identity partition source"
@@ -2182,10 +2469,15 @@ def _bucket_of(ice_type: str, v_internal, n: int):
     as UTF-8), masked positive, mod N."""
     if v_internal is None:
         return None
-    if ice_type in ("int", "long", "date", "timestamp", "timestamptz"):
+    if ice_type in ("int", "long", "date", "timestamp", "timestamptz", "time"):
         b = int(v_internal).to_bytes(8, "little", signed=True)
     elif ice_type == "string":
         b = str(v_internal).encode("utf-8")
+    elif ice_type == "uuid":
+        # spec Appendix B: hashBytes of the 16-byte big-endian form
+        b = uuid.UUID(_uuid_str(v_internal)).bytes
+    elif ice_type == "binary" or _fixed_size(ice_type) is not None:
+        b = bytes(v_internal)
     elif _dec_params(ice_type) is not None:
         # spec Appendix B: minimum-byte big-endian two's complement of
         # the UNSCALED value
@@ -2290,6 +2582,33 @@ def _bucket_expr(src_type: str, n: int, c):
             return pd.Series(out, dtype="Int32")
 
         return bucket_dec(c)
+
+    if src_type == "uuid" or src_type == "binary" or (
+        _fixed_size(src_type) is not None
+    ):
+        # uuid landing columns are canonical STRINGS in Spark; binary/
+        # fixed are raw bytes — both hash their byte form (Appendix B
+        # hashBytes), per-row in one Arrow batch like strings
+        is_uuid = src_type == "uuid"
+
+        @pandas_udf("int")
+        def bucket_bytes(s):
+            import pandas as pd
+
+            out = []
+            for v in s:
+                if v is None:
+                    out.append(None)
+                else:
+                    b = (
+                        uuid.UUID(str(v)).bytes
+                        if is_uuid
+                        else bytes(v)
+                    )
+                    out.append((murmur3_32(b) & 0x7FFFFFFF) % n)
+            return pd.Series(out, dtype="Int32")
+
+        return bucket_bytes(c)
 
     if src_type in ("int", "long"):
         norm = c.cast("long")
@@ -2437,7 +2756,9 @@ def _land_data(
         raise ValueError(f"unsupported data file format {file_format!r}")
     if file_format == "orc":
         for f in fields:
-            if f["type"] in ("timestamp", "timestamptz", "variant"):
+            if f["type"] in (
+                "timestamp", "timestamptz", "variant", "uuid", "time"
+            ) or _fixed_size(f["type"]) is not None:
                 raise ValueError(
                     f"column {f['name']!r}: type {f['type']!r} is not "
                     "supported in ORC data files by this tier (the ORC "
@@ -2459,6 +2780,29 @@ def _land_data(
                 _transform_expr(pf, src, by_id[pf["source-id"]]["type"]),
             )
             part_cols.append(pf["name"])
+    # uuid/fixed/time columns cannot land through Spark's parquet
+    # writer (no FIXED_LEN_BYTE_ARRAY output; TIME write unsupported):
+    # they stage in SURROGATE form (uuid → canonical string, fixed →
+    # variable binary, time → "HH:MM:SS.ffffff" string) and a
+    # distributed pyarrow pass rewrites each staged file to the
+    # spec's physical types afterwards.  Identity partition sources
+    # are dropped from file content anyway, so they never rewrite.
+    exotic: dict[str, str] = {}
+    ident_srcs = set(part_cols)
+    for f in fields:
+        t = f["type"]
+        if (
+            isinstance(t, str)
+            and (t in ("uuid", "time") or _fixed_size(t) is not None)
+            and f["name"] in df.columns
+            and f["name"] not in ident_srcs
+        ):
+            exotic[f["name"]] = t
+    if exotic and file_format != "parquet":  # pragma: no cover - gated above
+        raise ValueError("uuid/fixed/time columns land parquet only")
+    for c, t in exotic.items():
+        if t == "time":
+            df = df.withColumn(c, F.col(c).cast("string"))
     # stamp each column's Iceberg field-id into the parquet schema
     # (Spark's parquet.field.id passthrough — no extra IO): real
     # engines resolve columns by id, so files stay readable across
@@ -2489,6 +2833,7 @@ def _land_data(
             w = w.partitionBy(*part_cols)
         w.format(file_format).save(staging)
     out = []
+    rewrite_jobs: list[tuple] = []
     for dirpath, _dirs, files in sorted(os.walk(staging)):
         rel = os.path.relpath(dirpath, staging)
         segs = [] if rel == "." else rel.split(os.sep)
@@ -2507,14 +2852,126 @@ def _land_data(
             reldest = _file_uri(path, "/".join(["data"] + segs + [new]))
             dest = os.path.join(path, "data", *segs, new)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
+            if exotic:
+                # staged surrogate file: rewritten (distributed) below
+                rewrite_jobs.append(
+                    (os.path.join(dirpath, fname), dest, reldest, pvals)
+                )
+                continue
             os.rename(os.path.join(dirpath, fname), dest)
-            out.append(
+            rec = (
                 _data_file_record(dest, reldest, name_to_field, pvals)
                 if file_format == "parquet"
                 else _orc_data_file_record(dest, reldest, name_to_field, pvals)
             )
+            if rec["record_count"] == 0:
+                # empty part file from an empty input partition:
+                # committing it would only bloat manifests
+                os.unlink(dest)
+                continue
+            out.append(rec)
+    if rewrite_jobs:
+        _rewrite_exotic_files(
+            df.sparkSession,
+            [(src, dest) for src, dest, _r, _p in rewrite_jobs],
+            {c: (t, name_to_field[c]["id"]) for c, t in exotic.items()},
+        )
+        for _src, dest, reldest, pvals in rewrite_jobs:
+            rec = _data_file_record(dest, reldest, name_to_field, pvals)
+            if rec["record_count"] == 0:
+                os.unlink(dest)
+                continue
+            out.append(rec)
     shutil.rmtree(staging)
     return out
+
+
+def _rewrite_exotic_files(
+    spark: SparkSession,
+    jobs: list[tuple[str, str]],
+    exotic: dict[str, tuple[str, int]],
+) -> None:
+    """Distributed rewrite of staged surrogate parquet files to the
+    spec's physical types — one task per file, pyarrow column casts
+    (string → FLBA(16) for uuid, variable binary → FLBA(L) for fixed
+    with a LOUD length check, "HH:MM:SS[.ffffff]" → TIME(micros)) with
+    every field's `PARQUET:field_id` metadata preserved.  Malformed
+    values raise in the task (refuse-don't-corrupt: a silent null
+    would lose data)."""
+    items = [(src, dest) for src, dest in jobs]
+    src_df = spark.createDataFrame(items, "src string, dest string")
+
+    def rewrite(batches):
+        import datetime
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import uuid as _uuid
+
+        for pdf in batches:
+            for src, dest in zip(pdf["src"], pdf["dest"]):
+                tbl = pq.read_table(src)
+                arrays, pa_fields = [], []
+                for i, fld in enumerate(tbl.schema):
+                    arr = tbl.column(i)
+                    spec = exotic.get(fld.name)
+                    if spec is not None:
+                        t, fid = spec
+                        vals = arr.to_pylist()
+                        if t == "uuid":
+                            conv = [
+                                None if v is None else _uuid.UUID(v).bytes
+                                for v in vals
+                            ]
+                            new_type = pa.binary(16)
+                        elif t == "time":
+                            conv = [
+                                None
+                                if v is None
+                                else datetime.time.fromisoformat(v)
+                                for v in vals
+                            ]
+                            new_type = pa.time64("us")
+                        else:  # fixed[L]
+                            size = int(t[t.index("[") + 1 : -1])
+                            conv = []
+                            for v in vals:
+                                if v is None:
+                                    conv.append(None)
+                                    continue
+                                b = bytes(v)
+                                if len(b) != size:
+                                    raise ValueError(
+                                        f"column {fld.name!r}: fixed"
+                                        f"[{size}] value has {len(b)} "
+                                        "bytes — refusing to land"
+                                    )
+                                conv.append(b)
+                            new_type = pa.binary(size)
+                        arr = pa.chunked_array(
+                            [pa.array(conv, new_type)]
+                        )
+                        md = dict(fld.metadata or {})
+                        md[b"PARQUET:field_id"] = str(fid).encode()
+                        fld = pa.field(
+                            fld.name, new_type, fld.nullable, md
+                        )
+                    arrays.append(arr)
+                    pa_fields.append(fld)
+                pq.write_table(
+                    pa.Table.from_arrays(
+                        arrays, schema=pa.schema(pa_fields)
+                    ),
+                    dest,
+                )
+            yield pd.DataFrame({"dest": list(pdf["dest"])})
+
+    n = src_df.repartition(max(len(items), 1)).mapInPandas(
+        rewrite, schema="dest string"
+    ).count()
+    if n != len(items):  # pragma: no cover - tasks raise on failure
+        raise RuntimeError("exotic landing rewrite lost files")
 
 
 def _orc_data_file_record(
@@ -3003,6 +3460,7 @@ def write_iceberg(
     branch: str | None = None,
     sort_by: list[str] | None = None,
     file_format: str | None = None,
+    iceberg_types: dict[str, str] | None = None,
 ) -> int:
     """Write a REAL Iceberg snapshot: land parquet (or ORC via
     `file_format="orc"`, defaulting to the table's
@@ -3043,6 +3501,15 @@ def write_iceberg(
         fields = _schema_of(base0)
         spec = _spec_of(base0)
         spec_sid = _default_spec_id(base0)
+        for cname, want in (iceberg_types or {}).items():
+            have = next(
+                (f["type"] for f in fields if f["name"] == cname), None
+            )
+            if have != want:
+                raise ValueError(
+                    f"iceberg_types: {cname!r} declared {want!r} but "
+                    f"the table schema says {have!r}"
+                )
         if partition_by is not None:
             by_name = {f["name"]: f for f in fields}
             want = _parse_partition_by(list(partition_by), by_name)
@@ -3058,6 +3525,25 @@ def write_iceberg(
                 )
     else:
         fields = _iceberg_fields(df.schema)
+        # `iceberg_types={"col": "uuid" | "fixed[L]"}` — declared
+        # Iceberg types Spark cannot express (uuid rides a string
+        # column, fixed[L] a binary column); validated here, landed in
+        # their spec physical form by _land_data's rewrite pass
+        for cname, want in (iceberg_types or {}).items():
+            fld = next((f for f in fields if f["name"] == cname), None)
+            if fld is None:
+                raise ValueError(f"iceberg_types: no column {cname!r}")
+            have = fld["type"]
+            ok = (want == "uuid" and have == "string") or (
+                _fixed_size(want) is not None and have == "binary"
+            )
+            if not ok:
+                raise ValueError(
+                    f"iceberg_types: {cname!r} declared {want!r} needs "
+                    f"a {'string' if want == 'uuid' else 'binary'} "
+                    f"source column, got {have!r}"
+                )
+            fld["type"] = want
         by_name = {f["name"]: f for f in fields}
         spec = _parse_partition_by(list(partition_by or []), by_name)
         spec_sid = 0
@@ -4023,7 +4509,12 @@ def upgrade_iceberg_format(
 
 
 def compact_iceberg(
-    spark: SparkSession, path: str, target_mb: int = 128
+    spark: SparkSession,
+    path: str,
+    target_mb: float = 128,
+    strategy: str = "binpack",
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """`rewrite_data_files` maintenance (Iceberg's compaction action):
     read the live snapshot with every position AND equality delete
@@ -4037,12 +4528,103 @@ def compact_iceberg(
     passes it silently (icestream) and the changelog's carryover
     removal reports zero rows for it (pinned in tests).  The manifest
     build runs inside the commit retry loop, so a racing commit can
-    never make the remove set stale."""
+    never make the remove set stale.
+
+    Strategies (the three rewrite_data_files shapes real engines run):
+
+    - ``binpack`` (default): size-only re-layout, no ordering.
+    - ``sort``: range-cluster on `sort_by` (["col", "-other"], "-" =
+      descending) or, when omitted, the table's DEFAULT SORT ORDER —
+      rewritten files get disjoint per-file bounds again (manifest
+      pruning restored after MOR churn) and their `sort_order_id` is
+      stamped so other engines skip re-sorting them.
+    - ``zorder``: 2-D Morton interleave over `zorder_by` (exactly two
+      numeric columns, the same curve the Delta tier's OPTIMIZE
+      ZORDER uses) — multi-dimensional locality when no single sort
+      column dominates; no spec sort order represents a space-filling
+      curve, so `sort_order_id` stays null (Java's zorder rewrite
+      does the same)."""
+    if strategy not in ("binpack", "sort", "zorder"):
+        raise ValueError(f"unknown compaction strategy {strategy!r}")
     meta0 = current_metadata(path)
     fields = _schema_of(meta0)
     spec = _spec_of(meta0)
     part_names = [pf["name"] for pf in spec]
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+    by_fname = {f["name"]: f for f in fields}
+    sort_order = None
+    sort_cols: list = []
+    if strategy == "sort":
+        terms = list(sort_by or [])
+        if not terms:
+            # the table's default sort order (spec `sort-orders` +
+            # `default-sort-order-id`), identity fields only
+            oid = int(meta0.get("default-sort-order-id") or 0)
+            order = next(
+                (
+                    so
+                    for so in meta0.get("sort-orders") or []
+                    if int(so.get("order-id", 0)) == oid
+                ),
+                None,
+            )
+            if not order or not order.get("fields"):
+                raise ValueError(
+                    "strategy='sort' needs sort_by or a table with a "
+                    "default sort order"
+                )
+            by_id = {f["id"]: f for f in fields}
+            for sf in order["fields"]:
+                if sf.get("transform", "identity") != "identity":
+                    raise ValueError(
+                        f"sort transform {sf.get('transform')!r} "
+                        "unsupported in compaction"
+                    )
+                cname = by_id[sf["source-id"]]["name"]
+                terms.append(
+                    "-" + cname if sf.get("direction") == "desc" else cname
+                )
+            sort_order = order
+        sort_fields = []
+        for s in terms:
+            desc = s.startswith("-")
+            cname = s[1:] if desc else s
+            if cname not in by_fname:
+                raise ValueError(f"no sort column {cname!r} in the schema")
+            sort_fields.append(
+                {
+                    "transform": "identity",
+                    "source-id": by_fname[cname]["id"],
+                    "direction": "desc" if desc else "asc",
+                    "null-order": "nulls-last" if desc else "nulls-first",
+                }
+            )
+            sort_cols.append(
+                F.col(cname).desc() if desc else F.col(cname).asc()
+            )
+        if sort_order is None:
+            orders = meta0.get("sort-orders") or [
+                {"order-id": 0, "fields": []}
+            ]
+            oid = next(
+                (
+                    int(so["order-id"])
+                    for so in orders
+                    if so.get("fields") == sort_fields
+                ),
+                max(int(so.get("order-id", 0)) for so in orders) + 1,
+            )
+            sort_order = {"order-id": oid, "fields": sort_fields}
+    elif strategy == "zorder":
+        cols = list(zorder_by or [])
+        if len(cols) != 2:
+            raise ValueError(
+                "strategy='zorder' needs exactly 2 columns (Morton "
+                "interleave is 2-D)"
+            )
+        for c in cols:
+            if c not in by_fname:
+                raise ValueError(f"no zorder column {c!r} in the schema")
 
     def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
         if base is None:
@@ -4072,10 +4654,45 @@ def compact_iceberg(
         total = sum(
             e["data_file"].get("file_size_in_bytes") or 0 for e in live
         )
-        n_files = max(1, math.ceil(total / (target_mb << 20)))
-        rewritten = _land_data(
-            scan.repartition(n_files), path, spec, fields
-        )
+        n_files = max(1, math.ceil(total / (target_mb * (1 << 20))))
+        if strategy == "sort":
+            clustered = scan.repartitionByRange(
+                n_files, *sort_cols
+            ).sortWithinPartitions(*sort_cols)
+        elif strategy == "zorder":
+            from ..functions import scale as _scale
+
+            c1, c2 = zorder_by
+            # one tiny driver-side agg for the normalization bounds
+            # (select the two columns first — Spark 4.1 refuses
+            # aggregates over frames carrying a TIME column)
+            b = (
+                scan.select(c1, c2)
+                .agg(F.min(c1), F.max(c1), F.min(c2), F.max(c2))
+                .collect()[0]
+            )
+            z = scan.withColumn(
+                "_ib_z",
+                _scale.zorder_key_2d(
+                    F.col(c1),
+                    F.col(c2),
+                    float(b[0] or 0),
+                    float(b[1] or 0),
+                    float(b[2] or 0),
+                    float(b[3] or 0),
+                ),
+            )
+            clustered = (
+                z.repartitionByRange(n_files, F.col("_ib_z"))
+                .sortWithinPartitions("_ib_z")
+                .drop("_ib_z")
+            )
+        else:
+            clustered = scan.repartition(n_files)
+        rewritten = _land_data(clustered, path, spec, fields)
+        if sort_order is not None:
+            for d in rewritten:
+                d["sort_order_id"] = sort_order["order-id"]
         entries = [
             {
                 "status": 2,
@@ -4095,7 +4712,8 @@ def compact_iceberg(
         )
 
     return _commit_snapshot(
-        path, "replace", build, expect_schema=fields
+        path, "replace", build, expect_schema=fields,
+        sort_order=sort_order,
     )
 
 
@@ -7826,4 +8444,123 @@ WHERE price BETWEEN 1000.00 AND 50000.00
   AND NOT (price BETWEEN 2000.00 AND 2999.99)
 GROUP BY rf
 ORDER BY rf
+"""
+
+
+_ICEBERG_EXOTIC_LAKE_VERSION = 1
+
+
+def _ensure_exotic_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once uuid/fixed/time fixture (r13: the primitive type
+    matrix is complete): orders derive a uuid column (md5 hex in
+    canonical 8-4-4-4-12 form), a fixed[8] column (the md5's first 8
+    bytes) and a time-of-day column (o_orderkey % 86400 seconds since
+    midnight — TimeType values cross the Arrow boundary in a
+    mapInPandas kernel because Spark 4.1 has no expression that
+    CONSTRUCTS a TIME), landed under a `bucket(4, u)` spec with
+    declared `iceberg_types={"u": "uuid", "fx": "fixed[8]"}`, then a
+    copy-on-write DELETE re-lands affected files through the
+    surrogate + pyarrow rewrite pass."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "iceberg_exotic", _ICEBERG_EXOTIC_LAKE_VERSION, sf_dir
+        ),
+        "orders_iceberg_exotic",
+    )
+    if not _metadata_versions(path):
+        src = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"),
+            F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+            ((F.col("o_orderkey") * 9973) % 86400).alias("secs"),
+        ).select(
+            "okey",
+            F.concat_ws(
+                "-",
+                F.substring("h", 1, 8),
+                F.substring("h", 9, 4),
+                F.substring("h", 13, 4),
+                F.substring("h", 17, 4),
+                F.substring("h", 21, 12),
+            ).alias("u"),
+            F.unhex(F.substring("h", 1, 16)).alias("fx"),
+            "secs",
+        )
+
+        def to_time(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "okey": pdf["okey"],
+                        "u": pdf["u"],
+                        "fx": pdf["fx"],
+                        "tm": [
+                            _time_of_micros(int(s) * 1_000_000)
+                            for s in pdf["secs"]
+                        ],
+                    }
+                )
+
+        df = src.mapInPandas(
+            to_time, schema="okey bigint, u string, fx binary, tm time(6)"
+        )
+        write_iceberg(
+            df.repartition(4),
+            path,
+            partition_by=["bucket(4, u)"],
+            iceberg_types={"u": "uuid", "fx": "fixed[8]"},
+        )
+        delete_where_iceberg(spark, path, "okey", 500, 600)
+    return path
+
+
+def iceberg_exotic_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for uuid/fixed/time: a TIME-range pruned scan
+    (bounds wrote as INT64 TIME(MICROS); the Arrow kernel projects
+    TimeType) over a bucket(4, uuid)-partitioned table, uuid and
+    fixed[8] projected back out as canonical string / hex.  The
+    oracle restates the md5/secs derivation in SQL, so a value match
+    proves the Appendix-A physical forms, Appendix-D bounds and the
+    copy-on-write delete over exotic columns are all exact."""
+    import datetime
+
+    path = _ensure_exotic_lake(spark, sf_dir)
+    df, _fr, _fs, _ms = read_iceberg_pruned(
+        spark,
+        path,
+        "tm",
+        datetime.time(6, 0, 0),
+        datetime.time(8, 59, 59, 999999),
+    )
+    return df.select(
+        "u",
+        F.hex(F.col("fx")).alias("fx_hex"),
+        F.col("tm").cast("string").alias("tm_str"),
+        "okey",
+    ).orderBy("okey")
+
+
+ICEBERG_EXOTIC_ORACLE_SQL = """
+WITH src AS (
+    SELECT o_orderkey AS okey,
+           md5(CAST(o_orderkey AS VARCHAR)) AS h,
+           (o_orderkey * 9973) % 86400 AS secs
+    FROM orders
+)
+SELECT substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+       substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' ||
+       substr(h, 21, 12) AS u,
+       upper(substr(h, 1, 16)) AS fx_hex,
+       lpad(CAST(secs // 3600 AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST((secs % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(secs % 60 AS VARCHAR), 2, '0') AS tm_str,
+       okey
+FROM src
+WHERE secs BETWEEN 21600 AND 32399
+  AND NOT (okey BETWEEN 500 AND 600)
+ORDER BY okey
 """

@@ -94,6 +94,8 @@ def _pyval(t, v):
     returns MAP columns as lists of (key, value) PAIRS, the codec
     asserts dict; struct/list recurse for nested maps."""
     if v is None or isinstance(t, str):
+        if t == "uuid" and isinstance(v, (bytes, bytearray)):
+            return ib._uuid_str(v)  # FLBA(16) → canonical string
         return v
     kind = t.get("type")
     if kind == "struct":
@@ -188,6 +190,15 @@ def _entry_rows(
                     f"equality delete references field id {i}, which is "
                     "not a top-level primitive column of the current "
                     "schema — refusing to mis-apply"
+                )
+            if f0["type"] in ("uuid", "time") or (
+                ib._fixed_size(f0["type"]) is not None
+            ):
+                raise ValueError(
+                    f"equality delete on {f0['name']!r} ({f0['type']}) "
+                    "is unsupported — the delete file's physical form "
+                    "cannot be matched against the projected column "
+                    "without ambiguity"
                 )
         names = [by_id[i]["name"] for i in ed["ids"]]
         t = pq.read_table(ed["path"], columns=names)

@@ -384,10 +384,13 @@ def test_delete_where_copy_on_write(spark, tmp_path):
         _df(spark, 0, 60).repartitionByRange(6, "doc_id"), path
     )
     pre = ib.iceberg_snapshots(path)[-1]["snapshot_id"]
-    ib.delete_where_iceberg(spark, path, "doc_id", 10, 19)
+    # partial-file range: the touched file REWRITES with survivors
+    # (a whole-file range would leave an empty rewrite, which the
+    # landing drops instead of committing a 0-row data file)
+    ib.delete_where_iceberg(spark, path, "doc_id", 10, 14)
     got = ib.read_iceberg(spark, path)
     assert _rows(got) == _rows(
-        _df(spark, 0, 60).filter(~F.col("doc_id").between(10, 19))
+        _df(spark, 0, 60).filter(~F.col("doc_id").between(10, 14))
     )
     # pre-delete snapshot still readable
     assert ib.read_iceberg(spark, path, snapshot_id=pre).count() == 60
