@@ -149,6 +149,12 @@ HEADLINE = [
     "lake_iceberg_pstats",
     "lake_iceberg_ndv",
     "lake_delta_evolution",
+    # r13: decimal+nested tier, stats-driven join advice, the uuid/
+    # fixed/time type-matrix completion
+    "lake_iceberg_decimal",
+    "lake_advised_join",
+    "lake_iceberg_exotic",
+    "lake_delta_defaults",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -178,6 +184,11 @@ HEAVY_WARMUPS = {
     "lake_changes_feed": 2,
     "lake_dv_roundtrip": 2,
     "lake_incremental_view": 2,
+    # first warm pass builds the r13 lake fixtures
+    "lake_iceberg_decimal": 2,
+    "lake_advised_join": 2,
+    "lake_iceberg_exotic": 2,
+    "lake_delta_defaults": 2,
     "lake_delta_interop": 2,
     "lake_iceberg_interop": 2,
     "lake_iceberg_v2_deletes": 2,

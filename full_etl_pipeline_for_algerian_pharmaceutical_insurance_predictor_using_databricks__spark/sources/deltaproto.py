@@ -204,6 +204,9 @@ _SUPPORTED_WRITER_FEATURES = {
     # declares only variantType; shredded FOREIGN data still reads)
     "variantType",
     "variantShredding",
+    # column DEFAULT values: INSERTs missing the column fill from its
+    # CURRENT_DEFAULT expression at write time (r13)
+    "allowColumnDefaults",
 }
 
 
@@ -249,6 +252,22 @@ def _generation_exprs(meta: dict) -> dict[str, str]:
     out = {}
     for f in schema.get("fields") or []:
         expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+def _column_defaults(meta: dict) -> dict[str, str]:
+    """{column: SQL expression} from schemaString field metadata —
+    `CURRENT_DEFAULT`, the allowColumnDefaults feature's key (the
+    Spark ANSI default-column convention Delta adopted)."""
+    try:
+        schema = json.loads(meta.get("schemaString") or "{}")
+    except ValueError:  # pragma: no cover - malformed log
+        return {}
+    out = {}
+    for f in schema.get("fields") or []:
+        expr = (f.get("metadata") or {}).get("CURRENT_DEFAULT")
         if expr:
             out[f["name"]] = expr
     return out
@@ -1560,6 +1579,28 @@ def write_delta(
     if not first:
         existing_meta, live, _v = _fold_delta_state(spark, path, None)
         _check_writer(_current_protocol(path), existing_meta, mode)
+        dflts = _column_defaults(existing_meta)
+        if dflts:
+            # allowColumnDefaults: an INSERT that OMITS the column
+            # fills it from CURRENT_DEFAULT at write time (supplied
+            # values always win); fill BEFORE constraint enforcement
+            # so a CHECK over the defaulted column sees the value
+            from pyspark.sql.types import StructField
+
+            by_name = {
+                f["name"]: f
+                for f in json.loads(existing_meta["schemaString"])[
+                    "fields"
+                ]
+            }
+            for c, dexpr in sorted(dflts.items()):
+                if c not in df.columns:
+                    df = df.withColumn(
+                        c,
+                        F.expr(dexpr).cast(
+                            StructField.fromJson(by_name[c]).dataType
+                        ),
+                    )
         _enforce_constraints(df, existing_meta)
         mapping = _column_mapping(existing_meta)
         if mapping:
@@ -2958,6 +2999,104 @@ def set_delta_properties(
     # configuration map: two racing updates must not silently lose one
     # — the metaData action already conflicts in
     # _assert_no_commit_conflict, so the loser re-reads and re-applies
+    return _claim_delta_version(path, lines, read_version=_v)
+
+
+def set_delta_column_default(
+    spark: SparkSession, path: str, col: str, expr: str | None
+) -> int:
+    """`ALTER TABLE ALTER COLUMN col SET DEFAULT expr` (None = DROP
+    DEFAULT): records the SQL expression as the field's
+    `CURRENT_DEFAULT` metadata and declares the `allowColumnDefaults`
+    writer feature — later `write_delta` calls that OMIT the column
+    fill it from the expression at write time (the spec's writer-only
+    contract; readers never fill, files always carry the value).
+    Existing rows are untouched — SET DEFAULT affects future INSERTs
+    only, exactly delta-spark's semantics (which also refuses ADD
+    COLUMN ... DEFAULT on existing tables for this reason).
+
+    The expression must be constant-foldable (no column references,
+    Spark's ANSI default-column rule) — validated here by evaluating
+    it against a unit row, so a typo refuses at ALTER time instead of
+    poisoning a later write.  Commits with read_version, so racing
+    schema changes conflict instead of losing one."""
+    meta, _live, _v = _fold_delta_state(spark, path, None)
+    schema = json.loads(meta["schemaString"])
+    fld = next((f for f in schema["fields"] if f["name"] == col), None)
+    if fld is None:
+        raise ValueError(f"no column {col!r} in the Delta schema")
+    if expr is not None:
+        from pyspark.sql.types import StructField
+
+        want_t = StructField.fromJson(fld).dataType
+        try:
+            # zero-column unit row: a column REFERENCE in the
+            # expression fails resolution here (constants only —
+            # spark.range's `id` column would leak into the check)
+            spark.range(1).select().select(
+                F.expr(expr).cast(want_t)
+            ).collect()
+        except Exception as e:
+            raise ValueError(
+                f"default expression {expr!r} for column {col!r} is "
+                f"not a castable constant: {e}"
+            ) from None
+    md = dict(fld.get("metadata") or {})
+    if expr is None:
+        md.pop("CURRENT_DEFAULT", None)
+    else:
+        md["CURRENT_DEFAULT"] = expr
+    fld["metadata"] = md
+    proto = _current_protocol(path)
+    feats = set(proto.get("writerFeatures") or [])
+    proto_line = None
+    if expr is not None and "allowColumnDefaults" not in feats:
+        # WRITER-ONLY feature: the writer side climbs to the features
+        # tier (7, with the legacy-version-implied features preserved)
+        # while the reader requirement stays untouched — raising the
+        # reader tier would lock out every reader for a feature that
+        # never affects reads
+        new_proto = dict(proto)
+        if new_proto.get("minWriterVersion", 1) < 7:
+            for ver, fs in _IMPLIED_WRITER_FEATURES.items():
+                if new_proto.get("minWriterVersion", 1) >= ver:
+                    feats.update(fs)
+        feats.add("allowColumnDefaults")
+        new_proto["minWriterVersion"] = 7
+        new_proto["writerFeatures"] = sorted(feats)
+        proto_line = json.dumps({"protocol": new_proto})
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CHANGE COLUMN",
+                    "operationParameters": {
+                        "column": col,
+                        "default": expr,
+                    },
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    if proto_line is not None:
+        lines.append(proto_line)
+    lines.append(
+        json.dumps(
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": meta.get("partitionColumns") or [],
+                    "configuration": meta.get("configuration") or {},
+                    "createdTime": meta.get("createdTime", now_ms),
+                }
+            }
+        )
+    )
     return _claim_delta_version(path, lines, read_version=_v)
 
 
@@ -5063,4 +5202,76 @@ SELECT lang,
 FROM documents
 GROUP BY lang
 ORDER BY lang
+"""
+
+
+_DELTA_DEFAULTS_LAKE_VERSION = 1
+
+
+def _ensure_defaults_delta_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once COLUMN-DEFAULTS fixture (allowColumnDefaults, r13):
+    orders written with a `channel` column, a CHECK constraint over
+    it, then SET DEFAULT 'web' — a second append OMITS the column
+    entirely and write_delta fills it from CURRENT_DEFAULT (the
+    constraint passing on the filled value).  Files carry the value,
+    so any foreign reader sees the same rows."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "deltadflt", _DELTA_DEFAULTS_LAKE_VERSION, sf_dir
+        ),
+        "orders_delta_defaults",
+    )
+    if not delta_versions(path):
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("ckey"),
+            F.col("o_totalprice").alias("price"),
+        )
+        early = orders.filter(F.col("okey") % 2 == 0).withColumn(
+            "channel", F.lit("store")
+        )
+        write_delta(early, path)
+        add_delta_constraint(
+            spark, path, "channel_known", "channel IS NOT NULL"
+        )
+        set_delta_column_default(spark, path, "channel", "'web'")
+        late = orders.filter(F.col("okey") % 2 == 1)  # channel OMITTED
+        write_delta(late, path, mode="append")
+    return path
+
+
+def delta_defaults_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for Delta column DEFAULTS: after the
+    channel-omitting append, per-channel aggregates must restate from
+    the raw orders with the default applied to exactly the odd keys —
+    a value match proves the fill is write-time, typed, and
+    constraint-checked."""
+    path = _ensure_defaults_delta_lake(spark, sf_dir)
+    return (
+        read_delta(spark, path)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("okey").cast("bigint").alias("sum_keys"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_price"),
+        )
+        .orderBy("channel")
+    )
+
+
+DELTA_DEFAULTS_ORACLE_SQL = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'store' ELSE 'web' END
+           AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS sum_price
+FROM orders
+GROUP BY 1
+ORDER BY 1
 """

@@ -4717,6 +4717,115 @@ def compact_iceberg(
     )
 
 
+def rewrite_iceberg_position_deletes(spark: SparkSession, path: str) -> int:
+    """`rewrite_position_deletes` maintenance (the OTHER read-rent
+    mitigation): compact the current snapshot's accumulated
+    POSITION-delete parquet files into one file per partition of the
+    referenced data files, dropping DANGLING rows (positions whose
+    data file is no longer live — compaction/overwrite left them
+    inert but still paying read and storage rent).  Equality deletes
+    and v3 deletion vectors carry forward untouched at their original
+    sequence numbers.  NO DATA FILE is read or written — the commit is
+    O(delete rows + manifests), unlike compact_iceberg's full rewrite;
+    after it, every subsequent read folds ONE delete file per
+    partition instead of one per historical DELETE.  The new file's
+    sequence number is the commit's (higher than every original —
+    position deletes match by file path, so the bump cannot widen
+    their scope).  Commits `operation: "replace"` (no data change):
+    incremental consumers skip it."""
+    meta0 = current_metadata(path)
+    fields = _schema_of(meta0)
+    spec = _spec_of(meta0)
+    spec_sid = _default_spec_id(meta0)
+    part_names = [pf["name"] for pf in spec]
+    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+
+    def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        prev = _snapshot(base, None)
+        mfs = _read_manifest_list(path, prev) if prev is not None else []
+        data_mfs = [m for m in mfs if (m.get("content") or 0) == 0]
+        pos_paths: list[str] = []
+        carried: list[dict] = []
+        for mf in mfs:
+            if (mf.get("content") or 0) != 1:
+                continue
+            # delete manifests read RAW (the _delete_files rule —
+            # _read_manifest is data-manifest-only by design)
+            records, _m, _s = avrotiny.read_container(
+                _abs_path(path, mf["manifest_path"])
+            )
+            for e in records:
+                if e.get("status", 0) not in (0, 1):
+                    continue
+                rec = e["data_file"]
+                fmt = (rec.get("file_format") or "PARQUET").upper()
+                if (rec.get("content") or 0) == 1 and fmt != "PUFFIN":
+                    pos_paths.append(_abs_path(path, rec["file_path"]))
+                else:
+                    # eq deletes and DVs keep their original sequence
+                    carried.append(
+                        {
+                            "status": 0,
+                            "snapshot_id": e.get("snapshot_id"),
+                            "_seq": _entry_seq(e, mf),
+                            "_spec_id": int(
+                                mf.get("partition_spec_id") or 0
+                            ),
+                            "data_file": rec,
+                        }
+                    )
+        if not pos_paths:
+            raise ValueError(
+                "no position-delete parquet files to rewrite (v3 "
+                "deletion vectors compact via merge at write time)"
+            )
+        live = _live_entries(path, base, prev) if prev is not None else []
+        matches = _pos_delete_rows(
+            spark, sorted(set(pos_paths))
+        ).dropDuplicates()
+        # _land_position_deletes resolves tails against the LIVE file
+        # set (inner join) — dangling positions drop here
+        del_files = _land_position_deletes(
+            spark, path, matches, live, part_names
+        )
+        out = list(data_mfs)
+        by_sid: dict[int, list[dict]] = {}
+        for e in carried:
+            by_sid.setdefault(e["_spec_id"], []).append(e)
+        specs = _specs_by_id(base)
+        for sid, es in sorted(by_sid.items()):
+            out.append(
+                _write_manifest(
+                    path, es, snapshot_id, fields,
+                    specs.get(sid, spec), schema_json,
+                    fv=fv, content="deletes", seq=seq, spec_id=sid,
+                )
+            )
+        if del_files:
+            out.append(
+                _write_manifest(
+                    path,
+                    [
+                        {
+                            "status": 1,
+                            "snapshot_id": snapshot_id,
+                            "data_file": d,
+                        }
+                        for d in del_files
+                    ],
+                    snapshot_id, fields, spec, schema_json,
+                    fv=fv, content="deletes", seq=seq, spec_id=spec_sid,
+                )
+            )
+        return out
+
+    return _commit_snapshot(
+        path, "replace", build, format_version=2, expect_schema=fields
+    )
+
+
 def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
     """Metadata tables — the `SELECT * FROM tbl.snapshots` inspection
     surface every real Iceberg engine exposes, derived from the same
@@ -4924,9 +5033,159 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
         return spark.read.parquet(
             local[7:] if local.startswith("file://") else local
         )
+    def _iter_entries(mf):
+        # data manifests via _read_manifest (inheritance annotations);
+        # DELETE manifests raw (the _delete_files rule)
+        if (mf.get("content") or 0) == 0:
+            yield from _read_manifest(path, mf)
+            return
+        records, _m, _s = avrotiny.read_container(
+            _abs_path(path, mf["manifest_path"])
+        )
+        for e in records:
+            e = dict(e)
+            e["_seq"] = _entry_seq(e, mf)
+            e["_spec_id"] = int(mf.get("partition_spec_id") or 0)
+            yield e
+
+    if kind == "entries":
+        # raw manifest entries of the current snapshot (Java's
+        # `.entries` table): status + sequence numbers + the data_file
+        # struct as JSON (bounds are bytes — hex-encoded per field id)
+        rows = []
+        for mf in mfs:
+            for e in _iter_entries(mf):
+                rec = e["data_file"]
+                slim = {
+                    k: v
+                    for k, v in rec.items()
+                    if k
+                    not in (
+                        "lower_bounds",
+                        "upper_bounds",
+                        "partition",
+                        "value_counts",
+                        "null_value_counts",
+                    )
+                    and v is not None
+                }
+                slim["partition"] = rec.get("partition") or {}
+                for bk in ("lower_bounds", "upper_bounds"):
+                    bm = _norm_id_map(rec.get(bk))
+                    if bm:
+                        slim[bk] = {
+                            str(k): bytes(v).hex()
+                            for k, v in sorted(bm.items())
+                        }
+                rows.append(
+                    (
+                        int(e.get("status", 0)),
+                        e.get("snapshot_id"),
+                        int(e.get("_seq", 0)),
+                        json.dumps(slim, sort_keys=True, default=str),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "status int, snapshot_id long, sequence_number long, "
+            "data_file string",
+        )
+    if kind in ("all_manifests", "all_files"):
+        # across EVERY snapshot still in the metadata (Java's `all_*`
+        # inspection tables) — metadata-only folds; all_files dedups
+        # by path (a file reachable from many snapshots lists once,
+        # with the first snapshot that carried it)
+        man_rows, file_rows, seen_mf, seen_f = [], [], set(), set()
+        for s in sorted(
+            meta.get("snapshots") or [],
+            key=lambda s: s.get("timestamp-ms", 0),
+        ):
+            for m in _read_manifest_list(path, s):
+                mp = m["manifest_path"]
+                if kind == "all_manifests":
+                    if mp in seen_mf:
+                        continue
+                    seen_mf.add(mp)
+                    man_rows.append(
+                        (
+                            mp,
+                            int(m["manifest_length"]),
+                            int(m.get("partition_spec_id") or 0),
+                            int(m.get("content") or 0),
+                            int(s["snapshot-id"]),
+                        )
+                    )
+                    continue
+                if mp in seen_mf:
+                    continue
+                seen_mf.add(mp)
+                for e in _iter_entries(m):
+                    if e.get("status", 0) not in (0, 1):
+                        continue
+                    rec = e["data_file"]
+                    fp = rec["file_path"]
+                    if fp in seen_f:
+                        continue
+                    seen_f.add(fp)
+                    file_rows.append(
+                        (
+                            int(rec.get("content") or 0),
+                            fp,
+                            rec.get("file_format"),
+                            int(rec.get("record_count") or 0),
+                            int(rec.get("file_size_in_bytes") or 0),
+                            int(s["snapshot-id"]),
+                        )
+                    )
+        if kind == "all_manifests":
+            return spark.createDataFrame(
+                man_rows,
+                "path string, length long, partition_spec_id int, "
+                "content int, reference_snapshot_id long",
+            )
+        return spark.createDataFrame(
+            file_rows,
+            "content int, file_path string, file_format string, "
+            "record_count long, file_size_in_bytes long, "
+            "reference_snapshot_id long",
+        )
+    if kind == "position_deletes":
+        # row-level view of the current snapshot's POSITION deletes
+        # (Java's `position_deletes` table): pos-delete parquet files
+        # expand through the same distributed reader the scan uses;
+        # v3 deletion vectors expand from their Puffin blobs
+        pos_files, _eqs, dv_list = _delete_files(path, mfs)
+        frames = []
+        if pos_files:
+            pf = _pos_delete_rows(spark, sorted(set(pos_files)))
+            frames.append(
+                pf.select(
+                    F.col(_IB_FILE).alias("file_tail"),
+                    F.col(_IB_POS).alias("pos"),
+                    F.lit("position-delete-file").alias("source"),
+                )
+            )
+        if dv_list:
+            dv = _dv_positions_df(spark, dv_list)
+            frames.append(
+                dv.select(
+                    F.col(_IB_FILE).alias("file_tail"),
+                    F.col(_IB_POS).alias("pos"),
+                    F.lit("deletion-vector").alias("source"),
+                )
+            )
+        if not frames:
+            return spark.createDataFrame(
+                [], "file_tail string, pos long, source string"
+            )
+        out = frames[0]
+        for f2 in frames[1:]:
+            out = out.unionByName(f2)
+        return out
     raise ValueError(
         f"unknown metadata table {kind!r}: expected history/snapshots/"
-        "refs/manifests/files/partitions/delete_files/partition_stats"
+        "refs/manifests/files/partitions/delete_files/partition_stats/"
+        "entries/all_manifests/all_files/position_deletes"
     )
 
 

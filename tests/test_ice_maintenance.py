@@ -1,0 +1,126 @@
+"""rewrite_position_deletes + the r13 inspection tables
+(sources/iceberg.py).
+
+`rewrite_iceberg_position_deletes` compacts the snapshot's accumulated
+position-delete parquet files into one per partition and drops
+DANGLING rows (positions whose data file was since rewritten away) —
+O(delete rows + manifests), no data IO, eq-deletes and DVs carried at
+their original sequence numbers.  The new `entries` /
+`all_manifests` / `all_files` / `position_deletes` metadata tables
+mirror Java Iceberg's inspection surface, all metadata-only folds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+    iceberg as ib,
+)
+
+
+def _build_churned(spark, tmp_path):
+    """1000 rows, 4 range files, then MOR/eq/COW churn that leaves
+    three pos-delete files (two referencing a since-rewritten file —
+    dangling) plus one eq-delete file."""
+    p = str(tmp_path / "churn")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("k")
+    )
+    ib.write_iceberg(
+        df.repartitionByRange(4, "id"), p, format_version=2
+    )
+    ib.delete_where_iceberg(spark, p, "id", 100, 149, strategy="merge-on-read")
+    ib.delete_where_iceberg(spark, p, "id", 200, 249, strategy="merge-on-read")
+    ib.delete_eq_iceberg(p, ["id"], [5])
+    # COW over the same file the MOR rows reference -> they dangle
+    ib.delete_where_iceberg(spark, p, "id", 150, 199)
+    ib.delete_where_iceberg(spark, p, "id", 400, 449, strategy="merge-on-read")
+    return p
+
+
+def _expected_ids():
+    gone = (
+        set(range(100, 150))
+        | set(range(200, 250))
+        | {5}
+        | set(range(150, 200))
+        | set(range(400, 450))
+    )
+    return sorted(set(range(1000)) - gone)
+
+
+def test_rewrite_position_deletes(spark, tmp_path):
+    p = _build_churned(spark, tmp_path)
+    before = sorted(r["id"] for r in ib.read_iceberg(spark, p).collect())
+    assert before == _expected_ids()
+    dels = ib.read_iceberg_meta(spark, p, "delete_files").collect()
+    n_pos = sum(1 for r in dels if r["content"] == 1)
+    n_eq = sum(1 for r in dels if r["content"] == 2)
+    assert n_pos >= 3 and n_eq == 1
+
+    ib.rewrite_iceberg_position_deletes(spark, p)
+    after = sorted(r["id"] for r in ib.read_iceberg(spark, p).collect())
+    assert after == before  # row-exact through the rewrite
+    dels = ib.read_iceberg_meta(spark, p, "delete_files").collect()
+    assert sum(1 for r in dels if r["content"] == 1) == 1  # compacted
+    assert sum(1 for r in dels if r["content"] == 2) == 1  # eq carried
+    # dangling rows dropped: only the surviving MOR range remains
+    pos = ib.read_iceberg_meta(spark, p, "position_deletes").collect()
+    assert len(pos) == 50
+    assert {r["source"] for r in pos} == {"position-delete-file"}
+    # operation stamped "replace" (incremental consumers skip it)
+    snaps = ib.iceberg_snapshots(p)
+    assert snaps[-1]["operation"] == "replace"
+    # a second rewrite still works (idempotent shape)
+    ib.rewrite_iceberg_position_deletes(spark, p)
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, p).collect()
+    ) == before
+
+
+def test_rewrite_refuses_without_pos_files(spark, tmp_path):
+    p = str(tmp_path / "clean")
+    ib.write_iceberg(spark.range(10).select("id"), p, format_version=2)
+    with pytest.raises(ValueError, match="no position-delete"):
+        ib.rewrite_iceberg_position_deletes(spark, p)
+
+
+def test_inspection_tables(spark, tmp_path):
+    p = _build_churned(spark, tmp_path)
+    # entries: raw manifest entries incl. DELETED ones, bounds as hex
+    ent = ib.read_iceberg_meta(spark, p, "entries").collect()
+    assert {r["status"] for r in ent} >= {0, 1, 2}
+    import json as _json
+
+    one = _json.loads(
+        next(r for r in ent if r["status"] in (0, 1))["data_file"]
+    )
+    assert "file_path" in one and "lower_bounds" in one
+    int(next(iter(one["lower_bounds"])))  # field-id keys
+    bytes.fromhex(next(iter(one["lower_bounds"].values())))  # hex values
+
+    # all_manifests spans history; manifests is current-snapshot only
+    cur = ib.read_iceberg_meta(spark, p, "manifests").count()
+    alm = ib.read_iceberg_meta(spark, p, "all_manifests").count()
+    assert alm > cur
+
+    # all_files includes files no longer live (the COW-dropped file),
+    # deduped by path
+    live = {
+        r["file_path"]
+        for r in ib.read_iceberg_meta(spark, p, "files").collect()
+    }
+    allf = [
+        r["file_path"]
+        for r in ib.read_iceberg_meta(spark, p, "all_files").collect()
+    ]
+    assert len(allf) == len(set(allf))  # deduped
+    assert set(allf) > live  # strictly more than the live set
+
+    # position_deletes: per-row view, both MOR snapshots' rows present
+    # (150 live positions: 100-149 + 200-249 dangle only AFTER a
+    # rewrite; here they still list because their file refs resolve
+    # by tail at read time — the raw table shows what is STORED)
+    pos = ib.read_iceberg_meta(spark, p, "position_deletes")
+    assert pos.count() == 150
