@@ -2678,6 +2678,8 @@ def test_delta_log_lifecycle_property(spark, tmp_path):
     for seq in range(n_seq):
         path = str(tmp_path / f"t{seq:02d}")
         expected: dict[int, frozenset] = {}
+        dflt_at: dict[int, int | None] = {}  # val's default per version
+        default_val: int | None = None
         cur: set = set()
         batch = 0
 
@@ -2693,13 +2695,15 @@ def test_delta_log_lifecycle_property(spark, tmp_path):
             )
             cur = (cur | set(rows)) if append else set(rows)
             expected[v] = frozenset(cur)
+            dflt_at[v] = default_val
 
         commit(append=False)  # the table always exists
         for _ in range(5):
             op = rng.choices(
                 ["append", "overwrite", "ckpt", "v2", "mpart",
-                 "mpart_broken", "cleanup", "restore"],
-                weights=[30, 10, 18, 5, 10, 7, 12, 8],
+                 "mpart_broken", "cleanup", "restore", "default",
+                 "append_dflt"],
+                weights=[30, 10, 18, 5, 10, 7, 12, 8, 7, 10],
             )[0]
             if op in ("append", "overwrite"):
                 commit(op == "append")
@@ -2729,6 +2733,30 @@ def test_delta_log_lifecycle_property(spark, tmp_path):
                     continue  # target no longer replayable: loud is fine
                 cur = set(expected[v0])
                 expected[v] = frozenset(cur)
+                # RESTORE re-commits the target's metaData — the
+                # column default reverts with it (r13)
+                default_val = dflt_at.get(v0)
+                dflt_at[v] = default_val
+            elif op == "default":
+                # r13: SET DEFAULT is a metadata-only commit; future
+                # val-omitting appends fill the new constant
+                default_val = rng.randint(100, 999)
+                v = dp.set_delta_column_default(
+                    spark, path, "val", str(default_val)
+                )
+                expected[v] = frozenset(cur)
+                dflt_at[v] = default_val
+            elif op == "append_dflt":
+                if default_val is None:
+                    continue
+                df = spark.createDataFrame(
+                    [(batch,)], "batch bigint"
+                ).coalesce(1)
+                v = dp.write_delta(df, path)
+                cur = cur | {(batch, default_val)}
+                batch += 1
+                expected[v] = frozenset(cur)
+                dflt_at[v] = default_val
         ck_vs = dp._checkpoint_versions(path)
         newest_ck = max(ck_vs) if ck_vs else -1
         latest = max(expected)

@@ -2829,8 +2829,10 @@ def test_iceberg_lifecycle_property(spark, tmp_path):
             op = rng.choices(
                 ["append", "overwrite", "cow", "mor", "eq", "compact",
                  "manifests", "expire", "orphan", "pstats", "ndv",
-                 "branch", "branch_append", "ff"],
-                weights=[24, 7, 9, 9, 9, 7, 5, 9, 7, 6, 6, 5, 6, 5],
+                 "branch", "branch_append", "ff", "compact_sort",
+                 "rewrite_pos"],
+                weights=[24, 7, 9, 9, 9, 7, 5, 9, 7, 6, 6, 5, 6, 5,
+                         5, 5],
             )[0]
             if op in ("append", "overwrite"):
                 commit(op)
@@ -2856,6 +2858,21 @@ def test_iceberg_lifecycle_property(spark, tmp_path):
                 record(ib.delete_eq_iceberg(path, ["doc_id"], keys))
             elif op == "compact":
                 record(ib.compact_iceberg(spark, path))
+            elif op == "compact_sort":
+                # r13: the sort strategy must stay row-exact through
+                # live deletes and re-register its order each time
+                record(
+                    ib.compact_iceberg(
+                        spark, path, strategy="sort", sort_by=["doc_id"]
+                    )
+                )
+            elif op == "rewrite_pos":
+                # r13: compacting pos-delete files is a no-data-change
+                # replace; without any it refuses (pinned)
+                try:
+                    record(ib.rewrite_iceberg_position_deletes(spark, path))
+                except ValueError as e:
+                    assert "no position-delete" in str(e)
             elif op == "manifests":
                 record(ib.rewrite_iceberg_manifests(path))
             elif op == "expire":
