@@ -208,11 +208,23 @@ def lake_join(
     on: str,
     how: str = "inner",
     broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
+    salt_buckets: int = 16,
 ) -> tuple[DataFrame, dict]:
     """Join two lake tables with the statistics-advised strategy:
     reads both metadata stats, picks the broadcast side (if any), and
     returns (joined frame, decision).  The decision dict is the audit
-    trail — evidence carries the exact stats read."""
+    trail — evidence carries the exact stats read.
+
+    When neither side fits the broadcast threshold AND the registered
+    key NDV flags hot-key skew, the advice is EXECUTED, not just
+    reported (r13): the skewed side salts its rows into
+    `salt_buckets` deterministic sub-keys (xxhash64 of the whole row —
+    no rand(), so the plan stays replay-stable) and the other side
+    replicates across every bucket, so one hot key spreads over
+    `salt_buckets` shuffle partitions instead of pinning one reducer
+    at 100× the median.  Inner joins only — outer sides would need
+    null-row dedup across replicas; the decision says so when it
+    falls back."""
     ls = lake_table_stats(spark, left_path)
     rs = lake_table_stats(spark, right_path)
     dec = advise_join(ls, rs, on, broadcast_threshold_bytes)
@@ -222,6 +234,56 @@ def lake_join(
         left = F.broadcast(left)
     elif dec["broadcast"] == "right":
         right = F.broadcast(right)
+    elif dec["skew_risk"] and how == "inner" and salt_buckets > 1:
+        # skewed side = the one whose key NDV is tiny vs rows; the
+        # OTHER side replicates ×salt_buckets (prefer replicating the
+        # smaller by bytes when both flag)
+        flagged = []
+        for side, st in (("left", ls), ("right", rs)):
+            n = (st.get("ndv") or {}).get(on)
+            if n is not None and st.get("rows") and n * 1000 < st["rows"]:
+                flagged.append(side)
+        skewed = (
+            flagged[0]
+            if len(flagged) == 1
+            else ("left" if int(ls["bytes"]) >= int(rs["bytes"]) else "right")
+        )
+        probe, build = (
+            (left, right) if skewed == "left" else (right, left)
+        )
+        probe = probe.withColumn(
+            "_ib_salt",
+            F.pmod(F.xxhash64(*probe.columns), F.lit(salt_buckets)).cast(
+                "int"
+            ),
+        )
+        build = build.withColumn(
+            "_ib_salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("int"),
+                    F.lit(salt_buckets - 1).cast("int"),
+                )
+            ),
+        )
+        out = probe.join(build, on=[on, "_ib_salt"], how="inner").drop(
+            "_ib_salt"
+        )
+        dec = dict(dec)
+        dec["salted"] = salt_buckets
+        dec["salted_side"] = skewed
+        dec["reason"] += (
+            f" — EXECUTED: {skewed} side salted into {salt_buckets} "
+            "deterministic sub-keys, other side replicated"
+        )
+        return out, dec
+    elif dec["skew_risk"]:
+        dec = dict(dec)
+        dec["salted"] = 0
+        dec["reason"] += (
+            " — not executed: salting is inner-join-only (outer sides "
+            "would need null-row dedup across replicas)"
+        )
     return left.join(right, on=on, how=how), dec
 
 

@@ -157,3 +157,37 @@ def test_lake_join_delta_side(spark, tmp_path):
 def test_not_a_lake_table_refuses(spark, tmp_path):
     with pytest.raises(ValueError, match="neither an Iceberg nor a Delta"):
         advisor.lake_table_stats(spark, str(tmp_path / "nope"))
+
+
+def test_skew_advice_executes_salted_join(spark, fact_dim):
+    """r13: the skew flag is EXECUTED, not just reported — with no
+    broadcastable side, the skewed fact salts into deterministic
+    sub-keys and the dimension replicates across them; the result is
+    row-exact vs a plain join and the shuffle keys on (key, salt)."""
+    fact, dim = fact_dim
+    plain = (
+        advisor._read_lake(spark, fact)
+        .join(advisor._read_lake(spark, dim), on="dim_id", how="inner")
+    )
+    expected = sorted(
+        (r["row_id"], r["name"]) for r in plain.collect()
+    )
+    joined, dec = advisor.lake_join(
+        spark, fact, dim, on="dim_id", broadcast_threshold_bytes=1,
+        salt_buckets=8,
+    )
+    assert dec["broadcast"] is None
+    assert dec["skew_risk"] is True
+    assert dec["salted"] == 8 and dec["salted_side"] == "left"
+    got = sorted((r["row_id"], r["name"]) for r in joined.collect())
+    assert got == expected
+    assert "_ib_salt" not in joined.columns
+    plan = _plan(joined)
+    assert "_ib_salt" in plan  # the shuffle keys carry the salt
+    # outer joins fall back loudly-in-the-decision, still row-exact
+    j2, dec2 = advisor.lake_join(
+        spark, fact, dim, on="dim_id", how="left",
+        broadcast_threshold_bytes=1,
+    )
+    assert dec2["salted"] == 0 and "inner-join-only" in dec2["reason"]
+    assert j2.count() == 50_000
