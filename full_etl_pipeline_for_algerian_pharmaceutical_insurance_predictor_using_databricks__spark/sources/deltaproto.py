@@ -1522,6 +1522,48 @@ def _land_parquet(
     return out
 
 
+def _append_widens(have, want) -> bool:
+    """Whether an append column of Spark type `have` may silently
+    up-cast to the table's `want` — LOSSLESS widenings only (the
+    typeWidening ladder): integral → wider integral, int-or-narrower →
+    double, float → double, decimal growing in both precision room and
+    scale.  Everything else must be cast explicitly by the caller."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    ladder = [ByteType, ShortType, IntegerType, LongType]
+
+    def rung(t):
+        for i, cls in enumerate(ladder):
+            if isinstance(t, cls):
+                return i
+        return None
+
+    rh, rw = rung(have), rung(want)
+    if rh is not None and rw is not None:
+        return rh < rw
+    if isinstance(want, DoubleType):
+        # double's 53-bit mantissa holds every int (not every long)
+        return isinstance(have, FloatType) or (
+            rh is not None and rh <= 2
+        )
+    if isinstance(have, DecimalType) and isinstance(want, DecimalType):
+        return (
+            want.scale >= have.scale
+            and want.precision - want.scale >= have.precision - have.scale
+            and (want.precision, want.scale)
+            != (have.precision, have.scale)
+        )
+    return False
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -1530,6 +1572,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     generated: dict[str, str] | None = None,
     shredded_variants: bool = False,
+    merge_schema: bool = False,
 ) -> int:
     """Write a REAL protocol-v1 Delta commit: land hive-layout parquet,
     then one `_delta_log/<v>.json` with commitInfo + (first commit)
@@ -1576,6 +1619,7 @@ def write_delta(
     first = not vs and _last_checkpoint(path) is None
     spark = df.sparkSession
     existing_meta = None
+    evolved_fields = None
     if not first:
         existing_meta, live, _v = _fold_delta_state(spark, path, None)
         _check_writer(_current_protocol(path), existing_meta, mode)
@@ -1601,6 +1645,65 @@ def write_delta(
                             StructField.fromJson(by_name[c]).dataType
                         ),
                     )
+        if mode == "append":
+            # SCHEMA ENFORCEMENT (delta-spark parity, r13): an append
+            # whose frame carries UNKNOWN columns refuses (the table
+            # projection would silently hide them forever) unless
+            # merge_schema=True evolves the schema in this commit; a
+            # column whose type DIFFERS refuses unless the lossless
+            # typeWidening ladder covers it (then it up-casts here) —
+            # landing the narrower/incompatible physical type would
+            # poison every later read of that file
+            from pyspark.sql.types import StructField
+
+            tbl_fields = json.loads(existing_meta["schemaString"])[
+                "fields"
+            ]
+            tmap = {f["name"]: f for f in tbl_fields}
+            unknown = [c for c in df.columns if c not in tmap]
+            if unknown and _column_mapping(existing_meta):
+                # column-mapped tables keep their established refusal
+                # (exact logical column sets; merge_schema cannot
+                # assign physical names/field ids — add_delta_column
+                # does)
+                raise ValueError(
+                    f"stream/table schema mismatch: "
+                    f"{sorted(df.columns)} vs {sorted(tmap)} — use "
+                    "add_delta_column on column-mapped tables"
+                )
+            if unknown and not merge_schema:
+                raise ValueError(
+                    f"append carries column(s) {unknown} not in the "
+                    "table schema — pass merge_schema=True to evolve, "
+                    "or drop them"
+                )
+            for c in df.columns:
+                fld = tmap.get(c)
+                if fld is None:
+                    continue
+                want = StructField.fromJson(fld).dataType
+                have = df.schema[c].dataType
+                if have == want:
+                    continue
+                if _append_widens(have, want):
+                    df = df.withColumn(c, F.col(c).cast(want))
+                    continue
+                raise ValueError(
+                    f"append column {c!r} is {have.simpleString()} but "
+                    f"the table schema says {want.simpleString()} — "
+                    "cast explicitly (a mismatched physical type would "
+                    "poison later reads of the landed file)"
+                )
+            if unknown:
+                evolved_fields = list(tbl_fields) + [
+                    {
+                        "name": c,
+                        "type": df.schema[c].jsonValue()["type"],
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                    for c in unknown
+                ]
         _enforce_constraints(df, existing_meta)
         mapping = _column_mapping(existing_meta)
         if mapping:
@@ -1742,6 +1845,32 @@ def write_delta(
                             (existing_meta or {}).get("configuration") or {}
                         ),
                         "createdTime": now_ms,
+                    }
+                }
+            )
+        )
+    elif evolved_fields is not None:
+        # merge_schema append: the evolved schema (new nullable
+        # columns appended) commits alongside the data it describes
+        lines.append(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": existing_meta["id"],
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": json.dumps(
+                            {
+                                "type": "struct",
+                                "fields": evolved_fields,
+                            }
+                        ),
+                        "partitionColumns": partition_by,
+                        "configuration": dict(
+                            existing_meta.get("configuration") or {}
+                        ),
+                        "createdTime": existing_meta.get(
+                            "createdTime", now_ms
+                        ),
                     }
                 }
             )

@@ -3451,6 +3451,53 @@ def _commit_snapshot(
     return result["snapshot_id"]
 
 
+def _conform_append_frame(df: DataFrame, fields: list[dict]) -> DataFrame:
+    """Append-time schema enforcement (r13, the Delta tier's twin):
+    UNKNOWN columns refuse (landing them leaves bytes no projection
+    ever shows — evolve_iceberg_schema(add=...) is the explicit path);
+    MISSING optional columns fill typed NULLs (the reader's
+    absent-column rule reads them as null anyway, but a partial frame
+    previously crashed deep in the landing with a JVM error); MISSING
+    required columns refuse; a column whose Spark type differs from
+    the declared projection either up-casts along the lossless
+    widening ladder or refuses — a mismatched physical type poisons
+    every later read of the landed file.  Output columns come back in
+    schema order (stable landing layout)."""
+    from .deltaproto import _append_widens
+
+    expect = _spark_schema(fields)
+    by_name = {f["name"]: f for f in fields}
+    emap = {f.name: f.dataType for f in expect.fields}
+    unknown = [c for c in df.columns if c not in emap]
+    if unknown:
+        raise ValueError(
+            f"append carries column(s) {unknown} not in the Iceberg "
+            "schema — evolve_iceberg_schema(path, add=[...]) first, "
+            "or drop them"
+        )
+    for f in expect.fields:
+        if f.name not in df.columns:
+            if by_name[f.name].get("required"):
+                raise ValueError(
+                    f"append is missing required column {f.name!r}"
+                )
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            continue
+        have = df.schema[f.name].dataType
+        if have == f.dataType:
+            continue
+        if _append_widens(have, f.dataType):
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+            continue
+        raise ValueError(
+            f"append column {f.name!r} is {have.simpleString()} but "
+            f"the table projects {f.dataType.simpleString()} — cast "
+            "explicitly (a mismatched physical type would poison "
+            "later reads of the landed file)"
+        )
+    return df.select(*[f.name for f in expect.fields])
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
@@ -3523,6 +3570,10 @@ def write_iceberg(
                     "table's partition spec "
                     f"{[pf['transform'] + ':' + pf['name'] for pf in spec]}"
                 )
+        # existing tables keep their schema in BOTH modes (overwrite
+        # replaces the file set, not the projection) — conform the
+        # frame to it or refuse loudly
+        df = _conform_append_frame(df, fields)
     else:
         fields = _iceberg_fields(df.schema)
         # `iceberg_types={"col": "uuid" | "fixed[L]"}` — declared

@@ -154,3 +154,51 @@ def test_avrotiny_reads_java_written_container(spark, tmp_path):
     got, _meta, ws = av.read_container(dest)
     assert ws["name"] == "jrec"
     assert got == expected
+
+
+def test_java_avro_reads_uuid_partition_manifests(spark, tmp_path):
+    """r13: a uuid-identity-partitioned table's manifest carries the
+    partition value as fixed(16) with the `uuid` logical annotation —
+    the Java reference implementation must parse the schema and
+    return the exact 16 bytes our codec encoded from the canonical
+    string."""
+    import uuid as U
+
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "uuidp")
+    us = [str(U.UUID(int=i + 1)) for i in range(3)]
+    df = spark.createDataFrame(
+        [(i, us[i]) for i in range(3)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("u", T.StringType()),
+            ]
+        ),
+    )
+    ib.write_iceberg(
+        df, path, partition_by=["u"], iceberg_types={"u": "uuid"}
+    )
+    meta = ib.current_metadata(path)
+    snap = ib._snapshot(meta, None)
+    mfs = ib._read_manifest_list(path, snap)
+    mp = ib._abs_path(path, mfs[0]["manifest_path"])
+    jentries, jeschema = _java_read_avro(spark, mp)
+    # schema carries the logical annotation where the spec puts it
+    part_fields = None
+    for f in json.loads(jeschema)["fields"]:
+        if f["name"] != "data_file":
+            continue
+        for df_f in f["type"]["fields"]:
+            if df_f["name"] == "partition":
+                part_fields = df_f["type"]["fields"]
+    (pf,) = part_fields
+    branch = next(t for t in pf["type"] if t != "null")
+    assert branch["type"] == "fixed" and branch["size"] == 16
+    assert branch.get("logicalType") == "uuid"
+    got = set()
+    for je in jentries:
+        jfixed = je.get("data_file").get("partition").get("u")
+        got.add(str(U.UUID(bytes=bytes(jfixed.bytes()))))
+    assert got == set(us)

@@ -124,3 +124,49 @@ def test_inspection_tables(spark, tmp_path):
     # by tail at read time — the raw table shows what is STORED)
     pos = ib.read_iceberg_meta(spark, p, "position_deletes")
     assert pos.count() == 150
+
+
+def test_append_schema_enforcement(spark, tmp_path):
+    """r13 (the Delta tier's twin): unknown columns refuse with the
+    evolve pointer, wrong types refuse before poisoning reads,
+    lossless widenings up-cast, missing optional columns fill NULL
+    (previously a cryptic crash deep in the landing)."""
+    p = str(tmp_path / "enforce")
+    ib.write_iceberg(
+        spark.createDataFrame([(1, "a", 10)], "id long, s string, v long"),
+        p,
+    )
+    with pytest.raises(ValueError, match="evolve_iceberg_schema"):
+        ib.write_iceberg(
+            spark.createDataFrame(
+                [(2, "b", 20, 9.5)],
+                "id long, s string, v long, extra double",
+            ),
+            p,
+            mode="append",
+        )
+    with pytest.raises(ValueError, match="poison"):
+        ib.write_iceberg(
+            spark.createDataFrame(
+                [("x", "b", 20)], "id string, s string, v long"
+            ),
+            p,
+            mode="append",
+        )
+    # int -> long widens silently; missing optional column nulls
+    ib.write_iceberg(
+        spark.createDataFrame([(2, "b")], "id int, s string"),
+        p,
+        mode="append",
+    )
+    got = sorted(
+        ib.read_iceberg(spark, p).collect(), key=lambda r: r["id"]
+    )
+    assert [(r["id"], r["v"]) for r in got] == [(1, 10), (2, None)]
+    # overwrite keeps the table projection (unlike Delta's replace)
+    with pytest.raises(ValueError, match="not in the Iceberg schema"):
+        ib.write_iceberg(
+            spark.createDataFrame([(9, True)], "k long, flag boolean"),
+            p,
+            mode="overwrite",
+        )
