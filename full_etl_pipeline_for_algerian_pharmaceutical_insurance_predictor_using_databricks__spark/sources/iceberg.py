@@ -936,19 +936,45 @@ def _metadata_versions(path: str) -> list[int]:
     md = _meta_dir(path)
     if not os.path.isdir(md):
         return []
-    out = []
+    out = set()
     for n in os.listdir(md):
-        if n.endswith(".metadata.json") and n.startswith("v"):
-            stem = n[1 : -len(".metadata.json")]
-            if stem.isdigit():
-                out.append(int(stem))
+        if not n.startswith("v"):
+            continue
+        # the gz form ALSO ends with ".metadata.json" — longest first
+        for suffix in (".gz.metadata.json", ".metadata.json"):
+            if n.endswith(suffix):
+                stem = n[1 : -len(suffix)]
+                if stem.isdigit():
+                    out.add(int(stem))
+                break
     return sorted(out)
+
+
+def _metadata_file(md: str, v: int) -> str | None:
+    """On-disk filename of one metadata version — plain or the
+    gzip-compressed `v<N>.gz.metadata.json` form HadoopTables writes
+    under `write.metadata.compression-codec=gzip`."""
+    for name in (f"v{v}.metadata.json", f"v{v}.gz.metadata.json"):
+        if os.path.exists(os.path.join(md, name)):
+            return os.path.join(md, name)
+    return None
+
+
+def _load_metadata(fp: str) -> dict:
+    if fp.endswith(".gz.metadata.json"):
+        import gzip
+
+        with gzip.open(fp, "rt") as f:
+            return json.load(f)
+    with open(fp) as f:
+        return json.load(f)
 
 
 def current_metadata(path: str) -> dict:
     """Load the current table metadata, honoring `version-hint.text`
     when present (the HadoopTables convention) and falling back to the
-    highest `v<N>.metadata.json` (foreign layouts may omit the hint)."""
+    highest `v<N>[.gz].metadata.json` (foreign layouts may omit the
+    hint; gzip-compressed metadata decodes transparently)."""
     md = _meta_dir(path)
     hint = os.path.join(md, "version-hint.text")
     v = None
@@ -958,15 +984,12 @@ def current_metadata(path: str) -> dict:
                 v = int(f.read().strip())
         except (OSError, ValueError):
             v = None
-    if v is None or not os.path.exists(
-        os.path.join(md, f"v{v}.metadata.json")
-    ):
+    if v is None or _metadata_file(md, v) is None:
         vs = _metadata_versions(path)
         if not vs:
             raise FileNotFoundError(f"no Iceberg metadata under {path}")
         v = vs[-1]
-    with open(os.path.join(md, f"v{v}.metadata.json")) as f:
-        return json.load(f)
+    return _load_metadata(_metadata_file(md, v))
 
 
 def _claim_metadata(path: str, build) -> dict:
@@ -981,13 +1004,42 @@ def _claim_metadata(path: str, build) -> dict:
         base = current_metadata(path) if vs else None
         nxt = (vs[-1] + 1) if vs else 1
         meta = build(base)
+        # codec decided by the BASE's property, so every racer for
+        # version N derives the same filename (the os.link claim
+        # stays a true lock); the commit that SETS the property still
+        # writes plain, later ones write gz — deterministic either way
+        codec = (
+            ((base or {}).get("properties") or {}).get(
+                "write.metadata.compression-codec", "none"
+            )
+        ).lower()
+        if codec not in ("none", "gzip"):
+            raise ValueError(
+                f"write.metadata.compression-codec={codec!r} unsupported"
+            )
+        claim_name = (
+            f"v{nxt}.gz.metadata.json"
+            if codec == "gzip"
+            else f"v{nxt}.metadata.json"
+        )
         tmp = os.path.join(md, f"_meta-{uuid.uuid4().hex}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-            f.flush()
-            os.fsync(f.fileno())
+        if codec == "gzip":
+            import gzip
+
+            with open(tmp, "wb") as rawf:
+                with gzip.GzipFile(
+                    fileobj=rawf, mode="wb", mtime=0
+                ) as gf:
+                    gf.write(json.dumps(meta).encode())
+                rawf.flush()
+                os.fsync(rawf.fileno())
+        else:
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+                f.flush()
+                os.fsync(f.fileno())
         try:
-            os.link(tmp, os.path.join(md, f"v{nxt}.metadata.json"))
+            os.link(tmp, os.path.join(md, claim_name))
         except FileExistsError:
             os.unlink(tmp)
             continue
@@ -6736,8 +6788,10 @@ def cleanup_iceberg_metadata(path: str, keep_last: int = 1) -> int:
     md = _meta_dir(path)
     deleted = 0
     for v in vs[:-keep_last]:
-        os.unlink(os.path.join(md, f"v{v}.metadata.json"))
-        deleted += 1
+        fp = _metadata_file(md, v)
+        if fp is not None:
+            os.unlink(fp)
+            deleted += 1
     return deleted
 
 

@@ -170,3 +170,54 @@ def test_append_schema_enforcement(spark, tmp_path):
             p,
             mode="overwrite",
         )
+
+
+def test_gzip_metadata_roundtrip_and_foreign(spark, tmp_path):
+    """r13: `write.metadata.compression-codec=gzip` — commits after
+    the property land as `v<N>.gz.metadata.json` (HadoopTables' form),
+    reads decode both forms transparently, cleanup unlinks either, and
+    a FOREIGN table whose every metadata version is gzip-only reads."""
+    import gzip
+    import json as _json
+    import os as _os
+
+    p = str(tmp_path / "gz")
+    ib.write_iceberg(spark.range(5).select("id"), p)
+    ib.set_iceberg_properties(
+        p, {"write.metadata.compression-codec": "gzip"}
+    )
+    ib.write_iceberg(spark.range(5, 10).select("id"), p, mode="append")
+    md = f"{p}/metadata"
+    names = sorted(_os.listdir(md))
+    assert any(n.endswith(".gz.metadata.json") for n in names)
+    got = sorted(r["id"] for r in ib.read_iceberg(spark, p).collect())
+    assert got == list(range(10))
+    assert len(ib.iceberg_snapshots(p)) == 2
+    # mixed-form cleanup keeps the newest only
+    ib.cleanup_iceberg_metadata(p, keep_last=1)
+    left = [n for n in _os.listdir(md) if "metadata.json" in n]
+    assert len(left) == 1 and left[0].endswith(".gz.metadata.json")
+    assert ib.read_iceberg(spark, p).count() == 10
+
+    # foreign: gzip-only versions, no version hint
+    p2 = str(tmp_path / "fgz")
+    ib.write_iceberg(spark.range(3).select("id"), p2)
+    md2 = f"{p2}/metadata"
+    with open(f"{md2}/v1.metadata.json") as f:
+        meta = _json.load(f)
+    _os.unlink(f"{md2}/v1.metadata.json")
+    _os.unlink(f"{md2}/version-hint.text")
+    with gzip.open(f"{md2}/v1.gz.metadata.json", "wt") as f:
+        _json.dump(meta, f)
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, p2).collect()
+    ) == [0, 1, 2]
+    # and the next commit continues the chain in gzip-less form
+    # (codec property unset on this table)
+    ib.write_iceberg(spark.range(3, 6).select("id"), p2, mode="append")
+    assert ib.read_iceberg(spark, p2).count() == 6
+    with pytest.raises(ValueError, match="unsupported"):
+        ib.set_iceberg_properties(
+            p2, {"write.metadata.compression-codec": "zstd"}
+        )
+        ib.write_iceberg(spark.range(1).select("id"), p2, mode="append")
