@@ -1048,6 +1048,24 @@ def _claim_metadata(path: str, build) -> dict:
         with open(hint_tmp, "w") as f:
             f.write(str(nxt))
         os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+        props = meta.get("properties") or {}
+        if (
+            str(
+                props.get("write.metadata.delete-after-commit.enabled")
+                or "false"
+            ).lower()
+            == "true"
+        ):
+            # spec maintenance property: keep the current version plus
+            # `previous-versions-max` older ones, best-effort (a lost
+            # unlink race with a concurrent cleanup is harmless)
+            keep = int(
+                props.get("write.metadata.previous-versions-max") or 100
+            )
+            try:
+                cleanup_iceberg_metadata(path, keep_last=keep + 1)
+            except (OSError, ValueError, FileNotFoundError):
+                pass
         return meta
 
 

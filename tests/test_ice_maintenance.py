@@ -221,3 +221,30 @@ def test_gzip_metadata_roundtrip_and_foreign(spark, tmp_path):
             p2, {"write.metadata.compression-codec": "zstd"}
         )
         ib.write_iceberg(spark.range(1).select("id"), p2, mode="append")
+
+
+def test_metadata_delete_after_commit(spark, tmp_path):
+    """r13: write.metadata.delete-after-commit.enabled + 
+    previous-versions-max — every commit trims old metadata versions
+    automatically (the spec's maintenance pair; the manual
+    cleanup_iceberg_metadata stays for tables without it)."""
+    import os as _os
+
+    p = str(tmp_path / "dac")
+    ib.write_iceberg(spark.range(3).select("id"), p)
+    ib.set_iceberg_properties(
+        p,
+        {
+            "write.metadata.delete-after-commit.enabled": "true",
+            "write.metadata.previous-versions-max": "1",
+        },
+    )
+    for lo in range(3, 9, 3):
+        ib.write_iceberg(
+            spark.range(lo, lo + 3).select("id"), p, mode="append"
+        )
+    md = f"{p}/metadata"
+    vs = [n for n in _os.listdir(md) if "metadata.json" in n]
+    assert len(vs) == 2  # current + 1 previous, older trimmed per commit
+    assert ib.read_iceberg(spark, p).count() == 9
+    assert len(ib.iceberg_snapshots(p)) == 3  # snapshots untouched
