@@ -235,6 +235,7 @@ _TAIL_ORDER = [
     "lake_advised_join",
     "lake_iceberg_exotic",
     "lake_delta_defaults",
+    "lake_iceberg_maint",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -375,6 +376,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_iceberg_decimal"] = _iceberg.iceberg_decimal_entry
     pool["lake_iceberg_exotic"] = _iceberg.iceberg_exotic_entry
     pool["lake_delta_defaults"] = _deltaproto.delta_defaults_entry
+    pool["lake_iceberg_maint"] = _iceberg.iceberg_maint_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         advisor as _advisor,
     )
@@ -477,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_iceberg_decimal"] = _iceberg.ICEBERG_DECIMAL_ORACLE_SQL
     pool["lake_iceberg_exotic"] = _iceberg.ICEBERG_EXOTIC_ORACLE_SQL
     pool["lake_delta_defaults"] = _deltaproto.DELTA_DEFAULTS_ORACLE_SQL
+    pool["lake_iceberg_maint"] = _iceberg.ICEBERG_MAINT_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         advisor as _advisor,
     )

@@ -155,6 +155,7 @@ HEADLINE = [
     "lake_advised_join",
     "lake_iceberg_exotic",
     "lake_delta_defaults",
+    "lake_iceberg_maint",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -189,6 +190,7 @@ HEAVY_WARMUPS = {
     "lake_advised_join": 2,
     "lake_iceberg_exotic": 2,
     "lake_delta_defaults": 2,
+    "lake_iceberg_maint": 2,
     "lake_delta_interop": 2,
     "lake_iceberg_interop": 2,
     "lake_iceberg_v2_deletes": 2,

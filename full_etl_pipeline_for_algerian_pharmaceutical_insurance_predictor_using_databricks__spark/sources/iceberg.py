@@ -8946,3 +8946,87 @@ WHERE secs BETWEEN 21600 AND 32399
   AND NOT (okey BETWEEN 500 AND 600)
 ORDER BY okey
 """
+
+
+_ICEBERG_MAINT_LAKE_VERSION = 1
+
+
+def _ensure_maint_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once MAINTENANCE fixture (r13 continuation): a SORTED v2
+    table (write_iceberg(sort_by) — disjoint per-file bounds) whose
+    metadata then flips to gzip (`write.metadata.compression-codec`),
+    takes two merge-on-read range DELETEs (two position-delete
+    files), and compacts them with `rewrite_iceberg_position_deletes`
+    (one delete file, gz-compressed commit).  The serving read folds
+    sorted data files + ONE compacted pos-delete file through gzip
+    metadata — three r13 ops in the same oracle-graded path."""
+    from ..functions.scale import default_index_dir
+    from . import load_table
+
+    path = os.path.join(
+        default_index_dir(
+            "iceberg_maint", _ICEBERG_MAINT_LAKE_VERSION, sf_dir
+        ),
+        "orders_iceberg_maint",
+    )
+    if not _metadata_versions(path):
+        src = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("ckey"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        write_iceberg(
+            src.repartition(4),
+            path,
+            format_version=2,
+            sort_by=["okey"],
+        )
+        set_iceberg_properties(
+            path, {"write.metadata.compression-codec": "gzip"}
+        )
+        delete_where_iceberg(
+            spark, path, "okey", 100, 199, strategy="merge-on-read"
+        )
+        delete_where_iceberg(
+            spark, path, "okey", 1200, 1399, strategy="merge-on-read"
+        )
+        rewrite_iceberg_position_deletes(spark, path)
+    return path
+
+
+def iceberg_maint_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry for the maintenance tier: a bounds-pruned
+    range scan over the sorted files (the sort wrote disjoint
+    per-file okey ranges, so the manifest tier skips files) with the
+    COMPACTED position-delete file applied, under gzip metadata.  The
+    oracle restates the two deleted ranges in SQL — a value match
+    proves the rewrite dropped nothing, kept the right positions, and
+    the gz metadata chain reads exactly."""
+    path = _ensure_maint_lake(spark, sf_dir)
+    df, _fr, _fs, _ms = read_iceberg_pruned(spark, path, "okey", 1, 4000)
+    return (
+        df.groupBy((F.col("okey") % 7).alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("okey").cast("bigint").alias("sum_keys"),
+            F.sum("price").cast("decimal(18,2)").alias("sum_price"),
+            F.countDistinct("ckey").cast("bigint").alias("n_custs"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ICEBERG_MAINT_ORACLE_SQL = """
+SELECT o_orderkey % 7 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS sum_price,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders
+WHERE o_orderkey BETWEEN 1 AND 4000
+  AND NOT (o_orderkey BETWEEN 100 AND 199)
+  AND NOT (o_orderkey BETWEEN 1200 AND 1399)
+GROUP BY 1
+ORDER BY 1
+"""
