@@ -236,6 +236,11 @@ _TAIL_ORDER = [
     "lake_iceberg_exotic",
     "lake_delta_defaults",
     "lake_iceberg_maint",
+    "lake_delta_merge_sql",
+    "lake_iceberg_delete_sql",
+    "lake_delta_sql_lifecycle",
+    "lake_iceberg_sql_lifecycle",
+    "lake_named_catalog",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -383,6 +388,15 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     pool["lake_advised_join"] = _advisor.advised_join_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        lakesql as _lakesql,
+    )
+
+    pool["lake_delta_merge_sql"] = _lakesql.delta_merge_sql_entry
+    pool["lake_iceberg_delete_sql"] = _lakesql.iceberg_delete_sql_entry
+    pool["lake_delta_sql_lifecycle"] = _lakesql.delta_sql_lifecycle_entry
+    pool["lake_iceberg_sql_lifecycle"] = _lakesql.iceberg_sql_lifecycle_entry
+    pool["lake_named_catalog"] = _lakesql.named_catalog_entry
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
 
@@ -485,6 +499,17 @@ def oracle_sql() -> dict[str, str]:
     )
 
     pool["lake_advised_join"] = _advisor.ADVISED_JOIN_ORACLE_SQL
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        lakesql as _lakesql,
+    )
+
+    pool["lake_delta_merge_sql"] = _lakesql.DELTA_MERGE_SQL_ORACLE_SQL
+    pool["lake_iceberg_delete_sql"] = _lakesql.ICEBERG_DELETE_SQL_ORACLE_SQL
+    pool["lake_delta_sql_lifecycle"] = _lakesql.DELTA_SQL_LIFECYCLE_ORACLE_SQL
+    pool["lake_iceberg_sql_lifecycle"] = (
+        _lakesql.ICEBERG_SQL_LIFECYCLE_ORACLE_SQL
+    )
+    pool["lake_named_catalog"] = _lakesql.NAMED_CATALOG_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

@@ -4082,35 +4082,18 @@ def _rewrite_delete_manifests(
     return out
 
 
-def delete_where_iceberg(
-    spark: SparkSession, path: str, col: str, lo, hi,
-    strategy: str = "cow",
-) -> int:
-    """`DELETE FROM iceberg_table WHERE col BETWEEN lo AND hi`.
-
-    `strategy="cow"` (default): copy-on-write — metadata-tier pruning
-    picks the possibly-affected files; those are rewritten (NULLs kept
-    — three-valued BETWEEN, live deletes applied to the pre-image) and
-    the new snapshot's manifest records survivors as EXISTING (with
-    their data sequence numbers), dropped files as DELETED, rewrites
-    as ADDED; delete manifests carry forward for the EXISTING files.
-
-    `strategy="merge-on-read"`: no data file is rewritten — matched
-    row positions land as v2 POSITION-delete parquet files (file_path
-    + pos with the spec's reserved field-ids, one per partition,
-    sorted) in a content=1 delete manifest; a v1 table upgrades to
-    format-version 2 on the first such delete (spec upgrade rule:
-    existing files keep data sequence number 0).
-
-    Both run the manifest build inside the commit retry loop, so a
-    racing commit can never make the remove set stale."""
-    if strategy not in ("cow", "merge-on-read"):
-        raise ValueError(f"unknown delete strategy {strategy!r}")
-    meta0 = current_metadata(path)
+def _range_prune_ctx(meta0: dict, col: str, lo, hi, op: str) -> dict:
+    """Shared pruning context for row-level DML with a
+    `col BETWEEN lo AND hi` predicate (DELETE / UPDATE): resolves the
+    (possibly struct-leaf dotted) column, maps the bounds through a
+    monotone partition transform, and returns the metadata pieces plus
+    a `touched_by_range(entry)` closure that answers from manifest
+    bounds / partition values ONLY — the same three-tier skipping the
+    readers use, so a 100-TB table rewrites O(matching files), never
+    O(table)."""
     fields = _schema_of(meta0)
     spec = _spec_of(meta0)
     spec_sid = _default_spec_id(meta0)
-    by_id = {f["id"]: f for f in fields}
     # dotted paths resolve STRUCT leaves ("s.a"): their bounds prune
     # under the nested field id, and the rewrite filter is a struct
     # member access
@@ -4119,18 +4102,17 @@ def delete_where_iceberg(
         raise ValueError(f"no column {col!r} in the Iceberg schema")
     if not isinstance(fld["type"], str):
         raise ValueError(
-            f"column {col!r} has composite type — DELETE takes a "
+            f"column {col!r} has composite type — {op} takes a "
             "primitive predicate (filter a leaf, e.g. a struct member "
             "path)"
         )
     fid = fld["id"]
     ice_type = fld["type"]
     del_pf = next((p for p in spec if p["source-id"] == fid), None)
-    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
 
     lo_i, hi_i = _to_internal(ice_type, lo), _to_internal(ice_type, hi)
     # partition-tier bounds, mapped through the transform when monotone
-    # (bucket ranges can't prune; point deletes map to one bucket)
+    # (bucket ranges can't prune; point predicates map to one bucket)
     dp_lo = dp_hi = None
     if del_pf is not None:
         d_kind, _dp = _parse_transform(del_pf.get("transform", "identity"))
@@ -4157,6 +4139,45 @@ def delete_where_iceberg(
         if f_lo is None or f_hi is None:
             return True  # no stats: conservatively touched
         return not (f_hi < lo_i or f_lo > hi_i)
+
+    return {
+        "fields": fields,
+        "spec": spec,
+        "spec_sid": spec_sid,
+        "schema_json": {"type": "struct", "schema-id": 0, "fields": fields},
+        "touched_by_range": touched_by_range,
+    }
+
+
+def delete_where_iceberg(
+    spark: SparkSession, path: str, col: str, lo, hi,
+    strategy: str = "cow",
+) -> int:
+    """`DELETE FROM iceberg_table WHERE col BETWEEN lo AND hi`.
+
+    `strategy="cow"` (default): copy-on-write — metadata-tier pruning
+    picks the possibly-affected files; those are rewritten (NULLs kept
+    — three-valued BETWEEN, live deletes applied to the pre-image) and
+    the new snapshot's manifest records survivors as EXISTING (with
+    their data sequence numbers), dropped files as DELETED, rewrites
+    as ADDED; delete manifests carry forward for the EXISTING files.
+
+    `strategy="merge-on-read"`: no data file is rewritten — matched
+    row positions land as v2 POSITION-delete parquet files (file_path
+    + pos with the spec's reserved field-ids, one per partition,
+    sorted) in a content=1 delete manifest; a v1 table upgrades to
+    format-version 2 on the first such delete (spec upgrade rule:
+    existing files keep data sequence number 0).
+
+    Both run the manifest build inside the commit retry loop, so a
+    racing commit can never make the remove set stale."""
+    if strategy not in ("cow", "merge-on-read"):
+        raise ValueError(f"unknown delete strategy {strategy!r}")
+    meta0 = current_metadata(path)
+    ctx = _range_prune_ctx(meta0, col, lo, hi, "DELETE")
+    fields, spec, spec_sid = ctx["fields"], ctx["spec"], ctx["spec_sid"]
+    schema_json = ctx["schema_json"]
+    touched_by_range = ctx["touched_by_range"]
 
     result = {"changed": True}
     part_names = [pf["name"] for pf in spec]
@@ -4302,6 +4323,139 @@ def delete_where_iceberg(
 
     return _commit_snapshot(
         path, "delete", build_manifests, expect_schema=fields
+    )
+
+
+def update_where_iceberg(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    col: str,
+    lo,
+    hi,
+) -> int:
+    """`UPDATE ... SET <name>=<sql expr>, ... WHERE col BETWEEN lo AND
+    hi` as a copy-on-write Iceberg snapshot (summary operation
+    `overwrite`, the shape real engines commit for row-level UPDATE).
+
+    Same skipping tier as `delete_where_iceberg`: manifest bounds /
+    partition values pick the possibly-affected files from METADATA
+    only, so a 100-TB table rewrites O(matching files).  Touched files
+    are read with live deletes applied (the pre-image a reader would
+    see), matched rows get the SET expressions applied (cast back to
+    the column's current type so the schema is unchanged), unmatched
+    rows carry verbatim; survivors keep EXISTING status with their
+    data sequence numbers, touched files are DELETED, rewrites ADDED.
+    On v3 row-lineage tables updated AND carried rows keep their
+    `_row_id` (spec carry-over rule), exactly like the delete rewrite.
+
+    Refuses: SET on a partition source column (identity or transform —
+    moving a row between partitions is an overwrite-shape job, not a
+    row UPDATE), SET on a non-top-level column, unknown columns.  The
+    manifest build runs inside the commit retry loop, so a racing
+    commit can never make the remove set stale."""
+    meta0 = current_metadata(path)
+    if meta0 is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    ctx = _range_prune_ctx(meta0, col, lo, hi, "UPDATE")
+    fields, spec, spec_sid = ctx["fields"], ctx["spec"], ctx["spec_sid"]
+    schema_json = ctx["schema_json"]
+    touched_by_range = ctx["touched_by_range"]
+    top = {f["name"] for f in fields}
+    unknown = set(set_exprs) - top
+    if unknown:
+        raise ValueError(
+            f"SET targets unknown/non-top-level column(s) "
+            f"{sorted(unknown)}"
+        )
+    by_id = {f["id"]: f for f in fields}
+    part_sources = {
+        by_id[pf["source-id"]]["name"]
+        for pf in spec
+        if pf["source-id"] in by_id
+    }
+    bad = set(set_exprs) & part_sources
+    if bad:
+        raise ValueError(
+            f"cannot UPDATE partition source column(s) {sorted(bad)}"
+        )
+    result = {"changed": True}
+
+    def build_manifests(
+        base: dict | None, snapshot_id: int, seq: int, fv: int
+    ) -> list[dict]:
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        prev = _snapshot(base, None)
+        mfs = _read_manifest_list(path, prev) if prev is not None else []
+        pos_files, eq_dels, _dvs = _delete_files(path, mfs)
+        delete_mfs = [m for m in mfs if (m.get("content") or 0) == 1]
+        live = (
+            _live_entries(path, base, prev) if prev is not None else []
+        )
+        touched = [e for e in live if touched_by_range(e)]
+        untouched = [e for e in live if not touched_by_range(e)]
+        if not touched:
+            result["changed"] = False
+        rewritten: list[dict] = []
+        if touched:
+            # pre-image = the reader's view (live deletes applied); on
+            # v3 the lineage columns materialize so _row_id survives
+            # the rewrite for carried AND updated rows alike
+            if fv >= 3:
+                old_rows = _lineage_scan(
+                    spark, path, base, touched, pos_files, eq_dels, _dvs
+                )
+            else:
+                old_rows = _read_entries(
+                    spark, path, base, touched, pos_files, eq_dels
+                )
+            cond = F.col(col).between(lo, hi)
+            carried = old_rows.filter(F.col(col).isNull() | ~cond)
+            post = old_rows.filter(cond)
+            for c, expr in sorted(set_exprs.items()):
+                post = post.withColumn(
+                    c, F.expr(expr).cast(old_rows.schema[c].dataType)
+                )
+            rewritten = _land_data(
+                carried.unionByName(post.select(*old_rows.columns)),
+                path, spec, fields,
+            )
+        entries = (
+            [
+                {
+                    "status": 0,
+                    "snapshot_id": e.get("snapshot_id"),
+                    "_seq": e.get("_seq", 0),
+                    "_spec_id": e.get("_spec_id", 0),
+                    "_first_row_id": e.get("_first_row_id"),
+                    "data_file": e["data_file"],
+                }
+                for e in untouched
+            ]
+            + [
+                {
+                    "status": 2,
+                    "snapshot_id": snapshot_id,
+                    "_seq": e.get("_seq", 0),
+                    "_spec_id": e.get("_spec_id", 0),
+                    "_first_row_id": e.get("_first_row_id"),
+                    "data_file": e["data_file"],
+                }
+                for e in touched
+            ]
+            + [
+                {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
+                for d in rewritten
+            ]
+        )
+        new_mfs = _write_manifests_by_spec(
+            path, entries, snapshot_id, fields, base, schema_json, fv, seq
+        )
+        return new_mfs + delete_mfs
+
+    return _commit_snapshot(
+        path, "overwrite", build_manifests, expect_schema=fields
     )
 
 

@@ -1,0 +1,331 @@
+"""SQL-text DML/DDL dispatcher + named catalog (sources/lakesql.py).
+
+The contract under test: every statement `lake_sql` accepts lowers onto
+the protocol helper that owns its correctness, ROW-IDENTICALLY to
+calling that helper directly — and every unsupported shape refuses
+loudly with the workaround named, never a silent misparse.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+    deltaproto as dp,
+    iceberg as ib,
+    lakesql as lq,
+    load_table,
+)
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+
+
+# --------------------------------------------------------------------------
+# parser units (no Spark needed)
+# --------------------------------------------------------------------------
+
+
+def test_literal_parser():
+    from datetime import date, datetime
+
+    assert lq._parse_literal("42") == 42
+    assert lq._parse_literal("-3.5") == -3.5
+    assert lq._parse_literal("'it''s'") == "it's"
+    assert lq._parse_literal("TRUE") is True
+    assert lq._parse_literal("null") is None
+    assert lq._parse_literal("DATE '2024-02-29'") == date(2024, 2, 29)
+    ts = lq._parse_literal("TIMESTAMP '2024-01-02 03:04:05'")
+    assert isinstance(ts, datetime) and ts.year == 2024
+    with pytest.raises(ValueError, match="literal"):
+        lq._parse_literal("o_orderkey + 1")
+
+
+def test_range_pred_shapes():
+    assert lq._parse_range_pred("x BETWEEN 1 AND 9") == ("range", "x", 1, 9)
+    assert lq._parse_range_pred("x = 'a'") == ("range", "x", "a", "a")
+    assert lq._parse_range_pred("x >= 1 AND x <= 9") == ("range", "x", 1, 9)
+    assert lq._parse_range_pred("x <= 9 AND x >= 1") == ("range", "x", 1, 9)
+    assert lq._parse_range_pred("x IN (1, 2, 3)") == ("in", "x", [1, 2, 3])
+    # strict bounds and disjunctions refuse with the supported forms
+    with pytest.raises(ValueError, match="BETWEEN"):
+        lq._parse_range_pred("x > 1 AND x < 9")
+    with pytest.raises(ValueError, match="unsupported WHERE"):
+        lq._parse_range_pred("x = 1 OR x = 2")
+
+
+def test_split_top_respects_parens_and_strings():
+    assert lq._split_top("a = ROUND(x, 2), b = 'y,z', c = 1") == [
+        "a = ROUND(x, 2)",
+        "b = 'y,z'",
+        "c = 1",
+    ]
+
+
+def test_registry_loud_on_miss_and_validates():
+    with pytest.raises(KeyError, match="no lake table"):
+        lq.lake_table_location("nope_never_registered")
+    with pytest.raises(ValueError, match="format"):
+        lq.register_lake_table("t_bad", "orc", "/tmp/x")
+    with pytest.raises(ValueError, match="invalid table name"):
+        lq.register_lake_table("1bad", "delta", "/tmp/x")
+
+
+def test_catalog_json_roundtrip(tmp_path):
+    lq.register_lake_table("t_json_rt", "delta", "/tmp/somewhere")
+    f = str(tmp_path / "catalog.json")
+    lq.save_lake_catalog(f)
+    lq.unregister_lake_table("t_json_rt")
+    names = lq.load_lake_catalog(f)
+    assert "t_json_rt" in names
+    assert lq.lake_table_location("t_json_rt") == ("delta", "/tmp/somewhere")
+    lq.unregister_lake_table("t_json_rt")
+
+
+# --------------------------------------------------------------------------
+# SQL ↔ Python-API parity (row-identical, both tiers)
+# --------------------------------------------------------------------------
+
+
+def test_delta_merge_sql_matches_python_twin(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    ups = docs.filter(F.col("doc_id").between(5, 14)).withColumn(
+        "text", F.upper("text")
+    )
+    p_sql, p_py = str(tmp_path / "d_sql"), str(tmp_path / "d_py")
+    for p in (p_sql, p_py):
+        dp.write_delta(docs.repartitionByRange(4, "doc_id"), p)
+    dp.merge_upsert_delta(spark, ups, p_py, "doc_id")
+    lq.register_lake_table("t_msql_twin", "delta", p_sql)
+    ups.createOrReplaceTempView("ups_msql_twin")
+    receipt = lq.lake_sql(
+        spark,
+        "MERGE INTO t_msql_twin AS t USING ups_msql_twin AS s "
+        "ON t.doc_id = s.doc_id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    assert receipt[0]["operation"] == "MERGE"
+    assert _rows(dp.read_delta(spark, p_sql), "doc_id") == _rows(
+        dp.read_delta(spark, p_py), "doc_id"
+    )
+
+
+def test_iceberg_composite_key_merge_sql(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    p_sql, p_py = str(tmp_path / "i_sql"), str(tmp_path / "i_py")
+    for p in (p_sql, p_py):
+        ib.write_iceberg(docs.repartitionByRange(4, "doc_id"), p)
+    ups = docs.filter(F.col("doc_id").between(5, 14)).withColumn(
+        "text", F.lower("text")
+    )
+    ib.upsert_iceberg(spark, ups, p_py, ["doc_id", "source"])
+    lq.register_lake_table("t_imsql_twin", "iceberg", p_sql)
+    ups.createOrReplaceTempView("ups_imsql_twin")
+    lq.lake_sql(
+        spark,
+        "MERGE INTO t_imsql_twin t USING ups_imsql_twin s "
+        "ON t.doc_id = s.doc_id AND s.source = t.source "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert _rows(ib.read_iceberg(spark, p_sql), "doc_id") == _rows(
+        ib.read_iceberg(spark, p_py), "doc_id"
+    )
+
+
+def test_delete_update_sql_match_python_twins(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    p_sql, p_py = str(tmp_path / "du_sql"), str(tmp_path / "du_py")
+    for p in (p_sql, p_py):
+        dp.write_delta(docs.repartitionByRange(4, "doc_id"), p)
+    dp.delete_where_delta(spark, p_py, "doc_id", 20, 49)
+    dp.update_where_delta(
+        spark, p_py, {"text": "CONCAT(text, '!')"}, "doc_id", 60, 79
+    )
+    lq.register_lake_table("t_du_twin", "delta", p_sql)
+    lq.lake_sql(spark, "DELETE FROM t_du_twin WHERE doc_id BETWEEN 20 AND 49")
+    lq.lake_sql(
+        spark,
+        "UPDATE t_du_twin SET text = CONCAT(text, '!') "
+        "WHERE doc_id >= 60 AND doc_id <= 79",
+    )
+    assert _rows(dp.read_delta(spark, p_sql), "doc_id") == _rows(
+        dp.read_delta(spark, p_py), "doc_id"
+    )
+
+
+def test_iceberg_update_where_cow(spark, sf_dir, tmp_path):
+    """update_where_iceberg itself: matched rows transformed, carried
+    rows verbatim, untouched files never rewritten (file-level prune),
+    snapshot operation `overwrite`."""
+    docs = _docs(spark, sf_dir)
+    p = str(tmp_path / "iud")
+    ib.write_iceberg(docs.repartitionByRange(8, "doc_id"), p)
+    meta0 = ib.current_metadata(p)
+    files0 = {
+        e["data_file"]["file_path"]
+        for e in ib._live_entries(p, meta0, ib._snapshot(meta0, None))
+    }
+    ib.update_where_iceberg(
+        spark, p, {"lang": "'xx'"}, "doc_id", 0, 49
+    )
+    meta1 = ib.current_metadata(p)
+    files1 = {
+        e["data_file"]["file_path"]
+        for e in ib._live_entries(p, meta1, ib._snapshot(meta1, None))
+    }
+    # pruning: most range-partitioned files survive untouched
+    assert len(files0 & files1) >= len(files0) - 2
+    snap = ib._snapshot(meta1, None)
+    assert (snap.get("summary") or {}).get("operation") == "overwrite"
+    got = ib.read_iceberg(spark, p)
+    assert got.filter("doc_id <= 49 AND lang <> 'xx'").count() == 0
+    assert got.filter("doc_id > 49 AND lang = 'xx'").count() == 0
+    assert got.count() == docs.count()
+    # guard rails
+    with pytest.raises(ValueError, match="unknown"):
+        ib.update_where_iceberg(spark, p, {"nope": "1"}, "doc_id", 0, 1)
+
+
+def test_iceberg_update_refuses_partition_source(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    p = str(tmp_path / "iup")
+    ib.write_iceberg(docs, p, partition_by=["lang"])
+    with pytest.raises(ValueError, match="partition source"):
+        ib.update_where_iceberg(spark, p, {"lang": "'xx'"}, "doc_id", 0, 9)
+
+
+def test_insert_values_and_positional_cast(spark, tmp_path):
+    p = str(tmp_path / "ins")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "id bigint, tag string, score double"
+    )
+    dp.write_delta(df, p)
+    lq.register_lake_table("t_ins_vals", "delta", p)
+    lq.lake_sql(
+        spark, "INSERT INTO t_ins_vals VALUES (2, 'b', 2.5), (3, 'c', 3.5)"
+    )
+    got = _rows(dp.read_delta(spark, p), "id")
+    assert got == [(1, "a", 1.0), (2, "b", 2.5), (3, "c", 3.5)]
+    # arity mismatch refuses before any write
+    with pytest.raises(ValueError, match="arity"):
+        lq.lake_sql(spark, "INSERT INTO t_ins_vals VALUES (4, 'd')")
+    assert dp.delta_versions(p)[-1] == 1
+
+
+def test_time_travel_select_delta_timestamp(spark, sf_dir, tmp_path):
+    from datetime import datetime, timezone
+
+    docs = _docs(spark, sf_dir)
+    p = str(tmp_path / "tt")
+    import time as _time
+
+    dp.write_delta(docs.limit(10), p)
+    acts = dp._read_actions(p, 0)
+    ts0 = next(
+        a["commitInfo"]["timestamp"] for a in acts if "commitInfo" in a
+    )
+    _time.sleep(0.05)  # the overwrite must get a strictly later stamp
+    dp.write_delta(docs.limit(30), p, mode="overwrite")
+    lq.register_lake_table("t_tt_delta", "delta", p)
+    iso = datetime.fromtimestamp(ts0 / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S.%f+00:00"
+    )
+    n0 = lq.lake_sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM t_tt_delta TIMESTAMP AS OF '{iso}'",
+    ).collect()[0]["n"]
+    n1 = lq.lake_sql(
+        spark, "SELECT COUNT(*) AS n FROM t_tt_delta"
+    ).collect()[0]["n"]
+    assert (n0, n1) == (10, 30)
+
+
+def test_loud_refusals(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    p = str(tmp_path / "ref")
+    dp.write_delta(docs.limit(5), p)
+    lq.register_lake_table("t_refuse", "delta", p)
+    with pytest.raises(ValueError, match="ONE column"):
+        lq.lake_sql(
+            spark,
+            "MERGE INTO t_refuse t USING t_refuse s ON t.doc_id = s.doc_id "
+            "AND t.source = s.source WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+    with pytest.raises(ValueError, match="equality-delete"):
+        lq.lake_sql(spark, "DELETE FROM t_refuse WHERE doc_id IN (1, 2)")
+    with pytest.raises(ValueError, match="cannot parse MERGE"):
+        lq.lake_sql(
+            spark,
+            "MERGE INTO t_refuse t USING t_refuse s ON t.doc_id = s.doc_id "
+            "WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="DEFAULT"):
+        lq.lake_sql(
+            spark, "ALTER TABLE t_refuse ADD COLUMN c STRING DEFAULT 'x'"
+        )
+    with pytest.raises(ValueError, match="unsupported statement"):
+        lq.lake_sql(spark, "VACUUM t_refuse")
+    with pytest.raises(ValueError, match="version number"):
+        lq.lake_sql(spark, "SELECT * FROM t_refuse VERSION AS OF 'tagname'")
+
+
+def test_alter_sql_sets_delta_default_for_future_inserts(spark, tmp_path):
+    p = str(tmp_path / "dflt")
+    dp.write_delta(
+        spark.createDataFrame([(1, "a")], "id bigint, tag string"), p
+    )
+    lq.register_lake_table("t_dflt", "delta", p)
+    lq.lake_sql(spark, "ALTER TABLE t_dflt ADD COLUMN note STRING")
+    lq.lake_sql(
+        spark, "ALTER TABLE t_dflt ALTER COLUMN note SET DEFAULT 'n/a'"
+    )
+    # a write omitting the column fills from the default (writer-only)
+    dp.write_delta(
+        spark.createDataFrame([(2, "b")], "id bigint, tag string"), p
+    )
+    got = {
+        (r["id"], r["note"]) for r in dp.read_delta(spark, p).collect()
+    }
+    assert got == {(1, None), (2, "n/a")}
+
+
+def test_iceberg_alter_add_default_and_rename_sql(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    p = str(tmp_path / "ialt")
+    ib.write_iceberg(docs.limit(20), p, format_version=3)
+    lq.register_lake_table("t_ialt", "iceberg", p)
+    lq.lake_sql(
+        spark, "ALTER TABLE t_ialt ADD COLUMN score DOUBLE DEFAULT 2.5"
+    )
+    lq.lake_sql(spark, "ALTER TABLE t_ialt RENAME COLUMN source TO src")
+    got = lq.lake_sql(
+        spark,
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(score), 1) AS s, "
+        "CAST(COUNT(src) AS BIGINT) AS nsrc FROM t_ialt",
+    ).collect()[0]
+    assert (got["n"], got["s"], got["nsrc"]) == (20, 50.0, 20)
+
+
+def test_entry_sql_read_plan_is_pushed_down(spark, sf_dir):
+    """A SELECT through the registered view gets real pushdown: the
+    named-catalog entry's plan broadcasts the small sides and the scan
+    schema is pruned to the referenced columns."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        lakesql,
+    )
+
+    df = lakesql.named_catalog_entry(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
