@@ -7337,10 +7337,10 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
     Each call commits a fresh Delta version reconciling to the current
     Iceberg snapshot (removes for files no longer live, adds for the
     live set — same-path remove+add resolves add-wins per the spec).
-    Returns the Delta version.  O(live entries + deleted positions):
-    a metadata-scale conversion, no data file is read or written."""
+    Returns the Delta version.  O(live entries) driver-side — deleted
+    positions expand and serialize on the executors; no data file is
+    read or written except the eq-affected subset's identity scan."""
     from . import deltaproto as dp
-    from . import puffin
 
     meta = current_metadata(path)
     fields = _schema_of(meta)
@@ -7397,35 +7397,23 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
             )
         return rel.replace(os.sep, "/")
 
-    masks: dict[str, set[int]] = {}
-    for pf_path in pos_files:
-        local = pf_path[7:] if pf_path.startswith("file://") else pf_path
-        if _is_avro_file("file://" + local):
-            rows, _m, _s = avrotiny.read_container(local)
-            pairs = [(r["file_path"], r["pos"]) for r in rows]
-        elif _is_orc_file("file://" + local):
-            import pyarrow.orc as _orc
-
-            t = _orc.ORCFile(local).read(columns=["file_path", "pos"])
-            pairs = zip(
-                t.column("file_path").to_pylist(),
-                t.column("pos").to_pylist(),
-            )
-        else:
-            import pyarrow.parquet as pq
-
-            t = pq.read_table(local, columns=["file_path", "pos"])
-            pairs = zip(
-                t.column("file_path").to_pylist(),
-                t.column("pos").to_pylist(),
-            )
-        for fp, p in pairs:
-            masks.setdefault(_rel(fp), set()).add(int(p))
-    for d in dvs:
-        blob = puffin.read_blob(d["path"], d["offset"], d["length"])
-        masks.setdefault(_rel(d["referenced"]), set()).update(
-            puffin.parse_dv_payload(blob)
-        )
+    # Positions to hide — pos-delete files, v3 DVs, and eq-delete
+    # materialization ALL flow as DISTRIBUTED (file-tail, pos) frames
+    # (r14): the per-file roaring bitmaps serialize on the executors
+    # (Arrow-batched groupBy kernel, same shape as _land_dv_deletes'
+    # forward path) and only the compressed blobs travel to the driver
+    # for the single DV-file write — a 100-TB table's deleted
+    # positions never pool as Python ints on the driver.
+    tail_to_rel = {
+        _rel(e["data_file"]["file_path"]).rsplit("/", 1)[-1]:
+            _rel(e["data_file"]["file_path"])
+        for e in entries
+    }
+    legs: list = []
+    if pos_files:
+        legs.append(_pos_delete_rows(spark, pos_files))
+    if dvs:
+        legs.append(_dv_positions_df(spark, dvs))
     if eq:
         # equality deletes materialize into positions: scan ONLY the
         # scope-affected files (conservatively pruned here; the eq
@@ -7464,21 +7452,40 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
                 eq_deletes=[dict(d) for d in eq],
                 keep_identity=True,
             ).select(_IB_FILE, _IB_POS)
-            tail_to_rel = {
-                _rel(e["data_file"]["file_path"]).rsplit("/", 1)[-1]:
-                    _rel(e["data_file"]["file_path"])
-                for e in affected
-            }
-            for r in sub_all.exceptAll(sub_kept).collect():
-                masks.setdefault(tail_to_rel[r[_IB_FILE]], set()).add(
-                    int(r[_IB_POS])
-                )
-    # Delta DV descriptors land once per conversion (one bin file)
-    descs = (
-        dp._write_dv_file(path, {k: sorted(v) for k, v in masks.items()})
-        if masks
-        else {}
-    )
+            legs.append(sub_all.exceptAll(sub_kept))
+    descs: dict[str, dict] = {}
+    if legs:
+        pos_df = legs[0]
+        for leg in legs[1:]:
+            pos_df = pos_df.unionByName(leg)
+
+        def to_rbm(pdf):
+            import pandas as pd
+
+            from . import roaring as _rr
+
+            positions = sorted(set(int(x) for x in pdf[_IB_POS]))
+            return pd.DataFrame(
+                {
+                    "tail": [pdf[_IB_FILE].iloc[0]],
+                    "blob": [_rr.serialize_rbm64(positions)],
+                    "card": [len(positions)],
+                }
+            )
+
+        blobs = (
+            pos_df.groupBy(_IB_FILE)
+            .applyInPandas(to_rbm, "tail string, blob binary, card long")
+            .collect()
+        )
+        payload = {
+            tail_to_rel[b["tail"]]: (bytes(b["blob"]), int(b["card"]))
+            for b in blobs
+            if b["tail"] in tail_to_rel
+        }
+        # Delta DV descriptors land once per conversion (one bin file)
+        if payload:
+            descs = dp._write_dv_blobs(path, payload)
     if descs:
         feats.add("deletionVectors")
     # ---- add actions ----
