@@ -119,22 +119,47 @@ def lake_table_stats(spark: SparkSession, path: str) -> dict:
     raise ValueError(f"{path!r} is neither an Iceberg nor a Delta table")
 
 
+def _key_list(on) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def _side_key_ndv(stats: dict, keys: list[str]) -> int | None:
+    """Key-tuple NDV from the registered per-column sketches.  For a
+    composite key the registered artifacts carry per-COLUMN NDV only,
+    so the best metadata-derivable figure is the max over the key's
+    columns — a LOWER bound of the tuple NDV (a tuple is at least as
+    distinct as its most distinct member).  Using the bound errs
+    toward flagging skew, which is correctness-neutral: salting a
+    non-skewed join costs one extra narrow column through the shuffle,
+    missing a skewed one costs a 100×-median straggler."""
+    have = [
+        n
+        for n in ((stats.get("ndv") or {}).get(k) for k in keys)
+        if n is not None
+    ]
+    return max(have) if have else None
+
+
 def advise_join(
     left_stats: dict,
     right_stats: dict,
-    key: str,
+    key,
     broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
 ) -> dict:
     """Pure decision: which side (if either) to broadcast for an
-    equi-join on `key`, with the evidence attached.
+    equi-join on `key` (one column name or a composite-key list, r14),
+    with the evidence attached.
 
     Rules, in order:
     - a side whose metadata byte size fits the threshold broadcasts
       (the smaller one when both fit);
     - neither fits → shuffle, but when the registered key NDV on one
       side is tiny relative to its rows the decision flags SKEW (a
-      handful of hot keys dominate the shuffle — salt it).
+      handful of hot keys dominate the shuffle — salt it).  Composite
+      keys judge on the max per-column NDV, a lower bound of the
+      tuple NDV (see _side_key_ndv).
     Every decision records the stats it used under "evidence"."""
+    keys = _key_list(key)
     lb, rb = int(left_stats["bytes"]), int(right_stats["bytes"])
     fits = {
         "left": lb <= broadcast_threshold_bytes,
@@ -148,10 +173,12 @@ def advise_join(
             k: right_stats.get(k) for k in ("rows", "bytes", "sources")
         },
         "key": key,
-        "left_key_ndv": (left_stats.get("ndv") or {}).get(key),
-        "right_key_ndv": (right_stats.get("ndv") or {}).get(key),
+        "left_key_ndv": _side_key_ndv(left_stats, keys),
+        "right_key_ndv": _side_key_ndv(right_stats, keys),
         "threshold_bytes": broadcast_threshold_bytes,
     }
+    if len(keys) > 1:
+        evidence["key_ndv_is_lower_bound"] = True
     if fits["left"] or fits["right"]:
         side = (
             ("left" if lb <= rb else "right")
@@ -170,7 +197,7 @@ def advise_join(
         }
     skew = False
     for side, st in (("left", left_stats), ("right", right_stats)):
-        n = (st.get("ndv") or {}).get(key)
+        n = _side_key_ndv(st, keys)
         rows = st.get("rows")
         if n is not None and rows and n * 1000 < rows:
             skew = True
@@ -205,26 +232,35 @@ def lake_join(
     spark: SparkSession,
     left_path: str,
     right_path: str,
-    on: str,
+    on,
     how: str = "inner",
     broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
     salt_buckets: int = 16,
 ) -> tuple[DataFrame, dict]:
     """Join two lake tables with the statistics-advised strategy:
     reads both metadata stats, picks the broadcast side (if any), and
-    returns (joined frame, decision).  The decision dict is the audit
-    trail — evidence carries the exact stats read.
+    returns (joined frame, decision).  `on` is one column name or a
+    composite-key list (r14).  The decision dict is the audit trail —
+    evidence carries the exact stats read.
 
     When neither side fits the broadcast threshold AND the registered
     key NDV flags hot-key skew, the advice is EXECUTED, not just
-    reported (r13): the skewed side salts its rows into
-    `salt_buckets` deterministic sub-keys (xxhash64 of the whole row —
-    no rand(), so the plan stays replay-stable) and the other side
-    replicates across every bucket, so one hot key spreads over
-    `salt_buckets` shuffle partitions instead of pinning one reducer
-    at 100× the median.  Inner joins only — outer sides would need
-    null-row dedup across replicas; the decision says so when it
-    falls back."""
+    reported: the skewed side salts its rows into `salt_buckets`
+    deterministic sub-keys (xxhash64 of the whole row — no rand(), so
+    the plan stays replay-stable) and the other side replicates across
+    every bucket, so one hot key spreads over `salt_buckets` shuffle
+    partitions instead of pinning one reducer at 100× the median.
+
+    Outer joins execute too when the PRESERVED side is the salted
+    probe (r14): a left join with a skewed left side salts left and
+    replicates right — each probe row lives in exactly one salt
+    bucket, and that bucket holds EVERY matching build row, so an
+    unmatched probe row null-extends exactly once and a matched one
+    meets each matching build row exactly once.  Replicating the
+    preserved side instead would emit `salt_buckets` null-rows per
+    unmatched key, so a left join with right-side skew (or full outer)
+    falls back to the plain shuffle with the reason recorded."""
+    keys = _key_list(on)
     ls = lake_table_stats(spark, left_path)
     rs = lake_table_stats(spark, right_path)
     dec = advise_join(ls, rs, on, broadcast_threshold_bytes)
@@ -234,13 +270,13 @@ def lake_join(
         left = F.broadcast(left)
     elif dec["broadcast"] == "right":
         right = F.broadcast(right)
-    elif dec["skew_risk"] and how == "inner" and salt_buckets > 1:
+    elif dec["skew_risk"] and salt_buckets > 1:
         # skewed side = the one whose key NDV is tiny vs rows; the
         # OTHER side replicates ×salt_buckets (prefer replicating the
         # smaller by bytes when both flag)
         flagged = []
         for side, st in (("left", ls), ("right", rs)):
-            n = (st.get("ndv") or {}).get(on)
+            n = _side_key_ndv(st, keys)
             if n is not None and st.get("rows") and n * 1000 < st["rows"]:
                 flagged.append(side)
         skewed = (
@@ -248,6 +284,19 @@ def lake_join(
             if len(flagged) == 1
             else ("left" if int(ls["bytes"]) >= int(rs["bytes"]) else "right")
         )
+        executable = how == "inner" or (
+            how in ("left", "right") and skewed == how
+        )
+        if not executable:
+            dec = dict(dec)
+            dec["salted"] = 0
+            dec["reason"] += (
+                f" — not executed: a {how} join can only salt its "
+                f"preserved side (skew is on the {skewed} side; "
+                "replicating the preserved side would duplicate "
+                "null-rows across buckets)"
+            )
+            return left.join(right, on=on, how=how), dec
         probe, build = (
             (left, right) if skewed == "left" else (right, left)
         )
@@ -266,24 +315,26 @@ def lake_join(
                 )
             ),
         )
-        out = probe.join(build, on=[on, "_ib_salt"], how="inner").drop(
-            "_ib_salt"
+        out = probe.join(
+            build,
+            on=keys + ["_ib_salt"],
+            how="inner" if how == "inner" else "left",
+        ).drop("_ib_salt")
+        # canonical column order regardless of which side probed
+        out = out.select(
+            *keys,
+            *[c for c in left.columns if c not in keys],
+            *[c for c in right.columns if c not in keys],
         )
         dec = dict(dec)
         dec["salted"] = salt_buckets
         dec["salted_side"] = skewed
         dec["reason"] += (
-            f" — EXECUTED: {skewed} side salted into {salt_buckets} "
-            "deterministic sub-keys, other side replicated"
+            f" — EXECUTED ({how}): {skewed} side salted into "
+            f"{salt_buckets} deterministic sub-keys, other side "
+            "replicated"
         )
         return out, dec
-    elif dec["skew_risk"]:
-        dec = dict(dec)
-        dec["salted"] = 0
-        dec["reason"] += (
-            " — not executed: salting is inner-join-only (outer sides "
-            "would need null-row dedup across replicas)"
-        )
     return left.join(right, on=on, how=how), dec
 
 

@@ -708,12 +708,53 @@ def _travel_view(
 
 _NON_WORD = re.compile(r"\W+")
 
+#: Audit trail of the most recent SELECT's metadata-broadcast advice:
+#: {view name: {"broadcast": bool, "bytes": int, "rows": int|None,
+#: "sources": [...]}} — the advisor decision each registered view got,
+#: recorded so a plan review can check WHY a join flipped to
+#: BroadcastHashJoin (None for parquet/minilake views, which Spark
+#: sizes natively).
+LAST_SELECT_ADVICE: dict[str, dict | None] = {}
+
+
+def _advised_view_frame(spark: SparkSession, name: str) -> DataFrame:
+    """The SELECT path consumes the statistics tier (r14): lake-table
+    views whose MANIFEST byte size fits the advisor's broadcast
+    threshold register with an explicit broadcast hint.  Spark's own
+    broadcast decision keys on the scan's sizeInBytes estimate, which
+    the protocol read plans (manifest-grouped unions, DV anti-joins)
+    obscure — so a genuinely-broadcastable dimension would otherwise
+    sort-merge.  The decision comes from metadata the statement
+    already reads for planning; an oversized or invalid hint is
+    ignored by Spark (outer-preserved sides), never wrong."""
+    from . import advisor
+
+    fmt, path = _REGISTRY[name]
+    df = lake_table(spark, name)
+    if fmt not in ("delta", "iceberg"):
+        LAST_SELECT_ADVICE[name] = None
+        return df
+    try:
+        st = advisor.lake_table_stats(spark, path)
+    except (ValueError, FileNotFoundError):
+        LAST_SELECT_ADVICE[name] = None
+        return df
+    fits = int(st["bytes"]) <= advisor.DEFAULT_BROADCAST_BYTES
+    LAST_SELECT_ADVICE[name] = {
+        "broadcast": fits,
+        "bytes": int(st["bytes"]),
+        "rows": st.get("rows"),
+        "sources": st.get("sources"),
+    }
+    return df.hint("broadcast") if fits else df
+
 
 def _run_select(spark: SparkSession, sql: str) -> DataFrame:
     """SELECT path: rewrite time-travel clauses on registered names to
-    snapshot views, auto-register current views for every other
-    registered name the text references, and hand the text to
-    Catalyst."""
+    snapshot views, auto-register current views (with the advisor's
+    metadata broadcast decision attached) for every other registered
+    name the text references, and hand the text to Catalyst."""
+    LAST_SELECT_ADVICE.clear()
 
     def repl(m: re.Match) -> str:
         name = m.group("name")
@@ -726,7 +767,7 @@ def _run_select(spark: SparkSession, sql: str) -> DataFrame:
     rewritten = _TRAVEL_RE.sub(repl, sql)
     for name in _REGISTRY:
         if re.search(rf"(?i)\b{name}\b", rewritten):
-            lake_table(spark, name).createOrReplaceTempView(name)
+            _advised_view_frame(spark, name).createOrReplaceTempView(name)
     return spark.sql(rewritten)
 
 

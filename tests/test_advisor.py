@@ -184,10 +184,94 @@ def test_skew_advice_executes_salted_join(spark, fact_dim):
     assert "_ib_salt" not in joined.columns
     plan = _plan(joined)
     assert "_ib_salt" in plan  # the shuffle keys carry the salt
-    # outer joins fall back loudly-in-the-decision, still row-exact
+
+
+def test_salted_left_join_preserved_side_row_exact(spark, fact_dim):
+    """r14: a LEFT join whose preserved side is the skewed probe
+    EXECUTES the salting — pinned row-exact against the plain left
+    join (unmatched probe rows null-extend exactly once, matched ones
+    meet each build row exactly once)."""
+    fact, dim = fact_dim
+    left = advisor._read_lake(spark, fact).withColumn(
+        "dim_id",
+        F.when(F.col("row_id") % 100 == 0, F.lit(9999)).otherwise(
+            F.col("dim_id")
+        ),
+    )
+    # rebuild the fixture with unmatched keys so the outer side matters
+    import os
+
+    fact2 = os.path.join(os.path.dirname(fact), "fact2")
+    ib.write_iceberg(left.repartition(4), fact2)
+    ib.write_iceberg_table_stats(spark, fact2)
+    plain = sorted(
+        tuple(r)
+        for r in advisor._read_lake(spark, fact2)
+        .join(advisor._read_lake(spark, dim), on="dim_id", how="left")
+        .collect()
+    )
+    joined, dec = advisor.lake_join(
+        spark, fact2, dim, on="dim_id", how="left",
+        broadcast_threshold_bytes=1, salt_buckets=8,
+    )
+    assert dec["salted"] == 8 and dec["salted_side"] == "left"
+    assert "EXECUTED (left)" in dec["reason"]
+    got = sorted(tuple(r) for r in joined.collect())
+    assert got == plain
+    assert joined.filter(F.col("name").isNull()).count() == 500
+    # a left join with skew on the NON-preserved side falls back with
+    # the preserved-side rule recorded, still row-exact
     j2, dec2 = advisor.lake_join(
-        spark, fact, dim, on="dim_id", how="left",
+        spark, dim, fact2, on="dim_id", how="left",
         broadcast_threshold_bytes=1,
     )
-    assert dec2["salted"] == 0 and "inner-join-only" in dec2["reason"]
-    assert j2.count() == 50_000
+    assert dec2["salted"] == 0 and "preserved side" in dec2["reason"]
+    assert j2.count() == 49_500
+
+
+def test_composite_key_advice_and_salted_join(spark, tmp_path):
+    """r14 composite keys: NDV judges on the max per-column sketch (a
+    tuple-NDV lower bound, recorded in the evidence) and the salted
+    join keys on the full tuple — row-exact vs the plain join."""
+    fact = str(tmp_path / "cfact")
+    dim = str(tmp_path / "cdim")
+    ib.write_iceberg(
+        spark.range(40_000)
+        .select(
+            F.col("id").alias("row_id"),
+            (F.col("id") % 4).alias("k1"),
+            (F.col("id") % 5).alias("k2"),
+        )
+        .repartition(4),
+        fact,
+    )
+    ib.write_iceberg(
+        spark.range(20).select(
+            (F.col("id") % 4).alias("k1"),
+            (F.col("id") % 5).alias("k2"),
+            F.concat(F.lit("d"), F.col("id")).alias("name"),
+        ),
+        dim,
+    )
+    for p in (fact, dim):
+        ib.write_iceberg_table_stats(spark, p)
+    fs = advisor.lake_table_stats(spark, fact)
+    ds = advisor.lake_table_stats(spark, dim)
+    dec = advisor.advise_join(
+        fs, ds, ["k1", "k2"], broadcast_threshold_bytes=1
+    )
+    assert dec["broadcast"] is None and dec["skew_risk"] is True
+    assert dec["evidence"]["key_ndv_is_lower_bound"] is True
+    assert dec["evidence"]["left_key_ndv"] == 5  # max(ndv k1, ndv k2)
+    plain = sorted(
+        tuple(r)
+        for r in advisor._read_lake(spark, fact)
+        .join(advisor._read_lake(spark, dim), on=["k1", "k2"])
+        .collect()
+    )
+    joined, jdec = advisor.lake_join(
+        spark, fact, dim, on=["k1", "k2"], broadcast_threshold_bytes=1,
+        salt_buckets=4,
+    )
+    assert jdec["salted"] == 4
+    assert sorted(tuple(r) for r in joined.collect()) == plain

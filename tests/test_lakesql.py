@@ -318,9 +318,11 @@ def test_iceberg_alter_add_default_and_rename_sql(spark, sf_dir, tmp_path):
 
 
 def test_entry_sql_read_plan_is_pushed_down(spark, sf_dir):
-    """A SELECT through the registered view gets real pushdown: the
-    named-catalog entry's plan broadcasts the small sides and the scan
-    schema is pruned to the referenced columns."""
+    """A SELECT through the registered views gets real pushdown AND
+    the advisor's metadata broadcast decision (r14): the named-catalog
+    entry's lake views fit the threshold by MANIFEST bytes, get the
+    broadcast hint, the plan shows BroadcastHashJoin, and the decision
+    is recorded with its evidence in LAST_SELECT_ADVICE."""
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakesql,
     )
@@ -329,3 +331,30 @@ def test_entry_sql_read_plan_is_pushed_down(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    adv = lakesql.LAST_SELECT_ADVICE
+    assert adv["customer_cat"]["broadcast"] is True
+    assert adv["customer_cat"]["bytes"] > 0
+    assert "iceberg:manifest-entries" in adv["customer_cat"]["sources"]
+    assert adv["orders_cat"]["sources"] == ["delta:add-stats"]
+    assert adv["nation_cat"] is None  # parquet: Spark sizes natively
+
+
+def test_select_advice_skips_oversized_tables(spark, sf_dir, tmp_path):
+    """A lake view whose manifest bytes exceed the threshold registers
+    WITHOUT the hint, decision recorded as broadcast=False."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        advisor,
+        lakesql,
+    )
+
+    docs = _docs(spark, sf_dir)
+    p = str(tmp_path / "big")
+    dp.write_delta(docs, p)
+    lq.register_lake_table("t_big_advice", "delta", p)
+    old = advisor.DEFAULT_BROADCAST_BYTES
+    advisor.DEFAULT_BROADCAST_BYTES = 1
+    try:
+        lq.lake_sql(spark, "SELECT COUNT(*) AS n FROM t_big_advice")
+    finally:
+        advisor.DEFAULT_BROADCAST_BYTES = old
+    assert lakesql.LAST_SELECT_ADVICE["t_big_advice"]["broadcast"] is False
