@@ -7397,6 +7397,64 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
             )
         return rel.replace(os.sep, "/")
 
+    # ---- renames: Iceberg renames are field-id-based (files keep the
+    # OLD column name, resolved through schema.name-mapping.default);
+    # a Delta reader knows nothing of field ids, so without help it
+    # silently NULL-fills the renamed column.  Resolve each renamed
+    # field's on-disk name from the live files' parquet footers
+    # (memoized, O(live files) metadata reads) and emit Delta COLUMN
+    # MAPPING (name mode: physicalName = the bytes' name).  Delta has
+    # ONE physicalName per column, so live files carrying the column
+    # under BOTH names (writes continued after the rename) are not
+    # representable — refuse loudly; compact_iceberg rewrites under
+    # the current names and the conversion then needs no mapping.
+    mapping_hist = _name_mapping(meta)
+    phys_of = {f["name"]: f["name"] for f in fields}
+    for f in fields:
+        hist = [n for n in mapping_hist.get(f["id"], []) if n != f["name"]]
+        if not hist:
+            continue
+        candidates = [f["name"]] + hist
+        seen: set[str] = set()
+        for e in entries:
+            rec = e["data_file"]
+            if (rec.get("file_format") or "PARQUET").upper() != "PARQUET":
+                continue  # non-parquet refuses in the add loop below
+            names = _footer_names(_abs_path(path, rec["file_path"]))
+            hit = [c for c in candidates if c in names]
+            if len(hit) > 1:
+                raise ValueError(
+                    f"file {rec['file_path']!r} carries column "
+                    f"{f['name']!r} under several historical names "
+                    f"{hit} — compact_iceberg first"
+                )
+            if hit:
+                seen.add(hit[0])
+        if len(seen) > 1:
+            raise ValueError(
+                f"renamed column {f['name']!r} appears under multiple "
+                f"on-disk names {sorted(seen)} across live files — a "
+                "Delta log has one physicalName per column; run "
+                "compact_iceberg to rewrite under the current names, "
+                "then convert"
+            )
+        if seen:
+            phys_of[f["name"]] = seen.pop()
+    use_mapping = any(phys_of[f["name"]] != f["name"] for f in fields)
+    configuration: dict[str, str] = {}
+    if use_mapping:
+        for f, df_field in zip(fields, delta_fields):
+            df_field["metadata"] = {
+                "delta.columnMapping.id": int(f["id"]),
+                "delta.columnMapping.physicalName": phys_of[f["name"]],
+            }
+        configuration = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(
+                max(int(f["id"]) for f in fields)
+            ),
+        }
+
     # Positions to hide — pos-delete files, v3 DVs, and eq-delete
     # materialization ALL flow as DISTRIBUTED (file-tail, pos) frames
     # (r14): the per-file roaring bitmaps serialize on the executors
@@ -7508,7 +7566,9 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
             if kind != "identity":
                 continue
             src = by_id[pf["source-id"]]
-            pvals[src["name"]] = _hive_partition_value(
+            # mapped tables key partitionValues/stats on PHYSICAL names
+            # (the spec's rule; the readers resolve via the mapping)
+            pvals[phys_of[src["name"]]] = _hive_partition_value(
                 src["type"], raw_part.get(pf["name"])
             )
         lbs = _norm_id_map(rec.get("lower_bounds"))
@@ -7518,7 +7578,8 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
         maxs: dict = {}
         ncs: dict = {}
         for f in fields:
-            if f["name"] in pvals:
+            pn = phys_of[f["name"]]
+            if pn in pvals:
                 continue  # partition columns carry no file stats
             if f["type"] in _DELTA_STATS_TYPES:
                 lo_b, hi_b = lbs.get(f["id"]), ubs.get(f["id"])
@@ -7528,10 +7589,10 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
                     if f["type"] == "date":
                         lo_v = _hive_partition_value("date", lo_v)
                         hi_v = _hive_partition_value("date", hi_v)
-                    mins[f["name"]], maxs[f["name"]] = lo_v, hi_v
+                    mins[pn], maxs[pn] = lo_v, hi_v
             nc = nulls.get(f["id"])
             if nc is not None:
-                ncs[f["name"]] = int(nc)
+                ncs[pn] = int(nc)
         add = {
             "path": rel,
             "partitionValues": pvals,
@@ -7558,14 +7619,17 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
         prev_meta, prev_live, prev_v = dp._fold_delta_state(spark, path, None)
         meta_id = prev_meta["id"]
     schema_str = json.dumps({"type": "struct", "fields": delta_fields})
-    proto = (
-        dp._protocol_with_features(
-            {"minReaderVersion": 1, "minWriterVersion": 2},
-            sorted(feats),
-            sorted(feats),
-        )
-        if feats
+    if use_mapping and feats:
+        feats.add("columnMapping")  # features tier lists it explicitly
+    base_proto = (
+        {"minReaderVersion": 2, "minWriterVersion": 5}
+        if use_mapping
         else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    proto = (
+        dp._protocol_with_features(base_proto, sorted(feats), sorted(feats))
+        if feats
+        else base_proto
     )
     lines = [
         json.dumps(
@@ -7586,7 +7650,7 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_str,
                     "partitionColumns": part_cols,
-                    "configuration": {},
+                    "configuration": configuration,
                     "createdTime": now_ms,
                 }
             }

@@ -3101,3 +3101,106 @@ def test_uniform_eq_materialization_is_distributed(spark, tmp_path):
     assert sum(cards) == ndel and len(cards) >= 2
     # row-exact against the Iceberg reader
     assert delta.exceptAll(ib.read_iceberg(spark, path)).count() == 0
+
+
+def test_uniform_cross_tier_lifecycle_sweep(spark, tmp_path):
+    """r14 cross-tier sweep: seeded random Iceberg op sequences —
+    append | overwrite | cow-delete | mor-delete | eq-delete | compact
+    | rewrite-manifests | expire | v3-upgrade | column RENAME — with a
+    `uniform_delta_metadata` conversion after EVERY data-changing op:
+    the Delta protocol read must equal the Iceberg read at each step
+    (deletion vectors, eq materialization, and column mapping
+    included).  A conversion that refuses after a rename left live
+    files under mixed on-disk names must name compact_iceberg, and
+    compacting must unblock it — both paths pinned.  The r12 sweeps
+    caught a real checkpoint bug; this is the same net spanning both
+    protocols."""
+    import random
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        deltaproto as dp,
+    )
+
+    n_seq = max(
+        1, int(os.environ.get("SPARK_GRAFT_LIFECYCLE_SEQS", "50")) // 5
+    )
+    rng = random.Random(0xD0_1CE)
+
+    def convert_and_compare(path, seq, step):
+        try:
+            ib.uniform_delta_metadata(spark, path)
+        except ValueError as e:
+            # only the documented mixed-rename refusal is allowed;
+            # compaction must unblock it
+            assert "compact_iceberg" in str(e), f"seq {seq}/{step}: {e}"
+            ib.compact_iceberg(spark, path)
+            ib.uniform_delta_metadata(spark, path)
+        ice = frozenset(
+            tuple(r) for r in ib.read_iceberg(spark, path).collect()
+        )
+        delta = frozenset(
+            tuple(r) for r in dp.read_delta(spark, path).collect()
+        )
+        assert delta == ice, f"seq {seq} step {step}: delta != iceberg"
+
+    for seq in range(n_seq):
+        path = str(tmp_path / f"x{seq:02d}")
+        part_by = ["lang"] if rng.random() < 0.4 else None
+        val_col = "v"  # current name of the renameable column
+        batch = 0
+
+        def mk_df(lo, hi, name):
+            return (
+                spark.range(lo, hi)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    (F.col("id") % 3).cast("string").alias("lang"),
+                    (F.col("id") * 7).alias(name),
+                )
+                .coalesce(1)
+            )
+
+        ib.write_iceberg(mk_df(0, 8, val_col), path, partition_by=part_by)
+        convert_and_compare(path, seq, "init")
+        for step in range(6):
+            op = rng.choices(
+                ["append", "overwrite", "cow", "mor", "eq", "compact",
+                 "manifests", "expire", "upgrade3", "rename"],
+                weights=[22, 6, 10, 10, 10, 8, 5, 6, 5, 10],
+            )[0]
+            batch += 1
+            if op in ("append", "overwrite"):
+                ib.write_iceberg(
+                    mk_df(batch * 10, batch * 10 + 4, val_col),
+                    path,
+                    mode=op,
+                    partition_by=part_by,
+                )
+            elif op in ("cow", "mor"):
+                lo = rng.randint(0, batch * 10)
+                ib.delete_where_iceberg(
+                    spark, path, "doc_id", lo, lo + rng.randint(0, 12),
+                    strategy="cow" if op == "cow" else "merge-on-read",
+                )
+            elif op == "eq":
+                keys = [rng.randint(0, batch * 10) for _ in range(2)]
+                ib.delete_eq_iceberg(path, ["doc_id"], keys)
+            elif op == "compact":
+                ib.compact_iceberg(spark, path)
+            elif op == "manifests":
+                ib.rewrite_iceberg_manifests(path)
+            elif op == "expire":
+                ib.expire_iceberg_snapshots(
+                    path, keep_last=rng.randint(1, 3)
+                )
+            elif op == "upgrade3":
+                fv = int(
+                    ib.current_metadata(path).get("format-version", 1)
+                )
+                if fv < 3:
+                    ib.upgrade_iceberg_format(spark, path, 3)
+            elif op == "rename":
+                new = "val" if val_col == "v" else "v"
+                ib.evolve_iceberg_schema(path, rename={val_col: new})
+                val_col = new
+            convert_and_compare(path, seq, f"{step}:{op}")
