@@ -156,6 +156,13 @@ HEADLINE = [
     "lake_iceberg_exotic",
     "lake_delta_defaults",
     "lake_iceberg_maint",
+    # r14: the SQL write lifecycle (MERGE/DELETE/UPDATE/ALTER/travel as
+    # SQL text) + cross-format named-catalog resolution
+    "lake_delta_merge_sql",
+    "lake_iceberg_delete_sql",
+    "lake_delta_sql_lifecycle",
+    "lake_iceberg_sql_lifecycle",
+    "lake_named_catalog",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -218,6 +225,13 @@ HEAVY_WARMUPS = {
     "lake_iceberg_variant": 2,
     # shares the upsert fixture; warm pass builds it if absent
     "lake_iceberg_changes_eq": 2,
+    # first warm pass runs the SQL lifecycle (merge/delete/update/alter
+    # statements) that builds the r14 fixtures
+    "lake_delta_merge_sql": 2,
+    "lake_iceberg_delete_sql": 2,
+    "lake_delta_sql_lifecycle": 2,
+    "lake_iceberg_sql_lifecycle": 2,
+    "lake_named_catalog": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce
@@ -291,6 +305,16 @@ def main() -> None:
                 if name in VARIANCE_PRONE or name not in HEAVY_WARMUPS
                 else 1
             )
+            # flag-gated noise damping (r14): SPARK_GRAFT_BENCH_MIN_PASSES=N
+            # runs at least N timed passes per entry and reports the MIN —
+            # the best proxy for the plan's cost on a contended box (host
+            # noise only ever ADDS wall time).  Off by default so the
+            # driver contract and round-over-round medians are unchanged.
+            min_passes = int(
+                os.environ.get("SPARK_GRAFT_BENCH_MIN_PASSES", "0")
+            )
+            if min_passes >= 2:
+                reps = max(reps, min_passes)
             runs = []
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -298,7 +322,10 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 runs.append(time.perf_counter() - t0)
-            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+            timings[name] = round(
+                min(runs) if min_passes >= 2 else sorted(runs)[len(runs) // 2],
+                3,
+            )
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         finally:

@@ -6209,9 +6209,22 @@ def update_iceberg_table_stats(
             "(the base snapshot expired or stats were never built) — "
             "rebuild with write_iceberg_table_stats"
         )
+    # append hops contribute files to the delta scan; `replace` hops
+    # are steppable ONLY when purely metadata-reorganizing (manifest
+    # rewrite, v3 delete-file fold, pos-delete compaction) — verified
+    # below against the manifests: a replace that ADDED data files
+    # (data compaction, which applies live deletes) refuses, since
+    # NDV cannot shrink via union.  This lets the refresh compose with
+    # the stream sink's manifest auto-compaction (r14).
+    append_sids: set[int] = set()
+    replace_sids: set[int] = set()
     for s in chain:
         op = (s.get("summary") or {}).get("operation", "append")
-        if op != "append":
+        if op == "append":
+            append_sids.add(int(s["snapshot-id"]))
+        elif op == "replace":
+            replace_sids.add(int(s["snapshot-id"]))
+        else:
             raise ValueError(
                 f"snapshot {s['snapshot-id']} is a {op!r} — NDV cannot "
                 "shrink via union, so incremental maintenance would "
@@ -6243,15 +6256,22 @@ def update_iceberg_table_stats(
         )
     columns = [by_id[fid]["name"] for fid, _b in base_blobs]
     col_types = {by_id[fid]["name"]: by_id[fid]["type"] for fid, _b in base_blobs}
-    # ONLY the files the intervening appends ADDED
-    new_sids = {int(s["snapshot-id"]) for s in chain}
+    # ONLY the files the intervening appends ADDED — matched by the
+    # entry's snapshot_id, which survives a manifest rewrite folding
+    # the entry to EXISTING; any data file attributed to a replace hop
+    # means that replace rewrote data (compaction) and must refuse
     added = []
     for mf in _data_manifests(_read_manifest_list(path, snap)):
         for e in _read_manifest(path, mf):
-            if (
-                e.get("status", 0) == 1
-                and int(e.get("snapshot_id") or 0) in new_sids
-            ):
+            e_sid = int(e.get("snapshot_id") or 0)
+            if e_sid in replace_sids:
+                raise ValueError(
+                    f"snapshot {e_sid} is a data-rewriting 'replace' "
+                    "(compaction applies live deletes) — NDV cannot "
+                    "shrink via union; rebuild with "
+                    "write_iceberg_table_stats"
+                )
+            if e.get("status", 0) in (0, 1) and e_sid in append_sids:
                 added.append(e)
     kk = int(k)
     merged: list[tuple[int, bytes]] = []

@@ -623,6 +623,57 @@ class IcebergStreamWriter(DataSourceStreamWriter):
                     os.unlink(full)
             return
         self._maybe_merge_manifests()
+        self._maybe_refresh_stats()
+
+    def _maybe_refresh_stats(self) -> None:
+        """Post-commit NDV maintenance, OPT-IN via the engine property
+        `write.statistics.auto-refresh.enabled` (r14; optional
+        `write.statistics.auto-refresh.min-commits`, default 1 =
+        every trigger): the first enabled commit lands the initial
+        full sketch build, every later one runs the INCREMENTAL union
+        (`update_iceberg_table_stats` — O(this batch's files), never a
+        table rescan, and it steps over the manifest auto-compaction's
+        row-preserving `replace` snapshots).  Best-effort like the
+        manifest merge: a failed refresh never fails the committed
+        batch, and stale stats are never served (read_iceberg_ndv
+        refuses snapshots without a registration)."""
+        try:
+            from pyspark.sql import SparkSession
+
+            meta = ib.current_metadata(self.path)
+            props = meta.get("properties") or {}
+            if props.get("write.statistics.auto-refresh.enabled") != "true":
+                return
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                return
+            snap = ib._snapshot(meta, None)
+            if snap is None:
+                return
+            regs = meta.get("statistics") or []
+            if not regs:
+                ib.write_iceberg_table_stats(spark, self.path)
+                return
+            every = int(
+                props.get("write.statistics.auto-refresh.min-commits", 1)
+            )
+            if every > 1:
+                # hops since the newest registration, via parent chain
+                reg_sids = {int(e["snapshot-id"]) for e in regs}
+                by_sid = {
+                    int(s["snapshot-id"]): s
+                    for s in meta.get("snapshots") or []
+                }
+                hops, cur = 0, snap
+                while cur is not None and int(cur["snapshot-id"]) not in reg_sids:
+                    hops += 1
+                    parent = cur.get("parent-snapshot-id")
+                    cur = by_sid.get(int(parent)) if parent else None
+                if hops < every:
+                    return
+            ib.update_iceberg_table_stats(spark, self.path)
+        except Exception:
+            pass  # maintenance only: the batch commit already landed
 
     def _maybe_merge_manifests(self) -> None:
         """Post-commit manifest auto-compaction, OPT-IN via the table

@@ -248,3 +248,46 @@ def test_metadata_delete_after_commit(spark, tmp_path):
     assert len(vs) == 2  # current + 1 previous, older trimmed per commit
     assert ib.read_iceberg(spark, p).count() == 9
     assert len(ib.iceberg_snapshots(p)) == 3  # snapshots untouched
+
+
+def test_incremental_ndv_steps_over_metadata_replaces(spark, tmp_path):
+    """r14: `update_iceberg_table_stats` tolerates row-preserving
+    `replace` hops (manifest rewrite — the stream sink's
+    auto-compaction shape): appended files are matched by their
+    entry's snapshot_id, which survives the rewrite folding them to
+    EXISTING.  A data-rewriting replace (compaction applies live
+    deletes) still refuses with the rebuild named."""
+    p = str(tmp_path / "ndvhops")
+    df = spark.range(200).select(F.col("id"), (F.col("id") % 10).alias("k"))
+    ib.write_iceberg(df.repartitionByRange(2, "id"), p)
+    ib.write_iceberg_table_stats(spark, p)
+    ib.write_iceberg(
+        spark.range(200, 300).select(
+            F.col("id"), (F.col("id") % 10).alias("k")
+        ),
+        p,
+        mode="append",
+    )
+    ib.rewrite_iceberg_manifests(p)  # replace hop, no data files added
+    ib.write_iceberg(
+        spark.range(300, 400).select(
+            F.col("id"), (F.col("id") % 10).alias("k")
+        ),
+        p,
+        mode="append",
+    )
+    ib.update_iceberg_table_stats(spark, p)  # r13 refused this chain
+    assert ib.read_iceberg_ndv(p)["id"] == 400  # exact below sketch k
+    # a data-rewriting replace still refuses
+    ib.compact_iceberg(spark, p)
+    ib.write_iceberg(
+        spark.range(400, 410).select(
+            F.col("id"), (F.col("id") % 10).alias("k")
+        ),
+        p,
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="data-rewriting"):
+        ib.update_iceberg_table_stats(spark, p)
+    ib.write_iceberg_table_stats(spark, p)  # the named rebuild works
+    assert ib.read_iceberg_ndv(p)["id"] == 410

@@ -665,3 +665,61 @@ def test_stream_sink_manifest_auto_compaction(spark, tmp_path):
         r["doc_id"] for r in ib.read_iceberg(spark, path).collect()
     )
     assert got == sorted(b * 10 + i for b in range(13) for i in range(10))
+
+
+def test_stream_sink_ndv_auto_refresh(spark, tmp_path, monkeypatch):
+    """Opt-in stream-sink statistics maintenance (r14): with
+    `write.statistics.auto-refresh.enabled` set, every committed
+    trigger refreshes the registered NDV sketches — the FIRST enabled
+    commit lands the initial full build, every later one runs the
+    INCREMENTAL union (O(batch files), pinned here by counting full
+    builds), stepping over the manifest auto-compaction's interleaved
+    `replace` snapshots.  Estimates stay exact below the sketch's k
+    and are re-registered at every current snapshot (stale stats are
+    never served — read_iceberg_ndv refuses otherwise)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    path = str(tmp_path / "icendv")
+    schema = _parse_datatype_string("doc_id bigint, lang string")
+
+    def run_batch(b: int) -> None:
+        w = icestream.IcebergStreamWriter(
+            {"path": path, "streamAppId": "ndv-app"}, schema
+        )
+        msg = w.write(
+            iter([(b * 10 + i, f"l{i % 2}") for i in range(10)])
+        )
+        w.commit([msg], batchId=b)
+
+    run_batch(0)  # property not yet set: no stats registered
+    assert not (ib.current_metadata(path).get("statistics") or [])
+    ib.set_iceberg_properties(
+        path,
+        {
+            "write.statistics.auto-refresh.enabled": "true",
+            "commit.manifest-merge.enabled": "true",
+            "commit.manifest.min-count-to-merge": "4",
+        },
+    )
+    full_builds = {"n": 0}
+    orig_full = ib.write_iceberg_table_stats
+
+    def counting_full(*a, **kw):
+        full_builds["n"] += 1
+        return orig_full(*a, **kw)
+
+    monkeypatch.setattr(ib, "write_iceberg_table_stats", counting_full)
+    for b in range(1, 9):
+        run_batch(b)
+        ndv = ib.read_iceberg_ndv(path)  # raises if stats went stale
+        assert ndv["doc_id"] == (b + 1) * 10  # exact below sketch k
+        assert ndv["lang"] == 2
+    # exactly one full build; the other seven commits ran the union —
+    # including across the manifest-merge replace snapshots
+    assert full_builds["n"] == 1
+    meta = ib.current_metadata(path)
+    snap_id = int(ib._snapshot(meta, None)["snapshot-id"])
+    assert any(
+        int(e["snapshot-id"]) == snap_id
+        for e in meta.get("statistics") or []
+    )
