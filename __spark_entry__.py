@@ -241,6 +241,7 @@ _TAIL_ORDER = [
     "lake_delta_sql_lifecycle",
     "lake_iceberg_sql_lifecycle",
     "lake_named_catalog",
+    "lake_sql_maintenance",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -396,6 +397,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_delta_sql_lifecycle"] = _lakesql.delta_sql_lifecycle_entry
     pool["lake_iceberg_sql_lifecycle"] = _lakesql.iceberg_sql_lifecycle_entry
     pool["lake_named_catalog"] = _lakesql.named_catalog_entry
+    pool["lake_sql_maintenance"] = _lakesql.sql_maintenance_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -510,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         _lakesql.ICEBERG_SQL_LIFECYCLE_ORACLE_SQL
     )
     pool["lake_named_catalog"] = _lakesql.NAMED_CATALOG_ORACLE_SQL
+    pool["lake_sql_maintenance"] = _lakesql.SQL_MAINTENANCE_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

@@ -4900,6 +4900,22 @@ def compact_iceberg(
         for c in cols:
             if c not in by_fname:
                 raise ValueError(f"no zorder column {c!r} in the schema")
+            t = by_fname[c]["type"]
+            if not (
+                isinstance(t, str)
+                and (
+                    t in ("int", "long", "float", "double")
+                    or t.startswith("decimal(")
+                )
+            ):
+                # r14: refuse up front — the Morton normalization is
+                # float-valued, and a string column used to surface as
+                # an opaque float() crash mid-rewrite
+                raise ValueError(
+                    f"zorder column {c!r} has type {t!r} — the Morton "
+                    "interleave needs numeric columns; use "
+                    "strategy='sort' for lexicographic clustering"
+                )
 
     def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
         if base is None:

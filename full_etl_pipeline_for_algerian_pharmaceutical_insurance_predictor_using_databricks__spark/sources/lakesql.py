@@ -678,6 +678,228 @@ def _exec_alter(spark: SparkSession, m: re.Match) -> DataFrame:
     )
 
 
+_CREATE_RE = re.compile(
+    rf"(?is)^\s*CREATE\s+(?:(?P<orrep>OR\s+REPLACE)\s+)?TABLE\s+"
+    rf"(?P<t>{_IDENT})\s+USING\s+(?P<fmt>{_IDENT})"
+    r"(?:\s+PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\))?"
+    r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?"
+    r"\s+AS\s+(?P<body>.+)$"
+)
+
+_DROP_TABLE_RE = re.compile(
+    rf"(?is)^\s*DROP\s+TABLE\s+(?:(?P<ife>IF\s+EXISTS)\s+)?"
+    rf"(?P<t>{_IDENT})\s*$"
+)
+
+_OPTIMIZE_RE = re.compile(
+    rf"(?is)^\s*OPTIMIZE\s+(?P<t>{_IDENT})"
+    r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]*)\))?\s*$"
+)
+
+_VACUUM_RE = re.compile(
+    rf"(?is)^\s*VACUUM\s+(?P<t>{_IDENT})"
+    r"(?:\s+RETAIN\s+(?P<h>\d+(?:\.\d+)?)\s+HOURS)?\s*$"
+)
+
+_DESC_HISTORY_RE = re.compile(
+    rf"(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<t>{_IDENT})\s*$"
+)
+
+
+def default_warehouse_dir() -> str:
+    """Where CTAS lands tables when no LOCATION is given:
+    <repo>/spark-warehouse/lakesql_tables/<name>."""
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo_root, "spark-warehouse", "lakesql_tables")
+
+
+def _exec_create(spark: SparkSession, m: re.Match) -> DataFrame:
+    """CREATE [OR REPLACE] TABLE … USING <fmt> [PARTITIONED BY (…)]
+    [LOCATION '…'] AS SELECT … — the first statement a migrating
+    notebook runs.  Creation lands the SELECT through the protocol
+    writer and registers the name; OR REPLACE overwrites the live set
+    at the same location (prior versions stay time-travelable on the
+    log-bearing formats)."""
+    name = m.group("t")
+    fmt = m.group("fmt").lower()
+    if fmt not in ("delta", "iceberg", "minilake"):
+        raise ValueError(
+            f"CREATE TABLE USING {fmt!r} unsupported — one of "
+            "delta/iceberg/minilake"
+        )
+    replace = m.group("orrep") is not None
+    parts = (
+        [c.strip() for c in m.group("parts").split(",") if c.strip()]
+        if m.group("parts")
+        else None
+    )
+    loc = m.group("loc") or os.path.join(default_warehouse_dir(), name)
+    if name in _REGISTRY and not replace:
+        raise ValueError(
+            f"table {name!r} already registered — CREATE OR REPLACE, or "
+            "DROP TABLE first"
+        )
+    df = _run_select(spark, m.group("body"))
+    if fmt == "delta":
+        from . import deltaproto as dp
+
+        exists = bool(dp.delta_versions(loc))
+        if exists and not replace:
+            raise ValueError(f"a Delta table already lives at {loc!r}")
+        v = dp.write_delta(
+            df, loc, mode="overwrite" if exists else "append",
+            partition_by=parts,
+        )
+    elif fmt == "iceberg":
+        from . import iceberg as ib
+
+        exists = bool(ib._metadata_versions(loc))
+        if exists and not replace:
+            raise ValueError(f"an Iceberg table already lives at {loc!r}")
+        v = ib.write_iceberg(
+            df, loc, mode="overwrite" if exists else "append",
+            partition_by=parts,
+        )
+    else:
+        from . import minilake
+
+        if minilake.versions(loc):
+            raise ValueError(
+                f"a minilake table already lives at {loc!r} (minilake "
+                "CTAS is create-only; append with INSERT INTO)"
+            )
+        v = minilake.commit_append(df, loc, partition_by=parts)
+    register_lake_table(name, fmt, loc)
+    return _dml_result(spark, "CREATE TABLE", name, v)
+
+
+def _exec_drop_table(spark: SparkSession, m: re.Match) -> DataFrame:
+    """DROP TABLE [IF EXISTS] — unregisters the NAME and its temp view;
+    the files stay on disk (external-table semantics: the catalog entry
+    is metadata, the data has its own lifecycle/VACUUM)."""
+    name = m.group("t")
+    if name not in _REGISTRY:
+        if m.group("ife") is not None:
+            return _dml_result(spark, "DROP TABLE (absent)", name, -1)
+        raise KeyError(
+            f"no lake table named {name!r} — registered: "
+            f"{sorted(_REGISTRY)} (DROP TABLE IF EXISTS to ignore)"
+        )
+    unregister_lake_table(name)
+    spark.catalog.dropTempView(name)
+    return _dml_result(spark, "DROP TABLE", name, -1)
+
+
+def _exec_optimize(spark: SparkSession, m: re.Match) -> DataFrame:
+    """OPTIMIZE t [ZORDER BY (x, y)] → the protocol compaction helpers
+    (Delta: dataChange=false remove+add commit; Iceberg: a replace
+    snapshot that drops the delete-manifest rent)."""
+    target = m.group("t")
+    fmt, path = lake_table_location(target)
+    cols = (
+        [c.strip() for c in m.group("cols").split(",") if c.strip()]
+        if m.group("cols")
+        else None
+    )
+    if fmt == "delta":
+        from . import deltaproto as dp
+
+        if cols is None:
+            v = dp.compact_delta(spark, path)
+        elif len(cols) == 2:
+            v = dp.optimize_zorder_delta(spark, path, cols[0], cols[1])
+        else:
+            raise ValueError(
+                "Delta ZORDER BY takes exactly two columns (the Morton "
+                "interleave in optimize_zorder_delta); Iceberg's "
+                "compaction accepts any arity"
+            )
+        return _dml_result(spark, "OPTIMIZE", target, v)
+    if fmt == "iceberg":
+        from . import iceberg as ib
+
+        snap = (
+            ib.compact_iceberg(spark, path)
+            if cols is None
+            else ib.compact_iceberg(
+                spark, path, strategy="zorder", zorder_by=cols
+            )
+        )
+        return _dml_result(spark, "OPTIMIZE", target, snap)
+    raise ValueError(
+        f"OPTIMIZE needs a delta or iceberg table; {target!r} is {fmt}"
+    )
+
+
+def _exec_vacuum(spark: SparkSession, m: re.Match) -> DataFrame:
+    """VACUUM t [RETAIN n HOURS] — Delta: delete files unreferenced by
+    the retained history (the RETAIN window maps to the
+    modification-time spare rule); Iceberg: expire non-current
+    snapshots, then remove orphans under the same age window.  The
+    receipt's version column carries the number of files deleted."""
+    target = m.group("t")
+    fmt, path = lake_table_location(target)
+    min_age_s = (
+        float(m.group("h")) * 3600.0 if m.group("h") is not None else 600.0
+    )
+    if fmt == "delta":
+        from . import deltaproto as dp
+
+        n = dp.vacuum_delta(spark, path, min_age_s=min_age_s)
+        return _dml_result(spark, "VACUUM", target, n)
+    if fmt == "iceberg":
+        from . import iceberg as ib
+
+        ib.expire_iceberg_snapshots(path, keep_last=1)
+        n = ib.remove_orphan_iceberg_files(path, min_age_s=min_age_s)
+        return _dml_result(spark, "VACUUM", target, n)
+    raise ValueError(
+        f"VACUUM needs a delta or iceberg table; {target!r} is {fmt}"
+    )
+
+
+def _exec_describe_history(spark: SparkSession, m: re.Match) -> DataFrame:
+    """DESCRIBE HISTORY t — the commit/snapshot log as a DataFrame,
+    newest first (Delta: version/operation/file counts from the log;
+    Iceberg: snapshot id/operation/timestamp from the metadata)."""
+    target = m.group("t")
+    fmt, path = lake_table_location(target)
+    if fmt == "delta":
+        from . import deltaproto as dp
+
+        rows = [
+            (
+                int(h["version"]),
+                h["operation"],
+                int(h["n_added"]),
+                int(h["n_removed"]),
+            )
+            for h in dp.delta_history(path)
+        ]
+        return spark.createDataFrame(
+            sorted(rows, reverse=True),
+            "version bigint, operation string, n_added bigint, "
+            "n_removed bigint",
+        )
+    if fmt == "iceberg":
+        from . import iceberg as ib
+
+        rows = [
+            (int(s["snapshot_id"]), s["operation"], int(s["timestamp_ms"]))
+            for s in ib.iceberg_snapshots(path)
+        ]
+        return spark.createDataFrame(
+            list(reversed(rows)),
+            "snapshot_id bigint, operation string, timestamp_ms bigint",
+        )
+    raise ValueError(
+        f"DESCRIBE HISTORY needs a delta or iceberg table; {target!r} "
+        f"is {fmt}"
+    )
+
+
 def _travel_view(
     spark: SparkSession, name: str, kind: str, tok: str
 ) -> str:
@@ -811,11 +1033,42 @@ def lake_sql(spark: SparkSession, sql: str) -> DataFrame:
         if not m:
             raise ValueError("cannot parse ALTER TABLE …")
         return _exec_alter(spark, m)
+    if kind == "CREATE":
+        m = _CREATE_RE.match(stmt)
+        if not m:
+            raise ValueError(
+                "cannot parse CREATE — supported shape: CREATE [OR "
+                "REPLACE] TABLE t USING delta|iceberg|minilake "
+                "[PARTITIONED BY (…)] [LOCATION '…'] AS SELECT …"
+            )
+        return _exec_create(spark, m)
+    if kind == "DROP":
+        m = _DROP_TABLE_RE.match(stmt)
+        if not m:
+            raise ValueError("cannot parse DROP TABLE [IF EXISTS] t")
+        return _exec_drop_table(spark, m)
+    if kind == "OPTIMIZE":
+        m = _OPTIMIZE_RE.match(stmt)
+        if not m:
+            raise ValueError("cannot parse OPTIMIZE t [ZORDER BY (…)]")
+        return _exec_optimize(spark, m)
+    if kind == "VACUUM":
+        m = _VACUUM_RE.match(stmt)
+        if not m:
+            raise ValueError("cannot parse VACUUM t [RETAIN n HOURS]")
+        return _exec_vacuum(spark, m)
+    if kind in ("DESCRIBE", "DESC"):
+        m = _DESC_HISTORY_RE.match(stmt)
+        if not m:
+            raise ValueError("cannot parse DESCRIBE HISTORY t")
+        return _exec_describe_history(spark, m)
     if kind in ("SELECT", "WITH", "VALUES"):
         return _run_select(spark, stmt)
     raise ValueError(
         f"unsupported statement kind {kind!r} — lake_sql serves "
-        "SELECT/WITH/VALUES, MERGE, DELETE, UPDATE, INSERT, ALTER TABLE"
+        "SELECT/WITH/VALUES, MERGE, DELETE, UPDATE, INSERT, ALTER "
+        "TABLE, CREATE TABLE … AS, DROP TABLE, OPTIMIZE, VACUUM, "
+        "DESCRIBE HISTORY"
     )
 
 
@@ -1209,4 +1462,62 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name, c.c_mktsegment
 ORDER BY nation, segment
+"""
+
+
+def sql_maintenance_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry: the maintenance lifecycle as SQL text — CTAS
+    from a registered parquet name into a Delta location, OPTIMIZE
+    ZORDER (Morton rewrite, dataChange=false), VACUUM RETAIN 0 HOURS
+    (pre-rewrite files reclaimed), then an aggregate SELECT.  The
+    oracle restates the aggregate off the raw parquet, so a value
+    match proves the whole CTAS → optimize → vacuum chain preserved
+    content exactly (a vacuum that reclaimed a live file, or a zorder
+    rewrite that dropped rows, both fail the hash)."""
+    from . import deltaproto as dp
+
+    loc = _fixture_path(sf_dir, "part_ctas_msql")
+    register_lake_table(
+        "part_src_msql", "parquet", os.path.join(sf_dir, "part.parquet")
+    )
+    if not dp.delta_versions(loc):
+        lake_sql(
+            spark,
+            f"""
+            CREATE TABLE part_ctas_msql USING delta LOCATION '{loc}' AS
+            SELECT p_partkey, p_brand, p_type, p_retailprice
+            FROM part_src_msql
+            """,
+        )
+        lake_sql(
+            spark,
+            "OPTIMIZE part_ctas_msql ZORDER BY (p_partkey, p_retailprice)",
+        )
+        lake_sql(spark, "VACUUM part_ctas_msql RETAIN 0 HOURS")
+    else:
+        register_lake_table("part_ctas_msql", "delta", loc)
+    return lake_sql(
+        spark,
+        """
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_retail,
+               CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+        FROM part_ctas_msql
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """,
+    )
+
+
+SQL_MAINTENANCE_ORACLE_SQL = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_retail,
+       CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
 """

@@ -275,7 +275,7 @@ def test_loud_refusals(spark, sf_dir, tmp_path):
             spark, "ALTER TABLE t_refuse ADD COLUMN c STRING DEFAULT 'x'"
         )
     with pytest.raises(ValueError, match="unsupported statement"):
-        lq.lake_sql(spark, "VACUUM t_refuse")
+        lq.lake_sql(spark, "GRANT SELECT ON t_refuse TO analyst")
     with pytest.raises(ValueError, match="version number"):
         lq.lake_sql(spark, "SELECT * FROM t_refuse VERSION AS OF 'tagname'")
 
@@ -358,3 +358,105 @@ def test_select_advice_skips_oversized_tables(spark, sf_dir, tmp_path):
     finally:
         advisor.DEFAULT_BROADCAST_BYTES = old
     assert lakesql.LAST_SELECT_ADVICE["t_big_advice"]["broadcast"] is False
+
+
+# --------------------------------------------------------------------------
+# CTAS / DROP / OPTIMIZE / VACUUM / DESCRIBE HISTORY (r14 second batch)
+# --------------------------------------------------------------------------
+
+
+def test_ctas_drop_roundtrip_both_tiers(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    docs.limit(40).createOrReplaceTempView("ctas_src")
+    dloc = str(tmp_path / "ctas_d")
+    iloc = str(tmp_path / "ctas_i")
+    r = lq.lake_sql(
+        spark,
+        f"CREATE TABLE t_ctas_d USING delta LOCATION '{dloc}' AS "
+        "SELECT doc_id, lang, text FROM ctas_src WHERE doc_id < 30",
+    ).collect()[0]
+    assert r["operation"] == "CREATE TABLE" and r["version"] == 0
+    lq.lake_sql(
+        spark,
+        f"CREATE TABLE t_ctas_i USING iceberg PARTITIONED BY (lang) "
+        f"LOCATION '{iloc}' AS SELECT doc_id, lang FROM ctas_src",
+    )
+    assert (
+        lq.lake_sql(spark, "SELECT COUNT(*) AS n FROM t_ctas_d").collect()[0][
+            "n"
+        ]
+        == 30
+    )
+    assert ib._spec_of(ib.current_metadata(iloc))  # partitioned CTAS
+    # re-create refuses; OR REPLACE overwrites (time travel keeps v0)
+    with pytest.raises(ValueError, match="already registered"):
+        lq.lake_sql(
+            spark,
+            f"CREATE TABLE t_ctas_d USING delta LOCATION '{dloc}' AS "
+            "SELECT * FROM ctas_src",
+        )
+    lq.lake_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE t_ctas_d USING delta LOCATION "
+        f"'{dloc}' AS SELECT doc_id, lang, text FROM ctas_src",
+    )
+    assert dp.read_delta(spark, dloc).count() == 40
+    assert dp.read_delta(spark, dloc, version=0).count() == 30
+    # DROP unregisters the name, leaves the files (external semantics)
+    lq.lake_sql(spark, "DROP TABLE t_ctas_d")
+    with pytest.raises(KeyError, match="no lake table"):
+        lq.lake_table_location("t_ctas_d")
+    assert dp.read_delta(spark, dloc).count() == 40  # data untouched
+    lq.lake_sql(spark, "DROP TABLE IF EXISTS t_ctas_d")  # idempotent
+    with pytest.raises(KeyError, match="IF EXISTS"):
+        lq.lake_sql(spark, "DROP TABLE t_ctas_d")
+    lq.lake_sql(spark, "DROP TABLE t_ctas_i")
+
+
+def test_optimize_vacuum_history_sql(spark, sf_dir, tmp_path):
+    """OPTIMIZE compacts (dataChange=false commit), VACUUM RETAIN 0
+    HOURS reclaims the pre-compaction files, DESCRIBE HISTORY shows the
+    lifecycle — all as SQL text, content pinned before/after."""
+    docs = _docs(spark, sf_dir)
+    p = str(tmp_path / "maint_d")
+    dp.write_delta(docs.limit(60).repartition(6), p)
+    dp.write_delta(docs.filter("doc_id >= 60 AND doc_id < 90").repartition(3), p)
+    lq.register_lake_table("t_maint_d", "delta", p)
+    before = _rows(dp.read_delta(spark, p), "doc_id")
+    v = lq.lake_sql(spark, "OPTIMIZE t_maint_d").collect()[0]["version"]
+    assert v == 2
+    assert _rows(dp.read_delta(spark, p), "doc_id") == before
+    n = lq.lake_sql(
+        spark, "VACUUM t_maint_d RETAIN 0 HOURS"
+    ).collect()[0]["version"]
+    assert n >= 9  # the 9 pre-compaction files reclaimed
+    assert _rows(dp.read_delta(spark, p), "doc_id") == before
+    hist = lq.lake_sql(spark, "DESCRIBE HISTORY t_maint_d").collect()
+    assert [h["version"] for h in hist] == [2, 1, 0]
+    assert hist[0]["operation"] == "OPTIMIZE"
+    # iceberg twin: zorder compaction + vacuum + history
+    ip = str(tmp_path / "maint_i")
+    idocs = docs.withColumn("nchars", F.length("text").cast("long"))
+    ib.write_iceberg(idocs.limit(50).repartition(4), ip)
+    ib.write_iceberg(
+        idocs.filter("doc_id >= 50 AND doc_id < 80"), ip, mode="append"
+    )
+    lq.register_lake_table("t_maint_i", "iceberg", ip)
+    ibefore = _rows(ib.read_iceberg(spark, ip), "doc_id")
+    # string zorder refuses loudly up front (r14), numeric runs
+    with pytest.raises(ValueError, match="numeric"):
+        lq.lake_sql(spark, "OPTIMIZE t_maint_i ZORDER BY (doc_id, lang)")
+    lq.lake_sql(spark, "OPTIMIZE t_maint_i ZORDER BY (doc_id, nchars)")
+    assert _rows(ib.read_iceberg(spark, ip), "doc_id") == ibefore
+    nfiles = lq.lake_sql(
+        spark, "VACUUM t_maint_i RETAIN 0 HOURS"
+    ).collect()[0]["version"]
+    assert nfiles >= 4  # pre-compaction data files reclaimed
+    assert _rows(ib.read_iceberg(spark, ip), "doc_id") == ibefore
+    ihist = lq.lake_sql(spark, "DESCRIBE HISTORY t_maint_i").collect()
+    assert ihist[0]["operation"] == "replace"  # the compaction
+    # delta 3-col zorder refuses with the iceberg pointer
+    with pytest.raises(ValueError, match="exactly two"):
+        lq.lake_sql(
+            spark, "OPTIMIZE t_maint_d ZORDER BY (doc_id, lang, source)"
+        )
