@@ -2974,6 +2974,115 @@ def merge_upsert_delta(
     return _v_new
 
 
+def delete_keys_delta(
+    spark: SparkSession, keys_df: DataFrame, path: str, key: str
+) -> int:
+    """`MERGE … WHEN MATCHED THEN DELETE` (key-list delete) as a real
+    protocol commit — the cleanup/dedupe shape: rows whose `key`
+    appears in `keys_df` disappear, everything else carries verbatim.
+
+    Same scale discipline as merge_upsert_delta: the key set's min/max
+    bounds prune the live files from add-action stats (only files
+    whose key range can contain a doomed key are read or rewritten),
+    deletion vectors apply to the pre-image so hidden rows never
+    resurrect, row-tracked tables keep carried rows' `_row_id`, and
+    the commit carries the spec's row-level `delete` change feed.
+    Commits with read_version + read_scope, so a racing writer in the
+    key range conflicts instead of being silently clobbered."""
+    meta, live, _v = _fold_delta_state(spark, path, None)
+    _check_writer(_current_protocol(path), meta, "delete")
+    mapping = _column_mapping(meta)
+    part_cols = list(meta.get("partitionColumns") or [])
+    keys = keys_df.select(key).distinct()
+    bounds = keys.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    vs = delta_versions(path)
+    if lo is None:
+        return vs[-1]  # empty key set: no-op
+    touched = {
+        f: a
+        for f, a in live.items()
+        if not (
+            _add_outside_range(a, part_cols, key, lo, hi)
+            and _add_outside_range(
+                a,
+                [mapping.get(c, c) for c in part_cols],
+                mapping.get(key, key),
+                lo,
+                hi,
+            )
+        )
+    }
+    if not touched:
+        return vs[-1]
+    rt_cols = _rt_materialized_cols(meta)
+    old_rows = _read_adds(
+        spark, path, meta, touched, row_tracking=bool(rt_cols)
+    ).localCheckpoint(eager=True)
+    carried = old_rows.join(F.broadcast(keys), key, "left_anti")
+    deleted = old_rows.join(F.broadcast(keys), key, "left_semi")
+    merged = _rt_materialize(carried, rt_cols) if rt_cols else carried
+    files = _land_parquet(merged, path, part_cols or None, mapping=mapping)
+    cdc = deleted
+    if rt_cols:
+        cdc = cdc.drop("_row_id", "_row_commit_version")
+    cdc = cdc.withColumn("_change_type", F.lit("delete"))
+    cdc_files = _land_cdc(cdc, path, mapping=mapping)
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "predicate": f"{key} IN (<key list>)"
+                    },
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        )
+    ]
+    for fname in sorted(touched):
+        lines.append(
+            json.dumps({"remove": _remove_action(touched[fname], now_ms, True)})
+        )
+    for relname, pvals, size, stats in files:
+        add = {
+            "path": relname,
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if stats is not None:
+            add["stats"] = stats
+        lines.append(json.dumps({"add": add}))
+    for relname, size in cdc_files:
+        lines.append(
+            json.dumps(
+                {
+                    "cdc": {
+                        "path": relname,
+                        "partitionValues": {},
+                        "size": size,
+                        "dataChange": False,
+                    }
+                }
+            )
+        )
+    _scope = {
+        "part_cols": part_cols, "col": key, "lo": lo, "hi": hi,
+        "phys_part": [mapping.get(c, c) for c in part_cols],
+        "phys_col": mapping.get(key, key),
+    }
+    _v_new = _claim_delta_version(
+        path, lines, read_version=_v, read_scope=_scope
+    )
+    _maybe_auto_checkpoint(spark, path, _v_new)
+    return _v_new
+
+
 def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> int:
     """Metadata-only `ALTER TABLE RENAME COLUMN` — the operation that
     REQUIRES column mapping (without it, renaming means rewriting

@@ -305,8 +305,9 @@ _MERGE_RE = re.compile(
     rf"\s+USING\s+(?P<source>{_IDENT})"
     rf"(?:\s+AS)?(?:\s+(?P<salias>{_IDENT}))?"
     r"\s+ON\s+(?P<cond>.+?)"
-    r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
-    r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$"
+    r"\s+WHEN\s+MATCHED\s+THEN\s+(?P<matched>UPDATE\s+SET\s+\*|DELETE)"
+    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+(?P<notmatched>INSERT\s+\*))?"
+    r"\s*$"
 )
 
 _DELETE_RE = re.compile(
@@ -438,20 +439,44 @@ def _exec_merge(spark: SparkSession, m: re.Match) -> DataFrame:
     s_names = {m.group("source"), m.group("salias")} - {None}
     keys = _parse_merge_keys(m.group("cond"), t_names, s_names)
     src = _frame_of(spark, m.group("source"))
+    is_delete = m.group("matched").upper() == "DELETE"
+    has_insert = m.group("notmatched") is not None
+    if is_delete and has_insert:
+        raise ValueError(
+            "MERGE … WHEN MATCHED THEN DELETE takes no NOT MATCHED "
+            "clause here (delete-by-key and upsert are different "
+            "commits — run two statements)"
+        )
+    if not is_delete and not has_insert:
+        raise ValueError(
+            "MERGE … UPDATE SET * needs WHEN NOT MATCHED THEN INSERT * "
+            "(the upsert helpers insert unmatched source rows by "
+            "definition); for pure deletion use WHEN MATCHED THEN "
+            "DELETE"
+        )
     if fmt == "delta":
         from . import deltaproto as dp
 
         if len(keys) != 1:
             raise ValueError(
-                "Delta MERGE dispatches to merge_upsert_delta, which "
-                "keys on ONE column — composite keys are served by the "
-                "Iceberg tier (upsert_iceberg)"
+                "Delta MERGE dispatches to the single-key helpers "
+                "(merge_upsert_delta / delete_keys_delta) — composite "
+                "keys are served by the Iceberg tier"
             )
+        if is_delete:
+            v = dp.delete_keys_delta(spark, src, path, keys[0])
+            return _dml_result(spark, "MERGE DELETE", target, v)
         v = dp.merge_upsert_delta(spark, src, path, keys[0])
         return _dml_result(spark, "MERGE", target, v)
     if fmt == "iceberg":
         from . import iceberg as ib
 
+        if is_delete:
+            key_rows = [
+                tuple(r) for r in src.select(*keys).distinct().collect()
+            ]
+            snap = ib.delete_eq_iceberg(path, keys, key_rows)
+            return _dml_result(spark, "MERGE DELETE", target, snap)
         snap = ib.upsert_iceberg(spark, src, path, keys)
         return _dml_result(spark, "MERGE", target, snap)
     raise ValueError(

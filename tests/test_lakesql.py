@@ -255,7 +255,7 @@ def test_loud_refusals(spark, sf_dir, tmp_path):
     p = str(tmp_path / "ref")
     dp.write_delta(docs.limit(5), p)
     lq.register_lake_table("t_refuse", "delta", p)
-    with pytest.raises(ValueError, match="ONE column"):
+    with pytest.raises(ValueError, match="single-key"):
         lq.lake_sql(
             spark,
             "MERGE INTO t_refuse t USING t_refuse s ON t.doc_id = s.doc_id "
@@ -268,7 +268,14 @@ def test_loud_refusals(spark, sf_dir, tmp_path):
         lq.lake_sql(
             spark,
             "MERGE INTO t_refuse t USING t_refuse s ON t.doc_id = s.doc_id "
-            "WHEN MATCHED THEN DELETE",
+            "WHEN MATCHED THEN UPDATE SET text = 'x'",
+        )
+    with pytest.raises(ValueError, match="two statements"):
+        lq.lake_sql(
+            spark,
+            "MERGE INTO t_refuse t USING t_refuse s ON t.doc_id = s.doc_id "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *",
         )
     with pytest.raises(ValueError, match="DEFAULT"):
         lq.lake_sql(
@@ -460,3 +467,38 @@ def test_optimize_vacuum_history_sql(spark, sf_dir, tmp_path):
         lq.lake_sql(
             spark, "OPTIMIZE t_maint_d ZORDER BY (doc_id, lang, source)"
         )
+
+
+def test_merge_delete_both_tiers(spark, sf_dir, tmp_path):
+    """MERGE … WHEN MATCHED THEN DELETE: Delta lowers onto the new
+    stats-pruned delete_keys_delta rewrite (pinned vs the plain
+    filter), Iceberg onto the O(keys) equality-delete commit; the CDF
+    carries row-level `delete` rows on the Delta side."""
+    docs = _docs(spark, sf_dir)
+    doomed = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "lang")
+    doomed = doomed.withColumn("junk", F.lit("x"))  # extra cols ignored
+    doomed.createOrReplaceTempView("doomed_mdel")
+    dpth, ipth = str(tmp_path / "mdel_d"), str(tmp_path / "mdel_i")
+    dp.write_delta(docs.repartitionByRange(4, "doc_id"), dpth)
+    ib.write_iceberg(docs.repartitionByRange(4, "doc_id"), ipth)
+    lq.register_lake_table("t_mdel_d", "delta", dpth)
+    lq.register_lake_table("t_mdel_i", "iceberg", ipth)
+    for t in ("t_mdel_d", "t_mdel_i"):
+        r = lq.lake_sql(
+            spark,
+            f"MERGE INTO {t} t USING doomed_mdel s ON t.doc_id = s.doc_id "
+            "WHEN MATCHED THEN DELETE",
+        ).collect()[0]
+        assert r["operation"] == "MERGE DELETE"
+    want = _rows(docs.filter(F.col("doc_id") % 7 != 0), "doc_id")
+    assert _rows(dp.read_delta(spark, dpth), "doc_id") == want
+    assert _rows(ib.read_iceberg(spark, ipth), "doc_id") == want
+    # the Delta change feed carries the deleted rows
+    changes = dp.read_changes_delta(spark, dpth, 1, 1)
+    got_del = sorted(
+        r["doc_id"]
+        for r in changes.filter("_change_type = 'delete'").collect()
+    )
+    assert got_del == sorted(
+        r["doc_id"] for r in doomed.select("doc_id").distinct().collect()
+    )
