@@ -479,8 +479,22 @@ def _exec_merge(spark: SparkSession, m: re.Match) -> DataFrame:
             return _dml_result(spark, "MERGE DELETE", target, snap)
         snap = ib.upsert_iceberg(spark, src, path, keys)
         return _dml_result(spark, "MERGE", target, snap)
+    if fmt == "minilake":
+        from . import minilake
+
+        if is_delete:
+            raise ValueError(
+                "minilake MERGE DELETE is not implemented — use the "
+                "delta or iceberg tiers for key-list deletes"
+            )
+        if len(keys) != 1:
+            raise ValueError(
+                "minilake MERGE keys on ONE column (merge_upsert_lake)"
+            )
+        v = minilake.merge_upsert_lake(spark, src, path, keys[0])
+        return _dml_result(spark, "MERGE", target, v)
     raise ValueError(
-        f"MERGE needs a delta or iceberg table; {target!r} is {fmt}"
+        f"MERGE needs a delta/iceberg/minilake table; {target!r} is {fmt}"
     )
 
 
@@ -510,8 +524,20 @@ def _exec_delete(spark: SparkSession, m: re.Match) -> DataFrame:
             _k, col, lo, hi = shape
             snap = ib.delete_where_iceberg(spark, path, col, lo, hi)
         return _dml_result(spark, "DELETE", target, snap)
+    if fmt == "minilake":
+        from . import minilake
+
+        if shape[0] != "range":
+            raise ValueError(
+                "minilake DELETE dispatches to the zone-map-pruned "
+                "range rewrite (delete_where) — IN-list deletes are "
+                "the Iceberg equality-delete path"
+            )
+        _k, col, lo, hi = shape
+        v = minilake.delete_where(spark, path, col, lo, hi)
+        return _dml_result(spark, "DELETE", target, v)
     raise ValueError(
-        f"DELETE needs a delta or iceberg table; {target!r} is {fmt}"
+        f"DELETE needs a delta/iceberg/minilake table; {target!r} is {fmt}"
     )
 
 
@@ -589,9 +615,10 @@ def _exec_insert(spark: SparkSession, m: re.Match) -> DataFrame:
         from . import minilake
 
         if mode == "overwrite":
-            raise ValueError("minilake INSERT supports append only")
-        v = minilake.commit_append(aligned, path)
-        return _dml_result(spark, "INSERT APPEND", target, v)
+            v = minilake.commit_overwrite(aligned, path)
+        else:
+            v = minilake.commit_append(aligned, path)
+        return _dml_result(spark, f"INSERT {mode.upper()}", target, v)
     raise ValueError(f"cannot INSERT into plain parquet table {target!r}")
 
 
@@ -730,6 +757,25 @@ _DESC_HISTORY_RE = re.compile(
     rf"(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<t>{_IDENT})\s*$"
 )
 
+_SHOW_TABLES_RE = re.compile(r"(?is)^\s*SHOW\s+TABLES\s*$")
+
+
+def _exec_show_tables(spark: SparkSession) -> DataFrame:
+    """SHOW TABLES — the registry as a DataFrame (name, format,
+    location), the discoverability statement a fresh session runs
+    after load_lake_catalog."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("name", StringType(), False),
+            StructField("format", StringType(), False),
+            StructField("location", StringType(), False),
+        ]
+    )
+    rows = [(n, f, p) for n, (f, p) in sorted(_REGISTRY.items())]
+    return spark.createDataFrame(rows, schema)
+
 
 def default_warehouse_dir() -> str:
     """Where CTAS lands tables when no LOCATION is given:
@@ -790,12 +836,14 @@ def _exec_create(spark: SparkSession, m: re.Match) -> DataFrame:
     else:
         from . import minilake
 
-        if minilake.versions(loc):
-            raise ValueError(
-                f"a minilake table already lives at {loc!r} (minilake "
-                "CTAS is create-only; append with INSERT INTO)"
-            )
-        v = minilake.commit_append(df, loc, partition_by=parts)
+        exists = bool(minilake.versions(loc))
+        if exists and not replace:
+            raise ValueError(f"a minilake table already lives at {loc!r}")
+        v = (
+            minilake.commit_overwrite(df, loc, partition_by=parts)
+            if exists
+            else minilake.commit_append(df, loc, partition_by=parts)
+        )
     register_lake_table(name, fmt, loc)
     return _dml_result(spark, "CREATE TABLE", name, v)
 
@@ -853,8 +901,22 @@ def _exec_optimize(spark: SparkSession, m: re.Match) -> DataFrame:
             )
         )
         return _dml_result(spark, "OPTIMIZE", target, snap)
+    if fmt == "minilake":
+        from . import minilake
+
+        if cols is None:
+            v = minilake.compact(spark, path)
+        elif len(cols) == 2:
+            v = minilake.optimize_zorder(spark, path, cols[0], cols[1])
+        else:
+            raise ValueError(
+                "minilake ZORDER BY takes exactly two columns (the "
+                "Morton interleave)"
+            )
+        return _dml_result(spark, "OPTIMIZE", target, v)
     raise ValueError(
-        f"OPTIMIZE needs a delta or iceberg table; {target!r} is {fmt}"
+        f"OPTIMIZE needs a delta/iceberg/minilake table; {target!r} "
+        f"is {fmt}"
     )
 
 
@@ -880,8 +942,13 @@ def _exec_vacuum(spark: SparkSession, m: re.Match) -> DataFrame:
         ib.expire_iceberg_snapshots(path, keep_last=1)
         n = ib.remove_orphan_iceberg_files(path, min_age_s=min_age_s)
         return _dml_result(spark, "VACUUM", target, n)
+    if fmt == "minilake":
+        from . import minilake
+
+        n = minilake.vacuum(path, min_age_s=min_age_s)
+        return _dml_result(spark, "VACUUM", target, n)
     raise ValueError(
-        f"VACUUM needs a delta or iceberg table; {target!r} is {fmt}"
+        f"VACUUM needs a delta/iceberg/minilake table; {target!r} is {fmt}"
     )
 
 
@@ -919,9 +986,22 @@ def _exec_describe_history(spark: SparkSession, m: re.Match) -> DataFrame:
             list(reversed(rows)),
             "snapshot_id bigint, operation string, timestamp_ms bigint",
         )
+    if fmt == "minilake":
+        from . import minilake
+
+        rows = [
+            (int(h["version"]), h["mode"], int(h["n_added"]),
+             int(h["n_removed"]))
+            for h in minilake.history(path)
+        ]
+        return spark.createDataFrame(
+            sorted(rows, reverse=True),
+            "version bigint, operation string, n_added bigint, "
+            "n_removed bigint",
+        )
     raise ValueError(
-        f"DESCRIBE HISTORY needs a delta or iceberg table; {target!r} "
-        f"is {fmt}"
+        f"DESCRIBE HISTORY needs a delta/iceberg/minilake table; "
+        f"{target!r} is {fmt}"
     )
 
 
@@ -1087,6 +1167,10 @@ def lake_sql(spark: SparkSession, sql: str) -> DataFrame:
         if not m:
             raise ValueError("cannot parse DESCRIBE HISTORY t")
         return _exec_describe_history(spark, m)
+    if kind == "SHOW":
+        if not _SHOW_TABLES_RE.match(stmt):
+            raise ValueError("cannot parse SHOW TABLES")
+        return _exec_show_tables(spark)
     if kind in ("SELECT", "WITH", "VALUES"):
         return _run_select(spark, stmt)
     raise ValueError(

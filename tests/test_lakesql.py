@@ -502,3 +502,54 @@ def test_merge_delete_both_tiers(spark, sf_dir, tmp_path):
     assert got_del == sorted(
         r["doc_id"] for r in doomed.select("doc_id").distinct().collect()
     )
+
+
+def test_minilake_full_sql_lifecycle(spark, sf_dir, tmp_path):
+    """The minilake tier through the dispatcher: CTAS, MERGE upsert,
+    range DELETE, INSERT OVERWRITE, OPTIMIZE, VACUUM, DESCRIBE
+    HISTORY, SHOW TABLES — each lowering onto the zone-map-pruned
+    helpers, content pinned at every step."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake,
+    )
+
+    docs = _docs(spark, sf_dir)
+    docs.limit(100).createOrReplaceTempView("ml_src")
+    loc = str(tmp_path / "ml_t")
+    lq.lake_sql(
+        spark,
+        f"CREATE TABLE t_ml_sql USING minilake LOCATION '{loc}' AS "
+        "SELECT doc_id, lang, text FROM ml_src",
+    )
+    ups = (
+        docs.limit(100)
+        .filter("doc_id < 10")
+        .select("doc_id", "lang", F.upper("text").alias("text"))
+    )
+    ups.createOrReplaceTempView("ml_ups")
+    lq.lake_sql(
+        spark,
+        "MERGE INTO t_ml_sql t USING ml_ups s ON t.doc_id = s.doc_id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    lq.lake_sql(spark, "DELETE FROM t_ml_sql WHERE doc_id BETWEEN 50 AND 69")
+    snap = minilake.read_snapshot(spark, loc)
+    assert snap.count() == 80
+    assert snap.filter("doc_id < 10 AND text <> UPPER(text)").count() == 0
+    lq.lake_sql(spark, "OPTIMIZE t_ml_sql")
+    lq.lake_sql(spark, "VACUUM t_ml_sql RETAIN 0 HOURS")
+    assert minilake.read_snapshot(spark, loc).count() == 80
+    hist = lq.lake_sql(spark, "DESCRIBE HISTORY t_ml_sql").collect()
+    assert [h["version"] for h in hist] == [3, 2, 1, 0]
+    lq.lake_sql(
+        spark,
+        "INSERT OVERWRITE t_ml_sql SELECT doc_id, lang, text FROM "
+        "ml_src WHERE doc_id < 5",
+    )
+    assert minilake.read_snapshot(spark, loc).count() == 5
+    shown = {
+        (r["name"], r["format"])
+        for r in lq.lake_sql(spark, "SHOW TABLES").collect()
+    }
+    assert ("t_ml_sql", "minilake") in shown
+    lq.lake_sql(spark, "DROP TABLE t_ml_sql")
