@@ -4333,10 +4333,21 @@ def update_where_iceberg(
     col: str,
     lo,
     hi,
+    strategy: str = "cow",
 ) -> int:
     """`UPDATE ... SET <name>=<sql expr>, ... WHERE col BETWEEN lo AND
     hi` as a copy-on-write Iceberg snapshot (summary operation
     `overwrite`, the shape real engines commit for row-level UPDATE).
+
+    `strategy="merge-on-read"` (the `write.update.mode` real engines
+    honor): NO touched file is rewritten — matched row positions land
+    as position-delete files (v2) or deletion vectors (v3), and the
+    post-image rows land as NEW data files, both in ONE snapshot, so
+    no reader can observe the rows deleted but not yet re-inserted.
+    Commit cost is O(matched rows), not O(touched files) — the shape
+    a wide table with point updates needs at 100 TB.  On v3 the
+    post-image rows carry their pre-image `_row_id` (lineage scan →
+    materialized column), the spec's update carry-over rule.
 
     Same skipping tier as `delete_where_iceberg`: manifest bounds /
     partition values pick the possibly-affected files from METADATA
@@ -4354,6 +4365,8 @@ def update_where_iceberg(
     row UPDATE), SET on a non-top-level column, unknown columns.  The
     manifest build runs inside the commit retry loop, so a racing
     commit can never make the remove set stale."""
+    if strategy not in ("cow", "merge-on-read"):
+        raise ValueError(f"unknown update strategy {strategy!r}")
     meta0 = current_metadata(path)
     if meta0 is None:
         raise FileNotFoundError(f"no Iceberg metadata under {path}")
@@ -4380,6 +4393,94 @@ def update_where_iceberg(
             f"cannot UPDATE partition source column(s) {sorted(bad)}"
         )
     result = {"changed": True}
+    part_names = [pf["name"] for pf in spec]
+
+    if strategy == "merge-on-read":
+
+        def build_mor(
+            base: dict | None, snapshot_id: int, seq: int, fv: int
+        ) -> list[dict]:
+            if base is None:
+                raise FileNotFoundError(f"no Iceberg metadata under {path}")
+            prev = _snapshot(base, None)
+            mfs = (
+                _read_manifest_list(path, prev) if prev is not None else []
+            )
+            live = (
+                _live_entries(path, base, prev) if prev is not None else []
+            )
+            touched = [e for e in live if touched_by_range(e)]
+            if not touched:
+                result["changed"] = False
+                return list(mfs)
+            pos_files, eq_dels, dv_live = _delete_files(path, mfs)
+            cond = F.col(col).between(lo, hi)
+            scan = _read_entries(
+                spark, path, base, touched, pos_files, eq_dels,
+                keep_identity=True, dvs=dv_live,
+            )
+            match_pos = scan.filter(cond).select(_IB_FILE, _IB_POS)
+            # deletes land first: an empty match set is a clean no-op
+            # before any data file exists to orphan
+            if fv >= 3:
+                if pos_files:
+                    raise ValueError(
+                        "v3 table still carries position-delete parquet "
+                        "— run upgrade_iceberg_format(path, 3) to fold "
+                        "them into deletion vectors first"
+                    )
+                new_dv, superseded = _land_dv_deletes(
+                    spark, path, match_pos, touched, dv_live,
+                    snapshot_id, seq,
+                )
+                if not new_dv:
+                    result["changed"] = False
+                    return list(mfs)
+                base_mfs = _rewrite_delete_manifests(
+                    path, mfs, superseded, new_dv, snapshot_id,
+                    fields, base, schema_json, seq,
+                )
+                post = _lineage_scan(
+                    spark, path, base, touched, pos_files, eq_dels,
+                    dv_live,
+                ).filter(cond)
+            else:
+                del_files = _land_position_deletes(
+                    spark, path, match_pos, touched, part_names
+                )
+                if not del_files:
+                    result["changed"] = False
+                    return list(mfs)
+                del_entries = [
+                    {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
+                    for d in del_files
+                ]
+                del_mf = _write_manifest(
+                    path, del_entries, snapshot_id, fields, spec,
+                    schema_json, fv=fv, content="deletes", seq=seq,
+                    spec_id=spec_sid,
+                )
+                base_mfs = list(mfs) + [del_mf]
+                post = scan.filter(cond).drop(_IB_FILE, _IB_POS)
+            for c, expr in sorted(set_exprs.items()):
+                post = post.withColumn(
+                    c, F.expr(expr).cast(post.schema[c].dataType)
+                )
+            data_files = _land_data(post, path, spec, fields)
+            data_entries = [
+                {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
+                for d in data_files
+            ]
+            data_mf = _write_manifest(
+                path, data_entries, snapshot_id, fields, spec,
+                schema_json, fv=fv, seq=seq, spec_id=spec_sid,
+            )
+            return base_mfs + [data_mf]
+
+        return _commit_snapshot(
+            path, "overwrite", build_mor, format_version=2,
+            expect_schema=fields,
+        )
 
     def build_manifests(
         base: dict | None, snapshot_id: int, seq: int, fv: int

@@ -498,6 +498,37 @@ def _exec_merge(spark: SparkSession, m: re.Match) -> DataFrame:
     )
 
 
+def _iceberg_write_mode(path: str, op: str) -> str:
+    """The Iceberg table property real engines honor for row-level
+    operations: `write.<op>.mode` ∈ {copy-on-write (default),
+    merge-on-read} → the helper's strategy name."""
+    from . import iceberg as ib
+
+    mode = (ib.current_metadata(path).get("properties") or {}).get(
+        f"write.{op}.mode", "copy-on-write"
+    )
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(
+            f"table property write.{op}.mode={mode!r} — one of "
+            "copy-on-write / merge-on-read"
+        )
+    return "cow" if mode == "copy-on-write" else "merge-on-read"
+
+
+def _delta_delete_strategy(spark: SparkSession, path: str) -> str:
+    """delta-spark's rule: `delta.enableDeletionVectors=true` makes
+    DELETE land deletion vectors (merge-on-read) instead of rewriting
+    the touched files."""
+    from . import deltaproto as dp
+
+    conf = dp._current_config(path)
+    return (
+        "dv"
+        if (conf.get("delta.enableDeletionVectors") or "").lower() == "true"
+        else "rewrite"
+    )
+
+
 def _exec_delete(spark: SparkSession, m: re.Match) -> DataFrame:
     target = m.group("t")
     fmt, path = lake_table_location(target)
@@ -512,7 +543,10 @@ def _exec_delete(spark: SparkSession, m: re.Match) -> DataFrame:
                 "the Iceberg equality-delete path (delete_eq_iceberg)"
             )
         _k, col, lo, hi = shape
-        v = dp.delete_where_delta(spark, path, col, lo, hi)
+        v = dp.delete_where_delta(
+            spark, path, col, lo, hi,
+            strategy=_delta_delete_strategy(spark, path),
+        )
         return _dml_result(spark, "DELETE", target, v)
     if fmt == "iceberg":
         from . import iceberg as ib
@@ -522,7 +556,10 @@ def _exec_delete(spark: SparkSession, m: re.Match) -> DataFrame:
             snap = ib.delete_eq_iceberg(path, [col], vals)
         else:
             _k, col, lo, hi = shape
-            snap = ib.delete_where_iceberg(spark, path, col, lo, hi)
+            snap = ib.delete_where_iceberg(
+                spark, path, col, lo, hi,
+                strategy=_iceberg_write_mode(path, "delete"),
+            )
         return _dml_result(spark, "DELETE", target, snap)
     if fmt == "minilake":
         from . import minilake
@@ -566,7 +603,10 @@ def _exec_update(spark: SparkSession, m: re.Match) -> DataFrame:
     if fmt == "iceberg":
         from . import iceberg as ib
 
-        snap = ib.update_where_iceberg(spark, path, set_exprs, col, lo, hi)
+        snap = ib.update_where_iceberg(
+            spark, path, set_exprs, col, lo, hi,
+            strategy=_iceberg_write_mode(path, "update"),
+        )
         return _dml_result(spark, "UPDATE", target, snap)
     raise ValueError(
         f"UPDATE needs a delta or iceberg table; {target!r} is {fmt}"

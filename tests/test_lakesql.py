@@ -553,3 +553,119 @@ def test_minilake_full_sql_lifecycle(spark, sf_dir, tmp_path):
     }
     assert ("t_ml_sql", "minilake") in shown
     lq.lake_sql(spark, "DROP TABLE t_ml_sql")
+
+
+def test_iceberg_update_merge_on_read(spark, sf_dir, tmp_path):
+    """update_where_iceberg(strategy='merge-on-read'): no touched data
+    file is rewritten — matched positions land as position deletes
+    (v2) / deletion vectors (v3) and the post-image rows as new data
+    files in ONE snapshot; content pinned vs the COW twin, and on v3
+    the updated rows KEEP their pre-image _row_id."""
+    docs = _docs(spark, sf_dir)
+    p2, pc = str(tmp_path / "mor2"), str(tmp_path / "cow2")
+    for p in (p2, pc):
+        ib.write_iceberg(
+            docs.repartitionByRange(8, "doc_id"), p, format_version=2
+        )
+    ib.update_where_iceberg(
+        spark, pc, {"lang": "'xx'"}, "doc_id", 10, 39
+    )
+    meta0 = ib.current_metadata(p2)
+    files0 = {
+        e["data_file"]["file_path"]
+        for e in ib._live_entries(p2, meta0, ib._snapshot(meta0, None))
+    }
+    ib.update_where_iceberg(
+        spark, p2, {"lang": "'xx'"}, "doc_id", 10, 39,
+        strategy="merge-on-read",
+    )
+    meta1 = ib.current_metadata(p2)
+    snap1 = ib._snapshot(meta1, None)
+    live1 = {
+        e["data_file"]["file_path"]
+        for e in ib._live_entries(p2, meta1, snap1)
+    }
+    assert files0 <= live1  # every original data file still live
+    _pos, _eq, _dvs = ib._delete_files(
+        p2, ib._read_manifest_list(p2, snap1)
+    )
+    assert _pos  # matched positions landed as position deletes
+    assert _rows(ib.read_iceberg(spark, p2), "doc_id") == _rows(
+        ib.read_iceberg(spark, pc), "doc_id"
+    )
+    # v3: deletion vectors + _row_id carry-over on the updated rows
+    p3 = str(tmp_path / "mor3")
+    ib.write_iceberg(
+        docs.limit(60).repartitionByRange(4, "doc_id"), p3,
+        format_version=3,
+    )
+    before = {
+        r["doc_id"]: r["_row_id"]
+        for r in ib.read_iceberg(spark, p3, with_row_lineage=True).collect()
+    }
+    ib.update_where_iceberg(
+        spark, p3, {"text": "CONCAT(text, '+')"}, "doc_id", 5, 24,
+        strategy="merge-on-read",
+    )
+    after = ib.read_iceberg(spark, p3, with_row_lineage=True)
+    got = {r["doc_id"]: (r["_row_id"], r["text"]) for r in after.collect()}
+    assert len(got) == 60
+    for d in range(5, 25):
+        assert got[d][0] == before[d]  # lineage carried
+        assert got[d][1].endswith("+")
+    meta3 = ib.current_metadata(p3)
+    _p3, _e3, dvs3 = ib._delete_files(
+        p3, ib._read_manifest_list(p3, ib._snapshot(meta3, None))
+    )
+    assert dvs3  # the matched positions hid via deletion vectors
+
+
+def test_sql_dml_honors_write_mode_properties(spark, sf_dir, tmp_path):
+    """The dispatcher picks the row-level strategy from the TABLE
+    PROPERTIES real engines honor: Iceberg `write.delete.mode` /
+    `write.update.mode` = merge-on-read land delete files + new data
+    files instead of rewriting; Delta `delta.enableDeletionVectors`
+    makes SQL DELETE land deletion vectors.  Content pinned either
+    way."""
+    docs = _docs(spark, sf_dir)
+    ip = str(tmp_path / "propmode_i")
+    ib.write_iceberg(
+        docs.limit(80).repartitionByRange(4, "doc_id"), ip,
+        format_version=2,
+    )
+    ib.set_iceberg_properties(
+        ip,
+        {"write.delete.mode": "merge-on-read",
+         "write.update.mode": "merge-on-read"},
+    )
+    lq.register_lake_table("t_propmode_i", "iceberg", ip)
+    m0 = ib.current_metadata(ip)
+    files0 = {
+        e["data_file"]["file_path"]
+        for e in ib._live_entries(ip, m0, ib._snapshot(m0, None))
+    }
+    lq.lake_sql(spark, "DELETE FROM t_propmode_i WHERE doc_id BETWEEN 0 AND 9")
+    lq.lake_sql(
+        spark,
+        "UPDATE t_propmode_i SET lang = 'zz' WHERE doc_id BETWEEN 20 AND 29",
+    )
+    m1 = ib.current_metadata(ip)
+    live1 = {
+        e["data_file"]["file_path"]
+        for e in ib._live_entries(ip, m1, ib._snapshot(m1, None))
+    }
+    assert files0 <= live1  # merge-on-read: originals never rewritten
+    got = ib.read_iceberg(spark, ip)
+    assert got.count() == 70
+    assert got.filter("doc_id BETWEEN 20 AND 29 AND lang <> 'zz'").count() == 0
+    # delta: DV property flips the SQL DELETE to deletion vectors
+    dpth = str(tmp_path / "propmode_d")
+    dp.write_delta(docs.limit(60).repartitionByRange(3, "doc_id"), dpth)
+    dp.set_delta_properties(
+        spark, dpth, {"delta.enableDeletionVectors": "true"}
+    )
+    lq.register_lake_table("t_propmode_d", "delta", dpth)
+    lq.lake_sql(spark, "DELETE FROM t_propmode_d WHERE doc_id BETWEEN 0 AND 9")
+    _meta, live, _v = dp._fold_delta_state(spark, dpth, None)
+    assert any(a.get("deletionVector") for a in live.values())
+    assert dp.read_delta(spark, dpth).count() == 50
