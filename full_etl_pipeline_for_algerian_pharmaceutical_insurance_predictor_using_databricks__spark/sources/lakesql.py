@@ -383,7 +383,11 @@ def _parse_range_pred(pred: str):
         hi = a[1] if a[0] == "<=" else b[1]
         return ("range", m.group(1), lo, hi)
     m = re.fullmatch(r"(?is)([\w.]+)\s*=\s*(.+)", p)
-    if m and not re.search(r"(?i)\s(AND|OR)\s", p):
+    # AND/OR are only conjunction markers OUTSIDE string literals
+    # ("x = 'black and white'" is a point predicate)
+    if m and not re.search(
+        r"(?i)\s(AND|OR)\s", re.sub(r"'(?:[^']|'')*'", "''", p)
+    ):
         v = _parse_literal(m.group(2))
         return ("range", m.group(1), v, v)
     raise ValueError(

@@ -57,6 +57,10 @@ def test_range_pred_shapes():
     assert lq._parse_range_pred("x >= 1 AND x <= 9") == ("range", "x", 1, 9)
     assert lq._parse_range_pred("x <= 9 AND x >= 1") == ("range", "x", 1, 9)
     assert lq._parse_range_pred("x IN (1, 2, 3)") == ("in", "x", [1, 2, 3])
+    # AND inside a string literal is not a conjunction
+    assert lq._parse_range_pred("x = 'black and white'") == (
+        "range", "x", "black and white", "black and white",
+    )
     # strict bounds and disjunctions refuse with the supported forms
     with pytest.raises(ValueError, match="BETWEEN"):
         lq._parse_range_pred("x > 1 AND x < 9")
