@@ -2199,13 +2199,21 @@ def _delete_where_delta_dv(
     lo,
     hi,
     read_version: int | None = None,
+    set_exprs: dict[str, str] | None = None,
 ) -> int:
     """Merge-on-read half of delete_where_delta: positions → roaring
     DV file → remove+add(same path, descriptor) commit + protocol
     upgrade.  The row scan, the CDF landing, AND the per-file roaring
     bitmap serialization are all distributed — the driver handles only
     the serialized KB-scale blobs, so a wide delete (millions of
-    matched positions) never flows through driver memory."""
+    matched positions) never flows through driver memory.
+
+    With `set_exprs` (r14) this is the merge-on-read half of
+    update_where_delta — the commit shape delta-spark emits for UPDATE
+    on a DV-enabled table: the matched positions hide behind deletion
+    vectors exactly as for DELETE, the post-image rows land as NEW
+    data files in the SAME commit, and the cdc feed carries
+    `update_preimage` / `update_postimage` instead of `delete`."""
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -2288,13 +2296,28 @@ def _delete_where_delta_dv(
         )
         matches = matches.join(adf, [_DP_FILE, _DP_RI], "left_anti")
     matches = matches.localCheckpoint(eager=True)  # scan once, use twice
-    cdc_files = _land_cdc(
-        matches.drop(_DP_FILE, _DP_RI).withColumn(
+    post_files: list = []
+    if set_exprs is None:
+        cdc_df = matches.drop(_DP_FILE, _DP_RI).withColumn(
             "_change_type", F.lit("delete")
-        ),
-        path,
-        mapping=mapping,
-    )
+        )
+    else:
+        pre = matches.drop(_DP_FILE, _DP_RI)
+        post = pre
+        for c, expr in sorted(set_exprs.items()):
+            post = post.withColumn(c, F.expr(expr).cast(types[c]))
+        post = post.select(*pre.columns)
+        _enforce_constraints(post, meta)
+        post = post.localCheckpoint(eager=True)  # landed + fed to CDF
+        post_files = _land_parquet(
+            post, path, part_cols or None, mapping=mapping
+        )
+        cdc_df = pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            post.withColumn("_change_type", F.lit("update_postimage"))
+        )
+    cdc_files = _land_cdc(cdc_df, path, mapping=mapping)
 
     # per-file roaring bitmaps are serialized ON EXECUTORS (groupBy
     # file → applyInPandas); the driver only ever handles the KB-scale
@@ -2338,7 +2361,7 @@ def _delete_where_delta_dv(
             {
                 "commitInfo": {
                     "timestamp": now_ms,
-                    "operation": "DELETE",
+                    "operation": "DELETE" if set_exprs is None else "UPDATE",
                     "operationParameters": {
                         "predicate": f"{col} BETWEEN {lo!r} AND {hi!r}"
                     },
@@ -2385,6 +2408,20 @@ def _delete_where_delta_dv(
             if old_add.get(k) is not None:
                 new_add[k] = old_add[k]
         lines.append(json.dumps({"add": new_add}))
+    # update strategy: the post-image rows land as NEW data files in
+    # the same commit (the matched positions are hidden by the DVs
+    # above, so no reader sees both images)
+    for relname, pvals, size, stats in post_files:
+        add = {
+            "path": relname,
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if stats is not None:
+            add["stats"] = stats
+        lines.append(json.dumps({"add": add}))
     for rel, size in cdc_files:
         lines.append(
             json.dumps(
@@ -2567,13 +2604,25 @@ def update_where_delta(
     col: str,
     lo,
     hi,
+    strategy: str = "rewrite",
 ) -> int:
     """`UPDATE ... SET <col>=<expr>, ... WHERE col BETWEEN lo AND hi`
     as a real protocol commit: stats-pruned touched files rewritten
     (non-matching rows carried verbatim, deletion vectors applied),
     CHECK constraints enforced on the POST-image, and the commit's cdc
     actions carry `update_preimage` / `update_postimage` rows — the
-    spec's row-level UPDATE feed."""
+    spec's row-level UPDATE feed.
+
+    ``strategy="dv"`` (merge-on-read, r14 — the shape delta-spark
+    emits for UPDATE on a DV-enabled table): no touched file is
+    rewritten — matched positions hide behind deletion vectors and the
+    post-image rows land as NEW data files in the same commit, so the
+    commit cost is O(matched rows), not O(touched files).  Refused on
+    row-tracked tables (updated rows land in fresh files whose
+    baseRowId anchors cannot carry the pre-image ids — the rewrite
+    strategy preserves them; delta-spark gates the same way)."""
+    if strategy not in ("rewrite", "dv"):
+        raise ValueError(f"unknown update strategy {strategy!r}")
     meta, live, _v = _fold_delta_state(spark, path, None)
     _check_writer(_current_protocol(path), meta, "update")
     mapping = _column_mapping(meta)
@@ -2600,6 +2649,18 @@ def update_where_delta(
     if not touched:
         return vs[-1]
     rt_cols = _rt_materialized_cols(meta)
+    if strategy == "dv":
+        if rt_cols:
+            raise ValueError(
+                "merge-on-read UPDATE is refused on row-tracked tables "
+                "(post-image rows land in fresh files whose baseRowId "
+                "anchors cannot carry the pre-image ids) — use the "
+                "default rewrite strategy"
+            )
+        return _delete_where_delta_dv(
+            spark, path, meta, touched, part_cols, col, lo, hi,
+            read_version=_v, set_exprs=set_exprs,
+        )
     old_rows = _read_adds(
         spark, path, meta, touched, row_tracking=bool(rt_cols)
     ).localCheckpoint(eager=True)

@@ -602,7 +602,17 @@ def _exec_update(spark: SparkSession, m: re.Match) -> DataFrame:
     if fmt == "delta":
         from . import deltaproto as dp
 
-        v = dp.update_where_delta(spark, path, set_exprs, col, lo, hi)
+        strat = _delta_delete_strategy(spark, path)
+        if strat == "dv":
+            meta, _live, _vv = dp._fold_delta_state(spark, path, None)
+            if dp._rt_materialized_cols(meta):
+                # row-tracked tables preserve ids only through the
+                # rewrite strategy — a valid-plan choice, not an error
+                strat = "rewrite"
+        v = dp.update_where_delta(
+            spark, path, set_exprs, col, lo, hi,
+            strategy="dv" if strat == "dv" else "rewrite",
+        )
         return _dml_result(spark, "UPDATE", target, v)
     if fmt == "iceberg":
         from . import iceberg as ib

@@ -673,3 +673,55 @@ def test_sql_dml_honors_write_mode_properties(spark, sf_dir, tmp_path):
     _meta, live, _v = dp._fold_delta_state(spark, dpth, None)
     assert any(a.get("deletionVector") for a in live.values())
     assert dp.read_delta(spark, dpth).count() == 50
+
+
+def test_delta_dv_update_merge_on_read(spark, sf_dir, tmp_path):
+    """update_where_delta(strategy='dv'): matched positions hide
+    behind deletion vectors, post-image rows land as NEW files in the
+    same commit — content pinned vs the rewrite twin, touched files
+    keep their paths, CDF carries update_preimage/update_postimage,
+    and the SQL path picks the strategy from
+    delta.enableDeletionVectors."""
+    docs = _docs(spark, sf_dir)
+    p_dv, p_rw = str(tmp_path / "udv"), str(tmp_path / "urw")
+    for p in (p_dv, p_rw):
+        dp.write_delta(docs.limit(90).repartitionByRange(3, "doc_id"), p)
+    dp.update_where_delta(
+        spark, p_rw, {"text": "UPPER(text)"}, "doc_id", 10, 39
+    )
+    files0 = set(dp._fold_delta_state(spark, p_dv, None)[1])
+    dp.update_where_delta(
+        spark, p_dv, {"text": "UPPER(text)"}, "doc_id", 10, 39,
+        strategy="dv",
+    )
+    _meta, live, _v = dp._fold_delta_state(spark, p_dv, None)
+    assert files0 <= set(live)  # originals still live (DV-masked)
+    assert any(a.get("deletionVector") for a in live.values())
+    assert len(live) > len(files0)  # post-image files appended
+    assert _rows(dp.read_delta(spark, p_dv), "doc_id") == _rows(
+        dp.read_delta(spark, p_rw), "doc_id"
+    )
+    ch = dp.read_changes_delta(spark, p_dv, 1, 1)
+    kinds = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert kinds == {"update_preimage": 30, "update_postimage": 30}
+    # SQL path honors the property, row-exact again
+    p_sql = str(tmp_path / "usql")
+    dp.write_delta(docs.limit(90).repartitionByRange(3, "doc_id"), p_sql)
+    dp.set_delta_properties(
+        spark, p_sql, {"delta.enableDeletionVectors": "true"}
+    )
+    lq.register_lake_table("t_udv_sql", "delta", p_sql)
+    lq.lake_sql(
+        spark,
+        "UPDATE t_udv_sql SET text = UPPER(text) "
+        "WHERE doc_id BETWEEN 10 AND 39",
+    )
+    _m2, live2, _v2 = dp._fold_delta_state(spark, p_sql, None)
+    assert any(a.get("deletionVector") for a in live2.values())
+    assert _rows(dp.read_delta(spark, p_sql), "doc_id") == _rows(
+        dp.read_delta(spark, p_rw), "doc_id"
+    )
