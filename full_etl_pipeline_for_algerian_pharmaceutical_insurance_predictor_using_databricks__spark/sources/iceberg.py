@@ -5744,6 +5744,41 @@ def set_iceberg_properties(
     _claim_metadata(path, build)
 
 
+def rollback_iceberg(path: str, snapshot_id: int) -> int:
+    """`rollback_to_snapshot` (Java's SetCurrentSnapshot action):
+    point `current-snapshot-id` back at a RETAINED ancestor snapshot —
+    metadata-only, no snapshot is produced, no file moves; every
+    snapshot committed after the target stays in `snapshots` (and
+    time-travelable) until expiry.  The snapshot-log records the jump
+    so `TIMESTAMP AS OF` history stays truthful.  Refuses an unknown
+    id loudly with the retained ids listed."""
+    result = {}
+
+    def build(base: dict | None) -> dict:
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        meta = json.loads(json.dumps(base))
+        known = {
+            int(s["snapshot-id"]): s for s in meta.get("snapshots") or []
+        }
+        if int(snapshot_id) not in known:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not retained — known: "
+                f"{sorted(known)}"
+            )
+        now_ms = int(time.time() * 1000)
+        meta["current-snapshot-id"] = int(snapshot_id)
+        meta.setdefault("snapshot-log", []).append(
+            {"snapshot-id": int(snapshot_id), "timestamp-ms": now_ms}
+        )
+        meta["last-updated-ms"] = now_ms
+        result["sid"] = int(snapshot_id)
+        return meta
+
+    _claim_metadata(path, build)
+    return result["sid"]
+
+
 def set_iceberg_ref(
     path: str, name: str, snapshot_id: int | None = None, kind: str = "tag"
 ) -> int:

@@ -777,10 +777,52 @@ def _exec_alter(spark: SparkSession, m: re.Match) -> DataFrame:
         v = dp.set_delta_column_default(spark, path, sm.group(1), sm.group(2))
         return _dml_result(spark, "ALTER SET DEFAULT", target, v)
 
+    pm = re.fullmatch(
+        r"(?is)SET\s+TBLPROPERTIES\s*\((?P<kvs>.+)\)", rest
+    )
+    if pm is None:
+        pm = re.fullmatch(
+            r"(?is)UNSET\s+TBLPROPERTIES\s*\((?P<unset>.+)\)", rest
+        )
+    if pm is not None:
+        props: dict[str, str | None] = {}
+        if "kvs" in pm.groupdict() and pm.groupdict().get("kvs"):
+            for item in _split_top(pm.group("kvs")):
+                kv = re.fullmatch(
+                    r"(?is)\s*'([^']+)'\s*=\s*'((?:[^']|'')*)'\s*", item
+                )
+                if not kv:
+                    raise ValueError(
+                        f"cannot parse TBLPROPERTIES item {item!r} — "
+                        "expected 'key' = 'value'"
+                    )
+                props[kv.group(1)] = kv.group(2).replace("''", "'")
+        else:
+            for item in _split_top(pm.group("unset")):
+                kv = re.fullmatch(r"(?is)\s*'([^']+)'\s*", item)
+                if not kv:
+                    raise ValueError(
+                        f"cannot parse UNSET TBLPROPERTIES item {item!r}"
+                    )
+                props[kv.group(1)] = None
+        if fmt == "delta":
+            from . import deltaproto as dp
+
+            v = dp.set_delta_properties(spark, path, props)
+            return _dml_result(spark, "ALTER TBLPROPERTIES", target, v)
+        from . import iceberg as ib
+
+        ib.set_iceberg_properties(path, props)
+        return _dml_result(
+            spark, "ALTER TBLPROPERTIES", target,
+            ib._metadata_versions(path)[-1],
+        )
+
     raise ValueError(
         f"unsupported ALTER TABLE clause {rest!r} — supported: ADD "
         "COLUMN(S), RENAME COLUMN a TO b, DROP COLUMN c, ALTER COLUMN "
-        "c SET DEFAULT <lit> (delta)"
+        "c SET DEFAULT <lit> (delta), SET/UNSET TBLPROPERTIES "
+        "('k' = 'v', …)"
     )
 
 
@@ -812,6 +854,65 @@ _DESC_HISTORY_RE = re.compile(
 )
 
 _SHOW_TABLES_RE = re.compile(r"(?is)^\s*SHOW\s+TABLES\s*$")
+
+_RESTORE_RE = re.compile(
+    rf"(?is)^\s*RESTORE\s+(?:TABLE\s+)?(?P<t>{_IDENT})\s+TO\s+"
+    r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?P<tok>'(?:[^']|'')*'|\d+)\s*$"
+)
+
+
+def _exec_restore(spark: SparkSession, m: re.Match) -> DataFrame:
+    """RESTORE TABLE t TO VERSION|TIMESTAMP AS OF … — Delta/minilake
+    restore commits (re-adds for files live then, removes for files
+    live now; history preserved), Iceberg rollback_to_snapshot
+    (metadata-only current-snapshot jump, ref names resolve)."""
+    target = m.group("t")
+    fmt, path = lake_table_location(target)
+    kind, tok = m.group("kind").upper(), m.group("tok")
+    ts_ms = None
+    if kind == "TIMESTAMP":
+        ts = _parse_literal(tok)
+        if not isinstance(ts, str):
+            raise ValueError("TIMESTAMP AS OF takes a quoted timestamp")
+        ts_ms = int(_parse_timestamp(ts).timestamp() * 1000)
+    if fmt == "delta":
+        from . import deltaproto as dp
+
+        version = (
+            dp.delta_version_at_timestamp(path, ts_ms)
+            if ts_ms is not None
+            else int(tok)
+        )
+        v = dp.restore_delta(spark, path, version)
+        return _dml_result(spark, "RESTORE", target, v)
+    if fmt == "iceberg":
+        from . import iceberg as ib
+
+        if ts_ms is not None:
+            sid = ib.iceberg_snapshot_at_timestamp(path, ts_ms)
+        elif tok.isdigit():
+            sid = int(tok)
+        else:
+            sid = ib._resolve_ref(
+                ib.current_metadata(path), _parse_literal(tok)
+            )
+        return _dml_result(
+            spark, "RESTORE", target, ib.rollback_iceberg(path, sid)
+        )
+    if fmt == "minilake":
+        from . import minilake
+
+        version = (
+            minilake.version_at_timestamp(path, ts_ms)
+            if ts_ms is not None
+            else int(tok)
+        )
+        v = minilake.restore(path, version)
+        return _dml_result(spark, "RESTORE", target, v)
+    raise ValueError(
+        f"RESTORE needs a delta/iceberg/minilake table; {target!r} is {fmt}"
+    )
 
 
 def _exec_show_tables(spark: SparkSession) -> DataFrame:
@@ -1130,11 +1231,53 @@ def _advised_view_frame(spark: SparkSession, name: str) -> DataFrame:
     return df.hint("broadcast") if fits else df
 
 
+_CHANGES_RE = re.compile(
+    r"(?is)\bTABLE_CHANGES\s*\(\s*'(?P<name>[A-Za-z_]\w*)'\s*,\s*"
+    r"(?P<start>\d+)\s*(?:,\s*(?P<end>\d+)\s*)?\)"
+)
+
+
+def _changes_view(
+    spark: SparkSession, name: str, start: int, end: int | None
+) -> str:
+    """Materialize `TABLE_CHANGES('name', start[, end])` (the
+    Databricks CDF table function) as a temp view over the tier's
+    change-feed reader."""
+    fmt, path = lake_table_location(name)
+    view = f"{name}__changes_{start}_{end if end is not None else 'now'}"
+    if fmt == "delta":
+        from . import deltaproto as dp
+
+        df = dp.read_changes_delta(spark, path, start, end)
+    elif fmt == "minilake":
+        from . import minilake
+
+        df = minilake.read_changes(
+            spark, path, start, end, change_feed=True
+        )
+    elif fmt == "iceberg":
+        from . import iceberg as ib
+
+        if end is not None:
+            raise ValueError(
+                "Iceberg TABLE_CHANGES takes a start snapshot-id only "
+                "(the changelog runs to the current snapshot)"
+            )
+        df = ib.read_changes_iceberg(spark, path, since_snapshot_id=start)
+    else:
+        raise ValueError(
+            f"TABLE_CHANGES needs a log-bearing table; {name!r} is {fmt}"
+        )
+    df.createOrReplaceTempView(view)
+    return view
+
+
 def _run_select(spark: SparkSession, sql: str) -> DataFrame:
-    """SELECT path: rewrite time-travel clauses on registered names to
-    snapshot views, auto-register current views (with the advisor's
-    metadata broadcast decision attached) for every other registered
-    name the text references, and hand the text to Catalyst."""
+    """SELECT path: rewrite time-travel and TABLE_CHANGES clauses on
+    registered names to views, auto-register current views (with the
+    advisor's metadata broadcast decision attached) for every other
+    registered name the text references, and hand the text to
+    Catalyst."""
     LAST_SELECT_ADVICE.clear()
 
     def repl(m: re.Match) -> str:
@@ -1145,7 +1288,17 @@ def _run_select(spark: SparkSession, sql: str) -> DataFrame:
             spark, name, m.group("kind").upper(), m.group("tok")
         )
 
-    rewritten = _TRAVEL_RE.sub(repl, sql)
+    def repl_changes(m: re.Match) -> str:
+        name = m.group("name")
+        if name not in _REGISTRY:
+            return m.group(0)
+        end = m.group("end")
+        return _changes_view(
+            spark, name, int(m.group("start")),
+            int(end) if end is not None else None,
+        )
+
+    rewritten = _CHANGES_RE.sub(repl_changes, _TRAVEL_RE.sub(repl, sql))
     for name in _REGISTRY:
         if re.search(rf"(?i)\b{name}\b", rewritten):
             _advised_view_frame(spark, name).createOrReplaceTempView(name)
@@ -1225,13 +1378,22 @@ def lake_sql(spark: SparkSession, sql: str) -> DataFrame:
         if not _SHOW_TABLES_RE.match(stmt):
             raise ValueError("cannot parse SHOW TABLES")
         return _exec_show_tables(spark)
+    if kind == "RESTORE":
+        m = _RESTORE_RE.match(stmt)
+        if not m:
+            raise ValueError(
+                "cannot parse RESTORE [TABLE] t TO VERSION|TIMESTAMP "
+                "AS OF …"
+            )
+        return _exec_restore(spark, m)
     if kind in ("SELECT", "WITH", "VALUES"):
         return _run_select(spark, stmt)
     raise ValueError(
         f"unsupported statement kind {kind!r} — lake_sql serves "
         "SELECT/WITH/VALUES, MERGE, DELETE, UPDATE, INSERT, ALTER "
-        "TABLE, CREATE TABLE … AS, DROP TABLE, OPTIMIZE, VACUUM, "
-        "DESCRIBE HISTORY"
+        "TABLE (incl. SET/UNSET TBLPROPERTIES), CREATE TABLE … AS, "
+        "DROP TABLE, OPTIMIZE, VACUUM, DESCRIBE HISTORY, SHOW TABLES, "
+        "RESTORE"
     )
 
 

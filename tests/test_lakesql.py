@@ -725,3 +725,57 @@ def test_delta_dv_update_merge_on_read(spark, sf_dir, tmp_path):
     assert _rows(dp.read_delta(spark, p_sql), "doc_id") == _rows(
         dp.read_delta(spark, p_rw), "doc_id"
     )
+
+
+def test_restore_tblproperties_table_changes_sql(spark, sf_dir, tmp_path):
+    """RESTORE TO VERSION/TIMESTAMP AS OF, SET/UNSET TBLPROPERTIES,
+    and the TABLE_CHANGES() table function — all as SQL text over the
+    registered names, each pinned against the underlying helper."""
+    docs = _docs(spark, sf_dir)
+    p = str(tmp_path / "rst_d")
+    dp.write_delta(docs.limit(20), p)
+    dp.write_delta(
+        docs.filter("doc_id >= 20 AND doc_id < 30"), p, mode="append"
+    )
+    lq.register_lake_table("t_rst_d", "delta", p)
+    # properties through SQL drive later statements' strategy
+    lq.lake_sql(
+        spark,
+        "ALTER TABLE t_rst_d SET TBLPROPERTIES "
+        "('delta.enableDeletionVectors' = 'true', 'owner' = 'team-x')",
+    )
+    assert dp._current_config(p)["owner"] == "team-x"
+    lq.lake_sql(spark, "DELETE FROM t_rst_d WHERE doc_id BETWEEN 0 AND 4")
+    _m, live, _v = dp._fold_delta_state(spark, p, None)
+    assert any(a.get("deletionVector") for a in live.values())
+    lq.lake_sql(
+        spark, "ALTER TABLE t_rst_d UNSET TBLPROPERTIES ('owner')"
+    )
+    assert "owner" not in dp._current_config(p)
+    # TABLE_CHANGES over the DV delete commit
+    got = lq.lake_sql(
+        spark,
+        "SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM TABLE_CHANGES('t_rst_d', 3, 3) GROUP BY _change_type",
+    ).collect()
+    assert {(r["_change_type"], r["n"]) for r in got} == {("delete", 5)}
+    # RESTORE back to v1 (pre-delete, pre-properties)
+    lq.lake_sql(spark, "RESTORE TABLE t_rst_d TO VERSION AS OF 1")
+    assert dp.read_delta(spark, p).count() == 30
+    # iceberg rollback via SQL, by snapshot id AND by tag
+    ip = str(tmp_path / "rst_i")
+    ib.write_iceberg(docs.limit(15), ip)
+    sid0 = int(ib.iceberg_snapshots(ip)[0]["snapshot_id"])
+    ib.set_iceberg_ref(ip, "good", sid0)
+    ib.write_iceberg(
+        docs.filter("doc_id >= 15 AND doc_id < 40"), ip, mode="append"
+    )
+    lq.register_lake_table("t_rst_i", "iceberg", ip)
+    assert ib.read_iceberg(spark, ip).count() == 40
+    lq.lake_sql(spark, "RESTORE TABLE t_rst_i TO VERSION AS OF 'good'")
+    assert ib.read_iceberg(spark, ip).count() == 15
+    # the rolled-over snapshot stays time-travelable until expiry
+    snaps = ib.iceberg_snapshots(ip)
+    assert len(snaps) == 2
+    with pytest.raises(ValueError, match="not retained"):
+        ib.rollback_iceberg(ip, 12345)
