@@ -242,6 +242,7 @@ _TAIL_ORDER = [
     "lake_iceberg_sql_lifecycle",
     "lake_named_catalog",
     "lake_sql_maintenance",
+    "lake_sql_cdf_restore",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -398,6 +399,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_iceberg_sql_lifecycle"] = _lakesql.iceberg_sql_lifecycle_entry
     pool["lake_named_catalog"] = _lakesql.named_catalog_entry
     pool["lake_sql_maintenance"] = _lakesql.sql_maintenance_entry
+    pool["lake_sql_cdf_restore"] = _lakesql.sql_cdf_restore_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -513,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
     )
     pool["lake_named_catalog"] = _lakesql.NAMED_CATALOG_ORACLE_SQL
     pool["lake_sql_maintenance"] = _lakesql.SQL_MAINTENANCE_ORACLE_SQL
+    pool["lake_sql_cdf_restore"] = _lakesql.SQL_CDF_RESTORE_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

@@ -163,6 +163,8 @@ HEADLINE = [
     "lake_delta_sql_lifecycle",
     "lake_iceberg_sql_lifecycle",
     "lake_named_catalog",
+    "lake_sql_maintenance",
+    "lake_sql_cdf_restore",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -232,6 +234,8 @@ HEAVY_WARMUPS = {
     "lake_delta_sql_lifecycle": 2,
     "lake_iceberg_sql_lifecycle": 2,
     "lake_named_catalog": 2,
+    "lake_sql_maintenance": 2,
+    "lake_sql_cdf_restore": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

@@ -1846,3 +1846,76 @@ FROM part
 GROUP BY p_brand
 ORDER BY p_brand
 """
+
+
+def sql_cdf_restore_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry: the round-trip a production incident runs,
+    entirely as SQL text — enable deletion vectors via SET
+    TBLPROPERTIES, a (bad) DELETE lands as a DV commit, the damage is
+    audited through the TABLE_CHANGES() change feed, and RESTORE TO
+    VERSION AS OF rolls the table back.  The result unions the
+    restored snapshot's aggregate with the audited deletion counts;
+    the oracle restates both off the raw parquet, so a value match
+    proves the DV delete removed exactly the predicate rows, the CDF
+    reported exactly those rows, and the restore brought every one of
+    them back."""
+    from . import deltaproto as dp
+
+    loc = _fixture_path(sf_dir, "docs_cdf_restore")
+    register_lake_table(
+        "docs_cdfr_src", "parquet", os.path.join(sf_dir, "documents.parquet")
+    )
+    register_lake_table("docs_cdfr", "delta", loc)
+    if not dp.delta_versions(loc):
+        lake_sql(
+            spark,
+            f"""
+            CREATE OR REPLACE TABLE docs_cdfr USING delta LOCATION
+            '{loc}' AS SELECT doc_id, source, lang, text FROM
+            docs_cdfr_src
+            """,
+        )
+        lake_sql(
+            spark,
+            "ALTER TABLE docs_cdfr SET TBLPROPERTIES "
+            "('delta.enableDeletionVectors' = 'true')",
+        )
+        lake_sql(
+            spark, "DELETE FROM docs_cdfr WHERE doc_id BETWEEN 100 AND 199"
+        )
+        lake_sql(spark, "RESTORE TABLE docs_cdfr TO VERSION AS OF 0")
+    return lake_sql(
+        spark,
+        """
+        SELECT 'restored' AS state, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM docs_cdfr
+        GROUP BY lang
+        UNION ALL
+        SELECT 'deleted_audit' AS state, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM TABLE_CHANGES('docs_cdfr', 2, 2)
+        WHERE _change_type = 'delete'
+        GROUP BY lang
+        ORDER BY state, lang
+        """,
+    )
+
+
+SQL_CDF_RESTORE_ORACLE_SQL = """
+SELECT 'restored' AS state, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+GROUP BY lang
+UNION ALL
+SELECT 'deleted_audit' AS state, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+WHERE doc_id BETWEEN 100 AND 199
+GROUP BY lang
+ORDER BY state, lang
+"""
