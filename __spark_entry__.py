@@ -243,6 +243,7 @@ _TAIL_ORDER = [
     "lake_named_catalog",
     "lake_sql_maintenance",
     "lake_sql_cdf_restore",
+    "lake_convert_in_place",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -400,6 +401,7 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_named_catalog"] = _lakesql.named_catalog_entry
     pool["lake_sql_maintenance"] = _lakesql.sql_maintenance_entry
     pool["lake_sql_cdf_restore"] = _lakesql.sql_cdf_restore_entry
+    pool["lake_convert_in_place"] = _lakesql.convert_in_place_entry
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -516,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_named_catalog"] = _lakesql.NAMED_CATALOG_ORACLE_SQL
     pool["lake_sql_maintenance"] = _lakesql.SQL_MAINTENANCE_ORACLE_SQL
     pool["lake_sql_cdf_restore"] = _lakesql.SQL_CDF_RESTORE_ORACLE_SQL
+    pool["lake_convert_in_place"] = _lakesql.CONVERT_IN_PLACE_ORACLE_SQL
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

@@ -165,6 +165,7 @@ HEADLINE = [
     "lake_named_catalog",
     "lake_sql_maintenance",
     "lake_sql_cdf_restore",
+    "lake_convert_in_place",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -236,6 +237,7 @@ HEAVY_WARMUPS = {
     "lake_named_catalog": 2,
     "lake_sql_maintenance": 2,
     "lake_sql_cdf_restore": 2,
+    "lake_convert_in_place": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

@@ -5017,6 +5017,129 @@ def cleanup_delta_log(path: str, retain_versions: int = 0) -> int:
     return deleted
 
 
+def _discover_parquet_layout(
+    path: str, part_cols: list[str]
+) -> list[tuple[str, dict]]:
+    """(local file, hive partition values) for every parquet file
+    under a plain directory layout — flat, or `key=value` hive dirs
+    whose keys must equal `part_cols` exactly (a file under stray
+    directories refuses rather than silently mis-partitioning)."""
+    from urllib.parse import unquote
+
+    out: list[tuple[str, dict]] = []
+    for dirpath, dirs, fnames in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        rel = os.path.relpath(dirpath, path)
+        segs = [] if rel == "." else rel.split(os.sep)
+        pvals: dict[str, str | None] = {}
+        for s in segs:
+            if "=" not in s:
+                raise ValueError(
+                    f"directory {rel!r} is not hive-layout (key=value) "
+                    "— CONVERT reads flat or hive-partitioned trees"
+                )
+            k, v = s.split("=", 1)
+            pvals[k] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            )
+        files = [
+            f
+            for f in fnames
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        if files and sorted(pvals) != sorted(part_cols):
+            raise ValueError(
+                f"files under partition dirs {sorted(pvals)} but "
+                f"declared partition columns are {sorted(part_cols)} — "
+                "declare the layout (partition_schema) exactly"
+            )
+        for f in sorted(files):
+            out.append((os.path.join(dirpath, f), dict(pvals)))
+    if not out:
+        raise ValueError(f"no parquet files under {path!r}")
+    return out
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_schema: dict[str, str] | None = None,
+) -> int:
+    """`CONVERT TO DELTA parquet.`<dir>`` — generate a Delta log over
+    an EXISTING parquet directory IN PLACE: no file is read beyond its
+    footer, none is rewritten or moved.  Flat layouts convert as
+    unpartitioned; hive `key=value` trees need `partition_schema`
+    ({col: ddl type}) exactly like real CONVERT's PARTITIONED BY
+    clause (partition values are not inferrable from the files — they
+    live only in the dir names).  Each file's add action carries
+    footer-derived stats JSON, so data skipping works from commit 0.
+    O(files) footer reads, the same cost a first scan pays anyway."""
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    if delta_versions(path) or _last_checkpoint(path) is not None:
+        raise ValueError(f"{path!r} already carries a Delta log")
+    part_cols = list(partition_schema or {})
+    layout = _discover_parquet_layout(path, part_cols)
+    file_schema = spark.read.parquet(
+        *sorted({f for f, _p in layout})
+    ).schema
+    overlap = set(part_cols) & {f.name for f in file_schema.fields}
+    if overlap:
+        raise ValueError(
+            f"partition column(s) {sorted(overlap)} also live inside "
+            "the files — hive layouts keep them out of the content"
+        )
+    fields = list(file_schema.fields) + [
+        StructField(c, _parse_datatype_string(t), True)
+        for c, t in (partition_schema or {}).items()
+    ]
+    schema_json = {
+        "type": "struct", "fields": [f.jsonValue() for f in fields]
+    }
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CONVERT",
+                    "operationParameters": {"sourceFormat": "parquet"},
+                    "engineInfo": "sparkgraft-deltaproto/1.0",
+                }
+            }
+        ),
+        json.dumps(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        ),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema_json),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        ),
+    ]
+    for local, pvals in layout:
+        rel = os.path.relpath(local, path).replace(os.sep, "/")
+        add = {
+            "path": rel,
+            "partitionValues": pvals,
+            "size": os.path.getsize(local),
+            "modificationTime": int(os.path.getmtime(local) * 1000),
+            "dataChange": True,
+        }
+        stats = _file_stats_json(local)
+        if stats is not None:
+            add["stats"] = stats
+        lines.append(json.dumps({"add": add}))
+    return _claim_delta_version(path, lines, read_version=None)
+
+
 def delta_to_minilake(
     spark: SparkSession, delta_path: str, minilake_path: str
 ) -> int:

@@ -7845,6 +7845,83 @@ def uniform_delta_metadata(spark: SparkSession, path: str) -> int:
     return dp._claim_delta_version(path, lines, read_version=prev_v)
 
 
+def convert_to_iceberg(
+    spark: SparkSession,
+    path: str,
+    partition_schema: dict[str, str] | None = None,
+) -> int:
+    """`migrate` / `add_files` (in-place table conversion): generate
+    Iceberg metadata over an EXISTING parquet directory — no file is
+    read beyond its footer, none is rewritten or moved.  Flat layouts
+    convert as unpartitioned; hive `key=value` trees need
+    `partition_schema` ({col: spark ddl type}) and become identity
+    partition fields (the partition values live only in the dir names,
+    decoded through the hive rules).  Each data_file record carries
+    footer-derived per-field-id bounds, so manifest pruning works from
+    snapshot 1.  O(files) footer reads."""
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    from .deltaproto import _discover_parquet_layout
+
+    if _metadata_versions(path):
+        raise ValueError(f"{path!r} already carries Iceberg metadata")
+    part_cols = list(partition_schema or {})
+    layout = _discover_parquet_layout(path, part_cols)
+    file_schema = spark.read.parquet(
+        *sorted({f for f, _p in layout})
+    ).schema
+    overlap = set(part_cols) & {f.name for f in file_schema.fields}
+    if overlap:
+        raise ValueError(
+            f"partition column(s) {sorted(overlap)} also live inside "
+            "the files — hive layouts keep them out of the content"
+        )
+    full = list(file_schema.fields) + [
+        StructField(c, _parse_datatype_string(t), True)
+        for c, t in (partition_schema or {}).items()
+    ]
+    from pyspark.sql.types import StructType
+
+    fields = _iceberg_fields(StructType(full))
+    by_name = {f["name"]: f for f in fields}
+    spec = _parse_partition_by(part_cols, by_name)
+    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+    records = []
+    for local, pvals in layout:
+        internal = {}
+        for pf in spec:
+            src = by_name[pf["name"]]
+            raw = pvals[pf["name"]]
+            internal[pf["name"]] = (
+                None if raw is None else _parse_hive_value(src["type"], raw)
+            )
+        rel = os.path.relpath(local, path).replace(os.sep, "/")
+        records.append(
+            _data_file_record(
+                local, _file_uri(path, rel), by_name, internal
+            )
+        )
+
+    def build_manifests(
+        base: dict | None, snapshot_id: int, seq: int, fv: int
+    ) -> list[dict]:
+        entries = [
+            {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
+            for d in records
+        ]
+        return [
+            _write_manifest(
+                path, entries, snapshot_id, fields, spec, schema_json,
+                fv=fv, seq=seq, spec_id=0,
+            )
+        ]
+
+    return _commit_snapshot(
+        path, "append", build_manifests,
+        schema_fields=fields, spec_fields=spec,
+    )
+
+
 def iceberg_to_minilake(
     spark: SparkSession, iceberg_path: str, minilake_path: str
 ) -> int:

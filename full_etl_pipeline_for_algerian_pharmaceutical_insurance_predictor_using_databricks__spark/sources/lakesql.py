@@ -855,6 +855,53 @@ _DESC_HISTORY_RE = re.compile(
 
 _SHOW_TABLES_RE = re.compile(r"(?is)^\s*SHOW\s+TABLES\s*$")
 
+_CONVERT_RE = re.compile(
+    rf"(?is)^\s*CONVERT\s+TO\s+(?P<fmt>DELTA|ICEBERG)\s+(?P<t>{_IDENT})"
+    r"(?:\s+PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\))?\s*$"
+)
+
+
+def _exec_convert(spark: SparkSession, m: re.Match) -> DataFrame:
+    """CONVERT TO DELTA|ICEBERG t [PARTITIONED BY (c type, …)] — the
+    in-place migration every lake adoption starts with: a registered
+    parquet directory gains a commit log / metadata tree pointing at
+    its EXISTING files (footer-stats add actions / manifest bounds),
+    and the catalog entry flips to the new format.  No data moves."""
+    target = m.group("t")
+    fmt, path = lake_table_location(target)
+    if fmt != "parquet":
+        raise ValueError(
+            f"CONVERT takes a plain parquet table; {target!r} is "
+            f"already {fmt}"
+        )
+    pschema: dict[str, str] | None = None
+    if m.group("parts"):
+        pschema = {}
+        for item in _split_top(m.group("parts")):
+            cm = re.fullmatch(
+                rf"(?is)\s*({_IDENT})\s+([A-Za-z_]\w*"
+                r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*",
+                item,
+            )
+            if not cm:
+                raise ValueError(
+                    f"cannot parse PARTITIONED BY item {item!r} — "
+                    "expected `name type`"
+                )
+            pschema[cm.group(1)] = cm.group(2)
+    to_fmt = m.group("fmt").lower()
+    if to_fmt == "delta":
+        from . import deltaproto as dp
+
+        v = dp.convert_to_delta(spark, path, partition_schema=pschema)
+    else:
+        from . import iceberg as ib
+
+        v = ib.convert_to_iceberg(spark, path, partition_schema=pschema)
+    register_lake_table(target, to_fmt, path)
+    return _dml_result(spark, f"CONVERT TO {to_fmt.upper()}", target, v)
+
+
 _RESTORE_RE = re.compile(
     rf"(?is)^\s*RESTORE\s+(?:TABLE\s+)?(?P<t>{_IDENT})\s+TO\s+"
     r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
@@ -1386,6 +1433,14 @@ def lake_sql(spark: SparkSession, sql: str) -> DataFrame:
                 "AS OF …"
             )
         return _exec_restore(spark, m)
+    if kind == "CONVERT":
+        m = _CONVERT_RE.match(stmt)
+        if not m:
+            raise ValueError(
+                "cannot parse CONVERT TO DELTA|ICEBERG t "
+                "[PARTITIONED BY (c type, …)]"
+            )
+        return _exec_convert(spark, m)
     if kind in ("SELECT", "WITH", "VALUES"):
         return _run_select(spark, stmt)
     raise ValueError(
@@ -1918,4 +1973,83 @@ FROM documents
 WHERE doc_id BETWEEN 100 AND 199
 GROUP BY lang
 ORDER BY state, lang
+"""
+
+
+def convert_in_place_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry: IN-PLACE conversion — two plain-parquet
+    copies of `part` gain a Delta log and Iceberg metadata over their
+    EXISTING files (`CONVERT TO …` as SQL text, footer-stats add
+    actions / manifest bounds, zero data movement), then one SELECT
+    unions a per-brand aggregate read through EACH protocol reader.
+    The oracle restates the aggregate twice off the raw parquet, so a
+    value match proves both conversions expose the bytes
+    content-exactly."""
+    import shutil
+
+    root = _fixture_path(sf_dir, "convert_in_place")
+    d_dir = os.path.join(root, "part_as_delta")
+    i_dir = os.path.join(root, "part_as_iceberg")
+    src = os.path.join(sf_dir, "part.parquet")
+    for tgt in (d_dir, i_dir):
+        if not os.path.isdir(tgt):
+            os.makedirs(tgt)
+            if os.path.isdir(src):
+                for f in os.listdir(src):
+                    if f.endswith(".parquet"):
+                        shutil.copy(os.path.join(src, f), tgt)
+            else:
+                shutil.copy(src, os.path.join(tgt, "part-000.parquet"))
+    from . import deltaproto as dp, iceberg as ib
+
+    register_lake_table(
+        "part_conv_d",
+        "delta" if dp.delta_versions(d_dir) else "parquet",
+        d_dir,
+    )
+    register_lake_table(
+        "part_conv_i",
+        "iceberg" if ib._metadata_versions(i_dir) else "parquet",
+        i_dir,
+    )
+    if not dp.delta_versions(d_dir):
+        lake_sql(spark, "CONVERT TO DELTA part_conv_d")
+    if not ib._metadata_versions(i_dir):
+        lake_sql(spark, "CONVERT TO ICEBERG part_conv_i")
+    return lake_sql(
+        spark,
+        """
+        SELECT 'delta' AS engine, p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_retail
+        FROM part_conv_d
+        GROUP BY p_brand
+        UNION ALL
+        SELECT 'iceberg' AS engine, p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_retail
+        FROM part_conv_i
+        GROUP BY p_brand
+        ORDER BY engine, p_brand
+        """,
+    )
+
+
+CONVERT_IN_PLACE_ORACLE_SQL = """
+SELECT 'delta' AS engine, p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_retail
+FROM part
+GROUP BY p_brand
+UNION ALL
+SELECT 'iceberg' AS engine, p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_retail
+FROM part
+GROUP BY p_brand
+ORDER BY engine, p_brand
 """

@@ -779,3 +779,51 @@ def test_restore_tblproperties_table_changes_sql(spark, sf_dir, tmp_path):
     assert len(snaps) == 2
     with pytest.raises(ValueError, match="not retained"):
         ib.rollback_iceberg(ip, 12345)
+
+
+def test_convert_in_place_sql(spark, sf_dir, tmp_path):
+    """CONVERT TO DELTA / ICEBERG over hive-partitioned parquet via
+    SQL: existing files gain a log/metadata in place (paths
+    unchanged), footer stats drive pruning, partition declarations are
+    mandatory for hive trees, and a converted name keeps working for
+    later DML."""
+    import shutil
+
+    docs = _docs(spark, sf_dir)
+    d_dir, i_dir = str(tmp_path / "cv_d"), str(tmp_path / "cv_i")
+    docs.write.partitionBy("lang").parquet(d_dir)
+    shutil.copytree(d_dir, i_dir, ignore=shutil.ignore_patterns("_*"))
+    lq.register_lake_table("t_cv_d", "parquet", d_dir)
+    lq.register_lake_table("t_cv_i", "parquet", i_dir)
+    # hive tree without the declaration refuses loudly
+    with pytest.raises(ValueError, match="declare"):
+        lq.lake_sql(spark, "CONVERT TO DELTA t_cv_d")
+    lq.lake_sql(
+        spark, "CONVERT TO DELTA t_cv_d PARTITIONED BY (lang string)"
+    )
+    lq.lake_sql(
+        spark, "CONVERT TO ICEBERG t_cv_i PARTITIONED BY (lang string)"
+    )
+    assert lq.lake_table_location("t_cv_d") == ("delta", d_dir)
+    assert lq.lake_table_location("t_cv_i") == ("iceberg", i_dir)
+    want = _rows(docs.select("doc_id", "source", "text", "lang"), "doc_id")
+    got_d = _rows(
+        dp.read_delta(spark, d_dir).select(
+            "doc_id", "source", "text", "lang"
+        ),
+        "doc_id",
+    )
+    got_i = _rows(
+        ib.read_iceberg(spark, i_dir).select(
+            "doc_id", "source", "text", "lang"
+        ),
+        "doc_id",
+    )
+    assert got_d == want and got_i == want
+    # double-convert refuses; converted tables accept later DML
+    with pytest.raises(ValueError, match="already"):
+        lq.lake_sql(spark, "CONVERT TO DELTA t_cv_d")
+    lq.lake_sql(spark, "DELETE FROM t_cv_d WHERE doc_id BETWEEN 0 AND 9")
+    lq.lake_sql(spark, "DELETE FROM t_cv_i WHERE doc_id BETWEEN 0 AND 9")
+    assert dp.read_delta(spark, d_dir).count() == 490
+    assert ib.read_iceberg(spark, i_dir).count() == 490
