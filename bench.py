@@ -287,6 +287,11 @@ def main() -> None:
         ]:
             load_table(spark, sf_dir, t).count()
 
+    # flag-gated noise damping (r14): parse ONCE before the loop so a
+    # malformed value fails fast instead of poisoning every entry's
+    # failure-isolation handler
+    min_passes = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_PASSES", "0"))
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -311,14 +316,11 @@ def main() -> None:
                 if name in VARIANCE_PRONE or name not in HEAVY_WARMUPS
                 else 1
             )
-            # flag-gated noise damping (r14): SPARK_GRAFT_BENCH_MIN_PASSES=N
-            # runs at least N timed passes per entry and reports the MIN —
-            # the best proxy for the plan's cost on a contended box (host
-            # noise only ever ADDS wall time).  Off by default so the
-            # driver contract and round-over-round medians are unchanged.
-            min_passes = int(
-                os.environ.get("SPARK_GRAFT_BENCH_MIN_PASSES", "0")
-            )
+            # SPARK_GRAFT_BENCH_MIN_PASSES=N runs at least N timed
+            # passes per entry and reports the MIN — the best proxy for
+            # the plan's cost on a contended box (host noise only ever
+            # ADDS wall time).  Off by default so the driver contract
+            # and round-over-round medians are unchanged.
             if min_passes >= 2:
                 reps = max(reps, min_passes)
             runs = []

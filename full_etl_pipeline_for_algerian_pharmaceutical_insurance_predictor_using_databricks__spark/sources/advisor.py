@@ -320,12 +320,18 @@ def lake_join(
             on=keys + ["_ib_salt"],
             how="inner" if how == "inner" else "left",
         ).drop("_ib_salt")
-        # canonical column order regardless of which side probed
-        out = out.select(
-            *keys,
-            *[c for c in left.columns if c not in keys],
-            *[c for c in right.columns if c not in keys],
-        )
+        # canonical column order regardless of which side probed —
+        # only when names are unambiguous: a non-key column shared by
+        # both sides survives the join twice and a by-name select
+        # would raise AMBIGUOUS_REFERENCE (the plain-join fallback
+        # keeps Spark's own duplicate handling in that case)
+        dup = (set(left.columns) & set(right.columns)) - set(keys)
+        if not dup:
+            out = out.select(
+                *keys,
+                *[c for c in left.columns if c not in keys],
+                *[c for c in right.columns if c not in keys],
+            )
         dec = dict(dec)
         dec["salted"] = salt_buckets
         dec["salted_side"] = skewed

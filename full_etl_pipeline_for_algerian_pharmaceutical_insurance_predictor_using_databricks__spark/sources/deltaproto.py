@@ -2089,10 +2089,27 @@ def delete_where_delta(
 
     Both write a `cdc` action whose `_change_data` file carries the
     deleted rows (`_change_type='delete'`), so CDF readers get the
-    exact row-level feed.  Zero touched files → no-op."""
-    if strategy not in ("rewrite", "dv"):
+    exact row-level feed.  Zero touched files → no-op.
+
+    ``strategy="auto"`` (r14) resolves from the table's own
+    configuration — ``delta.enableDeletionVectors=true`` picks the DV
+    shape, exactly delta-spark's rule — without the caller folding the
+    log a second time to peek."""
+    if strategy not in ("rewrite", "dv", "auto"):
         raise ValueError(f"unknown delete strategy {strategy!r}")
     meta, live, _v = _fold_delta_state(spark, path, None)
+    if strategy == "auto":
+        strategy = (
+            "dv"
+            if (
+                (meta.get("configuration") or {}).get(
+                    "delta.enableDeletionVectors"
+                )
+                or ""
+            ).lower()
+            == "true"
+            else "rewrite"
+        )
     _check_writer(_current_protocol(path), meta, "delete")
     mapping = _column_mapping(meta)
     part_cols = list(meta.get("partitionColumns") or [])
@@ -2620,10 +2637,25 @@ def update_where_delta(
     commit cost is O(matched rows), not O(touched files).  Refused on
     row-tracked tables (updated rows land in fresh files whose
     baseRowId anchors cannot carry the pre-image ids — the rewrite
-    strategy preserves them; delta-spark gates the same way)."""
-    if strategy not in ("rewrite", "dv"):
+    strategy preserves them; delta-spark gates the same way).
+    ``strategy="auto"`` resolves from the table's own configuration
+    (DV property set AND not row-tracked → dv, else rewrite) in the
+    single log fold this commit already pays."""
+    if strategy not in ("rewrite", "dv", "auto"):
         raise ValueError(f"unknown update strategy {strategy!r}")
     meta, live, _v = _fold_delta_state(spark, path, None)
+    if strategy == "auto":
+        dv_on = (
+            (meta.get("configuration") or {}).get(
+                "delta.enableDeletionVectors"
+            )
+            or ""
+        ).lower() == "true"
+        strategy = (
+            "dv"
+            if dv_on and _rt_materialized_cols(meta) is None
+            else "rewrite"
+        )
     _check_writer(_current_protocol(path), meta, "update")
     mapping = _column_mapping(meta)
     unknown = set(set_exprs) - {
@@ -5057,7 +5089,61 @@ def _discover_parquet_layout(
             out.append((os.path.join(dirpath, f), dict(pvals)))
     if not out:
         raise ValueError(f"no parquet files under {path!r}")
+    # Spark's partitionBy writer reuses one basename across every
+    # partition dir (part-<split>-<jobUUID>) — but this engine's
+    # delete/DV machinery keys files by BASENAME (the uuid-named
+    # landing invariant).  Colliding files are renamed IN PLACE (same
+    # dir, pure metadata — still zero data movement) with their hive
+    # segments prefixed, so the invariant holds from commit 0.
+    import re as _re
+
+    tails: dict[str, int] = {}
+    for local, _p in out:
+        t = os.path.basename(local)
+        tails[t] = tails.get(t, 0) + 1
+    dups = {t for t, c in tails.items() if c > 1}
+    if dups:
+        deduped = []
+        for local, pvals in out:
+            t = os.path.basename(local)
+            if t in dups:
+                prefix = "_".join(
+                    _re.sub(r"\W+", "_", f"{k}_{v}")
+                    for k, v in sorted(pvals.items())
+                )
+                new = os.path.join(os.path.dirname(local), f"{prefix}-{t}")
+                os.rename(local, new)
+                local = new
+            deduped.append((local, pvals))
+        out = deduped
     return out
+
+
+def _convert_layout_and_fields(
+    spark: SparkSession, path: str, partition_schema: dict[str, str] | None
+) -> tuple[list[tuple[str, dict]], list]:
+    """Shared CONVERT prelude (both converters): the discovered
+    (file, hive values) layout plus the full StructField list — file
+    schema extended with the declared partition columns, refusing a
+    declaration that shadows a content column."""
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    part_cols = list(partition_schema or {})
+    layout = _discover_parquet_layout(path, part_cols)
+    file_schema = spark.read.parquet(
+        *sorted({f for f, _p in layout})
+    ).schema
+    overlap = set(part_cols) & {f.name for f in file_schema.fields}
+    if overlap:
+        raise ValueError(
+            f"partition column(s) {sorted(overlap)} also live inside "
+            "the files — hive layouts keep them out of the content"
+        )
+    fields = list(file_schema.fields) + [
+        StructField(c, _parse_datatype_string(t), True)
+        for c, t in (partition_schema or {}).items()
+    ]
+    return layout, fields
 
 
 def convert_to_delta(
@@ -5074,25 +5160,12 @@ def convert_to_delta(
     live only in the dir names).  Each file's add action carries
     footer-derived stats JSON, so data skipping works from commit 0.
     O(files) footer reads, the same cost a first scan pays anyway."""
-    from pyspark.sql.types import StructField, _parse_datatype_string
-
     if delta_versions(path) or _last_checkpoint(path) is not None:
         raise ValueError(f"{path!r} already carries a Delta log")
     part_cols = list(partition_schema or {})
-    layout = _discover_parquet_layout(path, part_cols)
-    file_schema = spark.read.parquet(
-        *sorted({f for f, _p in layout})
-    ).schema
-    overlap = set(part_cols) & {f.name for f in file_schema.fields}
-    if overlap:
-        raise ValueError(
-            f"partition column(s) {sorted(overlap)} also live inside "
-            "the files — hive layouts keep them out of the content"
-        )
-    fields = list(file_schema.fields) + [
-        StructField(c, _parse_datatype_string(t), True)
-        for c, t in (partition_schema or {}).items()
-    ]
+    layout, fields = _convert_layout_and_fields(
+        spark, path, partition_schema
+    )
     schema_json = {
         "type": "struct", "fields": [f.jsonValue() for f in fields]
     }

@@ -4444,6 +4444,10 @@ def update_where_iceberg(
                     spark, path, base, touched, pos_files, eq_dels,
                     dv_live,
                 ).filter(cond)
+                # updated rows take the UPDATE's sequence number: null
+                # the materialized pre-image _LUSN so the reader's
+                # coalesce falls through to the new file's seq
+                post = post.withColumn(_LUSN, F.lit(None).cast("bigint"))
             else:
                 del_files = _land_position_deletes(
                     spark, path, match_pos, touched, part_names
@@ -4517,6 +4521,13 @@ def update_where_iceberg(
             for c, expr in sorted(set_exprs.items()):
                 post = post.withColumn(
                     c, F.expr(expr).cast(old_rows.schema[c].dataType)
+                )
+            if _LUSN in post.columns:
+                # spec: an updated row's last-updated seq becomes the
+                # UPDATE's — null out the materialized pre-image value
+                # so the reader's coalesce inherits the new file's seq
+                post = post.withColumn(
+                    _LUSN, F.lit(None).cast("bigint")
                 )
             rewritten = _land_data(
                 carried.unionByName(post.select(*old_rows.columns)),
@@ -7053,10 +7064,15 @@ def read_changes_iceberg(
     return out
 
 
-def expire_iceberg_snapshots(path: str, keep_last: int = 1) -> int:
+def expire_iceberg_snapshots(
+    path: str, keep_last: int = 1, older_than_ms: int | None = None
+) -> int:
     """Drop all but the newest `keep_last` snapshots from the table
     metadata (snapshot-log pruned to match; the current snapshot
     always survives) — the metadata half of Iceberg table maintenance.
+    `older_than_ms` (r14, Java's expireSnapshots(olderThan) knob):
+    snapshots at or after that instant are ALSO kept regardless of
+    count, so a retention window never destroys recent time travel.
     Files only the expired snapshots referenced become orphans for
     `remove_orphan_iceberg_files`.  Returns snapshots removed."""
     if keep_last < 1:
@@ -7072,6 +7088,13 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 1) -> int:
             key=lambda s: s.get("timestamp-ms", 0),
         )
         keep = snaps[-keep_last:]
+        if older_than_ms is not None:
+            keep = [
+                s
+                for s in snaps
+                if int(s.get("timestamp-ms", 0)) >= int(older_than_ms)
+            ] + [s for s in keep if int(s.get("timestamp-ms", 0))
+                 < int(older_than_ms)]
         kept_ids = {s["snapshot-id"] for s in keep}
         cur = meta.get("current-snapshot-id")
         pinned = [cur] if cur not in (None, -1) else []
@@ -7859,29 +7882,16 @@ def convert_to_iceberg(
     decoded through the hive rules).  Each data_file record carries
     footer-derived per-field-id bounds, so manifest pruning works from
     snapshot 1.  O(files) footer reads."""
-    from pyspark.sql.types import StructField, _parse_datatype_string
+    from pyspark.sql.types import StructType
 
-    from .deltaproto import _discover_parquet_layout
+    from .deltaproto import _convert_layout_and_fields
 
     if _metadata_versions(path):
         raise ValueError(f"{path!r} already carries Iceberg metadata")
     part_cols = list(partition_schema or {})
-    layout = _discover_parquet_layout(path, part_cols)
-    file_schema = spark.read.parquet(
-        *sorted({f for f, _p in layout})
-    ).schema
-    overlap = set(part_cols) & {f.name for f in file_schema.fields}
-    if overlap:
-        raise ValueError(
-            f"partition column(s) {sorted(overlap)} also live inside "
-            "the files — hive layouts keep them out of the content"
-        )
-    full = list(file_schema.fields) + [
-        StructField(c, _parse_datatype_string(t), True)
-        for c, t in (partition_schema or {}).items()
-    ]
-    from pyspark.sql.types import StructType
-
+    layout, full = _convert_layout_and_fields(
+        spark, path, partition_schema
+    )
     fields = _iceberg_fields(StructType(full))
     by_name = {f["name"]: f for f in fields}
     spec = _parse_partition_by(part_cols, by_name)

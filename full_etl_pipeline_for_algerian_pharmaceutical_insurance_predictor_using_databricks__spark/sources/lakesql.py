@@ -476,9 +476,24 @@ def _exec_merge(spark: SparkSession, m: re.Match) -> DataFrame:
         from . import iceberg as ib
 
         if is_delete:
+            # SQL `ON t.k = s.k` never matches NULL, but the eq-delete
+            # read side matches null-safely — drop NULL key tuples so
+            # both tiers give the standard answer
             key_rows = [
-                tuple(r) for r in src.select(*keys).distinct().collect()
+                t
+                for t in (
+                    tuple(r)
+                    for r in src.select(*keys).distinct().collect()
+                )
+                if all(v is not None for v in t)
             ]
+            if not key_rows:  # all-NULL source keys: SQL no-op
+                meta = ib.current_metadata(path)
+                snap0 = ib._snapshot(meta, None)
+                return _dml_result(
+                    spark, "MERGE DELETE", target,
+                    int(snap0["snapshot-id"]) if snap0 else 0,
+                )
             snap = ib.delete_eq_iceberg(path, keys, key_rows)
             return _dml_result(spark, "MERGE DELETE", target, snap)
         snap = ib.upsert_iceberg(spark, src, path, keys)
@@ -519,20 +534,6 @@ def _iceberg_write_mode(path: str, op: str) -> str:
     return "cow" if mode == "copy-on-write" else "merge-on-read"
 
 
-def _delta_delete_strategy(spark: SparkSession, path: str) -> str:
-    """delta-spark's rule: `delta.enableDeletionVectors=true` makes
-    DELETE land deletion vectors (merge-on-read) instead of rewriting
-    the touched files."""
-    from . import deltaproto as dp
-
-    conf = dp._current_config(path)
-    return (
-        "dv"
-        if (conf.get("delta.enableDeletionVectors") or "").lower() == "true"
-        else "rewrite"
-    )
-
-
 def _exec_delete(spark: SparkSession, m: re.Match) -> DataFrame:
     target = m.group("t")
     fmt, path = lake_table_location(target)
@@ -547,9 +548,10 @@ def _exec_delete(spark: SparkSession, m: re.Match) -> DataFrame:
                 "the Iceberg equality-delete path (delete_eq_iceberg)"
             )
         _k, col, lo, hi = shape
+        # delta-spark's rule: delta.enableDeletionVectors=true lands
+        # deletion vectors — resolved inside the helper's own log fold
         v = dp.delete_where_delta(
-            spark, path, col, lo, hi,
-            strategy=_delta_delete_strategy(spark, path),
+            spark, path, col, lo, hi, strategy="auto"
         )
         return _dml_result(spark, "DELETE", target, v)
     if fmt == "iceberg":
@@ -557,7 +559,17 @@ def _exec_delete(spark: SparkSession, m: re.Match) -> DataFrame:
 
         if shape[0] == "in":
             _k, col, vals = shape
-            snap = ib.delete_eq_iceberg(path, [col], vals)
+            # SQL IN never matches NULL; the eq-delete read side is
+            # null-safe — drop NULL list items to keep SQL semantics
+            live_vals = [v for v in vals if v is not None]
+            if not live_vals:  # IN (NULL): SQL no-op
+                meta = ib.current_metadata(path)
+                snap0 = ib._snapshot(meta, None)
+                return _dml_result(
+                    spark, "DELETE", target,
+                    int(snap0["snapshot-id"]) if snap0 else 0,
+                )
+            snap = ib.delete_eq_iceberg(path, [col], live_vals)
         else:
             _k, col, lo, hi = shape
             snap = ib.delete_where_iceberg(
@@ -602,16 +614,11 @@ def _exec_update(spark: SparkSession, m: re.Match) -> DataFrame:
     if fmt == "delta":
         from . import deltaproto as dp
 
-        strat = _delta_delete_strategy(spark, path)
-        if strat == "dv":
-            meta, _live, _vv = dp._fold_delta_state(spark, path, None)
-            if dp._rt_materialized_cols(meta):
-                # row-tracked tables preserve ids only through the
-                # rewrite strategy — a valid-plan choice, not an error
-                strat = "rewrite"
+        # DV property → dv shape; row-tracked tables keep the rewrite
+        # (ids cannot carry into fresh files) — both resolved inside
+        # the helper's single log fold
         v = dp.update_where_delta(
-            spark, path, set_exprs, col, lo, hi,
-            strategy="dv" if strat == "dv" else "rewrite",
+            spark, path, set_exprs, col, lo, hi, strategy="auto"
         )
         return _dml_result(spark, "UPDATE", target, v)
     if fmt == "iceberg":
@@ -1139,9 +1146,19 @@ def _exec_vacuum(spark: SparkSession, m: re.Match) -> DataFrame:
         n = dp.vacuum_delta(spark, path, min_age_s=min_age_s)
         return _dml_result(spark, "VACUUM", target, n)
     if fmt == "iceberg":
+        import time as _time
+
         from . import iceberg as ib
 
-        ib.expire_iceberg_snapshots(path, keep_last=1)
+        # RETAIN governs snapshot EXPIRY too (r14): snapshots younger
+        # than the window stay time-travelable/restorable — a routine
+        # VACUUM must never destroy the recovery lever inside its own
+        # declared retention
+        ib.expire_iceberg_snapshots(
+            path,
+            keep_last=1,
+            older_than_ms=int((_time.time() - min_age_s) * 1000),
+        )
         n = ib.remove_orphan_iceberg_files(path, min_age_s=min_age_s)
         return _dml_result(spark, "VACUUM", target, n)
     if fmt == "minilake":

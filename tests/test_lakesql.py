@@ -827,3 +827,156 @@ def test_convert_in_place_sql(spark, sf_dir, tmp_path):
     lq.lake_sql(spark, "DELETE FROM t_cv_i WHERE doc_id BETWEEN 0 AND 9")
     assert dp.read_delta(spark, d_dir).count() == 490
     assert ib.read_iceberg(spark, i_dir).count() == 490
+
+
+def test_convert_dedupes_colliding_basenames(spark, sf_dir, tmp_path):
+    """Review r14: Spark's partitionBy writer reuses one basename
+    across every partition dir, but the engine's delete/DV machinery
+    keys files by BASENAME — conversion renames colliding files in
+    place (hive segments prefixed, zero data movement) so a DV delete
+    after CONVERT hides exactly the right rows in the right files."""
+    import os as _os
+
+    docs = _docs(spark, sf_dir)
+    d = str(tmp_path / "cvdup")
+    docs.write.partitionBy("lang").parquet(d)
+    tails = []
+    for root, _dirs, files in _os.walk(d):
+        tails += [f for f in files if f.endswith(".parquet")]
+    assert len(tails) != len(set(tails))  # the hazard is real
+    lq.register_lake_table("t_cvdup", "parquet", d)
+    lq.lake_sql(spark, "CONVERT TO DELTA t_cvdup PARTITIONED BY (lang string)")
+    tails2 = []
+    for root, _dirs, files in _os.walk(d):
+        tails2 += [f for f in files if f.endswith(".parquet")]
+    assert len(tails2) == len(set(tails2))  # unique after conversion
+    # the DV (merge-on-read) delete path keys by basename — row-exact
+    dp.set_delta_properties(
+        spark, d, {"delta.enableDeletionVectors": "true"}
+    )
+    lq.lake_sql(spark, "DELETE FROM t_cvdup WHERE doc_id BETWEEN 0 AND 99")
+    got = _rows(
+        dp.read_delta(spark, d).select("doc_id", "lang"), "doc_id"
+    )
+    want = _rows(
+        docs.filter("doc_id > 99").select("doc_id", "lang"), "doc_id"
+    )
+    assert got == want
+
+
+def test_update_refreshes_lusn_on_v3(spark, sf_dir, tmp_path):
+    """Review r14: an UPDATE's rows must carry the UPDATE's sequence
+    number, not the stale pre-image one — both COW and merge-on-read
+    null the materialized _last_updated_sequence_number so the reader
+    inherits the new file's seq; carried rows keep theirs."""
+    docs = _docs(spark, sf_dir)
+    for strat in ("cow", "merge-on-read"):
+        p = str(tmp_path / f"lusn_{strat[:3]}")
+        ib.write_iceberg(
+            docs.limit(40).repartitionByRange(2, "doc_id"), p,
+            format_version=3,
+        )
+        before = {
+            r["doc_id"]: r["_last_updated_sequence_number"]
+            for r in ib.read_iceberg(
+                spark, p, with_row_lineage=True
+            ).collect()
+        }
+        ib.update_where_iceberg(
+            spark, p, {"lang": "'zz'"}, "doc_id", 0, 9, strategy=strat
+        )
+        after = {
+            r["doc_id"]: r["_last_updated_sequence_number"]
+            for r in ib.read_iceberg(
+                spark, p, with_row_lineage=True
+            ).collect()
+        }
+        for d in range(0, 10):
+            assert after[d] > before[d], (strat, d)
+        for d in range(20, 40):  # untouched file: seq carried
+            assert after[d] == before[d], (strat, d)
+
+
+def test_vacuum_retain_window_preserves_iceberg_history(
+    spark, sf_dir, tmp_path
+):
+    """Review r14: VACUUM RETAIN n HOURS must not expire snapshots
+    younger than the window — RESTORE within the declared retention
+    still works; RETAIN 0 HOURS expires as before."""
+    docs = _docs(spark, sf_dir)
+    p = str(tmp_path / "vret")
+    ib.write_iceberg(docs.limit(10), p)
+    ib.write_iceberg(
+        docs.filter("doc_id >= 10 AND doc_id < 25"), p, mode="append"
+    )
+    lq.register_lake_table("t_vret", "iceberg", p)
+    lq.lake_sql(spark, "VACUUM t_vret RETAIN 168 HOURS")
+    assert len(ib.iceberg_snapshots(p)) == 2  # young history survives
+    sid0 = int(ib.iceberg_snapshots(p)[0]["snapshot_id"])
+    lq.lake_sql(spark, f"RESTORE TABLE t_vret TO VERSION AS OF {sid0}")
+    assert ib.read_iceberg(spark, p).count() == 10
+    lq.lake_sql(spark, "VACUUM t_vret RETAIN 0 HOURS")
+    # 0-hour window: keep_last=1 keeps the newest, and the
+    # rolled-back CURRENT snapshot stays pinned (expire's rule) —
+    # the restored state must survive its own vacuum
+    assert len(ib.iceberg_snapshots(p)) == 2
+    assert ib.read_iceberg(spark, p).count() == 10
+
+
+def test_salted_join_tolerates_shared_column_names(spark, tmp_path):
+    """Review r14: both sides carrying a non-key column of the same
+    name must not crash the salted branch (the canonical reorder is
+    skipped; Spark's own duplicate handling applies)."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        advisor,
+    )
+
+    fact = str(tmp_path / "shfact")
+    dim = str(tmp_path / "shdim")
+    ib.write_iceberg(
+        spark.range(30_000).select(
+            F.col("id").alias("row_id"),
+            (F.col("id") % 10).alias("k"),
+            F.lit("f").alias("tag"),
+        ).repartition(4),
+        fact,
+    )
+    ib.write_iceberg(
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit("d").alias("tag")
+        ),
+        dim,
+    )
+    for t in (fact, dim):
+        ib.write_iceberg_table_stats(spark, t)
+    joined, dec = advisor.lake_join(
+        spark, fact, dim, on="k", broadcast_threshold_bytes=1,
+        salt_buckets=4,
+    )
+    assert dec["salted"] == 4
+    assert joined.count() == 30_000  # no crash, full cardinality
+
+
+def test_merge_delete_ignores_null_keys(spark, sf_dir, tmp_path):
+    """Review r14: SQL ON/IN never match NULL — a NULL in the source
+    key must not delete NULL-keyed target rows on the eq-delete tier."""
+    docs = _docs(spark, sf_dir).limit(20).withColumn(
+        "source",
+        F.when(F.col("doc_id") < 3, F.lit(None)).otherwise(F.col("source")),
+    )
+    p = str(tmp_path / "nullk")
+    ib.write_iceberg(docs, p)
+    lq.register_lake_table("t_nullk", "iceberg", p)
+    doomed = docs.filter("doc_id IN (5, 0)").select("source")
+    doomed.createOrReplaceTempView("doomed_nullk")  # contains a NULL
+    lq.lake_sql(
+        spark,
+        "MERGE INTO t_nullk t USING doomed_nullk s ON t.source = s.source "
+        "WHEN MATCHED THEN DELETE",
+    )
+    got = ib.read_iceberg(spark, p)
+    assert got.filter("source IS NULL").count() == 3  # NULLs survive
+    assert got.filter("doc_id = 5").count() == 0  # real key deleted
+    # IN (NULL) alone is a no-op
+    lq.lake_sql(spark, "DELETE FROM t_nullk WHERE doc_id IN (NULL)")
+    assert got.count() == ib.read_iceberg(spark, p).count()
