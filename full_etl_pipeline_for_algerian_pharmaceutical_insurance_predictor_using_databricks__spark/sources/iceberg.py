@@ -4683,6 +4683,188 @@ def _land_eq_delete(
     }
 
 
+def _land_eq_deletes_df(
+    keys_df: DataFrame,
+    path: str,
+    fields: list[dict],
+    cols: list[str],
+    part_tuple: dict,
+) -> list[dict]:
+    """Distributed twin of `_land_eq_delete` (r15): the key tuples stay
+    a DataFrame end to end — EXECUTORS write the EQUALITY-delete
+    parquet file(s) through Spark's parquet writer (key columns'
+    Iceberg field-ids stamped via the `parquet.field.id` metadata
+    passthrough, exactly `_land_data`'s mechanism); the driver only
+    renames the landed files into `data/` and reads their footers for
+    record counts — O(files) metadata, never O(keys) rows.  Multiple
+    delete files per commit are spec-legal (they land in one delete
+    manifest), so this is what keeps MERGE/upsert O(changes) at 100 TB
+    WITHOUT pooling the distinct key set in driver memory: a
+    10⁸-distinct-key CDC batch never materializes as a Python list.
+    Empty input lands nothing and returns [] (callers no-op)."""
+    import pyarrow.parquet as pq
+
+    by_name = {f["name"]: f for f in fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"no column(s) {missing} in the Iceberg schema")
+    for c in cols:
+        t = by_name[c]["type"]
+        if t not in _EQ_KEY_PA_TYPES:
+            raise ValueError(
+                f"equality-delete key column {c!r}: type {t!r} unsupported"
+            )
+    fids = [by_name[c]["id"] for c in cols]
+    stamped = keys_df.select(
+        *[
+            F.col(c).alias(
+                c, metadata={"parquet.field.id": by_name[c]["id"]}
+            )
+            for c in cols
+        ]
+    )
+    staging = os.path.join(path, f"_staging-eq-{uuid.uuid4().hex}")
+    stamped.write.mode("overwrite").parquet(staging)
+    out: list[dict] = []
+    for dirpath, _dirs, files in sorted(os.walk(staging)):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, fname)
+            n = int(pq.read_metadata(src).num_rows)
+            if n == 0:
+                continue  # empty part file: committing it bloats manifests
+            new = f"{uuid.uuid4().hex}-eq-deletes.parquet"
+            dest = os.path.join(path, "data", new)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(src, dest)
+            out.append(
+                {
+                    "content": 2,
+                    "file_path": _file_uri(path, f"data/{new}"),
+                    "file_format": "PARQUET",
+                    "partition": dict(part_tuple),
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(dest),
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "split_offsets": None,
+                    "equality_ids": list(fids),
+                }
+            )
+    shutil.rmtree(staging)
+    return out
+
+
+def _eq_delete_ctx(path: str, partition_scope: dict | None):
+    """Shared preamble for equality-delete commits: resolve where the
+    delete must be STORED per the spec's scoping rule — global deletes
+    on a partitioned table under an unpartitioned spec (appended
+    metadata-only when absent), partition-scoped ones under the
+    default spec with the target tuple.  Returns
+    (meta0, fields, eq_spec, eq_sid, part_tuple)."""
+    meta0 = current_metadata(path)
+    if meta0 is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    fields = _schema_of(meta0)
+    spec = _spec_of(meta0)
+    spec_sid = _default_spec_id(meta0)
+    part_tuple: dict = {}
+    if spec and partition_scope is not None:
+        # Partition-SCOPED delete: stored under the (partitioned)
+        # default spec with the target partition tuple — readers apply
+        # it only to data files in that partition (still seq-gated).
+        names = [pf["name"] for pf in spec]
+        if set(partition_scope) != set(names):
+            raise ValueError(
+                f"partition_scope keys {sorted(partition_scope)} != "
+                f"partition fields {names}"
+            )
+        eq_spec, eq_sid = spec, spec_sid
+        part_tuple = {n: partition_scope[n] for n in names}
+    elif spec:
+        # Partitioned table, GLOBAL delete: stored under an
+        # unpartitioned spec so readers apply it to every data file
+        # with a strictly-lower sequence number regardless of
+        # partition.
+        eq_spec = []
+        eq_sid = _ensure_unpartitioned_spec(path)
+        meta0 = current_metadata(path)  # re-read: spec list grew
+    else:
+        if partition_scope is not None:
+            raise ValueError("partition_scope on an unpartitioned table")
+        eq_spec, eq_sid = spec, spec_sid
+    return meta0, fields, eq_spec, eq_sid, part_tuple
+
+
+def _commit_eq_deletes(
+    path: str, fields: list[dict], eq_spec: list[dict], eq_sid: int,
+    recs: list[dict],
+) -> int:
+    """Commit a set of landed equality-delete data_file records as one
+    `delete` snapshot (carrying every prior manifest forward)."""
+    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+
+    def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
+        if base is None:
+            raise FileNotFoundError(f"no Iceberg metadata under {path}")
+        prev = _snapshot(base, None)
+        mfs = _read_manifest_list(path, prev) if prev is not None else []
+        del_mf = _write_manifest(
+            path,
+            [
+                {"status": 1, "snapshot_id": snapshot_id, "data_file": r}
+                for r in recs
+            ],
+            snapshot_id,
+            fields,
+            eq_spec,
+            schema_json,
+            fv=fv,
+            content="deletes",
+            seq=seq,
+            spec_id=eq_sid,
+        )
+        return list(mfs) + [del_mf]
+
+    return _commit_snapshot(
+        path, "delete", build, format_version=2, expect_schema=fields
+    )
+
+
+def delete_eq_iceberg_df(
+    spark: SparkSession,
+    keys_df: DataFrame,
+    path: str,
+    cols: list[str],
+    partition_scope: dict | None = None,
+) -> int:
+    """DataFrame twin of `delete_eq_iceberg` — the scale path for
+    MERGE-sized key sets: the distinct key tuples are landed as
+    equality-delete parquet BY THE EXECUTORS (`_land_eq_deletes_df`)
+    and never pooled on the driver, so the commit is O(delete files)
+    in driver memory at any batch size.  Same spec semantics as the
+    list variant (global deletes under an unpartitioned spec,
+    seq-gated application, v1→v2 upgrade).  NULL-key handling is the
+    CALLER's contract: the eq-delete read side matches null-safely, so
+    SQL dispatchers (`ON t.k = s.k` / `IN` never match NULL) must
+    filter null key tuples before calling — a distributed `WHERE k IS
+    NOT NULL`, not a collect.  An empty key frame is a no-op returning
+    the current snapshot id."""
+    meta0, fields, eq_spec, eq_sid, part_tuple = _eq_delete_ctx(
+        path, partition_scope
+    )
+    recs = _land_eq_deletes_df(
+        keys_df.select(*cols).distinct(), path, fields, cols, part_tuple
+    )
+    if not recs:
+        snap = _snapshot(meta0, None)
+        return int(snap["snapshot-id"]) if snap else 0
+    return _commit_eq_deletes(path, fields, eq_spec, eq_sid, recs)
+
+
 def delete_eq_iceberg(
     path: str,
     cols: list[str],
@@ -4703,66 +4885,17 @@ def delete_eq_iceberg(
     unpartitioned scope per the spec, so partitioned tables refuse
     loudly rather than mis-scope.  The reference's managed-table sink
     (ingestion notebook `saveAsTable`, ING:211) has no row-level
-    maintenance; this is its scale-path extension."""
-    meta0 = current_metadata(path)
-    fields = _schema_of(meta0)
-    spec = _spec_of(meta0)
-    spec_sid = _default_spec_id(meta0)
-    part_tuple: dict = {}
-    if spec and partition_scope is not None:
-        # Partition-SCOPED delete: stored under the (partitioned)
-        # default spec with the target partition tuple — readers apply
-        # it only to data files in that partition (still seq-gated).
-        # The CDC shape when the upsert stream is itself partitioned.
-        names = [pf["name"] for pf in spec]
-        if set(partition_scope) != set(names):
-            raise ValueError(
-                f"partition_scope keys {sorted(partition_scope)} != "
-                f"partition fields {names}"
-            )
-        eq_spec, eq_sid = spec, spec_sid
-        part_tuple = {n: partition_scope[n] for n in names}
-    elif spec:
-        # Partitioned table, GLOBAL delete: the spec's scoping rule
-        # says it must be STORED under an unpartitioned spec — ensure
-        # one exists in `partition-specs` (metadata-only; the default
-        # spec is untouched) and land the delete manifest under it
-        # with an empty partition tuple.  Readers then apply it to
-        # every data file with a strictly-lower sequence number
-        # regardless of partition — the Flink-CDC upsert shape on a
-        # partitioned table, still O(keys).
-        eq_spec: list[dict] = []
-        eq_sid = _ensure_unpartitioned_spec(path)
-        meta0 = current_metadata(path)  # re-read: spec list grew
-    else:
-        if partition_scope is not None:
-            raise ValueError("partition_scope on an unpartitioned table")
-        eq_spec, eq_sid = spec, spec_sid
-    rec = _land_eq_delete(path, fields, cols, keys, part_tuple)
-    schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
+    maintenance; this is its scale-path extension.
 
-    def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
-        if base is None:
-            raise FileNotFoundError(f"no Iceberg metadata under {path}")
-        prev = _snapshot(base, None)
-        mfs = _read_manifest_list(path, prev) if prev is not None else []
-        del_mf = _write_manifest(
-            path,
-            [{"status": 1, "snapshot_id": snapshot_id, "data_file": rec}],
-            snapshot_id,
-            fields,
-            eq_spec,
-            schema_json,
-            fv=fv,
-            content="deletes",
-            seq=seq,
-            spec_id=eq_sid,
-        )
-        return list(mfs) + [del_mf]
-
-    return _commit_snapshot(
-        path, "delete", build, format_version=2, expect_schema=fields
+    This list-shaped API is for CDC-SIZED key sets (the keys are
+    already a Python list); MERGE-sized sets use the DataFrame twin
+    `delete_eq_iceberg_df`, whose landing never transits the
+    driver."""
+    _meta0, fields, eq_spec, eq_sid, part_tuple = _eq_delete_ctx(
+        path, partition_scope
     )
+    rec = _land_eq_delete(path, fields, cols, keys, part_tuple)
+    return _commit_eq_deletes(path, fields, eq_spec, eq_sid, [rec])
 
 
 def upsert_iceberg(
@@ -4777,11 +4910,16 @@ def upsert_iceberg(
     so there is no window where a reader can observe the keys deleted
     but not yet re-inserted, which the two-commit delete-then-append
     shape cannot guarantee.  O(changes): no data file is read or
-    rewritten, the delete file is O(keys).  Keys absent from the
+    rewritten, the delete files are O(keys).  Keys absent from the
     table simply insert (their delete tuples match nothing).  A v1
     table upgrades to format-version 2; partitioned tables store the
     delete under an unpartitioned (global) spec per the scoping
-    rule."""
+    rule.
+
+    r15: the distinct key set is landed as equality-delete parquet BY
+    THE EXECUTORS (`_land_eq_deletes_df`) — it never pools in driver
+    memory as a Python list, so a 10⁸-distinct-key batch upserts with
+    the driver handling only O(files) metadata."""
     meta0 = current_metadata(path)
     if meta0 is None:
         raise FileNotFoundError(f"no Iceberg metadata under {path}")
@@ -4799,14 +4937,13 @@ def upsert_iceberg(
         eq_sid = _ensure_unpartitioned_spec(path)
     else:
         eq_spec, eq_sid = spec, spec_sid
-    key_rows = [
-        tuple(r) for r in df.select(*keys).distinct().collect()
-    ]
-    if not key_rows:
+    data_files = _land_data(df, path, spec, fields)
+    if not data_files:  # empty update frame: no-op
         snap = _snapshot(meta0, None)
         return int(snap["snapshot-id"]) if snap else 0
-    data_files = _land_data(df, path, spec, fields)
-    eq_rec = _land_eq_delete(path, fields, keys, key_rows, {})
+    eq_recs = _land_eq_deletes_df(
+        df.select(*keys).distinct(), path, fields, keys, {}
+    )
     schema_json = {"type": "struct", "schema-id": 0, "fields": fields}
 
     def build(base: dict | None, snapshot_id: int, seq: int, fv: int):
@@ -4825,7 +4962,10 @@ def upsert_iceberg(
         )
         del_mf = _write_manifest(
             path,
-            [{"status": 1, "snapshot_id": snapshot_id, "data_file": eq_rec}],
+            [
+                {"status": 1, "snapshot_id": snapshot_id, "data_file": r}
+                for r in eq_recs
+            ],
             snapshot_id, fields, eq_spec, schema_json,
             fv=fv, content="deletes", seq=seq, spec_id=eq_sid,
         )

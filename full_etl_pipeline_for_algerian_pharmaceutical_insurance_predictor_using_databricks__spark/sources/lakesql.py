@@ -477,24 +477,16 @@ def _exec_merge(spark: SparkSession, m: re.Match) -> DataFrame:
 
         if is_delete:
             # SQL `ON t.k = s.k` never matches NULL, but the eq-delete
-            # read side matches null-safely — drop NULL key tuples so
-            # both tiers give the standard answer
-            key_rows = [
-                t
-                for t in (
-                    tuple(r)
-                    for r in src.select(*keys).distinct().collect()
-                )
-                if all(v is not None for v in t)
-            ]
-            if not key_rows:  # all-NULL source keys: SQL no-op
-                meta = ib.current_metadata(path)
-                snap0 = ib._snapshot(meta, None)
-                return _dml_result(
-                    spark, "MERGE DELETE", target,
-                    int(snap0["snapshot-id"]) if snap0 else 0,
-                )
-            snap = ib.delete_eq_iceberg(path, keys, key_rows)
+            # read side matches null-safely — drop NULL key tuples
+            # with a DISTRIBUTED filter (never a collect: the key set
+            # stays a DataFrame into the executor-side landing, r15);
+            # an all-NULL/empty key frame no-ops inside the helper
+            nn = F.lit(True)
+            for k in keys:
+                nn = nn & F.col(k).isNotNull()
+            snap = ib.delete_eq_iceberg_df(
+                spark, src.select(*keys).where(nn), path, keys
+            )
             return _dml_result(spark, "MERGE DELETE", target, snap)
         snap = ib.upsert_iceberg(spark, src, path, keys)
         return _dml_result(spark, "MERGE", target, snap)

@@ -1709,6 +1709,91 @@ def test_upsert_iceberg_refuses_schema_mismatch(spark, tmp_path):
         )
 
 
+def test_upsert_iceberg_large_batch_distributed_landing(spark, tmp_path):
+    """r15 scale pin: a ≥10⁵-distinct-key upsert lands its equality
+    delete WITHOUT pooling the key set on the driver — the landing is
+    a distributed Spark write (possibly several eq-delete files per
+    commit, spec-legal), and the result is still row-exact."""
+    path = os.path.join(tmp_path, "t")
+    base = spark.range(0, 120_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("lang"),
+        (F.col("id") * 10).alias("v"),
+    )
+    ib.write_iceberg(base.repartition(8), path, format_version=2)
+    # replace every even key, insert 5k new keys — >100k distinct keys
+    ups = spark.range(0, 120_000, 2).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("lang"),
+        (F.col("id") * 10 + 1).alias("v"),
+    ).unionByName(
+        spark.range(1_000_000, 1_005_000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("x").alias("lang"),
+            F.lit(-1).cast("bigint").alias("v"),
+        )
+    ).repartition(8)
+    ib.upsert_iceberg(spark, ups, path, ["doc_id"])
+    got = ib.read_iceberg(spark, path)
+    assert got.count() == 125_000
+    chk = got.agg(
+        F.sum(
+            F.when(
+                (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 120_000),
+                F.col("v") - F.col("doc_id") * 10,
+            ).otherwise(F.lit(0))
+        ).alias("even_delta"),
+        F.sum(F.when(F.col("doc_id") >= 1_000_000, 1).otherwise(0)).alias(
+            "n_new"
+        ),
+    ).first()
+    # every even pre-existing row carries the +1 post-image
+    assert chk["even_delta"] == 60_000
+    assert chk["n_new"] == 5_000
+
+
+def test_upsert_and_merge_sql_path_never_collect_keys():
+    """Grep-assertable r15 pin: neither `upsert_iceberg` nor the SQL
+    MERGE dispatcher materializes the key set with .collect() — the
+    eq-delete landing is executor-side (`_land_eq_deletes_df`)."""
+    import inspect
+
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        lakesql,
+    )
+
+    for fn in (
+        ib.upsert_iceberg,
+        ib.delete_eq_iceberg_df,
+        ib._land_eq_deletes_df,
+        lakesql._exec_merge,
+    ):
+        assert ".collect(" not in inspect.getsource(fn), fn.__name__
+
+
+def test_delete_eq_iceberg_df_matches_list_variant(spark, tmp_path):
+    """The DataFrame twin removes exactly the keyed rows (no-op on an
+    empty frame) and composes with the strictly-below sequence rule
+    like the list variant."""
+    path = os.path.join(tmp_path, "t")
+    ib.write_iceberg(_df(spark, 0, 20).repartition(3), path,
+                     format_version=2)
+    snap0 = ib.delete_eq_iceberg_df(
+        spark,
+        spark.range(0, 0).select(F.col("id").alias("doc_id")),
+        path, ["doc_id"],
+    )  # empty: no-op, returns current snapshot
+    assert snap0 == int(ib.iceberg_snapshots(path)[-1]["snapshot_id"])
+    keys = spark.createDataFrame([(3,), (7,), (11,)], "doc_id bigint")
+    ib.delete_eq_iceberg_df(spark, keys, path, ["doc_id"])
+    got = {r["doc_id"] for r in ib.read_iceberg(spark, path).collect()}
+    assert got == set(range(20)) - {3, 7, 11}
+    # rows re-appended AFTER the delete survive (seq gating)
+    ib.write_iceberg(_df(spark, 7, 8, tag=5), path, mode="append")
+    got2 = {r["doc_id"] for r in ib.read_iceberg(spark, path).collect()}
+    assert got2 == (set(range(20)) - {3, 11})
+
+
 # --------------------------------------------------------------------------
 # v3 default values on added columns
 # --------------------------------------------------------------------------
