@@ -244,6 +244,8 @@ _TAIL_ORDER = [
     "lake_sql_maintenance",
     "lake_sql_cdf_restore",
     "lake_convert_in_place",
+    "lake_delta_delete_pred_sql",
+    "lake_iceberg_update_pred_sql",
     # rows-only: recall/error-bound/determinism-tested in pytest
     "retrieval_hybrid_rrf_serving",
     "events_approx_distinct_users",
@@ -402,6 +404,10 @@ def _pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool["lake_sql_maintenance"] = _lakesql.sql_maintenance_entry
     pool["lake_sql_cdf_restore"] = _lakesql.sql_cdf_restore_entry
     pool["lake_convert_in_place"] = _lakesql.convert_in_place_entry
+    pool["lake_delta_delete_pred_sql"] = _lakesql.delta_delete_pred_sql_entry
+    pool["lake_iceberg_update_pred_sql"] = (
+        _lakesql.iceberg_update_pred_sql_entry
+    )
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )
@@ -519,6 +525,12 @@ def oracle_sql() -> dict[str, str]:
     pool["lake_sql_maintenance"] = _lakesql.SQL_MAINTENANCE_ORACLE_SQL
     pool["lake_sql_cdf_restore"] = _lakesql.SQL_CDF_RESTORE_ORACLE_SQL
     pool["lake_convert_in_place"] = _lakesql.CONVERT_IN_PLACE_ORACLE_SQL
+    pool["lake_delta_delete_pred_sql"] = (
+        _lakesql.DELTA_DELETE_PRED_SQL_ORACLE_SQL
+    )
+    pool["lake_iceberg_update_pred_sql"] = (
+        _lakesql.ICEBERG_UPDATE_PRED_SQL_ORACLE_SQL
+    )
     from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
         lakeview as _lakeview,
     )

@@ -166,6 +166,8 @@ HEADLINE = [
     "lake_sql_maintenance",
     "lake_sql_cdf_restore",
     "lake_convert_in_place",
+    "lake_delta_delete_pred_sql",
+    "lake_iceberg_update_pred_sql",
 ]
 
 #: Entries whose plans span dozens of codegen stages (banding joins,
@@ -238,6 +240,8 @@ HEAVY_WARMUPS = {
     "lake_sql_maintenance": 2,
     "lake_sql_cdf_restore": 2,
     "lake_convert_in_place": 2,
+    "lake_delta_delete_pred_sql": 2,
+    "lake_iceberg_update_pred_sql": 2,
 }
 
 #: KMeans-family + iterative entries whose single-run walls bounce

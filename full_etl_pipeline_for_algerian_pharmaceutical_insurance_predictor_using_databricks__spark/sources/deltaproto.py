@@ -2070,6 +2070,126 @@ def _current_protocol(path: str) -> dict:
     return proto
 
 
+class _RangeDmlPred:
+    """Row-level-DML predicate carrier, range shape (the r11 fast
+    path, byte-compatible with the original delete/update helpers):
+    Catalyst owns row truth, add-action stats own file pruning, and
+    the conflict read-scope is the same range descriptor the pruning
+    used."""
+
+    def __init__(self, col: str, lo, hi):
+        self.col, self.lo, self.hi = col, lo, hi
+        self.text = f"{col} BETWEEN {lo!r} AND {hi!r}"
+        self.scan_prune = False
+
+    def cond(self):
+        return F.col(self.col).between(self.lo, self.hi)
+
+    def not_cond(self):
+        return F.col(self.col).isNull() | ~F.col(self.col).between(
+            self.lo, self.hi
+        )
+
+    def touches(self, add: dict, part_cols: list[str], mapping: dict) -> bool:
+        return not (
+            _add_outside_range(add, part_cols, self.col, self.lo, self.hi)
+            and _add_outside_range(
+                add,
+                [mapping.get(c, c) for c in part_cols],
+                mapping.get(self.col, self.col),
+                self.lo,
+                self.hi,
+            )
+        )
+
+    def scope(self, part_cols: list[str], mapping: dict):
+        return {
+            "part_cols": part_cols, "col": self.col,
+            "lo": self.lo, "hi": self.hi,
+            "phys_part": [mapping.get(c, c) for c in part_cols],
+            "phys_col": mapping.get(self.col, self.col),
+        }
+
+
+def _add_colinfo(add: dict, part_cols: list[str], mapping: dict):
+    """`predicates.may_match` column-info view of ONE add action:
+    partition values (looked up physical-first like the reader) are
+    point intervals; otherwise the stats JSON's minValues / maxValues /
+    nullCount.  Missing information answers None — the analyzer stays
+    conservative."""
+    pv = add.get("partitionValues") or {}
+    try:
+        st = json.loads(add["stats"]) if add.get("stats") else {}
+    except (ValueError, TypeError):
+        st = {}
+    mins = st.get("minValues") or {}
+    maxs = st.get("maxValues") or {}
+    nulls = st.get("nullCount") or {}
+    nrec = st.get("numRecords")
+
+    def colinfo(col: str):
+        phys = mapping.get(col, col)
+        if col in part_cols or phys in part_cols:
+            if phys in pv or col in pv:
+                v = pv.get(phys, pv.get(col))
+                if v is None:
+                    return (None, None, True, True)
+                return (v, v, False, False)
+            return None
+        mn = mins.get(col, mins.get(phys))
+        mx = maxs.get(col, maxs.get(phys))
+        nc = nulls.get(col, nulls.get(phys))
+        has_null = (nc > 0) if isinstance(nc, (int, float)) else None
+        all_null = (
+            (nc == nrec)
+            if isinstance(nc, (int, float)) and isinstance(nrec, (int, float))
+            else None
+        )
+        if mn is None and mx is None and has_null is None:
+            return None
+        return (mn, mx, has_null, all_null)
+
+    return colinfo
+
+
+class _SqlDmlPred:
+    """General-predicate carrier (r15): any Catalyst-parseable WHERE
+    text.  Row truth is `F.expr(text)` — never re-implemented; file
+    pruning is the `predicates` module's interval walk over the same
+    add-action stats the range path uses (an untokenizable text just
+    prunes nothing).  `scan_prune=True` asks the rewrite path to
+    narrow the stats candidates by one distributed scan — the
+    matched-FILE set (O(matched files), metadata-sized) is all that
+    returns to the driver.  The conflict read-scope is the whole
+    table: a concurrent append can land rows matching an arbitrary
+    predicate anywhere, so anything narrower would be unsound."""
+
+    def __init__(self, text: str):
+        from . import predicates
+
+        self.text = text.strip()
+        self._ast = predicates.parse_predicate(self.text)
+        self.scan_prune = True
+
+    def cond(self):
+        return F.expr(self.text)
+
+    def not_cond(self):
+        return ~F.coalesce(F.expr(self.text), F.lit(False))
+
+    def touches(self, add: dict, part_cols: list[str], mapping: dict) -> bool:
+        if self._ast is None:
+            return True
+        from . import predicates
+
+        return predicates.may_match(
+            self._ast, _add_colinfo(add, part_cols, mapping)
+        )
+
+    def scope(self, part_cols: list[str], mapping: dict):
+        return "table"
+
+
 def delete_where_delta(
     spark: SparkSession, path: str, col: str, lo, hi, strategy: str = "rewrite"
 ) -> int:
@@ -2095,6 +2215,44 @@ def delete_where_delta(
     configuration — ``delta.enableDeletionVectors=true`` picks the DV
     shape, exactly delta-spark's rule — without the caller folding the
     log a second time to peek."""
+    return _delete_delta_pred(spark, path, _RangeDmlPred(col, lo, hi), strategy)
+
+
+def delete_predicate_delta(
+    spark: SparkSession, path: str, predicate: str, strategy: str = "auto"
+) -> int:
+    """`DELETE FROM delta_table WHERE <any predicate>` (r15) — the
+    general-WHERE twin of `delete_where_delta`: strict `<`/`>`,
+    multi-column conjunctions, `OR`, `IS [NOT] NULL`, `IN`, and any
+    other Catalyst-parseable boolean text.  Row truth is Catalyst's
+    (`F.expr`); file selection is two-tier — the `predicates` interval
+    walk over add-action stats first (sound, prunes whatever the
+    statistics can prove disjoint, including through OR/NOT), then ONE
+    distributed scan of the surviving candidates narrows the rewrite
+    to files that actually hold a matching row (the matched-file set
+    is O(matched files), metadata-sized).  Same commit shapes, CDF
+    feed, and row-tracking carry rules as the range path; the conflict
+    read-scope is the whole table (an arbitrary predicate can match a
+    row appended anywhere, so anything narrower would be unsound)."""
+    return _delete_delta_pred(spark, path, _SqlDmlPred(predicate), strategy)
+
+
+def _scan_prune_tails(old_rows: DataFrame, pred) -> set[str]:
+    """File-name tails of candidate files that actually contain a
+    matching row — ONE distributed aggregation; only the matched-file
+    NAMES return to the driver."""
+    return {
+        r[0]
+        for r in old_rows.filter(pred.cond())
+        .select(_DP_FILE)
+        .distinct()
+        .collect()
+    }
+
+
+def _delete_delta_pred(
+    spark: SparkSession, path: str, pred, strategy: str
+) -> int:
     if strategy not in ("rewrite", "dv", "auto"):
         raise ValueError(f"unknown delete strategy {strategy!r}")
     meta, live, _v = _fold_delta_state(spark, path, None)
@@ -2114,31 +2272,41 @@ def delete_where_delta(
     mapping = _column_mapping(meta)
     part_cols = list(meta.get("partitionColumns") or [])
     # mapped tables: stats/partitionValues key on PHYSICAL names —
-    # prune in both namespaces (conservative union), like the reader
-    phys_part = [mapping.get(c, c) for c in part_cols]
-    phys_col = mapping.get(col, col)
+    # the pred prunes in both namespaces (conservative union)
     touched = {
-        f: a
-        for f, a in live.items()
-        if not (
-            _add_outside_range(a, part_cols, col, lo, hi)
-            and _add_outside_range(a, phys_part, phys_col, lo, hi)
-        )
+        f: a for f, a in live.items() if pred.touches(a, part_cols, mapping)
     }
     vs = delta_versions(path)
     if not touched:
         return vs[-1]
     if strategy == "dv":
         return _delete_where_delta_dv(
-            spark, path, meta, touched, part_cols, col, lo, hi,
+            spark, path, meta, touched, part_cols, pred,
             read_version=_v,
         )
     rt_cols = _rt_materialized_cols(meta)
     old_rows = _read_adds(
-        spark, path, meta, touched, row_tracking=bool(rt_cols)
+        spark, path, meta, touched, row_tracking=bool(rt_cols),
+        keep_file=pred.scan_prune,
     )
-    kept = old_rows.filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
-    dropped = old_rows.filter(F.col(col).between(lo, hi))
+    if pred.scan_prune:
+        # general predicates: stats may not have pruned at all — one
+        # scan of the candidates finds the files that actually hold a
+        # match, so the rewrite stays O(matching files)
+        old_rows = old_rows.localCheckpoint(eager=True)
+        hit = _scan_prune_tails(old_rows, pred)
+        touched = {
+            f: a for f, a in touched.items()
+            if f.rsplit("/", 1)[-1] in hit
+        }
+        if not touched:
+            return vs[-1]
+        tails = sorted(hit)
+        old_rows = old_rows.filter(F.col(_DP_FILE).isin(tails)).drop(
+            _DP_FILE
+        )
+    kept = old_rows.filter(pred.not_cond())
+    dropped = old_rows.filter(pred.cond())
     if rt_cols:
         # copy-on-write under row tracking: surviving rows carry their
         # ids and commit versions into the rewritten files as the
@@ -2157,9 +2325,7 @@ def delete_where_delta(
                 "commitInfo": {
                     "timestamp": now_ms,
                     "operation": "DELETE",
-                    "operationParameters": {
-                        "predicate": f"{col} BETWEEN {lo!r} AND {hi!r}"
-                    },
+                    "operationParameters": {"predicate": pred.text},
                     "engineInfo": "sparkgraft-deltaproto/1.0",
                 }
             }
@@ -2195,12 +2361,9 @@ def delete_where_delta(
                 }
             )
         )
-    _scope = {
-        "part_cols": part_cols, "col": col, "lo": lo, "hi": hi,
-        "phys_part": phys_part, "phys_col": phys_col,
-    }
     _v_new = _claim_delta_version(
-        path, lines, read_version=_v, read_scope=_scope
+        path, lines, read_version=_v,
+        read_scope=pred.scope(part_cols, mapping),
     )
     _maybe_auto_checkpoint(spark, path, _v_new)
     return _v_new
@@ -2212,9 +2375,7 @@ def _delete_where_delta_dv(
     meta: dict,
     touched: dict,
     part_cols: list[str],
-    col: str,
-    lo,
-    hi,
+    pred,
     read_version: int | None = None,
     set_exprs: dict[str, str] | None = None,
 ) -> int:
@@ -2277,7 +2438,7 @@ def _delete_where_delta_dv(
     scan = frames[0]
     for df in frames[1:]:
         scan = scan.unionByName(df)
-    matches = scan.filter(F.col(col).between(lo, hi))
+    matches = scan.filter(pred.cond())
     # rows already hidden by an existing DV must not re-delete (or
     # re-appear in the change feed); old DVs are expanded to position
     # rows ON EXECUTORS (mapInPandas over the KB-scale descriptors) so
@@ -2379,9 +2540,7 @@ def _delete_where_delta_dv(
                 "commitInfo": {
                     "timestamp": now_ms,
                     "operation": "DELETE" if set_exprs is None else "UPDATE",
-                    "operationParameters": {
-                        "predicate": f"{col} BETWEEN {lo!r} AND {hi!r}"
-                    },
+                    "operationParameters": {"predicate": pred.text},
                     "engineInfo": "sparkgraft-deltaproto/1.0",
                 }
             }
@@ -2452,13 +2611,9 @@ def _delete_where_delta_dv(
                 }
             )
         )
-    _scope = {
-        "part_cols": part_cols, "col": col, "lo": lo, "hi": hi,
-        "phys_part": [mapping.get(c, c) for c in log_part],
-        "phys_col": mapping.get(col, col),
-    }
     _v_new = _claim_delta_version(
-        path, lines, read_version=read_version, read_scope=_scope
+        path, lines, read_version=read_version,
+        read_scope=pred.scope(part_cols, mapping),
     )
     _maybe_auto_checkpoint(spark, path, _v_new)
     return _v_new
@@ -2641,6 +2796,36 @@ def update_where_delta(
     ``strategy="auto"`` resolves from the table's own configuration
     (DV property set AND not row-tracked → dv, else rewrite) in the
     single log fold this commit already pays."""
+    return _update_delta_pred(
+        spark, path, set_exprs, _RangeDmlPred(col, lo, hi), strategy
+    )
+
+
+def update_predicate_delta(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+    strategy: str = "auto",
+) -> int:
+    """`UPDATE ... SET ... WHERE <any predicate>` (r15) — the
+    general-WHERE twin of `update_where_delta`: same two-tier file
+    selection as `delete_predicate_delta` (interval walk over
+    add-action stats, then one distributed scan narrowing to files
+    that actually hold a match), same commit shapes / CDF feed /
+    row-tracking rules, whole-table conflict scope."""
+    return _update_delta_pred(
+        spark, path, set_exprs, _SqlDmlPred(predicate), strategy
+    )
+
+
+def _update_delta_pred(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    pred,
+    strategy: str,
+) -> int:
     if strategy not in ("rewrite", "dv", "auto"):
         raise ValueError(f"unknown update strategy {strategy!r}")
     meta, live, _v = _fold_delta_state(spark, path, None)
@@ -2667,15 +2852,8 @@ def update_where_delta(
     phys_to_log = {v: k for k, v in mapping.items()}
     if set(set_exprs) & {phys_to_log.get(c, c) for c in part_cols}:
         raise ValueError("cannot UPDATE a partition column")
-    phys_part = [mapping.get(c, c) for c in part_cols]
-    phys_col = mapping.get(col, col)
     touched = {
-        f: a
-        for f, a in live.items()
-        if not (
-            _add_outside_range(a, part_cols, col, lo, hi)
-            and _add_outside_range(a, phys_part, phys_col, lo, hi)
-        )
+        f: a for f, a in live.items() if pred.touches(a, part_cols, mapping)
     }
     vs = delta_versions(path)
     if not touched:
@@ -2690,15 +2868,31 @@ def update_where_delta(
                 "default rewrite strategy"
             )
         return _delete_where_delta_dv(
-            spark, path, meta, touched, part_cols, col, lo, hi,
+            spark, path, meta, touched, part_cols, pred,
             read_version=_v, set_exprs=set_exprs,
         )
     old_rows = _read_adds(
-        spark, path, meta, touched, row_tracking=bool(rt_cols)
+        spark, path, meta, touched, row_tracking=bool(rt_cols),
+        keep_file=pred.scan_prune,
     ).localCheckpoint(eager=True)
-    cond = F.col(col).between(lo, hi)
+    if pred.scan_prune:
+        # general predicates: narrow the stats candidates to files
+        # that actually hold a match — the rewrite (and its remove
+        # set) stays O(matching files)
+        hit = _scan_prune_tails(old_rows, pred)
+        touched = {
+            f: a for f, a in touched.items()
+            if f.rsplit("/", 1)[-1] in hit
+        }
+        if not touched:
+            return vs[-1]
+        tails = sorted(hit)
+        old_rows = old_rows.filter(F.col(_DP_FILE).isin(tails)).drop(
+            _DP_FILE
+        )
+    cond = pred.cond()
     pre = old_rows.filter(cond)
-    carried = old_rows.filter(F.col(col).isNull() | ~cond)
+    carried = old_rows.filter(pred.not_cond())
     post = pre
     for c, expr in sorted(set_exprs.items()):
         post = post.withColumn(c, F.expr(expr))
@@ -2732,9 +2926,7 @@ def update_where_delta(
                 "commitInfo": {
                     "timestamp": now_ms,
                     "operation": "UPDATE",
-                    "operationParameters": {
-                        "predicate": f"{col} BETWEEN {lo!r} AND {hi!r}"
-                    },
+                    "operationParameters": {"predicate": pred.text},
                     "engineInfo": "sparkgraft-deltaproto/1.0",
                 }
             }
@@ -2768,12 +2960,9 @@ def update_where_delta(
                 }
             )
         )
-    _scope = {
-        "part_cols": part_cols, "col": col, "lo": lo, "hi": hi,
-        "phys_part": phys_part, "phys_col": phys_col,
-    }
     _v_new = _claim_delta_version(
-        path, lines, read_version=_v, read_scope=_scope
+        path, lines, read_version=_v,
+        read_scope=pred.scope(part_cols, mapping),
     )
     _maybe_auto_checkpoint(spark, path, _v_new)
     return _v_new
@@ -4329,6 +4518,7 @@ def _read_adds(
     meta: dict,
     adds: dict,
     row_tracking: bool = False,
+    keep_file: bool = False,
 ) -> DataFrame:
     """Read a set of add-actions' files with partition columns
     reconstructed and deletion vectors applied — the shared scan used
@@ -4414,7 +4604,7 @@ def _read_adds(
         df = spark.read.schema(read_schema).parquet(
             *[_abs_add_path(path, f) for f in sorted(fs)]
         )
-        if rt_cols:
+        if rt_cols or keep_file:
             df = df.withColumn(
                 _DP_FILE,
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
@@ -4434,6 +4624,8 @@ def _read_adds(
         out_cols = [f.name for f in schema.fields]
         if rt_cols:
             out_cols += [_DP_FILE, _DP_RI, *rt_cols]
+        elif keep_file:
+            out_cols += [_DP_FILE]
         frames.append(df.select(*out_cols))
     out = frames[0]
     for df in frames[1:]:
@@ -4465,6 +4657,7 @@ def _read_adds(
             )
             .select(
                 *[f.name for f in schema.fields],
+                *([_DP_FILE] if keep_file else []),
                 "_row_id",
                 "_row_commit_version",
             )

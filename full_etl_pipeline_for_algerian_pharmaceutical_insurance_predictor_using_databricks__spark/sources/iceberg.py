@@ -4149,6 +4149,175 @@ def _range_prune_ctx(meta0: dict, col: str, lo, hi, op: str) -> dict:
     }
 
 
+def _bound_to_py(ice_type: str, v):
+    """Internal bound/partition repr → a Python value `predicates`'
+    comparator can relate to SQL literals (dates become datetime.date
+    so ISO strings compare); None = incomparable, stays conservative."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if ice_type == "date" and isinstance(v, int):
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+    if ice_type in (
+        "long", "int", "float", "double", "string", "boolean"
+    ) or _dec_params(ice_type) is not None:
+        return v
+    return None
+
+
+class _IceRangePred:
+    """Range-shaped predicate carrier for Iceberg row-level DML — the
+    original `col BETWEEN lo AND hi` fast path, byte-compatible with
+    `_range_prune_ctx`'s three-tier skipping (manifest bounds,
+    partition values, monotone-transform mapping)."""
+
+    def __init__(self, meta0: dict, col: str, lo, hi, op: str):
+        ctx = _range_prune_ctx(meta0, col, lo, hi, op)
+        self.fields = ctx["fields"]
+        self.spec = ctx["spec"]
+        self.spec_sid = ctx["spec_sid"]
+        self.schema_json = ctx["schema_json"]
+        self.touches = ctx["touched_by_range"]
+        self.col, self.lo, self.hi = col, lo, hi
+        self.text = f"{col} BETWEEN {lo!r} AND {hi!r}"
+        self.scan_prune = False
+
+    def cond(self):
+        return F.col(self.col).between(self.lo, self.hi)
+
+    def not_cond(self):
+        return F.col(self.col).isNull() | ~F.col(self.col).between(
+            self.lo, self.hi
+        )
+
+
+class _IceSqlPred:
+    """General-predicate carrier for Iceberg row-level DML (r15): any
+    Catalyst-parseable WHERE text.  Row truth is `F.expr(text)`; file
+    pruning is the `predicates` interval walk over each manifest
+    entry's per-field-id bounds / null counts and identity partition
+    values (deserialized to comparable Python values — dates included).
+    `scan_prune=True` asks the copy-on-write path to narrow the stats
+    candidates with one probe scan: only the matched-file NAME set
+    (O(matched files)) returns to the driver."""
+
+    def __init__(self, meta0: dict, text: str):
+        from . import predicates as P
+
+        self._P = P
+        self.text = text.strip()
+        self._ast = P.parse_predicate(self.text)
+        self.scan_prune = True
+        self.fields = _schema_of(meta0)
+        self.spec = _spec_of(meta0)
+        self.spec_sid = _default_spec_id(meta0)
+        self.schema_json = {
+            "type": "struct", "schema-id": 0, "fields": self.fields
+        }
+        self._leaf = _struct_leaf_index({f["name"]: f for f in self.fields})
+        self._ident_pf = {}
+        for pf in self.spec:
+            kind, _prm = _parse_transform(pf.get("transform", "identity"))
+            if kind == "identity":
+                self._ident_pf[pf["source-id"]] = pf
+
+    def cond(self):
+        return F.expr(self.text)
+
+    def not_cond(self):
+        return ~F.coalesce(F.expr(self.text), F.lit(False))
+
+    def touches(self, entry: dict) -> bool:
+        if self._ast is None:
+            return True
+        df_rec = entry["data_file"]
+        lbs = _norm_id_map(df_rec.get("lower_bounds"))
+        ubs = _norm_id_map(df_rec.get("upper_bounds"))
+        vcs = df_rec.get("value_counts") or {}
+        nvs = df_rec.get("null_value_counts") or {}
+        part = df_rec.get("partition") or {}
+        in_default_spec = int(entry.get("_spec_id", 0)) == self.spec_sid
+
+        def colinfo(col: str):
+            fld = self._leaf.get(col)
+            if fld is None or not isinstance(fld["type"], str):
+                return None
+            fid, ice_type = fld["id"], fld["type"]
+            pf = self._ident_pf.get(fid)
+            if pf is not None and in_default_spec and pf["name"] in part:
+                pv = part[pf["name"]]
+                if pv is None:
+                    return (None, None, True, True)
+                b = _bound_to_py(ice_type, pv)
+                return (b, b, False, False)
+            mn = _bound_to_py(ice_type, deser_value(ice_type, lbs.get(fid)))
+            mx = _bound_to_py(ice_type, deser_value(ice_type, ubs.get(fid)))
+            nv = _count_of(nvs, fid)
+            vc = _count_of(vcs, fid)
+            has_null = (nv > 0) if nv is not None else None
+            all_null = (
+                (vc == nv) if (vc is not None and nv is not None) else None
+            )
+            if mn is None and mx is None and has_null is None:
+                return None
+            return (mn, mx, has_null, all_null)
+
+        return self._P.may_match(self._ast, colinfo)
+
+
+def _count_of(counts, fid: int):
+    """value/null count for a field id from whichever map shape the
+    manifest carried ({fid: n} or [{key,value}] avro form)."""
+    if isinstance(counts, dict):
+        v = counts.get(fid, counts.get(str(fid)))
+    elif isinstance(counts, list):
+        v = None
+        for kv in counts:
+            if int(kv.get("key")) == fid:
+                v = kv.get("value")
+                break
+    else:
+        v = None
+    return int(v) if isinstance(v, (int, float)) else None
+
+
+def _scan_prune_entries(
+    spark: SparkSession,
+    path: str,
+    base: dict,
+    touched: list[dict],
+    untouched: list[dict],
+    pos_files,
+    eq_dels,
+    dvs,
+    pred,
+):
+    """Narrow stats candidates to files that actually hold a matching
+    row: one probe scan of the candidates, only the matched-file NAME
+    set (O(matched files), metadata-sized) returns to the driver.
+    Files the probe clears move to `untouched` and keep their
+    EXISTING manifest status — never rewritten."""
+    if not (pred.scan_prune and touched):
+        return touched, untouched
+    probe = _read_entries(
+        spark, path, base, touched, pos_files, eq_dels,
+        keep_identity=True, dvs=dvs,
+    )
+    hit = {
+        r[0]
+        for r in probe.filter(pred.cond())
+        .select(_IB_FILE)
+        .distinct()
+        .collect()
+    }
+    keep, spared = [], []
+    for e in touched:
+        tail = e["data_file"]["file_path"].rsplit("/", 1)[-1]
+        (keep if tail in hit else spared).append(e)
+    return keep, untouched + spared
+
+
 def delete_where_iceberg(
     spark: SparkSession, path: str, col: str, lo, hi,
     strategy: str = "cow",
@@ -4171,13 +4340,39 @@ def delete_where_iceberg(
 
     Both run the manifest build inside the commit retry loop, so a
     racing commit can never make the remove set stale."""
+    meta0 = current_metadata(path)
+    return _delete_iceberg_pred(
+        spark, path, _IceRangePred(meta0, col, lo, hi, "DELETE"), strategy
+    )
+
+
+def delete_predicate_iceberg(
+    spark: SparkSession, path: str, predicate: str, strategy: str = "cow"
+) -> int:
+    """`DELETE FROM iceberg_table WHERE <any predicate>` (r15) — the
+    general-WHERE twin of `delete_where_iceberg`: strict `<`/`>`,
+    multi-column conjunctions, `OR`, `IS [NOT] NULL`, `IN`, any
+    Catalyst-parseable boolean text.  Row truth is Catalyst's; file
+    selection is the `predicates` interval walk over manifest bounds /
+    identity partition values / null counts, then (copy-on-write) one
+    probe scan narrows the rewrite to files actually holding a match.
+    Same snapshot shapes and retry-loop discipline as the range
+    path."""
+    meta0 = current_metadata(path)
+    if meta0 is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    return _delete_iceberg_pred(
+        spark, path, _IceSqlPred(meta0, predicate), strategy
+    )
+
+
+def _delete_iceberg_pred(
+    spark: SparkSession, path: str, pred, strategy: str
+) -> int:
     if strategy not in ("cow", "merge-on-read"):
         raise ValueError(f"unknown delete strategy {strategy!r}")
-    meta0 = current_metadata(path)
-    ctx = _range_prune_ctx(meta0, col, lo, hi, "DELETE")
-    fields, spec, spec_sid = ctx["fields"], ctx["spec"], ctx["spec_sid"]
-    schema_json = ctx["schema_json"]
-    touched_by_range = ctx["touched_by_range"]
+    fields, spec, spec_sid = pred.fields, pred.spec, pred.spec_sid
+    schema_json = pred.schema_json
 
     result = {"changed": True}
     part_names = [pf["name"] for pf in spec]
@@ -4196,7 +4391,7 @@ def delete_where_iceberg(
             live = (
                 _live_entries(path, base, prev) if prev is not None else []
             )
-            touched = [e for e in live if touched_by_range(e)]
+            touched = [e for e in live if pred.touches(e)]
             if not touched:
                 result["changed"] = False
                 return list(mfs)
@@ -4207,9 +4402,7 @@ def delete_where_iceberg(
                 spark, path, base, touched, pos_files, eq_dels,
                 keep_identity=True, dvs=dv_live,
             )
-            matches = scan.filter(F.col(col).between(lo, hi)).select(
-                _IB_FILE, _IB_POS
-            )
+            matches = scan.filter(pred.cond()).select(_IB_FILE, _IB_POS)
             if fv >= 3:
                 # v3: position-delete parquet may not be written —
                 # matched positions become deletion vectors, merged
@@ -4264,8 +4457,12 @@ def delete_where_iceberg(
         live = (
             _live_entries(path, base, prev) if prev is not None else []
         )
-        touched = [e for e in live if touched_by_range(e)]
-        untouched = [e for e in live if not touched_by_range(e)]
+        touched = [e for e in live if pred.touches(e)]
+        untouched = [e for e in live if not pred.touches(e)]
+        touched, untouched = _scan_prune_entries(
+            spark, path, base, touched, untouched, pos_files, eq_dels,
+            _dvs, pred,
+        )
         if not touched:
             result["changed"] = False
         rewritten: list[dict] = []
@@ -4284,9 +4481,7 @@ def delete_where_iceberg(
                 old_rows = _read_entries(
                     spark, path, base, touched, pos_files, eq_dels
                 )
-            kept_rows = old_rows.filter(
-                F.col(col).isNull() | ~F.col(col).between(lo, hi)
-            )
+            kept_rows = old_rows.filter(pred.not_cond())
             rewritten = _land_data(kept_rows, path, spec, fields)
         entries = (
             [
@@ -4365,15 +4560,46 @@ def update_where_iceberg(
     row UPDATE), SET on a non-top-level column, unknown columns.  The
     manifest build runs inside the commit retry loop, so a racing
     commit can never make the remove set stale."""
-    if strategy not in ("cow", "merge-on-read"):
-        raise ValueError(f"unknown update strategy {strategy!r}")
     meta0 = current_metadata(path)
     if meta0 is None:
         raise FileNotFoundError(f"no Iceberg metadata under {path}")
-    ctx = _range_prune_ctx(meta0, col, lo, hi, "UPDATE")
-    fields, spec, spec_sid = ctx["fields"], ctx["spec"], ctx["spec_sid"]
-    schema_json = ctx["schema_json"]
-    touched_by_range = ctx["touched_by_range"]
+    return _update_iceberg_pred(
+        spark, path, set_exprs,
+        _IceRangePred(meta0, col, lo, hi, "UPDATE"), strategy,
+    )
+
+
+def update_predicate_iceberg(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+    strategy: str = "cow",
+) -> int:
+    """`UPDATE ... SET ... WHERE <any predicate>` (r15) — the
+    general-WHERE twin of `update_where_iceberg`: same `predicates`
+    interval pruning + copy-on-write probe-scan narrowing as
+    `delete_predicate_iceberg`, same snapshot shapes / SET refusals /
+    v3 lineage carry rules as the range path."""
+    meta0 = current_metadata(path)
+    if meta0 is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    return _update_iceberg_pred(
+        spark, path, set_exprs, _IceSqlPred(meta0, predicate), strategy
+    )
+
+
+def _update_iceberg_pred(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    pred,
+    strategy: str,
+) -> int:
+    if strategy not in ("cow", "merge-on-read"):
+        raise ValueError(f"unknown update strategy {strategy!r}")
+    fields, spec, spec_sid = pred.fields, pred.spec, pred.spec_sid
+    schema_json = pred.schema_json
     top = {f["name"] for f in fields}
     unknown = set(set_exprs) - top
     if unknown:
@@ -4409,12 +4635,12 @@ def update_where_iceberg(
             live = (
                 _live_entries(path, base, prev) if prev is not None else []
             )
-            touched = [e for e in live if touched_by_range(e)]
+            touched = [e for e in live if pred.touches(e)]
             if not touched:
                 result["changed"] = False
                 return list(mfs)
             pos_files, eq_dels, dv_live = _delete_files(path, mfs)
-            cond = F.col(col).between(lo, hi)
+            cond = pred.cond()
             scan = _read_entries(
                 spark, path, base, touched, pos_files, eq_dels,
                 keep_identity=True, dvs=dv_live,
@@ -4498,8 +4724,12 @@ def update_where_iceberg(
         live = (
             _live_entries(path, base, prev) if prev is not None else []
         )
-        touched = [e for e in live if touched_by_range(e)]
-        untouched = [e for e in live if not touched_by_range(e)]
+        touched = [e for e in live if pred.touches(e)]
+        untouched = [e for e in live if not pred.touches(e)]
+        touched, untouched = _scan_prune_entries(
+            spark, path, base, touched, untouched, pos_files, eq_dels,
+            _dvs, pred,
+        )
         if not touched:
             result["changed"] = False
         rewritten: list[dict] = []
@@ -4515,8 +4745,8 @@ def update_where_iceberg(
                 old_rows = _read_entries(
                     spark, path, base, touched, pos_files, eq_dels
                 )
-            cond = F.col(col).between(lo, hi)
-            carried = old_rows.filter(F.col(col).isNull() | ~cond)
+            cond = pred.cond()
+            carried = old_rows.filter(pred.not_cond())
             post = old_rows.filter(cond)
             for c, expr in sorted(set_exprs.items()):
                 post = post.withColumn(

@@ -529,27 +529,33 @@ def _iceberg_write_mode(path: str, op: str) -> str:
 def _exec_delete(spark: SparkSession, m: re.Match) -> DataFrame:
     target = m.group("t")
     fmt, path = lake_table_location(target)
-    shape = _parse_range_pred(m.group("pred"))
+    pred_text = m.group("pred").strip()
+    try:
+        shape = _parse_range_pred(pred_text)
+    except ValueError:
+        shape = None  # general predicate (r15): Catalyst-lowered twins
     if fmt == "delta":
         from . import deltaproto as dp
 
-        if shape[0] != "range":
-            raise ValueError(
-                "Delta DELETE dispatches to the stats-pruned range "
-                "rewrite (delete_where_delta) — IN-list deletes are "
-                "the Iceberg equality-delete path (delete_eq_iceberg)"
+        if shape is not None and shape[0] == "range":
+            _k, col, lo, hi = shape
+            # delta-spark's rule: delta.enableDeletionVectors=true lands
+            # deletion vectors — resolved inside the helper's own log fold
+            v = dp.delete_where_delta(
+                spark, path, col, lo, hi, strategy="auto"
             )
-        _k, col, lo, hi = shape
-        # delta-spark's rule: delta.enableDeletionVectors=true lands
-        # deletion vectors — resolved inside the helper's own log fold
-        v = dp.delete_where_delta(
-            spark, path, col, lo, hi, strategy="auto"
-        )
+        else:
+            # IN-lists and arbitrary predicates (strict </> bounds,
+            # conjunctions, OR, IS NULL): stats-pruned + scan-narrowed
+            # general rewrite; row truth is Catalyst's
+            v = dp.delete_predicate_delta(
+                spark, path, pred_text, strategy="auto"
+            )
         return _dml_result(spark, "DELETE", target, v)
     if fmt == "iceberg":
         from . import iceberg as ib
 
-        if shape[0] == "in":
+        if shape is not None and shape[0] == "in":
             _k, col, vals = shape
             # SQL IN never matches NULL; the eq-delete read side is
             # null-safe — drop NULL list items to keep SQL semantics
@@ -562,21 +568,27 @@ def _exec_delete(spark: SparkSession, m: re.Match) -> DataFrame:
                     int(snap0["snapshot-id"]) if snap0 else 0,
                 )
             snap = ib.delete_eq_iceberg(path, [col], live_vals)
-        else:
+        elif shape is not None:
             _k, col, lo, hi = shape
             snap = ib.delete_where_iceberg(
                 spark, path, col, lo, hi,
+                strategy=_iceberg_write_mode(path, "delete"),
+            )
+        else:
+            snap = ib.delete_predicate_iceberg(
+                spark, path, pred_text,
                 strategy=_iceberg_write_mode(path, "delete"),
             )
         return _dml_result(spark, "DELETE", target, snap)
     if fmt == "minilake":
         from . import minilake
 
-        if shape[0] != "range":
+        if shape is None or shape[0] != "range":
             raise ValueError(
                 "minilake DELETE dispatches to the zone-map-pruned "
-                "range rewrite (delete_where) — IN-list deletes are "
-                "the Iceberg equality-delete path"
+                "range rewrite (delete_where) — IN-list and general "
+                "predicates are served by the delta/iceberg tiers "
+                "(delete_predicate_delta / delete_predicate_iceberg)"
             )
         _k, col, lo, hi = shape
         v = minilake.delete_where(spark, path, col, lo, hi)
@@ -595,31 +607,43 @@ def _exec_update(spark: SparkSession, m: re.Match) -> DataFrame:
         if not sm:
             raise ValueError(f"cannot parse SET item {item!r}")
         set_exprs[sm.group(1)] = sm.group(2).strip()
-    shape = _parse_range_pred(m.group("pred"))
-    if shape[0] != "range":
-        raise ValueError(
-            "UPDATE dispatches to the stats-pruned range rewrites — "
-            "IN-list predicates are not range-expressible; rewrite as "
-            "BETWEEN or per-key MERGE"
-        )
-    _k, col, lo, hi = shape
+    pred_text = m.group("pred").strip()
+    try:
+        shape = _parse_range_pred(pred_text)
+    except ValueError:
+        shape = None  # general predicate (r15)
+    if shape is not None and shape[0] != "range":
+        shape = None  # IN-lists ride the general predicate twins too
     if fmt == "delta":
         from . import deltaproto as dp
 
         # DV property → dv shape; row-tracked tables keep the rewrite
         # (ids cannot carry into fresh files) — both resolved inside
         # the helper's single log fold
-        v = dp.update_where_delta(
-            spark, path, set_exprs, col, lo, hi, strategy="auto"
-        )
+        if shape is not None:
+            _k, col, lo, hi = shape
+            v = dp.update_where_delta(
+                spark, path, set_exprs, col, lo, hi, strategy="auto"
+            )
+        else:
+            v = dp.update_predicate_delta(
+                spark, path, set_exprs, pred_text, strategy="auto"
+            )
         return _dml_result(spark, "UPDATE", target, v)
     if fmt == "iceberg":
         from . import iceberg as ib
 
-        snap = ib.update_where_iceberg(
-            spark, path, set_exprs, col, lo, hi,
-            strategy=_iceberg_write_mode(path, "update"),
-        )
+        if shape is not None:
+            _k, col, lo, hi = shape
+            snap = ib.update_where_iceberg(
+                spark, path, set_exprs, col, lo, hi,
+                strategy=_iceberg_write_mode(path, "update"),
+            )
+        else:
+            snap = ib.update_predicate_iceberg(
+                spark, path, set_exprs, pred_text,
+                strategy=_iceberg_write_mode(path, "update"),
+            )
         return _dml_result(spark, "UPDATE", target, snap)
     raise ValueError(
         f"UPDATE needs a delta or iceberg table; {target!r} is {fmt}"
@@ -2061,4 +2085,113 @@ SELECT 'iceberg' AS engine, p_brand,
 FROM part
 GROUP BY p_brand
 ORDER BY engine, p_brand
+"""
+
+
+def delta_delete_pred_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry (r15): GENERAL WHERE predicates as SQL text on
+    the Delta tier — a strict `<` + two-column conjunction and an
+    `IS NULL OR` disjunction, the first DML shapes a migrating user
+    types that the r14 range grammar refused.  Both lower onto
+    `delete_predicate_delta` (Catalyst row truth; `predicates`
+    interval pruning + probe-scan narrowing), and the oracle restates
+    the surviving set off the raw parquet — a value match proves the
+    general rewrite removed exactly the predicate rows."""
+    from . import deltaproto as dp, load_table
+
+    path = _fixture_path(sf_dir, "docs_delta_gpred")
+    register_lake_table("docs_delta_gpred", "delta", path)
+    if not dp.delta_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            # an honest nullable column so IS NULL has rows to hit
+            F.when(F.col("doc_id") % 7 == 0, None)
+            .otherwise(F.col("lang"))
+            .alias("review_lang"),
+        )
+        dp.write_delta(docs.repartitionByRange(8, "doc_id"), path)
+        lake_sql(
+            spark,
+            "DELETE FROM docs_delta_gpred "
+            "WHERE doc_id < 100 AND lang = 'en'",
+        )
+        lake_sql(
+            spark,
+            "DELETE FROM docs_delta_gpred "
+            "WHERE review_lang IS NULL OR n_chars > 2900",
+        )
+    return lake_sql(
+        spark,
+        """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM docs_delta_gpred
+        GROUP BY lang
+        ORDER BY lang
+        """,
+    )
+
+
+DELTA_DELETE_PRED_SQL_ORACLE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE NOT (doc_id < 100 AND lang = 'en')
+  AND NOT (doc_id % 7 = 0 OR n_chars > 2900)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def iceberg_update_pred_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-tail entry (r15): general-WHERE UPDATE as SQL text on
+    the Iceberg tier — `SET` under an `OR` of a strict `>` and an
+    `IN` list, lowered onto `update_predicate_iceberg` (manifest-bound
+    interval pruning + probe-scan narrowing, copy-on-write).  The
+    oracle recomputes the post-image off the raw parquet, so a value
+    match proves the SET applied to exactly the predicate rows and
+    NULL-predicate rows were left untouched."""
+    from . import iceberg as ib, load_table
+
+    path = _fixture_path(sf_dir, "docs_ice_gpred")
+    register_lake_table("docs_ice_gpred", "iceberg", path)
+    if not ib._metadata_versions(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        ib.write_iceberg(docs.repartitionByRange(8, "doc_id"), path)
+        lake_sql(
+            spark,
+            "UPDATE docs_ice_gpred SET n_chars = n_chars + 1000000 "
+            "WHERE doc_id > 400 OR lang IN ('zh', 'ru')",
+        )
+    return lake_sql(
+        spark,
+        """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM docs_ice_gpred
+        GROUP BY lang
+        ORDER BY lang
+        """,
+    )
+
+
+ICEBERG_UPDATE_PRED_SQL_ORACLE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id > 400 OR lang IN ('zh', 'ru')
+                     THEN n_chars + 1000000 ELSE n_chars END) AS BIGINT)
+           AS sum_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
 """

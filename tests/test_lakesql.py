@@ -266,8 +266,22 @@ def test_loud_refusals(spark, sf_dir, tmp_path):
             "AND t.source = s.source WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *",
         )
-    with pytest.raises(ValueError, match="equality-delete"):
-        lq.lake_sql(spark, "DELETE FROM t_refuse WHERE doc_id IN (1, 2)")
+    # r15 narrowed the IN-list refusal: delta DELETE … IN now lowers
+    # onto the general predicate rewrite; the refusal remains only on
+    # the minilake tier, which has no general rewrite
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        minilake as _ml,
+    )
+
+    mlp = str(tmp_path / "ref_ml")
+    _ml.commit_append(docs.limit(5), mlp, stat_cols=["doc_id"])
+    lq.register_lake_table("t_refuse_ml", "minilake", mlp)
+    with pytest.raises(ValueError, match="delta/iceberg"):
+        lq.lake_sql(spark, "DELETE FROM t_refuse_ml WHERE doc_id IN (1, 2)")
+    with pytest.raises(ValueError, match="delta/iceberg"):
+        lq.lake_sql(
+            spark, "DELETE FROM t_refuse_ml WHERE doc_id < 2 OR lang = 'xx'"
+        )
     with pytest.raises(ValueError, match="cannot parse MERGE"):
         lq.lake_sql(
             spark,
