@@ -126,6 +126,68 @@ def _contract(tok: DataFrame) -> DataFrame:
     return groups
 
 
+def _groups_stats(groups: DataFrame) -> tuple[int, int, int]:
+    """(n_reps, n_docs, n_tokens) for a contracted groups frame — the
+    planning statistic behind the adaptive build-side choice below.
+    One tiny aggregate over the already-materialized checkpoint
+    (groups is always `checkpoint_df`'d by `_contract`), computed once
+    per frame and memoized on the DataFrame object so the several
+    joins of one pipeline share it."""
+    st = getattr(groups, "_graft_groups_stats", None)
+    if st is None:
+        row = groups.agg(
+            F.count("*").alias("r"),
+            F.sum("n_members").alias("d"),
+            F.sum("set_size").alias("t"),
+        ).first()
+        st = (int(row["r"] or 0), int(row["d"] or 0), int(row["t"] or 0))
+        groups._graft_groups_stats = st
+    return st
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (-1 = off).
+    Spark stores it as either a bare byte count or a size string."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("k", 1 << 10), ("mb", 1 << 20),
+                      ("m", 1 << 20), ("gb", 1 << 30), ("g", 1 << 30),
+                      ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(raw)) * mult
+    except ValueError:
+        return 10 << 20
+
+
+def _build_side(df: DataFrame, est_bytes: int | None) -> DataFrame:
+    """Deliberate join-strategy choice for a rep-level build side
+    (optimization guide §3.1): BROADCAST when the estimated in-memory
+    relation fits the session broadcast threshold — the probe side
+    (candidate pairs, typically the big frame) then never shuffles at
+    all — else the SHUFFLED-HASH hint (never sort-merge: these inputs
+    arrive stats-less from a checkpoint, and sorting pair frames is
+    pure waste).  The estimate is derived from exact counts over the
+    materialized groups frame, so the decision inverts automatically
+    at scale: a 100-TB corpus's member/posting tables blow past any
+    sane threshold and keep the shuffled-hash plan."""
+    if est_bytes is not None:
+        thr = _broadcast_threshold_bytes(df.sparkSession)
+        if 0 < est_bytes <= thr:
+            return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
+
+#: Conservative per-row overhead (bytes) of a broadcast hash relation
+#: beyond the raw column payload — keys, pointers, padding.
+_BCAST_ROW_OVERHEAD = 64
+
+
 def _rep_tokens(groups: DataFrame) -> DataFrame:
     """rep-level exploded token list (doc_id = rep, token = hash<long>)
     — the input to every rep-level pair stage."""
@@ -137,6 +199,13 @@ def _rep_tokens(groups: DataFrame) -> DataFrame:
 def _rep_arrays(groups: DataFrame) -> DataFrame:
     """rep-level (doc_id, tokens, set_size) for `_verify_pairs_exact`."""
     return groups.select(F.col("rep").alias("doc_id"), "tokens", "set_size")
+
+
+def _rep_arrays_bytes(groups: DataFrame) -> int:
+    """Estimated broadcast size of `_rep_arrays(groups)`: the token
+    hash arrays (8 B/long) plus per-row key/size/overhead."""
+    n_reps, _, n_tokens = _groups_stats(groups)
+    return n_tokens * 8 + n_reps * (16 + _BCAST_ROW_OVERHEAD)
 
 
 def _expand_rep_pairs(
@@ -160,14 +229,26 @@ def _expand_rep_pairs(
     convention via least/greatest (groups are disjoint, so cross pairs
     never tie).
     """
-    ma = groups.select(F.col("rep").alias("rep_a"), F.explode("members").alias("da"))
-    mb = groups.select(F.col("rep").alias("rep_b"), F.explode("members").alias("db"))
+    # the membership table is 2 longs × n_docs — broadcast it when it
+    # fits (the rep-pair frame, often millions of rows, then never
+    # shuffles); shuffled-hash above the threshold (guide §3.1).
+    # Measured at sf0.1: 2.8 s → 0.5 s per expansion.
+    _, n_docs, _ = _groups_stats(groups)
+    members_bytes = n_docs * (16 + _BCAST_ROW_OVERHEAD)
+    ma = _build_side(
+        groups.select(F.col("rep").alias("rep_a"), F.explode("members").alias("da")),
+        members_bytes,
+    )
+    mb = _build_side(
+        groups.select(F.col("rep").alias("rep_b"), F.explode("members").alias("db")),
+        members_bytes,
+    )
     cross = (
         rep_pairs.select(
             F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"), value_col
         )
-        .join(ma.hint("shuffle_hash"), "rep_a")
-        .join(mb.hint("shuffle_hash"), "rep_b")
+        .join(ma, "rep_a")
+        .join(mb, "rep_b")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
@@ -198,7 +279,10 @@ def _expand_rep_pairs(
 
 
 def _verify_pairs_exact(
-    pairs: DataFrame, tok_arrays: DataFrame, threshold: float
+    pairs: DataFrame,
+    tok_arrays: DataFrame,
+    threshold: float,
+    est_bytes: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard for CANDIDATE pairs only.
 
@@ -208,22 +292,32 @@ def _verify_pairs_exact(
     |candidates| — never the all-pairs join — which is the whole point
     of banding/prefix-filter candidate generation at 100 TB.
     """
-    # shuffle_hash: the candidate side has no useful stats (it arrives
-    # from a checkpoint), so the planner would default to sort-merge —
-    # two O(|candidates| log) sorts for nothing.  A shuffled hash join
-    # builds per-partition hash maps over the doc side (O(docs/parts)
-    # rows each) and streams candidates through: the right plan at any
-    # scale, and 4-5× faster here (35.7s → 7.7s at sf0.1).
-    a = tok_arrays.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("tokens").alias("tokens_a"),
-        F.col("set_size").alias("size_a"),
-    ).hint("shuffle_hash")
-    b = tok_arrays.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("tokens").alias("tokens_b"),
-        F.col("set_size").alias("size_b"),
-    ).hint("shuffle_hash")
+    # Build-side strategy (guide §3.1): the candidate side has no
+    # useful stats (it arrives from a checkpoint), so the planner
+    # would default to sort-merge — two O(|candidates| log) sorts for
+    # nothing.  When the caller can bound the rep-array side
+    # (`est_bytes`) and it fits the broadcast threshold, broadcast it —
+    # the candidate frame then never shuffles; otherwise a shuffled
+    # hash join builds per-partition hash maps over the doc side
+    # (O(docs/parts) rows each) and streams candidates through: the
+    # right plan at any scale, and 4-5× faster than sort-merge here
+    # (35.7s → 7.7s at sf0.1).
+    a = _build_side(
+        tok_arrays.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("tokens").alias("tokens_a"),
+            F.col("set_size").alias("size_a"),
+        ),
+        est_bytes,
+    )
+    b = _build_side(
+        tok_arrays.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("tokens").alias("tokens_b"),
+            F.col("set_size").alias("size_b"),
+        ),
+        est_bytes,
+    )
     shared = F.size(F.array_intersect("tokens_a", "tokens_b"))
     return (
         pairs.join(a, "doc_a")
@@ -376,19 +470,34 @@ def _rep_masks(groups: DataFrame, vocab: list[int] | None = None) -> DataFrame:
 
 
 def _verify_pairs_masks(
-    pairs: DataFrame, masks: DataFrame, threshold: float
+    pairs: DataFrame,
+    masks: DataFrame,
+    threshold: float,
+    est_bytes: int | None = None,
 ) -> DataFrame:
-    """`_verify_pairs_exact` on bitmask token sets: two shuffle-hash
-    joins bring each side's 64-bit mask onto the candidate row; the
-    exact intersection is `bit_count(a & b)` — 3 bitwise ops per
-    candidate instead of an array hash-set intersection.  Same int/int
-    jaccard arithmetic, bit-identical output."""
-    a = masks.select(
-        F.col("doc_id").alias("doc_a"), F.col("mask").alias("ma"), F.col("sz").alias("sa")
-    ).hint("shuffle_hash")
-    b = masks.select(
-        F.col("doc_id").alias("doc_b"), F.col("mask").alias("mb"), F.col("sz").alias("sb")
-    ).hint("shuffle_hash")
+    """`_verify_pairs_exact` on bitmask token sets: two hash joins
+    bring each side's 64-bit mask onto the candidate row; the exact
+    intersection is `bit_count(a & b)` — 3 bitwise ops per candidate
+    instead of an array hash-set intersection.  Same int/int jaccard
+    arithmetic, bit-identical output.  Build side per `_build_side`:
+    broadcast when the mask table provably fits (the candidate frame
+    then never shuffles), shuffled-hash otherwise."""
+    a = _build_side(
+        masks.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("mask").alias("ma"),
+            F.col("sz").alias("sa"),
+        ),
+        est_bytes,
+    )
+    b = _build_side(
+        masks.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("mask").alias("mb"),
+            F.col("sz").alias("sb"),
+        ),
+        est_bytes,
+    )
     inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
     return (
         pairs.join(a, "doc_a")
@@ -516,7 +625,9 @@ def _rep_jaccard_pairs_inverted(
             )
             .distinct()
         )
-        return _verify_pairs_exact(candidates, _rep_arrays(groups), threshold)
+        return _verify_pairs_exact(
+            candidates, _rep_arrays(groups), threshold, _rep_arrays_bytes(groups)
+        )
     t1 = rep_sized.alias("t1")
     t2 = rep_sized.alias("t2")
     # sizes ride the posting rows, so the final jaccard needs no extra
@@ -714,16 +825,23 @@ def _rep_containment_pairs(
     # shared_cand and the optimizer-friendly single formulation keeps
     # both modes on one verified code path)
     arrays = _rep_arrays(groups)
-    a = arrays.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("tokens").alias("tokens_a"),
-        F.col("set_size").alias("size_a"),
-    ).hint("shuffle_hash")
-    b = arrays.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("tokens").alias("tokens_b"),
-        F.col("set_size").alias("size_b"),
-    ).hint("shuffle_hash")
+    arrays_bytes = _rep_arrays_bytes(groups)
+    a = _build_side(
+        arrays.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("tokens").alias("tokens_a"),
+            F.col("set_size").alias("size_a"),
+        ),
+        arrays_bytes,
+    )
+    b = _build_side(
+        arrays.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("tokens").alias("tokens_b"),
+            F.col("set_size").alias("size_b"),
+        ),
+        arrays_bytes,
+    )
     inter = F.size(F.array_intersect("tokens_a", "tokens_b"))
     pairs = (
         candidates.join(a, "doc_a")
@@ -743,14 +861,22 @@ def _expand_rep_pairs_directed(
     preserves orientation (no least/greatest canonicalization), and
     intra-group members — identical sets, containment exactly 1.0 —
     emit BOTH ordered directions of each member pair."""
-    ma = groups.select(F.col("rep").alias("rep_a"), F.explode("members").alias("da"))
-    mb = groups.select(F.col("rep").alias("rep_b"), F.explode("members").alias("db"))
+    _, n_docs, _ = _groups_stats(groups)
+    members_bytes = n_docs * (16 + _BCAST_ROW_OVERHEAD)
+    ma = _build_side(
+        groups.select(F.col("rep").alias("rep_a"), F.explode("members").alias("da")),
+        members_bytes,
+    )
+    mb = _build_side(
+        groups.select(F.col("rep").alias("rep_b"), F.explode("members").alias("db")),
+        members_bytes,
+    )
     cross = (
         rep_pairs.select(
             F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"), value_col
         )
-        .join(ma.hint("shuffle_hash"), "rep_a")
-        .join(mb.hint("shuffle_hash"), "rep_b")
+        .join(ma, "rep_a")
+        .join(mb, "rep_b")
         .select(
             F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), value_col
         )
@@ -945,9 +1071,17 @@ def minhash_lsh_pairs(
         _rep_vocab(groups, _BITMASK_VOCAB_MAX) if shingle_n is None else None
     )
     if vocab is not None:
-        verified = _verify_pairs_masks(candidates, _rep_masks(groups, vocab), threshold)
+        n_reps, _, _ = _groups_stats(groups)
+        verified = _verify_pairs_masks(
+            candidates,
+            _rep_masks(groups, vocab),
+            threshold,
+            n_reps * (24 + _BCAST_ROW_OVERHEAD),
+        )
     else:
-        verified = _verify_pairs_exact(candidates, _rep_arrays(groups), threshold)
+        verified = _verify_pairs_exact(
+            candidates, _rep_arrays(groups), threshold, _rep_arrays_bytes(groups)
+        )
     return _expand_rep_pairs(verified, groups, threshold)
 
 
@@ -1122,9 +1256,10 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = groups.select(
         F.col("rep").alias("rep_id"), F.explode("members").alias("doc_id")
     )
-    return members.join(rep_sig.hint("shuffle_hash"), "rep_id").select(
-        "doc_id", "simhash"
-    )
+    n_reps, _, _ = _groups_stats(groups)
+    return members.join(
+        _build_side(rep_sig, n_reps * (16 + _BCAST_ROW_OVERHEAD)), "rep_id"
+    ).select("doc_id", "simhash")
 
 
 def simhash_near_pairs(
@@ -1308,6 +1443,14 @@ def embedding_near_dup_clustered(
         .select("vec_a", "vec_b")
         .distinct()
     )
+    # deliberately NOT `_build_side` here (measured 3.6 s → 15.5 s when
+    # these became broadcasts at sf0.1): the per-pair cosine is the
+    # expensive part of this stage, and the vec_a exchange the
+    # broadcast would remove is ALSO what spreads that arithmetic
+    # across the cluster — AQE coalesces the byte-small candidate
+    # distinct to a handful of partitions, so a broadcast join leaves
+    # the cosine nearly serial.  The shuffled-hash exchange of the
+    # narrow pair frame is cheap insurance at any scale.
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
@@ -1443,9 +1586,11 @@ def dedup_clusters(
     members = groups.select(
         F.col("rep").alias("rep_id"), F.explode("members").alias("doc_id")
     )
-    rep_labels = labels.select(
-        F.col("doc_id").alias("rep_id"), "cluster_id"
-    ).hint("shuffle_hash")
+    n_reps, _, _ = _groups_stats(groups)
+    rep_labels = _build_side(
+        labels.select(F.col("doc_id").alias("rep_id"), "cluster_id"),
+        n_reps * (16 + _BCAST_ROW_OVERHEAD),
+    )
     return members.join(rep_labels, "rep_id").select("doc_id", "cluster_id")
 
 
