@@ -57,6 +57,50 @@ def checkpoint_df(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True, storageLevel=level)
 
 
+#: Conservative per-row overhead (bytes) of a broadcast hash relation
+#: beyond the raw column payload — keys, pointers, padding.
+BCAST_ROW_OVERHEAD = 64
+
+
+def broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (-1 = off).
+    Spark stores it as either a bare byte count or a size string."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("k", 1 << 10), ("mb", 1 << 20),
+                      ("m", 1 << 20), ("gb", 1 << 30), ("g", 1 << 30),
+                      ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(raw)) * mult
+    except ValueError:
+        return 10 << 20
+
+
+def adaptive_build_side(df: DataFrame, est_bytes: int | None) -> DataFrame:
+    """Deliberate join-strategy choice for a known-size build side
+    (optimization guide §3.1): BROADCAST when the estimated in-memory
+    relation fits the session broadcast threshold — the probe side
+    (often a large stats-less intermediate the planner would otherwise
+    exchange or even sort) then never shuffles at all — else the
+    SHUFFLED-HASH hint (never sort-merge: sorting pair/posting frames
+    on a join key is pure waste).  Callers derive `est_bytes` from
+    exact counts over materialized intermediates, so the decision
+    inverts automatically at scale: a 100-TB corpus's member/posting/
+    length tables blow past any sane threshold and keep the shuffled
+    plan.  `est_bytes=None` means "unknown" and keeps shuffled-hash."""
+    if est_bytes is not None:
+        thr = broadcast_threshold_bytes(df.sparkSession)
+        if 0 < est_bytes <= thr:
+            return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
+
 def default_index_dir(kind: str, version: int, sf_dir: str) -> str:
     """Canonical on-disk location for a frozen serving index:
     <repo>/spark-warehouse/<kind>_index_v<version>_<sf tag>.  One

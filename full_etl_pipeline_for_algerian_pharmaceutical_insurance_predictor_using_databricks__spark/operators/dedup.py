@@ -34,7 +34,11 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from ..functions.scale import checkpoint_df
+from ..functions.scale import (
+    BCAST_ROW_OVERHEAD,
+    adaptive_build_side,
+    checkpoint_df,
+)
 from ..sources import load_table
 
 # --------------------------------------------------------------------------
@@ -145,47 +149,11 @@ def _groups_stats(groups: DataFrame) -> tuple[int, int, int]:
     return st
 
 
-def _broadcast_threshold_bytes(spark: SparkSession) -> int:
-    """The session's autoBroadcastJoinThreshold in bytes (-1 = off).
-    Spark stores it as either a bare byte count or a size string."""
-    raw = str(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    ).strip().lower()
-    mult = 1
-    for suffix, m in (("kb", 1 << 10), ("k", 1 << 10), ("mb", 1 << 20),
-                      ("m", 1 << 20), ("gb", 1 << 30), ("g", 1 << 30),
-                      ("b", 1)):
-        if raw.endswith(suffix):
-            raw = raw[: -len(suffix)]
-            mult = m
-            break
-    try:
-        return int(float(raw)) * mult
-    except ValueError:
-        return 10 << 20
-
-
-def _build_side(df: DataFrame, est_bytes: int | None) -> DataFrame:
-    """Deliberate join-strategy choice for a rep-level build side
-    (optimization guide §3.1): BROADCAST when the estimated in-memory
-    relation fits the session broadcast threshold — the probe side
-    (candidate pairs, typically the big frame) then never shuffles at
-    all — else the SHUFFLED-HASH hint (never sort-merge: these inputs
-    arrive stats-less from a checkpoint, and sorting pair frames is
-    pure waste).  The estimate is derived from exact counts over the
-    materialized groups frame, so the decision inverts automatically
-    at scale: a 100-TB corpus's member/posting tables blow past any
-    sane threshold and keep the shuffled-hash plan."""
-    if est_bytes is not None:
-        thr = _broadcast_threshold_bytes(df.sparkSession)
-        if 0 < est_bytes <= thr:
-            return F.broadcast(df)
-    return df.hint("shuffle_hash")
-
-
-#: Conservative per-row overhead (bytes) of a broadcast hash relation
-#: beyond the raw column payload — keys, pointers, padding.
-_BCAST_ROW_OVERHEAD = 64
+# Join-strategy choice for rep-level build sides (guide §3.1): shared
+# engine-wide in functions/scale.py; estimates here come from exact
+# counts over the materialized groups checkpoint.
+_build_side = adaptive_build_side
+_BCAST_ROW_OVERHEAD = BCAST_ROW_OVERHEAD
 
 
 def _rep_tokens(groups: DataFrame) -> DataFrame:

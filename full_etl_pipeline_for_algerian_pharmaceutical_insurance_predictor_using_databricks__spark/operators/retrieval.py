@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.scale import BCAST_ROW_OVERHEAD, adaptive_build_side
 from ..sources import load_table
 
 TFIDF_TOP_TERMS = 3
@@ -108,6 +109,18 @@ def _doc_lengths_and_stats(docs: DataFrame):
     return dl, stats
 
 
+def _dl_build_side(docs: DataFrame, dl: DataFrame) -> DataFrame:
+    """Build-side strategy for the per-doc-length join (guide §3.1):
+    dl is 12 bytes of payload per document, so broadcast it while the
+    corpus doc count fits the session broadcast threshold — the scored
+    posting stream then never exchanges on doc_id — and fall back to
+    shuffled-hash on a corpus too big to broadcast (the 100-TB case).
+    The count is one cheap aggregate over the (buffer-pooled) docs
+    table."""
+    n_docs = docs.count()
+    return adaptive_build_side(dl, n_docs * (12 + BCAST_ROW_OVERHEAD))
+
+
 def _bm25_contrib(k1: float, b: float) -> F.Column:
     """The per-(doc, term) BM25 contribution expression over columns
     tf/df/dl/n_docs/avgdl — ONE definition shared by `bm25_search` and
@@ -150,7 +163,7 @@ def bm25_search(
     contrib = _bm25_contrib(k1, b)
     scored = (
         tfs.join(F.broadcast(df_tab), "term")
-        .join(dl.hint("shuffle_hash"), "doc_id")
+        .join(_dl_build_side(docs, dl), "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(contrib).alias("score"))
@@ -230,14 +243,38 @@ def _lexical_list(
 ) -> DataFrame:
     """(query_id, doc_id, lex_rank): BM25 over each query doc's top
     TF-IDF terms — the lexical arm shared by both hybrid entries (one
-    definition, so the fusion inputs cannot diverge)."""
+    definition, so the fusion inputs cannot diverge).
+
+    One tokenize pass: the (doc, term, tf) table is materialized once
+    (checkpoint) and feeds BOTH the query-term selection and the BM25
+    scoring — the previous shape ran `tfidf_top_terms` wholesale,
+    which re-tokenized the corpus a second time and window-ranked the
+    terms of EVERY document only to keep the n_queries query docs
+    (guide §1.2: don't compute things you throw away).  The df table
+    and per-doc tf values are the same frame either way, and the
+    tfidf window is per-doc (partitionBy doc_id), so restricting it to
+    the query docs leaves their ranks — and the emitted query terms —
+    identical (pinned by the serving-parity and oracle tests)."""
+    from ..functions.scale import checkpoint_df
+
     docs = load_table(spark, sf_dir, "documents")
+    tfs = checkpoint_df(_doc_term_counts(docs))
+    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    df_full = tfs.groupBy("term").agg(F.count("*").alias("df"))
+    w_tfidf = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     qterms = (
-        tfidf_top_terms(spark, sf_dir)
-        .filter(F.col("doc_id") < n_queries)
+        tfs.filter(F.col("doc_id") < n_queries)
+        .join(F.broadcast(df_full), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+        .withColumn("term_rank", F.row_number().over(w_tfidf))
+        .filter(F.col("term_rank") <= TFIDF_TOP_TERMS)
         .select(F.col("doc_id").alias("query_id"), "term")
     )
-    tfs = _doc_term_counts(docs)
     df_tab = (
         tfs.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("term")
@@ -252,7 +289,7 @@ def _lexical_list(
         tfs.join(F.broadcast(qterms), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
         .join(F.broadcast(df_tab), "term")
-        .join(dl.hint("shuffle_hash"), "doc_id")
+        .join(_dl_build_side(docs, dl), "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.sum(contrib).alias("lex_score"))
