@@ -706,7 +706,13 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    # doc_bg feeds BOTH the LM derivation and the final per-doc scoring
+    # join — two separate subtrees to Spark (no cross-branch CSE), so
+    # without materialization the tokenize + bigram explode + corpus-
+    # sized (doc,w1,w2) groupBy runs twice per query (guide §2.4).
+    doc_bg = checkpoint_df(
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    )
     bg_lm = doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
     ctx = bg_lm.groupBy("w1").agg(F.sum("cb").alias("c1"))
     scored = (
