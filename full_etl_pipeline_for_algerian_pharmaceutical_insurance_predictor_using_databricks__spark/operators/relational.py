@@ -1845,12 +1845,16 @@ def q21_waiting_suppliers(
 
     Scale rewrite: the classic plan self-joins lineitem twice (semi
     for 'another supplier exists', anti for 'no other late supplier').
-    Both correlations only need per-order supplier counts, so ONE
+    Both correlations only need per-order supplier sets, so ONE
     groupBy(orderkey) computes `n_supp = countDistinct(suppkey)` and
-    `n_late = countDistinct(late suppkey)`, and the qualifying rule
-    becomes `late(s) AND n_supp > 1 AND n_late = 1` — three scans and
-    two shuffle-joins collapse into one aggregate plus one broadcast-
-    back join (the qualifying-order set is tiny).  The DuckDB oracle
+    `late_supps = collect_set(late suppkey)`, and a qualifying order —
+    `n_supp > 1 AND size(late_supps) = 1` — already NAMES its sole
+    late shipper (`late_supps[1]`): the whole EXISTS/NOT-EXISTS pair
+    is one scan, one join and one aggregate, with no second pass over
+    lineitem at all (the previous shape re-ran the lineitem⋈orders
+    join to re-find the late rows of qualifying orders — guide §2.4).
+    The late-supplier set per order is bounded by suppliers-per-order,
+    so the aggregate state stays tiny at any scale.  The DuckDB oracle
     keeps the EXISTS form; values match because the rewrite is exact,
     not approximate."""
     orders_f = load_table(spark, sf_dir, "orders").filter(
@@ -1873,21 +1877,14 @@ def q21_waiting_suppliers(
     )
     per_order = lo.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late"
+        F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "late_supps"
         ),
     )
-    qualifying = per_order.filter(
-        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
-    ).select(F.col("l_orderkey").alias("q_orderkey"))
-    waiting = (
-        lo.filter(F.col("late"))
-        .join(
-            F.broadcast(qualifying),
-            F.col("l_orderkey") == F.col("q_orderkey"),
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    waiting = per_order.filter(
+        (F.col("n_supp") > 1) & (F.size("late_supps") == 1)
+    ).select(
+        "l_orderkey", F.element_at("late_supps", 1).alias("l_suppkey")
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
