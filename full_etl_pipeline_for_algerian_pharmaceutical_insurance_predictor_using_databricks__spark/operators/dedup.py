@@ -85,6 +85,79 @@ def _token_sets(docs: DataFrame, shingle_n: int | None = None) -> DataFrame:
     return normed.select("doc_id", F.explode(F.array_distinct(tokens)).alias("token"))
 
 
+def _doc_token_arrays(
+    docs: DataFrame, shingle_n: int | None = None
+) -> DataFrame:
+    """(doc_id, tokens, set_size) per document, computed PER ROW: the
+    distinct token (or shingle) array of `_token_sets`, interned to
+    sorted xxhash64 longs — without ever exploding.  Same
+    normalization, same hash family, same dedup semantics (post-hash
+    `array_distinct` collapses 2⁻⁶⁴-scale collisions exactly like the
+    exploded path's `collect_set`), so the output is row-identical to
+    `_token_sets` + groupBy(doc_id) — minus one full corpus-token-
+    stream exchange per query (guide §2.4: remove shuffles outright).
+    `set_size` counts distinct PRE-hash tokens, matching the exploded
+    formulation's `count(*)`."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+    if shingle_n is None:
+        toks = F.array_distinct(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        )
+        base = docs.select("doc_id", toks.alias("_toks"))
+    else:
+        # normalize ONCE per doc (see _token_sets: the lambda would
+        # otherwise re-run the O(L) rewrite per shingle position)
+        normed = docs.select(
+            "doc_id", F.trim(F.lower(F.col("text"))).alias("t")
+        )
+        shingles = F.expr(
+            f"transform(sequence(1, greatest(length(t) - {shingle_n} + 1, 1)),"
+            f" i -> substring(t, i, {shingle_n}))"
+        )
+        base = normed.select(
+            "doc_id", F.array_distinct(shingles).alias("_toks")
+        )
+    return base.select(
+        "doc_id",
+        F.sort_array(
+            F.array_distinct(F.transform("_toks", lambda t: F.xxhash64(t)))
+        ).alias("tokens"),
+        F.size("_toks").cast("bigint").alias("set_size"),
+    )
+
+
+def _contract_docs(
+    docs: DataFrame, shingle_n: int | None = None
+) -> DataFrame:
+    """`_contract` over a documents frame, skipping the exploded token
+    stream: the per-doc token-hash arrays come from the narrow per-row
+    fold above, so contraction costs ONE shuffle (the identical-set
+    groupBy) instead of two.  Output is identical to
+    `_contract(_token_sets(docs, shingle_n))` (pinned in
+    tests/test_adaptive_build.py); `_contract` stays for callers that
+    genuinely hold a token STREAM (the streaming dedup registry,
+    synthetic-stream property tests)."""
+    sets_ = _doc_token_arrays(docs, shingle_n)
+    groups = (
+        sets_.groupBy("tokens", "set_size")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .select(
+            F.element_at("members", 1).alias("rep"),
+            "tokens",
+            "set_size",
+            "members",
+            F.size("members").alias("n_members"),
+        )
+    )
+    groups = checkpoint_df(groups)
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if groups.rdd.getNumPartitions() < parallelism:
+        groups = groups.repartition(parallelism)
+    return groups
+
+
 def _contract(tok: DataFrame) -> DataFrame:
     """Collapse docs with IDENTICAL token sets into one representative.
 
@@ -370,7 +443,7 @@ def ngram_jaccard_pairs(
     re-enter only in the output-sized expansion.
     """
     docs = load_table(spark, sf_dir, "documents")
-    groups = _contract(_token_sets(docs, shingle_n=shingle_n))
+    groups = _contract_docs(docs, shingle_n)
     rep_pairs = _rep_jaccard_pairs(groups, threshold, max_df)
     return _expand_rep_pairs(rep_pairs, groups, threshold)
 
@@ -675,7 +748,7 @@ def containment_pairs(
     DuckDB oracle value-matches bit for bit.
     """
     docs = load_table(spark, sf_dir, "documents")
-    groups = _contract(_token_sets(docs))
+    groups = _contract_docs(docs)
     rep_pairs = _rep_containment_pairs(groups, threshold, max_df)
     return _expand_rep_pairs_directed(rep_pairs, groups, threshold)
 
@@ -1002,7 +1075,7 @@ def minhash_lsh_pairs(
     C(m,2) rows in the band join, the distinct, and the verify.
     """
     docs = load_table(spark, sf_dir, "documents")
-    groups = _contract(_token_sets(docs, shingle_n=shingle_n))
+    groups = _contract_docs(docs, shingle_n)
     sig = _rep_minhash_signature(groups)
     bands = _band_table(sig)
     b1 = bands.alias("b1")
@@ -1086,7 +1159,7 @@ def _ensure_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> str:
         docs = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 10 != 0
         )
-        groups = _contract(_token_sets(docs))
+        groups = _contract_docs(docs)
         groups.write.mode("overwrite").parquet(groups_out)
         _band_table(_rep_minhash_signature(groups)).write.mode(
             "overwrite"
@@ -1129,7 +1202,7 @@ def incremental_minhash_pairs(
     new_docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 0
     )
-    new_groups = _contract(_token_sets(new_docs))
+    new_groups = _contract_docs(new_docs)
     new_bands = _band_table(_rep_minhash_signature(new_groups))
     candidates = (
         base_bands.join(
@@ -1217,7 +1290,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT token set (`_contract`); members inherit their rep's
     signature through the membership join — identical sets vote
     identically, so the values are unchanged."""
-    groups = _contract(_token_sets(load_table(spark, sf_dir, "documents")))
+    groups = _contract_docs(load_table(spark, sf_dir, "documents"))
     rep_sig = _rep_simhash(_rep_tokens(groups)).select(
         F.col("doc_id").alias("rep_id"), "simhash"
     )
@@ -1241,7 +1314,7 @@ def simhash_near_pairs(
     agree), so quarter-banding representatives + member expansion
     (intra-group hamming = 0) emits exactly the doc-level pairs while
     duplicate groups stop multiplying the quarter-join buckets."""
-    groups = _contract(_token_sets(load_table(spark, sf_dir, "documents")))
+    groups = _contract_docs(load_table(spark, sf_dir, "documents"))
     sig = _rep_simhash(_rep_tokens(groups))
     quarters = sig.select(
         "doc_id",
@@ -1518,7 +1591,7 @@ def dedup_clusters(
     are cliques, pure edge waste to a min-label loop), and members
     inherit their rep's component label in one final join.  min-rep per
     component = min doc_id per component, so the output is unchanged."""
-    groups = _contract(_token_sets(load_table(spark, sf_dir, "documents")))
+    groups = _contract_docs(load_table(spark, sf_dir, "documents"))
     docs = groups.select(F.col("rep").alias("doc_id"))
     # materialize the pair list BEFORE mirroring: the two union branches
     # are separate subtrees to Spark (no cross-branch CSE), so an

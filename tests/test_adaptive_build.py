@@ -116,6 +116,26 @@ def test_groups_stats_memoized_and_exact(spark, sf_correct):
     assert dedup._groups_stats(groups) == (n_reps, n_docs, n_tokens)
 
 
+def test_contract_docs_matches_exploded_contract(spark, sf_correct):
+    """The r15 per-row contraction (`_contract_docs`, one shuffle) must
+    be row-identical to the exploded formulation
+    (`_contract(_token_sets(docs))`, two shuffles) — word AND shingle
+    tokenization."""
+    from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_correct, "documents")
+    for shingle_n in (None, 5):
+        old = dedup._contract(dedup._token_sets(docs, shingle_n=shingle_n))
+        new = dedup._contract_docs(docs, shingle_n)
+        # names+types must match (nullability flags may differ: count(*)
+        # vs size().cast — value-irrelevant)
+        assert old.schema.simpleString() == new.schema.simpleString(), shingle_n
+        assert new.exceptAll(old).count() == 0, shingle_n
+        assert old.exceptAll(new).count() == 0, shingle_n
+
+
 def test_pq_parallel_fits_match_sequential(spark, sf_correct):
     """_fit_pq_codebooks (thread-pooled) must reproduce the sequential
     fits bit-for-bit: same seeds, same subspace slices, same input
