@@ -379,18 +379,26 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     # full-precision artifact, readable whole (the stdout line is
-    # capped — see below)
-    artifact = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
-    )
-    with open(artifact, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    # capped — see below).  ALSO written per core count
+    # (bench_result_c{N}.json) so a scaling pass at a second
+    # $SPARK_GRAFT_CPUS doesn't overwrite the main run's detail — the
+    # r15 PERF gap (per_query empty because the 8-core run clobbered
+    # the file) cannot recur.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+    for artifact in ["bench_result.json"] + (
+        [f"bench_result_c{cpus}.json"] if cpus.isdigit() else []
+    ):
+        with open(os.path.join(repo, artifact), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
     # stdout contract: ONE JSON line — but the driver keeps only the
     # LAST 2000 stdout chars, and r8's 64-entry default-separator line
     # outgrew that (BENCH_r08 parsed null).  Emit compact separators +
     # 2-decimal timings (~29 chars/entry); if the headline set ever
-    # outgrows even that, drop the per-query map from the LINE only and
-    # point at bench_result.json.
+    # outgrows even that, keep the LARGEST-wall entries that still fit
+    # (a deterministic, most-informative prefix — heavy entries are
+    # where regressions live) and report how many were elided; the
+    # family rollup and bench_result.json always carry the full set.
     line = ""
     for ndigits in (2, 1):
         line_obj = dict(
@@ -401,11 +409,26 @@ def main() -> None:
         if len(line) <= 1985:
             break
     if len(line) > 1985:
-        # drop the per-query map from the LINE only: the family rollup
-        # stays (one subtotal per subsystem), detail in the artifact
-        line_obj.pop("queries")
+        # trim the per-query map from the LINE only, heaviest-first:
+        # per-entry seconds are what the round-over-round and scaling
+        # comparisons need, so ship as many as the stdout cap admits
+        # instead of none (detail stays complete in the artifact)
+        by_wall = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
         line_obj["n_queries"] = len(timings)
         line_obj["detail"] = "bench_result.json"
+        lo, hi = 0, len(by_wall)
+        while lo < hi:  # largest prefix count that fits the cap
+            mid = (lo + hi + 1) // 2
+            line_obj["queries"] = {k: round(v, 1) for k, v in by_wall[:mid]}
+            line_obj["queries_omitted"] = len(by_wall) - mid
+            if len(json.dumps(line_obj, separators=(",", ":"))) <= 1985:
+                lo = mid
+            else:
+                hi = mid - 1
+        line_obj["queries"] = {k: round(v, 1) for k, v in by_wall[:lo]}
+        line_obj["queries_omitted"] = len(by_wall) - lo
+        if lo == 0:
+            line_obj.pop("queries")
         line = json.dumps(line_obj, separators=(",", ":"))
     print(line)
     spark.stop()

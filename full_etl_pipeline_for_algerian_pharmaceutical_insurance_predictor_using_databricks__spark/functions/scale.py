@@ -69,9 +69,11 @@ def broadcast_threshold_bytes(spark: SparkSession) -> int:
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     ).strip().lower()
     mult = 1
+    # "tb"/"t" before the bare-"b" fallthrough: endswith("b") would
+    # otherwise strip just the b from "1tb" and misparse
     for suffix, m in (("kb", 1 << 10), ("k", 1 << 10), ("mb", 1 << 20),
                       ("m", 1 << 20), ("gb", 1 << 30), ("g", 1 << 30),
-                      ("b", 1)):
+                      ("tb", 1 << 40), ("t", 1 << 40), ("b", 1)):
         if raw.endswith(suffix):
             raw = raw[: -len(suffix)]
             mult = m
@@ -79,6 +81,15 @@ def broadcast_threshold_bytes(spark: SparkSession) -> int:
     try:
         return int(float(raw)) * mult
     except ValueError:
+        # fall back to Spark's default in the SAFE direction (fewer
+        # broadcasts), but say so — a silent substitution masks typos
+        import warnings
+
+        warnings.warn(
+            f"unparseable spark.sql.autoBroadcastJoinThreshold {raw!r}; "
+            "assuming the 10MB default for build-side planning",
+            stacklevel=2,
+        )
         return 10 << 20
 
 

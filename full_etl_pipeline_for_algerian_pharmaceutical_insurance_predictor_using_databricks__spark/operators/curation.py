@@ -708,54 +708,54 @@ def boilerplate_scrub(
     any corpus size: "the 64 most widespread segments" is meaningful
     at sf0.001 and at 100 TB alike.
 
-    Spark shape: segmenting is the chunk_windows narrow map (sequence →
-    transform → posexplode, no shuffle); the df ranking aggregates to
-    ≤|vocab|^seg_tokens rows and top-k is a TakeOrderedAndProject with
-    a (df DESC, seg_text) total order, so the boilerplate set is
-    deterministic under ties and TINY — the scrub itself is a
-    broadcast LEFT ANTI join (no shuffle of the corpus), and the
-    reassembly is the single groupBy(doc_id) shuffle.  Docs whose
-    every segment is boilerplate survive as empty rows via the
-    left join back to the per-doc base (they must stay in the ledger,
-    not vanish)."""
+    Spark shape (guide §2.4 — remove shuffles outright): the df
+    ranking explodes each doc's DISTINCT segments (per-row dedup, so
+    plain count(*) ≡ the per-doc countDistinct while partial map-side
+    aggregation ships (seg_text, partial_count) instead of every
+    (seg_text, doc_id) pair) into one aggregate whose top-k is a
+    TakeOrderedAndProject with a (df DESC, seg_text) total order —
+    deterministic under ties and TINY.  The ≤`top_k` boilerplate
+    segments then come back as a LITERAL ARRAY (a k-bounded, O(1)-row
+    driver fetch — never O(corpus)), so the scrub itself is a pure
+    per-row `filter(segments, ...)` projection: no anti-join, and —
+    the 100-TB win — no corpus-wide groupBy(doc_id) reassembly
+    shuffle; surviving segments are already in original order on their
+    row.  Docs whose every segment is boilerplate keep their ledger
+    row with segs_kept=0 and empty clean_text, exactly as before."""
     docs = load_table(spark, sf_dir, "documents")
-    arr = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("a")
-    ).withColumn("n_segs", F.ceil(F.size("a") / F.lit(seg_tokens)).cast("int"))
-    segs = with_segments(docs, seg_tokens)
-    boiler = (
-        segs.groupBy("seg_text")
-        .agg(F.countDistinct("doc_id").alias("df"))
+    segs_arr = F.expr(
+        f"transform(sequence(0, n_segs - 1), i ->"
+        f" concat_ws(' ', slice(a, i * {seg_tokens} + 1, {seg_tokens})))"
+    )
+    arr = (
+        docs.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("a")
+        )
+        .withColumn(
+            "n_segs", F.ceil(F.size("a") / F.lit(seg_tokens)).cast("int")
+        )
+        .withColumn("segs", segs_arr)
+    )
+    boiler_rows = (
+        arr.select(F.explode(F.array_distinct("segs")).alias("seg_text"))
+        .groupBy("seg_text")
+        .agg(F.count("*").alias("df"))
         .orderBy(F.col("df").desc(), "seg_text")
         .limit(top_k)
         .select("seg_text")
+        .collect()
     )
-    kept = segs.join(F.broadcast(boiler), "seg_text", "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.count("*").alias("segs_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
-                lambda s: s["seg_text"],
-            ),
-        ).alias("clean_text"),
-    )
-    return (
-        arr.select("doc_id", F.col("n_segs").alias("segs_total"))
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "segs_total",
-            F.coalesce(F.col("segs_kept"), F.lit(0).cast("bigint")).alias(
-                "segs_kept"
-            ),
-            (
-                F.col("segs_total").cast("bigint")
-                - F.coalesce(F.col("segs_kept"), F.lit(0).cast("bigint"))
-            ).alias("segs_dropped"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
+    boiler_lit = F.array(*[F.lit(r["seg_text"]) for r in boiler_rows])
+    kept = F.filter("segs", lambda s: ~F.array_contains(boiler_lit, s))
+    return arr.select(
+        "doc_id",
+        F.col("n_segs").alias("segs_total"),
+        F.coalesce(F.size(kept), F.lit(0)).cast("bigint").alias("segs_kept"),
+        (
+            F.col("n_segs").cast("bigint")
+            - F.coalesce(F.size(kept), F.lit(0)).cast("bigint")
+        ).alias("segs_dropped"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )
 
 

@@ -97,7 +97,11 @@ def _doc_token_arrays(
     `_token_sets` + groupBy(doc_id) — minus one full corpus-token-
     stream exchange per query (guide §2.4: remove shuffles outright).
     `set_size` counts distinct PRE-hash tokens, matching the exploded
-    formulation's `count(*)`."""
+    formulation's `count(*)`.  NULL-text docs are dropped to match the
+    exploded path exactly: `explode` emits no row for them, so the
+    groupBy never saw such a doc_id — without this filter the per-row
+    path would keep them as a phantom NULL-token group."""
+    docs = docs.filter(F.col("text").isNotNull())
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism)

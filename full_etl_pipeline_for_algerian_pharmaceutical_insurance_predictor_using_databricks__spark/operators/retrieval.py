@@ -109,15 +109,26 @@ def _doc_lengths_and_stats(docs: DataFrame):
     return dl, stats
 
 
-def _dl_build_side(docs: DataFrame, dl: DataFrame) -> DataFrame:
+def _corpus_scalars(stats: DataFrame) -> tuple[int, float]:
+    """(n_docs, avgdl) as Python scalars — ONE eager evaluation of the
+    `_doc_lengths_and_stats` aggregate per query build.  The scalars
+    feed the BM25 contribution as literals (no crossJoin subtree
+    recomputing the corpus aggregate inside the query) AND the
+    doc-length build-side estimate (previously a separate eager
+    `docs.count()` job per query — VERDICT r15 item 9: one action, not
+    two).  Computed per query build, never memoized across queries —
+    the buffer-pooled docs frame is shared between timed runs and a
+    cross-run memo would cache derived results."""
+    row = stats.first()
+    return int(row["n_docs"]), float(row["avgdl"])
+
+
+def _dl_build_side(n_docs: int, dl: DataFrame) -> DataFrame:
     """Build-side strategy for the per-doc-length join (guide §3.1):
     dl is 12 bytes of payload per document, so broadcast it while the
     corpus doc count fits the session broadcast threshold — the scored
     posting stream then never exchanges on doc_id — and fall back to
-    shuffled-hash on a corpus too big to broadcast (the 100-TB case).
-    The count is one cheap aggregate over the (buffer-pooled) docs
-    table."""
-    n_docs = docs.count()
+    shuffled-hash on a corpus too big to broadcast (the 100-TB case)."""
     return adaptive_build_side(dl, n_docs * (12 + BCAST_ROW_OVERHEAD))
 
 
@@ -159,12 +170,15 @@ def bm25_search(
     terms = [t.lower() for t in query]
     tfs = _doc_term_counts(docs).filter(F.col("term").isin(terms))
     dl, stats = _doc_lengths_and_stats(docs)
+    n_docs, avgdl = _corpus_scalars(stats)
     df_tab = tfs.groupBy("term").agg(F.count("*").alias("df"))
     contrib = _bm25_contrib(k1, b)
     scored = (
         tfs.join(F.broadcast(df_tab), "term")
-        .join(_dl_build_side(docs, dl), "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .join(_dl_build_side(n_docs, dl), "doc_id")
+        .withColumns(
+            {"n_docs": F.lit(n_docs), "avgdl": F.lit(avgdl)}
+        )
         .groupBy("doc_id")
         .agg(F.sum(contrib).alias("score"))
     )
@@ -259,13 +273,14 @@ def _lexical_list(
 
     docs = load_table(spark, sf_dir, "documents")
     tfs = checkpoint_df(_doc_term_counts(docs))
-    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    dl, stats = _doc_lengths_and_stats(docs)
+    n_docs, avgdl = _corpus_scalars(stats)
     df_full = tfs.groupBy("term").agg(F.count("*").alias("df"))
     w_tfidf = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     qterms = (
         tfs.filter(F.col("doc_id") < n_queries)
         .join(F.broadcast(df_full), "term")
-        .crossJoin(F.broadcast(n_docs))
+        .withColumn("n_docs", F.lit(n_docs))
         .select(
             "doc_id",
             "term",
@@ -280,7 +295,6 @@ def _lexical_list(
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
-    dl, stats = _doc_lengths_and_stats(docs)
     contrib = _bm25_contrib(k1, b)
     w_lex = Window.partitionBy("query_id").orderBy(
         F.desc("lex_score"), F.asc("doc_id")
@@ -289,8 +303,8 @@ def _lexical_list(
         tfs.join(F.broadcast(qterms), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
         .join(F.broadcast(df_tab), "term")
-        .join(_dl_build_side(docs, dl), "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .join(_dl_build_side(n_docs, dl), "doc_id")
+        .withColumns({"n_docs": F.lit(n_docs), "avgdl": F.lit(avgdl)})
         .groupBy("query_id", "doc_id")
         .agg(F.sum(contrib).alias("lex_score"))
         .withColumn("lex_rank", F.row_number().over(w_lex))
