@@ -1921,9 +1921,16 @@ def _read_entries(
         for f in fields
         if f.get("initial-default") is not None
     ]
-    # group files by (spec, partition tuple, default-column presence,
-    # data sequence number): all constant per group, so identity
-    # values, defaults, and the sequence attach as literals — no join
+    # group files by ONLY the inputs that change what the scan attaches
+    # per group: spec id, IDENTITY partition values (transform-source
+    # values live inside the data files and attach nothing — keying on
+    # them would split an hours-partitioned table into one scan
+    # relation PER HOUR, a measured 47-way plan blowup on the stream
+    # entry), default-column presence, data sequence number (only when
+    # equality deletes are live), and the full partition tuple only
+    # when a scoped delete actually consumes it (`_ib_part`).  All
+    # constant per group, so identity values, defaults, and the
+    # sequence attach as literals — no join.
     groups: dict[tuple, list[str]] = {}
     for e in entries:
         df_rec = e["data_file"]
@@ -1937,9 +1944,15 @@ def _read_entries(
             _entry_has_field(path, df_rec, fid, nm)
             for nm, fid, _d, _t in defaulted
         )
-        key = (sid,) + tuple(
-            pv.get(n) for n in spec_infos[sid][0]
-        ) + (presence,) + ((e.get("_seq", 0),) if eqs else ())
+        part_vals = tuple(
+            pv.get(n)
+            for n in (
+                spec_infos[sid][0] if any_scoped else spec_infos[sid][1]
+            )
+        )
+        key = (sid,) + (part_vals,) + (presence,) + (
+            (e.get("_seq", 0),) if eqs else ()
+        )
         groups.setdefault(key, []).append(
             _abs_path(path, df_rec["file_path"])
         )
@@ -1950,8 +1963,9 @@ def _read_entries(
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
         sid = key[0]
         part_names, part_src, part_type = spec_infos[sid]
-        pkey = key[1 : 1 + len(part_names)]
-        presence = key[1 + len(part_names)]
+        keyed_names = list(part_names) if any_scoped else list(part_src)
+        pkey = key[1]
+        presence = key[2]
         absent = {
             nm
             for (nm, _fid, _d, _t), has in zip(defaulted, presence)
@@ -1972,12 +1986,13 @@ def _read_entries(
             else:
                 d = spark.read.schema(rs).parquet(*sorted(par_files))
                 if need_identity:
-                    d = d.withColumn(
-                        _IB_FILE,
+                    d = d.select(
+                        "*",
                         F.element_at(
                             F.split(F.col("_metadata.file_path"), "/"), -1
-                        ),
-                    ).withColumn(_IB_POS, F.col("_metadata.row_index"))
+                        ).alias(_IB_FILE),
+                        F.col("_metadata.row_index").alias(_IB_POS),
+                    )
             subframes.append(d)
         if avr_files:
             subframes.append(
@@ -1990,35 +2005,51 @@ def _read_entries(
         df = subframes[0]
         for d in subframes[1:]:
             df = df.unionByName(d)
-        for nm, _fid, dflt, typ in defaulted:
-            if nm in absent:
-                df = df.withColumn(nm, F.lit(dflt).cast(typ))
-        if eqs:
-            df = df.withColumn(_IB_SEQ, F.lit(int(key[-1])))
-        if any_scoped:
-            df = df.withColumn("_ib_part", F.lit(_scope_str(sid, pkey)))
-        for f in schema.fields:
-            names = candidates.get(f.name) or []
-            if (
-                len(names) > 1
-                and f.name not in part_src.values()
-                and f.name not in absent
-            ):
-                df = df.withColumn(
-                    f.name, F.coalesce(*[F.col(n) for n in names])
-                )
-        for u in uuid_cols:
-            # file-read uuid columns arrive as FLBA(16) binary —
-            # convert to the canonical string projection (identity
-            # partition sources reconstruct as strings below instead)
-            if u not in part_src.values() and u not in absent:
-                df = df.withColumn(u, _uuid_str_expr(F.col(u)))
-        for pname, raw in zip(part_names, pkey):
+        # ONE select per group replaces the per-column withColumn chain
+        # (each withColumn is an eagerly-analyzed Dataset + a py4j
+        # round trip — O(plan²) driver work on wide protocol plans)
+        default_of = {
+            nm: (dflt, typ)
+            for nm, _fid, dflt, typ in defaulted
+            if nm in absent
+        }
+        part_lit = {}
+        for pname, raw in zip(keyed_names, pkey):
             col = part_src.get(pname)
             if col is None:
                 continue  # transform field: source col is in the file
-            df = df.withColumn(col, _part_literal(raw, part_type[pname]))
-        frames.append(df.select(*[f.name for f in schema.fields], *extra))
+            part_lit[col] = _part_literal(raw, part_type[pname])
+        proj = []
+        for f in schema.fields:
+            if f.name in part_lit:
+                e_col = part_lit[f.name]
+            elif f.name in default_of:
+                dflt, typ = default_of[f.name]
+                e_col = F.lit(dflt).cast(typ)
+            else:
+                names = candidates.get(f.name) or []
+                e_col = (
+                    F.coalesce(*[F.col(n) for n in names])
+                    if len(names) > 1
+                    else F.col(f.name)
+                )
+                if f.name in uuid_cols:
+                    # file-read uuid columns arrive as FLBA(16) binary
+                    # — convert to the canonical string projection
+                    # (identity partition sources reconstruct as
+                    # strings above instead)
+                    e_col = _uuid_str_expr(e_col)
+            proj.append(e_col.alias(f.name))
+        for name in extra:
+            if name == _IB_SEQ:
+                proj.append(F.lit(int(key[-1])).alias(_IB_SEQ))
+            elif name == "_ib_part":
+                proj.append(
+                    F.lit(_scope_str(sid, pkey)).alias("_ib_part")
+                )
+            else:
+                proj.append(F.col(name))
+        frames.append(df.select(*proj))
     out = frames[0]
     for df in frames[1:]:
         out = out.unionByName(df)
