@@ -177,6 +177,86 @@ class _BitReader:
         return v
 
 
+class _ScanReader:
+    """Bulk bit reader for the entropy-coded scan: the whole segment is
+    unstuffed ONCE (0xFF00 → 0xFF, stopping at the first real marker),
+    then bits come out of a plain integer accumulator refilled a byte
+    at a time — no per-bit Python loop, which profiling put at ~60% of
+    decode_jpeg's wall (1.49 M read_bit calls per 100 frames).  Bit
+    semantics are identical to _BitReader's: the same consumed bit
+    positions, and reading past the scan's real data raises the same
+    unexpected-marker / IndexError the lazy reader raised when it
+    pulled that byte."""
+
+    __slots__ = ("data", "nbytes", "pos", "acc", "nbits", "term")
+
+    def __init__(self, raw: bytes):
+        out = bytearray()
+        pos = 0
+        n = len(raw)
+        self.term: int | None = None  # marker byte that ends the scan
+        while True:
+            j = raw.find(b"\xff", pos)
+            if j == -1:
+                out += raw[pos:]
+                break
+            out += raw[pos:j]
+            if j + 1 >= n:
+                break  # trailing 0xFF with no byte after: data ends
+            nxt = raw[j + 1]
+            if nxt == 0x00:
+                out.append(0xFF)
+                pos = j + 2
+            else:
+                self.term = nxt
+                break
+        self.data = bytes(out)
+        self.nbytes = len(out)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _exhausted(self):
+        if self.term is not None:
+            raise ValueError(
+                f"unexpected marker 0xFF{self.term:02X} in scan"
+            )
+        raise IndexError("scan data exhausted")
+
+    def peek(self, n: int) -> int:
+        """The next `n` bits MSB-first, virtually 1-padded past the end
+        of data (the spec's padding convention) — padding bits resolve
+        prefix lookups but are never consumable."""
+        while self.nbits < n and self.pos < self.nbytes:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        if self.nbits >= n:
+            return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        pad = n - self.nbits
+        return (self.acc << pad) | ((1 << pad) - 1)
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits:
+            self._exhausted()
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n and self.pos < self.nbytes:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        if n > self.nbits:
+            self._exhausted()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
 def _magnitude(v: int) -> tuple[int, int]:
     """(size category, raw bits) for a DC diff / AC coefficient —
     negatives encode as the one's complement of |v|."""
@@ -251,44 +331,60 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     if w < bw * 8:
         padded[:, w:] = padded[:, w - 1 : w]
 
+    # DCT + quantize + zigzag BATCHED over every block of each
+    # component (identical per-element arithmetic and one gemm per 8×8
+    # block either way — byte-identity pinned in tests/test_llm_ops.py
+    # golden hashes); the entropy pass below then runs over plain
+    # Python ints with one fused bit-write per symbol
+    blocks = (
+        padded.reshape(bh, 8, bw, 8, 3)
+        .transpose(4, 0, 2, 1, 3)
+        .reshape(3, bh * bw, 8, 8)
+    )
+    coefs = DCT_T @ blocks @ DCT_T.T
+    zz_comp = []
+    for comp in range(3):
+        q = qy if comp == 0 else qc
+        quant = np.round(coefs[comp] / q).astype(np.int64)
+        zz_comp.append(quant.reshape(-1, 64)[:, ZIGZAG].tolist())
     writer = _BitWriter()
+    write = writer.write
     prev_dc = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
-            for comp in range(3):
-                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp]
-                coef = DCT_T @ block @ DCT_T.T
-                q = qy if comp == 0 else qc
-                quant = np.round(coef / q).astype(np.int64)
-                zz = quant.flatten()[ZIGZAG]
-                # DC differential
-                diff = int(zz[0]) - prev_dc[comp]
-                prev_dc[comp] = int(zz[0])
-                size, bits = _magnitude(diff)
-                code, length = _DC_CODES[size]
-                writer.write(code, length)
-                if size:
-                    writer.write(bits, size)
-                # AC run-length
+    zrl_code, zrl_len = _AC_CODES[0xF0]
+    eob_code, eob_len = _AC_CODES[0x00]
+    for bi in range(bh * bw):
+        for comp in range(3):
+            zz = zz_comp[comp][bi]
+            # DC differential
+            dc = zz[0]
+            diff = dc - prev_dc[comp]
+            prev_dc[comp] = dc
+            size, bits = _magnitude(diff)
+            code, length = _DC_CODES[size]
+            # writing (code then raw bits) as ONE fused write emits the
+            # identical bit sequence with half the accumulator spins
+            write((code << size) | bits, length + size)
+            # AC run-length
+            run = 0
+            last_nz = 0
+            for i in range(63, 0, -1):
+                if zz[i]:
+                    last_nz = i
+                    break
+            for i in range(1, last_nz + 1):
+                v = zz[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    write(zrl_code, zrl_len)  # ZRL
+                    run -= 16
+                size, bits = _magnitude(v)
+                c, ln = _AC_CODES[(run << 4) | size]
+                write((c << size) | bits, ln + size)
                 run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        c, ln = _AC_CODES[0xF0]  # ZRL
-                        writer.write(c, ln)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    c, ln = _AC_CODES[(run << 4) | size]
-                    writer.write(c, ln)
-                    writer.write(bits, size)
-                    run = 0
-                if last_nz < 63:
-                    c, ln = _AC_CODES[0x00]  # EOB
-                    writer.write(c, ln)
+            if last_nz < 63:
+                write(eob_code, eob_len)  # EOB
     scan = writer.flush()
 
     out = bytearray()
@@ -333,6 +429,21 @@ class _HuffTable:
                 code += 1
                 k += 1
             code <<= 1
+        # prefix-resolved fast table, sized to the table's REAL maximum
+        # code length (16 entries for the flat DC table, 512 for AC —
+        # never a blanket 2^16): one peek + one list index per symbol
+        # replaces the per-bit walk.  The prefix property guarantees a
+        # padded peek resolves to the same symbol the bitwise walk
+        # found.
+        self.maxlen = max(
+            (ln for ln in range(1, 17) if bits[ln - 1]), default=1
+        )
+        size = 1 << self.maxlen
+        self.fast: list[tuple[int, int] | None] = [None] * size
+        for (length, code), val in self.lookup.items():
+            span = 1 << (self.maxlen - length)
+            base = code << (self.maxlen - length)
+            self.fast[base : base + span] = [(val, length)] * span
 
     def decode(self, reader: _BitReader) -> int:
         code = 0
@@ -341,6 +452,13 @@ class _HuffTable:
             if (length, code) in self.lookup:
                 return self.lookup[(length, code)]
         raise ValueError("invalid Huffman code in scan")
+
+    def decode_fast(self, reader: _ScanReader) -> int:
+        hit = self.fast[reader.peek(self.maxlen)]
+        if hit is None:
+            raise ValueError("invalid Huffman code in scan")
+        reader.consume(hit[1])
+        return hit[0]
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
@@ -420,41 +538,59 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     if nc not in (1, 3):
         raise ValueError(f"unsupported component count {nc}")
     qt_of = dict(comps)
-    reader = _BitReader(b[scan_start:])
+    reader = _ScanReader(b[scan_start:])
     bh, bw = (h + 7) // 8, (w + 7) // 8
-    planes = np.zeros((nc, bh * 8, bw * 8))
+    nblocks = bh * bw
+    # pass 1 — entropy decode (sequential by construction: DC is
+    # differential), collecting zigzag coefficients per (block, comp);
+    # table-driven Huffman lookups over the bulk unstuffed reader
+    tabs = [
+        (huff[(0, dc_id)], huff[(1, ac_id)])
+        for (_cid, dc_id, ac_id) in scan_comps
+    ]
     prev_dc = [0] * nc
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-                dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
-                zz = np.zeros(64, dtype=np.int64)
-                size = dc_tab.decode(reader)
-                diff = _extend(reader.read_bits(size), size)
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = ac_tab.decode(reader)
-                    if rs == 0x00:  # EOB
-                        break
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                q = quant[qt_of[cid]]
-                coef = np.zeros(64)
-                coef[ZIGZAG] = zz  # un-zigzag
-                block = coef.reshape(8, 8) * q
-                pixel = DCT_T.T @ block @ DCT_T + 128.0
-                planes[
-                    ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                ] = pixel
+    coeff_rows: list[list[int]] = []
+    for _bi in range(nblocks):
+        for ci, (dc_tab, ac_tab) in enumerate(tabs):
+            zz = [0] * 64
+            size = dc_tab.decode_fast(reader)
+            diff = _extend(reader.read_bits(size), size)
+            prev_dc[ci] += diff
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                rs = ac_tab.decode_fast(reader)
+                if rs == 0x00:  # EOB
+                    break
+                run, size = rs >> 4, rs & 0xF
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(reader.read_bits(size), size)
+                k += 1
+            coeff_rows.append(zz)
+    # pass 2 — dequantize + IDCT, batched over all blocks of a
+    # component (identical per-element arithmetic; the 8×8 matmuls run
+    # one gemm per block either way — byte-identity pinned in
+    # tests/test_llm_ops.py golden hashes)
+    arr = np.array(coeff_rows, dtype=np.int64).reshape(
+        nblocks, len(scan_comps), 64
+    )
+    planes = np.zeros((nc, bh * 8, bw * 8))
+    for ci, (cid, _dc_id, _ac_id) in enumerate(scan_comps):
+        q = quant[qt_of[cid]]
+        coef = np.zeros((nblocks, 64))
+        coef[:, ZIGZAG] = arr[:, ci, :]  # un-zigzag
+        blocks = coef.reshape(nblocks, 8, 8) * q
+        pixels = DCT_T.T @ blocks @ DCT_T + 128.0
+        planes[ci] = (
+            pixels.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
     if nc == 1:
         gray = np.clip(planes[0][:h, :w], 0, 255).astype(np.uint8)
         return np.stack([gray] * 3, axis=-1)

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from full_etl_pipeline_for_algerian_pharmaceutical_insurance_predictor_using_databricks__spark.operators import (
     dedup,
+    jpeg,
     multimodal,
     similarity,
     text,
@@ -809,6 +810,54 @@ def test_probe_media_dispatch():
     assert m["container"] == "jpeg"
     with pytest.raises(ValueError, match="unrecognized media magic"):
         pm(b"\x00\x01\x02\x03garbage")
+
+
+def test_jpeg_codec_bytes_pinned():
+    """Byte-identity pin for the r16 codec-path optimization (table-
+    driven Huffman decode, batched DCT/IDCT, fused bit writes): the
+    hashes below were captured from the pre-optimization per-bit /
+    per-block implementation, so any arithmetic or bitstream drift in
+    a future 'speedup' fails here before it can skew PSNR checks."""
+    import hashlib
+
+    import numpy as np
+
+    goldens = {
+        "rand_8x8": (90, "abc1d81d54a0a74ae00162d19c2ad8fe",
+                     "e41c568c58851382f3fe530ba664a8d4"),
+        "rand_9x13": (35, "7688c50b67c4ba66f521b3266f1568a3",
+                      "6747d5b7722e68f33a1d00947e301fd6"),
+        "rand_15x10": (90, "c21a56b2acdaa964212c9e41393edda6",
+                       "3b99994bd0e20e6867728d8da7753540"),
+        "rand_16x16": (35, "37b6e5f34ea9591e90ce62d629208959",
+                       "593edeb3cfc0d8a073d52ce25f6345ad"),
+        "rand_24x31": (90, "237eb552e71e6ea83f16a58dda3da934",
+                       "ce7826fa8de599c42f507719e2edadb5"),
+        "rand_64x48": (35, "d25e09f3444ef186f1a9828e54c230fe",
+                       "2edf8bb77772944095fd732ebba6f6f2"),
+        "rand_11x8": (90, "49f0f327aca6a0e9a8369920086a104d",
+                      "bc855ee79ddcb4b8aa2f1a935c902d8c"),
+        "flat_12x12": (90, "856ee3162a56f3c7393a2d19a2b6c332",
+                       "f4cbe0a9cdd1e99d3697f3706bb55371"),
+        "grad_10x14": (75, "8cf3680308a22e77a89611a8930c8c88",
+                       "c1821123ba75ae0cbaec088c686b9433"),
+    }
+    rng = np.random.RandomState(42)
+    cases = {}
+    for i, (h, w) in enumerate(
+        [(8, 8), (9, 13), (15, 10), (16, 16), (24, 31), (64, 48), (11, 8)]
+    ):
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        cases[f"rand_{h}x{w}"] = img
+    cases["flat_12x12"] = np.full((12, 12, 3), 128, dtype=np.uint8)
+    cases["grad_10x14"] = np.arange(10 * 14 * 3, dtype=np.uint8).reshape(
+        10, 14, 3
+    )
+    for name, (q, enc_md5, dec_md5) in goldens.items():
+        b = jpeg.encode_jpeg(cases[name], q)
+        assert hashlib.md5(b).hexdigest() == enc_md5, name
+        dec = jpeg.decode_jpeg(b)
+        assert hashlib.md5(dec.tobytes()).hexdigest() == dec_md5, name
 
 
 def test_mjpeg_avi_codec_roundtrip():
