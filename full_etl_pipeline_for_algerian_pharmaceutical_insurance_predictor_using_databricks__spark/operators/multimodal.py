@@ -417,14 +417,30 @@ def image_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     math, so any defect in the compressed path — CRC, inflate
     boundaries, filter reconstruction, row order — breaks the value
     match.  (The compressed byte COUNT is intentionally not oracled:
-    DEFLATE output length isn't SQL-expressible.)"""
-    media = synthetic_png_media(spark, sf_dir)
+    DEFLATE output length isn't SQL-expressible.)
+
+    ONE fused kernel does encode→decode (guide §4.1): the PNG bytes
+    used to cross the Python boundary twice — out of the
+    synthetic_png_media mapInPandas and back into this one — for no
+    reason; the fixture bytes exist only to be decoded here, so the
+    fused kernel ships 16 digest bytes per row instead of the PNG
+    twice.  Same codec calls, same rows (`synthetic_png_media` stays
+    the declared fixture surface for byte-level tests)."""
+    media = _digest_media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for batch in batches:
             rows = []
-            for b in batch["image_bytes"]:
-                img = _decode_png(bytes(b))
+            for b in batch["digest"]:
+                d = np.frombuffer(b, dtype=np.uint8)
+                w, h = 2 + int(d[2]) % 8, 2 + int(d[3]) % 8
+                img = _decode_png(
+                    _encode_png(np.resize(d, h * w * 3).reshape(h, w, 3))
+                )
                 small = img[::2, ::2, :]
                 rows.append(
                     (
