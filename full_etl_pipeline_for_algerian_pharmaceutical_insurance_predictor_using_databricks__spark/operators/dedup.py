@@ -39,7 +39,7 @@ from ..functions.scale import (
     adaptive_build_side,
     checkpoint_df,
 )
-from ..sources import load_table
+from ..sources import load_table, local_rows_df
 
 # --------------------------------------------------------------------------
 # shared tokenization
@@ -1457,7 +1457,7 @@ def embedding_near_dup_clustered(
         k=n_clusters, seed=7, maxIter=5, featuresCol="vec", predictionCol="cell0"
     )
     model = km.fit(emb.select("vec"))
-    centroids = spark.createDataFrame(
+    centroids = local_rows_df(spark, 
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from ..sources import load_table
+from ..sources import load_table, local_rows_df
 
 
 def _dsum(c: Column, scale: int = 2) -> Column:
@@ -1192,7 +1192,7 @@ def range_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — no shuffle, no quadratic blowup, any fact-table scale."""
     orders = load_table(spark, sf_dir, "orders")
     tiers = F.broadcast(
-        spark.createDataFrame(PRICE_TIERS, "tier string, lo double, hi double")
+        local_rows_df(spark, PRICE_TIERS, "tier string, lo double, hi double")
     )
     joined = orders.join(
         tiers,

@@ -17,7 +17,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..functions.scale import checkpoint_df
-from ..sources import load_table
+from ..sources import load_table, local_rows_df
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -352,7 +352,7 @@ def ann_ivf(
     )
 
     # centroid table: tiny (nlist × dim) — literal-free, built once
-    centroids = spark.createDataFrame(
+    centroids = local_rows_df(spark, 
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "centroid_id int, centroid array<double>",
     )
@@ -554,7 +554,7 @@ def ann_pq(
         luts.append(
             [(mi, ci, [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())]
         )
-    codebook = spark.createDataFrame(
+    codebook = local_rows_df(spark, 
         [r for lut in luts for r in lut],
         "m int, code int, centroid array<double>",
     )
@@ -647,7 +647,7 @@ def _ivf_pq_fit(spark, emb, nlist: int, m: int, n_codes: int, sub_d: int):
         k=nlist, seed=7, maxIter=5, featuresCol="vec", predictionCol="list_id"
     ).fit(emb.select("vec"))
     assigned = coarse.transform(emb)
-    centroids = spark.createDataFrame(
+    centroids = local_rows_df(spark, 
         [(i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())],
         "centroid_id int, centroid array<double>",
     )
@@ -667,7 +667,7 @@ def _ivf_pq_fit(spark, emb, nlist: int, m: int, n_codes: int, sub_d: int):
                 for ci, c in enumerate(model.clusterCenters())
             ]
         )
-    codebook = spark.createDataFrame(
+    codebook = local_rows_df(spark, 
         [r for lut in luts for r in lut],
         "m int, code int, centroid array<double>",
     )
@@ -867,7 +867,7 @@ def ivf_pq_build_index(
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     codebook.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
     codes.write.mode("overwrite").partitionBy("list_id").parquet(f"{index_dir}/codes")
-    spark.createDataFrame(
+    local_rows_df(spark, 
         [(dim, sub_d, m, n_codes, nlist)],
         "dim int, sub_d int, m int, n_codes int, nlist int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..functions.scale import checkpoint_df
-from ..sources import load_table
+from ..sources import load_table, local_rows_df
 
 #: Stopword regexes per language for the n-gram/stopword language ID.
 #: \b word boundaries behave identically in Java regex and RE2 for
@@ -1131,7 +1131,7 @@ def topic_index_build(
     idf_model, km_model = _topic_fit(spark, sf_dir, k, n_features, seed)
     idf_model.write().overwrite().save(f"{index_dir}/idf")
     km_model.write().overwrite().save(f"{index_dir}/kmeans")
-    spark.createDataFrame(
+    local_rows_df(spark, 
         [(k, n_features, seed)], "k int, n_features int, seed int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
     return index_dir
@@ -1279,7 +1279,7 @@ def bpe_learn(
     pinned against a pure-Python reference BPE in tests/test_llm_ops.py.
     """
     merges, _ = _bpe_loop(_bpe_words(spark, sf_dir), n_merges)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         merges, "step int, left string, right string, merged string, pair_count bigint"
     )
 

@@ -1,3 +1,3 @@
-from .catalog import load_table, register_views
+from .catalog import load_table, local_rows_df, register_views
 
 __all__ = ["load_table", "register_views"]

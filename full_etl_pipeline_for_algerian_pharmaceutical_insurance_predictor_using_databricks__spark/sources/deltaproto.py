@@ -40,6 +40,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .catalog import local_rows_df
+
 _LOG_FMT = "{:020d}.json"
 _CKPT_FMT = "{:020d}.checkpoint.parquet"
 _CRC_FMT = "{:020d}.crc"
@@ -1006,7 +1008,7 @@ def read_delta_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
                 int(proto.get("minWriterVersion", 1)),
             )
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "format string, id string, location string, "
             "createdAt timestamp_ntz, numFiles long, sizeInBytes long, "
@@ -1034,7 +1036,7 @@ def read_delta_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
             )
             for a in live.values()
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "path string, partitionValues string, size long, "
             "record_count long, has_stats boolean, has_dv boolean",
@@ -1050,7 +1052,7 @@ def read_delta_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
             if s[2] is not None:
                 s[2] = None if nr is None else s[2] + nr
         rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "partitionValues string, file_count long, total_size long, "
             "record_count long",
@@ -1065,7 +1067,7 @@ def read_delta_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
             )
             for h in delta_history(path)
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "version long, operation string, n_added long, n_removed long",
         )
@@ -2449,7 +2451,7 @@ def _delete_where_delta_dv(
         if add.get("deletionVector")
     }
     if old_desc_json:
-        desc_df = spark.createDataFrame(
+        desc_df = local_rows_df(spark, 
             sorted(old_desc_json.items()),
             f"{_DP_FILE} string, dv_desc string",
         )
@@ -4321,7 +4323,7 @@ def _apply_dvs(
             pos_rows.append((tail, ri))
     if not pos_rows:
         return df
-    pos = spark.createDataFrame(
+    pos = local_rows_df(spark, 
         pos_rows, f"{_DP_FILE} string, {_DP_RI} bigint"
     )
     # callers that already carry the identity columns (row-tracking
@@ -4631,7 +4633,7 @@ def _read_adds(
     for df in frames[1:]:
         out = out.unionByName(df)
     if rt_cols:
-        anchors = spark.createDataFrame(
+        anchors = local_rows_df(spark, 
             [
                 (
                     f.rsplit("/", 1)[-1],
@@ -4811,7 +4813,7 @@ def write_delta_checkpoint(
     )
     ck = os.path.join(_log_dir(path), _CKPT_FMT.format(version))
     tmpdir = os.path.join(_log_dir(path), f"_ckpt-{uuid.uuid4().hex}")
-    spark.createDataFrame(
+    local_rows_df(spark, 
         [
             (
                 r["add"],
@@ -4887,7 +4889,7 @@ def _write_checkpoint_v2(
     sc_name = f"{uuid.uuid4().hex}.parquet"
     tmpdir = os.path.join(ld, f"_ckpt-{uuid.uuid4().hex}")
     if add_rows:
-        df = spark.createDataFrame(add_rows, f"add {add_type}")
+        df = local_rows_df(spark, add_rows, f"add {add_type}")
     else:
         from pyspark.sql.types import StructType
 

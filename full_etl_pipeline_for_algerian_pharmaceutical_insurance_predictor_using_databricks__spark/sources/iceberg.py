@@ -62,6 +62,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .catalog import local_rows_df
+
 from . import avrotiny
 
 _BLOCK_SIZE = 64 * 1024 * 1024  # v1's deprecated-but-required field
@@ -1440,7 +1442,7 @@ def _dv_positions_df(spark: SparkSession, dv_list: list[dict]) -> DataFrame:
                         {_IB_FILE: tail, _IB_POS: positions}
                     )
 
-    src = spark.createDataFrame(rows, "tail string, blob binary")
+    src = local_rows_df(spark, rows, "tail string, blob binary")
     return src.repartition(min(len(rows), 32)).mapInPandas(
         expand, schema=f"{_IB_FILE} string, {_IB_POS} bigint"
     )
@@ -1514,7 +1516,7 @@ def _orc_scan(
             StructField(_IB_POS, LongType(), True),
         ]
     paths = sorted(set(files))
-    src = spark.createDataFrame([(pp,) for pp in paths], "path string")
+    src = local_rows_df(spark, [(pp,) for pp in paths], "path string")
 
     def decode(batches):
         import pandas as pd
@@ -1605,7 +1607,7 @@ def _pq_arrow_scan(
             StructField(_IB_POS, LongType(), True),
         ]
     paths = sorted(set(files))
-    src = spark.createDataFrame([(pp,) for pp in paths], "path string")
+    src = local_rows_df(spark, [(pp,) for pp in paths], "path string")
 
     def decode(batches):
         import pandas as pd
@@ -1699,7 +1701,7 @@ def _avro_scan(
             StructField(_IB_POS, LongType(), True),
         ]
     paths = sorted(set(files))
-    src = spark.createDataFrame([(pp,) for pp in paths], "path string")
+    src = local_rows_df(spark, [(pp,) for pp in paths], "path string")
 
     def decode(batches):
         import pandas as pd
@@ -2158,7 +2160,7 @@ def _lineage_scan(
         keep_identity=True, dvs=dvs,
         extra_read_cols=[(_ROW_ID, "bigint"), (_LUSN, "bigint")],
     )
-    anchors = spark.createDataFrame(
+    anchors = local_rows_df(spark, 
         [
             (
                 e["data_file"]["file_path"].rsplit("/", 1)[-1],
@@ -3000,7 +3002,7 @@ def _rewrite_exotic_files(
     values raise in the task (refuse-don't-corrupt: a silent null
     would lose data)."""
     items = [(src, dest) for src, dest in jobs]
-    src_df = spark.createDataFrame(items, "src string, dest string")
+    src_df = local_rows_df(spark, items, "src string, dest string")
 
     def rewrite(batches):
         import datetime
@@ -3827,7 +3829,7 @@ def _land_position_deletes(
         )
     parts = sorted({v[1] for v in tails.values()}, key=str)
     grp_of = {pt: i for i, pt in enumerate(parts)}
-    map_df = spark.createDataFrame(
+    map_df = local_rows_df(spark, 
         [(t, fp, grp_of[pt]) for t, (fp, pt) in sorted(tails.items())],
         f"{_IB_FILE} string, file_path string, _grp int",
     )
@@ -5677,7 +5679,7 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
             )
             for e in meta.get("snapshot-log") or []
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "made_current_at timestamp_ntz, snapshot_id long, "
             "parent_id long, is_current_ancestor boolean",
@@ -5690,7 +5692,7 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
             (name, r.get("type"), int(r["snapshot-id"]))
             for name, r in sorted((meta.get("refs") or {}).items())
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows, "name string, type string, snapshot_id long"
         )
     if kind == "snapshots":
@@ -5705,7 +5707,7 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
             )
             for s in meta.get("snapshots") or []
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "committed_at timestamp_ntz, snapshot_id long, parent_id long, "
             "operation string, manifest_list string, summary string",
@@ -5724,7 +5726,7 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
             )
             for m in mfs
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "path string, length long, partition_spec_id int, content int, "
             "added_data_files_count int, existing_data_files_count int, "
@@ -5752,7 +5754,7 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
                 )
                 for e in live
             ]
-            return spark.createDataFrame(
+            return local_rows_df(spark, 
                 rows,
                 "content int, file_path string, file_format string, "
                 "spec_id int, partition string, record_count long, "
@@ -5774,7 +5776,7 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
             (sid, pj, a[0], a[1], a[2])
             for (sid, pj), a in sorted(agg.items())
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "spec_id int, partition string, record_count long, "
             "file_count long, total_size long",
@@ -5808,7 +5810,7 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
                         rec.get("referenced_data_file"),
                     )
                 )
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "content int, file_path string, file_format string, "
             "spec_id int, partition string, record_count long, "
@@ -5889,7 +5891,7 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
                         json.dumps(slim, sort_keys=True, default=str),
                     )
                 )
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "status int, snapshot_id long, sequence_number long, "
             "data_file string",
@@ -5942,12 +5944,12 @@ def read_iceberg_meta(spark: SparkSession, path: str, kind: str) -> DataFrame:
                         )
                     )
         if kind == "all_manifests":
-            return spark.createDataFrame(
+            return local_rows_df(spark, 
                 man_rows,
                 "path string, length long, partition_spec_id int, "
                 "content int, reference_snapshot_id long",
             )
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             file_rows,
             "content int, file_path string, file_format string, "
             "record_count long, file_size_in_bytes long, "
@@ -8702,7 +8704,7 @@ def iceberg_ndv_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_ndv_lake(spark, sf_dir)
     ndv = read_iceberg_ndv(path)
     rows = [(c, int(n)) for c, n in sorted(ndv.items())]
-    return spark.createDataFrame(rows, "col string, ndv bigint").orderBy(
+    return local_rows_df(spark, rows, "col string, ndv bigint").orderBy(
         "col"
     )
 

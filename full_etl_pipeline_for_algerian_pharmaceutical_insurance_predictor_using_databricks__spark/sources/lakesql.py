@@ -51,6 +51,8 @@ from datetime import date, datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .catalog import local_rows_df
+
 __all__ = [
     "register_lake_table",
     "unregister_lake_table",
@@ -338,7 +340,7 @@ _TRAVEL_RE = re.compile(
 def _dml_result(
     spark: SparkSession, op: str, table: str, version: int
 ) -> DataFrame:
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(op, table, int(version))],
         "operation string, table string, version bigint",
     )
@@ -999,7 +1001,7 @@ def _exec_show_tables(spark: SparkSession) -> DataFrame:
         ]
     )
     rows = [(n, f, p) for n, (f, p) in sorted(_REGISTRY.items())]
-    return spark.createDataFrame(rows, schema)
+    return local_rows_df(spark, rows, schema)
 
 
 def default_warehouse_dir() -> str:
@@ -1205,7 +1207,7 @@ def _exec_describe_history(spark: SparkSession, m: re.Match) -> DataFrame:
             )
             for h in dp.delta_history(path)
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             sorted(rows, reverse=True),
             "version bigint, operation string, n_added bigint, "
             "n_removed bigint",
@@ -1217,7 +1219,7 @@ def _exec_describe_history(spark: SparkSession, m: re.Match) -> DataFrame:
             (int(s["snapshot_id"]), s["operation"], int(s["timestamp_ms"]))
             for s in ib.iceberg_snapshots(path)
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             list(reversed(rows)),
             "snapshot_id bigint, operation string, timestamp_ms bigint",
         )
@@ -1229,7 +1231,7 @@ def _exec_describe_history(spark: SparkSession, m: re.Match) -> DataFrame:
              int(h["n_removed"]))
             for h in minilake.history(path)
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             sorted(rows, reverse=True),
             "version bigint, operation string, n_added bigint, "
             "n_removed bigint",

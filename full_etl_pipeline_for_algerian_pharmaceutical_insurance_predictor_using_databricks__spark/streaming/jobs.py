@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.events import SESSION_GAP_SEC
 from ..schemas import EVENTS
-from ..sources import load_table
+from ..sources import load_table, local_rows_df
 
 WATERMARK_DELAY = "10 minutes"
 
@@ -1091,7 +1091,7 @@ def ann_registry_ingest(
                     "vec", array_to_vector(F.col("embedding").cast("array<double>"))
                 ).select("vec")
             )
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [
                     (i, [float(x) for x in c])
                     for i, c in enumerate(model.clusterCenters())
@@ -1702,7 +1702,7 @@ def quantile_sketch_registry_ingest(
             lo, hi = float(r[0]), float(r[1])
             if hi <= lo:
                 hi = lo + 1.0
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [(lo, hi, bins)], "lo double, hi double, bins int"
             ).coalesce(1).write.mode("overwrite").parquet(rdir)
         rng = spark.read.parquet(rdir).first()
@@ -1762,7 +1762,7 @@ def quantile_sketch_read(
         "total", F.sum("cnt").over(wtot)
     )
     qdf = F.broadcast(
-        spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+        local_rows_df(spark, [(float(q),) for q in quantiles], "q double")
     )
     whit = Window.partitionBy("event_type", "q").orderBy("bin")
     hits = (
